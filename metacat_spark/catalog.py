@@ -1,0 +1,101 @@
+"""Catalog: the engine's table registry.
+
+Holds the metacat-shaped DataFrames (files, datasets, files_datasets,
+parent_child, datasets_parent_child, namespaces, queries_tbl) and their
+metadata schemas. ``from_tpch`` builds all of them lazily from the
+driver's TPC-H-ish parquet testdata via the fixtures mapping — every
+fixture table is a pure projection, so Catalyst collapses it into the
+parquet scan and prunes unused columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures as FX
+from .schema import DATASET_META, FILE_META, QUERY_META, MetaSchema
+
+RAW_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+
+
+@dataclass
+class Catalog:
+    spark: SparkSession
+    files: DataFrame
+    files_datasets: DataFrame
+    parent_child: DataFrame
+    datasets: DataFrame
+    datasets_parent_child: DataFrame
+    namespaces: DataFrame
+    queries_tbl: DataFrame
+    file_meta: MetaSchema = field(default_factory=lambda: FILE_META)
+    dataset_meta: MetaSchema = field(default_factory=lambda: DATASET_META)
+    query_meta: MetaSchema = field(default_factory=lambda: QUERY_META)
+    raw: dict = field(default_factory=dict)
+
+    def named_query_source(self, namespace: str, name: str) -> Optional[str]:
+        rows = (self.queries_tbl
+                .where((F.col("namespace") == namespace) & (F.col("name") == name))
+                .select("source").limit(1).collect())
+        return rows[0][0] if rows else None
+
+
+def _meta_json_column(schema: MetaSchema) -> F.Column:
+    """metadata as a JSON string with dotted keys; null-valued (missing)
+    keys are omitted (Spark's to_json ignoreNullFields default)."""
+    return F.to_json(F.struct(*[
+        F.col(mk.column).alias(mk.key) for mk in schema.by_key.values()
+    ]))
+
+
+def from_tpch(spark: SparkSession, sf_dir: str,
+              cache_files: bool = False) -> Catalog:
+    raw = {}
+    for t in RAW_TABLES:
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        except Exception:
+            continue
+        raw[t] = df
+        df.createOrReplaceTempView(t)
+
+    files = spark.sql(FX.files_sql(FX.SPARK))
+    files = (files
+             .withColumn("metadata", _meta_json_column(FILE_META))
+             .withColumn("checksums",
+                         F.create_map(F.lit("adler32"),
+                                      F.substring(F.md5(F.col("id")), 1, 8)))
+             .withColumn("updated_by", F.lit(None).cast("string"))
+             .withColumn("updated_timestamp", F.lit(None).cast("timestamp"))
+             .withColumn("retired_by",
+                         F.when(F.col("retired"), F.lit("admin")))
+             .withColumn("retired_timestamp",
+                         F.when(F.col("retired"), F.col("created_timestamp"))))
+    if cache_files:
+        files = files.persist()
+
+    files_datasets = spark.sql(FX.files_datasets_sql(FX.SPARK))
+    parent_child = spark.sql(FX.parent_child_sql(FX.SPARK))
+
+    datasets = spark.createDataFrame(FX.DATASET_ROWS, FX.DATASET_COLUMNS)
+    datasets = (datasets
+                .withColumn("created_timestamp",
+                            F.lit("2023-01-15 00:00:00").cast("timestamp"))
+                .withColumn("metadata", _meta_json_column(DATASET_META)))
+    ds_pc = spark.createDataFrame(FX.DS_EDGE_ROWS, FX.DS_EDGE_COLUMNS)
+    namespaces = spark.createDataFrame(FX.NAMESPACE_ROWS, FX.NAMESPACE_COLUMNS)
+    queries_tbl = spark.createDataFrame(FX.QUERY_ROWS, FX.QUERY_COLUMNS)
+    queries_tbl = queries_tbl.withColumn(
+        "metadata", _meta_json_column(QUERY_META))
+
+    cat = Catalog(spark, files, files_datasets, parent_child, datasets,
+                  ds_pc, namespaces, queries_tbl, raw=raw)
+    for name in ("files", "files_datasets", "parent_child", "datasets",
+                 "datasets_parent_child", "namespaces", "queries_tbl"):
+        getattr(cat, name).createOrReplaceTempView(f"mc_{name}")
+    return cat

@@ -1,0 +1,355 @@
+"""The query engine: MQL text → PySpark DataFrame plan.
+
+Translation strategy (SURVEY.md §3.4): parse MQL with our parser, then
+build the DataFrame plan directly — Catalyst then performs everything
+the reference's hand-rolled optimizer did (predicate pushdown,
+conjunction merge, NOT elimination, union flattening, empty
+propagation, column pruning; mql10.py:127-475) plus what it never had
+(join reordering, AQE, whole-stage codegen).
+
+Semantics preserved from the reference:
+- file sets are distinct-by-file-id (dbobjects2.py:181-193); we use
+  left-semi/left-anti joins so no explicit distinct is ever needed
+- BFQs exclude retired files unless include_retired
+  (dbobjects2.py:260-262); explicit file lists do NOT filter retired
+  (dbobjects2.py:305-345)
+- skip/limit merge law + `skip ⇒ ordered` (mql10.py:39-45,244-346,768-786)
+- dataset `with subsets recursively` is a cycle-guarded iterative
+  closure (dbobjects2.py:1060-1088,1505-1548)
+- named queries are inlined at translate time with cycle detection
+  (mql10.py:907-923)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .mql import parse
+from .mql.ast import (BasicFileQuery, ChildrenOf, DatasetQuery,
+                      DatasetSelector, FileList, FileQuery, FilterOp,
+                      JoinOp, LimitOp, MetaAnd, MinusOp, NamedQueryRef,
+                      OrderedOp, ParentsOf, QueryQuery, SkipOp, UnionOp,
+                      WhereOp)
+from .predicate import CompileError, PredicateCompiler
+from .schema import (DATASET_ATTRIBUTES, FILE_ATTRIBUTES, QUERY_ATTRIBUTES)
+
+FILE_OUTPUT_COLUMNS = ["id", "namespace", "name", "size", "creator",
+                       "created_timestamp", "retired"]
+
+
+class QueryError(Exception):
+    pass
+
+
+class Engine:
+    def __init__(self, catalog: Catalog):
+        self.cat = catalog
+        self.spark = catalog.spark
+        self.file_pred = PredicateCompiler(catalog.file_meta,
+                                           FILE_ATTRIBUTES, "metadata")
+        self.dataset_pred = PredicateCompiler(catalog.dataset_meta,
+                                              DATASET_ATTRIBUTES, "metadata")
+        self.query_pred = PredicateCompiler(catalog.query_meta,
+                                            QUERY_ATTRIBUTES, "metadata")
+
+    # ------------------------------------------------------------- public
+    def query(self, text: str, with_meta: bool = False,
+              with_provenance: bool = False, summary: Optional[str] = None,
+              include_retired: bool = False,
+              default_namespace: Optional[str] = None) -> DataFrame:
+        """Run an MQL query; returns a lazy DataFrame.
+
+        Mirrors the REST /data/query option surface
+        (webserver/data_handler.py:1266-1297).
+        """
+        top = parse(text, default_namespace=default_namespace)
+        if isinstance(top, FileQuery):
+            df = self._translate_fq(top.tree, include_retired,
+                                    _named_stack=())
+            if summary:
+                return self._summary(df, summary)
+            return self._project_files(df, with_meta, with_provenance)
+        if isinstance(top, DatasetQuery):
+            df = self._translate_dataset_query(top)
+            cols = ["namespace", "name", "frozen", "monotonic", "creator",
+                    "description", "created_timestamp"]
+            if with_meta:
+                cols.append("metadata")
+            return df.select(*cols)
+        if isinstance(top, QueryQuery):
+            df = self._translate_query_query(top)
+            cols = ["namespace", "name", "source", "creator", "description"]
+            if with_meta:
+                cols.append("metadata")
+            return df.select(*cols)
+        raise QueryError(f"unsupported query {top!r}")
+
+    def explain(self, text: str, **kw) -> str:
+        """MQL AST + Spark physical plan (parity with `metacat query -x`,
+        metacat/ui/metacat_query.py:64-84)."""
+        top = parse(text, default_namespace=kw.get("default_namespace"))
+        df = self.query(text, **kw)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        return f"-- MQL AST --\n{top}\n\n-- Spark plan --\n{plan}"
+
+    # ------------------------------------------------------- file queries
+    def _translate_fq(self, node, include_retired: bool,
+                      _named_stack: tuple) -> DataFrame:
+        tr = lambda n: self._translate_fq(n, include_retired, _named_stack)
+
+        if isinstance(node, BasicFileQuery):
+            df = self.cat.files
+            if not include_retired:
+                df = df.where(~F.col("retired"))
+            if node.datasets:
+                df = self._apply_dataset_membership(df, node.datasets)
+            if node.where is not None:
+                df = df.where(self.file_pred.compile(node.where))
+            return df
+
+        if isinstance(node, FileList):
+            df = self.cat.files  # explicit lists do NOT filter retired
+            if node.kind == "fid":
+                return df.where(F.col("id").isin(list(node.items)))
+            cond = None
+            for ns, name in node.items:
+                if ns is None:
+                    raise QueryError(f"no namespace for file {name!r}")
+                c = (F.col("namespace") == ns) & (F.col("name") == name)
+                cond = c if cond is None else (cond | c)
+            return df.where(cond)
+
+        if isinstance(node, NamedQueryRef):
+            key = (node.namespace, node.name)
+            if key in _named_stack:
+                raise QueryError(f"named query cycle: {key}")
+            src = self.cat.named_query_source(node.namespace, node.name)
+            if src is None:
+                raise QueryError(f"named query not found: "
+                                 f"{node.namespace}:{node.name}")
+            sub = parse(src, default_namespace=node.namespace)
+            if not isinstance(sub, FileQuery):
+                raise QueryError("named query must be a file query")
+            return self._translate_fq(sub.tree, include_retired,
+                                      _named_stack + (key,))
+
+        if isinstance(node, WhereOp):
+            return tr(node.child).where(self.file_pred.compile(node.exp))
+
+        if isinstance(node, UnionOp):
+            dfs = [tr(ch) for ch in node.children]
+            return reduce(DataFrame.unionByName, dfs).dropDuplicates(["id"])
+
+        if isinstance(node, JoinOp):
+            dfs = [tr(ch) for ch in node.children]
+            out = dfs[0]
+            for other in dfs[1:]:
+                out = out.join(other.select("id"), "id", "left_semi")
+            return out
+
+        if isinstance(node, MinusOp):
+            left, right = tr(node.left), tr(node.right)
+            return left.join(right.select("id"), "id", "left_anti")
+
+        if isinstance(node, ParentsOf):
+            child = tr(node.child)
+            pc = self.cat.parent_child
+            hits = pc.join(child.select(F.col("id").alias("child_id")),
+                           "child_id", "left_semi")
+            return self.cat.files.join(
+                hits.select(F.col("parent_id").alias("id")), "id",
+                "left_semi")
+
+        if isinstance(node, ChildrenOf):
+            parent = tr(node.child)
+            pc = self.cat.parent_child
+            hits = pc.join(parent.select(F.col("id").alias("parent_id")),
+                           "parent_id", "left_semi")
+            return self.cat.files.join(
+                hits.select(F.col("child_id").alias("id")), "id",
+                "left_semi")
+
+        if isinstance(node, (SkipOp, LimitOp, OrderedOp)):
+            return self._apply_skip_limit(node, tr)
+
+        if isinstance(node, FilterOp):
+            from .filters import run_filter
+            child_dfs = [tr(ch) for ch in node.children]
+            return run_filter(self, node.name, node.params, node.kwparams,
+                              child_dfs)
+
+        raise QueryError(f"cannot translate {node!r}")
+
+    def _apply_skip_limit(self, node, tr) -> DataFrame:
+        """Fold a contiguous skip/limit/ordered chain with the reference's
+        merge law (mql10.py:39-45): innermost-first, skip adds and eats
+        into a pending limit; limit takes the min. skip ⇒ ordered."""
+        chain = []
+        cur = node
+        while isinstance(cur, (SkipOp, LimitOp, OrderedOp)):
+            chain.append(cur)
+            cur = cur.child
+        df = tr(cur)
+        skip, limit, ordered = 0, None, False
+        for op in reversed(chain):  # innermost first
+            if isinstance(op, SkipOp):
+                skip += op.n
+                if limit is not None:
+                    limit = max(limit - op.n, 0)
+            elif isinstance(op, LimitOp):
+                limit = op.n if limit is None else min(limit, op.n)
+            else:
+                ordered = True
+        if limit is not None and limit <= 0:
+            return df.limit(0)
+        if skip > 0:
+            out = df.orderBy("id").offset(skip)
+            return out.limit(limit) if limit is not None else out
+        if limit is not None:
+            return df.orderBy("id").limit(limit) if ordered else \
+                df.limit(limit)
+        return df.orderBy("id") if ordered else df
+
+    # -------------------------------------------------- dataset selection
+    def _selector_cond(self, sel: DatasetSelector, ns_col: str,
+                       name_col: str):
+        if sel.namespace is None:
+            raise QueryError(f"no namespace for dataset {sel.name!r}")
+        ns_ok = F.col(ns_col) == sel.namespace
+        if sel.kind == "did":
+            return ns_ok & (F.col(name_col) == sel.name)
+        if sel.kind == "pattern":
+            like = sel.name.replace("*", "%").replace("?", "_")
+            return ns_ok & F.col(name_col).like(like)
+        if sel.kind == "regexp":
+            return ns_ok & F.col(name_col).rlike(sel.name)
+        raise QueryError(f"bad selector kind {sel.kind}")
+
+    def _resolve_datasets(self, selectors) -> DataFrame:
+        """Selected datasets as a (namespace, name, <attrs>) DataFrame,
+        expanding `with subsets [recursively]` via an iterative,
+        cycle-safe closure (parity: dbobjects2.py:1505-1548)."""
+        ds = self.cat.datasets
+        parts = []
+        for sel in selectors:
+            seed = ds.where(self._selector_cond(sel, "namespace", "name"))
+            if sel.with_subsets:
+                names = seed.select("namespace", "name")
+                closure = self._subset_closure(names, sel.recursively)
+                seed = ds.join(closure, ["namespace", "name"], "left_semi")
+            if sel.having is not None:
+                seed = seed.where(self.dataset_pred.compile(sel.having))
+            parts.append(seed)
+        out = reduce(DataFrame.unionByName, parts)
+        return out.dropDuplicates(["namespace", "name"])
+
+    def _subset_closure(self, seed: DataFrame,
+                        recursively: bool) -> DataFrame:
+        edges = self.cat.datasets_parent_child
+        child_sel = [F.col("child_namespace").alias("namespace"),
+                     F.col("child_name").alias("name")]
+        if not recursively:
+            children = (edges.join(
+                seed.withColumnRenamed("namespace", "parent_namespace")
+                    .withColumnRenamed("name", "parent_name"),
+                ["parent_namespace", "parent_name"], "left_semi")
+                .select(*child_sel))
+            return seed.unionByName(children).dropDuplicates(
+                ["namespace", "name"])
+        # transitive closure: frontier loop with visited-set cycle guard
+        acc = seed.dropDuplicates(["namespace", "name"]).localCheckpoint()
+        frontier = acc
+        while True:
+            nxt = (edges.join(
+                frontier.withColumnRenamed("namespace", "parent_namespace")
+                        .withColumnRenamed("name", "parent_name"),
+                ["parent_namespace", "parent_name"], "left_semi")
+                .select(*child_sel)
+                .dropDuplicates(["namespace", "name"])
+                .join(acc, ["namespace", "name"], "left_anti")
+                .localCheckpoint())
+            if nxt.isEmpty():
+                return acc
+            acc = acc.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+
+    def _apply_dataset_membership(self, files_df: DataFrame,
+                                  selectors) -> DataFrame:
+        fd = self.cat.files_datasets
+        complex_sel = any(s.with_subsets or s.having is not None
+                          for s in selectors)
+        if complex_sel:
+            ds = self._resolve_datasets(selectors).select(
+                F.col("namespace").alias("dataset_namespace"),
+                F.col("name").alias("dataset_name"))
+            fd = fd.join(F.broadcast(ds),
+                         ["dataset_namespace", "dataset_name"], "left_semi")
+        else:
+            cond = reduce(lambda a, b: a | b,
+                          [self._selector_cond(s, "dataset_namespace",
+                                               "dataset_name")
+                           for s in selectors])
+            fd = fd.where(cond)
+        return files_df.join(fd.select(F.col("file_id").alias("id")),
+                             "id", "left_semi")
+
+    # ----------------------------------------------------------- datasets
+    def _translate_dataset_query(self, q: DatasetQuery) -> DataFrame:
+        return self._resolve_datasets(q.selectors)
+
+    def _translate_query_query(self, q: QueryQuery) -> DataFrame:
+        df = self.cat.queries_tbl
+        if q.pattern is not None:
+            df = df.where(self._selector_cond(q.pattern, "namespace", "name"))
+        if q.where is not None:
+            df = df.where(self.query_pred.compile(q.where))
+        return df
+
+    # ---------------------------------------------------------- summaries
+    def _summary(self, df: DataFrame, kind: str) -> DataFrame:
+        if kind == "count":
+            return df.agg(F.count("*").alias("count"),
+                          F.sum("size").alias("total_size"))
+        if kind == "keys":
+            return (df.select(F.explode(F.json_object_keys("metadata"))
+                              .alias("key"))
+                    .distinct())
+        if kind == "key-values":
+            kv = df.select(F.explode(
+                F.from_json("metadata", "map<string,string>")).alias(
+                    "key", "value"))
+            return kv.distinct()
+        raise QueryError(f"unknown summary {kind!r}")
+
+    # --------------------------------------------------------- projection
+    def _project_files(self, df: DataFrame, with_meta: bool,
+                       with_provenance: bool) -> DataFrame:
+        cols = list(FILE_OUTPUT_COLUMNS)
+        if with_meta:
+            cols.append("metadata")
+        out = df.select(*cols)
+        if with_provenance:
+            pc = self.cat.parent_child
+            parents = (pc.groupBy(F.col("child_id").alias("id"))
+                       .agg(F.collect_list("parent_id").alias("parents")))
+            children = (pc.groupBy(F.col("parent_id").alias("id"))
+                        .agg(F.collect_list("child_id").alias("children")))
+            out = (out.join(parents, "id", "left")
+                   .join(children, "id", "left"))
+        return out
+
+    # ------------------------------------------------------ file set core
+    def file_set(self, text: str, include_retired: bool = False,
+                 default_namespace: Optional[str] = None) -> DataFrame:
+        """Full-schema (shredded) file set for internal composition."""
+        top = parse(text, default_namespace=default_namespace)
+        if not isinstance(top, FileQuery):
+            raise QueryError("file_set() requires a file query")
+        return self._translate_fq(top.tree, include_retired, ())

@@ -1,0 +1,194 @@
+"""End-to-end engine tests against the DuckDB oracle at sf0.001.
+
+Each test runs an MQL query through the Spark engine and the
+hand-translated SQL through DuckDB over the same parquet, comparing
+file-id sets (file sets are unordered — SURVEY §5)."""
+
+from metacat_spark.fixtures import oracle_query
+
+from conftest import duck_ids, ids_of
+
+FID = ("printf('f%09d%d%07d%05d', l_orderkey, l_linenumber, "
+       "l_partkey, l_suppkey)")
+ACTIVE = "l_orderkey % 20 <> 0"  # not retired
+
+# membership condition templates over lineitem (joined to orders)
+DUNE_DS = ("case substr(o_orderpriority,1,1) when '1' then 'urgent' "
+           "when '2' then 'high' when '3' then 'medium' "
+           "when '4' then 'notspec' else 'low' end || '_' || "
+           "cast(o_orderkey % 4 as varchar)")
+
+
+def in_dune(name):
+    return (f"l_orderkey in (select o_orderkey from orders where "
+            f"{DUNE_DS} = '{name}')")
+
+
+def test_bfq_single_dataset(engine, duck):
+    got = ids_of(engine.query("files from dune:urgent_0"))
+    want = duck_ids(duck, f"""
+        select {FID} from lineitem
+        where {ACTIVE} and {in_dune('urgent_0')}""")
+    assert got == want and len(got) > 0
+
+
+def test_bfq_where(engine, duck):
+    got = ids_of(engine.query(
+        "files from dune:urgent_0 where core.run > 250 and core.x <= 0.5"))
+    want = duck_ids(duck, f"""
+        select {FID} from lineitem
+        where {ACTIVE} and {in_dune('urgent_0')}
+          and l_orderkey % 500 > 250 and l_discount * 10 <= 0.5""")
+    assert got == want and len(got) > 0
+
+
+def test_bfq_multi_dataset_dedup(engine, duck):
+    # mc:flag_r overlaps test:all memberships → distinct-by-id semantics
+    got = ids_of(engine.query("files from mc:flag_r, test:all"))
+    # left-semi membership join never duplicates; the source's one
+    # fully-duplicated row stays duplicated on both sides (no distinct)
+    want = duck_ids(duck, f"""
+        select {FID} from lineitem where {ACTIVE}""")
+    assert got == want
+
+
+def test_union_minus_join(engine, duck):
+    got = ids_of(engine.query(
+        "union(files from mc:flag_r, files from mc:flag_a) "
+        "- files from dune:urgent_0"))
+    want = duck_ids(duck, f"""
+        select {FID} from lineitem
+        where {ACTIVE} and lower(l_returnflag) in ('r','a')
+          and not ({in_dune('urgent_0')})""")
+    assert got == want
+
+    got = ids_of(engine.query(
+        "join(files from mc:flag_r, files from test:all where core.good = true)"))
+    want = duck_ids(duck, f"""
+        select {FID} from lineitem
+        where {ACTIVE} and lower(l_returnflag) = 'r' and l_quantity > 25""")
+    assert got == want
+
+
+def test_join_where_equivalence(engine):
+    """join(A where p, A where q) ≡ A where p and q (docs/mql.rst:227-243)."""
+    a = ids_of(engine.query(
+        "join(files from test:all where core.good = true, "
+        "files from test:all where core.run > 100)"))
+    b = ids_of(engine.query(
+        "files from test:all where core.good = true and core.run > 100"))
+    assert a == b and len(a) > 0
+
+
+PC = (f"(select parent_id, child_id from ("
+      f"select min({FID}) over (partition by l_orderkey) as parent_id, "
+      f"{FID} as child_id from lineitem) t "
+      f"where parent_id <> child_id)")
+
+
+def test_parents_children(engine, duck):
+    got = ids_of(engine.query(
+        "parents(files from test:all where core.run in 10:50)"))
+    # parents() does not itself filter retired (sql_converter.py:165-192),
+    # but its argument set does
+    want = duck_ids(duck, f"""
+        select {FID} from lineitem
+        where {FID} in (
+          select pc.parent_id from {PC} pc
+          where pc.child_id in (
+            select {FID} from lineitem
+            where {ACTIVE} and l_orderkey % 500 between 10 and 50))""")
+    assert got == want and len(got) > 0
+
+    got2 = ids_of(engine.query(
+        "children(files from test:all where core.run in 10:50)"))
+    want2 = duck_ids(duck, f"""
+        select {FID} from lineitem
+        where {FID} in (
+          select pc.child_id from {PC} pc
+          where pc.parent_id in (
+            select {FID} from lineitem
+            where {ACTIVE} and l_orderkey % 500 between 10 and 50))""")
+    assert got2 == want2 and len(got2) > 0
+
+
+def test_no_children_idiom(engine):
+    """ds - parents(children(ds)) = files with no children in ds."""
+    got = ids_of(engine.query(
+        "files from dune:high_1 - parents(children(files from dune:high_1))"))
+    all_ids = ids_of(engine.query("files from dune:high_1"))
+    parents = ids_of(engine.query(
+        "parents(children(files from dune:high_1))"))
+    assert got == sorted(set(all_ids) - set(parents))
+
+
+def test_skip_limit_merge_law(engine):
+    """skip 100 limit 1000 skip 10 skip 5 limit 50 ≡ skip 115 limit 50
+    (docs/mql.rst:749-787); limit 50 skip 50 ≡ empty."""
+    q = "files from test:all"
+    a = [r["id"] for r in engine.query(
+        f"{q} skip 100 limit 1000 skip 10 skip 5 limit 50").collect()]
+    b = [r["id"] for r in engine.query(f"{q} skip 115 limit 50").collect()]
+    assert a == b and len(a) == 50
+    assert engine.query(f"{q} limit 50 skip 50").count() == 0
+
+
+def test_skip_forces_ordered(engine, duck):
+    got = [r["id"] for r in
+           engine.query("files from test:all skip 10 limit 5").collect()]
+    want = duck_ids(duck, f"""
+        select id from (
+          select {FID} as id from lineitem where {ACTIVE}
+          order by id limit 5 offset 10) t""")
+    assert got == sorted(want) and len(got) == 5
+
+
+def test_ordered_limit(engine, duck):
+    got = [r["id"] for r in
+           engine.query("files from test:all ordered limit 20").collect()]
+    want = sorted(duck_ids(duck, f"""
+        select id from (
+          select {FID} as id from lineitem where {ACTIVE}
+          order by id limit 20) t"""))
+    assert got == want
+
+
+def test_fids_and_did_list(engine, duck):
+    # fid of (first order, line 1); file lists do NOT filter retired
+    some = duck.execute(f"""
+        select {FID}, l_orderkey from lineitem
+        where l_orderkey % 20 = 0 and l_linenumber = 1 limit 2""").fetchall()
+    fids = [r[0] for r in some]
+    got = ids_of(engine.query(f"fids {fids[0]}, {fids[1]}"))
+    assert got == sorted(fids)
+
+
+def test_named_query(engine, duck):
+    got = ids_of(engine.query("files selected by dune:favorite_x"))
+    want = duck_ids(duck, f"""
+        select {FID} from lineitem
+        where {ACTIVE} and {in_dune('urgent_0')} and l_discount * 10 > 0.5""")
+    assert got == want
+
+
+def test_named_query_nested(engine, duck):
+    got = ids_of(engine.query("files selected by test:nested"))
+    want = duck_ids(duck, f"""
+        select {FID} from lineitem
+        where {ACTIVE} and {in_dune('urgent_0')}
+          and l_discount * 10 > 0.5 and l_quantity > 25""")
+    assert got == want
+
+
+def test_summary_count(engine, duck):
+    row = engine.query("files from test:all", summary="count").collect()[0]
+    want = duck.execute(f"""
+        select count(*), sum(cast(round(l_extendedprice * 1000) as bigint))
+        from lineitem where {ACTIVE}""").fetchone()
+    assert row["count"] == want[0] and row["total_size"] == want[1]
+
+
+def test_include_retired(engine, duck):
+    got = ids_of(engine.query("files from test:all", include_retired=True))
+    want = duck_ids(duck, f"select {FID} from lineitem")
+    assert got == want
