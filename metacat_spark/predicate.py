@@ -83,7 +83,9 @@ class PredicateCompiler:
         if coltype != "json":
             if coltype == "timestamp" and const.kind in ("datetime", "date",
                                                          "int", "float"):
-                return col.cast("double")  # epoch seconds
+                # NTZ timestamps can't cast straight to double; go via
+                # TIMESTAMP (identity under the UTC session timezone)
+                return col.cast("timestamp").cast("double")  # epoch seconds
             return col
         kind = const.kind
         if kind == "int" or kind == "float" or kind in ("datetime", "date"):
@@ -237,8 +239,8 @@ class PredicateCompiler:
                 # MQL subscripts are 0-based python-style
                 # (meta_evaluator.py:91-98); element_at is 1-based
                 idx = s.index + 1 if s.index >= 0 else s.index
-                return F.element_at(col, idx)
-            return F.element_at(col, F.lit(s.index))
+                return F.try_element_at(col, F.lit(idx))
+            return F.try_element_at(col, F.lit(s.index))
         if self.json_column is None:
             raise CompileError(f"unknown metadata key {s.key!r}")
         if isinstance(s.index, int):
