@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine / dot products via zip_with + aggregate: JVM-side, vectorizes
+  under whole-stage codegen — no Python in the loop.
+- brute_force_topk: the exactness baseline. Blocked cross join; cost
+  O(N·M·dim) flops distributed over partitions.
+- cosine_pairs: near-duplicate pairs above a threshold.
+- lsh_topk: random-hyperplane LSH bucketing as the scale path —
+  candidates only within matching sign-prefixes; deterministic planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(F.col(id_col).alias("id"), v.alias("vec")) \
+             .withColumn("nrm", norm(F.col("vec")))
+
+
+def brute_force_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """For every vector, its k nearest neighbours by cosine (excluding
+    itself). Deterministic tie-break on neighbour id."""
+    base = _prep(df, vec_col, id_col)
+    a = base.alias("a")
+    b = base.alias("b")
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
+                                                 * F.col("b.nrm"))
+    pairs = (a.join(b, F.col("a.id") != F.col("b.id"))
+             .select(F.col("a.id").alias("id"),
+                     F.col("b.id").alias("neighbor_id"),
+                     F.round(sim, 6).alias("cosine")))
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
+                                         F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", "neighbor_id", "cosine", "rank"))
+
+
+def cosine_pairs(df: DataFrame, threshold: float = 0.95,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Embedding near-duplicate pairs (a < b, cosine >= threshold)."""
+    base = _prep(df, vec_col, id_col)
+    a, b = base.alias("a"), base.alias("b")
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
+                                                 * F.col("b.nrm"))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.round(sim, 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes from an LCG (no numpy
+    RNG state — reproducible literals)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005
+                     + 1442695040888963407) % (2**63)
+            v.append(((state >> 11) / float(2**52)) - 1.0)  # ~U(-1,1)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
+                      planes_per_table: int = 3,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      dim: int = 64) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH
+    (OR-amplification): L independent tables of m sign bits; a pair is
+    a candidate iff it collides in ANY table. Recall for a pair at
+    angle θ is 1-(1-(1-θ/π)^m)^L — tuned so moderate-cosine neighbours
+    survive. At 100 TB this replaces the O(N²) cross join with L
+    per-bucket joins; each table is one explode + one shuffle on the
+    bucket key."""
+    base = _prep(df, vec_col, id_col)
+    planes = _hyperplanes(n_tables * planes_per_table, dim)
+    tables = []
+    for t in range(n_tables):
+        ps = planes[t * planes_per_table:(t + 1) * planes_per_table]
+        sig = F.concat_ws("", *[
+            F.when(dot(F.col("vec"),
+                       F.array(*[F.lit(x) for x in p])) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for p in ps])
+        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
+    bucketed = (base.select("id", "vec", "nrm",
+                            F.explode(F.array(*tables)).alias("b"))
+                .select("id", "vec", "nrm",
+                        F.col("b.t").alias("t"),
+                        F.col("b.sig").alias("sig")))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
+                                                 * F.col("b.nrm"))
+    pairs = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a.id") != F.col("b.id")))
+             .select(F.col("a.id").alias("id"),
+                     F.col("b.id").alias("neighbor_id"),
+                     F.round(sim, 6).alias("cosine"))
+             .dropDuplicates(["id", "neighbor_id"]))
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
+                                         F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", "neighbor_id", "cosine", "rank"))
+
+
+def centroid_by_label(df: DataFrame, vec_col: str = "embedding",
+                      label_col: str = "label", dim: int = 64) -> DataFrame:
+    """Per-label centroid — posexplode + groupBy(label, pos) keeps the
+    shuffle narrow (rows × dim, fixed fan-out), then reassembles."""
+    ex = (df.select(label_col,
+                    F.posexplode(F.col(vec_col)).alias("pos", "x")))
+    means = ex.groupBy(label_col, "pos").agg(F.avg("x").alias("m"))
+    return (means.groupBy(label_col)
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(label_col,
+                    F.transform("pm", lambda s: s["m"]).alias("centroid")))

@@ -1,0 +1,245 @@
+"""LLM-pipeline operator tests: text analysis, dedup family, similarity
+search, multimodal plumbing. Exact variants check against DuckDB; LSH
+variants check recall/precision against their exact counterparts."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="session")
+def docs(catalog):
+    return catalog.raw["documents"]
+
+
+@pytest.fixture(scope="session")
+def embs(catalog):
+    return catalog.raw["embeddings"]
+
+
+# ------------------------------------------------------------------- text
+
+def test_token_count_vs_duck(docs, duck):
+    from metacat_spark.llm import text as TX
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", TX.token_count(F.col("text")).alias("n"))
+           .collect()}
+    want = dict(duck.execute(
+        "select doc_id, len(string_split_regex(text, '\\s+')) "
+        "from documents").fetchall())
+    assert got == want
+
+
+def test_poly_hash_vs_duck(docs, duck):
+    from metacat_spark.llm import text as TX
+    got = {r["doc_id"]: r["h"] for r in
+           docs.select("doc_id", TX.poly_hash(F.col("text")).alias("h"))
+           .collect()}
+    want = dict(duck.execute("""
+        select doc_id, list_reduce(
+            list_prepend(0::bigint,
+                         list_transform(string_split(text, ''),
+                                        x -> unicode(x)::bigint)),
+            (acc, x) -> (acc * 31 + x) % 2147483647)
+        from documents""").fetchall())
+    assert got == want
+
+
+def test_quality_and_langid_run(docs):
+    from metacat_spark.llm import text as TX
+    out = TX.analyze(docs).collect()
+    assert len(out) == docs.count()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    assert all(r["n_tokens"] > 0 for r in out)
+    langs = {r["lang_pred"] for r in out}
+    assert langs  # deterministic heuristic runs; values in marker set
+    assert langs <= {"und", "en", "es", "fr", "de", "zh"}
+
+
+def test_word_occurrences_vs_duck(docs, duck):
+    from metacat_spark.llm import text as TX
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id",
+                       TX.word_occurrences(F.col("text"), "the").alias("n"))
+           .collect()}
+    want = dict(duck.execute(
+        "select doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x = 'the')) from documents").fetchall())
+    assert got == want
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup(docs, duck, spark):
+    from metacat_spark.llm import dedup as DD
+    # inject known duplicates so the operator has work to do
+    dupes = docs.limit(10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    with_dupes = docs.unionByName(dupes)
+    groups = DD.exact_duplicates(with_dupes).collect()
+    n_groups = len(groups)
+    assert n_groups == docs.count()  # every original text is one group
+    n_dup_groups = sum(1 for g in groups if g["n_copies"] > 1)
+    assert n_dup_groups == 10
+    survivors = DD.dedup_exact(with_dupes)
+    assert survivors.count() == docs.count()
+    # canonical = min id ⇒ originals survive, injected copies don't
+    assert survivors.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_ngram_jaccard_vs_duck(docs, duck):
+    from metacat_spark.llm import dedup as DD
+    got = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                 DD.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+                 .collect())
+    want = sorted(duck.execute("""
+        with sh as (
+          select doc_id as id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                  for i in range(1, greatest(len(toks) - 2, 1) + 1)]) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)
+        ),
+        ex as (select id, unnest(s) as shingle from sh),
+        sizes as (select id, len(s) as n from sh),
+        inter as (
+          select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from ex a join ex b on a.shingle = b.shingle and a.id < b.id
+          group by 1, 2)
+        select id_a, id_b,
+               round(n_inter / (sa.n + sb.n - n_inter), 6) as jaccard
+        from inter
+          join sizes sa on sa.id = id_a
+          join sizes sb on sb.id = id_b
+        where n_inter / (sa.n + sb.n - n_inter) >= 0.12
+    """).fetchall())
+    assert got == want and got
+
+
+def test_minhash_lsh_recall(docs):
+    """LSH candidates verified exactly ⇒ precision 1.0 by construction;
+    recall vs exact pairs must be high at this threshold/banding."""
+    from metacat_spark.llm import dedup as DD
+    exact = {(r["id_a"], r["id_b"]) for r in
+             DD.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           DD.minhash_lsh_pairs(docs, n=2, k=32, bands=16,
+                                threshold=0.5).collect()}
+    assert lsh <= exact  # exact verification ⇒ no false positives
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_minhash_jaccard_estimate(docs):
+    """Signature agreement rate ≈ true Jaccard (MinHash property)."""
+    from metacat_spark.llm import dedup as DD
+    sig = DD.minhash_signatures(docs.limit(50), n=2, k=64)
+    rows = sig.collect()
+    by_id = {r["id"]: r for r in rows}
+    ids = sorted(by_id)[:10]
+    for i in range(0, len(ids) - 1, 2):
+        a, b = by_id[ids[i]], by_id[ids[i + 1]]
+        sa, sb = set(a["sh"]), set(b["sh"])
+        true_j = len(sa & sb) / len(sa | sb)
+        est = sum(a[f"mh_{k}"] == b[f"mh_{k}"] for k in range(64)) / 64
+        assert abs(est - true_j) < 0.25
+
+
+def test_simhash_properties(docs, spark):
+    from metacat_spark.llm import dedup as DD
+    sh = DD.simhash(docs)
+    assert sh.count() == docs.count()
+    # identical docs → identical simhash; near-identical → small distance
+    d1 = docs.limit(5).select("doc_id", "text")
+    d2 = d1.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    both = DD.simhash(d1.unionByName(d2)).collect()
+    by_id = {r["id"]: r["simhash"] for r in both}
+    for i in by_id:
+        if i >= 500:
+            assert by_id[i] == by_id[i - 500]
+    pairs = DD.simhash_pairs(d1.unionByName(d2),
+                             max_hamming=0).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} >= {
+        (i, i + 500) for i in by_id if i < 500}
+
+
+# -------------------------------------------------------------- similarity
+
+def test_cosine_vs_duck(embs, duck):
+    # the synthetic embeddings are near-random: max pairwise cosine
+    # ≈ 0.48, so "near-duplicate" thresholds sit around 0.35 here
+    from metacat_spark.llm import similarity as SIM
+    got = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in
+                 SIM.cosine_pairs(embs, threshold=0.35).collect())
+    want = sorted(duck.execute("""
+        select a.vec_id, b.vec_id,
+               round(list_cosine_similarity(
+                 a.embedding::double[], b.embedding::double[]), 6)
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where list_cosine_similarity(
+                 a.embedding::double[], b.embedding::double[]) >= 0.35
+    """).fetchall())
+    assert len(got) == len(want)
+    for (ga, gb, gc), (wa, wb, wc) in zip(got, want):
+        assert (ga, gb) == (wa, wb) and abs(gc - wc) < 1e-5
+    assert got
+
+
+def test_brute_force_topk(embs):
+    from metacat_spark.llm import similarity as SIM
+    k = 3
+    out = SIM.brute_force_topk(embs.limit(50), k=k).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["id"], []).append(r)
+    assert all(len(v) == k for v in per.values())
+    for v in per.values():
+        sims = [r["cosine"] for r in sorted(v, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall(embs):
+    from metacat_spark.llm import similarity as SIM
+    sub = embs.limit(200)
+    exact = {(r["id"], r["neighbor_id"]) for r in
+             SIM.brute_force_topk(sub, k=1).collect()}
+    approx = {(r["id"], r["neighbor_id"]) for r in
+              SIM.lsh_bucketed_topk(sub, k=1, n_tables=12,
+                                    planes_per_table=2).collect()}
+    hits = len(exact & approx)
+    assert hits / len(exact) >= 0.5, \
+        f"LSH nn recall degenerate: {hits / len(exact)}"
+
+
+def test_centroids(embs, duck):
+    from metacat_spark.llm import similarity as SIM
+    got = {r["label"]: r["centroid"] for r in
+           SIM.centroid_by_label(embs).collect()}
+    one = duck.execute("""
+        select avg(embedding[1]::double) from embeddings where label = 0
+    """).fetchone()[0]
+    assert abs(got[0][0] - one) < 1e-9
+    assert all(len(c) == 64 for c in got.values())
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(docs):
+    from metacat_spark.llm import multimodal as MM
+    assets = MM.synthesize_assets(docs)
+    feats = MM.extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(not r["decode_ok"] or len(r["feature"]) == 8 for r in rows)
+    # stub histogram features are normalized
+    for r in rows[:20]:
+        if r["decode_ok"]:
+            assert abs(sum(r["feature"]) - 1.0) < 1e-9
+    frames = MM.frame_sample_plan(assets, every_ms=500)
+    f = frames.limit(10).collect()
+    assert all(r["t_ms"] == r["frame_idx"] * 500 for r in f)
