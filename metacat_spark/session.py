@@ -21,6 +21,9 @@ def get_spark(app: str = "metacat_spark", cpus: int | None = None,
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # the events testdata carries TIMESTAMP(NANOS) which the
+         # vectorized reader rejects; read as long nanos and convert
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
          .config("spark.ui.enabled", "false"))

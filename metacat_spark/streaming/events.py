@@ -1,0 +1,95 @@
+"""Event-stream operators: windowed aggregation, sessionization, and
+their Structured Streaming twins.
+
+The reference has NO streaming surface (SURVEY.md §2.9) — this is
+additive capability. Batch and streaming variants share the same
+transformation functions so correctness of the streaming path is
+checked by equivalence with the (oracle-verified) batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# raw schema with ts as long nanos (spark.sql.legacy.parquet.nanosAsLong)
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a proper timestamp column (ns long → µs timestamp)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # readStream needs a directory source; glob-filter to the one table
+    df = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir))
+    return df.withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event type. In streaming mode the
+    1-hour watermark bounds state for late data."""
+    if events.isStreaming:
+        events = events.withWatermark("ts_ts", "1 hour")
+    return (events
+            .groupBy(F.window("ts_ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "total_value"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization (batch): a new session starts
+    when a user's inter-event gap exceeds the threshold. One shuffle on
+    user_id; the per-user window sort is bounded by user activity."""
+    w = Window.partitionBy("user_id").orderBy("ts_ts")
+    gap = F.col("ts_ts").cast("double") \
+        - F.lag(F.col("ts_ts").cast("double")).over(w)
+    with_break = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1)
+                   .otherwise(0))
+    with_sess = with_break.withColumn(
+        "session_seq", F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_sess.groupBy("user_id", "session_seq")
+            .agg(F.min("ts_ts").alias("session_start"),
+                 F.max("ts_ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value")))
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    s = sessionize(events, gap_minutes)
+    return s.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_events_per_session"))
+
+
+def streaming_windowed_counts_to_memory(spark: SparkSession, sf_dir: str,
+                                        table: str = "ev_window") -> DataFrame:
+    """Run the windowed aggregation as a Structured Streaming job with
+    an availableNow trigger into a memory sink; returns the result
+    table. Proves the plan is streaming-executable (stateful agg +
+    watermark)."""
+    stream = load_events_stream(spark, sf_dir)
+    agg = windowed_counts(stream)
+    q = (agg.writeStream.format("memory").queryName(table)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(table)

@@ -1,0 +1,67 @@
+"""Events: windowed aggregation (vs DuckDB), sessionization (vs DuckDB
+gaps-and-islands SQL), and the Structured Streaming twin (equivalence
+with the batch plan)."""
+
+import pytest
+
+from conftest import SF_DIR
+
+from metacat_spark.streaming import events as EV
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    return EV.load_events(spark, SF_DIR)
+
+
+def test_windowed_counts_vs_duck(events, duck):
+    got = sorted((str(r["window_start"]), r["event_type"], r["n_events"],
+                  r["total_value"])
+                 for r in EV.windowed_counts(events).collect())
+    want = sorted((str(w), t, n, v) for w, t, n, v in duck.execute("""
+        select date_trunc('hour', ts) as w, event_type,
+               count(*) as n, round(sum(value), 6) as v
+        from events group by 1, 2""").fetchall())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3] and abs(g[3] - w[3]) < 1e-4
+    assert got
+
+
+def test_sessionize_vs_duck(events, duck):
+    got = sorted((r["user_id"], str(r["session_start"]), r["n_events"])
+                 for r in EV.sessionize(events, 30).collect())
+    # mirror Spark's µs precision (ns → µs truncation) exactly
+    want = sorted((u, str(s), n) for u, s, n in duck.execute("""
+        with ev as (
+          select user_id,
+                 make_timestamp(epoch_ns(ts) // 1000) as ts, value
+          from events),
+        marked as (
+          select user_id, ts, value,
+                 case when epoch_us(ts) - epoch_us(lag(ts) over
+                        (partition by user_id order by ts)) > 1800000000
+                      or lag(ts) over (partition by user_id order by ts)
+                         is null
+                      then 1 else 0 end as is_new
+          from ev),
+        sess as (
+          select user_id, ts, value,
+                 sum(is_new) over (partition by user_id order by ts
+                   rows between unbounded preceding and current row)
+                   as session_seq
+          from marked)  -- noqa
+        select user_id, min(ts) as session_start, count(*) as n
+        from sess group by user_id, session_seq""").fetchall())
+    assert got == want and got
+
+
+def test_streaming_equals_batch(spark, events):
+    batch = {(str(r["window_start"]), r["event_type"]):
+             (r["n_events"], r["total_value"])
+             for r in EV.windowed_counts(events).collect()}
+    stream_out = EV.streaming_windowed_counts_to_memory(spark, SF_DIR)
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], r["total_value"])
+           for r in stream_out.collect()}
+    assert got == batch and got
