@@ -1,38 +1,724 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (plus the beyond-reference LLM-pipeline operators);
+``oracle_sql()`` carries the equivalent DuckDB SQL over the same
+parquet tables, built from the SAME fixture mapping
+(metacat_spark.fixtures renders one SQL template per table for both
+engines, so the two sides cannot drift).
+
+Entries without an oracle (engine-specific hashing: minhash/simhash/
+xxhash sampling/ANN-LSH, and the order-stateful ``mix`` filter) get
+the driver's weaker rows-only check; their semantics are verified in
+tests/ against exact recomputation instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from metacat_spark import fixtures as FX  # noqa: E402
+from metacat_spark.catalog import from_tpch  # noqa: E402
+from metacat_spark.engine import Engine  # noqa: E402
+
+_CACHE: dict[str, Engine] = {}
+
+FQ_COLS = ["id", "namespace", "name", "size"]
+FQ_SEL = "id, namespace, name, size"
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    eng = _CACHE.get(sf_dir)
+    if eng is None or eng.spark is not spark:
+        eng = Engine(from_tpch(spark, sf_dir))
+        _CACHE[sf_dir] = eng
+    return eng
+
+
+def _fq(mql: str, **opts):
+    """File query entry: canonical 4-column projection."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).query(mql, **opts).select(*FQ_COLS)
+    return run
+
+
+def _member(ns: str, name: str) -> str:
+    return (f"id in (select file_id from files_datasets "
+            f"where dataset_namespace = '{ns}' "
+            f"and dataset_name = '{name}')")
+
+
+def _o(body: str) -> str:
+    return FX.oracle_query(body)
+
+
+def _ds_values() -> str:
+    return FX.values_sql(FX.DATASET_ROWS, FX.DATASET_COLUMNS)
+
+
+def _edge_values() -> str:
+    return FX.values_sql(FX.DS_EDGE_ROWS, FX.DS_EDGE_COLUMNS)
+
+
+ADLER32 = ("(((length({c}) + list_sum(list_transform(string_split({c},''), "
+           "(x,i) -> (length({c}) - i + 1) * unicode(x)))) % 65521) * 65536 "
+           "+ (1 + list_sum(list_transform(string_split({c},''), "
+           "x -> unicode(x)))) % 65521)")
+
+
+# ---------------------------------------------------------------- entries
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: set algebra over
+    dataset selections with a metadata predicate, provenance hop, and
+    pagination — one pass through every engine layer."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return eng.query(
+        "union(files from dune:urgent_0, "
+        "       parents(files from mc:flag_r where core.run < 100)) "
+        "where core.good = true and core.x > 0.1 "
+        "skip 10 limit 200"
+    ).select(*FQ_COLS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- §2.1 sources/scans
+    q["bfq_all"] = _fq("files from test:all")
+    q["bfq_no_dataset"] = _fq("files where core.run = 7")
+    q["bfq_multi_dataset"] = _fq("files from dune:urgent_0, dune:urgent_1")
+    q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
+    q["bfq_dataset_regexp"] = _fq(
+        'files from matching regexp dune:"^high_[01]$"')
+    q["bfq_include_retired"] = _fq("files from test:all",
+                                   include_retired=True)
+
+    def file_lists(kind):
+        def run(spark, sf_dir):
+            eng = _engine(spark, sf_dir)
+            smallest = [r["id"] for r in
+                        eng.query("files from test:all ordered limit 3",
+                                  include_retired=True).collect()]
+            if kind == "fid":
+                mql = "fids " + ", ".join(smallest)
+            else:
+                rows = (eng.cat.files
+                        .where(F.col("id").isin(smallest))
+                        .select("namespace", "name").collect())
+                mql = "files " + ", ".join(f"{r['namespace']}:{r['name']}"
+                                           for r in rows)
+            return eng.query(mql).select(*FQ_COLS)
+        return run
+
+    q["file_list_fids"] = file_lists("fid")
+    q["file_list_dids"] = file_lists("did")
+    q["named_query"] = _fq("files selected by dune:favorite_x")
+    q["named_query_nested"] = _fq("files selected by test:nested")
+
+    # --- §2.3 predicates
+    q["where_cmp"] = _fq(
+        "files from dune:urgent_0 where core.run > 250 and core.x <= 0.5")
+    q["where_bool_version"] = _fq(
+        'files from test:all where core.good = true and core.version = "2.1"')
+    q["where_regex"] = _fq(
+        'files from test:all where prod.comment ~* "felix" '
+        'and prod.comment !~ "test"')
+    q["where_present"] = _fq(
+        "files from test:all where beam.status present "
+        "and detector.modules not present")
+    q["where_in_range_set"] = _fq(
+        "files from test:all where core.run in 100:200 "
+        "and core.data_type in (mc, data)")
+    q["where_array_any_all"] = _fq(
+        "files from test:all where core.runs[any] > 490 "
+        "or data.sequence[all] < 9")
+    q["where_array_len_subscript"] = _fq(
+        "files from test:all where len(data.sequence) > 5 "
+        'and data.trigger_bits["muon"] = 1 and data.sequence[2] = 2')
+    q["where_const_in"] = _fq(
+        "files from test:all where 42 in core.runs "
+        'or "a1" in detector.modules')
+    q["where_not"] = _fq(
+        "files from test:all where !(core.good = true and core.run < 250) "
+        'and !(beam.status = "on")')
+    q["where_datetime"] = _fq(
+        'files from test:all where core.timestamp > datetime("1996-06-01") '
+        "and core.timestamp in datetime(1992-01-01):datetime(1997-12-31)")
+    q["where_date_window"] = _fq(
+        "files from test:all where core.timestamp = date(1995-06-15) "
+        "or core.timestamp in date(1996-03-01):date(1996-03-10)")
+    q["where_attributes"] = _fq(
+        "files from test:all where namespace = dune and size > 50000000 "
+        "and creator = alice")
+
+    # --- §2.4 set algebra
+    q["set_union"] = _fq(
+        "union(files from dune:urgent_0, files from dune:urgent_1, "
+        "files from dune:high_0)")
+    q["set_join"] = _fq(
+        "join(files from mc:flag_r, files from test:all "
+        "where core.good = true)")
+    q["set_minus"] = _fq(
+        "files from mc:flag_r - files from dune:urgent_0")
+    q["set_mixed_where"] = _fq(
+        "union(files from dune:low_0, files from dune:low_1) "
+        "where core.run in 0:250 - files from dune:low_2")
+
+    # --- §2.5 provenance
+    q["parents_of"] = _fq(
+        "parents(files from test:all where core.run in 10:50)")
+    q["children_of"] = _fq(
+        "children(files from test:all where core.run in 10:50)")
+    q["no_children_idiom"] = _fq(
+        "files from dune:high_1 - parents(children(files from dune:high_1))")
+    q["files_with_subsets_rec"] = _fq(
+        "files from mc:flag_n with subsets recursively")
+
+    # --- §2.6 ordering/pagination
+    q["ordered_limit"] = _fq("files from test:all ordered limit 100")
+    q["skip_limit"] = _fq("files from dune:high_2 skip 100 limit 50")
+    q["skip_limit_merge_law"] = _fq(
+        "files from test:all skip 100 limit 1000 skip 10 skip 5 limit 50")
+    q["limit_skip_empty_law"] = _fq("files from test:all limit 50 skip 50")
+
+    # --- §2.7 summaries / aggregations
+    def summary_count(spark, sf_dir):
+        return _engine(spark, sf_dir).query("files from test:all",
+                                            summary="count")
+    q["summary_count"] = summary_count
+
+    def summary_keys(spark, sf_dir):
+        return _engine(spark, sf_dir).query("files from dune:urgent_0",
+                                            summary="keys")
+    q["summary_keys"] = summary_keys
+
+    def counts_by_namespace(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        return (eng.cat.files.where(~F.col("retired"))
+                .groupBy("namespace")
+                .agg(F.count("*").alias("n_files"),
+                     F.sum("size").alias("total_size")))
+    q["file_counts_by_namespace"] = counts_by_namespace
+
+    def meta_histogram(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        return (eng.file_set("files from test:all")
+                .groupBy(F.col("m_core_data_type").alias("value"))
+                .agg(F.count("*").alias("n")))
+    q["meta_value_histogram"] = meta_histogram
+
+    # --- dataset queries / query queries
+    def _dsq(mql):
+        def run(spark, sf_dir):
+            return (_engine(spark, sf_dir).query(mql)
+                    .select("namespace", "name", "frozen", "monotonic"))
+        return run
+
+    q["datasets_pattern"] = _dsq("datasets matching dune:urgent_*")
+    q["datasets_regexp"] = _dsq(
+        'datasets matching regexp dune:"^(urgent|low)_[01]$"')
+    q["datasets_having"] = _dsq(
+        'datasets matching dune:* having data.type = "mc" ')
+    q["datasets_subsets_recursive"] = _dsq(
+        "datasets test:all with subsets recursively")
+
+    def query_query(spark, sf_dir):
+        return (_engine(spark, sf_dir)
+                .query("queries matching dune:* where file.quality > 2")
+                .select("namespace", "name", "source"))
+    q["query_search"] = query_query
+
+    # --- §2.8 filters
+    q["filter_sample"] = _fq(
+        "filter sample(0.25)(files from dune:urgent_0)")
+    q["filter_stride"] = _fq(
+        "filter every_nth(5, 2)(files from dune:urgent_1)")
+    q["filter_hash_adler32"] = _fq(
+        "filter hash(4, 1)(files from dune:high_0)")
+    q["filter_limit"] = _fq(
+        "filter limit(20)(files from test:all ordered)")
+    q["filter_randomize_setwise"] = _fq(
+        "filter randomize(7)(files from dune:high_1)")
+    q["filter_mix"] = _fq(
+        "filter mix(2, 1)(files from dune:urgent_0, files from dune:low_0)")
+    q["filter_sample_hash"] = _fq(
+        "filter sample_hash(0.2)(files from test:all)")
+
+    # --- beyond-reference: text analysis
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def doc_text_analysis(spark, sf_dir):
+        from metacat_spark.llm import text as TX
+        c = F.col("text")
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            TX.token_count(c).cast("long").alias("n_tokens"),
+            TX.poly_hash(c).alias("fingerprint"),
+            TX.word_occurrences(c, "the").cast("long").alias("n_the"))
+    q["doc_text_analysis"] = doc_text_analysis
+
+    def doc_quality(spark, sf_dir):
+        from metacat_spark.llm import text as TX
+        return _docs(spark, sf_dir).select(
+            "doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    q["doc_quality_score"] = doc_quality
+
+    def doc_langid(spark, sf_dir):
+        from metacat_spark.llm import text as TX
+        return _docs(spark, sf_dir).select(
+            "doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+    q["doc_lang_id"] = doc_langid
+
+    # --- beyond-reference: dedup
+    def dedup_exact(spark, sf_dir):
+        from metacat_spark.llm import dedup as DD
+        return (DD.dedup_exact(_docs(spark, sf_dir))
+                .select("doc_id", "lang", "source"))
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_ngram(spark, sf_dir):
+        from metacat_spark.llm import dedup as DD
+        return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                                      threshold=0.12)
+    q["dedup_ngram_jaccard"] = dedup_ngram
+
+    def dedup_minhash(spark, sf_dir):
+        from metacat_spark.llm import dedup as DD
+        return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=32,
+                                    bands=16, threshold=0.5)
+    q["dedup_minhash_lsh"] = dedup_minhash  # rows-only (engine hashing)
+
+    def dedup_simhash(spark, sf_dir):
+        from metacat_spark.llm import dedup as DD
+        return DD.simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
+    q["dedup_simhash"] = dedup_simhash  # rows-only (engine hashing)
+
+    # --- beyond-reference: similarity search
+    def _embs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def embed_pairs(spark, sf_dir):
+        from metacat_spark.llm import similarity as SIM
+        return SIM.cosine_pairs(_embs(spark, sf_dir), threshold=0.35)
+    q["embed_cosine_pairs"] = embed_pairs
+
+    def embed_topk(spark, sf_dir):
+        from metacat_spark.llm import similarity as SIM
+        return SIM.brute_force_topk(_embs(spark, sf_dir), k=3)
+    q["embed_topk_bruteforce"] = embed_topk
+
+    def embed_ann(spark, sf_dir):
+        from metacat_spark.llm import similarity as SIM
+        return SIM.lsh_bucketed_topk(_embs(spark, sf_dir), k=3,
+                                     n_tables=12, planes_per_table=2)
+    q["embed_topk_ann_lsh"] = embed_ann  # rows-only (LSH bucketing)
+
+    def embed_centroids(spark, sf_dir):
+        from metacat_spark.llm import similarity as SIM
+        return (SIM.centroid_by_label(_embs(spark, sf_dir))
+                .select("label",
+                        F.round(F.element_at("centroid", 1), 6)
+                        .alias("dim0")))
+    q["embed_centroid_by_label"] = embed_centroids
+
+    # --- beyond-reference: events
+    def events_windowed(spark, sf_dir):
+        from metacat_spark.streaming import events as EV
+        out = EV.windowed_counts(EV.load_events(spark, sf_dir))
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events", "total_value")
+    q["events_windowed_agg"] = events_windowed
+
+    def events_sessions(spark, sf_dir):
+        from metacat_spark.streaming import events as EV
+        out = EV.sessionize(EV.load_events(spark, sf_dir), 30)
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.col("n_events").cast("long").alias("n_events"))
+    q["events_sessionize"] = events_sessions
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    active = "not retired"
+    o: dict[str, str] = {}
+
+    o["bfq_all"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')}")
+    o["bfq_no_dataset"] = _o(
+        f"select {FQ_SEL} from files where {active} and m_core_run = 7")
+    o["bfq_multi_dataset"] = _o(
+        f"select {FQ_SEL} from files where {active} and "
+        f"({_member('dune', 'urgent_0')} or {_member('dune', 'urgent_1')})")
+    o["bfq_dataset_pattern"] = _o(
+        f"select {FQ_SEL} from files where {active} and id in "
+        f"(select file_id from files_datasets where "
+        f"dataset_namespace = 'dune' and dataset_name like 'urgent_%')")
+    o["bfq_dataset_regexp"] = _o(
+        f"select {FQ_SEL} from files where {active} and id in "
+        f"(select file_id from files_datasets where "
+        f"dataset_namespace = 'dune' "
+        f"and regexp_matches(dataset_name, '^high_[01]$'))")
+    o["bfq_include_retired"] = _o(
+        f"select {FQ_SEL} from files where {_member('test', 'all')}")
+
+    o["file_list_fids"] = _o(
+        f"select {FQ_SEL} from files where id in "
+        f"(select id from files order by id limit 3)")
+    o["file_list_dids"] = o["file_list_fids"]
+
+    o["named_query"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('dune', 'urgent_0')} and m_core_x > 0.5")
+    o["named_query_nested"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('dune', 'urgent_0')} and m_core_x > 0.5 "
+        f"and m_core_good")
+
+    o["where_cmp"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('dune', 'urgent_0')} "
+        f"and m_core_run > 250 and m_core_x <= 0.5")
+    o["where_bool_version"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and m_core_good and m_core_version = '2.1'")
+    o["where_regex"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and regexp_matches(m_prod_comment, '(?i)felix') "
+        f"and not regexp_matches(m_prod_comment, 'test')")
+    o["where_present"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and m_beam_status is not null and m_detector_modules is null")
+    o["where_in_range_set"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and m_core_run between 100 and 200 "
+        f"and m_core_data_type in ('mc', 'data')")
+    o["where_array_any_all"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} and ("
+        f"len(list_filter(m_core_runs, x -> x > 490)) > 0 "
+        f"or (m_data_sequence is not null and "
+        f"len(list_filter(m_data_sequence, x -> x >= 9)) = 0))")
+    o["where_array_len_subscript"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and len(m_data_sequence) > 5 "
+        f"and map_extract(m_data_trigger_bits, 'muon')[1] = 1 "
+        f"and m_data_sequence[3] = 2")
+    o["where_const_in"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} and ("
+        f"list_contains(m_core_runs, 42) "
+        f"or list_contains(m_detector_modules, 'a1'))")
+    o["where_not"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and not (m_core_good and m_core_run < 250) "
+        f"and not (m_beam_status = 'on')")
+    o["where_datetime"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and m_core_timestamp > epoch(timestamp '1996-06-01') "
+        f"and m_core_timestamp between epoch(timestamp '1992-01-01') "
+        f"and epoch(timestamp '1997-12-31')")
+    o["where_date_window"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} and ("
+        f"(m_core_timestamp >= epoch(timestamp '1995-06-15') "
+        f" and m_core_timestamp < epoch(timestamp '1995-06-16')) "
+        f"or (m_core_timestamp >= epoch(timestamp '1996-03-01') "
+        f"    and m_core_timestamp < epoch(timestamp '1996-03-11')))")
+    o["where_attributes"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and namespace = 'dune' and size > 50000000 "
+        f"and creator = 'alice'")
+
+    # set algebra: union dedups by id (min-id row kept ≡ any row — rows
+    # of the same id are identical); semi/anti keep left rows
+    o["set_union"] = _o(
+        f"select {FQ_SEL} from files where {active} and ("
+        f"{_member('dune', 'urgent_0')} or {_member('dune', 'urgent_1')} "
+        f"or {_member('dune', 'high_0')}) "
+        f"qualify row_number() over (partition by id order by id) = 1")
+    o["set_join"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('mc', 'flag_r')} and m_core_good")
+    o["set_minus"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('mc', 'flag_r')} "
+        f"and not {_member('dune', 'urgent_0')}")
+    o["set_mixed_where"] = _o(
+        f"select {FQ_SEL} from files where {active} and ("
+        f"{_member('dune', 'low_0')} or {_member('dune', 'low_1')}) "
+        f"and m_core_run between 0 and 250 "
+        f"and not {_member('dune', 'low_2')} "
+        f"qualify row_number() over (partition by id order by id) = 1")
+
+    _sub = (f"select id from files where {active} "
+            f"and {_member('test', 'all')} "
+            f"and m_core_run between 10 and 50")
+    o["parents_of"] = _o(
+        f"select {FQ_SEL} from files where id in "
+        f"(select parent_id from parent_child where child_id in ({_sub}))")
+    o["children_of"] = _o(
+        f"select {FQ_SEL} from files where id in "
+        f"(select child_id from parent_child where parent_id in ({_sub}))")
+    _h1 = f"select id from files where {active} and {_member('dune', 'high_1')}"
+    o["no_children_idiom"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('dune', 'high_1')} and id not in ("
+        f"  select parent_id from parent_child where child_id in ("
+        f"    select child_id from parent_child "
+        f"    where parent_id in ({_h1})))")
+    o["files_with_subsets_rec"] = (
+        f"with recursive closure(namespace, name) as ("
+        f"  select 'mc', 'flag_n' union "
+        f"  select e.child_namespace, e.child_name "
+        f"  from ({_edge_values()}) e join closure c "
+        f"    on e.parent_namespace = c.namespace "
+        f"   and e.parent_name = c.name), "
+        + FX.oracle_prelude()[len("WITH "):] +
+        f"select {FQ_SEL} from files where {active} and id in ("
+        f"  select file_id from files_datasets fd join closure c "
+        f"  on fd.dataset_namespace = c.namespace "
+        f"  and fd.dataset_name = c.name)")
+
+    _all = (f"select {FQ_SEL} from files where {active} "
+            f"and {_member('test', 'all')}")
+    o["ordered_limit"] = _o(f"{_all} order by id limit 100")
+    o["skip_limit"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('dune', 'high_2')} order by id limit 50 offset 100")
+    o["skip_limit_merge_law"] = _o(
+        f"{_all} order by id limit 50 offset 115")
+    o["limit_skip_empty_law"] = _o(f"{_all} limit 0")
+
+    o["summary_count"] = _o(
+        f"select count(*) as count, sum(size) as total_size "
+        f"from files where {active} and {_member('test', 'all')}")
+
+    _key_list = (
+        "[case when m_core_run is not null then 'core.run' end,"
+        " case when m_core_x is not null then 'core.x' end,"
+        " case when m_core_data_type is not null then 'core.data_type' end,"
+        " case when m_core_version is not null then 'core.version' end,"
+        " case when m_core_timestamp is not null then 'core.timestamp' end,"
+        " case when m_core_good is not null then 'core.good' end,"
+        " case when m_core_runs is not null then 'core.runs' end,"
+        " case when m_detector_modules is not null then 'detector.modules' end,"
+        " case when m_data_trigger_bits is not null then 'data.trigger_bits' end,"
+        " case when m_data_sequence is not null then 'data.sequence' end,"
+        " case when m_beam_status is not null then 'beam.status' end,"
+        " case when m_prod_comment is not null then 'prod.comment' end]")
+    o["summary_keys"] = _o(
+        f"select distinct key from (select unnest(list_filter({_key_list}, "
+        f"x -> x is not null)) as key from files "
+        f"where {active} and {_member('dune', 'urgent_0')}) t")
+
+    o["file_counts_by_namespace"] = _o(
+        f"select namespace, count(*) as n_files, sum(size) as total_size "
+        f"from files where {active} group by namespace")
+    o["meta_value_histogram"] = _o(
+        f"select m_core_data_type as value, count(*) as n from files "
+        f"where {active} and {_member('test', 'all')} group by 1")
+
+    DS_COLS = "namespace, name, frozen, monotonic"
+    o["datasets_pattern"] = _o(
+        f"select {DS_COLS} from datasets where namespace = 'dune' "
+        f"and name like 'urgent_%'")
+    o["datasets_regexp"] = _o(
+        f"select {DS_COLS} from datasets where namespace = 'dune' "
+        f"and regexp_matches(name, '^(urgent|low)_[01]$')")
+    o["datasets_having"] = _o(
+        f"select {DS_COLS} from datasets where namespace = 'dune' "
+        f"and m_data_type = 'mc'")
+    o["datasets_subsets_recursive"] = (
+        f"with recursive closure(namespace, name) as ("
+        f"  select 'test', 'all' union "
+        f"  select e.child_namespace, e.child_name "
+        f"  from ({_edge_values()}) e join closure c "
+        f"    on e.parent_namespace = c.namespace "
+        f"   and e.parent_name = c.name) "
+        f"select d.namespace, d.name, d.frozen, d.monotonic "
+        f"from ({_ds_values()}) d join closure c "
+        f"on d.namespace = c.namespace and d.name = c.name")
+    o["query_search"] = _o(
+        "select namespace, name, source from queries_tbl "
+        "where namespace = 'dune' and m_file_quality > 2")
+
+    _u0 = (f"select {FQ_SEL} from files where {active} "
+           f"and {_member('dune', 'urgent_0')}")
+    o["filter_sample"] = _o(
+        f"select {FQ_SEL} from ("
+        f"  select *, row_number() over (order by id) - 1 as rn "
+        f"  from ({_u0}) b) t "
+        f"where floor((rn + 1) * 0.25) > floor(rn * 0.25)")
+    _u1 = (f"select {FQ_SEL} from files where {active} "
+           f"and {_member('dune', 'urgent_1')}")
+    o["filter_stride"] = _o(
+        f"select {FQ_SEL} from ("
+        f"  select *, row_number() over (order by id) - 1 as rn "
+        f"  from ({_u1}) b) t where rn % 5 = 2")
+    o["filter_hash_adler32"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('dune', 'high_0')} "
+        f"and {ADLER32.format(c='id')} % 4 = 1")
+    o["filter_limit"] = _o(f"{_all} order by id limit 20")
+    o["filter_randomize_setwise"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('dune', 'high_1')}")
+
+    # --- LLM-pipeline oracles (documents/embeddings/events views)
+    o["doc_text_analysis"] = """
+        select doc_id,
+               len(string_split_regex(text, '\\s+')) as n_tokens,
+               list_reduce(list_prepend(0::bigint,
+                 list_transform(string_split(text, ''),
+                                x -> unicode(x)::bigint)),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) as fingerprint,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                   x -> x = 'the')) as n_the
+        from documents"""
+
+    o["doc_quality_score"] = """
+        with t as (
+          select doc_id, length(text) as n_chars,
+                 len(string_split_regex(text, '\\s+')) as n_words,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                     x -> x = 'the')) as n_the,
+                 length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                   as alnum
+          from documents)
+        select doc_id, round(
+            (case when (n_chars - (n_words - 1)) / n_words between 3.0
+                  and 10.0 then 1.0 else 0.5 end) * 0.5
+            + least(n_the / n_words * 5.0, 1.0) * 0.3
+            + (1.0 - least((n_chars - alnum) / n_chars * 4.0, 1.0)) * 0.2,
+            6) as quality
+        from t"""
+
+    _occ = ("len(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x = '{w}'))")
+    _lang_cases = []
+    from metacat_spark.llm.text import LANG_MARKERS
+    for lang in sorted(LANG_MARKERS):
+        score = " + ".join(_occ.format(w=w) for w in LANG_MARKERS[lang])
+        _lang_cases.append((lang, f"({score})"))
+    _best = "case "
+    prev = "0"
+    expr = "'und'"
+    # replicate the strict-greater fold in fixed language order
+    for lang, score in _lang_cases:
+        expr = (f"case when {score} > greatest({prev}) then '{lang}' "
+                f"else {expr} end")
+        prev = f"{prev}, {score}"
+    o["doc_lang_id"] = (
+        f"select doc_id, {expr} as lang_pred from documents")
+
+    o["dedup_exact"] = """
+        select doc_id, lang, source from documents
+        where doc_id in (
+          select min(doc_id) from documents group by md5(text))"""
+
+    o["dedup_ngram_jaccard"] = """
+        with sh as (
+          select doc_id as id,
+                 list_distinct(case when len(toks) >= 3 then
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex as (select id, unnest(s) as shingle from sh),
+        sizes as (select id, len(s) as n from sh),
+        inter as (
+          select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from ex a join ex b on a.shingle = b.shingle and a.id < b.id
+          group by 1, 2)
+        select id_a, id_b,
+               round(n_inter / (sa.n + sb.n - n_inter), 6) as jaccard
+        from inter
+          join sizes sa on sa.id = id_a
+          join sizes sb on sb.id = id_b
+        where n_inter / (sa.n + sb.n - n_inter) >= 0.12"""
+
+    o["embed_cosine_pairs"] = """
+        select a.vec_id as id_a, b.vec_id as id_b,
+               round(list_cosine_similarity(a.embedding::double[],
+                                            b.embedding::double[]), 6)
+                 as cosine
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where round(list_cosine_similarity(a.embedding::double[],
+                                           b.embedding::double[]), 6)
+              >= 0.35"""
+
+    o["embed_topk_bruteforce"] = """
+        select id, neighbor_id, cosine,
+               row_number() over (partition by id
+                 order by cosine desc, neighbor_id) as rank
+        from (
+          select a.vec_id as id, b.vec_id as neighbor_id,
+                 round(list_cosine_similarity(a.embedding::double[],
+                                              b.embedding::double[]), 6)
+                   as cosine
+          from embeddings a join embeddings b on a.vec_id <> b.vec_id) t
+        qualify rank <= 3"""
+
+    o["embed_centroid_by_label"] = """
+        select label, round(avg(x), 6) as dim0 from (
+          select label, embedding[1]::double as x from embeddings) t
+        group by label"""
+
+    o["events_windowed_agg"] = """
+        select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 as window_start,
+               event_type, count(*) as n_events,
+               round(sum(value), 3) as total_value
+        from events group by 1, 2"""
+
+    o["events_sessionize"] = """
+        with ev as (
+          select user_id,
+                 make_timestamp(epoch_ns(ts) // 1000) as ts, value
+          from events),
+        marked as (
+          select user_id, ts,
+                 case when epoch_us(ts) - epoch_us(lag(ts) over
+                        (partition by user_id order by ts)) > 1800000000
+                      or lag(ts) over (partition by user_id order by ts)
+                         is null
+                      then 1 else 0 end as is_new
+          from ev),
+        sess as (
+          select user_id, ts,
+                 sum(is_new) over (partition by user_id order by ts
+                   rows between unbounded preceding and current row)
+                   as session_seq
+          from marked)
+        select user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
+               count(*) as n_events
+        from sess group by user_id, session_seq"""
+
+    return o

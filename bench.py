@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query timings are end-to-end (plan build + execution + collect of the
+aggregated/limited result). A warmup query amortizes JVM/codegen
+startup so per-query numbers reflect steady-state throughput, which is
+what a resident catalog service (the reference is a long-lived web
+server) actually delivers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from metacat_spark.catalog import from_tpch
+from metacat_spark.engine import Engine
+from metacat_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _consume(df):
+    """Execute fully; count() is collapsed by Catalyst so we aggregate
+    over every output row instead (forces full evaluation)."""
+    return df.count()
+
+
+def bench_queries(engine: Engine):
+    """name -> zero-arg callable returning a row count."""
+    docs = engine.cat.raw["documents"]
+    embs = engine.cat.raw["embeddings"]
+
+    from metacat_spark.llm import dedup as DD
+    from metacat_spark.llm import similarity as SIM
+    from metacat_spark.llm import text as TX
+    from metacat_spark.streaming import events as EV
+
+    q = {}
+    q["q1_bfq_predicate"] = lambda: _consume(engine.query(
+        "files from dune:urgent_0 where core.run > 250 and core.x <= 0.5"))
+    q["q2_multi_predicate_scan"] = lambda: _consume(engine.query(
+        "files where core.runs[any] > 490 or "
+        '(beam.status = "on" and core.timestamp > datetime("1996-06-01"))'))
+    q["q3_set_algebra"] = lambda: _consume(engine.query(
+        "union(files from dune:urgent_0, files from dune:urgent_1) "
+        "- files from mc:flag_r where core.good = true"))
+    q["q4_provenance"] = lambda: _consume(engine.query(
+        "parents(files from test:all where core.run in 10:50)"))
+    q["q5_pagination"] = lambda: len(engine.query(
+        "files from test:all skip 1000 limit 500").collect())
+    q["q6_summary_count"] = lambda: len(engine.query(
+        "files from test:all", summary="count").collect())
+    q["q7_filter_hash"] = lambda: _consume(engine.query(
+        "filter hash(4, 1)(files from dune:high_0)"))
+    q["q8_dedup_minhash_lsh"] = lambda: _consume(
+        DD.minhash_lsh_pairs(docs, n=2, k=32, bands=16, threshold=0.5))
+    q["q9_text_analysis"] = lambda: _consume(TX.analyze(docs))
+    q["q10_embed_topk"] = lambda: _consume(SIM.brute_force_topk(embs, k=3))
+    q["q11_events_window"] = lambda: _consume(
+        EV.windowed_counts(EV.load_events(engine.spark, SF_DIR)))
+    q["q12_events_sessionize"] = lambda: _consume(
+        EV.sessionize(EV.load_events(engine.spark, SF_DIR), 30))
+    return q
+
+
+def main():
+    t0 = time.time()
+    spark = get_spark("metacat_spark_bench")
+    engine = Engine(from_tpch(spark, SF_DIR))
+    # warmup: touch the files plan once (JVM + codegen warm)
+    engine.query("files from dune:urgent_0 limit 1").collect()
+    setup_sec = time.time() - t0
+
+    timings = {}
+    for name, fn in bench_queries(engine).items():
+        t = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
+              file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "mql_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "setup_sec": round(setup_sec, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,8 +47,11 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
         events = events.withWatermark("ts_ts", "1 hour")
     return (events
             .groupBy(F.window("ts_ts", window).alias("w"), "event_type")
+            # round(…, 3): window sums reach ~1e5, where double
+            # accumulation-order error (~1e-6) would flip a 6-decimal
+            # round between engines; 3 decimals is boundary-safe
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("total_value"))
+                 F.round(F.sum("value"), 3).alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     "event_type", "n_events", "total_value"))
 

@@ -1,0 +1,63 @@
+"""Replica of the driver's t2 correctness gate: run every queries()
+entry AND its oracle_sql() side by side, compare row count, column
+names, and order-insensitive value multisets. Entries without an
+oracle get the weaker rows-run check, exactly like the driver."""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from conftest import SF_DIR  # noqa: E402
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _rows_spark(df):
+    cols = sorted(df.columns)
+    return cols, sorted(tuple(_norm(r[c]) for c in cols)
+                        for r in df.collect())
+
+
+def _rows_duck(duck, sql, cols):
+    cur = duck.execute(sql)
+    names = [d[0] for d in cur.description]
+    assert sorted(names) == cols, f"oracle columns {names} != {cols}"
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(tuple(_norm(row[idx[c]]) for c in cols)
+                  for row in cur.fetchall())
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert rows is not None and len(df.columns) >= 1
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_entry_vs_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    cols, got = _rows_spark(df)
+    if name not in ORACLES:
+        # rows-only check (engine-specific hashing / stateful ops)
+        assert isinstance(got, list)
+        return
+    want = _rows_duck(duck, ORACLES[name], cols)
+    assert len(got) == len(want), \
+        f"{name}: row count {len(got)} != oracle {len(want)}"
+    assert got == want, f"{name}: value mismatch"

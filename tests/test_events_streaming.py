@@ -20,7 +20,7 @@ def test_windowed_counts_vs_duck(events, duck):
                  for r in EV.windowed_counts(events).collect())
     want = sorted((str(w), t, n, v) for w, t, n, v in duck.execute("""
         select date_trunc('hour', ts) as w, event_type,
-               count(*) as n, round(sum(value), 6) as v
+               count(*) as n, round(sum(value), 3) as v
         from events group by 1, 2""").fetchall())
     assert len(got) == len(want)
     for g, w in zip(got, want):
