@@ -293,7 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_minhash(spark, sf_dir):
         from metacat_spark.llm import dedup as DD
-        return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=32,
+        return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=64,
                                     bands=16, threshold=0.5)
     q["dedup_minhash_lsh"] = dedup_minhash  # rows-only (engine hashing)
 
@@ -313,7 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embed_topk(spark, sf_dir):
         from metacat_spark.llm import similarity as SIM
-        return SIM.brute_force_topk(_embs(spark, sf_dir), k=3)
+        return SIM.topk_gemm(_embs(spark, sf_dir), k=3)
     q["embed_topk_bruteforce"] = embed_topk
 
     def embed_ann(spark, sf_dir):

@@ -53,6 +53,42 @@ def _meta_json_column(schema: MetaSchema) -> F.Column:
     ]))
 
 
+def materialize_tables(spark: SparkSession, sf_dir: str,
+                       buckets: int = 32) -> None:
+    """One-time ingest: persist the big fixture tables as bucketed,
+    id-sorted parquet tables (files ⋈ files_datasets ⋈ parent_child all
+    join on file id). Bucketing co-locates the join keys so membership
+    and provenance semi-joins run shuffle-free; sorting gives min/max
+    row-group skipping on id point-lookups. This mirrors how a real
+    deployment would own its storage (the reference's PostgreSQL heap +
+    indexes, re-expressed as Spark-managed layout)."""
+    cat = from_tpch(spark, sf_dir)
+    suffix = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    specs = [
+        (cat.files, f"mcw_files_{suffix}", "id"),
+        (cat.files_datasets, f"mcw_fd_{suffix}", "file_id"),
+        (cat.parent_child, f"mcw_pc_{suffix}", "child_id"),
+    ]
+    for df, table, key in specs:
+        if not spark.catalog.tableExists(table):
+            (df.write.bucketBy(buckets, key).sortBy(key)
+             .format("parquet").mode("overwrite").saveAsTable(table))
+
+
+def from_materialized(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Catalog over the bucketed warehouse tables (ingest must have
+    run). Small literal tables stay in-memory."""
+    materialize_tables(spark, sf_dir)
+    cat = from_tpch(spark, sf_dir)
+    suffix = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    cat.files = spark.table(f"mcw_files_{suffix}")
+    cat.files_datasets = spark.table(f"mcw_fd_{suffix}")
+    cat.parent_child = spark.table(f"mcw_pc_{suffix}")
+    for name in ("files", "files_datasets", "parent_child"):
+        getattr(cat, name).createOrReplaceTempView(f"mc_{name}")
+    return cat
+
+
 def from_tpch(spark: SparkSession, sf_dir: str,
               cache_files: bool = False) -> Catalog:
     raw = {}

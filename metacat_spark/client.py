@@ -1,0 +1,122 @@
+"""Client facade — the MetaCatClient-equivalent API shell
+(reference: metacat/webapi/webapi.py).
+
+Where the reference client speaks HTTP to a WSGI server that compiles
+MQL to PostgreSQL, this facade drives the Spark engine directly; the
+method surface mirrors the reference's names and result shapes (lists/
+iterators of plain dicts) so reference users can switch with minimal
+change. Async query concurrency (webapi.py:248-298) maps onto Spark's
+scheduler: concurrent jobs from a thread pool share the session.
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Iterator, Optional
+
+from pyspark.sql import SparkSession
+
+from .catalog import Catalog, from_tpch
+from .dml import DML
+from .engine import Engine
+
+
+class MetaCatSparkClient:
+    def __init__(self, spark: SparkSession, sf_dir: Optional[str] = None,
+                 catalog: Optional[Catalog] = None,
+                 max_concurrent_queries: int = 5):
+        if catalog is None:
+            if sf_dir is None:
+                raise ValueError("need sf_dir or catalog")
+            catalog = from_tpch(spark, sf_dir)
+        self.catalog = catalog
+        self.engine = Engine(catalog)
+        self.dml = DML(catalog)
+        # 5 concurrent queries, like the reference client default
+        # (webapi.py:248,277)
+        self._pool = ThreadPoolExecutor(max_workers=max_concurrent_queries)
+
+    # ------------------------------------------------------------ queries
+    def query(self, mql: str, with_metadata: bool = False,
+              with_provenance: bool = False, summary: Optional[str] = None,
+              include_retired_files: bool = False,
+              namespace: Optional[str] = None,
+              save_as: Optional[str] = None,
+              add_to: Optional[str] = None) -> list[dict]:
+        """Run MQL, return a list of dicts (webapi.py:1238-1294 shape).
+        save_as/add_to take "namespace:name" and materialize the result
+        as dataset membership before returning."""
+        df = self.engine.query(mql, with_meta=with_metadata,
+                               with_provenance=with_provenance,
+                               summary=summary,
+                               include_retired=include_retired_files,
+                               default_namespace=namespace)
+        if save_as or add_to:
+            fs = self.engine.file_set(
+                mql, include_retired=include_retired_files,
+                default_namespace=namespace)
+            if save_as:
+                ns, name = save_as.split(":", 1)
+                self.dml.save_as(fs, ns, name)
+            if add_to:
+                ns, name = add_to.split(":", 1)
+                self.dml.add_to(fs, ns, name)
+        return [self._row_to_dict(r) for r in df.collect()]
+
+    def query_iter(self, mql: str, **kw) -> Iterator[dict]:
+        """Streaming variant (json-seq equivalent): lazy partition-wise
+        iteration, no full materialization on the driver."""
+        df = self.engine.query(mql, with_meta=kw.get("with_metadata", False),
+                               include_retired=kw.get(
+                                   "include_retired_files", False),
+                               default_namespace=kw.get("namespace"))
+        for r in df.toLocalIterator():
+            yield self._row_to_dict(r)
+
+    def async_query(self, mql: str, **kw) -> Future:
+        """Promise-returning variant (webapi.py:1296-1323)."""
+        return self._pool.submit(self.query, mql, **kw)
+
+    def explain(self, mql: str, **kw) -> str:
+        return self.engine.explain(mql, **kw)
+
+    # ------------------------------------------------------------- lookup
+    def get_file(self, fid: Optional[str] = None,
+                 did: Optional[str] = None,
+                 with_metadata: bool = True) -> Optional[dict]:
+        if fid is not None:
+            rows = self.query(f"fids {fid}", with_metadata=with_metadata)
+        elif did is not None:
+            rows = self.query(f"files {did}", with_metadata=with_metadata)
+        else:
+            raise ValueError("need fid or did")
+        return rows[0] if rows else None
+
+    def list_datasets(self, pattern: str = "*:*") -> list[dict]:
+        ns, pat = pattern.split(":", 1)
+        return self.query(f"datasets matching {ns}:{pat}")
+
+    # ---------------------------------------------------------------- DML
+    def declare_files(self, dataset: Optional[str], rows: list[dict]) -> int:
+        ds = tuple(dataset.split(":", 1)) if dataset else None
+        return self.dml.declare_files(rows, dataset=ds)
+
+    def update_file_metadata(self, fid: str, metadata: dict,
+                             mode: str = "update") -> None:
+        self.dml.update_file_metadata(fid, metadata, mode)
+
+    def retire_file(self, fid: str, by: str = "client") -> None:
+        self.dml.retire_file(fid, by)
+
+    # ------------------------------------------------------------ helpers
+    @staticmethod
+    def _row_to_dict(row) -> dict:
+        d = row.asDict(recursive=True)
+        meta = d.get("metadata")
+        if isinstance(meta, str):
+            try:
+                d["metadata"] = json.loads(meta)
+            except (ValueError, TypeError):
+                pass
+        return d

@@ -1,0 +1,271 @@
+"""DML / catalog operations (SURVEY.md §2.10).
+
+The reference's write surface (webapi.py:429-1123,
+data_handler.py:631-1263) re-expressed over the Catalog's DataFrames:
+declare/update/retire files, dataset create + membership with
+metadata-requirement validation and frozen/monotonic enforcement
+(data_handler.py:424-548), and the query sinks save_as/add_to
+(data_handler.py:1306-1370).
+
+Mutations produce NEW DataFrames swapped into the Catalog (session
+state). A production deployment would back these with Delta/Iceberg
+table appends — the plans are identical; only the sink changes. Bulk
+declare is a single DataFrame union (the COPY-equivalent,
+dbobjects2.py:525-557), never a row-at-a-time loop.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .validation import category_of, validate_metadata
+
+
+class DMLError(Exception):
+    pass
+
+
+class ValidationFailed(DMLError):
+    def __init__(self, errors):
+        super().__init__(f"metadata validation failed: {errors}")
+        self.errors = errors
+
+
+# default parameter categories for the fixture schema; a real
+# deployment loads these from the parameter_categories table
+# (schema.sql:162-176)
+DEFAULT_CATEGORIES = {
+    "core": {
+        "restricted": False,
+        "definitions": {
+            "core.run": {"type": "int", "min": 0, "required": True},
+            "core.x": {"type": "float", "min": 0.0, "max": 20.0},
+            "core.data_type": {"type": "text",
+                               "values": ["mc", "data", "calibration"]},
+            "core.version": {"type": "text", "pattern": r"^\d+\.\d+$"},
+            "core.runs": {"type": "int[]", "min": 0},
+            "core.good": {"type": "boolean"},
+            "core.timestamp": {"type": "float"},
+        },
+    },
+    "data": {
+        "restricted": True,
+        "definitions": {
+            "data.trigger_bits": {"type": "dict"},
+            "data.sequence": {"type": "int[]"},
+        },
+    },
+}
+
+
+class DML:
+    def __init__(self, catalog: Catalog, categories: Optional[dict] = None):
+        self.cat = catalog
+        self.categories = (DEFAULT_CATEGORIES if categories is None
+                           else categories)
+        # dataset-level metadata requirements
+        # (files must satisfy them to join — dbobjects2.py:1577-1597)
+        self.dataset_requirements: dict[tuple[str, str], dict] = {}
+        self.frozen: set[tuple[str, str]] = set()
+        self.monotonic: set[tuple[str, str]] = set()
+        for r in catalog.datasets.select("namespace", "name", "frozen",
+                                         "monotonic").collect():
+            if r["frozen"]:
+                self.frozen.add((r["namespace"], r["name"]))
+            if r["monotonic"]:
+                self.monotonic.add((r["namespace"], r["name"]))
+
+    # ------------------------------------------------------- validation
+    def validate(self, metadata: dict,
+                 extra_requirements: Optional[dict] = None) -> None:
+        errors = []
+        for key in metadata:
+            cat = category_of(key)
+            spec = self.categories.get(cat)
+            if spec is None:
+                continue  # uncategorized keys are unrestricted
+            errs = validate_metadata(spec["definitions"],
+                                     spec.get("restricted", False),
+                                     {key: metadata[key]})
+            errors.extend(e for e in errs
+                          if e[1] != "required parameter is missing")
+        # category-level required keys
+        for cat, spec in self.categories.items():
+            for key, d in spec["definitions"].items():
+                if d.get("required") and any(
+                        k.startswith(cat + ".") for k in metadata) \
+                        and key not in metadata:
+                    errors.append((key, "required parameter is missing"))
+        if extra_requirements:
+            errors.extend(validate_metadata(extra_requirements, False,
+                                            metadata))
+        if errors:
+            raise ValidationFailed(errors)
+
+    # ---------------------------------------------------------- declare
+    def declare_files(self, rows: list[dict],
+                      dataset: Optional[tuple[str, str]] = None) -> int:
+        """Bulk declare (dbobjects2.py:525-557): validate each file's
+        metadata in the driver, then append as ONE union (+ membership
+        rows if a target dataset is given)."""
+        if not rows:
+            return 0
+        reqs = (self.dataset_requirements.get(dataset)
+                if dataset else None)
+        prepared = []
+        for r in rows:
+            meta = r.get("metadata", {})
+            self.validate(meta, reqs)
+            base = dict(
+                id=r["id"], namespace=r["namespace"], name=r["name"],
+                size=int(r.get("size", 0)),
+                creator=r.get("creator", "unknown"),
+                metadata=json.dumps(meta), retired=False)
+            # shred the hot keys at ingest (the engine's predicates are
+            # shredded-first; JSON is the fallback for cold keys);
+            # every row carries every shredded field so the Rows are
+            # schema-uniform
+            for mk in self.cat.file_meta.by_key.values():
+                v = meta.get(mk.key)
+                if v is not None and mk.mtype == "float" \
+                        and isinstance(v, int):
+                    v = float(v)
+                base[mk.column] = v
+            prepared.append(base)
+        from pyspark.sql import types as T
+        files_schema = {f.name: f for f in self.cat.files.schema.fields}
+        field_names = list(prepared[0].keys())
+        schema = T.StructType([
+            T.StructField(c, files_schema[c].dataType, nullable=True)
+            if c in files_schema
+            else T.StructField(c, T.StringType()) for c in field_names])
+        new = self.cat.spark.createDataFrame(
+            [tuple(p[c] for c in field_names) for p in prepared], schema)
+        # align to the files schema; unknown shredded columns stay null
+        files = self.cat.files
+        for c in files.columns:
+            if c not in new.columns:
+                new = new.withColumn(
+                    c, F.lit(None).cast(files.schema[c].dataType))
+        new = new.select(*files.columns)
+        self.cat.files = files.unionByName(new)
+        if dataset:
+            self.add_files_to_dataset([r["id"] for r in rows], *dataset,
+                                      _skip_exist_check=True)
+        return len(prepared)
+
+    # --------------------------------------------------------- membership
+    def add_files_to_dataset(self, file_ids: list[str], ns: str,
+                             name: str,
+                             _skip_exist_check: bool = False) -> int:
+        """Membership append with frozen enforcement
+        (data_handler.py:424-548). Monotonic datasets accept adds but
+        refuse removals."""
+        if (ns, name) in self.frozen:
+            raise DMLError(f"dataset {ns}:{name} is frozen")
+        add = self.cat.spark.createDataFrame(
+            [(fid, ns, name) for fid in file_ids],
+            ["file_id", "dataset_namespace", "dataset_name"])
+        self.cat.files_datasets = self.cat.files_datasets.unionByName(add)
+        return len(file_ids)
+
+    def remove_files_from_dataset(self, file_ids: list[str], ns: str,
+                                  name: str) -> None:
+        if (ns, name) in self.frozen:
+            raise DMLError(f"dataset {ns}:{name} is frozen")
+        if (ns, name) in self.monotonic:
+            raise DMLError(f"dataset {ns}:{name} is monotonic; "
+                           f"files cannot be removed")
+        fd = self.cat.files_datasets
+        self.cat.files_datasets = fd.where(~(
+            (F.col("dataset_namespace") == ns)
+            & (F.col("dataset_name") == name)
+            & F.col("file_id").isin(file_ids)))
+
+    # ------------------------------------------------------------ update
+    def update_file_metadata(self, file_id: str, metadata: dict,
+                             mode: str = "update") -> None:
+        """update = merge keys; replace = overwrite dict
+        (webapi.py:1088-1123 modes)."""
+        if mode not in ("update", "replace"):
+            raise DMLError(f"bad mode {mode!r}")
+        self.validate(metadata)
+        files = self.cat.files
+        patch = F.lit(json.dumps(metadata))
+        if mode == "replace":
+            new_meta = patch
+        else:
+            # JSON-level merge; patched keys win (drop them from the old
+            # map first — map_concat rejects duplicate keys by default)
+            patch_map = F.from_json(patch, "map<string,string>")
+            old_map = F.coalesce(
+                F.from_json("metadata", "map<string,string>"),
+                F.from_json(F.lit("{}"), "map<string,string>"))
+            new_meta = F.to_json(F.map_concat(
+                F.map_filter(old_map,
+                             lambda k, v: ~F.map_contains_key(patch_map, k)),
+                patch_map))
+        self.cat.files = files.withColumn(
+            "metadata",
+            F.when(F.col("id") == file_id, new_meta)
+             .otherwise(F.col("metadata")))
+
+    def retire_file(self, file_id: str, by: str = "admin") -> None:
+        """Retire = soft delete (schema.sql:61-63; handler
+        data_handler.py:1084-1140)."""
+        files = self.cat.files
+        hit = F.col("id") == file_id
+        self.cat.files = (files
+                          .withColumn("retired",
+                                      F.when(hit, F.lit(True))
+                                       .otherwise(F.col("retired")))
+                          .withColumn("retired_by",
+                                      F.when(hit, F.lit(by))
+                                       .otherwise(F.col("retired_by")))
+                          .withColumn("retired_timestamp",
+                                      F.when(hit, F.current_timestamp())
+                                       .otherwise(
+                                           F.col("retired_timestamp"))))
+
+    # ------------------------------------------------------------- sinks
+    def save_as(self, result: DataFrame, ns: str, name: str,
+                frozen: bool = False, monotonic: bool = False) -> int:
+        """Materialize a query result as a NEW dataset
+        (data_handler.py:1306-1337)."""
+        existing = self.cat.datasets.where(
+            (F.col("namespace") == ns) & (F.col("name") == name)).count()
+        if existing:
+            raise DMLError(f"dataset {ns}:{name} already exists")
+        row = self.cat.spark.createDataFrame(
+            [(ns, name, frozen, monotonic, "engine",
+              f"saved query result {ns}:{name}")],
+            ["namespace", "name", "frozen", "monotonic", "creator",
+             "description"])
+        row = row.withColumn("created_timestamp", F.current_timestamp()) \
+                 .withColumn("metadata", F.lit("{}"))
+        ds = self.cat.datasets
+        for c in ds.columns:
+            if c not in row.columns:
+                row = row.withColumn(c,
+                                     F.lit(None).cast(ds.schema[c].dataType))
+        self.cat.datasets = ds.unionByName(row.select(*ds.columns))
+        return self.add_to(result, ns, name)
+
+    def add_to(self, result: DataFrame, ns: str, name: str) -> int:
+        """Append a query result's files to an existing dataset
+        (data_handler.py:1368-1370) — distributed append, no driver
+        loop."""
+        if (ns, name) in self.frozen:
+            raise DMLError(f"dataset {ns}:{name} is frozen")
+        add = result.select(
+            F.col("id").alias("file_id"),
+            F.lit(ns).alias("dataset_namespace"),
+            F.lit(name).alias("dataset_name")).dropDuplicates(["file_id"])
+        n = add.count()
+        self.cat.files_datasets = self.cat.files_datasets.unionByName(add)
+        return n

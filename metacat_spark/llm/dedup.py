@@ -22,9 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import POLY_MOD, POLY_MUL, poly_hash, tokens
-
-MERSENNE = 2305843009213693951  # 2^61 - 1, headroom for a*h+b
+from .text import POLY_MOD, tokens
 
 
 def _lcg_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -58,15 +56,49 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     return df.join(keep, id_col, "left_semi")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small document tables often arrive as ONE parquet file = one
+    partition; the shingle/token expressions (higher-order functions,
+    interpreted) would then run single-threaded. Spread first."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par)
+
+
 def shingles(col, n: int = 3):
     """Distinct word n-gram shingles of a text column (array column).
-    Built with sequence+transform — no explode until the join needs it."""
+    NOTE: higher-order functions run interpreted (~20ms/doc measured);
+    use shingle_rows() in hot paths — this array form is kept for
+    small-data composition."""
     toks = tokens(col)
     return F.array_distinct(F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(0), F.size(toks) - n),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     ).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DISTINCT (id, shingle) rows built relationally: posexplode the
+    tokens, then window `lead` to assemble n-grams — every expression
+    stays in whole-stage codegen (the array/lambda formulation runs
+    interpreted and is ~20× slower). Shuffle: one hash partition on id
+    for the window, reused by the downstream groupBys.
+
+    Documents shorter than n tokens contribute their whole text as a
+    single shingle (concat_ws skips the null leads)."""
+    from pyspark.sql import Window
+    tok = (_spread(df)
+           .select(F.col(id_col).alias("id"),
+                   F.size(tokens(F.col(text_col))).alias("n_tok"),
+                   F.posexplode(tokens(F.col(text_col)))
+                   .alias("pos", "w")))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    sh = tok.withColumn("shingle", F.concat_ws(" ", *parts))
+    keep = (F.col("pos") + n <= F.col("n_tok")) | \
+           ((F.col("n_tok") < n) & (F.col("pos") == 0))
+    return sh.where(keep).select("id", "shingle").distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -77,10 +109,8 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     self-join on shingle, count intersections, compute |A∪B| from
     per-doc shingle counts. Shuffles on shingle then on the pair key —
     both well-partitioned at scale."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    shingles(F.col(text_col), n).alias("sh")))
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    ex = shingle_rows(df, n, text_col, id_col)
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.id") < F.col("b.id")))
@@ -103,25 +133,20 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 def minhash_signatures(df: DataFrame, n: int = 3, k: int = 32,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """k-wide MinHash signature per doc, computed entirely inside one
-    projection: shingle hashes as an array column, then k universal-hash
-    minima via array transforms — zero shuffles, pure codegen."""
-    sh_hashes = F.transform(shingles(F.col(text_col), n),
-                            lambda s: F.aggregate(
-                                F.split(s, ""), F.lit(0).cast("long"),
-                                lambda acc, x: (acc * POLY_MUL + F.ascii(x))
-                                % POLY_MOD))
-    cols = [F.col(id_col).alias("id"),
-            sh_hashes.alias("sh_hashes"),
-            shingles(F.col(text_col), n).alias("sh")]
-    out = df.select(*cols)
-    for i, (ai, bi) in enumerate(_lcg_params(k)):
-        out = out.withColumn(
-            f"mh_{i}",
-            F.array_min(F.transform(
-                F.col("sh_hashes"),
-                lambda h: (F.lit(ai) * h + F.lit(bi)) % POLY_MOD)))
-    return out.drop("sh_hashes")
+    """k-wide MinHash signature per doc via explode + ONE groupBy with
+    k min-aggregates. Shingle hashing uses xxhash64 (whole-stage
+    codegen; higher-order char-level hashing runs interpreted and
+    measured ~50µs/row — unusable in the hot path). The k universal
+    hashes are codegen'd arithmetic over that one hash; map-side
+    partial aggregation keeps the shuffle at one row per doc."""
+    ex = (shingle_rows(df, n, text_col, id_col)
+          .withColumn("h", F.pmod(F.xxhash64("shingle"),
+                                  F.lit(POLY_MOD))))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
+            .alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_lcg_params(k))]
+    return ex.groupBy("id").agg(F.collect_set("shingle").alias("sh"),
+                                *aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
@@ -134,15 +159,26 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
     exactly verified, so precision is 1.0 and only recall depends on
     the banding. Shuffle cost is O(docs × bands), never O(docs²)."""
     rows = k // bands
-    sig = minhash_signatures(df, n, k, text_col, id_col)
+    # materialize the distinct shingle rows once — referenced by the
+    # signature build AND twice by the verification joins
+    shr = shingle_rows(df, n, text_col, id_col).localCheckpoint(eager=False)
+    ex0 = shr.withColumn("h", F.pmod(F.xxhash64("shingle"),
+                                     F.lit(POLY_MOD)))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
+            .alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_lcg_params(k))]
+    sig = ex0.groupBy("id").agg(*aggs)
     band_cols = [F.struct(F.lit(bi).alias("band"),
                           F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}")
                                              for r in range(rows)])
                           .alias("sig"))
                  for bi in range(bands)]
-    exploded = (sig.select("id", "sh",
+    # candidate generation joins (id, band, sig) ONLY — dragging the
+    # shingle arrays through the banded shuffle multiplies its payload
+    # by bands × shingle bytes
+    exploded = (sig.select("id",
                            F.explode(F.array(*band_cols)).alias("bs"))
-                .select("id", "sh", F.col("bs.band").alias("band"),
+                .select("id", F.col("bs.band").alias("band"),
                         F.col("bs.sig").alias("sig")))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -150,15 +186,32 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
                    & (F.col("a.sig") == F.col("b.sig"))
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.col("a.sh").alias("sh_a"),
-                    F.col("b.sh").alias("sh_b"))
+                    F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
-           / F.size(F.array_union("sh_a", "sh_b")))
-    return (cand.withColumn("jaccard", F.round(jac, 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    # exact verification via candidate-restricted shingle joins —
+    # row joins stay in codegen; per-pair array_intersect over string
+    # arrays was the dominant cost at high candidate counts
+    sizes = shr.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (cand
+             .join(shr.select(F.col("id").alias("id_a"),
+                              F.col("shingle").alias("shingle")), "id_a")
+             .join(shr.select(F.col("id").alias("id_b"),
+                              F.col("shingle").alias("shingle")),
+                   ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_inter")))
+    out = (inter
+           .join(sizes.select(F.col("id").alias("id_a"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"),
+                              F.col("n_sh").alias("n_b")), "id_b")
+           .withColumn("jaccard",
+                       F.round(F.col("n_inter")
+                               / (F.col("n_a") + F.col("n_b")
+                                  - F.col("n_inter")), 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text",
@@ -166,12 +219,11 @@ def simhash(df: DataFrame, text_col: str = "text",
     """64-bit SimHash: per-token portable hash, then per-bit sign sums.
     Implemented as one explode + one groupBy with `bits` conditional
     sums (map-side partial aggregation keeps the shuffle tiny)."""
-    tok = (df.select(F.col(id_col).alias("id"),
-                     F.explode(tokens(F.col(text_col))).alias("tok")))
-    # widen the 31-bit poly hash to 64 bits with two more rounds
-    h1 = poly_hash(F.col("tok"))
-    h = (h1 * F.lit(2654435761) + F.lit(40503)) % F.lit(MERSENNE)
-    tok = tok.withColumn("h", h)
+    tok = (_spread(df).select(F.col(id_col).alias("id"),
+                              F.explode(tokens(F.col(text_col)))
+                              .alias("tok")))
+    # xxhash64: 64-bit, codegen'd (vs interpreted HOF char hashing)
+    tok = tok.withColumn("h", F.xxhash64(F.col("tok")))
     aggs = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
                          1).otherwise(-1)).alias(f"b{b}")
             for b in range(bits)]

@@ -1,0 +1,63 @@
+"""Client facade tests (MetaCatClient-parity surface)."""
+
+import pytest
+
+from metacat_spark.client import MetaCatSparkClient
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    return MetaCatSparkClient(spark, SF_DIR)
+
+
+def test_query_dicts(client):
+    rows = client.query("files from dune:urgent_0 limit 5")
+    assert len(rows) == 5
+    assert {"id", "namespace", "name", "size"} <= set(rows[0])
+
+
+def test_query_with_metadata(client):
+    rows = client.query("files from dune:urgent_0 limit 2",
+                        with_metadata=True)
+    assert isinstance(rows[0]["metadata"], dict)
+    assert "core.run" in rows[0]["metadata"]
+
+
+def test_query_iter(client):
+    it = client.query_iter("files from dune:urgent_0 ordered limit 7")
+    got = [r["id"] for r in it]
+    assert len(got) == 7 and got == sorted(got)
+
+
+def test_async_query(client):
+    futs = [client.async_query(f"files from dune:urgent_{i} limit 3")
+            for i in range(3)]
+    results = [f.result(timeout=120) for f in futs]
+    assert all(len(r) == 3 for r in results)
+
+
+def test_get_file_and_datasets(client):
+    row = client.query("files from test:all ordered limit 1")[0]
+    by_fid = client.get_file(fid=row["id"])
+    assert by_fid["name"] == row["name"]
+    by_did = client.get_file(did=f"{row['namespace']}:{row['name']}")
+    assert by_did["id"] == row["id"]
+    ds = client.list_datasets("dune:urgent_*")
+    assert len(ds) == 4
+
+
+def test_query_save_as(spark):
+    client = MetaCatSparkClient(spark, SF_DIR)
+    direct = {r["id"] for r in client.query(
+        "files from dune:urgent_2 where core.good = true")}
+    client.query("files from dune:urgent_2 where core.good = true",
+                 save_as="test:client_saved")
+    saved = {r["id"] for r in client.query("files from test:client_saved")}
+    assert saved == direct
+
+
+def test_explain(client):
+    out = client.explain("files from dune:urgent_0 where core.run > 5")
+    assert "MQL AST" in out and "Spark plan" in out

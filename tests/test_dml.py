@@ -1,0 +1,156 @@
+"""DML / catalog-operation tests: validation engine, declare/update/
+retire, membership with frozen/monotonic enforcement, save_as/add_to
+sinks (SURVEY.md §2.10)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacat_spark.catalog import from_tpch
+from metacat_spark.dml import DML, DMLError, ValidationFailed
+from metacat_spark.engine import Engine
+from metacat_spark.validation import category_of, validate_metadata
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def fresh(spark):
+    """Isolated catalog per test — DML mutates session state."""
+    cat = from_tpch(spark, SF_DIR)
+    return Engine(cat), DML(cat)
+
+
+# ------------------------------------------------------------- validation
+
+def test_validate_types():
+    defs = {"core.run": {"type": "int"},
+            "core.x": {"type": "float"},
+            "core.name": {"type": "text"},
+            "core.flags": {"type": "boolean[]"}}
+    assert validate_metadata(defs, False, {"core.run": 5}) == []
+    assert validate_metadata(defs, False, {"core.run": "5"})
+    assert validate_metadata(defs, False, {"core.x": 1.5}) == []
+    assert validate_metadata(defs, False, {"core.x": 1})  # int is not float
+    assert validate_metadata(defs, False, {"core.flags": [True, False]}) == []
+    assert validate_metadata(defs, False, {"core.flags": [1, 0]})
+
+
+def test_validate_enum_supersedes_range():
+    """values enum supersedes pattern/min/max (reference puts them in
+    its else branch — validation.py:112-142)."""
+    defs = {"k.v": {"type": "int", "values": [1, 2, 99], "min": 10}}
+    assert validate_metadata(defs, False, {"k.v": 1}) == []  # min ignored
+    assert validate_metadata(defs, False, {"k.v": 50})       # not in enum
+
+
+def test_validate_pattern_min_max_required_restricted():
+    defs = {"c.v": {"type": "text", "pattern": r"^v\d+$"},
+            "c.n": {"type": "int", "min": 0, "max": 10,
+                    "required": True}}
+    assert validate_metadata(defs, False, {"c.v": "v12", "c.n": 5}) == []
+    assert validate_metadata(defs, False, {"c.v": "x12", "c.n": 5})
+    assert validate_metadata(defs, False, {"c.n": 11})
+    assert validate_metadata(defs, False, {"c.v": "v1"})  # c.n missing
+    assert validate_metadata(defs, True, {"c.other": 1, "c.n": 0})
+
+
+def test_category_of():
+    assert category_of("core.run") == "core"
+    assert category_of("a.b.c") == "a.b"
+    with pytest.raises(ValueError):
+        category_of("plain")
+
+
+# ------------------------------------------------------------------- DML
+
+def test_declare_and_query(fresh):
+    eng, dml = fresh
+    n = dml.declare_files([
+        {"id": "znew0001", "namespace": "test", "name": "new_1.data",
+         "size": 100, "metadata": {"core.run": 1, "core.x": 0.5}},
+        {"id": "znew0002", "namespace": "test", "name": "new_2.data",
+         "size": 200, "metadata": {"core.run": 2}},
+    ], dataset=("test", "all"))
+    assert n == 2
+    got = [r["id"] for r in
+           eng.query("files from test:all where core.run in 1:2 "
+                     "and namespace = test").select("id").collect()
+           if r["id"].startswith("znew")]
+    assert sorted(got) == ["znew0001", "znew0002"]
+
+
+def test_declare_validation_rejects(fresh):
+    _, dml = fresh
+    with pytest.raises(ValidationFailed):
+        dml.declare_files([{"id": "x", "namespace": "t", "name": "n",
+                            "metadata": {"core.run": "not-an-int"}}])
+    with pytest.raises(ValidationFailed):
+        dml.declare_files([{"id": "x", "namespace": "t", "name": "n",
+                            "metadata": {"core.x": 99.0,
+                                         "core.run": 1}}])  # max 20
+    with pytest.raises(ValidationFailed):  # restricted category
+        dml.declare_files([{"id": "x", "namespace": "t", "name": "n",
+                            "metadata": {"data.unknown": 1}}])
+    with pytest.raises(ValidationFailed):  # core.run required
+        dml.declare_files([{"id": "x", "namespace": "t", "name": "n",
+                            "metadata": {"core.x": 1.0}}])
+
+
+def test_frozen_monotonic_enforcement(fresh):
+    _, dml = fresh
+    with pytest.raises(DMLError, match="frozen"):
+        dml.add_files_to_dataset(["f1"], "dune", "urgent_0")
+    # monotonic: adds ok, removals refused
+    dml.add_files_to_dataset(["f1"], "dune", "urgent_1")
+    with pytest.raises(DMLError, match="monotonic"):
+        dml.remove_files_from_dataset(["f1"], "dune", "urgent_1")
+    # plain dataset: both fine
+    dml.add_files_to_dataset(["f1"], "dune", "urgent_2")
+    dml.remove_files_from_dataset(["f1"], "dune", "urgent_2")
+
+
+def test_retire_file(fresh):
+    eng, dml = fresh
+    fid = eng.query("files from test:all ordered limit 1").collect()[0]["id"]
+    before = eng.query("files from test:all", summary="count") \
+        .collect()[0]["count"]
+    dml.retire_file(fid)
+    eng2 = Engine(dml.cat)
+    after = eng2.query("files from test:all", summary="count") \
+        .collect()[0]["count"]
+    assert after == before - 1
+
+
+def test_update_metadata_modes(fresh):
+    eng, dml = fresh
+    fid = eng.query("files from test:all ordered limit 1").collect()[0]["id"]
+    dml.update_file_metadata(fid, {"core.run": 77}, mode="update")
+    row = dml.cat.files.where(F.col("id") == fid) \
+        .select(F.get_json_object("metadata", "$['core.run']").alias("v"),
+                F.get_json_object("metadata", "$['core.x']").alias("x")) \
+        .collect()[0]
+    assert row["v"] == "77" and row["x"] is not None  # merged, not replaced
+    dml.update_file_metadata(fid, {"core.run": 78}, mode="replace")
+    row = dml.cat.files.where(F.col("id") == fid) \
+        .select(F.get_json_object("metadata", "$['core.x']").alias("x")) \
+        .collect()[0]
+    assert row["x"] is None  # replaced wholesale
+
+
+def test_save_as_and_add_to(fresh):
+    eng, dml = fresh
+    result = eng.file_set("files from dune:urgent_2 where core.good = true")
+    n = dml.save_as(result, "test", "saved_run")
+    assert n == result.select("id").distinct().count()
+    eng2 = Engine(dml.cat)
+    # compare id SETS: the fixture's one fully-duplicated source row can
+    # make row counts differ by one across the membership semi-join
+    saved_ids = {r["id"] for r in
+                 eng2.query("files from test:saved_run").collect()}
+    want_ids = {r["id"] for r in result.select("id").collect()}
+    assert saved_ids == want_ids
+    with pytest.raises(DMLError):
+        dml.save_as(result, "test", "saved_run")  # already exists
+    n2 = dml.add_to(eng.file_set("files from dune:urgent_3"),
+                    "test", "saved_run")
+    assert n2 > 0

@@ -127,7 +127,7 @@ def test_minhash_lsh_recall(docs):
     exact = {(r["id_a"], r["id_b"]) for r in
              DD.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
     lsh = {(r["id_a"], r["id_b"]) for r in
-           DD.minhash_lsh_pairs(docs, n=2, k=32, bands=16,
+           DD.minhash_lsh_pairs(docs, n=2, k=64, bands=16,
                                 threshold=0.5).collect()}
     assert lsh <= exact  # exact verification ⇒ no false positives
     if exact:
@@ -201,6 +201,16 @@ def test_brute_force_topk(embs):
     for v in per.values():
         sims = [r["cosine"] for r in sorted(v, key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_topk_gemm_equals_bruteforce(embs):
+    from metacat_spark.llm import similarity as SIM
+    sub = embs.limit(80)
+    a = sorted((r["id"], r["neighbor_id"], r["rank"]) for r in
+               SIM.brute_force_topk(sub, k=3).collect())
+    b = sorted((r["id"], r["neighbor_id"], r["rank"]) for r in
+               SIM.topk_gemm(sub, k=3).collect())
+    assert a == b and a
 
 
 def test_lsh_topk_recall(embs):
