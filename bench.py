@@ -79,8 +79,12 @@ def main():
     # ingest once into bucketed warehouse tables (counted as setup,
     # like the reference's one-time declare_files load into PostgreSQL)
     engine = Engine(from_materialized(spark, SF_DIR))
-    # warmup: touch the files plan once (JVM + codegen warm)
+    # warmup: touch the files plan once (JVM + codegen warm) and spin
+    # up the Arrow python workers (first pandas UDF pays worker fork)
     engine.query("files from dune:urgent_0 limit 1").collect()
+    warm = F.pandas_udf(lambda s: s, "long")
+    (engine.cat.files.limit(1024)
+     .select(warm(F.length("id"))).count())
     setup_sec = time.time() - t0
 
     timings = {}

@@ -71,6 +71,13 @@ def materialize_tables(spark: SparkSession, sf_dir: str,
     ]
     for df, table, key in specs:
         if not spark.catalog.tableExists(table):
+            # the default in-memory catalog forgets tables between
+            # sessions while their warehouse directories persist —
+            # clear any orphaned location before re-ingesting
+            import shutil
+            loc = (spark.conf.get("spark.sql.warehouse.dir")
+                   .removeprefix("file:"))
+            shutil.rmtree(f"{loc}/{table}", ignore_errors=True)
             (df.write.bucketBy(buckets, key).sortBy(key)
              .format("parquet").mode("overwrite").saveAsTable(table))
 

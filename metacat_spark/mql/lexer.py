@@ -83,10 +83,19 @@ def tokenize(text: str) -> list[Token]:
         # numbers (optionally signed; '-' only starts a number if followed
         # by a digit AND the previous token can't end an expression —
         # otherwise it's the minus operator or part of a word)
+        # '-' starts a signed number only where a constant can appear:
+        # after an operator/open-punct/comma/colon, or after a keyword
+        # that precedes constants — NOT after an operand (word/number/
+        # string/closing bracket), where it is the minus operator
+        _const_kw = ("in", "where", "and", "or", "not", "skip", "limit")
         if c.isdigit() or (c in "+-" and i + 1 < n and text[i + 1].isdigit()
-                           and not (toks and toks[-1].kind in ("word", "int",
-                                                               "float", "string",
+                           and not (toks and toks[-1].kind in ("int",
+                                                               "float",
+                                                               "string",
                                                                "pattern")
+                                    and c == "-")
+                           and not (toks and toks[-1].kind == "word"
+                                    and toks[-1].value not in _const_kw
                                     and c == "-")
                            and not (toks and toks[-1].kind == "punct"
                                     and toks[-1].value in ")]}" and c == "-")):

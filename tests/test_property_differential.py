@@ -1,0 +1,144 @@
+"""Hypothesis differential tests: the DataFrame predicate compiler vs
+the row-level Python evaluator over randomized metadata rows and
+randomized predicate trees — the reference's implicit SQL-vs-Python
+differential oracle (SURVEY.md §5), made systematic."""
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from metacat_spark.evaluator import RowEvaluator
+from metacat_spark.mql import parse
+from metacat_spark.mql.ast import FileQuery, WhereOp
+from metacat_spark.predicate import PredicateCompiler
+from metacat_spark.schema import MetaKey, MetaSchema
+
+META = MetaSchema([
+    MetaKey("t.i", "m_i", "int"),
+    MetaKey("t.f", "m_f", "float"),
+    MetaKey("t.s", "m_s", "str"),
+    MetaKey("t.b", "m_b", "bool"),
+    MetaKey("t.ia", "m_ia", "int[]"),
+    MetaKey("t.sa", "m_sa", "str[]"),
+])
+
+SCHEMA = T.StructType([
+    T.StructField("rid", T.IntegerType()),
+    T.StructField("m_i", T.IntegerType()),
+    T.StructField("m_f", T.DoubleType()),
+    T.StructField("m_s", T.StringType()),
+    T.StructField("m_b", T.BooleanType()),
+    T.StructField("m_ia", T.ArrayType(T.IntegerType())),
+    T.StructField("m_sa", T.ArrayType(T.StringType())),
+])
+
+maybe = lambda s: st.none() | s
+row_st = st.fixed_dictionaries({
+    "t.i": maybe(st.integers(-5, 5)),
+    "t.f": maybe(st.floats(-2, 2, allow_nan=False, width=32)
+                 .map(lambda x: round(x, 3))),
+    "t.s": maybe(st.sampled_from(["aa", "ab", "ba", "zz", ""])),
+    "t.b": maybe(st.booleans()),
+    "t.ia": maybe(st.lists(st.integers(-3, 3), max_size=4)),
+    "t.sa": maybe(st.lists(st.sampled_from(["x", "y", "z"]), max_size=3)),
+})
+
+_scalar = st.sampled_from(["t.i", "t.f", "t.s", "t.b"])
+_arr = st.sampled_from(["t.ia", "t.sa"])
+_cmp_op = st.sampled_from(["<", "<=", ">", ">=", "=", "!="])
+
+
+def _const_for(key):
+    return {
+        "t.i": st.integers(-5, 5).map(str),
+        "t.f": st.floats(-2, 2, allow_nan=False).map(
+            lambda x: repr(round(x, 2))),
+        "t.s": st.sampled_from(['"aa"', '"ab"', '"zz"']),
+        "t.b": st.sampled_from(["true", "false"]),
+        "t.ia": st.integers(-3, 3).map(str),
+        "t.sa": st.sampled_from(['"x"', '"y"', '"q"']),
+    }[key]
+
+
+def _atom():
+    def cmp(key, op, c):
+        return f"{key} {op} {c}"
+
+    simple = st.one_of(
+        st.tuples(_scalar, _cmp_op).flatmap(
+            lambda t: _const_for(t[0]).map(lambda c: cmp(t[0], t[1], c))),
+        st.sampled_from(["t.i", "t.f", "t.s", "t.b", "t.ia", "t.sa"]).map(
+            lambda k: f"{k} present"),
+        st.sampled_from(["t.i", "t.f", "t.s", "t.b", "t.ia", "t.sa"]).map(
+            lambda k: f"{k} not present"),
+        st.tuples(st.integers(-5, 5), st.integers(-5, 5)).map(
+            lambda t: f"t.i in {min(t)}:{max(t)}"),
+        st.tuples(st.integers(-5, 5), st.integers(-5, 5)).map(
+            lambda t: f"t.i in ({t[0]}, {t[1]})"),
+        st.tuples(_arr, _cmp_op).flatmap(
+            lambda t: _const_for(t[0]).map(
+                lambda c: f"{t[0]}[any] {t[1]} {c}")),
+        st.tuples(_arr, _cmp_op).flatmap(
+            lambda t: _const_for(t[0]).map(
+                lambda c: f"{t[0]}[all] {t[1]} {c}")),
+        st.integers(-3, 3).map(lambda i: f"{i} in t.ia"),
+        st.sampled_from(['"x"', '"q"']).map(lambda c: f"{c} in t.sa"),
+        st.integers(0, 4).map(lambda n: f"len(t.ia) >= {n}"),
+        st.integers(-2, 3).flatmap(
+            lambda i: st.integers(-3, 3).map(
+                lambda v: f"t.ia[{i}] = {v}")),
+    )
+    return simple
+
+
+def _exprs(depth=2):
+    if depth == 0:
+        return _atom()
+    sub = _exprs(depth - 1)
+    return st.one_of(
+        _atom(),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} and {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} or {t[1]})"),
+        sub.map(lambda e: f"!({e})"),
+    )
+
+
+@pytest.fixture(scope="module")
+def compiler():
+    return PredicateCompiler(META, {}, json_column=None)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(row_st, min_size=1, max_size=12),
+       where=_exprs(2))
+def test_compiler_matches_row_evaluator(rows, where, spark, compiler):
+    exp = parse(f"files where {where}")
+    assert isinstance(exp, FileQuery) and isinstance(exp.tree, WhereOp)
+    pred = exp.tree.exp
+
+    data = []
+    for i, meta in enumerate(rows):
+        data.append((
+            i, meta["t.i"], meta["t.f"], meta["t.s"], meta["t.b"],
+            meta["t.ia"], meta["t.sa"]))
+    df = spark.createDataFrame(data, SCHEMA)
+    try:
+        col = compiler.compile(pred)
+    except Exception as e:
+        pytest.skip(f"compile rejected: {e}")
+    got = sorted(r["rid"] for r in df.where(col).select("rid").collect())
+
+    want = []
+    for i, meta in enumerate(rows):
+        clean = {k: v for k, v in meta.items() if v is not None}
+        if RowEvaluator(clean).passes(pred):
+            want.append(i)
+    assert got == want, (
+        f"divergence for {where!r}\nrows={json.dumps(rows, default=str)}"
+        f"\nspark={got}\npython={want}")
