@@ -53,13 +53,11 @@ def _one(dfs: list[DataFrame]) -> DataFrame:
     return dfs[0]
 
 
-_ID_ORDER = Window.orderBy("id")
-
-
 def _with_rn(df: DataFrame) -> DataFrame:
     """0-based position by file-id order. A global window sort — fine at
     catalog scale; positional filters are inherently sequential."""
-    return df.withColumn("_rn", F.row_number().over(_ID_ORDER) - 1)
+    return df.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("id")) - 1)
 
 
 @register_filter("limit")
@@ -186,3 +184,7 @@ def _f_mix(engine, params, kw, dfs):
             .withColumn("_pick", F.row_number().over(w))
             .where(F.col("_pick") == 1)
             .drop("_t", "_src", "_pick"))
+
+
+# user-filter pattern (external enrichment) registers itself
+from . import enrichment  # noqa: E402,F401
