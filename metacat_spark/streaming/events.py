@@ -84,6 +84,44 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("n_events").alias("max_events_per_session"))
 
 
+RUNNING_STATE_SCHEMA = "n long, total double"
+RUNNING_OUT_SCHEMA = ("event_type string, n_events long, "
+                      "total_value double")
+
+
+def running_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-event-type running count/sum maintained in state across
+    micro-batches — the extension point for operators Spark's built-in
+    streaming aggregates can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"event_type": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 3)]})
+
+    return (stream.groupBy("event_type")
+            .applyInPandasWithState(update, RUNNING_OUT_SCHEMA,
+                                    RUNNING_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def streaming_running_totals_to_memory(spark: SparkSession, sf_dir: str,
+                                       table: str = "ev_running"):
+    stream = load_events_stream(spark, sf_dir)
+    out = running_totals_stateful(stream)
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(table)
+
+
 def streaming_windowed_counts_to_memory(spark: SparkSession, sf_dir: str,
                                         table: str = "ev_window") -> DataFrame:
     """Run the windowed aggregation as a Structured Streaming job with

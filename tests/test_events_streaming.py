@@ -3,6 +3,7 @@ gaps-and-islands SQL), and the Structured Streaming twin (equivalence
 with the batch plan)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 
@@ -53,6 +54,22 @@ def test_sessionize_vs_duck(events, duck):
           from marked)  -- noqa
         select user_id, min(ts) as session_start, count(*) as n
         from sess group by user_id, session_seq""").fetchall())
+    assert got == want and got
+
+
+def test_stateful_running_totals(spark, events):
+    """applyInPandasWithState running totals: the final state per
+    event type must equal the batch aggregate."""
+    out = EV.streaming_running_totals_to_memory(spark, SF_DIR)
+    # with availableNow the whole file is one micro-batch: one row per
+    # event type holding the complete running totals
+    got = {r["event_type"]: (r["n_events"], r["total_value"])
+           for r in out.collect()}
+    want = {r["event_type"]: (r["n"], r["v"])
+            for r in (events.groupBy("event_type")
+                      .agg(F.count("*").alias("n"),
+                           F.round(F.sum("value"), 3).alias("v"))
+                      .collect())}
     assert got == want and got
 
 
