@@ -208,6 +208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("size").alias("total_size")))
     q["file_counts_by_namespace"] = counts_by_namespace
 
+    def counts_by_dataset(spark, sf_dir):
+        from metacat_spark.stats import CatalogStats
+        return (CatalogStats(_engine(spark, sf_dir).cat)
+                .dataset_file_counts())
+    q["file_counts_by_dataset"] = counts_by_dataset
+
     def meta_histogram(spark, sf_dir):
         eng = _engine(spark, sf_dir)
         return (eng.file_set("files from test:all")
@@ -538,6 +544,11 @@ def oracle_sql() -> dict[str, str]:
     o["file_counts_by_namespace"] = _o(
         f"select namespace, count(*) as n_files, sum(size) as total_size "
         f"from files where {active} group by namespace")
+    o["file_counts_by_dataset"] = _o(
+        "select dataset_namespace, dataset_name, "
+        "count(*) as file_count from files_datasets "
+        "where file_id in (select id from files where not retired) "
+        "group by 1, 2")
     o["meta_value_histogram"] = _o(
         f"select m_core_data_type as value, count(*) as n from files "
         f"where {active} and {_member('test', 'all')} group by 1")

@@ -129,8 +129,12 @@ def _adler32_udf():
     global _adler32_pandas
     if _adler32_pandas is None:
         import zlib
-        _adler32_pandas = F.pandas_udf(
+        udf = F.pandas_udf(
             lambda s: s.map(lambda x: zlib.adler32(x.encode())), "long")
+        # deterministic in fact — but marking it nondeterministic stops
+        # Catalyst pushing the (expensive) Python filter below the
+        # membership join, where it would hash the whole files table
+        _adler32_pandas = udf.asNondeterministic()
     return _adler32_pandas
 
 
@@ -141,7 +145,12 @@ def _f_hash(engine, params, kw, dfs):
     modulo = int(params[0])
     remainder = int(params[1]) if len(params) > 1 else 0
     df = _one(dfs)
-    return df.where(_adler32_udf()(F.col("id")) % modulo == remainder)
+    # hash a narrow id-only projection, then semi-join back: the wide
+    # rows never cross the Python boundary, and AQE broadcasts the
+    # small matching-id side
+    ids = (df.select("id")
+           .where(_adler32_udf()(F.col("id")) % modulo == remainder))
+    return df.join(ids, "id", "left_semi")
 
 
 @register_filter("randomize")

@@ -154,3 +154,23 @@ def test_save_as_and_add_to(fresh):
     n2 = dml.add_to(eng.file_set("files from dune:urgent_3"),
                     "test", "saved_run")
     assert n2 > 0
+
+
+# ------------------------------------------------------------------ stats
+
+def test_stats_counts(fresh):
+    from metacat_spark.stats import CatalogStats
+    eng, dml = fresh
+    stats = CatalogStats(dml.cat)
+    exact = stats.nfiles("dune", "urgent_0", exact=True)
+    cached = stats.nfiles("dune", "urgent_0")
+    assert exact == cached > 0
+    direct = eng.query("files from dune:urgent_0", summary="count") \
+        .collect()[0]["count"]
+    assert exact == direct
+    # counts drop when a member file is retired and stats refresh
+    fid = eng.query("files from dune:urgent_0 ordered limit 1") \
+        .collect()[0]["id"]
+    dml.retire_file(fid)
+    stats2 = CatalogStats(dml.cat)
+    assert stats2.nfiles("dune", "urgent_0", exact=True) == exact - 1
