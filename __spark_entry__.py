@@ -520,7 +520,7 @@ def oracle_sql() -> dict[str, str]:
     o["limit_skip_empty_law"] = _o(f"{_all} limit 0")
 
     o["summary_count"] = _o(
-        f"select count(*) as count, sum(size) as total_size "
+        f"select count(*) as count, cast(sum(size) as bigint) as total_size "
         f"from files where {active} and {_member('test', 'all')}")
 
     _key_list = (
@@ -542,7 +542,7 @@ def oracle_sql() -> dict[str, str]:
         f"where {active} and {_member('dune', 'urgent_0')}) t")
 
     o["file_counts_by_namespace"] = _o(
-        f"select namespace, count(*) as n_files, sum(size) as total_size "
+        f"select namespace, count(*) as n_files, cast(sum(size) as bigint) as total_size "
         f"from files where {active} group by namespace")
     o["file_counts_by_dataset"] = _o(
         "select dataset_namespace, dataset_name, "

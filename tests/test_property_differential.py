@@ -91,6 +91,14 @@ def _atom():
         st.integers(-2, 3).flatmap(
             lambda i: st.integers(-3, 3).map(
                 lambda v: f"t.ia[{i}] = {v}")),
+        st.sampled_from(["a", "a.", "^a", "b$", "zz", "q"]).flatmap(
+            lambda p: st.sampled_from(["~", "~*", "!~", "!~*"]).map(
+                lambda op: f't.s {op} "{p}"')),
+        st.sampled_from(['"aa"', '"zz"', '"q"']).flatmap(
+            lambda lo: st.sampled_from(['"ab"', '"zz"']).map(
+                lambda hi: f"t.s in {lo}:{hi}")),
+        st.sampled_from(['"a"', '"b"', '"q"']).map(
+            lambda c: f"{c} in t.s"),
     )
     return simple
 
