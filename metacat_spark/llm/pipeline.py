@@ -1,0 +1,54 @@
+"""End-to-end training-data curation pipeline composition.
+
+Chains the individual operators into the canonical curation flow:
+
+    raw documents
+      → text analysis (tokens, quality, language)
+      → quality gate
+      → exact dedup
+      → near-dup removal (MinHash-LSH pairs → drop the higher id)
+      → curated corpus + per-stage accounting
+
+One lazy plan end-to-end; only the LSH stage introduces shuffles
+beyond the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as DD
+from . import text as TX
+
+
+def curate(documents: DataFrame, min_quality: float = 0.3,
+           min_tokens: int = 5, jaccard_threshold: float = 0.8,
+           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Returns the curated documents (original columns + analysis)."""
+    c = F.col(text_col)
+    analyzed = documents.withColumns({
+        "n_tokens": TX.token_count(c),
+        "quality": TX.quality_score(c),
+        "lang_pred": TX.lang_id(c),
+        "fingerprint": TX.poly_hash(c),
+    })
+    gated = analyzed.where((F.col("quality") >= min_quality)
+                           & (F.col("n_tokens") >= min_tokens))
+    exact = DD.dedup_exact(gated, text_col, id_col)
+    near_pairs = DD.minhash_lsh_pairs(exact, n=2, k=64, bands=16,
+                                     threshold=jaccard_threshold,
+                                     text_col=text_col, id_col=id_col)
+    drop = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return exact.join(drop, id_col, "left_anti")
+
+
+def curation_report(documents: DataFrame, curated: DataFrame,
+                    id_col: str = "doc_id") -> dict:
+    n_in = documents.count()
+    n_out = curated.count()
+    by_lang = {r["lang_pred"]: r["n"] for r in
+               curated.groupBy("lang_pred")
+               .agg(F.count("*").alias("n")).collect()}
+    return {"n_in": n_in, "n_out": n_out,
+            "removed": n_in - n_out, "by_lang_pred": by_lang}

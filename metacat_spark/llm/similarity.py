@@ -181,6 +181,63 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
             .select("id", "neighbor_id", "cosine", "rank"))
 
 
+def ivf_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
+             n_probe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k:
+
+    1. pick n_lists centroids deterministically (hash-sampled rows),
+    2. assign every vector to its nearest centroid (broadcast of the
+       tiny centroid table — one narrow pass),
+    3. each query probes its n_probe nearest centroid lists and ranks
+       only those candidates.
+
+    At 100 TB the candidate join is per-list (shuffle keyed on list
+    id), never O(N²); n_lists scales with data size, n_probe trades
+    recall for cost. Recall measured in tests vs brute force."""
+    base = _prep(df, vec_col, id_col)
+    # deterministic centroid sample: smallest n_lists xxhash64(id, seed)
+    cent_rows = (base.withColumn("hk", F.xxhash64(F.col("id").cast("string"),
+                                                  F.lit(seed)))
+                 .orderBy("hk").limit(n_lists)
+                 .select("vec").collect())
+    centroids = [list(r["vec"]) for r in cent_rows]
+
+    def list_dists(vec):
+        return [dot(vec, F.array(*[F.lit(x) for x in c])) /
+                (norm(F.array(*[F.lit(x) for x in c])) + F.lit(1e-12))
+                for c in centroids]
+
+    def top_lists(vec, n):
+        ds = list_dists(vec)
+        pairs = F.array(*[F.struct((ds[i] * -1).alias("d"),
+                                   F.lit(i).alias("lst"))
+                          for i in range(len(centroids))])
+        return F.slice(F.array_sort(pairs), 1, n)
+
+    # assignment: every vector → 1 list; queries → n_probe lists
+    assigned = base.withColumn(
+        "lst", F.element_at(top_lists(F.col("vec"), 1), 1)["lst"])
+    probes = (base.withColumn("pl", top_lists(F.col("vec"), n_probe))
+              .select("id", "vec", "nrm",
+                      F.explode(F.transform("pl", lambda s: s["lst"]))
+                      .alias("lst")))
+    a, b = probes.alias("a"), assigned.alias("b")
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
+                                                 * F.col("b.nrm"))
+    pairs = (a.join(b, (F.col("a.lst") == F.col("b.lst"))
+                    & (F.col("a.id") != F.col("b.id")))
+             .select(F.col("a.id").alias("id"),
+                     F.col("b.id").alias("neighbor_id"),
+                     F.round(sim, 6).alias("cosine"))
+             .dropDuplicates(["id", "neighbor_id"]))
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
+                                         F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", "neighbor_id", "cosine", "rank"))
+
+
 def centroid_by_label(df: DataFrame, vec_col: str = "embedding",
                       label_col: str = "label", dim: int = 64) -> DataFrame:
     """Per-label centroid — posexplode + groupBy(label, pos) keeps the

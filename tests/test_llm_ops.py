@@ -253,3 +253,36 @@ def test_multimodal_plumbing(docs):
     frames = MM.frame_sample_plan(assets, every_ms=500)
     f = frames.limit(10).collect()
     assert all(r["t_ms"] == r["frame_idx"] * 500 for r in f)
+
+
+# ----------------------------------------------------------- IVF / pipeline
+
+def test_ivf_topk_recall(embs):
+    from metacat_spark.llm import similarity as SIM
+    sub = embs.limit(150)
+    exact = {(r["id"], r["neighbor_id"]) for r in
+             SIM.brute_force_topk(sub, k=1).collect()}
+    approx = {(r["id"], r["neighbor_id"]) for r in
+              SIM.ivf_topk(sub, k=1, n_lists=8, n_probe=4).collect()}
+    hits = len(exact & approx)
+    assert hits / len(exact) >= 0.5, \
+        f"IVF nn recall degenerate: {hits / len(exact)}"
+
+
+def test_curation_pipeline(docs, spark):
+    from metacat_spark.llm import pipeline as PL
+    from pyspark.sql import functions as F
+    # plant exact + near duplicates
+    exact_dupe = docs.limit(5).withColumn("doc_id",
+                                          F.col("doc_id") + 900_000)
+    raw = docs.unionByName(exact_dupe)
+    curated = PL.curate(raw, min_quality=0.0, min_tokens=1,
+                        jaccard_threshold=0.8)
+    report = PL.curation_report(raw, curated)
+    assert report["n_in"] == docs.count() + 5
+    # exact dupes removed, plus the corpus's planted near-dup pairs
+    assert report["n_out"] < docs.count()
+    assert report["removed"] >= 5
+    # survivors are unique by content
+    n_hash = curated.select(F.md5("text")).distinct().count()
+    assert n_hash == report["n_out"]
