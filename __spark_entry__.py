@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files from dune:high_1 - parents(children(files from dune:high_1))")
     q["files_with_subsets_rec"] = _fq(
         "files from mc:flag_n with subsets recursively")
+    q["files_from_having"] = _fq(
+        'files from matching dune:* having data.type = "mc" '
+        "where core.good = true")
 
     # --- §2.6 ordering/pagination
     q["ordered_limit"] = _fq("files from test:all ordered limit 100")
@@ -327,6 +330,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.lsh_bucketed_topk(_embs(spark, sf_dir), k=3,
                                      n_tables=12, planes_per_table=2)
     q["embed_topk_ann_lsh"] = embed_ann  # rows-only (LSH bucketing)
+
+    def embed_ivf(spark, sf_dir):
+        from metacat_spark.llm import similarity as SIM
+        return SIM.ivf_topk(_embs(spark, sf_dir), k=3, n_lists=8,
+                            n_probe=4)
+    q["embed_topk_ivf"] = embed_ivf  # rows-only (IVF bucketing)
+
+    def curation(spark, sf_dir):
+        from metacat_spark.llm import pipeline as PL
+        return (PL.curate(_docs(spark, sf_dir), min_quality=0.0,
+                          min_tokens=1, jaccard_threshold=0.8)
+                .select("doc_id", "lang", "source"))
+    q["doc_curation_pipeline"] = curation  # rows-only (LSH inside)
 
     def embed_centroids(spark, sf_dir):
         from metacat_spark.llm import similarity as SIM
@@ -508,6 +524,13 @@ def oracle_sql() -> dict[str, str]:
         f"  select file_id from files_datasets fd join closure c "
         f"  on fd.dataset_namespace = c.namespace "
         f"  and fd.dataset_name = c.name)")
+
+    o["files_from_having"] = _o(
+        f"select {FQ_SEL} from files where {active} and m_core_good "
+        f"and id in (select file_id from files_datasets fd "
+        f"  join datasets d on fd.dataset_namespace = d.namespace "
+        f"   and fd.dataset_name = d.name "
+        f"  where d.namespace = 'dune' and d.m_data_type = 'mc')")
 
     _all = (f"select {FQ_SEL} from files where {active} "
             f"and {_member('test', 'all')}")

@@ -47,3 +47,12 @@ def ids_of(df):
 
 def duck_ids(duck, sql):
     return sorted(r[0] for r in duck.execute(sql).fetchall())
+
+
+@pytest.fixture(scope="session")
+def engine_small(engine):
+    """Engine with the id-ordered base list cached for slicing laws."""
+    ids = [r["id"] for r in
+           engine.query("files from dune:urgent_0 ordered").collect()]
+    engine._all_ids_cache = ids
+    return engine

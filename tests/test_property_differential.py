@@ -150,3 +150,23 @@ def test_compiler_matches_row_evaluator(rows, where, spark, compiler):
     assert got == want, (
         f"divergence for {where!r}\nrows={json.dumps(rows, default=str)}"
         f"\nspark={got}\npython={want}")
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(
+    st.one_of(st.tuples(st.just("skip"), st.integers(0, 30)),
+              st.tuples(st.just("limit"), st.integers(0, 40))),
+    min_size=1, max_size=5))
+def test_skip_limit_merge_law_property(ops, spark, engine_small):
+    """Random skip/limit chains: the engine must equal naive
+    sequential slicing over the id-ordered list
+    (docs/mql.rst:749-804 law)."""
+    mql = "files from dune:urgent_0 ordered" + "".join(
+        f" {op} {n}" for op, n in ops)
+    got = [r["id"] for r in engine_small.query(mql).collect()]
+    want = engine_small._all_ids_cache
+    for op, n in ops:
+        want = want[n:] if op == "skip" else want[:n]
+    assert got == want, mql
