@@ -57,10 +57,15 @@ class PredicateCompiler:
     """
 
     def __init__(self, meta: MetaSchema, attributes: dict,
-                 json_column: Optional[str] = "metadata"):
+                 json_column: Optional[str] = "metadata",
+                 variant_column: Optional[str] = None):
         self.meta = meta
         self.attributes = attributes
         self.json_column = json_column
+        # Spark 4 VariantType path: when set, unshredded keys use
+        # try_variant_get over a parsed-variant column (binary-encoded,
+        # typed extraction) instead of get_json_object string probing
+        self.variant_column = variant_column
 
     # ------------------------------------------------------------ helpers
     def _scalar_column(self, key: str) -> tuple[Column, str]:
@@ -68,6 +73,8 @@ class PredicateCompiler:
         mk = self.meta.get(key)
         if mk is not None:
             return F.col(mk.column), mk.mtype
+        if self.variant_column is not None:
+            return F.lit(None), f"variant:{key}"
         if self.json_column is None:
             raise CompileError(f"unknown metadata key {key!r}")
         # schema-on-read fallback; untyped until use-site casts
@@ -78,8 +85,17 @@ class PredicateCompiler:
             raise CompileError(f"unknown attribute {name!r}")
         return F.col(name), self.attributes[name]
 
+    _VARIANT_TYPES = {"int": "bigint", "float": "double",
+                      "datetime": "double", "date": "double",
+                      "bool": "boolean", "str": "string"}
+
     def _typed(self, col: Column, coltype: str, const: Const) -> Column:
         """Cast a json-fallback column per the literal's type."""
+        if coltype.startswith("variant:"):
+            key = coltype[len("variant:"):]
+            vt = self._VARIANT_TYPES.get(const.kind, "string")
+            return F.try_variant_get(F.col(self.variant_column),
+                                     f"$['{key}']", vt)
         if coltype != "json":
             if coltype == "timestamp" and const.kind in ("datetime", "date",
                                                          "int", "float"):
@@ -139,16 +155,19 @@ class PredicateCompiler:
             return col, mtype[:-2]
         if mtype.startswith("map<"):
             return F.map_values(col), mtype[mtype.index(",") + 1:-1]
-        if mtype == "json":
-            return col, "json"
+        if mtype == "json" or mtype.startswith("variant"):
+            return col, mtype
         raise CompileError(f"[any]/[all] over non-array type {mtype}")
 
     def _json_array(self, key: str, const: Const) -> Column:
-        """Unshredded array access: from_json with element type from the
-        literal (per-use element typing, SURVEY §7.3)."""
+        """Unshredded array access with element type from the literal
+        (per-use element typing, SURVEY §7.3)."""
         elem = {"int": "bigint", "float": "double", "bool": "boolean",
                 "datetime": "double", "date": "double"}.get(const.kind,
                                                             "string")
+        if self.variant_column is not None:
+            return F.try_variant_get(F.col(self.variant_column),
+                                     f"$['{key}']", f"array<{elem}>")
         raw = F.get_json_object(F.col(self.json_column), f"$['{key}']")
         return F.from_json(raw, f"array<{elem}>")
 
@@ -174,6 +193,9 @@ class PredicateCompiler:
             return self._compile_set(exp)
         if isinstance(exp, Present):
             col, mtype = self._scalar_column(exp.key)
+            if mtype.startswith("variant:"):
+                col = F.try_variant_get(F.col(self.variant_column),
+                                        f"$['{exp.key}']", "variant")
             return col.isNull() if exp.negated else col.isNotNull()
         if isinstance(exp, ConstIn):
             return self._compile_const_in(exp)
@@ -224,7 +246,7 @@ class PredicateCompiler:
         mk = self.meta.get(key)
         if mk is not None:
             return F.col(mk.column), mk.mtype
-        if self.json_column is None:
+        if self.json_column is None and self.variant_column is None:
             raise CompileError(f"unknown metadata key {key!r}")
         return self._json_array(key, const), (
             "bigint[]" if const.kind == "int" else
@@ -241,14 +263,16 @@ class PredicateCompiler:
                 idx = s.index + 1 if s.index >= 0 else s.index
                 return F.try_element_at(col, F.lit(idx))
             return F.try_element_at(col, F.lit(s.index))
+        if isinstance(s.index, int):
+            path = f"$['{s.key}'][{s.index}]"
+        else:
+            path = f"$['{s.key}'].{s.index}"
+        if self.variant_column is not None:
+            vt = self._VARIANT_TYPES.get(const.kind, "string")
+            return F.try_variant_get(F.col(self.variant_column), path, vt)
         if self.json_column is None:
             raise CompileError(f"unknown metadata key {s.key!r}")
-        if isinstance(s.index, int):
-            raw = F.get_json_object(F.col(self.json_column),
-                                    f"$['{s.key}'][{s.index}]")
-        else:
-            raw = F.get_json_object(F.col(self.json_column),
-                                    f"$['{s.key}'].{s.index}")
+        raw = F.get_json_object(F.col(self.json_column), path)
         return self._typed(raw, "json", const)
 
     def _compile_range(self, exp: InRange) -> Column:
@@ -331,13 +355,18 @@ class PredicateCompiler:
         mk = self.meta.get(exp.key)
         const = exp.const
         if mk is None:
-            if self.json_column is None:
+            if self.json_column is None and self.variant_column is None:
                 raise CompileError(f"unknown metadata key {exp.key!r}")
             arr = self._json_array(exp.key, const)
             e = F.array_contains(arr, F.lit(const.value))
             if const.kind == "str":
-                scalar = F.get_json_object(F.col(self.json_column),
-                                           f"$['{exp.key}']")
+                if self.variant_column is not None:
+                    scalar = F.try_variant_get(
+                        F.col(self.variant_column), f"$['{exp.key}']",
+                        "string")
+                else:
+                    scalar = F.get_json_object(F.col(self.json_column),
+                                               f"$['{exp.key}']")
                 e = e | scalar.rlike(str(const.value))
             return ~e if exp.negated else e
         col = F.col(mk.column)

@@ -1,0 +1,52 @@
+"""Spark 4 VariantType unshredded-metadata path: must match both the
+shredded path and the get_json_object fallback on every predicate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import ids_of
+
+from metacat_spark.predicate import PredicateCompiler
+from metacat_spark.schema import FILE_ATTRIBUTES, MetaSchema
+
+CASES = [
+    "core.run > 250 and core.x <= 0.5",
+    "beam.status present and detector.modules not present",
+    'beam.status = "on" or core.good = true',
+    "core.runs[any] > 490",
+    "data.sequence[all] < 9",
+    "len(data.sequence) > 5",
+    "data.sequence[2] = 2",
+    'data.trigger_bits["muon"] = 1',
+    "42 in core.runs",
+    "core.run in 100:200",
+    "core.data_type in (mc, data)",
+    '!(beam.status = "on")',
+    'core.timestamp > datetime("1996-06-01")',
+    "core.timestamp = date(1995-06-15)",
+]
+
+
+@pytest.fixture(scope="module")
+def variant_engine(engine):
+    """Engine whose file predicates resolve ONLY via a variant column
+    (no shredded columns, no JSON-string fallback)."""
+    import copy
+    cat = engine.cat
+    files_v = cat.files.withColumn("metadata_v", F.parse_json("metadata"))
+    eng = copy.copy(engine)
+    eng.cat = copy.copy(cat)
+    eng.cat.files = files_v
+    eng.file_pred = PredicateCompiler(MetaSchema([]), FILE_ATTRIBUTES,
+                                      json_column=None,
+                                      variant_column="metadata_v")
+    return eng
+
+
+@pytest.mark.parametrize("where", CASES)
+def test_variant_matches_shredded(where, engine, variant_engine):
+    shredded = ids_of(engine.query(f"files from test:all where {where}"))
+    variant = ids_of(variant_engine.query(
+        f"files from test:all where {where}"))
+    assert variant == shredded, where
+    assert shredded  # non-trivial case
