@@ -87,13 +87,22 @@ def main():
      .select(warm(F.length("id"))).count())
     setup_sec = time.time() - t0
 
+    queries = bench_queries(engine)
     timings = {}
-    for name, fn in bench_queries(engine).items():
+    for name, fn in queries.items():
         t = time.time()
         n = fn()
         timings[name] = round(time.time() - t, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
               file=sys.stderr)
+
+    # second pass: steady-state (codegen/scan caches warm) — what a
+    # resident catalog service delivers per request
+    warm = {}
+    for name, fn in queries.items():
+        t = time.time()
+        fn()
+        warm[name] = round(time.time() - t, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -103,6 +112,8 @@ def main():
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "setup_sec": round(setup_sec, 3),
+        "queries_warm": warm,
+        "warm_total_sec": round(sum(warm.values()), 4),
     }))
     spark.stop()
 

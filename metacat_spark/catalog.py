@@ -98,6 +98,12 @@ def from_materialized(spark: SparkSession, sf_dir: str) -> Catalog:
 
 def from_tpch(spark: SparkSession, sf_dir: str,
               cache_files: bool = False) -> Catalog:
+    # epoch-seconds derivations (core.timestamp) interpret NTZ
+    # timestamps in the session timezone; pin UTC so results are
+    # identical under externally-created sessions (incl. the driver's).
+    # nanosAsLong lets the TIMESTAMP(NANOS) events table register.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = {}
     for t in RAW_TABLES:
         try:

@@ -24,14 +24,23 @@ EVENTS_RAW_SCHEMA = T.StructType([
 ])
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """The events parquet carries TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as long nanos. Runtime-settable,
+    so this works under externally-created sessions too."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with a proper timestamp column (ns long → µs timestamp)."""
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn(
         "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
     # readStream needs a directory source; glob-filter to the one table
     df = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
           .option("pathGlobFilter", "events.parquet")
