@@ -53,6 +53,56 @@ def _meta_json_column(schema: MetaSchema) -> F.Column:
     ]))
 
 
+def from_dataframes(spark: SparkSession, files: DataFrame,
+                    files_datasets: DataFrame,
+                    parent_child: Optional[DataFrame] = None,
+                    datasets: Optional[DataFrame] = None,
+                    datasets_parent_child: Optional[DataFrame] = None,
+                    namespaces: Optional[DataFrame] = None,
+                    queries_tbl: Optional[DataFrame] = None,
+                    file_meta: Optional[MetaSchema] = None) -> Catalog:
+    """Source-agnostic construction: any Spark-readable source (parquet,
+    JSON, CSV, JDBC, Delta, a stream sink...) can back the catalog —
+    callers provide DataFrames with the canonical columns. ``files``
+    needs at minimum (id, namespace, name, size, retired, metadata);
+    unshredded deployments can pass ``file_meta=MetaSchema([])`` and
+    every predicate runs through the JSON/variant fallback path."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def _empty(cols: list[str]):
+        return spark.createDataFrame([], ", ".join(
+            f"{c} string" for c in cols))
+
+    cat = Catalog(
+        spark, files, files_datasets,
+        parent_child if parent_child is not None
+        else _empty(["parent_id", "child_id"]),
+        datasets if datasets is not None
+        else files_datasets.select(
+            F.col("dataset_namespace").alias("namespace"),
+            F.col("dataset_name").alias("name")).distinct()
+            .withColumns({"frozen": F.lit(False),
+                          "monotonic": F.lit(False),
+                          "creator": F.lit(None).cast("string"),
+                          "description": F.lit(None).cast("string"),
+                          "created_timestamp":
+                              F.lit(None).cast("timestamp"),
+                          "metadata": F.lit("{}")}),
+        datasets_parent_child if datasets_parent_child is not None
+        else _empty(["parent_namespace", "parent_name",
+                     "child_namespace", "child_name"]),
+        namespaces if namespaces is not None
+        else files.select(F.col("namespace").alias("name")).distinct()
+            .withColumn("owner_user", F.lit(None).cast("string")),
+        queries_tbl if queries_tbl is not None
+        else _empty(["namespace", "name", "source", "creator",
+                     "description", "metadata"]),
+    )
+    if file_meta is not None:
+        cat.file_meta = file_meta
+    return cat
+
+
 def materialize_tables(spark: SparkSession, sf_dir: str,
                        buckets: int = 32) -> None:
     """One-time ingest: persist the big fixture tables as bucketed,

@@ -331,8 +331,10 @@ class Engine:
     # --------------------------------------------------------- projection
     def _project_files(self, df: DataFrame, with_meta: bool,
                        with_provenance: bool) -> DataFrame:
-        cols = list(FILE_OUTPUT_COLUMNS)
-        if with_meta:
+        # tolerate minimal sources (from_dataframes): project only the
+        # canonical columns the backing table actually has
+        cols = [c for c in FILE_OUTPUT_COLUMNS if c in df.columns]
+        if with_meta and "metadata" in df.columns:
             cols.append("metadata")
         out = df.select(*cols)
         if with_provenance:
