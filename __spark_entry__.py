@@ -302,8 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_minhash(spark, sf_dir):
         from metacat_spark.llm import dedup as DD
-        return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=64,
-                                    bands=16, threshold=0.5)
+        return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=32,
+                                    bands=8, threshold=0.5)
     q["dedup_minhash_lsh"] = dedup_minhash  # rows-only (engine hashing)
 
     def dedup_simhash(spark, sf_dir):

@@ -63,7 +63,7 @@ def bench_queries(engine: Engine):
     q["q7_filter_hash"] = lambda: _consume(engine.query(
         "filter hash(4, 1)(files from dune:high_0)"))
     q["q8_dedup_minhash_lsh"] = lambda: _consume(
-        DD.minhash_lsh_pairs(docs, n=2, k=64, bands=16, threshold=0.5))
+        DD.minhash_lsh_pairs(docs, n=2, k=32, bands=8, threshold=0.5))
     q["q9_text_analysis"] = lambda: _consume(TX.analyze(docs))
     q["q10_embed_topk"] = lambda: _consume(SIM.topk_gemm(embs, k=3))
     q["q11_events_window"] = lambda: _consume(

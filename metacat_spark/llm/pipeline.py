@@ -36,7 +36,7 @@ def curate(documents: DataFrame, min_quality: float = 0.3,
     gated = analyzed.where((F.col("quality") >= min_quality)
                            & (F.col("n_tokens") >= min_tokens))
     exact = DD.dedup_exact(gated, text_col, id_col)
-    near_pairs = DD.minhash_lsh_pairs(exact, n=2, k=64, bands=16,
+    near_pairs = DD.minhash_lsh_pairs(exact, n=2, k=32, bands=8,
                                      threshold=jaccard_threshold,
                                      text_col=text_col, id_col=id_col)
     drop = near_pairs.select(F.col("id_b").alias(id_col)).distinct()

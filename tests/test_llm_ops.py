@@ -127,7 +127,7 @@ def test_minhash_lsh_recall(docs):
     exact = {(r["id_a"], r["id_b"]) for r in
              DD.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
     lsh = {(r["id_a"], r["id_b"]) for r in
-           DD.minhash_lsh_pairs(docs, n=2, k=64, bands=16,
+           DD.minhash_lsh_pairs(docs, n=2, k=32, bands=8,
                                 threshold=0.5).collect()}
     assert lsh <= exact  # exact verification ⇒ no false positives
     if exact:
