@@ -192,3 +192,18 @@ def test_include_retired(engine, duck):
     got = ids_of(engine.query("files from test:all", include_retired=True))
     want = duck_ids(duck, f"select {FID} from lineitem")
     assert got == want
+
+
+def test_cursor_pagination_equivalence(engine):
+    """Scale-path pagination: id-cursor pages must equal skip-based
+    pages (docs/SCALING.md) — and compile to a pruned scan + top-k
+    instead of a global sort."""
+    page1 = [r["id"] for r in
+             engine.query("files from test:all ordered limit 50").collect()]
+    last = page1[-1]
+    page2_skip = [r["id"] for r in engine.query(
+        "files from test:all skip 50 limit 50").collect()]
+    page2_cursor = [r["id"] for r in engine.query(
+        f'files from test:all where id > "{last}" ordered limit 50')
+        .collect()]
+    assert page2_cursor == page2_skip and len(page2_cursor) == 50
