@@ -26,6 +26,9 @@ def get_spark(app: str = "metacat_spark", cpus: int | None = None,
          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         # concurrent catalog queries (client pool of 5) share the
+         # cluster fairly instead of FIFO-blocking each other
+         .config("spark.scheduler.mode", "FAIR")
          .config("spark.ui.enabled", "false"))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
