@@ -232,6 +232,77 @@ class DML:
                                        .otherwise(
                                            F.col("retired_timestamp"))))
 
+    def move_files(self, file_ids: list[str], to_namespace: str,
+                   by: str = "admin") -> None:
+        """Move files across namespaces (dbobjects2.py:706-736): the
+        namespace column changes; the file id (and thus provenance and
+        membership, which key on id) is untouched."""
+        files = self.cat.files
+        hit = F.col("id").isin(file_ids)
+        self.cat.files = (files
+                          .withColumn("namespace",
+                                      F.when(hit, F.lit(to_namespace))
+                                       .otherwise(F.col("namespace")))
+                          .withColumn("updated_by",
+                                      F.when(hit, F.lit(by))
+                                       .otherwise(F.col("updated_by")))
+                          .withColumn("updated_timestamp",
+                                      F.when(hit, F.current_timestamp())
+                                       .otherwise(
+                                           F.col("updated_timestamp"))))
+
+    def update_dataset(self, ns: str, name: str,
+                       metadata: Optional[dict] = None,
+                       mode: str = "update",
+                       frozen: Optional[bool] = None,
+                       monotonic: Optional[bool] = None,
+                       description: Optional[str] = None) -> None:
+        """Dataset updates incl. metadata update/replace modes
+        (webapi.py:429-472) and flag toggles."""
+        ds = self.cat.datasets
+        hit = (F.col("namespace") == ns) & (F.col("name") == name)
+        if metadata is not None:
+            if mode not in ("update", "replace"):
+                raise DMLError(f"bad mode {mode!r}")
+            patch = F.lit(json.dumps(metadata))
+            if mode == "replace":
+                new_meta = patch
+            else:
+                patch_map = F.from_json(patch, "map<string,string>")
+                old_map = F.coalesce(
+                    F.from_json("metadata", "map<string,string>"),
+                    F.from_json(F.lit("{}"), "map<string,string>"))
+                new_meta = F.to_json(F.map_concat(
+                    F.map_filter(old_map,
+                                 lambda k, v: ~F.map_contains_key(
+                                     patch_map, k)),
+                    patch_map))
+            ds = ds.withColumn("metadata",
+                               F.when(hit, new_meta)
+                                .otherwise(F.col("metadata")))
+        for colname, val in (("frozen", frozen), ("monotonic", monotonic),
+                             ("description", description)):
+            if val is not None:
+                ds = ds.withColumn(colname,
+                                   F.when(hit, F.lit(val))
+                                    .otherwise(F.col(colname)))
+        self.cat.datasets = ds
+        if frozen is not None:
+            (self.frozen.add if frozen else
+             self.frozen.discard)((ns, name))
+        if monotonic is not None:
+            (self.monotonic.add if monotonic else
+             self.monotonic.discard)((ns, name))
+
+    def create_namespace(self, name: str, owner: str = "admin") -> None:
+        existing = self.cat.namespaces.where(
+            F.col("name") == name).count()
+        if existing:
+            raise DMLError(f"namespace {name!r} already exists")
+        row = self.cat.spark.createDataFrame([(name, owner)],
+                                             self.cat.namespaces.columns)
+        self.cat.namespaces = self.cat.namespaces.unionByName(row)
+
     # ------------------------------------------------------------- sinks
     def save_as(self, result: DataFrame, ns: str, name: str,
                 frozen: bool = False, monotonic: bool = False) -> int:

@@ -174,3 +174,42 @@ def test_stats_counts(fresh):
     dml.retire_file(fid)
     stats2 = CatalogStats(dml.cat)
     assert stats2.nfiles("dune", "urgent_0", exact=True) == exact - 1
+
+
+def test_move_files(fresh):
+    eng, dml = fresh
+    fid = eng.query("files from dune:urgent_2 ordered limit 1") \
+        .collect()[0]["id"]
+    dml.move_files([fid], "test", by="mover")
+    row = dml.cat.files.where(F.col("id") == fid) \
+        .select("namespace", "updated_by").collect()[0]
+    assert row["namespace"] == "test" and row["updated_by"] == "mover"
+    # membership (keyed by id) still holds: the file remains in its
+    # datasets after the move
+    eng2 = Engine(dml.cat)
+    ids = {r["id"] for r in eng2.query("files from dune:urgent_2")
+           .collect()}
+    assert fid in ids
+
+
+def test_update_dataset(fresh):
+    _, dml = fresh
+    dml.update_dataset("dune", "urgent_2", metadata={"data.type": "mc"},
+                       frozen=True, description="frozen now")
+    row = dml.cat.datasets.where(
+        (F.col("namespace") == "dune") & (F.col("name") == "urgent_2")) \
+        .select("frozen", "description", "metadata").collect()[0]
+    assert row["frozen"] and row["description"] == "frozen now"
+    assert '"data.type": "mc"' in row["metadata"].replace('":"', '": "')
+    with pytest.raises(DMLError, match="frozen"):
+        dml.add_files_to_dataset(["x"], "dune", "urgent_2")
+    dml.update_dataset("dune", "urgent_2", frozen=False)
+    dml.add_files_to_dataset(["x"], "dune", "urgent_2")  # unfrozen
+
+
+def test_create_namespace(fresh):
+    _, dml = fresh
+    dml.create_namespace("newns", owner="me")
+    assert dml.cat.namespaces.where(F.col("name") == "newns").count() == 1
+    with pytest.raises(DMLError, match="exists"):
+        dml.create_namespace("newns")
