@@ -217,6 +217,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .dataset_file_counts())
     q["file_counts_by_dataset"] = counts_by_dataset
 
+    def agg_cube(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        out = eng.aggregate(
+            "files from test:all",
+            group_by=["namespace", "core.data_type"],
+            aggs={"n": ("count", None),
+                  "total_size": ("sum", "size"),
+                  "max_run": ("max", "core.run")},
+            cube=True)
+        return out.withColumn("total_size",
+                              F.col("total_size").cast("long"))
+    q["agg_cube_namespace_datatype"] = agg_cube
+
     def meta_histogram(spark, sf_dir):
         eng = _engine(spark, sf_dir)
         return (eng.file_set("files from test:all")
@@ -572,6 +585,12 @@ def oracle_sql() -> dict[str, str]:
         "count(*) as file_count from files_datasets "
         "where file_id in (select id from files where not retired) "
         "group by 1, 2")
+    o["agg_cube_namespace_datatype"] = _o(
+        "select namespace, m_core_data_type as core_data_type, "
+        "count(*) as n, cast(sum(size) as bigint) as total_size, "
+        "max(m_core_run) as max_run "
+        f"from files where {active} and {_member('test', 'all')} "
+        "group by cube(namespace, m_core_data_type)")
     o["meta_value_histogram"] = _o(
         f"select m_core_data_type as value, count(*) as n from files "
         f"where {active} and {_member('test', 'all')} group by 1")

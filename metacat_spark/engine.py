@@ -347,6 +347,47 @@ class Engine:
                    .join(children, "id", "left"))
         return out
 
+    # --------------------------------------------------- aggregation API
+    _AGG_FNS = {"count": lambda c: F.count("*"),
+                "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+                "count_distinct": F.countDistinct}
+
+    def aggregate(self, text: str, group_by: list,
+                  aggs: dict, cube: bool = False,
+                  include_retired: bool = False,
+                  default_namespace: Optional[str] = None) -> DataFrame:
+        """General aggregation over a file set — beyond-reference
+        surface (the reference has only fixed summaries, SURVEY §2.7;
+        Spark gives grouping sets/cube for free).
+
+        group_by: attribute names or dotted metadata keys (resolved
+        through the same shredded/JSON machinery as predicates).
+        aggs: {output_alias: (fn, column)} with fn in
+        count/sum/avg/min/max/count_distinct; column may be an
+        attribute, a dotted metadata key, or None for count.
+        """
+        df = self.file_set(text, include_retired, default_namespace)
+
+        def resolve(key: str):
+            if key in FILE_ATTRIBUTES:
+                return F.col(key)
+            col, mtype = self.file_pred._scalar_column(key)
+            return col
+
+        gnames = [k.replace(".", "_") for k in group_by]
+        sel = [resolve(k).alias(n) for k, n in zip(group_by, gnames)]
+        for alias, (fn, key) in aggs.items():
+            if key is not None:
+                sel.append(resolve(key).alias(f"_in_{alias}"))
+        named = df.select(*sel)
+        grouped = named.cube(*gnames) if cube else named.groupBy(*gnames)
+        agg_cols = []
+        for alias, (fn, key) in aggs.items():
+            f = self._AGG_FNS[fn]
+            agg_cols.append((f(F.col(f"_in_{alias}")) if key is not None
+                             else F.count("*")).alias(alias))
+        return grouped.agg(*agg_cols)
+
     # ------------------------------------------------------ file set core
     def file_set(self, text: str, include_retired: bool = False,
                  default_namespace: Optional[str] = None) -> DataFrame:

@@ -19,13 +19,15 @@ ORACLES = entrymod.oracle_sql()
 
 
 def _norm(v):
+    if v is None:
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        return repr(round(v, 9))
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    return v
+    return repr(v)
 
 
 def _rows_spark(df):
