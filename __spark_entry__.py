@@ -341,7 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embed_ann(spark, sf_dir):
         from metacat_spark.llm import similarity as SIM
         return SIM.lsh_bucketed_topk(_embs(spark, sf_dir), k=3,
-                                     n_tables=12, planes_per_table=2)
+                                     n_tables=12, planes_per_table=3)
     q["embed_topk_ann_lsh"] = embed_ann  # rows-only (LSH bucketing)
 
     def embed_ivf(spark, sf_dir):

@@ -182,20 +182,35 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
                    F.lit("1")).otherwise(F.lit("0"))
             for p in ps])
         tables.append(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
-    bucketed = (base.select("id", "vec", "nrm",
+    bucketed = (base.select("id", "vec",
                             F.explode(F.array(*tables)).alias("b"))
-                .select("id", "vec", "nrm",
+                .select("id", "vec",
                         F.col("b.t").alias("t"),
                         F.col("b.sig").alias("sig")))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
-                                                 * F.col("b.nrm"))
-    pairs = (a.join(b, (F.col("a.t") == F.col("b.t"))
-                    & (F.col("a.sig") == F.col("b.sig"))
-                    & (F.col("a.id") != F.col("b.id")))
-             .select(F.col("a.id").alias("id"),
-                     F.col("b.id").alias("neighbor_id"),
-                     F.round(sim, 6).alias("cosine"))
+
+    # per-bucket scoring as a grouped-map GEMM: each (table, signature)
+    # bucket's block of vectors is scored with one numpy matmul —
+    # per-pair interpreted dot products were the dominant cost
+    import numpy as np
+    import pandas as pd
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": [], "neighbor_id": [],
+                                 "cosine": []})
+        m = np.array(list(pdf["vec"]), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 6)
+        ids_arr = pdf["id"].to_numpy()
+        np.fill_diagonal(sims, -np.inf)
+        qi, ci = np.nonzero(np.isfinite(sims))
+        return pd.DataFrame({"id": ids_arr[qi],
+                             "neighbor_id": ids_arr[ci],
+                             "cosine": sims[qi, ci]})
+
+    pairs = (bucketed.groupBy("t", "sig")
+             .applyInPandas(score_bucket,
+                            "id long, neighbor_id long, cosine double")
              .dropDuplicates(["id", "neighbor_id"]))
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
                                          F.col("neighbor_id"))
