@@ -240,9 +240,10 @@ class Engine:
         parts = []
         for sel in selectors:
             seed = ds.where(self._selector_cond(sel, "namespace", "name"))
-            if sel.with_subsets:
+            if sel.with_subsets or sel.with_ancestors:
                 names = seed.select("namespace", "name")
-                closure = self._subset_closure(names, sel.recursively)
+                closure = self._subset_closure(names, sel.recursively,
+                                               up=sel.with_ancestors)
                 seed = ds.join(closure, ["namespace", "name"], "left_semi")
             if sel.having is not None:
                 seed = seed.where(self.dataset_pred.compile(sel.having))
@@ -250,31 +251,35 @@ class Engine:
         out = reduce(DataFrame.unionByName, parts)
         return out.dropDuplicates(["namespace", "name"])
 
-    def _subset_closure(self, seed: DataFrame,
-                        recursively: bool) -> DataFrame:
+    def _subset_closure(self, seed: DataFrame, recursively: bool,
+                        up: bool = False) -> DataFrame:
+        """Dataset DAG closure. ``up=False`` walks parent→child
+        (``with subsets``, dbobjects2.py:1062-1086); ``up=True`` walks
+        child→parent (``ancestors``, dbobjects2.py:1094-1122) — the same
+        traversal with the edge roles swapped."""
         edges = self.cat.datasets_parent_child
-        child_sel = [F.col("child_namespace").alias("namespace"),
-                     F.col("child_name").alias("name")]
+        here, there = (("child", "parent") if up else ("parent", "child"))
+        out_sel = [F.col(f"{there}_namespace").alias("namespace"),
+                   F.col(f"{there}_name").alias("name")]
+
+        def step(front: DataFrame) -> DataFrame:
+            return (edges.join(
+                front.withColumnRenamed("namespace", f"{here}_namespace")
+                     .withColumnRenamed("name", f"{here}_name"),
+                [f"{here}_namespace", f"{here}_name"], "left_semi")
+                .select(*out_sel))
+
         if not recursively:
-            children = (edges.join(
-                seed.withColumnRenamed("namespace", "parent_namespace")
-                    .withColumnRenamed("name", "parent_name"),
-                ["parent_namespace", "parent_name"], "left_semi")
-                .select(*child_sel))
-            return seed.unionByName(children).dropDuplicates(
+            return seed.unionByName(step(seed)).dropDuplicates(
                 ["namespace", "name"])
         # transitive closure: frontier loop with visited-set cycle guard
         acc = seed.dropDuplicates(["namespace", "name"]).localCheckpoint()
         frontier = acc
         while True:
-            nxt = (edges.join(
-                frontier.withColumnRenamed("namespace", "parent_namespace")
-                        .withColumnRenamed("name", "parent_name"),
-                ["parent_namespace", "parent_name"], "left_semi")
-                .select(*child_sel)
-                .dropDuplicates(["namespace", "name"])
-                .join(acc, ["namespace", "name"], "left_anti")
-                .localCheckpoint())
+            nxt = (step(frontier)
+                   .dropDuplicates(["namespace", "name"])
+                   .join(acc, ["namespace", "name"], "left_anti")
+                   .localCheckpoint())
             if nxt.isEmpty():
                 return acc
             acc = acc.unionByName(nxt).localCheckpoint()
@@ -322,11 +327,60 @@ class Engine:
                               .alias("key"))
                     .distinct())
         if kind == "key-values":
-            kv = df.select(F.explode(
-                F.from_json("metadata", "map<string,string>")).alias(
-                    "key", "value"))
-            return kv.distinct()
+            return self._summary_key_values(df)
         raise QueryError(f"unknown summary {kind!r}")
+
+    # canonical (vtype, value-string) formatting per logical metadata
+    # type — shared contract with the driver oracle (the oracle SQL in
+    # __spark_entry__.py is generated from the same MetaSchema).
+    _KV_VTYPE = {"int": "number", "float": "number", "str": "string",
+                 "bool": "boolean"}
+
+    @staticmethod
+    def _kv_canonical(col: F.Column, mtype: str) -> F.Column:
+        if mtype == "float":
+            # fixed-scale decimal: identical text in Spark and DuckDB
+            # (double→string would render 8.34192E8 vs 834192000.0)
+            return col.cast("decimal(38,6)").cast("string")
+        if mtype in ("int", "str", "bool"):
+            return col.cast("string")
+        return F.to_json(col)  # arrays/maps: compact JSON text
+
+    def _summary_key_values(self, df: DataFrame) -> DataFrame:
+        """Distinct (key, vtype, value) triples over the file set's
+        metadata — the reference's ``jsonb_each`` summary
+        (dbobjects2.py:390-404) with an explicit JSON type tag so
+        non-scalar and scalar values keep faithful representations.
+        Shredded keys are read from their typed columns (no JSON
+        re-parse, stays in codegen); unshredded keys fall back to the
+        JSON column."""
+        schema = self.cat.file_meta
+        structs = []
+        for mk in schema.by_key.values():
+            vtype = self._KV_VTYPE.get(
+                mk.mtype, "object" if mk.is_map else "array")
+            structs.append(F.struct(
+                F.lit(mk.key).alias("key"), F.lit(vtype).alias("vtype"),
+                self._kv_canonical(F.col(mk.column), mk.mtype)
+                .alias("value")))
+        parts = []
+        if structs:
+            kv = (df.select(F.explode(F.array(*structs)).alias("kv"))
+                  .select("kv.*").where(F.col("value").isNotNull()))
+            parts.append(kv)
+        if "metadata" in df.columns:
+            shredded = list(schema.by_key)
+            other = (df.select(
+                F.col("metadata"),
+                F.explode(F.json_object_keys("metadata")).alias("key"))
+                .where(~F.col("key").isin(shredded))
+                .select("key", F.lit("json").alias("vtype"),
+                        F.expr("get_json_object(metadata, "
+                               "concat('$[\\'', key, '\\']'))")
+                        .alias("value"))
+                .where(F.col("value").isNotNull()))
+            parts.append(other)
+        return reduce(DataFrame.unionByName, parts).distinct()
 
     # --------------------------------------------------------- projection
     def _project_files(self, df: DataFrame, with_meta: bool,

@@ -150,6 +150,7 @@ class DatasetSelector:
     namespace: Optional[str]
     name: str
     with_subsets: bool = False
+    with_ancestors: bool = False
     recursively: bool = False
     having: Optional[MetaExp] = None
 

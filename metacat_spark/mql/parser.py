@@ -123,6 +123,25 @@ class Parser:
 
     # --------------------------------------------------------------- entry
     def parse_top(self):
+        # A top-level `with namespace = "ns"` scope header may precede
+        # any query kind (docs/mql.rst:405-472; the reference's old
+        # grammar attached `with param_def_list` to the whole query,
+        # grammar/old/grammar10.py:2, and BasicDatasetQuery.apply_params
+        # consumes the namespace param, mql10.py:559-562). For file
+        # queries the header is handled inside parse_fq_primary so that
+        # nested per-term scopes keep working; here we only hoist it for
+        # dataset and query queries.
+        if self.at_word("with") and self.peek(1) is not None \
+                and self.peek(1).value == "namespace":
+            save = self.pos
+            ns = self.parse_namespace_header()
+            if self.at_word("datasets", "queries"):
+                self.ns_stack.append(ns)
+                try:
+                    return self.parse_top()
+                finally:
+                    self.ns_stack.pop()
+            self.pos = save  # file query: let parse_fq_primary scope it
         if self.at_word("datasets"):
             self.next()
             q = DatasetQuery(self.parse_dataset_query_list())
@@ -134,6 +153,18 @@ class Parser:
             t = self.peek()
             raise MQLSyntaxError(f"trailing input at {t.pos}: {t.value!r}")
         return q
+
+    def parse_namespace_header(self) -> str:
+        """Consume `with namespace = <name>` and return the namespace."""
+        self.expect_word("with")
+        self.expect_word("namespace")
+        t = self.next()
+        if not (t.kind == "op" and t.value in ("=", "==")):
+            raise MQLSyntaxError("expected '=' after 'with namespace'")
+        ns_tok = self.next()
+        if ns_tok.kind not in ("string", "word"):
+            raise MQLSyntaxError("expected namespace name")
+        return ns_tok.value
 
     # --------------------------------------------------------- file queries
     def parse_file_query(self):
@@ -172,15 +203,7 @@ class Parser:
     def parse_fq_primary(self):
         if self.at_word("with"):
             # with namespace = "ns" <query term>
-            self.next()
-            self.expect_word("namespace")
-            t = self.next()
-            if not (t.kind == "op" and t.value in ("=", "==")):
-                raise MQLSyntaxError("expected '=' after 'with namespace'")
-            ns_tok = self.next()
-            if ns_tok.kind not in ("string", "word"):
-                raise MQLSyntaxError("expected namespace name")
-            self.ns_stack.append(ns_tok.value)
+            self.ns_stack.append(self.parse_namespace_header())
             try:
                 return self.parse_fq_postfix()
             finally:
@@ -328,12 +351,16 @@ class Parser:
     def parse_dataset_query(self) -> DatasetSelector:
         sel = self.parse_dataset_spec()
         if self.at_word("with"):
-            # lookahead: 'with subsets' vs 'with namespace' (not valid here)
+            # lookahead: 'with subsets'/'with ancestors' vs
+            # 'with namespace' (not valid here)
             nxt = self.peek(1)
-            if nxt is not None and nxt.value == "subsets":
+            if nxt is not None and nxt.value in ("subsets", "ancestors"):
                 self.next()
-                self.next()
-                sel.with_subsets = True
+                which = self.next().value
+                if which == "subsets":
+                    sel.with_subsets = True
+                else:
+                    sel.with_ancestors = True
                 if self.at_word("recursively"):
                     self.next()
                     sel.recursively = True

@@ -226,3 +226,40 @@ def test_union_of_datasets_comma_disambiguation():
 def test_trailing_garbage_raises():
     with pytest.raises(Exception):
         parse("files from a:b extra stuff ~")
+
+
+def test_with_namespace_dataset_query():
+    # top-level scope header applies to dataset queries
+    # (docs/mql.rst:405-472; old grammar attached `with param_def_list`
+    # to the whole query)
+    q = parse('with namespace = "dune" datasets matching urgent_*')
+    assert isinstance(q, DatasetQuery)
+    assert q.selectors[0].namespace == "dune"
+    assert q.selectors[0].name == "urgent_*"
+    # explicit namespace overrides the scope header
+    q = parse('with namespace = "dune" datasets mc:flag_r, low_1')
+    assert q.selectors[0].namespace == "mc"
+    assert q.selectors[1].namespace == "dune"
+    # header also scopes query-queries
+    q = parse('with namespace = "dune" queries matching fav*')
+    assert isinstance(q, QueryQuery)
+    assert q.pattern.namespace == "dune"
+
+
+def test_with_namespace_query_param_still_wins_locally():
+    # the API-level default_namespace fills unscoped names only
+    q = parse("datasets matching urgent_*", default_namespace="x")
+    assert q.selectors[0].namespace == "x"
+    q = parse('with namespace = "y" datasets matching urgent_*',
+              default_namespace="x")
+    assert q.selectors[0].namespace == "y"
+
+
+def test_dataset_ancestors():
+    q = parse("datasets dune:urgent_0 with ancestors")
+    s = q.selectors[0]
+    assert s.with_ancestors and not s.with_subsets and not s.recursively
+    q = parse("datasets dune:urgent_0 with ancestors recursively")
+    assert q.selectors[0].with_ancestors and q.selectors[0].recursively
+    q = parse("datasets test:all with subsets recursively")
+    assert q.selectors[0].with_subsets and not q.selectors[0].with_ancestors
