@@ -30,10 +30,49 @@ class DMLError(Exception):
     pass
 
 
+def _apply_meta_patch(df: DataFrame, meta_schema, hit, new_meta: dict
+                      ) -> DataFrame:
+    """Rewrite the JSON metadata column AND every shredded column for the
+    rows matching ``hit`` so the two representations never diverge (the
+    predicate compiler resolves shredded keys first, so a stale shredded
+    column would make queries on an updated key return wrong results).
+
+    Shredded keys absent from ``new_meta`` are nulled — the patch dict is
+    the full post-update metadata, so absence means the key is gone.
+    """
+    out = df.withColumn(
+        meta_schema.json_column,
+        F.when(hit, F.lit(json.dumps(new_meta)))
+         .otherwise(F.col(meta_schema.json_column)))
+    for mk in meta_schema.by_key.values():
+        if mk.column not in df.columns:
+            continue
+        dtype = df.schema[mk.column].dataType
+        v = new_meta.get(mk.key)
+        if v is None:
+            newv = F.lit(None).cast(dtype)
+        elif isinstance(v, (list, dict)):
+            # array/map shredded columns: go through from_json so nested
+            # element types land exactly as the column type demands
+            newv = F.from_json(F.lit(json.dumps(v)), dtype)
+        else:
+            newv = F.lit(v).cast(dtype)
+        out = out.withColumn(
+            mk.column, F.when(hit, newv).otherwise(F.col(mk.column)))
+    return out
+
+
 class ValidationFailed(DMLError):
     def __init__(self, errors):
         super().__init__(f"metadata validation failed: {errors}")
         self.errors = errors
+
+
+class AlreadyExists(DMLError):
+    """Reference PK violation equivalent (files.id / datasets PKs,
+    schema.sql:45-120): redeclaring an existing object is an error, not
+    an upsert."""
+    pass
 
 
 # default parameter categories for the fixture schema; a real
@@ -115,6 +154,15 @@ class DML:
         rows if a target dataset is given)."""
         if not rows:
             return 0
+        # reference PK on files.id rejects redeclares (schema.sql:45-63)
+        ids = [r["id"] for r in rows]
+        if len(set(ids)) != len(ids):
+            raise AlreadyExists("duplicate file ids in declare batch")
+        dup = [r["id"] for r in self.cat.files
+               .where(F.col("id").isin(ids)).select("id").collect()]
+        if dup:
+            raise AlreadyExists(f"file id(s) already declared: "
+                                f"{sorted(dup)[:5]}")
         reqs = (self.dataset_requirements.get(dataset)
                 if dataset else None)
         prepared = []
@@ -168,11 +216,34 @@ class DML:
         refuse removals."""
         if (ns, name) in self.frozen:
             raise DMLError(f"dataset {ns}:{name} is frozen")
+        if not _skip_exist_check:
+            # dataset and file ids must exist (FK semantics,
+            # schema.sql:96-104)
+            if self.cat.datasets.where(
+                    (F.col("namespace") == ns)
+                    & (F.col("name") == name)).first() is None:
+                raise DMLError(f"dataset {ns}:{name} not found")
+            found = {r["id"] for r in self.cat.files
+                     .where(F.col("id").isin(file_ids))
+                     .select("id").collect()}
+            missing = set(file_ids) - found
+            if missing:
+                raise DMLError(f"file id(s) not found: "
+                               f"{sorted(missing)[:5]}")
         add = self.cat.spark.createDataFrame(
-            [(fid, ns, name) for fid in file_ids],
+            [(fid, ns, name) for fid in set(file_ids)],
             ["file_id", "dataset_namespace", "dataset_name"])
-        self.cat.files_datasets = self.cat.files_datasets.unionByName(add)
-        return len(file_ids)
+        # PK (file_id, dataset) — adding an already-member file is a
+        # no-op, so anti-join the batch against existing membership
+        existing = self.cat.files_datasets.where(
+            (F.col("dataset_namespace") == ns)
+            & (F.col("dataset_name") == name))
+        add = add.join(existing.select("file_id"), "file_id", "left_anti")
+        n = add.count()
+        if n:
+            self.cat.files_datasets = \
+                self.cat.files_datasets.unionByName(add)
+        return n
 
     def remove_files_from_dataset(self, file_ids: list[str], ns: str,
                                   name: str) -> None:
@@ -191,29 +262,30 @@ class DML:
     def update_file_metadata(self, file_id: str, metadata: dict,
                              mode: str = "update") -> None:
         """update = merge keys; replace = overwrite dict
-        (webapi.py:1088-1123 modes)."""
+        (webapi.py:1088-1123 modes).
+
+        The merge is a driver-side Python dict update on the target row's
+        JSON — exactly the reference's semantics (data_handler.py:1186:
+        ``meta.update(patch)``) and type-preserving, unlike a
+        map<string,string> round-trip which would stringify every value.
+        A point update is inherently a single-row op; with id-bucketed
+        storage the lookup prunes to one bucket.
+        """
         if mode not in ("update", "replace"):
             raise DMLError(f"bad mode {mode!r}")
         self.validate(metadata)
         files = self.cat.files
-        patch = F.lit(json.dumps(metadata))
         if mode == "replace":
-            new_meta = patch
+            new_meta = dict(metadata)
         else:
-            # JSON-level merge; patched keys win (drop them from the old
-            # map first — map_concat rejects duplicate keys by default)
-            patch_map = F.from_json(patch, "map<string,string>")
-            old_map = F.coalesce(
-                F.from_json("metadata", "map<string,string>"),
-                F.from_json(F.lit("{}"), "map<string,string>"))
-            new_meta = F.to_json(F.map_concat(
-                F.map_filter(old_map,
-                             lambda k, v: ~F.map_contains_key(patch_map, k)),
-                patch_map))
-        self.cat.files = files.withColumn(
-            "metadata",
-            F.when(F.col("id") == file_id, new_meta)
-             .otherwise(F.col("metadata")))
+            row = files.where(F.col("id") == file_id) \
+                       .select("metadata").first()
+            if row is None:
+                raise DMLError(f"file {file_id!r} not found")
+            new_meta = json.loads(row["metadata"] or "{}")
+            new_meta.update(metadata)
+        self.cat.files = _apply_meta_patch(
+            files, self.cat.file_meta, F.col("id") == file_id, new_meta)
 
     def retire_file(self, file_id: str, by: str = "admin") -> None:
         """Retire = soft delete (schema.sql:61-63; handler
@@ -264,22 +336,18 @@ class DML:
         if metadata is not None:
             if mode not in ("update", "replace"):
                 raise DMLError(f"bad mode {mode!r}")
-            patch = F.lit(json.dumps(metadata))
             if mode == "replace":
-                new_meta = patch
+                new_meta = dict(metadata)
             else:
-                patch_map = F.from_json(patch, "map<string,string>")
-                old_map = F.coalesce(
-                    F.from_json("metadata", "map<string,string>"),
-                    F.from_json(F.lit("{}"), "map<string,string>"))
-                new_meta = F.to_json(F.map_concat(
-                    F.map_filter(old_map,
-                                 lambda k, v: ~F.map_contains_key(
-                                     patch_map, k)),
-                    patch_map))
-            ds = ds.withColumn("metadata",
-                               F.when(hit, new_meta)
-                                .otherwise(F.col("metadata")))
+                # driver-side type-preserving merge (see
+                # update_file_metadata)
+                row = ds.where(hit).select("metadata").first()
+                if row is None:
+                    raise DMLError(f"dataset {ns}:{name} not found")
+                new_meta = json.loads(row["metadata"] or "{}")
+                new_meta.update(metadata)
+            ds = _apply_meta_patch(ds, self.cat.dataset_meta, hit,
+                                   new_meta)
         for colname, val in (("frozen", frozen), ("monotonic", monotonic),
                              ("description", description)):
             if val is not None:
@@ -337,6 +405,10 @@ class DML:
             F.col("id").alias("file_id"),
             F.lit(ns).alias("dataset_namespace"),
             F.lit(name).alias("dataset_name")).dropDuplicates(["file_id"])
+        existing = self.cat.files_datasets.where(
+            (F.col("dataset_namespace") == ns)
+            & (F.col("dataset_name") == name))
+        add = add.join(existing.select("file_id"), "file_id", "left_anti")
         n = add.count()
         self.cat.files_datasets = self.cat.files_datasets.unionByName(add)
         return n

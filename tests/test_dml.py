@@ -97,16 +97,18 @@ def test_declare_validation_rejects(fresh):
 
 
 def test_frozen_monotonic_enforcement(fresh):
-    _, dml = fresh
+    eng, dml = fresh
+    fid = eng.query("files from test:all ordered limit 1") \
+        .collect()[0]["id"]
     with pytest.raises(DMLError, match="frozen"):
-        dml.add_files_to_dataset(["f1"], "dune", "urgent_0")
+        dml.add_files_to_dataset([fid], "dune", "urgent_0")
     # monotonic: adds ok, removals refused
-    dml.add_files_to_dataset(["f1"], "dune", "urgent_1")
+    dml.add_files_to_dataset([fid], "dune", "urgent_1")
     with pytest.raises(DMLError, match="monotonic"):
-        dml.remove_files_from_dataset(["f1"], "dune", "urgent_1")
+        dml.remove_files_from_dataset([fid], "dune", "urgent_1")
     # plain dataset: both fine
-    dml.add_files_to_dataset(["f1"], "dune", "urgent_2")
-    dml.remove_files_from_dataset(["f1"], "dune", "urgent_2")
+    dml.add_files_to_dataset([fid], "dune", "urgent_2")
+    dml.remove_files_from_dataset([fid], "dune", "urgent_2")
 
 
 def test_retire_file(fresh):
@@ -135,6 +137,88 @@ def test_update_metadata_modes(fresh):
         .select(F.get_json_object("metadata", "$['core.x']").alias("x")) \
         .collect()[0]
     assert row["x"] is None  # replaced wholesale
+
+
+def test_update_reshreds_shredded_columns(fresh):
+    """Regression (ADVICE r1, high): shredded columns must track metadata
+    updates or predicate queries on the updated key return stale
+    results."""
+    eng, dml = fresh
+    fid = eng.query("files from test:all ordered limit 1") \
+        .collect()[0]["id"]
+    dml.update_file_metadata(fid, {"core.run": 777777}, mode="update")
+    eng2 = Engine(dml.cat)
+    got = [r["id"] for r in
+           eng2.query("files where core.run = 777777").collect()]
+    assert got == [fid]
+    # replace mode drops absent shredded keys: core.x no longer matches
+    dml.update_file_metadata(fid, {"core.run": 777777}, mode="replace")
+    eng3 = Engine(dml.cat)
+    assert eng3.query("files where core.run = 777777 and core.x >= 0") \
+        .count() == 0
+    assert eng3.query("files where core.run = 777777").count() == 1
+
+
+def test_update_merge_preserves_value_types(fresh):
+    """Regression (ADVICE r1, medium): merge must not stringify values —
+    reference merge is a Python dict update (data_handler.py:1186)."""
+    import json as _json
+    eng, dml = fresh
+    fid = eng.query("files from test:all ordered limit 1") \
+        .collect()[0]["id"]
+    dml.update_file_metadata(
+        fid, {"core.x": 0.2, "core.runs": [1, 172],
+              "data.trigger_bits": {"muon": 3}, "core.run": 5},
+        mode="update")
+    raw = dml.cat.files.where(F.col("id") == fid) \
+        .select("metadata").collect()[0]["metadata"]
+    meta = _json.loads(raw)
+    assert meta["core.x"] == 0.2                   # float, not "0.2"
+    assert meta["core.runs"] == [1, 172]           # array, not "[1, 172]"
+    assert meta["data.trigger_bits"] == {"muon": 3}
+    # untouched keys from before the update keep their types too
+    assert not isinstance(meta.get("core.run"), str)
+    # nested-path access works after the update
+    eng2 = Engine(dml.cat)
+    hits = eng2.query(
+        'files where data.trigger_bits["muon"] = 3 and core.run = 5')
+    assert fid in {r["id"] for r in hits.collect()}
+
+
+def test_declare_redeclare_raises(fresh):
+    from metacat_spark.dml import AlreadyExists
+    eng, dml = fresh
+    fid = eng.query("files from test:all ordered limit 1") \
+        .collect()[0]["id"]
+    with pytest.raises(AlreadyExists):
+        dml.declare_files([{"id": fid, "namespace": "t", "name": "n",
+                            "metadata": {"core.run": 1}}])
+    with pytest.raises(AlreadyExists):  # dup inside the batch
+        dml.declare_files([
+            {"id": "zdup", "namespace": "t", "name": "a",
+             "metadata": {"core.run": 1}},
+            {"id": "zdup", "namespace": "t", "name": "b",
+             "metadata": {"core.run": 1}}])
+
+
+def test_membership_dedup_and_existence(fresh):
+    eng, dml = fresh
+    fid = eng.query("files from test:all ordered limit 1") \
+        .collect()[0]["id"]
+    before = dml.cat.files_datasets.count()
+    assert dml.add_files_to_dataset([fid], "dune", "urgent_2") == 1
+    # idempotent: re-add is a no-op, membership table does not grow
+    assert dml.add_files_to_dataset([fid, fid], "dune", "urgent_2") == 0
+    assert dml.cat.files_datasets.count() == before + 1
+    with pytest.raises(DMLError, match="not found"):
+        dml.add_files_to_dataset([fid], "dune", "no_such_dataset")
+    with pytest.raises(DMLError, match="not found"):
+        dml.add_files_to_dataset(["zmissing"], "dune", "urgent_2")
+    # add_to sink is idempotent against existing membership too
+    result = eng.file_set("files from dune:urgent_3")
+    n1 = dml.add_to(result, "dune", "urgent_2")
+    n2 = dml.add_to(result, "dune", "urgent_2")
+    assert n1 > 0 and n2 == 0
 
 
 def test_save_as_and_add_to(fresh):
@@ -193,7 +277,9 @@ def test_move_files(fresh):
 
 
 def test_update_dataset(fresh):
-    _, dml = fresh
+    eng, dml = fresh
+    fid = eng.query("files from test:all ordered limit 1") \
+        .collect()[0]["id"]
     dml.update_dataset("dune", "urgent_2", metadata={"data.type": "mc"},
                        frozen=True, description="frozen now")
     row = dml.cat.datasets.where(
@@ -202,9 +288,9 @@ def test_update_dataset(fresh):
     assert row["frozen"] and row["description"] == "frozen now"
     assert '"data.type": "mc"' in row["metadata"].replace('":"', '": "')
     with pytest.raises(DMLError, match="frozen"):
-        dml.add_files_to_dataset(["x"], "dune", "urgent_2")
+        dml.add_files_to_dataset([fid], "dune", "urgent_2")
     dml.update_dataset("dune", "urgent_2", frozen=False)
-    dml.add_files_to_dataset(["x"], "dune", "urgent_2")  # unfrozen
+    dml.add_files_to_dataset([fid], "dune", "urgent_2")  # unfrozen
 
 
 def test_create_namespace(fresh):
