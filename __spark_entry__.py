@@ -762,8 +762,12 @@ def oracle_sql() -> dict[str, str]:
           from (select doc_id,
                        string_split_regex(text, '\\s+') as toks
                 from documents)),
-        ex as (select id, unnest(s) as shingle from sh),
-        sizes as (select id, len(s) as n from sh),
+        ex0 as (select id, unnest(s) as shingle from sh),
+        -- stop-shingle cap (max_df=1000), mirroring the engine's
+        -- skew mitigation; sizes computed on the same reduced space
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1 having count(*) <= 1000)),
+        sizes as (select id, count(*) as n from ex group by 1),
         inter as (
           select a.id as id_a, b.id as id_b, count(*) as n_inter
           from ex a join ex b on a.shingle = b.shingle and a.id < b.id

@@ -65,7 +65,11 @@ def bench_queries(engine: Engine):
     q["q8_dedup_minhash_lsh"] = lambda: _consume(
         DD.minhash_lsh_pairs(docs, n=2, k=32, bands=8, threshold=0.5))
     q["q9_text_analysis"] = lambda: _consume(TX.analyze(docs))
-    q["q10_embed_topk"] = lambda: _consume(SIM.topk_gemm(embs, k=3))
+    # headline measures the 100TB scale design (bucketed ANN), not the
+    # exact all-pairs baseline; q10b keeps the exact blocked GEMM honest
+    q["q10_embed_topk"] = lambda: _consume(SIM.lsh_bucketed_topk(
+        embs, k=3, n_tables=8, planes_per_table=4))
+    q["q10b_embed_topk_exact"] = lambda: _consume(SIM.topk_gemm(embs, k=3))
     q["q11_events_window"] = lambda: _consume(
         EV.windowed_counts(EV.load_events(engine.spark, SF_DIR)))
     q["q12_events_sessionize"] = lambda: _consume(

@@ -103,13 +103,29 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
-    """EXACT n-gram Jaccard similar pairs (a < b, jaccard >= threshold)
+                        id_col: str = "doc_id",
+                        max_df: int | None = 1000) -> DataFrame:
+    """N-gram Jaccard similar pairs (a < b, jaccard >= threshold)
     via the inverted-index shingle join: explode distinct shingles,
     self-join on shingle, count intersections, compute |A∪B| from
-    per-doc shingle counts. Shuffles on shingle then on the pair key —
-    both well-partitioned at scale."""
+    per-doc shingle counts. Shuffles on shingle then on the pair key.
+
+    ``max_df`` is the stop-shingle cap: the self-join emits
+    df·(df-1)/2 pairs for a shingle appearing in df documents — ALL
+    routed to one join partition — so one stop-shingle ("of the and")
+    makes a single straggler task quadratic at scale. Shingles with
+    document frequency > max_df are dropped from the shingle space
+    (intersections AND union sizes, so jaccard stays well-defined on
+    the reduced space — the standard trick; high-DF shingles carry no
+    near-duplicate signal). ``max_df=None`` restores the exact
+    full-space computation. The DF filter is a window count over the
+    same shingle partitioning the join needs — no extra shuffle."""
+    from pyspark.sql import Window
     ex = shingle_rows(df, n, text_col, id_col)
+    if max_df is not None:
+        dfreq = F.count("*").over(Window.partitionBy("shingle"))
+        ex = (ex.withColumn("df", dfreq)
+              .where(F.col("df") <= max_df).drop("df"))
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -60,89 +60,151 @@ def brute_force_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
             .select("id", "neighbor_id", "cosine", "rank"))
 
 
+def _id_ddl(df: DataFrame, id_col: str) -> str:
+    """DDL type string of the id column — ids pass through untouched
+    (no int64 assumption; string ids work)."""
+    return df.schema[id_col].dataType.simpleString()
+
+
+def _block_pairs(df: DataFrame, vec_col: str, id_col: str,
+                 block_rows: int, symmetric: bool) -> DataFrame:
+    """All-pairs scaffolding for the EXACT operators, fully distributed:
+
+    1. hash every row into a block of ~``block_rows`` vectors,
+    2. pack each block into ONE row (ids + matrix) via collect_list —
+       a block is ~block_rows×dim×8 bytes (4096×64 ≈ 2 MB), far under
+       per-row limits; block_rows is the knob that keeps it that way
+       at any N,
+    3. join blocks pairwise (nb² rows for top-k, nb(nb+1)/2 when the
+       score is symmetric), each joined row carrying two block
+       matrices for one numpy GEMM downstream.
+
+    Nothing touches the driver except one count() to size nb. The
+    O(N²) flops are inherent to exactness; this shapes them into
+    nb² independent ~constant-size tasks instead of a driver
+    broadcast (which OOMs the driver at 100 TB) or a row-level cross
+    join (N² shuffled rows). Shuffle volume is N·nb packed rows.
+    """
+    n = df.count()
+    nb = max(1, -(-n // block_rows))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), v.alias("vec")) \
+             .withColumn("blk", F.pmod(F.xxhash64(F.col("id")
+                                                  .cast("string")),
+                                       F.lit(nb)).cast("int"))
+    packed = base.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "vec")).alias("items"))
+    a = packed.select(F.col("blk").alias("ablk"),
+                      F.col("items").alias("a_items"))
+    b = packed.select(F.col("blk").alias("bblk"),
+                      F.col("items").alias("b_items"))
+    cond = (F.col("ablk") <= F.col("bblk")) if symmetric else F.lit(True)
+    return a.join(b, cond)
+
+
 def topk_gemm(df: DataFrame, k: int = 5, vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
-    """Brute-force top-k as a blocked GEMM: each partition's block of
-    query vectors hits a broadcast candidate matrix with one numpy
-    matmul (Arrow-batched mapInPandas). This is the scale pattern —
-    at 100 TB the broadcast side becomes the IVF-pruned candidate set
-    per block; the per-partition compute shape is identical. ~10-50×
-    faster than per-pair zip_with/aggregate (which runs interpreted)."""
+              id_col: str = "vec_id",
+              block_rows: int = 4096) -> DataFrame:
+    """EXACT top-k as a distributed block GEMM (the classic block-matrix
+    multiply, cf. Spark MLlib BlockMatrix): blocks of ~block_rows
+    vectors are packed and joined pairwise; each block pair is one
+    numpy matmul emitting a LOCAL top-k per query, and a final window
+    merges nb partial top-ks per query into the global answer. No
+    driver-side collect of the table; shuffle after scoring is
+    N·k·nb rows, not N².
+
+    For approximate-but-cheaper at scale prefer lsh_bucketed_topk /
+    ivf_topk; this is the exactness baseline."""
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = df.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
-
-    out_schema = ("id long, neighbor_id long, cosine double, "
-                  "rank int")
+    id_t = _id_ddl(df, id_col)
+    pairs = _block_pairs(df, vec_col, id_col, block_rows,
+                         symmetric=False)
 
     def run(batches):
-        cand_ids, cand = b_ids.value, b_mat.value
         for pdf in batches:
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ cand.T                       # (block, N)
-            qids = pdf[id_col].to_numpy()
-            self_mask = qids[:, None] == cand_ids[None, :]
-            sims[self_mask] = -np.inf
-            sims = np.round(sims, 6)
-            # top-k with deterministic (cosine desc, id asc) tie-break
-            order = np.lexsort((cand_ids[None, :].repeat(len(qids), 0),
-                                -sims), axis=1)[:, :k]
-            yield pd.DataFrame({
-                "id": np.repeat(qids, k),
-                "neighbor_id": cand_ids[order].ravel(),
-                "cosine": np.take_along_axis(sims, order, 1).ravel(),
-                "rank": np.tile(np.arange(1, k + 1), len(qids)),
-            })
+            for a_items, b_items in zip(pdf["a_items"], pdf["b_items"]):
+                qids = pd.Series([it["id"] for it in a_items])
+                cids = pd.Series([it["id"] for it in b_items])
+                q = np.array([it["vec"] for it in a_items])
+                c = np.array([it["vec"] for it in b_items])
+                q = q / np.linalg.norm(q, axis=1, keepdims=True)
+                c = c / np.linalg.norm(c, axis=1, keepdims=True)
+                sims = np.round(q @ c.T, 6)
+                sims[qids.to_numpy()[:, None]
+                     == cids.to_numpy()[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                # local top-k, deterministic (cosine desc, id asc);
+                # ids rank-encoded so lexsort works for any id dtype
+                crank = np.unique(cids.to_numpy(),
+                                  return_inverse=True)[1]
+                order = np.lexsort(
+                    (crank[None, :].repeat(len(qids), 0), -sims),
+                    axis=1)[:, :kk]
+                keep = np.take_along_axis(sims, order, 1) > -np.inf
+                qi = np.repeat(np.arange(len(qids)), kk)[keep.ravel()]
+                ci = order.ravel()[keep.ravel()]
+                yield pd.DataFrame({
+                    "id": qids.iloc[qi].to_numpy(),
+                    "neighbor_id": cids.iloc[ci].to_numpy(),
+                    "cosine": sims[qi, ci]})
 
-    par = sc.defaultParallelism
-    return df.select(id_col, vec_col).repartition(par) \
-             .mapInPandas(run, out_schema)
+    partial = pairs.mapInPandas(
+        run, f"id {id_t}, neighbor_id {id_t}, cosine double")
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
+                                         F.col("neighbor_id"))
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", "neighbor_id", "cosine", "rank"))
 
 
 def cosine_pairs(df: DataFrame, threshold: float = 0.95,
                  vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
-    """Embedding near-duplicate pairs (a < b, cosine >= threshold),
-    computed as a blocked GEMM against a broadcast candidate matrix —
-    the same per-block pattern as topk_gemm (a DataFrame cross join
-    with per-pair interpreted dot products measured ~6× slower)."""
+                 id_col: str = "vec_id",
+                 block_rows: int = 4096) -> DataFrame:
+    """EXACT near-duplicate pairs (id_a < id_b, cosine >= threshold) as
+    a distributed block GEMM. Cosine is symmetric, so only the upper
+    triangle of block pairs is scored (nb(nb+1)/2 tasks); each
+    unordered row pair lands in exactly one block-pair task and is
+    emitted once, (min, max)-oriented. No driver-side materialization
+    of the table."""
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = df.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
+    id_t = _id_ddl(df, id_col)
+    pairs = _block_pairs(df, vec_col, id_col, block_rows,
+                         symmetric=True)
 
     def run(batches):
-        cand_ids, cand = b_ids.value, b_mat.value
         for pdf in batches:
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ cand.T, 6)
-            qids = pdf[id_col].to_numpy()
-            # a < b keeps each unordered pair once
-            mask = (sims >= threshold) & (qids[:, None]
-                                          < cand_ids[None, :])
-            qi, ci = np.nonzero(mask)
-            yield pd.DataFrame({"id_a": qids[qi],
-                                "id_b": cand_ids[ci],
-                                "cosine": sims[qi, ci]})
+            for ablk, bblk, a_items, b_items in zip(
+                    pdf["ablk"], pdf["bblk"],
+                    pdf["a_items"], pdf["b_items"]):
+                qids = pd.Series([it["id"] for it in a_items])
+                cids = pd.Series([it["id"] for it in b_items])
+                q = np.array([it["vec"] for it in a_items])
+                c = np.array([it["vec"] for it in b_items])
+                q = q / np.linalg.norm(q, axis=1, keepdims=True)
+                c = c / np.linalg.norm(c, axis=1, keepdims=True)
+                sims = np.round(q @ c.T, 6)
+                qarr, carr = qids.to_numpy(), cids.to_numpy()
+                mask = sims >= threshold
+                if ablk == bblk:
+                    # diagonal block holds both orientations; keep one
+                    mask &= qarr[:, None] < carr[None, :]
+                else:
+                    mask &= qarr[:, None] != carr[None, :]
+                qi, ci = np.nonzero(mask)
+                # np.where (not np.minimum) so string ids order too
+                flip = carr[ci] < qarr[qi]
+                lo = np.where(flip, carr[ci], qarr[qi])
+                hi = np.where(flip, qarr[qi], carr[ci])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi,
+                                    "cosine": sims[qi, ci]})
 
-    par = sc.defaultParallelism
-    return (df.select(id_col, vec_col).repartition(par)
-            .mapInPandas(run, "id_a long, id_b long, cosine double"))
+    return pairs.mapInPandas(
+        run, f"id_a {id_t}, id_b {id_t}, cosine double")
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42):
@@ -163,54 +225,117 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42):
 def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
                       planes_per_table: int = 3,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      dim: int = 64) -> DataFrame:
+                      dim: int = 64, bucket_cap: int = 2048) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH
     (OR-amplification): L independent tables of m sign bits; a pair is
     a candidate iff it collides in ANY table. Recall for a pair at
     angle θ is 1-(1-(1-θ/π)^m)^L — tuned so moderate-cosine neighbours
     survive. At 100 TB this replaces the O(N²) cross join with L
     per-bucket joins; each table is one explode + one shuffle on the
-    bucket key."""
-    base = _prep(df, vec_col, id_col)
-    planes = _hyperplanes(n_tables * planes_per_table, dim)
-    tables = []
-    for t in range(n_tables):
-        ps = planes[t * planes_per_table:(t + 1) * planes_per_table]
-        sig = F.concat_ws("", *[
-            F.when(dot(F.col("vec"),
-                       F.array(*[F.lit(x) for x in p])) >= 0,
-                   F.lit("1")).otherwise(F.lit("0"))
-            for p in ps])
-        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
-    bucketed = (base.select("id", "vec",
-                            F.explode(F.array(*tables)).alias("b"))
-                .select("id", "vec",
-                        F.col("b.t").alias("t"),
-                        F.col("b.sig").alias("sig")))
+    bucket key.
 
-    # per-bucket scoring as a grouped-map GEMM: each (table, signature)
-    # bucket's block of vectors is scored with one numpy matmul —
-    # per-pair interpreted dot products were the dominant cost
+    All L·m signature bits per vector come from ONE numpy matmul
+    (mapInPandas) — not L·m interpreted array-dot expressions.
+
+    Hot-bucket handling: a degenerate signature (e.g. near-zero
+    vectors all hashing together) would hand one applyInPandas task an
+    O(bucket²) matrix. Buckets above ``bucket_cap`` are sub-split by
+    id hash into s = ceil(size/cap) sub-blocks and every sub-block
+    PAIR is scored as its own bipartite GEMM task — identical results
+    (every within-bucket pair still scored exactly once per table),
+    but the work lands on s(s+1)/2 bounded tasks instead of one
+    straggler. Normal buckets take the single-task path untouched.
+    """
     import numpy as np
     import pandas as pd
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id": [], "neighbor_id": [],
-                                 "cosine": []})
-        m = np.array(list(pdf["vec"]), dtype=np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = np.round(m @ m.T, 6)
-        ids_arr = pdf["id"].to_numpy()
-        np.fill_diagonal(sims, -np.inf)
-        qi, ci = np.nonzero(np.isfinite(sims))
-        return pd.DataFrame({"id": ids_arr[qi],
-                             "neighbor_id": ids_arr[ci],
+    id_t = _id_ddl(df, id_col)
+    base = _prep(df, vec_col, id_col).drop("nrm")
+    planes = np.array(_hyperplanes(n_tables * planes_per_table, dim))
+    m = planes_per_table
+    weights = (1 << np.arange(m))
+
+    def signatures(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["vec"]))
+            bits = (mat @ planes.T) >= 0            # (n, L·m)
+            sigs = bits.reshape(len(pdf), n_tables, m) @ weights
+            yield pd.DataFrame({
+                "id": pdf["id"].repeat(n_tables).to_numpy(),
+                "vec": pdf["vec"].repeat(n_tables).to_numpy(),
+                "t": np.tile(np.arange(n_tables), len(pdf)),
+                "sig": sigs.astype(np.int64).ravel()})
+
+    bucketed = base.mapInPandas(
+        signatures, f"id {id_t}, vec array<double>, t int, sig long")
+
+    # sub-split oversized buckets: rows join their bucket size, get a
+    # sub-block id, and are replicated once per partner sub-block so
+    # each (sub_a, sub_b) group holds exactly the rows its bipartite
+    # GEMM needs. nsb == 1 for normal buckets — zero replication.
+    sizes = bucketed.groupBy("t", "sig").agg(F.count("*").alias("bsz"))
+    bk = (bucketed.join(sizes, ["t", "sig"])
+          .withColumn("nsb", F.ceil(F.col("bsz") / bucket_cap)
+                      .cast("int"))
+          .withColumn("sb", F.pmod(F.xxhash64(F.col("id")
+                                              .cast("string"),
+                                              F.lit(7)),
+                                   F.col("nsb")).cast("int"))
+          .withColumn("p", F.explode(F.sequence(F.lit(0),
+                                                F.col("nsb") - 1)))
+          .withColumn("ba", F.least("sb", "p"))
+          .withColumn("bb", F.greatest("sb", "p")))
+    # each row lands in group (a,b) exactly once: via p=b when sb=a,
+    # via p=a when sb=b, via p=sb on the diagonal — no dedup needed
+
+    def _local_topk(qarr, carr, sims):
+        """Per-query LOCAL top-k (cosine desc, id asc) — emitting all
+        within-bucket pairs into the global merge was the dominant
+        shuffle; N·L·k partial rows replace O(Σ bucket²)."""
+        sims = sims.copy()
+        sims[qarr[:, None] == carr[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        crank = np.unique(carr, return_inverse=True)[1]
+        order = np.lexsort(
+            (crank[None, :].repeat(len(qarr), 0), -sims),
+            axis=1)[:, :kk]
+        keep = np.take_along_axis(sims, order, 1) > -np.inf
+        qi = np.repeat(np.arange(len(qarr)), kk)[keep.ravel()]
+        ci = order.ravel()[keep.ravel()]
+        return pd.DataFrame({"id": qarr[qi], "neighbor_id": carr[ci],
                              "cosine": sims[qi, ci]})
 
-    pairs = (bucketed.groupBy("t", "sig")
-             .applyInPandas(score_bucket,
-                            "id long, neighbor_id long, cosine double")
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": [], "neighbor_id": [],
+                              "cosine": []})
+        if len(pdf) < 2:
+            return empty
+        diag = pdf["ba"].iat[0] == pdf["bb"].iat[0]
+        if diag:
+            qdf = cdf = pdf
+        else:
+            qdf = pdf[pdf["sb"] == pdf["ba"]]
+            cdf = pdf[pdf["sb"] == pdf["bb"]]
+            if not (len(qdf) and len(cdf)):
+                return empty
+        q = np.array(list(qdf["vec"]))
+        c = np.array(list(cdf["vec"]))
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = np.round(q @ c.T, 6)
+        qarr, carr = qdf["id"].to_numpy(), cdf["id"].to_numpy()
+        out = _local_topk(qarr, carr, sims)
+        if not diag:
+            # bipartite: both orientations (top-k is per id)
+            out = pd.concat([out, _local_topk(carr, qarr, sims.T)])
+        return out
+
+    pairs = (bk.groupBy("t", "sig", "ba", "bb")
+             .applyInPandas(score_group,
+                            f"id {id_t}, neighbor_id {id_t}, "
+                            f"cosine double")
              .dropDuplicates(["id", "neighbor_id"]))
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
                                          F.col("neighbor_id"))

@@ -226,6 +226,62 @@ def test_lsh_topk_recall(embs):
         f"LSH nn recall degenerate: {hits / len(exact)}"
 
 
+def test_ngram_stop_shingle_cap(spark):
+    """Skew regression (VERDICT r1): one shingle shared by 50% of docs
+    must not blow up the self-join. The cap drops it from the shingle
+    space; jaccard over the remaining shingles is unchanged."""
+    from metacat_spark.llm import dedup as DD
+    hot = "the quick fox"
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i}")
+            for i in range(200)]
+    # two genuinely similar docs that must survive the cap
+    rows += [(900, "alpha beta gamma delta epsilon zeta"),
+             (901, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = DD.ngram_jaccard_pairs(df, n=3, threshold=0.3,
+                                    max_df=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (900, 901) in got
+    # the 200 hot-shingle docs share ONLY the stop shingle — no pairs
+    assert all(a == 900 for a, _ in got)
+    # on a corpus with no stop shingles the cap is a no-op vs exact
+    normal = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} common tail") for i in range(30)],
+        ["doc_id", "text"])
+    exact = {tuple(r) for r in DD.ngram_jaccard_pairs(
+        normal, n=3, threshold=0.1, max_df=None).collect()}
+    withcap = {tuple(r) for r in DD.ngram_jaccard_pairs(
+        normal, n=3, threshold=0.1, max_df=1000).collect()}
+    assert exact == withcap
+
+
+def test_lsh_hot_bucket_subsplit(embs):
+    """Skew regression (VERDICT r1): a degenerate bucket holding the
+    whole table must sub-split into bounded bipartite tasks with
+    identical results to the single-task path."""
+    from metacat_spark.llm import similarity as SIM
+    sub = embs.limit(150)
+    one_task = {tuple(r) for r in
+                SIM.lsh_bucketed_topk(sub, k=2, n_tables=4,
+                                      planes_per_table=2,
+                                      bucket_cap=10**6).collect()}
+    split = {tuple(r) for r in
+             SIM.lsh_bucketed_topk(sub, k=2, n_tables=4,
+                                   planes_per_table=2,
+                                   bucket_cap=16).collect()}
+    assert one_task == split
+    # fully degenerate: every vector identical direction → ONE bucket
+    # per table; with cap=8 the 120-row bucket must still score
+    spark = sub.sparkSession
+    deg = spark.createDataFrame(
+        [(i, [1.0 + 0.001 * i] * 8) for i in range(120)],
+        ["vec_id", "embedding"])
+    out = SIM.lsh_bucketed_topk(deg, k=1, n_tables=2,
+                                planes_per_table=2, dim=8,
+                                bucket_cap=8).collect()
+    assert len(out) == 120  # every vector found a neighbour
+
+
 def test_centroids(embs, duck):
     from metacat_spark.llm import similarity as SIM
     got = {r["label"]: r["centroid"] for r in
