@@ -235,7 +235,10 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
     bucket key.
 
     All L·m signature bits per vector come from ONE numpy matmul
-    (mapInPandas) — not L·m interpreted array-dot expressions.
+    (mapInPandas) — not L·m interpreted array-dot expressions — and
+    cross the Python↔JVM Arrow boundary once per VECTOR (an
+    array<long> of L table signatures); the L-way replication happens
+    JVM-side via posexplode, so Arrow volume is O(N), not O(N·L).
 
     Hot-bucket handling: a degenerate signature (e.g. near-zero
     vectors all hashing together) would hand one applyInPandas task an
@@ -263,22 +266,26 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
             bits = (mat @ planes.T) >= 0            # (n, L·m)
             sigs = bits.reshape(len(pdf), n_tables, m) @ weights
             yield pd.DataFrame({
-                "id": pdf["id"].repeat(n_tables).to_numpy(),
-                "vec": pdf["vec"].repeat(n_tables).to_numpy(),
-                "t": np.tile(np.arange(n_tables), len(pdf)),
-                "sig": sigs.astype(np.int64).ravel()})
+                "id": pdf["id"],
+                "vec": pdf["vec"],
+                "sigs": list(sigs.astype(np.int64))})
 
-    bucketed = base.mapInPandas(
-        signatures, f"id {id_t}, vec array<double>, t int, sig long")
+    bucketed = (base.mapInPandas(
+        signatures, f"id {id_t}, vec array<double>, sigs array<long>")
+        .select("id", "vec",
+                F.posexplode("sigs").alias("t", "sig")))
 
-    # sub-split oversized buckets: rows join their bucket size, get a
-    # sub-block id, and are replicated once per partner sub-block so
-    # each (sub_a, sub_b) group holds exactly the rows its bipartite
-    # GEMM needs. nsb == 1 for normal buckets — zero replication.
-    sizes = bucketed.groupBy("t", "sig").agg(F.count("*").alias("bsz"))
-    bk = (bucketed.join(sizes, ["t", "sig"])
-          .withColumn("nsb", F.ceil(F.col("bsz") / bucket_cap)
-                      .cast("int"))
+    # sub-split oversized buckets: rows learn their bucket size via a
+    # window over the SAME (t, sig) partitioning the scoring groupBy
+    # needs (one shuffle total — the downstream applyInPandas keys
+    # (t, sig, ba, bb) are a superset, so Catalyst reuses the
+    # exchange), get a sub-block id, and are replicated once per
+    # partner sub-block so each (sub_a, sub_b) group holds exactly the
+    # rows its bipartite GEMM needs. nsb == 1 for normal buckets —
+    # zero replication.
+    bsz = F.count("*").over(Window.partitionBy("t", "sig"))
+    bk = (bucketed
+          .withColumn("nsb", F.ceil(bsz / bucket_cap).cast("int"))
           .withColumn("sb", F.pmod(F.xxhash64(F.col("id")
                                               .cast("string"),
                                               F.lit(7)),
@@ -332,10 +339,16 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
             out = pd.concat([out, _local_topk(carr, qarr, sims.T)])
         return out
 
+    # one repartition(id) serves BOTH the cross-table dedup (a pair
+    # colliding in several tables) and the rank window — hash
+    # partitioning on id satisfies the clustered distribution of
+    # dropDuplicates(id, neighbor_id) and of the window, so neither
+    # adds its own exchange (2 shuffles → 1).
     pairs = (bk.groupBy("t", "sig", "ba", "bb")
              .applyInPandas(score_group,
                             f"id {id_t}, neighbor_id {id_t}, "
                             f"cosine double")
+             .repartition("id")
              .dropDuplicates(["id", "neighbor_id"]))
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
                                          F.col("neighbor_id"))
