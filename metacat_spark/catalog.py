@@ -37,6 +37,9 @@ class Catalog:
     dataset_meta: MetaSchema = field(default_factory=lambda: DATASET_META)
     query_meta: MetaSchema = field(default_factory=lambda: QUERY_META)
     raw: dict = field(default_factory=dict)
+    # reference parameter_categories table (schema.sql:162-176); DML
+    # loads validation rules from here. None = DEFAULT_CATEGORIES.
+    parameter_categories: Optional[DataFrame] = None
 
     def named_query_source(self, namespace: str, name: str) -> Optional[str]:
         rows = (self.queries_tbl
@@ -192,9 +195,14 @@ def from_tpch(spark: SparkSession, sf_dir: str,
     queries_tbl = queries_tbl.withColumn(
         "metadata", _meta_json_column(QUERY_META))
 
+    from .validation import CATEGORY_COLUMNS, category_rows
+    param_cats = spark.createDataFrame(category_rows(),
+                                       CATEGORY_COLUMNS)
     cat = Catalog(spark, files, files_datasets, parent_child, datasets,
-                  ds_pc, namespaces, queries_tbl, raw=raw)
+                  ds_pc, namespaces, queries_tbl, raw=raw,
+                  parameter_categories=param_cats)
     for name in ("files", "files_datasets", "parent_child", "datasets",
-                 "datasets_parent_child", "namespaces", "queries_tbl"):
+                 "datasets_parent_child", "namespaces", "queries_tbl",
+                 "parameter_categories"):
         getattr(cat, name).createOrReplaceTempView(f"mc_{name}")
     return cat

@@ -1,9 +1,24 @@
-"""Command-line interface — parity with the reference's `metacat`
-CLI query surface (metacat/ui/metacat_query.py:44-169).
+"""Command-line interface — parity with the reference's `metacat` CLI
+(metacat/ui/: metacat_query.py, metacat_file.py, metacat_dataset.py,
+metacat_namespace.py, metacat_named_query.py).
 
-    python -m metacat_spark.cli query  "files from dune:urgent_0 ..." \
-        [--sf-dir DIR] [-m/--with-metadata] [-s/--summary count|keys] \
-        [-N/--namespace NS] [-j/--json] [-x/--explain] [-l/--limit N]
+    python -m metacat_spark.cli query "files from dune:urgent_0 ..." \
+        [--sf-dir DIR] [-m] [-s count|keys|key-values] [-N NS] [-j] \
+        [-x] [-l N] [-S/--save-as ns:name] [-A/--add-to ns:name]
+    python -m metacat_spark.cli file (declare|declare-many|show|retire|
+        update-meta|move|datasets|id|name) ...
+    python -m metacat_spark.cli dataset (list|files|show|create|update|
+        add-files|remove-files|add-subset|remove) ...
+    python -m metacat_spark.cli namespace (list|show|create) ...
+    python -m metacat_spark.cli named-query (list|show|create|search) ...
+
+The reference CLI talks to a resident metacat server; the equivalent
+here is a resident engine — sessions are cached per sf-dir at module
+level, so successive `main()` calls inside one process (the test
+harness, a REPL, a notebook) see each other's mutations, exactly like
+successive `metacat` invocations against one server. Separate OS
+processes each get a fresh catalog (session-state DML; a production
+deployment backs the catalog with Delta/Iceberg so mutations persist).
 
 `-x/--explain` prints the MQL AST and the Spark physical plan instead
 of running (the reference prints its IRs, metacat_query.py:64-84).
@@ -16,6 +31,65 @@ import json
 import os
 import sys
 
+# (engine, dml) per sf-dir — the "resident server" equivalent
+_SESSIONS: dict = {}
+
+
+def _session(sf_dir: str):
+    if sf_dir not in _SESSIONS:
+        from .catalog import from_tpch
+        from .dml import DML
+        from .engine import Engine
+        from .session import get_spark
+        spark = get_spark("metacat_spark_cli")
+        engine = Engine(from_tpch(spark, sf_dir))
+        _SESSIONS[sf_dir] = (engine, DML(engine.cat))
+    return _SESSIONS[sf_dir]
+
+
+def _did(s: str) -> tuple[str, str]:
+    if ":" not in s:
+        raise SystemExit(f"expected <namespace>:<name>, got {s!r}")
+    ns, name = s.split(":", 1)
+    return ns, name
+
+
+def _print_rows(df, as_json: bool, limit=None, file=None):
+    file = file or sys.stdout
+    count = 0
+    for row in df.toLocalIterator():
+        d = row.asDict(recursive=True)
+        if isinstance(d.get("metadata"), str):
+            try:
+                d["metadata"] = json.loads(d["metadata"])
+            except ValueError:
+                pass
+        if as_json:
+            print(json.dumps(d, default=str), file=file)
+        else:
+            print("\t".join(str(v) for v in d.values()), file=file)
+        count += 1
+        if limit is not None and count >= limit:
+            break
+    print(f"# {count} rows", file=sys.stderr)
+    return count
+
+
+def _add_sf_dir(p):
+    p.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    p.add_argument("-j", "--json", action="store_true",
+                   help="json-seq output (one object per line)")
+
+
+def _meta_arg(s: str) -> dict:
+    """Inline JSON or @file, like the reference's metadata arguments
+    (metacat_file.py:456-523 accepts a JSON file or expression)."""
+    if s.startswith("@"):
+        with open(s[1:]) as f:
+            return json.load(f)
+    return json.loads(s)
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="metacat_spark")
@@ -23,29 +97,420 @@ def main(argv=None):
 
     q = sub.add_parser("query", help="run an MQL query")
     q.add_argument("mql")
-    q.add_argument("--sf-dir", default=os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    _add_sf_dir(q)
     q.add_argument("-m", "--with-metadata", action="store_true")
-    q.add_argument("-p", "--with-provenance", action="store_true")
+    q.add_argument("-p", "-P", "--with-provenance", action="store_true")
     q.add_argument("-s", "--summary", choices=["count", "keys",
                                                "key-values"])
     q.add_argument("-N", "--namespace", default=None)
     q.add_argument("-i", "--include-retired", action="store_true")
-    q.add_argument("-j", "--json", action="store_true",
-                   help="json-seq output (one object per line)")
     q.add_argument("-x", "--explain", action="store_true")
     q.add_argument("-l", "--limit", type=int, default=None,
                    help="client-side cap on printed rows")
+    q.add_argument("-S", "--save-as", default=None, metavar="NS:NAME",
+                   help="save the result as a NEW dataset")
+    q.add_argument("-A", "--add-to", default=None, metavar="NS:NAME",
+                   help="add the result to an existing dataset")
+
+    fgrp = sub.add_parser("file", help="file operations")
+    fsub = fgrp.add_subparsers(dest="fcmd", required=True)
+
+    fd = fsub.add_parser("declare", help="declare one file")
+    fd.add_argument("did", help="<namespace>:<name>")
+    fd.add_argument("dataset", nargs="?", default=None,
+                    help="<dataset namespace>:<dataset name>")
+    fd.add_argument("--id", dest="fid", default=None)
+    fd.add_argument("--size", type=int, default=0)
+    fd.add_argument("--meta", type=_meta_arg, default={},
+                    help="JSON metadata ('{...}' or @file)")
+    fd.add_argument("-c", "--creator", default="cli")
+    _add_sf_dir(fd)
+
+    fdm = fsub.add_parser("declare-many",
+                          help="bulk declare from a JSON file")
+    fdm.add_argument("json_file")
+    fdm.add_argument("dataset", nargs="?", default=None)
+    _add_sf_dir(fdm)
+
+    fs = fsub.add_parser("show", help="print file record")
+    fs.add_argument("spec", help="<namespace>:<name> or file id with -i")
+    fs.add_argument("-i", "--id", action="store_true", dest="by_id")
+    fs.add_argument("-m", "--with-metadata", action="store_true")
+    _add_sf_dir(fs)
+
+    fr = fsub.add_parser("retire", help="retire/unretire a file")
+    fr.add_argument("spec")
+    fr.add_argument("-i", "--id", action="store_true", dest="by_id")
+    fr.add_argument("-u", "--unretire", action="store_true")
+    _add_sf_dir(fr)
+
+    fu = fsub.add_parser("update-meta", help="update file metadata")
+    fu.add_argument("meta", type=_meta_arg,
+                    help="JSON metadata ('{...}' or @file)")
+    fu.add_argument("spec")
+    fu.add_argument("-i", "--id", action="store_true", dest="by_id")
+    fu.add_argument("-r", "--replace", action="store_true",
+                    help="replace instead of merge")
+    _add_sf_dir(fu)
+
+    fm = fsub.add_parser("move", help="move files to a new namespace")
+    fm.add_argument("-n", "--namespace", required=True)
+    fm.add_argument("fids", nargs="+")
+    _add_sf_dir(fm)
+
+    fds = fsub.add_parser("datasets",
+                          help="datasets containing a file")
+    fds.add_argument("spec")
+    fds.add_argument("-i", "--id", action="store_true", dest="by_id")
+    _add_sf_dir(fds)
+
+    fid = fsub.add_parser("id", help="print file id for a DID")
+    fid.add_argument("did")
+    _add_sf_dir(fid)
+
+    fnm = fsub.add_parser("name", help="print DID for a file id")
+    fnm.add_argument("fid")
+    _add_sf_dir(fnm)
+
+    dgrp = sub.add_parser("dataset", help="dataset operations")
+    dsub = dgrp.add_subparsers(dest="dcmd", required=True)
+
+    dl = dsub.add_parser("list", help="list datasets")
+    dl.add_argument("pattern", nargs="?", default=None,
+                    help="<ns pattern>:<name pattern> (SQL LIKE %%)")
+    _add_sf_dir(dl)
+
+    df_ = dsub.add_parser("files", help="list dataset files")
+    df_.add_argument("did")
+    df_.add_argument("-m", "--with-metadata", action="store_true")
+    df_.add_argument("-l", "--limit", type=int, default=None)
+    _add_sf_dir(df_)
+
+    dsh = dsub.add_parser("show", help="show dataset record")
+    dsh.add_argument("did")
+    _add_sf_dir(dsh)
+
+    dc = dsub.add_parser("create", help="create dataset")
+    dc.add_argument("did")
+    dc.add_argument("description", nargs="?", default="")
+    dc.add_argument("--frozen", action="store_true")
+    dc.add_argument("--monotonic", action="store_true")
+    dc.add_argument("--meta", type=_meta_arg, default=None)
+    _add_sf_dir(dc)
+
+    du = dsub.add_parser("update", help="update dataset")
+    du.add_argument("did")
+    du.add_argument("description", nargs="?", default=None)
+    du.add_argument("--frozen", choices=["yes", "no"], default=None)
+    du.add_argument("--monotonic", choices=["yes", "no"], default=None)
+    du.add_argument("--meta", type=_meta_arg, default=None)
+    du.add_argument("-r", "--replace", action="store_true")
+    _add_sf_dir(du)
+
+    da = dsub.add_parser("add-files", help="add files to a dataset")
+    da.add_argument("did")
+    da.add_argument("--ids", default=None,
+                    help="comma-separated file ids")
+    da.add_argument("--query", default=None, help="MQL file query")
+    _add_sf_dir(da)
+
+    drm = dsub.add_parser("remove-files",
+                          help="remove files from a dataset")
+    drm.add_argument("did")
+    drm.add_argument("--ids", required=True)
+    _add_sf_dir(drm)
+
+    dsb = dsub.add_parser("add-subset",
+                          help="add child dataset(s) to a parent")
+    dsb.add_argument("parent")
+    dsb.add_argument("children", nargs="+")
+    _add_sf_dir(dsb)
+
+    dde = dsub.add_parser("remove", help="remove a dataset")
+    dde.add_argument("did")
+    _add_sf_dir(dde)
+
+    ngrp = sub.add_parser("namespace", help="namespace operations")
+    nsub = ngrp.add_subparsers(dest="ncmd", required=True)
+    nl = nsub.add_parser("list")
+    nl.add_argument("pattern", nargs="?", default=None)
+    _add_sf_dir(nl)
+    nsh = nsub.add_parser("show")
+    nsh.add_argument("name")
+    _add_sf_dir(nsh)
+    nc = nsub.add_parser("create")
+    nc.add_argument("name")
+    nc.add_argument("-o", "--owner", default="admin")
+    _add_sf_dir(nc)
+
+    cgrp = sub.add_parser("category",
+                          help="parameter category operations")
+    csub = cgrp.add_subparsers(dest="ccmd", required=True)
+    cl = csub.add_parser("list")
+    cl.add_argument("root", nargs="?", default=None,
+                    help="root category path prefix")
+    _add_sf_dir(cl)
+    csh = csub.add_parser("show")
+    csh.add_argument("path")
+    _add_sf_dir(csh)
+    cc = csub.add_parser("create")
+    cc.add_argument("path")
+    cc.add_argument("--defs", type=_meta_arg, default={},
+                    help="JSON definitions ('{...}' or @file)")
+    cc.add_argument("--restricted", action="store_true")
+    _add_sf_dir(cc)
+
+    qgrp = sub.add_parser("named-query", help="named query operations")
+    qsub = qgrp.add_subparsers(dest="qcmd", required=True)
+    ql = qsub.add_parser("list")
+    _add_sf_dir(ql)
+    qsh = qsub.add_parser("show")
+    qsh.add_argument("did")
+    _add_sf_dir(qsh)
+    qc = qsub.add_parser("create")
+    qc.add_argument("did")
+    qc.add_argument("source", help="MQL source text")
+    qc.add_argument("-d", "--description", default="")
+    _add_sf_dir(qc)
+    qse = qsub.add_parser("search")
+    qse.add_argument("text", help="substring of the query source")
+    _add_sf_dir(qse)
 
     args = p.parse_args(argv)
+    from pyspark.sql import functions as F
 
-    from .catalog import from_tpch
-    from .engine import Engine
-    from .session import get_spark
+    engine, dml = _session(args.sf_dir)
+    cat = engine.cat
 
-    spark = get_spark("metacat_spark_cli")
-    engine = Engine(from_tpch(spark, args.sf_dir))
+    if args.cmd == "query":
+        return _cmd_query(engine, dml, args)
 
+    if args.cmd == "file":
+        files = cat.files
+        if args.fcmd == "declare":
+            ns, name = _did(args.did)
+            fid = args.fid or f"cli-{ns}-{name}"
+            n = dml.declare_files(
+                [dict(id=fid, namespace=ns, name=name, size=args.size,
+                      creator=args.creator, metadata=args.meta)],
+                dataset=_did(args.dataset) if args.dataset else None)
+            print(f"declared {n} file(s); id={fid}")
+            return 0
+        if args.fcmd == "declare-many":
+            with open(args.json_file) as f:
+                rows = json.load(f)
+            n = dml.declare_files(
+                rows, dataset=_did(args.dataset) if args.dataset
+                else None)
+            print(f"declared {n} file(s)")
+            return 0
+        if args.fcmd in ("show", "retire", "update-meta", "datasets"):
+            if args.by_id:
+                hit = F.col("id") == args.spec
+            else:
+                ns, name = _did(args.spec)
+                hit = ((F.col("namespace") == ns)
+                       & (F.col("name") == name))
+            row = files.where(hit).select("id").first()
+            if row is None:
+                raise SystemExit(f"file {args.spec!r} not found")
+            fid = row["id"]
+            if args.fcmd == "show":
+                cols = ["id", "namespace", "name", "size", "creator",
+                        "created_timestamp", "retired"]
+                if args.with_metadata:
+                    cols.append("metadata")
+                _print_rows(files.where(hit).select(*cols), args.json)
+            elif args.fcmd == "retire":
+                dml.retire_file(fid, by="cli", unretire=args.unretire)
+                print(("unretired" if args.unretire else "retired")
+                      + f" {fid}")
+            elif args.fcmd == "update-meta":
+                dml.update_file_metadata(
+                    fid, args.meta,
+                    mode="replace" if args.replace else "update")
+                print(f"updated {fid}")
+            else:  # datasets
+                _print_rows(
+                    cat.files_datasets.where(F.col("file_id") == fid)
+                    .select("dataset_namespace", "dataset_name")
+                    .orderBy("dataset_namespace", "dataset_name"),
+                    args.json)
+            return 0
+        if args.fcmd == "move":
+            dml.move_files(args.fids, args.namespace, by="cli")
+            print(f"moved {len(args.fids)} file(s) to {args.namespace}")
+            return 0
+        if args.fcmd == "id":
+            ns, name = _did(args.did)
+            row = files.where((F.col("namespace") == ns)
+                              & (F.col("name") == name)) \
+                       .select("id").first()
+            if row is None:
+                raise SystemExit(f"file {args.did!r} not found")
+            print(row["id"])
+            return 0
+        if args.fcmd == "name":
+            row = files.where(F.col("id") == args.fid) \
+                       .select("namespace", "name").first()
+            if row is None:
+                raise SystemExit(f"file id {args.fid!r} not found")
+            print(f"{row['namespace']}:{row['name']}")
+            return 0
+
+    if args.cmd == "dataset":
+        ds = cat.datasets
+        if args.dcmd == "list":
+            if args.pattern:
+                ns_pat, name_pat = _did(args.pattern)
+                ds = ds.where(F.col("namespace").like(ns_pat)
+                              & F.col("name").like(name_pat))
+            _print_rows(ds.select("namespace", "name", "frozen",
+                                  "monotonic", "description")
+                        .orderBy("namespace", "name"), args.json)
+            return 0
+        if args.dcmd == "files":
+            df = engine.query(f"files from {args.did}",
+                              with_meta=args.with_metadata)
+            _print_rows(df, args.json, args.limit)
+            return 0
+        if args.dcmd == "show":
+            ns, name = _did(args.did)
+            hit = ds.where((F.col("namespace") == ns)
+                           & (F.col("name") == name))
+            if hit.first() is None:
+                raise SystemExit(f"dataset {args.did!r} not found")
+            _print_rows(hit.select("namespace", "name", "frozen",
+                                   "monotonic", "creator",
+                                   "description", "metadata"),
+                        args.json)
+            return 0
+        if args.dcmd == "create":
+            ns, name = _did(args.did)
+            dml.create_dataset(ns, name, description=args.description,
+                               frozen=args.frozen,
+                               monotonic=args.monotonic,
+                               metadata=args.meta, creator="cli")
+            print(f"created {ns}:{name}")
+            return 0
+        if args.dcmd == "update":
+            ns, name = _did(args.did)
+            tf = {None: None, "yes": True, "no": False}
+            dml.update_dataset(
+                ns, name, metadata=args.meta,
+                mode="replace" if args.replace else "update",
+                frozen=tf[args.frozen], monotonic=tf[args.monotonic],
+                description=args.description)
+            print(f"updated {ns}:{name}")
+            return 0
+        if args.dcmd == "add-files":
+            ns, name = _did(args.did)
+            if bool(args.ids) == bool(args.query):
+                raise SystemExit("exactly one of --ids/--query required")
+            if args.ids:
+                n = dml.add_files_to_dataset(args.ids.split(","),
+                                             ns, name)
+            else:
+                n = dml.add_to(engine.query(args.query), ns, name)
+            print(f"added {n} file(s) to {ns}:{name}")
+            return 0
+        if args.dcmd == "remove-files":
+            ns, name = _did(args.did)
+            dml.remove_files_from_dataset(args.ids.split(","), ns, name)
+            print(f"removed from {ns}:{name}")
+            return 0
+        if args.dcmd == "add-subset":
+            pns, pname = _did(args.parent)
+            for child in args.children:
+                cns, cname = _did(child)
+                dml.add_subset(pns, pname, cns, cname)
+            print(f"added {len(args.children)} subset(s) to "
+                  f"{pns}:{pname}")
+            return 0
+        if args.dcmd == "remove":
+            ns, name = _did(args.did)
+            dml.remove_dataset(ns, name)
+            print(f"removed {ns}:{name}")
+            return 0
+
+    if args.cmd == "namespace":
+        nsdf = cat.namespaces
+        if args.ncmd == "list":
+            if args.pattern:
+                nsdf = nsdf.where(F.col("name").like(args.pattern))
+            _print_rows(nsdf.orderBy("name"), args.json)
+            return 0
+        if args.ncmd == "show":
+            hit = nsdf.where(F.col("name") == args.name)
+            if hit.first() is None:
+                raise SystemExit(f"namespace {args.name!r} not found")
+            _print_rows(hit, args.json)
+            return 0
+        if args.ncmd == "create":
+            dml.create_namespace(args.name, owner=args.owner)
+            print(f"created namespace {args.name}")
+            return 0
+
+    if args.cmd == "category":
+        pc = cat.parameter_categories
+        if args.ccmd == "list":
+            if args.root:
+                pc = pc.where(
+                    (F.col("path") == args.root)
+                    | F.col("path").startswith(args.root + "."))
+            _print_rows(pc.select("path", "restricted", "description")
+                        .orderBy("path"), args.json)
+            return 0
+        if args.ccmd == "show":
+            hit = pc.where(F.col("path") == args.path)
+            row = hit.first()
+            if row is None:
+                raise SystemExit(f"category {args.path!r} not found")
+            d = row.asDict()
+            d["definitions"] = json.loads(d["definitions"] or "{}")
+            print(json.dumps(d, indent=2, default=str))
+            return 0
+        if args.ccmd == "create":
+            dml.create_parameter_category(
+                args.path, definitions=args.defs,
+                restricted=args.restricted, creator="cli")
+            print(f"created category {args.path}")
+            return 0
+
+    if args.cmd == "named-query":
+        qt = cat.queries_tbl
+        if args.qcmd == "list":
+            _print_rows(qt.select("namespace", "name", "creator",
+                                  "description")
+                        .orderBy("namespace", "name"), args.json)
+            return 0
+        if args.qcmd == "show":
+            ns, name = _did(args.did)
+            hit = qt.where((F.col("namespace") == ns)
+                           & (F.col("name") == name))
+            row = hit.select("source").first()
+            if row is None:
+                raise SystemExit(f"named query {args.did!r} not found")
+            print(row["source"])
+            return 0
+        if args.qcmd == "create":
+            ns, name = _did(args.did)
+            dml.create_named_query(ns, name, args.source,
+                                   creator="cli",
+                                   description=args.description)
+            print(f"created named query {ns}:{name}")
+            return 0
+        if args.qcmd == "search":
+            _print_rows(
+                qt.where(F.col("source").contains(args.text))
+                .select("namespace", "name", "source")
+                .orderBy("namespace", "name"), args.json)
+            return 0
+
+    raise SystemExit(f"unhandled command {args.cmd}")
+
+
+def _cmd_query(engine, dml, args):
     if args.explain:
         print(engine.explain(args.mql,
                              default_namespace=args.namespace))
@@ -56,23 +521,17 @@ def main(argv=None):
                       summary=args.summary,
                       include_retired=args.include_retired,
                       default_namespace=args.namespace)
-    it = df.toLocalIterator()
-    count = 0
-    for row in it:
-        d = row.asDict(recursive=True)
-        if isinstance(d.get("metadata"), str):
-            try:
-                d["metadata"] = json.loads(d["metadata"])
-            except ValueError:
-                pass
-        if args.json:
-            print(json.dumps(d, default=str))
-        else:
-            print("\t".join(str(v) for v in d.values()))
-        count += 1
-        if args.limit is not None and count >= args.limit:
-            break
-    print(f"# {count} rows", file=sys.stderr)
+    if args.save_as:
+        ns, name = _did(args.save_as)
+        n = dml.save_as(df, ns, name)
+        print(f"saved {n} file(s) as dataset {ns}:{name}")
+        return 0
+    if args.add_to:
+        ns, name = _did(args.add_to)
+        n = dml.add_to(df, ns, name)
+        print(f"added {n} file(s) to dataset {ns}:{name}")
+        return 0
+    _print_rows(df, args.json, args.limit)
     return 0
 
 

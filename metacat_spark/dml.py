@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
-from .validation import category_of, validate_metadata
+from .validation import (CATEGORY_COLUMNS, DEFAULT_CATEGORIES,
+                         category_of, validate_metadata)
 
 
 class DMLError(Exception):
@@ -75,38 +76,40 @@ class AlreadyExists(DMLError):
     pass
 
 
-# default parameter categories for the fixture schema; a real
-# deployment loads these from the parameter_categories table
-# (schema.sql:162-176)
-DEFAULT_CATEGORIES = {
-    "core": {
-        "restricted": False,
-        "definitions": {
-            "core.run": {"type": "int", "min": 0, "required": True},
-            "core.x": {"type": "float", "min": 0.0, "max": 20.0},
-            "core.data_type": {"type": "text",
-                               "values": ["mc", "data", "calibration"]},
-            "core.version": {"type": "text", "pattern": r"^\d+\.\d+$"},
-            "core.runs": {"type": "int[]", "min": 0},
-            "core.good": {"type": "boolean"},
-            "core.timestamp": {"type": "float"},
-        },
-    },
-    "data": {
-        "restricted": True,
-        "definitions": {
-            "data.trigger_bits": {"type": "dict"},
-            "data.sequence": {"type": "int[]"},
-        },
-    },
-}
+def _load_categories(catalog: Catalog) -> dict:
+    """Validation rules come from the catalog's parameter_categories
+    table (reference schema.sql:162-176), not a hard-coded dict —
+    a deployment declares its own categories as catalog state. The
+    table is tiny (one row per category); a driver collect is the
+    right plan."""
+    if catalog.parameter_categories is None:
+        return DEFAULT_CATEGORIES
+    out = {}
+    for r in catalog.parameter_categories.collect():
+        out[r["path"]] = {
+            "restricted": bool(r["restricted"]),
+            "definitions": json.loads(r["definitions"] or "{}"),
+        }
+    return out
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Resident-service lineage hygiene: every mutation layers plan
+    nodes onto the catalog DataFrames, so an unbounded mutation history
+    makes each later query re-plan and re-execute the whole chain
+    (planning time grows per mutation; a long-lived service eventually
+    chokes on plan metadata alone). A lazy localCheckpoint caps the
+    lineage at one mutation deep — materialized on first use, cached
+    after. Production backs mutations with Delta/Iceberg appends where
+    the question doesn't arise; this is the in-memory equivalent."""
+    return df.localCheckpoint(eager=False)
 
 
 class DML:
     def __init__(self, catalog: Catalog, categories: Optional[dict] = None):
         self.cat = catalog
-        self.categories = (DEFAULT_CATEGORIES if categories is None
-                           else categories)
+        self.categories = (_load_categories(catalog)
+                           if categories is None else categories)
         # dataset-level metadata requirements
         # (files must satisfy them to join — dbobjects2.py:1577-1597)
         self.dataset_requirements: dict[tuple[str, str], dict] = {}
@@ -201,7 +204,7 @@ class DML:
                 new = new.withColumn(
                     c, F.lit(None).cast(files.schema[c].dataType))
         new = new.select(*files.columns)
-        self.cat.files = files.unionByName(new)
+        self.cat.files = _truncate(files.unionByName(new))
         if dataset:
             self.add_files_to_dataset([r["id"] for r in rows], *dataset,
                                       _skip_exist_check=True)
@@ -241,8 +244,8 @@ class DML:
         add = add.join(existing.select("file_id"), "file_id", "left_anti")
         n = add.count()
         if n:
-            self.cat.files_datasets = \
-                self.cat.files_datasets.unionByName(add)
+            self.cat.files_datasets = _truncate(
+                self.cat.files_datasets.unionByName(add))
         return n
 
     def remove_files_from_dataset(self, file_ids: list[str], ns: str,
@@ -253,10 +256,10 @@ class DML:
             raise DMLError(f"dataset {ns}:{name} is monotonic; "
                            f"files cannot be removed")
         fd = self.cat.files_datasets
-        self.cat.files_datasets = fd.where(~(
+        self.cat.files_datasets = _truncate(fd.where(~(
             (F.col("dataset_namespace") == ns)
             & (F.col("dataset_name") == name)
-            & F.col("file_id").isin(file_ids)))
+            & F.col("file_id").isin(file_ids))))
 
     # ------------------------------------------------------------ update
     def update_file_metadata(self, file_id: str, metadata: dict,
@@ -284,25 +287,32 @@ class DML:
                 raise DMLError(f"file {file_id!r} not found")
             new_meta = json.loads(row["metadata"] or "{}")
             new_meta.update(metadata)
-        self.cat.files = _apply_meta_patch(
-            files, self.cat.file_meta, F.col("id") == file_id, new_meta)
+        self.cat.files = _truncate(_apply_meta_patch(
+            files, self.cat.file_meta, F.col("id") == file_id,
+            new_meta))
 
-    def retire_file(self, file_id: str, by: str = "admin") -> None:
+    def retire_file(self, file_id: str, by: str = "admin",
+                    unretire: bool = False) -> None:
         """Retire = soft delete (schema.sql:61-63; handler
-        data_handler.py:1084-1140)."""
+        data_handler.py:1084-1140). ``unretire=True`` is the
+        reference's `metacat file retire -u` (clears the flag and the
+        retire audit columns)."""
         files = self.cat.files
         hit = F.col("id") == file_id
-        self.cat.files = (files
-                          .withColumn("retired",
-                                      F.when(hit, F.lit(True))
-                                       .otherwise(F.col("retired")))
-                          .withColumn("retired_by",
-                                      F.when(hit, F.lit(by))
-                                       .otherwise(F.col("retired_by")))
-                          .withColumn("retired_timestamp",
-                                      F.when(hit, F.current_timestamp())
-                                       .otherwise(
-                                           F.col("retired_timestamp"))))
+        retired_by = (F.lit(None).cast("string") if unretire
+                      else F.lit(by))
+        retired_ts = (F.lit(None).cast("timestamp") if unretire
+                      else F.current_timestamp())
+        self.cat.files = _truncate(
+            files.withColumn("retired",
+                             F.when(hit, F.lit(not unretire))
+                              .otherwise(F.col("retired")))
+                 .withColumn("retired_by",
+                             F.when(hit, retired_by)
+                              .otherwise(F.col("retired_by")))
+                 .withColumn("retired_timestamp",
+                             F.when(hit, retired_ts)
+                              .otherwise(F.col("retired_timestamp"))))
 
     def move_files(self, file_ids: list[str], to_namespace: str,
                    by: str = "admin") -> None:
@@ -311,17 +321,16 @@ class DML:
         membership, which key on id) is untouched."""
         files = self.cat.files
         hit = F.col("id").isin(file_ids)
-        self.cat.files = (files
-                          .withColumn("namespace",
-                                      F.when(hit, F.lit(to_namespace))
-                                       .otherwise(F.col("namespace")))
-                          .withColumn("updated_by",
-                                      F.when(hit, F.lit(by))
-                                       .otherwise(F.col("updated_by")))
-                          .withColumn("updated_timestamp",
-                                      F.when(hit, F.current_timestamp())
-                                       .otherwise(
-                                           F.col("updated_timestamp"))))
+        self.cat.files = _truncate(
+            files.withColumn("namespace",
+                             F.when(hit, F.lit(to_namespace))
+                              .otherwise(F.col("namespace")))
+                 .withColumn("updated_by",
+                             F.when(hit, F.lit(by))
+                              .otherwise(F.col("updated_by")))
+                 .withColumn("updated_timestamp",
+                             F.when(hit, F.current_timestamp())
+                              .otherwise(F.col("updated_timestamp"))))
 
     def update_dataset(self, ns: str, name: str,
                        metadata: Optional[dict] = None,
@@ -354,13 +363,132 @@ class DML:
                 ds = ds.withColumn(colname,
                                    F.when(hit, F.lit(val))
                                     .otherwise(F.col(colname)))
-        self.cat.datasets = ds
+        self.cat.datasets = _truncate(ds)
         if frozen is not None:
             (self.frozen.add if frozen else
              self.frozen.discard)((ns, name))
         if monotonic is not None:
             (self.monotonic.add if monotonic else
              self.monotonic.discard)((ns, name))
+
+    def create_dataset(self, ns: str, name: str, description: str = "",
+                       frozen: bool = False, monotonic: bool = False,
+                       metadata: Optional[dict] = None,
+                       creator: str = "admin") -> None:
+        """Create an empty dataset (webapi.py:380-427; the reference's
+        `metacat dataset create`). PK (namespace, name) — duplicates
+        are an error, not an upsert."""
+        existing = self.cat.datasets.where(
+            (F.col("namespace") == ns) & (F.col("name") == name)).count()
+        if existing:
+            raise AlreadyExists(f"dataset {ns}:{name} already exists")
+        # dataset metadata is uncategorized (dotless keys in the
+        # reference fixture) — file-category validation doesn't apply
+        row = self.cat.spark.createDataFrame(
+            [(ns, name, frozen, monotonic, creator, description)],
+            ["namespace", "name", "frozen", "monotonic", "creator",
+             "description"])
+        row = row.withColumn("created_timestamp", F.current_timestamp()) \
+                 .withColumn("metadata",
+                             F.lit(json.dumps(metadata or {})))
+        ds = self.cat.datasets
+        for c in ds.columns:
+            if c not in row.columns:
+                row = row.withColumn(
+                    c, F.lit(None).cast(ds.schema[c].dataType))
+        self.cat.datasets = _truncate(
+            ds.unionByName(row.select(*ds.columns)))
+        if frozen:
+            self.frozen.add((ns, name))
+        if monotonic:
+            self.monotonic.add((ns, name))
+
+    def remove_dataset(self, ns: str, name: str) -> None:
+        """Delete a dataset, its membership rows, and its subset edges
+        (data_handler.py 'remove dataset'; FK cascade equivalent). The
+        files themselves are untouched — a dataset is a named set, not
+        an owner."""
+        hit = ((F.col("namespace") == ns) & (F.col("name") == name))
+        if self.cat.datasets.where(hit).first() is None:
+            raise DMLError(f"dataset {ns}:{name} not found")
+        self.cat.datasets = _truncate(self.cat.datasets.where(~hit))
+        self.cat.files_datasets = _truncate(
+            self.cat.files_datasets.where(~(
+                (F.col("dataset_namespace") == ns)
+                & (F.col("dataset_name") == name))))
+        dpc = self.cat.datasets_parent_child
+        self.cat.datasets_parent_child = _truncate(dpc.where(~(
+            ((F.col("parent_namespace") == ns)
+             & (F.col("parent_name") == name))
+            | ((F.col("child_namespace") == ns)
+               & (F.col("child_name") == name)))))
+        self.frozen.discard((ns, name))
+        self.monotonic.discard((ns, name))
+
+    def add_subset(self, parent_ns: str, parent_name: str,
+                   child_ns: str, child_name: str) -> None:
+        """Add a dataset parent→child (subset) edge (`metacat dataset
+        add-subset`, metacat_dataset.py:155-164). Both endpoints must
+        exist; re-adding an existing edge is a no-op (PK)."""
+        for ns, name in ((parent_ns, parent_name),
+                         (child_ns, child_name)):
+            if self.cat.datasets.where(
+                    (F.col("namespace") == ns)
+                    & (F.col("name") == name)).first() is None:
+                raise DMLError(f"dataset {ns}:{name} not found")
+        dpc = self.cat.datasets_parent_child
+        edge = self.cat.spark.createDataFrame(
+            [(parent_ns, parent_name, child_ns, child_name)],
+            dpc.columns)
+        edge = edge.join(dpc, dpc.columns, "left_anti")
+        if edge.count():
+            self.cat.datasets_parent_child = _truncate(dpc.unionByName(edge))
+
+    def create_named_query(self, ns: str, name: str, source: str,
+                           creator: str = "admin",
+                           description: str = "") -> None:
+        """Save an MQL query under a name (`metacat named_query
+        create`, metacat_named_query.py:67-96). The engine inlines it
+        at `query <ns>:<name>` references with cycle detection."""
+        qt = self.cat.queries_tbl
+        existing = qt.where((F.col("namespace") == ns)
+                            & (F.col("name") == name)).count()
+        if existing:
+            raise AlreadyExists(f"named query {ns}:{name} "
+                                f"already exists")
+        row = self.cat.spark.createDataFrame(
+            [(ns, name, source, creator, description)],
+            ["namespace", "name", "source", "creator", "description"])
+        for c in qt.columns:
+            if c not in row.columns:
+                row = row.withColumn(
+                    c, F.lit(None).cast(qt.schema[c].dataType))
+        self.cat.queries_tbl = _truncate(
+            qt.unionByName(row.select(*qt.columns)))
+
+    def create_parameter_category(self, path: str,
+                                  definitions: Optional[dict] = None,
+                                  restricted: bool = False,
+                                  owner_user: str = "admin",
+                                  description: str = "",
+                                  creator: str = "admin") -> None:
+        """Register a parameter category as catalog state (reference
+        schema.sql:162-176; `metacat category` CLI family). Validation
+        for subsequent declares/updates picks up the new rules
+        immediately."""
+        pc = self.cat.parameter_categories
+        if pc is None:
+            raise DMLError("catalog has no parameter_categories table")
+        if pc.where(F.col("path") == path).count():
+            raise AlreadyExists(f"category {path!r} already exists")
+        row = self.cat.spark.createDataFrame(
+            [(path, restricted, json.dumps(definitions or {}),
+              owner_user, description, creator)], CATEGORY_COLUMNS)
+        self.cat.parameter_categories = _truncate(pc.unionByName(row))
+        self.categories[path] = {
+            "restricted": restricted,
+            "definitions": definitions or {},
+        }
 
     def create_namespace(self, name: str, owner: str = "admin") -> None:
         existing = self.cat.namespaces.where(
@@ -369,7 +497,8 @@ class DML:
             raise DMLError(f"namespace {name!r} already exists")
         row = self.cat.spark.createDataFrame([(name, owner)],
                                              self.cat.namespaces.columns)
-        self.cat.namespaces = self.cat.namespaces.unionByName(row)
+        self.cat.namespaces = _truncate(
+            self.cat.namespaces.unionByName(row))
 
     # ------------------------------------------------------------- sinks
     def save_as(self, result: DataFrame, ns: str, name: str,
@@ -392,7 +521,8 @@ class DML:
             if c not in row.columns:
                 row = row.withColumn(c,
                                      F.lit(None).cast(ds.schema[c].dataType))
-        self.cat.datasets = ds.unionByName(row.select(*ds.columns))
+        self.cat.datasets = _truncate(
+            ds.unionByName(row.select(*ds.columns)))
         return self.add_to(result, ns, name)
 
     def add_to(self, result: DataFrame, ns: str, name: str) -> int:
@@ -410,5 +540,6 @@ class DML:
             & (F.col("dataset_name") == name))
         add = add.join(existing.select("file_id"), "file_id", "left_anti")
         n = add.count()
-        self.cat.files_datasets = self.cat.files_datasets.unionByName(add)
+        self.cat.files_datasets = _truncate(
+            self.cat.files_datasets.unionByName(add))
         return n

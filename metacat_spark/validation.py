@@ -107,3 +107,47 @@ def category_of(key: str) -> str:
         raise ValueError(f"metadata key {key!r} must be a dotted "
                          f"category.name path")
     return key.rsplit(".", 1)[0]
+
+
+# Default parameter-category rows for the fixture schema, in the shape
+# of the reference's parameter_categories table (schema.sql:162-176:
+# path PK, restricted, definitions jsonb, owner/description/creator).
+# The catalog materializes these as a DataFrame; DML loads whatever
+# table the catalog carries — a deployment defines its own rows.
+DEFAULT_CATEGORIES = {
+    "core": {
+        "restricted": False,
+        "definitions": {
+            "core.run": {"type": "int", "min": 0, "required": True},
+            "core.x": {"type": "float", "min": 0.0, "max": 20.0},
+            "core.data_type": {"type": "text",
+                               "values": ["mc", "data", "calibration"]},
+            "core.version": {"type": "text", "pattern": r"^\d+\.\d+$"},
+            "core.runs": {"type": "int[]", "min": 0},
+            "core.good": {"type": "boolean"},
+            "core.timestamp": {"type": "float"},
+        },
+    },
+    "data": {
+        "restricted": True,
+        "definitions": {
+            "data.trigger_bits": {"type": "dict"},
+            "data.sequence": {"type": "int[]"},
+        },
+    },
+}
+
+
+def category_rows(categories: dict | None = None) -> list[tuple]:
+    """(path, restricted, definitions_json, owner_user, description,
+    creator) rows for building a parameter_categories DataFrame."""
+    import json
+    cats = DEFAULT_CATEGORIES if categories is None else categories
+    return [(path, spec.get("restricted", False),
+             json.dumps(spec.get("definitions", {})),
+             "admin", f"category {path}", "admin")
+            for path, spec in sorted(cats.items())]
+
+
+CATEGORY_COLUMNS = ["path", "restricted", "definitions", "owner_user",
+                    "description", "creator"]

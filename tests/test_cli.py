@@ -1,0 +1,201 @@
+"""CLI parity round-trips (reference metacat/ui/: file, dataset,
+namespace, named-query subcommand families). Each test drives
+`cli.main()` in-process; the module-level session cache makes
+successive invocations share catalog state, like successive `metacat`
+calls against one server."""
+
+import json
+
+import pytest
+
+from metacat_spark import cli
+from tests.conftest import SF_DIR
+
+
+def run(capsys, *argv):
+    rc = cli.main([*argv, "--sf-dir", SF_DIR])
+    out = capsys.readouterr().out
+    return rc, out
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _warm(spark):
+    # bind the CLI session to the shared test SparkSession
+    cli._session(SF_DIR)
+    yield
+
+
+def test_query_basic(capsys):
+    rc, out = run(capsys, "query",
+                  "files from dune:urgent_0 ordered limit 5", "-j")
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert len(rows) == 5 and all("id" in r for r in rows)
+
+
+def test_query_summary_count(capsys):
+    rc, out = run(capsys, "query", "files from dune:urgent_0",
+                  "-s", "count", "-j")
+    row = json.loads(out.splitlines()[0])
+    assert row["count"] > 0 and row["total_size"] > 0
+
+
+def test_query_explain(capsys):
+    rc, out = run(capsys, "query", "files from dune:urgent_0", "-x")
+    assert rc == 0 and "FileQuery" in out
+
+
+def test_file_declare_show_id_name_datasets(capsys):
+    rc, out = run(capsys, "file", "declare", "cli_ns:f1.dat",
+                  "dune:urgent_2", "--id", "cli-f1", "--size", "123",
+                  "--meta", '{"core.run": 5, "core.x": 1.5}')
+    assert rc == 0 and "declared 1" in out
+    _, out = run(capsys, "file", "show", "cli_ns:f1.dat", "-m", "-j")
+    row = json.loads(out.splitlines()[0])
+    assert row["id"] == "cli-f1" and row["size"] == 123
+    assert row["metadata"]["core.run"] == 5
+    _, out = run(capsys, "file", "id", "cli_ns:f1.dat")
+    assert out.strip() == "cli-f1"
+    _, out = run(capsys, "file", "name", "cli-f1")
+    assert out.strip() == "cli_ns:f1.dat"
+    _, out = run(capsys, "file", "datasets", "cli-f1", "-i")
+    assert "dune\turgent_2" in out
+    # declared metadata is immediately queryable (shredded + JSON)
+    _, out = run(capsys, "query",
+                 "files from dune:urgent_2 where core.x = 1.5", "-j")
+    assert any(json.loads(ln)["id"] == "cli-f1"
+               for ln in out.splitlines())
+
+
+def test_file_redeclare_rejected(capsys):
+    from metacat_spark.dml import AlreadyExists
+    with pytest.raises(AlreadyExists):
+        run(capsys, "file", "declare", "cli_ns:f1.dat",
+            "--id", "cli-f1")
+
+
+def test_file_retire_unretire(capsys):
+    run(capsys, "file", "declare", "cli_ns:f2.dat", "--id", "cli-f2")
+    run(capsys, "dataset", "add-files", "dune:urgent_1",
+        "--ids", "cli-f2")
+    q = ("query", "files from dune:urgent_1 "
+         "where namespace = 'cli_ns'", "-j")
+    _, out = run(capsys, *q)
+    assert "cli-f2" in out
+    run(capsys, "file", "retire", "cli-f2", "-i")
+    _, out = run(capsys, *q)
+    assert "cli-f2" not in out
+    run(capsys, "file", "retire", "cli-f2", "-i", "-u")
+    _, out = run(capsys, *q)
+    assert "cli-f2" in out
+
+
+def test_file_update_meta_and_move(capsys):
+    run(capsys, "file", "declare", "cli_ns:f3.dat", "--id", "cli-f3",
+        "--meta", '{"core.run": 7}')
+    run(capsys, "file", "update-meta", '{"core.run": 4242}',
+        "cli-f3", "-i")
+    _, out = run(capsys, "file", "show", "cli_ns:f3.dat", "-m", "-j")
+    assert json.loads(out.splitlines()[0])["metadata"]["core.run"] \
+        == 4242
+    run(capsys, "file", "move", "-n", "cli_ns2", "cli-f3")
+    _, out = run(capsys, "file", "name", "cli-f3")
+    assert out.strip() == "cli_ns2:f3.dat"
+
+
+def test_dataset_lifecycle(capsys):
+    rc, out = run(capsys, "dataset", "create", "cli_ns:dset1",
+                  "a cli dataset", "--meta", '{"detector_id": 9}')
+    assert rc == 0
+    _, out = run(capsys, "dataset", "show", "cli_ns:dset1", "-j")
+    row = json.loads(out.splitlines()[0])
+    assert row["description"] == "a cli dataset" \
+        and not row["frozen"]
+    _, out = run(capsys, "dataset", "list", "cli_%:%")
+    assert "dset1" in out
+    run(capsys, "dataset", "add-files", "cli_ns:dset1",
+        "--ids", "cli-f1")
+    _, out = run(capsys, "dataset", "files", "cli_ns:dset1", "-j")
+    assert any(json.loads(ln)["id"] == "cli-f1"
+               for ln in out.splitlines())
+    run(capsys, "dataset", "remove-files", "cli_ns:dset1",
+        "--ids", "cli-f1")
+    _, out = run(capsys, "dataset", "files", "cli_ns:dset1", "-j")
+    assert out.strip() == ""
+    run(capsys, "dataset", "remove", "cli_ns:dset1")
+    with pytest.raises(SystemExit):
+        run(capsys, "dataset", "show", "cli_ns:dset1")
+
+
+def test_dataset_update_freeze(capsys):
+    run(capsys, "dataset", "create", "cli_ns:dset2")
+    run(capsys, "dataset", "update", "cli_ns:dset2",
+        "--frozen", "yes")
+    from metacat_spark.dml import DMLError
+    with pytest.raises(DMLError):
+        run(capsys, "dataset", "add-files", "cli_ns:dset2",
+            "--ids", "cli-f1")
+    run(capsys, "dataset", "update", "cli_ns:dset2", "--frozen", "no")
+    run(capsys, "dataset", "add-files", "cli_ns:dset2",
+        "--ids", "cli-f1")
+    _, out = run(capsys, "dataset", "files", "cli_ns:dset2", "-j")
+    assert "cli-f1" in out
+
+
+def test_dataset_add_subset(capsys):
+    run(capsys, "dataset", "create", "cli_ns:parent")
+    run(capsys, "dataset", "create", "cli_ns:child")
+    run(capsys, "dataset", "add-files", "cli_ns:child",
+        "--ids", "cli-f1")
+    run(capsys, "dataset", "add-subset", "cli_ns:parent",
+        "cli_ns:child")
+    _, out = run(capsys, "query",
+                 "files from cli_ns:parent with subsets", "-j")
+    assert any(json.loads(ln)["id"] == "cli-f1"
+               for ln in out.splitlines())
+
+
+def test_dataset_addfiles_by_query(capsys):
+    run(capsys, "dataset", "create", "cli_ns:byquery")
+    rc, out = run(capsys, "dataset", "add-files", "cli_ns:byquery",
+                  "--query",
+                  "files from dune:urgent_0 ordered limit 7")
+    assert "added 7" in out
+    _, out = run(capsys, "dataset", "files", "cli_ns:byquery", "-j")
+    assert len(out.splitlines()) == 7
+
+
+def test_query_save_as_and_add_to(capsys):
+    rc, out = run(capsys, "query",
+                  "files from dune:urgent_0 ordered limit 4",
+                  "-S", "cli_ns:saved1")
+    assert "saved 4" in out
+    rc, out = run(capsys, "query",
+                  "files from dune:urgent_1 ordered limit 3",
+                  "-A", "cli_ns:saved1")
+    assert "added 3" in out
+    _, out = run(capsys, "dataset", "files", "cli_ns:saved1", "-j")
+    assert len(out.splitlines()) == 7
+
+
+def test_namespace_roundtrip(capsys):
+    run(capsys, "namespace", "create", "cli_new_ns", "-o", "alice")
+    _, out = run(capsys, "namespace", "show", "cli_new_ns", "-j")
+    row = json.loads(out.splitlines()[0])
+    assert row["owner_user"] == "alice"
+    _, out = run(capsys, "namespace", "list", "cli_%")
+    assert "cli_new_ns" in out
+
+
+def test_named_query_roundtrip(capsys):
+    run(capsys, "named-query", "create", "cli_ns:myq",
+        "files from dune:urgent_0 where core.run > 0 limit 6")
+    _, out = run(capsys, "named-query", "show", "cli_ns:myq")
+    assert "core.run > 0" in out
+    _, out = run(capsys, "named-query", "search", "core.run > 0")
+    assert "myq" in out
+    # the engine inlines the saved query
+    _, out = run(capsys, "query", "files selected by cli_ns:myq", "-j")
+    assert len(out.splitlines()) == 6
+    _, out = run(capsys, "named-query", "list")
+    assert "myq" in out
