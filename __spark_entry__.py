@@ -99,7 +99,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- §2.1 sources/scans
     q["bfq_all"] = _fq("files from test:all")
-    q["bfq_no_dataset"] = _fq("files where core.run = 7")
     q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
 
     def file_lists(kind):
@@ -294,6 +293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       threshold=0.12)
     q["dedup_ngram_jaccard"] = dedup_ngram
 
+    def dedup_clusters(spark, sf_dir):
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+        return DD.near_dup_clusters(docs, pairs)
+    q["dedup_clusters"] = dedup_clusters
+
     # --- beyond-reference: similarity search
     def _embs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -340,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Redundant variants of in-cap operators, plus rows-only entries
     # (engine-specific hashing / order-stateful semantics — no SQL
     # oracle by design).  All verified by tests/test_entry_contract.py.
+    q["bfq_no_dataset"] = _fq("files where core.run = 7")
     q["bfq_multi_dataset"] = _fq("files from dune:urgent_0, dune:urgent_1")
     q["bfq_dataset_regexp"] = _fq(
         'files from matching regexp dune:"^high_[01]$"')
@@ -778,6 +785,43 @@ def oracle_sql() -> dict[str, str]:
           join sizes sa on sa.id = id_a
           join sizes sb on sb.id = id_b
         where n_inter / (sa.n + sb.n - n_inter) >= 0.12"""
+
+    o["dedup_clusters"] = """
+        with recursive sh as (
+          select doc_id as id,
+                 list_distinct(case when len(toks) >= 3 then
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex0 as (select id, unnest(s) as shingle from sh),
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1 having count(*) <= 1000)),
+        sizes as (select id, count(*) as n from ex group by 1),
+        inter as (
+          select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from ex a join ex b on a.shingle = b.shingle and a.id < b.id
+          group by 1, 2),
+        pairs as (
+          select id_a, id_b from inter
+            join sizes sa on sa.id = id_a
+            join sizes sb on sb.id = id_b
+          where n_inter / (sa.n + sb.n - n_inter) >= 0.12),
+        edges as (select id_a as a, id_b as b from pairs
+                  union select id_b, id_a from pairs),
+        reach as (
+          select a, b from edges
+          union
+          select r.a, e.b from reach r join edges e on r.b = e.a),
+        comp as (select a as doc_id, least(a, min(b)) as cluster_id
+                 from reach group by a)
+        select d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) as cluster_id,
+               coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                 as is_canonical
+        from documents d left join comp c using (doc_id)"""
 
     o["embed_cosine_pairs"] = """
         select a.vec_id as id_a, b.vec_id as id_b,

@@ -279,3 +279,87 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     return (cand.withColumn("hamming", dist)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(edges: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_rounds: int = 30) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``, where
+    component = the minimum node id in its connected component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is two
+    groupBy-min + join passes over the edge set, and the edge set
+    contracts toward star graphs rooted at component minima in
+    O(log n) rounds — unlike naive min-label propagation, whose round
+    count is the graph DIAMETER (a 1M-doc duplicate chain would need
+    1M rounds; here ~20). Per round the edge set is localCheckpointed:
+    iterative plans otherwise stack lineage and re-execute the whole
+    history each round.
+
+    The 100TB shape: every pass shuffles (node → neighbors) once; edge
+    volume only shrinks (stars replace paths), and skew on a huge
+    component concentrates at its root only at the FINAL rounds, when
+    that component is already star-shaped — one wide groupBy row, not
+    a quadratic join.
+    """
+    e = (edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+         .where(F.col("u") != F.col("v")))
+    prev = (-1, -1)
+    for _ in range(max_rounds):
+        # large-star: connect every neighbor v > u to
+        # m(u) = min(N(u) ∪ {u})  (computed over symmetric edges)
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        e = (sym.join(mins, "u")
+             .where(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), m.alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct())
+        # small-star: orient (u ≥ v); connect every smaller neighbor
+        # (and u itself) to m(u) = min of the smaller neighbors
+        o = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        mins = o.groupBy("u").agg(F.min("v").alias("mv"))
+        joined = o.join(mins, "u")
+        e = (joined.where(F.col("v") != F.col("mv"))
+             .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+             .union(mins.select("u", F.col("mv").alias("v")))
+             .distinct()
+             .localCheckpoint())
+        # converged when the edge set is stable: count + an
+        # order-independent checksum, one job (a fixpoint re-check
+        # costs one harmless extra round on a checksum collision)
+        state = (e.agg(F.count("*"),
+                       F.bit_xor(F.xxhash64("u", "v"))).first())
+        state = (state[0], state[1])
+        if state == prev:
+            break
+        prev = state
+    # fixpoint = disjoint stars (child → root); roots map to themselves
+    return (e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+            .union(e.select(F.col("v").alias("id"),
+                            F.col("v").alias("component")))
+            .distinct())
+
+
+def near_dup_clusters(documents: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      a_col: str = "id_a",
+                      b_col: str = "id_b") -> DataFrame:
+    """Cluster assignment for EVERY document given near-duplicate
+    pairs: (doc_id, cluster_id, is_canonical). cluster_id = min doc id
+    of the connected component (docs in no pair are their own
+    singleton cluster); canonical = the surviving representative.
+    This is the step a curation pipeline actually needs after any
+    pair-generating strategy (ngram/minhash/simhash/embedding):
+    pairs → groups → one survivor per group."""
+    cc = connected_components(pairs, a_col, b_col)
+    return (documents.select(F.col(id_col).alias("doc_id"))
+            .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("cluster_id"))
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.col("cluster_id")))

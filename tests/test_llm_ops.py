@@ -342,3 +342,68 @@ def test_curation_pipeline(docs, spark):
     # survivors are unique by content
     n_hash = curated.select(F.md5("text")).distinct().count()
     assert n_hash == report["n_out"]
+
+
+# ---------------------------------------------------------------- CC
+def _uf_components(n_nodes, edges):
+    """Pure-python union-find oracle: {node: min id of component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 15), (2, 50, 60),
+                                      (3, 80, 40)])
+def test_connected_components_vs_union_find(spark, seed, n, m):
+    import random
+    from metacat_spark.llm.dedup import connected_components
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    want = _uf_components(n, edges)
+    assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    """A 200-node path: diameter 200, must converge well inside the
+    30-round cap (naive label propagation would need 200 rounds)."""
+    from metacat_spark.llm.dedup import connected_components
+    df = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                               ["id_a", "id_b"])
+    rows = connected_components(df).collect()
+    assert len(rows) == 201
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_near_dup_clusters(docs, spark):
+    from metacat_spark.llm.dedup import (near_dup_clusters,
+                                         ngram_jaccard_pairs)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    out = near_dup_clusters(docs, pairs).collect()
+    assert len(out) == docs.count()            # every doc labeled
+    by_id = {r["doc_id"]: r for r in out}
+    # cluster representative is a member and is minimal
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in clusters.items():
+        assert cid == min(members)
+        assert by_id[cid]["is_canonical"]
+    # pair endpoints co-clustered
+    for p in pairs.collect():
+        assert (by_id[p["id_a"]]["cluster_id"]
+                == by_id[p["id_b"]]["cluster_id"])
