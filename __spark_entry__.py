@@ -214,12 +214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               F.col("total_size").cast("long"))
     q["agg_cube_namespace_datatype"] = agg_cube
 
-    def meta_histogram(spark, sf_dir):
-        eng = _engine(spark, sf_dir)
-        return (eng.file_set("files from test:all")
-                .groupBy(F.col("m_core_data_type").alias("value"))
-                .agg(F.count("*").alias("n")))
-    q["meta_value_histogram"] = meta_histogram
+    def multimodal_features(spark, sf_dir):
+        from metacat_spark.llm import multimodal as MM
+        feats = MM.extract_features(
+            MM.synthesize_assets(_docs(spark, sf_dir)))
+        cols = [F.round(F.element_at("feature", i + 1), 6)
+                .alias(f"f{i}") for i in range(8)]
+        return feats.select("asset_id", "modality", "n_bytes", *cols)
+    q["multimodal_features"] = multimodal_features
 
     # --- dataset queries / query queries
     def _dsq(mql):
@@ -346,6 +348,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Redundant variants of in-cap operators, plus rows-only entries
     # (engine-specific hashing / order-stateful semantics — no SQL
     # oracle by design).  All verified by tests/test_entry_contract.py.
+    def meta_histogram(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        return (eng.file_set("files from test:all")
+                .groupBy(F.col("m_core_data_type").alias("value"))
+                .agg(F.count("*").alias("n")))
+    q["meta_value_histogram"] = meta_histogram
+
+    def multimodal_frame_plan(spark, sf_dir):
+        from metacat_spark.llm import multimodal as MM
+        return MM.frame_sample_plan(
+            MM.synthesize_assets(_docs(spark, sf_dir)), every_ms=1000)
+    q["multimodal_frame_plan"] = multimodal_frame_plan
+
     q["bfq_no_dataset"] = _fq("files where core.run = 7")
     q["bfq_multi_dataset"] = _fq("files from dune:urgent_0, dune:urgent_1")
     q["bfq_dataset_regexp"] = _fq(
@@ -822,6 +837,26 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.cluster_id, d.doc_id) = d.doc_id
                  as is_canonical
         from documents d left join comp c using (doc_id)"""
+
+    _mm_f = ", ".join(
+        f"round(len(list_filter(string_split(text, ''), "
+        f"c -> unicode(c) % 8 = {i})) / length(text), 6) as f{i}"
+        for i in range(8))
+    o["multimodal_features"] = f"""
+        select doc_id as asset_id,
+               (['image', 'audio', 'video'])[(doc_id % 3 + 1)::int]
+                 as modality,
+               length(text) as n_bytes,
+               {_mm_f}
+        from documents"""
+
+    o["multimodal_frame_plan"] = """
+        select asset_id, frame_idx, frame_idx * 1000 as t_ms from (
+          select doc_id as asset_id,
+                 unnest(generate_series(0,
+                   greatest((n_chars * 10) // 1000 - 1, 0)))
+                   as frame_idx
+          from documents where doc_id % 3 = 2) t"""
 
     o["embed_cosine_pairs"] = """
         select a.vec_id as id_a, b.vec_id as id_b,
