@@ -87,7 +87,8 @@ def main():
     # up the Arrow python workers (first pandas UDF pays worker fork)
     engine.query("files from dune:urgent_0 limit 1").collect()
     warm = F.pandas_udf(lambda s: s, "long")
-    (engine.cat.files.limit(1024)
+    par = spark.sparkContext.defaultParallelism
+    (engine.cat.files.select("id").repartition(par)
      .select(warm(F.length("id"))).count())
     setup_sec = time.time() - t0
 
