@@ -91,6 +91,27 @@ def _meta_arg(s: str) -> dict:
     return json.loads(s)
 
 
+def _checksum_arg(s):
+    """'<type>:<value>[,...]' → dict (metacat_file.py -k syntax)."""
+    if s is None:
+        return None
+    out = {}
+    for part in s.split(","):
+        t, _, v = part.partition(":")
+        out[t.strip()] = v.strip()
+    return out
+
+
+def _id_list(s):
+    """Comma-separated id list; '-' = explicit empty (remove-all with
+    --replace, like the reference's `-p -`)."""
+    if s is None:
+        return None
+    if s.strip() == "-":
+        return []
+    return [x.strip() for x in s.split(",") if x.strip()]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="metacat_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -123,8 +144,16 @@ def main(argv=None):
     fd.add_argument("--size", type=int, default=0)
     fd.add_argument("--meta", type=_meta_arg, default={},
                     help="JSON metadata ('{...}' or @file)")
+    fd.add_argument("-k", "--checksums", default=None,
+                    help="<type>:<value>[,...]")
+    fd.add_argument("-p", "--parents", default=None,
+                    help="comma-separated parent file ids")
     fd.add_argument("-c", "--creator", default="cli")
     _add_sf_dir(fd)
+
+    fds_ = fsub.add_parser("declare-sample",
+                           help="print sample declare-many JSON")
+    _add_sf_dir(fds_)
 
     fdm = fsub.add_parser("declare-many",
                           help="bulk declare from a JSON file")
@@ -152,6 +181,28 @@ def main(argv=None):
     fu.add_argument("-r", "--replace", action="store_true",
                     help="replace instead of merge")
     _add_sf_dir(fu)
+
+    fup = fsub.add_parser("update",
+                          help="update file attributes/provenance")
+    fup.add_argument("spec")
+    fup.add_argument("-i", "--id", action="store_true", dest="by_id")
+    fup.add_argument("-s", "--size", type=int, default=None)
+    fup.add_argument("-k", "--checksums", default=None,
+                     help="<type>:<value>[,...]")
+    fup.add_argument("-m", "--meta", type=_meta_arg, default=None)
+    fup.add_argument("-p", "--parents", default=None,
+                     help="comma-separated parent ids ('-' = none)")
+    fup.add_argument("-c", "--children", default=None,
+                     help="comma-separated child ids ('-' = none)")
+    fup.add_argument("-r", "--replace", action="store_true")
+    _add_sf_dir(fup)
+
+    fad = fsub.add_parser("add", help="add file(s) to a dataset")
+    fad.add_argument("specs", nargs="+",
+                     help="<ns>:<name> DIDs or file ids (with -i)")
+    fad.add_argument("dataset", help="<ns>:<name> target dataset")
+    fad.add_argument("-i", "--id", action="store_true", dest="by_id")
+    _add_sf_dir(fad)
 
     fm = fsub.add_parser("move", help="move files to a new namespace")
     fm.add_argument("-n", "--namespace", required=True)
@@ -292,9 +343,20 @@ def main(argv=None):
             fid = args.fid or f"cli-{ns}-{name}"
             n = dml.declare_files(
                 [dict(id=fid, namespace=ns, name=name, size=args.size,
-                      creator=args.creator, metadata=args.meta)],
+                      creator=args.creator, metadata=args.meta,
+                      checksums=_checksum_arg(args.checksums),
+                      parents=_id_list(args.parents))],
                 dataset=_did(args.dataset) if args.dataset else None)
             print(f"declared {n} file(s); id={fid}")
+            return 0
+        if args.fcmd == "declare-sample":
+            print(json.dumps([{
+                "id": "fid1", "namespace": "ns", "name": "file1.dat",
+                "size": 1024, "creator": "user",
+                "checksums": {"adler32": "abcd1234"},
+                "parents": ["fid0"],
+                "metadata": {"core.run": 1, "core.data_type": "mc"},
+            }], indent=2))
             return 0
         if args.fcmd == "declare-many":
             with open(args.json_file) as f:
@@ -304,7 +366,25 @@ def main(argv=None):
                 else None)
             print(f"declared {n} file(s)")
             return 0
-        if args.fcmd in ("show", "retire", "update-meta", "datasets"):
+        if args.fcmd == "add":
+            ns, dname = _did(args.dataset)
+            if args.by_id:
+                fids = list(args.specs)
+            else:
+                fids = []
+                for spec in args.specs:
+                    sns, sname = _did(spec)
+                    row = (files.where((F.col("namespace") == sns)
+                                       & (F.col("name") == sname))
+                           .select("id").first())
+                    if row is None:
+                        raise SystemExit(f"file {spec!r} not found")
+                    fids.append(row["id"])
+            n = dml.add_files_to_dataset(fids, ns, dname)
+            print(f"added {n} file(s) to {ns}:{dname}")
+            return 0
+        if args.fcmd in ("show", "retire", "update-meta", "update",
+                         "datasets"):
             if args.by_id:
                 hit = F.col("id") == args.spec
             else:
@@ -329,6 +409,15 @@ def main(argv=None):
                 dml.update_file_metadata(
                     fid, args.meta,
                     mode="replace" if args.replace else "update")
+                print(f"updated {fid}")
+            elif args.fcmd == "update":
+                dml.update_file(
+                    fid, size=args.size,
+                    checksums=_checksum_arg(args.checksums),
+                    metadata=args.meta,
+                    parents=_id_list(args.parents),
+                    children=_id_list(args.children),
+                    replace=args.replace, by="cli")
                 print(f"updated {fid}")
             else:  # datasets
                 _print_rows(

@@ -176,7 +176,10 @@ class DML:
                 id=r["id"], namespace=r["namespace"], name=r["name"],
                 size=int(r.get("size", 0)),
                 creator=r.get("creator", "unknown"),
-                metadata=json.dumps(meta), retired=False)
+                metadata=json.dumps(meta), retired=False,
+                checksums=({k: str(v) for k, v
+                            in r["checksums"].items()}
+                           if r.get("checksums") else None))
             # shred the hot keys at ingest (the engine's predicates are
             # shredded-first; JSON is the fallback for cold keys);
             # every row carries every shredded field so the Rows are
@@ -205,6 +208,20 @@ class DML:
                     c, F.lit(None).cast(files.schema[c].dataType))
         new = new.select(*files.columns)
         self.cat.files = _truncate(files.unionByName(new))
+        # provenance edges declared inline (data_handler declare
+        # accepts parents per file); FK-checked against the post-append
+        # files so intra-batch references resolve
+        edges = [(p, r["id"]) for r in rows
+                 for p in (r.get("parents") or [])]
+        if edges:
+            self._check_fids_exist(sorted({p for p, _ in edges}),
+                                   "parent")
+            add = (self.cat.spark.createDataFrame(
+                       edges, ["parent_id", "child_id"])
+                   .join(self.cat.parent_child,
+                         ["parent_id", "child_id"], "left_anti"))
+            self.cat.parent_child = _truncate(
+                self.cat.parent_child.unionByName(add))
         if dataset:
             self.add_files_to_dataset([r["id"] for r in rows], *dataset,
                                       _skip_exist_check=True)
@@ -290,6 +307,94 @@ class DML:
         self.cat.files = _truncate(_apply_meta_patch(
             files, self.cat.file_meta, F.col("id") == file_id,
             new_meta))
+
+    def _check_fids_exist(self, fids: list[str], what: str) -> None:
+        if not fids:
+            return
+        found = {r["id"] for r in self.cat.files
+                 .where(F.col("id").isin(fids)).select("id").collect()}
+        missing = sorted(set(fids) - found)
+        if missing:
+            raise DMLError(f"{what} file id(s) not found: {missing[:5]}")
+
+    def _set_edges(self, file_id: str, other_ids: list[str],
+                   as_parents: bool, replace: bool) -> None:
+        """Add (or replace) provenance edges touching ``file_id``.
+        FK semantics: every referenced id must exist (schema.sql:67-73
+        REFERENCES files(id)); added edges are anti-joined against the
+        existing edge set so re-adding is a no-op, like the PK."""
+        self._check_fids_exist(other_ids,
+                               "parent" if as_parents else "child")
+        pc = self.cat.parent_child
+        me, other = (("child_id", "parent_id") if as_parents
+                     else ("parent_id", "child_id"))
+        if replace:
+            pc = pc.where(F.col(me) != file_id)
+        if other_ids:
+            rows = [(file_id, o) for o in other_ids]
+            add = (self.cat.spark.createDataFrame(rows, [me, other])
+                   .select("parent_id", "child_id")
+                   .join(pc, ["parent_id", "child_id"], "left_anti"))
+            pc = pc.unionByName(add)
+        self.cat.parent_child = _truncate(pc)
+
+    def update_file(self, file_id: str,
+                    size: Optional[int] = None,
+                    checksums: Optional[dict] = None,
+                    metadata: Optional[dict] = None,
+                    parents: Optional[list[str]] = None,
+                    children: Optional[list[str]] = None,
+                    replace: bool = False,
+                    by: str = "admin") -> None:
+        """Update file attributes (ui/metacat_file.py:524-618,
+        data_handler.py update_file): size, checksums (merge, or
+        replace with ``replace=True``), metadata (delegated to
+        update_file_metadata), and provenance edges (add, or replace —
+        ``parents=[]`` with replace removes all). Point update: one
+        bucketed-row patch; checksum merge is driver-side on the one
+        target row, preserving the reference's dict-update semantics."""
+        files = self.cat.files
+        row = files.where(F.col("id") == file_id) \
+                   .select("id", "checksums").first()
+        if row is None:
+            raise DMLError(f"file {file_id!r} not found")
+        hit = F.col("id") == file_id
+        changed = False
+        if size is not None:
+            files = files.withColumn(
+                "size", F.when(hit, F.lit(int(size)).cast("long"))
+                         .otherwise(F.col("size")))
+            changed = True
+        if checksums is not None:
+            merged = {} if replace else dict(row["checksums"] or {})
+            merged.update({k: str(v) for k, v in checksums.items()})
+            if merged:
+                lit_map = F.create_map(*[F.lit(x) for kv in merged.items()
+                                         for x in kv])
+            else:
+                lit_map = F.lit(None).cast("map<string,string>")
+            files = files.withColumn(
+                "checksums", F.when(hit, lit_map)
+                              .otherwise(F.col("checksums")))
+            changed = True
+        if changed:
+            files = (files.withColumn(
+                        "updated_by", F.when(hit, F.lit(by))
+                                       .otherwise(F.col("updated_by")))
+                     .withColumn(
+                        "updated_timestamp",
+                        F.when(hit, F.current_timestamp())
+                         .otherwise(F.col("updated_timestamp"))))
+            self.cat.files = _truncate(files)
+        if metadata is not None:
+            self.update_file_metadata(
+                file_id, metadata, mode="replace" if replace else "update")
+        if parents is not None:
+            self._set_edges(file_id, parents, as_parents=True,
+                            replace=replace)
+        if children is not None:
+            self._set_edges(file_id, children, as_parents=False,
+                            replace=replace)
 
     def retire_file(self, file_id: str, by: str = "admin",
                     unretire: bool = False) -> None:

@@ -199,3 +199,43 @@ def test_named_query_roundtrip(capsys):
     assert len(out.splitlines()) == 6
     _, out = run(capsys, "named-query", "list")
     assert "myq" in out
+
+
+def test_file_declare_sample(capsys):
+    rc, out = run(capsys, "file", "declare-sample")
+    assert rc == 0
+    sample = json.loads(out)
+    assert sample[0]["checksums"] and sample[0]["parents"]
+
+
+def test_file_update_attributes_and_add(capsys):
+    rc, out = run(capsys, "file", "declare", "dune:upd_a.dat",
+                  "--id", "upd-a", "--meta", '{"core.run": 987653}')
+    assert rc == 0
+    rc, out = run(capsys, "file", "declare", "dune:upd_b.dat",
+                  "--id", "upd-b", "--meta", '{"core.run": 987654}',
+                  "-k", "adler32:cafe", "-p", "upd-a")
+    assert rc == 0
+    # checksum + size update, then provenance replace
+    rc, out = run(capsys, "file", "update", "dune:upd_b.dat",
+                  "-s", "4242", "-k", "sha256:beef")
+    assert rc == 0 and "updated" in out
+    rc, out = run(capsys, "query",
+                  "parents(files where core.run = 987654)", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert [r["id"] for r in rows] == ["upd-a"]
+    rc, out = run(capsys, "file", "update", "dune:upd_b.dat",
+                  "-p", "-", "-r")
+    assert rc == 0
+    rc, out = run(capsys, "query",
+                  "parents(files where core.run = 987654)", "-j")
+    assert out.strip() == ""
+    # file add: put upd-a into a fresh dataset by DID
+    rc, out = run(capsys, "dataset", "create", "dune:upd_ds")
+    assert rc == 0
+    rc, out = run(capsys, "file", "add", "dune:upd_a.dat",
+                  "dune:upd_ds")
+    assert rc == 0 and "added 1" in out
+    rc, out = run(capsys, "query", "files from dune:upd_ds", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert [r["id"] for r in rows] == ["upd-a"]

@@ -299,3 +299,70 @@ def test_create_namespace(fresh):
     assert dml.cat.namespaces.where(F.col("name") == "newns").count() == 1
     with pytest.raises(DMLError, match="exists"):
         dml.create_namespace("newns")
+
+
+def test_declare_with_checksums_and_parents(fresh):
+    eng, dml = fresh
+    parent = eng.cat.files.select("id").first()["id"]
+    dml.declare_files([dict(
+        id="fx1", namespace="dune", name="fx1.dat", size=10,
+        metadata={"core.run": 1},
+        checksums={"adler32": "0a0b0c0d", "md5": "ff"},
+        parents=[parent])])
+    row = (eng.cat.files.where(F.col("id") == "fx1")
+           .select("checksums").first())
+    assert dict(row["checksums"]) == {"adler32": "0a0b0c0d", "md5": "ff"}
+    edges = (eng.cat.parent_child
+             .where(F.col("child_id") == "fx1").collect())
+    assert [(e["parent_id"], e["child_id"]) for e in edges] \
+        == [(parent, "fx1")]
+
+
+def test_declare_unknown_parent_rejected(fresh):
+    _, dml = fresh
+    with pytest.raises(DMLError, match="parent"):
+        dml.declare_files([dict(
+            id="fx2", namespace="dune", name="fx2.dat",
+            metadata={"core.run": 1}, parents=["no-such-fid"])])
+
+
+def test_update_file_attributes(fresh):
+    eng, dml = fresh
+    fid = eng.cat.files.select("id").first()["id"]
+    dml.update_file(fid, size=777, checksums={"sha256": "aa"})
+    row = (eng.cat.files.where(F.col("id") == fid)
+           .select("size", "checksums", "updated_by").first())
+    assert row["size"] == 777 and row["updated_by"] == "cli" \
+        or row["updated_by"] == "admin"
+    assert row["checksums"]["sha256"] == "aa"
+    assert "adler32" in row["checksums"]        # merge keeps existing
+    # replace mode drops the old keys
+    dml.update_file(fid, checksums={"crc": "1"}, replace=True)
+    row = (eng.cat.files.where(F.col("id") == fid)
+           .select("checksums").first())
+    assert dict(row["checksums"]) == {"crc": "1"}
+
+
+def test_update_file_provenance_edges(fresh):
+    eng, dml = fresh
+    ids = [r["id"] for r in eng.cat.files.select("id").limit(4).collect()]
+    target, p1, p2, c1 = ids
+    before = eng.cat.parent_child.count()
+    dml.update_file(target, parents=[p1, p2], children=[c1])
+    pc = eng.cat.parent_child
+    assert pc.where((F.col("child_id") == target)
+                    & F.col("parent_id").isin([p1, p2])).count() == 2
+    assert pc.where((F.col("parent_id") == target)
+                    & (F.col("child_id") == c1)).count() == 1
+    # re-adding is a no-op (PK semantics)
+    n = pc.count()
+    dml.update_file(target, parents=[p1])
+    assert eng.cat.parent_child.count() == n
+    # replace with '-' (empty list) removes all parents of target
+    dml.update_file(target, parents=[], replace=True)
+    assert eng.cat.parent_child.where(
+        F.col("child_id") == target).count() == 0
+    assert eng.cat.parent_child.where(
+        F.col("parent_id") == target).count() >= 1
+    with pytest.raises(DMLError, match="not found"):
+        dml.update_file("no-such-fid", size=1)
