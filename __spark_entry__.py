@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs(spark, sf_dir).select(
             "doc_id",
             TX.token_count(c).cast("long").alias("n_tokens"),
+            TX.bpe_token_count(c).cast("long").alias("n_bpe_tokens"),
             TX.poly_hash(c).alias("fingerprint"),
             TX.word_occurrences(c, "the").cast("long").alias("n_the"))
     q["doc_text_analysis"] = doc_text_analysis
@@ -723,14 +724,17 @@ def oracle_sql() -> dict[str, str]:
         f"and {_member('dune', 'high_1')}")
 
     # --- LLM-pipeline oracles (documents/embeddings/events views)
-    o["doc_text_analysis"] = """
+    o["doc_text_analysis"] = r"""
         select doc_id,
-               len(string_split_regex(text, '\\s+')) as n_tokens,
+               len(string_split_regex(text, '\s+')) as n_tokens,
+               len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+'
+                 || '| ?[^\s\p{L}\p{N}]+|\s+')) as n_bpe_tokens,
                list_reduce(list_prepend(0::bigint,
                  list_transform(string_split(text, ''),
                                 x -> unicode(x)::bigint)),
                  (acc, x) -> (acc * 31 + x) % 2147483647) as fingerprint,
-               len(list_filter(string_split_regex(text, '\\s+'),
+               len(list_filter(string_split_regex(text, '\s+'),
                    x -> x = 'the')) as n_the
         from documents"""
 

@@ -34,6 +34,24 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer, minus the trailing-space lookahead (which
+# RE2 lacks): contractions, letter runs, digit runs, punctuation runs,
+# whitespace. Runs identically under Java regex (Spark) and RE2
+# (DuckDB oracle) — both leftmost-first alternation.
+BPE_SPLIT_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+                r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization (the units a byte-pair encoder would
+    merge within). JVM-side regexp_extract_all — no Python worker."""
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def word_occurrences(col: Column, word: str) -> Column:
     """Exact-token occurrence count (portable: list_filter in DuckDB)."""
     return F.size(F.filter(tokens(col), lambda x: x == F.lit(word)))
@@ -95,6 +113,7 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
         F.length(c).alias("n_chars"),
         quality_score(c).alias("quality"),
         lang_id(c).alias("lang_pred"),

@@ -407,3 +407,19 @@ def test_near_dup_clusters(docs, spark):
     for p in pairs.collect():
         assert (by_id[p["id_a"]]["cluster_id"]
                 == by_id[p["id_b"]]["cluster_id"])
+
+
+def test_bpe_tokens(spark):
+    from metacat_spark.llm.text import bpe_token_count, bpe_tokens
+    df = spark.createDataFrame(
+        [("it's a test-case with 42 numbers, ok",),
+         ("hello   world",), ("",)], ["text"])
+    rows = (df.select(bpe_tokens(F.col("text")).alias("t"),
+                      bpe_token_count(F.col("text")).alias("n"))
+            .collect())
+    assert rows[0]["t"] == ["it", "'s", " a", " test", "-", "case",
+                            " with", " 42", " numbers", ",", " ok"]
+    # no lookahead (RE2-compatible): \s+ is greedy, so the run of
+    # spaces is one whitespace token and "world" gets no space prefix
+    assert rows[1]["t"] == ["hello", "   ", "world"]
+    assert rows[2]["n"] == 0
