@@ -165,6 +165,8 @@ def main(argv=None):
     fs.add_argument("spec", help="<namespace>:<name> or file id with -i")
     fs.add_argument("-i", "--id", action="store_true", dest="by_id")
     fs.add_argument("-m", "--with-metadata", action="store_true")
+    fs.add_argument("-l", "--with-provenance", action="store_true",
+                    help="print parent/child file ids")
     _add_sf_dir(fs)
 
     fr = fsub.add_parser("retire", help="retire/unretire a file")
@@ -397,10 +399,18 @@ def main(argv=None):
             fid = row["id"]
             if args.fcmd == "show":
                 cols = ["id", "namespace", "name", "size", "creator",
-                        "created_timestamp", "retired"]
+                        "created_timestamp", "retired", "checksums"]
                 if args.with_metadata:
                     cols.append("metadata")
                 _print_rows(files.where(hit).select(*cols), args.json)
+                if args.with_provenance:
+                    pc = cat.parent_child
+                    ps = [r["parent_id"] for r in
+                          pc.where(F.col("child_id") == fid).collect()]
+                    cs = [r["child_id"] for r in
+                          pc.where(F.col("parent_id") == fid).collect()]
+                    print(f"parents:  {','.join(sorted(ps))}")
+                    print(f"children: {','.join(sorted(cs))}")
             elif args.fcmd == "retire":
                 dml.retire_file(fid, by="cli", unretire=args.unretire)
                 print(("unretired" if args.unretire else "retired")

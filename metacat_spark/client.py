@@ -74,6 +74,18 @@ class MetaCatSparkClient:
         for r in df.toLocalIterator():
             yield self._row_to_dict(r)
 
+    def stream_json_seq(self, mql: str, fp, **kw) -> int:
+        """Write the result as RFC 7464 json-seq (RS + JSON + LF per
+        record) — the reference server's streaming wire format
+        (rfc7464.py, data_handler.py json-seq responses). Backed by
+        query_iter: partition-at-a-time on the driver, never the full
+        result. Returns the record count."""
+        n = 0
+        for d in self.query_iter(mql, **kw):
+            fp.write("\x1e" + json.dumps(d, default=str) + "\n")
+            n += 1
+        return n
+
     def async_query(self, mql: str, **kw) -> Future:
         """Promise-returning variant (webapi.py:1296-1323)."""
         return self._pool.submit(self.query, mql, **kw)
@@ -85,13 +97,24 @@ class MetaCatSparkClient:
     def get_file(self, fid: Optional[str] = None,
                  did: Optional[str] = None,
                  with_metadata: bool = True) -> Optional[dict]:
+        """Full file record (webapi get_file, data_handler.py file
+        GET): direct bucketed-table lookup — one pruned bucket, not an
+        MQL query — returning every attribute incl. checksums."""
+        from pyspark.sql import functions as F
+        files = self.catalog.files
         if fid is not None:
-            rows = self.query(f"fids {fid}", with_metadata=with_metadata)
+            hit = F.col("id") == fid
         elif did is not None:
-            rows = self.query(f"files {did}", with_metadata=with_metadata)
+            ns, name = did.split(":", 1)
+            hit = (F.col("namespace") == ns) & (F.col("name") == name)
         else:
             raise ValueError("need fid or did")
-        return rows[0] if rows else None
+        cols = ["id", "namespace", "name", "size", "creator",
+                "created_timestamp", "retired", "checksums"]
+        if with_metadata:
+            cols.append("metadata")
+        row = files.where(hit).select(*cols).first()
+        return None if row is None else self._row_to_dict(row)
 
     def list_datasets(self, pattern: str = "*:*") -> list[dict]:
         ns, pat = pattern.split(":", 1)
@@ -108,6 +131,12 @@ class MetaCatSparkClient:
 
     def retire_file(self, fid: str, by: str = "client") -> None:
         self.dml.retire_file(fid, by)
+
+    def update_file(self, fid: str, **kw) -> None:
+        """Attribute/provenance update passthrough (webapi
+        update_file): size, checksums, metadata, parents, children,
+        replace."""
+        self.dml.update_file(fid, **kw)
 
     # ------------------------------------------------------------ helpers
     @staticmethod

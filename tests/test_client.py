@@ -1,5 +1,7 @@
 """Client facade tests (MetaCatClient-parity surface)."""
 
+import json
+
 import pytest
 
 from metacat_spark.client import MetaCatSparkClient
@@ -61,3 +63,22 @@ def test_query_save_as(spark):
 def test_explain(client):
     out = client.explain("files from dune:urgent_0 where core.run > 5")
     assert "MQL AST" in out and "Spark plan" in out
+
+
+def test_stream_json_seq(client):
+    import io
+    buf = io.StringIO()
+    n = client.stream_json_seq("files from dune:urgent_0 limit 7", buf)
+    assert n == 7
+    recs = buf.getvalue().split("\x1e")
+    assert recs[0] == ""                      # leading RS
+    rows = [json.loads(r) for r in recs[1:]]
+    assert len(rows) == 7 and all(r.endswith("\n") for r in recs[1:])
+    assert all("id" in r for r in rows)
+
+
+def test_client_update_file(client):
+    fid = client.query("files from dune:urgent_0 limit 1")[0]["id"]
+    client.update_file(fid, size=123456, checksums={"sha1": "ab"})
+    got = client.get_file(fid=fid)
+    assert got["size"] == 123456 and got["checksums"]["sha1"] == "ab"
