@@ -81,3 +81,36 @@ def test_whole_stage_codegen_for_predicates(mat_engine):
     plan = plan_of(df)
     # formatted mode marks codegen stages with a '*' prefix
     assert "* Filter" in plan and "* ColumnarToRow" in plan
+
+
+def test_text_analysis_no_python_workers(spark):
+    """The whole text-analysis projection (incl. the BPE pre-tokenizer)
+    must compile to JVM expressions — no BatchEvalPython /
+    ArrowEvalPython stage in the hot path."""
+    from metacat_spark.llm.text import analyze
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(analyze(docs))
+    assert "EvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_connected_components_no_cartesian(spark):
+    """One CC round: both star passes are key-equi joins — a plan with
+    CartesianProduct or BroadcastNestedLoopJoin would be quadratic."""
+    from metacat_spark.llm.dedup import connected_components
+    edges = spark.createDataFrame([(i, i + 1) for i in range(50)],
+                                  ["id_a", "id_b"])
+    plan = plan_of(connected_components(edges, max_rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_features_is_arrow_batched(spark):
+    """Feature extraction must run as ONE Arrow-batched python stage
+    (mapInPandas), not row-at-a-time BatchEvalPython."""
+    from metacat_spark.llm.multimodal import (extract_features,
+                                              synthesize_assets)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(extract_features(synthesize_assets(docs)))
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert "BatchEvalPython" not in plan
