@@ -52,9 +52,14 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(bpe_tokens(col))
 
 
+def occurrences_in(toks: Column, word: str) -> Column:
+    """Exact-token occurrence count over a pre-split token array."""
+    return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+
 def word_occurrences(col: Column, word: str) -> Column:
     """Exact-token occurrence count (portable: list_filter in DuckDB)."""
-    return F.size(F.filter(tokens(col), lambda x: x == F.lit(word)))
+    return occurrences_in(tokens(col), word)
 
 
 def poly_hash(col: Column) -> Column:
@@ -67,14 +72,12 @@ def poly_hash(col: Column) -> Column:
         lambda acc, x: (acc * POLY_MUL + F.ascii(x)) % POLY_MOD)
 
 
-def quality_score(col: Column) -> Column:
-    """Heuristic document quality in [0,1]: blend of mean word length
-    (penalize <3 or >10), stopword presence, and non-alnum ratio.
-    Deterministic arithmetic — same formula runs in the oracle."""
+def quality_score_from(col: Column, toks: Column) -> Column:
+    """quality_score over a pre-split token array (one split total)."""
     n_chars = F.length(col)
-    n_words = token_count(col)
+    n_words = F.size(toks)
     avg_wlen = (n_chars - (n_words - 1)) / n_words
-    stop_ratio = word_occurrences(col, "the") / n_words
+    stop_ratio = occurrences_in(toks, "the") / n_words
     alnum = F.length(F.regexp_replace(col, r"[^a-zA-Z0-9 ]", ""))
     punct_ratio = (n_chars - alnum) / n_chars
     wlen_term = F.when((avg_wlen >= 3.0) & (avg_wlen <= 10.0), F.lit(1.0)) \
@@ -86,36 +89,67 @@ def quality_score(col: Column) -> Column:
         6)
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    """Marker-stopword count per language."""
-    return {lang: sum((word_occurrences(col, w) for w in words),
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: blend of mean word length
+    (penalize <3 or >10), stopword presence, and non-alnum ratio.
+    Deterministic arithmetic — same formula runs in the oracle."""
+    return quality_score_from(col, tokens(col))
+
+
+def lang_scores_from(toks: Column) -> dict[str, Column]:
+    """Marker-stopword count per language over pre-split tokens."""
+    return {lang: sum((occurrences_in(toks, w) for w in words),
                       F.lit(0))
             for lang, words in LANG_MARKERS.items()}
 
 
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-stopword count per language."""
+    return lang_scores_from(tokens(col))
+
+
 def lang_id(col: Column) -> Column:
-    """argmax over marker counts; ties/zero → 'und' (undetermined)."""
-    scores = lang_scores(col)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # deterministic tie-break: fixed language order, strict >
-    for lang in sorted(LANG_MARKERS):
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    """argmax over marker counts; ties/zero → 'und' (undetermined).
+
+    Formulated as greatest() + first-match instead of a sequential
+    max-fold: the fold re-inlines every score into every later branch
+    (Catalyst's projection collapse), blowing the expression tree up
+    exponentially in the language count — the greatest() form keeps it
+    linear. Semantics are identical: winner = first language in sorted
+    order reaching the (positive) maximum."""
+    return lang_id_from(tokens(col))
+
+
+def lang_id_from(toks: Column) -> Column:
+    """lang_id over a pre-split token array."""
+    scores = lang_scores_from(toks)
+    m = F.greatest(*(scores[lang] for lang in sorted(LANG_MARKERS)))
+    best = F.lit("und")
+    # reversed so the FIRST sorted language wins ties
+    for lang in reversed(sorted(LANG_MARKERS)):
+        best = F.when(scores[lang] == m, F.lit(lang)).otherwise(best)
+    return F.when(m > 0, best).otherwise(F.lit("und"))
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Full text-analysis projection over a documents table."""
+    """Full text-analysis projection over a documents table.
+
+    Tokenizes ONCE into an intermediate column: every downstream
+    expression references `__toks`, and CollapseProject keeps a
+    multiply-referenced non-cheap expression materialized instead of
+    re-inlining the split into all ~20 consumers (a >20× per-row
+    saving at scale)."""
     c = F.col(text_col)
-    return df.select(
+    toks = F.col("__toks")
+    staged = df.select("doc_id", c.alias("__text"),
+                       tokens(c).alias("__toks"))
+    ct = F.col("__text")
+    return staged.select(
         "doc_id",
-        token_count(c).alias("n_tokens"),
-        bpe_token_count(c).alias("n_bpe_tokens"),
-        F.length(c).alias("n_chars"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
-        poly_hash(c).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        bpe_token_count(ct).alias("n_bpe_tokens"),
+        F.length(ct).alias("n_chars"),
+        quality_score_from(ct, toks).alias("quality"),
+        lang_id_from(toks).alias("lang_pred"),
+        poly_hash(ct).alias("fingerprint"),
     )
