@@ -31,6 +31,8 @@ import json
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 # (engine, dml) per sf-dir — the "resident server" equivalent
 _SESSIONS: dict = {}
 
@@ -117,14 +119,21 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("query", help="run an MQL query")
-    q.add_argument("mql")
+    q.add_argument("mql", nargs="?", default=None)
     _add_sf_dir(q)
-    q.add_argument("-m", "--with-metadata", action="store_true")
+    q.add_argument("-q", "--query-file", default=None,
+                   help="read the MQL text from a file")
+    q.add_argument("-m", "--metadata", dest="meta_keys", default=None,
+                   metavar="KEYS",
+                   help="'all' or comma-separated metadata keys to "
+                        "print (metacat_query.py -m)")
     q.add_argument("-p", "-P", "--with-provenance", action="store_true")
     q.add_argument("-s", "--summary", choices=["count", "keys",
                                                "key-values"])
     q.add_argument("-N", "--namespace", default=None)
-    q.add_argument("-i", "--include-retired", action="store_true")
+    q.add_argument("-r", "--include-retired", action="store_true")
+    q.add_argument("-i", "--ids", action="store_true",
+                   help="print file ids only")
     q.add_argument("-x", "--explain", action="store_true")
     q.add_argument("-l", "--limit", type=int, default=None,
                    help="client-side cap on printed rows")
@@ -330,7 +339,6 @@ def main(argv=None):
     _add_sf_dir(qse)
 
     args = p.parse_args(argv)
-    from pyspark.sql import functions as F
 
     engine, dml = _session(args.sf_dir)
     cat = engine.cat
@@ -610,16 +618,30 @@ def main(argv=None):
 
 
 def _cmd_query(engine, dml, args):
+    mql = args.mql
+    if mql is None:
+        if not args.query_file:
+            raise SystemExit("query text or -q <file> required")
+        with open(args.query_file) as f:
+            mql = f.read()
     if args.explain:
-        print(engine.explain(args.mql,
-                             default_namespace=args.namespace))
+        print(engine.explain(mql, default_namespace=args.namespace))
         return 0
 
-    df = engine.query(args.mql, with_meta=args.with_metadata,
+    keys = args.meta_keys
+    df = engine.query(mql, with_meta=keys is not None,
                       with_provenance=args.with_provenance,
                       summary=args.summary,
                       include_retired=args.include_retired,
                       default_namespace=args.namespace)
+    if args.ids and args.summary is None:
+        df = df.select("id")
+    elif keys and keys != "all" and args.summary is None:
+        # project the requested keys out of the JSON metadata
+        others = [c for c in df.columns if c != "metadata"]
+        df = df.select(*others,
+                       *[F.get_json_object("metadata", f"$['{k}']")
+                         .alias(k) for k in keys.split(",")])
     if args.save_as:
         ns, name = _did(args.save_as)
         n = dml.save_as(df, ns, name)

@@ -239,3 +239,19 @@ def test_file_update_attributes_and_add(capsys):
     rc, out = run(capsys, "query", "files from dune:upd_ds", "-j")
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert [r["id"] for r in rows] == ["upd-a"]
+
+
+def test_query_ids_keys_and_file(capsys, tmp_path):
+    rc, out = run(capsys, "query",
+                  "files from dune:urgent_0 ordered limit 3", "-i")
+    assert rc == 0 and all(ln.startswith("f") for ln in out.splitlines())
+    rc, out = run(capsys, "query",
+                  "files from dune:urgent_0 ordered limit 2",
+                  "-m", "core.run,core.data_type", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert all("core.run" in r and "core.data_type" in r for r in rows)
+    assert all("metadata" not in r for r in rows)
+    qf = tmp_path / "q.mql"
+    qf.write_text("files from dune:urgent_0 ordered limit 4")
+    rc, out = run(capsys, "query", "-q", str(qf), "-j")
+    assert rc == 0 and len(out.splitlines()) == 4
