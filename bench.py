@@ -92,11 +92,18 @@ def main():
      .select(warm(F.length("id"))).count())
     setup_sec = time.time() - t0
 
+    # per-query error isolation: one failing query must never zero the
+    # whole suite's signal — record the error and keep going
     queries = bench_queries(engine)
-    timings = {}
+    timings, errors = {}, {}
     for name, fn in queries.items():
         t = time.time()
-        n = fn()
+        try:
+            n = fn()
+        except Exception as e:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
               file=sys.stderr)
@@ -105,12 +112,18 @@ def main():
     # resident catalog service delivers per request
     warm = {}
     for name, fn in queries.items():
+        if name in errors:
+            continue
         t = time.time()
-        fn()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"warm: {type(e).__name__}: {e}"[:500]
+            continue
         warm[name] = round(time.time() - t, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "mql_suite_total",
         "value": total,
         "unit": "sec",
@@ -119,7 +132,10 @@ def main():
         "setup_sec": round(setup_sec, 3),
         "queries_warm": warm,
         "warm_total_sec": round(sum(warm.values()), 4),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

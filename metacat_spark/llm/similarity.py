@@ -207,6 +207,29 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.95,
         run, f"id_a {id_t}, id_b {id_t}, cosine double")
 
 
+def _local_topk(qarr, carr, sims, k: int):
+    """Per-query LOCAL top-k (cosine desc, id asc) from a scored
+    bipartite block — emitting all within-block pairs into the global
+    merge would be the dominant shuffle; N·k partial rows replace
+    O(Σ block²). Self-pairs (same id) are masked out. Neighbor ids are
+    rank-encoded so the lexsort tie-break works for any id dtype."""
+    import numpy as np
+    import pandas as pd
+
+    sims = sims.copy()
+    sims[qarr[:, None] == carr[None, :]] = -np.inf
+    kk = min(k, sims.shape[1])
+    crank = np.unique(carr, return_inverse=True)[1]
+    order = np.lexsort(
+        (crank[None, :].repeat(len(qarr), 0), -sims),
+        axis=1)[:, :kk]
+    keep = np.take_along_axis(sims, order, 1) > -np.inf
+    qi = np.repeat(np.arange(len(qarr)), kk)[keep.ravel()]
+    ci = order.ravel()[keep.ravel()]
+    return pd.DataFrame({"id": qarr[qi], "neighbor_id": carr[ci],
+                         "cosine": sims[qi, ci]})
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42):
     """Deterministic pseudo-random hyperplanes from an LCG (no numpy
     RNG state — reproducible literals)."""
@@ -297,23 +320,6 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
     # each row lands in group (a,b) exactly once: via p=b when sb=a,
     # via p=a when sb=b, via p=sb on the diagonal — no dedup needed
 
-    def _local_topk(qarr, carr, sims):
-        """Per-query LOCAL top-k (cosine desc, id asc) — emitting all
-        within-bucket pairs into the global merge was the dominant
-        shuffle; N·L·k partial rows replace O(Σ bucket²)."""
-        sims = sims.copy()
-        sims[qarr[:, None] == carr[None, :]] = -np.inf
-        kk = min(k, sims.shape[1])
-        crank = np.unique(carr, return_inverse=True)[1]
-        order = np.lexsort(
-            (crank[None, :].repeat(len(qarr), 0), -sims),
-            axis=1)[:, :kk]
-        keep = np.take_along_axis(sims, order, 1) > -np.inf
-        qi = np.repeat(np.arange(len(qarr)), kk)[keep.ravel()]
-        ci = order.ravel()[keep.ravel()]
-        return pd.DataFrame({"id": qarr[qi], "neighbor_id": carr[ci],
-                             "cosine": sims[qi, ci]})
-
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id": [], "neighbor_id": [],
                               "cosine": []})
@@ -333,10 +339,10 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
         c = c / np.linalg.norm(c, axis=1, keepdims=True)
         sims = np.round(q @ c.T, 6)
         qarr, carr = qdf["id"].to_numpy(), cdf["id"].to_numpy()
-        out = _local_topk(qarr, carr, sims)
+        out = _local_topk(qarr, carr, sims, k)
         if not diag:
             # bipartite: both orientations (top-k is per id)
-            out = pd.concat([out, _local_topk(carr, qarr, sims.T)])
+            out = pd.concat([out, _local_topk(carr, qarr, sims.T, k)])
         return out
 
     # one repartition(id) serves BOTH the cross-table dedup (a pair
@@ -363,53 +369,83 @@ def ivf_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     """IVF (inverted-file) approximate top-k:
 
     1. pick n_lists centroids deterministically (hash-sampled rows),
-    2. assign every vector to its nearest centroid (broadcast of the
-       tiny centroid table — one narrow pass),
-    3. each query probes its n_probe nearest centroid lists and ranks
-       only those candidates.
+    2. ONE mapInPandas pass matmuls every vector against the broadcast
+       (n_lists × dim) centroid matrix (the `signatures` template from
+       lsh_bucketed_topk) and emits, per vector, one member row for its
+       nearest list and n_probe query rows for its probed lists — no
+       per-row interpreted higher-order-function dots anywhere,
+    3. per-list scoring is a groupBy(lst).applyInPandas bipartite GEMM
+       (list members × queries probing the list) emitting each query's
+       LOCAL top-k, so the post-scoring shuffle is N·n_probe·k partial
+       rows, not candidate pairs,
+    4. a window merges the ≤ n_probe partial top-ks per query. A
+       member belongs to exactly one list, so cross-list pairs are
+       already distinct — no dedup exchange needed.
 
-    At 100 TB the candidate join is per-list (shuffle keyed on list
+    At 100 TB the candidate work is per-list (shuffle keyed on list
     id), never O(N²); n_lists scales with data size, n_probe trades
     recall for cost. Recall measured in tests vs brute force."""
-    base = _prep(df, vec_col, id_col)
+    import numpy as np
+    import pandas as pd
+
+    id_t = _id_ddl(df, id_col)
+    base = _prep(df, vec_col, id_col).drop("nrm")
     # deterministic centroid sample: smallest n_lists xxhash64(id, seed)
     cent_rows = (base.withColumn("hk", F.xxhash64(F.col("id").cast("string"),
                                                   F.lit(seed)))
                  .orderBy("hk").limit(n_lists)
                  .select("vec").collect())
-    centroids = [list(r["vec"]) for r in cent_rows]
+    C = np.array([list(r["vec"]) for r in cent_rows])
+    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    npb = min(n_probe, len(C))
 
-    def list_dists(vec):
-        return [dot(vec, F.array(*[F.lit(x) for x in c])) /
-                (norm(F.array(*[F.lit(x) for x in c])) + F.lit(1e-12))
-                for c in centroids]
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            mat = np.array(list(pdf["vec"]))
+            # row-constant query norm doesn't change the argsort; the
+            # stable kind matches the old ties-to-lowest-list behavior
+            sims = mat @ Cn.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            member = pd.DataFrame({
+                "lst": order[:, 0].astype(np.int32),
+                "id": pdf["id"].to_numpy(), "vec": pdf["vec"],
+                "role": "m"})
+            qi = np.repeat(np.arange(n), npb)
+            queries = pd.DataFrame({
+                "lst": order.ravel().astype(np.int32),
+                "id": pdf["id"].to_numpy()[qi],
+                "vec": pdf["vec"].to_numpy()[qi],
+                "role": "q"})
+            yield pd.concat([member, queries])
 
-    def top_lists(vec, n):
-        ds = list_dists(vec)
-        pairs = F.array(*[F.struct((ds[i] * -1).alias("d"),
-                                   F.lit(i).alias("lst"))
-                          for i in range(len(centroids))])
-        return F.slice(F.array_sort(pairs), 1, n)
+    both = base.mapInPandas(
+        assign, f"lst int, id {id_t}, vec array<double>, role string")
 
-    # assignment: every vector → 1 list; queries → n_probe lists
-    assigned = base.withColumn(
-        "lst", F.element_at(top_lists(F.col("vec"), 1), 1)["lst"])
-    probes = (base.withColumn("pl", top_lists(F.col("vec"), n_probe))
-              .select("id", "vec", "nrm",
-                      F.explode(F.transform("pl", lambda s: s["lst"]))
-                      .alias("lst")))
-    a, b = probes.alias("a"), assigned.alias("b")
-    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
-                                                 * F.col("b.nrm"))
-    pairs = (a.join(b, (F.col("a.lst") == F.col("b.lst"))
-                    & (F.col("a.id") != F.col("b.id")))
-             .select(F.col("a.id").alias("id"),
-                     F.col("b.id").alias("neighbor_id"),
-                     F.round(sim, 6).alias("cosine"))
-             .dropDuplicates(["id", "neighbor_id"]))
+    def score_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": [], "neighbor_id": [],
+                              "cosine": []})
+        qdf = pdf[pdf["role"] == "q"]
+        cdf = pdf[pdf["role"] == "m"]
+        if not (len(qdf) and len(cdf)):
+            return empty
+        q = np.array(list(qdf["vec"]))
+        c = np.array(list(cdf["vec"]))
+        q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        c = c / (np.linalg.norm(c, axis=1, keepdims=True) + 1e-12)
+        sims = np.round(q @ c.T, 6)
+        return _local_topk(qdf["id"].to_numpy(), cdf["id"].to_numpy(),
+                           sims, k)
+
+    partial = (both.groupBy("lst")
+               .applyInPandas(score_list,
+                              f"id {id_t}, neighbor_id {id_t}, "
+                              f"cosine double"))
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
                                          F.col("neighbor_id"))
-    return (pairs.withColumn("rank", F.row_number().over(w))
+    return (partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("id", "neighbor_id", "cosine", "rank"))
 

@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# raw schema with ts as long nanos (spark.sql.legacy.parquet.nanosAsLong)
-EVENTS_RAW_SCHEMA = T.StructType([
+# raw schema when ts reads as long nanos (older Sparks honoring
+# spark.sql.legacy.parquet.nanosAsLong); Spark 4.1+ reads TIMESTAMP(NANOS)
+# natively as TIMESTAMP_NTZ, so the stream schema must match what batch sees
+EVENTS_RAW_SCHEMA_NANOS = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),
     T.StructField("user_id", T.LongType()),
@@ -25,28 +27,45 @@ EVENTS_RAW_SCHEMA = T.StructType([
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """The events parquet carries TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as long nanos. Runtime-settable,
-    so this works under externally-created sessions too."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Older Spark rejects TIMESTAMP(NANOS) in the vectorized reader
+    unless read as long nanos; 4.1+ ignores this conf and loads the
+    column as TIMESTAMP_NTZ directly. Setting it is harmless either
+    way; `_ts_ts_col` branches on what actually loaded."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed entirely in some builds
+
+
+def _ts_ts_col(df: DataFrame):
+    """Timestamp expression for the `ts` column regardless of how the
+    parquet TIMESTAMP(NANOS) physical type was loaded: long nanos →
+    µs timestamp; TIMESTAMP/TIMESTAMP_NTZ → cast to session-tz
+    timestamp. Keeps every downstream operator dtype-stable across
+    Spark versions (nanosAsLong became a no-op in 4.1)."""
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events with a proper timestamp column (ns long → µs timestamp)."""
+    """Events with a proper timestamp column `ts_ts`."""
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts_ts", _ts_ts_col(df))
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_nanos_conf(spark)
+    # streams need an explicit schema; probe the batch reader's schema
+    # so the stream sees ts exactly as batch does (long vs timestamp)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # readStream needs a directory source; glob-filter to the one table
-    df = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    df = (spark.readStream.schema(batch_schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir))
-    return df.withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts_ts", _ts_ts_col(df))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
