@@ -143,18 +143,32 @@ class Engine:
         if isinstance(node, WhereOp):
             return tr(node.child).where(self.file_pred.compile(node.exp))
 
-        if isinstance(node, UnionOp):
-            dfs = [tr(ch) for ch in node.children]
-            return reduce(DataFrame.unionByName, dfs).dropDuplicates(["id"])
-
-        if isinstance(node, JoinOp):
-            dfs = [tr(ch) for ch in node.children]
-            out = dfs[0]
-            for other in dfs[1:]:
-                out = out.join(other.select("id"), "id", "left_semi")
-            return out
-
-        if isinstance(node, MinusOp):
+        if isinstance(node, (UnionOp, JoinOp, MinusOp)):
+            # id-set fast path: every branch is reduced to its id set
+            # (narrow shuffle), the sets are combined set-wise, and the
+            # full-width files table is scanned ONCE by the enclosing
+            # semi-join (bucketed on id → shuffle-free on the big side)
+            # instead of once per branch with full rows shuffled through
+            # the distinct. File sets are distinct-by-id
+            # (dbobjects2.py:181-193), so with unique file ids id-set
+            # algebra is exact — and ids ARE unique in any real catalog
+            # (the reference's PK, our declare_files check). Only the
+            # synthetic sf0.001 fixture carries a duplicated id
+            # (DIVERGENCES §6); there we keep the multiplicity-exact
+            # row-level path so dup copies flow like the oracle SQL.
+            if self._file_ids_unique():
+                return self.cat.files.join(self._set_op_ids(node, tr),
+                                           "id", "left_semi")
+            if isinstance(node, UnionOp):
+                dfs = [tr(ch) for ch in node.children]
+                return reduce(DataFrame.unionByName, dfs) \
+                    .dropDuplicates(["id"])
+            if isinstance(node, JoinOp):
+                dfs = [tr(ch) for ch in node.children]
+                out = dfs[0]
+                for other in dfs[1:]:
+                    out = out.join(other.select("id"), "id", "left_semi")
+                return out
             left, right = tr(node.left), tr(node.right)
             return left.join(right.select("id"), "id", "left_anti")
 
@@ -186,6 +200,38 @@ class Engine:
                               child_dfs)
 
         raise QueryError(f"cannot translate {node!r}")
+
+    def _file_ids_unique(self) -> bool:
+        """File-id uniqueness, verified ONCE per catalog and cached on
+        it. One aggregation over the bucketed files table (shuffle-free
+        groupBy on the bucket key); real deployments could assert this
+        by construction at declare time instead."""
+        cached = getattr(self.cat, "_ids_unique", None)
+        if cached is None:
+            cached = (self.cat.files.groupBy("id").count()
+                      .where(F.col("count") > 1).isEmpty())
+            self.cat._ids_unique = cached
+        return cached
+
+    def _set_op_ids(self, node, tr) -> DataFrame:
+        """Set algebra over id sets only. Leaves translate normally and
+        project to id (Catalyst prunes their scans to id + predicate
+        columns); branch uniqueness-by-id makes union/dropDuplicates,
+        left-semi, and left-anti exact set ops."""
+        if isinstance(node, UnionOp):
+            parts = [self._set_op_ids(ch, tr) for ch in node.children]
+            return reduce(DataFrame.unionByName, parts) \
+                .dropDuplicates(["id"])
+        if isinstance(node, JoinOp):
+            parts = [self._set_op_ids(ch, tr) for ch in node.children]
+            out = parts[0]
+            for other in parts[1:]:
+                out = out.join(other, "id", "left_semi")
+            return out
+        if isinstance(node, MinusOp):
+            return self._set_op_ids(node.left, tr).join(
+                self._set_op_ids(node.right, tr), "id", "left_anti")
+        return tr(node).select("id")
 
     def _apply_skip_limit(self, node, tr) -> DataFrame:
         """Fold a contiguous skip/limit/ordered chain with the reference's

@@ -70,6 +70,31 @@ def test_union_minus_join(engine, duck):
     assert got == want
 
 
+def test_set_op_fast_path_matches_legacy(engine):
+    """The id-set fast path (unique-id catalogs) must select the same
+    file-id SETS as the multiplicity-exact legacy path; only dup-id
+    multiplicity may differ (the sf0.001 fixture's one duplicated row,
+    DIVERGENCES §6)."""
+    queries = [
+        "union(files from mc:flag_r, files from mc:flag_a) "
+        "- files from dune:urgent_0",
+        "join(files from mc:flag_r, files from test:all "
+        "where core.good = true)",
+        "union(files from dune:low_0, files from dune:low_1) "
+        "- files from dune:low_2",
+    ]
+    saved = getattr(engine.cat, "_ids_unique", None)
+    try:
+        results = {}
+        for forced in (False, True):
+            engine.cat._ids_unique = forced
+            results[forced] = [sorted(set(ids_of(engine.query(q))))
+                               for q in queries]
+        assert results[True] == results[False]
+    finally:
+        engine.cat._ids_unique = saved
+
+
 def test_join_where_equivalence(engine):
     """join(A where p, A where q) ≡ A where p and q (docs/mql.rst:227-243)."""
     a = ids_of(engine.query(
