@@ -99,7 +99,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- §2.1 sources/scans
     q["bfq_all"] = _fq("files from test:all")
-    q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
 
     def file_lists(kind):
         def run(spark, sf_dir):
@@ -151,6 +150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["where_attributes"] = _fq(
         "files from test:all where namespace = dune and size > 50000000 "
         "and creator = alice")
+    # exists "jsonpath" — the last §2 row without a driver oracle
+    # (row 22; the reference's own hook is vestigial, mql10.py:1049)
+    q["where_exists_json"] = _fq(
+        "files from test:all where exists \"$['core.runs'][1]\"")
 
     # --- §2.4 set algebra
     q["set_union"] = _fq(
@@ -233,8 +236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["datasets_pattern"] = _dsq("datasets matching dune:urgent_*")
     q["datasets_subsets_recursive"] = _dsq(
         "datasets test:all with subsets recursively")
-    q["datasets_with_namespace"] = _dsq(
-        'with namespace = "dune" datasets matching urgent_*')
     q["dataset_ancestors"] = _dsq(
         "datasets dune:urgent_0 with ancestors recursively")
 
@@ -345,6 +346,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_events").cast("long").alias("n_events"))
     q["events_sessionize"] = events_sessions
 
+    def events_windowed_streaming(spark, sf_dir):
+        """The Structured Streaming twin of events_windowed_agg:
+        availableNow trigger into a memory sink, identical result
+        contract — shares events_windowed_agg's oracle, so the driver
+        hash-checks the STREAMING path end-to-end."""
+        from metacat_spark.streaming import events as EV
+        out = EV.streaming_windowed_counts_to_memory(
+            spark, sf_dir, table="ev_window_entry")
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events", "total_value")
+    q["events_windowed_streaming"] = events_windowed_streaming
+
     # ================= past the driver's 50-entry cap =================
     # Redundant variants of in-cap operators, plus rows-only entries
     # (engine-specific hashing / order-stateful semantics — no SQL
@@ -363,7 +378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_frame_plan"] = multimodal_frame_plan
 
     q["bfq_no_dataset"] = _fq("files where core.run = 7")
+    q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
     q["bfq_multi_dataset"] = _fq("files from dune:urgent_0, dune:urgent_1")
+    q["datasets_with_namespace"] = _dsq(
+        'with namespace = "dune" datasets matching urgent_*')
     q["bfq_dataset_regexp"] = _fq(
         'files from matching regexp dune:"^high_[01]$"')
     q["bfq_include_retired"] = _fq("files from test:all",
@@ -531,6 +549,13 @@ def oracle_sql() -> dict[str, str]:
         f"and {_member('test', 'all')} "
         f"and namespace = 'dune' and size > 50000000 "
         f"and creator = 'alice'")
+
+    # exists "$['core.runs'][1]" ≡ the shredded array has ≥ 2 elements
+    # (fixture arrays hold no JSON nulls, so element presence = length)
+    o["where_exists_json"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and len(m_core_runs) >= 2")
 
     # set algebra: union dedups by id (min-id row kept ≡ any row — rows
     # of the same id are identical); semi/anti keep left rows
@@ -919,5 +944,8 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
                count(*) as n_events
         from sess group by user_id, session_seq"""
+
+    # the streaming twin must produce exactly the batch result
+    o["events_windowed_streaming"] = o["events_windowed_agg"]
 
     return o
