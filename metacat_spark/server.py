@@ -1,0 +1,217 @@
+"""HTTP serving facade — the reference webserver's data-query surface
+(webserver/data_handler.py:1266-1378) over the Spark engine.
+
+Endpoint shape mirrors the reference:
+
+- ``GET/POST /data/query`` with ``query`` (URL param, form field, or
+  raw POST body), ``namespace``, ``with_meta=yes/no``,
+  ``with_provenance=yes/no``, ``include_retired_files=yes/no``,
+  ``summary=count|keys|key-values``, ``save_as``/``add_to``.
+  File/dataset results stream as RFC 7464 json-seq
+  (``application/json-seq``), one record per RS+JSON+LF frame, fed by
+  ``toLocalIterator`` so the driver holds one partition at a time —
+  the Spark analogue of the reference's psycopg2 cursor streaming.
+  ``summary=count`` and ``summary=keys`` return plain JSON like the
+  reference does.
+- ``GET /data/file?fid=...`` / ``?did=ns:name`` — single file record
+  (data_handler.py file GET).
+- ``GET /data/datasets?pattern=ns:glob`` — dataset list.
+- MQL/user errors → 400 with ``ExceptionName: message`` text, like
+  the reference's error contract.
+
+Auth is deliberately out of scope (docs/DIVERGENCES.md §7): the
+reference's token/x509 flows guard a multi-tenant PostgreSQL; this
+facade is an in-process analytics engine. The stdlib threading server
+is the serving shell — concurrent requests share the SparkSession
+(thread-safe) and the FAIR scheduler pool set in session.py keeps one
+big streaming query from starving the rest.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from .client import MetaCatSparkClient
+
+_YES = ("yes", "true", "1")
+
+
+def _flag(params: dict, name: str) -> bool:
+    return (params.get(name, ["no"])[0] or "no").lower() in _YES
+
+
+def _one(params: dict, name: str) -> Optional[str]:
+    v = params.get(name)
+    return v[0] if v else None
+
+
+def make_handler(client: MetaCatSparkClient):
+    """Build the request-handler class bound to one client/engine."""
+
+    class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.0 close-at-end framing: json-seq responses have no
+        # predetermined length and the reference also streams until
+        # close; no chunked bookkeeping needed
+        protocol_version = "HTTP/1.0"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        # ------------------------------------------------------ routing
+        def do_GET(self):
+            self._route(body=b"")
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            self._route(body=self.rfile.read(n) if n else b"")
+
+        def _route(self, body: bytes):
+            url = urlparse(self.path)
+            params = parse_qs(url.query)
+            try:
+                if url.path == "/data/query":
+                    return self._query(params, body)
+                if url.path == "/data/file":
+                    return self._file(params)
+                if url.path == "/data/datasets":
+                    return self._datasets(params)
+                return self._send(404, "text/plain",
+                                  f"no such endpoint: {url.path}")
+            except BrokenPipeError:
+                pass  # client hung up mid-stream
+            except Exception as e:  # noqa: BLE001 — reference 400 contract
+                self._send(400, "text/plain",
+                           f"{type(e).__name__}: {e}")
+
+        # ----------------------------------------------------- handlers
+        def _query(self, params: dict, body: bytes):
+            mql = _one(params, "query")
+            if mql is None and body:
+                # form field or raw MQL body, like the reference
+                form = parse_qs(body.decode("utf-8"))
+                mql = (_one(form, "query")
+                       if "query" in form else body.decode("utf-8"))
+            if not mql or not mql.strip():
+                return self._send(200, "application/json", "[]")
+
+            summary = _one(params, "summary")
+            if summary not in ("count", "keys", "key-values", None):
+                return self._send(400, "text/plain",
+                                  f"Unsupported summary type: {summary}")
+            kw = dict(
+                with_metadata=_flag(params, "with_meta"),
+                with_provenance=_flag(params, "with_provenance"),
+                include_retired_files=_flag(params,
+                                            "include_retired_files"),
+                namespace=_one(params, "namespace"))
+            if summary:
+                rows = client.query(mql, summary=summary, **kw)
+                if summary == "count":
+                    return self._send(200, "application/json",
+                                      json.dumps(rows[0]))
+                if summary == "keys":
+                    return self._send(200, "application/json",
+                                      json.dumps(sorted(
+                                          r["key"] for r in rows)))
+                return self._send(200, "application/json",
+                                  json.dumps(rows, default=str))
+
+            save_as, add_to = _one(params, "save_as"), _one(params, "add_to")
+            if save_as or add_to:
+                # materialization needs the full set anyway — non-stream
+                rows = client.query(mql, save_as=save_as, add_to=add_to,
+                                    **kw)
+                return self._send(200, "application/json",
+                                  json.dumps(rows, default=str))
+
+            # streaming path: PRIME the iterator before committing the
+            # status line so parse/analysis errors still surface as 400
+            # (the generator is lazy; headers sent first would lock in
+            # a 200), then one json-seq frame per record as partitions
+            # arrive on the driver
+            it = client.query_iter(
+                mql, with_metadata=kw["with_metadata"],
+                include_retired_files=kw["include_retired_files"],
+                namespace=kw["namespace"])
+            sentinel = object()
+            first = next(it, sentinel)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json-seq")
+            self.end_headers()
+            if first is sentinel:
+                return
+            self._frame(first)
+            for d in it:
+                self._frame(d)
+
+        def _frame(self, d: dict):
+            self.wfile.write(
+                b"\x1e" + json.dumps(d, default=str).encode("utf-8")
+                + b"\n")
+
+        def _file(self, params: dict):
+            rec = client.get_file(
+                fid=_one(params, "fid"), did=_one(params, "did"),
+                with_metadata=not _flag(params, "skip_meta"))
+            if rec is None:
+                return self._send(404, "text/plain", "file not found")
+            self._send(200, "application/json",
+                       json.dumps(rec, default=str))
+
+        def _datasets(self, params: dict):
+            rows = client.list_datasets(
+                _one(params, "pattern") or "*:*")
+            self._send(200, "application/json",
+                       json.dumps(rows, default=str))
+
+        # ------------------------------------------------------ plumbing
+        def _send(self, code: int, ctype: str, text: str):
+            data = text.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    return Handler
+
+
+def start_server(client: MetaCatSparkClient, host: str = "127.0.0.1",
+                 port: int = 0) -> tuple[ThreadingHTTPServer, int]:
+    """Start serving in a daemon thread; returns (server, bound_port).
+    port=0 picks a free port (tests)."""
+    srv = ThreadingHTTPServer((host, port), make_handler(client))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+def main(argv: Optional[list] = None):
+    import argparse
+
+    from .catalog import from_materialized
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(
+        description="metacat_spark data server (json-seq streaming)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    a = p.parse_args(argv)
+    spark = get_spark("metacat_spark_server")
+    client = MetaCatSparkClient(
+        spark, catalog=from_materialized(spark, a.sf_dir))
+    srv, port = start_server(client, a.host, a.port)
+    print(f"serving on http://{a.host}:{port}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""HTTP facade tests: the reference's /data/query surface
+(webserver/data_handler.py:1266-1378) served over the Spark engine —
+json-seq streaming, summaries, error contract, file lookup."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from metacat_spark.client import MetaCatSparkClient
+from metacat_spark.server import start_server
+
+
+@pytest.fixture(scope="module")
+def served(spark, catalog):
+    client = MetaCatSparkClient(spark, catalog=catalog)
+    srv, port = start_server(client)
+    yield f"http://127.0.0.1:{port}", client
+    srv.shutdown()
+
+
+def _get(base, path, **params):
+    qs = urllib.parse.urlencode(params)
+    return urllib.request.urlopen(f"{base}{path}?{qs}", timeout=600)
+
+
+def _json_seq(resp):
+    out = []
+    for frame in resp.read().decode("utf-8").split("\x1e"):
+        frame = frame.strip()
+        if frame:
+            out.append(json.loads(frame))
+    return out
+
+
+def test_query_json_seq_stream(served):
+    base, client = served
+    resp = _get(base, "/data/query",
+                query="files from dune:urgent_0 where core.run > 250")
+    assert resp.headers["Content-Type"] == "application/json-seq"
+    rows = _json_seq(resp)
+    want = client.query("files from dune:urgent_0 where core.run > 250")
+    assert len(rows) == len(want) > 0
+    assert {r["id"] for r in rows} == {w["id"] for w in want}
+
+
+def test_query_post_body(served):
+    base, _ = served
+    req = urllib.request.Request(
+        f"{base}/data/query",
+        data=b"files from dune:urgent_0 limit 5", method="POST")
+    rows = _json_seq(urllib.request.urlopen(req, timeout=600))
+    assert len(rows) == 5
+
+
+def test_query_with_meta(served):
+    base, _ = served
+    resp = _get(base, "/data/query",
+                query="files from dune:urgent_0 limit 3", with_meta="yes")
+    rows = _json_seq(resp)
+    assert rows and all(isinstance(r["metadata"], dict) for r in rows)
+    assert "core.run" in rows[0]["metadata"]
+
+
+def test_summary_count(served):
+    base, client = served
+    resp = _get(base, "/data/query", query="files from test:all",
+                summary="count")
+    assert resp.headers["Content-Type"] == "application/json"
+    got = json.loads(resp.read())
+    want = client.query("files from test:all", summary="count")[0]
+    assert got["count"] == want["count"] > 0
+    assert got["total_size"] == want["total_size"]
+
+
+def test_summary_keys(served):
+    base, _ = served
+    got = json.loads(_get(base, "/data/query", query="files from test:all",
+                          summary="keys").read())
+    assert "core.run" in got and got == sorted(got)
+
+
+def test_bad_mql_is_400(served):
+    base, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/query", query="files frum nowhere !!!")
+    assert e.value.code == 400
+    assert b":" in e.value.read()  # ExceptionName: message
+
+
+def test_bad_summary_is_400(served):
+    base, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/query", query="files from test:all",
+             summary="bogus")
+    assert e.value.code == 400
+
+
+def test_empty_query_returns_empty_list(served):
+    base, _ = served
+    got = json.loads(_get(base, "/data/query", query="").read())
+    assert got == []
+
+
+def test_file_lookup(served):
+    base, client = served
+    some = client.query("files from test:all ordered limit 1")[0]
+    rec = json.loads(_get(base, "/data/file", fid=some["id"]).read())
+    assert rec["id"] == some["id"] and "checksums" in rec
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/file", fid="f_does_not_exist")
+    assert e.value.code == 404
+
+
+def test_datasets_endpoint(served):
+    base, _ = served
+    rows = json.loads(_get(base, "/data/datasets",
+                           pattern="dune:urgent_*").read())
+    assert {r["name"] for r in rows} >= {"urgent_0", "urgent_1"}
+
+
+def test_unknown_endpoint_404(served):
+    base, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/nope")
+    assert e.value.code == 404
