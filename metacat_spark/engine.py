@@ -144,21 +144,29 @@ class Engine:
             return tr(node.child).where(self.file_pred.compile(node.exp))
 
         if isinstance(node, (UnionOp, JoinOp, MinusOp)):
-            # id-set fast path: every branch is reduced to its id set
-            # (narrow shuffle), the sets are combined set-wise, and the
-            # full-width files table is scanned ONCE by the enclosing
-            # semi-join (bucketed on id → shuffle-free on the big side)
-            # instead of once per branch with full rows shuffled through
-            # the distinct. File sets are distinct-by-id
+            # id-set fast path: branches reduce to id sets WITHOUT
+            # touching the files table (membership-only branches read
+            # just the bucketed membership table; predicate branches an
+            # id+predicate-pruned files scan), the sets combine
+            # set-wise, and ONE final full-width files scan semi-joins
+            # the result (bucketed on id → no shuffle on the big side).
+            # The retired filter commutes with ∪/∩/∖ (it's a per-file
+            # attribute), so for trees whose leaves are all BFQs — which
+            # per-branch EXCLUDE retired — applying it once at the final
+            # scan is exact. Trees with FileList / parents() / filter
+            # leaves keep per-branch retired semantics and take the
+            # row-level path. File sets are distinct-by-id
             # (dbobjects2.py:181-193), so with unique file ids id-set
             # algebra is exact — and ids ARE unique in any real catalog
             # (the reference's PK, our declare_files check). Only the
             # synthetic sf0.001 fixture carries a duplicated id
             # (DIVERGENCES §6); there we keep the multiplicity-exact
             # row-level path so dup copies flow like the oracle SQL.
-            if self._file_ids_unique():
-                return self.cat.files.join(self._set_op_ids(node, tr),
-                                           "id", "left_semi")
+            if self._all_bfq(node) and self._file_ids_unique():
+                out = self.cat.files
+                if not include_retired:
+                    out = out.where(~F.col("retired"))
+                return out.join(self._bfq_ids(node), "id", "left_semi")
             if isinstance(node, UnionOp):
                 dfs = [tr(ch) for ch in node.children]
                 return reduce(DataFrame.unionByName, dfs) \
@@ -213,25 +221,56 @@ class Engine:
             self.cat._ids_unique = cached
         return cached
 
-    def _set_op_ids(self, node, tr) -> DataFrame:
-        """Set algebra over id sets only. Leaves translate normally and
-        project to id (Catalyst prunes their scans to id + predicate
-        columns); branch uniqueness-by-id makes union/dropDuplicates,
-        left-semi, and left-anti exact set ops."""
+    def _all_bfq(self, node) -> bool:
+        """True iff every leaf of a set-op tree is a BasicFileQuery
+        (where-wrappers allowed) — the shape for which the retired
+        filter commutes to the final scan."""
+        if isinstance(node, (UnionOp, JoinOp)):
+            return all(self._all_bfq(c) for c in node.children)
+        if isinstance(node, MinusOp):
+            return self._all_bfq(node.left) and self._all_bfq(node.right)
+        if isinstance(node, WhereOp):
+            return self._all_bfq(node.child)
+        return isinstance(node, BasicFileQuery)
+
+    def _bfq_ids(self, node) -> DataFrame:
+        """Set algebra over id sets only, never materializing file rows:
+        membership-only BFQs read just the membership table; predicate
+        BFQs an id+predicate-pruned files scan. The retired filter is
+        NOT applied here — the enclosing final files scan applies it
+        once (exact for all-BFQ trees; see translate note). Duplicate
+        ids from overlapping selectors are tolerated: union dedups,
+        semi/anti preserve sets, and the final semi-join emits each
+        file row once."""
         if isinstance(node, UnionOp):
-            parts = [self._set_op_ids(ch, tr) for ch in node.children]
+            parts = [self._bfq_ids(ch) for ch in node.children]
             return reduce(DataFrame.unionByName, parts) \
                 .dropDuplicates(["id"])
         if isinstance(node, JoinOp):
-            parts = [self._set_op_ids(ch, tr) for ch in node.children]
+            parts = [self._bfq_ids(ch) for ch in node.children]
             out = parts[0]
             for other in parts[1:]:
                 out = out.join(other, "id", "left_semi")
             return out
         if isinstance(node, MinusOp):
-            return self._set_op_ids(node.left, tr).join(
-                self._set_op_ids(node.right, tr), "id", "left_anti")
-        return tr(node).select("id")
+            return self._bfq_ids(node.left).join(
+                self._bfq_ids(node.right), "id", "left_anti")
+        if isinstance(node, WhereOp):
+            return (self.cat.files
+                    .where(self.file_pred.compile(node.exp))
+                    .select("id")
+                    .join(self._bfq_ids(node.child), "id", "left_semi"))
+        # BasicFileQuery leaf
+        if node.where is not None:
+            ids = self.cat.files \
+                .where(self.file_pred.compile(node.where)).select("id")
+            if node.datasets:
+                ids = ids.join(self._membership_ids(node.datasets),
+                               "id", "left_semi")
+            return ids
+        if node.datasets:
+            return self._membership_ids(node.datasets)
+        return self.cat.files.select("id")
 
     def _apply_skip_limit(self, node, tr) -> DataFrame:
         """Fold a contiguous skip/limit/ordered chain with the reference's
@@ -331,8 +370,9 @@ class Engine:
             acc = acc.unionByName(nxt).localCheckpoint()
             frontier = nxt
 
-    def _apply_dataset_membership(self, files_df: DataFrame,
-                                  selectors) -> DataFrame:
+    def _membership_ids(self, selectors) -> DataFrame:
+        """File ids selected by dataset membership — reads ONLY the
+        bucketed membership table (no files scan)."""
         fd = self.cat.files_datasets
         complex_sel = any(s.with_subsets or s.having is not None
                           for s in selectors)
@@ -348,7 +388,11 @@ class Engine:
                                                "dataset_name")
                            for s in selectors])
             fd = fd.where(cond)
-        return files_df.join(fd.select(F.col("file_id").alias("id")),
+        return fd.select(F.col("file_id").alias("id"))
+
+    def _apply_dataset_membership(self, files_df: DataFrame,
+                                  selectors) -> DataFrame:
+        return files_df.join(self._membership_ids(selectors),
                              "id", "left_semi")
 
     # ----------------------------------------------------------- datasets

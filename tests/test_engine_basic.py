@@ -90,6 +90,8 @@ def test_set_op_fast_path_matches_legacy(engine):
             engine.cat._ids_unique = forced
             results[forced] = [sorted(set(ids_of(engine.query(q))))
                                for q in queries]
+            results[forced].append(sorted(set(ids_of(
+                engine.query(queries[0], include_retired=True)))))
         assert results[True] == results[False]
     finally:
         engine.cat._ids_unique = saved
