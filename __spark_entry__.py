@@ -412,6 +412,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .dataset_file_counts())
     q["file_counts_by_dataset"] = counts_by_dataset
 
+    def events_sessions_native(spark, sf_dir):
+        """session_window formulation of events_sessionize — identical
+        result contract, so it shares the oracle (replica-gate
+        checked past-cap)."""
+        from metacat_spark.streaming import events as EV
+        out = EV.sessionize_native(EV.load_events(spark, sf_dir), 30)
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.col("n_events").cast("long").alias("n_events"))
+    q["events_sessionize_native"] = events_sessions_native
+
     q["filter_mix"] = _fq(
         "filter mix(2, 1)(files from dune:urgent_0, files from dune:low_0)")
     q["filter_sample_hash"] = _fq(
@@ -947,5 +960,7 @@ def oracle_sql() -> dict[str, str]:
 
     # the streaming twin must produce exactly the batch result
     o["events_windowed_streaming"] = o["events_windowed_agg"]
+    # the session_window formulation must produce the lag/islands result
+    o["events_sessionize_native"] = o["events_sessionize"]
 
     return o

@@ -113,10 +113,19 @@ class DML:
         # dataset-level metadata requirements
         # (files must satisfy them to join — dbobjects2.py:1577-1597)
         self.dataset_requirements: dict[tuple[str, str], dict] = {}
+        self.refresh()
+
+    def refresh(self) -> None:
+        """(Re)load the dataset-level flag caches from the catalog.
+        This instance keeps its own caches in sync with its own
+        mutations (update_dataset below); call this when ANOTHER
+        session may have flipped frozen/monotonic — e.g. once per
+        request batch in a long-lived service. Catalog-sized collect
+        (datasets are few), never per-file."""
         self.frozen: set[tuple[str, str]] = set()
         self.monotonic: set[tuple[str, str]] = set()
-        for r in catalog.datasets.select("namespace", "name", "frozen",
-                                         "monotonic").collect():
+        for r in self.cat.datasets.select("namespace", "name", "frozen",
+                                          "monotonic").collect():
             if r["frozen"]:
                 self.frozen.add((r["namespace"], r["name"]))
             if r["monotonic"]:

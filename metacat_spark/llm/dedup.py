@@ -183,7 +183,12 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
             .alias(f"mh_{i}")
             for i, (a, b) in enumerate(_lcg_params(k))]
-    sig = ex0.groupBy("id").agg(*aggs)
+    # shingle-set size rides the SAME groupBy as the signature mins
+    # (shr is distinct by (id, shingle)) — no separate sizes shuffle;
+    # checkpoint so the band explode AND the size lookups read the one
+    # materialization (1 narrow row per doc) instead of re-aggregating
+    sig = (ex0.groupBy("id").agg(F.count("*").alias("n_sh"), *aggs)
+           .localCheckpoint(eager=False))
     band_cols = [F.struct(F.lit(bi).alias("band"),
                           F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}")
                                              for r in range(rows)])
@@ -207,7 +212,7 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
     # exact verification via candidate-restricted shingle joins —
     # row joins stay in codegen; per-pair array_intersect over string
     # arrays was the dominant cost at high candidate counts
-    sizes = shr.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sizes = sig.select("id", "n_sh")
     inter = (cand
              .join(shr.select(F.col("id").alias("id_a"),
                               F.col("shingle").alias("shingle")), "id_a")

@@ -104,6 +104,43 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.round(F.sum("value"), 6).alias("total_value")))
 
 
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``
+    — the streaming-capable formulation (stateful session aggregation
+    with watermark-driven eviction), whereas ``sessionize``'s
+    lag/islands window is batch-only. One shuffle on (session_window,
+    user_id); state per OPEN session only.
+
+    Boundary note: ``session_window`` closes a session when the next
+    event is >= gap away; the lag formulation uses > gap. Identical
+    unless an inter-event gap equals the threshold exactly (measure-
+    zero for real timestamps; the equivalence test asserts it holds
+    on the fixture)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts_ts", "1 hour")
+    return (events
+            .groupBy(F.session_window("ts_ts", f"{gap_minutes} minutes")
+                     .alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    "n_events", "total_value"))
+
+
+def streaming_sessions_to_memory(spark: SparkSession, sf_dir: str,
+                                 gap_minutes: int = 30,
+                                 table: str = "ev_sessions") -> DataFrame:
+    """Run native sessionization as a Structured Streaming job
+    (availableNow → memory sink); returns the result table."""
+    stream = load_events_stream(spark, sf_dir)
+    agg = sessionize_native(stream, gap_minutes)
+    q = (agg.writeStream.format("memory").queryName(table)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(table)
+
+
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     s = sessionize(events, gap_minutes)
     return s.agg(

@@ -57,6 +57,28 @@ def test_sessionize_vs_duck(events, duck):
     assert got == want and got
 
 
+def test_sessionize_native_equals_lag(spark, events):
+    """session_window sessions ≡ lag/islands sessions (same gap) on
+    start/count/value — the native form is what streams."""
+    key = lambda r: (r["user_id"], str(r["session_start"]),
+                     r["n_events"], r["total_value"])
+    got = sorted(key(r) for r in
+                 EV.sessionize_native(events, 30).collect())
+    want = sorted(key(r) for r in EV.sessionize(events, 30)
+                  .select("user_id", "session_start", "n_events",
+                          "total_value").collect())
+    assert got == want and got
+
+
+def test_streaming_sessions_equals_batch(spark, events):
+    batch = sorted((r["user_id"], str(r["session_start"]), r["n_events"])
+                   for r in EV.sessionize_native(events, 30).collect())
+    out = EV.streaming_sessions_to_memory(spark, SF_DIR, 30)
+    got = sorted((r["user_id"], str(r["session_start"]), r["n_events"])
+                 for r in out.collect())
+    assert got == batch and got
+
+
 def test_stateful_running_totals(spark, events):
     """applyInPandasWithState running totals: the final state per
     event type must equal the batch aggregate."""
