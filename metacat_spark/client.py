@@ -68,6 +68,8 @@ class MetaCatSparkClient:
         """Streaming variant (json-seq equivalent): lazy partition-wise
         iteration, no full materialization on the driver."""
         df = self.engine.query(mql, with_meta=kw.get("with_metadata", False),
+                               with_provenance=kw.get(
+                                   "with_provenance", False),
                                include_retired=kw.get(
                                    "include_retired_files", False),
                                default_namespace=kw.get("namespace"))

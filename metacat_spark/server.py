@@ -135,6 +135,7 @@ def make_handler(client: MetaCatSparkClient):
             # arrive on the driver
             it = client.query_iter(
                 mql, with_metadata=kw["with_metadata"],
+                with_provenance=kw["with_provenance"],
                 include_retired_files=kw["include_retired_files"],
                 namespace=kw["namespace"])
             sentinel = object()

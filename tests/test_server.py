@@ -64,6 +64,23 @@ def test_query_with_meta(served):
     assert "core.run" in rows[0]["metadata"]
 
 
+def test_query_with_provenance(served):
+    base, _ = served
+    rows = _json_seq(_get(
+        base, "/data/query",
+        query="parents(files from test:all where core.run in 10:20) "
+              "limit 5",
+        with_provenance="yes"))
+    assert rows and all("children" in r and "parents" in r for r in rows)
+
+
+def test_dataset_query_streams(served):
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/query",
+                          query="datasets matching dune:urgent_*"))
+    assert {r["name"] for r in rows} >= {"urgent_0", "urgent_1"}
+
+
 def test_summary_count(served):
     base, client = served
     resp = _get(base, "/data/query", query="files from test:all",
