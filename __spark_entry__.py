@@ -425,6 +425,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_events").cast("long").alias("n_events"))
     q["events_sessionize_native"] = events_sessions_native
 
+    def doc_top_terms(spark, sf_dir):
+        from metacat_spark.llm import text as TX
+        return TX.top_terms(_docs(spark, sf_dir), k=50)
+    q["doc_top_terms"] = doc_top_terms
+
+    def doc_tfidf(spark, sf_dir):
+        from metacat_spark.llm import text as TX
+        return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    q["doc_tfidf_top"] = doc_tfidf
+
     q["filter_mix"] = _fq(
         "filter mix(2, 1)(files from dune:urgent_0, files from dune:low_0)")
     q["filter_sample_hash"] = _fq(
@@ -962,5 +972,27 @@ def oracle_sql() -> dict[str, str]:
     o["events_windowed_streaming"] = o["events_windowed_agg"]
     # the session_window formulation must produce the lag/islands result
     o["events_sessionize_native"] = o["events_sessionize"]
+
+    _tok = ("select doc_id as id, lower(t) as term from ("
+            "select doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
+            "as t from documents) u where t <> ''")
+    o["doc_top_terms"] = f"""
+        select term, count(*) as n from ({_tok}) tok
+        group by term order by n desc, term limit 50"""
+    o["doc_tfidf_top"] = f"""
+        with tf as (
+          select id, term, count(*) as tf from ({_tok}) tok
+          group by id, term),
+        dfq as (select term, count(*) as df from tf group by term),
+        n as (select count(distinct doc_id) as n_docs from documents),
+        scored as (
+          select id, term, tf,
+                 round(tf * ln(n_docs / df), 6) as tfidf
+          from tf join dfq using (term) cross join n)
+        select id, term, tf, tfidf, rank from (
+          select *, row_number() over (
+            partition by id order by tfidf desc, term) as rank
+          from scored) r
+        where rank <= 3"""
 
     return o

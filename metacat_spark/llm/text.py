@@ -131,6 +131,53 @@ def lang_id_from(toks: Column) -> Column:
     return F.when(m > 0, best).otherwise(F.lit("und"))
 
 
+def term_rows(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, term) rows: whitespace-split, lowercased, empties dropped.
+    The shared base for corpus-frequency analytics."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("t"))
+            .where(F.col("t") != "")
+            .select("id", F.lower("t").alias("term")))
+
+
+def top_terms(df: DataFrame, k: int = 50, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide top-k terms by occurrence count. One partial-
+    aggregated groupBy(term) shuffle; the top-k is
+    TakeOrderedAndProject (per-partition heads + merge), never a
+    global sort — the heavy-hitter query shape that survives 100 TB.
+    Deterministic tie-break on term."""
+    return (term_rows(df, text_col, id_col)
+            .groupBy("term").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "term").limit(k))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df), document
+    frequency from the same per-doc term counts — one extra narrow
+    groupBy, no second corpus scan; N joins in as a broadcast 1-row
+    aggregate, never a driver collect). Window top-k per doc with a
+    term tie-break."""
+    from pyspark.sql import Window
+    tf = (term_rows(df, text_col, id_col)
+          .groupBy("id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n_docs")
+                                          / F.col("df")), 6)))
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", "term", "tf", "tfidf", "rank"))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full text-analysis projection over a documents table.
 

@@ -59,6 +59,18 @@ def test_quality_and_langid_run(docs):
     assert langs <= {"und", "en", "es", "fr", "de", "zh"}
 
 
+def test_top_terms_and_tfidf(docs):
+    from metacat_spark.llm import text as TX
+    top = TX.top_terms(docs, k=10).collect()
+    assert len(top) == 10
+    assert [r["n"] for r in top] == sorted((r["n"] for r in top),
+                                           reverse=True)
+    ti = TX.tfidf_top_terms(docs, k=3)
+    per_doc = ti.groupBy("id").count().collect()
+    assert all(r["count"] <= 3 for r in per_doc)
+    assert ti.where("rank = 1").count() == docs.count()
+
+
 def test_word_occurrences_vs_duck(docs, duck):
     from metacat_spark.llm import text as TX
     got = {r["doc_id"]: r["n"] for r in
