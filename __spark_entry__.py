@@ -435,6 +435,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
     q["doc_tfidf_top"] = doc_tfidf
 
+    def embed_clusters(spark, sf_dir):
+        """Embedding-cosine near-dup clusters: exact cosine pairs
+        (block GEMM) → connected components → survivor selection —
+        the dedup family's embedding path end-to-end."""
+        from metacat_spark.llm import dedup as DD
+        from metacat_spark.llm import similarity as SIM
+        embs = _embs(spark, sf_dir)
+        pairs = SIM.cosine_pairs(embs, threshold=0.35)
+        return DD.near_dup_clusters(embs, pairs, id_col="vec_id")
+    q["embed_dedup_clusters"] = embed_clusters
+
+    def meta_numeric_stats(spark, sf_dir):
+        """General aggregation API with exact-percentile coverage."""
+        eng = _engine(spark, sf_dir)
+        out = eng.aggregate(
+            "files from test:all", ["core.data_type"],
+            {"n": ("count", None), "avg_x": ("avg", "core.x"),
+             "med_x": ("median", "core.x"),
+             "max_run": ("max", "core.run")})
+        return out.select(
+            "core_data_type", "n",
+            F.round("avg_x", 6).alias("avg_x"),
+            F.round("med_x", 6).alias("med_x"), "max_run")
+    q["meta_numeric_stats"] = meta_numeric_stats
+
     q["filter_mix"] = _fq(
         "filter mix(2, 1)(files from dune:urgent_0, files from dune:low_0)")
     q["filter_sample_hash"] = _fq(
@@ -972,6 +997,35 @@ def oracle_sql() -> dict[str, str]:
     o["events_windowed_streaming"] = o["events_windowed_agg"]
     # the session_window formulation must produce the lag/islands result
     o["events_sessionize_native"] = o["events_sessionize"]
+
+    o["embed_dedup_clusters"] = """
+        with recursive pairs as (
+          select a.vec_id as id_a, b.vec_id as id_b
+          from embeddings a join embeddings b on a.vec_id < b.vec_id
+          where round(list_cosine_similarity(a.embedding::double[],
+                                             b.embedding::double[]), 6)
+                >= 0.35),
+        edges as (select id_a as a, id_b as b from pairs
+                  union select id_b, id_a from pairs),
+        reach as (
+          select a, b from edges
+          union
+          select r.a, e.b from reach r join edges e on r.b = e.a),
+        comp as (select a as vid, least(a, min(b)) as cluster_id
+                 from reach group by a)
+        select e.vec_id as doc_id,
+               coalesce(c.cluster_id, e.vec_id) as cluster_id,
+               coalesce(c.cluster_id, e.vec_id) = e.vec_id
+                 as is_canonical
+        from embeddings e left join comp c on c.vid = e.vec_id"""
+
+    o["meta_numeric_stats"] = _o(
+        f"select m_core_data_type as core_data_type, count(*) as n, "
+        f"round(avg(m_core_x), 6) as avg_x, "
+        f"round(quantile_cont(m_core_x, 0.5), 6) as med_x, "
+        f"max(m_core_run) as max_run "
+        f"from files where {active} and {_member('test', 'all')} "
+        f"group by 1")
 
     _tok = ("select doc_id as id, lower(t) as term from ("
             "select doc_id, unnest(regexp_split_to_array(text, '\\s+')) "

@@ -494,7 +494,12 @@ class Engine:
     # --------------------------------------------------- aggregation API
     _AGG_FNS = {"count": lambda c: F.count("*"),
                 "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
-                "count_distinct": F.countDistinct}
+                "count_distinct": F.countDistinct,
+                # exact percentile with linear interpolation — matches
+                # DuckDB quantile_cont for oracle parity; use
+                # percentile_approx in application code at 100 TB if
+                # the full-sort cost of exactness isn't warranted
+                "median": lambda c: F.percentile(c, F.lit(0.5))}
 
     def aggregate(self, text: str, group_by: list,
                   aggs: dict, cube: bool = False,
