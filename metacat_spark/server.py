@@ -98,6 +98,14 @@ def make_handler(client: MetaCatSparkClient):
             if not mql or not mql.strip():
                 return self._send(200, "application/json", "[]")
 
+            if _flag(params, "explain"):
+                # MQL AST + physical plan, the CLI -x surface over HTTP
+                return self._send(200, "text/plain",
+                                  client.explain(
+                                      mql,
+                                      default_namespace=_one(params,
+                                                             "namespace")))
+
             summary = _one(params, "summary")
             if summary not in ("count", "keys", "key-values", None):
                 return self._send(400, "text/plain",

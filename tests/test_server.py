@@ -99,6 +99,15 @@ def test_summary_keys(served):
     assert "core.run" in got and got == sorted(got)
 
 
+def test_explain_endpoint(served):
+    base, _ = served
+    text = _get(base, "/data/query",
+                query="files from dune:urgent_0 where core.run > 5",
+                explain="yes").read().decode()
+    assert "MQL AST" in text and "Spark plan" in text
+    assert "PushedFilters" in text
+
+
 def test_bad_mql_is_400(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:
