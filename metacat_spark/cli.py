@@ -137,6 +137,13 @@ def main(argv=None):
     q.add_argument("-x", "--explain", action="store_true")
     q.add_argument("-l", "--limit", type=int, default=None,
                    help="client-side cap on printed rows")
+    q.add_argument("-o", "--output", default=None, metavar="PATH",
+                   help="export the result set to PATH instead of "
+                        "printing (distributed write, no driver "
+                        "materialization)")
+    q.add_argument("-F", "--format", default="parquet",
+                   choices=["parquet", "json", "csv"],
+                   help="export format for -o (default parquet)")
     q.add_argument("-S", "--save-as", default=None, metavar="NS:NAME",
                    help="save the result as a NEW dataset")
     q.add_argument("-A", "--add-to", default=None, metavar="NS:NAME",
@@ -642,6 +649,15 @@ def _cmd_query(engine, dml, args):
         df = df.select(*others,
                        *[F.get_json_object("metadata", f"$['{k}']")
                          .alias(k) for k in keys.split(",")])
+    if args.output:
+        # sink: distributed write straight from the plan — the bulk
+        # analogue of the json-seq stream (no driver materialization)
+        w = df.write.mode("overwrite")
+        if args.format == "csv":
+            w = w.option("header", "true")
+        getattr(w, args.format)(args.output)
+        print(f"exported to {args.output} ({args.format})")
+        return 0
     if args.save_as:
         ns, name = _did(args.save_as)
         n = dml.save_as(df, ns, name)

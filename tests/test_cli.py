@@ -45,6 +45,20 @@ def test_query_explain(capsys):
     assert rc == 0 and "FileQuery" in out
 
 
+def test_query_export_sink(capsys, tmp_path, spark):
+    dest = str(tmp_path / "export_pq")
+    rc, out = run(capsys, "query",
+                  "files from dune:urgent_0 where core.run > 250",
+                  "-o", dest)
+    assert rc == 0 and "exported" in out
+    back = spark.read.parquet(dest)
+    assert back.count() > 0 and "id" in back.columns
+    dest_j = str(tmp_path / "export_json")
+    rc, _ = run(capsys, "query", "files from dune:urgent_0 limit 7",
+                "-o", dest_j, "-F", "json")
+    assert rc == 0 and spark.read.json(dest_j).count() == 7
+
+
 def test_file_declare_show_id_name_datasets(capsys):
     rc, out = run(capsys, "file", "declare", "cli_ns:f1.dat",
                   "dune:urgent_2", "--id", "cli-f1", "--size", "123",
