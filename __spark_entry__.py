@@ -388,6 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    include_retired=True)
     q["file_list_dids"] = file_lists("did")
     q["named_query_nested"] = _fq("files selected by test:nested")
+    q["where_like"] = _fq(
+        'files from test:all where core.version like "3.%" '
+        'and name like "run%.hdf5"')
     q["where_bool_version"] = _fq(
         'files from test:all where core.good = true and core.version = "2.1"')
     q["where_date_window"] = _fq(
@@ -543,6 +546,10 @@ def oracle_sql() -> dict[str, str]:
         f"select {FQ_SEL} from files where {active} "
         f"and {_member('test', 'all')} "
         f"and m_core_good and m_core_version = '2.1'")
+    o["where_like"] = _o(
+        f"select {FQ_SEL} from files where {active} "
+        f"and {_member('test', 'all')} "
+        f"and m_core_version like '3.%' and name like 'run%.hdf5'")
     o["where_regex"] = _o(
         f"select {FQ_SEL} from files where {active} "
         f"and {_member('test', 'all')} "

@@ -534,6 +534,15 @@ class Parser:
             const = self.parse_constant()
             op = "=" if t.value == "==" else t.value
             return Cmp(scalar, op, const)
+        # `like` is reserved-but-unimplemented in the reference grammar
+        # (grammar/common.py CMPOP comment); we expose it as a working
+        # SQL-LIKE comparison, same spirit as the `exists` escape hatch
+        if self.at_word("like"):
+            self.next()
+            const = self.parse_constant()
+            if const.kind != "str":
+                raise MQLSyntaxError("like requires a string pattern")
+            return Cmp(scalar, "like", const)
         negated = False
         if self.at_word("not"):
             nxt = self.peek(1)

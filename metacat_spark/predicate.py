@@ -146,6 +146,11 @@ class PredicateCompiler:
             matched = col.rlike(pat)
             # negated regex on a missing key must stay NULL → false
             return ~matched if op.startswith("!") else matched
+        if op == "like":
+            # SQL LIKE (%/_ wildcards) — reserved-but-unimplemented in
+            # the reference (grammar/common.py CMPOP); full-match
+            # semantics like PostgreSQL LIKE would have had
+            return col.like(str(const.value))
         raise CompileError(f"unknown comparison op {op!r}")
 
     def _values_lambda(self, mtype: str, col: Column):

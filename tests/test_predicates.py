@@ -49,6 +49,15 @@ def test_regex(engine, duck):
           f"{base} and l_orderkey % 4 in (1, 3)")
 
 
+def test_like(engine, duck):
+    """`like` — reserved in the reference grammar, implemented here
+    as SQL LIKE (full-match, %/_ wildcards), missing-key ⇒ false."""
+    check(engine, duck, 'core.version like "3.%"',
+          "1 + l_partkey % 3 = 3")
+    check(engine, duck, 'core.data_type like "c%n"',
+          "l_returnflag = 'N'")
+
+
 def test_present(engine, duck):
     check(engine, duck, "beam.status present", "l_partkey % 10 < 7")
     check(engine, duck, "beam.status not present", "l_partkey % 10 >= 7")
