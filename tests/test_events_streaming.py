@@ -95,6 +95,58 @@ def test_stateful_running_totals(spark, events):
     assert got == want and got
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: with a 1-hour watermark and append output,
+    an event arriving in a later micro-batch but timestamped before
+    the advanced watermark must NOT reopen its (already emitted)
+    window. Two parquet files processed as separate micro-batches via
+    maxFilesPerTrigger=1."""
+    import time as _t
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+
+    def write(name, rows):
+        df = spark.createDataFrame(
+            [(i, 1, "click", 1.0, "{}", ts) for i, ts in rows],
+            "event_id long, user_id long, event_type string, "
+            "value double, props string, ts timestamp_ntz")
+        df.coalesce(1).write.parquet(str(src / name))
+
+    import datetime as dt
+    h = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    # batch 1: events at 10:00 and 14:00 → watermark advances to 13:00
+    write("b1", [(1, h), (2, h + dt.timedelta(hours=4))])
+    _t.sleep(1.1)  # ensure later mtime → processed as the next batch
+    # batch 2: fresh event; at its end the 10:00 window (< watermark)
+    # is emitted and its state EVICTED
+    write("b2", [(4, h + dt.timedelta(hours=4, minutes=5))])
+    _t.sleep(1.1)
+    # batch 3: a LATE event back at 10:30, after eviction → dropped
+    # (while state is live, merging late rows is best-effort by design)
+    write("b3", [(3, h + dt.timedelta(minutes=30))])
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, event_type string, "
+                      "value double, props string, ts timestamp_ntz")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    from metacat_spark.streaming.events import windowed_counts
+    agg = windowed_counts(
+        stream.withColumn("ts_ts", F.col("ts").cast("timestamp")))
+    q = (agg.writeStream.format("memory").queryName("late_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [(str(r["window_start"]), r["n_events"])
+            for r in spark.table("late_test").collect()]
+    # the 10:00 window was emitted exactly once, finalized with ONE
+    # event; the late event_id=3 (behind the watermark, state evicted)
+    # neither re-opened it nor produced a duplicate emission
+    ten = [r for r in rows if r[0] == "2024-01-01 10:00:00"]
+    assert ten == [("2024-01-01 10:00:00", 1)]
+
+
 def test_streaming_equals_batch(spark, events):
     batch = {(str(r["window_start"]), r["event_type"]):
              (r["n_events"], r["total_value"])
