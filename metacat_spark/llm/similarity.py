@@ -43,7 +43,12 @@ def _prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 def brute_force_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
     """For every vector, its k nearest neighbours by cosine (excluding
-    itself). Deterministic tie-break on neighbour id."""
+    itself). Deterministic tie-break on neighbour id.
+
+    REFERENCE IMPLEMENTATION for tests only (row-level cross join +
+    interpreted HOF dot — O(N²) rows and Python-free but slow): the
+    production exact path is ``topk_gemm`` (block GEMM), the scale
+    paths are ``lsh_bucketed_topk`` / ``ivf_topk``."""
     base = _prep(df, vec_col, id_col)
     a = base.alias("a")
     b = base.alias("b")
