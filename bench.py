@@ -109,7 +109,12 @@ def main():
               file=sys.stderr)
 
     # second pass: steady-state (codegen/scan caches warm) — what a
-    # resident catalog service delivers per request
+    # resident catalog service delivers per request. Nudge a JVM GC
+    # first: Spark's ContextCleaner releases the cold pass's shuffle
+    # files/broadcasts only on GC, and carrying ~13 queries of dead
+    # shuffle state into the warm pass measurably skews the heaviest
+    # queries (q8 drifted 2.5s → 5.3s across runs without this)
+    spark.sparkContext._jvm.System.gc()
     warm = {}
     for name, fn in queries.items():
         if name in errors:
