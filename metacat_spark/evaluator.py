@@ -66,6 +66,11 @@ def _cmp_value(v, op: str, const: Const) -> Tri:
         flags = re.IGNORECASE if op.endswith("*") else 0
         m = re.search(str(c), str(v), flags) is not None
         return (not m) if op.startswith("!") else m
+    if op == "like":
+        # SQL LIKE: full match, % = any run, _ = any single char
+        pat = "".join(".*" if ch == "%" else "." if ch == "_"
+                      else re.escape(ch) for ch in str(c))
+        return re.fullmatch(pat, str(v)) is not None
     try:
         if op in ("=", "=="):
             return v == c

@@ -99,6 +99,8 @@ def _atom():
                 lambda hi: f"t.s in {lo}:{hi}")),
         st.sampled_from(['"a"', '"b"', '"q"']).map(
             lambda c: f"{c} in t.s"),
+        st.sampled_from(["a%", "%b", "a_", "%", "zz", "q%"]).map(
+            lambda p: f't.s like "{p}"'),
     )
     return simple
 
@@ -150,6 +152,47 @@ def test_compiler_matches_row_evaluator(rows, where, spark, compiler):
     assert got == want, (
         f"divergence for {where!r}\nrows={json.dumps(rows, default=str)}"
         f"\nspark={got}\npython={want}")
+
+
+_SET_LEAVES = st.sampled_from([
+    "files from dune:urgent_0",
+    "files from dune:urgent_1",
+    "files from mc:flag_r",
+    "files from test:all where core.run > 250",
+    "files from dune:high_0 where core.good = true",
+])
+
+
+def _set_trees(depth=2):
+    if depth == 0:
+        return _SET_LEAVES
+    sub = _set_trees(depth - 1)
+    return st.one_of(
+        _SET_LEAVES,
+        st.tuples(sub, sub).map(lambda t: f"union({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"join({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]}) - ({t[1]})"),
+        sub.map(lambda q: f"({q}) where core.x <= 0.5"),
+    )
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(mql=_set_trees(2))
+def test_set_op_fast_path_property(mql, engine):
+    """Random set-algebra trees: the id-set fast path must select the
+    same id SET as the multiplicity-exact row-level path."""
+    saved = getattr(engine.cat, "_ids_unique", None)
+    try:
+        out = {}
+        for forced in (True, False):
+            engine.cat._ids_unique = forced
+            out[forced] = sorted({
+                r["id"] for r in engine.query(mql).select("id").collect()})
+        assert out[True] == out[False], mql
+    finally:
+        engine.cat._ids_unique = saved
 
 
 @settings(max_examples=40, deadline=None,
