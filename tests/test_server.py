@@ -147,6 +147,25 @@ def test_datasets_endpoint(served):
     assert {r["name"] for r in rows} >= {"urgent_0", "urgent_1"}
 
 
+def test_concurrent_requests(served):
+    """Concurrent queries share one SparkSession under the FAIR
+    scheduler — a slow streaming scan must not starve point work."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base, _ = served
+    jobs = [("/data/query", {"query": "files from dune:urgent_0 "
+                                      "where core.run > 100"}),
+            ("/data/query", {"query": "files from test:all",
+                             "summary": "count"}),
+            ("/data/datasets", {"pattern": "dune:*"}),
+            ("/data/query", {"query": "files from mc:flag_r limit 20"})]
+    with ThreadPoolExecutor(4) as pool:
+        outs = list(pool.map(
+            lambda j: _get(base, j[0], **j[1]).read(), jobs))
+    assert all(len(o) > 0 for o in outs)
+    assert json.loads(outs[1])["count"] > 0
+
+
 def test_unknown_endpoint_404(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:
