@@ -263,3 +263,34 @@ def test_dataset_ancestors():
     assert q.selectors[0].with_ancestors and q.selectors[0].recursively
     q = parse("datasets test:all with subsets recursively")
     assert q.selectors[0].with_subsets and not q.selectors[0].with_ancestors
+
+
+# ----------------------------------------------------------- fuzzing
+def test_parser_never_crashes_on_garbage():
+    """The HTTP server hands raw client text to the parser: arbitrary
+    input must produce a clean MQLSyntaxError (the 400 contract),
+    never an internal exception (IndexError/AttributeError/...)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from metacat_spark.mql.lexer import MQLSyntaxError
+
+    tokens = st.sampled_from(
+        ["files", "from", "where", "union", "join", "(", ")", "[", "]",
+         "{", "}", "-", ",", ":", "datasets", "matching", "regexp",
+         "limit", "skip", "ordered", "filter", "present", "not", "in",
+         "and", "or", "!", "~", "=", "<", ">", "<=", "core.run", "42",
+         '"str"', "a:b", "len", "exists", "like", "datetime", "fids",
+         "selected", "by", "with", "subsets", "recursively", "having",
+         "queries", "summary", "'", '"', "\\", "%", "*", "?", ".",
+         "..", "0.5", "-3", "true", "x[any]", "x[3]", ""])
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(tokens, min_size=0, max_size=12).map(" ".join))
+    def fuzz(text):
+        try:
+            parse(text)
+        except MQLSyntaxError:
+            pass  # the contract: clean syntax error
+
+    fuzz()
