@@ -79,6 +79,15 @@ def make_handler(client: MetaCatSparkClient):
                     return self._file(params)
                 if url.path == "/data/datasets":
                     return self._datasets(params)
+                if url.path == "/data/dataset_files":
+                    return self._dataset_files(params)
+                if url.path == "/data/namespaces":
+                    return self._namespaces()
+                if url.path == "/data/version":
+                    return self._send(200, "application/json",
+                                      json.dumps(
+                                          {"engine": "metacat_spark",
+                                           "api": "data/v1"}))
                 return self._send(404, "text/plain",
                                   f"no such endpoint: {url.path}")
             except BrokenPipeError:
@@ -174,6 +183,35 @@ def make_handler(client: MetaCatSparkClient):
         def _datasets(self, params: dict):
             rows = client.list_datasets(
                 _one(params, "pattern") or "*:*")
+            self._send(200, "application/json",
+                       json.dumps(rows, default=str))
+
+        def _dataset_files(self, params: dict):
+            """Files of one dataset as a json-seq stream
+            (data_handler.py dataset_files)."""
+            ds = _one(params, "dataset")
+            if not ds or ":" not in ds:
+                return self._send(400, "text/plain",
+                                  "dataset=<namespace>:<name> required")
+            mql = f"files from {ds}"
+            it = client.query_iter(
+                mql, with_metadata=_flag(params, "with_metadata"),
+                include_retired_files=_flag(params,
+                                            "include_retired_files"))
+            sentinel = object()
+            first = next(it, sentinel)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json-seq")
+            self.end_headers()
+            if first is sentinel:
+                return
+            self._frame(first)
+            for d in it:
+                self._frame(d)
+
+        def _namespaces(self):
+            rows = [r.asDict() for r in
+                    client.catalog.namespaces.collect()]
             self._send(200, "application/json",
                        json.dumps(rows, default=str))
 

@@ -166,6 +166,21 @@ def test_concurrent_requests(served):
     assert json.loads(outs[1])["count"] > 0
 
 
+def test_dataset_files_and_namespaces(served):
+    base, client = served
+    rows = _json_seq(_get(base, "/data/dataset_files",
+                          dataset="dune:urgent_0"))
+    want = client.query("files from dune:urgent_0")
+    assert len(rows) == len(want) > 0
+    ns = json.loads(_get(base, "/data/namespaces").read())
+    assert {r["name"] for r in ns} >= {"dune", "mc", "test"}
+    v = json.loads(_get(base, "/data/version").read())
+    assert v["engine"] == "metacat_spark"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/dataset_files", dataset="nocolon")
+    assert e.value.code == 400
+
+
 def test_unknown_endpoint_404(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:
