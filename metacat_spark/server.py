@@ -51,6 +51,8 @@ def _one(params: dict, name: str) -> Optional[str]:
 
 def make_handler(client: MetaCatSparkClient):
     """Build the request-handler class bound to one client/engine."""
+    from .stats import CatalogStats
+    stats = CatalogStats(client.catalog)  # shared cached counts
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.0 close-at-end framing: json-seq responses have no
@@ -79,6 +81,8 @@ def make_handler(client: MetaCatSparkClient):
                     return self._file(params)
                 if url.path == "/data/datasets":
                     return self._datasets(params)
+                if url.path == "/data/dataset":
+                    return self._dataset(params)
                 if url.path == "/data/dataset_files":
                     return self._dataset_files(params)
                 if url.path == "/data/namespaces":
@@ -185,6 +189,25 @@ def make_handler(client: MetaCatSparkClient):
                 _one(params, "pattern") or "*:*")
             self._send(200, "application/json",
                        json.dumps(rows, default=str))
+
+        def _dataset(self, params: dict):
+            """One dataset record + file count (data_handler.py
+            dataset/dataset_count; exact_file_count=yes recounts)."""
+            ds = _one(params, "dataset")
+            if not ds or ":" not in ds:
+                return self._send(400, "text/plain",
+                                  "dataset=<namespace>:<name> required")
+            ns, name = ds.split(":", 1)
+            rows = client.query(f"datasets {ns}:{name}",
+                                with_metadata=True)
+            if not rows:
+                return self._send(404, "text/plain",
+                                  f"dataset not found: {ds}")
+            rec = rows[0]
+            rec["file_count"] = stats.nfiles(
+                ns, name, exact=_flag(params, "exact_file_count"))
+            self._send(200, "application/json",
+                       json.dumps(rec, default=str))
 
         def _dataset_files(self, params: dict):
             """Files of one dataset as a json-seq stream

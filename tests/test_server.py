@@ -166,6 +166,18 @@ def test_concurrent_requests(served):
     assert json.loads(outs[1])["count"] > 0
 
 
+def test_dataset_record_with_count(served):
+    base, client = served
+    rec = json.loads(_get(base, "/data/dataset", dataset="dune:urgent_0",
+                          exact_file_count="yes").read())
+    assert rec["name"] == "urgent_0"
+    want = client.query("files from dune:urgent_0")
+    assert rec["file_count"] == len(want) > 0
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/dataset", dataset="no:such_ds")
+    assert e.value.code == 404
+
+
 def test_dataset_files_and_namespaces(served):
     base, client = served
     rows = _json_seq(_get(base, "/data/dataset_files",
