@@ -85,6 +85,8 @@ def make_handler(client: MetaCatSparkClient):
                     return self._dataset(params)
                 if url.path == "/data/dataset_files":
                     return self._dataset_files(params)
+                if url.path == "/data/datasets_for_files":
+                    return self._datasets_for_files(params)
                 if url.path == "/data/namespaces":
                     return self._namespaces()
                 if url.path == "/data/version":
@@ -231,6 +233,27 @@ def make_handler(client: MetaCatSparkClient):
             self._frame(first)
             for d in it:
                 self._frame(d)
+
+        def _datasets_for_files(self, params: dict):
+            """Reverse membership lookup (data_handler.py:574):
+            fids=a,b,c → {fid: [ns:name, ...]}. One pruned membership
+            scan, never per-fid queries."""
+            from pyspark.sql import functions as F
+            fids = [f for f in (_one(params, "fids") or "").split(",")
+                    if f]
+            if not fids:
+                return self._send(400, "text/plain", "fids=… required")
+            rows = (client.catalog.files_datasets
+                    .where(F.col("file_id").isin(fids))
+                    .select("file_id", "dataset_namespace",
+                            "dataset_name").collect())
+            out = {f: [] for f in fids}
+            for r in rows:
+                out[r["file_id"]].append(
+                    f"{r['dataset_namespace']}:{r['dataset_name']}")
+            for v in out.values():
+                v.sort()
+            self._send(200, "application/json", json.dumps(out))
 
         def _namespaces(self):
             rows = [r.asDict() for r in

@@ -193,6 +193,16 @@ def test_dataset_files_and_namespaces(served):
     assert e.value.code == 400
 
 
+def test_datasets_for_files(served):
+    base, client = served
+    some = client.query("files from dune:urgent_0 ordered limit 2")
+    fids = ",".join(r["id"] for r in some)
+    out = json.loads(_get(base, "/data/datasets_for_files",
+                          fids=fids).read())
+    assert set(out) == {r["id"] for r in some}
+    assert all("dune:urgent_0" in v for v in out.values())
+
+
 def test_unknown_endpoint_404(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:
