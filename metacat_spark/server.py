@@ -89,6 +89,12 @@ def make_handler(client: MetaCatSparkClient):
                     return self._datasets_for_files(params)
                 if url.path == "/data/namespaces":
                     return self._namespaces()
+                if url.path == "/data/declare_files":
+                    return self._declare_files(params, body)
+                if url.path == "/data/update_file_meta":
+                    return self._update_file_meta(params, body)
+                if url.path == "/data/retire_file":
+                    return self._retire_file(params)
                 if url.path == "/data/version":
                     return self._send(200, "application/json",
                                       json.dumps(
@@ -254,6 +260,40 @@ def make_handler(client: MetaCatSparkClient):
             for v in out.values():
                 v.sort()
             self._send(200, "application/json", json.dumps(out))
+
+        # ------------------------------------------------- write path
+        def _declare_files(self, params: dict, body: bytes):
+            """POST JSON list of file records (data_handler.py
+            declare_files); ?dataset=ns:name adds membership. DML
+            validation errors surface as the 400 contract."""
+            rows = json.loads(body.decode("utf-8") or "[]")
+            if not isinstance(rows, list):
+                return self._send(400, "text/plain",
+                                  "body must be a JSON list")
+            n = client.declare_files(_one(params, "dataset"), rows)
+            self._send(200, "application/json",
+                       json.dumps({"declared": n}))
+
+        def _update_file_meta(self, params: dict, body: bytes):
+            """POST {"metadata": {...}, "mode": "update"|"replace"}
+            for ?fid=... (data_handler.py update_file_meta)."""
+            fid = _one(params, "fid")
+            if not fid:
+                return self._send(400, "text/plain", "fid=… required")
+            payload = json.loads(body.decode("utf-8") or "{}")
+            client.update_file_metadata(
+                fid, payload.get("metadata", {}),
+                payload.get("mode", "update"))
+            self._send(200, "application/json",
+                       json.dumps({"updated": fid}))
+
+        def _retire_file(self, params: dict):
+            fid = _one(params, "fid")
+            if not fid:
+                return self._send(400, "text/plain", "fid=… required")
+            client.retire_file(fid, by=_one(params, "by") or "http")
+            self._send(200, "application/json",
+                       json.dumps({"retired": fid}))
 
         def _namespaces(self):
             rows = [r.asDict() for r in

@@ -203,6 +203,58 @@ def test_datasets_for_files(served):
     assert all("dune:urgent_0" in v for v in out.values())
 
 
+@pytest.fixture(scope="module")
+def served_rw(spark):
+    """Separate server over its OWN catalog — the write path mutates
+    catalog state and must not touch the shared read fixture."""
+    from tests.conftest import SF_DIR
+
+    from metacat_spark.catalog import from_tpch
+    client = MetaCatSparkClient(spark, catalog=from_tpch(spark, SF_DIR))
+    srv, port = start_server(client)
+    yield f"http://127.0.0.1:{port}", client
+    srv.shutdown()
+
+
+def _post(base, path, body, **params):
+    qs = urllib.parse.urlencode(params)
+    req = urllib.request.Request(
+        f"{base}{path}?{qs}", data=json.dumps(body).encode(),
+        method="POST")
+    return json.loads(urllib.request.urlopen(req, timeout=600).read())
+
+
+def test_write_path_declare_update_retire(served_rw):
+    base, client = served_rw
+    rows = [{"id": "http_f1", "namespace": "test",
+             "name": "http_file_1.data", "size": 123,
+             "metadata": {"core.run": 9001}},
+            {"id": "http_f2", "namespace": "test",
+             "name": "http_file_2.data", "size": 456,
+             "metadata": {"core.run": 9002}}]
+    out = _post(base, "/data/declare_files", rows, dataset="test:all")
+    assert out == {"declared": 2}
+    rec = json.loads(_get(base, "/data/file", fid="http_f1").read())
+    assert rec["size"] == 123 and rec["metadata"]["core.run"] == 9001
+
+    out = _post(base, "/data/update_file_meta",
+                {"metadata": {"core.run": 9111}, "mode": "update"},
+                fid="http_f1")
+    assert out == {"updated": "http_f1"}
+    rec = json.loads(_get(base, "/data/file", fid="http_f1").read())
+    assert rec["metadata"]["core.run"] == 9111
+
+    out = _post(base, "/data/retire_file", {}, fid="http_f2")
+    assert out == {"retired": "http_f2"}
+    rec = json.loads(_get(base, "/data/file", fid="http_f2").read())
+    assert rec["retired"] is True
+
+    # DML errors surface as the 400 contract (duplicate declare)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/data/declare_files", rows)
+    assert e.value.code == 400
+
+
 def test_unknown_endpoint_404(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:
