@@ -95,6 +95,10 @@ def make_handler(client: MetaCatSparkClient):
                     return self._update_file_meta(params, body)
                 if url.path == "/data/retire_file":
                     return self._retire_file(params)
+                if url.path == "/data/create_dataset":
+                    return self._create_dataset(params, body)
+                if url.path == "/data/add_files":
+                    return self._add_files(params, body)
                 if url.path == "/data/version":
                     return self._send(200, "application/json",
                                       json.dumps(
@@ -294,6 +298,42 @@ def make_handler(client: MetaCatSparkClient):
             client.retire_file(fid, by=_one(params, "by") or "http")
             self._send(200, "application/json",
                        json.dumps({"retired": fid}))
+
+        def _create_dataset(self, params: dict, body: bytes):
+            """POST ?dataset=ns:name with an optional JSON body of
+            {description, frozen, monotonic, metadata, creator}
+            (data_handler.py create_dataset)."""
+            ds = _one(params, "dataset")
+            if not ds or ":" not in ds:
+                return self._send(400, "text/plain",
+                                  "dataset=<namespace>:<name> required")
+            ns, name = ds.split(":", 1)
+            opts = json.loads(body.decode("utf-8") or "{}")
+            client.dml.create_dataset(
+                ns, name, description=opts.get("description", ""),
+                frozen=bool(opts.get("frozen", False)),
+                monotonic=bool(opts.get("monotonic", False)),
+                metadata=opts.get("metadata"),
+                creator=opts.get("creator", "http"))
+            self._send(200, "application/json",
+                       json.dumps({"created": ds}))
+
+        def _add_files(self, params: dict, body: bytes):
+            """POST ?dataset=ns:name with a JSON list of file ids —
+            membership append with frozen/requirement enforcement
+            (data_handler.py add_files)."""
+            ds = _one(params, "dataset")
+            if not ds or ":" not in ds:
+                return self._send(400, "text/plain",
+                                  "dataset=<namespace>:<name> required")
+            ns, name = ds.split(":", 1)
+            fids = json.loads(body.decode("utf-8") or "[]")
+            if not isinstance(fids, list):
+                return self._send(400, "text/plain",
+                                  "body must be a JSON list of fids")
+            n = client.dml.add_files_to_dataset(fids, ns, name)
+            self._send(200, "application/json",
+                       json.dumps({"added": n}))
 
         def _namespaces(self):
             rows = [r.asDict() for r in

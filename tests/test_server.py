@@ -255,6 +255,25 @@ def test_write_path_declare_update_retire(served_rw):
     assert e.value.code == 400
 
 
+def test_write_path_dataset_workflow(served_rw):
+    base, client = served_rw
+    out = _post(base, "/data/create_dataset",
+                {"description": "made over http"},
+                dataset="test:http_ds")
+    assert out == {"created": "test:http_ds"}
+    some = client.query("files from dune:urgent_0 ordered limit 3")
+    out = _post(base, "/data/add_files",
+                [r["id"] for r in some], dataset="test:http_ds")
+    assert out == {"added": 3}
+    rows = _json_seq(_get(base, "/data/query",
+                          query="files from test:http_ds"))
+    assert {r["id"] for r in rows} == {r["id"] for r in some}
+    # duplicate create → 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/data/create_dataset", {}, dataset="test:http_ds")
+    assert e.value.code == 400
+
+
 def test_unknown_endpoint_404(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:
