@@ -449,6 +449,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.near_dup_clusters(embs, pairs, id_col="vec_id")
     q["embed_dedup_clusters"] = embed_clusters
 
+    def doc_stratified(spark, sf_dir):
+        """Deterministic per-language downsampling (curation
+        re-balancing) — adler32-hash thresholds, DuckDB-mirrored."""
+        from metacat_spark.llm.pipeline import stratified_sample
+        return stratified_sample(
+            _docs(spark, sf_dir),
+            {"en": 0.5, "de": 1.0, "fr": 0.25}).select(
+                "doc_id", "lang")
+    q["doc_stratified_sample"] = doc_stratified
+
     def meta_numeric_stats(spark, sf_dir):
         """General aggregation API with exact-percentile coverage."""
         eng = _engine(spark, sf_dir)
@@ -1025,6 +1035,13 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.cluster_id, e.vec_id) = e.vec_id
                  as is_canonical
         from embeddings e left join comp c on c.vid = e.vec_id"""
+
+    _ad_doc = ADLER32.format(c="cast(doc_id as varchar)")
+    o["doc_stratified_sample"] = f"""
+        select doc_id, lang from documents
+        where ({_ad_doc}) % 10000 <
+              case lang when 'en' then 0.5 when 'de' then 1.0
+                        when 'fr' then 0.25 else 0.0 end * 10000"""
 
     o["meta_numeric_stats"] = _o(
         f"select m_core_data_type as core_data_type, count(*) as n, "

@@ -43,6 +43,29 @@ def curate(documents: DataFrame, min_quality: float = 0.3,
     return exact.join(drop, id_col, "left_anti")
 
 
+def stratified_sample(df: DataFrame, fractions: dict,
+                      stratum_col: str = "lang",
+                      id_col: str = "doc_id",
+                      default: float = 0.0,
+                      mod: int = 10000) -> DataFrame:
+    """Deterministic per-stratum sampling for corpus curation: keep a
+    row iff adler32(str(id)) % mod < fraction[stratum]·mod. The usual
+    re-balancing step (downsample over-represented languages/sources)
+    as a pure, reproducible filter — zero shuffle, zero RNG state, the
+    same rows survive on every run and every cluster size. Strata
+    absent from ``fractions`` keep ``default``. The adler32 is the
+    same portable checksum the `hash` filter mirrors in DuckDB, so the
+    operator is oracle-checkable end-to-end."""
+    from ..filters import adler32_column
+
+    h = adler32_column(F.col(id_col).cast("string")) % mod
+    m = F.create_map(*[F.lit(x) for kv in fractions.items()
+                       for x in kv])
+    thr = F.coalesce(m[F.col(stratum_col)],
+                     F.lit(float(default))) * mod
+    return df.where(h < thr)
+
+
 def curation_report(documents: DataFrame, curated: DataFrame,
                     id_col: str = "doc_id") -> dict:
     n_in = documents.count()

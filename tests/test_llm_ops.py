@@ -71,6 +71,24 @@ def test_top_terms_and_tfidf(docs):
     assert ti.where("rank = 1").count() == docs.count()
 
 
+def test_stratified_sample_deterministic(docs):
+    from metacat_spark.llm.pipeline import stratified_sample
+    frac = {"en": 0.5, "de": 1.0}
+    a = sorted(r["doc_id"] for r in
+               stratified_sample(docs, frac).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(docs, frac).select("doc_id").collect())
+    assert a == b and a  # same survivors every run
+    out = stratified_sample(docs, frac)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # default 0.0 drops other strata
+    n_de_in = docs.where("lang = 'de'").count()
+    assert out.where("lang = 'de'").count() == n_de_in  # frac 1.0 keeps all
+    n_en_in = docs.where("lang = 'en'").count()
+    n_en_out = out.where("lang = 'en'").count()
+    assert 0 < n_en_out < n_en_in  # frac 0.5 downsamples
+
+
 def test_word_occurrences_vs_duck(docs, duck):
     from metacat_spark.llm import text as TX
     got = {r["doc_id"]: r["n"] for r in
