@@ -449,6 +449,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.near_dup_clusters(embs, pairs, id_col="vec_id")
     q["embed_dedup_clusters"] = embed_clusters
 
+    def doc_logprob(spark, sf_dir):
+        from metacat_spark.llm import text as TX
+        out = TX.unigram_logprob(_docs(spark, sf_dir))
+        return out.select(F.col("id").alias("doc_id"), "avg_logprob",
+                          F.col("n_terms").cast("long")
+                          .alias("n_terms"))
+    q["doc_unigram_logprob"] = doc_logprob
+
     def doc_stratified(spark, sf_dir):
         """Deterministic per-language downsampling (curation
         re-balancing) — adler32-hash thresholds, DuckDB-mirrored."""
@@ -1036,6 +1044,21 @@ def oracle_sql() -> dict[str, str]:
                  as is_canonical
         from embeddings e left join comp c on c.vid = e.vec_id"""
 
+    _tok = ("select doc_id as id, lower(t) as term from ("
+            "select doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
+            "as t from documents) u where t <> ''")
+    o["doc_unigram_logprob"] = f"""
+        with tok as ({_tok}),
+        tf as (select term, count(*) as cnt from tok group by term),
+        totals as (select sum(cnt) as n_total, count(*) as n_vocab
+                   from tf)
+        select id as doc_id,
+               round(avg(ln((cnt + 1) / (n_total + n_vocab))), 6)
+                 as avg_logprob,
+               count(*) as n_terms
+        from tok join tf using (term) cross join totals
+        group by id"""
+
     _ad_doc = ADLER32.format(c="cast(doc_id as varchar)")
     o["doc_stratified_sample"] = f"""
         select doc_id, lang from documents
@@ -1051,9 +1074,6 @@ def oracle_sql() -> dict[str, str]:
         f"from files where {active} and {_member('test', 'all')} "
         f"group by 1")
 
-    _tok = ("select doc_id as id, lower(t) as term from ("
-            "select doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
-            "as t from documents) u where t <> ''")
     o["doc_top_terms"] = f"""
         select term, count(*) as n from ({_tok}) tok
         group by term order by n desc, term limit 50"""

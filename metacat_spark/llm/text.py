@@ -178,6 +178,32 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
             .select("id", "term", "tf", "tfidf", "rank"))
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-lite quality signal: per-doc mean unigram
+    log-probability under the corpus's own (add-one-smoothed) unigram
+    model. Low scores flag documents whose vocabulary is atypical for
+    the corpus (boilerplate, noise, other languages) — the cheap
+    stand-in for LM-perplexity filtering in curation pipelines.
+
+    Plan: one term-frequency aggregate over (id, term) rows, corpus
+    totals as a broadcast 1-row aggregate, one shuffle join back on
+    term, one per-doc aggregate. All arithmetic is ln over exact
+    counts — mirrored verbatim by the SQL oracle."""
+    terms = term_rows(df, text_col, id_col)
+    tf = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = tf.agg(F.sum("cnt").alias("n_total"),
+                    F.count("*").alias("n_vocab"))
+    scored = (terms.join(tf, "term")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("lp", F.log((F.col("cnt") + 1)
+                                      / (F.col("n_total")
+                                         + F.col("n_vocab")))))
+    return (scored.groupBy("id")
+            .agg(F.round(F.avg("lp"), 6).alias("avg_logprob"),
+                 F.count("*").alias("n_terms")))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full text-analysis projection over a documents table.
 
