@@ -99,6 +99,10 @@ def make_handler(client: MetaCatSparkClient):
                     return self._create_dataset(params, body)
                 if url.path == "/data/add_files":
                     return self._add_files(params, body)
+                if url.path == "/data/remove_files":
+                    return self._remove_files(params, body)
+                if url.path == "/data/update_dataset":
+                    return self._update_dataset(params, body)
                 if url.path == "/data/version":
                     return self._send(200, "application/json",
                                       json.dumps(
@@ -334,6 +338,41 @@ def make_handler(client: MetaCatSparkClient):
             n = client.dml.add_files_to_dataset(fids, ns, name)
             self._send(200, "application/json",
                        json.dumps({"added": n}))
+
+        def _remove_files(self, params: dict, body: bytes):
+            """POST ?dataset=ns:name with a JSON list of file ids —
+            membership removal; frozen/monotonic enforced
+            (data_handler.py remove_files)."""
+            ds = _one(params, "dataset")
+            if not ds or ":" not in ds:
+                return self._send(400, "text/plain",
+                                  "dataset=<namespace>:<name> required")
+            ns, name = ds.split(":", 1)
+            fids = json.loads(body.decode("utf-8") or "[]")
+            if not isinstance(fids, list):
+                return self._send(400, "text/plain",
+                                  "body must be a JSON list of fids")
+            client.dml.remove_files_from_dataset(fids, ns, name)
+            self._send(200, "application/json",
+                       json.dumps({"removed": len(fids)}))
+
+        def _update_dataset(self, params: dict, body: bytes):
+            """POST ?dataset=ns:name with {metadata, mode, frozen,
+            monotonic, description} (data_handler.py update_dataset)."""
+            ds = _one(params, "dataset")
+            if not ds or ":" not in ds:
+                return self._send(400, "text/plain",
+                                  "dataset=<namespace>:<name> required")
+            ns, name = ds.split(":", 1)
+            opts = json.loads(body.decode("utf-8") or "{}")
+            client.dml.update_dataset(
+                ns, name, metadata=opts.get("metadata"),
+                mode=opts.get("mode", "update"),
+                frozen=opts.get("frozen"),
+                monotonic=opts.get("monotonic"),
+                description=opts.get("description"))
+            self._send(200, "application/json",
+                       json.dumps({"updated": ds}))
 
         def _namespaces(self):
             rows = [r.asDict() for r in

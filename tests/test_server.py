@@ -273,6 +273,21 @@ def test_write_path_dataset_workflow(served_rw):
         _post(base, "/data/create_dataset", {}, dataset="test:http_ds")
     assert e.value.code == 400
 
+    # remove one member, update dataset flags; frozen blocks removal
+    gone = some[0]["id"]
+    out = _post(base, "/data/remove_files", [gone],
+                dataset="test:http_ds")
+    assert out == {"removed": 1}
+    rows = _json_seq(_get(base, "/data/query",
+                          query="files from test:http_ds"))
+    assert gone not in {r["id"] for r in rows} and len(rows) == 2
+    _post(base, "/data/update_dataset", {"frozen": True},
+          dataset="test:http_ds")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/data/remove_files", [some[1]["id"]],
+              dataset="test:http_ds")
+    assert e.value.code == 400
+
 
 def test_unknown_endpoint_404(served):
     base, _ = served
