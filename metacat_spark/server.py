@@ -165,16 +165,18 @@ def make_handler(client: MetaCatSparkClient):
                 return self._send(200, "application/json",
                                   json.dumps(rows, default=str))
 
-            # streaming path: PRIME the iterator before committing the
-            # status line so parse/analysis errors still surface as 400
-            # (the generator is lazy; headers sent first would lock in
-            # a 200), then one json-seq frame per record as partitions
-            # arrive on the driver
-            it = client.query_iter(
+            # streaming path: one json-seq frame per record as
+            # partitions arrive on the driver
+            self._stream_json_seq(client.query_iter(
                 mql, with_metadata=kw["with_metadata"],
                 with_provenance=kw["with_provenance"],
                 include_retired_files=kw["include_retired_files"],
-                namespace=kw["namespace"])
+                namespace=kw["namespace"]))
+
+        def _stream_json_seq(self, it):
+            """PRIME the iterator before committing the status line so
+            parse/analysis errors still surface as 400 (the generator
+            is lazy; headers sent first would lock in a 200)."""
             sentinel = object()
             first = next(it, sentinel)
             self.send_response(200)
@@ -233,20 +235,10 @@ def make_handler(client: MetaCatSparkClient):
                 return self._send(400, "text/plain",
                                   "dataset=<namespace>:<name> required")
             mql = f"files from {ds}"
-            it = client.query_iter(
+            self._stream_json_seq(client.query_iter(
                 mql, with_metadata=_flag(params, "with_metadata"),
                 include_retired_files=_flag(params,
-                                            "include_retired_files"))
-            sentinel = object()
-            first = next(it, sentinel)
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json-seq")
-            self.end_headers()
-            if first is sentinel:
-                return
-            self._frame(first)
-            for d in it:
-                self._frame(d)
+                                            "include_retired_files")))
 
         def _datasets_for_files(self, params: dict):
             """Reverse membership lookup (data_handler.py:574):
