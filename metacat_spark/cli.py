@@ -345,7 +345,18 @@ def main(argv=None):
     qse.add_argument("text", help="substring of the query source")
     _add_sf_dir(qse)
 
+    sv = sub.add_parser("serve", help="start the HTTP data server "
+                                      "(json-seq streaming)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    _add_sf_dir(sv)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        from .server import main as serve_main
+        return serve_main(["--sf-dir", args.sf_dir, "--host", args.host,
+                           "--port", str(args.port)])
 
     engine, dml = _session(args.sf_dir)
     cat = engine.cat
