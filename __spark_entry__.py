@@ -449,6 +449,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.near_dup_clusters(embs, pairs, id_col="vec_id")
     q["embed_dedup_clusters"] = embed_clusters
 
+    def dedup_streaming(spark, sf_dir):
+        """Streaming-ingest exact dedup (rows-only: survivor CHOICE
+        within a content group is arrival-order-dependent; the
+        batch≡stream content-set equivalence is asserted in tests)."""
+        from metacat_spark.llm import dedup as DD
+        out = DD.dedup_exact_stream(
+            spark, f"{sf_dir}/documents.parquet",
+            table="dedup_stream_entry")
+        return out.select("doc_id")
+    q["dedup_exact_streaming"] = dedup_streaming  # rows-only
+
     def doc_logprob(spark, sf_dir):
         from metacat_spark.llm import text as TX
         out = TX.unigram_logprob(_docs(spark, sf_dir))

@@ -56,6 +56,33 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_exact_stream(spark, src_dir: str, text_col: str = "text",
+                       table: str = "dedup_stream") -> DataFrame:
+    """Streaming-ingest exact dedup: dropDuplicates on the content
+    hash over a document stream — the entry stage of a CONTINUOUS
+    curation pipeline (state = one md5 per distinct content; bound it
+    with a watermark on an arrival-time column in a real deployment).
+    availableNow → memory sink; returns the deduplicated table."""
+    import os
+
+    batch_schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isfile(src_dir):
+        # file streams need a directory source; glob to the one file
+        reader = reader.option("pathGlobFilter",
+                               os.path.basename(src_dir))
+        src_dir = os.path.dirname(src_dir)
+    stream = reader.parquet(src_dir)
+    out = (stream
+           .withColumn("__h", F.md5(F.col(text_col)))
+           .dropDuplicates(["__h"])
+           .drop("__h"))
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(table)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small document tables often arrive as ONE parquet file = one
     partition; the shingle/token expressions (higher-order functions,

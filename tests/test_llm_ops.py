@@ -120,6 +120,23 @@ def test_exact_dedup(docs, duck, spark):
     assert survivors.where(F.col("doc_id") >= 1_000_000).count() == 0
 
 
+def test_dedup_exact_stream_equals_batch(docs, spark, tmp_path):
+    """Streaming-ingest dedup: the streamed survivors carry the same
+    distinct content set as batch dedup."""
+    from metacat_spark.llm import dedup as DD
+    src = str(tmp_path / "docs_stream")
+    dupes = docs.limit(10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    docs.unionByName(dupes).write.parquet(src)
+    out = DD.dedup_exact_stream(spark, src, table="dedup_stream_t")
+    assert out.count() == docs.count()
+    got = {r["t"] for r in
+           out.select(F.md5("text").alias("t")).collect()}
+    want = {r["t"] for r in
+            docs.select(F.md5("text").alias("t")).distinct().collect()}
+    assert got == want
+
+
 def test_ngram_jaccard_vs_duck(docs, duck):
     from metacat_spark.llm import dedup as DD
     got = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
