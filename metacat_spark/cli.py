@@ -345,6 +345,8 @@ def main(argv=None):
     qse.add_argument("text", help="substring of the query source")
     _add_sf_dir(qse)
 
+    vv = sub.add_parser("version", help="print engine versions")
+
     sv = sub.add_parser("serve", help="start the HTTP data server "
                                       "(json-seq streaming)")
     sv.add_argument("--host", default="127.0.0.1")
@@ -352,6 +354,13 @@ def main(argv=None):
     _add_sf_dir(sv)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "version":
+        # parity: `metacat version` (metacat_ui.py) prints server +
+        # client versions; here the "server" is the Spark runtime
+        import pyspark
+        print(f"metacat_spark 0.3 (pyspark {pyspark.__version__})")
+        return 0
 
     if args.cmd == "serve":
         from .server import main as serve_main
