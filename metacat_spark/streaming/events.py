@@ -13,19 +13,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# raw schema when ts reads as long nanos (older Sparks honoring
-# spark.sql.legacy.parquet.nanosAsLong); Spark 4.1+ reads TIMESTAMP(NANOS)
-# natively as TIMESTAMP_NTZ, so the stream schema must match what batch sees
-EVENTS_RAW_SCHEMA_NANOS = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """Older Spark rejects TIMESTAMP(NANOS) in the vectorized reader
     unless read as long nanos; 4.1+ ignores this conf and loads the
