@@ -449,6 +449,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.near_dup_clusters(embs, pairs, id_col="vec_id")
     q["embed_dedup_clusters"] = embed_clusters
 
+    def curation_exact(spark, sf_dir):
+        """Full curation pipeline, every stage SQL-expressible →
+        end-to-end hash-checked (the LSH `doc_curation_pipeline`
+        stays the rows-only scale path)."""
+        from metacat_spark.llm.pipeline import curate_exact
+        return (curate_exact(_docs(spark, sf_dir))
+                .select("doc_id", "lang"))
+    q["doc_curation_exact"] = curation_exact
+
     def dedup_streaming(spark, sf_dir):
         """Streaming-ingest exact dedup (rows-only: survivor CHOICE
         within a content group is arrival-order-dependent; the
@@ -1058,6 +1067,54 @@ def oracle_sql() -> dict[str, str]:
     _tok = ("select doc_id as id, lower(t) as term from ("
             "select doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
             "as t from documents) u where t <> ''")
+    o["doc_curation_exact"] = """
+        with q as (
+          select doc_id, text, lang,
+                 len(string_split_regex(text, '\\s+')) as n_words,
+                 round(
+                   (case when (length(text)
+                        - (len(string_split_regex(text, '\\s+')) - 1))
+                        / len(string_split_regex(text, '\\s+'))
+                        between 3.0 and 10.0 then 1.0 else 0.5 end) * 0.5
+                   + least(len(list_filter(
+                       string_split_regex(text, '\\s+'),
+                       x -> x = 'the'))
+                       / len(string_split_regex(text, '\\s+')) * 5.0,
+                       1.0) * 0.3
+                   + (1.0 - least((length(text) - length(regexp_replace(
+                       text, '[^a-zA-Z0-9 ]', '', 'g')))
+                       / length(text) * 4.0, 1.0)) * 0.2, 6) as quality
+          from documents),
+        gated as (select doc_id, text, lang from q
+                  where quality >= 0.3 and n_words >= 5),
+        exact as (
+          select * from gated where doc_id in (
+            select min(doc_id) from gated group by md5(text))),
+        sh as (
+          select doc_id as id,
+                 list_distinct(case when len(toks) >= 3 then
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from exact)),
+        ex0 as (select id, unnest(s) as shingle from sh),
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1 having count(*) <= 1000)),
+        sizes as (select id, count(*) as n from ex group by 1),
+        inter as (
+          select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from ex a join ex b on a.shingle = b.shingle and a.id < b.id
+          group by 1, 2),
+        drop_ids as (
+          select distinct id_b from inter
+            join sizes sa on sa.id = id_a
+            join sizes sb on sb.id = id_b
+          where n_inter / (sa.n + sb.n - n_inter) >= 0.12)
+        select doc_id, lang from exact
+        where doc_id not in (select id_b from drop_ids)"""
+
     o["doc_unigram_logprob"] = f"""
         with tok as ({_tok}),
         tf as (select term, count(*) as cnt from tok group by term),

@@ -43,6 +43,31 @@ def curate(documents: DataFrame, min_quality: float = 0.3,
     return exact.join(drop, id_col, "left_anti")
 
 
+def curate_exact(documents: DataFrame, min_quality: float = 0.3,
+                 min_tokens: int = 5, jaccard_threshold: float = 0.12,
+                 n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """The curation flow with EXACT n-gram-Jaccard near-dup removal
+    instead of MinHash-LSH: every stage is deterministic relational
+    algebra, so the WHOLE pipeline is SQL-expressible and
+    oracle-hash-checked end-to-end (`curate` keeps the LSH scale path;
+    this is its verification twin and the right choice when the corpus
+    fits the exact pair join)."""
+    c = F.col(text_col)
+    analyzed = documents.withColumns({
+        "n_tokens": TX.token_count(c),
+        "quality": TX.quality_score(c),
+    })
+    gated = analyzed.where((F.col("quality") >= min_quality)
+                           & (F.col("n_tokens") >= min_tokens))
+    exact = DD.dedup_exact(gated, text_col, id_col)
+    pairs = DD.ngram_jaccard_pairs(exact, n=n,
+                                   threshold=jaccard_threshold,
+                                   text_col=text_col, id_col=id_col)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return exact.join(drop, id_col, "left_anti")
+
+
 def stratified_sample(df: DataFrame, fractions: dict,
                       stratum_col: str = "lang",
                       id_col: str = "doc_id",
