@@ -120,6 +120,22 @@ def test_exact_dedup(docs, duck, spark):
     assert survivors.where(F.col("doc_id") >= 1_000_000).count() == 0
 
 
+def test_curate_exact_pipeline(docs):
+    """Exact-variant curation: output ⊆ input, no exact-dup survivors,
+    and every stage's constraint holds on the output."""
+    from metacat_spark.llm.pipeline import curate_exact
+    from metacat_spark.llm.text import quality_score, token_count
+    out = curate_exact(docs)
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+    checked = out.select(
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("nt"),
+        F.md5("text").alias("h"))
+    assert checked.where("q < 0.3 or nt < 5").count() == 0
+    assert checked.groupBy("h").count().where("count > 1").count() == 0
+
+
 def test_dedup_exact_stream_equals_batch(docs, spark, tmp_path):
     """Streaming-ingest dedup: the streamed survivors carry the same
     distinct content set as batch dedup."""
