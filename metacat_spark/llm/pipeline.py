@@ -80,15 +80,23 @@ def stratified_sample(df: DataFrame, fractions: dict,
     same rows survive on every run and every cluster size. Strata
     absent from ``fractions`` keep ``default``. The adler32 is the
     same portable checksum the `hash` filter mirrors in DuckDB, so the
-    operator is oracle-checkable end-to-end."""
-    from ..filters import adler32_column
+    operator is oracle-checkable end-to-end.
 
-    h = adler32_column(F.col(id_col).cast("string")) % mod
+    Hashing runs as the Arrow-batched ``_adler32_udf`` over a narrow
+    (id, stratum) projection with a semi-join back — the wide rows
+    (document text) never cross the Python boundary, and the
+    higher-order-function formulation (~10× slower, interpreted
+    per-character) stays out of the hot path. Same zlib.adler32 value
+    either way, so the DuckDB oracle is untouched."""
+    from ..filters import _adler32_udf
+
     m = F.create_map(*[F.lit(x) for kv in fractions.items()
                        for x in kv])
     thr = F.coalesce(m[F.col(stratum_col)],
                      F.lit(float(default))) * mod
-    return df.where(h < thr)
+    h = _adler32_udf()(F.col(id_col).cast("string")) % mod
+    keep = df.select(id_col, stratum_col).where(h < thr)
+    return df.join(keep, [id_col, stratum_col], "left_semi")
 
 
 def curation_report(documents: DataFrame, curated: DataFrame,

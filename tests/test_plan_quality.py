@@ -118,6 +118,19 @@ def test_ivf_topk_no_interpreted_hof(spark):
     assert "MapInPandas" in plan or "mapInPandas" in plan
 
 
+def test_stratified_sample_no_interpreted_hof(spark):
+    """The sampling hash must be the Arrow pandas_udf over a narrow
+    projection — no interpreted aggregate(transform(...)) adler32 per
+    row (the round-3 `weak` finding)."""
+    from metacat_spark.llm.pipeline import stratified_sample
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(stratified_sample(docs, {"en": 0.5, "de": 1.0}))
+    assert "aggregate(" not in plan and "transform(" not in plan, \
+        "interpreted HOF adler32 in sampling plan"
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_multimodal_features_is_arrow_batched(spark):
     """Feature extraction must run as ONE Arrow-batched python stage
     (mapInPandas), not row-at-a-time BatchEvalPython."""
