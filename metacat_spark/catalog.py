@@ -40,6 +40,20 @@ class Catalog:
     # reference parameter_categories table (schema.sql:162-176); DML
     # loads validation rules from here. None = DEFAULT_CATEGORIES.
     parameter_categories: Optional[DataFrame] = None
+    # id-uniqueness invariant for the engine's set-algebra id-set fast
+    # path: True/False once known, None = unknown (probe on first use).
+    # The reference holds it by PK construction (schema.sql:45-63); we
+    # record it at warehouse ingest (table property) and maintain it
+    # through DML. ANY assignment to .files resets it to None —
+    # invariant-preserving mutators restore it explicitly, so an ingest
+    # path that forgets can only cause a re-probe, never a wrong
+    # fast-path answer.
+    ids_unique: Optional[bool] = None
+
+    def __setattr__(self, name, value):
+        if name == "files" and "ids_unique" in self.__dict__:
+            object.__setattr__(self, "ids_unique", None)
+        object.__setattr__(self, name, value)
 
     def named_query_source(self, namespace: str, name: str) -> Optional[str]:
         rows = (self.queries_tbl
@@ -133,6 +147,31 @@ def materialize_tables(spark: SparkSession, sf_dir: str,
             shutil.rmtree(f"{loc}/{table}", ignore_errors=True)
             (df.write.bucketBy(buckets, key).sortBy(key)
              .format("parquet").mode("overwrite").saveAsTable(table))
+    # record the id-uniqueness invariant at ingest (one aggregation,
+    # paid once per warehouse build — not on a user's first set-op
+    # query); backfills warehouses built before the property existed
+    _ensure_ids_unique_property(spark, f"mcw_files_{suffix}")
+
+
+_IDS_UNIQUE_PROP = "metacat.ids_unique"
+
+
+def _ids_unique_property(spark: SparkSession, table: str) -> Optional[bool]:
+    """Read the persisted invariant; metadata-only, no Spark job."""
+    props = {r["key"]: r["value"] for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    v = props.get(_IDS_UNIQUE_PROP)
+    return None if v is None else v == "true"
+
+
+def _ensure_ids_unique_property(spark: SparkSession, table: str) -> bool:
+    known = _ids_unique_property(spark, table)
+    if known is None:
+        known = (spark.table(table).groupBy("id").count()
+                 .where(F.col("count") > 1).isEmpty())
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
+                  f"('{_IDS_UNIQUE_PROP}'='{str(known).lower()}')")
+    return known
 
 
 def from_materialized(spark: SparkSession, sf_dir: str) -> Catalog:
@@ -144,6 +183,9 @@ def from_materialized(spark: SparkSession, sf_dir: str) -> Catalog:
     cat.files = spark.table(f"mcw_files_{suffix}")
     cat.files_datasets = spark.table(f"mcw_fd_{suffix}")
     cat.parent_child = spark.table(f"mcw_pc_{suffix}")
+    # invariant recorded at ingest — the engine's set-algebra fast
+    # path needs no first-query probe over the files table
+    cat.ids_unique = _ids_unique_property(spark, f"mcw_files_{suffix}")
     for name in ("files", "files_datasets", "parent_child"):
         getattr(cat, name).createOrReplaceTempView(f"mc_{name}")
     return cat

@@ -131,6 +131,16 @@ class DML:
             if r["monotonic"]:
                 self.monotonic.add((r["namespace"], r["name"]))
 
+    def _set_files(self, df) -> None:
+        """Replace cat.files for a mutation that cannot introduce a
+        duplicate id (point patches never add rows; declare_files
+        enforces the PK before appending): carries the catalog's
+        ids_unique invariant across the assignment, which otherwise
+        auto-invalidates it (Catalog.__setattr__)."""
+        prev = self.cat.ids_unique
+        self.cat.files = _truncate(df)
+        self.cat.ids_unique = prev
+
     # ------------------------------------------------------- validation
     def validate(self, metadata: dict,
                  extra_requirements: Optional[dict] = None) -> None:
@@ -216,7 +226,7 @@ class DML:
                 new = new.withColumn(
                     c, F.lit(None).cast(files.schema[c].dataType))
         new = new.select(*files.columns)
-        self.cat.files = _truncate(files.unionByName(new))
+        self._set_files(files.unionByName(new))
         # provenance edges declared inline (data_handler declare
         # accepts parents per file); FK-checked against the post-append
         # files so intra-batch references resolve
@@ -313,7 +323,7 @@ class DML:
                 raise DMLError(f"file {file_id!r} not found")
             new_meta = json.loads(row["metadata"] or "{}")
             new_meta.update(metadata)
-        self.cat.files = _truncate(_apply_meta_patch(
+        self._set_files(_apply_meta_patch(
             files, self.cat.file_meta, F.col("id") == file_id,
             new_meta))
 
@@ -394,7 +404,7 @@ class DML:
                         "updated_timestamp",
                         F.when(hit, F.current_timestamp())
                          .otherwise(F.col("updated_timestamp"))))
-            self.cat.files = _truncate(files)
+            self._set_files(files)
         if metadata is not None:
             self.update_file_metadata(
                 file_id, metadata, mode="replace" if replace else "update")
@@ -417,7 +427,7 @@ class DML:
                       else F.lit(by))
         retired_ts = (F.lit(None).cast("timestamp") if unretire
                       else F.current_timestamp())
-        self.cat.files = _truncate(
+        self._set_files(
             files.withColumn("retired",
                              F.when(hit, F.lit(not unretire))
                               .otherwise(F.col("retired")))
@@ -435,7 +445,7 @@ class DML:
         membership, which key on id) is untouched."""
         files = self.cat.files
         hit = F.col("id").isin(file_ids)
-        self.cat.files = _truncate(
+        self._set_files(
             files.withColumn("namespace",
                              F.when(hit, F.lit(to_namespace))
                               .otherwise(F.col("namespace")))

@@ -210,15 +210,18 @@ class Engine:
         raise QueryError(f"cannot translate {node!r}")
 
     def _file_ids_unique(self) -> bool:
-        """File-id uniqueness, verified ONCE per catalog and cached on
-        it. One aggregation over the bucketed files table (shuffle-free
-        groupBy on the bucket key); real deployments could assert this
-        by construction at declare time instead."""
-        cached = getattr(self.cat, "_ids_unique", None)
+        """File-id uniqueness for the set-algebra fast path. Known
+        catalogs carry the invariant with them (recorded at warehouse
+        ingest as a table property; maintained by DML, whose declare
+        path enforces the PK and whose patch paths never add rows) —
+        no job runs here. The groupBy probe remains only as a fallback
+        for ad-hoc from_dataframes catalogs, cached until something
+        reassigns cat.files (which auto-invalidates the cache)."""
+        cached = self.cat.ids_unique
         if cached is None:
             cached = (self.cat.files.groupBy("id").count()
                       .where(F.col("count") > 1).isEmpty())
-            self.cat._ids_unique = cached
+            self.cat.ids_unique = cached
         return cached
 
     def _all_bfq(self, node) -> bool:

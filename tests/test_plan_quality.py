@@ -67,6 +67,51 @@ def test_dataset_selector_broadcast(mat_engine):
     assert "BroadcastExchange" in plan
 
 
+def test_ids_unique_invariant_carried_not_probed(spark, mat_engine):
+    """The materialized catalog carries the id-uniqueness invariant
+    from its table property (recorded once at ingest) — a set-op query
+    must NOT run a groupBy-count probe over the whole files table
+    first. Any direct reassignment of cat.files invalidates the flag
+    (round-3 advisor note), so a table swap can only cause a re-probe,
+    never a stale fast-path answer."""
+    cat = mat_engine.cat
+    assert cat.ids_unique is not None  # known before any query runs
+    # the gate only launches the probe job when the flag is unknown —
+    # with it known, the call must not touch the files DataFrame
+    cat_files = cat.__dict__["files"]
+    object.__setattr__(cat, "files", None)  # any probe would crash
+    try:
+        flag = mat_engine._file_ids_unique()
+    finally:
+        object.__setattr__(cat, "files", cat_files)
+    assert flag is cat.ids_unique
+    prev = cat.ids_unique
+    try:
+        cat.files = cat.files
+        assert cat.ids_unique is None
+    finally:
+        cat.ids_unique = prev
+
+
+def test_dml_mutations_preserve_ids_unique(spark):
+    """Invariant-preserving DML (PK-checked declare, point patches)
+    must not drop the flag back to unknown."""
+    from metacat_spark.catalog import from_tpch
+    from metacat_spark.dml import DML
+    cat = from_tpch(spark, SF_DIR)
+    cat.ids_unique = True  # pretend recorded at ingest
+    dml = DML(cat)
+    dml.declare_files([{"id": "plan_q_f1", "namespace": "dune",
+                        "name": "plan_q_f1.dat", "size": 1}])
+    assert cat.ids_unique is True
+    dml.retire_file("plan_q_f1")
+    assert cat.ids_unique is True
+    dml.move_files(["plan_q_f1"], "test")
+    assert cat.ids_unique is True
+    dml.update_file_metadata("plan_q_f1", {"core.run": 7})
+    assert cat.ids_unique is True
+
+
 def test_limit_no_global_sort(mat_engine):
     """ordered limit n must be a TakeOrderedAndProject (top-k), not a
     full global Sort."""
