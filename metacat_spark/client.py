@@ -118,6 +118,39 @@ class MetaCatSparkClient:
         row = files.where(hit).select(*cols).first()
         return None if row is None else self._row_to_dict(row)
 
+    def get_files(self, specs: list[dict], with_metadata: bool = True,
+                  with_provenance: bool = False) -> list[dict]:
+        """Batch lookup (webapi get_files, data_handler.py:1245-1263
+        `files`): each spec carries ``fid`` or ``namespace``+``name``.
+        ONE pruned scan with an OR of two isin filters — never a
+        per-spec query loop; provenance arrives as the same two
+        grouped joins the query projection uses."""
+        from pyspark.sql import functions as F
+        fids = [s["fid"] for s in specs if s.get("fid")]
+        dids = [f"{s['namespace']}:{s['name']}" for s in specs
+                if not s.get("fid") and s.get("namespace")
+                and s.get("name")]
+        files = self.catalog.files
+        hit = F.lit(False)
+        if fids:
+            hit = hit | F.col("id").isin(fids)
+        if dids:
+            hit = hit | F.concat_ws(":", "namespace", "name").isin(dids)
+        cols = ["id", "namespace", "name", "size", "creator",
+                "created_timestamp", "retired", "checksums"]
+        if with_metadata:
+            cols.append("metadata")
+        out = files.where(hit).select(*cols)
+        if with_provenance:
+            pc = self.catalog.parent_child
+            parents = (pc.groupBy(F.col("child_id").alias("id"))
+                       .agg(F.collect_list("parent_id").alias("parents")))
+            children = (pc.groupBy(F.col("parent_id").alias("id"))
+                        .agg(F.collect_list("child_id").alias("children")))
+            out = (out.join(parents, "id", "left")
+                   .join(children, "id", "left"))
+        return [self._row_to_dict(r) for r in out.collect()]
+
     def list_datasets(self, pattern: str = "*:*") -> list[dict]:
         ns, pat = pattern.split(":", 1)
         return self.query(f"datasets matching {ns}:{pat}")

@@ -438,6 +438,36 @@ class DML:
                              F.when(hit, retired_ts)
                               .otherwise(F.col("retired_timestamp"))))
 
+    def delete_file(self, fid: Optional[str] = None,
+                    namespace: Optional[str] = None,
+                    name: Optional[str] = None) -> str:
+        """Hard delete (data_handler.py:1010-1042 `f.delete()`), unlike
+        retire's soft delete: the file row, its membership rows, and
+        every provenance edge touching it go away (the reference's FK
+        ON DELETE CASCADE, schema.sql:67-83). Returns the deleted fid.
+        Point delete: one bucketed-row hit per table."""
+        files = self.cat.files
+        if fid is not None:
+            hit = F.col("id") == fid
+        elif namespace is not None and name is not None:
+            hit = ((F.col("namespace") == namespace)
+                   & (F.col("name") == name))
+        else:
+            raise DMLError("need fid or namespace+name")
+        row = files.where(hit).select("id").first()
+        if row is None:
+            raise DMLError("file not found")
+        fid = row["id"]
+        # row removal cannot introduce a duplicate id
+        self._set_files(files.where(F.col("id") != fid))
+        self.cat.files_datasets = _truncate(
+            self.cat.files_datasets.where(F.col("file_id") != fid))
+        self.cat.parent_child = _truncate(
+            self.cat.parent_child.where(
+                (F.col("parent_id") != fid)
+                & (F.col("child_id") != fid)))
+        return fid
+
     def move_files(self, file_ids: list[str], to_namespace: str,
                    by: str = "admin") -> None:
         """Move files across namespaces (dbobjects2.py:706-736): the
@@ -570,16 +600,24 @@ class DML:
 
     def create_named_query(self, ns: str, name: str, source: str,
                            creator: str = "admin",
-                           description: str = "") -> None:
+                           description: str = "",
+                           update: bool = False) -> None:
         """Save an MQL query under a name (`metacat named_query
         create`, metacat_named_query.py:67-96). The engine inlines it
-        at `query <ns>:<name>` references with cycle detection."""
+        at `query <ns>:<name>` references with cycle detection.
+        ``update=True`` replaces an existing query's source/creator
+        (the reference handler's ?update=yes,
+        data_handler.py:1425-1460); without it a duplicate is a PK
+        error."""
         qt = self.cat.queries_tbl
         existing = qt.where((F.col("namespace") == ns)
                             & (F.col("name") == name)).count()
         if existing:
-            raise AlreadyExists(f"named query {ns}:{name} "
-                                f"already exists")
+            if not update:
+                raise AlreadyExists(f"named query {ns}:{name} "
+                                    f"already exists")
+            qt = qt.where(~((F.col("namespace") == ns)
+                            & (F.col("name") == name)))
         row = self.cat.spark.createDataFrame(
             [(ns, name, source, creator, description)],
             ["namespace", "name", "source", "creator", "description"])

@@ -74,6 +74,7 @@ def make_handler(client: MetaCatSparkClient):
         def _route(self, body: bytes):
             url = urlparse(self.path)
             params = parse_qs(url.query)
+            self._streaming = False
             try:
                 if url.path == "/data/query":
                     return self._query(params, body)
@@ -103,6 +104,32 @@ def make_handler(client: MetaCatSparkClient):
                     return self._remove_files(params, body)
                 if url.path == "/data/update_dataset":
                     return self._update_dataset(params, body)
+                if url.path == "/data/files":
+                    return self._files_batch(params, body)
+                if url.path == "/data/update_file":
+                    return self._update_file(params, body)
+                if url.path == "/data/delete_file":
+                    return self._delete_file(params)
+                if url.path == "/data/move_files":
+                    return self._move_files(params, body)
+                if url.path == "/data/remove_dataset":
+                    return self._remove_dataset(params)
+                if url.path == "/data/add_child_dataset":
+                    return self._add_child_dataset(params)
+                if url.path == "/data/create_namespace":
+                    return self._create_namespace(params)
+                if url.path == "/data/named_queries":
+                    return self._named_queries(params)
+                if url.path == "/data/named_query":
+                    return self._named_query(params)
+                if url.path == "/data/create_named_query":
+                    return self._create_named_query(params, body)
+                if url.path == "/data/search_queries":
+                    return self._search_queries(params, body)
+                if url.path == "/data/categories":
+                    return self._categories()
+                if url.path == "/data/category":
+                    return self._category(params)
                 if url.path == "/data/version":
                     return self._send(200, "application/json",
                                       json.dumps(
@@ -113,6 +140,13 @@ def make_handler(client: MetaCatSparkClient):
             except BrokenPipeError:
                 pass  # client hung up mid-stream
             except Exception as e:  # noqa: BLE001 — reference 400 contract
+                if self._streaming:
+                    # the 200 + json-seq headers are already on the
+                    # wire: emitting a second status line would corrupt
+                    # the frame stream — just drop the connection so
+                    # the client sees truncation, not garbage
+                    self.close_connection = True
+                    return
                 self._send(400, "text/plain",
                            f"{type(e).__name__}: {e}")
 
@@ -176,12 +210,16 @@ def make_handler(client: MetaCatSparkClient):
         def _stream_json_seq(self, it):
             """PRIME the iterator before committing the status line so
             parse/analysis errors still surface as 400 (the generator
-            is lazy; headers sent first would lock in a 200)."""
+            is lazy; headers sent first would lock in a 200). After the
+            headers go out, ``_streaming`` stops _route's handler from
+            writing a second status line into the body on a mid-stream
+            executor failure — it closes the connection instead."""
             sentinel = object()
             first = next(it, sentinel)
             self.send_response(200)
             self.send_header("Content-Type", "application/json-seq")
             self.end_headers()
+            self._streaming = True
             if first is sentinel:
                 return
             self._frame(first)
@@ -371,6 +409,235 @@ def make_handler(client: MetaCatSparkClient):
                     client.catalog.namespaces.collect()]
             self._send(200, "application/json",
                        json.dumps(rows, default=str))
+
+        def _files_batch(self, params: dict, body: bytes):
+            """POST a JSON list of specs ({"fid": ...} or
+            {"namespace": ..., "name": ...}, or "ns:name" / fid
+            strings) — batch record lookup in ONE pruned scan
+            (data_handler.py:1245-1263 `files`)."""
+            specs = json.loads(body.decode("utf-8") or "[]")
+            if not isinstance(specs, list):
+                return self._send(400, "text/plain",
+                                  "body must be a JSON list of specs")
+            norm = []
+            for s in specs:
+                if isinstance(s, str):
+                    if ":" in s:
+                        ns, name = s.split(":", 1)
+                        norm.append({"namespace": ns, "name": name})
+                    else:
+                        norm.append({"fid": s})
+                else:
+                    norm.append(s)
+            rows = client.get_files(
+                norm, with_metadata=_flag(params, "with_metadata"),
+                with_provenance=_flag(params, "with_provenance"))
+            self._send(200, "application/json",
+                       json.dumps(rows, default=str))
+
+        def _update_file(self, params: dict, body: bytes):
+            """POST ?fid=... with {size, checksums, metadata, parents,
+            children, replace} (data_handler.py update_file)."""
+            fid = _one(params, "fid")
+            if not fid:
+                return self._send(400, "text/plain", "fid=… required")
+            opts = json.loads(body.decode("utf-8") or "{}")
+            if not isinstance(opts, dict):
+                return self._send(400, "text/plain",
+                                  "Unsupported request data format")
+            client.update_file(
+                fid, size=opts.get("size"),
+                checksums=opts.get("checksums"),
+                metadata=opts.get("metadata"),
+                parents=opts.get("parents"),
+                children=opts.get("children"),
+                replace=bool(opts.get("replace", False)))
+            self._send(200, "application/json",
+                       json.dumps({"updated": fid}))
+
+        def _delete_file(self, params: dict):
+            """Hard delete by ?fid= or ?did=ns:name
+            (data_handler.py:1010-1042); 404 when absent."""
+            fid, did = _one(params, "fid"), _one(params, "did")
+            from .dml import DMLError
+            try:
+                if fid:
+                    out = client.dml.delete_file(fid=fid)
+                elif did and ":" in did:
+                    ns, name = did.split(":", 1)
+                    out = client.dml.delete_file(namespace=ns,
+                                                 name=name)
+                else:
+                    return self._send(400, "text/plain",
+                                      "fid=… or did=ns:name required")
+            except DMLError as e:
+                if "not found" in str(e):
+                    return self._send(404, "text/plain", str(e))
+                raise
+            self._send(200, "application/json",
+                       json.dumps({"fid": out}))
+
+        def _move_files(self, params: dict, body: bytes):
+            """POST ?namespace=<to_ns> with a JSON list of fids
+            (data_handler.py:885 move_files)."""
+            to_ns = _one(params, "namespace")
+            if not to_ns:
+                return self._send(400, "text/plain",
+                                  "namespace=… required")
+            fids = json.loads(body.decode("utf-8") or "[]")
+            if not isinstance(fids, list) or not fids:
+                return self._send(400, "text/plain",
+                                  "body must be a JSON list of fids")
+            client.dml.move_files(fids, to_ns, by="http")
+            self._send(200, "application/json",
+                       json.dumps({"moved": len(fids),
+                                   "namespace": to_ns}))
+
+        def _remove_dataset(self, params: dict):
+            """POST ?dataset=ns:name — drop the dataset, its
+            membership and subset edges (data_handler.py:549)."""
+            ds = _one(params, "dataset")
+            if not ds or ":" not in ds:
+                return self._send(400, "text/plain",
+                                  "dataset=<namespace>:<name> required")
+            ns, name = ds.split(":", 1)
+            client.dml.remove_dataset(ns, name)
+            self._send(200, "application/json",
+                       json.dumps({"removed": ds}))
+
+        def _add_child_dataset(self, params: dict):
+            """POST ?parent=ns:name&child=ns:name — subset edge
+            (data_handler.py:333 add_child_dataset)."""
+            parent, child = _one(params, "parent"), _one(params, "child")
+            if not parent or ":" not in parent \
+                    or not child or ":" not in child:
+                return self._send(
+                    400, "text/plain",
+                    "parent=ns:name and child=ns:name required")
+            pns, pname = parent.split(":", 1)
+            cns, cname = child.split(":", 1)
+            client.dml.add_subset(pns, pname, cns, cname)
+            self._send(200, "application/json",
+                       json.dumps({"parent": parent, "child": child}))
+
+        def _create_namespace(self, params: dict):
+            """POST ?name=...&owner=... (data_handler.py:119)."""
+            name = _one(params, "name")
+            if not name:
+                return self._send(400, "text/plain", "name=… required")
+            client.dml.create_namespace(
+                name, owner=_one(params, "owner") or "http")
+            self._send(200, "application/json",
+                       json.dumps({"created": name}))
+
+        def _named_queries(self, params: dict):
+            """List named queries, optionally one namespace's
+            (data_handler.py:1413-1418)."""
+            from pyspark.sql import functions as F
+            qt = client.catalog.queries_tbl
+            ns = _one(params, "namespace")
+            if ns:
+                qt = qt.where(F.col("namespace") == ns)
+            rows = [r.asDict() for r in
+                    qt.select("namespace", "name", "source", "creator",
+                              "description").collect()]
+            self._send(200, "application/json",
+                       json.dumps(rows, default=str))
+
+        def _named_query(self, params: dict):
+            """One named-query record by ?namespace=&name= or
+            ?query=ns:name; 404 when absent
+            (data_handler.py:1420-1426)."""
+            from pyspark.sql import functions as F
+            ns, name = _one(params, "namespace"), _one(params, "name")
+            q = _one(params, "query")
+            if q and ":" in q:
+                ns, name = q.split(":", 1)
+            if not ns or not name:
+                return self._send(
+                    400, "text/plain",
+                    "namespace=…&name=… (or query=ns:name) required")
+            row = (client.catalog.queries_tbl
+                   .where((F.col("namespace") == ns)
+                          & (F.col("name") == name))
+                   .select("namespace", "name", "source", "creator",
+                           "description").first())
+            if row is None:
+                return self._send(404, "text/plain",
+                                  f"named query not found: {ns}:{name}")
+            self._send(200, "application/json",
+                       json.dumps(row.asDict(), default=str))
+
+        def _create_named_query(self, params: dict, body: bytes):
+            """POST {namespace, name, source, description?};
+            ?update=yes replaces an existing query, else a duplicate
+            is 409 like the reference (data_handler.py:1428-1460)."""
+            from .dml import AlreadyExists
+            data = json.loads(body.decode("utf-8") or "{}")
+            for k in ("namespace", "name", "source"):
+                if not data.get(k):
+                    return self._send(400, "text/plain",
+                                      f"{k} required in body")
+            try:
+                client.dml.create_named_query(
+                    data["namespace"], data["name"], data["source"],
+                    creator=data.get("creator", "http"),
+                    description=data.get("description", ""),
+                    update=_flag(params, "update"))
+            except AlreadyExists as e:
+                return self._send(409, "text/plain",
+                                  f"{type(e).__name__}: {e}")
+            self._send(200, "application/json", json.dumps(
+                {"namespace": data["namespace"], "name": data["name"],
+                 "source": data["source"]}))
+
+        def _search_queries(self, params: dict, body: bytes):
+            """MQL query-query search (`queries matching ... where
+            ...`) streamed as json-seq with metadata, like the
+            reference (data_handler.py:1381-1411)."""
+            mql = _one(params, "query")
+            if mql is None and body:
+                form = parse_qs(body.decode("utf-8"))
+                mql = (_one(form, "query")
+                       if "query" in form else body.decode("utf-8"))
+            if not mql or not mql.strip():
+                return self._send(200, "application/json", "[]")
+            if not mql.lstrip().startswith("queries"):
+                return self._send(400, "text/plain",
+                                  "Invalid query type")
+            self._stream_json_seq(client.query_iter(
+                mql, with_metadata=True))
+
+        def _categories(self):
+            """All parameter categories (data_handler.py:1463-1469)."""
+            rows = ([r.asDict() for r in
+                     client.catalog.parameter_categories.collect()]
+                    if client.catalog.parameter_categories is not None
+                    else [])
+            for r in rows:
+                if isinstance(r.get("definitions"), str):
+                    r["definitions"] = json.loads(r["definitions"])
+            self._send(200, "application/json",
+                       json.dumps(rows, default=str))
+
+        def _category(self, params: dict):
+            """One category by ?path=; the reference returns JSON null
+            for a miss (data_handler.py:1471-1481)."""
+            from pyspark.sql import functions as F
+            path = _one(params, "path")
+            if not path:
+                return self._send(400, "text/plain",
+                                  "Category path not specified")
+            pc = client.catalog.parameter_categories
+            row = (None if pc is None
+                   else pc.where(F.col("path") == path).first())
+            if row is None:
+                return self._send(200, "application/json", "null")
+            d = row.asDict()
+            if isinstance(d.get("definitions"), str):
+                d["definitions"] = json.loads(d["definitions"])
+            self._send(200, "application/json",
+                       json.dumps(d, default=str))
 
         # ------------------------------------------------------ plumbing
         def _send(self, code: int, ctype: str, text: str):

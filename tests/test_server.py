@@ -289,6 +289,154 @@ def test_write_path_dataset_workflow(served_rw):
     assert e.value.code == 400
 
 
+def test_files_batch_lookup(served):
+    base, client = served
+    some = client.query("files from dune:urgent_0 ordered limit 3")
+    specs = [{"fid": some[0]["id"]},
+             f"{some[1]['namespace']}:{some[1]['name']}",
+             some[2]["id"]]
+    rows = _post(base, "/data/files", specs, with_metadata="yes",
+                 with_provenance="yes")
+    assert {r["id"] for r in rows} == {r["id"] for r in some}
+    assert all(isinstance(r["metadata"], dict) for r in rows)
+    assert all("parents" in r and "children" in r for r in rows)
+    # without metadata the column is absent, like the reference
+    rows = _post(base, "/data/files", [{"fid": some[0]["id"]}])
+    assert rows and "metadata" not in rows[0]
+
+
+def test_update_and_delete_file(served_rw):
+    base, client = served_rw
+    _post(base, "/data/declare_files",
+          [{"id": "http_ud1", "namespace": "test",
+            "name": "http_ud1.data", "size": 1}])
+    out = _post(base, "/data/update_file",
+                {"size": 777, "checksums": {"adler32": "cafef00d"}},
+                fid="http_ud1")
+    assert out == {"updated": "http_ud1"}
+    rec = json.loads(_get(base, "/data/file", fid="http_ud1").read())
+    assert rec["size"] == 777
+    assert rec["checksums"]["adler32"] == "cafef00d"
+
+    out = _post(base, "/data/delete_file", {}, fid="http_ud1")
+    assert out == {"fid": "http_ud1"}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/file", fid="http_ud1")
+    assert e.value.code == 404
+    # deleting again → 404 (reference "File not found")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/data/delete_file", {}, fid="http_ud1")
+    assert e.value.code == 404
+
+
+def test_move_files_endpoint(served_rw):
+    base, client = served_rw
+    _post(base, "/data/declare_files",
+          [{"id": "http_mv1", "namespace": "test",
+            "name": "http_mv1.data", "size": 1}])
+    out = _post(base, "/data/move_files", ["http_mv1"],
+                namespace="dune")
+    assert out == {"moved": 1, "namespace": "dune"}
+    rec = json.loads(_get(base, "/data/file", fid="http_mv1").read())
+    assert rec["namespace"] == "dune"
+
+
+def test_remove_dataset_and_add_child(served_rw):
+    base, client = served_rw
+    _post(base, "/data/create_dataset", {}, dataset="test:http_parent")
+    _post(base, "/data/create_dataset", {}, dataset="test:http_child")
+    out = _post(base, "/data/add_child_dataset", {},
+                parent="test:http_parent", child="test:http_child")
+    assert out == {"parent": "test:http_parent",
+                   "child": "test:http_child"}
+    rows = _json_seq(_get(
+        base, "/data/query",
+        query="datasets test:http_parent with subsets"))
+    assert {r["name"] for r in rows} == {"http_parent", "http_child"}
+
+    out = _post(base, "/data/remove_dataset", {},
+                dataset="test:http_child")
+    assert out == {"removed": "test:http_child"}
+    rows = _json_seq(_get(
+        base, "/data/query",
+        query="datasets test:http_parent with subsets"))
+    assert {r["name"] for r in rows} == {"http_parent"}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/data/remove_dataset", {},
+              dataset="test:http_child")
+    assert e.value.code == 400
+
+
+def test_create_namespace_endpoint(served_rw):
+    base, _ = served_rw
+    out = _post(base, "/data/create_namespace", {},
+                name="http_ns", owner="tester")
+    assert out == {"created": "http_ns"}
+    ns = json.loads(_get(base, "/data/namespaces").read())
+    mine = [r for r in ns if r["name"] == "http_ns"]
+    assert mine and mine[0]["owner_user"] == "tester"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/data/create_namespace", {}, name="http_ns")
+    assert e.value.code == 400
+
+
+def test_named_query_crud_and_search(served_rw):
+    base, client = served_rw
+    body = {"namespace": "test", "name": "http_nq",
+            "source": "files from dune:urgent_0 where core.run > 100",
+            "description": "made over http"}
+    out = _post(base, "/data/create_named_query", body)
+    assert out["name"] == "http_nq"
+    # duplicate without update=yes → 409 like the reference
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/data/create_named_query", body)
+    assert e.value.code == 409
+    # update=yes replaces the source
+    body["source"] = "files from dune:urgent_0 where core.run > 200"
+    _post(base, "/data/create_named_query", body, update="yes")
+    rec = json.loads(_get(base, "/data/named_query",
+                          query="test:http_nq").read())
+    assert rec["source"].endswith("core.run > 200")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/named_query", query="test:no_such_q")
+    assert e.value.code == 404
+
+    rows = json.loads(_get(base, "/data/named_queries",
+                           namespace="test").read())
+    assert "http_nq" in {r["name"] for r in rows}
+    assert all(r["namespace"] == "test" for r in rows)
+
+    # the saved query resolves through the engine
+    got = _json_seq(_get(base, "/data/query",
+                         query="files selected by test:http_nq"))
+    want = client.query("files from dune:urgent_0 "
+                        "where core.run > 200")
+    assert {r["id"] for r in got} == {w["id"] for w in want}
+
+    # query-query search streams json-seq; non-query MQL is rejected
+    resp = _get(base, "/data/search_queries",
+                query="queries matching test:http_*")
+    assert resp.headers["Content-Type"] == "application/json-seq"
+    rows = _json_seq(resp)
+    assert "http_nq" in {r["name"] for r in rows}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/search_queries", query="files from test:all")
+    assert e.value.code == 400
+
+
+def test_categories_endpoints(served):
+    base, _ = served
+    rows = json.loads(_get(base, "/data/categories").read())
+    assert {r["path"] for r in rows} >= {"core", "data"}
+    assert all(isinstance(r["definitions"], dict) for r in rows)
+    one = json.loads(urllib.request.urlopen(
+        f"{base}/data/category?path=core", timeout=600).read())
+    assert one["path"] == "core"
+    missing = json.loads(urllib.request.urlopen(
+        f"{base}/data/category?path=no_such", timeout=600).read())
+    assert missing is None
+
+
 def test_unknown_endpoint_404(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:
