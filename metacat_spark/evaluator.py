@@ -41,6 +41,16 @@ def _not(a: Tri) -> Tri:
     return None if a is None else (not a)
 
 
+def _spark_str(v) -> str:
+    """Render a value the way Spark's CAST(x AS STRING) does, so the
+    row evaluator's like/regex paths agree with the compiled
+    Column.like/rlike paths on non-string metadata (Python str() says
+    'True'; Spark says 'true')."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _cmp_value(v, op: str, const: Const) -> Tri:
     if v is None:
         return None
@@ -64,13 +74,13 @@ def _cmp_value(v, op: str, const: Const) -> Tri:
     c = const.value
     if op in ("~", "~*", "!~", "!~*"):
         flags = re.IGNORECASE if op.endswith("*") else 0
-        m = re.search(str(c), str(v), flags) is not None
+        m = re.search(str(c), _spark_str(v), flags) is not None
         return (not m) if op.startswith("!") else m
     if op == "like":
         # SQL LIKE: full match, % = any run, _ = any single char
         pat = "".join(".*" if ch == "%" else "." if ch == "_"
                       else re.escape(ch) for ch in str(c))
-        return re.fullmatch(pat, str(v)) is not None
+        return re.fullmatch(pat, _spark_str(v)) is not None
     try:
         if op in ("=", "=="):
             return v == c

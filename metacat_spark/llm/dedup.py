@@ -79,7 +79,11 @@ def dedup_exact_stream(spark, src_dir: str, text_col: str = "text",
            .drop("__h"))
     q = (out.writeStream.format("memory").queryName(table)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "dedup_exact_stream did not finish within 120s — refusing "
+            "to return a partially populated memory table")
     return spark.table(table)
 
 

@@ -124,7 +124,11 @@ def streaming_sessions_to_memory(spark: SparkSession, sf_dir: str,
     agg = sessionize_native(stream, gap_minutes)
     q = (agg.writeStream.format("memory").queryName(table)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "streaming job did not finish within 120s — refusing to "
+            "return a partially populated memory table")
     return spark.table(table)
 
 
@@ -170,7 +174,11 @@ def streaming_running_totals_to_memory(spark: SparkSession, sf_dir: str,
     out = running_totals_stateful(stream)
     q = (out.writeStream.format("memory").queryName(table)
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "streaming job did not finish within 120s — refusing to "
+            "return a partially populated memory table")
     return spark.table(table)
 
 
@@ -184,5 +192,9 @@ def streaming_windowed_counts_to_memory(spark: SparkSession, sf_dir: str,
     agg = windowed_counts(stream)
     q = (agg.writeStream.format("memory").queryName(table)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "streaming job did not finish within 120s — refusing to "
+            "return a partially populated memory table")
     return spark.table(table)

@@ -101,6 +101,13 @@ def _atom():
             lambda c: f"{c} in t.s"),
         st.sampled_from(["a%", "%b", "a_", "%", "zz", "q%"]).map(
             lambda p: f't.s like "{p}"'),
+        # like/regex over a NON-string column: the row evaluator must
+        # render values the way Spark casts them (true, not True)
+        st.sampled_from(["tr%", "%e", "fals_", "%a%", "q"]).map(
+            lambda p: f't.b like "{p}"'),
+        st.sampled_from(["^t", "ru", "als", "e$", "q"]).flatmap(
+            lambda p: st.sampled_from(["~", "~*", "!~", "!~*"]).map(
+                lambda op: f't.b {op} "{p}"')),
     )
     return simple
 
