@@ -276,6 +276,12 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
     (every within-bucket pair still scored exactly once per table),
     but the work lands on s(s+1)/2 bounded tasks instead of one
     straggler. Normal buckets take the single-task path untouched.
+
+    Adaptive gating: when the WHOLE table fits within ``bucket_cap``
+    (a parquet-metadata count, no scan), no bucket can exceed the cap,
+    so the bucket-size window + partner explode are skipped outright —
+    at toy scale that removes ~2 stages of pure overhead; at real
+    scale (N >> cap) the sub-split path engages unchanged.
     """
     import numpy as np
     import pandas as pd
@@ -311,19 +317,25 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
     # partner sub-block so each (sub_a, sub_b) group holds exactly the
     # rows its bipartite GEMM needs. nsb == 1 for normal buckets —
     # zero replication.
-    bsz = F.count("*").over(Window.partitionBy("t", "sig"))
-    bk = (bucketed
-          .withColumn("nsb", F.ceil(bsz / bucket_cap).cast("int"))
-          .withColumn("sb", F.pmod(F.xxhash64(F.col("id")
-                                              .cast("string"),
-                                              F.lit(7)),
-                                   F.col("nsb")).cast("int"))
-          .withColumn("p", F.explode(F.sequence(F.lit(0),
-                                                F.col("nsb") - 1)))
-          .withColumn("ba", F.least("sb", "p"))
-          .withColumn("bb", F.greatest("sb", "p")))
-    # each row lands in group (a,b) exactly once: via p=b when sb=a,
-    # via p=a when sb=b, via p=sb on the diagonal — no dedup needed
+    if df.count() <= bucket_cap:
+        # no bucket can exceed the cap — single-task path for every
+        # bucket, no size window, no replication
+        bk = (bucketed.withColumn("sb", F.lit(0))
+              .withColumn("ba", F.lit(0)).withColumn("bb", F.lit(0)))
+    else:
+        bsz = F.count("*").over(Window.partitionBy("t", "sig"))
+        bk = (bucketed
+              .withColumn("nsb", F.ceil(bsz / bucket_cap).cast("int"))
+              .withColumn("sb", F.pmod(F.xxhash64(F.col("id")
+                                                  .cast("string"),
+                                                  F.lit(7)),
+                                       F.col("nsb")).cast("int"))
+              .withColumn("p", F.explode(F.sequence(F.lit(0),
+                                                    F.col("nsb") - 1)))
+              .withColumn("ba", F.least("sb", "p"))
+              .withColumn("bb", F.greatest("sb", "p")))
+        # each row lands in group (a,b) exactly once: via p=b when
+        # sb=a, via p=a when sb=b, via p=sb on the diagonal — no dedup
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id": [], "neighbor_id": [],
