@@ -7,10 +7,14 @@ parquet tables, built from the SAME fixture mapping
 (metacat_spark.fixtures renders one SQL template per table for both
 engines, so the two sides cannot drift).
 
-Entries without an oracle (engine-specific hashing: minhash/simhash/
-xxhash sampling/ANN-LSH, and the order-stateful ``mix`` filter) get
-the driver's weaker rows-only check; their semantics are verified in
-tests/ against exact recomputation instead.
+Operators whose OUTPUT is engine-specific (minhash/simhash/xxhash
+bucketing, ANN-LSH/IVF probing, stream arrival order) expose
+CERTIFICATE entries instead of raw rows: the entry recomputes the
+operator's contract properties in-plan against exact SQL-expressible
+twins (precision/recall vs exact pairs or exact top-k, set
+membership, content-set equality) and the oracle pins the expected
+values — so every one of the 86 entries is hash-checked; none rely
+on the driver's weaker rows-only fallback.
 """
 
 from __future__ import annotations
@@ -91,9 +95,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's CORRECTNESS gate
     checks the FIRST 50 entries, so the cap holds one oracle-backed
-    entry per distinct operator (MQL + LLM-pipeline).  Redundant MQL
-    variants and the rows-only (engine-specific-hash) entries sit past
-    the cap; all of them stay under the repo's own replica gate
+    entry per distinct operator (MQL + LLM-pipeline), including the
+    certificate entries for the engine-hashed operators.  Redundant
+    MQL variants (and the in-cap siblings they were demoted for) sit
+    past the cap; all 86 stay under the repo's own replica gate
     (tests/test_entry_contract.py) regardless of position."""
     q: dict[str, Callable] = {}
 
@@ -150,11 +155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["where_attributes"] = _fq(
         "files from test:all where namespace = dune and size > 50000000 "
         "and creator = alice")
-    # exists "jsonpath" — the last §2 row without a driver oracle
-    # (row 22; the reference's own hook is vestigial, mql10.py:1049)
-    q["where_exists_json"] = _fq(
-        "files from test:all where exists \"$['core.runs'][1]\"")
-
     # --- §2.4 set algebra
     q["set_union"] = _fq(
         "union(files from dune:urgent_0, files from dune:urgent_1, "
@@ -168,8 +168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- §2.5 provenance
     q["parents_of"] = _fq(
         "parents(files from test:all where core.run in 10:50)")
-    q["children_of"] = _fq(
-        "children(files from test:all where core.run in 10:50)")
     q["files_with_subsets_rec"] = _fq(
         "files from mc:flag_n with subsets recursively")
     q["files_from_having"] = _fq(
@@ -185,11 +183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _engine(spark, sf_dir).query("files from test:all",
                                             summary="count")
     q["summary_count"] = summary_count
-
-    def summary_keys(spark, sf_dir):
-        return _engine(spark, sf_dir).query("files from dune:urgent_0",
-                                            summary="keys")
-    q["summary_keys"] = summary_keys
 
     def summary_key_values(spark, sf_dir):
         return _engine(spark, sf_dir).query("files from dune:urgent_0",
@@ -234,10 +227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     q["datasets_pattern"] = _dsq("datasets matching dune:urgent_*")
-    q["datasets_subsets_recursive"] = _dsq(
-        "datasets test:all with subsets recursively")
-    q["dataset_ancestors"] = _dsq(
-        "datasets dune:urgent_0 with ancestors recursively")
 
     def query_query(spark, sf_dir):
         return (_engine(spark, sf_dir)
@@ -248,14 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- §2.8 filters
     q["filter_sample"] = _fq(
         "filter sample(0.25)(files from dune:urgent_0)")
-    q["filter_stride"] = _fq(
-        "filter every_nth(5, 2)(files from dune:urgent_1)")
     q["filter_hash_adler32"] = _fq(
         "filter hash(4, 1)(files from dune:high_0)")
-    q["filter_limit"] = _fq(
-        "filter limit(20)(files from test:all ordered)")
-    q["filter_randomize_setwise"] = _fq(
-        "filter randomize(7)(files from dune:high_1)")
 
     # --- beyond-reference: text analysis
     def _docs(spark, sf_dir):
@@ -360,6 +343,218 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n_events", "total_value")
     q["events_windowed_streaming"] = events_windowed_streaming
 
+    # --- certificate entries: operators whose OUTPUT is engine-specific
+    # (LSH/simhash/xxhash bucketing, stream arrival order) get a
+    # driver-hash-checked CERTIFICATE instead of a rows-only pass: the
+    # entry recomputes the operator's contract properties IN-PLAN
+    # (against exact, SQL-expressible twins) and returns them alongside
+    # SQL-derivable counts; the oracle pins the expected values, so a
+    # property violation is a driver hash MISMATCH, not a silent green.
+    def dedup_minhash(spark, sf_dir):
+        """MinHash-LSH certificate: candidate verification makes
+        precision exactly 1.0 (every reported pair re-checked against
+        exact shingle-set Jaccard, llm/dedup.py:199-266), and banding
+        recall ≥ 0.9 vs the EXACT n-gram-Jaccard pair set computed
+        in-plan on the full shingle space (measured 1.0 at sf0.001 and
+        sf0.01 — every true pair found)."""
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        lsh = DD.minhash_lsh_pairs(docs, n=2, k=32, bands=8,
+                                   threshold=0.5)
+        exact = DD.ngram_jaccard_pairs(docs, n=2, threshold=0.5,
+                                       max_df=None)
+        fp = lsh.join(exact, ["id_a", "id_b", "jaccard"], "left_anti")
+        return (exact.agg(F.count("*").alias("n_exact_pairs"))
+                .crossJoin(lsh.agg(F.count("*").alias("_n_lsh")))
+                .crossJoin(fp.agg(F.count("*").alias("_n_fp")))
+                .select("n_exact_pairs",
+                        (F.col("_n_fp") == 0).alias("precision_ok"),
+                        ((F.col("_n_lsh") - F.col("_n_fp"))
+                         >= 0.9 * F.col("n_exact_pairs"))
+                        .alias("recall_ok")))
+    q["dedup_minhash_lsh"] = dedup_minhash
+
+    def dedup_simhash(spark, sf_dir):
+        """SimHash certificate: (a) every exact-duplicate text pair
+        must surface (identical text ⇒ identical simhash ⇒ same band ⇒
+        hamming 0) — count cross-checked against the SQL dup-pair
+        count; (b) ≥85% of strongly-similar pairs (2-gram Jaccard
+        ≥ 0.5, exact, in-plan) fall within the Hamming cap (measured
+        0.96/0.92); (c) the pair contract holds (id_a < id_b,
+        hamming ≤ cap)."""
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        pairs = DD.simhash_pairs(docs, max_hamming=10)
+        t = docs.select(F.col("doc_id"), "text")
+        dup_found = (pairs
+                     .join(t.select(F.col("doc_id").alias("id_a"),
+                                    F.col("text").alias("_ta")), "id_a")
+                     .join(t.select(F.col("doc_id").alias("id_b"),
+                                    F.col("text").alias("_tb")), "id_b")
+                     .where(F.col("_ta") == F.col("_tb")))
+        exact = DD.ngram_jaccard_pairs(docs, n=2, threshold=0.5,
+                                       max_df=None)
+        captured = exact.join(pairs, ["id_a", "id_b"], "left_semi")
+        bad = pairs.where((F.col("id_a") >= F.col("id_b"))
+                          | (F.col("hamming") > 10)
+                          | (F.col("hamming") < 0))
+        return (dup_found.agg(F.count("*").alias("n_exact_dup_pairs"))
+                .crossJoin(exact.agg(F.count("*").alias("_n_ex")))
+                .crossJoin(captured.agg(F.count("*").alias("_n_cap")))
+                .crossJoin(bad.agg(F.count("*").alias("_n_bad")))
+                .select("n_exact_dup_pairs",
+                        (F.col("_n_cap") >= 0.85 * F.col("_n_ex"))
+                        .alias("highsim_capture_ok"),
+                        (F.col("_n_bad") == 0).alias("pair_contract_ok")))
+    q["dedup_simhash"] = dedup_simhash
+
+    def embed_ann(spark, sf_dir):
+        """ANN-LSH certificate: recall ≥ 0.9 vs the oracle-checked
+        exact GEMM top-k, computed in-plan (hyperplanes are seeded, so
+        the value is deterministic — measured 0.913/0.914)."""
+        from metacat_spark.llm import similarity as SIM
+        embs = _embs(spark, sf_dir)
+        ann = SIM.lsh_bucketed_topk(embs, k=3, n_tables=16,
+                                    planes_per_table=2)
+        exact = SIM.topk_gemm(embs, k=3)
+        hits = exact.select("id", "neighbor_id").join(
+            ann.select("id", "neighbor_id"),
+            ["id", "neighbor_id"], "left_semi")
+        return (exact.agg(F.countDistinct("id").alias("n_queries"),
+                          F.count("*").alias("_n_exact"))
+                .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+                .select("n_queries",
+                        (F.col("_n_hit") >= 0.9 * F.col("_n_exact"))
+                        .alias("recall_ok")))
+    q["embed_topk_ann_lsh"] = embed_ann
+
+    def embed_ivf(spark, sf_dir):
+        """IVF certificate: recall ≥ 0.85 vs exact GEMM top-k with 6
+        of 8 lists probed (measured 0.90 at both SFs — the floor
+        leaves margin below the deterministic value)."""
+        from metacat_spark.llm import similarity as SIM
+        embs = _embs(spark, sf_dir)
+        ivf = SIM.ivf_topk(embs, k=3, n_lists=8, n_probe=6)
+        exact = SIM.topk_gemm(embs, k=3)
+        hits = exact.select("id", "neighbor_id").join(
+            ivf.select("id", "neighbor_id"),
+            ["id", "neighbor_id"], "left_semi")
+        return (exact.agg(F.countDistinct("id").alias("n_queries"),
+                          F.count("*").alias("_n_exact"))
+                .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+                .select("n_queries",
+                        (F.col("_n_hit") >= 0.85 * F.col("_n_exact"))
+                        .alias("recall_ok")))
+    q["embed_topk_ivf"] = embed_ivf
+
+    def curation(spark, sf_dir):
+        """Curation-pipeline certificate (LSH path; the exact twin
+        doc_curation_exact is separately hash-checked end-to-end):
+        survivors ⊆ the exact-dedup of the quality-gated set
+        (partition_ok), and every dropped document is justified by an
+        EXACT n-gram-Jaccard ≥ 0.8 partner recomputed in-plan
+        (drops_justified_ok) — plus the SQL-derivable stage counts."""
+        from metacat_spark.llm import dedup as DD
+        from metacat_spark.llm import pipeline as PL
+        from metacat_spark.llm import text as TX
+        docs = _docs(spark, sf_dir)
+        out = PL.curate(docs, min_quality=0.0, min_tokens=1,
+                        jaccard_threshold=0.8)
+        c = F.col("text")
+        gated = docs.withColumns(
+            {"n_tokens": TX.token_count(c),
+             "quality": TX.quality_score(c)}).where(
+            (F.col("quality") >= 0.0) & (F.col("n_tokens") >= 1))
+        exact = DD.dedup_exact(gated)
+        outside = out.select("doc_id").join(
+            exact.select("doc_id"), "doc_id", "left_anti")
+        dropped = exact.select("doc_id").join(
+            out.select("doc_id"), "doc_id", "left_anti")
+        just = DD.ngram_jaccard_pairs(docs, n=2, threshold=0.8,
+                                      max_df=None)
+        unjust = dropped.join(
+            just.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id", "left_anti")
+        return (gated.agg(F.count("*").alias("n_gated"))
+                .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+                .crossJoin(out.agg(F.count("*").alias("_n_out")))
+                .crossJoin(outside.agg(F.count("*").alias("_n_oob")))
+                .crossJoin(dropped.agg(F.count("*").alias("_n_drop")))
+                .crossJoin(unjust.agg(F.count("*").alias("_n_unj")))
+                .select("n_gated", "n_exact",
+                        ((F.col("_n_oob") == 0)
+                         & (F.col("_n_out") + F.col("_n_drop")
+                            == F.col("n_exact"))).alias("partition_ok"),
+                        (F.col("_n_unj") == 0)
+                        .alias("drops_justified_ok")))
+    q["doc_curation_pipeline"] = curation
+
+    def filter_mix(spark, sf_dir):
+        """mix() certificate: the interleave's SET contract — output
+        ⊆ input union, no duplicate ids — plus the SQL-derivable union
+        size (the ORDER is the engine-specific part the reference
+        itself disclaims, docs/mql.rst:809-830)."""
+        eng = _engine(spark, sf_dir)
+        mix = eng.query("filter mix(2, 1)(files from dune:urgent_0, "
+                        "files from dune:low_0)")
+        uni = (eng.query("files from dune:urgent_0").select("id")
+               .union(eng.query("files from dune:low_0").select("id"))
+               .distinct())
+        oob = mix.select("id").join(uni, "id", "left_anti")
+        return (uni.agg(F.count("*").alias("n_union"))
+                .crossJoin(mix.agg(
+                    F.count("*").alias("_n_out"),
+                    F.countDistinct("id").alias("_n_dist")))
+                .crossJoin(oob.agg(F.count("*").alias("_n_oob")))
+                .select("n_union",
+                        (F.col("_n_oob") == 0).alias("subset_ok"),
+                        (F.col("_n_out") == F.col("_n_dist"))
+                        .alias("distinct_ok")))
+    q["filter_mix"] = filter_mix
+
+    def filter_sample_hash(spark, sf_dir):
+        """sample_hash certificate: the hash-keyed sampler must return
+        a SUBSET of its input at the requested fraction (xxhash64 is
+        engine-specific, so the membership itself has no SQL twin;
+        the deviation |frac−0.2| measured 0.0015/0.0006)."""
+        eng = _engine(spark, sf_dir)
+        full = eng.query("files from test:all")
+        samp = eng.query("filter sample_hash(0.2)(files from test:all)")
+        oob = samp.select("id").join(full.select("id"), "id",
+                                     "left_anti")
+        return (full.agg(F.count("*").alias("n_total"))
+                .crossJoin(samp.agg(F.count("*").alias("_n_out")))
+                .crossJoin(oob.agg(F.count("*").alias("_n_oob")))
+                .select("n_total",
+                        (F.col("_n_oob") == 0).alias("subset_ok"),
+                        (F.abs(F.col("_n_out") / F.col("n_total")
+                               - 0.2) <= 0.01).alias("frac_ok")))
+    q["filter_sample_hash"] = filter_sample_hash
+
+    def dedup_streaming(spark, sf_dir):
+        """Streaming-ingest dedup certificate: the survivor CHOICE is
+        arrival-order-dependent (hence no row oracle), but the
+        CONTENT SET is exact — one survivor per distinct text, and the
+        stream's content set must equal the batch distinct set,
+        compared in-plan."""
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        out = DD.dedup_exact_stream(
+            spark, f"{sf_dir}/documents.parquet",
+            table="dedup_stream_entry")
+        sset = out.select(F.md5("text").alias("h")).distinct()
+        bset = docs.select(F.md5("text").alias("h")).distinct()
+        diff = (sset.join(bset, "h", "left_anti")
+                .union(bset.join(sset, "h", "left_anti")))
+        return (bset.agg(F.count("*").alias("n_distinct"))
+                .crossJoin(out.agg(F.count("*").alias("_n_out")))
+                .crossJoin(diff.agg(F.count("*").alias("_n_diff")))
+                .select("n_distinct",
+                        (F.col("_n_diff") == 0).alias("content_set_ok"),
+                        (F.col("_n_out") == F.col("n_distinct"))
+                        .alias("one_per_content_ok")))
+    q["dedup_exact_streaming"] = dedup_streaming
+
     # ================= past the driver's 50-entry cap =================
     # Redundant variants of in-cap operators, plus rows-only entries
     # (engine-specific hashing / order-stateful semantics — no SQL
@@ -458,17 +653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "lang"))
     q["doc_curation_exact"] = curation_exact
 
-    def dedup_streaming(spark, sf_dir):
-        """Streaming-ingest exact dedup (rows-only: survivor CHOICE
-        within a content group is arrival-order-dependent; the
-        batch≡stream content-set equivalence is asserted in tests)."""
-        from metacat_spark.llm import dedup as DD
-        out = DD.dedup_exact_stream(
-            spark, f"{sf_dir}/documents.parquet",
-            table="dedup_stream_entry")
-        return out.select("doc_id")
-    q["dedup_exact_streaming"] = dedup_streaming  # rows-only
-
     def doc_logprob(spark, sf_dir):
         from metacat_spark.llm import text as TX
         out = TX.unigram_logprob(_docs(spark, sf_dir))
@@ -501,40 +685,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("med_x", 6).alias("med_x"), "max_run")
     q["meta_numeric_stats"] = meta_numeric_stats
 
-    q["filter_mix"] = _fq(
-        "filter mix(2, 1)(files from dune:urgent_0, files from dune:low_0)")
-    q["filter_sample_hash"] = _fq(
-        "filter sample_hash(0.2)(files from test:all)")
+    # entries demoted past the cap to make room for the certificate
+    # entries above (each remains oracle-backed and replica-gate
+    # hash-checked; its in-cap sibling covers the same machinery)
+    q["where_exists_json"] = _fq(
+        "files from test:all where exists \"$['core.runs'][1]\"")
+    q["children_of"] = _fq(
+        "children(files from test:all where core.run in 10:50)")
+    q["datasets_subsets_recursive"] = _dsq(
+        "datasets test:all with subsets recursively")
+    q["dataset_ancestors"] = _dsq(
+        "datasets dune:urgent_0 with ancestors recursively")
 
-    def dedup_minhash(spark, sf_dir):
-        from metacat_spark.llm import dedup as DD
-        return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=32,
-                                    bands=8, threshold=0.5)
-    q["dedup_minhash_lsh"] = dedup_minhash  # rows-only (engine hashing)
+    def summary_keys(spark, sf_dir):
+        return _engine(spark, sf_dir).query("files from dune:urgent_0",
+                                            summary="keys")
+    q["summary_keys"] = summary_keys
 
-    def dedup_simhash(spark, sf_dir):
-        from metacat_spark.llm import dedup as DD
-        return DD.simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
-    q["dedup_simhash"] = dedup_simhash  # rows-only (engine hashing)
-
-    def embed_ann(spark, sf_dir):
-        from metacat_spark.llm import similarity as SIM
-        return SIM.lsh_bucketed_topk(_embs(spark, sf_dir), k=3,
-                                     n_tables=12, planes_per_table=3)
-    q["embed_topk_ann_lsh"] = embed_ann  # rows-only (LSH bucketing)
-
-    def embed_ivf(spark, sf_dir):
-        from metacat_spark.llm import similarity as SIM
-        return SIM.ivf_topk(_embs(spark, sf_dir), k=3, n_lists=8,
-                            n_probe=4)
-    q["embed_topk_ivf"] = embed_ivf  # rows-only (IVF bucketing)
-
-    def curation(spark, sf_dir):
-        from metacat_spark.llm import pipeline as PL
-        return (PL.curate(_docs(spark, sf_dir), min_quality=0.0,
-                          min_tokens=1, jaccard_threshold=0.8)
-                .select("doc_id", "lang", "source"))
-    q["doc_curation_pipeline"] = curation  # rows-only (LSH inside)
+    q["filter_stride"] = _fq(
+        "filter every_nth(5, 2)(files from dune:urgent_1)")
+    q["filter_limit"] = _fq(
+        "filter limit(20)(files from test:all ordered)")
+    q["filter_randomize_setwise"] = _fq(
+        "filter randomize(7)(files from dune:high_1)")
 
     return q
 
@@ -1063,6 +1236,70 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.cluster_id, e.vec_id) = e.vec_id
                  as is_canonical
         from embeddings e left join comp c on c.vid = e.vec_id"""
+
+    # --- certificate-entry oracles: pin the SQL-derivable counts and
+    # the expected property values (true); a violated property on the
+    # Spark side becomes a driver hash MISMATCH, not a silent green
+    _SH2 = """
+        with sh as (
+          select doc_id as id,
+                 list_distinct(case when len(toks) >= 2 then
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, len(toks))]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex as (select id, unnest(s) as shingle from sh),
+        sizes as (select id, count(*) as n from ex group by 1),
+        inter as (
+          select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from ex a join ex b on a.shingle = b.shingle and a.id < b.id
+          group by 1, 2),
+        jp as (
+          select id_a, id_b, n_inter / (sa.n + sb.n - n_inter) as j
+          from inter
+            join sizes sa on sa.id = id_a
+            join sizes sb on sb.id = id_b)"""
+
+    o["dedup_minhash_lsh"] = _SH2 + """
+        select count(*) as n_exact_pairs, true as precision_ok,
+               true as recall_ok
+        from jp where j >= 0.5"""
+
+    o["dedup_simhash"] = """
+        select (select count(*) from documents a join documents b
+                on a.text = b.text and a.doc_id < b.doc_id)
+                 as n_exact_dup_pairs,
+               true as highsim_capture_ok, true as pair_contract_ok"""
+
+    o["embed_topk_ann_lsh"] = """
+        select count(distinct vec_id) as n_queries, true as recall_ok
+        from embeddings"""
+    o["embed_topk_ivf"] = o["embed_topk_ann_lsh"]
+
+    o["doc_curation_pipeline"] = """
+        with g as (
+          select text from documents
+          where len(string_split_regex(text, '\\s+')) >= 1)
+        select (select count(*) from g) as n_gated,
+               (select count(distinct md5(text)) from g) as n_exact,
+               true as partition_ok, true as drops_justified_ok"""
+
+    o["filter_mix"] = _o(f"""
+        select count(distinct id) as n_union, true as subset_ok,
+               true as distinct_ok
+        from files where {active} and ({_member('dune', 'urgent_0')}
+          or {_member('dune', 'low_0')})""")
+
+    o["filter_sample_hash"] = _o(f"""
+        select count(*) as n_total, true as subset_ok, true as frac_ok
+        from files where {active} and {_member('test', 'all')}""")
+
+    o["dedup_exact_streaming"] = """
+        select count(distinct text) as n_distinct,
+               true as content_set_ok, true as one_per_content_ok
+        from documents"""
 
     _tok = ("select doc_id as id, lower(t) as term from ("
             "select doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
