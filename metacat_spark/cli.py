@@ -148,6 +148,12 @@ def main(argv=None):
                    help="save the result as a NEW dataset")
     q.add_argument("-A", "--add-to", default=None, metavar="NS:NAME",
                    help="add the result to an existing dataset")
+    q.add_argument("--after-id", default=None, metavar="ID",
+                   help="id-cursor pagination: return rows with "
+                        "id > ID in id order (scale-safe alternative "
+                        "to MQL skip — no global sort)")
+    q.add_argument("--page", type=int, default=None, metavar="N",
+                   help="page size for --after-id cursor paging")
 
     fgrp = sub.add_parser("file", help="file operations")
     fsub = fgrp.add_subparsers(dest="fcmd", required=True)
@@ -660,7 +666,8 @@ def _cmd_query(engine, dml, args):
                       with_provenance=args.with_provenance,
                       summary=args.summary,
                       include_retired=args.include_retired,
-                      default_namespace=args.namespace)
+                      default_namespace=args.namespace,
+                      after_id=args.after_id, page_size=args.page)
     if args.ids and args.summary is None:
         df = df.select("id")
     elif keys and keys != "all" and args.summary is None:

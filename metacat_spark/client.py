@@ -43,15 +43,20 @@ class MetaCatSparkClient:
               include_retired_files: bool = False,
               namespace: Optional[str] = None,
               save_as: Optional[str] = None,
-              add_to: Optional[str] = None) -> list[dict]:
+              add_to: Optional[str] = None,
+              after_id: Optional[str] = None,
+              page_size: Optional[int] = None) -> list[dict]:
         """Run MQL, return a list of dicts (webapi.py:1238-1294 shape).
         save_as/add_to take "namespace:name" and materialize the result
-        as dataset membership before returning."""
+        as dataset membership before returning. after_id/page_size are
+        the id-cursor pagination surface (no global sort, unlike
+        `skip`)."""
         df = self.engine.query(mql, with_meta=with_metadata,
                                with_provenance=with_provenance,
                                summary=summary,
                                include_retired=include_retired_files,
-                               default_namespace=namespace)
+                               default_namespace=namespace,
+                               after_id=after_id, page_size=page_size)
         if save_as or add_to:
             fs = self.engine.file_set(
                 mql, include_retired=include_retired_files,
@@ -72,7 +77,9 @@ class MetaCatSparkClient:
                                    "with_provenance", False),
                                include_retired=kw.get(
                                    "include_retired_files", False),
-                               default_namespace=kw.get("namespace"))
+                               default_namespace=kw.get("namespace"),
+                               after_id=kw.get("after_id"),
+                               page_size=kw.get("page_size"))
         for r in df.toLocalIterator():
             yield self._row_to_dict(r)
 

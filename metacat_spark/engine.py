@@ -61,11 +61,21 @@ class Engine:
     def query(self, text: str, with_meta: bool = False,
               with_provenance: bool = False, summary: Optional[str] = None,
               include_retired: bool = False,
-              default_namespace: Optional[str] = None) -> DataFrame:
+              default_namespace: Optional[str] = None,
+              after_id: Optional[str] = None,
+              page_size: Optional[int] = None) -> DataFrame:
         """Run an MQL query; returns a lazy DataFrame.
 
         Mirrors the REST /data/query option surface
         (webserver/data_handler.py:1266-1297).
+
+        ``after_id``/``page_size`` are the scale-safe id-cursor
+        pagination surface (docs/SCALING.md): `id > after_id` prunes
+        the id-sorted bucketed scan (min/max row-group skipping) and
+        the page limit compiles to a top-k (TakeOrderedAndProject) —
+        no global Exchange+Sort, unlike MQL `skip n`, which is kept
+        for reference parity. Page through by passing the last row's
+        id back as the next ``after_id``.
         """
         top = parse(text, default_namespace=default_namespace)
         if isinstance(top, FileQuery):
@@ -73,7 +83,14 @@ class Engine:
                                     _named_stack=())
             if summary:
                 return self._summary(df, summary)
-            return self._project_files(df, with_meta, with_provenance)
+            out = self._project_files(df, with_meta, with_provenance)
+            if after_id is not None or page_size is not None:
+                if after_id is not None:
+                    out = out.where(F.col("id") > after_id)
+                out = out.orderBy("id")
+                if page_size is not None:
+                    out = out.limit(int(page_size))
+            return out
         if isinstance(top, DatasetQuery):
             df = self._translate_dataset_query(top)
             cols = ["namespace", "name", "frozen", "monotonic", "creator",

@@ -200,12 +200,16 @@ def make_handler(client: MetaCatSparkClient):
                                   json.dumps(rows, default=str))
 
             # streaming path: one json-seq frame per record as
-            # partitions arrive on the driver
+            # partitions arrive on the driver; after_id/page_size
+            # expose the id-cursor pagination (no global sort)
+            page = _one(params, "page_size")
             self._stream_json_seq(client.query_iter(
                 mql, with_metadata=kw["with_metadata"],
                 with_provenance=kw["with_provenance"],
                 include_retired_files=kw["include_retired_files"],
-                namespace=kw["namespace"]))
+                namespace=kw["namespace"],
+                after_id=_one(params, "after_id"),
+                page_size=int(page) if page else None))
 
         def _stream_json_seq(self, it):
             """PRIME the iterator before committing the status line so
@@ -273,10 +277,13 @@ def make_handler(client: MetaCatSparkClient):
                 return self._send(400, "text/plain",
                                   "dataset=<namespace>:<name> required")
             mql = f"files from {ds}"
+            page = _one(params, "page_size")
             self._stream_json_seq(client.query_iter(
                 mql, with_metadata=_flag(params, "with_metadata"),
                 include_retired_files=_flag(params,
-                                            "include_retired_files")))
+                                            "include_retired_files"),
+                after_id=_one(params, "after_id"),
+                page_size=int(page) if page else None))
 
         def _datasets_for_files(self, params: dict):
             """Reverse membership lookup (data_handler.py:574):

@@ -120,6 +120,40 @@ def test_limit_no_global_sort(mat_engine):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_after_id_cursor_no_global_sort(mat_engine):
+    """Id-cursor pagination (after_id/page_size) must compile to a
+    pruned scan + top-k (TakeOrderedAndProject) — never the global
+    Exchange(rangepartitioning)+Sort that MQL `skip` pays. This is the
+    scale path docs/SCALING.md promises."""
+    df = mat_engine.query("files from test:all",
+                          after_id="f_0100", page_size=100)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # the cursor predicate reaches the parquet scan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThan(id" in ln for ln in pushed)
+
+
+def test_after_id_cursor_pages_reconstruct(mat_engine):
+    """Walking the cursor reconstructs exactly the ordered id list."""
+    want = [r["id"] for r in
+            mat_engine.query("files from dune:urgent_0 ordered")
+            .select("id").collect()]
+    got, cursor = [], None
+    while True:
+        page = [r["id"] for r in
+                mat_engine.query("files from dune:urgent_0",
+                                 after_id=cursor, page_size=250)
+                .select("id").collect()]
+        if not page:
+            break
+        assert page == sorted(page)
+        got.extend(page)
+        cursor = page[-1]
+    assert got == want
+
+
 def test_whole_stage_codegen_for_predicates(mat_engine):
     df = mat_engine.query(
         "files where core.run in 1:100 and core.good = true")

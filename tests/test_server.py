@@ -193,6 +193,27 @@ def test_dataset_files_and_namespaces(served):
     assert e.value.code == 400
 
 
+def test_dataset_files_cursor_paging(served):
+    """after_id/page_size cursor over HTTP: pages are id-ordered,
+    disjoint, and reconstruct the full set."""
+    base, client = served
+    want = sorted(r["id"] for r in
+                  client.query("files from dune:urgent_0"))
+    got, cursor = [], None
+    while True:
+        params = {"dataset": "dune:urgent_0", "page_size": 200}
+        if cursor:
+            params["after_id"] = cursor
+        rows = _json_seq(_get(base, "/data/dataset_files", **params))
+        if not rows:
+            break
+        ids = [r["id"] for r in rows]
+        assert ids == sorted(ids) and len(ids) <= 200
+        got.extend(ids)
+        cursor = ids[-1]
+    assert got == want
+
+
 def test_datasets_for_files(served):
     base, client = served
     some = client.query("files from dune:urgent_0 ordered limit 2")
