@@ -2,14 +2,17 @@
 
 Pattern: an asset table with a `binary` content column and typed
 metadata columns; decode / feature-extraction runs as Arrow-batched
-mapInPandas stages. The image/audio codecs aren't available in this
-container, so the decode kernels are STUBBED behind try-imports with a
-deterministic fallback — the Spark-side plumbing (schema, batching,
-partition layout) is real and tested.
+mapInPandas stages. Two REAL pure-Python decode kernels are wired —
+uncompressed BMP (24/32-bit) and PCM WAV (8/16-bit) — parsed with
+struct/numpy, no codec libraries. Payloads in other containers fall
+back to a deterministic byte-histogram pseudo-feature and are marked
+``decode_ok=false`` (compressed formats need PIL/ffmpeg, absent in
+this container; plug them into ``_decode_image``).
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -51,26 +54,129 @@ def synthesize_assets(documents: DataFrame) -> DataFrame:
     )
 
 
+def decode_bmp(payload: bytes) -> list[float]:
+    """REAL image decode: uncompressed 24/32-bit BMP parsed with
+    struct + numpy (no codec library). 8-dim feature:
+    [width, height, bits-per-pixel, mean_R, mean_G, mean_B (0..1),
+    brightness (0..1), n_pixels]. Raises ValueError on anything that
+    isn't an uncompressed BMP."""
+    import numpy as np
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    dib = struct.unpack_from("<I", payload, 14)[0]
+    if dib < 40:
+        raise ValueError("unsupported DIB header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError("only uncompressed 24/32-bit BMP supported")
+    nrows = abs(h)
+    stride = (w * (bpp // 8) + 3) // 4 * 4
+    need = pix_off + stride * nrows
+    if len(payload) < need:
+        raise ValueError("truncated pixel data")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * nrows,
+                         offset=pix_off).reshape(nrows, stride)
+    px = rows[:, :w * (bpp // 8)].reshape(nrows, w, bpp // 8)
+    # BMP channel order is B, G, R(, A)
+    means = px[:, :, :3].astype(np.float64).mean(axis=(0, 1)) / 255.0
+    return [float(w), float(nrows), float(bpp),
+            round(float(means[2]), 6), round(float(means[1]), 6),
+            round(float(means[0]), 6),
+            round(float(means.mean()), 6), float(w * nrows)]
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """REAL audio decode: PCM WAV (8/16-bit) parsed with struct +
+    numpy. 8-dim feature: [sample_rate, channels, bits, n_frames,
+    duration_s, rms (0..1), peak (0..1), zero-crossing rate]. Raises
+    ValueError on non-PCM or malformed RIFF."""
+    import numpy as np
+    if len(payload) < 44 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos:pos + 4], struct.unpack_from(
+            "<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt)
+    if audio_fmt != 1 or ch < 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM supported")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2",
+                          count=len(data) // 2).astype(np.float64)
+        x /= 32768.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    if x.size == 0:
+        raise ValueError("empty data chunk")
+    n_frames = x.size // ch
+    mono = x[:n_frames * ch].reshape(n_frames, ch).mean(axis=1)
+    zc = (float(np.count_nonzero(np.diff(np.signbit(mono))))
+          / max(n_frames - 1, 1))
+    return [float(rate), float(ch), float(bits), float(n_frames),
+            round(n_frames / rate, 6),
+            round(float(np.sqrt((mono ** 2).mean())), 6),
+            round(float(np.abs(mono).max()), 6), round(zc, 6)]
+
+
 def _decode_image(payload: bytes) -> list[float]:
-    """Stub decode kernel. Real deployments plug PIL/opencv here."""
+    """Compressed-format kernel slot. Real deployments plug
+    PIL/opencv here; this container has no codecs, so reaching this
+    is a decode MISS (the caller falls back and marks
+    decode_ok=false)."""
+    import PIL.Image  # noqa: F401  (not present in this container)
+    raise NotImplementedError("real compressed-image decode not wired")
+
+
+def _byte_histogram(payload: bytes) -> list[float]:
+    """Deterministic pseudo-feature for undecodable payloads: byte
+    histogram over 8 buckets, normalized."""
+    if not payload:
+        return [0.0] * 8
+    hist = [0] * 8
+    for b in payload:
+        hist[b % 8] += 1
+    n = float(len(payload))
+    return [h / n for h in hist]
+
+
+def _decode_any(raw: bytes) -> tuple[list[float], bool]:
+    """Container-sniffing dispatch: real BMP/WAV kernels first, then
+    the pluggable compressed-codec slot, else the histogram fallback
+    with decode_ok=False."""
+    if raw[:2] == b"BM":
+        try:
+            return decode_bmp(raw), True
+        except ValueError:
+            pass
+    if raw[:4] == b"RIFF":
+        try:
+            return decode_wav(raw), True
+        except ValueError:
+            pass
     try:
-        import PIL.Image  # noqa: F401  (not present in this container)
-        raise NotImplementedError("real image decode not wired")
-    except ImportError:
-        # deterministic fake: byte histogram over 8 buckets, normalized
-        if not payload:
-            return [0.0] * 8
-        hist = [0] * 8
-        for b in payload:
-            hist[b % 8] += 1
-        n = float(len(payload))
-        return [h / n for h in hist]
+        return _decode_image(raw), True
+    except (ImportError, NotImplementedError):
+        return _byte_histogram(raw), False
 
 
 def extract_features(assets: DataFrame, batch_size: int = 1024) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column. The
-    mapInPandas shape (schema, batch iteration, per-partition work) is
-    the real production pattern; only the decode kernel is stubbed."""
+    """Arrow-batched feature extraction over the binary column: ONE
+    mapInPandas stage, container-sniffed per payload. BMP/WAV decode
+    for real (pure Python + numpy); other containers yield the
+    deterministic histogram pseudo-feature with decode_ok=false."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,12 +184,9 @@ def extract_features(assets: DataFrame, batch_size: int = 1024) -> DataFrame:
             for payload in pdf["content"]:
                 raw = bytes(payload) if payload is not None else b""
                 nb.append(len(raw))
-                try:
-                    feats.append(_decode_image(raw))
-                    ok.append(True)
-                except NotImplementedError:
-                    feats.append(None)
-                    ok.append(False)
+                f, o = _decode_any(raw)
+                feats.append(f)
+                ok.append(o)
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "modality": pdf["modality"],

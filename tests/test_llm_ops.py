@@ -364,14 +364,97 @@ def test_multimodal_plumbing(docs):
     feats = MM.extract_features(assets)
     rows = feats.collect()
     assert len(rows) == docs.count()
-    assert all(not r["decode_ok"] or len(r["feature"]) == 8 for r in rows)
-    # stub histogram features are normalized
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # text payloads aren't BMP/WAV containers: decode misses, and the
+    # deterministic histogram fallback is normalized
     for r in rows[:20]:
-        if r["decode_ok"]:
-            assert abs(sum(r["feature"]) - 1.0) < 1e-9
+        assert r["decode_ok"] is False
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
     frames = MM.frame_sample_plan(assets, every_ms=500)
     f = frames.limit(10).collect()
     assert all(r["t_ms"] == r["frame_idx"] * 500 for r in f)
+
+
+def _bmp_bytes(w, h, rgb_rows):
+    """Minimal 24-bit uncompressed BMP (bottom-up rows of (r,g,b))."""
+    import struct
+    stride = (w * 3 + 3) // 4 * 4
+    pix = b""
+    for row in reversed(rgb_rows):      # file stores bottom-up
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        pix += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+    return header + dib + pix
+
+
+def _wav_bytes(rate, samples):
+    """Minimal 16-bit mono PCM WAV."""
+    import struct
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_multimodal_real_bmp_wav_decode(spark):
+    """The BMP and WAV kernels decode REAL containers end-to-end
+    through the Arrow mapInPandas stage — pixel means and audio
+    RMS/peak asserted against hand-computed values."""
+    from metacat_spark.llm import multimodal as MM
+
+    # 2x2 image: red, green / blue, white
+    bmp = _bmp_bytes(2, 2, [[(255, 0, 0), (0, 255, 0)],
+                            [(0, 0, 255), (255, 255, 255)]])
+    # 4 samples: 0, half, -half, 0 at 8 kHz
+    wav = _wav_bytes(8000, [0, 16384, -16384, 0])
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), "image/bmp", 2, 2, None),
+         (2, "audio", bytearray(wav), "audio/wav", None, None, 1),
+         (3, "image", bytearray(b"not a container"), None, None, None,
+          None)],
+        MM.ASSET_SCHEMA)
+    rows = {r["asset_id"]: r for r in
+            MM.extract_features(assets).collect()}
+
+    img = rows[1]
+    assert img["decode_ok"] is True
+    w, h, bpp, mr, mg, mb, bright, npx = img["feature"]
+    assert (w, h, bpp, npx) == (2.0, 2.0, 24.0, 4.0)
+    assert abs(mr - 510 / 4 / 255) < 1e-6   # mean R = (255+0+0+255)/4
+    assert abs(mg - 510 / 4 / 255) < 1e-6
+    assert abs(mb - 510 / 4 / 255) < 1e-6
+    assert abs(bright - 0.5) < 1e-6
+
+    aud = rows[2]
+    assert aud["decode_ok"] is True
+    rate, ch, bits, n, dur, rms, peak, zc = aud["feature"]
+    assert (rate, ch, bits, n) == (8000.0, 1.0, 16.0, 4.0)
+    assert abs(dur - 4 / 8000) < 1e-9
+    assert abs(peak - 0.5) < 1e-6
+    assert abs(rms - 0.125 ** 0.5) < 1e-6  # sqrt((0+.25+.25+0)/4)
+
+    assert rows[3]["decode_ok"] is False
+
+
+def test_multimodal_decode_kernels_direct():
+    """Kernel-level contract: malformed containers raise, valid ones
+    round-trip without Spark."""
+    import pytest as _pt
+
+    from metacat_spark.llm import multimodal as MM
+    with _pt.raises(ValueError):
+        MM.decode_bmp(b"BMgarbage")
+    with _pt.raises(ValueError):
+        MM.decode_wav(b"RIFFxxxxWAVE")
+    f = MM.decode_bmp(_bmp_bytes(3, 1, [[(10, 20, 30)] * 3]))
+    assert f[0] == 3.0 and f[1] == 1.0
+    assert abs(f[3] - 10 / 255) < 1e-6 and abs(f[5] - 30 / 255) < 1e-6
+    g = MM.decode_wav(_wav_bytes(16000, [32767] * 16))
+    assert g[0] == 16000.0 and abs(g[6] - 32767 / 32768) < 1e-6
+    assert g[7] == 0.0  # constant signal: no zero crossings
 
 
 # ----------------------------------------------------------- IVF / pipeline
