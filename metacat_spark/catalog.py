@@ -40,6 +40,10 @@ class Catalog:
     # reference parameter_categories table (schema.sql:162-176); DML
     # loads validation rules from here. None = DEFAULT_CATEGORIES.
     parameter_categories: Optional[DataFrame] = None
+    # when set, file predicates resolve through this native
+    # VariantType column instead of shredded columns / JSON-string
+    # fallback (the variant warehouse mode; see materialize_tables)
+    file_variant_column: Optional[str] = None
     # id-uniqueness invariant for the engine's set-algebra id-set fast
     # path: True/False once known, None = unknown (probe on first use).
     # The reference holds it by PK construction (schema.sql:45-63); we
@@ -121,14 +125,20 @@ def from_dataframes(spark: SparkSession, files: DataFrame,
 
 
 def materialize_tables(spark: SparkSession, sf_dir: str,
-                       buckets: int = 32) -> None:
+                       buckets: int = 32, variant: bool = False) -> None:
     """One-time ingest: persist the big fixture tables as bucketed,
     id-sorted parquet tables (files ⋈ files_datasets ⋈ parent_child all
     join on file id). Bucketing co-locates the join keys so membership
     and provenance semi-joins run shuffle-free; sorting gives min/max
     row-group skipping on id point-lookups. This mirrors how a real
     deployment would own its storage (the reference's PostgreSQL heap +
-    indexes, re-expressed as Spark-managed layout)."""
+    indexes, re-expressed as Spark-managed layout).
+
+    ``variant=True`` additionally builds the VARIANT-mode files table:
+    metadata stored as ONE native Spark-4 VariantType column
+    (``metadata_v``) with no shredded m_* columns — the schema-free
+    alternative a deployment with unpredictable metadata keys would
+    pick. Predicate-cost trade-off measured in docs/SCALING.md."""
     cat = from_tpch(spark, sf_dir)
     suffix = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     specs = [
@@ -136,6 +146,11 @@ def materialize_tables(spark: SparkSession, sf_dir: str,
         (cat.files_datasets, f"mcw_fd_{suffix}", "file_id"),
         (cat.parent_child, f"mcw_pc_{suffix}", "child_id"),
     ]
+    if variant:
+        shredded = [mk.column for mk in cat.file_meta.by_key.values()]
+        files_v = (cat.files.drop(*shredded)
+                   .withColumn("metadata_v", F.parse_json("metadata")))
+        specs.append((files_v, f"mcw_files_var_{suffix}", "id"))
     for df, table, key in specs:
         if not spark.catalog.tableExists(table):
             # the default in-memory catalog forgets tables between
@@ -174,13 +189,21 @@ def _ensure_ids_unique_property(spark: SparkSession, table: str) -> bool:
     return known
 
 
-def from_materialized(spark: SparkSession, sf_dir: str) -> Catalog:
+def from_materialized(spark: SparkSession, sf_dir: str,
+                      variant: bool = False) -> Catalog:
     """Catalog over the bucketed warehouse tables (ingest must have
-    run). Small literal tables stay in-memory."""
-    materialize_tables(spark, sf_dir)
+    run). Small literal tables stay in-memory. ``variant=True`` serves
+    file predicates from the native VariantType table (no shredded
+    columns — variant_get paths compile instead)."""
+    materialize_tables(spark, sf_dir, variant=variant)
     cat = from_tpch(spark, sf_dir)
     suffix = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    cat.files = spark.table(f"mcw_files_{suffix}")
+    if variant:
+        cat.files = spark.table(f"mcw_files_var_{suffix}")
+        cat.file_meta = MetaSchema([])
+        cat.file_variant_column = "metadata_v"
+    else:
+        cat.files = spark.table(f"mcw_files_{suffix}")
     cat.files_datasets = spark.table(f"mcw_fd_{suffix}")
     cat.parent_child = spark.table(f"mcw_pc_{suffix}")
     # invariant recorded at ingest — the engine's set-algebra fast

@@ -50,8 +50,15 @@ class Engine:
     def __init__(self, catalog: Catalog):
         self.cat = catalog
         self.spark = catalog.spark
-        self.file_pred = PredicateCompiler(catalog.file_meta,
-                                           FILE_ATTRIBUTES, "metadata")
+        if catalog.file_variant_column:
+            # variant warehouse mode: every metadata predicate compiles
+            # to variant_get over the ONE native VariantType column
+            self.file_pred = PredicateCompiler(
+                catalog.file_meta, FILE_ATTRIBUTES, json_column=None,
+                variant_column=catalog.file_variant_column)
+        else:
+            self.file_pred = PredicateCompiler(catalog.file_meta,
+                                               FILE_ATTRIBUTES, "metadata")
         self.dataset_pred = PredicateCompiler(catalog.dataset_meta,
                                               DATASET_ATTRIBUTES, "metadata")
         self.query_pred = PredicateCompiler(catalog.query_meta,

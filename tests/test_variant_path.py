@@ -50,3 +50,25 @@ def test_variant_matches_shredded(where, engine, variant_engine):
         f"files from test:all where {where}"))
     assert variant == shredded, where
     assert shredded  # non-trivial case
+
+
+def test_variant_warehouse_mode(spark, engine):
+    """The variant=True warehouse build: files persisted with ONE
+    native VariantType column and no shredded m_* columns; the engine
+    compiles predicates through variant_get and matches the shredded
+    warehouse on every case."""
+    from conftest import SF_DIR
+
+    from metacat_spark.catalog import from_materialized
+    from metacat_spark.engine import Engine
+    vcat = from_materialized(spark, SF_DIR, variant=True)
+    assert vcat.file_variant_column == "metadata_v"
+    assert "metadata_v" in vcat.files.columns
+    assert not [c for c in vcat.files.columns if c.startswith("m_")]
+    assert vcat.ids_unique is not None  # invariant rides along
+    veng = Engine(vcat)
+    for where in CASES[:6]:
+        got = ids_of(veng.query(f"files from test:all where {where}"))
+        want = ids_of(engine.query(
+            f"files from test:all where {where}"))
+        assert got == want, where
