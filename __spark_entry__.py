@@ -709,6 +709,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["filter_randomize_setwise"] = _fq(
         "filter randomize(7)(files from dune:high_1)")
 
+    # --- cross-corpus contamination (train/test overlap; round 4)
+    def cross_exact(spark, sf_dir):
+        """Exact contamination: test corpus = every 7th document with
+        a shifted id (constructed overlap — the sf corpora carry no
+        byte-identical cross twins), train = the full corpus; each
+        test doc must resolve to its source through the md5 content
+        join (llm/dedup.py cross_corpus_exact)."""
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        test = (docs.where(F.col("doc_id") % 7 == 0)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        "text"))
+        return DD.cross_corpus_exact(test, docs)
+    q["dedup_cross_corpus"] = cross_exact
+
+    def cross_jaccard(spark, sf_dir):
+        """Near-dup contamination across the doc_id-parity split:
+        exact n-gram-Jaccard pairs restricted to test×train AT the
+        shingle join — within-corpus pairs never reach the pair
+        shuffle (llm/dedup.py cross_corpus_jaccard)."""
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        return DD.cross_corpus_jaccard(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+            n=3, threshold=0.12)
+    q["dedup_cross_jaccard"] = cross_jaccard
+
+    def cross_lsh(spark, sf_dir):
+        """Banded cross-corpus LSH certificate: precision exactly 1.0
+        (candidates exact-verified) and recall ≥ 0.9 vs the exact
+        cross-pair twin computed in-plan (the sf cross pairs all sit
+        at jaccard ≥ 0.9 where a 4-row×8-band collision is
+        near-certain; measured recall 1.0 at both SFs)."""
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        test = docs.where(F.col("doc_id") % 2 == 0)
+        train = docs.where(F.col("doc_id") % 2 == 1)
+        lsh = DD.cross_corpus_lsh(test, train, n=2, k=32, bands=8,
+                                  threshold=0.5)
+        exact = DD.cross_corpus_jaccard(test, train, n=2,
+                                        threshold=0.5, max_df=None)
+        fp = lsh.join(exact, ["test_id", "train_id", "jaccard"],
+                      "left_anti")
+        return (exact.agg(F.count("*").alias("n_exact_pairs"))
+                .crossJoin(lsh.agg(F.count("*").alias("_n_lsh")))
+                .crossJoin(fp.agg(F.count("*").alias("_n_fp")))
+                .select("n_exact_pairs",
+                        (F.col("_n_fp") == 0).alias("precision_ok"),
+                        ((F.col("_n_lsh") - F.col("_n_fp"))
+                         >= 0.9 * F.col("n_exact_pairs"))
+                        .alias("recall_ok")))
+    q["dedup_cross_lsh"] = cross_lsh
+
     return q
 
 
@@ -1096,6 +1150,43 @@ def oracle_sql() -> dict[str, str]:
           join sizes sb on sb.id = id_b
         where n_inter / (sa.n + sb.n - n_inter) >= 0.12"""
 
+    o["dedup_cross_corpus"] = """
+        with test as (select doc_id + 1000000 as doc_id, text
+                      from documents where doc_id % 7 = 0),
+        th as (select md5(text) as h, min(doc_id) as train_id
+               from documents group by 1)
+        select t.doc_id as test_id, th.train_id
+        from test t join th on md5(t.text) = th.h"""
+
+    o["dedup_cross_jaccard"] = """
+        with sh as (
+          select doc_id as id, doc_id % 2 as grp,
+                 list_distinct(case when len(toks) >= 3 then
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex0 as (select id, grp, unnest(s) as shingle from sh),
+        -- stop-shingle cap (max_df=1000) over the UNION shingle
+        -- space, mirroring the engine; sizes on the same space
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1 having count(*) <= 1000)),
+        sizes as (select id, count(*) as n from ex group by 1),
+        inter as (
+          select a.id as test_id, b.id as train_id,
+                 count(*) as n_inter
+          from ex a join ex b
+          on a.shingle = b.shingle and a.grp = 0 and b.grp = 1
+          group by 1, 2)
+        select test_id, train_id,
+               round(n_inter / (sa.n + sb.n - n_inter), 6) as jaccard
+        from inter
+          join sizes sa on sa.id = test_id
+          join sizes sb on sb.id = train_id
+        where n_inter / (sa.n + sb.n - n_inter) >= 0.12"""
+
     o["dedup_clusters"] = """
         with recursive sh as (
           select doc_id as id,
@@ -1263,6 +1354,15 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on sb.id = id_b)"""
 
     o["dedup_minhash_lsh"] = _SH2 + """
+        select count(*) as n_exact_pairs, true as precision_ok,
+               true as recall_ok
+        from jp where j >= 0.5"""
+
+    # cross-corpus LSH certificate: same 2-gram pair space restricted
+    # to even(test) × odd(train) ids
+    o["dedup_cross_lsh"] = _SH2.replace(
+        "and a.id < b.id",
+        "and a.id % 2 = 0 and b.id % 2 = 1") + """
         select count(*) as n_exact_pairs, true as precision_ok,
                true as recall_ok
         from jp where j >= 0.5"""

@@ -109,7 +109,8 @@ def shingles(col, n: int = 3):
 
 
 def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 carry: list[str] | None = None) -> DataFrame:
     """DISTINCT (id, shingle) rows built relationally: posexplode the
     tokens, then window `lead` to assemble n-grams — every expression
     stays in whole-stage codegen (the array/lambda formulation runs
@@ -117,10 +118,15 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
     for the window, reused by the downstream groupBys.
 
     Documents shorter than n tokens contribute their whole text as a
-    single shingle (concat_ws skips the null leads)."""
+    single shingle (concat_ws skips the null leads).
+
+    ``carry`` names extra per-document columns (constant per id, e.g.
+    a corpus tag) to thread through to the output — cheaper than a
+    post-hoc join back onto the exploded rows."""
     from pyspark.sql import Window
+    extra = [F.col(c) for c in (carry or [])]
     tok = (_spread(df)
-           .select(F.col(id_col).alias("id"),
+           .select(F.col(id_col).alias("id"), *extra,
                    F.size(tokens(F.col(text_col))).alias("n_tok"),
                    F.posexplode(tokens(F.col(text_col)))
                    .alias("pos", "w")))
@@ -129,7 +135,8 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
     sh = tok.withColumn("shingle", F.concat_ws(" ", *parts))
     keep = (F.col("pos") + n <= F.col("n_tok")) | \
            ((F.col("n_tok") < n) & (F.col("pos") == 0))
-    return sh.where(keep).select("id", "shingle").distinct()
+    return sh.where(keep).select("id", "shingle",
+                                 *(carry or [])).distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -399,3 +406,140 @@ def near_dup_clusters(documents: DataFrame, pairs: DataFrame,
                     F.coalesce("component", "doc_id").alias("cluster_id"))
             .withColumn("is_canonical",
                         F.col("doc_id") == F.col("cluster_id")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus contamination (train/test overlap)
+#
+# The question a training-data pipeline must answer before every eval:
+# which benchmark/test documents also appear (exactly or nearly) in the
+# training corpus?  Same machinery as within-corpus dedup, but the pair
+# space is restricted to CROSS pairs at candidate generation — a naive
+# "dedup the union, filter after" wastes the dominant cost (within-train
+# pairs) at 100 TB.  Ids must be globally unique across the two corpora.
+# ---------------------------------------------------------------------------
+
+
+def cross_corpus_exact(test_df: DataFrame, train_df: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exactly-contaminated test documents: (test_id, train_id) where
+    the texts are byte-identical; train_id = smallest matching training
+    doc.  The training side is pre-aggregated to one row per distinct
+    content hash, so the join input is |distinct train content|, not
+    |train| — one shuffle on the hash per side, broadcastable when the
+    test corpus is an eval set (thousands of rows vs 100 TB train)."""
+    th = (train_df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+          .agg(F.min(id_col).alias("train_id")))
+    te = test_df.select(F.col(id_col).alias("test_id"),
+                       F.md5(F.col(text_col)).alias("content_hash"))
+    return te.join(th, "content_hash").select("test_id", "train_id")
+
+
+def _tag_union(test_df: DataFrame, train_df: DataFrame,
+               text_col: str, id_col: str) -> DataFrame:
+    cols = [F.col(id_col).alias("id"), F.col(text_col).alias("txt")]
+    return (test_df.select(*cols).withColumn("grp", F.lit(0))
+            .unionByName(train_df.select(*cols)
+                         .withColumn("grp", F.lit(1))))
+
+
+def cross_corpus_jaccard(test_df: DataFrame, train_df: DataFrame,
+                         n: int = 3, threshold: float = 0.5,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         max_df: int | None = 1000) -> DataFrame:
+    """Exact n-gram-Jaccard contamination pairs (test_id, train_id,
+    jaccard >= threshold) via the inverted-index shingle join with the
+    corpus tag threaded through shingle_rows(carry=...), so the join
+    condition a.grp=0 & b.grp=1 prunes within-corpus pairs BEFORE the
+    pair shuffle.  The ``max_df`` stop-shingle cap applies over the
+    UNION shingle space (both intersections and sizes — jaccard stays
+    well-defined on the reduced space), same contract as
+    ngram_jaccard_pairs."""
+    from pyspark.sql import Window
+    u = _tag_union(test_df, train_df, text_col, id_col)
+    ex = shingle_rows(u, n, "txt", "id", carry=["grp"])
+    if max_df is not None:
+        dfreq = F.count("*").over(Window.partitionBy("shingle"))
+        ex = (ex.withColumn("df", dfreq)
+              .where(F.col("df") <= max_df).drop("df"))
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = ex.where(F.col("grp") == 0).alias("a")
+    b = ex.where(F.col("grp") == 1).alias("b")
+    inter = (a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+             .groupBy(F.col("a.id").alias("test_id"),
+                      F.col("b.id").alias("train_id"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("id").alias("test_id"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("train_id"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "test_id").join(sb, "train_id")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("test_id", "train_id", "jaccard"))
+
+
+def cross_corpus_lsh(test_df: DataFrame, train_df: DataFrame,
+                     n: int = 3, k: int = 32, bands: int = 8,
+                     threshold: float = 0.5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Banded-MinHash contamination (the 100-TB path): candidate pairs
+    come from band-signature collisions restricted to test×train at
+    the banded join itself, then exact-Jaccard verified — precision
+    1.0, recall set by the banding, candidate shuffle O(docs × bands).
+    Returns (test_id, train_id, jaccard >= threshold)."""
+    rows = k // bands
+    u = _tag_union(test_df, train_df, text_col, id_col)
+    shr = (shingle_rows(u, n, "txt", "id", carry=["grp"])
+           .localCheckpoint(eager=False))
+    ex0 = shr.withColumn("h", F.pmod(F.xxhash64("shingle"),
+                                     F.lit(POLY_MOD)))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
+            .alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_lcg_params(k))]
+    # grp is constant per id — first() rides the same groupBy as the
+    # signature mins and the set size (one shuffle, one row per doc)
+    sig = (ex0.groupBy("id").agg(F.count("*").alias("n_sh"),
+                                 F.first("grp").alias("grp"), *aggs)
+           .localCheckpoint(eager=False))
+    band_cols = [F.struct(F.lit(bi).alias("band"),
+                          F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}")
+                                             for r in range(rows)])
+                          .alias("sig"))
+                 for bi in range(bands)]
+    exploded = (sig.select("id", "grp",
+                           F.explode(F.array(*band_cols)).alias("bs"))
+                .select("id", "grp", F.col("bs.band").alias("band"),
+                        F.col("bs.sig").alias("sig")))
+    a = exploded.where(F.col("grp") == 0).alias("a")
+    b = exploded.where(F.col("grp") == 1).alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig")))
+            .select(F.col("a.id").alias("test_id"),
+                    F.col("b.id").alias("train_id"))
+            .dropDuplicates(["test_id", "train_id"]))
+    sizes = sig.select("id", "n_sh")
+    inter = (cand
+             .join(shr.select(F.col("id").alias("test_id"),
+                              F.col("shingle").alias("shingle")),
+                   "test_id")
+             .join(shr.select(F.col("id").alias("train_id"),
+                              F.col("shingle").alias("shingle")),
+                   ["train_id", "shingle"])
+             .groupBy("test_id", "train_id")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("id").alias("test_id"),
+                               F.col("n_sh").alias("n_a")), "test_id")
+            .join(sizes.select(F.col("id").alias("train_id"),
+                               F.col("n_sh").alias("n_b")), "train_id")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("test_id", "train_id", "jaccard"))

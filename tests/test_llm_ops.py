@@ -569,3 +569,84 @@ def test_bpe_tokens(spark):
     # spaces is one whitespace token and "world" gets no space prefix
     assert rows[1]["t"] == ["hello", "   ", "world"]
     assert rows[2]["n"] == 0
+
+
+# ------------------------------------------- cross-corpus contamination
+
+def _parity_split(docs):
+    test = docs.where(F.col("doc_id") % 2 == 0)
+    train = docs.where(F.col("doc_id") % 2 == 1)
+    return test, train
+
+
+def test_cross_corpus_exact_vs_duck(docs, duck):
+    """Contaminated test docs = md5 joins across the parity split; the
+    sf corpora have no byte-identical twins across parity, so ALSO
+    check a constructed overlap (test = shifted copy of every 7th doc)
+    where each test doc must resolve to exactly its source."""
+    from metacat_spark.llm import dedup as DD
+    test, train = _parity_split(docs)
+    got = sorted((r["test_id"], r["train_id"]) for r in
+                 DD.cross_corpus_exact(test, train).collect())
+    want = sorted(duck.execute("""
+        select a.doc_id, b.doc_id from documents a join documents b
+        on md5(a.text) = md5(b.text)
+        and a.doc_id % 2 = 0 and b.doc_id % 2 = 1""").fetchall())
+    assert got == want
+    shifted = (docs.where(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       "text"))
+    hits = DD.cross_corpus_exact(shifted, docs).collect()
+    assert hits and all(r["test_id"] == r["train_id"] + 1000000
+                        for r in hits)
+    assert len(hits) == shifted.count()
+
+
+def test_cross_corpus_jaccard_equals_union_filter(docs):
+    """The parity split partitions `documents`, so cross-corpus
+    jaccard == the within-corpus pair join on the full table filtered
+    to even-odd pairs (same shingle space, same df cap)."""
+    from metacat_spark.llm import dedup as DD
+    test, train = _parity_split(docs)
+    got = sorted((r["test_id"], r["train_id"], r["jaccard"]) for r in
+                 DD.cross_corpus_jaccard(test, train, n=3,
+                                         threshold=0.12).collect())
+    allp = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.12).collect()
+    want = sorted(
+        ((r["id_a"], r["id_b"], r["jaccard"]) if r["id_a"] % 2 == 0
+         else (r["id_b"], r["id_a"], r["jaccard"]))
+        for r in allp
+        if (r["id_a"] % 2) != (r["id_b"] % 2))
+    assert got == want and got
+
+
+def test_cross_corpus_lsh_precision_recall(docs):
+    """Banded cross-corpus LSH: exact verification ⇒ precision 1.0 by
+    construction; recall vs the exact cross pairs must be high (the sf
+    corpora's cross pairs all have jaccard ≥ 0.9 at n=2, where a
+    4-row×8-band collision is near-certain)."""
+    from metacat_spark.llm import dedup as DD
+    test, train = _parity_split(docs)
+    exact = {(r["test_id"], r["train_id"]) for r in
+             DD.cross_corpus_jaccard(test, train, n=2,
+                                     threshold=0.5).collect()}
+    lsh = {(r["test_id"], r["train_id"]) for r in
+           DD.cross_corpus_lsh(test, train, n=2, k=32, bands=8,
+                               threshold=0.5).collect()}
+    assert lsh <= exact
+    assert exact, "fixture should contain cross-parity near-dups"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"cross-corpus LSH recall too low: {recall}"
+
+
+def test_shingle_rows_carry(docs):
+    """carry= threads a per-doc constant column through without
+    changing the (id, shingle) set."""
+    from metacat_spark.llm import dedup as DD
+    plain = DD.shingle_rows(docs.limit(40), n=3)
+    tagged = DD.shingle_rows(
+        docs.limit(40).withColumn("grp", F.col("doc_id") % 2),
+        n=3, carry=["grp"])
+    assert sorted((r["id"], r["shingle"]) for r in plain.collect()) == \
+           sorted((r["id"], r["shingle"]) for r in tagged.collect())
+    assert all(r["grp"] == r["id"] % 2 for r in tagged.collect())
