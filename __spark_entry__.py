@@ -429,12 +429,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_topk_ann_lsh"] = embed_ann
 
     def embed_ivf(spark, sf_dir):
-        """IVF certificate: recall ≥ 0.85 vs exact GEMM top-k with 6
-        of 8 lists probed (measured 0.90 at both SFs — the floor
-        leaves margin below the deterministic value)."""
+        """IVF certificate: recall ≥ 0.9 vs exact GEMM top-k with 6 of
+        8 lists probed, centroids refined by 2 distributed
+        spherical-k-means iterations (llm/similarity.py
+        _refine_centroids — measured 0.927/0.929 vs 0.90 untrained;
+        the floor leaves margin under the near-deterministic value)."""
         from metacat_spark.llm import similarity as SIM
         embs = _embs(spark, sf_dir)
-        ivf = SIM.ivf_topk(embs, k=3, n_lists=8, n_probe=6)
+        ivf = SIM.ivf_topk(embs, k=3, n_lists=8, n_probe=6,
+                           train_iters=2)
         exact = SIM.topk_gemm(embs, k=3)
         hits = exact.select("id", "neighbor_id").join(
             ivf.select("id", "neighbor_id"),
@@ -443,7 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.count("*").alias("_n_exact"))
                 .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
                 .select("n_queries",
-                        (F.col("_n_hit") >= 0.85 * F.col("_n_exact"))
+                        (F.col("_n_hit") >= 0.9 * F.col("_n_exact"))
                         .alias("recall_ok")))
     q["embed_topk_ivf"] = embed_ivf
 

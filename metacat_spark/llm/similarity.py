@@ -380,9 +380,71 @@ def lsh_bucketed_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
             .select("id", "neighbor_id", "cosine", "rank"))
 
 
+def _refine_centroids(base: DataFrame, Cn, iters: int):
+    """Spherical k-means (Lloyd) refinement of an IVF centroid matrix,
+    fully distributed. Per iteration:
+
+    1. ONE mapInPandas pass matmuls each Arrow batch's (normalized)
+       vectors against the broadcast centroid matrix and emits
+       per-BATCH partial sums — ≤ n_lists rows of (lst, acc) per
+       batch, the map-side combine done by hand, so the shuffle is
+       O(batches × n_lists), never O(N) assignment rows. The member
+       count rides as an extra trailing element of ``acc`` so sums
+       and counts come out of ONE aggregation (no second pass over
+       the data for a separate count job).
+    2. a posexplode + groupBy(lst, pos) sum — all JVM-side — then a
+       collect of n_lists × (dim+1) scalar cells: the driver payload
+       is bounded by the centroid matrix itself, not the data.
+    3. new centroid = normalized mean of its members' unit vectors;
+       an empty list keeps its previous centroid.
+
+    Returns the refined row-normalized (n_lists × dim) matrix."""
+    import numpy as np
+    import pandas as pd
+
+    n_lists, dim = Cn.shape
+    for _ in range(iters):
+        B = Cn
+
+        def psums(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["vec"]))
+                matn = mat / (np.linalg.norm(mat, axis=1,
+                                             keepdims=True) + 1e-12)
+                a = np.argmax(matn @ B.T, axis=1)
+                ls, accs = [], []
+                for lst in np.unique(a):
+                    sel = matn[a == lst]
+                    ls.append(int(lst))
+                    accs.append(np.concatenate(
+                        [sel.sum(axis=0), [float(len(sel))]]))
+                yield pd.DataFrame({"lst": ls, "acc": accs})
+
+        cells = (base.mapInPandas(psums, "lst int, acc array<double>")
+                 .select("lst", F.posexplode("acc").alias("pos", "v"))
+                 .groupBy("lst", "pos").agg(F.sum("v").alias("s"))
+                 .collect())
+        S = np.zeros((n_lists, dim))
+        cnt = np.zeros(n_lists)
+        for r in cells:
+            if r["pos"] == dim:
+                cnt[r["lst"]] = r["s"]
+            else:
+                S[r["lst"], r["pos"]] = r["s"]
+        newC = Cn.copy()
+        nz = cnt > 0
+        newC[nz] = S[nz] / cnt[nz, None]
+        Cn = newC / (np.linalg.norm(newC, axis=1,
+                                    keepdims=True) + 1e-12)
+    return Cn
+
+
 def ivf_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
              n_probe: int = 4, vec_col: str = "embedding",
-             id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+             id_col: str = "vec_id", seed: int = 42,
+             train_iters: int = 0) -> DataFrame:
     """IVF (inverted-file) approximate top-k:
 
     1. pick n_lists centroids deterministically (hash-sampled rows),
@@ -401,7 +463,13 @@ def ivf_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
 
     At 100 TB the candidate work is per-list (shuffle keyed on list
     id), never O(N²); n_lists scales with data size, n_probe trades
-    recall for cost. Recall measured in tests vs brute force."""
+    recall for cost. Recall measured in tests vs brute force.
+
+    ``train_iters`` > 0 runs that many distributed spherical-k-means
+    Lloyd iterations (_refine_centroids) over the hash-sampled seeds
+    — what a real IVF index build does — tightening the lists so the
+    same n_probe buys more recall. Cost per iteration: one Arrow pass
+    over the vectors + an O(batches × n_lists) shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -414,6 +482,12 @@ def ivf_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
                  .select("vec").collect())
     C = np.array([list(r["vec"]) for r in cent_rows])
     Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    if train_iters:
+        # the training passes re-read `base` — materialize it once so
+        # each Lloyd iteration (and the final assignment) reads the
+        # narrow (id, vec) projection instead of re-running the scan
+        base = base.localCheckpoint(eager=True)
+        Cn = _refine_centroids(base, Cn, train_iters)
     npb = min(n_probe, len(C))
 
     def assign(batches):
