@@ -766,6 +766,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("recall_ok")))
     q["dedup_cross_lsh"] = cross_lsh
 
+    def doc_pack(spark, sf_dir):
+        """Sequence-packing certificate (llm/packing.py): every
+        (doc, chunk) placed exactly once — the chunk count is pinned
+        by SQL and duplicates counted in-plan — no pack exceeds
+        max_tokens, and FFD mean fill ≥ 0.9 (measured 0.98 at
+        max_tokens=512, group_docs=200 on both SFs)."""
+        from metacat_spark.llm.packing import pack_sequences
+        p = pack_sequences(_docs(spark, sf_dir), max_tokens=512,
+                           group_docs=200)
+        fills = p.groupBy("pack_id").agg(F.sum("n_tok").alias("fill"))
+        dup = p.groupBy("doc_id", "chunk").count().where("count > 1")
+        return (p.agg(F.count("*").alias("n_chunks"))
+                .crossJoin(dup.agg(F.count("*").alias("_n_dup")))
+                .crossJoin(fills.agg(
+                    F.max("fill").alias("_mx"),
+                    F.avg(F.col("fill") / 512).alias("_fill")))
+                .select("n_chunks",
+                        (F.col("_n_dup") == 0).alias("exactly_once_ok"),
+                        (F.col("_mx") <= 512).alias("no_overflow_ok"),
+                        (F.col("_fill") >= 0.9).alias("fill_ok")))
+    q["doc_pack_sequences"] = doc_pack
+
+    def doc_pii(spark, sf_dir):
+        """PII scrub (llm/text.py redact_pii): the sf corpora carry no
+        natural PII, so the entry plants a deterministic email+phone
+        per document IN-PLAN (pure function of doc_id) and the oracle
+        replays the same construction + RE2 redaction — full
+        value-hash verification of the pattern set, not just counts."""
+        from metacat_spark.llm import text as TX
+        salted = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" contact u"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@mail.example.com or 555-010-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0")).alias("text"))
+        return salted.select(
+            "doc_id",
+            TX.redact_pii(F.col("text")).alias("redacted"),
+            TX.pii_count(F.col("text")).cast("long").alias("n_pii"))
+    q["doc_pii_redact"] = doc_pii
+
+    def doc_mixture(spark, sf_dir):
+        """Domain-mixture resampling (llm/pipeline.py
+        sample_to_mixture): re-balance to a 60/20/20 en/de/fr recipe
+        with the largest downsample-only corpus — per-stratum counts
+        → closed-form fractions → the deterministic adler32 hash
+        filter. The oracle replays the identical arithmetic in SQL,
+        so fraction derivation AND row selection are value-hashed."""
+        from metacat_spark.llm.pipeline import sample_to_mixture
+        return (sample_to_mixture(_docs(spark, sf_dir),
+                                  {"en": 0.6, "de": 0.2, "fr": 0.2})
+                .select("doc_id", "lang"))
+    q["doc_sample_mixture"] = doc_mixture
+
     return q
 
 
@@ -1376,6 +1431,36 @@ def oracle_sql() -> dict[str, str]:
                  as n_exact_dup_pairs,
                true as highsim_capture_ok, true as pair_contract_ok"""
 
+    # PII redaction: replay the same salting + the same rule list
+    # (RE2 side), full text value-hash compare
+    from metacat_spark.llm.text import PII_RULES
+    _red, _cnt = "text", "0"
+    for _, _pat, _repl in PII_RULES:
+        _lit = _pat.replace("'", "''")
+        _red = f"regexp_replace({_red}, '{_lit}', '{_repl}', 'g')"
+        _cnt += f" + len(regexp_extract_all(text, '{_lit}'))"
+    o["doc_pii_redact"] = f"""
+        with salted as (
+          select doc_id,
+                 concat(text, ' contact u', cast(doc_id as varchar),
+                        '@mail.example.com or 555-010-',
+                        lpad(cast(doc_id % 10000 as varchar), 4, '0'))
+                   as text
+          from documents)
+        select doc_id, {_red} as redacted,
+               cast({_cnt} as bigint) as n_pii
+        from salted"""
+
+    # packing certificate: chunk count = sum of per-doc window counts
+    # under the shared whitespace-tokenizer contract
+    o["doc_pack_sequences"] = """
+        select cast(sum(greatest(1, cast(ceil(
+                 len(string_split_regex(text, '\\s+')) / 512.0)
+                 as int))) as bigint) as n_chunks,
+               true as exactly_once_ok, true as no_overflow_ok,
+               true as fill_ok
+        from documents"""
+
     o["embed_topk_ann_lsh"] = """
         select count(distinct vec_id) as n_queries, true as recall_ok
         from embeddings"""
@@ -1473,6 +1558,22 @@ def oracle_sql() -> dict[str, str]:
         where ({_ad_doc}) % 10000 <
               case lang when 'en' then 0.5 when 'de' then 1.0
                         when 'fr' then 0.25 else 0.0 end * 10000"""
+
+    # mixture resampling: replay the closed-form fraction derivation
+    # (T = min(c/w); f = least(1, T*w/c)) with the same IEEE
+    # operation order as mixture_fractions, then the same hash filter
+    o["doc_sample_mixture"] = f"""
+        with cnt as (select lang, count(*) as c from documents
+                     group by 1),
+        w(lang, wt) as (values ('en', 0.6), ('de', 0.2),
+                        ('fr', 0.2)),
+        t as (select min(c / wt) as T from cnt join w using (lang)),
+        fr as (select cnt.lang,
+                      least(1.0, (select T from t) * wt / c) as f
+               from cnt join w using (lang))
+        select d.doc_id, d.lang from documents d
+          join fr on d.lang = fr.lang
+        where ({_ad_doc}) % 10000 < f * 10000"""
 
     o["meta_numeric_stats"] = _o(
         f"select m_core_data_type as core_data_type, count(*) as n, "

@@ -1,0 +1,110 @@
+"""Sequence packing for LLM pretraining.
+
+Training consumes fixed-length token sequences; feeding one document
+per sequence wastes the tail of every context window. Packing = bin
+the documents into sequences of capacity ``max_tokens`` with minimal
+waste. Global first-fit-decreasing (FFD) is inherently sequential, so
+the distributed form packs within bounded hash groups — the standard
+approximation: when a group's token mass is many multiples of
+``max_tokens``, per-group FFD utilization is within a few percent of
+global (FFD itself guarantees every bin but one is > half full).
+
+Scale shape: the only Python is ONE applyInPandas over (group) keys —
+each task sees ~``group_docs`` (id, n_tok) pairs, never the text; long
+documents are pre-split into window-sized chunks relationally
+(sequence + explode, whole-stage codegen); the shuffle is one hash
+partition on the group key of narrow rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def pack_sequences(df: DataFrame, max_tokens: int = 512,
+                   group_docs: int = 4096,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   seed: int = 42,
+                   n_groups: int | None = None) -> DataFrame:
+    """Assign every document (chunk) to a pack: returns one row per
+    (doc_id, chunk) with columns (doc_id, chunk, n_tok, pack_id).
+
+    - ``chunk``: 0-based index for documents longer than ``max_tokens``,
+      which are split into full windows plus a remainder BEFORE packing
+      (chunking is relational — no Python sees the long tail).
+    - ``pack_id``: "<group>-<bin>" — globally unique, deterministic for
+      a fixed input/seed (FFD over a sorted copy; no RNG).
+    - ``n_tok``: token count of this chunk (whitespace tokens, the same
+      tokenizer contract as llm/text.py).
+
+    ``n_groups`` defaults to ceil(n_docs / group_docs) via one count
+    over the narrow (id, n_tok) projection; pass it explicitly to skip
+    that job when the corpus size is already known (e.g. the catalog's
+    cached nfiles)."""
+    import pandas as pd
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     token_count(F.col(text_col)).cast("int")
+                     .alias("doc_tok"))
+    if n_groups is None:
+        n_docs = base.count()
+        n_groups = max(1, -(-n_docs // group_docs))
+    # long docs -> ceil(doc_tok / max_tokens) window-sized chunks
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.col("doc_tok") / max_tokens).cast("int"))
+    chunks = (base
+              .withColumn("chunk", F.explode(
+                  F.sequence(F.lit(0), n_chunks - 1)))
+              .withColumn("n_tok", F.least(
+                  F.lit(max_tokens),
+                  F.col("doc_tok") - F.col("chunk") * max_tokens))
+              .withColumn("grp", F.pmod(
+                  F.xxhash64(F.col("doc_id").cast("string"),
+                             F.lit(seed)), F.lit(n_groups)))
+              .select("grp", "doc_id", "chunk", "n_tok"))
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["grp"].iloc[0])
+        # deterministic FFD: largest chunk first, ties by (doc, chunk)
+        order = pdf.sort_values(
+            ["n_tok", "doc_id", "chunk"],
+            ascending=[False, True, True]).reset_index(drop=True)
+        bins: list[int] = []          # remaining capacity per bin
+        assign: list[int] = []
+        for t in order["n_tok"]:
+            t = int(t)
+            for i, rem in enumerate(bins):
+                if rem >= t:
+                    bins[i] = rem - t
+                    assign.append(i)
+                    break
+            else:
+                bins.append(max_tokens - t)
+                assign.append(len(bins) - 1)
+        return pd.DataFrame({
+            "doc_id": order["doc_id"],
+            "chunk": order["chunk"],
+            "n_tok": order["n_tok"],
+            "pack_id": [f"{grp}-{i}" for i in assign]})
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return chunks.groupBy("grp").applyInPandas(
+        ffd, f"doc_id {id_t}, chunk int, n_tok int, pack_id string")
+
+
+def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row utilization summary of a pack assignment: pack count,
+    token total, mean fill fraction, and the FFD sanity bound (every
+    bin but one per group > half full ⇒ overall utilization can't
+    collapse). Pure aggregation — usable in-plan by certificates."""
+    per_pack = (packed.groupBy("pack_id")
+                .agg(F.sum("n_tok").alias("fill")))
+    return per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("fill").alias("total_tokens"),
+        F.round(F.avg(F.col("fill") / max_tokens), 6)
+        .alias("mean_fill"),
+        F.max("fill").alias("max_fill"))

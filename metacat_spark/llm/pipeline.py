@@ -99,6 +99,43 @@ def stratified_sample(df: DataFrame, fractions: dict,
     return df.join(keep, [id_col, stratum_col], "left_semi")
 
 
+def mixture_fractions(counts: dict, target: dict) -> dict:
+    """Largest downsample-only fractions realizing a target mixture.
+
+    Given per-stratum counts c_s and target weights w_s, the biggest
+    corpus with exact proportions w_s (never upsampling) has total
+    T = min_s(c_s / w_s); each stratum then keeps T·w_s rows, i.e.
+    fraction T·w_s / c_s. The binding stratum keeps everything.
+    Target strata absent from ``counts`` are ignored (an exact mix
+    containing them is unachievable without upsampling); strata not
+    in ``target`` get no entry (dropped by stratified_sample's
+    default 0.0). Pure arithmetic — replayed verbatim by the SQL
+    oracle, so keep the operation order stable."""
+    present = {s: w for s, w in target.items()
+               if w > 0 and counts.get(s)}
+    if not present:
+        return {}
+    T = min(counts[s] / w for s, w in present.items())
+    return {s: min(1.0, T * w / counts[s]) for s, w in present.items()}
+
+
+def sample_to_mixture(df: DataFrame, target: dict,
+                      stratum_col: str = "lang",
+                      id_col: str = "doc_id",
+                      mod: int = 10000) -> DataFrame:
+    """Re-balance a corpus to target mixture proportions (the domain-
+    weighting step of a pretraining data recipe): one narrow groupBy
+    collects per-stratum counts (#strata rows — the only driver
+    traffic), mixture_fractions turns them into deterministic keep-
+    fractions, and stratified_sample's hash filter applies them with
+    zero additional shuffle. Fully reproducible: same corpus, same
+    target ⇒ same surviving rows on any cluster."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(stratum_col).count().collect()}
+    frac = mixture_fractions(counts, target)
+    return stratified_sample(df, frac, stratum_col, id_col, mod=mod)
+
+
 def curation_report(documents: DataFrame, curated: DataFrame,
                     id_col: str = "doc_id") -> dict:
     n_in = documents.count()

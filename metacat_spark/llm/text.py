@@ -62,6 +62,41 @@ def word_occurrences(col: Column, word: str) -> Column:
     return occurrences_in(tokens(col), word)
 
 
+# PII scrubbing rules: (name, pattern, replacement), applied in order.
+# Patterns deliberately avoid lookaround/backreferences so the SAME
+# source compiles identically under Java regex (Spark executors) and
+# RE2 (the DuckDB oracle) — the cross-engine-portable subset.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{13,16}\b", "<CARD>"),
+    ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_count(col: Column) -> Column:
+    """Total PII matches in the original text (per-rule counts summed;
+    rules are disjoint on well-formed text). Whole-stage codegen —
+    regexp_count is a JVM built-in."""
+    n = F.lit(0)
+    for _, pat, _ in PII_RULES:
+        n = n + F.regexp_count(col, F.lit(pat))
+    return n
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its typed placeholder — the
+    curation scrub stage before training. Chained regexp_replace,
+    all JVM-side; rule order means earlier placeholders are never
+    re-matched by later rules (placeholders contain no digits)."""
+    out = col
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def poly_hash(col: Column) -> Column:
     """Deterministic polynomial rolling hash of a string:
     fold(chars, acc -> (acc*31 + ascii(c)) % (2^31-1)).

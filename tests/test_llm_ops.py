@@ -669,3 +669,136 @@ def test_shingle_rows_carry(docs):
     assert sorted((r["id"], r["shingle"]) for r in plain.collect()) == \
            sorted((r["id"], r["shingle"]) for r in tagged.collect())
     assert all(r["grp"] == r["id"] % 2 for r in tagged.collect())
+
+
+# ------------------------------------------------------ sequence packing
+
+def test_pack_sequences_contract(docs):
+    """Every (doc, chunk) packed exactly once, no pack over capacity,
+    deterministic across runs, and FFD fill stays high (measured 0.98
+    mean at max_tokens=512 / group_docs=200 on the sf corpora)."""
+    from metacat_spark.llm.packing import pack_sequences, packing_stats
+    p = pack_sequences(docs, max_tokens=512, group_docs=200)
+    rows = sorted(map(tuple, p.collect()))
+    assert len(rows) == docs.count()  # no doc exceeds 512 at this sf
+    assert len({(r[0], r[1]) for r in rows}) == len(rows)
+    fills = {}
+    for _, _, t, pid in rows:
+        fills[pid] = fills.get(pid, 0) + t
+    assert max(fills.values()) <= 512
+    stats = packing_stats(p, 512).collect()[0]
+    assert stats["n_packs"] == len(fills)
+    assert stats["mean_fill"] >= 0.9
+    again = sorted(map(tuple,
+                       pack_sequences(docs, max_tokens=512,
+                                      group_docs=200).collect()))
+    assert again == rows
+
+
+def test_pack_sequences_chunks_long_docs(spark):
+    """Documents longer than max_tokens are pre-split into full
+    windows plus a remainder; short docs pack together."""
+    from metacat_spark.llm.packing import pack_sequences
+    data = [(1, " ".join(["w"] * 130)),   # 130 toks -> 50,50,30
+            (2, " ".join(["x"] * 49)),
+            (3, " ".join(["y"] * 1))]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    p = pack_sequences(df, max_tokens=50, group_docs=100, n_groups=1)
+    rows = {(r["doc_id"], r["chunk"]): r["n_tok"] for r in p.collect()}
+    assert rows == {(1, 0): 50, (1, 1): 50, (1, 2): 30,
+                    (2, 0): 49, (3, 0): 1}
+    fills = {}
+    for r in p.collect():
+        fills.setdefault(r["pack_id"], 0)
+        fills[r["pack_id"]] += r["n_tok"]
+    assert max(fills.values()) <= 50
+    # 180 tokens / 50-cap => at least 4 bins; FFD achieves exactly 4
+    # here (50 | 50 | 49+1 | 30)
+    assert len(fills) == 4
+
+
+# --------------------------------------------------------- PII scrubbing
+
+def test_pii_redaction_vs_duck(spark, duck):
+    """Each rule fires on its canonical shape, the redacted text and
+    the match counts agree with the RE2 (DuckDB) compilation of the
+    SAME patterns, and clean text passes through untouched."""
+    from metacat_spark.llm import text as TX
+    data = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "card 4111111111111111 on file"),
+        (4, "call (555) 010-1234 or 555-010-4321"),
+        (5, "host 192.168.0.1 up"),
+        (6, "no pii here at all"),
+        (7, "multi a@b.co 10.0.0.7 222-33-4444"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r["doc_id"]: (r["red"], r["n"]) for r in
+           df.select("doc_id",
+                     TX.redact_pii(F.col("text")).alias("red"),
+                     TX.pii_count(F.col("text")).alias("n"))
+           .collect()}
+    assert got[1] == ("mail <EMAIL> now", 1)
+    assert got[2] == ("ssn <SSN> leaked", 1)
+    assert got[3] == ("card <CARD> on file", 1)
+    assert got[4] == ("call <PHONE> or <PHONE>", 2)
+    assert got[5] == ("host <IP> up", 1)
+    assert got[6] == ("no pii here at all", 0)
+    assert got[7] == ("multi <EMAIL> <IP> <SSN>", 3)
+    duck.execute("create or replace table pii_t(doc_id bigint, "
+                 "text varchar)")
+    duck.executemany("insert into pii_t values (?, ?)", data)
+    red_sql, cnt_sql = "text", "0"
+    for _, pat, repl in TX.PII_RULES:
+        lit = pat.replace("'", "''")
+        red_sql = f"regexp_replace({red_sql}, '{lit}', '{repl}', 'g')"
+        cnt_sql += f" + len(regexp_extract_all(text, '{lit}'))"
+    want = {r[0]: (r[1], r[2]) for r in duck.execute(
+        f"select doc_id, {red_sql}, {cnt_sql} from pii_t").fetchall()}
+    assert got == want
+
+
+# ------------------------------------------------------- mixture sampling
+
+def test_sample_to_mixture(docs):
+    """Downsample-only re-balancing: the binding stratum is kept in
+    full, every surviving stratum lands near T·w (deterministic hash
+    filter ⇒ small fixed deviation, not RNG), non-target strata drop,
+    and the operator is reproducible run-to-run."""
+    from metacat_spark.llm.pipeline import (mixture_fractions,
+                                            sample_to_mixture)
+    target = {"en": 0.6, "de": 0.2, "fr": 0.2}
+    counts_in = {r["lang"]: r["count"] for r in
+                 docs.groupBy("lang").count().collect()}
+    frac = mixture_fractions(counts_in, target)
+    binding = min(target, key=lambda s: counts_in[s] / target[s])
+    assert frac[binding] == 1.0
+    out = sample_to_mixture(docs, target)
+    got = {r["lang"]: r["count"] for r in
+           out.groupBy("lang").count().collect()}
+    assert set(got) <= set(target)
+    assert got[binding] == counts_in[binding]
+    T = counts_in[binding] / target[binding]
+    for s, w in target.items():
+        want = T * w
+        assert abs(got.get(s, 0) - want) <= max(8, 0.15 * want), \
+            f"{s}: got {got.get(s)} want ~{want}"
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               sample_to_mixture(docs, target)
+               .select("doc_id").collect())
+    assert a == b and a
+
+
+def test_mixture_fractions_edge_cases():
+    from metacat_spark.llm.pipeline import mixture_fractions
+    # absent target stratum is ignored, zero weight is ignored
+    f = mixture_fractions({"en": 100}, {"en": 0.5, "xx": 0.5,
+                                        "zz": 0.0})
+    assert f == {"en": 1.0}
+    assert mixture_fractions({"en": 100}, {"xx": 1.0}) == {}
+    # two strata, en binding: T = 200, de keeps 100/300
+    f = mixture_fractions({"en": 100, "de": 300},
+                          {"en": 0.5, "de": 0.5})
+    assert f["en"] == 1.0 and abs(f["de"] - 1 / 3) < 1e-12
