@@ -821,6 +821,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "lang"))
     q["doc_sample_mixture"] = doc_mixture
 
+    def doc_repetition(spark, sf_dir):
+        """Repetition-based quality signals (llm/pipeline.py
+        repetition_scores): per-doc 2-gram occurrence totals,
+        duplicate-occurrence fraction, and top-2-gram token coverage
+        — the Gopher/C4 boilerplate gates, fully relational."""
+        from metacat_spark.llm.pipeline import repetition_scores
+        return repetition_scores(_docs(spark, sf_dir), n=2)
+    q["doc_repetition_scores"] = doc_repetition
+
     return q
 
 
@@ -1430,6 +1439,31 @@ def oracle_sql() -> dict[str, str]:
                 on a.text = b.text and a.doc_id < b.doc_id)
                  as n_exact_dup_pairs,
                true as highsim_capture_ok, true as pair_contract_ok"""
+
+    # repetition signals: occurrence (non-distinct) 2-gram space
+    o["doc_repetition_scores"] = """
+        with sh as (
+          select doc_id as id, len(toks) as n_tok,
+                 case when len(toks) >= 2 then
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, len(toks))]
+                   else [array_to_string(toks, ' ')] end as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex as (select id, n_tok, unnest(s) as shingle from sh),
+        per as (select id, any_value(n_tok) as n_tok, shingle,
+                       count(*) as c
+                from ex group by id, shingle),
+        st as (select id, any_value(n_tok) as n_tok,
+                      sum(c) as n_ngrams, count(*) as n_distinct,
+                      max(c) as max_c
+               from per group by id)
+        select id as doc_id, cast(n_ngrams as bigint) as n_ngrams,
+               round(1 - n_distinct / n_ngrams, 6) as dup_ngram_frac,
+               round(least(1.0, max_c * 2 / n_tok), 6)
+                 as top_ngram_frac
+        from st"""
 
     # PII redaction: replay the same salting + the same rule list
     # (RE2 side), full text value-hash compare

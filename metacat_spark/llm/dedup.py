@@ -110,7 +110,8 @@ def shingles(col, n: int = 3):
 
 def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id",
-                 carry: list[str] | None = None) -> DataFrame:
+                 carry: list[str] | None = None,
+                 distinct: bool = True) -> DataFrame:
     """DISTINCT (id, shingle) rows built relationally: posexplode the
     tokens, then window `lead` to assemble n-grams — every expression
     stays in whole-stage codegen (the array/lambda formulation runs
@@ -122,7 +123,9 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
 
     ``carry`` names extra per-document columns (constant per id, e.g.
     a corpus tag) to thread through to the output — cheaper than a
-    post-hoc join back onto the exploded rows."""
+    post-hoc join back onto the exploded rows.  ``distinct=False``
+    keeps one row per n-gram OCCURRENCE (repetition statistics need
+    multiplicity; set semantics are the dedup default)."""
     from pyspark.sql import Window
     extra = [F.col(c) for c in (carry or [])]
     tok = (_spread(df)
@@ -135,8 +138,8 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
     sh = tok.withColumn("shingle", F.concat_ws(" ", *parts))
     keep = (F.col("pos") + n <= F.col("n_tok")) | \
            ((F.col("n_tok") < n) & (F.col("pos") == 0))
-    return sh.where(keep).select("id", "shingle",
-                                 *(carry or [])).distinct()
+    out = sh.where(keep).select("id", "shingle", *(carry or []))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,

@@ -136,6 +136,45 @@ def sample_to_mixture(df: DataFrame, target: dict,
     return stratified_sample(df, frac, stratum_col, id_col, mod=mod)
 
 
+def repetition_scores(df: DataFrame, n: int = 2,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 family of
+    rules): per document,
+
+    - ``n_ngrams``      — total n-gram occurrences,
+    - ``dup_ngram_frac``— fraction of occurrences that are repeats
+                          (1 − distinct/total),
+    - ``top_ngram_frac``— fraction of tokens covered by the single
+                          most frequent n-gram (count·n / n_tokens,
+                          capped at 1).
+
+    High values mark boilerplate/spam for a curation gate. Shape:
+    occurrence rows from the codegen shingle builder
+    (shingle_rows(distinct=False)), ONE groupBy (id, shingle) with
+    map-side combine, then a groupBy(id) rollup — two narrow
+    shuffles, no Python."""
+    occ = DD.shingle_rows(df, n, text_col, id_col, distinct=False)
+    per = (occ.groupBy("id", "shingle")
+           .agg(F.count("*").alias("c")))
+    stats = (per.groupBy("id")
+             .agg(F.sum("c").alias("n_ngrams"),
+                  F.count("*").alias("n_distinct"),
+                  F.max("c").alias("max_c")))
+    ntok = df.select(F.col(id_col).alias("id"),
+                     TX.token_count(F.col(text_col)).alias("n_tok"))
+    return (stats.join(ntok, "id")
+            .select(F.col("id").alias(id_col),
+                    "n_ngrams",
+                    F.round(1 - F.col("n_distinct")
+                            / F.col("n_ngrams"), 6)
+                    .alias("dup_ngram_frac"),
+                    F.round(F.least(
+                        F.lit(1.0),
+                        F.col("max_c") * n / F.col("n_tok")), 6)
+                    .alias("top_ngram_frac")))
+
+
 def curation_report(documents: DataFrame, curated: DataFrame,
                     id_col: str = "doc_id") -> dict:
     n_in = documents.count()

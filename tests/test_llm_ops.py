@@ -802,3 +802,53 @@ def test_mixture_fractions_edge_cases():
     f = mixture_fractions({"en": 100, "de": 300},
                           {"en": 0.5, "de": 0.5})
     assert f["en"] == 1.0 and abs(f["de"] - 1 / 3) < 1e-12
+
+
+# ---------------------------------------------------- repetition signals
+
+def test_repetition_scores_vs_duck(docs, duck):
+    """Gopher-style repetition stats agree with a DuckDB replay on the
+    occurrence (non-distinct) 2-gram space."""
+    from metacat_spark.llm.pipeline import repetition_scores
+    got = {r["doc_id"]: (r["n_ngrams"], r["dup_ngram_frac"],
+                         r["top_ngram_frac"])
+           for r in repetition_scores(docs, n=2).collect()}
+    want = {r[0]: (r[1], r[2], r[3]) for r in duck.execute("""
+        with sh as (
+          select doc_id as id, len(toks) as n_tok,
+                 case when len(toks) >= 2 then
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, len(toks))]
+                   else [array_to_string(toks, ' ')] end as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex as (select id, n_tok, unnest(s) as shingle from sh),
+        per as (select id, any_value(n_tok) as n_tok, shingle,
+                       count(*) as c
+                from ex group by id, shingle),
+        st as (select id, any_value(n_tok) as n_tok,
+                      sum(c) as n_ngrams, count(*) as n_distinct,
+                      max(c) as max_c
+               from per group by id)
+        select id, cast(n_ngrams as bigint),
+               round(1 - n_distinct / n_ngrams, 6),
+               round(least(1.0, max_c * 2 / n_tok), 6)
+        from st""").fetchall()}
+    assert got == want and got
+    # word-salad corpora repeat 2-grams: the signal is non-degenerate
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_repetition_scores_boilerplate(spark):
+    """A pathologically repetitive doc scores near 1 on both signals;
+    an all-distinct doc scores 0 duplication."""
+    from metacat_spark.llm.pipeline import repetition_scores
+    df = spark.createDataFrame(
+        [(1, ("spam ham " * 50).strip()), (2, "a b c d e f g h")],
+        "doc_id long, text string")
+    r = {x["doc_id"]: x for x in repetition_scores(df, n=2).collect()}
+    assert r[1]["dup_ngram_frac"] > 0.97
+    assert r[1]["top_ngram_frac"] == 1.0
+    assert r[2]["dup_ngram_frac"] == 0.0
+    assert r[2]["top_ngram_frac"] < 0.3
