@@ -219,3 +219,58 @@ def test_multimodal_features_is_arrow_batched(spark):
     plan = plan_of(extract_features(synthesize_assets(docs)))
     assert "MapInPandas" in plan or "mapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_single_python_stage(spark):
+    """Packing's only Python is the per-group FFD (one
+    FlatMapGroupsInPandas over narrow rows); chunk splitting must be
+    relational (sequence+explode in codegen) and no row-at-a-time
+    Python may appear."""
+    from metacat_spark.llm.packing import pack_sequences
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(pack_sequences(docs, max_tokens=512,
+                                  group_docs=200))
+    # tree lines read "FlatMapGroupsInPandas (n)"; the detail section
+    # repeats the operator as "(n) FlatMapGroupsInPandas" — count the
+    # tree form to count STAGES
+    assert plan.count("FlatMapGroupsInPandas (") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Generate" in plan  # relational chunk explode
+
+
+def test_cross_corpus_lsh_no_cartesian(spark):
+    """The banded cross-corpus candidate join must stay a key-equi
+    join on (band, sig) — never a cartesian/nested-loop — and carry
+    no Python stage at all."""
+    from metacat_spark.llm.dedup import cross_corpus_lsh
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    test = docs.where("doc_id % 2 = 0")
+    train = docs.where("doc_id % 2 = 1")
+    plan = plan_of(cross_corpus_lsh(test, train, n=2, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_repetition_scores_all_jvm(spark):
+    """Repetition signals are pure relational aggregation — no Python
+    stage, codegen throughout."""
+    from metacat_spark.llm.pipeline import repetition_scores
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(repetition_scores(docs, n=2))
+    # (AQE wraps the join plan, so codegen ids aren't printed until
+    # execution — Python-freedom is the scale claim here)
+    assert "EvalPython" not in plan
+
+
+def test_pii_redaction_all_jvm(spark):
+    """The scrub projection (5 chained regexp_replace + counts) must
+    compile to one codegen projection — no Python."""
+    from metacat_spark.llm.text import pii_count, redact_pii
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = docs.select(redact_pii(F.col("text")).alias("r"),
+                     pii_count(F.col("text")).alias("n"))
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    assert "codegen id" in plan
