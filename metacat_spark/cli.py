@@ -11,6 +11,8 @@ metacat_namespace.py, metacat_named_query.py).
         add-files|remove-files|add-subset|remove) ...
     python -m metacat_spark.cli namespace (list|show|create) ...
     python -m metacat_spark.cli named-query (list|show|create|search) ...
+    python -m metacat_spark.cli corpus (analyze|quality|dedup|
+        contamination|pack|redact|mixture|ann) ...   # beyond-reference
 
 The reference CLI talks to a resident metacat server; the equivalent
 here is a resident engine — sessions are cached per sf-dir at module
@@ -112,6 +114,75 @@ def _id_list(s):
     if s.strip() == "-":
         return []
     return [x.strip() for x in s.split(",") if x.strip()]
+
+
+def _cmd_corpus(args) -> int:
+    """Dispatch the `corpus` group: build the operator's DataFrame
+    lazily, then either write parquet (-o) or print a bounded head —
+    the same consumption contract as the query surface."""
+    from .session import get_spark
+    spark = get_spark()
+    tbl = "embeddings" if args.ccmd == "ann" else "documents"
+    src = args.input or f"{args.sf_dir}/{tbl}.parquet"
+    df = spark.read.parquet(src)
+
+    if args.ccmd == "analyze":
+        from .llm.text import analyze
+        out = analyze(df)
+    elif args.ccmd == "quality":
+        from .llm.pipeline import repetition_scores
+        from .llm.text import quality_score
+        out = (df.select("doc_id",
+                         quality_score(F.col("text")).alias("quality"))
+               .join(repetition_scores(df), "doc_id"))
+    elif args.ccmd == "dedup":
+        from .llm import dedup as DD
+        if args.method == "exact":
+            out = DD.dedup_exact(df)
+        elif args.method == "minhash":
+            out = DD.minhash_lsh_pairs(df, threshold=args.threshold)
+        else:
+            out = DD.ngram_jaccard_pairs(df, threshold=args.threshold)
+    elif args.ccmd == "contamination":
+        from .llm import dedup as DD
+        test = spark.read.parquet(args.test)
+        fn = {"exact": DD.cross_corpus_exact,
+              "jaccard": DD.cross_corpus_jaccard,
+              "lsh": DD.cross_corpus_lsh}[args.method]
+        out = (fn(test, df) if args.method == "exact"
+               else fn(test, df, threshold=args.threshold))
+    elif args.ccmd == "pack":
+        from .llm.packing import pack_sequences
+        out = pack_sequences(df, max_tokens=args.max_tokens)
+    elif args.ccmd == "redact":
+        from .llm.text import pii_count, redact_pii
+        out = df.select("doc_id",
+                        redact_pii(F.col("text")).alias("text"),
+                        pii_count(F.col("text")).alias("n_pii"))
+    elif args.ccmd == "mixture":
+        from .llm.pipeline import sample_to_mixture
+        target = {}
+        for part in args.target.split(","):
+            k, _, v = part.partition("=")
+            target[k.strip()] = float(v)
+        out = sample_to_mixture(df, target,
+                                stratum_col=args.stratum_col)
+    else:  # ann
+        from .llm import similarity as SIM
+        if args.method == "gemm":
+            out = SIM.topk_gemm(df, k=args.k)
+        elif args.method == "lsh":
+            out = SIM.lsh_bucketed_topk(df, k=args.k)
+        else:
+            out = SIM.ivf_topk(df, k=args.k, train_iters=2)
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"# wrote {n} rows to {args.output}", file=sys.stderr)
+        return 0
+    _print_rows(out, args.json, args.limit)
+    return 0
 
 
 def main(argv=None):
@@ -351,6 +422,61 @@ def main(argv=None):
     qse.add_argument("text", help="substring of the query source")
     _add_sf_dir(qse)
 
+    cg = sub.add_parser(
+        "corpus",
+        help="training-corpus operators (beyond-reference: quality, "
+             "dedup, contamination, packing, PII scrub, mixture, ANN)")
+    cs = cg.add_subparsers(dest="ccmd", required=True)
+
+    def _corpus_common(sp, embeddings=False):
+        _add_sf_dir(sp)
+        default_tbl = "embeddings" if embeddings else "documents"
+        sp.add_argument("--input", default=None,
+                        help=f"parquet path (default: "
+                             f"<sf-dir>/{default_tbl}.parquet)")
+        sp.add_argument("-o", "--output", default=None,
+                        help="write result parquet here instead of "
+                             "printing")
+        sp.add_argument("-l", "--limit", type=int, default=20,
+                        help="print at most N rows (ignored with -o)")
+
+    ca = cs.add_parser("analyze", help="per-doc text analysis "
+                       "(tokens, quality, language, fingerprint)")
+    _corpus_common(ca)
+    cq = cs.add_parser("quality", help="quality + repetition signals "
+                       "(Gopher/C4-style gates)")
+    _corpus_common(cq)
+    cd = cs.add_parser("dedup", help="deduplicate")
+    _corpus_common(cd)
+    cd.add_argument("--method", choices=["exact", "minhash", "ngram"],
+                    default="exact")
+    cd.add_argument("--threshold", type=float, default=0.5)
+    cc = cs.add_parser("contamination", help="train/test overlap")
+    _corpus_common(cc)
+    cc.add_argument("--test", required=True,
+                    help="parquet path of the test/eval corpus "
+                         "(--input is the training corpus)")
+    cc.add_argument("--method", choices=["exact", "jaccard", "lsh"],
+                    default="exact")
+    cc.add_argument("--threshold", type=float, default=0.5)
+    cp_ = cs.add_parser("pack", help="pack documents into fixed-token "
+                        "training sequences")
+    _corpus_common(cp_)
+    cp_.add_argument("--max-tokens", type=int, default=512)
+    cr = cs.add_parser("redact", help="PII scrub (typed placeholders)")
+    _corpus_common(cr)
+    cm = cs.add_parser("mixture", help="re-balance to target domain "
+                       "proportions (downsample-only)")
+    _corpus_common(cm)
+    cm.add_argument("--target", required=True,
+                    help="comma list, e.g. en=0.6,de=0.2,fr=0.2")
+    cm.add_argument("--stratum-col", default="lang")
+    cn = cs.add_parser("ann", help="embedding nearest neighbours")
+    _corpus_common(cn, embeddings=True)
+    cn.add_argument("--method", choices=["gemm", "lsh", "ivf"],
+                    default="gemm")
+    cn.add_argument("-k", type=int, default=5)
+
     vv = sub.add_parser("version", help="print engine versions")
 
     sv = sub.add_parser("serve", help="start the HTTP data server "
@@ -372,6 +498,11 @@ def main(argv=None):
         from .server import main as serve_main
         return serve_main(["--sf-dir", args.sf_dir, "--host", args.host,
                            "--port", str(args.port)])
+
+    if args.cmd == "corpus":
+        # corpus ops read the document/embedding tables directly — no
+        # MQL warehouse build needed
+        return _cmd_corpus(args)
 
     engine, dml = _session(args.sf_dir)
     cat = engine.cat

@@ -269,3 +269,40 @@ def test_query_ids_keys_and_file(capsys, tmp_path):
     qf.write_text("files from dune:urgent_0 ordered limit 4")
     rc, out = run(capsys, "query", "-q", str(qf), "-j")
     assert rc == 0 and len(out.splitlines()) == 4
+
+
+def test_corpus_quality_and_pack(capsys):
+    rc, out = run(capsys, "corpus", "quality", "-j", "-l", "5")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert {"doc_id", "quality", "n_ngrams", "dup_ngram_frac",
+            "top_ngram_frac"} <= set(rows[0])
+    rc, out = run(capsys, "corpus", "pack", "--max-tokens", "64",
+                  "-j", "-l", "4")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows and all(r["n_tok"] <= 64 for r in rows)
+
+
+def test_corpus_mixture_and_contamination(capsys):
+    rc, out = run(capsys, "corpus", "mixture",
+                  "--target", "en=0.6,de=0.2,fr=0.2", "-j", "-l", "3")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all(r["lang"] in ("en", "de", "fr") for r in rows)
+    # a corpus checked against itself is fully contaminated
+    rc, out = run(capsys, "corpus", "contamination",
+                  "--test", f"{SF_DIR}/documents.parquet",
+                  "--method", "exact", "-j", "-l", "3")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all(r["test_id"] == r["train_id"] for r in rows)
+
+
+def test_corpus_output_parquet(capsys, tmp_path, spark):
+    dest = str(tmp_path / "packed")
+    rc, _ = run(capsys, "corpus", "pack", "-o", dest)
+    assert rc == 0
+    packed = spark.read.parquet(dest)
+    assert packed.count() > 0
+    assert set(packed.columns) == {"doc_id", "chunk", "n_tok",
+                                   "pack_id"}
