@@ -830,7 +830,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_scores(_docs(spark, sf_dir), n=2)
     q["doc_repetition_scores"] = doc_repetition
 
-    return q
+    # The driver hash-checks the FIRST 50 entries: promote the two
+    # strongest round-4 additions (both fully oracle-value-hashed)
+    # into the cap, demoting two text-row siblings whose §2a row keeps
+    # an in-cap representative (doc_text_analysis) — the demoted pair
+    # stays replica-gate checked past the cap like every other entry.
+    promote = ["dedup_cross_jaccard", "doc_pack_sequences"]
+    demote = ["doc_quality_score", "doc_lang_id"]
+    mid = [n for n in q if n not in promote and n not in demote]
+    idx = mid.index("dedup_ngram_jaccard") + 1
+    order = mid[:idx] + promote + mid[idx:] + demote
+    return {n: q[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:
