@@ -77,8 +77,27 @@ def bench_queries(engine: Engine):
     return q
 
 
+def _stray_jvms() -> int:
+    """JVMs already running before ours spawns — a lingering Spark
+    JVM (pytest, a prior bench) contends for the 32 cores and has
+    skewed cold numbers by 2-4× (q7 2.8s → 12.5s measured). Recorded
+    in the output so a contaminated run is identifiable instead of
+    silently mis-read as a regression."""
+    import subprocess
+    try:
+        r = subprocess.run(["pgrep", "-c", "java"],
+                           capture_output=True, text=True, timeout=5)
+        return int(r.stdout.strip() or 0)
+    except Exception:  # noqa: BLE001 — telemetry only
+        return -1
+
+
 def main():
     t0 = time.time()
+    stray = _stray_jvms()
+    if stray:
+        print(f"# WARNING: {stray} JVM(s) already running — cold "
+              f"numbers will be contended", file=sys.stderr)
     spark = get_spark("metacat_spark_bench")
     # ingest once into bucketed warehouse tables (counted as setup,
     # like the reference's one-time declare_files load into PostgreSQL)
@@ -140,6 +159,7 @@ def main():
         "setup_sec": round(setup_sec, 3),
         "queries_warm": warm,
         "warm_total_sec": round(sum(warm.values()), 4),
+        "stray_jvms_at_start": stray,
     }
     if errors:
         out["errors"] = errors
