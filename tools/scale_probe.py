@@ -67,6 +67,17 @@ def probe(spark, mult: int) -> dict:
         ).count(),
         "minhash_lsh": lambda: DD.minhash_lsh_pairs(
             docs, n=2, k=32, bands=8, threshold=0.5).count(),
+        # replicas are exact duplicates, so the hash split plants a
+        # twin of ~every doc on the other side: contamination output
+        # grows ~quadratically while the banded join must stay tame
+        "cross_corpus_lsh": lambda: DD.cross_corpus_lsh(
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0),
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1),
+            n=2, threshold=0.5).count(),
+        "pack_sequences": lambda: __import__(
+            "metacat_spark.llm.packing",
+            fromlist=["pack_sequences"]).pack_sequences(
+            docs, max_tokens=512, group_docs=4096).count(),
     }
     out = {}
     for name, fn in cases.items():
