@@ -130,6 +130,8 @@ def make_handler(client: MetaCatSparkClient):
                     return self._categories()
                 if url.path == "/data/category":
                     return self._category(params)
+                if url.path == "/data/corpus":
+                    return self._corpus(params)
                 if url.path == "/data/version":
                     return self._send(200, "application/json",
                                       json.dumps(
@@ -234,6 +236,56 @@ def make_handler(client: MetaCatSparkClient):
             self.wfile.write(
                 b"\x1e" + json.dumps(d, default=str).encode("utf-8")
                 + b"\n")
+
+        def _corpus(self, params: dict):
+            """Training-corpus operators over HTTP (beyond-reference;
+            mirrors the CLI `corpus` group on the served catalog's
+            documents table): /data/corpus?op=analyze|quality|pack|
+            redact|mixture[&max_tokens=N][&target=en=0.6,de=0.4]
+            [&limit=N] — streamed as json-seq frames."""
+            from pyspark.sql import functions as F
+            op = _one(params, "op")
+            docs = client.catalog.raw["documents"]
+            if op == "analyze":
+                from .llm.text import analyze
+                out = analyze(docs)
+            elif op == "quality":
+                from .llm.pipeline import repetition_scores
+                from .llm.text import quality_score
+                out = (docs.select(
+                    "doc_id",
+                    quality_score(F.col("text")).alias("quality"))
+                    .join(repetition_scores(docs), "doc_id"))
+            elif op == "pack":
+                from .llm.packing import pack_sequences
+                mt = int(_one(params, "max_tokens") or 512)
+                out = pack_sequences(docs, max_tokens=mt)
+            elif op == "redact":
+                from .llm.text import pii_count, redact_pii
+                out = docs.select(
+                    "doc_id", redact_pii(F.col("text")).alias("text"),
+                    pii_count(F.col("text")).alias("n_pii"))
+            elif op == "mixture":
+                from .llm.pipeline import sample_to_mixture
+                spec = _one(params, "target") or ""
+                target = {}
+                for part in spec.split(","):
+                    k, _, v = part.partition("=")
+                    if k.strip():
+                        target[k.strip()] = float(v)
+                if not target:
+                    return self._send(400, "text/plain",
+                                      "mixture needs target="
+                                      "stratum=weight[,...]")
+                out = sample_to_mixture(docs, target)
+            else:
+                return self._send(400, "text/plain",
+                                  f"unknown corpus op: {op}")
+            lim = _one(params, "limit")
+            if lim:
+                out = out.limit(int(lim))
+            self._stream_json_seq(
+                r.asDict(recursive=True) for r in out.toLocalIterator())
 
         def _file(self, params: dict):
             rec = client.get_file(

@@ -463,3 +463,33 @@ def test_unknown_endpoint_404(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/data/nope")
     assert e.value.code == 404
+
+
+def test_corpus_quality_endpoint(served):
+    base, _ = served
+    resp = _get(base, "/data/corpus", op="quality", limit=4)
+    assert resp.headers["Content-Type"] == "application/json-seq"
+    rows = _json_seq(resp)
+    assert len(rows) == 4
+    assert {"doc_id", "quality", "dup_ngram_frac",
+            "top_ngram_frac"} <= set(rows[0])
+
+
+def test_corpus_pack_and_mixture_endpoints(served):
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/corpus", op="pack",
+                          max_tokens=64, limit=5))
+    assert rows and all(r["n_tok"] <= 64 for r in rows)
+    rows = _json_seq(_get(base, "/data/corpus", op="mixture",
+                          target="en=0.6,de=0.2,fr=0.2", limit=5))
+    assert rows and all(r["lang"] in ("en", "de", "fr") for r in rows)
+
+
+def test_corpus_bad_op_is_400(served):
+    base, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="nope")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="mixture")  # missing target
+    assert e.value.code == 400
