@@ -278,6 +278,43 @@ def make_handler(client: MetaCatSparkClient):
                                       "mixture needs target="
                                       "stratum=weight[,...]")
                 out = sample_to_mixture(docs, target)
+            elif op == "contamination":
+                from .llm import dedup as DD
+                path = _one(params, "test")
+                if not path:
+                    return self._send(400, "text/plain",
+                                      "contamination needs test="
+                                      "<parquet path of eval corpus> "
+                                      "(served docs are the train "
+                                      "side)")
+                test = docs.sparkSession.read.parquet(path)
+                method = _one(params, "method") or "exact"
+                thr = float(_one(params, "threshold") or 0.5)
+                if method == "exact":
+                    out = DD.cross_corpus_exact(test, docs)
+                elif method == "jaccard":
+                    out = DD.cross_corpus_jaccard(test, docs,
+                                                  threshold=thr)
+                elif method == "lsh":
+                    out = DD.cross_corpus_lsh(test, docs,
+                                              threshold=thr)
+                else:
+                    return self._send(400, "text/plain",
+                                      f"unknown method: {method}")
+            elif op == "ann":
+                from .llm import similarity as SIM
+                embs = client.catalog.raw["embeddings"]
+                k = int(_one(params, "k") or 5)
+                method = _one(params, "method") or "gemm"
+                if method == "gemm":
+                    out = SIM.topk_gemm(embs, k=k)
+                elif method == "lsh":
+                    out = SIM.lsh_bucketed_topk(embs, k=k)
+                elif method == "ivf":
+                    out = SIM.ivf_topk(embs, k=k, train_iters=2)
+                else:
+                    return self._send(400, "text/plain",
+                                      f"unknown method: {method}")
             else:
                 return self._send(400, "text/plain",
                                   f"unknown corpus op: {op}")

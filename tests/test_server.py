@@ -493,3 +493,20 @@ def test_corpus_bad_op_is_400(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/data/corpus", op="mixture")  # missing target
     assert e.value.code == 400
+
+
+def test_corpus_contamination_and_ann_endpoints(served):
+    from tests.conftest import SF_DIR
+    base, _ = served
+    # served docs checked against themselves: fully contaminated
+    rows = _json_seq(_get(base, "/data/corpus", op="contamination",
+                          test=f"{SF_DIR}/documents.parquet",
+                          method="exact", limit=3))
+    assert rows and all(r["test_id"] == r["train_id"] for r in rows)
+    rows = _json_seq(_get(base, "/data/corpus", op="ann",
+                          method="gemm", k=2, limit=4))
+    assert rows and {"id", "neighbor_id", "cosine",
+                     "rank"} <= set(rows[0])
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="contamination")  # missing test=
+    assert e.value.code == 400
