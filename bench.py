@@ -95,9 +95,12 @@ def _stray_jvms() -> int:
 def main():
     t0 = time.time()
     stray = _stray_jvms()
-    if stray:
+    if stray > 0:
         print(f"# WARNING: {stray} JVM(s) already running — cold "
               f"numbers will be contended", file=sys.stderr)
+    elif stray < 0:
+        print("# NOTE: stray-JVM probe failed (pgrep unavailable)",
+              file=sys.stderr)
     spark = get_spark("metacat_spark_bench")
     # ingest once into bucketed warehouse tables (counted as setup,
     # like the reference's one-time declare_files load into PostgreSQL)

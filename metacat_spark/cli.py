@@ -483,6 +483,9 @@ def main(argv=None):
                                       "(json-seq streaming)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--data-root", default=None,
+                    help="allow /data/corpus?test= paths under this "
+                         "subtree (default: disabled)")
     _add_sf_dir(sv)
 
     args = p.parse_args(argv)
@@ -496,8 +499,11 @@ def main(argv=None):
 
     if args.cmd == "serve":
         from .server import main as serve_main
-        return serve_main(["--sf-dir", args.sf_dir, "--host", args.host,
-                           "--port", str(args.port)])
+        sv_args = ["--sf-dir", args.sf_dir, "--host", args.host,
+                   "--port", str(args.port)]
+        if args.data_root:
+            sv_args += ["--data-root", args.data_root]
+        return serve_main(sv_args)
 
     if args.cmd == "corpus":
         # corpus ops read the document/embedding tables directly — no

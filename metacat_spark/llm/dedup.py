@@ -121,9 +121,12 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
     Documents shorter than n tokens contribute their whole text as a
     single shingle (concat_ws skips the null leads).
 
-    ``carry`` names extra per-document columns (constant per id, e.g.
-    a corpus tag) to thread through to the output — cheaper than a
-    post-hoc join back onto the exploded rows.  ``distinct=False``
+    ``carry`` names extra per-document columns (constant per document,
+    e.g. a corpus tag) to thread through to the output — cheaper than a
+    post-hoc join back onto the exploded rows.  Carry columns join the
+    window partition key, so two documents that share an id value but
+    differ in a carry column (cross-corpus id collision) assemble
+    their n-grams independently.  ``distinct=False``
     keeps one row per n-gram OCCURRENCE (repetition statistics need
     multiplicity; set semantics are the dedup default)."""
     from pyspark.sql import Window
@@ -133,7 +136,7 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
                    F.size(tokens(F.col(text_col))).alias("n_tok"),
                    F.posexplode(tokens(F.col(text_col)))
                    .alias("pos", "w")))
-    w = Window.partitionBy("id").orderBy("pos")
+    w = Window.partitionBy("id", *(carry or [])).orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
     sh = tok.withColumn("shingle", F.concat_ws(" ", *parts))
     keep = (F.col("pos") + n <= F.col("n_tok")) | \
@@ -419,7 +422,9 @@ def near_dup_clusters(documents: DataFrame, pairs: DataFrame,
 # training corpus?  Same machinery as within-corpus dedup, but the pair
 # space is restricted to CROSS pairs at candidate generation — a naive
 # "dedup the union, filter after" wastes the dominant cost (within-train
-# pairs) at 100 TB.  Ids must be globally unique across the two corpora.
+# pairs) at 100 TB.  Ids need NOT be unique across the two corpora: every
+# internal groupBy/join is keyed on (grp, id), so a test doc and a train
+# doc sharing the same id value never merge state.
 # ---------------------------------------------------------------------------
 
 
@@ -466,17 +471,21 @@ def cross_corpus_jaccard(test_df: DataFrame, train_df: DataFrame,
         dfreq = F.count("*").over(Window.partitionBy("shingle"))
         ex = (ex.withColumn("df", dfreq)
               .where(F.col("df") <= max_df).drop("df"))
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # (grp, id) key: a test doc and a train doc sharing an id value must
+    # not merge their shingle-set sizes (ADVICE r4)
+    sizes = ex.groupBy("grp", "id").agg(F.count("*").alias("n_sh"))
     a = ex.where(F.col("grp") == 0).alias("a")
     b = ex.where(F.col("grp") == 1).alias("b")
     inter = (a.join(b, F.col("a.shingle") == F.col("b.shingle"))
              .groupBy(F.col("a.id").alias("test_id"),
                       F.col("b.id").alias("train_id"))
              .agg(F.count("*").alias("n_inter")))
-    sa = sizes.select(F.col("id").alias("test_id"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("train_id"),
-                      F.col("n_sh").alias("n_b"))
+    sa = (sizes.where(F.col("grp") == 0)
+          .select(F.col("id").alias("test_id"),
+                  F.col("n_sh").alias("n_a")))
+    sb = (sizes.where(F.col("grp") == 1)
+          .select(F.col("id").alias("train_id"),
+                  F.col("n_sh").alias("n_b")))
     return (inter.join(sa, "test_id").join(sb, "train_id")
             .withColumn("jaccard",
                         F.round(F.col("n_inter")
@@ -504,10 +513,9 @@ def cross_corpus_lsh(test_df: DataFrame, train_df: DataFrame,
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
             .alias(f"mh_{i}")
             for i, (a, b) in enumerate(_lcg_params(k))]
-    # grp is constant per id — first() rides the same groupBy as the
-    # signature mins and the set size (one shuffle, one row per doc)
-    sig = (ex0.groupBy("id").agg(F.count("*").alias("n_sh"),
-                                 F.first("grp").alias("grp"), *aggs)
+    # (grp, id) key: id values may collide across corpora — grouping on
+    # the pair keeps each side's signature/set-size separate (ADVICE r4)
+    sig = (ex0.groupBy("grp", "id").agg(F.count("*").alias("n_sh"), *aggs)
            .localCheckpoint(eager=False))
     band_cols = [F.struct(F.lit(bi).alias("band"),
                           F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}")
@@ -525,21 +533,24 @@ def cross_corpus_lsh(test_df: DataFrame, train_df: DataFrame,
             .select(F.col("a.id").alias("test_id"),
                     F.col("b.id").alias("train_id"))
             .dropDuplicates(["test_id", "train_id"]))
-    sizes = sig.select("id", "n_sh")
+    # verification joins filter shr by grp first, so a colliding train id
+    # never contributes shingles to the test side (and vice versa)
+    shr_a = (shr.where(F.col("grp") == 0)
+             .select(F.col("id").alias("test_id"), "shingle"))
+    shr_b = (shr.where(F.col("grp") == 1)
+             .select(F.col("id").alias("train_id"), "shingle"))
     inter = (cand
-             .join(shr.select(F.col("id").alias("test_id"),
-                              F.col("shingle").alias("shingle")),
-                   "test_id")
-             .join(shr.select(F.col("id").alias("train_id"),
-                              F.col("shingle").alias("shingle")),
-                   ["train_id", "shingle"])
+             .join(shr_a, "test_id")
+             .join(shr_b, ["train_id", "shingle"])
              .groupBy("test_id", "train_id")
              .agg(F.count("*").alias("n_inter")))
     return (inter
-            .join(sizes.select(F.col("id").alias("test_id"),
-                               F.col("n_sh").alias("n_a")), "test_id")
-            .join(sizes.select(F.col("id").alias("train_id"),
-                               F.col("n_sh").alias("n_b")), "train_id")
+            .join(sig.where(F.col("grp") == 0)
+                  .select(F.col("id").alias("test_id"),
+                          F.col("n_sh").alias("n_a")), "test_id")
+            .join(sig.where(F.col("grp") == 1)
+                  .select(F.col("id").alias("train_id"),
+                          F.col("n_sh").alias("n_b")), "train_id")
             .withColumn("jaccard",
                         F.round(F.col("n_inter")
                                 / (F.col("n_a") + F.col("n_b")

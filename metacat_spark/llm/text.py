@@ -77,12 +77,18 @@ PII_RULES: list[tuple[str, str, str]] = [
 
 
 def pii_count(col: Column) -> Column:
-    """Total PII matches in the original text (per-rule counts summed;
-    rules are disjoint on well-formed text). Whole-stage codegen —
-    regexp_count is a JVM built-in."""
+    """Exact replacement count: rule i is counted on the text with
+    rules < i already applied, so a span consumed by an earlier rule
+    (e.g. the 13-digit local part of '1234567890123@x.com', which the
+    card rule would also match in the raw text) is never double-counted
+    — n_pii equals the number of substitutions redact_pii makes
+    (ADVICE r4). Still whole-stage codegen: regexp_count/replace are
+    JVM built-ins."""
     n = F.lit(0)
-    for _, pat, _ in PII_RULES:
-        n = n + F.regexp_count(col, F.lit(pat))
+    cur = col
+    for _, pat, repl in PII_RULES:
+        n = n + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
     return n
 
 

@@ -49,10 +49,28 @@ def _one(params: dict, name: str) -> Optional[str]:
     return v[0] if v else None
 
 
-def make_handler(client: MetaCatSparkClient):
-    """Build the request-handler class bound to one client/engine."""
+def make_handler(client: MetaCatSparkClient,
+                 data_root: Optional[str] = None):
+    """Build the request-handler class bound to one client/engine.
+
+    ``data_root`` is the only filesystem subtree client-supplied paths
+    (``/data/corpus?op=contamination&test=...``) may read.  ``None``
+    (the default) disables path parameters entirely — an unauthenticated
+    HTTP surface must not turn into an arbitrary-file read primitive
+    (ADVICE r4)."""
+    import os
+
     from .stats import CatalogStats
     stats = CatalogStats(client.catalog)  # shared cached counts
+    root = os.path.realpath(data_root) if data_root else None
+
+    def _safe_path(path: str) -> Optional[str]:
+        """Resolve ``path`` and return it iff it is under data_root."""
+        if root is None:
+            return None
+        real = os.path.realpath(path)
+        return real if (real == root
+                        or real.startswith(root + os.sep)) else None
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.0 close-at-end framing: json-seq responses have no
@@ -287,7 +305,19 @@ def make_handler(client: MetaCatSparkClient):
                                       "<parquet path of eval corpus> "
                                       "(served docs are the train "
                                       "side)")
-                test = docs.sparkSession.read.parquet(path)
+                if root is None:
+                    return self._send(
+                        403, "text/plain",
+                        "PermissionError: test= paths are disabled; "
+                        "start the server with --data-root to allow "
+                        "reading eval corpora under one subtree")
+                safe = _safe_path(path)
+                if safe is None:
+                    return self._send(
+                        403, "text/plain",
+                        "PermissionError: test= path is outside the "
+                        "configured --data-root")
+                test = docs.sparkSession.read.parquet(safe)
                 method = _one(params, "method") or "exact"
                 thr = float(_one(params, "threshold") or 0.5)
                 if method == "exact":
@@ -748,10 +778,13 @@ def make_handler(client: MetaCatSparkClient):
 
 
 def start_server(client: MetaCatSparkClient, host: str = "127.0.0.1",
-                 port: int = 0) -> tuple[ThreadingHTTPServer, int]:
+                 port: int = 0, data_root: Optional[str] = None
+                 ) -> tuple[ThreadingHTTPServer, int]:
     """Start serving in a daemon thread; returns (server, bound_port).
-    port=0 picks a free port (tests)."""
-    srv = ThreadingHTTPServer((host, port), make_handler(client))
+    port=0 picks a free port (tests).  ``data_root`` gates
+    client-supplied filesystem paths (see make_handler)."""
+    srv = ThreadingHTTPServer((host, port),
+                              make_handler(client, data_root=data_root))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, srv.server_address[1]
@@ -768,11 +801,15 @@ def main(argv: Optional[list] = None):
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--data-root", default=None,
+                   help="allow /data/corpus?test= paths under this "
+                        "subtree (default: disabled)")
     a = p.parse_args(argv)
     spark = get_spark("metacat_spark_server")
     client = MetaCatSparkClient(
         spark, catalog=from_materialized(spark, a.sf_dir))
-    srv, port = start_server(client, a.host, a.port)
+    srv, port = start_server(client, a.host, a.port,
+                             data_root=a.data_root)
     print(f"serving on http://{a.host}:{port}")
     try:
         threading.Event().wait()

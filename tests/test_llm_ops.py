@@ -658,6 +658,33 @@ def test_cross_corpus_lsh_precision_recall(docs):
     assert recall >= 0.9, f"cross-corpus LSH recall too low: {recall}"
 
 
+def test_cross_corpus_colliding_ids(spark):
+    """Test and train corpora very commonly BOTH number doc_ids from 0.
+    Every internal key is (grp, id), so a test doc and a train doc
+    sharing an id must not merge shingle sets / signatures / sizes
+    (ADVICE r4): test id 0 is an exact twin of train id 1 while train
+    id 0 is unrelated — the pair (0, 1) must come back with jaccard
+    exactly 1.0 from both the exact-jaccard and the banded-LSH path."""
+    from metacat_spark.llm import dedup as DD
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    test = spark.createDataFrame(
+        [(0, t), (1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(0, "completely unrelated filler content nothing shared here"),
+         (1, t)], "doc_id long, text string")
+    jac = DD.cross_corpus_jaccard(test, train, n=2, threshold=0.5,
+                                  max_df=None).collect()
+    assert [(r["test_id"], r["train_id"], r["jaccard"])
+            for r in jac] == [(0, 1, 1.0)]
+    lsh = DD.cross_corpus_lsh(test, train, n=2, k=32, bands=8,
+                              threshold=0.5).collect()
+    assert [(r["test_id"], r["train_id"], r["jaccard"])
+            for r in lsh] == [(0, 1, 1.0)]
+    ex = DD.cross_corpus_exact(test, train).collect()
+    assert [(r["test_id"], r["train_id"]) for r in ex] == [(0, 1)]
+
+
 def test_shingle_rows_carry(docs):
     """carry= threads a per-doc constant column through without
     changing the (id, shingle) set."""
@@ -732,6 +759,10 @@ def test_pii_redaction_vs_duck(spark, duck):
         (5, "host 192.168.0.1 up"),
         (6, "no pii here at all"),
         (7, "multi a@b.co 10.0.0.7 222-33-4444"),
+        # cross-rule overlap (ADVICE r4): the 13-digit local part also
+        # matches the card rule on RAW text, but only ONE replacement
+        # happens — n_pii must be 1, not 2
+        (8, "pay 1234567890123@x.com today"),
     ]
     df = spark.createDataFrame(data, "doc_id long, text string")
     got = {r["doc_id"]: (r["red"], r["n"]) for r in
@@ -746,14 +777,15 @@ def test_pii_redaction_vs_duck(spark, duck):
     assert got[5] == ("host <IP> up", 1)
     assert got[6] == ("no pii here at all", 0)
     assert got[7] == ("multi <EMAIL> <IP> <SSN>", 3)
+    assert got[8] == ("pay <EMAIL> today", 1)
     duck.execute("create or replace table pii_t(doc_id bigint, "
                  "text varchar)")
     duck.executemany("insert into pii_t values (?, ?)", data)
     red_sql, cnt_sql = "text", "0"
     for _, pat, repl in TX.PII_RULES:
         lit = pat.replace("'", "''")
+        cnt_sql += f" + len(regexp_extract_all({red_sql}, '{lit}'))"
         red_sql = f"regexp_replace({red_sql}, '{lit}', '{repl}', 'g')"
-        cnt_sql += f" + len(regexp_extract_all(text, '{lit}'))"
     want = {r[0]: (r[1], r[2]) for r in duck.execute(
         f"select doc_id, {red_sql}, {cnt_sql} from pii_t").fetchall()}
     assert got == want

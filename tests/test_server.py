@@ -15,8 +15,10 @@ from metacat_spark.server import start_server
 
 @pytest.fixture(scope="module")
 def served(spark, catalog):
+    from tests.conftest import SF_DIR
     client = MetaCatSparkClient(spark, catalog=catalog)
-    srv, port = start_server(client)
+    # data_root gates /data/corpus?test= reads to the fixture subtree
+    srv, port = start_server(client, data_root=SF_DIR)
     yield f"http://127.0.0.1:{port}", client
     srv.shutdown()
 
@@ -510,3 +512,31 @@ def test_corpus_contamination_and_ann_endpoints(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/data/corpus", op="contamination")  # missing test=
     assert e.value.code == 400
+
+
+def test_corpus_contamination_path_jail(served, spark, catalog):
+    """The test= parameter is a filesystem path from an untrusted HTTP
+    client (ADVICE r4): anything outside the configured --data-root is
+    refused, traversal sequences don't escape, and a server started
+    WITHOUT a data root refuses every path."""
+    from tests.conftest import SF_DIR
+    base, _ = served
+    for evil in ("/etc/passwd",
+                 f"{SF_DIR}/../../etc",
+                 f"{SF_DIR}/../sf0.01/documents.parquet"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/data/corpus", op="contamination",
+                 test=evil, method="exact")
+        assert e.value.code == 403, evil
+        assert "PermissionError" in e.value.read().decode()
+    # default server: no data_root ⇒ no path reads at all
+    client = MetaCatSparkClient(spark, catalog=catalog)
+    srv, port = start_server(client)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"http://127.0.0.1:{port}", "/data/corpus",
+                 op="contamination",
+                 test=f"{SF_DIR}/documents.parquet", method="exact")
+        assert e.value.code == 403
+    finally:
+        srv.shutdown()
