@@ -772,6 +772,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("recall_ok")))
     q["dedup_cross_lsh"] = cross_lsh
 
+    def cross_containment(spark, sf_dir):
+        """Eval-decontamination by n-gram CONTAINMENT
+        (llm/dedup.py cross_corpus_containment): test corpus = the
+        12-token prefix of every 5th document with its ORIGINAL id —
+        test and train ids collide by construction, certifying the
+        (grp, id) internal keying through the driver gate — each
+        prefix is embedded verbatim in its source, where symmetric
+        Jaccard dilutes below threshold but containment holds 1.0."""
+        from metacat_spark.llm import dedup as DD
+        from metacat_spark.llm.text import tokens
+        docs = _docs(spark, sf_dir)
+        test = (docs.where(F.col("doc_id") % 5 == 0)
+                .select("doc_id",
+                        F.array_join(
+                            F.slice(tokens(F.col("text")), 1, 12),
+                            " ").alias("text")))
+        return DD.cross_corpus_containment(test, docs, n=5,
+                                           threshold=0.9)
+    q["dedup_cross_containment"] = cross_containment
+
+    def decontam(spark, sf_dir):
+        """Decontaminated training corpus (llm/dedup.py
+        decontaminate): drop every training document whose content is
+        containment-matched by a test-prefix doc; returns the
+        surviving (doc_id, source) rows — the corpus a training run
+        would actually consume."""
+        from metacat_spark.llm import dedup as DD
+        from metacat_spark.llm.text import tokens
+        docs = _docs(spark, sf_dir)
+        test = (docs.where(F.col("doc_id") % 5 == 0)
+                .select("doc_id",
+                        F.array_join(
+                            F.slice(tokens(F.col("text")), 1, 12),
+                            " ").alias("text")))
+        return (DD.decontaminate(docs, test, method="containment",
+                                 n=5, threshold=0.9)
+                .select("doc_id", "source"))
+    q["dedup_decontaminate"] = decontam
+
     def doc_pack(spark, sf_dir):
         """Sequence-packing certificate (llm/packing.py): every
         (doc, chunk) placed exactly once — the chunk count is pinned
@@ -1269,6 +1308,51 @@ def oracle_sql() -> dict[str, str]:
           join sizes sa on sa.id = test_id
           join sizes sb on sb.id = train_id
         where n_inter / (sa.n + sb.n - n_inter) >= 0.12"""
+
+    # containment decontamination: replay prefix construction + the
+    # (grp, id)-keyed shingle machinery at n=5
+    _cont_pairs = """
+        with test as (
+          select doc_id as id, 0 as grp,
+                 array_to_string(
+                   (string_split_regex(text, '\\s+'))[1:12], ' ')
+                   as txt
+          from documents where doc_id % 5 = 0),
+        train as (select doc_id as id, 1 as grp, text as txt
+                  from documents),
+        u as (select * from test union all select * from train),
+        sh as (
+          select id, grp,
+                 list_distinct(case when len(toks) >= 5 then
+                   [array_to_string(toks[i:i+4], ' ')
+                    for i in range(1, len(toks) - 3)]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select id, grp,
+                       string_split_regex(txt, '\\s+') as toks
+                from u)),
+        ex0 as (select id, grp, unnest(s) as shingle from sh),
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1 having count(*) <= 1000)),
+        sizes as (select id, grp, count(*) as n
+                  from ex group by 1, 2),
+        inter as (
+          select a.id as test_id, b.id as train_id,
+                 count(*) as n_inter
+          from ex a join ex b
+          on a.shingle = b.shingle and a.grp = 0 and b.grp = 1
+          group by 1, 2),
+        pairs as (
+          select test_id, train_id, n_inter,
+                 round(n_inter / sa.n, 6) as containment
+          from inter join sizes sa
+            on sa.id = test_id and sa.grp = 0
+          where n_inter / sa.n >= 0.9)
+    """
+    o["dedup_cross_containment"] = _cont_pairs + \
+        "select test_id, train_id, n_inter, containment from pairs"
+    o["dedup_decontaminate"] = _cont_pairs + """
+        select doc_id, source from documents
+        where doc_id not in (select train_id from pairs)"""
 
     o["dedup_clusters"] = """
         with recursive sh as (

@@ -148,9 +148,16 @@ def _cmd_corpus(args) -> int:
         test = spark.read.parquet(args.test)
         fn = {"exact": DD.cross_corpus_exact,
               "jaccard": DD.cross_corpus_jaccard,
+              "containment": DD.cross_corpus_containment,
               "lsh": DD.cross_corpus_lsh}[args.method]
         out = (fn(test, df) if args.method == "exact"
                else fn(test, df, threshold=args.threshold))
+    elif args.ccmd == "decontaminate":
+        from .llm import dedup as DD
+        test = spark.read.parquet(args.test)
+        kw = ({} if args.method == "exact"
+              else {"threshold": args.threshold})
+        out = DD.decontaminate(df, test, method=args.method, **kw)
     elif args.ccmd == "pack":
         from .llm.packing import pack_sequences
         out = pack_sequences(df, max_tokens=args.max_tokens)
@@ -456,9 +463,21 @@ def main(argv=None):
     cc.add_argument("--test", required=True,
                     help="parquet path of the test/eval corpus "
                          "(--input is the training corpus)")
-    cc.add_argument("--method", choices=["exact", "jaccard", "lsh"],
+    cc.add_argument("--method",
+                    choices=["exact", "jaccard", "containment", "lsh"],
                     default="exact")
     cc.add_argument("--threshold", type=float, default=0.5)
+    cx = cs.add_parser("decontaminate",
+                       help="drop training docs matched by any "
+                            "test/eval doc")
+    _corpus_common(cx)
+    cx.add_argument("--test", required=True,
+                    help="parquet path of the test/eval corpus "
+                         "(--input is the training corpus)")
+    cx.add_argument("--method",
+                    choices=["exact", "jaccard", "containment", "lsh"],
+                    default="containment")
+    cx.add_argument("--threshold", type=float, default=0.8)
     cp_ = cs.add_parser("pack", help="pack documents into fixed-token "
                         "training sequences")
     _corpus_common(cp_)

@@ -557,3 +557,70 @@ def cross_corpus_lsh(test_df: DataFrame, train_df: DataFrame,
                                    - F.col("n_inter")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("test_id", "train_id", "jaccard"))
+
+
+def cross_corpus_containment(test_df: DataFrame, train_df: DataFrame,
+                             n: int = 8, threshold: float = 0.8,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_df: int | None = 1000) -> DataFrame:
+    """N-gram-overlap contamination by CONTAINMENT,
+    |shingles(test) ∩ shingles(train)| / |shingles(test)| — the right
+    statistic when an eval document is embedded verbatim inside a much
+    larger training document: Jaccard divides by the union and dilutes
+    toward 0 as the train doc grows, containment stays 1.0.  This is
+    the shape published eval-decontamination recipes use (n-gram
+    collision / containment at n≈8-13 rather than symmetric Jaccard).
+
+    Same inverted-index shingle join as cross_corpus_jaccard (corpus
+    tag threaded through candidate generation, every internal key
+    (grp, id)); only the TEST-side shingle count enters the
+    denominator.  ``max_df`` caps shingle document-frequency over the
+    union space — both the intersection and the test sizes see the
+    same reduced space, so containment stays well-defined (and the cap
+    kills the quadratic stop-shingle straggler at scale).
+
+    Returns (test_id, train_id, n_inter, containment >= threshold)."""
+    from pyspark.sql import Window
+    u = _tag_union(test_df, train_df, text_col, id_col)
+    ex = shingle_rows(u, n, "txt", "id", carry=["grp"])
+    if max_df is not None:
+        dfreq = F.count("*").over(Window.partitionBy("shingle"))
+        ex = (ex.withColumn("df", dfreq)
+              .where(F.col("df") <= max_df).drop("df"))
+    sizes = ex.groupBy("grp", "id").agg(F.count("*").alias("n_sh"))
+    a = ex.where(F.col("grp") == 0).alias("a")
+    b = ex.where(F.col("grp") == 1).alias("b")
+    inter = (a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+             .groupBy(F.col("a.id").alias("test_id"),
+                      F.col("b.id").alias("train_id"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = (sizes.where(F.col("grp") == 0)
+          .select(F.col("id").alias("test_id"),
+                  F.col("n_sh").alias("n_a")))
+    return (inter.join(sa, "test_id")
+            .withColumn("containment",
+                        F.round(F.col("n_inter") / F.col("n_a"), 6))
+            .where(F.col("containment") >= threshold)
+            .select("test_id", "train_id", "n_inter", "containment"))
+
+
+def decontaminate(train_df: DataFrame, test_df: DataFrame,
+                  method: str = "lsh", text_col: str = "text",
+                  id_col: str = "doc_id", **kw) -> DataFrame:
+    """The cleaned training corpus: every training document flagged as
+    contaminating ANY test document is dropped (left-anti on the
+    pair list's train side).  ``method`` picks the pair generator —
+    ``exact`` (byte-identical), ``jaccard`` (exact n-gram Jaccard),
+    ``containment`` (n-gram overlap — the eval-decontamination
+    default), or ``lsh`` (banded MinHash, the 100-TB path); ``kw``
+    passes through (n=, threshold=, max_df=...).  One anti-join on id
+    beyond the pair generation itself."""
+    fn = {"exact": cross_corpus_exact,
+          "jaccard": cross_corpus_jaccard,
+          "containment": cross_corpus_containment,
+          "lsh": cross_corpus_lsh}[method]
+    pairs = fn(test_df, train_df, text_col=text_col, id_col=id_col,
+               **kw)
+    bad = pairs.select(F.col("train_id").alias(id_col)).distinct()
+    return train_df.join(bad, id_col, "left_anti")

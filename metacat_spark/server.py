@@ -259,8 +259,9 @@ def make_handler(client: MetaCatSparkClient,
             """Training-corpus operators over HTTP (beyond-reference;
             mirrors the CLI `corpus` group on the served catalog's
             documents table): /data/corpus?op=analyze|quality|pack|
-            redact|mixture[&max_tokens=N][&target=en=0.6,de=0.4]
-            [&limit=N] — streamed as json-seq frames."""
+            redact|mixture|contamination|decontaminate|ann
+            [&max_tokens=N][&target=en=0.6,de=0.4][&limit=N] —
+            streamed as json-seq frames."""
             from pyspark.sql import functions as F
             op = _one(params, "op")
             docs = client.catalog.raw["documents"]
@@ -296,7 +297,7 @@ def make_handler(client: MetaCatSparkClient,
                                       "mixture needs target="
                                       "stratum=weight[,...]")
                 out = sample_to_mixture(docs, target)
-            elif op == "contamination":
+            elif op in ("contamination", "decontaminate"):
                 from .llm import dedup as DD
                 path = _one(params, "test")
                 if not path:
@@ -320,11 +321,23 @@ def make_handler(client: MetaCatSparkClient,
                 test = docs.sparkSession.read.parquet(safe)
                 method = _one(params, "method") or "exact"
                 thr = float(_one(params, "threshold") or 0.5)
-                if method == "exact":
+                if op == "decontaminate":
+                    if method not in ("exact", "jaccard",
+                                      "containment", "lsh"):
+                        return self._send(400, "text/plain",
+                                          f"unknown method: {method}")
+                    kw = ({} if method == "exact"
+                          else {"threshold": thr})
+                    out = DD.decontaminate(docs, test, method=method,
+                                           **kw)
+                elif method == "exact":
                     out = DD.cross_corpus_exact(test, docs)
                 elif method == "jaccard":
                     out = DD.cross_corpus_jaccard(test, docs,
                                                   threshold=thr)
+                elif method == "containment":
+                    out = DD.cross_corpus_containment(test, docs,
+                                                      threshold=thr)
                 elif method == "lsh":
                     out = DD.cross_corpus_lsh(test, docs,
                                               threshold=thr)

@@ -685,6 +685,91 @@ def test_cross_corpus_colliding_ids(spark):
     assert [(r["test_id"], r["train_id"]) for r in ex] == [(0, 1)]
 
 
+def test_cross_corpus_containment_vs_duck(docs, duck):
+    """Containment = |∩| / |test shingles| on the parity split must
+    match the DuckDB replay (same shingle space, same df cap)."""
+    from metacat_spark.llm import dedup as DD
+    test, train = _parity_split(docs)
+    got = sorted((r["test_id"], r["train_id"], r["n_inter"],
+                  r["containment"]) for r in
+                 DD.cross_corpus_containment(test, train, n=3,
+                                             threshold=0.3).collect())
+    want = sorted(tuple(r) for r in duck.execute("""
+        with sh as (
+          select doc_id as id, doc_id % 2 as grp,
+                 list_distinct(case when len(toks) >= 3 then
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex0 as (select id, grp, unnest(s) as shingle from sh),
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1 having count(*) <= 1000)),
+        sizes as (select id, grp, count(*) as n from ex group by 1, 2),
+        inter as (
+          select a.id as test_id, b.id as train_id,
+                 count(*) as n_inter
+          from ex a join ex b
+          on a.shingle = b.shingle and a.grp = 0 and b.grp = 1
+          group by 1, 2)
+        select test_id, train_id, n_inter,
+               round(n_inter / sa.n, 6) as containment
+        from inter join sizes sa
+          on sa.id = test_id and sa.grp = 0
+        where n_inter / sa.n >= 0.3""").fetchall())
+    assert got == want and got
+
+
+def test_containment_catches_embedded_prefix(spark):
+    """The statistic containment exists for: a short eval doc embedded
+    verbatim in a much larger training doc scores containment 1.0
+    while Jaccard dilutes below any useful threshold."""
+    from metacat_spark.llm import dedup as DD
+    prefix = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"w{i}" for i in range(200))
+    test = spark.createDataFrame([(0, prefix)],
+                                 "doc_id long, text string")
+    train = spark.createDataFrame([(0, prefix + " " + filler)],
+                                  "doc_id long, text string")
+    cont = DD.cross_corpus_containment(test, train, n=3,
+                                       threshold=0.9,
+                                       max_df=None).collect()
+    assert [(r["test_id"], r["train_id"], r["containment"])
+            for r in cont] == [(0, 0, 1.0)]
+    jac = DD.cross_corpus_jaccard(test, train, n=3, threshold=0.9,
+                                  max_df=None).collect()
+    assert jac == []  # 6 shared shingles / 204-shingle union ≈ 0.03
+
+
+def test_decontaminate(docs):
+    """decontaminate = train minus the train side of the pair list,
+    for every method; exact method checked against the id arithmetic
+    of a constructed overlap (every 7th doc duplicated into test)."""
+    from metacat_spark.llm import dedup as DD
+    test = (docs.where(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    "text"))
+    clean = DD.decontaminate(docs, test, method="exact")
+    dropped = {r["doc_id"] for r in
+               docs.join(clean, "doc_id", "left_anti")
+               .select("doc_id").collect()}
+    want = {r["train_id"] for r in
+            DD.cross_corpus_exact(test, docs).collect()}
+    assert dropped == want
+    assert all(i % 7 == 0 for i in
+               {r["doc_id"] % 1000000 for r in test.collect()})
+    # containment method drops a superset of exact's (same n-gram
+    # space contains every byte-identical pair at threshold <= 1)
+    clean_c = DD.decontaminate(docs, test, method="containment",
+                               n=3, threshold=0.99)
+    dropped_c = {r["doc_id"] for r in
+                 docs.join(clean_c, "doc_id", "left_anti")
+                 .select("doc_id").collect()}
+    assert want <= dropped_c
+
+
 def test_shingle_rows_carry(docs):
     """carry= threads a per-doc constant column through without
     changing the (id, shingle) set."""

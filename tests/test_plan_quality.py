@@ -252,6 +252,20 @@ def test_cross_corpus_lsh_no_cartesian(spark):
     assert "EvalPython" not in plan
 
 
+def test_cross_corpus_containment_no_cartesian(spark):
+    """Containment shares the inverted-index join shape: key-equi on
+    shingle, no cartesian/nested-loop, no Python stage."""
+    from metacat_spark.llm.dedup import cross_corpus_containment
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    test = docs.where("doc_id % 2 = 0")
+    train = docs.where("doc_id % 2 = 1")
+    plan = plan_of(cross_corpus_containment(test, train, n=5,
+                                            threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_repetition_scores_all_jvm(spark):
     """Repetition signals are pure relational aggregation — no Python
     stage, codegen throughout."""

@@ -505,6 +505,16 @@ def test_corpus_contamination_and_ann_endpoints(served):
                           test=f"{SF_DIR}/documents.parquet",
                           method="exact", limit=3))
     assert rows and all(r["test_id"] == r["train_id"] for r in rows)
+    rows = _json_seq(_get(base, "/data/corpus", op="contamination",
+                          test=f"{SF_DIR}/documents.parquet",
+                          method="containment", threshold=0.9,
+                          limit=3))
+    assert rows and all(r["containment"] >= 0.9 for r in rows)
+    rows = _json_seq(_get(base, "/data/corpus", op="decontaminate",
+                          test=f"{SF_DIR}/documents.parquet",
+                          method="exact", limit=3))
+    # self-decontamination: every doc matches itself ⇒ empty corpus
+    assert rows == []
     rows = _json_seq(_get(base, "/data/corpus", op="ann",
                           method="gemm", k=2, limit=4))
     assert rows and {"id", "neighbor_id", "cosine",
