@@ -670,6 +670,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           .alias("n_terms"))
     q["doc_unigram_logprob"] = doc_logprob
 
+    def doc_bigram(spark, sf_dir):
+        """Interpolated-bigram perplexity signal (llm/text.py
+        bigram_logprob): per-doc mean ln P under the corpus's own
+        λ=0.75 bigram model with add-one unigram backoff — the step up
+        from doc_unigram_logprob toward LM-perplexity curation gates.
+        Count tables are vocabulary-bounded; joins are narrow."""
+        from metacat_spark.llm import text as TX
+        out = TX.bigram_logprob(_docs(spark, sf_dir))
+        return out.select(F.col("id").alias("doc_id"), "avg_logprob",
+                          F.col("n_bigrams").cast("long")
+                          .alias("n_bigrams"))
+    q["doc_bigram_logprob"] = doc_bigram
+
+    def doc_source_rep(spark, sf_dir):
+        """Per-source corpus health report (llm/pipeline.py
+        source_report): doc/token volume, mean quality, exact-dup
+        count per source — one narrow groupBy(source) shuffle."""
+        from metacat_spark.llm.pipeline import source_report
+        return (source_report(_docs(spark, sf_dir))
+                .select("source", "n_docs",
+                        F.col("n_tokens").cast("long")
+                        .alias("n_tokens"),
+                        "avg_quality", "n_exact_dups"))
+    q["doc_source_report"] = doc_source_rep
+
+    def doc_budget(spark, sf_dir):
+        """Token-budget selection (llm/pipeline.py
+        select_token_budget): quality-ranked maximal prefix under a
+        15k-token budget, computed WITHOUT a global per-document sort
+        (per-score offsets + within-score running sums); the oracle
+        replays the sequential (score desc, id) prefix with one
+        window — cum_tok is value-hash-checked doc by doc."""
+        from metacat_spark.llm.pipeline import select_token_budget
+        out = select_token_budget(_docs(spark, sf_dir), 15000)
+        return out.select("doc_id",
+                          F.col("n_tok").cast("long").alias("n_tok"),
+                          "score",
+                          F.col("cum_tok").cast("long")
+                          .alias("cum_tok"))
+    q["doc_token_budget"] = doc_budget
+
     def doc_stratified(spark, sf_dir):
         """Deterministic per-language downsampling (curation
         re-balancing) — adler32-hash thresholds, DuckDB-mirrored."""
@@ -1687,6 +1728,70 @@ def oracle_sql() -> dict[str, str]:
                count(*) as n_terms
         from tok join tf using (term) cross join totals
         group by id"""
+
+    o["doc_bigram_logprob"] = """
+        with base as (select doc_id,
+                             string_split_regex(text, '\\s+') as t
+                      from documents),
+        b0 as (select doc_id as id,
+                      unnest([{'w1': lower(t[i]), 'w2': lower(t[i+1])}
+                              for i in range(1, len(t))]) as p
+               from base),
+        b as (select id, p.w1 as w1, p.w2 as w2 from b0),
+        bc as (select w1, w2, count(*) as c12 from b group by 1, 2),
+        c1 as (select w1, sum(c12) as c1 from bc group by 1),
+        c2 as (select w2, count(*) as c2 from b group by 1),
+        tot as (select count(*) as t_occ,
+                       count(distinct w2) as n_vocab from b)
+        select id as doc_id,
+               round(avg(ln(0.75 * c12 / c1
+                 + 0.25 * (c2 + 1) / (t_occ + n_vocab))), 6)
+                 as avg_logprob,
+               count(*) as n_bigrams
+        from b join bc using (w1, w2) join c1 using (w1)
+          join c2 using (w2) cross join tot
+        group by id"""
+
+    # shared per-doc quality expression (same formula as
+    # doc_quality_score, rounded 6 like the engine)
+    _qual = """
+        round((case when (length(text) -
+                (len(string_split_regex(text, '\\s+')) - 1))
+                / len(string_split_regex(text, '\\s+'))
+                between 3.0 and 10.0 then 1.0 else 0.5 end) * 0.5
+          + least(len(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x = 'the'))
+                  / len(string_split_regex(text, '\\s+')) * 5.0,
+                  1.0) * 0.3
+          + (1.0 - least((length(text) -
+                length(regexp_replace(text, '[^a-zA-Z0-9 ]', '',
+                                      'g')))
+                / length(text) * 4.0, 1.0)) * 0.2, 6)
+    """
+    o["doc_source_report"] = f"""
+        with q as (select source,
+                          len(string_split_regex(text, '\\s+'))
+                            as n_tok,
+                          md5(text) as h, {_qual} as qv
+                   from documents)
+        select source, count(*) as n_docs,
+               cast(sum(n_tok) as bigint) as n_tokens,
+               round(avg(qv), 4) as avg_quality,
+               count(*) - count(distinct h) as n_exact_dups
+        from q group by source"""
+
+    o["doc_token_budget"] = f"""
+        with s as (select doc_id,
+                          len(string_split_regex(text, '\\s+'))
+                            as n_tok,
+                          round({_qual}, 3) as score
+                   from documents),
+        c as (select *, cast(sum(n_tok) over (
+                order by score desc, doc_id
+                rows between unbounded preceding and current row)
+                as bigint) as cum_tok from s)
+        select doc_id, cast(n_tok as bigint) as n_tok, score, cum_tok
+        from c where cum_tok <= 15000"""
 
     _ad_doc = ADLER32.format(c="cast(doc_id as varchar)")
     o["doc_stratified_sample"] = f"""

@@ -158,6 +158,17 @@ def _cmd_corpus(args) -> int:
         kw = ({} if args.method == "exact"
               else {"threshold": args.threshold})
         out = DD.decontaminate(df, test, method=args.method, **kw)
+    elif args.ccmd == "report":
+        from .llm.pipeline import source_report
+        out = source_report(df)
+    elif args.ccmd == "select":
+        from .llm.pipeline import select_token_budget
+        out = select_token_budget(df, args.budget)
+    elif args.ccmd == "lm":
+        from .llm.text import bigram_logprob, unigram_logprob
+        fn = (bigram_logprob if args.method == "bigram"
+              else unigram_logprob)
+        out = fn(df)
     elif args.ccmd == "pack":
         from .llm.packing import pack_sequences
         out = pack_sequences(df, max_tokens=args.max_tokens)
@@ -478,6 +489,19 @@ def main(argv=None):
                     choices=["exact", "jaccard", "containment", "lsh"],
                     default="containment")
     cx.add_argument("--threshold", type=float, default=0.8)
+    crp = cs.add_parser("report", help="per-source corpus health "
+                        "report (volume, quality, dup rate)")
+    _corpus_common(crp)
+    csel = cs.add_parser("select", help="quality-ranked docs under a "
+                         "token budget")
+    _corpus_common(csel)
+    csel.add_argument("--budget", type=int, required=True,
+                      help="total token budget")
+    clm = cs.add_parser("lm", help="corpus-LM log-probability per doc "
+                        "(perplexity-style quality signal)")
+    _corpus_common(clm)
+    clm.add_argument("--method", choices=["unigram", "bigram"],
+                     default="bigram")
     cp_ = cs.add_parser("pack", help="pack documents into fixed-token "
                         "training sequences")
     _corpus_common(cp_)

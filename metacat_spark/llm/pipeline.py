@@ -184,3 +184,75 @@ def curation_report(documents: DataFrame, curated: DataFrame,
                .agg(F.count("*").alias("n")).collect()}
     return {"n_in": n_in, "n_out": n_out,
             "removed": n_in - n_out, "by_lang_pred": by_lang}
+
+
+def source_report(df: DataFrame, text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Per-source corpus health report — the first table a curation
+    run reads before setting mixture weights: document and token
+    volume, mean quality, and the exact-duplicate count (docs minus
+    distinct content hashes) per source.  One groupBy(source) shuffle
+    over a narrow pre-projection; every expression is a JVM built-in.
+    Mean quality is rounded per-doc (6) then re-rounded after the avg
+    (4) so distributed float-sum ordering can't flip the hash."""
+    from .text import quality_score, token_count
+    c = F.col(text_col)
+    base = df.select(F.col(source_col).alias("source"),
+                     token_count(c).alias("n_tok"),
+                     quality_score(c).alias("q"),
+                     F.md5(c).alias("h"))
+    return (base.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.round(F.avg("q"), 4).alias("avg_quality"),
+                 (F.count("*") - F.countDistinct("h"))
+                 .alias("n_exact_dups")))
+
+
+def select_token_budget(df: DataFrame, budget: int,
+                        score=None, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        quantize: int | None = 3) -> DataFrame:
+    """Quality-ranked selection under a token budget: order documents
+    by (score desc, id asc) and keep the maximal prefix whose
+    cumulative token count fits ``budget`` — the selection step when
+    assembling a fixed-token training mix from a larger pool.
+    ``score`` defaults to quality_score; ``quantize`` rounds it first.
+
+    Scale shape — NO global per-document sort:
+
+    1. one groupBy(score) over a narrow (id, n_tok, score)
+       projection → per-score token mass (quantize bounds this table
+       to ~10^quantize rows);
+    2. running sum over that TINY table (single-partition window over
+       score groups, not documents);
+    3. broadcast the per-score cumulative offsets back;
+    4. per-document running sum WITHIN each score partition
+       (Window.partitionBy(score).orderBy(id) — distributed across
+       score values), offset by the group's cumulative start.
+
+    cum_tok then equals the global (score desc, id) prefix sum, so
+    ``cum_tok <= budget`` reproduces the exact sequential semantics —
+    the SQL oracle replays it with one global window.
+
+    Returns the selected (id, n_tok, score, cum_tok)."""
+    from pyspark.sql import Window
+    from .text import quality_score, token_count
+    c = F.col(text_col)
+    s = quality_score(c) if score is None else score
+    if quantize is not None:
+        s = F.round(s, quantize)
+    base = df.select(F.col(id_col).alias(id_col),
+                     token_count(c).alias("n_tok"), s.alias("score"))
+    per = base.groupBy("score").agg(F.sum("n_tok").alias("g_tok"))
+    wg = (Window.orderBy(F.col("score").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = per.select("score", F.coalesce(F.sum("g_tok").over(wg),
+                                          F.lit(0)).alias("cum_excl"))
+    wd = (Window.partitionBy("score").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (base.join(F.broadcast(offs), "score")
+            .withColumn("cum_tok",
+                        F.col("cum_excl") + F.sum("n_tok").over(wd))
+            .where(F.col("cum_tok") <= budget)
+            .select(id_col, "n_tok", "score", "cum_tok"))

@@ -267,3 +267,65 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id_from(toks).alias("lang_pred"),
         poly_hash(ct).alias("fingerprint"),
     )
+
+
+def bigram_rows(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2) occurrence rows, one per adjacent token pair
+    (lowercased, raw whitespace-split positions — no empty-token
+    filtering, so the oracle's list-comprehension replay is exact).
+    Same posexplode + window-lead codegen shape as shingle_rows; the
+    input is spread across cores first (small single-file tables read
+    as ONE partition)."""
+    from pyspark.sql import Window
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = (df.repartition(par)
+           .select(F.col(id_col).alias("id"),
+                   F.posexplode(tokens(F.col(text_col)))
+                   .alias("pos", "w")))
+    w = Window.partitionBy("id").orderBy("pos")
+    return (tok.withColumn("nxt", F.lead("w", 1).over(w))
+            .where(F.col("nxt").isNotNull())
+            .select("id", F.lower("w").alias("w1"),
+                    F.lower("nxt").alias("w2")))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lam: float = 0.75) -> DataFrame:
+    """Perplexity filtering, one step up from unigram_logprob: per-doc
+    mean log-probability under the corpus's own interpolated bigram
+    model,
+
+        P(w2 | w1) = lam * c(w1,w2)/c(w1,·)
+                     + (1-lam) * (c(·,w2)+1)/(T+V)
+
+    with T = total bigram occurrences and V = |distinct right-hand
+    words| (add-one-smoothed unigram backoff).  Repetitive boilerplate
+    scores HIGH (its bigrams dominate the corpus model) and incoherent
+    token soup scores LOW — the cheap stand-in for KenLM-style
+    perplexity gates in curation pipelines.
+
+    Plan: bigram counts in one aggregate over the occurrence rows,
+    context/backoff counts derived from that table (not a second pass
+    over the corpus), totals as a broadcast 1-row aggregate, then
+    narrow joins back on (w1,w2)/(w1)/(w2).  Count tables are
+    vocabulary-bounded — far smaller than the corpus at scale.  All
+    arithmetic is ln over exact counts, replayed verbatim by the SQL
+    oracle."""
+    bg = bigram_rows(df, text_col, id_col)
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bc = bc.localCheckpoint(eager=False)  # reused 3×: c1, c2-ish, join
+    c1 = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    totals = c2.agg(F.sum("c2").alias("t_occ"),
+                    F.count("*").alias("n_vocab"))
+    lp = F.log(F.lit(lam) * F.col("c12") / F.col("c1")
+               + F.lit(1.0 - lam) * (F.col("c2") + 1)
+               / (F.col("t_occ") + F.col("n_vocab")))
+    scored = (bg.join(bc, ["w1", "w2"]).join(c1, "w1").join(c2, "w2")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("lp", lp))
+    return (scored.groupBy("id")
+            .agg(F.round(F.avg("lp"), 6).alias("avg_logprob"),
+                 F.count("*").alias("n_bigrams")))

@@ -258,10 +258,10 @@ def make_handler(client: MetaCatSparkClient,
         def _corpus(self, params: dict):
             """Training-corpus operators over HTTP (beyond-reference;
             mirrors the CLI `corpus` group on the served catalog's
-            documents table): /data/corpus?op=analyze|quality|pack|
-            redact|mixture|contamination|decontaminate|ann
-            [&max_tokens=N][&target=en=0.6,de=0.4][&limit=N] —
-            streamed as json-seq frames."""
+            documents table): /data/corpus?op=analyze|quality|report|
+            select|lm|pack|redact|mixture|contamination|decontaminate|
+            ann [&budget=N][&max_tokens=N][&target=en=0.6,de=0.4]
+            [&limit=N] — streamed as json-seq frames."""
             from pyspark.sql import functions as F
             op = _one(params, "op")
             docs = client.catalog.raw["documents"]
@@ -275,6 +275,22 @@ def make_handler(client: MetaCatSparkClient,
                     "doc_id",
                     quality_score(F.col("text")).alias("quality"))
                     .join(repetition_scores(docs), "doc_id"))
+            elif op == "report":
+                from .llm.pipeline import source_report
+                out = source_report(docs)
+            elif op == "select":
+                budget = _one(params, "budget")
+                if not budget:
+                    return self._send(400, "text/plain",
+                                      "select needs budget=<tokens>")
+                from .llm.pipeline import select_token_budget
+                out = select_token_budget(docs, int(budget))
+            elif op == "lm":
+                from .llm.text import bigram_logprob, unigram_logprob
+                fn = (bigram_logprob
+                      if (_one(params, "method") or "bigram")
+                      == "bigram" else unigram_logprob)
+                out = fn(docs)
             elif op == "pack":
                 from .llm.packing import pack_sequences
                 mt = int(_one(params, "max_tokens") or 512)

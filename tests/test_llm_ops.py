@@ -969,3 +969,143 @@ def test_repetition_scores_boilerplate(spark):
     assert r[1]["top_ngram_frac"] == 1.0
     assert r[2]["dup_ngram_frac"] == 0.0
     assert r[2]["top_ngram_frac"] < 0.3
+
+
+# ------------------------------------------- corpus reporting/selection
+
+_QUALITY_SQL = """
+    round((case when (length(text) -
+            (len(string_split_regex(text, '\\s+')) - 1))
+            / len(string_split_regex(text, '\\s+'))
+            between 3.0 and 10.0 then 1.0 else 0.5 end) * 0.5
+      + least(len(list_filter(string_split_regex(text, '\\s+'),
+                x -> x = 'the'))
+              / len(string_split_regex(text, '\\s+')) * 5.0, 1.0) * 0.3
+      + (1.0 - least((length(text) -
+            length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+            / length(text) * 4.0, 1.0)) * 0.2, 6)
+"""
+
+
+def test_source_report_vs_duck(docs, duck):
+    from metacat_spark.llm.pipeline import source_report
+    got = sorted(tuple(r) for r in
+                 source_report(docs)
+                 .select("source", "n_docs", "n_tokens", "avg_quality",
+                         "n_exact_dups").collect())
+    want = sorted(tuple(r) for r in duck.execute(f"""
+        with q as (select source,
+                          len(string_split_regex(text, '\\s+'))
+                            as n_tok,
+                          md5(text) as h, {_QUALITY_SQL} as qv
+                   from documents)
+        select source, count(*) as n_docs,
+               cast(sum(n_tok) as bigint) as n_tokens,
+               round(avg(qv), 4) as avg_quality,
+               count(*) - count(distinct h) as n_exact_dups
+        from q group by source""").fetchall())
+    assert got == want and got
+
+
+def test_select_token_budget_vs_duck(docs, duck):
+    """The distributed two-level cumsum must reproduce the sequential
+    (score desc, doc_id) prefix exactly, cum_tok included."""
+    from metacat_spark.llm.pipeline import select_token_budget
+    total = docs.select(
+        F.sum(F.size(F.split("text", r"\s+")))).collect()[0][0]
+    budget = total // 2  # must split the corpus to be a real test
+    got = sorted(tuple(r) for r in
+                 select_token_budget(docs, budget).collect())
+    want = sorted(tuple(r) for r in duck.execute(f"""
+        with s as (select doc_id,
+                          len(string_split_regex(text, '\\s+'))
+                            as n_tok,
+                          round({_QUALITY_SQL}, 3) as score
+                   from documents),
+        c as (select *, cast(sum(n_tok) over (
+                order by score desc, doc_id
+                rows between unbounded preceding and current row)
+                as bigint) as cum_tok from s)
+        select doc_id, n_tok, score, cum_tok from c
+        where cum_tok <= {budget}""").fetchall())
+    assert got == want and got
+    total = sum(r[1] for r in got)
+    assert total <= budget
+
+
+def test_select_token_budget_prefix_maximality(docs):
+    """Adding the single next-ranked excluded doc must overflow the
+    budget (the selection is the MAXIMAL prefix, not just any
+    subset under budget)."""
+    from metacat_spark.llm.pipeline import select_token_budget
+    total = docs.select(
+        F.sum(F.size(F.split("text", r"\s+")))).collect()[0][0]
+    budget = total // 2
+    sel = select_token_budget(docs, budget)
+    rows = sel.collect()
+    total = sum(r["n_tok"] for r in rows)
+    chosen = {r["doc_id"] for r in rows}
+    from metacat_spark.llm.text import quality_score, token_count
+    ranked = (docs.select("doc_id",
+                          token_count(F.col("text")).alias("n_tok"),
+                          F.round(quality_score(F.col("text")), 3)
+                          .alias("score"))
+              .collect())
+    excluded = sorted((r for r in ranked if r["doc_id"] not in chosen),
+                      key=lambda r: (-r["score"], r["doc_id"]))
+    assert excluded, "budget should not cover the whole corpus"
+    assert total + excluded[0]["n_tok"] > budget
+
+
+def test_bigram_logprob_vs_duck(docs, duck):
+    from metacat_spark.llm.text import bigram_logprob
+    got = sorted((r["doc_id"], r["avg_logprob"], r["n_bigrams"])
+                 for r in bigram_logprob(docs.limit(300))
+                 .withColumnRenamed("id", "doc_id").collect())
+    want = sorted(tuple(r) for r in duck.execute("""
+        with lim as (select * from documents order by doc_id
+                     limit 300),
+        base as (select doc_id,
+                        string_split_regex(text, '\\s+') as t
+                 from lim),
+        b0 as (select doc_id as id,
+                      unnest([{'w1': lower(t[i]), 'w2': lower(t[i+1])}
+                              for i in range(1, len(t))]) as p
+               from base),
+        b as (select id, p.w1 as w1, p.w2 as w2 from b0),
+        bc as (select w1, w2, count(*) as c12 from b group by 1, 2),
+        c1 as (select w1, sum(c12) as c1 from bc group by 1),
+        c2 as (select w2, count(*) as c2 from b group by 1),
+        tot as (select count(*) as t_occ,
+                       count(distinct w2) as n_vocab from b)
+        select id as doc_id,
+               round(avg(ln(0.75 * c12 / c1
+                 + 0.25 * (c2 + 1) / (t_occ + n_vocab))), 6)
+                 as avg_logprob,
+               count(*) as n_bigrams
+        from b join bc using (w1, w2) join c1 using (w1)
+          join c2 using (w2) cross join tot
+        group by id""").fetchall())
+    assert got == want and got
+
+
+def test_bigram_logprob_orders_coherence(spark):
+    """Within one corpus, a document with predictable transitions must
+    outscore one whose words each precede many different successors —
+    the property a perplexity gate ranks on.  (Note the failure mode a
+    naive test hits: REPEATED gibberish is perfectly predictable and
+    scores high; low bigram probability requires the same left-word to
+    fan out over many right-words.)"""
+    from metacat_spark.llm.text import bigram_logprob
+    vocab = [f"v{i}" for i in range(10)]
+    # every ordered pair once: each left word fans out over 9
+    # successors uniformly ⇒ each transition ~1/18 likely
+    soup = " ".join(w for a in vocab for b in vocab if a != b
+                    for w in (a, b))
+    common = "v0 v1 " * 30  # one dominant transition
+    df = spark.createDataFrame(
+        [(0, common.strip()), (1, soup)],
+        "doc_id long, text string")
+    got = {r["id"]: r["avg_logprob"]
+           for r in bigram_logprob(df).collect()}
+    assert got[0] > got[1] + 0.5

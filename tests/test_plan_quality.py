@@ -266,6 +266,33 @@ def test_cross_corpus_containment_no_cartesian(spark):
     assert "EvalPython" not in plan
 
 
+def test_select_token_budget_no_global_sort(spark):
+    """The budget prefix must come from the per-score offset + within-
+    score running sum — never a global rangepartitioning sort over the
+    document table — and stay JVM-only."""
+    from metacat_spark.llm.pipeline import select_token_budget
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(select_token_budget(docs, 15000))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(score" in plan
+    assert "EvalPython" not in plan
+
+
+def test_bigram_logprob_all_jvm(spark):
+    """Bigram LM scoring is pure relational: no Python stage, no
+    cartesian — counts join back on narrow keys."""
+    from metacat_spark.llm.text import bigram_logprob
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(bigram_logprob(docs))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is allowed: the broadcast cross
+    # against the 1-row totals aggregate
+    import re
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin",
+                          plan)) == 1
+
+
 def test_repetition_scores_all_jvm(spark):
     """Repetition signals are pure relational aggregation — no Python
     stage, codegen throughout."""

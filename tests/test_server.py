@@ -497,6 +497,22 @@ def test_corpus_bad_op_is_400(served):
     assert e.value.code == 400
 
 
+def test_corpus_report_select_lm_endpoints(served):
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/corpus", op="report"))
+    assert rows and {"source", "n_docs", "n_tokens", "avg_quality",
+                     "n_exact_dups"} <= set(rows[0])
+    rows = _json_seq(_get(base, "/data/corpus", op="select",
+                          budget=2000))
+    assert rows and all(r["cum_tok"] <= 2000 for r in rows)
+    rows = _json_seq(_get(base, "/data/corpus", op="lm",
+                          method="bigram", limit=5))
+    assert rows and {"id", "avg_logprob", "n_bigrams"} <= set(rows[0])
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="select")  # missing budget
+    assert e.value.code == 400
+
+
 def test_corpus_contamination_and_ann_endpoints(served):
     from tests.conftest import SF_DIR
     base, _ = served
