@@ -852,6 +852,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "source"))
     q["dedup_decontaminate"] = decontam
 
+    def dedup_incr(spark, sf_dir):
+        """Incremental-ingest admission filter (llm/dedup.py
+        dedup_against): a batch mixing exact re-ingests of every 9th
+        corpus doc with genuinely novel (id-salted) docs — only the
+        novel rows may be admitted; one anti-join against the corpus's
+        distinct content-hash set."""
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        copies = (docs.where(F.col("doc_id") % 9 == 0)
+                  .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                          "text"))
+        novel = (docs.where(F.col("doc_id") % 10 == 0)
+                 .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                         F.concat(F.lit("NOVEL-"),
+                                  F.col("doc_id").cast("string"),
+                                  F.lit(" "), F.col("text"))
+                         .alias("text")))
+        batch = copies.unionByName(novel)
+        return DD.dedup_against(batch, docs.select("doc_id", "text"))
+    q["dedup_incremental"] = dedup_incr
+
+    def sem_dedup(spark, sf_dir):
+        """SemDeDup-style semantic dedup (llm/dedup.py semantic_dedup):
+        embedding-cosine components at 0.35 collapse to their min-id
+        survivor; returns the surviving document rows — the layer
+        above lexical dedup that catches paraphrases sharing no
+        n-grams.  vec_id aligns 1:1 with doc_id in the fixtures."""
+        from metacat_spark.llm import dedup as DD
+        return (DD.semantic_dedup(_docs(spark, sf_dir),
+                                  _embs(spark, sf_dir), threshold=0.35)
+                .select("doc_id", "source"))
+    q["doc_semantic_dedup"] = sem_dedup
+
     def doc_pack(spark, sf_dir):
         """Sequence-packing certificate (llm/packing.py): every
         (doc, chunk) placed exactly once — the chunk count is pinned
@@ -921,8 +954,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into the cap, demoting two text-row siblings whose §2a row keeps
     # an in-cap representative (doc_text_analysis) — the demoted pair
     # stays replica-gate checked past the cap like every other entry.
-    promote = ["dedup_cross_jaccard", "doc_pack_sequences"]
-    demote = ["doc_quality_score", "doc_lang_id"]
+    # r5: containment decontamination + token-budget selection are the
+    # round's headline ops — in-cap, displacing two entries whose
+    # families keep in-cap representatives (filter_sample for
+    # filter_sample_hash; cosine_pairs/topk/ann/ivf for the centroid)
+    promote = ["dedup_cross_jaccard", "doc_pack_sequences",
+               "dedup_cross_containment", "doc_token_budget"]
+    demote = ["doc_quality_score", "doc_lang_id",
+              "filter_sample_hash", "embed_centroid_by_label"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -1394,6 +1433,38 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_decontaminate"] = _cont_pairs + """
         select doc_id, source from documents
         where doc_id not in (select train_id from pairs)"""
+
+    o["dedup_incremental"] = """
+        with batch as (
+          select doc_id + 2000000 as doc_id, text
+          from documents where doc_id % 9 = 0
+          union all
+          select doc_id + 3000000 as doc_id,
+                 concat('NOVEL-', cast(doc_id as varchar), ' ', text)
+                   as text
+          from documents where doc_id % 10 = 0)
+        select doc_id, text from batch
+        where md5(text) not in (select md5(text) from documents)"""
+
+    o["doc_semantic_dedup"] = """
+        with recursive pairs as (
+          select a.vec_id as id_a, b.vec_id as id_b
+          from embeddings a join embeddings b on a.vec_id < b.vec_id
+          where round(list_cosine_similarity(a.embedding::double[],
+                                             b.embedding::double[]), 6)
+                >= 0.35),
+        edges as (select id_a as a, id_b as b from pairs
+                  union select id_b, id_a from pairs),
+        reach as (
+          select a, b from edges
+          union
+          select r.a, e.b from reach r join edges e on r.b = e.a),
+        comp as (select a as vid, least(a, min(b)) as cluster_id
+                 from reach group by a)
+        select doc_id, source from documents d
+        where not exists (select 1 from comp c
+                          where c.vid = d.doc_id
+                            and c.cluster_id <> d.doc_id)"""
 
     o["dedup_clusters"] = """
         with recursive sh as (

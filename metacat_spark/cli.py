@@ -141,8 +141,17 @@ def _cmd_corpus(args) -> int:
             out = DD.dedup_exact(df)
         elif args.method == "minhash":
             out = DD.minhash_lsh_pairs(df, threshold=args.threshold)
+        elif args.method == "semantic":
+            embs = spark.read.parquet(
+                f"{args.sf_dir}/embeddings.parquet")
+            out = DD.semantic_dedup(df, embs,
+                                    threshold=args.threshold)
         else:
             out = DD.ngram_jaccard_pairs(df, threshold=args.threshold)
+    elif args.ccmd == "admit":
+        from .llm import dedup as DD
+        corpus = spark.read.parquet(args.corpus)
+        out = DD.dedup_against(df, corpus)
     elif args.ccmd == "contamination":
         from .llm import dedup as DD
         test = spark.read.parquet(args.test)
@@ -466,9 +475,17 @@ def main(argv=None):
     _corpus_common(cq)
     cd = cs.add_parser("dedup", help="deduplicate")
     _corpus_common(cd)
-    cd.add_argument("--method", choices=["exact", "minhash", "ngram"],
+    cd.add_argument("--method",
+                    choices=["exact", "minhash", "ngram", "semantic"],
                     default="exact")
     cd.add_argument("--threshold", type=float, default=0.5)
+    cad = cs.add_parser("admit", help="admission-filter a new batch "
+                        "against an existing corpus (incremental "
+                        "exact dedup)")
+    _corpus_common(cad)
+    cad.add_argument("--corpus", required=True,
+                     help="parquet path of the existing corpus "
+                          "(--input is the new batch)")
     cc = cs.add_parser("contamination", help="train/test overlap")
     _corpus_common(cc)
     cc.add_argument("--test", required=True,

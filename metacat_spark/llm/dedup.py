@@ -624,3 +624,46 @@ def decontaminate(train_df: DataFrame, test_df: DataFrame,
                **kw)
     bad = pairs.select(F.col("train_id").alias(id_col)).distinct()
     return train_df.join(bad, id_col, "left_anti")
+
+
+def dedup_against(new_df: DataFrame, corpus_df: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Incremental-ingest dedup: the rows of ``new_df`` whose content
+    does NOT already exist in ``corpus_df`` — the admission filter a
+    continuously-growing corpus applies to every new batch.  One
+    left-anti join on the content hash against the corpus's DISTINCT
+    hash set (pre-aggregated, so the join input is |distinct corpus
+    content|; broadcastable when the batch side drives the join at
+    scale).  Within-batch duplicates are also collapsed (min-id
+    survivor) so admitting the same batch twice is idempotent."""
+    cur = corpus_df.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    fresh = (new_df.withColumn("h", F.md5(F.col(text_col)))
+             .join(cur, "h", "left_anti"))
+    keep = (fresh.groupBy("h").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return fresh.drop("h").join(keep, id_col, "left_semi")
+
+
+def semantic_dedup(documents: DataFrame, embeddings: DataFrame,
+                   threshold: float = 0.9,
+                   id_col: str = "doc_id",
+                   vec_id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication: documents whose
+    EMBEDDINGS are near-identical (cosine >= threshold) collapse to
+    one survivor per connected component — catches paraphrases and
+    re-renderings that share no n-grams, the layer above lexical
+    dedup in a curation stack.  Pairs come from the exact blocked
+    GEMM (similarity.cosine_pairs — swap in lsh_bucketed pairs at
+    100 TB); components via the large-star/small-star O(log n)
+    rounds; survivor = min doc_id.  Returns the surviving document
+    rows."""
+    from .similarity import cosine_pairs
+    pairs = cosine_pairs(embeddings, threshold=threshold,
+                         vec_col=vec_col, id_col=vec_id_col)
+    clusters = near_dup_clusters(
+        documents.select(F.col(id_col)), pairs, id_col=id_col)
+    keep = (clusters.where(F.col("is_canonical"))
+            .select(F.col("doc_id").alias(id_col)))
+    return documents.join(keep, id_col, "left_semi")

@@ -260,8 +260,9 @@ def make_handler(client: MetaCatSparkClient,
             mirrors the CLI `corpus` group on the served catalog's
             documents table): /data/corpus?op=analyze|quality|report|
             select|lm|pack|redact|mixture|contamination|decontaminate|
-            ann [&budget=N][&max_tokens=N][&target=en=0.6,de=0.4]
-            [&limit=N] — streamed as json-seq frames."""
+            semdedup|ann [&budget=N][&max_tokens=N][&threshold=T]
+            [&target=en=0.6,de=0.4][&limit=N] — streamed as json-seq
+            frames."""
             from pyspark.sql import functions as F
             op = _one(params, "op")
             docs = client.catalog.raw["documents"]
@@ -278,6 +279,11 @@ def make_handler(client: MetaCatSparkClient,
             elif op == "report":
                 from .llm.pipeline import source_report
                 out = source_report(docs)
+            elif op == "semdedup":
+                from .llm import dedup as DD
+                embs = client.catalog.raw["embeddings"]
+                thr = float(_one(params, "threshold") or 0.9)
+                out = DD.semantic_dedup(docs, embs, threshold=thr)
             elif op == "select":
                 budget = _one(params, "budget")
                 if not budget:

@@ -1109,3 +1109,58 @@ def test_bigram_logprob_orders_coherence(spark):
     got = {r["id"]: r["avg_logprob"]
            for r in bigram_logprob(df).collect()}
     assert got[0] > got[1] + 0.5
+
+
+# ---------------------------------------- incremental + semantic dedup
+
+def test_dedup_against(docs, spark):
+    """Admission filter for a growing corpus: exact re-ingests are
+    rejected, novel docs pass, within-batch dupes collapse, and the
+    whole thing is idempotent."""
+    from metacat_spark.llm import dedup as DD
+    copies = (docs.limit(10)
+              .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                      "text"))
+    novel = spark.createDataFrame(
+        [(3_000_000, "genuinely new content alpha"),
+         (3_000_001, "genuinely new content beta"),
+         (3_000_002, "genuinely new content beta")],  # in-batch dup
+        "doc_id long, text string")
+    batch = copies.unionByName(novel)
+    corpus = docs.select("doc_id", "text")
+    admitted = DD.dedup_against(batch, corpus)
+    got = sorted(r["doc_id"] for r in admitted.collect())
+    assert got == [3_000_000, 3_000_001]  # min-id survivor of the dup
+    # idempotent: admitting the batch against corpus+admitted = empty
+    again = DD.dedup_against(batch, corpus.unionByName(admitted))
+    assert again.count() == 0
+
+
+def test_semantic_dedup_vs_duck(docs, embs, duck):
+    """Survivors = canonical member of each cosine-threshold connected
+    component, checked against the recursive-CTE oracle."""
+    from metacat_spark.llm import dedup as DD
+    out = DD.semantic_dedup(docs, embs, threshold=0.35)
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    want = sorted(r[0] for r in duck.execute("""
+        with recursive pairs as (
+          select a.vec_id as id_a, b.vec_id as id_b
+          from embeddings a join embeddings b on a.vec_id < b.vec_id
+          where round(list_cosine_similarity(a.embedding::double[],
+                                             b.embedding::double[]), 6)
+                >= 0.35),
+        edges as (select id_a as a, id_b as b from pairs
+                  union select id_b, id_a from pairs),
+        reach as (
+          select a, b from edges
+          union
+          select r.a, e.b from reach r join edges e on r.b = e.a),
+        comp as (select a as vid, least(a, min(b)) as cluster_id
+                 from reach group by a)
+        select doc_id from documents d
+        where not exists (select 1 from comp c
+                          where c.vid = d.doc_id
+                            and c.cluster_id <> d.doc_id)
+        """).fetchall())
+    assert got == want and got
+    assert len(got) < docs.count()  # clusters exist at 0.35

@@ -508,6 +508,9 @@ def test_corpus_report_select_lm_endpoints(served):
     rows = _json_seq(_get(base, "/data/corpus", op="lm",
                           method="bigram", limit=5))
     assert rows and {"id", "avg_logprob", "n_bigrams"} <= set(rows[0])
+    rows = _json_seq(_get(base, "/data/corpus", op="semdedup",
+                          threshold=0.35, limit=5))
+    assert rows and {"doc_id", "text"} <= set(rows[0])
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/data/corpus", op="select")  # missing budget
     assert e.value.code == 400
