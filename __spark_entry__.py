@@ -885,6 +885,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "source"))
     q["doc_semantic_dedup"] = sem_dedup
 
+    def containment_pairs(spark, sf_dir):
+        """Within-corpus subset-document detection (llm/dedup.py
+        ngram_containment_pairs): |∩|/|smaller shingle set| ≥ 0.5 at
+        n=3, oriented contained→container — the quoted/boilerplate-
+        wrapped copies symmetric Jaccard misses."""
+        from metacat_spark.llm import dedup as DD
+        return DD.ngram_containment_pairs(_docs(spark, sf_dir), n=3,
+                                          threshold=0.5)
+    q["dedup_containment_pairs"] = containment_pairs
+
+    def corpus_profile(spark, sf_dir):
+        """One-row Zipf/Heaps corpus profile (llm/text.py
+        corpus_stats): token/vocab volume, type-token ratio, hapax
+        fraction, top-term share — the before/after sanity row for
+        every curation stage."""
+        from metacat_spark.llm.text import corpus_stats
+        return corpus_stats(_docs(spark, sf_dir)).select(
+            "n_docs", F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_vocab", "type_token_ratio", "hapax_frac",
+            "top_term_share")
+    q["doc_corpus_stats"] = corpus_profile
+
     def doc_pack(spark, sf_dir):
         """Sequence-packing certificate (llm/packing.py): every
         (doc, chunk) placed exactly once — the chunk count is pinned
@@ -1433,6 +1455,50 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_decontaminate"] = _cont_pairs + """
         select doc_id, source from documents
         where doc_id not in (select train_id from pairs)"""
+
+    o["dedup_containment_pairs"] = """
+        with sh as (
+          select doc_id as id,
+                 list_distinct(case when len(toks) >= 3 then
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex0 as (select id, unnest(s) as shingle from sh),
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1 having count(*) <= 1000)),
+        sizes as (select id, count(*) as n from ex group by 1),
+        inter as (
+          select a.id as x, b.id as y, count(*) as n_inter
+          from ex a join ex b
+          on a.shingle = b.shingle and a.id < b.id group by 1, 2),
+        j as (select x, y, n_inter, sa.n as nx, sb.n as ny
+              from inter join sizes sa on sa.id = x
+                join sizes sb on sb.id = y)
+        select case when nx < ny or (nx = ny and x < y)
+                    then x else y end as id_a,
+               case when nx < ny or (nx = ny and x < y)
+                    then y else x end as id_b,
+               n_inter,
+               round(n_inter / least(nx, ny), 6) as containment
+        from j where n_inter / least(nx, ny) >= 0.5"""
+
+    o["doc_corpus_stats"] = """
+        with tok as (select doc_id as id, lower(t) as term from (
+               select doc_id,
+                      unnest(string_split_regex(text, '\\s+')) as t
+               from documents) u where t <> ''),
+        tf as (select term, count(*) as cnt from tok group by 1),
+        d as (select count(distinct doc_id) as n_docs from documents)
+        select n_docs, cast(sum(cnt) as bigint) as n_tokens,
+               count(*) as n_vocab,
+               round(count(*) / sum(cnt), 6) as type_token_ratio,
+               round(sum(case when cnt = 1 then 1 else 0 end)
+                     / count(*), 6) as hapax_frac,
+               round(max(cnt) / sum(cnt), 6) as top_term_share
+        from tf cross join d group by n_docs"""
 
     o["dedup_incremental"] = """
         with batch as (

@@ -146,6 +146,9 @@ def _cmd_corpus(args) -> int:
                 f"{args.sf_dir}/embeddings.parquet")
             out = DD.semantic_dedup(df, embs,
                                     threshold=args.threshold)
+        elif args.method == "containment":
+            out = DD.ngram_containment_pairs(df,
+                                             threshold=args.threshold)
         else:
             out = DD.ngram_jaccard_pairs(df, threshold=args.threshold)
     elif args.ccmd == "admit":
@@ -170,6 +173,9 @@ def _cmd_corpus(args) -> int:
     elif args.ccmd == "report":
         from .llm.pipeline import source_report
         out = source_report(df)
+    elif args.ccmd == "stats":
+        from .llm.text import corpus_stats
+        out = corpus_stats(df)
     elif args.ccmd == "select":
         from .llm.pipeline import select_token_budget
         out = select_token_budget(df, args.budget)
@@ -476,7 +482,8 @@ def main(argv=None):
     cd = cs.add_parser("dedup", help="deduplicate")
     _corpus_common(cd)
     cd.add_argument("--method",
-                    choices=["exact", "minhash", "ngram", "semantic"],
+                    choices=["exact", "minhash", "ngram", "semantic",
+                             "containment"],
                     default="exact")
     cd.add_argument("--threshold", type=float, default=0.5)
     cad = cs.add_parser("admit", help="admission-filter a new batch "
@@ -509,6 +516,9 @@ def main(argv=None):
     crp = cs.add_parser("report", help="per-source corpus health "
                         "report (volume, quality, dup rate)")
     _corpus_common(crp)
+    cst = cs.add_parser("stats", help="one-row Zipf/Heaps corpus "
+                        "profile (tokens, vocab, hapax, top share)")
+    _corpus_common(cst)
     csel = cs.add_parser("select", help="quality-ranked docs under a "
                          "token budget")
     _corpus_common(csel)

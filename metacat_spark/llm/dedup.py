@@ -667,3 +667,52 @@ def semantic_dedup(documents: DataFrame, embeddings: DataFrame,
     keep = (clusters.where(F.col("is_canonical"))
             .select(F.col("doc_id").alias(id_col)))
     return documents.join(keep, id_col, "left_semi")
+
+
+def ngram_containment_pairs(df: DataFrame, n: int = 8,
+                            threshold: float = 0.8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_df: int | None = 1000) -> DataFrame:
+    """WITHIN-corpus containment pairs (id_a, id_b, n_inter,
+    containment): documents whose n-gram set is mostly a subset of
+    another document's — quoted/excerpted/boilerplate-wrapped copies
+    that symmetric Jaccard misses when the host document is much
+    larger.  containment = |A ∩ B| / |A| with A the SMALLER side's
+    shingle set, so the pair is emitted once, oriented
+    contained→container ((n_a, id_a) < (n_b, id_b) lexicographically);
+    same inverted-index join + max_df stop-shingle cap as
+    ngram_jaccard_pairs."""
+    from pyspark.sql import Window
+    ex = shingle_rows(df, n, text_col, id_col)
+    if max_df is not None:
+        dfreq = F.count("*").over(Window.partitionBy("shingle"))
+        ex = (ex.withColumn("df", dfreq)
+              .where(F.col("df") <= max_df).drop("df"))
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_x"),
+                      F.col("b.id").alias("id_y"))
+             .agg(F.count("*").alias("n_inter")))
+    sx = sizes.select(F.col("id").alias("id_x"),
+                      F.col("n_sh").alias("n_x"))
+    sy = sizes.select(F.col("id").alias("id_y"),
+                      F.col("n_sh").alias("n_y"))
+    j = inter.join(sx, "id_x").join(sy, "id_y")
+    # orient: a = smaller shingle set (ties: smaller id)
+    a_first = (F.col("n_x") < F.col("n_y")) | \
+              ((F.col("n_x") == F.col("n_y"))
+               & (F.col("id_x") < F.col("id_y")))
+    return (j.select(
+                F.when(a_first, F.col("id_x")).otherwise(F.col("id_y"))
+                .alias("id_a"),
+                F.when(a_first, F.col("id_y")).otherwise(F.col("id_x"))
+                .alias("id_b"),
+                "n_inter",
+                F.round(F.col("n_inter")
+                        / F.least("n_x", "n_y"), 6)
+                .alias("containment"))
+            .where(F.col("containment") >= threshold))

@@ -329,3 +329,30 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     return (scored.groupBy("id")
             .agg(F.round(F.avg("lp"), 6).alias("avg_logprob"),
                  F.count("*").alias("n_bigrams")))
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus profile — the Zipf/Heaps sanity numbers a
+    curation run checks before and after each stage: token and
+    vocabulary volume, type-token ratio, hapax fraction (vocabulary
+    share occurring once — crawl noise pushes it up, heavy dedup
+    pushes it down), and the corpus share of the single most frequent
+    term (boilerplate pushes it up).  One groupBy(term) aggregate then
+    a 1-row reduction; max-share via max(cnt), no sort."""
+    tf = (term_rows(df, text_col, id_col)
+          .groupBy("term").agg(F.count("*").alias("cnt")))
+    docs_n = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    return (tf.agg(F.sum("cnt").alias("n_tokens"),
+                   F.count("*").alias("n_vocab"),
+                   F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                   .alias("n_hapax"),
+                   F.max("cnt").alias("top_cnt"))
+            .crossJoin(F.broadcast(docs_n))
+            .select("n_docs", "n_tokens", "n_vocab",
+                    F.round(F.col("n_vocab") / F.col("n_tokens"), 6)
+                    .alias("type_token_ratio"),
+                    F.round(F.col("n_hapax") / F.col("n_vocab"), 6)
+                    .alias("hapax_frac"),
+                    F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
+                    .alias("top_term_share")))

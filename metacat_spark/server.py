@@ -259,10 +259,10 @@ def make_handler(client: MetaCatSparkClient,
             """Training-corpus operators over HTTP (beyond-reference;
             mirrors the CLI `corpus` group on the served catalog's
             documents table): /data/corpus?op=analyze|quality|report|
-            select|lm|pack|redact|mixture|contamination|decontaminate|
-            semdedup|ann [&budget=N][&max_tokens=N][&threshold=T]
-            [&target=en=0.6,de=0.4][&limit=N] — streamed as json-seq
-            frames."""
+            stats|select|lm|pack|redact|mixture|contamination|
+            decontaminate|semdedup|ann [&budget=N][&max_tokens=N]
+            [&threshold=T][&target=en=0.6,de=0.4][&limit=N] —
+            streamed as json-seq frames."""
             from pyspark.sql import functions as F
             op = _one(params, "op")
             docs = client.catalog.raw["documents"]
@@ -279,6 +279,9 @@ def make_handler(client: MetaCatSparkClient,
             elif op == "report":
                 from .llm.pipeline import source_report
                 out = source_report(docs)
+            elif op == "stats":
+                from .llm.text import corpus_stats
+                out = corpus_stats(docs)
             elif op == "semdedup":
                 from .llm import dedup as DD
                 embs = client.catalog.raw["embeddings"]

@@ -1164,3 +1164,75 @@ def test_semantic_dedup_vs_duck(docs, embs, duck):
         """).fetchall())
     assert got == want and got
     assert len(got) < docs.count()  # clusters exist at 0.35
+
+
+def test_corpus_stats_vs_duck(docs, duck):
+    from metacat_spark.llm.text import corpus_stats
+    got = [tuple(r) for r in corpus_stats(docs).collect()]
+    want = [tuple(r) for r in duck.execute("""
+        with tok as (select doc_id as id, lower(t) as term from (
+               select doc_id,
+                      unnest(string_split_regex(text, '\\s+')) as t
+               from documents) u where t <> ''),
+        tf as (select term, count(*) as cnt from tok group by 1),
+        d as (select count(distinct doc_id) as n_docs from documents)
+        select n_docs, cast(sum(cnt) as bigint) as n_tokens,
+               count(*) as n_vocab,
+               round(count(*) / sum(cnt), 6) as type_token_ratio,
+               round(sum(case when cnt = 1 then 1 else 0 end)
+                     / count(*), 6) as hapax_frac,
+               round(max(cnt) / sum(cnt), 6) as top_term_share
+        from tf cross join d group by n_docs""").fetchall()]
+    assert got == want and got[0][1] > 0
+
+
+def test_ngram_containment_pairs_vs_duck(docs, duck):
+    """Within-corpus subset detection: oriented contained→container,
+    |∩|/|smaller| — must match the DuckDB replay."""
+    from metacat_spark.llm import dedup as DD
+    got = sorted(tuple(r) for r in
+                 DD.ngram_containment_pairs(docs, n=3, threshold=0.5)
+                 .collect())
+    want = sorted(tuple(r) for r in duck.execute("""
+        with sh as (
+          select doc_id as id,
+                 list_distinct(case when len(toks) >= 3 then
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]
+                   else [array_to_string(toks, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks
+                from documents)),
+        ex0 as (select id, unnest(s) as shingle from sh),
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1 having count(*) <= 1000)),
+        sizes as (select id, count(*) as n from ex group by 1),
+        inter as (
+          select a.id as x, b.id as y, count(*) as n_inter
+          from ex a join ex b
+          on a.shingle = b.shingle and a.id < b.id group by 1, 2),
+        j as (select x, y, n_inter, sa.n as nx, sb.n as ny
+              from inter join sizes sa on sa.id = x
+                join sizes sb on sb.id = y)
+        select case when nx < ny or (nx = ny and x < y)
+                    then x else y end as id_a,
+               case when nx < ny or (nx = ny and x < y)
+                    then y else x end as id_b,
+               n_inter,
+               round(n_inter / least(nx, ny), 6) as containment
+        from j where n_inter / least(nx, ny) >= 0.5""").fetchall())
+    assert got == want and got
+
+
+def test_containment_pairs_orientation(spark):
+    """id_a is always the contained (smaller-set) side: a short doc
+    quoted inside a long one comes back as (short, long, 1.0)."""
+    from metacat_spark.llm import dedup as DD
+    short = "alpha bravo charlie delta echo foxtrot"
+    longd = short + " " + " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(7, longd), (9, short)],
+                               "doc_id long, text string")
+    rows = DD.ngram_containment_pairs(df, n=3, threshold=0.9,
+                                      max_df=None).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"])
+            for r in rows] == [(9, 7, 1.0)]

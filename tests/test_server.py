@@ -511,6 +511,9 @@ def test_corpus_report_select_lm_endpoints(served):
     rows = _json_seq(_get(base, "/data/corpus", op="semdedup",
                           threshold=0.35, limit=5))
     assert rows and {"doc_id", "text"} <= set(rows[0])
+    rows = _json_seq(_get(base, "/data/corpus", op="stats"))
+    assert len(rows) == 1 and rows[0]["n_tokens"] > 0
+    assert 0 < rows[0]["type_token_ratio"] < 1
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/data/corpus", op="select")  # missing budget
     assert e.value.code == 400
