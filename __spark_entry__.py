@@ -907,6 +907,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "top_term_share")
     q["doc_corpus_stats"] = corpus_profile
 
+    def corpus_div(spark, sf_dir):
+        """Distribution drift between the src0 and src1 sub-corpora
+        (llm/text.py corpus_divergence): KL(A‖M)/KL(B‖M)/Jensen-
+        Shannon over add-one-smoothed unigram models on the union
+        vocabulary — the per-batch / per-domain drift monitor.  One
+        groupBy per side + a vocabulary-bounded full-outer join."""
+        from metacat_spark.llm.text import corpus_divergence
+        docs = _docs(spark, sf_dir)
+        return corpus_divergence(docs.where("source = 'src0'"),
+                                 docs.where("source = 'src1'"))
+    q["doc_corpus_divergence"] = corpus_div
+
     def doc_pack(spark, sf_dir):
         """Sequence-packing certificate (llm/packing.py): every
         (doc, chunk) placed exactly once — the chunk count is pinned
@@ -1499,6 +1511,32 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) as hapax_frac,
                round(max(cnt) / sum(cnt), 6) as top_term_share
         from tf cross join d group by n_docs"""
+
+    o["doc_corpus_divergence"] = """
+        with tok as (select source, lower(t) as term from (
+               select source,
+                      unnest(string_split_regex(text, '\\s+')) as t
+               from documents
+               where source in ('src0', 'src1')) u where t <> ''),
+        ta as (select term, count(*) as ca from tok
+               where source = 'src0' group by 1),
+        tb as (select term, count(*) as cb from tok
+               where source = 'src1' group by 1),
+        u as (select coalesce(ta.term, tb.term) as term,
+                     coalesce(ca, 0) as ca, coalesce(cb, 0) as cb
+              from ta full outer join tb on ta.term = tb.term),
+        tot as (select sum(ca) as na, sum(cb) as nb,
+                       count(*) as v from u),
+        w as (select (ca + 1) / (na + v) as pa,
+                     (cb + 1) / (nb + v) as pb
+              from u cross join tot)
+        select count(*) as n_terms_union,
+               round(sum(pa * ln(pa / ((pa + pb) / 2))), 6) as kl_a_m,
+               round(sum(pb * ln(pb / ((pa + pb) / 2))), 6) as kl_b_m,
+               round((sum(pa * ln(pa / ((pa + pb) / 2)))
+                      + sum(pb * ln(pb / ((pa + pb) / 2)))) / 2, 6)
+                 as js_divergence
+        from w"""
 
     o["dedup_incremental"] = """
         with batch as (

@@ -176,6 +176,10 @@ def _cmd_corpus(args) -> int:
     elif args.ccmd == "stats":
         from .llm.text import corpus_stats
         out = corpus_stats(df)
+    elif args.ccmd == "divergence":
+        from .llm.text import corpus_divergence
+        other = spark.read.parquet(args.against)
+        out = corpus_divergence(df, other)
     elif args.ccmd == "select":
         from .llm.pipeline import select_token_budget
         out = select_token_budget(df, args.budget)
@@ -519,6 +523,12 @@ def main(argv=None):
     cst = cs.add_parser("stats", help="one-row Zipf/Heaps corpus "
                         "profile (tokens, vocab, hapax, top share)")
     _corpus_common(cst)
+    cdv = cs.add_parser("divergence", help="unigram-distribution "
+                        "drift (KL/Jensen-Shannon) vs another corpus")
+    _corpus_common(cdv)
+    cdv.add_argument("--against", required=True,
+                     help="parquet path of the comparison corpus "
+                          "(--input is side A)")
     csel = cs.add_parser("select", help="quality-ranked docs under a "
                          "token budget")
     _corpus_common(csel)

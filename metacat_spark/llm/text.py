@@ -356,3 +356,41 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
                     .alias("hapax_frac"),
                     F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
                     .alias("top_term_share")))
+
+
+def corpus_divergence(df_a: DataFrame, df_b: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Unigram-distribution drift between two corpora — the check an
+    ingest pipeline runs on every new batch (and a training run on
+    every domain) before mixing: KL(A‖M), KL(B‖M) and their mean, the
+    Jensen-Shannon divergence (natural log; 0 = identical, ln 2 =
+    disjoint), over add-one-smoothed distributions on the UNION
+    vocabulary (smoothing gives every union term mass in both, so the
+    KLs are finite and the distributions sum to exactly 1).
+
+    Plan: one groupBy(term) per side, a full-outer join on term
+    (vocabulary-bounded), broadcast 1-row totals, one final 1-row
+    aggregate.  Nothing corpus-sized crosses a shuffle twice."""
+    ta = (term_rows(df_a, text_col, id_col)
+          .groupBy("term").agg(F.count("*").alias("ca")))
+    tb = (term_rows(df_b, text_col, id_col)
+          .groupBy("term").agg(F.count("*").alias("cb")))
+    u = (ta.join(tb, "term", "full_outer")
+         .select("term", F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    tot = u.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+                F.count("*").alias("v"))
+    w = u.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    m = (pa + pb) / 2
+    agg = w.agg(F.count("*").alias("n_terms_union"),
+                F.sum(pa * F.log(pa / m)).alias("_ka"),
+                F.sum(pb * F.log(pb / m)).alias("_kb"))
+    return agg.select(
+        "n_terms_union",
+        F.round("_ka", 6).alias("kl_a_m"),
+        F.round("_kb", 6).alias("kl_b_m"),
+        F.round((F.col("_ka") + F.col("_kb")) / 2, 6)
+        .alias("js_divergence"))

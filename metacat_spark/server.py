@@ -260,9 +260,9 @@ def make_handler(client: MetaCatSparkClient,
             mirrors the CLI `corpus` group on the served catalog's
             documents table): /data/corpus?op=analyze|quality|report|
             stats|select|lm|pack|redact|mixture|contamination|
-            decontaminate|semdedup|ann [&budget=N][&max_tokens=N]
-            [&threshold=T][&target=en=0.6,de=0.4][&limit=N] —
-            streamed as json-seq frames."""
+            decontaminate|divergence|semdedup|ann [&budget=N]
+            [&max_tokens=N][&threshold=T][&target=en=0.6,de=0.4]
+            [&limit=N] — streamed as json-seq frames."""
             from pyspark.sql import functions as F
             op = _one(params, "op")
             docs = client.catalog.raw["documents"]
@@ -322,15 +322,16 @@ def make_handler(client: MetaCatSparkClient,
                                       "mixture needs target="
                                       "stratum=weight[,...]")
                 out = sample_to_mixture(docs, target)
-            elif op in ("contamination", "decontaminate"):
+            elif op in ("contamination", "decontaminate",
+                        "divergence"):
                 from .llm import dedup as DD
                 path = _one(params, "test")
                 if not path:
                     return self._send(400, "text/plain",
-                                      "contamination needs test="
-                                      "<parquet path of eval corpus> "
-                                      "(served docs are the train "
-                                      "side)")
+                                      f"{op} needs test=<parquet "
+                                      "path of the other corpus> "
+                                      "(served docs are the train/"
+                                      "B side)")
                 if root is None:
                     return self._send(
                         403, "text/plain",
@@ -346,7 +347,10 @@ def make_handler(client: MetaCatSparkClient,
                 test = docs.sparkSession.read.parquet(safe)
                 method = _one(params, "method") or "exact"
                 thr = float(_one(params, "threshold") or 0.5)
-                if op == "decontaminate":
+                if op == "divergence":
+                    from .llm.text import corpus_divergence
+                    out = corpus_divergence(test, docs)
+                elif op == "decontaminate":
                     if method not in ("exact", "jaccard",
                                       "containment", "lsh"):
                         return self._send(400, "text/plain",

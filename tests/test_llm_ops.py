@@ -1236,3 +1236,56 @@ def test_containment_pairs_orientation(spark):
                                       max_df=None).collect()
     assert [(r["id_a"], r["id_b"], r["containment"])
             for r in rows] == [(9, 7, 1.0)]
+
+
+def test_corpus_divergence_vs_duck(docs, duck):
+    """JS divergence between the src0 and src1 sub-corpora must match
+    the DuckDB replay of the same smoothed-union-vocab formula."""
+    from metacat_spark.llm.text import corpus_divergence
+    a = docs.where("source = 'src0'")
+    b = docs.where("source = 'src1'")
+    got = [tuple(r) for r in corpus_divergence(a, b).collect()]
+    want = [tuple(r) for r in duck.execute("""
+        with tok as (select source, lower(t) as term from (
+               select source,
+                      unnest(string_split_regex(text, '\\s+')) as t
+               from documents
+               where source in ('src0', 'src1')) u where t <> ''),
+        ta as (select term, count(*) as ca from tok
+               where source = 'src0' group by 1),
+        tb as (select term, count(*) as cb from tok
+               where source = 'src1' group by 1),
+        u as (select coalesce(ta.term, tb.term) as term,
+                     coalesce(ca, 0) as ca, coalesce(cb, 0) as cb
+              from ta full outer join tb on ta.term = tb.term),
+        tot as (select sum(ca) as na, sum(cb) as nb,
+                       count(*) as v from u),
+        w as (select (ca + 1) / (na + v) as pa,
+                     (cb + 1) / (nb + v) as pb
+              from u cross join tot)
+        select count(*) as n_terms_union,
+               round(sum(pa * ln(pa / ((pa + pb) / 2))), 6) as kl_a_m,
+               round(sum(pb * ln(pb / ((pa + pb) / 2))), 6) as kl_b_m,
+               round((sum(pa * ln(pa / ((pa + pb) / 2)))
+                      + sum(pb * ln(pb / ((pa + pb) / 2)))) / 2, 6)
+                 as js_divergence
+        from w""").fetchall()]
+    assert got == want and got
+    assert 0 <= got[0][3] < math.log(2) + 1e-9
+
+
+def test_corpus_divergence_properties(spark):
+    """Identical corpora diverge ~0; disjoint-vocabulary corpora
+    approach ln 2 (smoothing keeps them strictly below)."""
+    from metacat_spark.llm.text import corpus_divergence
+    # enough mass that add-one smoothing doesn't wash out the signal
+    a = spark.createDataFrame(
+        [(0, "alpha beta gamma delta " * 50)],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(0, "omega psi chi phi " * 50)],
+        "doc_id long, text string")
+    same = corpus_divergence(a, a).collect()[0]
+    assert abs(same["js_divergence"]) < 1e-6
+    diff = corpus_divergence(a, b).collect()[0]
+    assert 0.4 < diff["js_divergence"] < math.log(2)

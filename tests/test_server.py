@@ -514,6 +514,11 @@ def test_corpus_report_select_lm_endpoints(served):
     rows = _json_seq(_get(base, "/data/corpus", op="stats"))
     assert len(rows) == 1 and rows[0]["n_tokens"] > 0
     assert 0 < rows[0]["type_token_ratio"] < 1
+    from tests.conftest import SF_DIR
+    rows = _json_seq(_get(base, "/data/corpus", op="divergence",
+                          test=f"{SF_DIR}/documents.parquet"))
+    # corpus vs itself: JS divergence exactly 0
+    assert len(rows) == 1 and rows[0]["js_divergence"] == 0.0
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/data/corpus", op="select")  # missing budget
     assert e.value.code == 400
