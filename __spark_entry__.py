@@ -983,6 +983,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_scores(_docs(spark, sf_dir), n=2)
     q["doc_repetition_scores"] = doc_repetition
 
+    def substr_spans(spark, sf_dir):
+        """Exact-substring duplicate spans (llm/dedup.py
+        duplicate_spans — the distributed form of ExactSubstr dedup,
+        Lee et al. 2022): every 8-token gram occurring >= 2 times
+        corpus-wide marks its range; overlapping ranges merge to
+        maximal per-doc spans via gaps-and-islands.  groupBy(gram)
+        with map-side combine + left-semi join — no pairwise joins,
+        linear in total tokens."""
+        from metacat_spark.llm import dedup as DD
+        s = DD.duplicate_spans(_docs(spark, sf_dir), n=8, min_count=2)
+        return s.select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"))
+    q["dedup_substring_spans"] = substr_spans
+
+    def substr_scrub(spark, sf_dir):
+        """ExactSubstr scrub (llm/dedup.py scrub_duplicate_spans):
+        duplicated spans cut, unique remainder reassembled
+        order-safely (array_sort over (pos, token) structs).  The
+        oracle rebuilds the identical scrubbed text in SQL and both
+        sides fingerprint it with the shared polynomial rolling hash
+        — full value verification of the reconstructed text."""
+        from metacat_spark.llm import dedup as DD
+        from metacat_spark.llm import text as TX
+        s = DD.scrub_duplicate_spans(_docs(spark, sf_dir), n=8,
+                                     min_count=2)
+        fp = F.when(F.length("text") > 0,
+                    TX.poly_hash(F.col("text"))) \
+             .otherwise(F.lit(0).cast("long"))
+        return s.select(
+            "doc_id",
+            F.col("n_tok_before").cast("long").alias("n_tok_before"),
+            F.col("n_tok_after").cast("long").alias("n_tok_after"),
+            fp.alias("scrub_fp"))
+    q["dedup_substring_scrub"] = substr_scrub
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -1780,6 +1818,77 @@ def oracle_sql() -> dict[str, str]:
                round(least(1.0, max_c * 2 / n_tok), 6)
                  as top_ngram_frac
         from st"""
+
+    # Exact-substring span dedup (ExactSubstr at 8-gram granularity):
+    # the occurrence index keeps POSITIONS; duplicated grams merge to
+    # maximal spans per doc via the same gaps-and-islands windows on
+    # both engines.
+    _SUBSTR_CTES = r"""
+        with tok as (
+          select doc_id, string_split_regex(text, '\s+') as toks
+          from documents),
+        occ as (
+          select doc_id, u.pos as pos, u.fin as fin, u.g as g
+          from (select doc_id,
+                  case when len(toks) >= 8 then
+                    [{'pos': i - 1, 'fin': i + 7,
+                      'g': array_to_string(toks[i:i+7], ' ')}
+                     for i in range(1, len(toks) - 6)]
+                  else [{'pos': 0, 'fin': len(toks),
+                         'g': array_to_string(toks, ' ')}] end as gs
+                from tok), unnest(gs) as t(u)),
+        dup as (
+          select doc_id, pos, fin from occ
+          where g in (select g from occ
+                      group by g having count(*) >= 2)),
+        marked as (
+          select doc_id, pos, fin,
+                 max(fin) over (partition by doc_id order by pos
+                                rows between unbounded preceding
+                                and 1 preceding) as prev_end
+          from dup),
+        grp as (
+          select doc_id, pos, fin,
+                 sum(case when prev_end is null or pos > prev_end
+                     then 1 else 0 end)
+                   over (partition by doc_id order by pos) as gid
+          from marked)"""
+
+    o["dedup_substring_spans"] = _SUBSTR_CTES + """
+        select doc_id, min(pos) as span_start, max(fin) as span_end,
+               max(fin) - min(pos) as span_tokens
+        from grp group by doc_id, gid"""
+
+    o["dedup_substring_scrub"] = _SUBSTR_CTES + r""",
+        spans as (
+          select doc_id, min(pos) as s, max(fin) as e
+          from grp group by doc_id, gid),
+        covered as (
+          select distinct doc_id, unnest(range(s, e)) as p
+          from spans),
+        toks2 as (
+          select doc_id, u.pos as pos, u.w as w
+          from (select doc_id, [{'pos': i - 1, 'w': toks[i]}
+                                for i in range(1, len(toks) + 1)] as ws
+                from tok), unnest(ws) as t(u)),
+        kept as (
+          select t.doc_id, t.pos, t.w from toks2 t
+          left join covered c
+            on c.doc_id = t.doc_id and c.p = t.pos
+          where c.p is null),
+        reb as (
+          select doc_id, string_agg(w, ' ' order by pos) as scrubbed,
+                 count(*) as n_tok_after from kept group by doc_id)
+        select d.doc_id,
+               len(string_split_regex(d.text, '\s+')) as n_tok_before,
+               coalesce(r.n_tok_after, 0) as n_tok_after,
+               case when coalesce(len(r.scrubbed), 0) > 0 then
+                 list_reduce(list_prepend(0::bigint,
+                   list_transform(string_split(r.scrubbed, ''),
+                                  x -> unicode(x)::bigint)),
+                   (acc, x) -> (acc * 31 + x) % 2147483647)
+               else 0 end as scrub_fp
+        from documents d left join reb r on r.doc_id = d.doc_id"""
 
     # PII redaction: replay the same salting + the same rule list
     # (RE2 side), full text value-hash compare.  Rule i is counted on

@@ -716,3 +716,125 @@ def ngram_containment_pairs(df: DataFrame, n: int = 8,
                         / F.least("n_x", "n_y"), 6)
                 .alias("containment"))
             .where(F.col("containment") >= threshold))
+
+
+def _gram_occurrences(df: DataFrame, n: int, text_col: str,
+                      id_col: str) -> DataFrame:
+    """One row per n-gram OCCURRENCE with its token position:
+    (id, pos, fin, gram) where [pos, fin) is the covered token range.
+    Same posexplode + lead assembly as shingle_rows (whole-stage
+    codegen), but positions are kept — span dedup needs to know WHERE
+    a duplicated gram sits, not just that it exists.  Documents
+    shorter than n tokens contribute their whole text as one gram
+    covering [0, n_tok)."""
+    from pyspark.sql import Window
+    tok = (_spread(df)
+           .select(F.col(id_col).alias("id"),
+                   F.size(tokens(F.col(text_col))).alias("n_tok"),
+                   F.posexplode(tokens(F.col(text_col)))
+                   .alias("pos", "w")))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    g = tok.withColumn("gram", F.concat_ws(" ", *parts))
+    keep = (F.col("pos") + n <= F.col("n_tok")) | \
+           ((F.col("n_tok") < n) & (F.col("pos") == 0))
+    return (g.where(keep)
+            .select("id", "pos",
+                    F.least(F.col("pos") + n,
+                            F.col("n_tok")).alias("fin"),
+                    "gram"))
+
+
+def duplicate_spans(df: DataFrame, n: int = 8, min_count: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplicate spans at token-n-gram granularity
+    (the distributed form of ExactSubstr dedup, Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every n-token gram occurring >= min_count times CORPUS-WIDE
+    (across documents or repeated within one) marks its token range
+    as duplicated; per document, overlapping/adjacent ranges merge
+    into maximal spans via a gaps-and-islands window.
+
+    The paper's suffix array is a single-machine structure; the
+    n-gram index is the standard distributed relaxation — it finds
+    exactly the duplicated substrings of length >= n, at the cost of
+    missing shorter ones.
+
+    Scale shape: duplicated grams come from a groupBy(gram) count
+    (map-side partial combine, so a mega-frequent gram never
+    concentrates rows on one task) followed by a left-semi join back
+    onto the occurrence rows; the islands window partitions by doc.
+    No pairwise joins anywhere — cost is linear in total tokens.
+
+    Returns (id_col, span_start, span_end, span_tokens), spans
+    half-open [span_start, span_end) in token positions."""
+    from pyspark.sql import Window
+    occ = _gram_occurrences(df, n, text_col, id_col)
+    dup_grams = (occ.groupBy("gram").count()
+                 .where(F.col("count") >= min_count).select("gram"))
+    dup = (occ.join(dup_grams, "gram", "left_semi")
+           .select("id", "pos", "fin"))
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("fin").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end),
+               F.lit(1)).otherwise(F.lit(0)))
+    spans = (marked.withColumn("gid", F.sum("new_span").over(w))
+             .groupBy("id", "gid")
+             .agg(F.min("pos").alias("span_start"),
+                  F.max("fin").alias("span_end"))
+             .select(F.col("id").alias(id_col), "span_start",
+                     "span_end",
+                     (F.col("span_end")
+                      - F.col("span_start")).alias("span_tokens")))
+    return spans
+
+
+def scrub_duplicate_spans(df: DataFrame, n: int = 8,
+                          min_count: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Remove every duplicated span's tokens and rebuild the text —
+    the ExactSubstr scrub (cut the repeated substring, keep the
+    unique remainder; documents that are entirely duplicated come
+    back with empty text rather than vanishing, so the caller decides
+    whether to drop empties).
+
+    Rebuild is relational: covered positions explode from the spans
+    (span_tokens rows per span — linear), kept tokens are a left-anti
+    join on (id, pos), and the text reassembles with
+    array_sort(collect_list(struct(pos, w))) so the groupBy needs no
+    ordering guarantee from the shuffle.
+
+    Returns the input rows with text replaced by the scrubbed text
+    plus n_tok_before / n_tok_after bookkeeping columns."""
+    spans = duplicate_spans(df, n, min_count, text_col, id_col)
+    covered = spans.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.col("span_start"),
+                             F.col("span_end") - 1)).alias("pos"))
+    tok = (_spread(df)
+           .select(F.col(id_col).alias("id"),
+                   F.posexplode(tokens(F.col(text_col)))
+                   .alias("pos", "w")))
+    kept = tok.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "w"))),
+                       lambda s: s["w"]), " ").alias("_scrubbed"),
+                    F.count("*").alias("n_tok_after")))
+    base = df.withColumn("n_tok_before",
+                         F.size(tokens(F.col(text_col))))
+    out = (base.join(rebuilt.withColumnRenamed("id", id_col),
+                     id_col, "left")
+           .withColumn(text_col, F.coalesce(F.col("_scrubbed"),
+                                            F.lit("")))
+           .withColumn("n_tok_after",
+                       F.coalesce(F.col("n_tok_after"), F.lit(0)))
+           .drop("_scrubbed"))
+    return out

@@ -1289,3 +1289,63 @@ def test_corpus_divergence_properties(spark):
     assert abs(same["js_divergence"]) < 1e-6
     diff = corpus_divergence(a, b).collect()[0]
     assert 0.4 < diff["js_divergence"] < math.log(2)
+
+
+# ------------------------------------------- exact-substring span dedup
+
+def test_duplicate_spans_planted(spark):
+    """A 10-token phrase shared by two docs yields one maximal span in
+    each, covering exactly the phrase (n=8 grams, islands merged);
+    adjacent duplicated grams merge rather than emitting per-gram."""
+    from metacat_spark.llm.dedup import duplicate_spans
+    phrase = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (1, f"a b c d e {phrase} x y z"),          # phrase at pos 5..14
+        (2, f"{phrase} q r s t u v w m n o"),      # phrase at pos 0..9
+        (3, "entirely unique words only here today friends nothing"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id): (r.span_start, r.span_end, r.span_tokens)
+           for r in duplicate_spans(df, n=8, min_count=2).collect()}
+    assert got == {1: (5, 15, 10), 2: (0, 10, 10)}
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    """min_count counts occurrences corpus-wide INCLUDING within-doc
+    repeats — a doc that repeats its own 8-gram is flagged."""
+    from metacat_spark.llm.dedup import duplicate_spans
+    gram = " ".join(f"g{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{gram} filler one two three four five six {gram}")],
+        ["doc_id", "text"])
+    spans = duplicate_spans(df, n=8, min_count=2).collect()
+    cover = {(r.span_start, r.span_end) for r in spans}
+    assert cover == {(0, 8), (15, 23)}
+
+
+def test_scrub_duplicate_spans_planted(spark):
+    """Scrub removes exactly the duplicated tokens and keeps order;
+    a fully-duplicated doc comes back with empty text, not dropped."""
+    from metacat_spark.llm.dedup import scrub_duplicate_spans
+    phrase = " ".join(f"p{i}" for i in range(10))
+    rows = [(1, f"a b c d e {phrase} x y z"),
+            (2, phrase),
+            (3, f"{phrase} tail1 tail2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.text, r.n_tok_before, r.n_tok_after)
+           for r in scrub_duplicate_spans(df, n=8, min_count=2)
+           .collect()}
+    assert got[1] == ("a b c d e x y z", 18, 8)
+    assert got[2] == ("", 10, 0)
+    assert got[3] == ("tail1 tail2", 12, 2)
+
+
+def test_duplicate_spans_vs_duck(docs, duck):
+    """Corpus-level spans at n=8 match the DuckDB islands replay."""
+    from metacat_spark.llm.dedup import duplicate_spans
+    import __spark_entry__ as E
+    got = sorted(tuple(r) for r in
+                 duplicate_spans(docs, n=8, min_count=2).collect())
+    want = sorted(tuple(r) for r in duck.execute(
+        E.oracle_sql()["dedup_substring_spans"]).fetchall())
+    assert got == want

@@ -315,3 +315,19 @@ def test_pii_redaction_all_jvm(spark):
     plan = plan_of(df)
     assert "EvalPython" not in plan
     assert "codegen id" in plan
+
+
+def test_duplicate_spans_all_jvm_no_pairwise(spark):
+    """ExactSubstr span dedup must stay fully relational: no Python
+    stages (BatchEvalPython/ArrowEval), no cartesian/nested-loop
+    pairwise join — duplicated grams come from a map-side-combinable
+    groupBy + left-semi join, linear in total tokens."""
+    from metacat_spark.llm.dedup import duplicate_spans
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(duplicate_spans(docs, n=8, min_count=2))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the dup-gram reduction must partial-aggregate map-side
+    assert "partial_count" in plan or "HashAggregate" in plan
