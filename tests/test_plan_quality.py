@@ -331,3 +331,15 @@ def test_duplicate_spans_all_jvm_no_pairwise(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the dup-gram reduction must partial-aggregate map-side
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ivf_pq_no_interpreted_hof(spark):
+    """IVF-PQ encode/assign and ADC scoring are Arrow stages; no
+    interpreted per-row HOF dots, no row-level Python."""
+    from metacat_spark.llm.similarity import ivf_pq_topk
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(ivf_pq_topk(embs, k=3, n_lists=8, n_probe=2,
+                               n_codes=16))
+    assert "aggregate(" not in plan and "zip_with" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan
