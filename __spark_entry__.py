@@ -1048,6 +1048,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fp.alias("scrub_fp"))
     q["dedup_substring_scrub"] = substr_scrub
 
+    def doc_split(spark, sf_dir):
+        """Deterministic train/val/test split (llm/pipeline.py
+        split_corpus): bucket = adler32(str(doc_id)) % 10000, 80/10/10
+        cumulative boundaries — exhaustive, disjoint, and stable
+        under corpus growth (assignment depends only on the id).
+        Full value-hash: the oracle replays the identical adler32
+        arithmetic in SQL."""
+        from metacat_spark.llm.pipeline import split_corpus
+        return split_corpus(_docs(spark, sf_dir)).select(
+            "doc_id", "split")
+    q["doc_split_train_val_test"] = doc_split
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -2106,6 +2118,12 @@ def oracle_sql() -> dict[str, str]:
         from c where cum_tok <= 15000"""
 
     _ad_doc = ADLER32.format(c="cast(doc_id as varchar)")
+    o["doc_split_train_val_test"] = f"""
+        select doc_id,
+               case when ({_ad_doc}) % 10000 < 8000 then 'train'
+                    when ({_ad_doc}) % 10000 < 9000 then 'val'
+                    else 'test' end as split
+        from documents"""
     o["doc_stratified_sample"] = f"""
         select doc_id, lang from documents
         where ({_ad_doc}) % 10000 <

@@ -12,7 +12,8 @@ metacat_namespace.py, metacat_named_query.py).
     python -m metacat_spark.cli namespace (list|show|create) ...
     python -m metacat_spark.cli named-query (list|show|create|search) ...
     python -m metacat_spark.cli corpus (analyze|quality|dedup|
-        contamination|pack|redact|mixture|ann) ...   # beyond-reference
+        contamination|pack|redact|scrub|split|mixture|ann) ...
+        # beyond-reference
 
 The reference CLI talks to a resident metacat server; the equivalent
 here is a resident engine — sessions are cached per sf-dir at module
@@ -149,6 +150,8 @@ def _cmd_corpus(args) -> int:
         elif args.method == "containment":
             out = DD.ngram_containment_pairs(df,
                                              threshold=args.threshold)
+        elif args.method == "substring":
+            out = DD.duplicate_spans(df, n=args.ngram)
         else:
             out = DD.ngram_jaccard_pairs(df, threshold=args.threshold)
     elif args.ccmd == "admit":
@@ -191,6 +194,18 @@ def _cmd_corpus(args) -> int:
     elif args.ccmd == "pack":
         from .llm.packing import pack_sequences
         out = pack_sequences(df, max_tokens=args.max_tokens)
+    elif args.ccmd == "scrub":
+        from .llm.dedup import scrub_duplicate_spans
+        out = scrub_duplicate_spans(df, n=args.ngram)
+    elif args.ccmd == "split":
+        from .llm.pipeline import split_corpus
+        splits = None
+        if args.splits:
+            splits = {}
+            for part in args.splits.split(","):
+                k, _, v = part.partition("=")
+                splits[k.strip()] = float(v)
+        out = split_corpus(df, splits, salt=args.salt)
     elif args.ccmd == "redact":
         from .llm.text import pii_count, redact_pii
         out = df.select("doc_id",
@@ -210,6 +225,8 @@ def _cmd_corpus(args) -> int:
             out = SIM.topk_gemm(df, k=args.k)
         elif args.method == "lsh":
             out = SIM.lsh_bucketed_topk(df, k=args.k)
+        elif args.method == "ivfpq":
+            out = SIM.ivf_pq_topk(df, k=args.k, train_iters=2)
         else:
             out = SIM.ivf_topk(df, k=args.k, train_iters=2)
 
@@ -487,9 +504,11 @@ def main(argv=None):
     _corpus_common(cd)
     cd.add_argument("--method",
                     choices=["exact", "minhash", "ngram", "semantic",
-                             "containment"],
+                             "containment", "substring"],
                     default="exact")
     cd.add_argument("--threshold", type=float, default=0.5)
+    cd.add_argument("--ngram", type=int, default=8,
+                    help="gram length for --method substring")
     cad = cs.add_parser("admit", help="admission-filter a new batch "
                         "against an existing corpus (incremental "
                         "exact dedup)")
@@ -545,6 +564,18 @@ def main(argv=None):
     cp_.add_argument("--max-tokens", type=int, default=512)
     cr = cs.add_parser("redact", help="PII scrub (typed placeholders)")
     _corpus_common(cr)
+    csc = cs.add_parser("scrub", help="cut duplicated substrings "
+                        "(ExactSubstr span scrub)")
+    _corpus_common(csc)
+    csc.add_argument("--ngram", type=int, default=8)
+    csp = cs.add_parser("split", help="deterministic train/val/test "
+                        "hash split")
+    _corpus_common(csp)
+    csp.add_argument("--splits", default=None,
+                     help="comma list, e.g. train=0.8,val=0.1,"
+                          "test=0.1 (default 80/10/10)")
+    csp.add_argument("--salt", default="",
+                     help="derive an independent split")
     cm = cs.add_parser("mixture", help="re-balance to target domain "
                        "proportions (downsample-only)")
     _corpus_common(cm)
@@ -553,7 +584,8 @@ def main(argv=None):
     cm.add_argument("--stratum-col", default="lang")
     cn = cs.add_parser("ann", help="embedding nearest neighbours")
     _corpus_common(cn, embeddings=True)
-    cn.add_argument("--method", choices=["gemm", "lsh", "ivf"],
+    cn.add_argument("--method",
+                    choices=["gemm", "lsh", "ivf", "ivfpq"],
                     default="gemm")
     cn.add_argument("-k", type=int, default=5)
 

@@ -256,3 +256,37 @@ def select_token_budget(df: DataFrame, budget: int,
                         F.col("cum_excl") + F.sum("n_tok").over(wd))
             .where(F.col("cum_tok") <= budget)
             .select(id_col, "n_tok", "score", "cum_tok"))
+
+
+def split_corpus(df: DataFrame, splits: dict | None = None,
+                 id_col: str = "doc_id", salt: str = "",
+                 mod: int = 10000) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    adler32(str(id) + salt) % mod, split chosen by cumulative
+    fraction boundaries in ``splits`` insertion order (default
+    80/10/10). Pure projection — zero shuffle, zero RNG state; the
+    partition is exhaustive and disjoint by construction, and a
+    document's assignment depends only on its id, so growing the
+    corpus never reassigns existing documents (the property that
+    keeps eval sets honest across ingest batches). ``salt`` derives
+    independent splits from the same ids. Same portable adler32 the
+    hash filter mirrors in DuckDB — oracle-checkable end-to-end;
+    hashing is the Arrow-batched ``_adler32_udf`` over just the id
+    column (only UDF inputs cross the Python boundary)."""
+    from ..filters import _adler32_udf
+
+    if splits is None:
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = _adler32_udf()(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))) % mod
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = h < F.lit(acc * mod)
+        expr = F.when(cond, name) if expr is None \
+            else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -306,3 +306,20 @@ def test_corpus_output_parquet(capsys, tmp_path, spark):
     assert packed.count() > 0
     assert set(packed.columns) == {"doc_id", "chunk", "n_tok",
                                    "pack_id"}
+
+
+def test_corpus_split_and_scrub(capsys):
+    rc, out = run(capsys, "corpus", "split", "-j", "-l", "6")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 6
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    rc, out = run(capsys, "corpus", "dedup", "--method", "substring",
+                  "-j", "-l", "3")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all(r["span_end"] - r["span_start"] == r["span_tokens"]
+               for r in rows)
+    rc, out = run(capsys, "corpus", "scrub", "-j", "-l", "3")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all(r["n_tok_after"] <= r["n_tok_before"] for r in rows)

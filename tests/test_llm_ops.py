@@ -1397,3 +1397,40 @@ def test_ivf_pq_codes_shape_deterministic(embs):
                SIM.ivf_pq_topk(embs, k=2, n_lists=8, n_probe=4,
                                n_codes=64).collect())
     assert a == b
+
+
+# -------------------------------------------------- corpus hash split
+
+def test_split_corpus_partition_properties(docs):
+    """Exhaustive + disjoint by construction; proportions near the
+    80/10/10 recipe; and STABLE under growth — the split of any
+    subset agrees with the split of the whole corpus."""
+    from metacat_spark.llm.pipeline import split_corpus
+    full = {r["doc_id"]: r["split"]
+            for r in split_corpus(docs).select("doc_id",
+                                               "split").collect()}
+    assert len(full) == docs.count()
+    n = len(full)
+    frac_train = sum(1 for s in full.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+    assert set(full.values()) == {"train", "val", "test"}
+    sub = {r["doc_id"]: r["split"]
+           for r in split_corpus(docs.limit(100))
+           .select("doc_id", "split").collect()}
+    assert all(full[i] == s for i, s in sub.items())
+
+
+def test_split_corpus_salt_independence(docs):
+    """A different salt derives a DIFFERENT (but still deterministic)
+    partition from the same ids."""
+    from metacat_spark.llm.pipeline import split_corpus
+    a = {r["doc_id"]: r["split"] for r in
+         split_corpus(docs).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         split_corpus(docs, salt="v2").select("doc_id",
+                                              "split").collect()}
+    assert a != b
+    b2 = {r["doc_id"]: r["split"] for r in
+          split_corpus(docs, salt="v2").select("doc_id",
+                                               "split").collect()}
+    assert b == b2
