@@ -259,8 +259,9 @@ def make_handler(client: MetaCatSparkClient,
             """Training-corpus operators over HTTP (beyond-reference;
             mirrors the CLI `corpus` group on the served catalog's
             documents table): /data/corpus?op=analyze|quality|report|
-            stats|select|lm|pack|redact|mixture|contamination|
-            decontaminate|divergence|semdedup|ann [&budget=N]
+            stats|select|lm|pack|redact|scrub|split|mixture|
+            contamination|decontaminate|divergence|semdedup|
+            substring|ann [&budget=N]
             [&max_tokens=N][&threshold=T][&target=en=0.6,de=0.4]
             [&limit=N] — streamed as json-seq frames."""
             from pyspark.sql import functions as F
@@ -309,6 +310,24 @@ def make_handler(client: MetaCatSparkClient,
                 out = docs.select(
                     "doc_id", redact_pii(F.col("text")).alias("text"),
                     pii_count(F.col("text")).alias("n_pii"))
+            elif op == "scrub":
+                from .llm.dedup import scrub_duplicate_spans
+                n = int(_one(params, "ngram") or 8)
+                out = scrub_duplicate_spans(docs, n=n)
+            elif op == "substring":
+                from .llm.dedup import duplicate_spans
+                n = int(_one(params, "ngram") or 8)
+                out = duplicate_spans(docs, n=n)
+            elif op == "split":
+                from .llm.pipeline import split_corpus
+                spec = _one(params, "splits") or ""
+                splits = {}
+                for part in spec.split(","):
+                    k, _, v = part.partition("=")
+                    if k.strip():
+                        splits[k.strip()] = float(v)
+                out = split_corpus(docs, splits or None,
+                                   salt=_one(params, "salt") or "")
             elif op == "mixture":
                 from .llm.pipeline import sample_to_mixture
                 spec = _one(params, "target") or ""
@@ -384,6 +403,8 @@ def make_handler(client: MetaCatSparkClient,
                     out = SIM.lsh_bucketed_topk(embs, k=k)
                 elif method == "ivf":
                     out = SIM.ivf_topk(embs, k=k, train_iters=2)
+                elif method == "ivfpq":
+                    out = SIM.ivf_pq_topk(embs, k=k, train_iters=2)
                 else:
                     return self._send(400, "text/plain",
                                       f"unknown method: {method}")

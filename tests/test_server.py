@@ -577,3 +577,17 @@ def test_corpus_contamination_path_jail(served, spark, catalog):
         assert e.value.code == 403
     finally:
         srv.shutdown()
+
+
+def test_corpus_split_scrub_substring_endpoints(served):
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/corpus", op="split", limit=6))
+    assert len(rows) == 6
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    rows = _json_seq(_get(base, "/data/corpus", op="substring",
+                          limit=4))
+    assert rows and all(r["span_end"] - r["span_start"]
+                        == r["span_tokens"] for r in rows)
+    rows = _json_seq(_get(base, "/data/corpus", op="scrub", limit=4))
+    assert rows and all(r["n_tok_after"] <= r["n_tok_before"]
+                        for r in rows)
