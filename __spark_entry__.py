@@ -1060,6 +1060,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "split")
     q["doc_split_train_val_test"] = doc_split
 
+    def doc_classifier(spark, sf_dir):
+        """Model-based quality filter (llm/text.py classifier_score —
+        the fastText-style linear classifier gate of CCNet-class
+        pipelines): score = sigmoid(bias + mean w[token]), weight
+        table broadcast so the corpus-side join is shuffle-free.  The
+        entry derives a deterministic weight per vocab term IN-PLAN
+        ((len % 7 − 3)/3) so the oracle can replay the full
+        score arithmetic — the plumbing (broadcast vocab join, OOV
+        coalesce, occurrence-mean pooling) is exactly what a real
+        trained model would ride."""
+        from metacat_spark.llm.text import classifier_score, tokens
+        docs = _docs(spark, sf_dir)
+        vocab = (docs.select(F.explode(tokens(F.col("text")))
+                             .alias("term")).distinct()
+                 .select("term",
+                         (((F.length("term") % 7) - 3) / 3.0)
+                         .alias("weight")))
+        return classifier_score(docs, vocab, bias=0.25)
+    q["doc_classifier_score"] = doc_classifier
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -2116,6 +2136,19 @@ def oracle_sql() -> dict[str, str]:
                 as bigint) as cum_tok from s)
         select doc_id, cast(n_tok as bigint) as n_tok, score, cum_tok
         from c where cum_tok <= 15000"""
+
+    o["doc_classifier_score"] = r"""
+        with tok as (
+          select doc_id, unnest(string_split_regex(text, '\s+'))
+                   as term
+          from documents),
+        agg as (
+          select doc_id, count(*) as n_terms,
+                 avg((length(term) % 7 - 3) / 3.0) as raw
+          from tok group by doc_id)
+        select doc_id, n_terms, round(raw, 6) as raw,
+               round(1.0 / (1.0 + exp(-(0.25 + raw))), 6) as score
+        from agg"""
 
     _ad_doc = ADLER32.format(c="cast(doc_id as varchar)")
     o["doc_split_train_val_test"] = f"""

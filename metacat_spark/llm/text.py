@@ -394,3 +394,39 @@ def corpus_divergence(df_a: DataFrame, df_b: DataFrame,
         F.round("_kb", 6).alias("kl_b_m"),
         F.round((F.col("_ka") + F.col("_kb")) / 2, 6)
         .alias("js_divergence"))
+
+
+def classifier_score(df: DataFrame, weights: DataFrame,
+                     bias: float = 0.0, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Linear bag-of-words text classifier scoring — the
+    fastText-style model-based quality filter stage (cf. CCNet /
+    common LLM-corpus pipelines, where a linear classifier trained on
+    a reference corpus gates documents): score = sigmoid(bias +
+    mean over token occurrences of weight[token]), OOV tokens
+    weighted 0, mean pooling over OCCURRENCES (multiplicity counts,
+    as fastText does).
+
+    ``weights`` is a (term, weight) DataFrame — the trained model's
+    dense vocabulary row. Scale shape: the weight table is
+    vocabulary-sized (≪ corpus) and explicitly broadcast, so the
+    token-row join is shuffle-free on the corpus side; everything
+    else is one groupBy(doc). Training is out of scope (a trained
+    model arrives as data); scoring is the cluster-scale half.
+
+    Returns (id_col, n_terms, raw, score)."""
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+    w = weights.select(F.col("term"),
+                       F.col("weight").cast("double").alias("weight"))
+    j = tok.join(F.broadcast(w), "term", "left")
+    agg = (j.groupBy("id")
+           .agg(F.count("*").alias("n_terms"),
+                F.avg(F.coalesce(F.col("weight"),
+                                 F.lit(0.0))).alias("raw")))
+    score = F.lit(1.0) / (F.lit(1.0)
+                          + F.exp(-(F.lit(float(bias))
+                                    + F.col("raw"))))
+    return (agg.select(F.col("id").alias(id_col), "n_terms",
+                       F.round("raw", 6).alias("raw"),
+                       F.round(score, 6).alias("score")))

@@ -1434,3 +1434,24 @@ def test_split_corpus_salt_independence(docs):
           split_corpus(docs, salt="v2").select("doc_id",
                                                "split").collect()}
     assert b == b2
+
+
+# ------------------------------------------------- classifier scoring
+
+def test_classifier_score_known_values(spark):
+    """Hand-computable case: mean-pool over occurrences (multiplicity
+    counts), OOV→0, sigmoid(bias + mean)."""
+    import math
+    from metacat_spark.llm.text import classifier_score
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unknown words only")],
+        ["doc_id", "text"])
+    w = spark.createDataFrame(
+        [("good", 1.0), ("bad", -2.0)], ["term", "weight"])
+    got = {r["doc_id"]: (r["n_terms"], r["raw"], r["score"])
+           for r in classifier_score(docs, w, bias=0.5).collect()}
+    assert got[1][0] == 3
+    assert abs(got[1][1] - 0.0) < 1e-9          # (1+1-2)/3
+    assert abs(got[1][2]
+               - 1 / (1 + math.exp(-0.5))) < 1e-6
+    assert got[2] == (3, 0.0, round(1 / (1 + math.exp(-0.5)), 6))

@@ -343,3 +343,18 @@ def test_ivf_pq_no_interpreted_hof(spark):
     assert "aggregate(" not in plan and "zip_with" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan or "mapInPandas" in plan
+
+
+def test_classifier_score_broadcasts_weights(spark):
+    """The vocabulary weight table must broadcast — the corpus-side
+    token rows never shuffle for the join; no Python anywhere."""
+    from metacat_spark.llm.text import classifier_score
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from metacat_spark.llm.text import tokens
+    w = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+         .distinct()
+         .select("term", (F.length("term") * 0.1).alias("weight")))
+    plan = plan_of(classifier_score(docs, w))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "NestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
