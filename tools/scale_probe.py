@@ -78,6 +78,12 @@ def probe(spark, mult: int) -> dict:
             "metacat_spark.llm.packing",
             fromlist=["pack_sequences"]).pack_sequences(
             docs, max_tokens=512, group_docs=4096).count(),
+        # replicas multiply every gram's corpus count, so dup volume
+        # grows with the data while the shape stays one groupBy +
+        # semi-join + per-doc windows: the probe checks wall stays
+        # near-linear even as ~all grams turn duplicated
+        "substring_spans": lambda: DD.duplicate_spans(
+            docs, n=8, min_count=2).count(),
     }
     out = {}
     for name, fn in cases.items():
