@@ -1089,10 +1089,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's headline ops — in-cap, displacing two entries whose
     # families keep in-cap representatives (filter_sample for
     # filter_sample_hash; cosine_pairs/topk/ann/ivf for the centroid)
+    # r5b: the ExactSubstr scrub (full reconstructed-text hash), the
+    # train/val/test split, and the classifier score (full arithmetic
+    # hash) go in-cap alongside embed_topk_ivfpq (already mid-list);
+    # displaced: three 1-row certificate entries whose families keep
+    # multiple in-cap value-hashed rows (dedup_minhash_lsh stays for
+    # banded LSH; ivf/ivfpq stay for ANN; filter_sample +
+    # filter_hash_adler32 stay for filters) — all remain replica-gate
+    # hash-checked past the cap, like dedup_exact_streaming which the
+    # ivfpq insertion already displaced (events_windowed_streaming
+    # keeps a streaming path in-cap).
     promote = ["dedup_cross_jaccard", "doc_pack_sequences",
-               "dedup_cross_containment", "doc_token_budget"]
+               "dedup_cross_containment", "doc_token_budget",
+               "dedup_substring_scrub", "doc_split_train_val_test",
+               "doc_classifier_score"]
     demote = ["doc_quality_score", "doc_lang_id",
-              "filter_sample_hash", "embed_centroid_by_label"]
+              "filter_sample_hash", "embed_centroid_by_label",
+              "dedup_simhash", "embed_topk_ann_lsh", "filter_mix"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
