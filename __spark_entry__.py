@@ -1080,6 +1080,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classifier_score(docs, vocab, bias=0.25)
     q["doc_classifier_score"] = doc_classifier
 
+    def doc_gopher(spark, sf_dir):
+        """Gopher heuristic quality gate (llm/text.py gopher_gate,
+        Rae et al. 2021 A1.1): seven per-rule flags + conjunction,
+        all codegen (regexp counts + length arithmetic).  On the
+        synthetic corpus the stopword rule fails everywhere (the
+        fixture vocabulary contains only 'the'/'a' from the Gopher
+        list) — faithful to the paper's thresholds; the other flags
+        vary and the full row is value-hashed."""
+        from metacat_spark.llm.text import gopher_gate
+        return gopher_gate(_docs(spark, sf_dir))
+    q["doc_gopher_gate"] = doc_gopher
+
+    def doc_c4(spark, sf_dir):
+        """C4 line-level cleaning (llm/text.py c4_line_filter,
+        Raffel et al. 2020 §2.2): terminal-punctuation/min-words/
+        brace/javascript/lorem-ipsum line rules, order-safe
+        reassembly.  The flat fixture docs have no newlines, so the
+        entry PLANTS a deterministic 4-line rendering in-plan (pure
+        function of the tokens: a terminal-punct line, a brace line,
+        a bare fragment, a '!'-terminated line) and the oracle
+        replays construction + filtering + reassembly — the cleaned
+        TEXT is value-hashed, not just counts."""
+        from metacat_spark.llm.text import c4_line_filter, tokens
+        t = F.col("text")
+        toks = tokens(t)
+        planted = F.concat_ws(
+            "\n",
+            F.concat(F.array_join(F.slice(toks, 1, 8), " "),
+                     F.lit(" finish.")),
+            F.lit("{ code }"),
+            F.array_join(F.slice(toks, 9, 6), " "),
+            F.concat(F.array_join(F.slice(toks, 15, 8), " "),
+                     F.lit(" done!")))
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", planted.alias("text"))
+        return c4_line_filter(docs).select(
+            "doc_id", "text", "n_lines_before", "n_lines_after")
+    q["doc_c4_line_filter"] = doc_c4
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -2149,6 +2188,90 @@ def oracle_sql() -> dict[str, str]:
                 as bigint) as cum_tok from s)
         select doc_id, cast(n_tok as bigint) as n_tok, score, cum_tok
         from c where cum_tok <= 15000"""
+
+    o["doc_gopher_gate"] = r"""
+        with t as (
+          select doc_id, text,
+                 string_split_regex(text, '\s+') as toks,
+                 len(string_split_regex(text, '\s+')) as n_words,
+                 length(regexp_replace(text, '\s', '', 'g'))
+                   as n_chars,
+                 len(string_split(text, chr(10))) as n_lines,
+                 len(regexp_extract_all(text, '(?m)^[-*•]'))
+                   as n_bullet,
+                 len(regexp_extract_all(text, '(?m)\.\.\.$'))
+                   as n_ellipsis,
+                 len(regexp_extract_all(text, '#')) as n_hash,
+                 len(regexp_extract_all(text,
+                   '[^\s]*[A-Za-z][^\s]*')) as n_alpha
+          from documents),
+        f as (
+          select doc_id,
+                 n_words >= 50 and n_words <= 100000 as words_ok,
+                 n_chars / n_words >= 3
+                   and n_chars / n_words <= 10 as mean_word_len_ok,
+                 n_hash / n_words <= 0.1 as hash_ratio_ok,
+                 n_ellipsis / n_lines <= 0.3 as ellipsis_ratio_ok,
+                 n_bullet / n_lines <= 0.9 as bullet_ratio_ok,
+                 n_alpha / n_words >= 0.8 as alpha_ratio_ok,
+                 (least(1, len(list_filter(toks, x -> x = 'the')))
+                  + least(1, len(list_filter(toks, x -> x = 'be')))
+                  + least(1, len(list_filter(toks, x -> x = 'to')))
+                  + least(1, len(list_filter(toks, x -> x = 'of')))
+                  + least(1, len(list_filter(toks, x -> x = 'and')))
+                  + least(1, len(list_filter(toks, x -> x = 'that')))
+                  + least(1, len(list_filter(toks, x -> x = 'have')))
+                  + least(1, len(list_filter(toks, x -> x = 'with')))
+                 ) >= 2 as stopwords_ok
+          from t)
+        select doc_id, words_ok, mean_word_len_ok, hash_ratio_ok,
+               ellipsis_ratio_ok, bullet_ratio_ok, alpha_ratio_ok,
+               stopwords_ok,
+               words_ok and mean_word_len_ok and hash_ratio_ok
+                 and ellipsis_ratio_ok and bullet_ratio_ok
+                 and alpha_ratio_ok and stopwords_ok as gopher_pass
+        from f"""
+
+    o["doc_c4_line_filter"] = r"""
+        with planted as (
+          select doc_id,
+                 -- coalesce: DuckDB array_to_string([]) is NULL
+                 -- where Spark array_join([]) is ''
+                 concat_ws(chr(10),
+                   coalesce(array_to_string(toks[1:8], ' '), '')
+                     || ' finish.',
+                   '{ code }',
+                   coalesce(array_to_string(toks[9:14], ' '), ''),
+                   coalesce(array_to_string(toks[15:22], ' '), '')
+                     || ' done!') as text
+          from (select doc_id,
+                       string_split_regex(text, '\s+') as toks
+                from documents)),
+        lines as (
+          select doc_id, u.pos as pos, u.line as line
+          from (select doc_id,
+                  [{'pos': i - 1, 'line': ls[i]}
+                   for i in range(1, len(ls) + 1)] as ws
+                from (select doc_id,
+                             string_split(text, chr(10)) as ls
+                      from planted)), unnest(ws) as t(u)),
+        kept as (
+          select doc_id,
+                 string_agg(line, chr(10) order by pos) as clean,
+                 count(*) as n_lines_after
+          from lines
+          where regexp_matches(line, '[.!?"]\s*$')
+            and len(string_split_regex(trim(line), '\s+')) >= 3
+            and not contains(line, '{')
+            and not contains(line, '}')
+            and not contains(lower(line), 'javascript')
+            and not contains(lower(line), 'lorem ipsum')
+          group by doc_id)
+        select p.doc_id, coalesce(k.clean, '') as text,
+               len(regexp_extract_all(p.text, chr(10)))::int + 1
+                 as n_lines_before,
+               coalesce(k.n_lines_after, 0) as n_lines_after
+        from planted p left join kept k on k.doc_id = p.doc_id"""
 
     o["doc_classifier_score"] = r"""
         with tok as (

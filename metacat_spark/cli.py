@@ -194,6 +194,12 @@ def _cmd_corpus(args) -> int:
     elif args.ccmd == "pack":
         from .llm.packing import pack_sequences
         out = pack_sequences(df, max_tokens=args.max_tokens)
+    elif args.ccmd == "gate":
+        from .llm.text import gopher_gate
+        out = gopher_gate(df)
+    elif args.ccmd == "c4":
+        from .llm.text import c4_line_filter
+        out = c4_line_filter(df)
     elif args.ccmd == "scrub":
         from .llm.dedup import scrub_duplicate_spans
         out = scrub_duplicate_spans(df, n=args.ngram)
@@ -564,6 +570,13 @@ def main(argv=None):
     cp_.add_argument("--max-tokens", type=int, default=512)
     cr = cs.add_parser("redact", help="PII scrub (typed placeholders)")
     _corpus_common(cr)
+    cgg = cs.add_parser("gate", help="Gopher heuristic quality "
+                        "gate (per-rule flags + conjunction)")
+    _corpus_common(cgg)
+    cc4 = cs.add_parser("c4", help="C4 line-level cleaning "
+                        "(terminal punctuation, min words, "
+                        "brace/boilerplate rules)")
+    _corpus_common(cc4)
     csc = cs.add_parser("scrub", help="cut duplicated substrings "
                         "(ExactSubstr span scrub)")
     _corpus_common(csc)

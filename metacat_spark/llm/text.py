@@ -430,3 +430,99 @@ def classifier_score(df: DataFrame, weights: DataFrame,
     return (agg.select(F.col("id").alias(id_col), "n_terms",
                        F.round("raw", 6).alias("raw"),
                        F.round(score, 6).alias("score")))
+
+
+# Gopher quality-gate thresholds (Rae et al. 2021, appendix A1.1) —
+# the document-level heuristic gate applied before model-based
+# filtering. All signals compile to codegen expressions (regexp
+# counts + length arithmetic), portable to the RE2 oracle.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_flags(col: Column) -> dict[str, Column]:
+    """Per-rule boolean columns of the Gopher gate. Word counts use
+    the shared whitespace tokenizer; line-shaped rules run as (?m)
+    multiline regexp counts so no explode is needed."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    # mean chars/word = non-whitespace chars / words
+    mean_wl = (F.length(F.regexp_replace(col, r"\s", ""))
+               / n_words)
+    n_lines = F.regexp_count(col, F.lit("\n")) + 1
+    n_bullet = F.regexp_count(col, F.lit(r"(?m)^[-*•]"))
+    n_ellipsis = F.regexp_count(col, F.lit(r"(?m)\.\.\.$"))
+    n_hash = F.regexp_count(col, F.lit("#"))
+    n_alpha_words = F.size(F.regexp_extract_all(
+        col, F.lit(r"[^\s]*[A-Za-z][^\s]*"), 0))
+    n_stop = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        n_stop = n_stop + F.least(F.lit(1), occurrences_in(toks, w))
+    return {
+        "words_ok": (n_words >= 50) & (n_words <= 100000),
+        "mean_word_len_ok": (mean_wl >= 3) & (mean_wl <= 10),
+        "hash_ratio_ok": (n_hash / n_words) <= 0.1,
+        "ellipsis_ratio_ok": (n_ellipsis / n_lines) <= 0.3,
+        "bullet_ratio_ok": (n_bullet / n_lines) <= 0.9,
+        "alpha_ratio_ok": (n_alpha_words / n_words) >= 0.8,
+        "stopwords_ok": n_stop >= 2,
+    }
+
+
+def gopher_gate(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document-level Gopher quality gate: the seven rule flags plus
+    the conjunction. Pure projection — linear, zero shuffle; compose
+    with repetition_scores for the dup-ngram rules (separate because
+    those need the occurrence aggregation)."""
+    flags = gopher_flags(F.col(text_col))
+    passed = None
+    cols = []
+    for name, c in flags.items():
+        cols.append(c.alias(name))
+        passed = c if passed is None else (passed & c)
+    return df.select(F.col(id_col), *cols,
+                     passed.alias("gopher_pass"))
+
+
+def c4_line_filter(df: DataFrame, min_words: int = 3,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation, have >= min_words words,
+    and contain neither a curly brace, the token "javascript"
+    (case-insensitive), nor "lorem ipsum"; documents reassemble from
+    their surviving lines.  Relational shape identical to the
+    substring scrub: posexplode lines → codegen predicates → one
+    groupBy(doc) order-safe reassembly (array_sort over (pos, line)
+    structs).  Documents whose every line is dropped come back with
+    empty text — C4 then discards docs under 3 sentences; that
+    count survives as n_lines_after for the caller's gate."""
+    lines = (df.select(F.col(id_col).alias("id"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("pos", "line")))
+    words = F.size(F.split(F.trim(F.col("line")), r"\s+"))
+    keep = (F.col("line").rlike(r'[.!?"]\s*$')
+            & (words >= min_words)
+            & ~F.col("line").contains("{")
+            & ~F.col("line").contains("}")
+            & ~F.lower(F.col("line")).contains("javascript")
+            & ~F.lower(F.col("line")).contains("lorem ipsum"))
+    kept = (lines.where(keep).groupBy("id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "line"))),
+                    lambda s: s["line"]), "\n").alias("_clean"),
+                 F.count("*").alias("n_lines_after")))
+    base = df.withColumn(
+        "n_lines_before",
+        F.regexp_count(F.col(text_col), F.lit("\n")) + 1)
+    return (base.join(kept.withColumnRenamed("id", id_col),
+                      id_col, "left")
+            .withColumn(text_col, F.coalesce(F.col("_clean"),
+                                             F.lit("")))
+            .withColumn("n_lines_after",
+                        F.coalesce(F.col("n_lines_after"),
+                                   F.lit(0).cast("long")))
+            .drop("_clean"))

@@ -259,7 +259,8 @@ def make_handler(client: MetaCatSparkClient,
             """Training-corpus operators over HTTP (beyond-reference;
             mirrors the CLI `corpus` group on the served catalog's
             documents table): /data/corpus?op=analyze|quality|report|
-            stats|select|lm|pack|redact|scrub|split|mixture|
+            stats|select|lm|pack|redact|gate|c4|scrub|split|
+            mixture|
             contamination|decontaminate|divergence|semdedup|
             substring|ann [&budget=N]
             [&max_tokens=N][&threshold=T][&target=en=0.6,de=0.4]
@@ -310,6 +311,12 @@ def make_handler(client: MetaCatSparkClient,
                 out = docs.select(
                     "doc_id", redact_pii(F.col("text")).alias("text"),
                     pii_count(F.col("text")).alias("n_pii"))
+            elif op == "gate":
+                from .llm.text import gopher_gate
+                out = gopher_gate(docs)
+            elif op == "c4":
+                from .llm.text import c4_line_filter
+                out = c4_line_filter(docs)
             elif op == "scrub":
                 from .llm.dedup import scrub_duplicate_spans
                 n = int(_one(params, "ngram") or 8)

@@ -323,3 +323,15 @@ def test_corpus_split_and_scrub(capsys):
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and rows
     assert all(r["n_tok_after"] <= r["n_tok_before"] for r in rows)
+
+
+def test_corpus_gate_and_c4(capsys):
+    rc, out = run(capsys, "corpus", "gate", "-j", "-l", "4")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 4
+    assert all("gopher_pass" in r for r in rows)
+    rc, out = run(capsys, "corpus", "c4", "-j", "-l", "4")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all(r["n_lines_after"] <= r["n_lines_before"]
+               for r in rows)

@@ -1455,3 +1455,32 @@ def test_classifier_score_known_values(spark):
     assert abs(got[1][2]
                - 1 / (1 + math.exp(-0.5))) < 1e-6
     assert got[2] == (3, 0.0, round(1 / (1 + math.exp(-0.5)), 6))
+
+
+# ------------------------------------------- Gopher gate / C4 lines
+
+def test_gopher_flags_known_cases(spark):
+    from metacat_spark.llm.text import gopher_gate
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "some more words that have to be written with care " * 3)
+    df = spark.createDataFrame(
+        [(1, good), (2, "short text"), (3, "#### " * 60)],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_gate(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["words_ok"] is False and not got[2]["gopher_pass"]
+    assert got[3]["hash_ratio_ok"] is False
+
+
+def test_c4_line_filter_known_case(spark):
+    from metacat_spark.llm.text import c4_line_filter
+    text = ("This line is long enough and ends properly.\n"
+            "short\n"
+            "var x = { javascript: true }\n"
+            "Lorem ipsum dolor sit amet etc.\n"
+            "Another good sentence survives here!")
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = c4_line_filter(df).collect()[0]
+    assert r["text"] == ("This line is long enough and ends properly."
+                         "\nAnother good sentence survives here!")
+    assert r["n_lines_before"] == 5 and r["n_lines_after"] == 2

@@ -591,3 +591,12 @@ def test_corpus_split_scrub_substring_endpoints(served):
     rows = _json_seq(_get(base, "/data/corpus", op="scrub", limit=4))
     assert rows and all(r["n_tok_after"] <= r["n_tok_before"]
                         for r in rows)
+
+
+def test_corpus_gate_c4_endpoints(served):
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/corpus", op="gate", limit=3))
+    assert len(rows) == 3 and all("gopher_pass" in r for r in rows)
+    rows = _json_seq(_get(base, "/data/corpus", op="c4", limit=3))
+    assert rows and all(r["n_lines_after"] <= r["n_lines_before"]
+                        for r in rows)
