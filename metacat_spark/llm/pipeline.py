@@ -290,3 +290,47 @@ def split_corpus(df: DataFrame, splits: dict | None = None,
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def curate_stream(spark, src_dir: str, min_quality: float = 0.3,
+                  min_tokens: int = 1,
+                  table: str = "curate_stream") -> DataFrame:
+    """Streaming-ingest curation: the batch pipeline's stateless
+    stages (token gate, quality gate, PII redaction) applied to a
+    document STREAM, with exact content dedup as the one stateful
+    stage (dropDuplicates on md5 — state is one hash per distinct
+    content; bound with a watermark on an arrival-time column in a
+    real continuous deployment). This is the continuous-ingest twin
+    of ``curate``'s front half: documents stream in, gated and
+    scrubbed documents stream out, near-dup removal runs as a
+    periodic batch compaction downstream (LSH state is not
+    stream-shaped). availableNow → memory sink; returns the curated
+    table. Equivalence with the batch stages is pinned by test."""
+    import os
+
+    from .text import (quality_score, redact_pii, token_count)
+
+    batch_schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isfile(src_dir):
+        reader = reader.option("pathGlobFilter",
+                               os.path.basename(src_dir))
+        src_dir = os.path.dirname(src_dir)
+    stream = reader.parquet(src_dir)
+    out = (stream
+           .withColumn("n_tok", token_count(F.col("text")))
+           .withColumn("quality", quality_score(F.col("text")))
+           .where((F.col("n_tok") >= min_tokens)
+                  & (F.col("quality") >= min_quality))
+           .withColumn("text", redact_pii(F.col("text")))
+           .withColumn("__h", F.md5(F.col("text")))
+           .dropDuplicates(["__h"])
+           .drop("__h"))
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "curate_stream did not finish within 120s — refusing to "
+            "return a partially populated memory table")
+    return spark.table(table)

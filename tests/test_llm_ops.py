@@ -1484,3 +1484,26 @@ def test_c4_line_filter_known_case(spark):
     assert r["text"] == ("This line is long enough and ends properly."
                          "\nAnother good sentence survives here!")
     assert r["n_lines_before"] == 5 and r["n_lines_after"] == 2
+
+
+def test_curate_stream_equals_batch_stages(spark):
+    """The streaming curation front half must produce exactly the
+    batch stages' content set (gate -> redact -> exact dedup)."""
+    from metacat_spark.llm.pipeline import curate_stream
+    from metacat_spark.llm.text import (quality_score, redact_pii,
+                                        token_count)
+    src = f"{SF_DIR}/documents.parquet"
+    got = {r["h"] for r in
+           curate_stream(spark, src, min_quality=0.3,
+                         table="curate_stream_eq")
+           .select(F.md5("text").alias("h")).collect()}
+    docs = spark.read.parquet(src)
+    batch = (docs
+             .withColumn("n_tok", token_count(F.col("text")))
+             .withColumn("quality", quality_score(F.col("text")))
+             .where((F.col("n_tok") >= 1) & (F.col("quality") >= 0.3))
+             .withColumn("text", redact_pii(F.col("text"))))
+    want = {r["h"] for r in
+            batch.select(F.md5("text").alias("h")).distinct()
+            .collect()}
+    assert got == want and len(got) > 0
