@@ -301,33 +301,46 @@ def simhash(df: DataFrame, text_col: str = "text",
     return per_doc.select("id", sim.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Pairs within Hamming distance via 4-band pigeonhole blocking:
-    any pair with distance ≤ 3 shares at least one of four 16-bit
-    chunks; join per chunk, then verify with bit_count(xor)."""
-    sh = simhash(df, text_col, id_col)
+def hamming_pairs(sig: DataFrame, sig_col: str = "simhash",
+                  id_col: str = "id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Pairs of 64-bit signatures within Hamming distance via 4-band
+    pigeonhole blocking: any pair with distance ≤ 3 shares at least
+    one of four 16-bit chunks; join per chunk, then verify with
+    bit_count(xor).  Shared by text SimHash and image
+    perceptual-hash dedup — any 64-bit fingerprint column rides the
+    same banded join."""
+    sh = sig.select(F.col(id_col).alias("id"),
+                    F.col(sig_col).alias("__sig"))
     chunks = [F.struct(F.lit(i).alias("band"),
-                       F.shiftright(F.col("simhash"), i * 16)
+                       F.shiftright(F.col("__sig"), i * 16)
                        .bitwiseAND(0xFFFF).alias("chunk"))
               for i in range(4)]
-    ex = (sh.select("id", "simhash",
+    ex = (sh.select("id", "__sig",
                     F.explode(F.array(*chunks)).alias("c"))
-          .select("id", "simhash", "c.band", "c.chunk"))
+          .select("id", "__sig", "c.band", "c.chunk"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
+                    F.col("a.__sig").alias("sh_a"),
+                    F.col("b.__sig").alias("sh_b"))
             .dropDuplicates(["id_a", "id_b"]))
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", dist)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Text near-dup pairs by SimHash + the banded Hamming join."""
+    return hamming_pairs(simhash(df, text_col, id_col),
+                         sig_col="simhash", id_col="id",
+                         max_hamming=max_hamming)
 
 
 def connected_components(edges: DataFrame, a_col: str = "id_a",

@@ -54,12 +54,10 @@ def synthesize_assets(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_bmp(payload: bytes) -> list[float]:
-    """REAL image decode: uncompressed 24/32-bit BMP parsed with
-    struct + numpy (no codec library). 8-dim feature:
-    [width, height, bits-per-pixel, mean_R, mean_G, mean_B (0..1),
-    brightness (0..1), n_pixels]. Raises ValueError on anything that
-    isn't an uncompressed BMP."""
+def _bmp_pixels(payload: bytes):
+    """Parse an uncompressed 24/32-bit BMP to a top-down (rows, w, 3)
+    BGR uint8 array. Raises ValueError on anything else — shared by
+    decode_bmp (feature vector) and image_dhash (perceptual hash)."""
     import numpy as np
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP")
@@ -79,9 +77,24 @@ def decode_bmp(payload: bytes) -> list[float]:
         raise ValueError("truncated pixel data")
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * nrows,
                          offset=pix_off).reshape(nrows, stride)
-    px = rows[:, :w * (bpp // 8)].reshape(nrows, w, bpp // 8)
-    # BMP channel order is B, G, R(, A)
-    means = px[:, :, :3].astype(np.float64).mean(axis=(0, 1)) / 255.0
+    px = rows[:, :w * (bpp // 8)].reshape(nrows, w, bpp // 8)[:, :, :3]
+    # positive height = bottom-up pixel order; normalize to top-down
+    return px[::-1] if h > 0 else px
+
+
+def decode_bmp(payload: bytes) -> list[float]:
+    """REAL image decode: uncompressed 24/32-bit BMP parsed with
+    struct + numpy (no codec library). 8-dim feature:
+    [width, height, bits-per-pixel, mean_R, mean_G, mean_B (0..1),
+    brightness (0..1), n_pixels]. Raises ValueError on anything that
+    isn't an uncompressed BMP."""
+    if len(payload) >= 30:
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+    else:
+        bpp = 0
+    px = _bmp_pixels(payload)
+    nrows, w = px.shape[0], px.shape[1]
+    means = px.astype("float64").mean(axis=(0, 1)) / 255.0
     return [float(w), float(nrows), float(bpp),
             round(float(means[2]), 6), round(float(means[1]), 6),
             round(float(means[0]), 6),
@@ -208,3 +221,68 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             .select("asset_id",
                     F.explode(frames).alias("frame_idx"))
             .withColumn("t_ms", F.col("frame_idx") * every_ms))
+
+
+def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash over decodable images: BMP pixels →
+    grayscale → average-pool to a (grid × grid+1) cell matrix → one
+    bit per horizontal neighbor comparison = a 64-bit fingerprint
+    (grid=8) that survives resizing, small edits, and brightness
+    shifts — the standard image near-dup signature.  One Arrow
+    mapInPandas pass; payloads that aren't uncompressed BMPs come
+    back decode_ok=false with a null hash (plug real codecs into
+    _bmp_pixels for other containers).  Returns
+    (asset_id, dhash long, decode_ok)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                ids.append(aid)
+                try:
+                    px = _bmp_pixels(bytes(payload))
+                except (ValueError, TypeError):
+                    hashes.append(None)
+                    oks.append(False)
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                # average-pool to grid rows x grid+1 cols via
+                # boundary index arrays (any input size)
+                ri = np.linspace(0, h, grid + 1, dtype=int)
+                ci = np.linspace(0, w, grid + 2, dtype=int)
+                cells = np.empty((grid, grid + 1))
+                for i in range(grid):
+                    r0, r1 = ri[i], max(ri[i + 1], ri[i] + 1)
+                    band = gray[r0:r1]
+                    for j in range(grid + 1):
+                        c0, c1 = ci[j], max(ci[j + 1], ci[j] + 1)
+                        cells[i, j] = band[:, c0:c1].mean()
+                bits = (cells[:, :-1] > cells[:, 1:]).ravel()
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                if v >= 1 << 63:        # to signed int64
+                    v -= 1 << 64
+                hashes.append(v)
+                oks.append(True)
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes,
+                                "decode_ok": oks})
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, "asset_id long, dhash long, decode_ok boolean")
+
+
+def image_near_dup_pairs(assets: DataFrame,
+                         max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints through the
+    SAME 4-band pigeonhole Hamming join the text SimHash path uses
+    (llm/dedup.hamming_pairs) — one banded self-join over 64-bit
+    signatures, never all-pairs pixel comparison.  Undecodable
+    payloads are excluded (no fingerprint, no pair)."""
+    from .dedup import hamming_pairs
+
+    sig = image_dhash(assets).where(F.col("decode_ok"))
+    return hamming_pairs(sig, sig_col="dhash", id_col="asset_id",
+                         max_hamming=max_hamming)

@@ -1507,3 +1507,57 @@ def test_curate_stream_equals_batch_stages(spark):
             batch.select(F.md5("text").alias("h")).distinct()
             .collect()}
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------- image perceptual dedup
+
+def _gradient_rows(w, h, flip_one=False):
+    rows = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            v = min(255, int(255 * x / max(1, w - 1)))
+            row.append((v, v, v))
+        rows.append(row)
+    if flip_one:
+        rows[0][0] = (255, 255, 255)  # single-pixel edit
+    return rows
+
+
+def test_image_dhash_and_near_dup(spark):
+    """Near-identical images (single-pixel edit) land within Hamming
+    3; a structurally different image (reversed gradient) does not
+    pair with them; undecodable payloads are excluded."""
+    from metacat_spark.llm import multimodal as MM
+    w, h = 16, 12
+    a = _bmp_bytes(w, h, _gradient_rows(w, h))
+    b = _bmp_bytes(w, h, _gradient_rows(w, h, flip_one=True))
+    c = _bmp_bytes(w, h, [list(reversed(r))
+                          for r in _gradient_rows(w, h)])
+    rows = [(1, "image", bytearray(a)), (2, "image", bytearray(b)),
+            (3, "image", bytearray(c)),
+            (4, "image", bytearray(b"not a bmp at all"))]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, content binary")
+    sig = {r["asset_id"]: (r["dhash"], r["decode_ok"])
+           for r in MM.image_dhash(df).collect()}
+    assert sig[4] == (None, False)
+    assert sig[1][1] and sig[2][1] and sig[3][1]
+    assert sig[1][0] != sig[3][0]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in MM.image_near_dup_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_image_dhash_resize_invariance(spark):
+    """The same gradient rendered at two sizes hashes within Hamming
+    3 — the resilience that byte-level hashing lacks."""
+    from metacat_spark.llm import multimodal as MM
+    a = _bmp_bytes(16, 12, _gradient_rows(16, 12))
+    b = _bmp_bytes(32, 24, _gradient_rows(32, 24))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(a)), (2, "image", bytearray(b))],
+        "asset_id long, modality string, content binary")
+    pairs = MM.image_near_dup_pairs(df).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] <= 3
