@@ -571,12 +571,16 @@ def _train_pq(R, m: int, n_codes: int, iters: int = 8):
         X = R[:, s * d:(s + 1) * d]
         C = np.array([X[i % n] for i in range(n_codes)], dtype=float)
         for _ in range(iters):
-            dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            a = dist.argmin(1)
-            for j in range(n_codes):
-                sel = X[a == j]
-                if len(sel):
-                    C[j] = sel.mean(0)
+            # argmin ||x-c||² == argmax (x·c − ||c||²/2): one GEMM
+            # instead of the O(n·k·d) broadcast-subtract tensor
+            a = (X @ C.T - 0.5 * (C ** 2).sum(1)).argmax(1)
+            # segment means via bincount (np.add.at is ~10× slower)
+            cnt = np.bincount(a, minlength=n_codes).astype(float)
+            sums = np.stack(
+                [np.bincount(a, weights=X[:, j], minlength=n_codes)
+                 for j in range(d)], axis=1)
+            nz = cnt > 0
+            C[nz] = sums[nz] / cnt[nz, None]
         books.append(C)
     return np.stack(books)  # (m, n_codes, d)
 
