@@ -101,11 +101,10 @@ def decode_bmp(payload: bytes) -> list[float]:
             round(float(means.mean()), 6), float(w * nrows)]
 
 
-def decode_wav(payload: bytes) -> list[float]:
-    """REAL audio decode: PCM WAV (8/16-bit) parsed with struct +
-    numpy. 8-dim feature: [sample_rate, channels, bits, n_frames,
-    duration_s, rms (0..1), peak (0..1), zero-crossing rate]. Raises
-    ValueError on non-PCM or malformed RIFF."""
+def _wav_samples(payload: bytes):
+    """Parse PCM WAV to (mono float64 samples in [-1, 1], rate, ch,
+    bits). Raises ValueError on non-PCM or malformed RIFF — shared
+    by decode_wav (feature vector) and audio_fingerprint."""
     import numpy as np
     if len(payload) < 44 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"WAVE":
@@ -136,6 +135,17 @@ def decode_wav(payload: bytes) -> list[float]:
         raise ValueError("empty data chunk")
     n_frames = x.size // ch
     mono = x[:n_frames * ch].reshape(n_frames, ch).mean(axis=1)
+    return mono, rate, ch, bits
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """REAL audio decode: PCM WAV (8/16-bit) parsed with struct +
+    numpy. 8-dim feature: [sample_rate, channels, bits, n_frames,
+    duration_s, rms (0..1), peak (0..1), zero-crossing rate]. Raises
+    ValueError on non-PCM or malformed RIFF."""
+    import numpy as np
+    mono, rate, ch, bits = _wav_samples(payload)
+    n_frames = mono.size
     zc = (float(np.count_nonzero(np.diff(np.signbit(mono))))
           / max(n_frames - 1, 1))
     return [float(rate), float(ch), float(bits), float(n_frames),
@@ -285,4 +295,60 @@ def image_near_dup_pairs(assets: DataFrame,
 
     sig = image_dhash(assets).where(F.col("decode_ok"))
     return hamming_pairs(sig, sig_col="dhash", id_col="asset_id",
+                         max_hamming=max_hamming)
+
+
+def audio_fingerprint(assets: DataFrame, windows: int = 65) -> DataFrame:
+    """Perceptual audio fingerprint: mono samples → RMS energy over
+    ``windows`` equal slices → one bit per neighboring-window energy
+    comparison = a 64-bit envelope hash (windows=65). Gain-invariant
+    (comparisons survive any global volume scaling) and robust to
+    re-encoding at a different rate — the audio analogue of the image
+    dHash, riding the same banded Hamming join.  One Arrow
+    mapInPandas pass; non-PCM payloads come back decode_ok=false.
+    Returns (asset_id, afp long, decode_ok)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, oks = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                ids.append(aid)
+                try:
+                    mono, _, _, _ = _wav_samples(bytes(payload))
+                except (ValueError, TypeError):
+                    fps.append(None)
+                    oks.append(False)
+                    continue
+                bounds = np.linspace(0, mono.size, windows + 1,
+                                     dtype=int)
+                env = np.array([
+                    np.sqrt((mono[bounds[i]:max(bounds[i + 1],
+                                                bounds[i] + 1)] ** 2)
+                            .mean())
+                    for i in range(windows)])
+                bits = env[:-1] > env[1:]
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                fps.append(v)
+                oks.append(True)
+            yield pd.DataFrame({"asset_id": ids, "afp": fps,
+                                "decode_ok": oks})
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, "asset_id long, afp long, decode_ok boolean")
+
+
+def audio_near_dup_pairs(assets: DataFrame,
+                         max_hamming: int = 3) -> DataFrame:
+    """Audio near-duplicate pairs: envelope fingerprints through the
+    shared 4-band pigeonhole Hamming join (llm/dedup.hamming_pairs).
+    Sample data never crosses a shuffle — only 64-bit signatures."""
+    from .dedup import hamming_pairs
+
+    sig = audio_fingerprint(assets).where(F.col("decode_ok"))
+    return hamming_pairs(sig, sig_col="afp", id_col="asset_id",
                          max_hamming=max_hamming)

@@ -1561,3 +1561,29 @@ def test_image_dhash_resize_invariance(spark):
         "asset_id long, modality string, content binary")
     pairs = MM.image_near_dup_pairs(df).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] <= 3
+
+
+def test_audio_fingerprint_near_dup(spark):
+    """Same envelope at different gain (half volume) pairs within
+    Hamming 3 (gain invariance); a reversed envelope does not; a
+    non-WAV payload is excluded."""
+    import math
+    from metacat_spark.llm import multimodal as MM
+    n = 6500
+    ramp = [int(20000 * i / n * math.sin(i)) for i in range(n)]
+    half = [v // 2 for v in ramp]
+    rev = list(reversed(ramp))
+    rows = [(1, "audio", bytearray(_wav_bytes(8000, ramp))),
+            (2, "audio", bytearray(_wav_bytes(8000, half))),
+            (3, "audio", bytearray(_wav_bytes(8000, rev))),
+            (4, "audio", bytearray(b"RIFFnope"))]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, content binary")
+    sig = {r["asset_id"]: (r["afp"], r["decode_ok"])
+           for r in MM.audio_fingerprint(df).collect()}
+    assert sig[4] == (None, False)
+    assert sig[1][1] and sig[3][1] and sig[1][0] != sig[3][0]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in MM.audio_near_dup_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs
