@@ -1119,6 +1119,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text", "n_lines_before", "n_lines_after")
     q["doc_c4_line_filter"] = doc_c4
 
+    def doc_hashed_vectors(spark, sf_dir):
+        """Hashed-document-vector certificate (llm/similarity.py
+        hashed_doc_vectors — the hashing trick, Weinberger et al.
+        2009): model-free embeddings that plug into the vector
+        operators.  In-plan check: 25 planted exact copies pair with
+        their sources at cosine ≥ 0.999 through cosine_pairs
+        (identical text ⇒ identical unit vector), and 25 planted
+        disjoint-vocab docs produce NO ≥ 0.999 pair — certifying
+        construction + composition, not just 'ran'."""
+        from metacat_spark.llm.similarity import (cosine_pairs,
+                                                  hashed_doc_vectors)
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        copies = (base.where(F.col("doc_id") % 20 == 0)
+                  .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                          "text"))
+        novel = (base.where(F.col("doc_id") % 20 == 1)
+                 .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         F.concat(F.lit("zq"),
+                                  F.col("doc_id").cast("string"),
+                                  F.lit("a zq"),
+                                  F.col("doc_id").cast("string"),
+                                  F.lit("b")).alias("text")))
+        vecs = hashed_doc_vectors(
+            base.unionByName(copies).unionByName(novel))
+        pairs = cosine_pairs(vecs, threshold=0.999,
+                             vec_col="vector", id_col="doc_id")
+        n_cop = copies.count()
+        hit = (copies.select((F.col("doc_id") - 1000000).alias("id_a"),
+                             F.col("doc_id").alias("id_b"))
+               .join(pairs, ["id_a", "id_b"], "left_semi"))
+        bad = pairs.where((F.col("id_a") >= 2000000)
+                          | (F.col("id_b") >= 2000000))
+        return (hit.agg(F.count("*").alias("_n_hit"))
+                .crossJoin(bad.agg(F.count("*").alias("_n_bad")))
+                .select(F.lit(n_cop).cast("long").alias("n_copies"),
+                        (F.col("_n_hit") == n_cop)
+                        .alias("copies_paired_ok"),
+                        (F.col("_n_bad") == 0)
+                        .alias("no_false_high_ok")))
+    q["doc_hashed_vectors"] = doc_hashed_vectors
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -2272,6 +2313,11 @@ def oracle_sql() -> dict[str, str]:
                  as n_lines_before,
                coalesce(k.n_lines_after, 0) as n_lines_after
         from planted p left join kept k on k.doc_id = p.doc_id"""
+
+    o["doc_hashed_vectors"] = """
+        select count(*)::bigint as n_copies,
+               true as copies_paired_ok, true as no_false_high_ok
+        from documents where doc_id % 20 = 0"""
 
     o["doc_classifier_score"] = r"""
         with tok as (

@@ -6,4 +6,5 @@ are portable integer arithmetic so the DuckDB correctness oracle can
 reproduce them bit-for-bit.
 """
 
-from . import dedup, similarity, text  # noqa: F401
+from . import (dedup, multimodal, packing, pipeline,  # noqa: F401
+               similarity, text)

@@ -740,3 +740,44 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     return (partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("id", "neighbor_id", "cosine", "rank"))
+
+
+def hashed_doc_vectors(df: DataFrame, dim: int = 64,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Feature-hashed document vectors — the hashing trick
+    (Weinberger et al. 2009): token occurrences hash to ``dim``
+    buckets with a ±1 sign hash (debiases inner products), signed
+    counts are sqrt-damped and l2-normalized into an array<double>.
+    Model-free document embeddings: when no learned embedding table
+    exists, these plug into every vector operator downstream
+    (cosine_pairs, topk_gemm, LSH/IVF ANN, semantic_dedup).
+
+    Identical texts map to identical vectors; high token overlap →
+    high cosine. Relational end-to-end: explode → groupBy(id,
+    bucket) signed sum (map-side combinable) → one per-doc dense
+    assembly via map_from_entries — two narrow shuffles, no Python,
+    xxhash64 in codegen.  Returns (id_col, vector array<double>)."""
+    from .text import tokens as _tokens
+
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(_tokens(F.col(text_col))).alias("term"))
+    h = F.xxhash64(F.col("term"))
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    sign = F.when(F.pmod(F.xxhash64(F.col("term"), F.lit(1)),
+                         F.lit(2)) == 0,
+                  F.lit(1.0)).otherwise(F.lit(-1.0))
+    per = (tok.select("id", bucket.alias("b"), sign.alias("s"))
+           .groupBy("id", "b").agg(F.sum("s").alias("v")))
+    damped = F.signum("v") * F.sqrt(F.abs(F.col("v")))
+    dense = (per.select("id", "b", damped.alias("x"))
+             .groupBy("id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("b", "x"))).alias("m")))
+    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                      lambda i: F.coalesce(F.element_at("m", i), # type: ignore[arg-type]
+                                           F.lit(0.0)))
+    nrm = norm(vec)
+    unit = F.transform(vec, lambda x: x / nrm)
+    return dense.select(F.col("id").alias(id_col),
+                        unit.alias("vector"))

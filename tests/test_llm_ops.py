@@ -1587,3 +1587,44 @@ def test_audio_fingerprint_near_dup(spark):
              for r in MM.audio_near_dup_pairs(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert (1, 3) not in pairs
+
+
+# ------------------------------------------------ hashed doc vectors
+
+def test_hashed_doc_vectors_properties(spark):
+    """Identical texts → identical unit vectors; disjoint vocab →
+    ~orthogonal; high-overlap → high cosine; all rows unit-norm."""
+    from metacat_spark.llm.similarity import hashed_doc_vectors
+    df = spark.createDataFrame([
+        (1, "apple banana cherry apple date fig grape"),
+        (2, "apple banana cherry apple date fig grape"),
+        (3, "apple banana cherry apple date fig grapefruit"),
+        (4, "xq1 xq2 xq3 xq4 xq5 xq6 xq7"),
+    ], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["vector"]
+            for r in hashed_doc_vectors(df, dim=32).collect()}
+    assert rows[1] == rows[2]
+    for v in rows.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    assert cos(rows[1], rows[3]) > 0.8
+    assert abs(cos(rows[1], rows[4])) < 0.5
+
+
+def test_hashed_doc_vectors_feed_vector_ops(docs):
+    """The hashed vectors plug straight into the vector operators:
+    cosine_pairs over them finds the planted exact copy."""
+    from metacat_spark.llm.similarity import (cosine_pairs,
+                                              hashed_doc_vectors)
+    base = docs.limit(50).select("doc_id", "text")
+    copies = base.limit(5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    vecs = hashed_doc_vectors(base.unionByName(copies))
+    pairs = cosine_pairs(vecs, threshold=0.999, vec_col="vector",
+                         id_col="doc_id")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(r["doc_id"], r["doc_id"] + 1000000)
+            for r in base.limit(5).collect()}
+    assert want <= got

@@ -358,3 +358,14 @@ def test_classifier_score_broadcasts_weights(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "NestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_hashed_doc_vectors_all_jvm(spark):
+    """The hashing-trick vectorizer is relational end-to-end: codegen
+    xxhash64 buckets, map-side-combinable signed sums, one dense
+    assembly — no Python stage anywhere."""
+    from metacat_spark.llm.similarity import hashed_doc_vectors
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(hashed_doc_vectors(docs))
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
