@@ -227,14 +227,22 @@ def _cmd_corpus(args) -> int:
                                 stratum_col=args.stratum_col)
     else:  # ann
         from .llm import similarity as SIM
+        kw = {}
+        if getattr(args, "hashed", False):
+            # no embeddings table needed: vectorize the documents
+            # with the hashing trick and search those
+            df = spark.read.parquet(
+                args.input or f"{args.sf_dir}/documents.parquet")
+            df = SIM.hashed_doc_vectors(df)
+            kw = {"vec_col": "vector", "id_col": "doc_id"}
         if args.method == "gemm":
-            out = SIM.topk_gemm(df, k=args.k)
+            out = SIM.topk_gemm(df, k=args.k, **kw)
         elif args.method == "lsh":
-            out = SIM.lsh_bucketed_topk(df, k=args.k)
+            out = SIM.lsh_bucketed_topk(df, k=args.k, **kw)
         elif args.method == "ivfpq":
-            out = SIM.ivf_pq_topk(df, k=args.k, train_iters=2)
+            out = SIM.ivf_pq_topk(df, k=args.k, train_iters=2, **kw)
         else:
-            out = SIM.ivf_topk(df, k=args.k, train_iters=2)
+            out = SIM.ivf_topk(df, k=args.k, train_iters=2, **kw)
 
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
@@ -601,6 +609,9 @@ def main(argv=None):
                     choices=["gemm", "lsh", "ivf", "ivfpq"],
                     default="gemm")
     cn.add_argument("-k", type=int, default=5)
+    cn.add_argument("--hashed", action="store_true",
+                    help="search hashed document vectors (no "
+                         "embeddings table needed)")
 
     vv = sub.add_parser("version", help="print engine versions")
 

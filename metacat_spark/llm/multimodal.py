@@ -322,11 +322,17 @@ def audio_fingerprint(assets: DataFrame, windows: int = 65) -> DataFrame:
                     continue
                 bounds = np.linspace(0, mono.size, windows + 1,
                                      dtype=int)
-                env = np.array([
-                    np.sqrt((mono[bounds[i]:max(bounds[i + 1],
-                                                bounds[i] + 1)] ** 2)
-                            .mean())
-                    for i in range(windows)])
+
+                def _rms(i):
+                    seg = mono[bounds[i]:max(bounds[i + 1],
+                                             bounds[i] + 1)]
+                    # clips shorter than `windows` samples leave
+                    # trailing slices empty — silent 0, not NaN
+                    if seg.size == 0:
+                        return 0.0
+                    return float(np.sqrt((seg ** 2).mean()))
+
+                env = np.array([_rms(i) for i in range(windows)])
                 bits = env[:-1] > env[1:]
                 v = 0
                 for b in bits:
@@ -352,3 +358,23 @@ def audio_near_dup_pairs(assets: DataFrame,
     sig = audio_fingerprint(assets).where(F.col("decode_ok"))
     return hamming_pairs(sig, sig_col="afp", id_col="asset_id",
                          max_hamming=max_hamming)
+
+
+def asset_dedup(assets: DataFrame, modality: str = "image",
+                max_hamming: int = 3) -> DataFrame:
+    """Perceptual asset dedup end-to-end: fingerprint pairs (image
+    dHash or audio envelope) → connected components (large-star/
+    small-star) → one canonical survivor per cluster (min asset_id).
+    Returns the surviving asset rows — the media analogue of the
+    text near-dup collapse, on the same clustering machinery."""
+    from .dedup import near_dup_clusters
+
+    sel = assets.where(F.col("modality") == modality)
+    pairs = (image_near_dup_pairs(sel, max_hamming)
+             if modality == "image"
+             else audio_near_dup_pairs(sel, max_hamming))
+    clusters = near_dup_clusters(
+        sel.select(F.col("asset_id")), pairs, id_col="asset_id")
+    keep = (clusters.where(F.col("is_canonical"))
+            .select(F.col("doc_id").alias("asset_id")))
+    return sel.join(keep, "asset_id", "left_semi")

@@ -408,7 +408,9 @@ def classifier_score(df: DataFrame, weights: DataFrame,
     as fastText does).
 
     ``weights`` is a (term, weight) DataFrame — the trained model's
-    dense vocabulary row. Scale shape: the weight table is
+    dense vocabulary row; terms MUST be unique (a duplicated term
+    would multiply its token rows through the join and silently skew
+    the mean — the same precondition a model file format enforces). Scale shape: the weight table is
     vocabulary-sized (≪ corpus) and explicitly broadcast, so the
     token-row join is shuffle-free on the corpus side; everything
     else is one groupBy(doc). Training is out of scope (a trained

@@ -335,3 +335,11 @@ def test_corpus_gate_and_c4(capsys):
     assert rc == 0 and rows
     assert all(r["n_lines_after"] <= r["n_lines_before"]
                for r in rows)
+
+
+def test_corpus_ann_hashed(capsys):
+    rc, out = run(capsys, "corpus", "ann", "--method", "gemm",
+                  "--hashed", "-k", "2", "-j", "-l", "4")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 4
+    assert all(r["rank"] <= 2 and "neighbor_id" in r for r in rows)

@@ -1628,3 +1628,24 @@ def test_hashed_doc_vectors_feed_vector_ops(docs):
     want = {(r["doc_id"], r["doc_id"] + 1000000)
             for r in base.limit(5).collect()}
     assert want <= got
+
+
+def test_asset_dedup_image_survivors(spark):
+    """Perceptual asset dedup end-to-end: near-identical images
+    collapse to the min-id survivor; distinct and undecodable
+    assets survive untouched."""
+    from metacat_spark.llm import multimodal as MM
+    w, h = 16, 12
+    a = _bmp_bytes(w, h, _gradient_rows(w, h))
+    b = _bmp_bytes(w, h, _gradient_rows(w, h, flip_one=True))
+    c = _bmp_bytes(w, h, [list(reversed(r))
+                          for r in _gradient_rows(w, h)])
+    rows = [(1, "image", bytearray(a)), (2, "image", bytearray(b)),
+            (3, "image", bytearray(c)),
+            (4, "image", bytearray(b"junk")),
+            (5, "audio", bytearray(a))]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, content binary")
+    kept = sorted(r["asset_id"]
+                  for r in MM.asset_dedup(df, "image").collect())
+    assert kept == [1, 3, 4]  # 2 collapsed into 1; audio excluded
