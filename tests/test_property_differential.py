@@ -220,3 +220,72 @@ def test_skip_limit_merge_law_property(ops, spark, engine_small):
     for op, n in ops:
         want = want[n:] if op == "skip" else want[:n]
     assert got == want, mql
+
+
+# --------------------------- round-5 operator invariants (pure model)
+
+words_st = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=3),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(words_st, min_size=1, max_size=8))
+def test_duplicate_spans_invariants(docs, spark):
+    """Model-free invariants over arbitrary tiny corpora: spans lie
+    inside their document, are at least 1 token (n unless the doc is
+    shorter), never overlap, and every spanned position really is
+    covered by a corpus-duplicated n-gram occurrence."""
+    from metacat_spark.llm.dedup import duplicate_spans
+    n = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                   for r in duplicate_spans(df, n=n,
+                                            min_count=2).collect())
+    # reference model in plain python
+    from collections import Counter
+    toks = {i: ws for i, ws in enumerate(docs)}
+    occ = Counter()
+    gram_at = {}
+    for i, ws in toks.items():
+        grams = ([tuple(ws[p:p + n])
+                  for p in range(len(ws) - n + 1)]
+                 if len(ws) >= n else [tuple(ws)])
+        gram_at[i] = grams
+        occ.update(grams)
+    covered = {}
+    for i, ws in toks.items():
+        cov = set()
+        for p, g in enumerate(gram_at[i]):
+            if occ[g] >= 2:
+                cov.update(range(p, min(p + n, len(ws))))
+        covered[i] = cov
+    got_cov = {i: set() for i in toks}
+    last_end = {}
+    for i, s0, s1 in spans:
+        assert 0 <= s0 < s1 <= len(toks[i])
+        assert s0 >= last_end.get(i, 0), "overlapping spans"
+        last_end[i] = s1
+        got_cov[i].update(range(s0, s1))
+    assert got_cov == covered
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(fracs=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=4),
+       n_ids=st.integers(1, 40))
+def test_split_corpus_always_partitions(fracs, n_ids, spark):
+    """For ANY fraction recipe (normalized), every id lands in
+    exactly one split and the split names are the given ones."""
+    from metacat_spark.llm.pipeline import split_corpus
+    total = sum(fracs)
+    splits = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    df = spark.createDataFrame([(i,) for i in range(n_ids)],
+                               ["doc_id"])
+    rows = split_corpus(df, splits).collect()
+    assert len(rows) == n_ids
+    assert {r["split"] for r in rows} <= set(splits)
