@@ -1160,6 +1160,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("no_false_high_ok")))
     q["doc_hashed_vectors"] = doc_hashed_vectors
 
+    def doc_curate_v2(spark, sf_dir):
+        """The WHOLE round-5 curation chain end-to-end
+        (llm/pipeline.py curate_v2): quality+token gate → PII scrub
+        → exact dedup → ExactSubstr substring scrub → exact n-gram
+        near-dup removal over the SCRUBBED text.  The oracle replays
+        all five stages as one composed SQL statement and both sides
+        fingerprint every surviving document's FINAL text — the
+        strongest end-to-end check in the suite."""
+        from metacat_spark.llm.pipeline import curate_v2
+        from metacat_spark.llm.text import poly_hash
+        out = curate_v2(_docs(spark, sf_dir))
+        return out.select(
+            "doc_id",
+            F.col("n_tok_before").cast("long").alias("n_tok_before"),
+            F.col("n_tok_after").cast("long").alias("n_tok_after"),
+            poly_hash(F.col("text")).alias("final_fp"))
+    q["doc_curation_v2"] = doc_curate_v2
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -1179,13 +1197,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-checked past the cap, like dedup_exact_streaming which the
     # ivfpq insertion already displaced (events_windowed_streaming
     # keeps a streaming path in-cap).
+    # r5c: doc_curation_v2 (five stages, final-text fingerprints —
+    # the strongest end-to-end row) replaces the LSH curation
+    # CERTIFICATE in-cap; the certificate stays replica-gate checked.
     promote = ["dedup_cross_jaccard", "doc_pack_sequences",
                "dedup_cross_containment", "doc_token_budget",
                "dedup_substring_scrub", "doc_split_train_val_test",
-               "doc_classifier_score"]
+               "doc_classifier_score", "doc_curation_v2"]
     demote = ["doc_quality_score", "doc_lang_id",
               "filter_sample_hash", "embed_centroid_by_label",
-              "dedup_simhash", "embed_topk_ann_lsh", "filter_mix"]
+              "dedup_simhash", "embed_topk_ann_lsh", "filter_mix",
+              "doc_curation_pipeline"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -1975,10 +1997,12 @@ def oracle_sql() -> dict[str, str]:
     # the occurrence index keeps POSITIONS; duplicated grams merge to
     # maximal spans per doc via the same gaps-and-islands windows on
     # both engines.
-    _SUBSTR_CTES = r"""
-        with tok as (
+    # source-parameterized so the composed curate_v2 oracle can run
+    # the same span machinery over its mid-pipeline survivor set
+    _SUBSTR_BODY = r"""
+        tok as (
           select doc_id, string_split_regex(text, '\s+') as toks
-          from documents),
+          from __SRC__),
         occ as (
           select doc_id, u.pos as pos, u.fin as fin, u.g as g
           from (select doc_id,
@@ -2006,12 +2030,13 @@ def oracle_sql() -> dict[str, str]:
                    over (partition by doc_id order by pos) as gid
           from marked)"""
 
-    o["dedup_substring_spans"] = _SUBSTR_CTES + """
+    o["dedup_substring_spans"] = (
+        "with " + _SUBSTR_BODY.replace("__SRC__", "documents") + """
         select doc_id, min(pos) as span_start, max(fin) as span_end,
                max(fin) - min(pos) as span_tokens
-        from grp group by doc_id, gid"""
+        from grp group by doc_id, gid""")
 
-    o["dedup_substring_scrub"] = _SUBSTR_CTES + r""",
+    _SCRUB_TAIL = r"""
         spans as (
           select doc_id, min(pos) as s, max(fin) as e
           from grp group by doc_id, gid),
@@ -2030,17 +2055,29 @@ def oracle_sql() -> dict[str, str]:
           where c.p is null),
         reb as (
           select doc_id, string_agg(w, ' ' order by pos) as scrubbed,
-                 count(*) as n_tok_after from kept group by doc_id)
-        select d.doc_id,
-               len(string_split_regex(d.text, '\s+')) as n_tok_before,
-               coalesce(r.n_tok_after, 0) as n_tok_after,
-               case when coalesce(len(r.scrubbed), 0) > 0 then
-                 list_reduce(list_prepend(0::bigint,
-                   list_transform(string_split(r.scrubbed, ''),
-                                  x -> unicode(x)::bigint)),
-                   (acc, x) -> (acc * 31 + x) % 2147483647)
+                 count(*) as n_tok_after from kept group by doc_id),
+        scrubbed as (
+          select d.doc_id,
+                 coalesce(r.scrubbed, '') as text,
+                 len(string_split_regex(d.text, '\s+'))
+                   as n_tok_before,
+                 coalesce(r.n_tok_after, 0) as n_tok_after
+          from __SRC__ d left join reb r on r.doc_id = d.doc_id)"""
+
+    _FP_SQL = """
+        list_reduce(list_prepend(0::bigint,
+          list_transform(string_split({c}, ''),
+                         x -> unicode(x)::bigint)),
+          (acc, x) -> (acc * 31 + x) % 2147483647)"""
+
+    o["dedup_substring_scrub"] = (
+        "with " + _SUBSTR_BODY.replace("__SRC__", "documents") + ","
+        + _SCRUB_TAIL.replace("__SRC__", "documents") + f"""
+        select doc_id, n_tok_before, n_tok_after,
+               case when length(text) > 0 then
+                 {_FP_SQL.format(c='text')}
                else 0 end as scrub_fp
-        from documents d left join reb r on r.doc_id = d.doc_id"""
+        from scrubbed""")
 
     # PII redaction: replay the same salting + the same rule list
     # (RE2 side), full text value-hash compare.  Rule i is counted on
@@ -2387,5 +2424,55 @@ def oracle_sql() -> dict[str, str]:
             partition by id order by tfidf desc, term) as rank
           from scored) r
         where rank <= 3"""
+
+    # the WHOLE modern curation chain (gate → PII scrub → exact
+    # dedup → ExactSubstr scrub → exact n-gram near-dup over the
+    # scrubbed text) replayed as ONE statement by composing the
+    # stage templates above — end-to-end value-hash including the
+    # final text fingerprints
+    o["doc_curation_v2"] = (f"""
+        with q0 as (
+          select doc_id, text,
+                 len(string_split_regex(text, '\\s+')) as n_words,
+                 {_qual} as quality
+          from documents),
+        gated as (select doc_id, text from q0
+                  where quality >= 0.3 and n_words >= 5),
+        red as (select doc_id, {_red} as text from gated),
+        exact as (
+          select * from red where doc_id in (
+            select min(doc_id) from red group by md5(text))),
+        """
+        + _SUBSTR_BODY.replace("__SRC__", "exact") + ","
+        + _SCRUB_TAIL.replace("__SRC__", "exact") + """,
+        kept2 as (select * from scrubbed where n_tok_after > 0),
+        sh as (
+          select doc_id as id,
+                 list_distinct(case when len(toks2x) >= 3 then
+                   [array_to_string(toks2x[i:i+2], ' ')
+                    for i in range(1, len(toks2x) - 1)]
+                   else [array_to_string(toks2x, ' ')] end) as s
+          from (select doc_id,
+                       string_split_regex(text, '\\s+') as toks2x
+                from kept2)),
+        ex0 as (select id, unnest(s) as shingle from sh),
+        ex as (select * from ex0 where shingle in (
+          select shingle from ex0 group by 1
+          having count(*) <= 1000)),
+        sizes as (select id, count(*) as n from ex group by 1),
+        inter as (
+          select a.id as id_a, b.id as id_b, count(*) as n_inter
+          from ex a join ex b
+            on a.shingle = b.shingle and a.id < b.id
+          group by 1, 2),
+        drops as (
+          select distinct id_b from inter
+            join sizes sa on sa.id = id_a
+            join sizes sb on sb.id = id_b
+          where n_inter / (sa.n + sb.n - n_inter) >= 0.12)
+        select doc_id, n_tok_before, n_tok_after,
+        """ + f"""
+               {_FP_SQL.format(c='text')} as final_fp
+        from kept2 where doc_id not in (select id_b from drops)""")
 
     return o

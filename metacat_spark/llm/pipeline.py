@@ -334,3 +334,42 @@ def curate_stream(spark, src_dir: str, min_quality: float = 0.3,
             "curate_stream did not finish within 120s — refusing to "
             "return a partially populated memory table")
     return spark.table(table)
+
+
+def curate_v2(documents: DataFrame, min_quality: float = 0.3,
+              min_tokens: int = 5, substr_n: int = 8,
+              jaccard_n: int = 3, jaccard_threshold: float = 0.12,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """The full modern curation chain, every stage deterministic
+    relational algebra so the WHOLE composition is SQL-replayable and
+    hash-checkable end-to-end:
+
+        quality + token gate  →  PII scrub  →  exact dedup  →
+        duplicated-substring scrub (ExactSubstr)  →  exact n-gram
+        near-dup removal over the SCRUBBED text  →  curated corpus
+
+    Near-dup runs on the scrubbed text deliberately: cutting shared
+    boilerplate spans first is what lets genuinely-distinct documents
+    that merely shared a header survive the Jaccard stage.  Documents
+    scrubbed to empty are dropped.  `curate` (MinHash-LSH) remains
+    the 100 TB path for the near-dup stage; every other stage here IS
+    the scale path already (linear, no pairwise joins)."""
+    c = F.col(text_col)
+    analyzed = documents.withColumns({
+        "n_tokens": TX.token_count(c),
+        "quality": TX.quality_score(c),
+    })
+    gated = analyzed.where((F.col("quality") >= min_quality)
+                           & (F.col("n_tokens") >= min_tokens))
+    red = gated.withColumn(text_col, TX.redact_pii(c))
+    exact = DD.dedup_exact(red, text_col, id_col)
+    scrub = DD.scrub_duplicate_spans(
+        exact.select(id_col, text_col), n=substr_n,
+        text_col=text_col, id_col=id_col)
+    kept = scrub.where(F.col("n_tok_after") > 0)
+    pairs = DD.ngram_jaccard_pairs(kept, n=jaccard_n,
+                                   threshold=jaccard_threshold,
+                                   text_col=text_col, id_col=id_col)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return kept.join(drop, id_col, "left_anti")

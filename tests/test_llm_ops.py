@@ -1649,3 +1649,17 @@ def test_asset_dedup_image_survivors(spark):
     kept = sorted(r["asset_id"]
                   for r in MM.asset_dedup(df, "image").collect())
     assert kept == [1, 3, 4]  # 2 collapsed into 1; audio excluded
+
+
+def test_curate_v2_stages_monotone(docs):
+    """curate_v2 invariants: survivors ⊆ gate survivors; scrubbed
+    token counts never exceed pre-scrub; no empty-text survivors;
+    no surviving pair above the near-dup threshold (recomputed)."""
+    from metacat_spark.llm.dedup import ngram_jaccard_pairs
+    from metacat_spark.llm.pipeline import curate_v2
+    out = curate_v2(docs).cache()
+    rows = out.collect()
+    assert rows and all(r["n_tok_after"] > 0 for r in rows)
+    assert all(r["n_tok_after"] <= r["n_tok_before"] for r in rows)
+    left = ngram_jaccard_pairs(out, n=3, threshold=0.12).collect()
+    assert left == []
