@@ -778,6 +778,9 @@ def hashed_doc_vectors(df: DataFrame, dim: int = 64,
                       lambda i: F.coalesce(F.element_at("m", i), # type: ignore[arg-type]
                                            F.lit(0.0)))
     nrm = norm(vec)
-    unit = F.transform(vec, lambda x: x / nrm)
+    # a doc whose signed counts fully cancel yields the zero vector —
+    # keep it as zeros (ANSI division by a zero norm would throw;
+    # downstream cosine kernels guard with +1e-12 anyway)
+    unit = F.when(nrm > 0, F.transform(vec, lambda x: x / nrm))             .otherwise(vec)
     return dense.select(F.col("id").alias(id_col),
                         unit.alias("vector"))
