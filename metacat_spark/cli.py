@@ -194,6 +194,12 @@ def _cmd_corpus(args) -> int:
     elif args.ccmd == "pack":
         from .llm.packing import pack_sequences
         out = pack_sequences(df, max_tokens=args.max_tokens)
+    elif args.ccmd == "curate":
+        from .llm.pipeline import curate, curate_v2
+        if args.v2:
+            out = curate_v2(df, min_quality=args.min_quality)
+        else:
+            out = curate(df, min_quality=args.min_quality)
     elif args.ccmd == "gate":
         from .llm.text import gopher_gate
         out = gopher_gate(df)
@@ -578,6 +584,12 @@ def main(argv=None):
     cp_.add_argument("--max-tokens", type=int, default=512)
     cr = cs.add_parser("redact", help="PII scrub (typed placeholders)")
     _corpus_common(cr)
+    ccu = cs.add_parser("curate", help="end-to-end curation "
+                        "(gate, dedup, near-dup; --v2 adds PII "
+                        "scrub + substring scrub, exact near-dup)")
+    _corpus_common(ccu)
+    ccu.add_argument("--v2", action="store_true")
+    ccu.add_argument("--min-quality", type=float, default=0.3)
     cgg = cs.add_parser("gate", help="Gopher heuristic quality "
                         "gate (per-rule flags + conjunction)")
     _corpus_common(cgg)

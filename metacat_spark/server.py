@@ -259,7 +259,8 @@ def make_handler(client: MetaCatSparkClient,
             """Training-corpus operators over HTTP (beyond-reference;
             mirrors the CLI `corpus` group on the served catalog's
             documents table): /data/corpus?op=analyze|quality|report|
-            stats|select|lm|pack|redact|gate|c4|scrub|split|
+            stats|select|lm|pack|redact|curate|gate|c4|scrub|
+            split|
             mixture|
             contamination|decontaminate|divergence|semdedup|
             substring|ann [&budget=N]
@@ -311,6 +312,10 @@ def make_handler(client: MetaCatSparkClient,
                 out = docs.select(
                     "doc_id", redact_pii(F.col("text")).alias("text"),
                     pii_count(F.col("text")).alias("n_pii"))
+            elif op == "curate":
+                from .llm.pipeline import curate, curate_v2
+                fn = (curate_v2 if _one(params, "v2") else curate)
+                out = fn(docs)
             elif op == "gate":
                 from .llm.text import gopher_gate
                 out = gopher_gate(docs)

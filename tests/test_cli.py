@@ -343,3 +343,13 @@ def test_corpus_ann_hashed(capsys):
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and len(rows) == 4
     assert all(r["rank"] <= 2 and "neighbor_id" in r for r in rows)
+
+
+def test_corpus_curate(capsys):
+    rc, out = run(capsys, "corpus", "curate", "--v2", "-j", "-l", "3")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all(r["n_tok_after"] > 0 for r in rows)
+    rc, out = run(capsys, "corpus", "curate", "-j", "-l", "3")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows and all("quality" in r for r in rows)

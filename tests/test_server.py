@@ -600,3 +600,10 @@ def test_corpus_gate_c4_endpoints(served):
     rows = _json_seq(_get(base, "/data/corpus", op="c4", limit=3))
     assert rows and all(r["n_lines_after"] <= r["n_lines_before"]
                         for r in rows)
+
+
+def test_corpus_curate_endpoint(served):
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/corpus", op="curate", v2=1,
+                          limit=3))
+    assert rows and all(r["n_tok_after"] > 0 for r in rows)
