@@ -194,6 +194,23 @@ def _cmd_corpus(args) -> int:
     elif args.ccmd == "pack":
         from .llm.packing import pack_sequences
         out = pack_sequences(df, max_tokens=args.max_tokens)
+    elif args.ccmd == "publish":
+        from .llm.export import export_corpus, to_webdataset
+        if args.format == "webdataset":
+            shards = to_webdataset(df, args.dest,
+                                   n_shards=args.shards)
+            print(f"# wrote {len(shards)} tar shards to "
+                  f"{args.dest}", file=sys.stderr)
+            return 0
+        man = export_corpus(df, args.dest, fmt=args.format,
+                            n_shards=args.shards)
+        print(json.dumps(man))
+        return 0
+    elif args.ccmd == "verify-manifest":
+        from .llm.export import verify_manifest
+        ok = verify_manifest(spark, args.dest)
+        print(json.dumps({"ok": ok}))
+        return 0 if ok else 1
     elif args.ccmd == "curate":
         from .llm.pipeline import curate, curate_v2
         if args.v2:
@@ -584,6 +601,18 @@ def main(argv=None):
     cp_.add_argument("--max-tokens", type=int, default=512)
     cr = cs.add_parser("redact", help="PII scrub (typed placeholders)")
     _corpus_common(cr)
+    cpub = cs.add_parser("publish", help="publish the corpus: "
+                         "hash-sharded layout + manifest.json "
+                         "(or WebDataset tar shards)")
+    _corpus_common(cpub)
+    cpub.add_argument("--dest", required=True)
+    cpub.add_argument("--format", default="parquet",
+                      choices=["parquet", "json", "webdataset"])
+    cpub.add_argument("--shards", type=int, default=8)
+    cvm = cs.add_parser("verify-manifest", help="reader-side check "
+                        "of a published corpus against its manifest")
+    _corpus_common(cvm)
+    cvm.add_argument("--dest", required=True)
     ccu = cs.add_parser("curate", help="end-to-end curation "
                         "(gate, dedup, near-dup; --v2 adds PII "
                         "scrub + substring scrub, exact near-dup)")

@@ -1,0 +1,130 @@
+"""Corpus publishing sinks — the last stage of the curation pipeline.
+
+- export_corpus: deterministic hash-sharded parquet/json layout plus a
+  manifest.json with corpus- and shard-level accounting (rows, tokens,
+  an order-independent content checksum) so a downstream training job
+  can verify it received exactly the published corpus.
+- to_webdataset: tar-shard export (the WebDataset convention used by
+  large-scale training loaders): one `{id}.txt` member per document,
+  members sorted by id within a shard, shards assigned by id hash —
+  byte-identical output for identical input on any cluster layout.
+
+Both sinks write from executors (one task per shard); only the
+manifest aggregation (a few rows per shard) reaches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_shard(df: DataFrame, id_col: str, n_shards: int):
+    return df.withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+               F.lit(n_shards)).cast("int"))
+
+
+def export_corpus(df: DataFrame, path: str, fmt: str = "parquet",
+                  n_shards: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id") -> dict:
+    """Write the corpus hash-sharded (`shard=K/` directories) and a
+    `manifest.json` next to it. The content checksum is the SUM of
+    per-document xxhash64(text) folded into 63 bits — commutative, so
+    it is independent of write order/parallelism and a reader can
+    recompute it with one aggregation. Returns the manifest dict."""
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported format: {fmt}")
+    sharded = _with_shard(df, id_col, n_shards)
+    (sharded.repartition(n_shards, "__shard")
+     .write.partitionBy("__shard").mode("overwrite")
+     .format(fmt).save(path))
+    per = (sharded.groupBy("__shard")
+           .agg(F.count("*").alias("rows"),
+                F.sum(F.size(F.split(F.col(text_col), r"\s+")))
+                .alias("tokens"),
+                F.pmod(F.sum(F.pmod(F.xxhash64(F.col(text_col)),
+                                    F.lit(1 << 62))
+                             .cast("decimal(38,0)")),
+                       F.lit(1 << 62)).cast("long")
+                .alias("checksum"))
+           .collect())
+    shards = {int(r["__shard"]): {
+        "rows": int(r["rows"]), "tokens": int(r["tokens"]),
+        "checksum": int(r["checksum"]) % (1 << 62)}
+        for r in per}
+    manifest = {
+        "format": fmt,
+        "n_shards": n_shards,
+        "rows": sum(s["rows"] for s in shards.values()),
+        "tokens": sum(s["tokens"] for s in shards.values()),
+        "checksum": sum(s["checksum"]
+                        for s in shards.values()) % (1 << 62),
+        "shards": {str(k): shards[k] for k in sorted(shards)},
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def verify_manifest(spark, path: str, text_col: str = "text") -> bool:
+    """Reader-side check: recompute rows/tokens/checksum from the
+    published files and compare with manifest.json — one aggregation
+    over the corpus, no driver materialization of the data."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    df = (spark.read.format(manifest["format"]).load(path))
+    got = df.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.size(F.split(F.col(text_col), r"\s+")))
+        .alias("tokens"),
+        F.pmod(F.sum(F.pmod(F.xxhash64(F.col(text_col)),
+                            F.lit(1 << 62)).cast("decimal(38,0)")),
+               F.lit(1 << 62)).cast("long")
+        .alias("checksum")).collect()[0]
+    return (int(got["rows"]) == manifest["rows"]
+            and int(got["tokens"]) == manifest["tokens"]
+            and int(got["checksum"]) % (1 << 62)
+            == manifest["checksum"])
+
+
+def to_webdataset(df: DataFrame, path: str, n_shards: int = 8,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> list[str]:
+    """WebDataset-style tar shards: `shard-%05d.tar`, one
+    `{id}.txt` member per document, members sorted by id within the
+    shard. One applyInPandas task per shard writes its tar —
+    documents never reach the driver. Returns the shard paths."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    sharded = _with_shard(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(text_col).alias("text")), "id", n_shards)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+        if not len(pdf):
+            return pd.DataFrame({"shard": [], "n": []})
+        shard = int(pdf["__shard"].iloc[0])
+        dest = os.path.join(path, f"shard-{shard:05d}.tar")
+        pdf = pdf.sort_values("id")
+        with tarfile.open(dest, "w") as tar:
+            for _, row in pdf.iterrows():
+                data = str(row["text"]).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{row['id']}.txt")
+                info.size = len(data)
+                info.mtime = 0          # deterministic bytes
+                tar.addfile(info, io.BytesIO(data))
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    done = (sharded.groupBy("__shard")
+            .applyInPandas(write_shard, "shard int, n long")
+            .collect())
+    return [os.path.join(path, f"shard-{int(r['shard']):05d}.tar")
+            for r in sorted(done, key=lambda r: r["shard"])]

@@ -353,3 +353,19 @@ def test_corpus_curate(capsys):
     rc, out = run(capsys, "corpus", "curate", "-j", "-l", "3")
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and rows and all("quality" in r for r in rows)
+
+
+def test_corpus_publish_and_verify(capsys, tmp_path):
+    dest = str(tmp_path / "pub")
+    rc, out = run(capsys, "corpus", "publish", "--dest", dest,
+                  "--shards", "3")
+    man = json.loads(out.strip())
+    assert rc == 0 and man["rows"] > 0 and len(man["shards"]) <= 3
+    rc, out = run(capsys, "corpus", "verify-manifest",
+                  "--dest", dest)
+    assert rc == 0 and json.loads(out.strip())["ok"] is True
+    wdest = str(tmp_path / "wds")
+    rc, _ = run(capsys, "corpus", "publish", "--dest", wdest,
+                "--format", "webdataset", "--shards", "2")
+    import glob
+    assert rc == 0 and len(glob.glob(f"{wdest}/*.tar")) == 2
