@@ -124,8 +124,9 @@ def _cmd_corpus(args) -> int:
     from .session import get_spark
     spark = get_spark()
     tbl = "embeddings" if args.ccmd == "ann" else "documents"
+    from .llm.export import load_corpus
     src = args.input or f"{args.sf_dir}/{tbl}.parquet"
-    df = spark.read.parquet(src)
+    df = load_corpus(spark, src)
 
     if args.ccmd == "analyze":
         from .llm.text import analyze

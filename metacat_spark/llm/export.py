@@ -128,3 +128,18 @@ def to_webdataset(df: DataFrame, path: str, n_shards: int = 8,
             .collect())
     return [os.path.join(path, f"shard-{int(r['shard']):05d}.tar")
             for r in sorted(done, key=lambda r: r["shard"])]
+
+
+def load_corpus(spark, path: str):
+    """Format-sniffing corpus reader: parquet directory/file, .jsonl/
+    .json (JSON Lines), or .csv (header row) — the ingest mirror of
+    export_corpus, so `corpus --input` accepts whatever format a
+    producer published. Directories default to parquet (the
+    export_corpus layout, manifest ignored)."""
+    low = path.lower()
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        return spark.read.json(path)
+    if low.endswith(".csv"):
+        return spark.read.option("header", "true") \
+                    .option("inferSchema", "true").csv(path)
+    return spark.read.parquet(path)

@@ -369,3 +369,14 @@ def test_corpus_publish_and_verify(capsys, tmp_path):
                 "--format", "webdataset", "--shards", "2")
     import glob
     assert rc == 0 and len(glob.glob(f"{wdest}/*.tar")) == 2
+
+
+def test_corpus_input_jsonl(capsys, tmp_path, spark):
+    src = str(tmp_path / "docs.jsonl")
+    with open(src, "w") as f:
+        f.write('{"doc_id": 1, "text": "alpha beta gamma delta"}\n')
+        f.write('{"doc_id": 2, "text": "epsilon zeta eta theta"}\n')
+    rc, out = run(capsys, "corpus", "stats", "--input", src, "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows[0]["n_docs"] == 2
+    assert rows[0]["n_tokens"] == 8
