@@ -157,11 +157,11 @@ def _cmd_corpus(args) -> int:
             out = DD.ngram_jaccard_pairs(df, threshold=args.threshold)
     elif args.ccmd == "admit":
         from .llm import dedup as DD
-        corpus = spark.read.parquet(args.corpus)
+        corpus = load_corpus(spark, args.corpus)
         out = DD.dedup_against(df, corpus)
     elif args.ccmd == "contamination":
         from .llm import dedup as DD
-        test = spark.read.parquet(args.test)
+        test = load_corpus(spark, args.test)
         fn = {"exact": DD.cross_corpus_exact,
               "jaccard": DD.cross_corpus_jaccard,
               "containment": DD.cross_corpus_containment,
@@ -170,7 +170,7 @@ def _cmd_corpus(args) -> int:
                else fn(test, df, threshold=args.threshold))
     elif args.ccmd == "decontaminate":
         from .llm import dedup as DD
-        test = spark.read.parquet(args.test)
+        test = load_corpus(spark, args.test)
         kw = ({} if args.method == "exact"
               else {"threshold": args.threshold})
         out = DD.decontaminate(df, test, method=args.method, **kw)
@@ -182,7 +182,7 @@ def _cmd_corpus(args) -> int:
         out = corpus_stats(df)
     elif args.ccmd == "divergence":
         from .llm.text import corpus_divergence
-        other = spark.read.parquet(args.against)
+        other = load_corpus(spark, args.against)
         out = corpus_divergence(df, other)
     elif args.ccmd == "select":
         from .llm.pipeline import select_token_budget
