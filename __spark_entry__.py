@@ -1184,6 +1184,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             poly_hash(F.col("text")).alias("final_fp"))
     q["doc_curation_v2"] = doc_curate_v2
 
+    def doc_mixture_tokens(spark, sf_dir):
+        """Token-weighted mixture resampling (llm/pipeline.py
+        sample_to_mixture by="tokens"): strata weighted by TOKEN
+        mass — what a pretraining recipe specifies — with the same
+        closed-form fractions + deterministic hash filter; the
+        oracle replays token-mass measurement, fraction arithmetic,
+        and row selection exactly."""
+        from metacat_spark.llm.pipeline import sample_to_mixture
+        return (sample_to_mixture(_docs(spark, sf_dir),
+                                  {"en": 0.6, "de": 0.2, "fr": 0.2},
+                                  by="tokens")
+                .select("doc_id", "lang"))
+    q["doc_sample_mixture_tokens"] = doc_mixture_tokens
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -2394,6 +2408,21 @@ def oracle_sql() -> dict[str, str]:
     o["doc_sample_mixture"] = f"""
         with cnt as (select lang, count(*) as c from documents
                      group by 1),
+        w(lang, wt) as (values ('en', 0.6), ('de', 0.2),
+                        ('fr', 0.2)),
+        t as (select min(c / wt) as T from cnt join w using (lang)),
+        fr as (select cnt.lang,
+                      least(1.0, (select T from t) * wt / c) as f
+               from cnt join w using (lang))
+        select d.doc_id, d.lang from documents d
+          join fr on d.lang = fr.lang
+        where ({_ad_doc}) % 10000 < f * 10000"""
+
+    o["doc_sample_mixture_tokens"] = f"""
+        with cnt as (select lang,
+                            sum(len(string_split_regex(text,
+                                                       '\\s+'))) as c
+                     from documents group by 1),
         w(lang, wt) as (values ('en', 0.6), ('de', 0.2),
                         ('fr', 0.2)),
         t as (select min(c / wt) as T from cnt join w using (lang)),

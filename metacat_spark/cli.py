@@ -248,7 +248,8 @@ def _cmd_corpus(args) -> int:
             k, _, v = part.partition("=")
             target[k.strip()] = float(v)
         out = sample_to_mixture(df, target,
-                                stratum_col=args.stratum_col)
+                                stratum_col=args.stratum_col,
+                                by=args.by)
     else:  # ann
         from .llm import similarity as SIM
         kw = {}
@@ -645,6 +646,10 @@ def main(argv=None):
     cm.add_argument("--target", required=True,
                     help="comma list, e.g. en=0.6,de=0.2,fr=0.2")
     cm.add_argument("--stratum-col", default="lang")
+    cm.add_argument("--by", choices=["docs", "tokens"],
+                    default="docs",
+                    help="weight strata by document count or "
+                         "token mass")
     cn = cs.add_parser("ann", help="embedding nearest neighbours")
     _corpus_common(cn, embeddings=True)
     cn.add_argument("--method",

@@ -122,16 +122,33 @@ def mixture_fractions(counts: dict, target: dict) -> dict:
 def sample_to_mixture(df: DataFrame, target: dict,
                       stratum_col: str = "lang",
                       id_col: str = "doc_id",
-                      mod: int = 10000) -> DataFrame:
+                      mod: int = 10000,
+                      by: str = "docs",
+                      text_col: str = "text") -> DataFrame:
     """Re-balance a corpus to target mixture proportions (the domain-
     weighting step of a pretraining data recipe): one narrow groupBy
-    collects per-stratum counts (#strata rows — the only driver
+    collects per-stratum masses (#strata rows — the only driver
     traffic), mixture_fractions turns them into deterministic keep-
     fractions, and stratified_sample's hash filter applies them with
     zero additional shuffle. Fully reproducible: same corpus, same
-    target ⇒ same surviving rows on any cluster."""
-    counts = {r[0]: r[1] for r in
-              df.groupBy(stratum_col).count().collect()}
+    target ⇒ same surviving rows on any cluster.
+
+    ``by="docs"`` weights strata by document count; ``by="tokens"``
+    weights by TOKEN mass — what a pretraining recipe actually
+    specifies (a stratum of long documents contributes more tokens
+    per doc, so its keep-fraction must shrink accordingly). The
+    per-doc hash filter then realizes the token share in
+    expectation; the fractions themselves are exact closed-form over
+    the measured token masses."""
+    if by == "tokens":
+        from .text import token_count
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(stratum_col)
+                  .agg(F.sum(token_count(F.col(text_col)))
+                       .alias("m")).collect()}
+    else:
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(stratum_col).count().collect()}
     frac = mixture_fractions(counts, target)
     return stratified_sample(df, frac, stratum_col, id_col, mod=mod)
 
