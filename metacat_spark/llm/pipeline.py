@@ -381,10 +381,16 @@ def curate_v2(documents: DataFrame, min_quality: float = 0.3,
                            & (F.col("n_tokens") >= min_tokens))
     red = gated.withColumn(text_col, TX.redact_pii(c))
     exact = DD.dedup_exact(red, text_col, id_col)
+    # the exact-dedup subtree feeds the span index, the token
+    # explode, the scrub join, and (via kept) the near-dup shingles —
+    # without a checkpoint Spark recomputes the whole gate+md5 chain
+    # once per consumer inside the single lazy plan
+    exact = exact.localCheckpoint(eager=False)
     scrub = DD.scrub_duplicate_spans(
         exact.select(id_col, text_col), n=substr_n,
         text_col=text_col, id_col=id_col)
-    kept = scrub.where(F.col("n_tok_after") > 0)
+    kept = scrub.where(F.col("n_tok_after") > 0) \
+                .localCheckpoint(eager=False)
     pairs = DD.ngram_jaccard_pairs(kept, n=jaccard_n,
                                    threshold=jaccard_threshold,
                                    text_col=text_col, id_col=id_col)

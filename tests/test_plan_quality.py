@@ -369,3 +369,14 @@ def test_hashed_doc_vectors_all_jvm(spark):
     plan = plan_of(hashed_doc_vectors(docs))
     assert "EvalPython" not in plan
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_curate_v2_python_free(spark):
+    """The five-stage curation composition stays relational
+    end-to-end — gates, PII regexps, md5 dedup, substring scrub, and
+    the n-gram near-dup join are all JVM; no Python stage."""
+    from metacat_spark.llm.pipeline import curate_v2
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(curate_v2(docs))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -55,6 +55,7 @@ def main():
             embs, k=5, train_iters=2).count(),
         "image_dhash": lambda: MM.image_dhash(
             MM.synthesize_assets(docs)).count(),
+        "curate_v2": lambda: PL.curate_v2(docs).count(),
     }
     only = set(sys.argv[1:])
     out = {}
