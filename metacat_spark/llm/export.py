@@ -33,7 +33,7 @@ def export_corpus(df: DataFrame, path: str, fmt: str = "parquet",
                   n_shards: int = 8, text_col: str = "text",
                   id_col: str = "doc_id") -> dict:
     """Write the corpus hash-sharded (`shard=K/` directories) and a
-    `manifest.json` next to it. The content checksum is the SUM of
+    `_manifest.json` next to it (underscore so Spark readers skip it). The content checksum is the SUM of
     per-document xxhash64(text) folded into 63 bits — commutative, so
     it is independent of write order/parallelism and a reader can
     recompute it with one aggregation. Returns the manifest dict."""
@@ -66,7 +66,10 @@ def export_corpus(df: DataFrame, path: str, fmt: str = "parquet",
                         for s in shards.values()) % (1 << 62),
         "shards": {str(k): shards[k] for k in sorted(shards)},
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
+    # underscore prefix: Spark data-source listings ignore _-files
+    # (like _SUCCESS), so a json-format export never reads its own
+    # manifest back as data
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
 
@@ -75,7 +78,7 @@ def verify_manifest(spark, path: str, text_col: str = "text") -> bool:
     """Reader-side check: recompute rows/tokens/checksum from the
     published files and compare with manifest.json — one aggregation
     over the corpus, no driver materialization of the data."""
-    with open(os.path.join(path, "manifest.json")) as f:
+    with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
     df = (spark.read.format(manifest["format"]).load(path))
     got = df.agg(

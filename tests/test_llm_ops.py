@@ -1711,3 +1711,17 @@ def test_to_webdataset_deterministic_tars(docs, spark, tmp_path):
     h2 = [hashlib.md5(open(p, "rb").read()).hexdigest()
           for p in shards2]
     assert h1 == h2
+
+
+def test_export_corpus_json_format_ignores_manifest(docs, spark,
+                                                    tmp_path):
+    """json-format export must read back cleanly — the manifest is
+    _-prefixed so Spark's listing skips it (a bare manifest.json
+    would be parsed as data rows by spark.read.json)."""
+    from metacat_spark.llm.export import export_corpus, verify_manifest
+    dest = str(tmp_path / "pubj")
+    man = export_corpus(docs.select("doc_id", "text"), dest,
+                        fmt="json", n_shards=2)
+    back = spark.read.json(dest)
+    assert back.count() == man["rows"]
+    assert verify_manifest(spark, dest)
