@@ -528,3 +528,54 @@ def c4_line_filter(df: DataFrame, min_words: int = 3,
                         F.coalesce(F.col("n_lines_after"),
                                    F.lit(0).cast("long")))
             .drop("_clean"))
+
+
+def divergence_stream(spark, src_dir: str, reference: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_files_per_batch: int = 1) -> DataFrame:
+    """Streaming drift monitor: as document batches arrive on a file
+    stream, each micro-batch's unigram distribution is compared to
+    the REFERENCE corpus (corpus_divergence — KL both ways + JS) and
+    one row per batch is emitted. This is the per-ingest-batch alarm
+    a continuous pipeline runs before admitting a batch into the
+    mix; the reference side is cached once, so per-batch cost is the
+    batch's own aggregation + the vocabulary-bounded join.
+
+    availableNow trigger + foreachBatch; returns a DataFrame of
+    (batch_id, n_docs, n_terms_union, kl_batch_ref, kl_ref_batch,
+    js_divergence), one row per micro-batch
+    (``max_files_per_batch`` controls batch granularity)."""
+    import os
+
+    ref = reference.select(id_col, text_col).cache()
+    ref.count()
+    batch_schema = spark.read.parquet(src_dir).schema
+    reader = (spark.readStream.schema(batch_schema)
+              .option("maxFilesPerTrigger", max_files_per_batch))
+    if os.path.isfile(src_dir):
+        reader = reader.option("pathGlobFilter",
+                               os.path.basename(src_dir))
+        src_dir = os.path.dirname(src_dir)
+    stream = reader.parquet(src_dir)
+    rows = []
+
+    def on_batch(bdf, bid):
+        n = bdf.count()
+        if not n:
+            return
+        r = corpus_divergence(bdf, ref, text_col, id_col).collect()[0]
+        rows.append((int(bid), n, r["n_terms_union"],
+                     r["kl_a_m"], r["kl_b_m"], r["js_divergence"]))
+
+    q = (stream.writeStream.foreachBatch(on_batch)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("divergence_stream did not finish "
+                           "within 120s")
+    ref.unpersist()
+    return spark.createDataFrame(
+        rows, "batch_id long, n_docs long, n_terms_union long, "
+              "kl_batch_ref double, kl_ref_batch double, "
+              "js_divergence double")

@@ -1725,3 +1725,24 @@ def test_export_corpus_json_format_ignores_manifest(docs, spark,
     back = spark.read.json(dest)
     assert back.count() == man["rows"]
     assert verify_manifest(spark, dest)
+
+
+def test_divergence_stream_matches_batch(docs, spark, tmp_path):
+    """Each micro-batch's drift row equals the batch-mode
+    corpus_divergence of that file against the reference."""
+    from metacat_spark.llm.text import (corpus_divergence,
+                                        divergence_stream)
+    src = str(tmp_path / "stream_src")
+    a = docs.where("doc_id % 2 = 0").select("doc_id", "text")
+    b = docs.where("doc_id % 2 = 1").select("doc_id", "text")
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    ref = docs.where("source = 'src0'").select("doc_id", "text")
+    out = divergence_stream(spark, src, ref).collect()
+    assert len(out) == 2
+    assert all(r["js_divergence"] > 0 for r in out)
+    # one batch is file A or file B — its row must match batch mode
+    want = {round(corpus_divergence(x, ref).collect()[0]
+                  ["js_divergence"], 6) for x in (a, b)}
+    got = {r["js_divergence"] for r in out}
+    assert got == want
