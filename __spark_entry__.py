@@ -1198,6 +1198,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "lang"))
     q["doc_sample_mixture_tokens"] = doc_mixture_tokens
 
+    def doc_ledger(spark, sf_dir):
+        """Per-document curation lineage (llm/pipeline.py
+        curate_v2_ledger): every input doc labeled kept /
+        dropped_gate / dropped_exact_dup / scrubbed_empty /
+        dropped_near_dup — the governance audit trail; the oracle
+        replays the whole pipeline and derives the same fates from
+        the stage memberships."""
+        from metacat_spark.llm.pipeline import curate_v2_ledger
+        return curate_v2_ledger(_docs(spark, sf_dir))
+    q["doc_curation_ledger"] = doc_ledger
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -2465,7 +2476,7 @@ def oracle_sql() -> dict[str, str]:
     # scrubbed text) replayed as ONE statement by composing the
     # stage templates above — end-to-end value-hash including the
     # final text fingerprints
-    o["doc_curation_v2"] = (f"""
+    _CURATE_CTES = (f"""
         with q0 as (
           select doc_id, text,
                  len(string_split_regex(text, '\\s+')) as n_words,
@@ -2504,10 +2515,27 @@ def oracle_sql() -> dict[str, str]:
           select distinct id_b from inter
             join sizes sa on sa.id = id_a
             join sizes sb on sb.id = id_b
-          where n_inter / (sa.n + sb.n - n_inter) >= 0.12)
+          where n_inter / (sa.n + sb.n - n_inter) >= 0.12),
+        final as (
+          select * from kept2
+          where doc_id not in (select id_b from drops))""")
+
+    o["doc_curation_v2"] = _CURATE_CTES + f"""
         select doc_id, n_tok_before, n_tok_after,
-        """ + f"""
                {_FP_SQL.format(c='text')} as final_fp
-        from kept2 where doc_id not in (select id_b from drops)""")
+        from final"""
+
+    o["doc_curation_ledger"] = _CURATE_CTES + """
+        select d.doc_id,
+               case when g.doc_id is null then 'dropped_gate'
+                    when e.doc_id is null then 'dropped_exact_dup'
+                    when k.doc_id is null then 'scrubbed_empty'
+                    when f.doc_id is null then 'dropped_near_dup'
+                    else 'kept' end as fate
+        from documents d
+          left join gated g on g.doc_id = d.doc_id
+          left join exact e on e.doc_id = d.doc_id
+          left join kept2 k on k.doc_id = d.doc_id
+          left join final f on f.doc_id = d.doc_id"""
 
     return o

@@ -213,8 +213,11 @@ def _cmd_corpus(args) -> int:
         print(json.dumps({"ok": ok}))
         return 0 if ok else 1
     elif args.ccmd == "curate":
-        from .llm.pipeline import curate, curate_v2
-        if args.v2:
+        from .llm.pipeline import (curate, curate_v2,
+                                   curate_v2_ledger)
+        if args.ledger:
+            out = curate_v2_ledger(df, min_quality=args.min_quality)
+        elif args.v2:
             out = curate_v2(df, min_quality=args.min_quality)
         else:
             out = curate(df, min_quality=args.min_quality)
@@ -620,6 +623,9 @@ def main(argv=None):
                         "scrub + substring scrub, exact near-dup)")
     _corpus_common(ccu)
     ccu.add_argument("--v2", action="store_true")
+    ccu.add_argument("--ledger", action="store_true",
+                     help="emit per-document fates instead of "
+                          "survivors (v2 pipeline lineage)")
     ccu.add_argument("--min-quality", type=float, default=0.3)
     cgg = cs.add_parser("gate", help="Gopher heuristic quality "
                         "gate (per-rule flags + conjunction)")

@@ -372,6 +372,16 @@ def curate_v2(documents: DataFrame, min_quality: float = 0.3,
     scrubbed to empty are dropped.  `curate` (MinHash-LSH) remains
     the 100 TB path for the near-dup stage; every other stage here IS
     the scale path already (linear, no pairwise joins)."""
+    return _curate_v2_stages(documents, min_quality, min_tokens,
+                             substr_n, jaccard_n, jaccard_threshold,
+                             text_col, id_col)["final"]
+
+
+def _curate_v2_stages(documents, min_quality, min_tokens, substr_n,
+                      jaccard_n, jaccard_threshold, text_col,
+                      id_col) -> dict:
+    """The curate_v2 stage DataFrames, exposed for the lineage
+    ledger: gated → exact → kept (post-scrub, non-empty) → final."""
     c = F.col(text_col)
     analyzed = documents.withColumns({
         "n_tokens": TX.token_count(c),
@@ -395,4 +405,40 @@ def curate_v2(documents: DataFrame, min_quality: float = 0.3,
                                    threshold=jaccard_threshold,
                                    text_col=text_col, id_col=id_col)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return kept.join(drop, id_col, "left_anti")
+    final = kept.join(drop, id_col, "left_anti")
+    return {"gated": gated, "exact": exact, "kept": kept,
+            "final": final}
+
+
+def curate_v2_ledger(documents: DataFrame, min_quality: float = 0.3,
+                     min_tokens: int = 5, substr_n: int = 8,
+                     jaccard_n: int = 3,
+                     jaccard_threshold: float = 0.12,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document curation lineage: EVERY input document labeled
+    with its fate through the v2 pipeline — kept, dropped_gate,
+    dropped_exact_dup, scrubbed_empty, or dropped_near_dup. The
+    audit trail a data-governance review (or a "why was my document
+    removed?" ticket) needs; four id-only left joins over the stage
+    memberships, so the ledger costs the pipeline plus narrow
+    id-set joins."""
+    st = _curate_v2_stages(documents, min_quality, min_tokens,
+                           substr_n, jaccard_n, jaccard_threshold,
+                           text_col, id_col)
+
+    def ids(df, flag):
+        return df.select(F.col(id_col),
+                         F.lit(True).alias(flag))
+
+    out = (documents.select(id_col)
+           .join(ids(st["gated"], "_g"), id_col, "left")
+           .join(ids(st["exact"], "_e"), id_col, "left")
+           .join(ids(st["kept"], "_k"), id_col, "left")
+           .join(ids(st["final"], "_f"), id_col, "left"))
+    fate = (F.when(F.col("_g").isNull(), "dropped_gate")
+            .when(F.col("_e").isNull(), "dropped_exact_dup")
+            .when(F.col("_k").isNull(), "scrubbed_empty")
+            .when(F.col("_f").isNull(), "dropped_near_dup")
+            .otherwise("kept"))
+    return out.select(id_col, fate.alias("fate"))

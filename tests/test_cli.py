@@ -380,3 +380,13 @@ def test_corpus_input_jsonl(capsys, tmp_path, spark):
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and rows[0]["n_docs"] == 2
     assert rows[0]["n_tokens"] == 8
+
+
+def test_corpus_curate_ledger(capsys):
+    rc, out = run(capsys, "corpus", "curate", "--ledger",
+                  "-j", "-l", "5")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert all(r["fate"] in ("kept", "dropped_gate",
+                             "dropped_exact_dup", "scrubbed_empty",
+                             "dropped_near_dup") for r in rows)

@@ -1746,3 +1746,17 @@ def test_divergence_stream_matches_batch(docs, spark, tmp_path):
                   ["js_divergence"], 6) for x in (a, b)}
     got = {r["js_divergence"] for r in out}
     assert got == want
+
+
+def test_curate_v2_ledger_consistency(docs):
+    """The ledger partitions ALL input docs; its 'kept' set equals
+    curate_v2's survivors exactly."""
+    from metacat_spark.llm.pipeline import curate_v2, curate_v2_ledger
+    led = {r["doc_id"]: r["fate"]
+           for r in curate_v2_ledger(docs).collect()}
+    assert len(led) == docs.count()
+    kept = {r["doc_id"] for r in curate_v2(docs).collect()}
+    assert {i for i, f in led.items() if f == "kept"} == kept
+    assert set(led.values()) <= {
+        "kept", "dropped_gate", "dropped_exact_dup",
+        "scrubbed_empty", "dropped_near_dup"}
