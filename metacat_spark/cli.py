@@ -148,6 +148,8 @@ def _cmd_corpus(args) -> int:
                 f"{args.sf_dir}/embeddings.parquet")
             out = DD.semantic_dedup(df, embs,
                                     threshold=args.threshold)
+        elif args.method == "semantic-text":
+            out = DD.semantic_dedup_text(df)
         elif args.method == "containment":
             out = DD.ngram_containment_pairs(df,
                                              threshold=args.threshold)
@@ -546,7 +548,8 @@ def main(argv=None):
     _corpus_common(cd)
     cd.add_argument("--method",
                     choices=["exact", "minhash", "ngram", "semantic",
-                             "containment", "substring"],
+                             "semantic-text", "containment",
+                             "substring"],
                     default="exact")
     cd.add_argument("--threshold", type=float, default=0.5)
     cd.add_argument("--ngram", type=int, default=8,

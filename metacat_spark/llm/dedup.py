@@ -851,3 +851,27 @@ def scrub_duplicate_spans(df: DataFrame, n: int = 8,
                        F.coalesce(F.col("n_tok_after"), F.lit(0)))
            .drop("_scrubbed"))
     return out
+
+
+def semantic_dedup_text(documents: DataFrame, threshold: float = 0.999,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Semantic dedup with NO embeddings table: hashed document
+    vectors (similarity.hashed_doc_vectors — the hashing trick)
+    stand in for learned embeddings, then the standard
+    cosine-pairs → components → min-id survivor collapse.  At the
+    near-1.0 threshold this catches exact and token-permuted copies;
+    with learned embeddings (semantic_dedup) it generalizes to
+    paraphrases.  The bridge that makes the whole vector stack work
+    on raw text corpora."""
+    from .similarity import cosine_pairs, hashed_doc_vectors
+
+    vecs = hashed_doc_vectors(documents, text_col=text_col,
+                              id_col=id_col)
+    pairs = cosine_pairs(vecs, threshold=threshold,
+                         vec_col="vector", id_col=id_col)
+    clusters = near_dup_clusters(
+        documents.select(F.col(id_col)), pairs, id_col=id_col)
+    keep = (clusters.where(F.col("is_canonical"))
+            .select(F.col("doc_id").alias(id_col)))
+    return documents.join(keep, id_col, "left_semi")

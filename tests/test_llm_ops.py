@@ -1760,3 +1760,16 @@ def test_curate_v2_ledger_consistency(docs):
     assert set(led.values()) <= {
         "kept", "dropped_gate", "dropped_exact_dup",
         "scrubbed_empty", "dropped_near_dup"}
+
+
+def test_semantic_dedup_text_collapses_copies(docs, spark):
+    """Text-only semantic dedup: planted exact copies collapse to
+    the min-id survivor without any embeddings table."""
+    from metacat_spark.llm.dedup import semantic_dedup_text
+    base = docs.limit(40).select("doc_id", "text")
+    copies = base.limit(6).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    out = semantic_dedup_text(base.unionByName(copies))
+    kept = {r["doc_id"] for r in out.collect()}
+    assert len(kept) == 40
+    assert all(i < 1000000 for i in kept)

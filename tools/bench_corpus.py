@@ -56,6 +56,10 @@ def main():
         "image_dhash": lambda: MM.image_dhash(
             MM.synthesize_assets(docs)).count(),
         "curate_v2": lambda: PL.curate_v2(docs).count(),
+        "hashed_vectors": lambda: SIM.hashed_doc_vectors(
+            docs).count(),
+        "curation_ledger": lambda: PL.curate_v2_ledger(
+            docs).count(),
     }
     only = set(sys.argv[1:])
     out = {}
