@@ -329,6 +329,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_events").cast("long").alias("n_events"))
     q["events_sessionize"] = events_sessions
 
+    def events_funnel(spark, sf_dir):
+        """Ordered-funnel completion (streaming/events.py funnel):
+        view → click → purchase per user, each step at/after the
+        previous and within 2 h of it, greedy-from-earliest
+        matching.  All three step timestamps value-hashed; the
+        oracle replays the identical join chain."""
+        from metacat_spark.streaming import events as EV
+        out = EV.funnel(EV.load_events(spark, sf_dir),
+                        ["view", "click", "purchase"],
+                        horizon_s=7200)
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        return out.select(
+            "user_id",
+            F.date_format("t1", fmt).alias("t1"),
+            F.date_format("t2", fmt).alias("t2"),
+            F.date_format("t3", fmt).alias("t3"))
+    q["events_funnel"] = events_funnel
+
     def events_windowed_streaming(spark, sf_dir):
         """The Structured Streaming twin of events_windowed_agg:
         availableNow trigger into a memory sink, identical result
@@ -1927,6 +1945,32 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
                count(*) as n_events
         from sess group by user_id, session_seq"""
+
+    o["events_funnel"] = """
+        with ev as (
+          select user_id,
+                 make_timestamp(epoch_ns(ts) // 1000) as ts,
+                 event_type
+          from events),
+        s1 as (select user_id, min(ts) as t1 from ev
+               where event_type = 'view' group by 1),
+        s2 as (select s1.user_id, s1.t1, min(e.ts) as t2
+               from s1 join ev e on e.user_id = s1.user_id
+                 and e.event_type = 'click'
+                 and epoch_us(e.ts) >= epoch_us(s1.t1)
+                 and epoch_us(e.ts) <= epoch_us(s1.t1) + 7200000000
+               group by 1, 2),
+        s3 as (select s2.user_id, s2.t1, s2.t2, min(e.ts) as t3
+               from s2 join ev e on e.user_id = s2.user_id
+                 and e.event_type = 'purchase'
+                 and epoch_us(e.ts) >= epoch_us(s2.t2)
+                 and epoch_us(e.ts) <= epoch_us(s2.t2) + 7200000000
+               group by 1, 2, 3)
+        select user_id,
+               strftime(t1, '%Y-%m-%d %H:%M:%S.%f') as t1,
+               strftime(t2, '%Y-%m-%d %H:%M:%S.%f') as t2,
+               strftime(t3, '%Y-%m-%d %H:%M:%S.%f') as t3
+        from s3"""
 
     # the streaming twin must produce exactly the batch result
     o["events_windowed_streaming"] = o["events_windowed_agg"]

@@ -198,3 +198,60 @@ def streaming_windowed_counts_to_memory(spark: SparkSession, sf_dir: str,
             "streaming job did not finish within 120s — refusing to "
             "return a partially populated memory table")
     return spark.table(table)
+
+
+def funnel(events: DataFrame, steps: list[str],
+           horizon_s: int = 3600, ts_col: str = "ts",
+           user_col: str = "user_id",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel completion per user (the product-analytics
+    staple): t1 = the user's earliest step-1 event; t_i = the
+    earliest step-i event at/after t_{i-1} and within ``horizon_s``
+    of it. Returns one row per user who completes ALL steps, with
+    every step timestamp.
+
+    Greedy-from-earliest matching — the standard funnel
+    simplification. An exhaustive matcher (restarting from later
+    step-1 events when a greedy chain dies) is sequence matching
+    (SQL MATCH_RECOGNIZE) and can complete funnels greedy misses;
+    greedy is deterministic, SQL-replayable, and what analytics
+    tools ship.
+
+    Scale shape: k−1 joins, every one keyed on user_id — with the
+    events table hash-partitioned on user once, all joins and
+    groupBys co-locate; each join's build side is only that step's
+    event slice. No windows over the full event stream."""
+    ts = F.col(ts_col)
+    cur = (events.where(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts).alias("t1")))
+    for i in range(1, len(steps)):
+        nxt = (events.where(F.col(type_col) == steps[i])
+               .select(F.col(user_col), ts.alias("_nts")))
+        prev = F.col(f"t{i}")
+        keep = [user_col] + [f"t{j}" for j in range(1, i + 1)]
+        # plain timestamp comparisons work for TIMESTAMP and
+        # TIMESTAMP_NTZ alike (unix_micros rejects NTZ)
+        cur = (cur.join(nxt, user_col)
+               .where((F.col("_nts") >= prev)
+                      & (F.col("_nts") <= prev + F.expr(
+                          f"INTERVAL {int(horizon_s)} SECOND")))
+               .groupBy(*keep)
+               .agg(F.min("_nts").alias(f"t{i + 1}")))
+    return cur
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  horizon_s: int = 3600, ts_col: str = "ts",
+                  user_col: str = "user_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Users surviving each funnel prefix: (step, step_name,
+    n_users) — the conversion report over ``funnel``'s semantics
+    (step k's count = completers of steps[0..k])."""
+    spark = events.sparkSession
+    rows = []
+    for k in range(1, len(steps) + 1):
+        n = funnel(events, steps[:k], horizon_s, ts_col,
+                   user_col, type_col).count()
+        rows.append((k, steps[k - 1], n))
+    return spark.createDataFrame(
+        rows, "step int, step_name string, n_users long")

@@ -156,3 +156,38 @@ def test_streaming_equals_batch(spark, events):
            (r["n_events"], r["total_value"])
            for r in stream_out.collect()}
     assert got == batch and got
+
+
+def test_funnel_greedy_semantics(spark):
+    """Hand-built chains: a completing user yields its earliest
+    chain; a user whose step-2 falls outside the horizon is absent
+    (greedy from earliest step-1 — documented semantics); step order
+    must hold (a purchase BEFORE the click doesn't count)."""
+    from datetime import datetime
+    from metacat_spark.streaming.events import funnel, funnel_counts
+    rows = [
+        # user 1: completes within horizons
+        (1, datetime(2024, 1, 1, 10, 0), "view"),
+        (1, datetime(2024, 1, 1, 10, 30), "click"),
+        (1, datetime(2024, 1, 1, 10, 45), "purchase"),
+        # user 2: click 3h after earliest view -> greedy fails
+        (2, datetime(2024, 1, 1, 9, 0), "view"),
+        (2, datetime(2024, 1, 1, 12, 0), "click"),
+        (2, datetime(2024, 1, 1, 12, 5), "purchase"),
+        # user 3: purchase precedes click -> no completion
+        (3, datetime(2024, 1, 1, 10, 0), "view"),
+        (3, datetime(2024, 1, 1, 10, 5), "purchase"),
+        (3, datetime(2024, 1, 1, 10, 30), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: (r["t1"], r["t2"], r["t3"])
+           for r in funnel(df, ["view", "click", "purchase"],
+                           horizon_s=3600).collect()}
+    assert set(out) == {1}
+    assert out[1][0].hour == 10 and out[1][2].minute == 45
+    counts = {r["step"]: r["n_users"]
+              for r in funnel_counts(df,
+                                     ["view", "click", "purchase"],
+                                     horizon_s=3600).collect()}
+    assert counts == {1: 3, 2: 2, 3: 1}
