@@ -347,6 +347,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("t3", fmt).alias("t3"))
     q["events_funnel"] = events_funnel
 
+    def events_retention(spark, sf_dir):
+        """Weekly cohort retention grid (streaming/events.py
+        retention_cohorts): users bucketed by first-activity ISO
+        week, each (cohort, offset) cell counting members active
+        that many weeks later.  Full value-hash vs the SQL replay."""
+        from metacat_spark.streaming import events as EV
+        out = EV.retention_cohorts(EV.load_events(spark, sf_dir))
+        return out.select(
+            F.date_format("cohort_week", "yyyy-MM-dd")
+            .alias("cohort_week"),
+            "week_offset",
+            F.col("n_users").cast("long").alias("n_users"))
+    q["events_retention"] = events_retention
+
     def events_windowed_streaming(spark, sf_dir):
         """The Structured Streaming twin of events_windowed_agg:
         availableNow trigger into a memory sink, identical result
@@ -1945,6 +1959,22 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
                count(*) as n_events
         from sess group by user_id, session_seq"""
+
+    o["events_retention"] = """
+        with ev as (
+          select user_id,
+                 date_trunc('week',
+                   make_timestamp(epoch_ns(ts) // 1000)) as period
+          from events),
+        firsts as (select user_id, min(period) as cohort_week
+                   from ev group by 1),
+        acts as (select distinct user_id, period from ev)
+        select strftime(f.cohort_week, '%Y-%m-%d') as cohort_week,
+               cast(date_diff('day', f.cohort_week, a.period) // 7
+                    as int) as week_offset,
+               count(distinct a.user_id) as n_users
+        from acts a join firsts f using (user_id)
+        group by 1, 2"""
 
     o["events_funnel"] = """
         with ev as (

@@ -255,3 +255,26 @@ def funnel_counts(events: DataFrame, steps: list[str],
         rows.append((k, steps[k - 1], n))
     return spark.createDataFrame(
         rows, "step int, step_name string, n_users long")
+
+
+def retention_cohorts(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id") -> DataFrame:
+    """Weekly cohort retention grid: users bucket into the week of
+    their FIRST activity; each (cohort_week, week_offset) cell
+    counts the cohort members active that many weeks later — the
+    second product-analytics staple next to the funnel.
+
+    Shape: one distinct over (user, week), one groupBy(user) min,
+    one join on user_id, one final groupBy — all keyed on user or
+    on the tiny grid. ISO-Monday week truncation on both engines."""
+    p = F.date_trunc("week", F.col(ts_col))
+    firsts = (events.groupBy(user_col)
+              .agg(F.min(p).alias("cohort_week")))
+    acts = (events.select(F.col(user_col), p.alias("period"))
+            .distinct())
+    j = acts.join(firsts, user_col)
+    offset = (F.datediff(F.col("period"), F.col("cohort_week"))
+              / 7).cast("int")
+    return (j.groupBy(F.col("cohort_week"),
+                      offset.alias("week_offset"))
+            .agg(F.countDistinct(user_col).alias("n_users")))

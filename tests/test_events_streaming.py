@@ -191,3 +191,22 @@ def test_funnel_greedy_semantics(spark):
                                      ["view", "click", "purchase"],
                                      horizon_s=3600).collect()}
     assert counts == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_cohorts_hand_case(spark):
+    """Two users, two cohorts: offsets and counts by hand."""
+    from datetime import datetime
+    from metacat_spark.streaming.events import retention_cohorts
+    rows = [
+        (1, datetime(2024, 1, 1, 9)),    # Mon wk0
+        (1, datetime(2024, 1, 9, 9)),    # wk1
+        (1, datetime(2024, 1, 22, 9)),   # wk3
+        (2, datetime(2024, 1, 9, 12)),   # cohort wk1
+        (2, datetime(2024, 1, 16, 12)),  # wk1+1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort_week"])[:10], r["week_offset"]):
+           r["n_users"] for r in retention_cohorts(df).collect()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 3): 1,
+                   ("2024-01-08", 0): 1, ("2024-01-08", 1): 1}
