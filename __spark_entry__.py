@@ -1263,6 +1263,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5c: doc_curation_v2 (five stages, final-text fingerprints —
     # the strongest end-to-end row) replaces the LSH curation
     # CERTIFICATE in-cap; the certificate stays replica-gate checked.
+    # r5d: events_funnel + events_retention (both full value-hash)
+    # enter mid-list beside the events family, displacing the
+    # embed_topk_ivf/ivfpq 1-row certificates past the cap — a
+    # deliberate trade: the cap favors value-hashed rows, the embed
+    # family keeps cosine_pairs + topk_bruteforce (full hashes)
+    # in-cap, and every certificate remains replica-gate checked.
     promote = ["dedup_cross_jaccard", "doc_pack_sequences",
                "dedup_cross_containment", "doc_token_budget",
                "dedup_substring_scrub", "doc_split_train_val_test",
