@@ -12,8 +12,10 @@ metacat_namespace.py, metacat_named_query.py).
     python -m metacat_spark.cli namespace (list|show|create) ...
     python -m metacat_spark.cli named-query (list|show|create|search) ...
     python -m metacat_spark.cli corpus (analyze|quality|dedup|
-        contamination|pack|redact|scrub|split|mixture|ann) ...
-        # beyond-reference
+        contamination|pack|redact|scrub|split|mixture|ann|
+        curate|publish) ...               # beyond-reference
+    python -m metacat_spark.cli events (windowed|sessionize|
+        funnel|retention) ...             # beyond-reference
 
 The reference CLI talks to a resident metacat server; the equivalent
 here is a resident engine — sessions are cached per sf-dir at module
@@ -115,6 +117,33 @@ def _id_list(s):
     if s.strip() == "-":
         return []
     return [x.strip() for x in s.split(",") if x.strip()]
+
+
+def _cmd_events(args) -> int:
+    """Dispatch the `events` group (beyond-reference analytics over
+    the events table): windowed counts, sessionization, funnels,
+    cohort retention — same consumption contract as `corpus`."""
+    from .session import get_spark
+    from .streaming import events as EV
+    spark = get_spark()
+    ev = EV.load_events(spark, args.sf_dir)
+    if args.ecmd == "windowed":
+        out = EV.windowed_counts(ev, args.window)
+    elif args.ecmd == "sessionize":
+        out = EV.sessionize(ev, args.gap_minutes)
+    elif args.ecmd == "funnel":
+        steps = [x.strip() for x in args.steps.split(",")]
+        fn = EV.funnel_counts if args.counts else EV.funnel
+        out = fn(ev, steps, horizon_s=args.horizon)
+    else:  # retention
+        out = EV.retention_cohorts(ev)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"# wrote {n} rows to {args.output}", file=sys.stderr)
+        return 0
+    _print_rows(out, args.json, args.limit)
+    return 0
 
 
 def _cmd_corpus(args) -> int:
@@ -669,6 +698,34 @@ def main(argv=None):
                     help="search hashed document vectors (no "
                          "embeddings table needed)")
 
+    eg = sub.add_parser(
+        "events",
+        help="event-stream analytics (beyond-reference: windows, "
+             "sessions, funnels, retention)")
+    es = eg.add_subparsers(dest="ecmd", required=True)
+
+    def _events_common(sp):
+        _add_sf_dir(sp)
+        sp.add_argument("-o", "--output", default=None)
+        sp.add_argument("-l", "--limit", type=int, default=20)
+
+    ew = es.add_parser("windowed", help="tumbling-window counts")
+    _events_common(ew)
+    ew.add_argument("--window", default="1 hour")
+    ese = es.add_parser("sessionize", help="gap-based sessions")
+    _events_common(ese)
+    ese.add_argument("--gap-minutes", type=int, default=30)
+    ef = es.add_parser("funnel", help="ordered-funnel completion")
+    _events_common(ef)
+    ef.add_argument("--steps", default="view,click,purchase",
+                    help="comma list of event types in order")
+    ef.add_argument("--horizon", type=int, default=3600,
+                    help="max seconds between consecutive steps")
+    ef.add_argument("--counts", action="store_true",
+                    help="emit the per-step conversion report")
+    er = es.add_parser("retention", help="weekly cohort retention")
+    _events_common(er)
+
     vv = sub.add_parser("version", help="print engine versions")
 
     sv = sub.add_parser("serve", help="start the HTTP data server "
@@ -701,6 +758,9 @@ def main(argv=None):
         # corpus ops read the document/embedding tables directly — no
         # MQL warehouse build needed
         return _cmd_corpus(args)
+
+    if args.cmd == "events":
+        return _cmd_events(args)
 
     engine, dml = _session(args.sf_dir)
     cat = engine.cat

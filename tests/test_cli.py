@@ -390,3 +390,16 @@ def test_corpus_curate_ledger(capsys):
     assert all(r["fate"] in ("kept", "dropped_gate",
                              "dropped_exact_dup", "scrubbed_empty",
                              "dropped_near_dup") for r in rows)
+
+
+def test_events_group(capsys):
+    rc, out = run(capsys, "events", "funnel", "--counts",
+                  "--horizon", "7200", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 3
+    assert rows[0]["n_users"] >= rows[1]["n_users"] >= rows[2]["n_users"]
+    rc, out = run(capsys, "events", "retention", "-j", "-l", "4")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows and all("week_offset" in r for r in rows)
+    rc, out = run(capsys, "events", "sessionize", "-j", "-l", "3")
+    assert rc == 0 and len(out.splitlines()) == 3
