@@ -332,13 +332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_funnel(spark, sf_dir):
         """Ordered-funnel completion (streaming/events.py funnel):
         view → click → purchase per user, each step at/after the
-        previous and within 2 h of it, greedy-from-earliest
+        previous and within 24 h of it, greedy-from-earliest
         matching.  All three step timestamps value-hashed; the
         oracle replays the identical join chain."""
         from metacat_spark.streaming import events as EV
         out = EV.funnel(EV.load_events(spark, sf_dir),
                         ["view", "click", "purchase"],
-                        horizon_s=7200)
+                        horizon_s=86400)
         fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
         return out.select(
             "user_id",
@@ -1994,13 +1994,13 @@ def oracle_sql() -> dict[str, str]:
                from s1 join ev e on e.user_id = s1.user_id
                  and e.event_type = 'click'
                  and epoch_us(e.ts) >= epoch_us(s1.t1)
-                 and epoch_us(e.ts) <= epoch_us(s1.t1) + 7200000000
+                 and epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000
                group by 1, 2),
         s3 as (select s2.user_id, s2.t1, s2.t2, min(e.ts) as t3
                from s2 join ev e on e.user_id = s2.user_id
                  and e.event_type = 'purchase'
                  and epoch_us(e.ts) >= epoch_us(s2.t2)
-                 and epoch_us(e.ts) <= epoch_us(s2.t2) + 7200000000
+                 and epoch_us(e.ts) <= epoch_us(s2.t2) + 86400000000
                group by 1, 2, 3)
         select user_id,
                strftime(t1, '%Y-%m-%d %H:%M:%S.%f') as t1,

@@ -278,3 +278,82 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts",
     return (j.groupBy(F.col("cohort_week"),
                       offset.alias("week_offset"))
             .agg(F.countDistinct(user_col).alias("n_users")))
+
+
+def funnel_stateful(stream: DataFrame, steps: list[str],
+                    horizon_s: int = 3600) -> DataFrame:
+    """STREAMING funnel: a per-user state machine via
+    applyInPandasWithState — state = (done, next-step index, step
+    times in epoch-µs), advanced event-by-event in timestamp order
+    within each micro-batch; one completion row (user_id, times)
+    emits the moment the final step lands.
+
+    Equivalence contract (pinned by test): when events arrive in
+    event-time order within each user across micro-batches (the
+    ordered-file-stream case), the completion set equals the batch
+    ``funnel``'s exactly — same greedy-from-earliest semantics, the
+    state machine is just its incremental form.  Out-of-order
+    arrival needs watermarked buffering in front (the standard
+    trade; documented, not implemented).  State per user is O(k)
+    longs — millions of concurrent users fit comfortably."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+    horizon_us = int(horizon_s) * 1_000_000
+
+    def update(key, pdfs, state):
+        if state.exists:
+            done, idx, times = state.get
+            times = list(times)
+        else:
+            done, idx, times = False, 0, []
+        out = []
+        for pdf in pdfs:
+            if done or not len(pdf):
+                continue
+            ev = pdf[pdf["event_type"].isin(step_of)].copy()
+            if not len(ev):
+                continue
+            ev["__ord"] = ev["event_type"].map(step_of)
+            ev = ev.sort_values(["ts_ts", "__ord"])
+            for ts, et in zip(ev["ts_ts"], ev["event_type"]):
+                if done:
+                    break
+                if step_of[et] != idx:
+                    continue
+                us = int(ts.value // 1000)      # pandas ns → µs
+                if idx == 0:
+                    times, idx = [us], 1
+                elif times[-1] <= us <= times[-1] + horizon_us:
+                    times.append(us)
+                    idx += 1
+                    if idx == k:
+                        done = True
+                        out.append((int(key[0]), list(times)))
+        state.update((done, idx, times))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "times"])
+
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(
+                update, "user_id long, times array<long>",
+                "done boolean, idx int, times array<long>",
+                "update", GroupStateTimeout.NoTimeout))
+
+
+def streaming_funnel_to_memory(spark: SparkSession, sf_dir: str,
+                               steps: list[str],
+                               horizon_s: int = 3600,
+                               table: str = "ev_funnel") -> DataFrame:
+    stream = load_events_stream(spark, sf_dir)
+    out = funnel_stateful(stream, steps, horizon_s)
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("update").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "streaming funnel did not finish within 120s — refusing "
+            "to return a partially populated memory table")
+    return spark.table(table)

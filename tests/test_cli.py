@@ -394,7 +394,7 @@ def test_corpus_curate_ledger(capsys):
 
 def test_events_group(capsys):
     rc, out = run(capsys, "events", "funnel", "--counts",
-                  "--horizon", "7200", "-j")
+                  "--horizon", "86400", "-j")
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and len(rows) == 3
     assert rows[0]["n_users"] >= rows[1]["n_users"] >= rows[2]["n_users"]

@@ -210,3 +210,26 @@ def test_retention_cohorts_hand_case(spark):
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
                    ("2024-01-01", 3): 1,
                    ("2024-01-08", 0): 1, ("2024-01-08", 1): 1}
+
+
+def test_streaming_funnel_equals_batch(spark):
+    """The stateful streaming funnel's completion set (availableNow
+    over the events file) equals the batch funnel exactly — same
+    greedy semantics, incremental form."""
+    from pyspark.sql import functions as F
+    from metacat_spark.streaming import events as EV
+    steps = ["view", "click", "purchase"]
+    got = {(r["user_id"], tuple(r["times"])) for r in
+           EV.streaming_funnel_to_memory(
+               spark, SF_DIR, steps, horizon_s=86400,
+               table="ev_funnel_eq").collect()}
+    batch = EV.funnel(EV.load_events(spark, SF_DIR), steps,
+                      horizon_s=86400)
+    want = {(r["user_id"], (r["u1"], r["u2"], r["u3"])) for r in
+            batch.select(
+                "user_id",
+                F.unix_micros(F.col("t1").cast("timestamp")).alias("u1"),
+                F.unix_micros(F.col("t2").cast("timestamp")).alias("u2"),
+                F.unix_micros(F.col("t3").cast("timestamp")).alias("u3"))
+            .collect()}
+    assert got and got == want
