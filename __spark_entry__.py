@@ -361,6 +361,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_users").cast("long").alias("n_users"))
     q["events_retention"] = events_retention
 
+    def events_props(spark, sf_dir):
+        """Typed extraction over the events JSON props column
+        (get_json_object → int) + per-type stats — the events-side
+        echo of the metadata-shredding story; exercises the last
+        fixture column."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        k = F.get_json_object("props", "$.k").cast("long")
+        return (ev.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.avg(k), 6).alias("avg_k"),
+                     F.max(k).alias("max_k")))
+    q["events_props_stats"] = events_props
+
     def events_windowed_streaming(spark, sf_dir):
         """The Structured Streaming twin of events_windowed_agg:
         availableNow trigger into a memory sink, identical result
@@ -1965,6 +1978,14 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
                count(*) as n_events
         from sess group by user_id, session_seq"""
+
+    o["events_props_stats"] = """
+        select event_type, count(*) as n,
+               round(avg(cast(json_extract_string(props, '$.k')
+                              as bigint)), 6) as avg_k,
+               max(cast(json_extract_string(props, '$.k')
+                        as bigint)) as max_k
+        from events group by 1"""
 
     o["events_retention"] = """
         with ev as (
