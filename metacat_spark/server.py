@@ -150,6 +150,8 @@ def make_handler(client: MetaCatSparkClient,
                     return self._category(params)
                 if url.path == "/data/corpus":
                     return self._corpus(params)
+                if url.path == "/data/events":
+                    return self._events(params)
                 if url.path == "/data/version":
                     return self._send(200, "application/json",
                                       json.dumps(
@@ -254,6 +256,41 @@ def make_handler(client: MetaCatSparkClient,
             self.wfile.write(
                 b"\x1e" + json.dumps(d, default=str).encode("utf-8")
                 + b"\n")
+
+        def _events(self, params: dict):
+            """Event-stream analytics over HTTP (beyond-reference;
+            mirrors the CLI `events` group): /data/events?op=
+            windowed|sessionize|funnel|retention
+            [&steps=a,b,c][&horizon=N][&gap=N][&window=spec]
+            [&limit=N] — json-seq frames."""
+            from .streaming import events as EV
+            op = _one(params, "op")
+            ev_raw = client.catalog.raw["events"]
+            ev = ev_raw.withColumn("ts_ts", EV._ts_ts_col(ev_raw))
+            if op == "windowed":
+                out = EV.windowed_counts(
+                    ev, _one(params, "window") or "1 hour")
+            elif op == "sessionize":
+                out = EV.sessionize(
+                    ev, int(_one(params, "gap") or 30))
+            elif op == "funnel":
+                steps = [x.strip() for x in
+                         (_one(params, "steps")
+                          or "view,click,purchase").split(",")]
+                out = EV.funnel(ev, steps,
+                                horizon_s=int(_one(params, "horizon")
+                                              or 3600))
+            elif op == "retention":
+                out = EV.retention_cohorts(ev)
+            else:
+                return self._send(400, "text/plain",
+                                  f"unknown events op: {op}")
+            lim = _one(params, "limit")
+            if lim:
+                out = out.limit(int(lim))
+            self._stream_json_seq(
+                r.asDict(recursive=True)
+                for r in out.toLocalIterator())
 
         def _corpus(self, params: dict):
             """Training-corpus operators over HTTP (beyond-reference;

@@ -607,3 +607,16 @@ def test_corpus_curate_endpoint(served):
     rows = _json_seq(_get(base, "/data/corpus", op="curate", v2=1,
                           limit=3))
     assert rows and all(r["n_tok_after"] > 0 for r in rows)
+
+
+def test_events_endpoints(served):
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/events", op="funnel",
+                          horizon=86400, limit=5))
+    assert rows and all("t3" in r for r in rows)
+    rows = _json_seq(_get(base, "/data/events", op="retention",
+                          limit=4))
+    assert rows and all("week_offset" in r for r in rows)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/events", op="nope")
+    assert e.value.code == 400
