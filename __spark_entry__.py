@@ -1289,7 +1289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     demote = ["doc_quality_score", "doc_lang_id",
               "filter_sample_hash", "embed_centroid_by_label",
               "dedup_simhash", "embed_topk_ann_lsh", "filter_mix",
-              "doc_curation_pipeline"]
+              "doc_curation_pipeline",
+              # keep the minhash-LSH certificate driver-visible over
+              # the (simpler) props-extraction row
+              "events_props_stats"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
