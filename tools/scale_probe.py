@@ -46,6 +46,18 @@ def build_engine(spark, mult: int) -> Engine:
     return Engine(cat)
 
 
+def _replicate_events(spark, n: int):
+    from metacat_spark.streaming.events import load_events
+    ev = load_events(spark, SF_DIR)
+    if n == 1:
+        return ev
+    r = F.explode(F.sequence(F.lit(1), F.lit(n))).alias("__r")
+    return (ev.select("*", r)
+            .withColumn("user_id",
+                        F.col("user_id") * 100000 + F.col("__r"))
+            .drop("__r"))
+
+
 def probe(spark, mult: int) -> dict:
     eng = build_engine(spark, mult)
     docs = _replicate(
@@ -84,6 +96,13 @@ def probe(spark, mult: int) -> dict:
         # near-linear even as ~all grams turn duplicated
         "substring_spans": lambda: DD.duplicate_spans(
             docs, n=8, min_count=2).count(),
+        # replicas get DISJOINT user populations (numeric remap), so
+        # funnel work grows linearly in users with no join blow-up
+        "events_funnel": lambda: __import__(
+            "metacat_spark.streaming.events",
+            fromlist=["funnel"]).funnel(
+            _replicate_events(spark, mult),
+            ["view", "click", "purchase"], horizon_s=86400).count(),
     }
     out = {}
     for name, fn in cases.items():
