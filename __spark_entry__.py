@@ -1254,6 +1254,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate_v2_ledger(_docs(spark, sf_dir))
     q["doc_curation_ledger"] = doc_ledger
 
+    def doc_div_terms(spark, sf_dir):
+        """Drift decomposition (llm/text.py divergent_terms): the
+        top-20 terms by Jensen-Shannon contribution between the src0
+        and src1 sub-corpora, with shift direction — the diagnostic
+        behind a corpus_divergence alarm.  Full value-hash vs the
+        identical SQL replay."""
+        from metacat_spark.llm.text import divergent_terms
+        docs = _docs(spark, sf_dir)
+        return divergent_terms(docs.where("source = 'src0'"),
+                               docs.where("source = 'src1'"), k=20)
+    q["doc_divergent_terms"] = doc_div_terms
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -1834,6 +1846,33 @@ def oracle_sql() -> dict[str, str]:
                       + sum(pb * ln(pb / ((pa + pb) / 2)))) / 2, 6)
                  as js_divergence
         from w"""
+
+    o["doc_divergent_terms"] = """
+        with tok as (select source, lower(t) as term from (
+               select source,
+                      unnest(string_split_regex(text, '\\s+')) as t
+               from documents
+               where source in ('src0', 'src1')) u where t <> ''),
+        ta as (select term, count(*) as ca from tok
+               where source = 'src0' group by 1),
+        tb as (select term, count(*) as cb from tok
+               where source = 'src1' group by 1),
+        u as (select coalesce(ta.term, tb.term) as term,
+                     coalesce(ca, 0) as ca, coalesce(cb, 0) as cb
+              from ta full outer join tb on ta.term = tb.term),
+        tot as (select sum(ca) as na, sum(cb) as nb,
+                       count(*) as v from u),
+        w as (select term, ca, cb,
+                     (ca + 1) / (na + v) as pa,
+                     (cb + 1) / (nb + v) as pb
+              from u cross join tot)
+        select term, ca, cb,
+               round((pa * ln(pa / ((pa + pb) / 2))
+                      + pb * ln(pb / ((pa + pb) / 2))) / 2, 9)
+                 as js_contrib,
+               case when pa > pb then 'a' else 'b' end as heavier_in
+        from w
+        order by js_contrib desc, term limit 20"""
 
     o["dedup_incremental"] = """
         with batch as (

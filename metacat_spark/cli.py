@@ -212,9 +212,12 @@ def _cmd_corpus(args) -> int:
         from .llm.text import corpus_stats
         out = corpus_stats(df)
     elif args.ccmd == "divergence":
-        from .llm.text import corpus_divergence
+        from .llm.text import corpus_divergence, divergent_terms
         other = load_corpus(spark, args.against)
-        out = corpus_divergence(df, other)
+        if args.top_terms:
+            out = divergent_terms(df, other, k=args.top_terms)
+        else:
+            out = corpus_divergence(df, other)
     elif args.ccmd == "select":
         from .llm.pipeline import select_token_budget
         out = select_token_budget(df, args.budget)
@@ -622,6 +625,9 @@ def main(argv=None):
     cdv.add_argument("--against", required=True,
                      help="parquet path of the comparison corpus "
                           "(--input is side A)")
+    cdv.add_argument("--top-terms", type=int, default=0,
+                     help="emit the top-K drift-driving terms "
+                          "instead of the one-row summary")
     csel = cs.add_parser("select", help="quality-ranked docs under a "
                          "token budget")
     _corpus_common(csel)

@@ -579,3 +579,38 @@ def divergence_stream(spark, src_dir: str, reference: DataFrame,
         rows, "batch_id long, n_docs long, n_terms_union long, "
               "kl_batch_ref double, kl_ref_batch double, "
               "js_divergence double")
+
+
+def divergent_terms(df_a: DataFrame, df_b: DataFrame, k: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The WHY behind a drift alarm: per-term contributions to the
+    Jensen-Shannon divergence (same add-one-smoothed union-vocabulary
+    model as corpus_divergence), top-k by absolute contribution with
+    the direction of the shift. js_contrib sums over the full
+    vocabulary to corpus_divergence's js_divergence — a decomposition,
+    not a new statistic.
+
+    Plan: the same two groupBys + vocabulary-bounded join, then ONE
+    TakeOrdered top-k on the contribution — no global sort."""
+    ta = (term_rows(df_a, text_col, id_col)
+          .groupBy("term").agg(F.count("*").alias("ca")))
+    tb = (term_rows(df_b, text_col, id_col)
+          .groupBy("term").agg(F.count("*").alias("cb")))
+    u = (ta.join(tb, "term", "full_outer")
+         .select("term", F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    tot = u.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+                F.count("*").alias("v"))
+    w = u.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    m = (pa + pb) / 2
+    contrib = (pa * F.log(pa / m) + pb * F.log(pb / m)) / 2
+    scored = w.select(
+        "term", "ca", "cb",
+        F.round(contrib, 9).alias("js_contrib"),
+        F.when(pa > pb, F.lit("a")).otherwise(F.lit("b"))
+        .alias("heavier_in"))
+    return (scored.orderBy(F.col("js_contrib").desc(), "term")
+            .limit(k))

@@ -1773,3 +1773,16 @@ def test_semantic_dedup_text_collapses_copies(docs, spark):
     kept = {r["doc_id"] for r in out.collect()}
     assert len(kept) == 40
     assert all(i < 1000000 for i in kept)
+
+
+def test_divergent_terms_decomposes_js(docs, spark):
+    """Summing js_contrib over the FULL vocabulary reproduces
+    corpus_divergence's js_divergence — it's a decomposition."""
+    from metacat_spark.llm.text import (corpus_divergence,
+                                        divergent_terms)
+    a = docs.where("source = 'src0'")
+    b = docs.where("source = 'src1'")
+    full = divergent_terms(a, b, k=10 ** 9)
+    total = full.agg(F.sum("js_contrib").alias("s")).collect()[0]["s"]
+    js = corpus_divergence(a, b).collect()[0]["js_divergence"]
+    assert abs(total - js) < 1e-4
