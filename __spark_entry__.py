@@ -374,6 +374,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.max(k).alias("max_k")))
     q["events_props_stats"] = events_props
 
+    def events_anomaly(spark, sf_dir):
+        """Per-window volume anomaly scores (streaming/events.py
+        window_anomalies): hourly counts z-scored against the
+        trailing 24 observed windows per event type — the traffic
+        spike/stall alarm.  Full value-hash incl. the rolling
+        mean/std/z columns."""
+        from metacat_spark.streaming import events as EV
+        out = EV.window_anomalies(EV.load_events(spark, sf_dir))
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events", "trailing_mean",
+            "trailing_std", "z_score")
+    q["events_window_anomalies"] = events_anomaly
+
     def events_windowed_streaming(spark, sf_dir):
         """The Structured Streaming twin of events_windowed_agg:
         availableNow trigger into a memory sink, identical result
@@ -2020,6 +2035,26 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
                count(*) as n_events
         from sess group by user_id, session_seq"""
+
+    o["events_window_anomalies"] = """
+        with c as (
+          select strftime(date_trunc('hour', ts),
+                          '%Y-%m-%d %H:%M:%S') as window_start,
+                 event_type, count(*) as n_events
+          from events group by 1, 2),
+        s as (
+          select window_start, event_type, n_events,
+                 avg(n_events) over w as mu,
+                 stddev_samp(n_events) over w as sd
+          from c
+          window w as (partition by event_type order by window_start
+                       rows between 24 preceding and 1 preceding))
+        select window_start, event_type, n_events,
+               round(mu, 6) as trailing_mean,
+               round(sd, 6) as trailing_std,
+               case when sd > 0 then
+                 round((n_events - mu) / sd, 6) end as z_score
+        from s"""
 
     o["events_props_stats"] = """
         select event_type, count(*) as n,

@@ -131,6 +131,9 @@ def _cmd_events(args) -> int:
         out = EV.windowed_counts(ev, args.window)
     elif args.ecmd == "sessionize":
         out = EV.sessionize(ev, args.gap_minutes)
+    elif args.ecmd == "anomalies":
+        out = EV.window_anomalies(ev, args.window,
+                                  trailing=args.trailing)
     elif args.ecmd == "funnel":
         steps = [x.strip() for x in args.steps.split(",")]
         fn = EV.funnel_counts if args.counts else EV.funnel
@@ -721,6 +724,11 @@ def main(argv=None):
     ese = es.add_parser("sessionize", help="gap-based sessions")
     _events_common(ese)
     ese.add_argument("--gap-minutes", type=int, default=30)
+    ea = es.add_parser("anomalies", help="per-window volume "
+                       "z-scores vs a trailing baseline")
+    _events_common(ea)
+    ea.add_argument("--window", default="1 hour")
+    ea.add_argument("--trailing", type=int, default=24)
     ef = es.add_parser("funnel", help="ordered-funnel completion")
     _events_common(ef)
     ef.add_argument("--steps", default="view,click,purchase",

@@ -357,3 +357,32 @@ def streaming_funnel_to_memory(spark: SparkSession, sf_dir: str,
             "streaming funnel did not finish within 120s — refusing "
             "to return a partially populated memory table")
     return spark.table(table)
+
+
+def window_anomalies(events: DataFrame, window: str = "1 hour",
+                     trailing: int = 24) -> DataFrame:
+    """Volume-anomaly scoring per (window, event_type): each
+    window's event count z-scored against the TRAILING ``trailing``
+    observed windows' mean/stddev for that type — the monitoring
+    alarm for traffic spikes/drops and pipeline stalls. Windows with
+    fewer than two trailing observations score null.
+
+    One windowed aggregation + one per-type ordered window (ROWS
+    framing over observed windows, so calendar gaps don't dilute the
+    baseline); the per-type series is tiny — the heavy lifting is
+    the same windowed_counts aggregate every dashboard needs
+    anyway."""
+    from pyspark.sql import Window as W
+
+    counts = windowed_counts(events, window)
+    w = (W.partitionBy("event_type").orderBy("window_start")
+         .rowsBetween(-trailing, -1))
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    # a constant trailing series (sd = 0) scores null, not ±inf
+    z = F.when(sd > 0, (F.col("n_events") - mu) / sd)
+    return counts.select(
+        "window_start", "event_type", "n_events",
+        F.round(mu, 6).alias("trailing_mean"),
+        F.round(sd, 6).alias("trailing_std"),
+        F.round(z, 6).alias("z_score"))

@@ -403,3 +403,6 @@ def test_events_group(capsys):
     assert rc == 0 and rows and all("week_offset" in r for r in rows)
     rc, out = run(capsys, "events", "sessionize", "-j", "-l", "3")
     assert rc == 0 and len(out.splitlines()) == 3
+    rc, out = run(capsys, "events", "anomalies", "-j", "-l", "5")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows and all("z_score" in r for r in rows)

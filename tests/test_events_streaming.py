@@ -233,3 +233,29 @@ def test_streaming_funnel_equals_batch(spark):
                 F.unix_micros(F.col("t3").cast("timestamp")).alias("u3"))
             .collect()}
     assert got and got == want
+
+
+def test_window_anomalies_flags_spike(spark):
+    """A planted 10x spike in an otherwise-steady series gets a high
+    z-score; steady windows stay near zero; constant series → null."""
+    from datetime import datetime, timedelta
+    from metacat_spark.streaming.events import window_anomalies
+    rows = []
+    base = datetime(2024, 1, 1)
+    for h in range(30):
+        n = 100 if h != 28 else 1000     # spike at hour 28
+        jitter = (h * 7) % 5             # deterministic variance
+        for i in range(n + jitter):
+            rows.append((base + timedelta(hours=h, minutes=i % 60,
+                                          seconds=i % 60), "click"))
+        rows.append((base + timedelta(hours=h), "steady"))
+    df = (spark.createDataFrame(rows,
+                                "ts timestamp, event_type string")
+          .withColumn("ts_ts", F.col("ts"))
+          .withColumn("value", F.lit(1.0)))
+    out = {(r["event_type"], r["window_start"].hour
+            + 24 * (r["window_start"].day - 1)): r["z_score"]
+           for r in window_anomalies(df).collect()}
+    assert out[("click", 28)] > 5
+    assert abs(out[("click", 20)]) < 3
+    assert out[("steady", 28)] is None   # constant series
