@@ -581,7 +581,8 @@ def divergence_stream(spark, src_dir: str, reference: DataFrame,
               "js_divergence double")
 
 
-def divergent_terms(df_a: DataFrame, df_b: DataFrame, k: int = 20,
+def divergent_terms(df_a: DataFrame, df_b: DataFrame,
+                    k: int | None = 20,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """The WHY behind a drift alarm: per-term contributions to the
@@ -592,7 +593,9 @@ def divergent_terms(df_a: DataFrame, df_b: DataFrame, k: int = 20,
     not a new statistic.
 
     Plan: the same two groupBys + vocabulary-bounded join, then ONE
-    TakeOrdered top-k on the contribution — no global sort."""
+    TakeOrdered top-k on the contribution — no global sort.
+    ``k=None`` returns the full unordered decomposition (NO
+    TakeOrdered: a huge k would size its priority queue)."""
     ta = (term_rows(df_a, text_col, id_col)
           .groupBy("term").agg(F.count("*").alias("ca")))
     tb = (term_rows(df_b, text_col, id_col)
@@ -612,5 +615,7 @@ def divergent_terms(df_a: DataFrame, df_b: DataFrame, k: int = 20,
         F.round(contrib, 9).alias("js_contrib"),
         F.when(pa > pb, F.lit("a")).otherwise(F.lit("b"))
         .alias("heavier_in"))
+    if k is None:
+        return scored
     return (scored.orderBy(F.col("js_contrib").desc(), "term")
             .limit(k))

@@ -1782,7 +1782,7 @@ def test_divergent_terms_decomposes_js(docs, spark):
                                         divergent_terms)
     a = docs.where("source = 'src0'")
     b = docs.where("source = 'src1'")
-    full = divergent_terms(a, b, k=10 ** 9)
+    full = divergent_terms(a, b, k=None)
     total = full.agg(F.sum("js_contrib").alias("s")).collect()[0]["s"]
     js = corpus_divergence(a, b).collect()[0]["js_divergence"]
     assert abs(total - js) < 1e-4
