@@ -60,6 +60,20 @@ def main():
             docs).count(),
         "curation_ledger": lambda: PL.curate_v2_ledger(
             docs).count(),
+        "events_funnel": lambda: __import__(
+            "metacat_spark.streaming.events",
+            fromlist=["funnel", "load_events"]).funnel(
+            __import__("metacat_spark.streaming.events",
+                       fromlist=["load_events"]).load_events(
+                spark, SF_DIR),
+            ["view", "click", "purchase"], horizon_s=86400).count(),
+        "events_anomalies": lambda: __import__(
+            "metacat_spark.streaming.events",
+            fromlist=["window_anomalies", "load_events"]
+        ).window_anomalies(
+            __import__("metacat_spark.streaming.events",
+                       fromlist=["load_events"]).load_events(
+                spark, SF_DIR)).count(),
     }
     only = set(sys.argv[1:])
     out = {}
