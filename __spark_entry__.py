@@ -1281,6 +1281,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                docs.where("source = 'src1'"), k=20)
     q["doc_divergent_terms"] = doc_div_terms
 
+    def doc_qgate(spark, sf_dir):
+        """Adaptive quality gate (llm/pipeline.py
+        quality_quantile_gate): keep the top 75% by quality with the
+        cutoff computed as the corpus's exact 25th percentile — no
+        fixed threshold.  Full value-hash incl. the cutoff column
+        (DuckDB quantile_cont matches Spark's exact percentile
+        interpolation)."""
+        from metacat_spark.llm.pipeline import quality_quantile_gate
+        return quality_quantile_gate(_docs(spark, sf_dir)).select(
+            "doc_id", "quality", "cutoff")
+    q["doc_quality_quantile_gate"] = doc_qgate
+
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
     # into the cap, demoting two text-row siblings whose §2a row keeps
@@ -2451,6 +2463,15 @@ def oracle_sql() -> dict[str, str]:
                                       'g')))
                 / length(text) * 4.0, 1.0)) * 0.2, 6)
     """
+    o["doc_quality_quantile_gate"] = f"""
+        with s as (select doc_id, round({_qual}, 6) as quality
+                   from documents),
+        c as (select round(quantile_cont(quality, 0.25), 6)
+                as cutoff,
+              quantile_cont(quality, 0.25) as rawcut from s)
+        select doc_id, quality, cutoff
+        from s cross join c where quality >= rawcut"""
+
     o["doc_source_report"] = f"""
         with q as (select source,
                           len(string_split_regex(text, '\\s+'))

@@ -442,3 +442,26 @@ def curate_v2_ledger(documents: DataFrame, min_quality: float = 0.3,
             .when(F.col("_f").isNull(), "dropped_near_dup")
             .otherwise("kept"))
     return out.select(id_col, fate.alias("fate"))
+
+
+def quality_quantile_gate(df: DataFrame, keep_frac: float = 0.75,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Adaptive quality gate: keep the TOP ``keep_frac`` of documents
+    by quality score, with the cutoff computed from the corpus itself
+    (exact percentile) rather than a fixed threshold — fixed
+    thresholds drift across corpora; quantile gates don't. Ties at
+    the cutoff keep (>=), so the kept fraction can slightly exceed
+    keep_frac on tied scores — deterministic either way.
+
+    Plan: one exact-percentile aggregate (1 row, broadcast) + the
+    filter; the corpus never sorts globally. Returns the surviving
+    rows plus the quality and cutoff columns."""
+    q = TX.quality_score(F.col(text_col))
+    scored = df.withColumn("quality", F.round(q, 6))
+    cut = scored.agg(
+        F.expr(f"percentile(quality, {1.0 - keep_frac})")
+        .alias("cutoff"))
+    return (scored.crossJoin(F.broadcast(cut))
+            .where(F.col("quality") >= F.col("cutoff"))
+            .withColumn("cutoff", F.round("cutoff", 6)))

@@ -1786,3 +1786,14 @@ def test_divergent_terms_decomposes_js(docs, spark):
     total = full.agg(F.sum("js_contrib").alias("s")).collect()[0]["s"]
     js = corpus_divergence(a, b).collect()[0]["js_divergence"]
     assert abs(total - js) < 1e-4
+
+
+def test_quality_quantile_gate_fraction(docs):
+    """Keeps ~the requested fraction (ties at the cutoff may push it
+    slightly over, never under) and every survivor clears the
+    cutoff."""
+    from metacat_spark.llm.pipeline import quality_quantile_gate
+    n = docs.count()
+    out = quality_quantile_gate(docs, keep_frac=0.75).collect()
+    assert 0.75 * n <= len(out) <= 0.80 * n
+    assert all(r["quality"] >= r["cutoff"] for r in out)
