@@ -389,6 +389,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "trailing_std", "z_score")
     q["events_window_anomalies"] = events_anomaly
 
+    def events_paths(spark, sf_dir):
+        """Top-20 length-3 event paths (streaming/events.py
+        common_paths): consecutive per-user event types in
+        (ts, event_id) order — the common-journeys report; one
+        user window + one TakeOrdered, oracle-replayed."""
+        from metacat_spark.streaming import events as EV
+        return EV.common_paths(EV.load_events(spark, sf_dir),
+                               n=3, k=20)
+    q["events_common_paths"] = events_paths
+
     def events_windowed_streaming(spark, sf_dir):
         """The Structured Streaming twin of events_windowed_agg:
         availableNow trigger into a memory sink, identical result
@@ -2047,6 +2057,18 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
                count(*) as n_events
         from sess group by user_id, session_seq"""
+
+    o["events_common_paths"] = """
+        with seq as (
+          select event_type,
+                 lead(event_type, 1) over w as e2,
+                 lead(event_type, 2) over w as e3
+          from events
+          window w as (partition by user_id order by ts, event_id))
+        select event_type || '>' || e2 || '>' || e3 as path,
+               count(*) as n_paths
+        from seq where e3 is not null
+        group by 1 order by n_paths desc, path limit 20"""
 
     o["events_window_anomalies"] = """
         with c as (

@@ -131,6 +131,8 @@ def _cmd_events(args) -> int:
         out = EV.windowed_counts(ev, args.window)
     elif args.ecmd == "sessionize":
         out = EV.sessionize(ev, args.gap_minutes)
+    elif args.ecmd == "paths":
+        out = EV.common_paths(ev, n=args.length, k=args.top)
     elif args.ecmd == "anomalies":
         out = EV.window_anomalies(ev, args.window,
                                   trailing=args.trailing)
@@ -724,6 +726,11 @@ def main(argv=None):
     ese = es.add_parser("sessionize", help="gap-based sessions")
     _events_common(ese)
     ese.add_argument("--gap-minutes", type=int, default=30)
+    ep = es.add_parser("paths", help="top-k most common length-n "
+                       "event paths per user")
+    _events_common(ep)
+    ep.add_argument("--length", type=int, default=3)
+    ep.add_argument("--top", type=int, default=20)
     ea = es.add_parser("anomalies", help="per-window volume "
                        "z-scores vs a trailing baseline")
     _events_common(ea)

@@ -260,7 +260,7 @@ def make_handler(client: MetaCatSparkClient,
         def _events(self, params: dict):
             """Event-stream analytics over HTTP (beyond-reference;
             mirrors the CLI `events` group): /data/events?op=
-            windowed|sessionize|funnel|retention|anomalies
+            windowed|sessionize|funnel|retention|anomalies|paths
             [&steps=a,b,c][&horizon=N][&gap=N][&window=spec]
             [&limit=N] — json-seq frames."""
             from .streaming import events as EV
@@ -282,6 +282,10 @@ def make_handler(client: MetaCatSparkClient,
                                               or 3600))
             elif op == "retention":
                 out = EV.retention_cohorts(ev)
+            elif op == "paths":
+                out = EV.common_paths(
+                    ev, n=int(_one(params, "length") or 3),
+                    k=int(_one(params, "top") or 20))
             elif op == "anomalies":
                 out = EV.window_anomalies(
                     ev, _one(params, "window") or "1 hour",

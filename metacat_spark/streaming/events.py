@@ -386,3 +386,28 @@ def window_anomalies(events: DataFrame, window: str = "1 hour",
         F.round(mu, 6).alias("trailing_mean"),
         F.round(sd, 6).alias("trailing_std"),
         F.round(z, 6).alias("z_score"))
+
+
+def common_paths(events: DataFrame, n: int = 3, k: int = 20,
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 order_col: str = "event_id") -> DataFrame:
+    """Top-k most frequent length-``n`` event-type paths — consecutive
+    events per user in (ts, event_id) order, joined with ">" — the
+    "common user journeys" report. Same posexplode/lead shape as the
+    text shingle machinery: one window per user, one
+    map-side-combinable groupBy(path), one TakeOrdered — no global
+    sort, no per-user collection."""
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy(user_col)
+         .orderBy(F.col(ts_col), F.col(order_col)))
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)]
+    path = F.concat_ws(">", *parts)
+    last = F.lead(type_col, n - 1).over(w)
+    return (events
+            .select(path.alias("path"), last.alias("_last"))
+            .where(F.col("_last").isNotNull())
+            .groupBy("path").agg(F.count("*").alias("n_paths"))
+            .orderBy(F.col("n_paths").desc(), "path").limit(k))

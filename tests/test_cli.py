@@ -406,3 +406,7 @@ def test_events_group(capsys):
     rc, out = run(capsys, "events", "anomalies", "-j", "-l", "5")
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and rows and all("z_score" in r for r in rows)
+    rc, out = run(capsys, "events", "paths", "-j", "-l", "5")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all(r["path"].count(">") == 2 for r in rows)
