@@ -287,6 +287,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.near_dup_clusters(docs, pairs)
     q["dedup_clusters"] = dedup_clusters
 
+    def dedup_cluster_stats(spark, sf_dir):
+        """Cluster-size distribution (llm/dedup.py cluster_stats):
+        (cluster_size, n_clusters) over the n-gram-Jaccard
+        components, singletons included — the one-look dedup
+        summary.  Oracle wraps the recursive-CTE component replay."""
+        from metacat_spark.llm import dedup as DD
+        docs = _docs(spark, sf_dir)
+        pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+        return DD.cluster_stats(docs, pairs)
+    q["dedup_cluster_stats"] = dedup_cluster_stats
+
     # --- beyond-reference: similarity search
     def _embs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1979,6 +1990,13 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.cluster_id, d.doc_id) = d.doc_id
                  as is_canonical
         from documents d left join comp c using (doc_id)"""
+
+    o["dedup_cluster_stats"] = """
+        with base as (""" + o["dedup_clusters"] + """),
+        cs as (select cluster_id, count(*) as cluster_size
+               from base group by 1)
+        select cluster_size, count(*) as n_clusters
+        from cs group by 1"""
 
     _mm_f = ", ".join(
         f"round(len(list_filter(string_split(text, ''), "

@@ -875,3 +875,18 @@ def semantic_dedup_text(documents: DataFrame, threshold: float = 0.999,
     keep = (clusters.where(F.col("is_canonical"))
             .select(F.col("doc_id").alias(id_col)))
     return documents.join(keep, id_col, "left_semi")
+
+
+def cluster_stats(documents: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Cluster-size distribution over near_dup_clusters: one
+    (cluster_size, n_clusters) row per size, singletons included —
+    the one-look dedup summary (how much of the corpus sits in large
+    duplicate families, and whether a mega-cluster warrants
+    investigation before scrubbing). Two narrow groupBys on top of
+    the component machinery."""
+    cl = near_dup_clusters(documents, pairs, id_col=id_col)
+    sizes = (cl.groupBy("cluster_id")
+             .agg(F.count("*").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters")))

@@ -1797,3 +1797,15 @@ def test_quality_quantile_gate_fraction(docs):
     out = quality_quantile_gate(docs, keep_frac=0.75).collect()
     assert 0.75 * n <= len(out) <= 0.80 * n
     assert all(r["quality"] >= r["cutoff"] for r in out)
+
+
+def test_cluster_stats_accounts_for_all_docs(docs):
+    """Σ size × count == corpus size (every doc in exactly one
+    cluster, singletons included)."""
+    from metacat_spark.llm.dedup import (cluster_stats,
+                                         ngram_jaccard_pairs)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    rows = cluster_stats(docs, pairs).collect()
+    assert sum(r["cluster_size"] * r["n_clusters"]
+               for r in rows) == docs.count()
+    assert any(r["cluster_size"] > 1 for r in rows)
