@@ -183,13 +183,14 @@ def test_funnel_greedy_semantics(spark):
         rows, "user_id long, ts timestamp, event_type string")
     out = {r["user_id"]: (r["t1"], r["t2"], r["t3"])
            for r in funnel(df, ["view", "click", "purchase"],
-                           horizon_s=3600).collect()}
+                           horizon_s=3600, ts_col="ts").collect()}
     assert set(out) == {1}
     assert out[1][0].hour == 10 and out[1][2].minute == 45
     counts = {r["step"]: r["n_users"]
               for r in funnel_counts(df,
                                      ["view", "click", "purchase"],
-                                     horizon_s=3600).collect()}
+                                     horizon_s=3600,
+                                     ts_col="ts").collect()}
     assert counts == {1: 3, 2: 2, 3: 1}
 
 
@@ -206,7 +207,8 @@ def test_retention_cohorts_hand_case(spark):
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = {(str(r["cohort_week"])[:10], r["week_offset"]):
-           r["n_users"] for r in retention_cohorts(df).collect()}
+           r["n_users"] for r in retention_cohorts(
+               df, ts_col="ts").collect()}
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
                    ("2024-01-01", 3): 1,
                    ("2024-01-08", 0): 1, ("2024-01-08", 1): 1}
@@ -259,3 +261,37 @@ def test_window_anomalies_flags_spike(spark):
     assert out[("click", 28)] > 5
     assert abs(out[("click", 20)]) < 3
     assert out[("steady", 28)] is None   # constant series
+
+
+def test_funnel_counts_single_pass(spark, events):
+    """funnel_counts must run as ONE action whose job count does not
+    scale with k (VERDICT r5: the old loop launched a funnel().count()
+    job per prefix). Also pins the left-join single-pass counts to the
+    per-prefix inner-join funnels on the real fixture."""
+    steps = ["view", "click", "purchase"]
+    sc = spark.sparkContext
+    sc.setJobGroup("fc_baseline", "single funnel job count")
+    try:
+        EV.funnel(events, steps, horizon_s=86400).count()
+    finally:
+        sc.setJobGroup(None, None)
+    base = len(sc.statusTracker().getJobIdsForGroup("fc_baseline"))
+    sc.setJobGroup("fc_single_pass", "funnel_counts job count")
+    try:
+        rows = EV.funnel_counts(events, steps, horizon_s=86400).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("fc_single_pass"))
+    # AQE materializes each shuffle stage as its own job, so compare
+    # against ONE funnel evaluation: the counts report must cost about
+    # one funnel pass (+ the final explode), not k of them (the old
+    # loop ran a full funnel().count() per prefix ≈ k·base jobs)
+    assert jobs <= base + 2, \
+        f"expected a single-pass plan: {jobs} jobs vs {base} for one funnel"
+    got = {r["step"]: (r["step_name"], r["n_users"]) for r in rows}
+    assert set(got) == {1, 2, 3}
+    for k in range(1, 4):
+        want = EV.funnel(events, steps[:k], horizon_s=86400).count()
+        assert got[k] == (steps[k - 1], want)
+    assert got[1][1] >= got[2][1] >= got[3][1]
+    assert got[1][1] > 0
