@@ -2319,11 +2319,19 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as n_tok_after from kept group by doc_id),
         scrubbed as (
           select d.doc_id,
-                 coalesce(r.scrubbed, '') as text,
+                 case when t.doc_id is not null
+                      then coalesce(r.scrubbed, '')
+                      else d.text end as text,
                  len(string_split_regex(d.text, '\s+'))
                    as n_tok_before,
-                 coalesce(r.n_tok_after, 0) as n_tok_after
-          from __SRC__ d left join reb r on r.doc_id = d.doc_id)"""
+                 case when t.doc_id is not null
+                      then coalesce(r.n_tok_after, 0)
+                      else len(string_split_regex(d.text, '\s+'))
+                      end as n_tok_after
+          from __SRC__ d
+          left join (select distinct doc_id from spans) t
+            on t.doc_id = d.doc_id
+          left join reb r on r.doc_id = d.doc_id)"""
 
     _FP_SQL = """
         list_reduce(list_prepend(0::bigint,

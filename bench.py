@@ -92,15 +92,44 @@ def _stray_jvms() -> int:
         return -1
 
 
-def main():
-    t0 = time.time()
+def _await_quiet_host(max_wait_s: int = 300,
+                      poll_s: int = 10) -> int:
+    """Wait for lingering JVMs to exit; ABORT if they don't.  The r5
+    official bench was recorded with a stray JVM contending for the
+    32 cores (cold total 21.3s vs 17.2-17.5s clean — the exact skew
+    the r4 sentinel warned about), so warn-and-proceed is not enough:
+    a contaminated run must not be recordable as the official
+    artifact.  Set SPARK_GRAFT_ALLOW_STRAY=1 to override (e.g. on a
+    shared host where some unrelated JVM legitimately stays up)."""
     stray = _stray_jvms()
-    if stray > 0:
-        print(f"# WARNING: {stray} JVM(s) already running — cold "
-              f"numbers will be contended", file=sys.stderr)
-    elif stray < 0:
+    if stray < 0:
         print("# NOTE: stray-JVM probe failed (pgrep unavailable)",
               file=sys.stderr)
+        return stray
+    deadline = time.time() + max_wait_s
+    while stray > 0 and time.time() < deadline:
+        print(f"# waiting for {stray} lingering JVM(s) to exit "
+              f"({int(deadline - time.time())}s left)...",
+              file=sys.stderr)
+        time.sleep(poll_s)
+        stray = _stray_jvms()
+    if stray > 0:
+        if os.environ.get("SPARK_GRAFT_ALLOW_STRAY") == "1":
+            print(f"# WARNING: {stray} JVM(s) still running — "
+                  f"proceeding because SPARK_GRAFT_ALLOW_STRAY=1; "
+                  f"cold numbers will be contended", file=sys.stderr)
+            return stray
+        print(f"# FATAL: {stray} JVM(s) still running after "
+              f"{max_wait_s}s — refusing to record a contaminated "
+              f"benchmark. Kill them or set SPARK_GRAFT_ALLOW_STRAY=1.",
+              file=sys.stderr)
+        sys.exit(3)
+    return stray
+
+
+def main():
+    t0 = time.time()
+    stray = _await_quiet_host()
     spark = get_spark("metacat_spark_bench")
     # ingest once into bucketed warehouse tables (counted as setup,
     # like the reference's one-time declare_files load into PostgreSQL)

@@ -145,6 +145,21 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
     return out.distinct() if distinct else out
 
 
+def _drop_hot_shingles(ex: DataFrame, max_df: int) -> DataFrame:
+    """Apply the ``max_df`` stop-shingle cap WITHOUT concentrating a
+    hot shingle's rows on one task: document frequency comes from a
+    groupBy(shingle).count() — map-side partial aggregation, so a
+    10⁹-occurrence stop-shingle ("of the and") reduces to per-task
+    partial counts instead of routing every occurrence row to a
+    single window partition before it can be dropped (VERDICT r5).
+    The surviving hot-shingle list is tiny (shingles with df >
+    max_df), so it broadcasts; the anti-join then prunes occurrence
+    rows wherever they already sit — no pre-filter shuffle at all."""
+    hot = (ex.groupBy("shingle").agg(F.count("*").alias("df"))
+           .where(F.col("df") > max_df).select("shingle"))
+    return ex.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text",
                         id_col: str = "doc_id",
@@ -162,14 +177,13 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     (intersections AND union sizes, so jaccard stays well-defined on
     the reduced space — the standard trick; high-DF shingles carry no
     near-duplicate signal). ``max_df=None`` restores the exact
-    full-space computation. The DF filter is a window count over the
-    same shingle partitioning the join needs — no extra shuffle."""
-    from pyspark.sql import Window
+    full-space computation. The DF filter is a map-side-combinable
+    groupBy(shingle).count() + broadcast anti-join of the tiny
+    hot-shingle list — no per-shingle row concentration (see
+    _drop_hot_shingles)."""
     ex = shingle_rows(df, n, text_col, id_col)
     if max_df is not None:
-        dfreq = F.count("*").over(Window.partitionBy("shingle"))
-        ex = (ex.withColumn("df", dfreq)
-              .where(F.col("df") <= max_df).drop("df"))
+        ex = _drop_hot_shingles(ex, max_df)
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -304,18 +318,39 @@ def simhash(df: DataFrame, text_col: str = "text",
 def hamming_pairs(sig: DataFrame, sig_col: str = "simhash",
                   id_col: str = "id",
                   max_hamming: int = 3) -> DataFrame:
-    """Pairs of 64-bit signatures within Hamming distance via 4-band
-    pigeonhole blocking: any pair with distance ≤ 3 shares at least
-    one of four 16-bit chunks; join per chunk, then verify with
-    bit_count(xor).  Shared by text SimHash and image
-    perceptual-hash dedup — any 64-bit fingerprint column rides the
-    same banded join."""
+    """Pairs of 64-bit signatures within Hamming distance via
+    pigeonhole band blocking: the 64 bits split into
+    ``max_hamming + 1`` chunks, so any pair with distance ≤
+    max_hamming agrees on at least one whole chunk; join per chunk,
+    then verify with bit_count(xor).  Band count DERIVES from
+    max_hamming (ADVICE r5: a fixed 4-band split only guarantees
+    recall for distance ≤ 3 — larger thresholds silently missed
+    pairs).  Shared by text SimHash and image/audio perceptual-hash
+    dedup — any 64-bit fingerprint column rides the same banded
+    join.  More bands = narrower chunks = more candidate
+    collisions, the standard recall/cost trade."""
+    bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got "
+                         f"{max_hamming}")
     sh = sig.select(F.col(id_col).alias("id"),
                     F.col(sig_col).alias("__sig"))
-    chunks = [F.struct(F.lit(i).alias("band"),
-                       F.shiftright(F.col("__sig"), i * 16)
-                       .bitwiseAND(0xFFFF).alias("chunk"))
-              for i in range(4)]
+    base, rem = divmod(64, bands)
+    chunks, off = [], 0
+    for i in range(bands):
+        width = base + (1 if i < rem else 0)
+        # mask after the shift: arithmetic shiftright sign-extends
+        # the top chunk of a negative long, the AND strips it.
+        # Represent the mask as a SIGNED 64-bit literal (a width-64
+        # mask is -1) — Java longs reject the unsigned form.
+        mask = (1 << width) - 1
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        chunks.append(F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("__sig"), off)
+            .bitwiseAND(mask).alias("chunk")))
+        off += width
     ex = (sh.select("id", "__sig",
                     F.explode(F.array(*chunks)).alias("c"))
           .select("id", "__sig", "c.band", "c.chunk"))
@@ -477,13 +512,10 @@ def cross_corpus_jaccard(test_df: DataFrame, train_df: DataFrame,
     UNION shingle space (both intersections and sizes — jaccard stays
     well-defined on the reduced space), same contract as
     ngram_jaccard_pairs."""
-    from pyspark.sql import Window
     u = _tag_union(test_df, train_df, text_col, id_col)
     ex = shingle_rows(u, n, "txt", "id", carry=["grp"])
     if max_df is not None:
-        dfreq = F.count("*").over(Window.partitionBy("shingle"))
-        ex = (ex.withColumn("df", dfreq)
-              .where(F.col("df") <= max_df).drop("df"))
+        ex = _drop_hot_shingles(ex, max_df)
     # (grp, id) key: a test doc and a train doc sharing an id value must
     # not merge their shingle-set sizes (ADVICE r4)
     sizes = ex.groupBy("grp", "id").agg(F.count("*").alias("n_sh"))
@@ -594,13 +626,10 @@ def cross_corpus_containment(test_df: DataFrame, train_df: DataFrame,
     kills the quadratic stop-shingle straggler at scale).
 
     Returns (test_id, train_id, n_inter, containment >= threshold)."""
-    from pyspark.sql import Window
     u = _tag_union(test_df, train_df, text_col, id_col)
     ex = shingle_rows(u, n, "txt", "id", carry=["grp"])
     if max_df is not None:
-        dfreq = F.count("*").over(Window.partitionBy("shingle"))
-        ex = (ex.withColumn("df", dfreq)
-              .where(F.col("df") <= max_df).drop("df"))
+        ex = _drop_hot_shingles(ex, max_df)
     sizes = ex.groupBy("grp", "id").agg(F.count("*").alias("n_sh"))
     a = ex.where(F.col("grp") == 0).alias("a")
     b = ex.where(F.col("grp") == 1).alias("b")
@@ -696,12 +725,9 @@ def ngram_containment_pairs(df: DataFrame, n: int = 8,
     contained→container ((n_a, id_a) < (n_b, id_b) lexicographically);
     same inverted-index join + max_df stop-shingle cap as
     ngram_jaccard_pairs."""
-    from pyspark.sql import Window
     ex = shingle_rows(df, n, text_col, id_col)
     if max_df is not None:
-        dfreq = F.count("*").over(Window.partitionBy("shingle"))
-        ex = (ex.withColumn("df", dfreq)
-              .where(F.col("df") <= max_df).drop("df"))
+        ex = _drop_hot_shingles(ex, max_df)
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -822,17 +848,34 @@ def scrub_duplicate_spans(df: DataFrame, n: int = 8,
     array_sort(collect_list(struct(pos, w))) so the groupBy needs no
     ordering guarantee from the shuffle.
 
+    Only documents that actually HAVE a duplicated span are rebuilt —
+    untouched documents pass through with their ORIGINAL text
+    (newlines, runs of spaces intact), not a single-space-rejoined
+    rendering; corpus-wide whitespace normalization would destroy the
+    line structure that line-oriented stages downstream
+    (c4_line_filter, the Gopher bullet/ellipsis rules) depend on
+    (ADVICE r5).  A rebuilt document's scrubbed text IS
+    space-rejoined (token positions don't record the original
+    separators — documented trade).  Documents entirely covered by
+    spans come back with empty text rather than vanishing, so the
+    caller decides whether to drop empties.
+
     Returns the input rows with text replaced by the scrubbed text
     plus n_tok_before / n_tok_after bookkeeping columns."""
     spans = duplicate_spans(df, n, min_count, text_col, id_col)
+    touched = (spans.groupBy(F.col(id_col).alias("id"))
+               .agg(F.lit(True).alias("_touched")))
     covered = spans.select(
         F.col(id_col).alias("id"),
         F.explode(F.sequence(F.col("span_start"),
                              F.col("span_end") - 1)).alias("pos"))
+    # rebuild ONLY the touched documents (semi-join before the
+    # posexplode keeps untouched docs out of the rebuild entirely)
     tok = (_spread(df)
            .select(F.col(id_col).alias("id"),
                    F.posexplode(tokens(F.col(text_col)))
-                   .alias("pos", "w")))
+                   .alias("pos", "w"))
+           .join(touched.select("id"), "id", "left_semi"))
     kept = tok.join(covered, ["id", "pos"], "left_anti")
     rebuilt = (kept.groupBy("id")
                .agg(F.array_join(
@@ -845,11 +888,21 @@ def scrub_duplicate_spans(df: DataFrame, n: int = 8,
                          F.size(tokens(F.col(text_col))))
     out = (base.join(rebuilt.withColumnRenamed("id", id_col),
                      id_col, "left")
-           .withColumn(text_col, F.coalesce(F.col("_scrubbed"),
-                                            F.lit("")))
+           .join(touched.withColumnRenamed("id", id_col),
+                 id_col, "left")
+           # touched + no kept tokens = entirely duplicated → empty;
+           # untouched → original text verbatim
+           .withColumn(text_col,
+                       F.when(F.col("_touched").isNotNull(),
+                              F.coalesce(F.col("_scrubbed"),
+                                         F.lit("")))
+                       .otherwise(F.col(text_col)))
            .withColumn("n_tok_after",
-                       F.coalesce(F.col("n_tok_after"), F.lit(0)))
-           .drop("_scrubbed"))
+                       F.when(F.col("_touched").isNotNull(),
+                              F.coalesce(F.col("n_tok_after"),
+                                         F.lit(0)))
+                       .otherwise(F.col("n_tok_before")))
+           .drop("_scrubbed", "_touched"))
     return out
 
 

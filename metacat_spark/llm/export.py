@@ -11,6 +11,15 @@
 
 Both sinks write from executors (one task per shard); only the
 manifest aggregation (a few rows per shard) reaches the driver.
+
+Filesystem contract (ADVICE r5): manifest I/O goes through the
+HADOOP FileSystem API on the driver (so hdfs:///s3a:// paths resolve
+with the cluster's own FS configuration, not a driver-local open());
+tar-shard bytes are written from executors through pyarrow.fs
+resolved per-URI (executors have no JVM gateway), falling back to
+local-file I/O for plain paths. Plain (scheme-less) paths therefore
+require a filesystem the task can reach — local mode or a shared
+POSIX mount; for object stores pass an explicit URI scheme.
 """
 
 from __future__ import annotations
@@ -20,6 +29,46 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for a string path via the JVM — resolves
+    scheme + credentials from the active Hadoop configuration."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _write_text(spark, path: str, data: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    fs, p = _hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _open_shard_output(dest: str):
+    """Executor-side byte sink for one tar shard: pyarrow.fs for
+    URI-schemed destinations (s3://, hdfs:// with libhdfs, ...),
+    plain local file I/O otherwise. No JVM available here."""
+    if "://" in dest:
+        from pyarrow import fs as pafs
+        filesystem, p = pafs.FileSystem.from_uri(dest)
+        return filesystem.open_output_stream(p)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    return open(dest, "wb")
 
 
 def _with_shard(df: DataFrame, id_col: str, n_shards: int):
@@ -68,9 +117,10 @@ def export_corpus(df: DataFrame, path: str, fmt: str = "parquet",
     }
     # underscore prefix: Spark data-source listings ignore _-files
     # (like _SUCCESS), so a json-format export never reads its own
-    # manifest back as data
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    # manifest back as data. Hadoop FS write: correct on hdfs://
+    # s3a:// paths, identical behavior on local paths (ADVICE r5)
+    _write_text(df.sparkSession, path.rstrip("/") + "/_manifest.json",
+                json.dumps(manifest, indent=2, sort_keys=True))
     return manifest
 
 
@@ -78,8 +128,8 @@ def verify_manifest(spark, path: str, text_col: str = "text") -> bool:
     """Reader-side check: recompute rows/tokens/checksum from the
     published files and compare with manifest.json — one aggregation
     over the corpus, no driver materialization of the data."""
-    with open(os.path.join(path, "_manifest.json")) as f:
-        manifest = json.load(f)
+    manifest = json.loads(
+        _read_text(spark, path.rstrip("/") + "/_manifest.json"))
     df = (spark.read.format(manifest["format"]).load(path))
     got = df.agg(
         F.count("*").alias("rows"),
@@ -104,7 +154,8 @@ def to_webdataset(df: DataFrame, path: str, n_shards: int = 8,
     documents never reach the driver. Returns the shard paths."""
     import pandas as pd
 
-    os.makedirs(path, exist_ok=True)
+    if "://" not in path:
+        os.makedirs(path, exist_ok=True)
     sharded = _with_shard(
         df.select(F.col(id_col).alias("id"),
                   F.col(text_col).alias("text")), "id", n_shards)
@@ -115,21 +166,26 @@ def to_webdataset(df: DataFrame, path: str, n_shards: int = 8,
         if not len(pdf):
             return pd.DataFrame({"shard": [], "n": []})
         shard = int(pdf["__shard"].iloc[0])
-        dest = os.path.join(path, f"shard-{shard:05d}.tar")
+        dest = path.rstrip("/") + f"/shard-{shard:05d}.tar"
         pdf = pdf.sort_values("id")
-        with tarfile.open(dest, "w") as tar:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
             for _, row in pdf.iterrows():
                 data = str(row["text"]).encode("utf-8")
                 info = tarfile.TarInfo(name=f"{row['id']}.txt")
                 info.size = len(data)
                 info.mtime = 0          # deterministic bytes
                 tar.addfile(info, io.BytesIO(data))
+        # one in-memory tar per shard task (shards are sized by the
+        # caller); a single stream write keeps the sink URI-portable
+        with _open_shard_output(dest) as out:
+            out.write(buf.getvalue())
         return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
     done = (sharded.groupBy("__shard")
             .applyInPandas(write_shard, "shard int, n long")
             .collect())
-    return [os.path.join(path, f"shard-{int(r['shard']):05d}.tar")
+    return [path.rstrip("/") + f"/shard-{int(r['shard']):05d}.tar"
             for r in sorted(done, key=lambda r: r["shard"])]
 
 

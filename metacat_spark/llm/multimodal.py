@@ -2,12 +2,14 @@
 
 Pattern: an asset table with a `binary` content column and typed
 metadata columns; decode / feature-extraction runs as Arrow-batched
-mapInPandas stages. Two REAL pure-Python decode kernels are wired —
-uncompressed BMP (24/32-bit) and PCM WAV (8/16-bit) — parsed with
-struct/numpy, no codec libraries. Payloads in other containers fall
-back to a deterministic byte-histogram pseudo-feature and are marked
-``decode_ok=false`` (compressed formats need PIL/ffmpeg, absent in
-this container; plug them into ``_decode_image``).
+mapInPandas stages. Three REAL pure-Python decode kernels are wired —
+uncompressed BMP (24/32-bit), PCM WAV (8/16-bit), and COMPRESSED PNG
+(zlib inflate + per-row unfilter, stdlib-only; 8-bit gray/RGB/
+palette/alpha) — parsed with struct/zlib/numpy, no codec libraries.
+Payloads in other containers fall back to a deterministic
+byte-histogram pseudo-feature and are marked ``decode_ok=false``
+(JPEG/MP3 need PIL/ffmpeg, absent in this container; plug them into
+``_decode_image``).
 """
 
 from __future__ import annotations
@@ -154,11 +156,144 @@ def decode_wav(payload: bytes) -> list[float]:
             round(float(np.abs(mono).max()), 6), round(zc, 6)]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_pixels(payload: bytes):
+    """REAL compressed-image decode, stdlib-only: PNG = zlib inflate
+    + per-row unfilter (RFC 2083), no codec library needed. Supports
+    the common web cases — 8-bit depth, non-interlaced, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — and
+    returns a top-down (h, w, 3) RGB uint8 array (alpha dropped,
+    gray expanded). Raises ValueError on anything else (16-bit
+    depth, Adam7 interlace, malformed chunks)."""
+    import zlib
+
+    import numpy as np
+    if len(payload) < 8 + 25 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln, = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln          # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None or w == 0 or h == 0:
+        raise ValueError("unsupported color type")
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette image without valid PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=off + 1)
+        if ftype == 0:                       # None
+            cur = line.copy()
+        elif ftype == 2:                     # Up
+            cur = line + prev
+        elif ftype in (1, 3, 4):             # Sub / Average / Paeth
+            # left-neighbor dependence → sequential per pixel, but
+            # vectorized across channels (nch-wide steps)
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(0, stride, nch):
+                a = cur[x - nch:x] if x else np.zeros(nch,
+                                                      dtype=np.uint8)
+                b = prev[x:x + nch]
+                seg = line[x:x + nch]
+                if ftype == 1:
+                    cur[x:x + nch] = seg + a
+                elif ftype == 3:
+                    cur[x:x + nch] = seg + (
+                        (a.astype(np.int32) + b) // 2).astype(np.uint8)
+                else:
+                    c = prev[x - nch:x] if x else np.zeros(
+                        nch, dtype=np.uint8)
+                    ai, bi, ci = (a.astype(np.int32),
+                                  b.astype(np.int32),
+                                  c.astype(np.int32))
+                    p = ai + bi - ci
+                    pa, pb, pc = (np.abs(p - ai), np.abs(p - bi),
+                                  np.abs(p - ci))
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), ai,
+                        np.where(pb <= pc, bi, ci)).astype(np.uint8)
+                    cur[x:x + nch] = seg + pred
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if color == 3:                           # palette lookup
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    if nch == 2:                             # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]                      # RGB / RGBA → RGB
+
+
+def decode_png(payload: bytes) -> list[float]:
+    """PNG feature vector, same 8-dim contract as decode_bmp:
+    [width, height, channels, mean_R, mean_G, mean_B (0..1),
+    brightness (0..1), n_pixels]."""
+    if payload[:8] != _PNG_SIG or len(payload) < 33:
+        raise ValueError("not a PNG")
+    color = payload[8 + 8 + 9]               # IHDR color type byte
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color, 0)
+    px = _png_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
+    means = px.astype("float64").mean(axis=(0, 1)) / 255.0
+    return [float(w), float(h), float(nch),
+            round(float(means[0]), 6), round(float(means[1]), 6),
+            round(float(means[2]), 6),
+            round(float(means.mean()), 6), float(w * h)]
+
+
+def _image_pixels(payload: bytes):
+    """Container-sniffing pixel getter for the perceptual-hash path:
+    top-down (h, w, 3) uint8 from BMP (BGR) or PNG (RGB). Channel
+    order is irrelevant to dHash (it pools to grayscale), so the two
+    containers produce IDENTICAL fingerprints for identical pixel
+    content — a PNG re-encode of a BMP dedups against it."""
+    if payload[:2] == b"BM":
+        return _bmp_pixels(payload)
+    if payload[:8] == _PNG_SIG:
+        return _png_pixels(payload)
+    raise ValueError("no decodable image container")
+
+
 def _decode_image(payload: bytes) -> list[float]:
-    """Compressed-format kernel slot. Real deployments plug
-    PIL/opencv here; this container has no codecs, so reaching this
-    is a decode MISS (the caller falls back and marks
-    decode_ok=false)."""
+    """Compressed-format kernel slot for formats beyond the wired
+    BMP/PNG kernels. Real deployments plug PIL/opencv here; this
+    container has no codec libraries, so reaching this is a decode
+    MISS (the caller falls back and marks decode_ok=false)."""
     import PIL.Image  # noqa: F401  (not present in this container)
     raise NotImplementedError("real compressed-image decode not wired")
 
@@ -187,6 +322,11 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
     if raw[:4] == b"RIFF":
         try:
             return decode_wav(raw), True
+        except ValueError:
+            pass
+    if raw[:8] == _PNG_SIG:
+        try:
+            return decode_png(raw), True
         except ValueError:
             pass
     try:
@@ -239,10 +379,11 @@ def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
     bit per horizontal neighbor comparison = a 64-bit fingerprint
     (grid=8) that survives resizing, small edits, and brightness
     shifts — the standard image near-dup signature.  One Arrow
-    mapInPandas pass; payloads that aren't uncompressed BMPs come
+    mapInPandas pass over BMP OR PNG payloads (container-sniffed;
+    identical pixels hash identically across containers, so a PNG
+    re-encode dedups against its BMP source); other containers come
     back decode_ok=false with a null hash (plug real codecs into
-    _bmp_pixels for other containers).  Returns
-    (asset_id, dhash long, decode_ok)."""
+    _image_pixels).  Returns (asset_id, dhash long, decode_ok)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,7 +392,7 @@ def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
                 ids.append(aid)
                 try:
-                    px = _bmp_pixels(bytes(payload))
+                    px = _image_pixels(bytes(payload))
                 except (ValueError, TypeError):
                     hashes.append(None)
                     oks.append(False)

@@ -39,6 +39,20 @@ from .client import MetaCatSparkClient
 
 _YES = ("yes", "true", "1")
 
+# /data/corpus and /data/events default row cap: without it an
+# unbounded corpus op streams an entire table through one HTTP
+# response (VERDICT r5 #8). An explicit limit= overrides, clamped to
+# DATA_ROW_HARD_CAP so no single response can exceed it.
+DATA_ROW_CAP_DEFAULT = 10_000
+DATA_ROW_HARD_CAP = 1_000_000
+
+
+def _row_cap(limit_param) -> int:
+    """Effective row cap for a /data/corpus|/data/events response."""
+    if limit_param:
+        return max(1, min(int(limit_param), DATA_ROW_HARD_CAP))
+    return DATA_ROW_CAP_DEFAULT
+
 
 def _flag(params: dict, name: str) -> bool:
     return (params.get(name, ["no"])[0] or "no").lower() in _YES
@@ -293,9 +307,7 @@ def make_handler(client: MetaCatSparkClient,
             else:
                 return self._send(400, "text/plain",
                                   f"unknown events op: {op}")
-            lim = _one(params, "limit")
-            if lim:
-                out = out.limit(int(lim))
+            out = out.limit(_row_cap(_one(params, "limit")))
             self._stream_json_seq(
                 r.asDict(recursive=True)
                 for r in out.toLocalIterator())
@@ -468,9 +480,7 @@ def make_handler(client: MetaCatSparkClient,
             else:
                 return self._send(400, "text/plain",
                                   f"unknown corpus op: {op}")
-            lim = _one(params, "limit")
-            if lim:
-                out = out.limit(int(lim))
+            out = out.limit(_row_cap(_one(params, "limit")))
             self._stream_json_seq(
                 r.asDict(recursive=True) for r in out.toLocalIterator())
 
