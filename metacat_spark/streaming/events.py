@@ -375,6 +375,95 @@ def funnel_stateful(stream: DataFrame, steps: list[str],
                 "update", GroupStateTimeout.NoTimeout))
 
 
+def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
+                        horizon_s: int = 3600,
+                        delay: str = "1 hour") -> DataFrame:
+    """STREAMING funnel tolerant of OUT-OF-ORDER arrival — the
+    watermarked-buffer extension funnel_stateful documents but does
+    not implement (VERDICT r5 #5).
+
+    Per user, step events BUFFER in state until the event-time
+    watermark (``withWatermark(ts_ts, delay)``) passes them; only
+    then does the greedy state machine advance, in event-time order
+    — so any disorder within the watermark delay is invisible to the
+    funnel semantics and the completion set equals the batch
+    ``funnel``'s exactly (pinned by a shuffled-arrival test).
+    Eviction: a group with buffered events registers an event-time
+    timeout just past the current watermark, so buffered tails flush
+    on later (or no-data) micro-batches without new input.
+
+    State per user is O(buffered step events within the delay
+    window) — bounded by the watermark like every watermarked
+    stateful operator, vs funnel_stateful's O(k) (the price of
+    disorder tolerance)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+    horizon_us = int(horizon_s) * 1_000_000
+
+    stream = stream.withWatermark("ts_ts", delay)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            done, idx, times, buf_ts, buf_step = state.get
+            times, buf_ts, buf_step = (list(times), list(buf_ts),
+                                       list(buf_step))
+        else:
+            done, idx, times, buf_ts, buf_step = False, 0, [], [], []
+        for pdf in pdfs:
+            if done or not len(pdf):
+                continue
+            ev = pdf[pdf["event_type"].isin(step_of)]
+            for ts, et in zip(ev["ts_ts"], ev["event_type"]):
+                buf_ts.append(int(ts.value // 1000))   # ns → µs
+                buf_step.append(step_of[et])
+        out = []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not done and buf_ts:
+            order = sorted(range(len(buf_ts)),
+                           key=lambda i: (buf_ts[i], buf_step[i]))
+            rest_ts, rest_step = [], []
+            for i in order:
+                us, st = buf_ts[i], buf_step[i]
+                if us > wm_us:
+                    rest_ts.append(us)
+                    rest_step.append(st)
+                    continue
+                if done or st != idx:
+                    continue
+                if idx == 0:
+                    times, idx = [us], 1
+                elif times[-1] <= us <= times[-1] + horizon_us:
+                    times.append(us)
+                    idx += 1
+                    if idx == k:
+                        done = True
+                        out.append((int(key[0]), list(times)))
+            buf_ts, buf_step = rest_ts, rest_step
+        if done:
+            buf_ts, buf_step = [], []
+        state.update((done, idx, times, buf_ts, buf_step))
+        if buf_ts and not done:
+            # flush the buffered tail when the watermark moves, even
+            # with no further input for this user (no-data batches
+            # fire event-time timeouts); must be strictly beyond the
+            # current watermark
+            state.setTimeoutTimestamp(
+                max(state.getCurrentWatermarkMs() + 1,
+                    min(buf_ts) // 1000))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "times"])
+
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(
+                update, "user_id long, times array<long>",
+                "done boolean, idx int, times array<long>, "
+                "buf_ts array<long>, buf_step array<int>",
+                "update", GroupStateTimeout.EventTimeTimeout))
+
+
 def streaming_funnel_to_memory(spark: SparkSession, sf_dir: str,
                                steps: list[str],
                                horizon_s: int = 3600,

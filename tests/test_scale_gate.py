@@ -1,0 +1,65 @@
+"""Scale-trend GATE (VERDICT r5 #7): the 1x -> 4x in-plan replication
+probe, promoted from a tools/-only report (docs/SCALING.md) to a test
+that FAILS when an operator's wall-clock growth turns super-linear —
+a plan regression (lost broadcast, new per-key concentration, a
+shuffle that started spilling) breaks CI instead of waiting for a
+human to reread the scaling tables.
+
+Bound: wall(4x) <= 3 * wall(1x) + 2s. The 3x factor is deliberately
+generous for 4x data (all three ops measure flat-to-sublinear in
+docs/SCALING.md); the +2s absolute floor absorbs scheduling noise at
+the tiny test scale, where per-job overhead rivals the compute."""
+
+import importlib.util
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "scale_probe_mod", os.path.join(_ROOT, "tools", "scale_probe.py"))
+_probe = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_probe)
+_probe.SF_DIR = SF_DIR
+
+
+def _docs(spark, mult):
+    return _probe._replicate(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        mult, ["doc_id"])
+
+
+def _cases(spark, mult):
+    from metacat_spark.llm import dedup as DD
+    from metacat_spark.streaming import events as EV
+    docs = _docs(spark, mult)
+    return {
+        "minhash_lsh": lambda: DD.minhash_lsh_pairs(
+            docs, n=2, k=32, bands=8, threshold=0.5).count(),
+        "substring_spans": lambda: DD.duplicate_spans(
+            docs, n=8, min_count=2).count(),
+        "events_funnel": lambda: EV.funnel(
+            _probe._replicate_events(spark, mult),
+            ["view", "click", "purchase"], horizon_s=86400).count(),
+    }
+
+
+def test_scale_probe_gate(spark):
+    # warm pass: JVM/codegen/Arrow-worker startup must not be charged
+    # to the 1x measurement
+    for fn in _cases(spark, 1).values():
+        fn()
+    walls = {}
+    for mult in (1, 4):
+        for name, fn in _cases(spark, mult).items():
+            t = time.time()
+            rows = fn()
+            walls.setdefault(name, {})[mult] = time.time() - t
+            assert rows >= 0
+    for name, w in walls.items():
+        assert w[4] <= 3 * w[1] + 2.0, (
+            f"{name}: super-linear wall growth {w[1]:.2f}s -> "
+            f"{w[4]:.2f}s at 4x data — plan regression")
