@@ -358,6 +358,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("t3", fmt).alias("t3"))
     q["events_funnel"] = events_funnel
 
+    def events_funnel_counts(spark, sf_dir):
+        """Funnel conversion report (streaming/events.py
+        funnel_counts): users surviving each prefix of
+        view → click → purchase — SINGLE-PASS since r6 (one
+        left-join funnel + one aggregate, job count asserted by
+        test); the oracle replays the per-prefix inner funnels,
+        which must agree by prefix-consistency of greedy chains."""
+        from metacat_spark.streaming import events as EV
+        return EV.funnel_counts(EV.load_events(spark, sf_dir),
+                                ["view", "click", "purchase"],
+                                horizon_s=86400)
+    q["events_funnel_counts"] = events_funnel_counts
+
     def events_retention(spark, sf_dir):
         """Weekly cohort retention grid (streaming/events.py
         retention_cohorts): users bucketed by first-activity ISO
@@ -2157,6 +2170,33 @@ def oracle_sql() -> dict[str, str]:
                strftime(t2, '%Y-%m-%d %H:%M:%S.%f') as t2,
                strftime(t3, '%Y-%m-%d %H:%M:%S.%f') as t3
         from s3"""
+
+    o["events_funnel_counts"] = """
+        with ev as (
+          select user_id,
+                 make_timestamp(epoch_ns(ts) // 1000) as ts,
+                 event_type
+          from events),
+        s1 as (select user_id, min(ts) as t1 from ev
+               where event_type = 'view' group by 1),
+        s2 as (select s1.user_id, s1.t1, min(e.ts) as t2
+               from s1 join ev e on e.user_id = s1.user_id
+                 and e.event_type = 'click'
+                 and epoch_us(e.ts) >= epoch_us(s1.t1)
+                 and epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000
+               group by 1, 2),
+        s3 as (select s2.user_id, s2.t1, s2.t2, min(e.ts) as t3
+               from s2 join ev e on e.user_id = s2.user_id
+                 and e.event_type = 'purchase'
+                 and epoch_us(e.ts) >= epoch_us(s2.t2)
+                 and epoch_us(e.ts) <= epoch_us(s2.t2) + 86400000000
+               group by 1, 2, 3)
+        select 1 as step, 'view' as step_name,
+               (select count(*) from s1)::bigint as n_users
+        union all
+        select 2, 'click', (select count(*) from s2)::bigint
+        union all
+        select 3, 'purchase', (select count(*) from s3)::bigint"""
 
     # the streaming twin must produce exactly the batch result
     o["events_windowed_streaming"] = o["events_windowed_agg"]

@@ -758,6 +758,21 @@ def main(argv=None):
                          "subtree (default: disabled)")
     _add_sf_dir(sv)
 
+    ad = sub.add_parser(
+        "admin", help="warehouse admin — the Spark analogue of the "
+        "reference's schema init/migrate tooling "
+        "(metacat/ui/metacat_admin.py): (re)build the bucketed "
+        "warehouse tables and inspect them")
+    asub = ad.add_subparsers(dest="acmd", required=True)
+    ai = asub.add_parser("init", help="(re)build the bucketed "
+                         "warehouse tables for an sf dir")
+    ai.add_argument("--variant", action="store_true",
+                    help="also build the VARIANT-metadata files table")
+    _add_sf_dir(ai)
+    at = asub.add_parser("tables",
+                         help="list warehouse tables with row counts")
+    _add_sf_dir(at)
+
     args = p.parse_args(argv)
 
     if args.cmd == "version":
@@ -782,6 +797,23 @@ def main(argv=None):
 
     if args.cmd == "events":
         return _cmd_events(args)
+
+    if args.cmd == "admin":
+        from .catalog import materialize_tables
+        from .session import get_spark
+        spark = get_spark()
+        if args.acmd == "init":
+            materialize_tables(spark, args.sf_dir,
+                               variant=args.variant)
+            print("# warehouse ready", file=sys.stderr)
+        suffix = (args.sf_dir.rstrip("/").split("/")[-1]
+                  .replace(".", "_"))
+        for t in sorted(t.name for t in spark.catalog.listTables()
+                        if t.name.startswith("mcw_")
+                        and t.name.endswith(suffix)):
+            n = spark.table(t).count()
+            print(f"{t}\t{n}")
+        return 0
 
     engine, dml = _session(args.sf_dir)
     cat = engine.cat

@@ -410,3 +410,19 @@ def test_events_group(capsys):
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and rows
     assert all(r["path"].count(">") == 2 for r in rows)
+
+
+def test_admin_init_and_tables(capsys):
+    """`admin init` builds the bucketed warehouse; `admin tables`
+    lists the mcw_* tables with row counts (reference parity:
+    metacat_admin.py schema init — docs/DIVERGENCES.md §9 maps the
+    schema half onto materialize_tables)."""
+    rc, out = run(capsys, "admin", "init")
+    assert rc == 0
+    names = {ln.split("\t")[0] for ln in out.strip().splitlines()}
+    assert any(n.startswith("mcw_files") for n in names)
+    assert any(n.startswith("mcw_fd") for n in names)
+    rc, out = run(capsys, "admin", "tables")
+    assert rc == 0
+    rows = dict(ln.split("\t") for ln in out.strip().splitlines())
+    assert all(int(v) > 0 for v in rows.values())
