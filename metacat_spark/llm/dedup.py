@@ -112,36 +112,43 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id",
                  carry: list[str] | None = None,
                  distinct: bool = True) -> DataFrame:
-    """DISTINCT (id, shingle) rows built relationally: posexplode the
-    tokens, then window `lead` to assemble n-grams — every expression
-    stays in whole-stage codegen (the array/lambda formulation runs
-    interpreted and is ~20× slower). Shuffle: one hash partition on id
-    for the window, reused by the downstream groupBys.
+    """DISTINCT (id, shingle) rows built relationally: explode one
+    row per n-gram START position and assemble the n-gram by direct
+    token-array indexing — every expression stays in whole-stage
+    codegen (the array/lambda formulation runs interpreted and is
+    ~20× slower) and the whole assembly is SHUFFLE-FREE (the
+    previous posexplode+lead formulation shuffled every token row
+    into a per-document sort window).
 
     Documents shorter than n tokens contribute their whole text as a
-    single shingle (concat_ws skips the null leads).
+    single shingle (concat_ws skips the nulls past the array end).
 
     ``carry`` names extra per-document columns (constant per document,
     e.g. a corpus tag) to thread through to the output — cheaper than a
-    post-hoc join back onto the exploded rows.  Carry columns join the
-    window partition key, so two documents that share an id value but
-    differ in a carry column (cross-corpus id collision) assemble
-    their n-grams independently.  ``distinct=False``
+    post-hoc join back onto the exploded rows.  ``distinct=False``
     keeps one row per n-gram OCCURRENCE (repetition statistics need
     multiplicity; set semantics are the dedup default)."""
-    from pyspark.sql import Window
     extra = [F.col(c) for c in (carry or [])]
-    tok = (_spread(df)
-           .select(F.col(id_col).alias("id"), *extra,
-                   F.size(tokens(F.col(text_col))).alias("n_tok"),
-                   F.posexplode(tokens(F.col(text_col)))
-                   .alias("pos", "w")))
-    w = Window.partitionBy("id", *(carry or [])).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    sh = tok.withColumn("shingle", F.concat_ws(" ", *parts))
-    keep = (F.col("pos") + n <= F.col("n_tok")) | \
-           ((F.col("n_tok") < n) & (F.col("pos") == 0))
-    out = sh.where(keep).select("id", "shingle", *(carry or []))
+    base = (_spread(df)
+            .select(F.col(id_col).alias("id"), *extra,
+                    tokens(F.col(text_col)).alias("__toks"))
+            .where(F.size("__toks") > 0))
+    # one explode per START position, n-gram assembled by direct
+    # array indexing (F.get: codegen, null past the end — concat_ws
+    # skips nulls, so a document shorter than n tokens contributes
+    # its whole text as the single pos-0 "shingle"). Everything stays
+    # in ONE whole-stage-codegen pass with NO shuffle — r6 rewrite of
+    # the posexplode+lead window, which shuffled every token row to
+    # sort it (the n-gram window was the dominant cost of every
+    # shingle consumer: q8 minhash, jaccard, containment, spans).
+    ex = base.select(
+        "id", *extra, "__toks",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))))
+        .alias("pos"))
+    parts = [F.get("__toks", F.col("pos") + i) for i in range(n)]
+    out = ex.select("id", F.concat_ws(" ", *parts).alias("shingle"),
+                    *(carry or []))
     return out.distinct() if distinct else out
 
 
@@ -761,27 +768,26 @@ def _gram_occurrences(df: DataFrame, n: int, text_col: str,
                       id_col: str) -> DataFrame:
     """One row per n-gram OCCURRENCE with its token position:
     (id, pos, fin, gram) where [pos, fin) is the covered token range.
-    Same posexplode + lead assembly as shingle_rows (whole-stage
-    codegen), but positions are kept — span dedup needs to know WHERE
-    a duplicated gram sits, not just that it exists.  Documents
+    Same shuffle-free sequence-explode + array-index assembly as
+    shingle_rows (whole-stage codegen, no per-document sort window),
+    but positions are kept — span dedup needs to know WHERE a
+    duplicated gram sits, not just that it exists.  Documents
     shorter than n tokens contribute their whole text as one gram
     covering [0, n_tok)."""
-    from pyspark.sql import Window
-    tok = (_spread(df)
-           .select(F.col(id_col).alias("id"),
-                   F.size(tokens(F.col(text_col))).alias("n_tok"),
-                   F.posexplode(tokens(F.col(text_col)))
-                   .alias("pos", "w")))
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    g = tok.withColumn("gram", F.concat_ws(" ", *parts))
-    keep = (F.col("pos") + n <= F.col("n_tok")) | \
-           ((F.col("n_tok") < n) & (F.col("pos") == 0))
-    return (g.where(keep)
-            .select("id", "pos",
-                    F.least(F.col("pos") + n,
-                            F.col("n_tok")).alias("fin"),
-                    "gram"))
+    base = (_spread(df)
+            .select(F.col(id_col).alias("id"),
+                    tokens(F.col(text_col)).alias("__toks"))
+            .where(F.size("__toks") > 0))
+    ex = base.select(
+        "id", "__toks", F.size("__toks").alias("n_tok"),
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))))
+        .alias("pos"))
+    parts = [F.get("__toks", F.col("pos") + i) for i in range(n)]
+    return ex.select("id", "pos",
+                     F.least(F.col("pos") + n,
+                             F.col("n_tok")).alias("fin"),
+                     F.concat_ws(" ", *parts).alias("gram"))
 
 
 def duplicate_spans(df: DataFrame, n: int = 8, min_count: int = 2,

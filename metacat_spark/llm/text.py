@@ -274,20 +274,23 @@ def bigram_rows(df: DataFrame, text_col: str = "text",
     """(id, w1, w2) occurrence rows, one per adjacent token pair
     (lowercased, raw whitespace-split positions — no empty-token
     filtering, so the oracle's list-comprehension replay is exact).
-    Same posexplode + window-lead codegen shape as shingle_rows; the
-    input is spread across cores first (small single-file tables read
-    as ONE partition)."""
-    from pyspark.sql import Window
+    Same shuffle-free sequence-explode + array-index shape as
+    shingle_rows (r6: no per-document sort window); the input is
+    spread across cores first (small single-file tables read as ONE
+    partition)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    tok = (df.repartition(par)
-           .select(F.col(id_col).alias("id"),
-                   F.posexplode(tokens(F.col(text_col)))
-                   .alias("pos", "w")))
-    w = Window.partitionBy("id").orderBy("pos")
-    return (tok.withColumn("nxt", F.lead("w", 1).over(w))
-            .where(F.col("nxt").isNotNull())
-            .select("id", F.lower("w").alias("w1"),
-                    F.lower("nxt").alias("w2")))
+    base = (df.repartition(par)
+            .select(F.col(id_col).alias("id"),
+                    tokens(F.col(text_col)).alias("__toks"))
+            .where(F.size("__toks") >= 2))
+    ex = base.select(
+        "id", "__toks",
+        F.explode(F.sequence(F.lit(0), F.size("__toks") - 2))
+        .alias("pos"))
+    return ex.select(
+        "id",
+        F.lower(F.get("__toks", F.col("pos"))).alias("w1"),
+        F.lower(F.get("__toks", F.col("pos") + 1)).alias("w2"))
 
 
 def bigram_logprob(df: DataFrame, text_col: str = "text",
