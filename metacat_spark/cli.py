@@ -187,6 +187,8 @@ def _cmd_corpus(args) -> int:
         elif args.method == "containment":
             out = DD.ngram_containment_pairs(df,
                                              threshold=args.threshold)
+        elif args.method == "simhash":
+            out = DD.simhash_pairs(df, max_hamming=args.max_hamming)
         elif args.method == "substring":
             out = DD.duplicate_spans(df, n=args.ngram)
         else:
@@ -584,13 +586,16 @@ def main(argv=None):
     cd = cs.add_parser("dedup", help="deduplicate")
     _corpus_common(cd)
     cd.add_argument("--method",
-                    choices=["exact", "minhash", "ngram", "semantic",
-                             "semantic-text", "containment",
-                             "substring"],
+                    choices=["exact", "minhash", "ngram", "simhash",
+                             "semantic", "semantic-text",
+                             "containment", "substring"],
                     default="exact")
     cd.add_argument("--threshold", type=float, default=0.5)
     cd.add_argument("--ngram", type=int, default=8,
                     help="gram length for --method substring")
+    cd.add_argument("--max-hamming", type=int, default=3,
+                    help="Hamming radius for --method simhash "
+                         "(band count derives from it)")
     cad = cs.add_parser("admit", help="admission-filter a new batch "
                         "against an existing corpus (incremental "
                         "exact dedup)")

@@ -291,9 +291,11 @@ def make_handler(client: MetaCatSparkClient,
                 steps = [x.strip() for x in
                          (_one(params, "steps")
                           or "view,click,purchase").split(",")]
-                out = EV.funnel(ev, steps,
-                                horizon_s=int(_one(params, "horizon")
-                                              or 3600))
+                fn = (EV.funnel_counts
+                      if _one(params, "counts") in _YES else EV.funnel)
+                out = fn(ev, steps,
+                         horizon_s=int(_one(params, "horizon")
+                                       or 3600))
             elif op == "retention":
                 out = EV.retention_cohorts(ev)
             elif op == "paths":

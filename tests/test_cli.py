@@ -426,3 +426,11 @@ def test_admin_init_and_tables(capsys):
     assert rc == 0
     rows = dict(ln.split("\t") for ln in out.strip().splitlines())
     assert all(int(v) > 0 for v in rows.values())
+
+
+def test_corpus_dedup_simhash(capsys):
+    """CLI simhash dedup surfaces the banded Hamming pairs (band
+    count derived from --max-hamming)."""
+    rc, out = run(capsys, "corpus", "dedup", "--method", "simhash",
+                  "--max-hamming", "6", "--limit", "5")
+    assert rc == 0

@@ -641,3 +641,13 @@ def test_data_row_cap(served):
     assert SV._row_cap(None) == SV.DATA_ROW_CAP_DEFAULT
     assert SV._row_cap("5") == 5
     assert SV._row_cap(str(10**9)) == SV.DATA_ROW_HARD_CAP
+
+
+def test_events_funnel_counts_endpoint(served):
+    """HTTP parity with CLI --counts: op=funnel&counts=yes returns
+    the per-prefix conversion report."""
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/events", op="funnel",
+                          horizon=86400, counts="yes"))
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert rows[0]["n_users"] >= rows[1]["n_users"] >= rows[2]["n_users"]
