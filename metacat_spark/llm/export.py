@@ -201,4 +201,6 @@ def load_corpus(spark, path: str):
     if low.endswith(".csv"):
         return spark.read.option("header", "true") \
                     .option("inferSchema", "true").csv(path)
+    if low.endswith(".orc"):
+        return spark.read.orc(path)
     return spark.read.parquet(path)

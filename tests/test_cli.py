@@ -434,3 +434,16 @@ def test_corpus_dedup_simhash(capsys):
     rc, out = run(capsys, "corpus", "dedup", "--method", "simhash",
                   "--max-hamming", "6", "--limit", "5")
     assert rc == 0
+
+
+def test_corpus_input_orc(capsys, tmp_path, spark):
+    """load_corpus sniffs .orc — Spark's built-in ORC reader, no
+    extra packages."""
+    src = str(tmp_path / "docs.orc")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string").coalesce(1).write.orc(src)
+    rc, out = run(capsys, "corpus", "stats", "--input", src, "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows[0]["n_docs"] == 2
+    assert rows[0]["n_tokens"] == 8

@@ -356,3 +356,76 @@ def test_streaming_funnel_ooo_equals_batch(spark, tmp_path):
                 F.unix_micros(F.col("t3").cast("timestamp")).alias("u3"))
             .collect()}
     assert got and got == want
+
+
+def test_funnel_randomized_differential(spark):
+    """Randomized differential check of the funnel formula (and the
+    single-pass funnel_counts) against a direct Python evaluation of
+    the greedy recurrence t_i = min{ts of step_i : t_{i-1} <= ts <=
+    t_{i-1} + horizon} over 300 random users — boundary gaps (== the
+    horizon exactly), repeated steps, interleaved noise types, and
+    equal timestamps all land in the sample. Seeded: deterministic."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(20260814)
+    steps = ["a", "b", "c"]
+    types = steps + ["x", "y"]
+    horizon = 100
+    base = datetime(2024, 1, 1)
+    rows, model = [], {}
+    for uid in range(300):
+        evs = []
+        for _ in range(rng.randint(0, 12)):
+            # coarse grid → frequent ties and exact-horizon gaps
+            ts = rng.randrange(0, 400, 20)
+            evs.append((ts, rng.choice(types)))
+        model[uid] = evs
+        rows += [(uid, base + timedelta(seconds=ts), et)
+                 for ts, et in evs]
+    df = spark.createDataFrame(
+        rows or [(0, base, "x")],
+        "user_id long, ts timestamp, event_type string")
+
+    def py_funnel(evs):
+        cur = [ts for ts, et in evs if et == steps[0]]
+        if not cur:
+            return None
+        times = [min(cur)]
+        for s in steps[1:]:
+            nxt = [ts for ts, et in evs
+                   if et == s and times[-1] <= ts <= times[-1] + horizon]
+            if not nxt:
+                return None
+            times.append(min(nxt))
+        return tuple(times)
+
+    want = {u: t for u, evs in model.items()
+            if (t := py_funnel(evs)) is not None}
+    got = {r["user_id"]:
+           tuple(int((r[f"t{i}"] - base).total_seconds())
+                 for i in range(1, 4))
+           for r in EV.funnel(df, steps, horizon_s=horizon,
+                              ts_col="ts").collect()}
+    assert got == want and want     # sample must be non-trivial
+
+    # prefix counts from the same model vs single-pass funnel_counts
+    def py_prefix(evs, k):
+        cur = [ts for ts, et in evs if et == steps[0]]
+        if not cur:
+            return False
+        t = min(cur)
+        for s in steps[1:k]:
+            nxt = [ts2 for ts2, et in evs
+                   if et == s and t <= ts2 <= t + horizon]
+            if not nxt:
+                return False
+            t = min(nxt)
+        return True
+    want_counts = {k: sum(py_prefix(evs, k) for evs in model.values())
+                   for k in (1, 2, 3)}
+    got_counts = {r["step"]: r["n_users"]
+                  for r in EV.funnel_counts(df, steps,
+                                            horizon_s=horizon,
+                                            ts_col="ts").collect()}
+    assert got_counts == want_counts
