@@ -807,9 +807,15 @@ def main(argv=None):
         from .catalog import materialize_tables
         from .session import get_spark
         spark = get_spark()
+        # BOTH subcommands ensure the warehouse first: Spark's default
+        # in-memory catalog forgets table registrations between
+        # sessions (the parquet dirs persist), so a fresh-process
+        # `admin tables` must re-register (and rebuild if the data is
+        # gone) before listing — otherwise it would silently print
+        # nothing
+        materialize_tables(spark, args.sf_dir,
+                           variant=getattr(args, "variant", False))
         if args.acmd == "init":
-            materialize_tables(spark, args.sf_dir,
-                               variant=args.variant)
             print("# warehouse ready", file=sys.stderr)
         suffix = (args.sf_dir.rstrip("/").split("/")[-1]
                   .replace(".", "_"))

@@ -868,7 +868,11 @@ def scrub_duplicate_spans(df: DataFrame, n: int = 8,
 
     Returns the input rows with text replaced by the scrubbed text
     plus n_tok_before / n_tok_after bookkeeping columns."""
-    spans = duplicate_spans(df, n, min_count, text_col, id_col)
+    # the spans subtree (gram explode + groupBy + islands windows) is
+    # referenced three times below (covered / touched semi-join /
+    # touched outer join) — checkpoint it so it evaluates ONCE
+    spans = duplicate_spans(df, n, min_count, text_col,
+                            id_col).localCheckpoint(eager=False)
     touched = (spans.groupBy(F.col(id_col).alias("id"))
                .agg(F.lit(True).alias("_touched")))
     covered = spans.select(

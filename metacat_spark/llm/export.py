@@ -168,18 +168,17 @@ def to_webdataset(df: DataFrame, path: str, n_shards: int = 8,
         shard = int(pdf["__shard"].iloc[0])
         dest = path.rstrip("/") + f"/shard-{shard:05d}.tar"
         pdf = pdf.sort_values("id")
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w") as tar:
+        # stream mode ("w|"): entry-by-entry writes into the sink,
+        # never the whole shard in memory — works on pyarrow output
+        # streams (write-only, no seek) and local files alike
+        with _open_shard_output(dest) as out, \
+                tarfile.open(fileobj=out, mode="w|") as tar:
             for _, row in pdf.iterrows():
                 data = str(row["text"]).encode("utf-8")
                 info = tarfile.TarInfo(name=f"{row['id']}.txt")
                 info.size = len(data)
                 info.mtime = 0          # deterministic bytes
                 tar.addfile(info, io.BytesIO(data))
-        # one in-memory tar per shard task (shards are sized by the
-        # caller); a single stream write keeps the sink URI-portable
-        with _open_shard_output(dest) as out:
-            out.write(buf.getvalue())
         return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
     done = (sharded.groupBy("__shard")

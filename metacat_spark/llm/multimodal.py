@@ -190,6 +190,8 @@ def _png_pixels(payload: bytes):
         pos += 12 + ln          # length + type + body + CRC
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError("malformed IHDR")
     w, h, depth, color, comp, filt, inter = struct.unpack(
         ">IIBBBBB", ihdr)
     if depth != 8 or comp != 0 or filt != 0 or inter != 0:
@@ -199,7 +201,12 @@ def _png_pixels(payload: bytes):
         raise ValueError("unsupported color type")
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette image without valid PLTE")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # corrupt deflate stream must surface as the module's decode
+        # MISS contract (ValueError), not crash the Spark task
+        raise ValueError(f"bad IDAT stream: {e}") from e
     stride = w * nch
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated pixel data")

@@ -639,17 +639,20 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
         "hk", F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
         .orderBy("hk").limit(n_lists).select("vec").collect())
     C = np.array([list(r["vec"]) for r in cent_rows])
+    if C.shape[1] % m:
+        # a silent dim//m split would DROP the trailing dim % m
+        # dimensions from the codebooks — with rerank=False the ADC
+        # score would ignore them entirely (ADVICE r5). Checked
+        # BEFORE the optional k-means refinement so a
+        # mis-parameterization can't burn train_iters of cluster
+        # work first (review r6).
+        raise ValueError(
+            f"ivf_pq_topk: vector dim {C.shape[1]} is not divisible "
+            f"by m={m} subspaces — pick m dividing the dimension")
     Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
     if train_iters:
         base = base.localCheckpoint(eager=True)
         Cn = _refine_centroids(base, Cn, train_iters)
-    if Cn.shape[1] % m:
-        # a silent dim//m split would DROP the trailing dim % m
-        # dimensions from the codebooks — with rerank=False the ADC
-        # score would ignore them entirely (ADVICE r5)
-        raise ValueError(
-            f"ivf_pq_topk: vector dim {Cn.shape[1]} is not divisible "
-            f"by m={m} subspaces — pick m dividing the dimension")
     npb = min(n_probe, len(C))
     R_short = max(k, shortlist if shortlist is not None else 4 * k)
 

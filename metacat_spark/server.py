@@ -50,7 +50,8 @@ DATA_ROW_HARD_CAP = 1_000_000
 def _row_cap(limit_param) -> int:
     """Effective row cap for a /data/corpus|/data/events response."""
     if limit_param:
-        return max(1, min(int(limit_param), DATA_ROW_HARD_CAP))
+        # limit=0 is a legitimate schema/emptiness probe — honor it
+        return max(0, min(int(limit_param), DATA_ROW_HARD_CAP))
     return DATA_ROW_CAP_DEFAULT
 
 
@@ -292,7 +293,7 @@ def make_handler(client: MetaCatSparkClient,
                          (_one(params, "steps")
                           or "view,click,purchase").split(",")]
                 fn = (EV.funnel_counts
-                      if _one(params, "counts") in _YES else EV.funnel)
+                      if _flag(params, "counts") else EV.funnel)
                 out = fn(ev, steps,
                          horizon_s=int(_one(params, "horizon")
                                        or 3600))

@@ -427,7 +427,13 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
             rest_ts, rest_step = [], []
             for i in order:
                 us, st = buf_ts[i], buf_step[i]
-                if us > wm_us:
+                # STRICT: events AT the watermark stay buffered —
+                # Spark only drops input strictly older than the
+                # watermark, so a same-timestamp sibling may still
+                # arrive in a later batch; finalizing at equality
+                # could consume a step before its same-ts
+                # predecessor lands (review r6)
+                if us >= wm_us:
                     rest_ts.append(us)
                     rest_step.append(st)
                     continue

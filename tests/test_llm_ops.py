@@ -1983,3 +1983,35 @@ def test_png_rides_dhash_dedup_path(spark):
         .collect()}
     assert feats[2]["decode_ok"] is True
     assert feats[2]["feature"][0] == float(w)
+
+
+def test_corrupt_png_is_decode_miss_not_crash(spark):
+    """A payload with a valid PNG signature but corrupt internals
+    (bad deflate stream, short IHDR) must surface as
+    decode_ok=false / null-hash, never crash the Spark task
+    (review r6: zlib.error and struct.error escaped the
+    except-ValueError handlers)."""
+    import struct
+    import zlib
+    from metacat_spark.llm import multimodal as MM
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad_idat = sig + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", b"\x00not deflate\xff") + chunk(b"IEND", b"")
+    short_ihdr = sig + chunk(b"IHDR", ihdr[:9]) + \
+        chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    feats, ok = MM._decode_any(bad_idat)
+    assert ok is False and len(feats) == 8
+    feats, ok = MM._decode_any(short_ihdr)
+    assert ok is False
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bad_idat)),
+         (2, "image", bytearray(short_ihdr))],
+        "asset_id long, modality string, content binary")
+    rows = {r["asset_id"]: r for r in MM.image_dhash(df).collect()}
+    assert rows[1]["decode_ok"] is False and rows[1]["dhash"] is None
+    assert rows[2]["decode_ok"] is False

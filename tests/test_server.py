@@ -640,6 +640,7 @@ def test_data_row_cap(served):
     assert len(rows) == 2
     assert SV._row_cap(None) == SV.DATA_ROW_CAP_DEFAULT
     assert SV._row_cap("5") == 5
+    assert SV._row_cap("0") == 0       # emptiness probe stays empty
     assert SV._row_cap(str(10**9)) == SV.DATA_ROW_HARD_CAP
 
 
