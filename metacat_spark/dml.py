@@ -45,6 +45,14 @@ def _apply_meta_patch(df: DataFrame, meta_schema, hit, new_meta: dict
         meta_schema.json_column,
         F.when(hit, F.lit(json.dumps(new_meta)))
          .otherwise(F.col(meta_schema.json_column)))
+    if "metadata_v" in df.columns:
+        # variant-mode twin of the shredded sync below: a stale
+        # VariantType column would serve old values to every
+        # try_variant_get predicate after a mutation (review r6)
+        out = out.withColumn(
+            "metadata_v",
+            F.when(hit, F.parse_json(F.lit(json.dumps(new_meta))))
+             .otherwise(F.col("metadata_v")))
     for mk in meta_schema.by_key.values():
         if mk.column not in df.columns:
             continue
@@ -185,6 +193,18 @@ class DML:
         if dup:
             raise AlreadyExists(f"file id(s) already declared: "
                                 f"{sorted(dup)[:5]}")
+        if dataset is not None:
+            # target-dataset checks BEFORE any mutation: declaring
+            # into a missing/frozen dataset must fail atomically, not
+            # after the file rows and edges were already appended
+            # (review r6)
+            dns, dname = dataset
+            if (dns, dname) in self.frozen:
+                raise DMLError(f"dataset {dns}:{dname} is frozen")
+            if self.cat.datasets.where(
+                    (F.col("namespace") == dns)
+                    & (F.col("name") == dname)).first() is None:
+                raise DMLError(f"dataset {dns}:{dname} not found")
         reqs = (self.dataset_requirements.get(dataset)
                 if dataset else None)
         prepared = []
@@ -223,8 +243,21 @@ class DML:
         files = self.cat.files
         for c in files.columns:
             if c not in new.columns:
-                new = new.withColumn(
-                    c, F.lit(None).cast(files.schema[c].dataType))
+                if c == "created_timestamp":
+                    # reference schema defaults now() (schema.sql
+                    # files table); NULL here would drop every newly
+                    # declared file from created_timestamp predicates
+                    new = new.withColumn(
+                        c, F.current_timestamp()
+                            .cast(files.schema[c].dataType))
+                elif c == "metadata_v":
+                    # variant-mode catalogs: keep the VariantType
+                    # column in lockstep with the JSON (review r6)
+                    new = new.withColumn(
+                        c, F.parse_json(F.col("metadata")))
+                else:
+                    new = new.withColumn(
+                        c, F.lit(None).cast(files.schema[c].dataType))
         new = new.select(*files.columns)
         self._set_files(files.unionByName(new))
         # provenance edges declared inline (data_handler declare
@@ -269,6 +302,24 @@ class DML:
             if missing:
                 raise DMLError(f"file id(s) not found: "
                                f"{sorted(missing)[:5]}")
+            reqs = self.dataset_requirements.get((ns, name))
+            if reqs:
+                # dataset-level metadata requirements
+                # (dbobjects2.py:1577-1597): every file joining the
+                # dataset must satisfy them. The declare path
+                # validates per-row before the append and skips this.
+                metas = {r["id"]: json.loads(r["metadata"] or "{}")
+                         for r in self.cat.files
+                         .where(F.col("id").isin(file_ids))
+                         .select("id", "metadata").collect()}
+                errs = []
+                for fid in sorted(set(file_ids)):
+                    errs.extend(
+                        (f"{fid}:{k}", msg) for k, msg in
+                        validate_metadata(reqs, False,
+                                          metas.get(fid, {})))
+                if errs:
+                    raise ValidationFailed(errs)
         add = self.cat.spark.createDataFrame(
             [(fid, ns, name) for fid in set(file_ids)],
             ["file_id", "dataset_namespace", "dataset_name"])
@@ -314,13 +365,15 @@ class DML:
             raise DMLError(f"bad mode {mode!r}")
         self.validate(metadata)
         files = self.cat.files
+        row = files.where(F.col("id") == file_id) \
+                   .select("metadata").first()
+        if row is None:
+            # replace mode too: the reference 404s on an unknown fid —
+            # a silent zero-row patch is not a success (review r6)
+            raise DMLError(f"file {file_id!r} not found")
         if mode == "replace":
             new_meta = dict(metadata)
         else:
-            row = files.where(F.col("id") == file_id) \
-                       .select("metadata").first()
-            if row is None:
-                raise DMLError(f"file {file_id!r} not found")
             new_meta = json.loads(row["metadata"] or "{}")
             new_meta.update(metadata)
         self._set_files(_apply_meta_patch(
@@ -423,6 +476,8 @@ class DML:
         retire audit columns)."""
         files = self.cat.files
         hit = F.col("id") == file_id
+        if files.where(hit).first() is None:
+            raise DMLError(f"file {file_id!r} not found")
         retired_by = (F.lit(None).cast("string") if unretire
                       else F.lit(by))
         retired_ts = (F.lit(None).cast("timestamp") if unretire
@@ -473,6 +528,7 @@ class DML:
         """Move files across namespaces (dbobjects2.py:706-736): the
         namespace column changes; the file id (and thus provenance and
         membership, which key on id) is untouched."""
+        self._check_fids_exist(file_ids, "move")
         files = self.cat.files
         hit = F.col("id").isin(file_ids)
         self._set_files(
@@ -496,6 +552,11 @@ class DML:
         (webapi.py:429-472) and flag toggles."""
         ds = self.cat.datasets
         hit = (F.col("namespace") == ns) & (F.col("name") == name)
+        if ds.where(hit).first() is None:
+            # flag/metadata updates on a missing dataset must 404, not
+            # no-op (and a silent frozen=True would poison the flag
+            # cache with a phantom entry — review r6)
+            raise DMLError(f"dataset {ns}:{name} not found")
         if metadata is not None:
             if mode not in ("update", "replace"):
                 raise DMLError(f"bad mode {mode!r}")
@@ -528,7 +589,9 @@ class DML:
     def create_dataset(self, ns: str, name: str, description: str = "",
                        frozen: bool = False, monotonic: bool = False,
                        metadata: Optional[dict] = None,
-                       creator: str = "admin") -> None:
+                       creator: str = "admin",
+                       file_meta_requirements: Optional[dict] = None
+                       ) -> None:
         """Create an empty dataset (webapi.py:380-427; the reference's
         `metacat dataset create`). PK (namespace, name) — duplicates
         are an error, not an upsert."""
@@ -556,6 +619,10 @@ class DML:
             self.frozen.add((ns, name))
         if monotonic:
             self.monotonic.add((ns, name))
+        if file_meta_requirements:
+            # enforced on add_files_to_dataset / declare-into-dataset
+            # (this-instance cache, like the frozen/monotonic flags)
+            self.dataset_requirements[(ns, name)] =                 file_meta_requirements
 
     def remove_dataset(self, ns: str, name: str) -> None:
         """Delete a dataset, its membership rows, and its subset edges
@@ -566,6 +633,9 @@ class DML:
         if self.cat.datasets.where(hit).first() is None:
             raise DMLError(f"dataset {ns}:{name} not found")
         self.cat.datasets = _truncate(self.cat.datasets.where(~hit))
+        self.dataset_requirements.pop((ns, name), None)
+        self.frozen.discard((ns, name))
+        self.monotonic.discard((ns, name))
         self.cat.files_datasets = _truncate(
             self.cat.files_datasets.where(~(
                 (F.col("dataset_namespace") == ns)
@@ -685,7 +755,15 @@ class DML:
                                      F.lit(None).cast(ds.schema[c].dataType))
         self.cat.datasets = _truncate(
             ds.unionByName(row.select(*ds.columns)))
-        return self.add_to(result, ns, name)
+        # add the result BEFORE arming the flag caches (a frozen
+        # save_as still receives its own files), then keep the caches
+        # in sync like create_dataset does (review r6)
+        n = self.add_to(result, ns, name)
+        if frozen:
+            self.frozen.add((ns, name))
+        if monotonic:
+            self.monotonic.add((ns, name))
+        return n
 
     def add_to(self, result: DataFrame, ns: str, name: str) -> int:
         """Append a query result's files to an existing dataset

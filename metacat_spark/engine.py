@@ -401,7 +401,8 @@ class Engine:
         """File ids selected by dataset membership — reads ONLY the
         bucketed membership table (no files scan)."""
         fd = self.cat.files_datasets
-        complex_sel = any(s.with_subsets or s.having is not None
+        complex_sel = any(s.with_subsets or s.with_ancestors
+                          or s.having is not None
                           for s in selectors)
         if complex_sel:
             ds = self._resolve_datasets(selectors).select(
@@ -519,7 +520,9 @@ class Engine:
         return out
 
     # --------------------------------------------------- aggregation API
-    _AGG_FNS = {"count": lambda c: F.count("*"),
+    # count over a COLUMN counts non-null values (SQL count(col));
+    # the None-column case maps to count(*) at the call site
+    _AGG_FNS = {"count": F.count,
                 "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
                 "count_distinct": F.countDistinct,
                 # exact percentile with linear interpolation — matches
@@ -544,17 +547,33 @@ class Engine:
         """
         df = self.file_set(text, include_retired, default_namespace)
 
-        def resolve(key: str):
+        def resolve(key: str, numeric: bool = False):
             if key in FILE_ATTRIBUTES:
                 return F.col(key)
             col, mtype = self.file_pred._scalar_column(key)
+            if mtype.startswith("variant:"):
+                # variant mode: _scalar_column returns a lit(None)
+                # placeholder (only _typed() materializes the getter)
+                # — extract as string here, like the JSON fallback
+                vkey = mtype[len("variant:"):]
+                col = F.try_variant_get(
+                    F.col(self.file_pred.variant_column),
+                    f"$['{vkey}']", "string")
+                mtype = "json"
+            if numeric and mtype == "json":
+                # schema-on-read string -> numeric for sum/avg/median
+                # (ANSI mode rejects implicit string arithmetic;
+                # try_cast nulls non-numeric values instead)
+                col = col.try_cast("double")
             return col
 
+        numeric_fns = {"sum", "avg", "median"}
         gnames = [k.replace(".", "_") for k in group_by]
         sel = [resolve(k).alias(n) for k, n in zip(group_by, gnames)]
         for alias, (fn, key) in aggs.items():
             if key is not None:
-                sel.append(resolve(key).alias(f"_in_{alias}"))
+                sel.append(resolve(key, fn in numeric_fns)
+                           .alias(f"_in_{alias}"))
         named = df.select(*sel)
         grouped = named.cube(*gnames) if cube else named.groupBy(*gnames)
         agg_cols = []

@@ -185,15 +185,20 @@ class RowEvaluator:
             return fn(self.attrs.get(scalar.name))
         if isinstance(scalar, ArrayLen):
             v = self.meta.get(scalar.key)
-            return fn(None if v is None else len(v))
+            # len() applies to arrays/maps only — on a scalar the
+            # compiled plan's from_json(... as array) yields NULL, so
+            # mirror that instead of crashing on len(int) (review r6)
+            return fn(len(v) if isinstance(v, (list, dict)) else None)
         if isinstance(scalar, Subscript):
             v = self.meta.get(scalar.key)
             if v is None:
                 return fn(None)
             try:
                 if isinstance(scalar.index, int):
-                    if isinstance(v, (list, str)):
-                        # element_at semantics: out of bounds → NULL
+                    if isinstance(v, list):
+                        # element_at semantics: out of bounds → NULL.
+                        # Strings are NOT indexable (the compiled JSON
+                        # path $[i] over a string yields NULL)
                         n = len(v)
                         i = scalar.index
                         if -n <= i < n:
@@ -206,7 +211,10 @@ class RowEvaluator:
                 return fn(None)
         if isinstance(scalar, (ArrayAny, ArrayAll)):
             v = self.meta.get(scalar.key)
-            if v is None:
+            # non-collections (incl. strings) are NULL in the compiled
+            # plan's array coercion — never iterate characters or
+            # crash on list(int) (review r6)
+            if not isinstance(v, (list, dict)):
                 return None
             items = list(v.values()) if isinstance(v, dict) else list(v)
             results = [fn(x) for x in items]

@@ -372,7 +372,15 @@ class PredicateCompiler:
                 else:
                     scalar = F.get_json_object(F.col(self.json_column),
                                                f"$['{exp.key}']")
-                e = e | scalar.rlike(str(const.value))
+                # substring semantics apply to SCALAR string values
+                # only: for array/object values get_json_object
+                # returns the serialized JSON text, and a bare rlike
+                # over it would report containment for elements that
+                # merely appear in the serialization (review r6) —
+                # the row evaluator (and the reference, which probes
+                # scalar SQL text) say False there
+                is_scalar_text = ~scalar.rlike(r"^\s*[\[\{]")
+                e = e | (is_scalar_text & scalar.rlike(str(const.value)))
             return ~e if exp.negated else e
         col = F.col(mk.column)
         if mk.is_array:

@@ -366,3 +366,77 @@ def test_update_file_provenance_edges(fresh):
         F.col("parent_id") == target).count() >= 1
     with pytest.raises(DMLError, match="not found"):
         dml.update_file("no-such-fid", size=1)
+
+
+def test_dml_404s_and_atomicity(fresh):
+    """Review-r6 hardening: mutations of nonexistent targets raise
+    instead of silently no-opping; declaring into a missing/frozen
+    dataset fails BEFORE any rows were appended."""
+    eng, dml = fresh
+    cat = dml.cat
+    with pytest.raises(DMLError):
+        dml.update_file_metadata("no-such-fid", {"core.run": 1},
+                                 mode="replace")
+    with pytest.raises(DMLError):
+        dml.retire_file("no-such-fid")
+    with pytest.raises(DMLError):
+        dml.move_files(["no-such-fid"], "elsewhere")
+    with pytest.raises(DMLError):
+        dml.update_dataset("nope", "nope", frozen=True)
+    assert ("nope", "nope") not in dml.frozen   # cache not poisoned
+    n_before = cat.files.count()
+    with pytest.raises(DMLError):
+        dml.declare_files(
+            [{"id": "atomic-1", "namespace": "test", "name": "a.dat"}],
+            dataset=("nope", "nope"))
+    assert cat.files.count() == n_before        # nothing appended
+
+
+def test_save_as_frozen_updates_cache(fresh):
+    """save_as(frozen=True) receives its own files but freezes the
+    flag cache for later mutations (review r6: the cache lagged until
+    refresh())."""
+    eng, dml = fresh
+    res = eng.query("files from dune:urgent_0 limit 3")
+    n = dml.save_as(res, "test", "saved_frozen_r6", frozen=True)
+    assert n == 3
+    with pytest.raises(DMLError):
+        dml.add_files_to_dataset(
+            [r["id"] for r in res.select("id").collect()][:1],
+            "test", "saved_frozen_r6")
+
+
+def test_dataset_metadata_requirements_enforced(fresh):
+    """Per-dataset file_meta_requirements (dbobjects2.py:1577-1597):
+    files joining the dataset must satisfy them — both on
+    add_files_to_dataset and on declare-into-dataset (review r6: the
+    cache existed but nothing ever populated it)."""
+    eng, dml = fresh
+    dml.create_dataset(
+        "test", "reqs_r6",
+        file_meta_requirements={"core.run": {"type": "int",
+                                             "required": True}})
+    dml.declare_files([
+        {"id": "rq-ok", "namespace": "test", "name": "ok.dat",
+         "metadata": {"core.run": 7}},
+        {"id": "rq-bad", "namespace": "test", "name": "bad.dat",
+         "metadata": {}}])
+    dml.add_files_to_dataset(["rq-ok"], "test", "reqs_r6")
+    with pytest.raises(ValidationFailed):
+        dml.add_files_to_dataset(["rq-bad"], "test", "reqs_r6")
+    with pytest.raises(ValidationFailed):
+        dml.declare_files(
+            [{"id": "rq-bad2", "namespace": "test", "name": "b2.dat",
+              "metadata": {}}], dataset=("test", "reqs_r6"))
+
+
+def test_declared_files_get_created_timestamp(fresh):
+    """Newly declared files carry a created_timestamp (reference
+    schema DEFAULT now()) — NULL would drop them from every
+    created_timestamp predicate (review r6)."""
+    eng, dml = fresh
+    dml.declare_files([{"id": "ts-r6", "namespace": "test",
+                        "name": "ts.dat"}])
+    row = dml.cat.files.where(F.col("id") == "ts-r6") \
+        .select("created_timestamp").first()
+    assert row["created_timestamp"] is not None

@@ -234,3 +234,55 @@ def test_cursor_pagination_equivalence(engine):
         f'files from test:all where id > "{last}" ordered limit 50')
         .collect()]
     assert page2_cursor == page2_skip and len(page2_cursor) == 50
+
+
+def test_files_with_ancestors_expands(engine):
+    """`files from ds with ancestors` must pull files of ANCESTOR
+    datasets too (review r6: the membership fast path ignored
+    with_ancestors and silently returned only the literal dataset).
+    Fixture chain: dune:urgent_0 -> mc:flag_r -> test:all."""
+    direct = engine.query("files from dune:urgent_0").count()
+    anc = engine.query(
+        "files from dune:urgent_0 with ancestors recursively").count()
+    ds = {(r["namespace"], r["name"]) for r in engine.query(
+        "datasets dune:urgent_0 with ancestors recursively")
+        .select("namespace", "name").collect()}
+    assert ("test", "all") in ds and ("mc", "flag_r") in ds
+    assert anc > direct
+    # closure result == union of the member files of every closure ds
+    # (compare DISTINCT ids: the fixture plants one duplicate file id,
+    # which union's distinct-by-id collapses while the raw membership
+    # select keeps both rows — reference select semantics)
+    want = engine.query(
+        "union(files from dune:urgent_0, files from mc:flag_r, "
+        "files from test:all)").select("id").distinct().count()
+    got = engine.query(
+        "files from dune:urgent_0 with ancestors recursively") \
+        .select("id").distinct().count()
+    assert got == want
+
+
+def test_const_in_array_value_no_substring_false_positive(spark):
+    """`"a" in k` over an UNSHREDDED array value must use membership,
+    not substring over the serialized JSON text (review r6: 'a' used
+    to match the text '["cat"]')."""
+    from metacat_spark.predicate import PredicateCompiler
+    from metacat_spark.schema import FILE_ATTRIBUTES, MetaSchema
+    from metacat_spark.mql import parse
+    from metacat_spark.mql.ast import FileQuery
+
+    df = spark.createDataFrame(
+        [(1, '{"tags": ["cat", "dog"]}'),
+         (2, '{"tags": "a scalar string"}'),
+         (3, '{"tags": ["a"]}')],
+        "rid int, metadata string")
+    pc = PredicateCompiler(MetaSchema([]), {}, json_column="metadata")
+    q = parse('files where "a" in tags')
+    assert isinstance(q, FileQuery)
+    where = q.tree.exp          # top-level WhereOp carries the exp
+    got = sorted(r["rid"] for r in
+                 df.where(pc.compile(where)).collect())
+    # rid 1: no element == "a", and substring-in-serialization must
+    # NOT fire; rid 2: scalar string substring semantics -> matches;
+    # rid 3: true membership
+    assert got == [2, 3]

@@ -72,3 +72,36 @@ def test_variant_warehouse_mode(spark, engine):
         want = ids_of(engine.query(
             f"files from test:all where {where}"))
         assert got == want, where
+
+
+def test_variant_dml_metadata_stays_fresh(spark):
+    """DML over a variant-mode catalog must keep metadata_v in sync:
+    an updated value is immediately queryable through try_variant_get,
+    and a freshly declared file is visible to metadata predicates
+    (review r6: the variant column used to go stale/NULL)."""
+    import copy
+
+    from metacat_spark.catalog import from_tpch
+    from metacat_spark.dml import DML
+    from metacat_spark.engine import Engine
+    from conftest import SF_DIR as _SF
+
+    cat = from_tpch(spark, _SF)
+    cat = copy.copy(cat)
+    cat.files = cat.files.withColumn(
+        "metadata_v", F.parse_json("metadata"))
+    eng = Engine(cat)
+    eng.file_pred = PredicateCompiler(MetaSchema([]), FILE_ATTRIBUTES,
+                                      json_column=None,
+                                      variant_column="metadata_v")
+    dml = DML(cat)
+    fid = cat.files.select("id").first()["id"]
+    dml.update_file_metadata(fid, {"core.run": 999999})
+    got = ids_of(eng.query("files where core.run = 999999",
+                           include_retired=True))
+    assert got == [fid]
+    dml.declare_files([{"id": "vnew-1", "namespace": "test",
+                        "name": "vnew.dat",
+                        "metadata": {"core.run": 888888}}])
+    got = ids_of(eng.query("files where core.run = 888888"))
+    assert got == ["vnew-1"]
