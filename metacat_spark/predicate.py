@@ -205,6 +205,12 @@ class PredicateCompiler:
         if isinstance(exp, ConstIn):
             return self._compile_const_in(exp)
         if isinstance(exp, JsonPathExists):
+            if self.variant_column is not None:
+                # variant mode: probe the same path over the variant
+                # column (extraction as variant — any present value,
+                # whatever its type, is non-null)
+                return F.try_variant_get(F.col(self.variant_column),
+                                         exp.path, "variant").isNotNull()
             if self.json_column is None:
                 raise CompileError("no JSON column for exists()")
             return F.get_json_object(F.col(self.json_column),

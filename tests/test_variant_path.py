@@ -24,6 +24,7 @@ CASES = [
     '!(beam.status = "on")',
     'core.timestamp > datetime("1996-06-01")',
     "core.timestamp = date(1995-06-15)",
+    'exists "$[\'beam.status\']"',
 ]
 
 
