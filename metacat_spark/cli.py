@@ -479,6 +479,11 @@ def main(argv=None):
     dc.add_argument("--frozen", action="store_true")
     dc.add_argument("--monotonic", action="store_true")
     dc.add_argument("--meta", type=_meta_arg, default=None)
+    dc.add_argument("--requirements", type=_meta_arg, default=None,
+                    help="file metadata requirements JSON (files "
+                         "joining the dataset must satisfy them — "
+                         "reference webapi create_dataset "
+                         "metadata_requirements)")
     _add_sf_dir(dc)
 
     du = dsub.add_parser("update", help="update dataset")
@@ -983,7 +988,8 @@ def main(argv=None):
             dml.create_dataset(ns, name, description=args.description,
                                frozen=args.frozen,
                                monotonic=args.monotonic,
-                               metadata=args.meta, creator="cli")
+                               metadata=args.meta, creator="cli",
+                               file_meta_requirements=args.requirements)
             print(f"created {ns}:{name}")
             return 0
         if args.dcmd == "update":

@@ -447,3 +447,21 @@ def test_corpus_input_orc(capsys, tmp_path, spark):
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and rows[0]["n_docs"] == 2
     assert rows[0]["n_tokens"] == 8
+
+
+def test_dataset_create_with_requirements(capsys):
+    """`dataset create --requirements` wires per-dataset file
+    metadata requirements (reference webapi create_dataset
+    metadata_requirements); a non-satisfying file is rejected at
+    add time."""
+    rc, _ = run(capsys, "dataset", "create", "test:reqcli_r6",
+                "--requirements",
+                '{"core.run": {"type": "int", "required": true}}')
+    assert rc == 0
+    rc, _ = run(capsys, "file", "declare",
+                "test:reqfile_r6.dat", "--id", "reqfile-r6",
+                "--meta", '{"core.run": 5}')
+    assert rc == 0
+    rc, out = run(capsys, "dataset", "add-files", "test:reqcli_r6",
+                  "--ids", "reqfile-r6")
+    assert rc == 0
