@@ -71,10 +71,26 @@ class MetaCatSparkClient:
 
     def query_iter(self, mql: str, **kw) -> Iterator[dict]:
         """Streaming variant (json-seq equivalent): lazy partition-wise
-        iteration, no full materialization on the driver."""
+        iteration, no full materialization on the driver.  Honors the
+        same summary/save_as/add_to keywords as query() — silently
+        dropping them would stream a full row dump where the caller
+        asked for a count, and lose materialization without a signal
+        (review r6)."""
+        if kw.get("save_as") or kw.get("add_to"):
+            fs = self.engine.file_set(
+                mql,
+                include_retired=kw.get("include_retired_files", False),
+                default_namespace=kw.get("namespace"))
+            if kw.get("save_as"):
+                ns, name = kw["save_as"].split(":", 1)
+                self.dml.save_as(fs, ns, name)
+            if kw.get("add_to"):
+                ns, name = kw["add_to"].split(":", 1)
+                self.dml.add_to(fs, ns, name)
         df = self.engine.query(mql, with_meta=kw.get("with_metadata", False),
                                with_provenance=kw.get(
                                    "with_provenance", False),
+                               summary=kw.get("summary"),
                                include_retired=kw.get(
                                    "include_retired_files", False),
                                default_namespace=kw.get("namespace"),

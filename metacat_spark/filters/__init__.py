@@ -100,8 +100,13 @@ def _f_stride(engine, params, kw, dfs):
 
 
 def adler32_column(col) -> F.Column:
-    """zlib.adler32 of a string column, computed JVM-side with
-    higher-order functions (no Python UDF in the hot path).
+    """adler32 of a string column over CODEPOINTS, computed JVM-side
+    with higher-order functions. Equals zlib.adler32 for ASCII input
+    (every catalog file id) but NOT for multi-byte UTF-8 — zlib runs
+    over bytes, F.ascii yields the first codepoint. The byte-exact
+    formulation is _adler32_udf (the one the hash filter and the
+    samplers actually use); this mirror exists for JVM-side
+    composition and the oracle replay, both ASCII-scoped.
 
     A = (1 + Σ c_i) mod 65521
     B = (n + Σ (n-i) c_i) mod 65521   (i 0-based)

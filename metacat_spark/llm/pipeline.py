@@ -27,12 +27,17 @@ def curate(documents: DataFrame, min_quality: float = 0.3,
            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Returns the curated documents (original columns + analysis)."""
     c = F.col(text_col)
-    analyzed = documents.withColumns({
-        "n_tokens": TX.token_count(c),
-        "quality": TX.quality_score(c),
-        "lang_pred": TX.lang_id(c),
-        "fingerprint": TX.poly_hash(c),
-    })
+    # stage the token split ONCE (analyze()'s pattern): lang_id alone
+    # would otherwise re-inline the split into ~20 marker filters per
+    # row (review r6)
+    toks = F.col("__toks")
+    analyzed = (documents.withColumn("__toks", TX.tokens(c))
+                .withColumns({
+                    "n_tokens": F.size(toks),
+                    "quality": TX.quality_score_from(c, toks),
+                    "lang_pred": TX.lang_id_from(toks),
+                    "fingerprint": TX.poly_hash(c),
+                }).drop("__toks"))
     gated = analyzed.where((F.col("quality") >= min_quality)
                            & (F.col("n_tokens") >= min_tokens))
     exact = DD.dedup_exact(gated, text_col, id_col)
@@ -54,10 +59,12 @@ def curate_exact(documents: DataFrame, min_quality: float = 0.3,
     this is its verification twin and the right choice when the corpus
     fits the exact pair join)."""
     c = F.col(text_col)
-    analyzed = documents.withColumns({
-        "n_tokens": TX.token_count(c),
-        "quality": TX.quality_score(c),
-    })
+    toks = F.col("__toks")
+    analyzed = (documents.withColumn("__toks", TX.tokens(c))
+                .withColumns({
+                    "n_tokens": F.size(toks),
+                    "quality": TX.quality_score_from(c, toks),
+                }).drop("__toks"))
     gated = analyzed.where((F.col("quality") >= min_quality)
                            & (F.col("n_tokens") >= min_tokens))
     exact = DD.dedup_exact(gated, text_col, id_col)
@@ -196,9 +203,12 @@ def curation_report(documents: DataFrame, curated: DataFrame,
                     id_col: str = "doc_id") -> dict:
     n_in = documents.count()
     n_out = curated.count()
-    by_lang = {r["lang_pred"]: r["n"] for r in
-               curated.groupBy("lang_pred")
-               .agg(F.count("*").alias("n")).collect()}
+    # curate() adds lang_pred; curate_exact/curate_v2 don't — the
+    # report must not crash on their output (review r6)
+    by_lang = ({r["lang_pred"]: r["n"] for r in
+                curated.groupBy("lang_pred")
+                .agg(F.count("*").alias("n")).collect()}
+               if "lang_pred" in curated.columns else {})
     return {"n_in": n_in, "n_out": n_out,
             "removed": n_in - n_out, "by_lang_pred": by_lang}
 
@@ -383,10 +393,12 @@ def _curate_v2_stages(documents, min_quality, min_tokens, substr_n,
     """The curate_v2 stage DataFrames, exposed for the lineage
     ledger: gated → exact → kept (post-scrub, non-empty) → final."""
     c = F.col(text_col)
-    analyzed = documents.withColumns({
-        "n_tokens": TX.token_count(c),
-        "quality": TX.quality_score(c),
-    })
+    toks = F.col("__toks")
+    analyzed = (documents.withColumn("__toks", TX.tokens(c))
+                .withColumns({
+                    "n_tokens": F.size(toks),
+                    "quality": TX.quality_score_from(c, toks),
+                }).drop("__toks"))
     gated = analyzed.where((F.col("quality") >= min_quality)
                            & (F.col("n_tokens") >= min_tokens))
     red = gated.withColumn(text_col, TX.redact_pii(c))

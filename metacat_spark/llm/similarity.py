@@ -26,7 +26,8 @@ def norm(a):
 
 
 def cosine(a, b):
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: NULL (not a crash) for zero-norm inputs (ANSI mode)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -52,8 +53,11 @@ def brute_force_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
     base = _prep(df, vec_col, id_col)
     a = base.alias("a")
     b = base.alias("b")
-    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
-                                                 * F.col("b.nrm"))
+    # try_divide: a zero-norm vector (hashed_doc_vectors documents
+    # them as legal) must yield NULL cosine under ANSI mode, not
+    # abort the job; the numpy kernels drop the same rows (NaN)
+    sim = F.try_divide(dot(F.col("a.vec"), F.col("b.vec")),
+                       F.col("a.nrm") * F.col("b.nrm"))
     pairs = (a.join(b, F.col("a.id") != F.col("b.id"))
              .select(F.col("a.id").alias("id"),
                      F.col("b.id").alias("neighbor_id"),
@@ -245,7 +249,13 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42):
         for _ in range(dim):
             state = (state * 6364136223846793005
                      + 1442695040888963407) % (2**63)
-            v.append(((state >> 11) / float(2**52)) - 1.0)  # ~U(-1,1)
+            # >>11 leaves 52 bits in [0, 2^52); dividing by 2^51
+            # maps to [0, 2) so -1 yields ~U(-1, 1). (The old /2^52
+            # mapped to [-1, 0): every plane sat in the all-negative
+            # orthant, collapsing non-negative vector corpora into
+            # ONE bucket per table and correlating the sign bits —
+            # review r6.)
+            v.append(((state >> 11) / float(2**51)) - 1.0)
         planes.append(v)
     return planes
 

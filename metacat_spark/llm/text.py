@@ -114,13 +114,21 @@ def poly_hash(col: Column) -> Column:
 
 
 def quality_score_from(col: Column, toks: Column) -> Column:
-    """quality_score over a pre-split token array (one split total)."""
+    """quality_score over a pre-split token array (one split total).
+
+    try_divide everywhere: Spark 4 defaults to ANSI mode, where a
+    plain `/ 0` on an EMPTY document (n_chars = 0) kills the whole
+    job — and upstream stages (c4_line_filter, the ExactSubstr
+    scrub) legitimately emit empty texts. try_divide yields NULL,
+    exactly what the DuckDB oracle's division produces, so the
+    whole score goes NULL for empty docs on both engines
+    (review r6)."""
     n_chars = F.length(col)
     n_words = F.size(toks)
-    avg_wlen = (n_chars - (n_words - 1)) / n_words
-    stop_ratio = occurrences_in(toks, "the") / n_words
+    avg_wlen = F.try_divide(n_chars - (n_words - 1), n_words)
+    stop_ratio = F.try_divide(occurrences_in(toks, "the"), n_words)
     alnum = F.length(F.regexp_replace(col, r"[^a-zA-Z0-9 ]", ""))
-    punct_ratio = (n_chars - alnum) / n_chars
+    punct_ratio = F.try_divide(n_chars - alnum, n_chars)
     wlen_term = F.when((avg_wlen >= 3.0) & (avg_wlen <= 10.0), F.lit(1.0)) \
                  .otherwise(F.lit(0.5))
     return F.round(
@@ -546,7 +554,7 @@ def divergence_stream(spark, src_dir: str, reference: DataFrame,
     batch's own aggregation + the vocabulary-bounded join.
 
     availableNow trigger + foreachBatch; returns a DataFrame of
-    (batch_id, n_docs, n_terms_union, kl_batch_ref, kl_ref_batch,
+    (batch_id, n_docs, n_terms_union, kl_batch_m, kl_ref_m,
     js_divergence), one row per micro-batch
     (``max_files_per_batch`` controls batch granularity)."""
     import os
@@ -578,9 +586,13 @@ def divergence_stream(spark, src_dir: str, reference: DataFrame,
         raise TimeoutError("divergence_stream did not finish "
                            "within 120s")
     ref.unpersist()
+    # _m suffix: these are KL(batch‖M) / KL(ref‖M) against the 50/50
+    # MIXTURE (bounded by ln 2), NOT the unbounded KL(batch‖ref) the
+    # old kl_batch_ref name implied — alert thresholds calibrated to
+    # that name would never fire (review r6)
     return spark.createDataFrame(
         rows, "batch_id long, n_docs long, n_terms_union long, "
-              "kl_batch_ref double, kl_ref_batch double, "
+              "kl_batch_m double, kl_ref_m double, "
               "js_divergence double")
 
 

@@ -28,6 +28,13 @@ class CatalogStats:
     def refresh(self) -> None:
         """One pass over membership + files; results cached in memory
         (the daemon-refresh equivalent)."""
+        # release the previous refresh's cached blocks: a long-lived
+        # server refreshing on a cadence would otherwise leak two
+        # persisted DataFrames per cycle (review r6)
+        for old in (getattr(self, "_dataset_counts", None),
+                    getattr(self, "_namespace_counts", None)):
+            if old is not None:
+                old.unpersist()
         fd = self.cat.files_datasets
         active = self.cat.files.where(~F.col("retired")).select("id")
         counted = fd.join(active.withColumnRenamed("id", "file_id"),
