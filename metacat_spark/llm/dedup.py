@@ -89,9 +89,13 @@ def dedup_exact_stream(spark, src_dir: str, text_col: str = "text",
 
 def _spread(df: DataFrame) -> DataFrame:
     """Small document tables often arrive as ONE parquet file = one
-    partition; the shingle/token expressions (higher-order functions,
-    interpreted) would then run single-threaded. Spread first."""
+    partition; the token expressions would then run single-threaded.
+    Spread ONLY when under-partitioned — unconditional repartition
+    would full-shuffle the raw text of a well-partitioned 100 TB
+    input down to defaultParallelism partitions (review r6)."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
     return df.repartition(par)
 
 
@@ -122,6 +126,15 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
 
     Documents shorter than n tokens contribute their whole text as a
     single shingle (concat_ws skips the nulls past the array end).
+
+    Tokenizer edge (documented, oracle-mirrored): Spark's split (like
+    DuckDB's string_split_regex) returns [''] for an empty string, so
+    an empty/whitespace-only document contributes ONE empty-string
+    shingle — a corpus with many empty docs clusters them together at
+    jaccard 1.0 (arguably correct: they ARE identical). Production
+    pipelines gate on min_tokens before dedup (curate*), so empty
+    docs never reach the pair joins; changing tokens() itself would
+    have to move in lockstep with every oracle replay.
 
     ``carry`` names extra per-document columns (constant per document,
     e.g. a corpus tag) to thread through to the output — cheaper than a
@@ -213,21 +226,28 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def minhash_signatures(df: DataFrame, n: int = 3, k: int = 32,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       include_shingles: bool = False) -> DataFrame:
     """k-wide MinHash signature per doc via explode + ONE groupBy with
     k min-aggregates. Shingle hashing uses xxhash64 (whole-stage
     codegen; higher-order char-level hashing runs interpreted and
     measured ~50µs/row — unusable in the hot path). The k universal
     hashes are codegen'd arithmetic over that one hash; map-side
-    partial aggregation keeps the shuffle at one row per doc."""
+    partial aggregation keeps the shuffle at one row per doc of k
+    longs.  ``include_shingles=True`` additionally collects the
+    distinct shingle set per doc (an ``sh`` column) — diagnostics
+    only: it drags the corpus text through the shuffle, which is why
+    it is OFF by default and minhash_lsh_pairs never uses it
+    (review r6)."""
     ex = (shingle_rows(df, n, text_col, id_col)
           .withColumn("h", F.pmod(F.xxhash64("shingle"),
                                   F.lit(POLY_MOD))))
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
             .alias(f"mh_{i}")
             for i, (a, b) in enumerate(_lcg_params(k))]
-    return ex.groupBy("id").agg(F.collect_set("shingle").alias("sh"),
-                                *aggs)
+    if include_shingles:
+        aggs = [F.collect_set("shingle").alias("sh")] + aggs
+    return ex.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
@@ -239,6 +259,12 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
     candidate iff some band signature collides; candidates are then
     exactly verified, so precision is 1.0 and only recall depends on
     the banding. Shuffle cost is O(docs × bands), never O(docs²)."""
+    if not 1 <= bands <= k or k % bands:
+        # bands > k would make every band signature the EMPTY string
+        # — the banded join degenerates to the full O(n²) cross join
+        # the LSH exists to avoid; k % bands != 0 silently discards
+        # trailing hashes (review r6)
+        raise ValueError(f"bands must divide k: k={k}, bands={bands}")
     rows = k // bands
     # materialize the distinct shingle rows once — referenced by the
     # signature build AND twice by the verification joins
@@ -556,6 +582,8 @@ def cross_corpus_lsh(test_df: DataFrame, train_df: DataFrame,
     the banded join itself, then exact-Jaccard verified — precision
     1.0, recall set by the banding, candidate shuffle O(docs × bands).
     Returns (test_id, train_id, jaccard >= threshold)."""
+    if not 1 <= bands <= k or k % bands:
+        raise ValueError(f"bands must divide k: k={k}, bands={bands}")
     rows = k // bands
     u = _tag_union(test_df, train_df, text_col, id_col)
     shr = (shingle_rows(u, n, "txt", "id", carry=["grp"])

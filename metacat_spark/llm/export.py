@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text import tokens
+
 
 def _hadoop_fs(spark, path: str):
     """(FileSystem, Path) for a string path via the JVM — resolves
@@ -92,9 +94,16 @@ def export_corpus(df: DataFrame, path: str, fmt: str = "parquet",
     (sharded.repartition(n_shards, "__shard")
      .write.partitionBy("__shard").mode("overwrite")
      .format(fmt).save(path))
-    per = (sharded.groupBy("__shard")
+    # manifest stats come from READING BACK the published files, not
+    # from re-executing the input's lineage: a second execution of a
+    # non-deterministic pipeline (or a source mutated between the two
+    # jobs) would publish a manifest describing different data than
+    # what was written — and the read-back is one pass instead of two
+    # (review r6)
+    written = df.sparkSession.read.format(fmt).load(path)
+    per = (written.groupBy("__shard")
            .agg(F.count("*").alias("rows"),
-                F.sum(F.size(F.split(F.col(text_col), r"\s+")))
+                F.sum(F.size(tokens(F.col(text_col))))
                 .alias("tokens"),
                 F.pmod(F.sum(F.pmod(F.xxhash64(F.col(text_col)),
                                     F.lit(1 << 62))
@@ -133,8 +142,7 @@ def verify_manifest(spark, path: str, text_col: str = "text") -> bool:
     df = (spark.read.format(manifest["format"]).load(path))
     got = df.agg(
         F.count("*").alias("rows"),
-        F.sum(F.size(F.split(F.col(text_col), r"\s+")))
-        .alias("tokens"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("tokens"),
         F.pmod(F.sum(F.pmod(F.xxhash64(F.col(text_col)),
                             F.lit(1 << 62)).cast("decimal(38,0)")),
                F.lit(1 << 62)).cast("long")

@@ -517,6 +517,12 @@ def asset_dedup(assets: DataFrame, modality: str = "image",
     text near-dup collapse, on the same clustering machinery."""
     from .dedup import near_dup_clusters
 
+    if modality not in ("image", "audio"):
+        # 'video' (no fingerprint kernel yet) or a typo would
+        # otherwise ride the audio path, fail every decode, and
+        # silently report zero duplicates (review r6)
+        raise ValueError(f"asset_dedup supports modality 'image' or "
+                         f"'audio', got {modality!r}")
     sel = assets.where(F.col("modality") == modality)
     pairs = (image_near_dup_pairs(sel, max_hamming)
              if modality == "image"

@@ -271,7 +271,10 @@ class Parser:
                 return BasicFileQuery(self.parse_dataset_query_list())
             # `files ns:a, ns:b` point lookup vs bare `files`
             t = self.peek()
-            if t is not None and t.kind in ("word", "pattern") and not self.at_word(
+            # string tokens too: quoted namespaces/names ("my ns":f1)
+            # are legal qualified names (review r6)
+            if t is not None and t.kind in ("word", "pattern", "string") \
+                    and not self.at_word(
                     "where", "limit", "skip", "ordered"):
                 items = [self.parse_qualified_name()]
                 while self.at_punct(","):
@@ -465,7 +468,6 @@ class Parser:
 
     def parse_meta_atom(self):
         """cmp / range / set / present / const-in, sharing a parsed lhs."""
-        lhs_tok = self.peek()
         # scalar forms starting with len(
         if self.at_word("len") and self.peek(1) is not None \
                 and self.peek(1).kind == "punct" and self.peek(1).value == "(":
@@ -525,9 +527,9 @@ class Parser:
             return Present(name, True)
 
         scalar = MetaAttr(name) if "." in name else ObjectAttr(name)
-        return self.parse_meta_relop(scalar, lhs_tok)
+        return self.parse_meta_relop(scalar)
 
-    def parse_meta_relop(self, scalar, lhs_tok: Optional[Token] = None):
+    def parse_meta_relop(self, scalar):
         t = self.peek()
         if t is not None and t.kind == "op" and t.value in _CMPOPS:
             self.next()

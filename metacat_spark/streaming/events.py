@@ -332,7 +332,12 @@ def funnel_stateful(stream: DataFrame, steps: list[str],
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     k = len(steps)
-    step_of = {s: i for i, s in enumerate(steps)}
+    # membership filter + per-ts tie-break rank; the MACHINE compares
+    # steps[idx] == event directly, so a steps list with REPEATED
+    # names (view → cart → view) works — a name→index dict collapsed
+    # repeats to the last index and never advanced (review r6)
+    step_set = set(steps)
+    first_pos = {s: steps.index(s) for s in step_set}
     horizon_us = int(horizon_s) * 1_000_000
 
     def update(key, pdfs, state):
@@ -345,15 +350,15 @@ def funnel_stateful(stream: DataFrame, steps: list[str],
         for pdf in pdfs:
             if done or not len(pdf):
                 continue
-            ev = pdf[pdf["event_type"].isin(step_of)].copy()
+            ev = pdf[pdf["event_type"].isin(step_set)].copy()
             if not len(ev):
                 continue
-            ev["__ord"] = ev["event_type"].map(step_of)
+            ev["__ord"] = ev["event_type"].map(first_pos)
             ev = ev.sort_values(["ts_ts", "__ord"])
             for ts, et in zip(ev["ts_ts"], ev["event_type"]):
                 if done:
                     break
-                if step_of[et] != idx:
+                if et != steps[idx]:
                     continue
                 us = int(ts.value // 1000)      # pandas ns → µs
                 if idx == 0:
@@ -400,7 +405,11 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     k = len(steps)
-    step_of = {s: i for i, s in enumerate(steps)}
+    # buffer the event's FIRST position in steps (canonical per
+    # name); advancement compares step NAMES, so repeated step names
+    # (view → cart → view) work — see funnel_stateful (review r6)
+    step_set = set(steps)
+    first_pos = {s: steps.index(s) for s in step_set}
     horizon_us = int(horizon_s) * 1_000_000
 
     stream = stream.withWatermark("ts_ts", delay)
@@ -415,10 +424,10 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
         for pdf in pdfs:
             if done or not len(pdf):
                 continue
-            ev = pdf[pdf["event_type"].isin(step_of)]
+            ev = pdf[pdf["event_type"].isin(step_set)]
             for ts, et in zip(ev["ts_ts"], ev["event_type"]):
                 buf_ts.append(int(ts.value // 1000))   # ns → µs
-                buf_step.append(step_of[et])
+                buf_step.append(first_pos[et])
         out = []
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not done and buf_ts:
@@ -437,7 +446,7 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
                     rest_ts.append(us)
                     rest_step.append(st)
                     continue
-                if done or st != idx:
+                if done or steps[st] != steps[idx]:
                     continue
                 if idx == 0:
                     times, idx = [us], 1

@@ -429,3 +429,37 @@ def test_funnel_randomized_differential(spark):
                                             horizon_s=horizon,
                                             ts_col="ts").collect()}
     assert got_counts == want_counts
+
+
+def test_streaming_funnel_repeated_steps(spark, tmp_path):
+    """A funnel with a REPEATED step name (view -> click -> view)
+    must match the batch funnel through the streaming state machine
+    (review r6: the name->index dict collapsed repeats and emitted
+    zero completions)."""
+    from datetime import datetime
+    rows = [
+        (1, 1, "view", 1.0, "{}", datetime(2024, 1, 1, 10, 0)),
+        (2, 1, "click", 1.0, "{}", datetime(2024, 1, 1, 10, 10)),
+        (3, 1, "view", 1.0, "{}", datetime(2024, 1, 1, 10, 20)),
+        (4, 2, "view", 1.0, "{}", datetime(2024, 1, 1, 11, 0)),
+        (5, 2, "click", 1.0, "{}", datetime(2024, 1, 1, 11, 5)),
+    ]
+    src = str(tmp_path / "repeat_events")
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, props string, ts timestamp")
+    df.coalesce(1).write.parquet(src)
+    steps = ["view", "click", "view"]
+    batch = EV.funnel(
+        df.withColumn("ts_ts", F.col("ts")), steps, horizon_s=3600)
+    want = {r["user_id"] for r in batch.collect()}
+    assert want == {1}          # user 2 never re-views
+    stream = (spark.readStream.schema(df.schema).parquet(src)
+              .withColumn("ts_ts", F.col("ts")))
+    out = EV.funnel_stateful(stream, steps, horizon_s=3600)
+    q = (out.writeStream.format("memory").queryName("ev_funnel_rep")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r["user_id"] for r in
+           spark.table("ev_funnel_rep").collect()}
+    assert got == want

@@ -201,7 +201,8 @@ def test_minhash_lsh_recall(docs):
 def test_minhash_jaccard_estimate(docs):
     """Signature agreement rate ≈ true Jaccard (MinHash property)."""
     from metacat_spark.llm import dedup as DD
-    sig = DD.minhash_signatures(docs.limit(50), n=2, k=64)
+    sig = DD.minhash_signatures(docs.limit(50), n=2, k=64,
+                                include_shingles=True)
     rows = sig.collect()
     by_id = {r["id"]: r for r in rows}
     ids = sorted(by_id)[:10]
@@ -2015,3 +2016,41 @@ def test_corrupt_png_is_decode_miss_not_crash(spark):
     rows = {r["asset_id"]: r for r in MM.image_dhash(df).collect()}
     assert rows[1]["decode_ok"] is False and rows[1]["dhash"] is None
     assert rows[2]["decode_ok"] is False
+
+
+def test_lsh_bands_must_divide_k(docs):
+    """bands > k (or not dividing k) must raise: rows = k//bands = 0
+    makes every band signature the empty string, degenerating the
+    banded join into the full O(n^2) cross join (review r6)."""
+    import pytest as _pt
+    from metacat_spark.llm import dedup as DD
+    with _pt.raises(ValueError, match="bands"):
+        DD.minhash_lsh_pairs(docs, k=8, bands=16)
+    with _pt.raises(ValueError, match="bands"):
+        DD.minhash_lsh_pairs(docs, k=32, bands=7)
+    with _pt.raises(ValueError, match="bands"):
+        DD.cross_corpus_lsh(docs.limit(5), docs.limit(5),
+                            k=8, bands=16)
+
+
+def test_asset_dedup_rejects_unknown_modality(docs, spark):
+    """'video' has no fingerprint kernel; routing it silently down
+    the audio path reported zero duplicates (review r6)."""
+    import pytest as _pt
+    from metacat_spark.llm import multimodal as MM
+    assets = MM.synthesize_assets(docs)
+    with _pt.raises(ValueError, match="modality"):
+        MM.asset_dedup(assets, modality="video")
+    with _pt.raises(ValueError, match="modality"):
+        MM.asset_dedup(assets, modality="Image")
+
+
+def test_signatures_shuffle_is_narrow_by_default(docs):
+    """minhash_signatures must NOT drag the shingle text through the
+    shuffle unless diagnostics ask for it (review r6)."""
+    from metacat_spark.llm import dedup as DD
+    cols = DD.minhash_signatures(docs, n=2, k=8).columns
+    assert "sh" not in cols
+    cols = DD.minhash_signatures(docs, n=2, k=8,
+                                 include_shingles=True).columns
+    assert "sh" in cols

@@ -294,3 +294,15 @@ def test_parser_never_crashes_on_garbage():
             pass  # the contract: clean syntax error
 
     fuzz()
+
+
+def test_quoted_point_lookup():
+    """Quoted namespaces/names are legal in `files ns:name` point
+    lookups (review r6: the peek guard rejected string tokens with a
+    misleading trailing-input error)."""
+    from metacat_spark.mql import parse
+    from metacat_spark.mql.ast import FileList
+    q = parse('files "my ns":f1, plain:f2')
+    t = q.tree
+    assert isinstance(t, FileList)
+    assert t.items == [("my ns", "f1"), ("plain", "f2")]
