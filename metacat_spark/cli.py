@@ -71,13 +71,15 @@ def _print_rows(df, as_json: bool, limit=None, file=None):
                 d["metadata"] = json.loads(d["metadata"])
             except ValueError:
                 pass
+        # check BEFORE printing: -l 0 must print zero rows, like the
+        # server's limit=0 emptiness probe (review r6)
+        if limit is not None and count >= limit:
+            break
         if as_json:
             print(json.dumps(d, default=str), file=file)
         else:
             print("\t".join(str(v) for v in d.values()), file=file)
         count += 1
-        if limit is not None and count >= limit:
-            break
     print(f"# {count} rows", file=sys.stderr)
     return count
 
@@ -160,7 +162,16 @@ def _cmd_corpus(args) -> int:
     tbl = "embeddings" if args.ccmd == "ann" else "documents"
     from .llm.export import load_corpus
     src = args.input or f"{args.sf_dir}/{tbl}.parquet"
-    df = load_corpus(spark, src)
+    # lazy: verify-manifest reads only --dest, and `ann --hashed`
+    # promises to work with NO embeddings table — an eager read here
+    # failed both before their branches ran (review r6)
+    if args.ccmd == "verify-manifest":
+        df = None
+    elif args.ccmd == "ann" and getattr(args, "hashed", False):
+        df = load_corpus(spark,
+                         args.input or f"{args.sf_dir}/documents.parquet")
+    else:
+        df = load_corpus(spark, src)
 
     if args.ccmd == "analyze":
         from .llm.text import analyze
@@ -277,6 +288,8 @@ def _cmd_corpus(args) -> int:
         if args.splits:
             splits = {}
             for part in args.splits.split(","):
+                if not part.strip():
+                    continue        # tolerate trailing commas
                 k, _, v = part.partition("=")
                 splits[k.strip()] = float(v)
         out = split_corpus(df, splits, salt=args.salt)
@@ -289,6 +302,8 @@ def _cmd_corpus(args) -> int:
         from .llm.pipeline import sample_to_mixture
         target = {}
         for part in args.target.split(","):
+            if not part.strip():
+                continue            # tolerate trailing commas
             k, _, v = part.partition("=")
             target[k.strip()] = float(v)
         out = sample_to_mixture(df, target,
@@ -872,15 +887,19 @@ def main(argv=None):
             if args.by_id:
                 fids = list(args.specs)
             else:
-                fids = []
-                for spec in args.specs:
-                    sns, sname = _did(spec)
-                    row = (files.where((F.col("namespace") == sns)
-                                       & (F.col("name") == sname))
-                           .select("id").first())
-                    if row is None:
-                        raise SystemExit(f"file {spec!r} not found")
-                    fids.append(row["id"])
+                # ONE pruned isin scan for every spec, not a Spark
+                # job per file (review r6; same contract as
+                # client.get_files)
+                wanted = [tuple(_did(spec)) for spec in args.specs]
+                dids = [f"{ns2}:{n2}" for ns2, n2 in wanted]
+                found = {r["did"]: r["id"] for r in files.select(
+                    F.concat_ws(":", "namespace", "name").alias("did"),
+                    "id").where(F.concat_ws(
+                        ":", "namespace", "name").isin(dids)).collect()}
+                missing = [d for d in dids if d not in found]
+                if missing:
+                    raise SystemExit(f"file {missing[0]!r} not found")
+                fids = [found[d] for d in dids]
             n = dml.add_files_to_dataset(fids, ns, dname)
             print(f"added {n} file(s) to {ns}:{dname}")
             return 0

@@ -113,8 +113,27 @@ def _truncate(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _locked(fn):
+    """Serialize catalog mutations: the threaded HTTP server runs one
+    thread per request, and every mutator is a read-modify-write of
+    catalog DataFrame references (read cat.files → transform →
+    assign) — two concurrent declares would silently drop one
+    thread's rows without this (review r6). RLock because composite
+    mutations nest (save_as → add_to, declare_files →
+    add_files_to_dataset)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._lock:
+            return fn(self, *a, **k)
+    return wrapper
+
+
 class DML:
     def __init__(self, catalog: Catalog, categories: Optional[dict] = None):
+        import threading
+        self._lock = threading.RLock()
         self.cat = catalog
         self.categories = (_load_categories(catalog)
                            if categories is None else categories)
@@ -177,6 +196,7 @@ class DML:
             raise ValidationFailed(errors)
 
     # ---------------------------------------------------------- declare
+    @_locked
     def declare_files(self, rows: list[dict],
                       dataset: Optional[tuple[str, str]] = None) -> int:
         """Bulk declare (dbobjects2.py:525-557): validate each file's
@@ -280,6 +300,7 @@ class DML:
         return len(prepared)
 
     # --------------------------------------------------------- membership
+    @_locked
     def add_files_to_dataset(self, file_ids: list[str], ns: str,
                              name: str,
                              _skip_exist_check: bool = False) -> int:
@@ -335,6 +356,7 @@ class DML:
                 self.cat.files_datasets.unionByName(add))
         return n
 
+    @_locked
     def remove_files_from_dataset(self, file_ids: list[str], ns: str,
                                   name: str) -> None:
         if (ns, name) in self.frozen:
@@ -349,6 +371,7 @@ class DML:
             & F.col("file_id").isin(file_ids))))
 
     # ------------------------------------------------------------ update
+    @_locked
     def update_file_metadata(self, file_id: str, metadata: dict,
                              mode: str = "update") -> None:
         """update = merge keys; replace = overwrite dict
@@ -410,6 +433,7 @@ class DML:
             pc = pc.unionByName(add)
         self.cat.parent_child = _truncate(pc)
 
+    @_locked
     def update_file(self, file_id: str,
                     size: Optional[int] = None,
                     checksums: Optional[dict] = None,
@@ -468,6 +492,7 @@ class DML:
             self._set_edges(file_id, children, as_parents=False,
                             replace=replace)
 
+    @_locked
     def retire_file(self, file_id: str, by: str = "admin",
                     unretire: bool = False) -> None:
         """Retire = soft delete (schema.sql:61-63; handler
@@ -493,6 +518,7 @@ class DML:
                              F.when(hit, retired_ts)
                               .otherwise(F.col("retired_timestamp"))))
 
+    @_locked
     def delete_file(self, fid: Optional[str] = None,
                     namespace: Optional[str] = None,
                     name: Optional[str] = None) -> str:
@@ -523,6 +549,7 @@ class DML:
                 & (F.col("child_id") != fid)))
         return fid
 
+    @_locked
     def move_files(self, file_ids: list[str], to_namespace: str,
                    by: str = "admin") -> None:
         """Move files across namespaces (dbobjects2.py:706-736): the
@@ -542,6 +569,7 @@ class DML:
                              F.when(hit, F.current_timestamp())
                               .otherwise(F.col("updated_timestamp"))))
 
+    @_locked
     def update_dataset(self, ns: str, name: str,
                        metadata: Optional[dict] = None,
                        mode: str = "update",
@@ -586,6 +614,7 @@ class DML:
             (self.monotonic.add if monotonic else
              self.monotonic.discard)((ns, name))
 
+    @_locked
     def create_dataset(self, ns: str, name: str, description: str = "",
                        frozen: bool = False, monotonic: bool = False,
                        metadata: Optional[dict] = None,
@@ -624,6 +653,7 @@ class DML:
             # (this-instance cache, like the frozen/monotonic flags)
             self.dataset_requirements[(ns, name)] =                 file_meta_requirements
 
+    @_locked
     def remove_dataset(self, ns: str, name: str) -> None:
         """Delete a dataset, its membership rows, and its subset edges
         (data_handler.py 'remove dataset'; FK cascade equivalent). The
@@ -649,6 +679,7 @@ class DML:
         self.frozen.discard((ns, name))
         self.monotonic.discard((ns, name))
 
+    @_locked
     def add_subset(self, parent_ns: str, parent_name: str,
                    child_ns: str, child_name: str) -> None:
         """Add a dataset parent→child (subset) edge (`metacat dataset
@@ -668,6 +699,7 @@ class DML:
         if edge.count():
             self.cat.datasets_parent_child = _truncate(dpc.unionByName(edge))
 
+    @_locked
     def create_named_query(self, ns: str, name: str, source: str,
                            creator: str = "admin",
                            description: str = "",
@@ -698,6 +730,7 @@ class DML:
         self.cat.queries_tbl = _truncate(
             qt.unionByName(row.select(*qt.columns)))
 
+    @_locked
     def create_parameter_category(self, path: str,
                                   definitions: Optional[dict] = None,
                                   restricted: bool = False,
@@ -722,6 +755,7 @@ class DML:
             "definitions": definitions or {},
         }
 
+    @_locked
     def create_namespace(self, name: str, owner: str = "admin") -> None:
         existing = self.cat.namespaces.where(
             F.col("name") == name).count()
@@ -733,6 +767,7 @@ class DML:
             self.cat.namespaces.unionByName(row))
 
     # ------------------------------------------------------------- sinks
+    @_locked
     def save_as(self, result: DataFrame, ns: str, name: str,
                 frozen: bool = False, monotonic: bool = False) -> int:
         """Materialize a query result as a NEW dataset
@@ -765,6 +800,7 @@ class DML:
             self.monotonic.add((ns, name))
         return n
 
+    @_locked
     def add_to(self, result: DataFrame, ns: str, name: str) -> int:
         """Append a query result's files to an existing dataset
         (data_handler.py:1368-1370) — distributed append, no driver

@@ -85,6 +85,12 @@ class Engine:
         id back as the next ``after_id``.
         """
         top = parse(text, default_namespace=default_namespace)
+        if summary and not isinstance(top, FileQuery):
+            # summaries are defined over FILE sets (the reference's
+            # data_handler summary surface); silently returning raw
+            # dataset rows made /data/query?summary=count serve a
+            # dataset record as "the count" (review r6)
+            raise QueryError("summary= applies to file queries only")
         if isinstance(top, FileQuery):
             df = self._translate_fq(top.tree, include_retired,
                                     _named_stack=())

@@ -77,6 +77,10 @@ def make_handler(client: MetaCatSparkClient,
 
     from .stats import CatalogStats
     stats = CatalogStats(client.catalog)  # shared cached counts
+    # populate the cache once at startup (a resident service's
+    # daemon-refresh); without this every inexact /data/dataset
+    # request re-ran the full membership recount (review r6)
+    stats.refresh()
     root = os.path.realpath(data_root) if data_root else None
 
     def _safe_path(path: str) -> Optional[str]:
@@ -104,10 +108,24 @@ def make_handler(client: MetaCatSparkClient,
             n = int(self.headers.get("Content-Length") or 0)
             self._route(body=self.rfile.read(n) if n else b"")
 
+        _MUTATING = {"/data/declare_files", "/data/update_file_meta",
+                     "/data/retire_file", "/data/create_dataset",
+                     "/data/add_files", "/data/remove_files",
+                     "/data/update_dataset", "/data/update_file",
+                     "/data/delete_file", "/data/move_files",
+                     "/data/remove_dataset", "/data/add_child_dataset",
+                     "/data/create_namespace",
+                     "/data/create_named_query"}
+
         def _route(self, body: bytes):
             url = urlparse(self.path)
             params = parse_qs(url.query)
             self._streaming = False
+            # safe-method discipline: a crawler/prefetcher following a
+            # GET link must never mutate the catalog (review r6)
+            if url.path in self._MUTATING and self.command != "POST":
+                return self._send(405, "text/plain",
+                                  f"{url.path} requires POST")
             try:
                 if url.path == "/data/query":
                     return self._query(params, body)
@@ -374,7 +392,8 @@ def make_handler(client: MetaCatSparkClient,
                     pii_count(F.col("text")).alias("n_pii"))
             elif op == "curate":
                 from .llm.pipeline import curate, curate_v2
-                fn = (curate_v2 if _one(params, "v2") else curate)
+                # _flag: "v2=no" must not enable v2 (review r6)
+                fn = (curate_v2 if _flag(params, "v2") else curate)
                 out = fn(docs)
             elif op == "gate":
                 from .llm.text import gopher_gate
@@ -435,7 +454,11 @@ def make_handler(client: MetaCatSparkClient,
                         403, "text/plain",
                         "PermissionError: test= path is outside the "
                         "configured --data-root")
-                test = docs.sparkSession.read.parquet(safe)
+                # format-sniffing reader, same contract as the CLI's
+                # --test (a .jsonl eval set must not 400 with a
+                # parquet-footer error over HTTP — review r6)
+                from .llm.export import load_corpus
+                test = load_corpus(docs.sparkSession, safe)
                 method = _one(params, "method") or "exact"
                 thr = float(_one(params, "threshold") or 0.5)
                 if op == "divergence":

@@ -465,3 +465,31 @@ def test_dataset_create_with_requirements(capsys):
     rc, out = run(capsys, "dataset", "add-files", "test:reqcli_r6",
                   "--ids", "reqfile-r6")
     assert rc == 0
+
+
+def test_print_limit_zero(capsys):
+    """-l 0 prints zero rows (the CLI twin of the server's limit=0
+    emptiness probe — review r6 printed one)."""
+    rc, out = run(capsys, "query", "files from dune:urgent_0",
+                  "-l", "0")
+    assert rc == 0
+    assert out.strip() == ""
+
+
+def test_corpus_ann_hashed_without_embeddings(capsys, tmp_path, spark):
+    """`corpus ann --hashed` must work with NO embeddings table, as
+    its help promises (review r6: the eager default-table read failed
+    first)."""
+    import os
+    import shutil
+    sf = tmp_path / "sfdocs"
+    sf.mkdir()
+    src = f"{SF_DIR}/documents.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, sf / "documents.parquet")
+    else:
+        shutil.copy(src, sf / "documents.parquet")
+    rc = cli.main(["corpus", "ann", "--hashed", "-k", "2",
+                   "--limit", "3", "--sf-dir", str(sf)])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.strip()

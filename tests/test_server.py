@@ -652,3 +652,31 @@ def test_events_funnel_counts_endpoint(served):
                           horizon=86400, counts="yes"))
     assert [r["step"] for r in rows] == [1, 2, 3]
     assert rows[0]["n_users"] >= rows[1]["n_users"] >= rows[2]["n_users"]
+
+
+def test_mutations_require_post(served):
+    """Safe-method discipline: a GET against a mutating endpoint is
+    405, never a state change (review r6 — a crawler following a
+    remove_dataset link must not delete data)."""
+    base, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/retire_file", fid="whatever")
+    assert e.value.code == 405
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/remove_dataset", dataset="dune:urgent_0")
+    assert e.value.code == 405
+    # the dataset is still there
+    rows = _json_seq(_get(base, "/data/query",
+                          query="datasets dune:urgent_0"))
+    assert len(rows) == 1
+
+
+def test_summary_on_dataset_query_is_400(served):
+    """summary= is a FILE-query feature; on a dataset query the old
+    behavior returned the first dataset record AS the count
+    (review r6)."""
+    base, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/query", query="datasets dune:*",
+             summary="count")
+    assert e.value.code == 400
