@@ -190,11 +190,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["summary_key_values"] = summary_key_values
 
     def counts_by_namespace(spark, sf_dir):
-        eng = _engine(spark, sf_dir)
-        return (eng.cat.files.where(~F.col("retired"))
-                .groupBy("namespace")
-                .agg(F.count("*").alias("n_files"),
-                     F.sum("size").alias("total_size")))
+        """Cached namespace statistics (stats.py CatalogStats — the
+        reference's daemon-maintained counts); exercises the same
+        accessor a resident server reads."""
+        from metacat_spark.stats import CatalogStats
+        return (CatalogStats(_engine(spark, sf_dir).cat)
+                .namespace_file_counts()
+                .select("namespace",
+                        F.col("file_count").alias("n_files"),
+                        "total_size"))
     q["file_counts_by_namespace"] = counts_by_namespace
 
     def agg_cube(spark, sf_dir):

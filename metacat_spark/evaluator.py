@@ -15,6 +15,7 @@ import re
 from typing import Optional
 
 from .mql.ast import (ArrayAll, ArrayAny, ArrayLen, Cmp, Const, ConstIn,
+                      JsonPathExists,
                       InRange, InSet, MetaAnd, MetaAttr, MetaNot, MetaOr,
                       ObjectAttr, Present, Subscript)
 
@@ -146,6 +147,8 @@ class RowEvaluator:
                 exp.negated)
         if isinstance(exp, ConstIn):
             return self._apply_neg(self._const_in(exp), exp.negated)
+        if isinstance(exp, JsonPathExists):
+            return self._json_path(exp.path) is not None
         raise NotImplementedError(f"cannot evaluate {exp!r}")
 
     @staticmethod
@@ -164,12 +167,48 @@ class RowEvaluator:
         except TypeError:
             return None
 
+    def _json_path(self, path: str):
+        """Minimal jsonpath over the flat metadata dict, matching
+        get_json_object's step semantics for the paths the parser
+        accepts: $['key'] / $.seg / [idx] chains. A dotted metadata
+        key like core.run is ONE flat key — reachable via the bracket
+        form only, exactly as in the compiled plan (review r6: the
+        evaluator previously raised NotImplementedError on
+        exists())."""
+        if not path.startswith("$"):
+            return None
+        cur: object = self.meta
+        steps = re.findall(
+            r"\['([^']*)'\]|\[\"([^\"]*)\"\]|\[(-?\d+)\]|\.([^.\[]+)",
+            path[1:])
+        if not steps and path != "$":
+            return None
+        for sq, dq, idx, seg in steps:
+            key = sq or dq or seg
+            if idx != "":
+                if not isinstance(cur, list):
+                    return None
+                i = int(idx)
+                if not 0 <= i < len(cur):
+                    return None
+                cur = cur[i]
+            else:
+                if not isinstance(cur, dict):
+                    return None
+                cur = cur.get(key)
+            if cur is None:
+                return None
+        return cur
+
     def _const_in(self, exp: ConstIn) -> Tri:
         val = self.meta.get(exp.key)
         if val is None:
             return None
         c = exp.const.value
         if isinstance(val, dict):
+            # documented divergence: the compiled JSON fallback yields
+            # NULL for object-valued keys (no map coercion); shredded
+            # map keys agree with this values-membership
             return c in list(val.values())
         if isinstance(val, list):
             return c in val

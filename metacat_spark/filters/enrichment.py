@@ -43,8 +43,19 @@ register_lookup("demo", _demo_lookup)
 
 
 def enrich(df: DataFrame, lookup: LookupFn,
-           drop_missing: bool = False) -> DataFrame:
+           drop_missing: bool = False,
+           meta_schema=None) -> DataFrame:
+    """``meta_schema`` (a MetaSchema) keeps the SHREDDED m_* columns
+    in sync with the enriched JSON: a where-clause compiled after the
+    filter resolves shredded keys first, so leaving them stale made
+    the predicate see pre-enrichment values while with_meta output
+    showed the enriched ones (review r6)."""
     schema = df.schema
+    shredded = []
+    if meta_schema is not None:
+        shredded = [(mk.key, mk.column, mk.mtype)
+                    for mk in meta_schema.by_key.values()
+                    if mk.column in df.columns]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -53,6 +64,7 @@ def enrich(df: DataFrame, lookup: LookupFn,
                 continue
             found = lookup(list(pdf["id"]))
             metas = []
+            dicts = []
             keep = []
             for fid, meta in zip(pdf["id"], pdf["metadata"]):
                 extra = found.get(fid)
@@ -60,8 +72,17 @@ def enrich(df: DataFrame, lookup: LookupFn,
                 base = json.loads(meta) if meta else {}
                 if extra:
                     base.update(extra)
+                dicts.append(base)
                 metas.append(json.dumps(base))
-            pdf = pdf.assign(metadata=metas)[pd.Series(keep).values]
+            cols = {"metadata": metas}
+            for key, coln, mtype in shredded:
+                vals = [d.get(key) for d in dicts]
+                if mtype == "float":
+                    vals = [float(v) if isinstance(v, int) else v
+                            for v in vals]
+                cols[coln] = pd.Series(vals, index=pdf.index,
+                                       dtype=object)
+            pdf = pdf.assign(**cols)[pd.Series(keep).values]
             yield pdf
 
     return df.mapInPandas(run, schema)
@@ -77,4 +98,5 @@ def _f_enrich(engine, params, kw, dfs):
                        f"registered: {sorted(_LOOKUPS)}")
     if len(dfs) != 1:
         raise ValueError("enrich expects one file set")
-    return enrich(dfs[0], fn, drop_missing)
+    return enrich(dfs[0], fn, drop_missing,
+                  meta_schema=engine.cat.file_meta)

@@ -64,7 +64,18 @@ def tokenize(text: str) -> list[Token]:
             while j < n:
                 ch = text[j]
                 if ch == "\\" and j + 1 < n:
-                    buf.append(text[j + 1])
+                    # preserve regex escapes: the reference strips ONLY
+                    # the enclosing quotes (mql10.py unpack_string), so
+                    # "\d+" must stay \d+ — unescaping every \X
+                    # corrupted \d to d and \. to the any-char dot
+                    # (review r6). Only the quote char itself and \\
+                    # unescape, so quotes remain embeddable.
+                    nxt = text[j + 1]
+                    if nxt == quote or nxt == "\\":
+                        buf.append(nxt)
+                    else:
+                        buf.append(ch)
+                        buf.append(nxt)
                     j += 2
                     continue
                 if ch == quote:
@@ -87,7 +98,8 @@ def tokenize(text: str) -> list[Token]:
         # after an operator/open-punct/comma/colon, or after a keyword
         # that precedes constants — NOT after an operand (word/number/
         # string/closing bracket), where it is the minus operator
-        _const_kw = ("in", "where", "and", "or", "not", "skip", "limit")
+        _const_kw = ("in", "where", "and", "or", "not", "skip",
+                     "limit", "having")
         if c.isdigit() or (c in "+-" and i + 1 < n and text[i + 1].isdigit()
                            and not (toks and toks[-1].kind in ("int",
                                                                "float",
@@ -110,7 +122,13 @@ def tokenize(text: str) -> list[Token]:
                     seen_dot = True
                     k += 1
                 elif ch in "eE" and not seen_exp and k + 1 < n and (
-                        text[k + 1].isdigit() or text[k + 1] in "+-"):
+                        text[k + 1].isdigit()
+                        or (text[k + 1] in "+-" and k + 2 < n
+                            and text[k + 2].isdigit())):
+                    # a sign must be FOLLOWED by a digit — '1e+' is
+                    # not a float literal (the dangling form lexed as
+                    # float and blew up the parser with a raw
+                    # ValueError — review r6)
                     seen_exp = True
                     k += 2 if text[k + 1] in "+-" else 1
                 else:
@@ -134,7 +152,7 @@ def tokenize(text: str) -> list[Token]:
             if text.startswith(op, i):
                 matched = op
                 break
-        if matched and not (matched == "-"):
+        if matched:   # '-' is not in _OPS; it is handled below
             # careful: '!' alone is negation punct; '!=' '!~' handled above
             toks.append(Token("op", matched, i))
             i += len(matched)

@@ -104,10 +104,15 @@ class PredicateCompiler:
                 return col.cast("timestamp").cast("double")  # epoch seconds
             return col
         kind = const.kind
+        # try_cast: schema-on-read values are mixed-type by nature —
+        # under Spark 4's default ANSI mode a plain cast of a
+        # non-numeric string THROWS instead of excluding the row;
+        # try_cast yields NULL like the row evaluator's TypeError →
+        # None path (review r6)
         if kind == "int" or kind == "float" or kind in ("datetime", "date"):
-            return col.cast("double")
+            return col.try_cast("double")
         if kind == "bool":
-            return col.cast("boolean")
+            return col.try_cast("boolean")
         return col
 
     def _cmp(self, col: Column, op: str, const: Const) -> Column:
@@ -387,6 +392,22 @@ class PredicateCompiler:
                 # scalar SQL text) say False there
                 is_scalar_text = ~scalar.rlike(r"^\s*[\[\{]")
                 e = e | (is_scalar_text & scalar.rlike(str(const.value)))
+            else:
+                # scalar equality for non-string consts: `5 in k` on
+                # a SCALAR value k=5 is True in the row evaluator and
+                # on shredded keys; the array coercion alone yielded
+                # NULL and silently dropped the row (review r6)
+                if self.variant_column is not None:
+                    vt = self._VARIANT_TYPES.get(const.kind, "string")
+                    scalar = F.try_variant_get(
+                        F.col(self.variant_column), f"$['{exp.key}']",
+                        vt)
+                else:
+                    scalar = self._typed(
+                        F.get_json_object(F.col(self.json_column),
+                                          f"$['{exp.key}']"),
+                        "json", const)
+                e = e | (scalar == F.lit(const.value))
             return ~e if exp.negated else e
         col = F.col(mk.column)
         if mk.is_array:

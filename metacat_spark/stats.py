@@ -54,6 +54,13 @@ class CatalogStats:
         self._namespace_counts.count()
 
     # ------------------------------------------------------------- access
+    def namespace_file_counts(self) -> DataFrame:
+        """Per-namespace active file count + total size (the cached
+        twin of the reference's namespace statistics)."""
+        if self._namespace_counts is None:
+            self.refresh()
+        return self._namespace_counts
+
     def dataset_file_counts(self) -> DataFrame:
         if self._dataset_counts is None:
             self.refresh()

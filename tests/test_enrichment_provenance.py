@@ -105,3 +105,20 @@ def test_cli_explain(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "MQL AST" in out and "Physical Plan" in out
+
+def test_enrichment_updates_shredded_predicates(spark, engine):
+    """A where-clause AFTER `filter enrich` must see the ENRICHED
+    metadata (review r6: shredded m_* columns stayed stale, so the
+    predicate used pre-enrichment values while with_meta showed the
+    new ones)."""
+    from metacat_spark.filters.enrichment import register_lookup
+
+    def boost(ids):
+        return {i: {"core.run": 999999} for i in ids}
+    register_lookup("boost_r6", boost)
+    out = engine.query(
+        "filter enrich(source=boost_r6)"
+        "(files from dune:urgent_0) where core.run = 999999")
+    n = out.count()
+    want = engine.query("files from dune:urgent_0").count()
+    assert n == want and n > 0

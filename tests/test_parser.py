@@ -306,3 +306,31 @@ def test_quoted_point_lookup():
     t = q.tree
     assert isinstance(t, FileList)
     assert t.items == [("my ns", "f1"), ("plain", "f2")]
+
+
+def test_string_escapes_preserve_regex_backslashes():
+    """String literals keep backslash escapes (the reference strips
+    only the enclosing quotes) — review r6: \\d was corrupted to a
+    literal d, silently changing every regex predicate."""
+    from metacat_spark.mql.lexer import tokenize
+    ts = tokenize(r'core.version ~ "^\d+\.\d+$"')
+    assert ts[-1].value == r"^\d+\.\d+$"
+    # quote escapes still unescape so quotes are embeddable
+    assert tokenize(r'"say \"hi\""')[0].value == 'say "hi"'
+
+
+def test_having_negative_constant_parses():
+    """'-5' after `having` lexes as a signed number, not a minus
+    operator (review r6)."""
+    from metacat_spark.mql import parse
+    parse("datasets dune:d1 having -5 in core.runs")   # must not raise
+
+
+def test_dangling_exponent_is_syntax_error():
+    """'1e+' must be a clean MQLSyntaxError, not a raw ValueError
+    escaping the parser (review r6)."""
+    import pytest as _pt
+    from metacat_spark.mql import parse
+    from metacat_spark.mql.lexer import MQLSyntaxError
+    with _pt.raises(MQLSyntaxError):
+        parse("files where core.x = 1e+")

@@ -255,3 +255,29 @@ def test_json_fallback_unshredded(engine, duck, catalog):
         check(engine, duck, "data.sequence[2] = 2", "l_orderkey % 7 >= 2")
     finally:
         engine.file_pred = orig
+
+
+def test_const_in_scalar_equality_unshredded(spark):
+    """`5 in k` on an UNSHREDDED SCALAR k=5 keeps the row — matching
+    the row evaluator and the shredded path (review r6: the array
+    coercion alone yielded NULL and dropped it); non-numeric strings
+    under the typed compare are excluded, not an ANSI crash."""
+    from metacat_spark.mql import parse
+    from metacat_spark.predicate import PredicateCompiler
+    from metacat_spark.schema import MetaSchema
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": [5, 6]}'), (3, '{"k": 7}'),
+         (4, '{"k": "abc"}')],
+        "rid int, metadata string")
+    pc = PredicateCompiler(MetaSchema([]), {}, json_column="metadata")
+    exp = parse("files where 5 in k").tree.exp
+    got = sorted(r["rid"] for r in df.where(pc.compile(exp)).collect())
+    assert got == [1, 2]
+    # row evaluator agrees on every row
+    from metacat_spark.evaluator import RowEvaluator
+    import json as _json
+    for rid, meta in [(1, {"k": 5}), (2, {"k": [5, 6]}),
+                      (3, {"k": 7}), (4, {"k": "abc"})]:
+        want = rid in (1, 2)
+        assert bool(RowEvaluator(meta).passes(exp)) == want, rid
