@@ -30,9 +30,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _consume(df):
-    """Execute fully; count() is collapsed by Catalyst so we aggregate
-    over every output row instead (forces full evaluation)."""
-    return df.count()
+    """Execute EVERY output column, not just a row count: under
+    count(*) Catalyst prunes all unreferenced projections, so a
+    projection-only operator (text analysis, windowed aggregates'
+    value columns) would be timed as a bare scan (review r6 —
+    verified: analyze(df).count() optimized to Aggregate[count(1)]
+    over an empty Project). Hashing a struct of all columns forces
+    the full computation; one long per row reaches the aggregate."""
+    cols = [F.col(c) for c in df.columns]
+    row = (df.select(F.xxhash64(F.struct(*cols)).alias("__h"))
+           # bit_xor: order-independent consumption sink with no
+           # ANSI long-overflow hazard (sum of 2^63-range hashes
+           # overflows)
+           .agg(F.count("__h").alias("n"), F.bit_xor("__h"))
+           .collect()[0])
+    return row["n"]
 
 
 def bench_queries(engine: Engine):
@@ -128,8 +140,10 @@ def _await_quiet_host(max_wait_s: int = 300,
 
 
 def main():
-    t0 = time.time()
     stray = _await_quiet_host()
+    # t0 AFTER the stray-JVM wait: up to 300s of polling sleep must
+    # not be reported as ingest/warmup cost (review r6)
+    t0 = time.time()
     spark = get_spark("metacat_spark_bench")
     # ingest once into bucketed warehouse tables (counted as setup,
     # like the reference's one-time declare_files load into PostgreSQL)

@@ -21,6 +21,20 @@ from metacat_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _consume(df):
+    """Force EVERY output column (count() lets Catalyst prune all
+    projection work — a projection-only op would time as a bare scan;
+    review r6). Same struct-hash sink as bench.py."""
+    cols = [F.col(c) for c in df.columns]
+    row = (df.select(F.xxhash64(F.struct(*cols)).alias("__h"))
+           # bit_xor: order-independent consumption sink with no
+           # ANSI long-overflow hazard (sum of 2^63-range hashes
+           # overflows)
+           .agg(F.count("__h").alias("n"), F.bit_xor("__h"))
+           .collect()[0])
+    return row["n"]
+
+
 def main():
     spark = get_spark("bench_corpus")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -40,40 +54,40 @@ def main():
                         .alias("weight")))
 
     cases = {
-        "substring_spans": lambda: DD.duplicate_spans(
-            docs, n=8, min_count=2).count(),
-        "substring_scrub": lambda: DD.scrub_duplicate_spans(
-            docs, n=8, min_count=2).count(),
-        "classifier_score": lambda: TX.classifier_score(
-            docs, vocab_weights()).count(),
-        "gopher_gate": lambda: TX.gopher_gate(docs).count(),
-        "c4_line_filter": lambda: TX.c4_line_filter(docs).count(),
-        "split": lambda: PL.split_corpus(docs).count(),
-        "ivfpq_topk": lambda: SIM.ivf_pq_topk(
-            embs, k=5, train_iters=2).count(),
-        "ivf_topk": lambda: SIM.ivf_topk(
-            embs, k=5, train_iters=2).count(),
-        "image_dhash": lambda: MM.image_dhash(
-            MM.synthesize_assets(docs)).count(),
-        "curate_v2": lambda: PL.curate_v2(docs).count(),
-        "hashed_vectors": lambda: SIM.hashed_doc_vectors(
-            docs).count(),
-        "curation_ledger": lambda: PL.curate_v2_ledger(
-            docs).count(),
-        "events_funnel": lambda: __import__(
+        "substring_spans": lambda: _consume(DD.duplicate_spans(
+            docs, n=8, min_count=2)),
+        "substring_scrub": lambda: _consume(DD.scrub_duplicate_spans(
+            docs, n=8, min_count=2)),
+        "classifier_score": lambda: _consume(TX.classifier_score(
+            docs, vocab_weights())),
+        "gopher_gate": lambda: _consume(TX.gopher_gate(docs)),
+        "c4_line_filter": lambda: _consume(TX.c4_line_filter(docs)),
+        "split": lambda: _consume(PL.split_corpus(docs)),
+        "ivfpq_topk": lambda: _consume(SIM.ivf_pq_topk(
+            embs, k=5, train_iters=2)),
+        "ivf_topk": lambda: _consume(SIM.ivf_topk(
+            embs, k=5, train_iters=2)),
+        "image_dhash": lambda: _consume(MM.image_dhash(
+            MM.synthesize_assets(docs))),
+        "curate_v2": lambda: _consume(PL.curate_v2(docs)),
+        "hashed_vectors": lambda: _consume(SIM.hashed_doc_vectors(
+            docs)),
+        "curation_ledger": lambda: _consume(PL.curate_v2_ledger(
+            docs)),
+        "events_funnel": lambda: _consume(__import__(
             "metacat_spark.streaming.events",
             fromlist=["funnel", "load_events"]).funnel(
             __import__("metacat_spark.streaming.events",
                        fromlist=["load_events"]).load_events(
                 spark, SF_DIR),
-            ["view", "click", "purchase"], horizon_s=86400).count(),
-        "events_anomalies": lambda: __import__(
+            ["view", "click", "purchase"], horizon_s=86400)),
+        "events_anomalies": lambda: _consume(__import__(
             "metacat_spark.streaming.events",
             fromlist=["window_anomalies", "load_events"]
         ).window_anomalies(
             __import__("metacat_spark.streaming.events",
                        fromlist=["load_events"]).load_events(
-                spark, SF_DIR)).count(),
+                spark, SF_DIR))),
     }
     only = set(sys.argv[1:])
     out = {}

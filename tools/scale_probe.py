@@ -77,6 +77,11 @@ def probe(spark, mult: int) -> dict:
         "provenance": lambda: eng.query(
             "parents(files from test:all where core.run in 10:50)"
         ).count(),
+        # NOTE: replicas are byte-identical twins, so minhash's
+        # verified-pair OUTPUT grows quadratically in the multiple by
+        # construction — read its wall against the output size, not
+        # against the super-linear=regression rule (same caveat as
+        # cross_corpus_lsh below; review r6)
         "minhash_lsh": lambda: DD.minhash_lsh_pairs(
             docs, n=2, k=32, bands=8, threshold=0.5).count(),
         # replicas are exact duplicates, so the hash split plants a
