@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_cube_namespace_datatype"] = agg_cube
 
     def multimodal_features(spark, sf_dir):
+        """ASCII-scoped oracle pairing (like the adler32 mirror): the
+        engine's fallback histogram runs over UTF-8 BYTES while the
+        SQL replay buckets codepoints and lengths CHARACTERS — equal
+        iff the fixture text is ASCII, which
+        test_documents_fixture_is_ascii pins (review r6)."""
         from metacat_spark.llm import multimodal as MM
         feats = MM.extract_features(
             MM.synthesize_assets(_docs(spark, sf_dir)))
@@ -994,7 +999,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   F.col("doc_id").cast("string"),
                                   F.lit(" "), F.col("text"))
                          .alias("text")))
-        batch = copies.unionByName(novel)
+        # WITHIN-batch duplicates of the novel rows (higher ids): the
+        # min-id-survivor stage must collapse them — without these
+        # rows the oracle could not distinguish the anti-join alone
+        # from the full idempotent-admission contract (review r6)
+        novel_dup = novel.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        batch = copies.unionByName(novel).unionByName(novel_dup)
         return DD.dedup_against(batch, docs.select("doc_id", "text"))
     q["dedup_incremental"] = dedup_incr
 
@@ -1391,7 +1402,7 @@ def oracle_sql() -> dict[str, str]:
     o["bfq_dataset_pattern"] = _o(
         f"select {FQ_SEL} from files where {active} and id in "
         f"(select file_id from files_datasets where "
-        f"dataset_namespace = 'dune' and dataset_name like 'urgent_%')")
+        f"dataset_namespace = 'dune' and dataset_name glob 'urgent_*')")
     o["bfq_dataset_regexp"] = _o(
         f"select {FQ_SEL} from files where {active} and id in "
         f"(select file_id from files_datasets where "
@@ -1558,19 +1569,13 @@ def oracle_sql() -> dict[str, str]:
         f"select count(*) as count, cast(sum(size) as bigint) as total_size "
         f"from files where {active} and {_member('test', 'all')}")
 
-    _key_list = (
-        "[case when m_core_run is not null then 'core.run' end,"
-        " case when m_core_x is not null then 'core.x' end,"
-        " case when m_core_data_type is not null then 'core.data_type' end,"
-        " case when m_core_version is not null then 'core.version' end,"
-        " case when m_core_timestamp is not null then 'core.timestamp' end,"
-        " case when m_core_good is not null then 'core.good' end,"
-        " case when m_core_runs is not null then 'core.runs' end,"
-        " case when m_detector_modules is not null then 'detector.modules' end,"
-        " case when m_data_trigger_bits is not null then 'data.trigger_bits' end,"
-        " case when m_data_sequence is not null then 'data.sequence' end,"
-        " case when m_beam_status is not null then 'beam.status' end,"
-        " case when m_prod_comment is not null then 'prod.comment' end]")
+    # generated from the SAME MetaSchema the engine reads (like
+    # _kv_parts below), so a schema change cannot silently leave this
+    # oracle stale (review r6)
+    from metacat_spark.schema import FILE_META as _FM
+    _key_list = "[" + ",".join(
+        f"case when {mk.column} is not null then '{mk.key}' end"
+        for mk in _FM.by_key.values()) + "]"
     o["summary_keys"] = _o(
         f"select distinct key from (select unnest(list_filter({_key_list}, "
         f"x -> x is not null)) as key from files "
@@ -1624,7 +1629,7 @@ def oracle_sql() -> dict[str, str]:
     DS_COLS = "namespace, name, frozen, monotonic"
     o["datasets_pattern"] = _o(
         f"select {DS_COLS} from datasets where namespace = 'dune' "
-        f"and name like 'urgent_%'")
+        f"and name glob 'urgent_*'")
     o["datasets_with_namespace"] = o["datasets_pattern"]
     o["dataset_ancestors"] = (
         f"with recursive closure(namespace, name) as ("
@@ -1758,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         from inter
           join sizes sa on sa.id = id_a
           join sizes sb on sb.id = id_b
-        where n_inter / (sa.n + sb.n - n_inter) >= 0.12"""
+        where round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.12"""
 
     o["dedup_cross_corpus"] = """
         with test as (select doc_id + 1000000 as doc_id, text
@@ -1795,7 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         from inter
           join sizes sa on sa.id = test_id
           join sizes sb on sb.id = train_id
-        where n_inter / (sa.n + sb.n - n_inter) >= 0.12"""
+        where round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.12"""
 
     # containment decontamination: replay prefix construction + the
     # (grp, id)-keyed shingle machinery at n=5
@@ -1834,7 +1839,7 @@ def oracle_sql() -> dict[str, str]:
                  round(n_inter / sa.n, 6) as containment
           from inter join sizes sa
             on sa.id = test_id and sa.grp = 0
-          where n_inter / sa.n >= 0.9)
+          where round(n_inter / sa.n, 6) >= 0.9)
     """
     o["dedup_cross_containment"] = _cont_pairs + \
         "select test_id, train_id, n_inter, containment from pairs"
@@ -1869,7 +1874,7 @@ def oracle_sql() -> dict[str, str]:
                     then y else x end as id_b,
                n_inter,
                round(n_inter / least(nx, ny), 6) as containment
-        from j where n_inter / least(nx, ny) >= 0.5"""
+        from j where round(n_inter / least(nx, ny), 6) >= 0.5"""
 
     o["doc_corpus_stats"] = """
         with tok as (select doc_id as id, lower(t) as term from (
@@ -1947,9 +1952,20 @@ def oracle_sql() -> dict[str, str]:
           select doc_id + 3000000 as doc_id,
                  concat('NOVEL-', cast(doc_id as varchar), ' ', text)
                    as text
-          from documents where doc_id % 10 = 0)
-        select doc_id, text from batch
-        where md5(text) not in (select md5(text) from documents)"""
+          from documents where doc_id % 10 = 0
+          union all
+          select doc_id + 4000000 as doc_id,
+                 concat('NOVEL-', cast(doc_id as varchar), ' ', text)
+                   as text
+          from documents where doc_id % 10 = 0),
+        fresh as (
+          select doc_id, text from batch
+          where md5(text) not in (select md5(text) from documents)),
+        keep as (
+          select md5(text) as h, min(doc_id) as doc_id
+          from fresh group by 1)
+        select f.doc_id, f.text from fresh f
+        join keep k on k.doc_id = f.doc_id"""
 
     o["doc_semantic_dedup"] = """
         with recursive pairs as (
@@ -1993,7 +2009,7 @@ def oracle_sql() -> dict[str, str]:
           select id_a, id_b from inter
             join sizes sa on sa.id = id_a
             join sizes sb on sb.id = id_b
-          where n_inter / (sa.n + sb.n - n_inter) >= 0.12),
+          where round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.12),
         edges as (select id_a as a, id_b as b from pairs
                   union select id_b, id_a from pairs),
         reach as (
@@ -2256,7 +2272,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_lsh"] = _SH2 + """
         select count(*) as n_exact_pairs, true as precision_ok,
                true as recall_ok
-        from jp where j >= 0.5"""
+        from jp where round(j, 6) >= 0.5"""
 
     # cross-corpus LSH certificate: same 2-gram pair space restricted
     # to even(test) × odd(train) ids
@@ -2265,7 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "and a.id % 2 = 0 and b.id % 2 = 1") + """
         select count(*) as n_exact_pairs, true as precision_ok,
                true as recall_ok
-        from jp where j >= 0.5"""
+        from jp where round(j, 6) >= 0.5"""
 
     o["dedup_simhash"] = """
         select (select count(*) from documents a join documents b
@@ -2430,10 +2446,26 @@ def oracle_sql() -> dict[str, str]:
     o["embed_topk_ivf"] = o["embed_topk_ann_lsh"]
     o["embed_topk_ivfpq"] = o["embed_topk_ann_lsh"]
 
-    o["doc_curation_pipeline"] = """
+    _qual = """
+        round((case when (length(text) -
+                (len(string_split_regex(text, '\\s+')) - 1))
+                / len(string_split_regex(text, '\\s+'))
+                between 3.0 and 10.0 then 1.0 else 0.5 end) * 0.5
+          + least(len(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x = 'the'))
+                  / len(string_split_regex(text, '\\s+')) * 5.0,
+                  1.0) * 0.3
+          + (1.0 - least((length(text) -
+                length(regexp_replace(text, '[^a-zA-Z0-9 ]', '',
+                                      'g')))
+                / length(text) * 4.0, 1.0)) * 0.2, 6)
+    """
+
+    o["doc_curation_pipeline"] = f"""
         with g as (
           select text from documents
-          where len(string_split_regex(text, '\\s+')) >= 1)
+          where len(string_split_regex(text, '\\s+')) >= 1
+            and {_qual} >= 0.0)
         select (select count(*) from g) as n_gated,
                (select count(distinct md5(text)) from g) as n_exact,
                true as partition_ok, true as drops_justified_ok"""
@@ -2500,7 +2532,7 @@ def oracle_sql() -> dict[str, str]:
           select distinct id_b from inter
             join sizes sa on sa.id = id_a
             join sizes sb on sb.id = id_b
-          where n_inter / (sa.n + sb.n - n_inter) >= 0.12)
+          where round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.12)
         select doc_id, lang from exact
         where doc_id not in (select id_b from drop_ids)"""
 
@@ -2541,20 +2573,6 @@ def oracle_sql() -> dict[str, str]:
 
     # shared per-doc quality expression (same formula as
     # doc_quality_score, rounded 6 like the engine)
-    _qual = """
-        round((case when (length(text) -
-                (len(string_split_regex(text, '\\s+')) - 1))
-                / len(string_split_regex(text, '\\s+'))
-                between 3.0 and 10.0 then 1.0 else 0.5 end) * 0.5
-          + least(len(list_filter(string_split_regex(text, '\\s+'),
-                    x -> x = 'the'))
-                  / len(string_split_regex(text, '\\s+')) * 5.0,
-                  1.0) * 0.3
-          + (1.0 - least((length(text) -
-                length(regexp_replace(text, '[^a-zA-Z0-9 ]', '',
-                                      'g')))
-                / length(text) * 4.0, 1.0)) * 0.2, 6)
-    """
     o["doc_quality_quantile_gate"] = f"""
         with s as (select doc_id, round({_qual}, 6) as quality
                    from documents),
@@ -2806,7 +2824,7 @@ def oracle_sql() -> dict[str, str]:
           select distinct id_b from inter
             join sizes sa on sa.id = id_a
             join sizes sb on sb.id = id_b
-          where n_inter / (sa.n + sb.n - n_inter) >= 0.12),
+          where round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.12),
         final as (
           select * from kept2
           where doc_id not in (select id_b from drops))""")

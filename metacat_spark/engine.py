@@ -344,7 +344,13 @@ class Engine:
         if sel.kind == "did":
             return ns_ok & (F.col(name_col) == sel.name)
         if sel.kind == "pattern":
-            like = sel.name.replace("*", "%").replace("?", "_")
+            # escape LIKE metacharacters FIRST: a literal '_' in the
+            # glob (ubiquitous in dataset names) must not match any
+            # character (review r6 — 'urgent_*' wrongly matched
+            # 'urgentX0')
+            like = (sel.name.replace("\\", "\\\\")
+                    .replace("%", "\\%").replace("_", "\\_")
+                    .replace("*", "%").replace("?", "_"))
             return ns_ok & F.col(name_col).like(like)
         if sel.kind == "regexp":
             return ns_ok & F.col(name_col).rlike(sel.name)

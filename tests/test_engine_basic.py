@@ -286,3 +286,23 @@ def test_const_in_array_value_no_substring_false_positive(spark):
     # NOT fire; rid 2: scalar string substring semantics -> matches;
     # rid 3: true membership
     assert got == [2, 3]
+
+
+def test_glob_underscore_is_literal(engine, spark):
+    """Dataset glob '_' is a LITERAL character, not LIKE's any-char
+    wildcard (review r6: 'urgent_*' matched a hypothetical
+    'urgentX0'). Verified against an in-memory catalog carrying a
+    near-miss name."""
+    import copy
+    from pyspark.sql import functions as F
+    from metacat_spark.engine import Engine
+    cat = copy.copy(engine.cat)
+    trap = engine.cat.datasets.limit(1).withColumn(
+        "name", F.lit("urgentX0")).withColumn(
+        "namespace", F.lit("dune"))
+    cat.datasets = engine.cat.datasets.unionByName(trap)
+    eng2 = Engine(cat)
+    names = {r["name"] for r in eng2.query(
+        "datasets matching dune:urgent_*").select("name").collect()}
+    assert "urgentX0" not in names
+    assert any(n.startswith("urgent_") for n in names)

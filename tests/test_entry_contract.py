@@ -80,3 +80,20 @@ def test_entry_vs_oracle(name, spark, duck):
     assert len(got) == len(want), \
         f"{name}: row count {len(got)} != oracle {len(want)}"
     assert got == want, f"{name}: value mismatch"
+
+
+def test_documents_fixture_is_ascii(spark):
+    """The multimodal_features oracle equates characters with UTF-8
+    bytes (codepoint histogram vs byte histogram) — valid only for
+    ASCII text. Pin the precondition so a future non-ASCII fixture
+    fails HERE with the right message instead of as a confusing
+    value-hash mismatch (review r6)."""
+    from pyspark.sql import functions as F
+    n = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+         .where(F.length("text")
+                != F.octet_length(F.encode("text", "utf-8")))
+         .count())
+    assert n == 0, (
+        f"{n} non-ASCII documents: the multimodal_features oracle's "
+        f"char==byte assumption no longer holds — make the oracle "
+        f"byte-exact before using this fixture")
