@@ -192,10 +192,11 @@ def test_minhash_lsh_recall(docs):
     lsh = {(r["id_a"], r["id_b"]) for r in
            DD.minhash_lsh_pairs(docs, n=2, k=32, bands=8,
                                 threshold=0.5).collect()}
+    assert exact, "shingle pipeline returned zero exact pairs — " \
+        "both sides empty would make this test vacuous (review r6)"
     assert lsh <= exact  # exact verification ⇒ no false positives
-    if exact:
-        recall = len(lsh) / len(exact)
-        assert recall >= 0.8, f"LSH recall too low: {recall}"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
 def test_minhash_jaccard_estimate(docs):
@@ -206,12 +207,16 @@ def test_minhash_jaccard_estimate(docs):
     rows = sig.collect()
     by_id = {r["id"]: r for r in rows}
     ids = sorted(by_id)[:10]
+    assert len(ids) >= 2, "empty signature table: no pairs checked"
+    checked = 0
     for i in range(0, len(ids) - 1, 2):
         a, b = by_id[ids[i]], by_id[ids[i + 1]]
         sa, sb = set(a["sh"]), set(b["sh"])
         true_j = len(sa & sb) / len(sa | sb)
         est = sum(a[f"mh_{k}"] == b[f"mh_{k}"] for k in range(64)) / 64
         assert abs(est - true_j) < 0.25
+        checked += 1
+    assert checked >= 4      # the property loop must actually run
 
 
 def test_simhash_properties(docs, spark):
@@ -261,6 +266,7 @@ def test_brute_force_topk(embs):
     per = {}
     for r in out:
         per.setdefault(r["id"], []).append(r)
+    assert len(per) == 50    # empty output must fail, not pass vacuously
     assert all(len(v) == k for v in per.values())
     for v in per.values():
         sims = [r["cosine"] for r in sorted(v, key=lambda r: r["rank"])]
@@ -759,8 +765,15 @@ def test_decontaminate(docs):
     want = {r["train_id"] for r in
             DD.cross_corpus_exact(test, docs).collect()}
     assert dropped == want
-    assert all(i % 7 == 0 for i in
-               {r["doc_id"] % 1000000 for r in test.collect()})
+    # INDEPENDENT spec of the planted overlap: every 7th corpus doc
+    # was copied into test, so exactly those ids must be dropped —
+    # comparing only against cross_corpus_exact (which decontaminate
+    # calls internally) would pass if both regressed to empty
+    # (review r6)
+    planted = {r["doc_id"] for r in
+               docs.where(F.col("doc_id") % 7 == 0)
+               .select("doc_id").collect()}
+    assert dropped == planted and planted
     # containment method drops a superset of exact's (same n-gram
     # space contains every byte-identical pair at threshold <= 1)
     clean_c = DD.decontaminate(docs, test, method="containment",
@@ -1388,9 +1401,15 @@ def test_ivf_pq_pure_adc_nontrivial(embs):
 
 
 def test_ivf_pq_codes_shape_deterministic(embs):
-    """Same input → identical codes (no RNG anywhere); codes live in
-    [0, n_codes) and there are exactly m per member."""
+    """Same input → identical results (no RNG anywhere); the PQ
+    codebook itself is shape-checked directly (the top-k output does
+    not expose per-member codes — review r6 removed the docstring's
+    unbacked claim)."""
+    import numpy as np
     from metacat_spark.llm import similarity as SIM
+    R = np.arange(64 * 16, dtype=float).reshape(16, 64) % 7 - 3
+    CB = SIM._train_pq(R, m=8, n_codes=4)
+    assert CB.shape == (8, 4, 8)     # (m, n_codes, dim/m)
     a = sorted((r["id"], r["neighbor_id"], r["cosine"]) for r in
                SIM.ivf_pq_topk(embs, k=2, n_lists=8, n_probe=4,
                                n_codes=64).collect())
@@ -1658,10 +1677,19 @@ def test_curate_v2_stages_monotone(docs):
     no surviving pair above the near-dup threshold (recomputed)."""
     from metacat_spark.llm.dedup import ngram_jaccard_pairs
     from metacat_spark.llm.pipeline import curate_v2
+    from metacat_spark.llm.text import quality_score, token_count
     out = curate_v2(docs).cache()
     rows = out.collect()
     assert rows and all(r["n_tok_after"] > 0 for r in rows)
     assert all(r["n_tok_after"] <= r["n_tok_before"] for r in rows)
+    # survivors ⊆ gate survivors, recomputed INDEPENDENTLY on the
+    # input (the docstring promised this but nothing asserted it —
+    # review r6)
+    c = F.col("text")
+    gate_ids = {r["doc_id"] for r in docs.where(
+        (quality_score(c) >= 0.3) & (token_count(c) >= 5))
+        .select("doc_id").collect()}
+    assert {r["doc_id"] for r in rows} <= gate_ids
     left = ngram_jaccard_pairs(out, n=3, threshold=0.12).collect()
     assert left == []
 
@@ -1794,10 +1822,22 @@ def test_quality_quantile_gate_fraction(docs):
     slightly over, never under) and every survivor clears the
     cutoff."""
     from metacat_spark.llm.pipeline import quality_quantile_gate
+    from metacat_spark.llm.text import quality_score
     n = docs.count()
     out = quality_quantile_gate(docs, keep_frac=0.75).collect()
     assert 0.75 * n <= len(out) <= 0.80 * n
-    assert all(r["quality"] >= r["cutoff"] for r in out)
+    # survivor >= cutoff is the operator's own filter re-applied (it
+    # cannot fail — review r6); pin the cutoff against an INDEPENDENT
+    # quantile computation instead
+    cutoff = out[0]["cutoff"]
+    assert all(r["cutoff"] == cutoff for r in out)
+    qs = sorted(r["q"] for r in docs.select(
+        quality_score(F.col("text")).alias("q")).collect()
+        if r["q"] is not None)
+    below = sum(1 for q in qs if q < cutoff)
+    # at most 25% of the corpus scores below the cutoff, and the
+    # cutoff is a real attained percentile, not 0
+    assert below <= 0.25 * n and cutoff > 0
 
 
 def test_cluster_stats_accounts_for_all_docs(docs):
