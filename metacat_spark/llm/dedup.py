@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import POLY_MOD, tokens
+from .util import spread as _spread
 
 
 def _lcg_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -85,18 +86,6 @@ def dedup_exact_stream(spark, src_dir: str, text_col: str = "text",
             "dedup_exact_stream did not finish within 120s — refusing "
             "to return a partially populated memory table")
     return spark.table(table)
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Small document tables often arrive as ONE parquet file = one
-    partition; the token expressions would then run single-threaded.
-    Spread ONLY when under-partitioned — unconditional repartition
-    would full-shuffle the raw text of a well-partitioned 100 TB
-    input down to defaultParallelism partitions (review r6)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
 
 
 def shingles(col, n: int = 3):

@@ -27,17 +27,21 @@ def curate(documents: DataFrame, min_quality: float = 0.3,
            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Returns the curated documents (original columns + analysis)."""
     c = F.col(text_col)
-    # stage the token split ONCE (analyze()'s pattern): lang_id alone
-    # would otherwise re-inline the split into ~20 marker filters per
-    # row (review r6)
+    # stage the token split ONCE (analyze()'s pattern), and extract
+    # the marker tokens once — lang_id and the stop-ratio then count
+    # over the tiny marker array instead of re-traversing the full
+    # token array in ~21 interpreted HOF filters per row (r6→r7)
     toks = F.col("__toks")
+    mk = F.col("__mk")
     analyzed = (documents.withColumn("__toks", TX.tokens(c))
+                .withColumn("__mk", TX.marker_tokens(c))
                 .withColumns({
                     "n_tokens": F.size(toks),
-                    "quality": TX.quality_score_from(c, toks),
-                    "lang_pred": TX.lang_id_from(toks),
+                    "quality": TX.quality_score_from(
+                        c, toks, n_the=TX.occurrences_in(mk, "the")),
+                    "lang_pred": TX.lang_id_from_markers(mk),
                     "fingerprint": TX.poly_hash(c),
-                }).drop("__toks"))
+                }).drop("__toks", "__mk"))
     gated = analyzed.where((F.col("quality") >= min_quality)
                            & (F.col("n_tokens") >= min_tokens))
     exact = DD.dedup_exact(gated, text_col, id_col)
@@ -63,7 +67,8 @@ def curate_exact(documents: DataFrame, min_quality: float = 0.3,
     analyzed = (documents.withColumn("__toks", TX.tokens(c))
                 .withColumns({
                     "n_tokens": F.size(toks),
-                    "quality": TX.quality_score_from(c, toks),
+                    "quality": TX.quality_score_from(
+                        c, toks, n_the=TX.the_count(c)),
                 }).drop("__toks"))
     gated = analyzed.where((F.col("quality") >= min_quality)
                            & (F.col("n_tokens") >= min_tokens))
@@ -397,7 +402,8 @@ def _curate_v2_stages(documents, min_quality, min_tokens, substr_n,
     analyzed = (documents.withColumn("__toks", TX.tokens(c))
                 .withColumns({
                     "n_tokens": F.size(toks),
-                    "quality": TX.quality_score_from(c, toks),
+                    "quality": TX.quality_score_from(
+                        c, toks, n_the=TX.the_count(c)),
                 }).drop("__toks"))
     gated = analyzed.where((F.col("quality") >= min_quality)
                            & (F.col("n_tokens") >= min_tokens))

@@ -24,6 +24,19 @@ LANG_MARKERS = {
     "zh": ["de", "shi", "le", "he"],
 }
 
+# all distinct marker words, longest-first (bounded-token regex
+# alternation: longest-first means no alternative can win on a prefix
+# of a longer marker before the lookahead rejects it)
+MARKER_WORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws},
+                      key=lambda w: (-len(w), w))
+# one pass over the text extracting exactly the tokens (maximal
+# non-whitespace runs, i.e. the units of tokens()) that equal a marker
+# word: (?:^|\s) anchors the token start (consuming at most the single
+# preceding whitespace char — a following marker separated by one
+# space still matches, because the lookahead does not consume), the
+# lookahead anchors the token end.
+MARKER_RE = ("(?:^|\\s)(" + "|".join(MARKER_WORDS) + ")(?=\\s|$)")
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokenization."""
@@ -55,6 +68,16 @@ def bpe_token_count(col: Column) -> Column:
 def occurrences_in(toks: Column, word: str) -> Column:
     """Exact-token occurrence count over a pre-split token array."""
     return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+
+def marker_tokens(col: Column) -> Column:
+    """The sub-array of tokens(col) that are language-marker words,
+    extracted in ONE JVM regexp pass over the raw text (no split, no
+    interpreted HOF). Marker counting over this array costs
+    O(markers) per word instead of O(tokens) — the q9 fix (r7): the
+    old per-word `size(filter(toks, ...))` ran ~21 interpreted
+    traversals of the full token array per row."""
+    return F.regexp_extract_all(col, F.lit(MARKER_RE), 1)
 
 
 def word_occurrences(col: Column, word: str) -> Column:
@@ -113,8 +136,11 @@ def poly_hash(col: Column) -> Column:
         lambda acc, x: (acc * POLY_MUL + F.ascii(x)) % POLY_MOD)
 
 
-def quality_score_from(col: Column, toks: Column) -> Column:
+def quality_score_from(col: Column, toks: Column,
+                       n_the: Column | None = None) -> Column:
     """quality_score over a pre-split token array (one split total).
+    ``n_the`` lets a caller that already extracted marker tokens
+    (analyze) supply the 'the'-count without another array traversal.
 
     try_divide everywhere: Spark 4 defaults to ANSI mode, where a
     plain `/ 0` on an EMPTY document (n_chars = 0) kills the whole
@@ -126,7 +152,9 @@ def quality_score_from(col: Column, toks: Column) -> Column:
     n_chars = F.length(col)
     n_words = F.size(toks)
     avg_wlen = F.try_divide(n_chars - (n_words - 1), n_words)
-    stop_ratio = F.try_divide(occurrences_in(toks, "the"), n_words)
+    if n_the is None:
+        n_the = occurrences_in(toks, "the")
+    stop_ratio = F.try_divide(n_the, n_words)
     alnum = F.length(F.regexp_replace(col, r"[^a-zA-Z0-9 ]", ""))
     punct_ratio = F.try_divide(n_chars - alnum, n_chars)
     wlen_term = F.when((avg_wlen >= 3.0) & (avg_wlen <= 10.0), F.lit(1.0)) \
@@ -141,8 +169,20 @@ def quality_score_from(col: Column, toks: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """Heuristic document quality in [0,1]: blend of mean word length
     (penalize <3 or >10), stopword presence, and non-alnum ratio.
-    Deterministic arithmetic — same formula runs in the oracle."""
-    return quality_score_from(col, tokens(col))
+    Deterministic arithmetic — same formula runs in the oracle. The
+    'the'-count runs as one JVM regexp_count (token-bounded pattern,
+    same value as the list-filter count) instead of an interpreted
+    filter traversal of the token array."""
+    return quality_score_from(col, tokens(col), n_the=the_count(col))
+
+
+def the_count(col: Column) -> Column:
+    """Occurrences of the exact token 'the' as one JVM regexp_count —
+    value-identical to occurrences_in(tokens(col), 'the') (the
+    (?:^|\\s)/(?=\\s|$) pair bounds a whole whitespace-delimited
+    token; the lookahead end means back-to-back markers still
+    match)."""
+    return F.regexp_count(col, F.lit(r"(?:^|\s)the(?=\s|$)"))
 
 
 def lang_scores_from(toks: Column) -> dict[str, Column]:
@@ -166,12 +206,24 @@ def lang_id(col: Column) -> Column:
     exponentially in the language count — the greatest() form keeps it
     linear. Semantics are identical: winner = first language in sorted
     order reaching the (positive) maximum."""
-    return lang_id_from(tokens(col))
+    return lang_id_from_markers(marker_tokens(col))
 
 
 def lang_id_from(toks: Column) -> Column:
     """lang_id over a pre-split token array."""
-    scores = lang_scores_from(toks)
+    return _lang_id_from_scores(lang_scores_from(toks))
+
+
+def lang_id_from_markers(mk: Column) -> Column:
+    """lang_id over a pre-extracted marker_tokens array — the cheap
+    path: every per-word count traverses only the (tiny) marker array.
+    Value-identical to lang_id/lang_id_from: marker_tokens(text)
+    contains exactly the tokens of text that are marker words, so the
+    per-word counts are equal."""
+    return _lang_id_from_scores(lang_scores_from(mk))
+
+
+def _lang_id_from_scores(scores: dict[str, Column]) -> Column:
     m = F.greatest(*(scores[lang] for lang in sorted(LANG_MARKERS)))
     best = F.lit("und")
     # reversed so the FIRST sorted language wins ties
@@ -256,23 +308,47 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full text-analysis projection over a documents table.
 
-    Tokenizes ONCE into an intermediate column: every downstream
-    expression references `__toks`, and CollapseProject keeps a
-    multiply-referenced non-cheap expression materialized instead of
-    re-inlining the split into all ~20 consumers (a >20× per-row
-    saving at scale)."""
+    Plan shape (q9, re-tuned r7):
+    - spread(): a one-file local read is ONE partition — the whole
+      projection would run single-threaded; no-op on well-partitioned
+      input.
+    - tokenize ONCE into `__toks` (CollapseProject keeps a multiply-
+      referenced non-cheap expression materialized).
+    - marker words extracted ONCE into `__mk` by a single JVM regexp
+      pass; all ~21 per-word marker counts (lang-ID + stop-ratio)
+      traverse that tiny array instead of re-traversing the full
+      token array in interpreted HOFs (measured 2.1s → ~1.1s warm at
+      sf0.1)."""
+    from .util import spread
     c = F.col(text_col)
     toks = F.col("__toks")
-    staged = df.select("doc_id", c.alias("__text"),
-                       tokens(c).alias("__toks"))
+    mk = F.col("__mk")
+    staged = spread(df).select("doc_id", c.alias("__text"),
+                               tokens(c).alias("__toks"),
+                               marker_tokens(c).alias("__mk"))
     ct = F.col("__text")
-    return staged.select(
+    # stage the per-language scores too: the argmax case-chain
+    # references every score ~2× per language — inlined, each
+    # size(filter(...)) would be re-evaluated ~12× per row
+    # (interpreted projections have no common-subexpression
+    # elimination); staged (non-cheap, multiply-referenced) columns
+    # survive CollapseProject and evaluate once
+    mk_scores = lang_scores_from(mk)
+    scored = staged.select(
+        "doc_id", "__text", "__toks",
+        occurrences_in(mk, "the").alias("__n_the"),
+        *(mk_scores[lang].alias(f"__s_{lang}")
+          for lang in sorted(LANG_MARKERS)))
+    return scored.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         bpe_token_count(ct).alias("n_bpe_tokens"),
         F.length(ct).alias("n_chars"),
-        quality_score_from(ct, toks).alias("quality"),
-        lang_id_from(toks).alias("lang_pred"),
+        quality_score_from(ct, toks, n_the=F.col("__n_the"))
+        .alias("quality"),
+        _lang_id_from_scores({lang: F.col(f"__s_{lang}")
+                              for lang in LANG_MARKERS})
+        .alias("lang_pred"),
         poly_hash(ct).alias("fingerprint"),
     )
 

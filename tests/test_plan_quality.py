@@ -172,10 +172,17 @@ def test_whole_stage_codegen_for_predicates(mat_engine):
 def test_text_analysis_no_python_workers(spark):
     """The whole text-analysis projection (incl. the BPE pre-tokenizer)
     must compile to JVM expressions — no BatchEvalPython /
-    ArrowEvalPython stage in the hot path."""
+    ArrowEvalPython stage in the hot path. analyze() now spreads a
+    1-partition input (an Exchange), which wraps the plan in
+    AdaptiveSparkPlan — execute first so the FINAL plan (with codegen
+    annotations) is what gets asserted, not the pre-AQE sketch."""
     from metacat_spark.llm.text import analyze
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = plan_of(analyze(docs))
+    df = analyze(docs)
+    # count() would build a SEPARATE (aggregated) query execution;
+    # collect() executes THIS df's plan so AQE finalizes it in place
+    df.collect()
+    plan = plan_of(df)
     assert "EvalPython" not in plan
     assert "codegen id" in plan
 
