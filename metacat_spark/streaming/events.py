@@ -382,7 +382,8 @@ def funnel_stateful(stream: DataFrame, steps: list[str],
 
 def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
                         horizon_s: int = 3600,
-                        delay: str = "1 hour") -> DataFrame:
+                        delay: str = "1 hour",
+                        max_buffer: int = 10000) -> DataFrame:
     """STREAMING funnel tolerant of OUT-OF-ORDER arrival — the
     watermarked-buffer extension funnel_stateful documents but does
     not implement (VERDICT r5 #5).
@@ -398,9 +399,16 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
     on later (or no-data) micro-batches without new input.
 
     State per user is O(buffered step events within the delay
-    window) — bounded by the watermark like every watermarked
-    stateful operator, vs funnel_stateful's O(k) (the price of
-    disorder tolerance)."""
+    window) — bounded by the watermark in EVENT time, and since r7
+    also bounded in COUNT: a user buffering more than ``max_buffer``
+    step events inside the delay window has its OLDEST buffered
+    events dropped (they would have finalized first), and the drop
+    count is carried in state and surfaced as ``n_dropped`` on that
+    user's completion row. n_dropped > 0 means the completion may
+    differ from the batch funnel's — the executor-memory bound an
+    adversarial/pathological user would otherwise break at scale.
+    Completions for users within the cap are unaffected (pinned
+    batch ≡ stream)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -416,11 +424,13 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
 
     def update(key, pdfs, state):
         if state.exists:
-            done, idx, times, buf_ts, buf_step = state.get
+            (done, idx, times, buf_ts, buf_step,
+             n_dropped) = state.get
             times, buf_ts, buf_step = (list(times), list(buf_ts),
                                        list(buf_step))
         else:
-            done, idx, times, buf_ts, buf_step = False, 0, [], [], []
+            done, idx, times, buf_ts, buf_step, n_dropped = (
+                False, 0, [], [], [], 0)
         for pdf in pdfs:
             if done or not len(pdf):
                 continue
@@ -428,6 +438,18 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
             for ts, et in zip(ev["ts_ts"], ev["event_type"]):
                 buf_ts.append(int(ts.value // 1000))   # ns → µs
                 buf_step.append(first_pos[et])
+        if len(buf_ts) > max_buffer:
+            # count cap (r7): drop the OLDEST buffered events — the
+            # watermark bounds state in event time but an adversarial
+            # user emitting many pre-watermark events would grow the
+            # buffer without limit inside the delay window
+            order = sorted(range(len(buf_ts)),
+                           key=lambda i: (buf_ts[i], buf_step[i]))
+            excess = len(buf_ts) - max_buffer
+            keep = sorted(order[excess:])
+            n_dropped += excess
+            buf_ts = [buf_ts[i] for i in keep]
+            buf_step = [buf_step[i] for i in keep]
         out = []
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not done and buf_ts:
@@ -455,11 +477,12 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
                     idx += 1
                     if idx == k:
                         done = True
-                        out.append((int(key[0]), list(times)))
+                        out.append((int(key[0]), list(times),
+                                    int(n_dropped)))
             buf_ts, buf_step = rest_ts, rest_step
         if done:
             buf_ts, buf_step = [], []
-        state.update((done, idx, times, buf_ts, buf_step))
+        state.update((done, idx, times, buf_ts, buf_step, n_dropped))
         if buf_ts and not done:
             # flush the buffered tail when the watermark moves, even
             # with no further input for this user (no-data batches
@@ -469,13 +492,16 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
                 max(state.getCurrentWatermarkMs() + 1,
                     min(buf_ts) // 1000))
         if out:
-            yield pd.DataFrame(out, columns=["user_id", "times"])
+            yield pd.DataFrame(
+                out, columns=["user_id", "times", "n_dropped"])
 
     return (stream.groupBy("user_id")
             .applyInPandasWithState(
-                update, "user_id long, times array<long>",
+                update,
+                "user_id long, times array<long>, n_dropped long",
                 "done boolean, idx int, times array<long>, "
-                "buf_ts array<long>, buf_step array<int>",
+                "buf_ts array<long>, buf_step array<int>, "
+                "n_dropped long",
                 "update", GroupStateTimeout.EventTimeTimeout))
 
 

@@ -358,6 +358,100 @@ def test_streaming_funnel_ooo_equals_batch(spark, tmp_path):
     assert got and got == want
 
 
+def test_streaming_funnel_ooo_buffer_cap(spark, tmp_path):
+    """The OOO funnel's per-user buffer is bounded in COUNT, not just
+    event time (VERDICT r6 #2): an adversarial user emitting far more
+    pre-watermark step events than max_buffer gets its oldest buffer
+    entries dropped (surfaced as n_dropped on the completion row),
+    while a normal user below the cap completes exactly as the batch
+    funnel says, with n_dropped = 0.
+
+    Construction: every adversarial event is a valid funnel step so
+    an uncapped buffer would hold all 10^5 of them within the delay
+    window; the *newest* three form the completing a->b->c suffix, so
+    a drop-oldest cap still completes — proving the cap dropped
+    exactly len(buffer) - max_buffer events rather than breaking the
+    state machine."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    steps = ["a", "b", "c"]
+    base = datetime(2024, 1, 1)
+    n_noise = 100_000
+    rows = []
+    # adversarial user 1: 10^5 'a' events (all buffer: same step, all
+    # pre-watermark), then b and c right after the newest 'a'
+    for i in range(n_noise):
+        rows.append((f"e{i}", 1, "a", base + timedelta(seconds=i)))
+    rows.append(("eb", 1, "b",
+                 base + timedelta(seconds=n_noise + 10)))
+    rows.append(("ec", 1, "c",
+                 base + timedelta(seconds=n_noise + 20)))
+    # normal user 2: a clean a->b->c
+    rows.append(("n1", 2, "a", base + timedelta(seconds=5)))
+    rows.append(("n2", 2, "b", base + timedelta(seconds=6)))
+    rows.append(("n3", 2, "c", base + timedelta(seconds=7)))
+    ev = spark.createDataFrame(
+        rows, "event_id string, user_id long, event_type string, "
+              "ts_ts timestamp")
+
+    src = str(tmp_path / "cap")
+    os.makedirs(src)
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{src}/p0.parquet")
+    sentinel = spark.createDataFrame(
+        [("zz", 99, "__sentinel__",
+          base + timedelta(days=4000))],
+        "event_id string, user_id long, event_type string, "
+        "ts_ts timestamp")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/zz_sentinel.parquet")
+    now = time.time()
+    for i, d in enumerate(sorted(os.listdir(src))):
+        for f in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{f}", (now + i, now + i))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    cap = 500
+    out = EV.funnel_stateful_ooo(stream, steps, horizon_s=10 ** 9,
+                                 delay="365 days", max_buffer=cap)
+    q = (out.writeStream.format("memory").queryName("ev_funnel_cap")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "capped ooo funnel timed out"
+    got = {r["user_id"]: r for r in
+           spark.table("ev_funnel_cap").collect()}
+    assert set(got) == {1, 2}
+    # normal user: untouched by the cap, matches the batch funnel
+    assert got[2]["n_dropped"] == 0
+    batch = EV.funnel(ev, steps, horizon_s=10 ** 9)
+    b2 = {r["user_id"]: (r["u1"], r["u2"], r["u3"]) for r in
+          batch.select(
+              "user_id",
+              F.unix_micros(F.col("t1").cast("timestamp")).alias("u1"),
+              F.unix_micros(F.col("t2").cast("timestamp")).alias("u2"),
+              F.unix_micros(F.col("t3").cast("timestamp")).alias("u3"))
+          .collect()}
+    assert tuple(got[2]["times"]) == b2[2]
+    # adversarial user: buffer exceeded the cap; oldest dropped and
+    # counted. Buffer peaked at 10^5 + 2 entries against a cap of 500
+    # — every overflow beyond the cap must be accounted
+    assert got[1]["n_dropped"] == n_noise + 2 - cap
+    # drop-oldest kept the newest cap-2 'a' events + b + c; the
+    # greedy machine then starts from the OLDEST surviving 'a'.
+    # Expected micros via unix_micros on the same column (tz-safe)
+    wanted = ({f"e{n_noise - (cap - 2)}", "eb", "ec"})
+    us_map = {r["event_id"]: r["u"] for r in
+              ev.where(F.col("event_id").isin(*wanted))
+              .select("event_id",
+                      F.unix_micros(F.col("ts_ts")).alias("u"))
+              .collect()}
+    assert list(got[1]["times"]) == [
+        us_map[f"e{n_noise - (cap - 2)}"], us_map["eb"], us_map["ec"]]
+
+
 def test_funnel_randomized_differential(spark):
     """Randomized differential check of the funnel formula (and the
     single-pass funnel_counts) against a direct Python evaluation of
