@@ -12,10 +12,13 @@ metacat_namespace.py, metacat_named_query.py).
     python -m metacat_spark.cli namespace (list|show|create) ...
     python -m metacat_spark.cli named-query (list|show|create|search) ...
     python -m metacat_spark.cli corpus (analyze|quality|dedup|
-        contamination|pack|redact|scrub|split|mixture|ann|
-        curate|publish) ...               # beyond-reference
-    python -m metacat_spark.cli events (windowed|sessionize|
-        funnel|retention) ...             # beyond-reference
+        semdedup|admit|contamination|decontaminate|divergence|
+        report|stats|select|lm|pack|redact|scrub|substring|split|
+        mixture|ann|curate|gate|c4|publish|verify-manifest) ...
+        # beyond-reference; analytic ops dispatch through the shared
+        # llm.registry (same table as the HTTP /data/corpus surface)
+    python -m metacat_spark.cli events (windowed|sessionize|paths|
+        anomalies|funnel|retention) ...   # beyond-reference
 
 The reference CLI talks to a resident metacat server; the equivalent
 here is a resident engine — sessions are cached per sf-dir at module
@@ -121,29 +124,42 @@ def _id_list(s):
     return [x.strip() for x in s.split(",") if x.strip()]
 
 
+def _registry_params(args) -> dict:
+    """Collect argparse-parsed op parameters under the registry's
+    canonical names (absent attributes simply don't appear, so the
+    registry defaults apply — but argparse sets explicit defaults
+    for every flag it defines, which win)."""
+    names = ["method", "threshold", "ngram", "max_hamming", "corpus",
+             "test", "top_terms", "budget", "max_tokens", "v2",
+             "ledger", "min_quality", "splits", "salt", "target",
+             "stratum_col", "by", "k", "hashed",
+             "window", "steps", "horizon", "counts",
+             "length", "top", "trailing"]
+    p = {n: getattr(args, n, None) for n in names}
+    # argparse dests that differ from the canonical param names
+    if getattr(args, "gap_minutes", None) is not None:
+        p["gap"] = args.gap_minutes
+    if getattr(args, "against", None) is not None:
+        p["test"] = args.against
+    return {k: v for k, v in p.items() if v is not None}
+
+
 def _cmd_events(args) -> int:
     """Dispatch the `events` group (beyond-reference analytics over
-    the events table): windowed counts, sessionization, funnels,
-    cohort retention — same consumption contract as `corpus`."""
+    the events table) through the SHARED op registry (llm.registry)
+    — the same table the HTTP server dispatches from, so the two
+    surfaces cannot drift."""
+    from .llm.registry import EVENT_OPS, OpContext, OpError
     from .session import get_spark
     from .streaming import events as EV
     spark = get_spark()
-    ev = EV.load_events(spark, args.sf_dir)
-    if args.ecmd == "windowed":
-        out = EV.windowed_counts(ev, args.window)
-    elif args.ecmd == "sessionize":
-        out = EV.sessionize(ev, args.gap_minutes)
-    elif args.ecmd == "paths":
-        out = EV.common_paths(ev, n=args.length, k=args.top)
-    elif args.ecmd == "anomalies":
-        out = EV.window_anomalies(ev, args.window,
-                                  trailing=args.trailing)
-    elif args.ecmd == "funnel":
-        steps = [x.strip() for x in args.steps.split(",")]
-        fn = EV.funnel_counts if args.counts else EV.funnel
-        out = fn(ev, steps, horizon_s=args.horizon)
-    else:  # retention
-        out = EV.retention_cohorts(ev)
+    ctx = OpContext(events=lambda: EV.load_events(spark, args.sf_dir),
+                    params=_registry_params(args))
+    try:
+        out = EVENT_OPS[args.ecmd](ctx)
+    except OpError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
@@ -154,101 +170,24 @@ def _cmd_events(args) -> int:
 
 
 def _cmd_corpus(args) -> int:
-    """Dispatch the `corpus` group: build the operator's DataFrame
+    """Dispatch the `corpus` group through the SHARED op registry
+    (llm.registry — the same table the HTTP server dispatches from,
+    so the two surfaces cannot drift): build the operator's DataFrame
     lazily, then either write parquet (-o) or print a bounded head —
-    the same consumption contract as the query surface."""
+    the same consumption contract as the query surface.
+
+    `publish` / `verify-manifest` stay CLI-local: they are filesystem
+    actions, not DataFrame builders (and are deliberately absent from
+    the GET server surface)."""
+    from .llm.export import load_corpus
+    from .llm.registry import CORPUS_OPS, OpContext, OpError
     from .session import get_spark
     spark = get_spark()
-    tbl = "embeddings" if args.ccmd == "ann" else "documents"
-    from .llm.export import load_corpus
-    src = args.input or f"{args.sf_dir}/{tbl}.parquet"
-    # lazy: verify-manifest reads only --dest, and `ann --hashed`
-    # promises to work with NO embeddings table — an eager read here
-    # failed both before their branches ran (review r6)
-    if args.ccmd == "verify-manifest":
-        df = None
-    elif args.ccmd == "ann" and getattr(args, "hashed", False):
+
+    if args.ccmd == "publish":
+        from .llm.export import export_corpus, to_webdataset
         df = load_corpus(spark,
                          args.input or f"{args.sf_dir}/documents.parquet")
-    else:
-        df = load_corpus(spark, src)
-
-    if args.ccmd == "analyze":
-        from .llm.text import analyze
-        out = analyze(df)
-    elif args.ccmd == "quality":
-        from .llm.pipeline import repetition_scores
-        from .llm.text import quality_score
-        out = (df.select("doc_id",
-                         quality_score(F.col("text")).alias("quality"))
-               .join(repetition_scores(df), "doc_id"))
-    elif args.ccmd == "dedup":
-        from .llm import dedup as DD
-        if args.method == "exact":
-            out = DD.dedup_exact(df)
-        elif args.method == "minhash":
-            out = DD.minhash_lsh_pairs(df, threshold=args.threshold)
-        elif args.method == "semantic":
-            embs = spark.read.parquet(
-                f"{args.sf_dir}/embeddings.parquet")
-            out = DD.semantic_dedup(df, embs,
-                                    threshold=args.threshold)
-        elif args.method == "semantic-text":
-            out = DD.semantic_dedup_text(df)
-        elif args.method == "containment":
-            out = DD.ngram_containment_pairs(df,
-                                             threshold=args.threshold)
-        elif args.method == "simhash":
-            out = DD.simhash_pairs(df, max_hamming=args.max_hamming)
-        elif args.method == "substring":
-            out = DD.duplicate_spans(df, n=args.ngram)
-        else:
-            out = DD.ngram_jaccard_pairs(df, threshold=args.threshold)
-    elif args.ccmd == "admit":
-        from .llm import dedup as DD
-        corpus = load_corpus(spark, args.corpus)
-        out = DD.dedup_against(df, corpus)
-    elif args.ccmd == "contamination":
-        from .llm import dedup as DD
-        test = load_corpus(spark, args.test)
-        fn = {"exact": DD.cross_corpus_exact,
-              "jaccard": DD.cross_corpus_jaccard,
-              "containment": DD.cross_corpus_containment,
-              "lsh": DD.cross_corpus_lsh}[args.method]
-        out = (fn(test, df) if args.method == "exact"
-               else fn(test, df, threshold=args.threshold))
-    elif args.ccmd == "decontaminate":
-        from .llm import dedup as DD
-        test = load_corpus(spark, args.test)
-        kw = ({} if args.method == "exact"
-              else {"threshold": args.threshold})
-        out = DD.decontaminate(df, test, method=args.method, **kw)
-    elif args.ccmd == "report":
-        from .llm.pipeline import source_report
-        out = source_report(df)
-    elif args.ccmd == "stats":
-        from .llm.text import corpus_stats
-        out = corpus_stats(df)
-    elif args.ccmd == "divergence":
-        from .llm.text import corpus_divergence, divergent_terms
-        other = load_corpus(spark, args.against)
-        if args.top_terms:
-            out = divergent_terms(df, other, k=args.top_terms)
-        else:
-            out = corpus_divergence(df, other)
-    elif args.ccmd == "select":
-        from .llm.pipeline import select_token_budget
-        out = select_token_budget(df, args.budget)
-    elif args.ccmd == "lm":
-        from .llm.text import bigram_logprob, unigram_logprob
-        fn = (bigram_logprob if args.method == "bigram"
-              else unigram_logprob)
-        out = fn(df)
-    elif args.ccmd == "pack":
-        from .llm.packing import pack_sequences
-        out = pack_sequences(df, max_tokens=args.max_tokens)
-    elif args.ccmd == "publish":
-        from .llm.export import export_corpus, to_webdataset
         if args.format == "webdataset":
             shards = to_webdataset(df, args.dest,
                                    n_shards=args.shards)
@@ -259,74 +198,30 @@ def _cmd_corpus(args) -> int:
                             n_shards=args.shards)
         print(json.dumps(man))
         return 0
-    elif args.ccmd == "verify-manifest":
+    if args.ccmd == "verify-manifest":
         from .llm.export import verify_manifest
         ok = verify_manifest(spark, args.dest)
         print(json.dumps({"ok": ok}))
         return 0 if ok else 1
-    elif args.ccmd == "curate":
-        from .llm.pipeline import (curate, curate_v2,
-                                   curate_v2_ledger)
-        if args.ledger:
-            out = curate_v2_ledger(df, min_quality=args.min_quality)
-        elif args.v2:
-            out = curate_v2(df, min_quality=args.min_quality)
-        else:
-            out = curate(df, min_quality=args.min_quality)
-    elif args.ccmd == "gate":
-        from .llm.text import gopher_gate
-        out = gopher_gate(df)
-    elif args.ccmd == "c4":
-        from .llm.text import c4_line_filter
-        out = c4_line_filter(df)
-    elif args.ccmd == "scrub":
-        from .llm.dedup import scrub_duplicate_spans
-        out = scrub_duplicate_spans(df, n=args.ngram)
-    elif args.ccmd == "split":
-        from .llm.pipeline import split_corpus
-        splits = None
-        if args.splits:
-            splits = {}
-            for part in args.splits.split(","):
-                if not part.strip():
-                    continue        # tolerate trailing commas
-                k, _, v = part.partition("=")
-                splits[k.strip()] = float(v)
-        out = split_corpus(df, splits, salt=args.salt)
-    elif args.ccmd == "redact":
-        from .llm.text import pii_count, redact_pii
-        out = df.select("doc_id",
-                        redact_pii(F.col("text")).alias("text"),
-                        pii_count(F.col("text")).alias("n_pii"))
-    elif args.ccmd == "mixture":
-        from .llm.pipeline import sample_to_mixture
-        target = {}
-        for part in args.target.split(","):
-            if not part.strip():
-                continue            # tolerate trailing commas
-            k, _, v = part.partition("=")
-            target[k.strip()] = float(v)
-        out = sample_to_mixture(df, target,
-                                stratum_col=args.stratum_col,
-                                by=args.by)
-    else:  # ann
-        from .llm import similarity as SIM
-        kw = {}
-        if getattr(args, "hashed", False):
-            # no embeddings table needed: vectorize the documents
-            # with the hashing trick and search those
-            df = spark.read.parquet(
-                args.input or f"{args.sf_dir}/documents.parquet")
-            df = SIM.hashed_doc_vectors(df)
-            kw = {"vec_col": "vector", "id_col": "doc_id"}
-        if args.method == "gemm":
-            out = SIM.topk_gemm(df, k=args.k, **kw)
-        elif args.method == "lsh":
-            out = SIM.lsh_bucketed_topk(df, k=args.k, **kw)
-        elif args.method == "ivfpq":
-            out = SIM.ivf_pq_topk(df, k=args.k, train_iters=2, **kw)
-        else:
-            out = SIM.ivf_topk(df, k=args.k, train_iters=2, **kw)
+
+    # --input overrides the PRIMARY table path: embeddings for plain
+    # ann, documents for everything else (ann --hashed works with NO
+    # embeddings table — lazy callables keep that promise, review r6)
+    docs_src = args.input or f"{args.sf_dir}/documents.parquet"
+    if args.ccmd == "ann" and not getattr(args, "hashed", False):
+        embs_src = args.input or f"{args.sf_dir}/embeddings.parquet"
+    else:
+        embs_src = f"{args.sf_dir}/embeddings.parquet"
+    ctx = OpContext(
+        docs=lambda: load_corpus(spark, docs_src),
+        embs=lambda: load_corpus(spark, embs_src),
+        params=_registry_params(args),
+        load_corpus=lambda p: load_corpus(spark, p))
+    try:
+        out = CORPUS_OPS[args.ccmd](ctx)
+    except OpError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
@@ -337,7 +232,10 @@ def _cmd_corpus(args) -> int:
     return 0
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
+    """The full CLI parser (extracted from main so tests can
+    introspect the exposed corpus/events op sets against the shared
+    registry)."""
     p = argparse.ArgumentParser(prog="metacat_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -706,6 +604,15 @@ def main(argv=None):
                         "(ExactSubstr span scrub)")
     _corpus_common(csc)
     csc.add_argument("--ngram", type=int, default=8)
+    csub = cs.add_parser("substring", help="duplicated-substring "
+                         "spans (ExactSubstr index; scrub removes "
+                         "them)")
+    _corpus_common(csub)
+    csub.add_argument("--ngram", type=int, default=8)
+    csd = cs.add_parser("semdedup", help="semantic-dedup survivors "
+                        "(embedding-cosine near-dup, SemDeDup)")
+    _corpus_common(csd)
+    csd.add_argument("--threshold", type=float, default=0.9)
     csp = cs.add_parser("split", help="deterministic train/val/test "
                         "hash split")
     _corpus_common(csp)
@@ -797,8 +704,11 @@ def main(argv=None):
     at = asub.add_parser("tables",
                          help="list warehouse tables with row counts")
     _add_sf_dir(at)
+    return p
 
-    args = p.parse_args(argv)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     if args.cmd == "version":
         # parity: `metacat version` (metacat_ui.py) prints server +

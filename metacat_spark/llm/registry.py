@@ -1,0 +1,444 @@
+"""Shared op → builder registry for the corpus/events analytics
+surfaces.
+
+`cli.py` (argparse) and `server.py` (HTTP query params) both dispatch
+through THESE tables, so the op set and every op's parameter
+semantics cannot drift between the two surfaces (they did once —
+VERDICT r6 #3). Each builder is a pure function from an
+:class:`OpContext` (surface-independent inputs + parameters) to an
+unexecuted DataFrame; consumption (json-seq streaming, parquet
+write, bounded print) stays surface-specific.
+
+Out of registry scope, deliberately:
+- ``publish`` / ``verify-manifest`` (CLI-only): filesystem actions,
+  not DataFrame builders — and exposing corpus publication over a
+  GET endpoint would reintroduce the mutating-GET hole closed in r6.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class OpError(Exception):
+    """User-facing parameter/authorization error raised while
+    building an op. ``status`` follows HTTP semantics (400 bad
+    parameters, 403 forbidden path); the CLI maps any OpError to a
+    non-zero exit."""
+
+    def __init__(self, msg: str, status: int = 400):
+        super().__init__(msg)
+        self.status = status
+
+
+class OpContext:
+    """Surface-independent inputs for op builders.
+
+    - ``docs`` / ``embs`` / ``events``: zero-arg callables returning
+      the primary DataFrames (lazy — an op that never touches
+      embeddings must not force an embeddings read).
+    - ``params``: raw parameter mapping. HTTP passes strings, the
+      CLI passes argparse-typed values; the typed getters normalize
+      both and raise OpError on malformed values.
+    - ``load_corpus``: callable(path) -> DataFrame for SECONDARY
+      corpora (test sets, admission baselines). The server wraps
+      this with its --data-root path jail (raising OpError 403);
+      the CLI reads any local path.
+    """
+
+    def __init__(self, *, docs: Callable[[], DataFrame] | None = None,
+                 embs: Callable[[], DataFrame] | None = None,
+                 events: Callable[[], DataFrame] | None = None,
+                 params: dict | None = None,
+                 load_corpus: Callable[[str], DataFrame] | None = None):
+        self._docs, self._embs, self._events = docs, embs, events
+        self.params = params or {}
+        self._load_corpus = load_corpus
+
+    def docs(self) -> DataFrame:
+        if self._docs is None:
+            raise OpError("documents table unavailable on this surface")
+        return self._docs()
+
+    def embs(self) -> DataFrame:
+        if self._embs is None:
+            raise OpError("embeddings table unavailable on this surface")
+        return self._embs()
+
+    def events(self) -> DataFrame:
+        if self._events is None:
+            raise OpError("events table unavailable on this surface")
+        return self._events()
+
+    def corpus(self, path: str) -> DataFrame:
+        if self._load_corpus is None:
+            raise OpError("secondary corpus loading unavailable on "
+                          "this surface")
+        return self._load_corpus(path)
+
+    # --- typed parameter getters ------------------------------------
+    def param(self, name: str, default=None):
+        v = self.params.get(name)
+        return default if v is None else v
+
+    def require(self, name: str, hint: str) -> str:
+        v = self.params.get(name)
+        if v in (None, ""):
+            raise OpError(hint)
+        return v
+
+    def int_param(self, name: str, default: int | None = None):
+        v = self.param(name, default)
+        if v is None:
+            return None
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            raise OpError(f"{name} must be an integer, got {v!r}")
+
+    def float_param(self, name: str, default: float | None = None):
+        v = self.param(name, default)
+        if v is None:
+            return None
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            raise OpError(f"{name} must be a number, got {v!r}")
+
+    def flag(self, name: str) -> bool:
+        """Presence-with-truthy-value semantics: 'v2=no' must NOT
+        enable v2 (review r6); argparse store_true booleans pass
+        through."""
+        v = self.params.get(name)
+        if isinstance(v, bool):
+            return v
+        if v is None:
+            return False
+        return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+    def choice(self, name: str, allowed: tuple, default: str) -> str:
+        v = str(self.param(name, default))
+        if v not in allowed:
+            raise OpError(f"unknown {name}: {v}")
+        return v
+
+
+def _kv_floats(spec: str, what: str) -> dict:
+    """'en=0.6,de=0.4' → {'en': 0.6, 'de': 0.4}; tolerates trailing
+    commas; raises OpError on malformed values."""
+    out = {}
+    for part in (spec or "").split(","):
+        k, _, v = part.partition("=")
+        if not k.strip():
+            continue
+        try:
+            out[k.strip()] = float(v)
+        except ValueError:
+            raise OpError(f"{what}: bad weight {part!r}")
+    return out
+
+
+# ---------------------------------------------------------------------
+# corpus ops
+# ---------------------------------------------------------------------
+
+CORPUS_OPS: dict[str, Callable[[OpContext], DataFrame]] = {}
+EVENT_OPS: dict[str, Callable[[OpContext], DataFrame]] = {}
+
+
+def _corpus_op(name):
+    def reg(fn):
+        CORPUS_OPS[name] = fn
+        return fn
+    return reg
+
+
+def _event_op(name):
+    def reg(fn):
+        EVENT_OPS[name] = fn
+        return fn
+    return reg
+
+
+@_corpus_op("analyze")
+def _op_analyze(ctx: OpContext) -> DataFrame:
+    from .text import analyze
+    return analyze(ctx.docs())
+
+
+@_corpus_op("quality")
+def _op_quality(ctx: OpContext) -> DataFrame:
+    from .pipeline import repetition_scores
+    from .text import quality_score
+    docs = ctx.docs()
+    return (docs.select("doc_id",
+                        quality_score(F.col("text")).alias("quality"))
+            .join(repetition_scores(docs), "doc_id"))
+
+
+@_corpus_op("dedup")
+def _op_dedup(ctx: OpContext) -> DataFrame:
+    from . import dedup as DD
+    docs = ctx.docs()
+    method = ctx.choice("method",
+                        ("exact", "minhash", "ngram", "simhash",
+                         "semantic", "semantic-text", "containment",
+                         "substring"), "exact")
+    thr = ctx.float_param("threshold", 0.5)
+    if method == "exact":
+        return DD.dedup_exact(docs)
+    if method == "minhash":
+        return DD.minhash_lsh_pairs(docs, threshold=thr)
+    if method == "semantic":
+        return DD.semantic_dedup(docs, ctx.embs(), threshold=thr)
+    if method == "semantic-text":
+        return DD.semantic_dedup_text(docs)
+    if method == "containment":
+        return DD.ngram_containment_pairs(docs, threshold=thr)
+    if method == "simhash":
+        return DD.simhash_pairs(
+            docs, max_hamming=ctx.int_param("max_hamming", 3))
+    if method == "substring":
+        return DD.duplicate_spans(docs, n=ctx.int_param("ngram", 8))
+    return DD.ngram_jaccard_pairs(docs, threshold=thr)
+
+
+@_corpus_op("semdedup")
+def _op_semdedup(ctx: OpContext) -> DataFrame:
+    from . import dedup as DD
+    return DD.semantic_dedup(ctx.docs(), ctx.embs(),
+                             threshold=ctx.float_param("threshold", 0.9))
+
+
+@_corpus_op("admit")
+def _op_admit(ctx: OpContext) -> DataFrame:
+    from . import dedup as DD
+    path = ctx.require("corpus", "admit needs corpus=<path of the "
+                                 "existing corpus> (docs are the "
+                                 "new batch)")
+    return DD.dedup_against(ctx.docs(), ctx.corpus(path))
+
+
+def _test_corpus(ctx: OpContext, op: str) -> DataFrame:
+    path = ctx.require(
+        "test", f"{op} needs test=<parquet path of the other corpus> "
+                "(served docs are the train/B side)")
+    return ctx.corpus(path)
+
+
+@_corpus_op("contamination")
+def _op_contamination(ctx: OpContext) -> DataFrame:
+    from . import dedup as DD
+    test = _test_corpus(ctx, "contamination")
+    docs = ctx.docs()
+    method = ctx.choice("method",
+                        ("exact", "jaccard", "containment", "lsh"),
+                        "exact")
+    thr = ctx.float_param("threshold", 0.5)
+    if method == "exact":
+        return DD.cross_corpus_exact(test, docs)
+    fn = {"jaccard": DD.cross_corpus_jaccard,
+          "containment": DD.cross_corpus_containment,
+          "lsh": DD.cross_corpus_lsh}[method]
+    return fn(test, docs, threshold=thr)
+
+
+@_corpus_op("decontaminate")
+def _op_decontaminate(ctx: OpContext) -> DataFrame:
+    from . import dedup as DD
+    test = _test_corpus(ctx, "decontaminate")
+    method = ctx.choice("method",
+                        ("exact", "jaccard", "containment", "lsh"),
+                        "exact")
+    kw = ({} if method == "exact"
+          else {"threshold": ctx.float_param("threshold", 0.5)})
+    return DD.decontaminate(ctx.docs(), test, method=method, **kw)
+
+
+@_corpus_op("divergence")
+def _op_divergence(ctx: OpContext) -> DataFrame:
+    """Side A = the primary docs, side B = the test= corpus (the CLI
+    convention; the old HTTP handler had them swapped — canonicalized
+    here, fine because KL runs both ways and JS is symmetric)."""
+    from .text import corpus_divergence, divergent_terms
+    test = _test_corpus(ctx, "divergence")
+    docs = ctx.docs()
+    k = ctx.int_param("top_terms", 0)
+    if k:
+        return divergent_terms(docs, test, k=k)
+    return corpus_divergence(docs, test)
+
+
+@_corpus_op("report")
+def _op_report(ctx: OpContext) -> DataFrame:
+    from .pipeline import source_report
+    return source_report(ctx.docs())
+
+
+@_corpus_op("stats")
+def _op_stats(ctx: OpContext) -> DataFrame:
+    from .text import corpus_stats
+    return corpus_stats(ctx.docs())
+
+
+@_corpus_op("select")
+def _op_select(ctx: OpContext) -> DataFrame:
+    from .pipeline import select_token_budget
+    ctx.require("budget", "select needs budget=<tokens>")
+    return select_token_budget(ctx.docs(), ctx.int_param("budget"))
+
+
+@_corpus_op("lm")
+def _op_lm(ctx: OpContext) -> DataFrame:
+    from .text import bigram_logprob, unigram_logprob
+    method = ctx.choice("method", ("unigram", "bigram"), "bigram")
+    return (bigram_logprob if method == "bigram"
+            else unigram_logprob)(ctx.docs())
+
+
+@_corpus_op("pack")
+def _op_pack(ctx: OpContext) -> DataFrame:
+    from .packing import pack_sequences
+    return pack_sequences(ctx.docs(),
+                          max_tokens=ctx.int_param("max_tokens", 512))
+
+
+@_corpus_op("redact")
+def _op_redact(ctx: OpContext) -> DataFrame:
+    from .text import pii_count, redact_pii
+    return ctx.docs().select(
+        "doc_id", redact_pii(F.col("text")).alias("text"),
+        pii_count(F.col("text")).alias("n_pii"))
+
+
+@_corpus_op("curate")
+def _op_curate(ctx: OpContext) -> DataFrame:
+    from .pipeline import curate, curate_v2, curate_v2_ledger
+    mq = ctx.float_param("min_quality", 0.3)
+    if ctx.flag("ledger"):
+        return curate_v2_ledger(ctx.docs(), min_quality=mq)
+    if ctx.flag("v2"):
+        return curate_v2(ctx.docs(), min_quality=mq)
+    return curate(ctx.docs(), min_quality=mq)
+
+
+@_corpus_op("gate")
+def _op_gate(ctx: OpContext) -> DataFrame:
+    from .text import gopher_gate
+    return gopher_gate(ctx.docs())
+
+
+@_corpus_op("c4")
+def _op_c4(ctx: OpContext) -> DataFrame:
+    from .text import c4_line_filter
+    return c4_line_filter(ctx.docs())
+
+
+@_corpus_op("scrub")
+def _op_scrub(ctx: OpContext) -> DataFrame:
+    from .dedup import scrub_duplicate_spans
+    return scrub_duplicate_spans(ctx.docs(),
+                                 n=ctx.int_param("ngram", 8))
+
+
+@_corpus_op("substring")
+def _op_substring(ctx: OpContext) -> DataFrame:
+    from .dedup import duplicate_spans
+    return duplicate_spans(ctx.docs(), n=ctx.int_param("ngram", 8))
+
+
+@_corpus_op("split")
+def _op_split(ctx: OpContext) -> DataFrame:
+    from .pipeline import split_corpus
+    splits = _kv_floats(ctx.param("splits") or "", "splits") or None
+    return split_corpus(ctx.docs(), splits,
+                        salt=str(ctx.param("salt", "")))
+
+
+@_corpus_op("mixture")
+def _op_mixture(ctx: OpContext) -> DataFrame:
+    from .pipeline import sample_to_mixture
+    spec = ctx.require("target",
+                       "mixture needs target=stratum=weight[,...]")
+    target = _kv_floats(str(spec), "target")
+    if not target:
+        raise OpError("mixture needs target=stratum=weight[,...]")
+    return sample_to_mixture(
+        ctx.docs(), target,
+        stratum_col=str(ctx.param("stratum_col", "lang")),
+        by=ctx.choice("by", ("docs", "tokens"), "docs"))
+
+
+@_corpus_op("ann")
+def _op_ann(ctx: OpContext) -> DataFrame:
+    from . import similarity as SIM
+    method = ctx.choice("method", ("gemm", "lsh", "ivf", "ivfpq"),
+                        "gemm")
+    k = ctx.int_param("k", 5)
+    kw = {}
+    if ctx.flag("hashed"):
+        # no embeddings table needed: vectorize the documents with
+        # the hashing trick and search those
+        df = SIM.hashed_doc_vectors(ctx.docs())
+        kw = {"vec_col": "vector", "id_col": "doc_id"}
+    else:
+        df = ctx.embs()
+    if method == "gemm":
+        return SIM.topk_gemm(df, k=k, **kw)
+    if method == "lsh":
+        return SIM.lsh_bucketed_topk(df, k=k, **kw)
+    if method == "ivfpq":
+        return SIM.ivf_pq_topk(df, k=k, train_iters=2, **kw)
+    return SIM.ivf_topk(df, k=k, train_iters=2, **kw)
+
+
+# ---------------------------------------------------------------------
+# events ops
+# ---------------------------------------------------------------------
+
+
+@_event_op("windowed")
+def _ev_windowed(ctx: OpContext) -> DataFrame:
+    from ..streaming import events as EV
+    return EV.windowed_counts(ctx.events(),
+                              str(ctx.param("window", "1 hour")))
+
+
+@_event_op("sessionize")
+def _ev_sessionize(ctx: OpContext) -> DataFrame:
+    from ..streaming import events as EV
+    return EV.sessionize(ctx.events(), ctx.int_param("gap", 30))
+
+
+@_event_op("funnel")
+def _ev_funnel(ctx: OpContext) -> DataFrame:
+    from ..streaming import events as EV
+    steps = [x.strip() for x in
+             str(ctx.param("steps", "view,click,purchase")).split(",")]
+    fn = EV.funnel_counts if ctx.flag("counts") else EV.funnel
+    return fn(ctx.events(), steps,
+              horizon_s=ctx.int_param("horizon", 3600))
+
+
+@_event_op("retention")
+def _ev_retention(ctx: OpContext) -> DataFrame:
+    from ..streaming import events as EV
+    return EV.retention_cohorts(ctx.events())
+
+
+@_event_op("paths")
+def _ev_paths(ctx: OpContext) -> DataFrame:
+    from ..streaming import events as EV
+    return EV.common_paths(ctx.events(), n=ctx.int_param("length", 3),
+                           k=ctx.int_param("top", 20))
+
+
+@_event_op("anomalies")
+def _ev_anomalies(ctx: OpContext) -> DataFrame:
+    from ..streaming import events as EV
+    return EV.window_anomalies(ctx.events(),
+                               str(ctx.param("window", "1 hour")),
+                               trailing=ctx.int_param("trailing", 24))

@@ -291,221 +291,79 @@ def make_handler(client: MetaCatSparkClient,
                 + b"\n")
 
         def _events(self, params: dict):
-            """Event-stream analytics over HTTP (beyond-reference;
-            mirrors the CLI `events` group): /data/events?op=
-            windowed|sessionize|funnel|retention|anomalies|paths
-            [&steps=a,b,c][&horizon=N][&gap=N][&window=spec]
-            [&limit=N] — json-seq frames."""
+            """Event-stream analytics over HTTP, dispatched through
+            the SHARED op registry (llm.registry — the same table the
+            CLI `events` group uses, so the two surfaces cannot
+            drift): /data/events?op=windowed|sessionize|funnel|
+            retention|anomalies|paths [&steps=a,b,c][&horizon=N]
+            [&gap=N][&window=spec][&limit=N] — json-seq frames."""
+            from .llm.registry import EVENT_OPS, OpContext, OpError
             from .streaming import events as EV
             op = _one(params, "op")
-            ev_raw = client.catalog.raw["events"]
-            ev = ev_raw.withColumn("ts_ts", EV._ts_ts_col(ev_raw))
-            if op == "windowed":
-                out = EV.windowed_counts(
-                    ev, _one(params, "window") or "1 hour")
-            elif op == "sessionize":
-                out = EV.sessionize(
-                    ev, int(_one(params, "gap") or 30))
-            elif op == "funnel":
-                steps = [x.strip() for x in
-                         (_one(params, "steps")
-                          or "view,click,purchase").split(",")]
-                fn = (EV.funnel_counts
-                      if _flag(params, "counts") else EV.funnel)
-                out = fn(ev, steps,
-                         horizon_s=int(_one(params, "horizon")
-                                       or 3600))
-            elif op == "retention":
-                out = EV.retention_cohorts(ev)
-            elif op == "paths":
-                out = EV.common_paths(
-                    ev, n=int(_one(params, "length") or 3),
-                    k=int(_one(params, "top") or 20))
-            elif op == "anomalies":
-                out = EV.window_anomalies(
-                    ev, _one(params, "window") or "1 hour",
-                    trailing=int(_one(params, "trailing") or 24))
-            else:
+            if op not in EVENT_OPS:
                 return self._send(400, "text/plain",
                                   f"unknown events op: {op}")
+
+            def _ev():
+                ev_raw = client.catalog.raw["events"]
+                return ev_raw.withColumn("ts_ts",
+                                         EV._ts_ts_col(ev_raw))
+
+            ctx = OpContext(events=_ev,
+                            params={k: _one(params, k)
+                                    for k in params})
+            try:
+                out = EVENT_OPS[op](ctx)
+            except OpError as e:
+                return self._send(e.status, "text/plain", str(e))
             out = out.limit(_row_cap(_one(params, "limit")))
             self._stream_json_seq(
                 r.asDict(recursive=True)
                 for r in out.toLocalIterator())
 
         def _corpus(self, params: dict):
-            """Training-corpus operators over HTTP (beyond-reference;
-            mirrors the CLI `corpus` group on the served catalog's
-            documents table): /data/corpus?op=analyze|quality|report|
-            stats|select|lm|pack|redact|curate|gate|c4|scrub|
-            split|
-            mixture|
-            contamination|decontaminate|divergence|semdedup|
-            substring|ann [&budget=N]
-            [&max_tokens=N][&threshold=T][&target=en=0.6,de=0.4]
-            [&limit=N] — streamed as json-seq frames."""
-            from pyspark.sql import functions as F
+            """Training-corpus operators over HTTP, dispatched
+            through the SHARED op registry (llm.registry — the same
+            table the CLI `corpus` group uses, so the two surfaces
+            cannot drift) on the served catalog's documents/
+            embeddings tables: /data/corpus?op=<registry op>
+            [&budget=N][&max_tokens=N][&threshold=T]
+            [&target=en=0.6,de=0.4][&limit=N] — streamed as json-seq
+            frames. Secondary-corpus params (test=, corpus=) are
+            jailed to --data-root (403 otherwise); the reader is the
+            format-sniffing load_corpus, same contract as the CLI's
+            --test (review r6)."""
+            from .llm.registry import CORPUS_OPS, OpContext, OpError
             op = _one(params, "op")
-            docs = client.catalog.raw["documents"]
-            if op == "analyze":
-                from .llm.text import analyze
-                out = analyze(docs)
-            elif op == "quality":
-                from .llm.pipeline import repetition_scores
-                from .llm.text import quality_score
-                out = (docs.select(
-                    "doc_id",
-                    quality_score(F.col("text")).alias("quality"))
-                    .join(repetition_scores(docs), "doc_id"))
-            elif op == "report":
-                from .llm.pipeline import source_report
-                out = source_report(docs)
-            elif op == "stats":
-                from .llm.text import corpus_stats
-                out = corpus_stats(docs)
-            elif op == "semdedup":
-                from .llm import dedup as DD
-                embs = client.catalog.raw["embeddings"]
-                thr = float(_one(params, "threshold") or 0.9)
-                out = DD.semantic_dedup(docs, embs, threshold=thr)
-            elif op == "select":
-                budget = _one(params, "budget")
-                if not budget:
-                    return self._send(400, "text/plain",
-                                      "select needs budget=<tokens>")
-                from .llm.pipeline import select_token_budget
-                out = select_token_budget(docs, int(budget))
-            elif op == "lm":
-                from .llm.text import bigram_logprob, unigram_logprob
-                fn = (bigram_logprob
-                      if (_one(params, "method") or "bigram")
-                      == "bigram" else unigram_logprob)
-                out = fn(docs)
-            elif op == "pack":
-                from .llm.packing import pack_sequences
-                mt = int(_one(params, "max_tokens") or 512)
-                out = pack_sequences(docs, max_tokens=mt)
-            elif op == "redact":
-                from .llm.text import pii_count, redact_pii
-                out = docs.select(
-                    "doc_id", redact_pii(F.col("text")).alias("text"),
-                    pii_count(F.col("text")).alias("n_pii"))
-            elif op == "curate":
-                from .llm.pipeline import curate, curate_v2
-                # _flag: "v2=no" must not enable v2 (review r6)
-                fn = (curate_v2 if _flag(params, "v2") else curate)
-                out = fn(docs)
-            elif op == "gate":
-                from .llm.text import gopher_gate
-                out = gopher_gate(docs)
-            elif op == "c4":
-                from .llm.text import c4_line_filter
-                out = c4_line_filter(docs)
-            elif op == "scrub":
-                from .llm.dedup import scrub_duplicate_spans
-                n = int(_one(params, "ngram") or 8)
-                out = scrub_duplicate_spans(docs, n=n)
-            elif op == "substring":
-                from .llm.dedup import duplicate_spans
-                n = int(_one(params, "ngram") or 8)
-                out = duplicate_spans(docs, n=n)
-            elif op == "split":
-                from .llm.pipeline import split_corpus
-                spec = _one(params, "splits") or ""
-                splits = {}
-                for part in spec.split(","):
-                    k, _, v = part.partition("=")
-                    if k.strip():
-                        splits[k.strip()] = float(v)
-                out = split_corpus(docs, splits or None,
-                                   salt=_one(params, "salt") or "")
-            elif op == "mixture":
-                from .llm.pipeline import sample_to_mixture
-                spec = _one(params, "target") or ""
-                target = {}
-                for part in spec.split(","):
-                    k, _, v = part.partition("=")
-                    if k.strip():
-                        target[k.strip()] = float(v)
-                if not target:
-                    return self._send(400, "text/plain",
-                                      "mixture needs target="
-                                      "stratum=weight[,...]")
-                out = sample_to_mixture(docs, target)
-            elif op in ("contamination", "decontaminate",
-                        "divergence"):
-                from .llm import dedup as DD
-                path = _one(params, "test")
-                if not path:
-                    return self._send(400, "text/plain",
-                                      f"{op} needs test=<parquet "
-                                      "path of the other corpus> "
-                                      "(served docs are the train/"
-                                      "B side)")
-                if root is None:
-                    return self._send(
-                        403, "text/plain",
-                        "PermissionError: test= paths are disabled; "
-                        "start the server with --data-root to allow "
-                        "reading eval corpora under one subtree")
-                safe = _safe_path(path)
-                if safe is None:
-                    return self._send(
-                        403, "text/plain",
-                        "PermissionError: test= path is outside the "
-                        "configured --data-root")
-                # format-sniffing reader, same contract as the CLI's
-                # --test (a .jsonl eval set must not 400 with a
-                # parquet-footer error over HTTP — review r6)
-                from .llm.export import load_corpus
-                test = load_corpus(docs.sparkSession, safe)
-                method = _one(params, "method") or "exact"
-                thr = float(_one(params, "threshold") or 0.5)
-                if op == "divergence":
-                    from .llm.text import corpus_divergence
-                    out = corpus_divergence(test, docs)
-                elif op == "decontaminate":
-                    if method not in ("exact", "jaccard",
-                                      "containment", "lsh"):
-                        return self._send(400, "text/plain",
-                                          f"unknown method: {method}")
-                    kw = ({} if method == "exact"
-                          else {"threshold": thr})
-                    out = DD.decontaminate(docs, test, method=method,
-                                           **kw)
-                elif method == "exact":
-                    out = DD.cross_corpus_exact(test, docs)
-                elif method == "jaccard":
-                    out = DD.cross_corpus_jaccard(test, docs,
-                                                  threshold=thr)
-                elif method == "containment":
-                    out = DD.cross_corpus_containment(test, docs,
-                                                      threshold=thr)
-                elif method == "lsh":
-                    out = DD.cross_corpus_lsh(test, docs,
-                                              threshold=thr)
-                else:
-                    return self._send(400, "text/plain",
-                                      f"unknown method: {method}")
-            elif op == "ann":
-                from .llm import similarity as SIM
-                embs = client.catalog.raw["embeddings"]
-                k = int(_one(params, "k") or 5)
-                method = _one(params, "method") or "gemm"
-                if method == "gemm":
-                    out = SIM.topk_gemm(embs, k=k)
-                elif method == "lsh":
-                    out = SIM.lsh_bucketed_topk(embs, k=k)
-                elif method == "ivf":
-                    out = SIM.ivf_topk(embs, k=k, train_iters=2)
-                elif method == "ivfpq":
-                    out = SIM.ivf_pq_topk(embs, k=k, train_iters=2)
-                else:
-                    return self._send(400, "text/plain",
-                                      f"unknown method: {method}")
-            else:
+            if op not in CORPUS_OPS:
                 return self._send(400, "text/plain",
                                   f"unknown corpus op: {op}")
+            docs = client.catalog.raw["documents"]
+
+            def _load(path):
+                if root is None:
+                    raise OpError(
+                        "PermissionError: test= paths are disabled; "
+                        "start the server with --data-root to allow "
+                        "reading eval corpora under one subtree",
+                        status=403)
+                safe = _safe_path(path)
+                if safe is None:
+                    raise OpError(
+                        "PermissionError: test= path is outside the "
+                        "configured --data-root", status=403)
+                from .llm.export import load_corpus
+                return load_corpus(docs.sparkSession, safe)
+
+            ctx = OpContext(
+                docs=lambda: docs,
+                embs=lambda: client.catalog.raw["embeddings"],
+                params={k: _one(params, k) for k in params},
+                load_corpus=_load)
+            try:
+                out = CORPUS_OPS[op](ctx)
+            except OpError as e:
+                return self._send(e.status, "text/plain", str(e))
             out = out.limit(_row_cap(_one(params, "limit")))
             self._stream_json_seq(
                 r.asDict(recursive=True) for r in out.toLocalIterator())
