@@ -4,7 +4,7 @@ Pattern: an asset table with a `binary` content column and typed
 metadata columns; decode / feature-extraction runs as Arrow-batched
 mapInPandas stages. Three REAL pure-Python decode kernels are wired —
 uncompressed BMP (24/32-bit), PCM WAV (8/16-bit), and COMPRESSED PNG
-(zlib inflate + per-row unfilter, stdlib-only; 8-bit gray/RGB/
+(zlib inflate + per-row unfilter, stdlib-only; 8/16-bit gray/RGB/
 palette/alpha) — parsed with struct/zlib/numpy, no codec libraries.
 Payloads in other containers fall back to a deterministic
 byte-histogram pseudo-feature and are marked ``decode_ok=false``
@@ -162,11 +162,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def _png_pixels(payload: bytes):
     """REAL compressed-image decode, stdlib-only: PNG = zlib inflate
     + per-row unfilter (RFC 2083), no codec library needed. Supports
-    the common web cases — 8-bit depth, non-interlaced, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — and
-    returns a top-down (h, w, 3) RGB uint8 array (alpha dropped,
-    gray expanded). Raises ValueError on anything else (16-bit
-    depth, Adam7 interlace, malformed chunks)."""
+    the common cases — 8- and 16-bit depth, non-interlaced, color
+    types 0 (gray), 2 (RGB), 3 (palette, 8-bit only per spec), 4
+    (gray+alpha), 6 (RGBA) — and returns a top-down (h, w, 3) RGB
+    uint8 array (alpha dropped, gray expanded; 16-bit samples
+    downsampled to their high byte, i.e. sample >> 8 — the standard
+    16→8 reduction). Raises ValueError on anything else (1/2/4-bit
+    depths, Adam7 interlace, malformed chunks). Filtering operates
+    on BYTES with the left neighbor one PIXEL (= bpp bytes) back —
+    RFC 2083 §6.2 — so 16-bit rows unfilter with bpp = channels*2."""
     import zlib
 
     import numpy as np
@@ -194,11 +198,14 @@ def _png_pixels(payload: bytes):
         raise ValueError("malformed IHDR")
     w, h, depth, color, comp, filt, inter = struct.unpack(
         ">IIBBBBB", ihdr)
-    if depth != 8 or comp != 0 or filt != 0 or inter != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if depth not in (8, 16) or comp != 0 or filt != 0 or inter != 0:
+        raise ValueError("only 8/16-bit non-interlaced PNG supported")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None or w == 0 or h == 0:
         raise ValueError("unsupported color type")
+    if color == 3 and depth == 16:
+        # the spec allows palette images only at depths 1/2/4/8
+        raise ValueError("16-bit palette PNG is not valid")
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette image without valid PLTE")
     try:
@@ -207,7 +214,8 @@ def _png_pixels(payload: bytes):
         # corrupt deflate stream must surface as the module's decode
         # MISS contract (ValueError), not crash the Spark task
         raise ValueError(f"bad IDAT stream: {e}") from e
-    stride = w * nch
+    bpp = nch * (depth // 8)      # filter step: one PIXEL of bytes
+    stride = w * bpp
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated pixel data")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -223,21 +231,21 @@ def _png_pixels(payload: bytes):
             cur = line + prev
         elif ftype in (1, 3, 4):             # Sub / Average / Paeth
             # left-neighbor dependence → sequential per pixel, but
-            # vectorized across channels (nch-wide steps)
+            # vectorized across the pixel's bytes (bpp-wide steps)
             cur = np.zeros(stride, dtype=np.uint8)
-            for x in range(0, stride, nch):
-                a = cur[x - nch:x] if x else np.zeros(nch,
+            for x in range(0, stride, bpp):
+                a = cur[x - bpp:x] if x else np.zeros(bpp,
                                                       dtype=np.uint8)
-                b = prev[x:x + nch]
-                seg = line[x:x + nch]
+                b = prev[x:x + bpp]
+                seg = line[x:x + bpp]
                 if ftype == 1:
-                    cur[x:x + nch] = seg + a
+                    cur[x:x + bpp] = seg + a
                 elif ftype == 3:
-                    cur[x:x + nch] = seg + (
+                    cur[x:x + bpp] = seg + (
                         (a.astype(np.int32) + b) // 2).astype(np.uint8)
                 else:
-                    c = prev[x - nch:x] if x else np.zeros(
-                        nch, dtype=np.uint8)
+                    c = prev[x - bpp:x] if x else np.zeros(
+                        bpp, dtype=np.uint8)
                     ai, bi, ci = (a.astype(np.int32),
                                   b.astype(np.int32),
                                   c.astype(np.int32))
@@ -247,12 +255,16 @@ def _png_pixels(payload: bytes):
                     pred = np.where(
                         (pa <= pb) & (pa <= pc), ai,
                         np.where(pb <= pc, bi, ci)).astype(np.uint8)
-                    cur[x:x + nch] = seg + pred
+                    cur[x:x + bpp] = seg + pred
         else:
             raise ValueError(f"unknown filter type {ftype}")
         out[y] = cur
         prev = cur
-    px = out.reshape(h, w, nch)
+    if depth == 16:
+        # big-endian uint16 samples → high byte (== sample >> 8)
+        px = out.reshape(h, w, nch, 2)[:, :, :, 0]
+    else:
+        px = out.reshape(h, w, nch)
     if color == 3:                           # palette lookup
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = px[:, :, 0]
