@@ -699,10 +699,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (engine-specific hashing / order-stateful semantics — no SQL
     # oracle by design).  All verified by tests/test_entry_contract.py.
     def meta_histogram(spark, sf_dir):
+        # resolve core.data_type through the engine's aggregation API
+        # (shredded column OR variant_get) instead of naming the
+        # shredded m_core_data_type column — the raw column reference
+        # was the one entry that errored in variant warehouse mode
+        # (r7 parity sweep)
         eng = _engine(spark, sf_dir)
-        return (eng.file_set("files from test:all")
-                .groupBy(F.col("m_core_data_type").alias("value"))
-                .agg(F.count("*").alias("n")))
+        return (eng.aggregate("files from test:all",
+                              ["core.data_type"],
+                              {"n": ("count", None)})
+                .select(F.col("core_data_type").alias("value"), "n"))
     q["meta_value_histogram"] = meta_histogram
 
     def multimodal_frame_plan(spark, sf_dir):

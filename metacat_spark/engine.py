@@ -498,7 +498,42 @@ class Engine:
             kv = (df.select(F.explode(F.array(*structs)).alias("kv"))
                   .select("kv.*").where(F.col("value").isNotNull()))
             parts.append(kv)
-        if "metadata" in df.columns:
+        vcol = getattr(self.cat, "file_variant_column", None)
+        if vcol and vcol in df.columns:
+            # VARIANT mode: the variant value knows its own type, so
+            # the summary reports the SAME typed vtype contract as the
+            # shredded path instead of a flat 'json' (r7; verified by
+            # the variant parity sweep). Dynamic per-key access via
+            # try_variant_get with a concat'd path; number rendering
+            # follows the shredded canonicalization — integers plain,
+            # decimal-pointed numbers as decimal(38,6) text.
+            shredded = list(schema.by_key)
+            vg = ("try_variant_get(`{v}`, concat('$[\\'', key, "
+                  "'\\']'), 'variant')").format(v=vcol)
+            sch = F.expr(f"schema_of_variant({vg})")
+            val_str = F.expr(f"cast({vg} as string)")
+            num_canon = F.expr(
+                f"cast(cast({vg} as decimal(38,6)) as string)")
+            vtype = (F.when(F.startswith(sch, F.lit("ARRAY")), "array")
+                     .when(F.startswith(sch, F.lit("OBJECT"))
+                           | F.startswith(sch, F.lit("STRUCT"))
+                           | F.startswith(sch, F.lit("MAP")), "object")
+                     .when(sch == "STRING", "string")
+                     .when(sch == "BOOLEAN", "boolean")
+                     .otherwise(F.lit("number")))
+            value = (F.when(sch.isin("BIGINT", "INT", "SMALLINT",
+                                     "TINYINT"), val_str)
+                     .when(vtype == "number", num_canon)
+                     .otherwise(val_str))
+            other = (df.select(
+                F.col(vcol),
+                F.explode(F.json_object_keys("metadata")).alias("key"))
+                .where(~F.col("key").isin(shredded))
+                .select("key", vtype.alias("vtype"),
+                        value.alias("value"))
+                .where(F.col("value").isNotNull()))
+            parts.append(other)
+        elif "metadata" in df.columns:
             shredded = list(schema.by_key)
             other = (df.select(
                 F.col("metadata"),
@@ -560,8 +595,11 @@ class Engine:
         df = self.file_set(text, include_retired, default_namespace)
 
         def resolve(key: str, numeric: bool = False):
+            """(column, schema_free): schema_free marks values that
+            arrive as STRINGS with no type information (JSON fallback
+            / variant mode)."""
             if key in FILE_ATTRIBUTES:
-                return F.col(key)
+                return F.col(key), False
             col, mtype = self.file_pred._scalar_column(key)
             if mtype.startswith("variant:"):
                 # variant mode: _scalar_column returns a lit(None)
@@ -576,23 +614,44 @@ class Engine:
                 # schema-on-read string -> numeric for sum/avg/median
                 # (ANSI mode rejects implicit string arithmetic;
                 # try_cast nulls non-numeric values instead)
-                col = col.try_cast("double")
-            return col
+                return col.try_cast("double"), False
+            return col, mtype == "json"
 
         numeric_fns = {"sum", "avg", "median"}
         gnames = [k.replace(".", "_") for k in group_by]
-        sel = [resolve(k).alias(n) for k, n in zip(group_by, gnames)]
+        sel = [resolve(k)[0].alias(n) for k, n in zip(group_by, gnames)]
+        schema_free = {}
         for alias, (fn, key) in aggs.items():
             if key is not None:
-                sel.append(resolve(key, fn in numeric_fns)
-                           .alias(f"_in_{alias}"))
+                col, free = resolve(key, fn in numeric_fns)
+                sel.append(col.alias(f"_in_{alias}"))
+                schema_free[alias] = free
         named = df.select(*sel)
         grouped = named.cube(*gnames) if cube else named.groupBy(*gnames)
         agg_cols = []
         for alias, (fn, key) in aggs.items():
-            f = self._AGG_FNS[fn]
-            agg_cols.append((f(F.col(f"_in_{alias}")) if key is not None
-                             else F.count("*")).alias(alias))
+            c = F.col(f"_in_{alias}")
+            if key is None:
+                agg_cols.append(F.count("*").alias(alias))
+                continue
+            if fn in ("min", "max") and schema_free.get(alias):
+                # schema-free values are strings: a plain min/max
+                # would order NUMBERS lexicographically ('99' > '499'
+                # — the r7 variant-sweep finding). Order by a
+                # type-aware key instead: numeric values compare as
+                # numbers and sort BEFORE non-numeric strings (so a
+                # purely numeric key gets numeric min/max; in a
+                # mixed-type key, min favors numbers and max favors
+                # strings — documented). Output stays the raw string.
+                num = c.try_cast("double")
+                ordk = F.when(c.isNotNull(), F.struct(
+                    num.isNull().alias("s"), num.alias("n"),
+                    c.alias("t")))
+                agg_cols.append(
+                    (F.min_by(c, ordk) if fn == "min"
+                     else F.max_by(c, ordk)).alias(alias))
+                continue
+            agg_cols.append(self._AGG_FNS[fn](c).alias(alias))
         return grouped.agg(*agg_cols)
 
     # ------------------------------------------------------ file set core
