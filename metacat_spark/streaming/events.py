@@ -400,15 +400,24 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
 
     State per user is O(buffered step events within the delay
     window) — bounded by the watermark in EVENT time, and since r7
-    also bounded in COUNT: a user buffering more than ``max_buffer``
-    step events inside the delay window has its OLDEST buffered
-    events dropped (they would have finalized first), and the drop
-    count is carried in state and surfaced as ``n_dropped`` on that
-    user's completion row. n_dropped > 0 means the completion may
-    differ from the batch funnel's — the executor-memory bound an
-    adversarial/pathological user would otherwise break at scale.
-    Completions for users within the cap are unaffected (pinned
-    batch ≡ stream)."""
+    also bounded in COUNT: a user whose PERSISTED buffer (events the
+    watermark has not yet released) would exceed ``max_buffer`` has
+    its oldest entries dropped, and the drop count is carried in
+    state and surfaced as ``n_dropped`` on that user's completion
+    row. The cap is applied after each batch's watermark-advance
+    step, so already-releasable events are consumed by the state
+    machine exactly as the batch funnel would — only the
+    still-buffered tail is capped. n_dropped > 0 means the
+    completion may differ from the batch funnel's — the
+    executor-memory bound an adversarial/pathological user would
+    otherwise break at scale. Completions for users within the cap
+    are unaffected (pinned batch ≡ stream).
+
+    State-schema note: r7 widened the state tuple with ``n_dropped``
+    (5 → 6 fields); a streaming checkpoint written by the pre-r7
+    operator cannot be resumed across the upgrade — restart the
+    query from a fresh checkpoint (memory/availableNow usage in this
+    repo never persists one)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -438,18 +447,6 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
             for ts, et in zip(ev["ts_ts"], ev["event_type"]):
                 buf_ts.append(int(ts.value // 1000))   # ns → µs
                 buf_step.append(first_pos[et])
-        if len(buf_ts) > max_buffer:
-            # count cap (r7): drop the OLDEST buffered events — the
-            # watermark bounds state in event time but an adversarial
-            # user emitting many pre-watermark events would grow the
-            # buffer without limit inside the delay window
-            order = sorted(range(len(buf_ts)),
-                           key=lambda i: (buf_ts[i], buf_step[i]))
-            excess = len(buf_ts) - max_buffer
-            keep = sorted(order[excess:])
-            n_dropped += excess
-            buf_ts = [buf_ts[i] for i in keep]
-            buf_step = [buf_step[i] for i in keep]
         out = []
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not done and buf_ts:
@@ -479,6 +476,22 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
                         done = True
                         out.append((int(key[0]), list(times),
                                     int(n_dropped)))
+            if len(rest_ts) > max_buffer:
+                # count cap (r7): the watermark bounds PERSISTED
+                # state in event time but not in count — an
+                # adversarial user emitting many pre-watermark
+                # events would grow it without limit inside the
+                # delay window. Cap AFTER the advance step so events
+                # the watermark already released are never counted
+                # as drops (a multi-batch backfill delivering >cap
+                # already-finalizable events must advance exactly
+                # like the batch funnel — review r7), and only the
+                # surviving tail persists. rest_ts is already in
+                # (ts, step) order, so drop-oldest is one slice.
+                excess = len(rest_ts) - max_buffer
+                n_dropped += excess
+                rest_ts = rest_ts[excess:]
+                rest_step = rest_step[excess:]
             buf_ts, buf_step = rest_ts, rest_step
         if done:
             buf_ts, buf_step = [], []

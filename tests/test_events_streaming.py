@@ -452,6 +452,69 @@ def test_streaming_funnel_ooo_buffer_cap(spark, tmp_path):
         us_map[f"e{n_noise - (cap - 2)}"], us_map["eb"], us_map["ec"]]
 
 
+def test_streaming_funnel_ooo_cap_spares_backfill(spark, tmp_path):
+    """The buffer cap must apply to the PERSISTED buffer only: a
+    multi-batch backfill delivering far more than max_buffer events
+    that the watermark has ALREADY released must advance the state
+    machine exactly like the batch funnel — zero drops (review r7:
+    the first cut capped before the advance step and dropped
+    finalizable events)."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    steps = ["a", "b", "c"]
+    base = datetime(2024, 1, 1)
+    n_noise = 1200
+    # batch 1: only a far-future non-step event — drives the
+    # watermark past the entire backfill before it arrives
+    wmdrv = spark.createDataFrame(
+        [("wm", 99, "__wm__", base + timedelta(days=4000))],
+        "event_id string, user_id long, event_type string, "
+        "ts_ts timestamp")
+    # batch 2: the backfill — >cap step events, ALL pre-watermark
+    rows = [(f"e{i}", 1, "a", base + timedelta(seconds=i))
+            for i in range(n_noise)]
+    rows.append(("eb", 1, "b", base + timedelta(seconds=n_noise + 10)))
+    rows.append(("ec", 1, "c", base + timedelta(seconds=n_noise + 20)))
+    backfill = spark.createDataFrame(
+        rows, "event_id string, user_id long, event_type string, "
+              "ts_ts timestamp")
+
+    src = str(tmp_path / "backfill")
+    os.makedirs(src)
+    wmdrv.coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/a_wm.parquet")
+    backfill.coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/b_fill.parquet")
+    now = time.time()
+    for i, d in enumerate(sorted(os.listdir(src))):
+        for f in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{f}", (now + i, now + i))
+
+    stream = (spark.readStream.schema(backfill.schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(src))
+    out = EV.funnel_stateful_ooo(stream, steps, horizon_s=10 ** 9,
+                                 delay="10 seconds", max_buffer=500)
+    q = (out.writeStream.format("memory").queryName("ev_funnel_bf")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "backfill funnel timed out"
+    got = {r["user_id"]: r for r in
+           spark.table("ev_funnel_bf").collect()}
+    assert set(got) == {1}
+    assert got[1]["n_dropped"] == 0
+    want = {r["user_id"]: (r["u1"], r["u2"], r["u3"]) for r in
+            EV.funnel(backfill, steps, horizon_s=10 ** 9).select(
+                "user_id",
+                F.unix_micros(F.col("t1").cast("timestamp")).alias("u1"),
+                F.unix_micros(F.col("t2").cast("timestamp")).alias("u2"),
+                F.unix_micros(F.col("t3").cast("timestamp")).alias("u3"))
+            .collect()}
+    assert tuple(got[1]["times"]) == want[1]
+
+
 def test_funnel_randomized_differential(spark):
     """Randomized differential check of the funnel formula (and the
     single-pass funnel_counts) against a direct Python evaluation of
