@@ -125,23 +125,22 @@ def _id_list(s):
 
 
 def _registry_params(args) -> dict:
-    """Collect argparse-parsed op parameters under the registry's
-    canonical names (absent attributes simply don't appear, so the
-    registry defaults apply — but argparse sets explicit defaults
-    for every flag it defines, which win)."""
-    names = ["method", "threshold", "ngram", "max_hamming", "corpus",
-             "test", "top_terms", "budget", "max_tokens", "v2",
-             "ledger", "min_quality", "splits", "salt", "target",
-             "stratum_col", "by", "k", "hashed",
-             "window", "steps", "horizon", "counts",
-             "length", "top", "trailing"]
-    p = {n: getattr(args, n, None) for n in names}
-    # argparse dests that differ from the canonical param names
-    if getattr(args, "gap_minutes", None) is not None:
-        p["gap"] = args.gap_minutes
-    if getattr(args, "against", None) is not None:
-        p["test"] = args.against
-    return {k: v for k, v in p.items() if v is not None}
+    """Every argparse-parsed value, keyed by dest, under the
+    registry's canonical names. Passing vars(args) wholesale (the
+    HTTP surface passes its whole query-string dict the same way)
+    means a newly added CLI flag reaches the registry without
+    touching a mapping table — a hand-maintained name list here
+    would recreate exactly the silent drift the registry exists to
+    kill (review r7). Surface-local dests (sf_dir, output, limit,
+    json, ...) are harmless extras: builders read only their own
+    canonical names. The two dests that differ from canonical
+    params are renamed."""
+    p = {k: v for k, v in vars(args).items() if v is not None}
+    if "gap_minutes" in p:
+        p["gap"] = p.pop("gap_minutes")
+    if "against" in p:
+        p["test"] = p.pop("against")
+    return p
 
 
 def _cmd_events(args) -> int:

@@ -261,8 +261,11 @@ def _op_decontaminate(ctx: OpContext) -> DataFrame:
 @_corpus_op("divergence")
 def _op_divergence(ctx: OpContext) -> DataFrame:
     """Side A = the primary docs, side B = the test= corpus (the CLI
-    convention; the old HTTP handler had them swapped — canonicalized
-    here, fine because KL runs both ways and JS is symmetric)."""
+    convention; the old HTTP handler had them swapped, so this is a
+    DELIBERATE breaking change for HTTP clients reading the two
+    directional columns: kl_a_m is now KL(served docs ‖ mixture) and
+    kl_b_m KL(test ‖ mixture). js_divergence and n_terms_union are
+    symmetric and unaffected)."""
     from .text import corpus_divergence, divergent_terms
     test = _test_corpus(ctx, "divergence")
     docs = ctx.docs()

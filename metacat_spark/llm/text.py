@@ -317,8 +317,13 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     - marker words extracted ONCE into `__mk` by a single JVM regexp
       pass; all ~21 per-word marker counts (lang-ID + stop-ratio)
       traverse that tiny array instead of re-traversing the full
-      token array in interpreted HOFs (measured 2.1s → ~1.1s warm at
-      sf0.1)."""
+      token array in interpreted HOFs.
+    - stage the per-language SCORES as columns too: the argmax case
+      chain references each score ~2× per language, and interpreted
+      projections have no common-subexpression elimination — staged
+      non-cheap multiply-referenced columns survive CollapseProject
+      and evaluate once. Measured warm at sf0.1: 2.1 s (r6) → 1.1 s
+      (markers) → 0.67 s (markers + staged scores)."""
     from .util import spread
     c = F.col(text_col)
     toks = F.col("__toks")
