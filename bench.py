@@ -154,10 +154,18 @@ def main():
     # set-algebra fast path) at startup like a resident service would
     engine.query("files from dune:urgent_0 limit 1").collect()
     engine._file_ids_unique()
-    warm = F.pandas_udf(lambda s: s, "long")
+    # the UDF output must actually be CONSUMED (summed), and the UDF
+    # marked nondeterministic, or Catalyst prunes the ArrowEvalPython
+    # stage entirely and no worker ever forks — exactly the count()
+    # pruning the consumption sink exists to prevent, biting the
+    # warmup itself (review r7: measured 0 live workers after the old
+    # warmup; q7 cold was paying a 32-task worker-fork storm, ~2s
+    # serialized through the single-threaded pyspark daemon)
+    warm = F.pandas_udf(lambda s: s, "long").asNondeterministic()
     par = spark.sparkContext.defaultParallelism
     (engine.cat.files.select("id").repartition(par)
-     .select(warm(F.length("id"))).count())
+     .select(warm(F.length("id")).alias("v"))
+     .agg(F.sum("v")).collect())
     setup_sec = time.time() - t0
 
     # per-query error isolation: one failing query must never zero the
