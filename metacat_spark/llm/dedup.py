@@ -247,7 +247,21 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
     Jaccard over the shingle sets. k/bands rows per band; a pair is a
     candidate iff some band signature collides; candidates are then
     exactly verified, so precision is 1.0 and only recall depends on
-    the banding. Shuffle cost is O(docs × bands), never O(docs²)."""
+    the banding. Shuffle cost is O(docs × bands), never O(docs²).
+
+    The verification identity is the 64-bit ``xxhash64(shingle)``,
+    not the shingle string (r7): the distinct shuffle, the
+    localCheckpoint, and both verify joins then carry one long per
+    shingle instead of the n-gram text — the payload cut is what
+    matters at 100 TB, where the shingle bytes dominate the shuffle.
+    Jaccard over the hashed space equals Jaccard over the string
+    space unless two DISTINCT shingles of the same doc (set size) or
+    of a candidate pair (intersection) collide in 2^64 — expected
+    colliding pairs ~S²/2^65 corpus-wide (~1e-9 at a billion distinct
+    shingles), and only same-doc/same-pair collisions are visible at
+    all. The 31-bit POLY_MOD reduction is applied AFTER, and only for
+    the signature permutations (where min-collisions merely nudge
+    recall, never correctness)."""
     if not 1 <= bands <= k or k % bands:
         # bands > k would make every band signature the EMPTY string
         # — the banded join degenerates to the full O(n²) cross join
@@ -255,11 +269,13 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
         # trailing hashes (review r6)
         raise ValueError(f"bands must divide k: k={k}, bands={bands}")
     rows = k // bands
-    # materialize the distinct shingle rows once — referenced by the
-    # signature build AND twice by the verification joins
-    shr = shingle_rows(df, n, text_col, id_col).localCheckpoint(eager=False)
-    ex0 = shr.withColumn("h", F.pmod(F.xxhash64("shingle"),
-                                     F.lit(POLY_MOD)))
+    # materialize the distinct hashed-shingle rows once — referenced
+    # by the signature build AND twice by the verification joins;
+    # distinct runs on (id, h64) longs, not (id, shingle) strings
+    shr = (shingle_rows(df, n, text_col, id_col, distinct=False)
+           .select("id", F.xxhash64("shingle").alias("h64"))
+           .distinct().localCheckpoint(eager=False))
+    ex0 = shr.withColumn("h", F.pmod(F.col("h64"), F.lit(POLY_MOD)))
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
             .alias(f"mh_{i}")
             for i, (a, b) in enumerate(_lcg_params(k))]
@@ -289,16 +305,15 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # exact verification via candidate-restricted shingle joins —
-    # row joins stay in codegen; per-pair array_intersect over string
-    # arrays was the dominant cost at high candidate counts
+    # exact verification via candidate-restricted hashed-shingle
+    # joins — long equality in codegen; per-pair array_intersect over
+    # string arrays was the dominant cost at high candidate counts
     sizes = sig.select("id", "n_sh")
     inter = (cand
-             .join(shr.select(F.col("id").alias("id_a"),
-                              F.col("shingle").alias("shingle")), "id_a")
-             .join(shr.select(F.col("id").alias("id_b"),
-                              F.col("shingle").alias("shingle")),
-                   ["id_b", "shingle"])
+             .join(shr.select(F.col("id").alias("id_a"), "h64"),
+                   "id_a")
+             .join(shr.select(F.col("id").alias("id_b"), "h64"),
+                   ["id_b", "h64"])
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_inter")))
     out = (inter
