@@ -154,19 +154,43 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
     return out.distinct() if distinct else out
 
 
-def _drop_hot_shingles(ex: DataFrame, max_df: int) -> DataFrame:
+def _drop_hot_shingles(ex: DataFrame, max_df: int,
+                       key: str = "shingle") -> DataFrame:
     """Apply the ``max_df`` stop-shingle cap WITHOUT concentrating a
     hot shingle's rows on one task: document frequency comes from a
-    groupBy(shingle).count() — map-side partial aggregation, so a
+    groupBy(key).count() — map-side partial aggregation, so a
     10⁹-occurrence stop-shingle ("of the and") reduces to per-task
     partial counts instead of routing every occurrence row to a
     single window partition before it can be dropped (VERDICT r5).
     The surviving hot-shingle list is tiny (shingles with df >
     max_df), so it broadcasts; the anti-join then prunes occurrence
-    rows wherever they already sit — no pre-filter shuffle at all."""
-    hot = (ex.groupBy("shingle").agg(F.count("*").alias("df"))
-           .where(F.col("df") > max_df).select("shingle"))
-    return ex.join(F.broadcast(hot), "shingle", "left_anti")
+    rows wherever they already sit — no pre-filter shuffle at all.
+    ``key`` is the shingle-identity column — the raw string or its
+    64-bit hash (hashed_shingle_rows), whichever the caller joins on."""
+    hot = (ex.groupBy(key).agg(F.count("*").alias("df"))
+           .where(F.col("df") > max_df).select(key))
+    return ex.join(F.broadcast(hot), key, "left_anti")
+
+
+def hashed_shingle_rows(df: DataFrame, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        carry: list[str] | None = None) -> DataFrame:
+    """DISTINCT (id, h64[, carry]) rows with the shingle identity
+    reduced to ``xxhash64(shingle)`` BEFORE the distinct shuffle —
+    every downstream payload (the distinct, the inverted-index
+    self-join, checkpoints) carries an 8-byte long instead of the
+    n-gram text, which is what dominates those shuffles at corpus
+    scale.  Set arithmetic over the hashed space equals the
+    string-space result unless two DISTINCT shingles of the same doc
+    (set size) or of one candidate pair (intersection) collide in
+    2^64: expected colliding pairs corpus-wide are ~S²/2^65 (~1e-9 at
+    a billion distinct shingles), and only same-doc/same-pair
+    collisions are visible at all."""
+    ex = shingle_rows(df, n, text_col, id_col, carry=carry,
+                      distinct=False)
+    return (ex.select("id", F.xxhash64("shingle").alias("h64"),
+                      *(carry or []))
+            .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -189,13 +213,14 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     full-space computation. The DF filter is a map-side-combinable
     groupBy(shingle).count() + broadcast anti-join of the tiny
     hot-shingle list — no per-shingle row concentration (see
-    _drop_hot_shingles)."""
-    ex = shingle_rows(df, n, text_col, id_col)
+    _drop_hot_shingles).  All internal payloads are hashed-shingle
+    longs (hashed_shingle_rows — collision bound documented there)."""
+    ex = hashed_shingle_rows(df, n, text_col, id_col)
     if max_df is not None:
-        ex = _drop_hot_shingles(ex, max_df)
+        ex = _drop_hot_shingles(ex, max_df, key="h64")
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+    inter = (a.join(b, (F.col("a.h64") == F.col("b.h64"))
                     & (F.col("a.id") < F.col("b.id")))
              .groupBy(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"))
@@ -272,9 +297,8 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
     # materialize the distinct hashed-shingle rows once — referenced
     # by the signature build AND twice by the verification joins;
     # distinct runs on (id, h64) longs, not (id, shingle) strings
-    shr = (shingle_rows(df, n, text_col, id_col, distinct=False)
-           .select("id", F.xxhash64("shingle").alias("h64"))
-           .distinct().localCheckpoint(eager=False))
+    shr = (hashed_shingle_rows(df, n, text_col, id_col)
+           .localCheckpoint(eager=False))
     ex0 = shr.withColumn("h", F.pmod(F.col("h64"), F.lit(POLY_MOD)))
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
             .alias(f"mh_{i}")
@@ -548,17 +572,18 @@ def cross_corpus_jaccard(test_df: DataFrame, train_df: DataFrame,
     pair shuffle.  The ``max_df`` stop-shingle cap applies over the
     UNION shingle space (both intersections and sizes — jaccard stays
     well-defined on the reduced space), same contract as
-    ngram_jaccard_pairs."""
+    ngram_jaccard_pairs.  Internal payloads are hashed-shingle longs
+    (hashed_shingle_rows — collision bound documented there)."""
     u = _tag_union(test_df, train_df, text_col, id_col)
-    ex = shingle_rows(u, n, "txt", "id", carry=["grp"])
+    ex = hashed_shingle_rows(u, n, "txt", "id", carry=["grp"])
     if max_df is not None:
-        ex = _drop_hot_shingles(ex, max_df)
+        ex = _drop_hot_shingles(ex, max_df, key="h64")
     # (grp, id) key: a test doc and a train doc sharing an id value must
     # not merge their shingle-set sizes (ADVICE r4)
     sizes = ex.groupBy("grp", "id").agg(F.count("*").alias("n_sh"))
     a = ex.where(F.col("grp") == 0).alias("a")
     b = ex.where(F.col("grp") == 1).alias("b")
-    inter = (a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+    inter = (a.join(b, F.col("a.h64") == F.col("b.h64"))
              .groupBy(F.col("a.id").alias("test_id"),
                       F.col("b.id").alias("train_id"))
              .agg(F.count("*").alias("n_inter")))
@@ -590,10 +615,11 @@ def cross_corpus_lsh(test_df: DataFrame, train_df: DataFrame,
         raise ValueError(f"bands must divide k: k={k}, bands={bands}")
     rows = k // bands
     u = _tag_union(test_df, train_df, text_col, id_col)
-    shr = (shingle_rows(u, n, "txt", "id", carry=["grp"])
+    # hashed-shingle identity: checkpoint and verify joins carry longs,
+    # not n-gram text (see hashed_shingle_rows for the collision bound)
+    shr = (hashed_shingle_rows(u, n, "txt", "id", carry=["grp"])
            .localCheckpoint(eager=False))
-    ex0 = shr.withColumn("h", F.pmod(F.xxhash64("shingle"),
-                                     F.lit(POLY_MOD)))
+    ex0 = shr.withColumn("h", F.pmod(F.col("h64"), F.lit(POLY_MOD)))
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
             .alias(f"mh_{i}")
             for i, (a, b) in enumerate(_lcg_params(k))]
@@ -620,12 +646,12 @@ def cross_corpus_lsh(test_df: DataFrame, train_df: DataFrame,
     # verification joins filter shr by grp first, so a colliding train id
     # never contributes shingles to the test side (and vice versa)
     shr_a = (shr.where(F.col("grp") == 0)
-             .select(F.col("id").alias("test_id"), "shingle"))
+             .select(F.col("id").alias("test_id"), "h64"))
     shr_b = (shr.where(F.col("grp") == 1)
-             .select(F.col("id").alias("train_id"), "shingle"))
+             .select(F.col("id").alias("train_id"), "h64"))
     inter = (cand
              .join(shr_a, "test_id")
-             .join(shr_b, ["train_id", "shingle"])
+             .join(shr_b, ["train_id", "h64"])
              .groupBy("test_id", "train_id")
              .agg(F.count("*").alias("n_inter")))
     return (inter
@@ -664,15 +690,17 @@ def cross_corpus_containment(test_df: DataFrame, train_df: DataFrame,
     same reduced space, so containment stays well-defined (and the cap
     kills the quadratic stop-shingle straggler at scale).
 
-    Returns (test_id, train_id, n_inter, containment >= threshold)."""
+    Returns (test_id, train_id, n_inter, containment >= threshold).
+    Internal payloads are hashed-shingle longs (hashed_shingle_rows —
+    collision bound documented there)."""
     u = _tag_union(test_df, train_df, text_col, id_col)
-    ex = shingle_rows(u, n, "txt", "id", carry=["grp"])
+    ex = hashed_shingle_rows(u, n, "txt", "id", carry=["grp"])
     if max_df is not None:
-        ex = _drop_hot_shingles(ex, max_df)
+        ex = _drop_hot_shingles(ex, max_df, key="h64")
     sizes = ex.groupBy("grp", "id").agg(F.count("*").alias("n_sh"))
     a = ex.where(F.col("grp") == 0).alias("a")
     b = ex.where(F.col("grp") == 1).alias("b")
-    inter = (a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+    inter = (a.join(b, F.col("a.h64") == F.col("b.h64"))
              .groupBy(F.col("a.id").alias("test_id"),
                       F.col("b.id").alias("train_id"))
              .agg(F.count("*").alias("n_inter")))
@@ -763,14 +791,15 @@ def ngram_containment_pairs(df: DataFrame, n: int = 8,
     shingle set, so the pair is emitted once, oriented
     contained→container ((n_a, id_a) < (n_b, id_b) lexicographically);
     same inverted-index join + max_df stop-shingle cap as
-    ngram_jaccard_pairs."""
-    ex = shingle_rows(df, n, text_col, id_col)
+    ngram_jaccard_pairs, over hashed-shingle longs
+    (hashed_shingle_rows — collision bound documented there)."""
+    ex = hashed_shingle_rows(df, n, text_col, id_col)
     if max_df is not None:
-        ex = _drop_hot_shingles(ex, max_df)
+        ex = _drop_hot_shingles(ex, max_df, key="h64")
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+    inter = (a.join(b, (F.col("a.h64") == F.col("b.h64"))
                     & (F.col("a.id") < F.col("b.id")))
              .groupBy(F.col("a.id").alias("id_x"),
                       F.col("b.id").alias("id_y"))
