@@ -159,69 +159,27 @@ def decode_wav(payload: bytes) -> list[float]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_pixels(payload: bytes):
-    """REAL compressed-image decode, stdlib-only: PNG = zlib inflate
-    + per-row unfilter (RFC 2083), no codec library needed. Supports
-    the common cases — 8- and 16-bit depth, non-interlaced, color
-    types 0 (gray), 2 (RGB), 3 (palette, 8-bit only per spec), 4
-    (gray+alpha), 6 (RGBA) — and returns a top-down (h, w, 3) RGB
-    uint8 array (alpha dropped, gray expanded; 16-bit samples
-    downsampled to their high byte, i.e. sample >> 8 — the standard
-    16→8 reduction). Raises ValueError on anything else (1/2/4-bit
-    depths, Adam7 interlace, malformed chunks). Filtering operates
-    on BYTES with the left neighbor one PIXEL (= bpp bytes) back —
-    RFC 2083 §6.2 — so 16-bit rows unfilter with bpp = channels*2."""
-    import zlib
+# Adam7 pass origins and steps, in pass order: (x0, y0, dx, dy).
+# RFC 2083 §2.6: pass p covers pixels (x0 + i·dx, y0 + j·dy).
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
+
+def _unfilter_lines(raw, off: int, n_rows: int, stride: int,
+                    bpp: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes each from
+    ``raw`` starting at ``off`` (each prefixed by its filter-type
+    byte), per RFC 2083 §6.2-6.6: the left neighbor is one PIXEL
+    (= bpp bytes) back, the up neighbor the previous line of the SAME
+    sequence — which is why each Adam7 pass unfilters independently
+    (prev resets to zeros). Returns ((n_rows, stride) uint8 array,
+    next offset)."""
     import numpy as np
-    if len(payload) < 8 + 25 or payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, ihdr, plte, idat = 8, None, None, []
-    while pos + 8 <= len(payload):
-        ln, = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + ln]
-        if len(body) != ln:
-            raise ValueError("truncated chunk")
-        if ctype == b"IHDR":
-            ihdr = body
-        elif ctype == b"PLTE":
-            plte = body
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln          # length + type + body + CRC
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    if len(ihdr) != 13:
-        raise ValueError("malformed IHDR")
-    w, h, depth, color, comp, filt, inter = struct.unpack(
-        ">IIBBBBB", ihdr)
-    if depth not in (8, 16) or comp != 0 or filt != 0 or inter != 0:
-        raise ValueError("only 8/16-bit non-interlaced PNG supported")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if nch is None or w == 0 or h == 0:
-        raise ValueError("unsupported color type")
-    if color == 3 and depth == 16:
-        # the spec allows palette images only at depths 1/2/4/8
-        raise ValueError("16-bit palette PNG is not valid")
-    if color == 3 and (plte is None or len(plte) % 3):
-        raise ValueError("palette image without valid PLTE")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        # corrupt deflate stream must surface as the module's decode
-        # MISS contract (ValueError), not crash the Spark task
-        raise ValueError(f"bad IDAT stream: {e}") from e
-    bpp = nch * (depth // 8)      # filter step: one PIXEL of bytes
-    stride = w * bpp
-    if len(raw) < h * (stride + 1):
+    if len(raw) < off + n_rows * (stride + 1):
         raise ValueError("truncated pixel data")
-    out = np.empty((h, stride), dtype=np.uint8)
+    out = np.empty((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        off = y * (stride + 1)
+    for y in range(n_rows):
         ftype = raw[off]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
                              offset=off + 1)
@@ -260,6 +218,85 @@ def _png_pixels(payload: bytes):
             raise ValueError(f"unknown filter type {ftype}")
         out[y] = cur
         prev = cur
+        off += stride + 1
+    return out, off
+
+
+def _png_pixels(payload: bytes):
+    """REAL compressed-image decode, stdlib-only: PNG = zlib inflate
+    + per-row unfilter (RFC 2083), no codec library needed. Supports
+    the common cases — 8- and 16-bit depth, non-interlaced AND Adam7
+    interlaced (r7), color types 0 (gray), 2 (RGB), 3 (palette,
+    8-bit only per spec), 4 (gray+alpha), 6 (RGBA) — and returns a
+    top-down (h, w, 3) RGB uint8 array (alpha dropped, gray
+    expanded; 16-bit samples downsampled to their high byte, i.e.
+    sample >> 8 — the standard 16→8 reduction). Raises ValueError on
+    anything else (1/2/4-bit depths, malformed chunks). Filtering
+    operates on BYTES with the left neighbor one PIXEL (= bpp bytes)
+    back — RFC 2083 §6.2 — so 16-bit rows unfilter with
+    bpp = channels*2; each Adam7 pass is an independent filter
+    sequence scattered to (y0 + j·dy, x0 + i·dx)."""
+    import zlib
+
+    import numpy as np
+    if len(payload) < 8 + 25 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln, = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln          # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError("malformed IHDR")
+    w, h, depth, color, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth not in (8, 16) or comp != 0 or filt != 0 or \
+            inter not in (0, 1):
+        raise ValueError("only 8/16-bit depth, interlace 0/1 "
+                         "supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None or w == 0 or h == 0:
+        raise ValueError("unsupported color type")
+    if color == 3 and depth == 16:
+        # the spec allows palette images only at depths 1/2/4/8
+        raise ValueError("16-bit palette PNG is not valid")
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette image without valid PLTE")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # corrupt deflate stream must surface as the module's decode
+        # MISS contract (ValueError), not crash the Spark task
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    bpp = nch * (depth // 8)      # filter step: one PIXEL of bytes
+    if inter == 0:
+        out, _ = _unfilter_lines(raw, 0, h, w * bpp, bpp)
+    else:                         # Adam7: 7 independent sub-images
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                # empty passes contribute NO scanlines at all (not
+                # even filter bytes) — RFC 2083 §2.6
+                continue
+            lines, off = _unfilter_lines(raw, off, hp, wp * bpp, bpp)
+            img[y0::dy, x0::dx] = lines.reshape(hp, wp, bpp)
+        out = img.reshape(h, w * bpp)
     if depth == 16:
         # big-endian uint16 samples → high byte (== sample >> 8)
         px = out.reshape(h, w, nch, 2)[:, :, :, 0]

@@ -1916,13 +1916,15 @@ def test_ivf_pq_rejects_indivisible_m(embs):
         SIM.ivf_pq_topk(embs, k=2, n_lists=4, n_probe=2, m=7).count()
 
 
-def _png_bytes(rows, color=2, filters=None, depth=8):
+def _png_bytes(rows, color=2, filters=None, depth=8, interlace=0):
     """Minimal PNG encoder for fixtures: 8- or 16-bit, color type 0
     (gray, rows of ints) or 2 (RGB, rows of (r,g,b)), per-row filter
     type chosen by ``filters`` (default all 0) with the filtered
     bytes computed properly — so decode exercises every unfilter
     path. 16-bit samples encode big-endian; filtering steps one
-    PIXEL of bytes (bpp) per RFC 2083 §6.2."""
+    PIXEL of bytes (bpp) per RFC 2083 §6.2. ``interlace=1`` writes
+    Adam7: seven independently-filtered sub-images in pass order
+    (filters then index the CONCATENATED pass scanline sequence)."""
     import struct
     import zlib
     h = len(rows)
@@ -1944,33 +1946,51 @@ def _png_bytes(rows, color=2, filters=None, depth=8):
                 + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
 
     bpp = nch * nbytes
-    raw, prev = b"", bytes(w * bpp)
-    for y, row in enumerate(rows):
-        line = line_of(row)
-        ft = filters[y] if filters else 0
-        out = bytearray()
-        for x in range(len(line)):
-            a = line[x - bpp] if x >= bpp else 0
-            b_ = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if ft == 0:
-                v = line[x]
-            elif ft == 1:
-                v = (line[x] - a) & 0xFF
-            elif ft == 2:
-                v = (line[x] - b_) & 0xFF
-            elif ft == 3:
-                v = (line[x] - (a + b_) // 2) & 0xFF
-            else:
-                p = a + b_ - c
-                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
-                pr = a if pa <= pb and pa <= pc else \
-                    (b_ if pb <= pc else c)
-                v = (line[x] - pr) & 0xFF
-            out.append(v)
-        raw += bytes([ft]) + bytes(out)
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    if interlace:
+        # Adam7 pass scanline sequences: each pass is its own image
+        passes = []
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8),
+                               (0, 4, 4, 8), (2, 0, 4, 4),
+                               (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            sub = [row[x0::dx] for row in rows[y0::dy]]
+            if sub and sub[0]:
+                passes.append(sub)
+    else:
+        passes = [rows]
+
+    raw, li = b"", 0
+    for sub in passes:
+        wp = len(sub[0])
+        prev = bytes(wp * bpp)
+        for row in sub:
+            line = line_of(row)
+            ft = filters[li] if filters else 0
+            li += 1
+            out = bytearray()
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                b_ = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    v = line[x]
+                elif ft == 1:
+                    v = (line[x] - a) & 0xFF
+                elif ft == 2:
+                    v = (line[x] - b_) & 0xFF
+                elif ft == 3:
+                    v = (line[x] - (a + b_) // 2) & 0xFF
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else \
+                        (b_ if pb <= pc else c)
+                    v = (line[x] - pr) & 0xFF
+                out.append(v)
+            raw += bytes([ft]) + bytes(out)
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       interlace)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
@@ -2054,6 +2074,40 @@ def test_png_decode_16bit_depth():
            + _chunk(b"IEND", b""))
     with _pt.raises(ValueError):
         MM._png_pixels(bad)
+
+
+def test_png_decode_adam7_interlace():
+    """Adam7-interlaced PNGs decode to the SAME pixels as the
+    non-interlaced encode of the same image. 9×10 exercises partial
+    passes (odd width/height), the filter list cycles through every
+    filter type across the concatenated pass scanlines (each pass an
+    independent filter sequence), and 8-bit RGB / 16-bit gray /
+    tiny-image (empty passes) cases all pin interlaced ≡ straight."""
+    from metacat_spark.llm import multimodal as MM
+
+    w, h = 9, 10
+    rgb = [[(((y * 31 + x * 7) % 256), (x * 13) % 256,
+             (y * 17 + x) % 256) for x in range(w)]
+           for y in range(h)]
+    # 20 pass scanlines for 9×10 (2+2+1+3+2+5+5) — cycle the filters
+    filt = [i % 5 for i in range(20)]
+    straight = MM._png_pixels(_png_bytes(rgb))
+    inter = MM._png_pixels(_png_bytes(rgb, filters=filt, interlace=1))
+    assert (straight == inter).all()
+
+    gray16 = [[(y * 4096 + x * 257) % 65536 for x in range(w)]
+              for y in range(h)]
+    s16 = MM._png_pixels(_png_bytes(gray16, color=0, depth=16))
+    i16 = MM._png_pixels(_png_bytes(gray16, color=0, depth=16,
+                                    filters=filt, interlace=1))
+    assert (s16 == i16).all()
+
+    # 2×2: passes 2-5 are EMPTY (no scanlines, not even filter
+    # bytes) — the decoder must not consume anything for them
+    tiny = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    st = MM._png_pixels(_png_bytes(tiny))
+    it = MM._png_pixels(_png_bytes(tiny, interlace=1))
+    assert (st == it).all()
 
 
 def test_png_rides_dhash_dedup_path(spark):
