@@ -536,10 +536,14 @@ def build_parser() -> argparse.ArgumentParser:
     cx.add_argument("--test", required=True,
                     help="parquet path of the test/eval corpus "
                          "(--input is the training corpus)")
+    # NO argparse defaults here: the registry/library defaults are
+    # the single source (containment, each method's own threshold) —
+    # an argparse default would reach the registry through
+    # _registry_params and silently diverge from the HTTP surface
+    # (review r7: CLI said containment@0.8, HTTP said exact@0.5)
     cx.add_argument("--method",
-                    choices=["exact", "jaccard", "containment", "lsh"],
-                    default="containment")
-    cx.add_argument("--threshold", type=float, default=0.8)
+                    choices=["exact", "jaccard", "containment", "lsh"])
+    cx.add_argument("--threshold", type=float)
     crp = cs.add_parser("report", help="per-source corpus health "
                         "report (volume, quality, dup rate)")
     _corpus_common(crp)

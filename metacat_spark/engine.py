@@ -508,12 +508,29 @@ class Engine:
             # follows the shredded canonicalization — integers plain,
             # decimal-pointed numbers as decimal(38,6) text.
             shredded = list(schema.by_key)
-            vg = ("try_variant_get(`{v}`, concat('$[\\'', key, "
-                  "'\\']'), 'variant')").format(v=vcol)
+            # the variant path grammar has NO escape sequences, and a
+            # malformed path throws even under try_variant_get — so
+            # quote the key with whichever quote character it does
+            # not contain; a key holding BOTH kinds is inexpressible
+            # and yields a NULL path → NULL value (dropped row),
+            # never a crash (review r7: the old single-quote-only
+            # concat crashed the whole summary on a key like it's)
+            path_col = (F.when(
+                ~F.col("key").contains("'"),
+                F.concat(F.lit("$['"), F.col("key"), F.lit("']")))
+                .when(~F.col("key").contains('"'),
+                      F.concat(F.lit('$["'), F.col("key"),
+                               F.lit('"]'))))
+            vg = f"try_variant_get(`{vcol}`, __vpath, 'variant')"
             sch = F.expr(f"schema_of_variant({vg})")
             val_str = F.expr(f"cast({vg} as string)")
+            # try_cast: ANSI mode would otherwise abort the whole
+            # summary on a schema-free number outside decimal(38,6)
+            # range (review r7); such values fall back to their raw
+            # string rendering
             num_canon = F.expr(
-                f"cast(cast({vg} as decimal(38,6)) as string)")
+                f"coalesce(cast(try_cast({vg} as decimal(38,6)) "
+                f"as string), cast({vg} as string))")
             vtype = (F.when(F.startswith(sch, F.lit("ARRAY")), "array")
                      .when(F.startswith(sch, F.lit("OBJECT"))
                            | F.startswith(sch, F.lit("STRUCT"))
@@ -529,12 +546,18 @@ class Engine:
                 F.col(vcol),
                 F.explode(F.json_object_keys("metadata")).alias("key"))
                 .where(~F.col("key").isin(shredded))
+                .withColumn("__vpath", path_col)
                 .select("key", vtype.alias("vtype"),
                         value.alias("value"))
                 .where(F.col("value").isNotNull()))
             parts.append(other)
         elif "metadata" in df.columns:
             shredded = list(schema.by_key)
+            # get_json_object cannot address keys containing a quote
+            # at all (its path grammar has no workable quoting) — such
+            # keys return NULL and their rows drop from the summary;
+            # known limitation of this legacy JSON fallback (the
+            # shredded and variant paths both handle them)
             other = (df.select(
                 F.col("metadata"),
                 F.explode(F.json_object_keys("metadata")).alias("key"))

@@ -715,7 +715,7 @@ def cross_corpus_containment(test_df: DataFrame, train_df: DataFrame,
 
 
 def decontaminate(train_df: DataFrame, test_df: DataFrame,
-                  method: str = "lsh", text_col: str = "text",
+                  method: str = "containment", text_col: str = "text",
                   id_col: str = "doc_id", **kw) -> DataFrame:
     """The cleaned training corpus: every training document flagged as
     contaminating ANY test document is dropped (left-anti on the

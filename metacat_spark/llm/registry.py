@@ -248,13 +248,22 @@ def _op_contamination(ctx: OpContext) -> DataFrame:
 
 @_corpus_op("decontaminate")
 def _op_decontaminate(ctx: OpContext) -> DataFrame:
+    """Default method = containment (the published eval-
+    decontamination shape); threshold passes through only when the
+    caller set one, so each method keeps its own signature default
+    (containment 0.8, jaccard/lsh 0.5) on BOTH surfaces (review r7:
+    the CLI and HTTP surfaces had drifted to containment@0.8 vs
+    exact@0.5)."""
     from . import dedup as DD
     test = _test_corpus(ctx, "decontaminate")
     method = ctx.choice("method",
                         ("exact", "jaccard", "containment", "lsh"),
-                        "exact")
-    kw = ({} if method == "exact"
-          else {"threshold": ctx.float_param("threshold", 0.5)})
+                        "containment")
+    kw = {}
+    if method != "exact":
+        t = ctx.float_param("threshold")
+        if t is not None:
+            kw["threshold"] = t
     return DD.decontaminate(ctx.docs(), test, method=method, **kw)
 
 

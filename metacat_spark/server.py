@@ -341,17 +341,20 @@ def make_handler(client: MetaCatSparkClient,
             docs = client.catalog.raw["documents"]
 
             def _load(path):
+                # message covers every secondary-corpus param routed
+                # here (test=, corpus=), not just test= (review r7)
                 if root is None:
                     raise OpError(
-                        "PermissionError: test= paths are disabled; "
-                        "start the server with --data-root to allow "
-                        "reading eval corpora under one subtree",
-                        status=403)
+                        "PermissionError: secondary corpus paths "
+                        "(test=, corpus=) are disabled; start the "
+                        "server with --data-root to allow reading "
+                        "corpora under one subtree", status=403)
                 safe = _safe_path(path)
                 if safe is None:
                     raise OpError(
-                        "PermissionError: test= path is outside the "
-                        "configured --data-root", status=403)
+                        "PermissionError: secondary corpus path is "
+                        "outside the configured --data-root",
+                        status=403)
                 from .llm.export import load_corpus
                 return load_corpus(docs.sparkSession, safe)
 

@@ -528,3 +528,65 @@ def test_registry_op_sets_match_across_surfaces():
     import metacat_spark.server as srv
     src = inspect.getsource(srv)
     assert "CORPUS_OPS" in src and "EVENT_OPS" in src
+
+
+def test_registry_param_defaults_match_across_surfaces():
+    """Shared-op parameter DEFAULTS must not drift between the CLI
+    and HTTP surfaces (review r7: decontaminate ran containment@0.8
+    from the CLI but exact@0.5 over HTTP — op-NAME parity alone
+    missed it). HTTP always gets the registry defaults; the CLI gets
+    whatever argparse injects through _registry_params, which WINS
+    over the registry default. So for every parameter a builder
+    reads with a default, the argparse default for that dest must be
+    None (registry default applies) or literally equal."""
+    import argparse
+    import inspect
+    import re
+
+    from metacat_spark.llm.registry import CORPUS_OPS, EVENT_OPS
+
+    get_re = re.compile(
+        r"ctx\.(?:int_param|float_param|param)\(\s*\"(\w+)\",\s*"
+        r"([0-9.eE+-]+|\"[^\"]*\"|'[^']*')\s*\)")
+    choice_re = re.compile(
+        r"ctx\.choice\(\s*\"(\w+)\",\s*\([^)]*\)\s*,\s*"
+        r"(\"[^\"]*\"|'[^']*')\s*\)", re.S)
+
+    def registry_defaults(fn):
+        src = inspect.getsource(fn)
+        out = {}
+        for name, d in (get_re.findall(src)
+                        + choice_re.findall(src)):
+            out[name] = eval(d)  # noqa: S307 — literals from source
+        return out
+
+    p = cli.build_parser()
+    top = next(a for a in p._actions
+               if isinstance(a, argparse._SubParsersAction))
+
+    def sub(group, op):
+        gp = top.choices[group]
+        s = next(a for a in gp._actions
+                 if isinstance(a, argparse._SubParsersAction))
+        return s.choices.get(op)
+
+    rename = {"gap": "gap_minutes", "test": "against"}
+    checked = 0
+    for group, ops in (("corpus", CORPUS_OPS), ("events", EVENT_OPS)):
+        for op, fn in ops.items():
+            sp = sub(group, op)
+            if sp is None:
+                continue
+            argdef = {a.dest: a.default for a in sp._actions}
+            for name, rdef in registry_defaults(fn).items():
+                dest = rename.get(name, name)
+                if dest not in argdef:
+                    continue
+                checked += 1
+                assert argdef[dest] is None or argdef[dest] == rdef, (
+                    f"{group}/{op} --{dest}: argparse default "
+                    f"{argdef[dest]!r} != registry default {rdef!r}")
+    # vacuous-test guard: the regexes must actually extract defaults
+    # (a registry refactor that breaks the introspection should fail
+    # loudly, not silently check nothing)
+    assert checked >= 15, f"only {checked} defaults introspected"

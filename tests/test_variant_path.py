@@ -106,3 +106,44 @@ def test_variant_dml_metadata_stays_fresh(spark):
                         "metadata": {"core.run": 888888}}])
     got = ids_of(eng.query("files where core.run = 888888"))
     assert got == ["vnew-1"]
+
+
+def test_variant_key_values_summary_hostile_keys(spark):
+    """Variant-mode key-values summary must survive (a) metadata keys
+    containing quote characters — the variant path grammar has no
+    escapes and a malformed path THROWS even under try_variant_get
+    (review r7: the single-quote-only concat crashed the whole
+    summary) — and (b) schema-free numbers outside decimal(38,6)
+    range, which abort a plain ANSI cast. Keys with BOTH quote kinds
+    are inexpressible in the path grammar and drop (documented)."""
+    import json
+
+    from metacat_spark.catalog import from_dataframes
+    from metacat_spark.engine import Engine
+    from metacat_spark.schema import MetaSchema
+
+    meta = {"it's": 7, 'he said "hi"': "ok", "big": 1e33,
+            "plain": 1.5, """b'o"th""": 1}
+    files = spark.createDataFrame(
+        [("q1", "qns", "f.dat", 10, False, json.dumps(meta))],
+        "id string, namespace string, name string, size long, "
+        "retired boolean, metadata string")
+    fd = spark.createDataFrame(
+        [("q1", "qns", "all")],
+        "file_id string, dataset_namespace string, "
+        "dataset_name string")
+    cat = from_dataframes(spark, files, fd, file_meta=MetaSchema([]))
+    cat.files = cat.files.withColumn(
+        "metadata_v", F.parse_json("metadata"))
+    cat.file_variant_column = "metadata_v"
+    eng = Engine(cat)
+    rows = {r["key"]: (r["vtype"], r["value"])
+            for r in eng.query("files from qns:all",
+                               summary="key-values").collect()}
+    assert rows["it's"] == ("number", "7")
+    assert rows['he said "hi"'] == ("string", "ok")
+    # out-of-decimal-range number falls back to its raw rendering
+    # instead of an ANSI CAST_OVERFLOW abort
+    assert rows["big"][0] == "number" and rows["big"][1]
+    assert rows["plain"] == ("number", "1.500000")
+    assert """b'o"th""" not in rows          # inexpressible -> dropped
