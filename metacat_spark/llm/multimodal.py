@@ -225,17 +225,21 @@ def _unfilter_lines(raw, off: int, n_rows: int, stride: int,
 def _png_pixels(payload: bytes):
     """REAL compressed-image decode, stdlib-only: PNG = zlib inflate
     + per-row unfilter (RFC 2083), no codec library needed. Supports
-    the common cases — 8- and 16-bit depth, non-interlaced AND Adam7
-    interlaced (r7), color types 0 (gray), 2 (RGB), 3 (palette,
-    8-bit only per spec), 4 (gray+alpha), 6 (RGBA) — and returns a
+    every legal depth/color combination — depths 1/2/4/8/16,
+    non-interlaced AND Adam7 interlaced (r7), color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — and returns a
     top-down (h, w, 3) RGB uint8 array (alpha dropped, gray
     expanded; 16-bit samples downsampled to their high byte, i.e.
-    sample >> 8 — the standard 16→8 reduction). Raises ValueError on
-    anything else (1/2/4-bit depths, malformed chunks). Filtering
-    operates on BYTES with the left neighbor one PIXEL (= bpp bytes)
-    back — RFC 2083 §6.2 — so 16-bit rows unfilter with
-    bpp = channels*2; each Adam7 pass is an independent filter
-    sequence scattered to (y0 + j·dy, x0 + i·dx)."""
+    sample >> 8 — the standard 16→8 reduction; 1/2/4-bit gray scaled
+    by 255/(2^d−1), the exact expansion since that ratio is an
+    integer). Raises ValueError on illegal combinations and
+    malformed chunks. Filtering operates on BYTES with the left
+    neighbor one PIXEL (= bpp bytes) back — RFC 2083 §6.2 — so
+    16-bit rows unfilter with bpp = channels*2 and sub-byte rows
+    with bpp = 1 (the spec's round-up); each Adam7 pass is an
+    independent filter sequence scattered to (y0 + j·dy, x0 + i·dx),
+    with sub-byte passes bit-packed to their OWN byte-padded row
+    width."""
     import zlib
 
     import numpy as np
@@ -263,16 +267,16 @@ def _png_pixels(payload: bytes):
         raise ValueError("malformed IHDR")
     w, h, depth, color, comp, filt, inter = struct.unpack(
         ">IIBBBBB", ihdr)
-    if depth not in (8, 16) or comp != 0 or filt != 0 or \
-            inter not in (0, 1):
-        raise ValueError("only 8/16-bit depth, interlace 0/1 "
-                         "supported")
+    if comp != 0 or filt != 0 or inter not in (0, 1):
+        raise ValueError("bad compression/filter/interlace method")
+    # legal depth set per color type — PNG spec §11.2.2
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None or w == 0 or h == 0:
         raise ValueError("unsupported color type")
-    if color == 3 and depth == 16:
-        # the spec allows palette images only at depths 1/2/4/8
-        raise ValueError("16-bit palette PNG is not valid")
+    if depth not in legal[color]:
+        raise ValueError(f"depth {depth} invalid for color {color}")
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette image without valid PLTE")
     try:
@@ -281,33 +285,64 @@ def _png_pixels(payload: bytes):
         # corrupt deflate stream must surface as the module's decode
         # MISS contract (ValueError), not crash the Spark task
         raise ValueError(f"bad IDAT stream: {e}") from e
-    bpp = nch * (depth // 8)      # filter step: one PIXEL of bytes
-    if inter == 0:
-        out, _ = _unfilter_lines(raw, 0, h, w * bpp, bpp)
-    else:                         # Adam7: 7 independent sub-images
-        img = np.zeros((h, w, bpp), dtype=np.uint8)
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            wp = (w - x0 + dx - 1) // dx
-            hp = (h - y0 + dy - 1) // dy
-            if wp <= 0 or hp <= 0:
-                # empty passes contribute NO scanlines at all (not
-                # even filter bytes) — RFC 2083 §2.6
-                continue
-            lines, off = _unfilter_lines(raw, off, hp, wp * bpp, bpp)
-            img[y0::dy, x0::dx] = lines.reshape(hp, wp, bpp)
-        out = img.reshape(h, w * bpp)
-    if depth == 16:
-        # big-endian uint16 samples → high byte (== sample >> 8)
-        px = out.reshape(h, w, nch, 2)[:, :, :, 0]
+    if depth < 8:
+        # sub-byte (always 1 channel: gray or palette): unfilter the
+        # PACKED bytes with bpp=1 (spec round-up), then unpack bits
+        # MSB-first into one sample per pixel
+        def unpack(lines, wp):
+            bits = np.unpackbits(lines, axis=1)[:, :wp * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            return (bits.reshape(lines.shape[0], wp, depth)
+                    @ weights).astype(np.uint8)
+
+        if inter == 0:
+            stride = (w * depth + 7) // 8
+            lines, _ = _unfilter_lines(raw, 0, h, stride, 1)
+            samples = unpack(lines, w)
+        else:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue
+                sp = (wp * depth + 7) // 8
+                lines, off = _unfilter_lines(raw, off, hp, sp, 1)
+                samples[y0::dy, x0::dx] = unpack(lines, wp)
+        px = samples[:, :, None]
     else:
-        px = out.reshape(h, w, nch)
+        bpp = nch * (depth // 8)  # filter step: one PIXEL of bytes
+        if inter == 0:
+            out, _ = _unfilter_lines(raw, 0, h, w * bpp, bpp)
+        else:                     # Adam7: 7 independent sub-images
+            img = np.zeros((h, w, bpp), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    # empty passes contribute NO scanlines at all
+                    # (not even filter bytes) — RFC 2083 §2.6
+                    continue
+                lines, off = _unfilter_lines(raw, off, hp, wp * bpp,
+                                             bpp)
+                img[y0::dy, x0::dx] = lines.reshape(hp, wp, bpp)
+            out = img.reshape(h, w * bpp)
+        if depth == 16:
+            # big-endian uint16 samples → high byte (== sample >> 8)
+            px = out.reshape(h, w, nch, 2)[:, :, :, 0]
+        else:
+            px = out.reshape(h, w, nch)
     if color == 3:                           # palette lookup
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
         return pal[idx]
+    if depth < 8:
+        # exact gray expansion: 255/(2^d−1) is an integer (255/85/17)
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if nch == 1:
         return np.repeat(px, 3, axis=2)
     if nch == 2:                             # gray + alpha

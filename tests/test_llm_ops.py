@@ -1916,36 +1916,55 @@ def test_ivf_pq_rejects_indivisible_m(embs):
         SIM.ivf_pq_topk(embs, k=2, n_lists=4, n_probe=2, m=7).count()
 
 
-def _png_bytes(rows, color=2, filters=None, depth=8, interlace=0):
-    """Minimal PNG encoder for fixtures: 8- or 16-bit, color type 0
-    (gray, rows of ints) or 2 (RGB, rows of (r,g,b)), per-row filter
-    type chosen by ``filters`` (default all 0) with the filtered
-    bytes computed properly — so decode exercises every unfilter
-    path. 16-bit samples encode big-endian; filtering steps one
-    PIXEL of bytes (bpp) per RFC 2083 §6.2. ``interlace=1`` writes
-    Adam7: seven independently-filtered sub-images in pass order
-    (filters then index the CONCATENATED pass scanline sequence)."""
+def _png_bytes(rows, color=2, filters=None, depth=8, interlace=0,
+               palette=None):
+    """Minimal PNG encoder for fixtures: depths 1/2/4/8/16, color
+    type 0 (gray, rows of ints), 2 (RGB, rows of (r,g,b)), or 3
+    (palette, rows of indices + ``palette`` list of (r,g,b)),
+    per-row filter type chosen by ``filters`` (default all 0) with
+    the filtered bytes computed properly — so decode exercises every
+    unfilter path. 16-bit samples encode big-endian; sub-byte
+    samples pack MSB-first with the row padded to a byte boundary;
+    filtering steps one PIXEL of bytes (bpp, rounded up to 1) per
+    RFC 2083 §6.2 and operates on the PACKED bytes. ``interlace=1``
+    writes Adam7: seven independently-filtered sub-images in pass
+    order (filters then index the CONCATENATED pass scanline
+    sequence)."""
     import struct
     import zlib
     h = len(rows)
-    nch = {0: 1, 2: 3}[color]
+    nch = {0: 1, 2: 3, 3: 1}[color]
     nbytes = depth // 8
 
     def sample(v):
         return (struct.pack(">H", v) if depth == 16
                 else bytes([v]))
 
-    line_of = ((lambda row: b"".join(sample(v) for v in row))
-               if color == 0 else
-               (lambda row: b"".join(sample(v) for px in row
-                                     for v in px)))
+    if depth < 8:
+        def line_of(row):
+            out, acc, nbits = bytearray(), 0, 0
+            for v in row:
+                acc = (acc << depth) | (v & ((1 << depth) - 1))
+                nbits += depth
+                if nbits == 8:
+                    out.append(acc)
+                    acc, nbits = 0, 0
+            if nbits:
+                out.append(acc << (8 - nbits))
+            return bytes(out)
+    elif color == 2:
+        def line_of(row):
+            return b"".join(sample(v) for px in row for v in px)
+    else:
+        def line_of(row):
+            return b"".join(sample(v) for v in row)
     w = len(rows[0])
 
     def chunk(t, b):
         return (struct.pack(">I", len(b)) + t + b
                 + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
 
-    bpp = nch * nbytes
+    bpp = max(1, nch * nbytes)
     if interlace:
         # Adam7 pass scanline sequences: each pass is its own image
         passes = []
@@ -1962,7 +1981,9 @@ def _png_bytes(rows, color=2, filters=None, depth=8, interlace=0):
     raw, li = b"", 0
     for sub in passes:
         wp = len(sub[0])
-        prev = bytes(wp * bpp)
+        stride = ((wp * depth + 7) // 8 if depth < 8
+                  else wp * bpp)
+        prev = bytes(stride)
         for row in sub:
             line = line_of(row)
             ft = filters[li] if filters else 0
@@ -1991,7 +2012,9 @@ def _png_bytes(rows, color=2, filters=None, depth=8, interlace=0):
             prev = line
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
                        interlace)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    plte = (chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+            if palette is not None else b"")
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + plte
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
 
@@ -2108,6 +2131,70 @@ def test_png_decode_adam7_interlace():
     st = MM._png_pixels(_png_bytes(tiny))
     it = MM._png_pixels(_png_bytes(tiny, interlace=1))
     assert (st == it).all()
+
+
+def test_png_decode_subbyte_depths():
+    """1/2/4-bit PNGs decode exactly: gray scales by 255/(2^d−1)
+    (an integer for all three depths, so the expansion is exact),
+    palette indices look up PLTE entries, every filter type
+    unfilters the PACKED row bytes with bpp=1 (the spec round-up),
+    Adam7 sub-byte passes bit-pack to their OWN byte-padded row
+    width (interlaced ≡ straight), and illegal depth/color
+    combinations raise. Closes the PNG kernel's last documented
+    gap (r7)."""
+    import numpy as np
+    import pytest as _pt
+
+    from metacat_spark.llm import multimodal as MM
+
+    # width 11 pads mid-byte at every depth (11/22/44 bits per row)
+    w, h = 11, 7
+    for d in (1, 2, 4):
+        mx = (1 << d) - 1
+        rows = [[(x * 3 + y * 5) % (mx + 1) for x in range(w)]
+                for y in range(h)]
+        want = np.array(rows, dtype=np.uint8) * (255 // mx)
+        for filters in (None, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [0, 1, 2, 3, 4, 1, 2]):
+            px = MM._png_pixels(_png_bytes(rows, color=0, depth=d,
+                                           filters=filters))
+            assert (px[:, :, 0] == want).all(), (d, filters)
+            assert (px[:, :, 0] == px[:, :, 2]).all()
+        # Adam7 ≡ straight, with filters cycling across the
+        # concatenated pass scanlines (each pass pads independently)
+        n_lines = sum(hp for x0, y0, dx, dy in MM._ADAM7
+                      if (wp := (w - x0 + dx - 1) // dx) > 0
+                      and (hp := (h - y0 + dy - 1) // dy) > 0)
+        filt = [i % 5 for i in range(n_lines)]
+        straight = MM._png_pixels(_png_bytes(rows, color=0, depth=d))
+        inter = MM._png_pixels(_png_bytes(rows, color=0, depth=d,
+                                          filters=filt, interlace=1))
+        assert (straight == inter).all(), f"adam7 depth={d}"
+
+    # palette at depth 4 and 2: indices look up PLTE triples
+    pal = [(i * 16, 255 - i * 16, (i * 37) % 256) for i in range(16)]
+    rows4 = [[(x + y) % 16 for x in range(5)] for y in range(4)]
+    px = MM._png_pixels(_png_bytes(rows4, color=3, depth=4,
+                                   palette=pal))
+    want = np.array(pal, dtype=np.uint8)[np.array(rows4)]
+    assert (px == want).all()
+    rows2 = [[(x * y) % 4 for x in range(9)] for y in range(3)]
+    px = MM._png_pixels(_png_bytes(rows2, color=3, depth=2,
+                                   palette=pal[:4],
+                                   filters=[1, 4, 2]))
+    want = np.array(pal[:4], dtype=np.uint8)[np.array(rows2)]
+    assert (px == want).all()
+    # palette index past PLTE still raises at sub-byte depths
+    with _pt.raises(ValueError):
+        MM._png_pixels(_png_bytes([[3]], color=3, depth=2,
+                                  palette=pal[:2]))
+
+    # illegal depth/color combinations raise (PNG spec §11.2.2);
+    # sub-byte rows encode as scalars regardless of declared color
+    with _pt.raises(ValueError):
+        MM._png_pixels(_png_bytes([[1]], color=2, depth=4))
+    with _pt.raises(ValueError):
+        MM._png_pixels(_png_bytes([[1]], color=0, depth=3))
 
 
 def test_png_rides_dhash_dedup_path(spark):
