@@ -1125,6 +1125,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_scores(_docs(spark, sf_dir), n=2)
     q["doc_repetition_scores"] = doc_repetition
 
+    def doc_normalize(spark, sf_dir):
+        """Unicode NFC normalization + control-char cleanup
+        (llm/text.py normalize_text): the canonical first curation
+        stage. The sf documents are pure ASCII, so a deterministic
+        suffix (a decomposed e + combining acute, then BEL) is
+        appended to every doc first — the oracle appends the
+        byte-identical suffix — making composition AND the control
+        strip discriminating on every row (unicodedata NFC ==
+        DuckDB nfc_normalize, fuzz-verified)."""
+        from metacat_spark.llm.text import normalize_text
+        docs = _docs(spark, sf_dir).withColumn(
+            "text", F.concat(F.col("text"),
+                             F.lit(" café\x07")))
+        return normalize_text(docs)
+    q["doc_normalize_text"] = doc_normalize
+
+    def doc_chunks(spark, sf_dir):
+        """Overlapping token-window chunks (llm/text.py
+        chunk_tokens): the embedding/RAG indexing unit. size=16,
+        stride=12 so sf docs produce several windows each; the
+        oracle replays the window arithmetic with generate_series +
+        list_slice."""
+        from metacat_spark.llm.text import chunk_tokens
+        return chunk_tokens(_docs(spark, sf_dir), size=16, stride=12)
+    q["doc_chunk_tokens"] = doc_chunks
+
     def substr_spans(spark, sf_dir):
         """Exact-substring duplicate spans (llm/dedup.py
         duplicate_spans — the distributed form of ExactSubstr dedup,
@@ -2319,6 +2345,49 @@ def oracle_sql() -> dict[str, str]:
                round(least(1.0, max_c * 2 / n_tok), 6)
                  as top_ngram_frac
         from st"""
+
+    # Unicode normalization: the suffix below is byte-identical to
+    # the entry's (decomposed e + U+0301, then BEL via chr(7));
+    # unicodedata NFC == DuckDB nfc_normalize (fuzz-verified, both
+    # UAX #15). n_ctrl_removed is a length DIFFERENCE, so DuckDB's
+    # code-point length and Spark's UTF-16 length agree (removed
+    # controls are BMP; everything else cancels).
+    _CTRL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    o["doc_normalize_text"] = f"""
+        with t as (
+          select doc_id,
+                 text || ' café' || chr(7) as text
+          from documents),
+        n as (select doc_id, text, nfc_normalize(text) as nfc from t),
+        c as (select doc_id, text, nfc,
+                     regexp_replace(nfc, '{_CTRL}', '', 'g')
+                       as text_norm
+              from n)
+        select doc_id, text_norm,
+               (length(nfc) - length(text_norm))::bigint
+                 as n_ctrl_removed,
+               text_norm != text as changed
+        from c"""
+
+    # Token-window chunking: generate_series is INCLUSIVE of its
+    # upper bound, so the bound is n_chunks - 1 = ceil(max(n-16,0)/12)
+    # directly; list_slice is 1-based inclusive like Spark's slice.
+    o["doc_chunk_tokens"] = """
+        with t as (select doc_id,
+                          string_split_regex(text, '\\s+') as toks
+                   from documents),
+        c as (select doc_id, toks, len(toks) as n from t),
+        e as (select doc_id, toks, n,
+                     unnest(generate_series(
+                       0, ceil(greatest(n - 16, 0) / 12)::bigint))
+                       as chunk_id
+              from c)
+        select doc_id, chunk_id,
+               least(16, n - chunk_id * 12)::bigint as n_chunk_tokens,
+               array_to_string(
+                 list_slice(toks, chunk_id * 12 + 1,
+                            chunk_id * 12 + 16), ' ') as chunk_text
+        from e"""
 
     # Exact-substring span dedup (ExactSubstr at 8-gram granularity):
     # the occurrence index keeps POSITIONS; duplicated grams merge to

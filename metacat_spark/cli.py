@@ -13,8 +13,9 @@ metacat_namespace.py, metacat_named_query.py).
     python -m metacat_spark.cli named-query (list|show|create|search) ...
     python -m metacat_spark.cli corpus (analyze|quality|dedup|
         semdedup|admit|contamination|decontaminate|divergence|
-        report|stats|select|lm|pack|redact|scrub|substring|split|
-        mixture|ann|curate|gate|c4|publish|verify-manifest) ...
+        report|stats|select|lm|pack|normalize|chunk|redact|scrub|
+        substring|split|mixture|ann|curate|gate|c4|publish|
+        verify-manifest) ...
         # beyond-reference; analytic ops dispatch through the shared
         # llm.registry (same table as the HTTP /data/corpus surface)
     python -m metacat_spark.cli events (windowed|sessionize|paths|
@@ -573,6 +574,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "training sequences")
     _corpus_common(cp_)
     cp_.add_argument("--max-tokens", type=int, default=512)
+    cn = cs.add_parser("normalize", help="Unicode normalization "
+                       "(NFC default) + control-char cleanup")
+    _corpus_common(cn)
+    # no argparse default: the registry default (NFC) is the single
+    # source shared with the HTTP surface
+    cn.add_argument("--form", choices=["NFC", "NFKC", "NFD", "NFKD"])
+    cch = cs.add_parser("chunk", help="overlapping token-window "
+                        "chunks (embedding/RAG units)")
+    _corpus_common(cch)
+    # no argparse defaults: registry defaults (128/96) are the
+    # single source shared with the HTTP surface
+    cch.add_argument("--size", type=int)
+    cch.add_argument("--stride", type=int)
     cr = cs.add_parser("redact", help="PII scrub (typed placeholders)")
     _corpus_common(cr)
     cpub = cs.add_parser("publish", help="publish the corpus: "

@@ -318,6 +318,24 @@ def _op_pack(ctx: OpContext) -> DataFrame:
                           max_tokens=ctx.int_param("max_tokens", 512))
 
 
+@_corpus_op("normalize")
+def _op_normalize(ctx: OpContext) -> DataFrame:
+    from .text import normalize_text
+    form = ctx.choice("form", ("NFC", "NFKC", "NFD", "NFKD"), "NFC")
+    return normalize_text(ctx.docs(), form=form)
+
+
+@_corpus_op("chunk")
+def _op_chunk(ctx: OpContext) -> DataFrame:
+    from .text import chunk_tokens
+    size = ctx.int_param("size", 128)
+    stride = ctx.int_param("stride", 96)
+    if size < 1 or stride < 1 or stride > size:
+        raise OpError(f"need 1 <= stride <= size, got size={size} "
+                      f"stride={stride}")
+    return chunk_tokens(ctx.docs(), size=size, stride=stride)
+
+
 @_corpus_op("redact")
 def _op_redact(ctx: OpContext) -> DataFrame:
     from .text import pii_count, redact_pii

