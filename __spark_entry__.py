@@ -2351,8 +2351,10 @@ def oracle_sql() -> dict[str, str]:
     # unicodedata NFC == DuckDB nfc_normalize (fuzz-verified, both
     # UAX #15). n_ctrl_removed is a length DIFFERENCE, so DuckDB's
     # code-point length and Spark's UTF-16 length agree (removed
-    # controls are BMP; everything else cancels).
-    _CTRL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    # controls are BMP; everything else cancels). The control class
+    # is the SHARED constant — widening it in text.py moves both
+    # sides together (review r7).
+    from metacat_spark.llm.text import CTRL_CLASS as _CTRL
     o["doc_normalize_text"] = f"""
         with t as (
           select doc_id,
@@ -2372,10 +2374,15 @@ def oracle_sql() -> dict[str, str]:
     # Token-window chunking: generate_series is INCLUSIVE of its
     # upper bound, so the bound is n_chunks - 1 = ceil(max(n-16,0)/12)
     # directly; list_slice is 1-based inclusive like Spark's slice.
+    # Null docs are filtered on BOTH sides: greatest/least null-SKIP
+    # in both engines, which would otherwise fabricate a phantom
+    # chunk — with DIFFERING chunk_text (NULL vs '') across engines
+    # (review r7).
     o["doc_chunk_tokens"] = """
         with t as (select doc_id,
                           string_split_regex(text, '\\s+') as toks
-                   from documents),
+                   from documents
+                   where text is not null),
         c as (select doc_id, toks, len(toks) as n from t),
         e as (select doc_id, toks, n,
                      unnest(generate_series(

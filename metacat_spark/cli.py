@@ -583,10 +583,12 @@ def build_parser() -> argparse.ArgumentParser:
     cch = cs.add_parser("chunk", help="overlapping token-window "
                         "chunks (embedding/RAG units)")
     _corpus_common(cch)
-    # no argparse defaults: registry defaults (128/96) are the
-    # single source shared with the HTTP surface
-    cch.add_argument("--size", type=int)
-    cch.add_argument("--stride", type=int)
+    # no argparse defaults: the library signature (size 128, stride
+    # 3/4·size) is the single source shared with the HTTP surface
+    cch.add_argument("--size", type=int,
+                     help="tokens per chunk (default 128)")
+    cch.add_argument("--stride", type=int,
+                     help="window step (default 3/4 of --size)")
     cr = cs.add_parser("redact", help="PII scrub (typed placeholders)")
     _corpus_common(cr)
     cpub = cs.add_parser("publish", help="publish the corpus: "

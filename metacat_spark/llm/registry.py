@@ -320,20 +320,33 @@ def _op_pack(ctx: OpContext) -> DataFrame:
 
 @_corpus_op("normalize")
 def _op_normalize(ctx: OpContext) -> DataFrame:
+    # defaults and validation live in the library signature (the
+    # single source — review r7); only user-provided params pass
+    # through, and the library's ValueError surfaces as OpError
     from .text import normalize_text
-    form = ctx.choice("form", ("NFC", "NFKC", "NFD", "NFKD"), "NFC")
-    return normalize_text(ctx.docs(), form=form)
+    kwargs = {}
+    if ctx.param("form") is not None:
+        kwargs["form"] = str(ctx.param("form"))
+    try:
+        return normalize_text(ctx.docs(), **kwargs)
+    except ValueError as e:
+        raise OpError(str(e))
 
 
 @_corpus_op("chunk")
 def _op_chunk(ctx: OpContext) -> DataFrame:
+    # same single-source pattern: size defaults to 128 and stride to
+    # 3/4·size inside chunk_tokens; validation raises there
     from .text import chunk_tokens
-    size = ctx.int_param("size", 128)
-    stride = ctx.int_param("stride", 96)
-    if size < 1 or stride < 1 or stride > size:
-        raise OpError(f"need 1 <= stride <= size, got size={size} "
-                      f"stride={stride}")
-    return chunk_tokens(ctx.docs(), size=size, stride=stride)
+    kwargs = {}
+    if ctx.param("size") is not None:
+        kwargs["size"] = ctx.int_param("size")
+    if ctx.param("stride") is not None:
+        kwargs["stride"] = ctx.int_param("stride")
+    try:
+        return chunk_tokens(ctx.docs(), **kwargs)
+    except ValueError as e:
+        raise OpError(str(e))
 
 
 @_corpus_op("redact")

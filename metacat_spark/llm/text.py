@@ -125,7 +125,8 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         (cleaned != F.col("__raw")).alias("changed"))
 
 
-def chunk_tokens(df: DataFrame, size: int = 128, stride: int = 96,
+def chunk_tokens(df: DataFrame, size: int = 128,
+                 stride: int | None = None,
                  text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Overlapping token-window chunks — the unit an embedding/RAG
@@ -135,21 +136,29 @@ def chunk_tokens(df: DataFrame, size: int = 128, stride: int = 96,
     Windows start at 0, stride, 2·stride, …; the chunk count is
     1 + ceil(max(n_tokens − size, 0) / stride), so the final window
     always reaches the end of the document and a short document
-    yields exactly one chunk. Output: (doc_id, chunk_id,
+    yields exactly one chunk. ``stride=None`` derives
+    max(1, size·3/4) — the overlap ratio tracks a caller's --size
+    without forcing a paired --stride. Null-text documents yield NO
+    chunks (greatest/least null-SKIP rather than propagate, so
+    without the explicit filter a null doc would fabricate one
+    phantom full-size chunk — review r7). Output: (doc_id, chunk_id,
     n_chunk_tokens, chunk_text), provenance preserved by doc_id.
 
     All whole-stage codegen and SHUFFLE-FREE: one narrow explode per
     chunk index, window assembly by slice + concat_ws — the same
     pattern as shingle_rows, so it scales the same way (no token-row
     shuffle, no window sort)."""
+    if stride is None:
+        stride = max(1, size * 3 // 4)
     if size < 1 or stride < 1 or stride > size:
         # stride > size would sample gapped windows AND let the
         # final start position land past the document end (an empty
         # trailing chunk) — overlapping/contiguous windows only
         raise ValueError(f"need 1 <= stride <= size, got "
                          f"size={size} stride={stride}")
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     tokens(F.col(text_col)).alias("__toks"))
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      tokens(F.col(text_col)).alias("__toks"))
+            .where(F.col("__toks").isNotNull()))
     n = F.size("__toks")
     n_chunks = (F.lit(1)
                 + F.ceil(F.greatest(n - size, F.lit(0))

@@ -1025,7 +1025,7 @@ def test_chunk_tokens(spark):
     from metacat_spark.llm.text import chunk_tokens
     toks = [f"t{i}" for i in range(10)]
     df = spark.createDataFrame(
-        [(1, " ".join(toks)), (2, "a b"), (3, "")],
+        [(1, " ".join(toks)), (2, "a b"), (3, ""), (4, None)],
         "doc_id long, text string")
     out = chunk_tokens(df, size=4, stride=3).collect()
     got = {(r["doc_id"], r["chunk_id"]):
@@ -1038,12 +1038,20 @@ def test_chunk_tokens(spark):
     # tokenizer edge: '' splits to [''] -> one empty chunk (same as
     # the shingle path; gated upstream by min_tokens in curation)
     assert got[(3, 0)] == (1, "")
+    # null text -> NO chunks (greatest/least null-SKIP would
+    # otherwise fabricate a phantom full-size chunk — review r7)
+    assert not any(d == 4 for d, _ in got)
     assert len(got) == 5
     # contiguous windows (stride == size) tile exactly
     tile = chunk_tokens(df.where("doc_id = 1"), size=5,
                         stride=5).collect()
     assert {(r["chunk_id"], r["chunk_text"]) for r in tile} == \
         {(0, "t0 t1 t2 t3 t4"), (1, "t5 t6 t7 t8 t9")}
+    # stride defaults to 3/4 of size (size-only callers keep the
+    # standard overlap ratio — review r7)
+    drv = chunk_tokens(df.where("doc_id = 1"), size=4).collect()
+    assert {(r["chunk_id"], r["chunk_text"]) for r in drv} == \
+        {(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")}
     with pytest.raises(ValueError):
         chunk_tokens(df, size=0)
     with pytest.raises(ValueError):

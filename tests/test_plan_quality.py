@@ -225,19 +225,26 @@ def test_stratified_sample_no_interpreted_hof(spark):
 
 
 def test_normalize_text_single_python_stage(spark):
-    """normalize_text stages the NFC UDF result ONCE — the control
-    strip and the length/change accounting reference the staged
-    column, so the plan has exactly one ArrowEvalPython node (the
-    formatted explain prints each node twice: tree + detail) and no
-    shuffle. A collapsed projection would duplicate the Python call
-    per consumer."""
+    """normalize_text runs ONE Arrow Python stage evaluating ONE
+    UDF call. Node count alone is unfalsifiable for the duplication
+    class (ExtractPythonUDFs dedups EQUAL UDF expressions into one
+    node — verified: a triple-written equal call still plans one
+    node; review r7), so this also counts the udf invocations in
+    the node's Arguments detail line — a rewrite that applies the
+    udf to two DIFFERENT expressions (the guardable regression)
+    shows up there."""
     from metacat_spark.llm.text import normalize_text
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(normalize_text(docs))
     n_nodes = len({ln.strip() for ln in plan.splitlines()
                    if "ArrowEvalPython" in ln and ln.strip()
                    .startswith("(")})
-    assert n_nodes == 1, f"NFC UDF evaluated {n_nodes}x"
+    assert n_nodes == 1, f"{n_nodes} Python stages"
+    # detail format: "Arguments: [run(text#1)#5], [pythonUDF0#13], N"
+    args = [ln for ln in plan.splitlines()
+            if ln.startswith("Arguments:") and "run(" in ln]
+    assert len(args) == 1 and args[0].count("run(") == 1, \
+        f"NFC udf evaluated more than once: {args}"
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
 
