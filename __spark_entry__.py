@@ -1141,6 +1141,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return normalize_text(docs)
     q["doc_normalize_text"] = doc_normalize
 
+    def doc_droplines(spark, sf_dir):
+        """Boilerplate-line removal (llm/dedup.py drop_common_lines,
+        the CCNet/RefinedWeb line dedup): lines appearing in >= 2
+        distinct docs are dropped everywhere. The sf documents have
+        no newlines, so both sides first synthesize line structure
+        deterministically (replace ' the ' with a newline — at
+        sf0.001 that yields 56 cross-doc-common lines of 1288
+        distinct, so the op demonstrably removes AND keeps)."""
+        from metacat_spark.llm.dedup import drop_common_lines
+        docs = _docs(spark, sf_dir).withColumn(
+            "text", F.replace(F.col("text"), F.lit(" the "),
+                              F.lit("\n")))
+        return drop_common_lines(docs, min_df=2)
+    q["doc_drop_common_lines"] = doc_droplines
+
     def doc_chunks(spark, sf_dir):
         """Overlapping token-window chunks (llm/text.py
         chunk_tokens): the embedding/RAG indexing unit. size=16,
@@ -2370,6 +2385,41 @@ def oracle_sql() -> dict[str, str]:
                  as n_ctrl_removed,
                text_norm != text as changed
         from c"""
+
+    # Boilerplate line dedup: rebuild-ALL-docs-from-kept-lines is
+    # equivalent to the Spark side's touched-only rebuild because a
+    # literal split + rejoin on the same delim is lossless — an
+    # untouched doc's rebuild IS its original text. Null docs keep
+    # null text; all-boilerplate docs rebuild to ''.
+    o["doc_drop_common_lines"] = """
+        with d as (select doc_id,
+                          replace(text, ' the ', chr(10)) as text
+                   from documents),
+        t as (select doc_id, string_split(text, chr(10)) as lines
+              from d where text is not null),
+        ex as (select doc_id, lines,
+                      unnest(generate_series(1, len(lines))) as pos
+               from t),
+        l as (select doc_id, pos, lines[pos] as line from ex),
+        df_ as (select line, count(distinct doc_id) as line_df
+                from l group by line),
+        common as (select line from df_ where line_df >= 2),
+        reb as (select doc_id,
+                       string_agg(line, chr(10) order by pos)
+                         as clean,
+                       count(*) as n_kept
+                from (select k.* from l k
+                      anti join common using (line))
+                group by doc_id)
+        select d.doc_id,
+               case when d.text is null then null
+                    else coalesce(reb.clean, '') end as text,
+               len(string_split(d.text, chr(10)))::bigint as n_lines,
+               (case when d.text is null then 0
+                     else len(string_split(d.text, chr(10)))
+                          - coalesce(reb.n_kept, 0) end)::bigint
+                 as n_lines_removed
+        from d left join reb using (doc_id)"""
 
     # Token-window chunking: generate_series is INCLUSIVE of its
     # upper bound, so the bound is n_chunks - 1 = ceil(max(n-16,0)/12)

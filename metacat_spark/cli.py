@@ -13,9 +13,9 @@ metacat_namespace.py, metacat_named_query.py).
     python -m metacat_spark.cli named-query (list|show|create|search) ...
     python -m metacat_spark.cli corpus (analyze|quality|dedup|
         semdedup|admit|contamination|decontaminate|divergence|
-        report|stats|select|lm|pack|normalize|chunk|redact|scrub|
-        substring|split|mixture|ann|curate|gate|c4|publish|
-        verify-manifest) ...
+        report|stats|select|lm|pack|normalize|chunk|boilerplate|
+        redact|scrub|substring|split|mixture|ann|curate|gate|c4|
+        publish|verify-manifest) ...
         # beyond-reference; analytic ops dispatch through the shared
         # llm.registry (same table as the HTTP /data/corpus surface)
     python -m metacat_spark.cli events (windowed|sessionize|paths|
@@ -589,6 +589,15 @@ def build_parser() -> argparse.ArgumentParser:
                      help="tokens per chunk (default 128)")
     cch.add_argument("--stride", type=int,
                      help="window step (default 3/4 of --size)")
+    cb = cs.add_parser("boilerplate", help="drop lines shared by "
+                       ">= min-df docs (CCNet/RefinedWeb line dedup)")
+    _corpus_common(cb)
+    # no argparse defaults: the library signature (min_df 2, delim
+    # newline) is the single source shared with the HTTP surface
+    cb.add_argument("--min-df", type=int, dest="min_df",
+                    help="doc-frequency threshold (default 2)")
+    cb.add_argument("--delim",
+                    help="literal line delimiter (default newline)")
     cr = cs.add_parser("redact", help="PII scrub (typed placeholders)")
     _corpus_common(cr)
     cpub = cs.add_parser("publish", help="publish the corpus: "

@@ -977,6 +977,86 @@ def scrub_duplicate_spans(df: DataFrame, n: int = 8,
     return out
 
 
+def drop_common_lines(df: DataFrame, min_df: int = 2,
+                      delim: str = "\n", text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate-line removal, CCNet/RefinedWeb-style: a line
+    whose EXACT content appears in >= ``min_df`` DISTINCT documents
+    (navigation menus, cookie banners, footers — the classic web
+    boilerplate signature) is dropped from EVERY document; the
+    remaining lines rejoin in order with ``delim``. Complements
+    scrub_duplicate_spans (token-gram granularity, within- and
+    cross-document) with the line-granular, cross-document-only
+    variant every web-corpus pipeline runs first.
+
+    Returns (doc_id, text, n_lines, n_lines_removed); documents
+    whose every line is boilerplate come back with empty text (the
+    caller decides whether to drop them), untouched documents pass
+    through with their ORIGINAL text verbatim.
+
+    Scale shape: line identity is xxhash64 (8-byte shuffle payload —
+    same rationale as hashed_shingle_rows; a cross-doc collision in
+    2^64 could only over-drop one line pair). Document frequency is
+    dropDuplicates + groupBy(count) — both map-side combinable, so a
+    corpus-wide banner never concentrates its occurrence rows before
+    counting. The drop itself is a left-anti join on the hash:
+    Catalyst broadcasts the common-line list when it is small, and
+    AQE's skew-split handles the probe-side concentration of a
+    mega-frequent line otherwise. Rebuild touches ONLY documents
+    that lost a line (semi-join before the rebuild explode);
+    split + rejoin on the same delim is lossless for the rest, which
+    pass through verbatim without ever exploding.
+
+    ``delim`` is a LITERAL (regex-quoted before the split)."""
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if not delim:
+        raise ValueError("delim must be non-empty")
+    pat = "\\Q" + delim + "\\E"          # literal under Java regex
+    lines = (_spread(df)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(F.split(F.col(text_col), pat, -1))
+                     .alias("pos", "line"))
+             .withColumn("h", F.xxhash64("line")))
+    common = (lines.select("id", "h").dropDuplicates(["h", "id"])
+              .groupBy("h").agg(F.count("*").alias("line_df"))
+              .where(F.col("line_df") >= min_df)
+              .select("h"))
+    touched = (lines.join(common, "h", "left_semi")
+               .select("id").distinct())
+    kept = (lines.join(touched, "id", "left_semi")
+            .join(common, "h", "left_anti"))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "line"))),
+                       lambda s: s["line"]), delim).alias("_clean"),
+                    F.count("*").alias("_n_kept")))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        F.size(F.split(F.col(text_col), pat, -1)).cast("long")
+        .alias("n_lines"))
+    out = (base
+           .join(touched.withColumnRenamed("id", "doc_id")
+                 .withColumn("_touched", F.lit(True)),
+                 "doc_id", "left")
+           .join(rebuilt.withColumnRenamed("id", "doc_id"),
+                 "doc_id", "left")
+           .select(
+               "doc_id",
+               F.when(F.col("_touched").isNotNull(),
+                      F.coalesce(F.col("_clean"), F.lit("")))
+               .otherwise(F.col("text")).alias("text"),
+               "n_lines",
+               F.when(F.col("_touched").isNotNull(),
+                      F.col("n_lines")
+                      - F.coalesce(F.col("_n_kept"), F.lit(0)))
+               .otherwise(F.lit(0)).cast("long")
+               .alias("n_lines_removed")))
+    return out
+
+
 def semantic_dedup_text(documents: DataFrame, threshold: float = 0.999,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

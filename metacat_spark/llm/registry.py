@@ -349,6 +349,22 @@ def _op_chunk(ctx: OpContext) -> DataFrame:
         raise OpError(str(e))
 
 
+@_corpus_op("boilerplate")
+def _op_boilerplate(ctx: OpContext) -> DataFrame:
+    # single-source pattern: defaults (min_df=2, delim newline) and
+    # validation live in the library signature
+    from .dedup import drop_common_lines
+    kwargs = {}
+    if ctx.param("min_df") is not None:
+        kwargs["min_df"] = ctx.int_param("min_df")
+    if ctx.param("delim") is not None:
+        kwargs["delim"] = str(ctx.param("delim"))
+    try:
+        return drop_common_lines(ctx.docs(), **kwargs)
+    except ValueError as e:
+        raise OpError(str(e))
+
+
 @_corpus_op("redact")
 def _op_redact(ctx: OpContext) -> DataFrame:
     from .text import pii_count, redact_pii

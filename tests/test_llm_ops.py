@@ -985,6 +985,49 @@ def test_repetition_scores_boilerplate(spark):
     assert r[2]["top_ngram_frac"] < 0.3
 
 
+def test_drop_common_lines(spark):
+    """CCNet-style boilerplate removal: lines shared by >= min_df
+    DISTINCT docs vanish everywhere (within-doc repetition alone
+    doesn't count), untouched docs pass through verbatim, fully
+    boilerplate docs come back empty, null text propagates, and the
+    delimiter is treated literally (regex metachars inert)."""
+    from metacat_spark.llm.dedup import drop_common_lines
+    df = spark.createDataFrame(
+        [(1, "keep1\nCOMMON\nkeep2"),
+         (2, "COMMON\nunique2"),
+         (3, "solo\nsolo"),          # repeated WITHIN one doc only
+         (4, "COMMON"),
+         (5, None)],
+        "doc_id long, text string")
+    r = {x["doc_id"]: x for x in drop_common_lines(df).collect()}
+    assert r[1]["text"] == "keep1\nkeep2"
+    assert (r[1]["n_lines"], r[1]["n_lines_removed"]) == (3, 1)
+    assert r[2]["text"] == "unique2"
+    assert r[3]["text"] == "solo\nsolo"       # df counts DOCS
+    assert r[3]["n_lines_removed"] == 0
+    assert r[4]["text"] == "" and r[4]["n_lines_removed"] == 1
+    assert r[5]["text"] is None and r[5]["n_lines_removed"] == 0
+    # min_df=3: COMMON appears in 3 docs -> still dropped; raise to
+    # 4 and everything survives
+    r3 = {x["doc_id"]: x["n_lines_removed"]
+          for x in drop_common_lines(df, min_df=3).collect()}
+    assert r3[1] == 1 and r3[4] == 1
+    r4 = {x["doc_id"]: x["n_lines_removed"]
+          for x in drop_common_lines(df, min_df=4).collect()}
+    assert set(r4.values()) == {0}
+    # literal delimiter: '.' must not act as a regex wildcard
+    dot = spark.createDataFrame(
+        [(1, "a.BANNER.b"), (2, "BANNER.c")],
+        "doc_id long, text string")
+    rd = {x["doc_id"]: x["text"]
+          for x in drop_common_lines(dot, delim=".").collect()}
+    assert rd[1] == "a.b" and rd[2] == "c"
+    with pytest.raises(ValueError):
+        drop_common_lines(df, min_df=1)
+    with pytest.raises(ValueError):
+        drop_common_lines(df, delim="")
+
+
 def test_normalize_text(spark):
     """NFC composition, control stripping, and change accounting
     through the real Spark path: decomposed accents compose, C0

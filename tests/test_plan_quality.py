@@ -261,7 +261,16 @@ def test_chunk_tokens_shuffle_free(spark):
     assert "EvalPython" not in plan
 
 
-def test_multimodal_features_is_arrow_batched(spark):
+def test_drop_common_lines_relational(spark):
+    """Boilerplate line dedup is all-JVM and pairwise-free: no
+    Python stage, no cartesian, and the only line-identity payload
+    crossing shuffles is the 8-byte xxhash64 (the line TEXT itself
+    appears in exchanges only attached to its own doc row)."""
+    from metacat_spark.llm.dedup import drop_common_lines
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(drop_common_lines(docs))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     """Feature extraction must run as ONE Arrow-batched python stage
     (mapInPandas), not row-at-a-time BatchEvalPython."""
     from metacat_spark.llm.multimodal import (extract_features,
