@@ -50,7 +50,15 @@ class MetaCatSparkClient:
         save_as/add_to take "namespace:name" and materialize the result
         as dataset membership before returning. after_id/page_size are
         the id-cursor pagination surface (no global sort, unlike
-        `skip`)."""
+        `skip`).
+
+        Known cost (deliberate): with save_as/add_to the underlying
+        file-set plan executes twice — once for the membership write,
+        once for the returned rows. Sharing one DataFrame would
+        couple the query projection (summary/meta/pagination shapes)
+        to DML internals; the reference pays the same double cost
+        (query then add_files round-trips), and the DML path is not
+        a hot path here."""
         df = self.engine.query(mql, with_meta=with_metadata,
                                with_provenance=with_provenance,
                                summary=summary,
@@ -62,10 +70,10 @@ class MetaCatSparkClient:
                 mql, include_retired=include_retired_files,
                 default_namespace=namespace)
             if save_as:
-                ns, name = save_as.split(":", 1)
+                ns, name = self._split_did(save_as, "save_as")
                 self.dml.save_as(fs, ns, name)
             if add_to:
-                ns, name = add_to.split(":", 1)
+                ns, name = self._split_did(add_to, "add_to")
                 self.dml.add_to(fs, ns, name)
         return [self._row_to_dict(r) for r in df.collect()]
 
@@ -82,10 +90,10 @@ class MetaCatSparkClient:
                 include_retired=kw.get("include_retired_files", False),
                 default_namespace=kw.get("namespace"))
             if kw.get("save_as"):
-                ns, name = kw["save_as"].split(":", 1)
+                ns, name = self._split_did(kw["save_as"], "save_as")
                 self.dml.save_as(fs, ns, name)
             if kw.get("add_to"):
-                ns, name = kw["add_to"].split(":", 1)
+                ns, name = self._split_did(kw["add_to"], "add_to")
                 self.dml.add_to(fs, ns, name)
         df = self.engine.query(mql, with_meta=kw.get("with_metadata", False),
                                with_provenance=kw.get(
@@ -115,8 +123,20 @@ class MetaCatSparkClient:
         """Promise-returning variant (webapi.py:1296-1323)."""
         return self._pool.submit(self.query, mql, **kw)
 
-    def explain(self, mql: str, **kw) -> str:
-        return self.engine.explain(mql, **kw)
+    def explain(self, mql: str, with_metadata: bool = False,
+                with_provenance: bool = False,
+                summary: Optional[str] = None,
+                include_retired_files: bool = False,
+                namespace: Optional[str] = None) -> str:
+        """Engine explain under the CLIENT surface's kwarg names —
+        the names query() takes (review r7: explain(namespace=...)
+        raised TypeError while query(namespace=...) worked, because
+        **kw forwarded client names to engine parameters)."""
+        return self.engine.explain(
+            mql, with_meta=with_metadata,
+            with_provenance=with_provenance, summary=summary,
+            include_retired=include_retired_files,
+            default_namespace=namespace)
 
     # ------------------------------------------------------------- lookup
     def get_file(self, fid: Optional[str] = None,
@@ -130,7 +150,7 @@ class MetaCatSparkClient:
         if fid is not None:
             hit = F.col("id") == fid
         elif did is not None:
-            ns, name = did.split(":", 1)
+            ns, name = self._split_did(did, "did")
             hit = (F.col("namespace") == ns) & (F.col("name") == name)
         else:
             raise ValueError("need fid or did")
@@ -175,12 +195,12 @@ class MetaCatSparkClient:
         return [self._row_to_dict(r) for r in out.collect()]
 
     def list_datasets(self, pattern: str = "*:*") -> list[dict]:
-        ns, pat = pattern.split(":", 1)
+        ns, pat = self._split_did(pattern, "pattern")
         return self.query(f"datasets matching {ns}:{pat}")
 
     # ---------------------------------------------------------------- DML
     def declare_files(self, dataset: Optional[str], rows: list[dict]) -> int:
-        ds = tuple(dataset.split(":", 1)) if dataset else None
+        ds = self._split_did(dataset, "dataset") if dataset else None
         return self.dml.declare_files(rows, dataset=ds)
 
     def update_file_metadata(self, fid: str, metadata: dict,
@@ -197,6 +217,17 @@ class MetaCatSparkClient:
         self.dml.update_file(fid, **kw)
 
     # ------------------------------------------------------------ helpers
+    @staticmethod
+    def _split_did(value: str, what: str) -> tuple[str, str]:
+        """'namespace:name' → (namespace, name), with a usable error
+        for colon-less input (review r7: the bare tuple-unpack
+        ValueError gave no hint of the expected format)."""
+        ns, sep, name = value.partition(":")
+        if not sep or not ns or not name:
+            raise ValueError(
+                f"{what} must be 'namespace:name', got {value!r}")
+        return ns, name
+
     @staticmethod
     def _row_to_dict(row) -> dict:
         d = row.asDict(recursive=True)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +74,22 @@ def _open_shard_output(dest: str):
     return open(dest, "wb")
 
 
+def _commit_shard(tmp: str, dest: str):
+    """Publish a completed shard under its final name: rename, so a
+    task retry or speculative duplicate never exposes a partial file
+    at ``dest`` (each attempt writes its own temp name; whichever
+    commits last wins with a COMPLETE file). Local rename is atomic;
+    pyarrow fs move is atomic on hdfs:// and object-complete on
+    object stores."""
+    if "://" in dest:
+        from pyarrow import fs as pafs
+        filesystem, p_dest = pafs.FileSystem.from_uri(dest)
+        _, p_tmp = pafs.FileSystem.from_uri(tmp)
+        filesystem.move(p_tmp, p_dest)
+    else:
+        os.replace(tmp, dest)
+
+
 def _with_shard(df: DataFrame, id_col: str, n_shards: int):
     return df.withColumn(
         "__shard",
@@ -100,20 +117,29 @@ def export_corpus(df: DataFrame, path: str, fmt: str = "parquet",
     # jobs) would publish a manifest describing different data than
     # what was written — and the read-back is one pass instead of two
     # (review r6)
-    written = df.sparkSession.read.format(fmt).load(path)
-    per = (written.groupBy("__shard")
-           .agg(F.count("*").alias("rows"),
-                F.sum(F.size(tokens(F.col(text_col))))
-                .alias("tokens"),
-                F.pmod(F.sum(F.pmod(F.xxhash64(F.col(text_col)),
-                                    F.lit(1 << 62))
-                             .cast("decimal(38,0)")),
-                       F.lit(1 << 62)).cast("long")
-                .alias("checksum"))
-           .collect())
+    try:
+        written = df.sparkSession.read.format(fmt).load(path)
+        per = (written.groupBy("__shard")
+               .agg(F.count("*").alias("rows"),
+                    F.sum(F.size(tokens(F.col(text_col))))
+                    .alias("tokens"),
+                    F.pmod(F.sum(F.pmod(F.xxhash64(F.col(text_col)),
+                                        F.lit(1 << 62))
+                                 .cast("decimal(38,0)")),
+                           F.lit(1 << 62)).cast("long")
+                    .alias("checksum"))
+               .collect())
+    except AnalysisException:
+        # an EMPTY corpus writes only _SUCCESS — no data files, no
+        # inferable schema; publish an honest zero-row manifest
+        # instead of dying after the overwrite (review r7)
+        per = []
+    # `or 0`: null-text rows hash/tokenize to NULL, which F.sum
+    # SKIPS — an all-null shard aggregates to None (review r7);
+    # verify_manifest coalesces the same way, so the two stay equal
     shards = {int(r["__shard"]): {
-        "rows": int(r["rows"]), "tokens": int(r["tokens"]),
-        "checksum": int(r["checksum"]) % (1 << 62)}
+        "rows": int(r["rows"]), "tokens": int(r["tokens"] or 0),
+        "checksum": int(r["checksum"] or 0) % (1 << 62)}
         for r in per}
     manifest = {
         "format": fmt,
@@ -139,7 +165,11 @@ def verify_manifest(spark, path: str, text_col: str = "text") -> bool:
     over the corpus, no driver materialization of the data."""
     manifest = json.loads(
         _read_text(spark, path.rstrip("/") + "/_manifest.json"))
-    df = (spark.read.format(manifest["format"]).load(path))
+    try:
+        df = (spark.read.format(manifest["format"]).load(path))
+    except AnalysisException:
+        # no data files at all: valid iff the manifest says so
+        return manifest["rows"] == 0 and manifest["tokens"] == 0
     got = df.agg(
         F.count("*").alias("rows"),
         F.sum(F.size(tokens(F.col(text_col)))).alias("tokens"),
@@ -148,8 +178,8 @@ def verify_manifest(spark, path: str, text_col: str = "text") -> bool:
                F.lit(1 << 62)).cast("long")
         .alias("checksum")).collect()[0]
     return (int(got["rows"]) == manifest["rows"]
-            and int(got["tokens"]) == manifest["tokens"]
-            and int(got["checksum"]) % (1 << 62)
+            and int(got["tokens"] or 0) == manifest["tokens"]
+            and int(got["checksum"] or 0) % (1 << 62)
             == manifest["checksum"])
 
 
@@ -171,22 +201,37 @@ def to_webdataset(df: DataFrame, path: str, n_shards: int = 8,
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         import io
         import tarfile
+        import uuid
         if not len(pdf):
             return pd.DataFrame({"shard": [], "n": []})
         shard = int(pdf["__shard"].iloc[0])
         dest = path.rstrip("/") + f"/shard-{shard:05d}.tar"
+        # per-ATTEMPT temp name + rename commit: a retried or
+        # speculative task never interleaves writes under the final
+        # name (review r7); a failed attempt leaves only its temp
+        tmp = dest + f".tmp-{uuid.uuid4().hex}"
         pdf = pdf.sort_values("id")
-        # stream mode ("w|"): entry-by-entry writes into the sink,
-        # never the whole shard in memory — works on pyarrow output
-        # streams (write-only, no seek) and local files alike
-        with _open_shard_output(dest) as out, \
-                tarfile.open(fileobj=out, mode="w|") as tar:
-            for _, row in pdf.iterrows():
-                data = str(row["text"]).encode("utf-8")
-                info = tarfile.TarInfo(name=f"{row['id']}.txt")
-                info.size = len(data)
-                info.mtime = 0          # deterministic bytes
-                tar.addfile(info, io.BytesIO(data))
+        try:
+            # stream mode ("w|"): entry-by-entry writes into the
+            # sink, never the whole shard in memory — works on
+            # pyarrow output streams (write-only, no seek) and local
+            # files alike
+            with _open_shard_output(tmp) as out, \
+                    tarfile.open(fileobj=out, mode="w|") as tar:
+                for doc_id, text in zip(pdf["id"], pdf["text"]):
+                    # null text publishes as an EMPTY member, never
+                    # the 4-byte literal "None" (review r7)
+                    data = (b"" if pd.isna(text)
+                            else str(text).encode("utf-8"))
+                    info = tarfile.TarInfo(name=f"{doc_id}.txt")
+                    info.size = len(data)
+                    info.mtime = 0      # deterministic bytes
+                    tar.addfile(info, io.BytesIO(data))
+        except BaseException:
+            if "://" not in tmp and os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+        _commit_shard(tmp, dest)
         return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
     done = (sharded.groupBy("__shard")

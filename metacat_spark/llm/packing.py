@@ -40,21 +40,34 @@ def pack_sequences(df: DataFrame, max_tokens: int = 512,
     - ``n_tok``: token count of this chunk (whitespace tokens, the same
       tokenizer contract as llm/text.py).
 
-    ``n_groups`` defaults to ceil(n_docs / group_docs) via one count
-    over the narrow (id, n_tok) projection; pass it explicitly to skip
-    that job when the corpus size is already known (e.g. the catalog's
-    cached nfiles)."""
+    Null-text documents yield NO rows (token_count null-skips
+    through greatest/least, which would otherwise fabricate one
+    phantom max_tokens chunk — the same hazard class fixed in
+    chunk_tokens, review r7).
+
+    ``n_groups`` defaults to ceil(total_CHUNKS / group_docs) via one
+    aggregate over the narrow (id, n_tok) projection — chunks, not
+    documents, are the FFD work unit, so a long-document corpus
+    can't pack group_docs × chunks-per-doc rows into one task
+    (review r7); pass it explicitly to skip that job when the
+    chunk volume is already known. The group key hashes
+    (doc_id, chunk) — each window-sized chunk is independently
+    packable, so one mega-document's thousands of chunks spread
+    across groups instead of pinning one task."""
     import pandas as pd
 
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     token_count(F.col(text_col)).cast("int")
-                     .alias("doc_tok"))
-    if n_groups is None:
-        n_docs = base.count()
-        n_groups = max(1, -(-n_docs // group_docs))
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      token_count(F.col(text_col)).cast("int")
+                      .alias("doc_tok"))
+            .where(F.col("doc_tok").isNotNull()))
     # long docs -> ceil(doc_tok / max_tokens) window-sized chunks
     n_chunks = F.greatest(
         F.lit(1), F.ceil(F.col("doc_tok") / max_tokens).cast("int"))
+    if n_groups is None:
+        total_chunks = base.agg(
+            F.coalesce(F.sum(n_chunks), F.lit(0)).alias("c")
+        ).collect()[0]["c"]
+        n_groups = max(1, -(-int(total_chunks) // group_docs))
     chunks = (base
               .withColumn("chunk", F.explode(
                   F.sequence(F.lit(0), n_chunks - 1)))
@@ -63,7 +76,8 @@ def pack_sequences(df: DataFrame, max_tokens: int = 512,
                   F.col("doc_tok") - F.col("chunk") * max_tokens))
               .withColumn("grp", F.pmod(
                   F.xxhash64(F.col("doc_id").cast("string"),
-                             F.lit(seed)), F.lit(n_groups)))
+                             F.col("chunk"), F.lit(seed)),
+                  F.lit(n_groups)))
               .select("grp", "doc_id", "chunk", "n_tok"))
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -221,8 +221,8 @@ def make_handler(client: MetaCatSparkClient,
                 return self._send(200, "text/plain",
                                   client.explain(
                                       mql,
-                                      default_namespace=_one(params,
-                                                             "namespace")))
+                                      namespace=_one(params,
+                                                     "namespace")))
 
             summary = _one(params, "summary")
             if summary not in ("count", "keys", "key-values", None):

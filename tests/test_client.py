@@ -63,6 +63,24 @@ def test_query_save_as(spark):
 def test_explain(client):
     out = client.explain("files from dune:urgent_0 where core.run > 5")
     assert "MQL AST" in out and "Spark plan" in out
+    # explain takes the CLIENT surface's kwarg names, same as
+    # query() (review r7: namespace= raised TypeError here while
+    # working on query())
+    out = client.explain("files from urgent_0", namespace="dune")
+    assert "Spark plan" in out
+
+
+def test_did_parse_errors(client):
+    """Colon-less namespace:name inputs raise a message that names
+    the expected format, not a bare tuple-unpack ValueError
+    (review r7)."""
+    import pytest
+    for call in (lambda: client.get_file(did="myfile.dat"),
+                 lambda: client.query("files from dune:urgent_0",
+                                      save_as="nodashes"),
+                 lambda: client.list_datasets("noseparator")):
+        with pytest.raises(ValueError, match="namespace:name"):
+            call()
 
 
 def test_stream_json_seq(client):

@@ -843,6 +843,30 @@ def test_pack_sequences_chunks_long_docs(spark):
     assert len(fills) == 4
 
 
+def test_pack_sequences_null_text_and_chunk_sizing(spark):
+    """Null-text docs yield NO pack rows (greatest/least null-skip
+    would otherwise fabricate one phantom max_tokens chunk — review
+    r7), and the default n_groups sizing counts CHUNKS, not
+    documents, so a single mega-document's chunks spread across
+    groups instead of pinning one FFD task."""
+    from metacat_spark.llm.packing import pack_sequences
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10)), (2, None)],
+        "doc_id long, text string")
+    p = pack_sequences(df, max_tokens=4).collect()
+    assert {r["doc_id"] for r in p} == {1}
+    assert sum(r["n_tok"] for r in p) == 10
+    # one 400-token doc at max_tokens=4 -> 100 chunks; group_docs=10
+    # must yield multiple groups (chunk-based sizing) with every
+    # chunk placed exactly once
+    big = spark.createDataFrame([(7, " ".join(["z"] * 400))],
+                                "doc_id long, text string")
+    rows = pack_sequences(big, max_tokens=4, group_docs=10).collect()
+    assert len(rows) == 100 and len({r["chunk"] for r in rows}) == 100
+    groups = {r["pack_id"].split("-")[0] for r in rows}
+    assert len(groups) > 1, "mega-doc chunks all pinned to one group"
+
+
 # --------------------------------------------------------- PII scrubbing
 
 def test_pii_redaction_vs_duck(spark, duck):
@@ -1856,6 +1880,47 @@ def test_to_webdataset_deterministic_tars(docs, spark, tmp_path):
     h2 = [hashlib.md5(open(p, "rb").read()).hexdigest()
           for p in shards2]
     assert h1 == h2
+
+
+def test_export_edge_cases_null_and_empty(spark, tmp_path):
+    """Review-r7 export hardening: null text publishes as an EMPTY
+    tar member (never the literal 'None'); no .tmp- attempt files
+    survive a successful export (each attempt writes a temp name
+    and commits by rename); an all-null corpus publishes a manifest
+    with tokens/checksum 0 that verifies; an EMPTY corpus publishes
+    a zero-row manifest instead of dying after the overwrite."""
+    import os
+    import tarfile
+
+    from metacat_spark.llm.export import (export_corpus,
+                                          to_webdataset,
+                                          verify_manifest)
+    df = spark.createDataFrame([(1, "real text"), (2, None)],
+                               "doc_id long, text string")
+    d = str(tmp_path / "wds_null")
+    shards = to_webdataset(df, d, n_shards=1)
+    with tarfile.open(shards[0]) as tar:
+        members = {n: tar.extractfile(n).read() for n in tar.getnames()}
+    assert members["1.txt"] == b"real text"
+    assert members["2.txt"] == b""
+    assert not [f for f in os.listdir(d) if ".tmp-" in f]
+
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "doc_id long, text string")
+    dn = str(tmp_path / "pub_nulls")
+    man = export_corpus(nulls, dn, n_shards=1)
+    # tokens: sum over all-null sizes is NULL -> coalesced to 0
+    # (the pre-fix int(None) crash); checksum: xxhash64 hashes a
+    # null column to the per-row seed hash, so it is nonzero but
+    # CONSISTENT between manifest and recheck
+    assert man["rows"] == 2 and man["tokens"] == 0
+    assert verify_manifest(spark, dn)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    de = str(tmp_path / "pub_empty")
+    man = export_corpus(empty, de, n_shards=2)
+    assert man["rows"] == 0 and man["shards"] == {}
+    assert verify_manifest(spark, de)
 
 
 def test_export_corpus_json_format_ignores_manifest(docs, spark,
