@@ -44,6 +44,18 @@ def _cases(spark, mult):
         "events_funnel": lambda: EV.funnel(
             _probe._replicate_events(spark, mult),
             ["view", "click", "purchase"], horizon_s=86400).count(),
+        # consumed via a text hash + the removed count, NOT count():
+        # output cardinality == input cardinality here, so count()
+        # would let Catalyst prune the whole rebuild (the recurring
+        # deterministic-and-unconsumed bug class). Replicas share
+        # text, so at 4x every line is cross-doc common — a harsher
+        # work profile (everything touched), still bounded.
+        "line_dedup": lambda: len(
+            DD.drop_common_lines(docs, min_df=2)
+            .agg(F.bit_xor(F.xxhash64(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.col("n_lines_removed"))).alias("s"))
+            .collect()),
     }
 
 
