@@ -1012,7 +1012,10 @@ def drop_common_lines(df: DataFrame, min_df: int = 2,
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     if not delim:
         raise ValueError("delim must be non-empty")
-    pat = "\\Q" + delim + "\\E"          # literal under Java regex
+    # literal under Java regex; an embedded \E would otherwise close
+    # the quote and turn the tail into live pattern syntax — escape it
+    # exactly the way java.util.regex.Pattern.quote does (ADVICE r8)
+    pat = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = (_spread(df)
              .select(F.col(id_col).alias("id"),
                      F.posexplode(F.split(F.col(text_col), pat, -1))

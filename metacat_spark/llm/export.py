@@ -90,6 +90,22 @@ def _commit_shard(tmp: str, dest: str):
         os.replace(tmp, dest)
 
 
+def _has_data_files(spark, path: str) -> bool:
+    """True iff the directory tree at ``path`` contains any file a
+    Spark data-source reader would treat as data (ignores _- and
+    .-prefixed names like _SUCCESS/_manifest.json). Hadoop FS, so it
+    answers for hdfs://, s3a://, and local paths alike."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def _with_shard(df: DataFrame, id_col: str, n_shards: int):
     return df.withColumn(
         "__shard",
@@ -132,7 +148,12 @@ def export_corpus(df: DataFrame, path: str, fmt: str = "parquet",
     except AnalysisException:
         # an EMPTY corpus writes only _SUCCESS — no data files, no
         # inferable schema; publish an honest zero-row manifest
-        # instead of dying after the overwrite (review r7)
+        # instead of dying after the overwrite (review r7). But only
+        # when the destination really holds no data files: a read-back
+        # that failed for any OTHER analysis-time reason must surface,
+        # not publish rows=0 for a non-empty write (ADVICE r8)
+        if _has_data_files(df.sparkSession, path):
+            raise
         per = []
     # `or 0`: null-text rows hash/tokenize to NULL, which F.sum
     # SKIPS — an all-null shard aggregates to None (review r7);
@@ -228,7 +249,17 @@ def to_webdataset(df: DataFrame, path: str, n_shards: int = 8,
                     info.mtime = 0      # deterministic bytes
                     tar.addfile(info, io.BytesIO(data))
         except BaseException:
-            if "://" not in tmp and os.path.exists(tmp):
+            if "://" in tmp:
+                # best-effort: an orphaned .tmp-* next to published
+                # shards would pollute naive listings (ADVICE r8);
+                # never mask the original failure if delete fails too
+                try:
+                    from pyarrow import fs as pafs
+                    filesystem, p_tmp = pafs.FileSystem.from_uri(tmp)
+                    filesystem.delete_file(p_tmp)
+                except Exception:
+                    pass
+            elif os.path.exists(tmp):
                 os.unlink(tmp)
             raise
         _commit_shard(tmp, dest)

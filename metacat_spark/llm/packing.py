@@ -10,10 +10,15 @@ approximation: when a group's token mass is many multiples of
 global (FFD itself guarantees every bin but one is > half full).
 
 Scale shape: the only Python is ONE applyInPandas over (group) keys —
-each task sees ~``group_docs`` (id, n_tok) pairs, never the text; long
-documents are pre-split into window-sized chunks relationally
-(sequence + explode, whole-stage codegen); the shuffle is one hash
-partition on the group key of narrow rows.
+each task sees ~``group_chunks`` (id, chunk, n_tok) rows (the unit is
+CHUNKS, not documents: long documents are pre-split into window-sized
+chunks relationally — sequence + explode, whole-stage codegen — and
+the chunks are what FFD packs); the shuffle is one hash partition on
+the group key of narrow rows. Inside a task, "first bin that fits" is
+answered by a max-capacity segment tree over the bins (leftmost leaf
+with capacity >= t), so a worst-case group costs O(n log n)
+comparisons instead of the linear scan's O(n^2) (VERDICT r7 #7) —
+assignments are bit-identical to the naive first-fit loop.
 """
 
 from __future__ import annotations
@@ -25,10 +30,11 @@ from .text import token_count
 
 
 def pack_sequences(df: DataFrame, max_tokens: int = 512,
-                   group_docs: int = 4096,
+                   group_chunks: int = 4096,
                    text_col: str = "text", id_col: str = "doc_id",
                    seed: int = 42,
-                   n_groups: int | None = None) -> DataFrame:
+                   n_groups: int | None = None,
+                   group_docs: int | None = None) -> DataFrame:
     """Assign every document (chunk) to a pack: returns one row per
     (doc_id, chunk) with columns (doc_id, chunk, n_tok, pack_id).
 
@@ -45,17 +51,24 @@ def pack_sequences(df: DataFrame, max_tokens: int = 512,
     phantom max_tokens chunk — the same hazard class fixed in
     chunk_tokens, review r7).
 
-    ``n_groups`` defaults to ceil(total_CHUNKS / group_docs) via one
+    ``n_groups`` defaults to ceil(total_CHUNKS / group_chunks) via one
     aggregate over the narrow (id, n_tok) projection — chunks, not
     documents, are the FFD work unit, so a long-document corpus
-    can't pack group_docs × chunks-per-doc rows into one task
+    can't pack group_chunks × chunks-per-doc rows into one task
     (review r7); pass it explicitly to skip that job when the
     chunk volume is already known. The group key hashes
     (doc_id, chunk) — each window-sized chunk is independently
     packable, so one mega-document's thousands of chunks spread
-    across groups instead of pinning one task."""
+    across groups instead of pinning one task.
+
+    ``group_docs`` is a deprecated alias for ``group_chunks`` (the
+    parameter was renamed in r8 when group sizing moved from document
+    count to chunk count — ADVICE r8); passing it keeps working but
+    new code should say what it means."""
     import pandas as pd
 
+    if group_docs is not None:
+        group_chunks = group_docs
     base = (df.select(F.col(id_col).alias("doc_id"),
                       token_count(F.col(text_col)).cast("int")
                       .alias("doc_tok"))
@@ -67,7 +80,7 @@ def pack_sequences(df: DataFrame, max_tokens: int = 512,
         total_chunks = base.agg(
             F.coalesce(F.sum(n_chunks), F.lit(0)).alias("c")
         ).collect()[0]["c"]
-        n_groups = max(1, -(-int(total_chunks) // group_docs))
+        n_groups = max(1, -(-int(total_chunks) // group_chunks))
     chunks = (base
               .withColumn("chunk", F.explode(
                   F.sequence(F.lit(0), n_chunks - 1)))
@@ -86,18 +99,37 @@ def pack_sequences(df: DataFrame, max_tokens: int = 512,
         order = pdf.sort_values(
             ["n_tok", "doc_id", "chunk"],
             ascending=[False, True, True]).reset_index(drop=True)
-        bins: list[int] = []          # remaining capacity per bin
+        # first-fit via a max-capacity segment tree over bin slots:
+        # "leftmost bin with remaining >= t" in O(log n) instead of a
+        # linear scan — same assignments (unopened slots hold capacity
+        # 0, so for t >= 1 only opened bins match; the n_bins guard
+        # keeps t == 0 from landing in a never-opened slot), bounding
+        # the worst-case group at O(n log n) (VERDICT r7 #7)
+        n = len(order)
+        size = 1
+        while size < max(1, n):
+            size *= 2
+        tree = [0] * (2 * size)       # max remaining cap per subtree
+        n_bins = 0
         assign: list[int] = []
         for t in order["n_tok"]:
             t = int(t)
-            for i, rem in enumerate(bins):
-                if rem >= t:
-                    bins[i] = rem - t
-                    assign.append(i)
-                    break
+            if n_bins and tree[1] >= t:
+                i = 1
+                while i < size:
+                    i = 2 * i if tree[2 * i] >= t else 2 * i + 1
+                b = i - size
+                tree[i] -= t
             else:
-                bins.append(max_tokens - t)
-                assign.append(len(bins) - 1)
+                b = n_bins
+                n_bins += 1
+                i = size + b
+                tree[i] = max_tokens - t
+            assign.append(b)
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
         return pd.DataFrame({
             "doc_id": order["doc_id"],
             "chunk": order["chunk"],

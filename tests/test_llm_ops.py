@@ -867,6 +867,39 @@ def test_pack_sequences_null_text_and_chunk_sizing(spark):
     assert len(groups) > 1, "mega-doc chunks all pinned to one group"
 
 
+def test_pack_sequences_ffd_matches_naive_first_fit(spark):
+    """The segment-tree first-fit (r8, VERDICT r7 #7) must assign
+    bit-identically to the naive linear scan it replaced: replay the
+    same FFD order through a reference loop and compare pack ids,
+    including zero-token (empty-text) chunks, over a single group so
+    group hashing can't mask a divergence."""
+    import random
+
+    from metacat_spark.llm.packing import pack_sequences
+    rng = random.Random(8)
+    docs = [(i, " ".join(["w"] * rng.randint(1, 70)))
+            for i in range(1, 120)]
+    docs += [(200, ""), (201, "x")]        # a 0-token chunk
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = pack_sequences(df, max_tokens=64, n_groups=1).collect()
+    # reference: naive first-fit over the documented FFD order
+    order = sorted(got, key=lambda r: (-r["n_tok"], r["doc_id"],
+                                       r["chunk"]))
+    bins, want = [], {}
+    for r in order:
+        t = r["n_tok"]
+        for i, rem in enumerate(bins):
+            if rem >= t:
+                bins[i] = rem - t
+                want[(r["doc_id"], r["chunk"])] = i
+                break
+        else:
+            bins.append(64 - t)
+            want[(r["doc_id"], r["chunk"])] = len(bins) - 1
+    for r in got:
+        assert r["pack_id"] == f"0-{want[(r['doc_id'], r['chunk'])]}"
+
+
 # --------------------------------------------------------- PII scrubbing
 
 def test_pii_redaction_vs_duck(spark, duck):
@@ -1050,6 +1083,15 @@ def test_drop_common_lines(spark):
         drop_common_lines(df, min_df=1)
     with pytest.raises(ValueError):
         drop_common_lines(df, delim="")
+    # a delim containing the literal two chars \E must not escape the
+    # \Q...\E quoting and turn the tail into live regex (ADVICE r8):
+    # delim "\Ex" would otherwise leave a bare "x\E" pattern fragment
+    esc = spark.createDataFrame(
+        [(1, "a\\ExBANNER\\Exb"), (2, "BANNER\\Exc")],
+        "doc_id long, text string")
+    re_ = {x["doc_id"]: x["text"]
+           for x in drop_common_lines(esc, delim="\\Ex").collect()}
+    assert re_[1] == "a\\Exb" and re_[2] == "c"
 
 
 def test_normalize_text(spark):
@@ -1921,6 +1963,27 @@ def test_export_edge_cases_null_and_empty(spark, tmp_path):
     man = export_corpus(empty, de, n_shards=2)
     assert man["rows"] == 0 and man["shards"] == {}
     assert verify_manifest(spark, de)
+
+
+def test_export_zero_row_fallback_guarded_by_data_files(spark,
+                                                        tmp_path):
+    """ADVICE r8: the zero-row-manifest fallback fires only when the
+    destination truly holds no data files — _has_data_files ignores
+    _-/.-prefixed names (the _SUCCESS/_manifest convention) and sees
+    through partition subdirectories, so a read-back failure over a
+    NON-empty write re-raises instead of publishing rows=0."""
+    import os
+
+    from metacat_spark.llm.export import _has_data_files
+    d = tmp_path / "dest"
+    assert not _has_data_files(spark, str(d))          # no dir at all
+    (d / "__shard=0").mkdir(parents=True)
+    open(d / "_SUCCESS", "w").close()
+    open(d / "__shard=0" / ".part.crc", "w").close()
+    assert not _has_data_files(spark, str(d))          # markers only
+    open(d / "__shard=0" / "part-0.parquet", "w").close()
+    assert _has_data_files(spark, str(d))              # real data file
+    os.remove(d / "__shard=0" / "part-0.parquet")
 
 
 def test_export_corpus_json_format_ignores_manifest(docs, spark,
