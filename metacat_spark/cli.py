@@ -22,12 +22,15 @@ metacat_namespace.py, metacat_named_query.py).
         anomalies|funnel|retention) ...   # beyond-reference
 
 The reference CLI talks to a resident metacat server; the equivalent
-here is a resident engine — sessions are cached per sf-dir at module
-level, so successive `main()` calls inside one process (the test
-harness, a REPL, a notebook) see each other's mutations, exactly like
-successive `metacat` invocations against one server. Separate OS
-processes each get a fresh catalog (session-state DML; a production
-deployment backs the catalog with Delta/Iceberg so mutations persist).
+here is a resident engine — sessions are cached per (sf-dir,
+durable-root) at module level, so successive `main()` calls inside
+one process (the test harness, a REPL, a notebook) see each other's
+mutations, exactly like successive `metacat` invocations against one
+server. Separate OS processes each get a fresh catalog UNLESS
+`--durable-root DIR` (or SPARK_GRAFT_DURABLE_ROOT) is given: then
+every DML mutation also lands in a parquet commit log that is
+replayed at startup — the reference's PostgreSQL persistence
+(durable.py; `admin compact` folds the log into snapshots).
 
 `-x/--explain` prints the MQL AST and the Spark physical plan instead
 of running (the reference prints its IRs, metacat_query.py:64-84).
@@ -46,16 +49,26 @@ from pyspark.sql import functions as F
 _SESSIONS: dict = {}
 
 
-def _session(sf_dir: str):
-    if sf_dir not in _SESSIONS:
+def _session(sf_dir: str, durable_root=None):
+    """(engine, dml) per (sf-dir, durable-root). With a durable root,
+    committed DML state is overlaid onto the fixture catalog at build
+    and every mutation appends to the store's commit log — the CLI
+    equivalent of the reference's persistent PostgreSQL writes."""
+    key = (sf_dir, durable_root)
+    if key not in _SESSIONS:
         from .catalog import from_tpch
         from .dml import DML
         from .engine import Engine
         from .session import get_spark
         spark = get_spark("metacat_spark_cli")
-        engine = Engine(from_tpch(spark, sf_dir))
-        _SESSIONS[sf_dir] = (engine, DML(engine.cat))
-    return _SESSIONS[sf_dir]
+        cat = from_tpch(spark, sf_dir)
+        store = None
+        if durable_root:
+            from .durable import DurableStore
+            store = DurableStore(spark, durable_root)
+            store.attach(cat)
+        _SESSIONS[key] = (Engine(cat), DML(cat, store=store))
+    return _SESSIONS[key]
 
 
 def _did(s: str) -> tuple[str, str]:
@@ -93,6 +106,11 @@ def _add_sf_dir(p):
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     p.add_argument("-j", "--json", action="store_true",
                    help="json-seq output (one object per line)")
+    p.add_argument("--durable-root", default=os.environ.get(
+        "SPARK_GRAFT_DURABLE_ROOT") or None,
+        help="directory of the durable catalog commit log; DML "
+             "mutations persist there and are replayed on startup "
+             "(default: session-only state)")
 
 
 def _meta_arg(s: str) -> dict:
@@ -732,6 +750,10 @@ def build_parser() -> argparse.ArgumentParser:
     at = asub.add_parser("tables",
                          help="list warehouse tables with row counts")
     _add_sf_dir(at)
+    ac = asub.add_parser("compact", help="fold the durable commit log "
+                         "into fresh snapshots (bounds restore cost; "
+                         "the OPTIMIZE analogue)")
+    _add_sf_dir(ac)
     return p
 
 
@@ -751,6 +773,8 @@ def main(argv=None):
                    "--port", str(args.port)]
         if args.data_root:
             sv_args += ["--data-root", args.data_root]
+        if args.durable_root:
+            sv_args += ["--durable-root", args.durable_root]
         return serve_main(sv_args)
 
     if args.cmd == "corpus":
@@ -765,6 +789,16 @@ def main(argv=None):
         from .catalog import materialize_tables
         from .session import get_spark
         spark = get_spark()
+        if args.acmd == "compact":
+            if not args.durable_root:
+                raise SystemExit("admin compact needs --durable-root "
+                                 "(or SPARK_GRAFT_DURABLE_ROOT)")
+            engine, dml = _session(args.sf_dir, args.durable_root)
+            dml._store.compact(engine.cat)
+            print(f"# compacted commit log at {args.durable_root} "
+                  f"(commit {dml._store.manifest['commit']})",
+                  file=sys.stderr)
+            return 0
         # BOTH subcommands ensure the warehouse first: Spark's default
         # in-memory catalog forgets table registrations between
         # sessions (the parquet dirs persist), so a fresh-process
@@ -784,7 +818,8 @@ def main(argv=None):
             print(f"{t}\t{n}")
         return 0
 
-    engine, dml = _session(args.sf_dir)
+    engine, dml = _session(args.sf_dir,
+                           getattr(args, "durable_root", None))
     cat = engine.cat
 
     if args.cmd == "query":

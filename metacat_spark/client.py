@@ -25,14 +25,24 @@ from .engine import Engine
 class MetaCatSparkClient:
     def __init__(self, spark: SparkSession, sf_dir: Optional[str] = None,
                  catalog: Optional[Catalog] = None,
-                 max_concurrent_queries: int = 5):
+                 max_concurrent_queries: int = 5,
+                 durable_root: Optional[str] = None):
         if catalog is None:
             if sf_dir is None:
                 raise ValueError("need sf_dir or catalog")
             catalog = from_tpch(spark, sf_dir)
         self.catalog = catalog
+        store = None
+        if durable_root:
+            # durable catalog mode (r8): committed DML state overlays
+            # the base catalog at startup; every mutation appends to
+            # the commit log — the reference's PostgreSQL persistence
+            # (schema.sql:51-66), re-expressed as a parquet commit log
+            from .durable import DurableStore
+            store = DurableStore(spark, durable_root)
+            store.attach(catalog)
         self.engine = Engine(catalog)
-        self.dml = DML(catalog)
+        self.dml = DML(catalog, store=store)
         # 5 concurrent queries, like the reference client default
         # (webapi.py:248,277)
         self._pool = ThreadPoolExecutor(max_workers=max_concurrent_queries)

@@ -8,10 +8,12 @@ metadata-requirement validation and frozen/monotonic enforcement
 (data_handler.py:1306-1370).
 
 Mutations produce NEW DataFrames swapped into the Catalog (session
-state). A production deployment would back these with Delta/Iceberg
-table appends — the plans are identical; only the sink changes. Bulk
-declare is a single DataFrame union (the COPY-equivalent,
-dbobjects2.py:525-557), never a row-at-a-time loop.
+state). With a ``durable.DurableStore`` (r8), every mutation ALSO
+appends its row-level delta to a parquet commit log, so writes
+survive a restart like the reference's PostgreSQL rows do — see
+durable.py for the log model and docs/DIVERGENCES.md §10 for the
+contract. Bulk declare is a single DataFrame union (the
+COPY-equivalent, dbobjects2.py:525-557), never a row-at-a-time loop.
 """
 
 from __future__ import annotations
@@ -120,27 +122,74 @@ def _locked(fn):
     assign) — two concurrent declares would silently drop one
     thread's rows without this (review r6). RLock because composite
     mutations nest (save_as → add_to, declare_files →
-    add_files_to_dataset)."""
+    add_files_to_dataset).
+
+    Durable mode (r8): the wrapper is also the commit boundary —
+    journal ops buffered by the mutator (and any nested mutators)
+    flush as ONE DurableStore commit when the OUTERMOST mutation
+    returns, so a composite mutation is one durable commit. A raising
+    mutation discards its pending journal: the mutators check-then-
+    mutate (review r6 made them atomic), so a discarded journal
+    matches the unmutated session state."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(self, *a, **k):
         with self._lock:
-            return fn(self, *a, **k)
+            self._depth += 1
+            try:
+                out = fn(self, *a, **k)
+                if self._depth == 1 and self._pending:
+                    ops, self._pending = self._pending, []
+                    if self._store is not None:
+                        self._store.commit(ops,
+                                           dml_meta=self._dml_meta())
+                return out
+            except BaseException:
+                if self._depth == 1:
+                    self._pending.clear()
+                raise
+            finally:
+                self._depth -= 1
     return wrapper
 
 
 class DML:
-    def __init__(self, catalog: Catalog, categories: Optional[dict] = None):
+    def __init__(self, catalog: Catalog, categories: Optional[dict] = None,
+                 store=None):
+        """``store``: a durable.DurableStore (or None for the default
+        session-state mode). With a store, every mutation also appends
+        its delta to the store's commit log — see durable.py for the
+        persistence model and docs/DIVERGENCES.md for the contract.
+        The store does NOT attach committed state to the catalog here;
+        call store.attach(catalog) before constructing the DML when
+        restoring (client/CLI/server do)."""
         import threading
         self._lock = threading.RLock()
+        self._store = store
+        self._depth = 0
+        self._pending: list = []
         self.cat = catalog
         self.categories = (_load_categories(catalog)
                            if categories is None else categories)
         # dataset-level metadata requirements
         # (files must satisfy them to join — dbobjects2.py:1577-1597)
         self.dataset_requirements: dict[tuple[str, str], dict] = {}
+        if store is not None:
+            self.dataset_requirements.update(
+                store.dataset_requirements())
         self.refresh()
+
+    def _journal(self, kind: str, table: str, df: DataFrame) -> None:
+        """Buffer one journal op (no-op without a store); flushed as a
+        single durable commit by the outermost @_locked exit."""
+        if self._store is not None:
+            self._pending.append((kind, table, df))
+
+    def _dml_meta(self) -> dict:
+        return {"dataset_requirements": {
+            f"{ns}\t{name}": reqs for (ns, name), reqs
+            in self.dataset_requirements.items()}}
 
     def refresh(self) -> None:
         """(Re)load the dataset-level flag caches from the catalog.
@@ -279,7 +328,13 @@ class DML:
                     new = new.withColumn(
                         c, F.lit(None).cast(files.schema[c].dataType))
         new = new.select(*files.columns)
+        if self._store is not None:
+            # pin the batch (current_timestamp is non-deterministic):
+            # the union below and the journal segment must carry the
+            # SAME created_timestamp values
+            new = new.localCheckpoint()
         self._set_files(files.unionByName(new))
+        self._journal("upsert", "files", new)
         # provenance edges declared inline (data_handler declare
         # accepts parents per file); FK-checked against the post-append
         # files so intra-batch references resolve
@@ -294,6 +349,7 @@ class DML:
                          ["parent_id", "child_id"], "left_anti"))
             self.cat.parent_child = _truncate(
                 self.cat.parent_child.unionByName(add))
+            self._journal("upsert", "parent_child", add)
         if dataset:
             self.add_files_to_dataset([r["id"] for r in rows], *dataset,
                                       _skip_exist_check=True)
@@ -354,6 +410,7 @@ class DML:
         if n:
             self.cat.files_datasets = _truncate(
                 self.cat.files_datasets.unionByName(add))
+            self._journal("upsert", "files_datasets", add)
         return n
 
     @_locked
@@ -369,6 +426,13 @@ class DML:
             (F.col("dataset_namespace") == ns)
             & (F.col("dataset_name") == name)
             & F.col("file_id").isin(file_ids))))
+        # delete keys enumerate from the request itself (never a table
+        # scan); keys that were not members journal harmless no-ops
+        self._journal("delete", "files_datasets",
+                      self.cat.spark.createDataFrame(
+                          [(fid, ns, name) for fid in set(file_ids)],
+                          ["file_id", "dataset_namespace",
+                           "dataset_name"]))
 
     # ------------------------------------------------------------ update
     @_locked
@@ -402,6 +466,11 @@ class DML:
         self._set_files(_apply_meta_patch(
             files, self.cat.file_meta, F.col("id") == file_id,
             new_meta))
+        # journal the PATCHED row from the assigned (checkpointed)
+        # DataFrame: the segment write is its first action, so memory
+        # and log see the same materialization
+        self._journal("upsert", "files",
+                      self.cat.files.where(F.col("id") == file_id))
 
     def _check_fids_exist(self, fids: list[str], what: str) -> None:
         if not fids:
@@ -424,6 +493,11 @@ class DML:
         me, other = (("child_id", "parent_id") if as_parents
                      else ("parent_id", "child_id"))
         if replace:
+            # enumerate the replaced edges' keys distributed (a point
+            # lookup on the checkpointed edge table, no driver rows)
+            self._journal("delete", "parent_child",
+                          pc.where(F.col(me) == file_id)
+                          .select("parent_id", "child_id"))
             pc = pc.where(F.col(me) != file_id)
         if other_ids:
             rows = [(file_id, o) for o in other_ids]
@@ -431,6 +505,7 @@ class DML:
                    .select("parent_id", "child_id")
                    .join(pc, ["parent_id", "child_id"], "left_anti"))
             pc = pc.unionByName(add)
+            self._journal("upsert", "parent_child", add)
         self.cat.parent_child = _truncate(pc)
 
     @_locked
@@ -482,6 +557,7 @@ class DML:
                         F.when(hit, F.current_timestamp())
                          .otherwise(F.col("updated_timestamp"))))
             self._set_files(files)
+            self._journal("upsert", "files", self.cat.files.where(hit))
         if metadata is not None:
             self.update_file_metadata(
                 file_id, metadata, mode="replace" if replace else "update")
@@ -517,6 +593,7 @@ class DML:
                  .withColumn("retired_timestamp",
                              F.when(hit, retired_ts)
                               .otherwise(F.col("retired_timestamp"))))
+        self._journal("upsert", "files", self.cat.files.where(hit))
 
     @_locked
     def delete_file(self, fid: Optional[str] = None,
@@ -539,14 +616,28 @@ class DML:
         if row is None:
             raise DMLError("file not found")
         fid = row["id"]
+        fd_before = self.cat.files_datasets
+        pc_before = self.cat.parent_child
         # row removal cannot introduce a duplicate id
         self._set_files(files.where(F.col("id") != fid))
         self.cat.files_datasets = _truncate(
-            self.cat.files_datasets.where(F.col("file_id") != fid))
+            fd_before.where(F.col("file_id") != fid))
         self.cat.parent_child = _truncate(
-            self.cat.parent_child.where(
+            pc_before.where(
                 (F.col("parent_id") != fid)
                 & (F.col("child_id") != fid)))
+        # cascade deletes journal the affected KEYS, enumerated
+        # distributed from the pre-delete tables (point lookups)
+        self._journal("delete", "files",
+                      self.cat.spark.createDataFrame([(fid,)], ["id"]))
+        self._journal("delete", "files_datasets",
+                      fd_before.where(F.col("file_id") == fid)
+                      .select("file_id", "dataset_namespace",
+                              "dataset_name"))
+        self._journal("delete", "parent_child",
+                      pc_before.where((F.col("parent_id") == fid)
+                                      | (F.col("child_id") == fid))
+                      .select("parent_id", "child_id"))
         return fid
 
     @_locked
@@ -568,6 +659,7 @@ class DML:
                  .withColumn("updated_timestamp",
                              F.when(hit, F.current_timestamp())
                               .otherwise(F.col("updated_timestamp"))))
+        self._journal("upsert", "files", self.cat.files.where(hit))
 
     @_locked
     def update_dataset(self, ns: str, name: str,
@@ -607,6 +699,7 @@ class DML:
                                    F.when(hit, F.lit(val))
                                     .otherwise(F.col(colname)))
         self.cat.datasets = _truncate(ds)
+        self._journal("snapshot", "datasets", self.cat.datasets)
         if frozen is not None:
             (self.frozen.add if frozen else
              self.frozen.discard)((ns, name))
@@ -644,6 +737,7 @@ class DML:
                     c, F.lit(None).cast(ds.schema[c].dataType))
         self.cat.datasets = _truncate(
             ds.unionByName(row.select(*ds.columns)))
+        self._journal("snapshot", "datasets", self.cat.datasets)
         if frozen:
             self.frozen.add((ns, name))
         if monotonic:
@@ -666,8 +760,9 @@ class DML:
         self.dataset_requirements.pop((ns, name), None)
         self.frozen.discard((ns, name))
         self.monotonic.discard((ns, name))
+        fd_before = self.cat.files_datasets
         self.cat.files_datasets = _truncate(
-            self.cat.files_datasets.where(~(
+            fd_before.where(~(
                 (F.col("dataset_namespace") == ns)
                 & (F.col("dataset_name") == name))))
         dpc = self.cat.datasets_parent_child
@@ -678,6 +773,15 @@ class DML:
                & (F.col("child_name") == name)))))
         self.frozen.discard((ns, name))
         self.monotonic.discard((ns, name))
+        self._journal("snapshot", "datasets", self.cat.datasets)
+        self._journal("snapshot", "datasets_parent_child",
+                      self.cat.datasets_parent_child)
+        self._journal("delete", "files_datasets",
+                      fd_before.where(
+                          (F.col("dataset_namespace") == ns)
+                          & (F.col("dataset_name") == name))
+                      .select("file_id", "dataset_namespace",
+                              "dataset_name"))
 
     @_locked
     def add_subset(self, parent_ns: str, parent_name: str,
@@ -698,6 +802,8 @@ class DML:
         edge = edge.join(dpc, dpc.columns, "left_anti")
         if edge.count():
             self.cat.datasets_parent_child = _truncate(dpc.unionByName(edge))
+            self._journal("snapshot", "datasets_parent_child",
+                          self.cat.datasets_parent_child)
 
     @_locked
     def create_named_query(self, ns: str, name: str, source: str,
@@ -729,6 +835,7 @@ class DML:
                     c, F.lit(None).cast(qt.schema[c].dataType))
         self.cat.queries_tbl = _truncate(
             qt.unionByName(row.select(*qt.columns)))
+        self._journal("snapshot", "queries_tbl", self.cat.queries_tbl)
 
     @_locked
     def create_parameter_category(self, path: str,
@@ -750,6 +857,8 @@ class DML:
             [(path, restricted, json.dumps(definitions or {}),
               owner_user, description, creator)], CATEGORY_COLUMNS)
         self.cat.parameter_categories = _truncate(pc.unionByName(row))
+        self._journal("snapshot", "parameter_categories",
+                      self.cat.parameter_categories)
         self.categories[path] = {
             "restricted": restricted,
             "definitions": definitions or {},
@@ -765,6 +874,7 @@ class DML:
                                              self.cat.namespaces.columns)
         self.cat.namespaces = _truncate(
             self.cat.namespaces.unionByName(row))
+        self._journal("snapshot", "namespaces", self.cat.namespaces)
 
     # ------------------------------------------------------------- sinks
     @_locked
@@ -790,6 +900,7 @@ class DML:
                                      F.lit(None).cast(ds.schema[c].dataType))
         self.cat.datasets = _truncate(
             ds.unionByName(row.select(*ds.columns)))
+        self._journal("snapshot", "datasets", self.cat.datasets)
         # add the result BEFORE arming the flag caches (a frozen
         # save_as still receives its own files), then keep the caches
         # in sync like create_dataset does (review r6)
@@ -815,7 +926,13 @@ class DML:
             (F.col("dataset_namespace") == ns)
             & (F.col("dataset_name") == name))
         add = add.join(existing.select("file_id"), "file_id", "left_anti")
+        # pin the result-derived batch: the source query may be
+        # non-deterministic, and count / union / journal must all see
+        # ONE materialization (it also drops the pre-existing double
+        # execution between count() and the union's first action)
+        add = add.localCheckpoint()
         n = add.count()
         self.cat.files_datasets = _truncate(
             self.cat.files_datasets.unionByName(add))
+        self._journal("upsert", "files_datasets", add)
         return n

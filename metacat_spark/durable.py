@@ -1,0 +1,304 @@
+"""Durable catalog mode — DML writes that survive a restart.
+
+The reference persists every write in PostgreSQL (schema
+/root/reference/metacat/db/schema.sql:51-66; COPY-based bulk declare
+dbobjects2.py:525-557), so a declare outlives the server process.
+This module is the Spark-first equivalent: a commit-log directory of
+parquet segments plus JSON commit manifests, modeled on the
+Delta-Lake/Iceberg transaction-log pattern (data files + an ordered
+log; readers take the highest complete commit).
+
+Layout under ``root``::
+
+    _commits/000000000001.json    ordered manifests; highest wins
+    files/c00000001-0-upsert/     parquet segment (full rows)
+    files/c00000005-0-delete/     parquet segment (key columns only)
+    datasets/c00000002-0-snapshot/  full-table snapshot (small tables)
+
+Two persistence strategies, chosen per table by its size class:
+
+- **Journaled tables** (``files``, ``files_datasets``,
+  ``parent_child`` — the catalog's big three, the same trio the
+  warehouse buckets): each DML commit appends only the DELTA — the
+  upserted rows, or the deleted keys — as one parquet segment. A
+  declare of 100 files writes 100 rows, never the whole files table;
+  that is the property that keeps a billion-file catalog writable
+  (the reference's row-level INSERT/UPDATE, re-expressed as an
+  append-only log).
+- **Snapshot tables** (``datasets``, ``datasets_parent_child``,
+  ``namespaces``, ``queries_tbl``, ``parameter_categories`` — one row
+  per dataset/namespace/query/category, small by construction): each
+  mutation rewrites the full table; O(table) is O(tiny).
+
+Restore (``DurableStore.attach``) rebuilds each journaled table as::
+
+    base  ANTI-JOIN  latest-journal-keys
+    UNION latest-journal-upserts
+
+where "latest" is one ``row_number`` window over the journal ordered
+by commit sequence (latest op per key wins) — ONE window over the
+journal (small relative to the catalog between compactions) and one
+anti join against the base; the base itself stays the pruned bucketed
+scan it was. ``compact()`` folds base+journal into a fresh snapshot
+and truncates the log, bounding both restore cost and the
+merge-on-read overlay.
+
+Durability contract (documented in docs/DIVERGENCES.md): commits are
+write-behind — a mutator updates session state first, then flushes
+its journal ops at the outermost mutation boundary. The manifest
+rename is the commit point: a crash mid-segment-write leaves an
+unreferenced directory (garbage, never read); a crash before the
+rename loses that one mutation, exactly like a WAL that never synced.
+Readers take the highest PARSEABLE manifest, so a torn manifest write
+degrades to the previous commit instead of corrupting the catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# latest-wins journal key per journaled table (the reference's PKs,
+# schema.sql:45-104)
+TABLE_KEYS = {
+    "files": ["id"],
+    "files_datasets": ["file_id", "dataset_namespace", "dataset_name"],
+    "parent_child": ["parent_id", "child_id"],
+}
+SNAPSHOT_TABLES = ("datasets", "datasets_parent_child", "namespaces",
+                   "queries_tbl", "parameter_categories")
+ALL_TABLES = tuple(TABLE_KEYS) + SNAPSHOT_TABLES
+
+
+def _null_as(dtype) -> F.Column:
+    """NULL literal of an arbitrary catalog column type; VariantType
+    has no cast-from-null, so it goes through parse_json(NULL)."""
+    if isinstance(dtype, T.VariantType):
+        return F.parse_json(F.lit(None).cast("string"))
+    return F.lit(None).cast(dtype)
+
+
+class DurableStore:
+    """One store per catalog root directory. Driver-side object; all
+    data I/O is Spark jobs (parquet read/write of segments), only the
+    tiny JSON manifests go through plain-file / Hadoop-FS I/O."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._uri = "://" in self.root
+        self.manifest = self._read_current() or {
+            "commit": 0, "seq": 0,
+            "tables": {}, "dml_meta": {}}
+
+    # ------------------------------------------------------ manifest I/O
+    def _commits_dir(self) -> str:
+        return f"{self.root}/_commits"
+
+    def _hadoop(self, path: str):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p
+
+    def _list_commit_ids(self) -> list[int]:
+        if self._uri:
+            fs, p = self._hadoop(self._commits_dir())
+            if not fs.exists(p):
+                return []
+            names = [s.getPath().getName() for s in fs.listStatus(p)]
+        else:
+            try:
+                names = os.listdir(self._commits_dir())
+            except FileNotFoundError:
+                return []
+        return sorted(int(n[:-5]) for n in names
+                      if n.endswith(".json") and n[:-5].isdigit())
+
+    def _read_current(self) -> Optional[dict]:
+        """Highest PARSEABLE commit wins — a torn manifest write (crash
+        mid-rename on an FS without atomic rename) falls back to the
+        previous commit instead of wedging the catalog."""
+        for cid in reversed(self._list_commit_ids()):
+            path = f"{self._commits_dir()}/{cid:012d}.json"
+            try:
+                if self._uri:
+                    fs, p = self._hadoop(path)
+                    stream = fs.open(p)
+                    try:
+                        raw = self.spark._jvm.org.apache.commons.io \
+                            .IOUtils.toString(stream, "UTF-8")
+                    finally:
+                        stream.close()
+                else:
+                    with open(path) as f:
+                        raw = f.read()
+                return json.loads(raw)
+            except (ValueError, OSError):
+                continue
+        return None
+
+    def _write_manifest(self, manifest: dict) -> None:
+        cid = manifest["commit"]
+        dest = f"{self._commits_dir()}/{cid:012d}.json"
+        data = json.dumps(manifest, sort_keys=True)
+        if self._uri:
+            fs, p = self._hadoop(dest)
+            tmp_p = self.spark._jvm.org.apache.hadoop.fs.Path(
+                dest + ".tmp")
+            out = fs.create(tmp_p, True)
+            try:
+                out.write(bytearray(data.encode("utf-8")))
+            finally:
+                out.close()
+            fs.rename(tmp_p, p)
+        else:
+            os.makedirs(self._commits_dir(), exist_ok=True)
+            tmp = dest + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(data)
+            os.replace(tmp, dest)
+        self.manifest = manifest
+
+    # ----------------------------------------------------------- commit
+    def commit(self, ops: list[tuple[str, str, DataFrame]],
+               dml_meta: Optional[dict] = None) -> None:
+        """Persist one mutation's journal: ``ops`` is an ordered list
+        of ("upsert"|"delete"|"snapshot", table, DataFrame). Segments
+        are written first (unreferenced until the manifest lands),
+        then the manifest rename publishes them atomically-enough
+        (see module docstring for the crash contract)."""
+        if not ops:
+            return
+        m = json.loads(json.dumps(self.manifest))     # deep copy
+        m["commit"] += 1
+        cid = m["commit"]
+        tables = m.setdefault("tables", {})
+        for i, (kind, table, df) in enumerate(ops):
+            m["seq"] += 1
+            if kind == "snapshot":
+                if table in TABLE_KEYS:
+                    # a journaled table's snapshot resets its log
+                    rel = f"{table}/c{cid:08d}-{i}-snapshot"
+                    df.write.mode("overwrite") \
+                        .parquet(f"{self.root}/{rel}")
+                    tables[table] = {"snapshot": rel, "segments": []}
+                else:
+                    rel = f"{table}/c{cid:08d}-{i}-snapshot"
+                    df.write.mode("overwrite") \
+                        .parquet(f"{self.root}/{rel}")
+                    tables[table] = {"snapshot": rel}
+                continue
+            if table not in TABLE_KEYS:
+                raise ValueError(
+                    f"{kind} journaling is only for {set(TABLE_KEYS)}; "
+                    f"snapshot {table!r} instead")
+            keys = TABLE_KEYS[table]
+            rel = f"{table}/c{cid:08d}-{i}-{kind}"
+            out = df.select(*keys) if kind == "delete" else df
+            out.write.mode("overwrite").parquet(f"{self.root}/{rel}")
+            entry = tables.setdefault(
+                table, {"snapshot": None, "segments": []})
+            entry["segments"].append(
+                {"path": rel, "kind": kind, "seq": m["seq"]})
+        if dml_meta is not None:
+            m["dml_meta"] = dml_meta
+        self._write_manifest(m)
+
+    # ---------------------------------------------------------- restore
+    def _replay(self, base: DataFrame, table: str,
+                entry: dict) -> DataFrame:
+        keys = TABLE_KEYS[table]
+        if entry.get("snapshot"):
+            base = self.spark.read.parquet(
+                f"{self.root}/{entry['snapshot']}")
+        segs = entry.get("segments") or []
+        if not segs:
+            return base
+        cols = base.columns
+        parts = []
+        for s in segs:
+            df = self.spark.read.parquet(f"{self.root}/{s['path']}")
+            for c in cols:
+                if c not in df.columns:       # delete segments: keys only
+                    df = df.withColumn(c, _null_as(base.schema[c].dataType))
+            parts.append(df.select(*cols)
+                         .withColumn("_op", F.lit(s["kind"]))
+                         .withColumn("_seq", F.lit(int(s["seq"]))))
+        j = reduce(lambda a, b: a.unionByName(b), parts)
+        w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
+        latest = (j.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1))
+        return (base.join(latest.select(*keys), keys, "left_anti")
+                .unionByName(latest.where(F.col("_op") == "upsert")
+                             .select(*cols)))
+
+    def attach(self, catalog) -> None:
+        """Overlay the committed state onto a freshly built catalog
+        (fixtures/warehouse base): journaled tables get base+journal
+        reconstruction, snapshot tables are replaced outright. Temp
+        views are re-registered so SQL surfaces see the same state."""
+        for table, entry in (self.manifest.get("tables") or {}).items():
+            base = getattr(catalog, table)
+            if table in TABLE_KEYS:
+                new = self._replay(base, table, entry)
+            else:
+                new = self.spark.read.parquet(
+                    f"{self.root}/{entry['snapshot']}")
+            setattr(catalog, table, new)
+            new.createOrReplaceTempView(f"mc_{table}")
+        # journal upserts can't be proven duplicate-free here; let the
+        # engine's set-algebra fast path re-probe on first use
+        catalog.ids_unique = None
+
+    def dataset_requirements(self) -> dict:
+        """The DML instance's dataset-level file_meta_requirements —
+        not derivable from any catalog table, so it rides in the
+        manifest (tiny: one dict per requiring dataset)."""
+        raw = (self.manifest.get("dml_meta") or {}).get(
+            "dataset_requirements", {})
+        return {tuple(k.split("\t", 1)): v for k, v in raw.items()}
+
+    # --------------------------------------------------------- compact
+    def compact(self, catalog) -> None:
+        """Fold base+journal into fresh full snapshots and truncate the
+        log: restore cost returns to a plain parquet scan and the
+        merge-on-read overlay disappears until the next mutation. Runs
+        as ordinary Spark writes (O(catalog), on-demand — the Delta
+        OPTIMIZE equivalent). Superseded segment directories are
+        removed best-effort afterwards; a failure there leaves garbage
+        that is never read, not corruption."""
+        old = [s["path"]
+               for e in (self.manifest.get("tables") or {}).values()
+               for s in (e.get("segments") or [])] + \
+              [e["snapshot"]
+               for e in (self.manifest.get("tables") or {}).values()
+               if e.get("snapshot")]
+        ops = [("snapshot", t, getattr(catalog, t))
+               for t in self.manifest.get("tables") or {}]
+        self.commit(ops, dml_meta=self.manifest.get("dml_meta"))
+        # re-point the live catalog at the new snapshots BEFORE
+        # deleting the old segment dirs — the pre-compact DataFrames
+        # may still plan over them (localCheckpoint blocks are not
+        # recomputable if evicted)
+        self.attach(catalog)
+        for rel in old:
+            try:
+                if self._uri:
+                    fs, p = self._hadoop(f"{self.root}/{rel}")
+                    fs.delete(p, True)
+                else:
+                    import shutil
+                    shutil.rmtree(f"{self.root}/{rel}",
+                                  ignore_errors=True)
+            except Exception:
+                pass
+
+
+def open_store(spark: SparkSession, root: str) -> DurableStore:
+    return DurableStore(spark, root)

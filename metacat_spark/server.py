@@ -821,10 +821,16 @@ def main(argv: Optional[list] = None):
     p.add_argument("--data-root", default=None,
                    help="allow /data/corpus?test= paths under this "
                         "subtree (default: disabled)")
+    p.add_argument("--durable-root", default=None,
+                   help="directory of the durable catalog commit log; "
+                        "DML mutations persist there and are replayed "
+                        "on startup (the reference's PostgreSQL "
+                        "durability — a serve restart keeps declares)")
     a = p.parse_args(argv)
     spark = get_spark("metacat_spark_server")
     client = MetaCatSparkClient(
-        spark, catalog=from_materialized(spark, a.sf_dir))
+        spark, catalog=from_materialized(spark, a.sf_dir),
+        durable_root=a.durable_root)
     srv, port = start_server(client, a.host, a.port,
                              data_root=a.data_root)
     print(f"serving on http://{a.host}:{port}")

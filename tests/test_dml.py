@@ -13,10 +13,18 @@ from metacat_spark.validation import category_of, validate_metadata
 from conftest import SF_DIR
 
 
-@pytest.fixture()
-def fresh(spark):
-    """Isolated catalog per test — DML mutates session state."""
+@pytest.fixture(params=["memory", "durable"])
+def fresh(spark, request, tmp_path):
+    """Isolated catalog per test — DML mutates session state. Runs
+    every scenario in BOTH persistence modes (r8): "durable" journals
+    each mutation to a DurableStore commit log, so the whole DML
+    surface exercises the write-behind path, and the paired
+    restart-equivalence checks live in test_durable.py."""
     cat = from_tpch(spark, SF_DIR)
+    if request.param == "durable":
+        from metacat_spark.durable import DurableStore
+        store = DurableStore(spark, str(tmp_path / "durable"))
+        return Engine(cat), DML(cat, store=store)
     return Engine(cat), DML(cat)
 
 

@@ -53,11 +53,21 @@ OPS = ["declare", "update_size", "update_checksums",
        "retire", "unretire", "move", "edges_add", "edges_replace"]
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
-def test_random_mutation_sequence_matches_model(spark, seed):
+@pytest.mark.parametrize("seed,durable", [(11, False), (23, False),
+                                          (47, True)])
+def test_random_mutation_sequence_matches_model(spark, seed, durable,
+                                                tmp_path):
+    """``durable=True`` additionally journals every mutation to a
+    DurableStore and compares the RESTORED (fresh catalog + attach)
+    state against the model too — random-sequence coverage of the
+    r8 commit-log replay, beyond test_durable.py's scripted cases."""
     rng = random.Random(seed)
     cat = from_tpch(spark, SF_DIR)
-    eng, dml = Engine(cat), DML(cat)
+    store = None
+    if durable:
+        from metacat_spark.durable import DurableStore
+        store = DurableStore(spark, str(tmp_path / "dur"))
+    eng, dml = Engine(cat), DML(cat, store=store)
     model = Model()
 
     # seed pool: 3 declared files to mutate
@@ -107,19 +117,29 @@ def test_random_mutation_sequence_matches_model(spark, seed):
             dml.update_file(fid, parents=parents, replace=rep)
             model.add_edges(fid, parents, replace=rep)
 
-    # ---- compare final states
-    ids = sorted(model.files)
-    rows = (cat.files.where(F.col("id").isin(ids))
-            .select("id", "namespace", "size", "retired", "checksums")
-            .collect())
-    assert len(rows) == len(ids)
-    for r in rows:
-        m = model.files[r["id"]]
-        assert r["size"] == m["size"], r["id"]
-        assert r["retired"] == m["retired"], r["id"]
-        assert r["namespace"] == m["namespace"], r["id"]
-        assert dict(r["checksums"] or {}) == m["checksums"], r["id"]
-    got_edges = {(e["parent_id"], e["child_id"])
-                 for e in cat.parent_child
-                 .where(F.col("child_id").isin(ids)).collect()}
-    assert got_edges == model.edges
+    # ---- compare final states (and, in durable mode, the restored
+    #      state after a simulated restart)
+    def check(c):
+        ids = sorted(model.files)
+        rows = (c.files.where(F.col("id").isin(ids))
+                .select("id", "namespace", "size", "retired",
+                        "checksums")
+                .collect())
+        assert len(rows) == len(ids)
+        for r in rows:
+            m = model.files[r["id"]]
+            assert r["size"] == m["size"], r["id"]
+            assert r["retired"] == m["retired"], r["id"]
+            assert r["namespace"] == m["namespace"], r["id"]
+            assert dict(r["checksums"] or {}) == m["checksums"], r["id"]
+        got_edges = {(e["parent_id"], e["child_id"])
+                     for e in c.parent_child
+                     .where(F.col("child_id").isin(ids)).collect()}
+        assert got_edges == model.edges
+
+    check(cat)
+    if durable:
+        from metacat_spark.durable import DurableStore
+        cat2 = from_tpch(spark, SF_DIR)
+        DurableStore(spark, str(tmp_path / "dur")).attach(cat2)
+        check(cat2)
