@@ -29,6 +29,41 @@ EMPTY_OK: dict[str, str] = {
     "limit_skip_empty_law": "empty result is the law being asserted",
 }
 
+# The DECLARED in-cap certificate set (VERDICT r7 #3): the driver
+# grades exactly the first 50 queries() entries, so their identity
+# must be a deliberate decision, not an accident of insertion order.
+# This list IS that decision — one oracle-backed entry per distinct
+# operator family, matching the set the driver graded in r7. Changing
+# the in-cap set now requires editing this list alongside the reorder
+# (and recording the rationale in ROUND_NOTES.md).
+INTENDED_IN_CAP = [
+    "bfq_all", "file_list_fids", "named_query", "where_cmp",
+    "where_regex", "where_present", "where_in_range_set",
+    "where_array_any_all", "where_array_len_subscript",
+    "where_const_in", "where_not", "where_datetime",
+    "where_attributes", "set_union", "set_join", "set_minus",
+    "parents_of", "files_with_subsets_rec", "files_from_having",
+    "ordered_limit", "skip_limit", "summary_count",
+    "summary_key_values", "file_counts_by_namespace",
+    "agg_cube_namespace_datatype", "multimodal_features",
+    "datasets_pattern", "query_search", "filter_sample",
+    "filter_hash_adler32", "doc_text_analysis", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_cross_jaccard",
+    "doc_pack_sequences", "dedup_cross_containment",
+    "doc_token_budget", "dedup_substring_scrub",
+    "doc_split_train_val_test", "doc_classifier_score",
+    "doc_curation_v2", "dedup_clusters", "dedup_cluster_stats",
+    "embed_cosine_pairs", "embed_topk_bruteforce",
+    "events_windowed_agg", "events_sessionize", "events_funnel",
+    "events_funnel_counts", "events_retention",
+]
+
+
+def test_in_cap_set_is_the_declared_one():
+    """The first 50 queries() entries — the driver's graded set —
+    must equal INTENDED_IN_CAP exactly, in order."""
+    assert list(QUERIES)[:50] == INTENDED_IN_CAP
+
 
 def _norm(v):
     if v is None:
