@@ -1340,6 +1340,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             poly_hash(F.col("text")).alias("final_fp"))
     q["doc_curation_v2"] = doc_curate_v2
 
+    # the v3 entries feed the pipeline a deterministically SALTED
+    # corpus — every doc gets one shared banner line carrying a
+    # decomposed accent + a BEL — because the sf documents are
+    # single-line pure ASCII, on which normalization and line dedup
+    # would be no-ops (matching-a-no-op proves nothing; same
+    # discipline as doc_normalize_text / doc_drop_common_lines, r7)
+    _V3_BANNER = "\nsubscribe to the newsletter café"
+
+    def _docs_v3(spark, sf_dir):
+        return _docs(spark, sf_dir).withColumn(
+            "text", F.concat(F.col("text"), F.lit(_V3_BANNER)))
+
+    def doc_curate_v3(spark, sf_dir):
+        """The r8 seven-stage curation chain (llm/pipeline.py
+        curate_v3): NFC normalize + control strip → quality+token
+        gate → PII scrub → exact dedup → boilerplate line dedup →
+        ExactSubstr scrub → exact n-gram near-dup, in CCNet/
+        RefinedWeb order. The oracle replays ALL SEVEN stages as one
+        composed SQL statement; both sides fingerprint every
+        surviving document's FINAL text. The planted banner must be
+        composed by normalize, then dropped by line dedup in every
+        document — the fingerprints prove both stages fired."""
+        from metacat_spark.llm.pipeline import curate_v3
+        from metacat_spark.llm.text import poly_hash
+        out = curate_v3(_docs_v3(spark, sf_dir))
+        return out.select(
+            "doc_id",
+            F.col("n_tok_before").cast("long").alias("n_tok_before"),
+            F.col("n_tok_after").cast("long").alias("n_tok_after"),
+            poly_hash(F.col("text")).alias("final_fp"))
+    q["doc_curation_v3"] = doc_curate_v3
+
+    def doc_curate_v3_ledger(spark, sf_dir):
+        """Per-document lineage through the v3 pipeline: the v2
+        fates plus boilerplate_empty (every line was shared
+        boilerplate). The oracle derives the same fates from the
+        same staged memberships."""
+        from metacat_spark.llm.pipeline import curate_v3_ledger
+        return curate_v3_ledger(_docs_v3(spark, sf_dir))
+    q["doc_curation_v3_ledger"] = doc_curate_v3_ledger
+
     def doc_mixture_tokens(spark, sf_dir):
         """Token-weighted mixture resampling (llm/pipeline.py
         sample_to_mixture by="tokens"): strata weighted by TOKEN
@@ -2917,21 +2958,19 @@ def oracle_sql() -> dict[str, str]:
     # scrubbed text) replayed as ONE statement by composing the
     # stage templates above — end-to-end value-hash including the
     # final text fingerprints
-    _CURATE_CTES = (f"""
-        with q0 as (
-          select doc_id, text,
+    _GATE_CTES = f"""
+        select doc_id, text,
                  len(string_split_regex(text, '\\s+')) as n_words,
                  {_qual} as quality
-          from documents),
+          from __GSRC__),
         gated as (select doc_id, text from q0
                   where quality >= 0.3 and n_words >= 5),
         red as (select doc_id, {_red} as text from gated),
         exact as (
           select * from red where doc_id in (
-            select min(doc_id) from red group by md5(text))),
-        """
-        + _SUBSTR_BODY.replace("__SRC__", "exact") + ","
-        + _SCRUB_TAIL.replace("__SRC__", "exact") + """,
+            select min(doc_id) from red group by md5(text)))"""
+
+    _NEARDUP_TAIL = """,
         kept2 as (select * from scrubbed where n_tok_after > 0),
         sh as (
           select doc_id as id,
@@ -2959,7 +2998,56 @@ def oracle_sql() -> dict[str, str]:
           where round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.12),
         final as (
           select * from kept2
-          where doc_id not in (select id_b from drops))""")
+          where doc_id not in (select id_b from drops))"""
+
+    _CURATE_CTES = (
+        "with q0 as ("
+        + _GATE_CTES.replace("__GSRC__", "documents") + ","
+        + _SUBSTR_BODY.replace("__SRC__", "exact") + ","
+        + _SCRUB_TAIL.replace("__SRC__", "exact")
+        + _NEARDUP_TAIL)
+
+    # v3 (r8): normalization FIRST (nfc_normalize == unicodedata NFC,
+    # fuzz-verified r7; the banner is planted with a DECOMPOSED
+    # accent + a BEL, byte-identical to the entry's _V3_BANNER), then
+    # the v2 gate chain over the normalized text, then boilerplate
+    # line dedup (the banner line is shared by EVERY doc → dropped
+    # everywhere; rebuild-all-from-kept-lines ≡ the Spark side's
+    # touched-only rebuild because split+rejoin is lossless), then
+    # the v2 scrub + near-dup stages over the de-bannered text.
+    _CURATE3_CTES = (
+        f"""with src as (
+          select doc_id,
+                 regexp_replace(nfc_normalize(text || chr(10) ||
+                     'subscribe to the newsletter cafe' || chr(769)
+                     || chr(7)),
+                   '{_CTRL}', '', 'g') as text
+          from documents),
+        q0 as ("""
+        + _GATE_CTES.replace("__GSRC__", "src") + """,
+        lx as (select doc_id, string_split(text, chr(10)) as ls
+               from exact),
+        le as (select doc_id,
+                      unnest(generate_series(1, len(ls))) as pos, ls
+               from lx),
+        ll as (select doc_id, pos, ls[pos] as line from le),
+        ldf as (select line, count(distinct doc_id) as line_df
+                from ll group by line),
+        lcommon as (select line from ldf where line_df >= 2),
+        lreb as (select doc_id,
+                        string_agg(line, chr(10) order by pos)
+                          as clean
+                 from (select k.* from ll k
+                       anti join lcommon using (line))
+                 group by doc_id),
+        lkept as (
+          select e.doc_id, coalesce(lreb.clean, '') as text
+          from exact e left join lreb on lreb.doc_id = e.doc_id
+          where length(coalesce(lreb.clean, '')) > 0),
+        """
+        + _SUBSTR_BODY.replace("__SRC__", "lkept") + ","
+        + _SCRUB_TAIL.replace("__SRC__", "lkept")
+        + _NEARDUP_TAIL)
 
     o["doc_curation_v2"] = _CURATE_CTES + f"""
         select doc_id, n_tok_before, n_tok_after,
@@ -2976,6 +3064,26 @@ def oracle_sql() -> dict[str, str]:
         from documents d
           left join gated g on g.doc_id = d.doc_id
           left join exact e on e.doc_id = d.doc_id
+          left join kept2 k on k.doc_id = d.doc_id
+          left join final f on f.doc_id = d.doc_id"""
+
+    o["doc_curation_v3"] = _CURATE3_CTES + f"""
+        select doc_id, n_tok_before, n_tok_after,
+               {_FP_SQL.format(c='text')} as final_fp
+        from final"""
+
+    o["doc_curation_v3_ledger"] = _CURATE3_CTES + """
+        select d.doc_id,
+               case when g.doc_id is null then 'dropped_gate'
+                    when e.doc_id is null then 'dropped_exact_dup'
+                    when l.doc_id is null then 'boilerplate_empty'
+                    when k.doc_id is null then 'scrubbed_empty'
+                    when f.doc_id is null then 'dropped_near_dup'
+                    else 'kept' end as fate
+        from documents d
+          left join gated g on g.doc_id = d.doc_id
+          left join exact e on e.doc_id = d.doc_id
+          left join lkept l on l.doc_id = d.doc_id
           left join kept2 k on k.doc_id = d.doc_id
           left join final f on f.doc_id = d.doc_id"""
 

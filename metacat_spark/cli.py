@@ -632,12 +632,17 @@ def build_parser() -> argparse.ArgumentParser:
     cvm.add_argument("--dest", required=True)
     ccu = cs.add_parser("curate", help="end-to-end curation "
                         "(gate, dedup, near-dup; --v2 adds PII "
-                        "scrub + substring scrub, exact near-dup)")
+                        "scrub + substring scrub, exact near-dup; "
+                        "--v3 additionally normalizes Unicode first "
+                        "and drops boilerplate lines before near-dup "
+                        "— the CCNet/RefinedWeb order)")
     _corpus_common(ccu)
     ccu.add_argument("--v2", action="store_true")
+    ccu.add_argument("--v3", action="store_true")
     ccu.add_argument("--ledger", action="store_true",
                      help="emit per-document fates instead of "
-                          "survivors (v2 pipeline lineage)")
+                          "survivors (pipeline lineage; pairs with "
+                          "--v3 for the seven-stage fates)")
     ccu.add_argument("--min-quality", type=float, default=0.3)
     cgg = cs.add_parser("gate", help="Gopher heuristic quality "
                         "gate (per-rule flags + conjunction)")

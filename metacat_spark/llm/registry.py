@@ -375,10 +375,15 @@ def _op_redact(ctx: OpContext) -> DataFrame:
 
 @_corpus_op("curate")
 def _op_curate(ctx: OpContext) -> DataFrame:
-    from .pipeline import curate, curate_v2, curate_v2_ledger
+    from .pipeline import (curate, curate_v2, curate_v2_ledger,
+                           curate_v3, curate_v3_ledger)
     mq = ctx.float_param("min_quality", 0.3)
     if ctx.flag("ledger"):
-        return curate_v2_ledger(ctx.docs(), min_quality=mq)
+        # the ledger matches the pipeline version it audits
+        return (curate_v3_ledger if ctx.flag("v3")
+                else curate_v2_ledger)(ctx.docs(), min_quality=mq)
+    if ctx.flag("v3"):
+        return curate_v3(ctx.docs(), min_quality=mq)
     if ctx.flag("v2"):
         return curate_v2(ctx.docs(), min_quality=mq)
     return curate(ctx.docs(), min_quality=mq)

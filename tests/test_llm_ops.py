@@ -2035,6 +2035,41 @@ def test_curate_v2_ledger_consistency(docs):
         "scrubbed_empty", "dropped_near_dup"}
 
 
+def test_curate_v3_stage_semantics(spark, docs):
+    """The r8 seven-stage pipeline: normalization fires FIRST (a
+    decomposed-accent doc exact-dedups against its composed twin),
+    boilerplate lines shared across docs vanish before near-dup (so
+    a shared banner can't fuse distinct docs into Jaccard pairs),
+    and a doc that was ALL boilerplate gets the boilerplate_empty
+    fate."""
+    from metacat_spark.llm.pipeline import curate_v3, curate_v3_ledger
+    banner = "subscribe to the newsletter today please"
+    body_a = ("the cat sat on the mat and the dog ran through the "
+              "park while the birds sang in the trees all morning")
+    body_b = ("a completely different story about the sea and the "
+              "ships that sail across the wide blue water at dawn")
+    df = spark.createDataFrame(
+        [(1, body_a + "\n" + banner),
+         # decomposed é twin of doc 3's composed é: normalize-first
+         # makes them EXACT duplicates (min-id 2 survives)
+         (2, body_b + " café\n" + banner),
+         (3, body_b + " café\n" + banner),
+         (4, banner),                    # all boilerplate
+         (5, "x")],                      # fails the token gate
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in curate_v3(df).collect()}
+    assert set(out) == {1, 2}
+    assert banner not in out[1] and banner not in out[2]
+    assert "é" in out[2] and "́" not in out[2]
+    led = {r["doc_id"]: r["fate"]
+           for r in curate_v3_ledger(df).collect()}
+    assert led == {1: "kept", 2: "kept", 3: "dropped_exact_dup",
+                   4: "boilerplate_empty", 5: "dropped_gate"}
+    # the sf corpus flows through with every fate accounted for
+    led_sf = curate_v3_ledger(docs).groupBy("fate").count().collect()
+    assert sum(r["count"] for r in led_sf) == docs.count()
+
+
 def test_semantic_dedup_text_collapses_copies(docs, spark):
     """Text-only semantic dedup: planted exact copies collapse to
     the min-id survivor without any embeddings table."""
