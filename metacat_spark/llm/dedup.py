@@ -309,22 +309,28 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
     # materialization (1 narrow row per doc) instead of re-aggregating
     sig = (ex0.groupBy("id").agg(F.count("*").alias("n_sh"), *aggs)
            .localCheckpoint(eager=False))
-    band_cols = [F.struct(F.lit(bi).alias("band"),
-                          F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}")
-                                             for r in range(rows)])
-                          .alias("sig"))
+    # band identity = ONE xxhash64 long over (band_index, its row
+    # hashes) instead of a "_"-joined string (r8): the banded shuffle
+    # carries 8 bytes per (doc, band) instead of ~40, and the
+    # candidate join compares longs in codegen. A 2^-64 band-key
+    # collision only ADDS a candidate, which exact verification
+    # rejects — precision is unaffected by construction. Interleaved
+    # A/B at sf0.1 measured flat (medians 2.27 vs 2.29 s — the banded
+    # shuffle is tiny at this SF; tools/ab_q8_bandkey.py); adopted for
+    # the scale shape, where band-key bytes × docs dominate the
+    # candidate-generation shuffle.
+    band_keys = [F.xxhash64(F.lit(bi),
+                            *[F.col(f"mh_{bi * rows + r}")
+                              for r in range(rows)])
                  for bi in range(bands)]
-    # candidate generation joins (id, band, sig) ONLY — dragging the
+    # candidate generation joins (id, bandkey) ONLY — dragging the
     # shingle arrays through the banded shuffle multiplies its payload
     # by bands × shingle bytes
-    exploded = (sig.select("id",
-                           F.explode(F.array(*band_cols)).alias("bs"))
-                .select("id", F.col("bs.band").alias("band"),
-                        F.col("bs.sig").alias("sig")))
+    exploded = sig.select(
+        "id", F.explode(F.array(*band_keys)).alias("bk"))
     a = exploded.alias("a")
     b = exploded.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig") == F.col("b.sig"))
+    cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
@@ -627,19 +633,19 @@ def cross_corpus_lsh(test_df: DataFrame, train_df: DataFrame,
     # the pair keeps each side's signature/set-size separate (ADVICE r4)
     sig = (ex0.groupBy("grp", "id").agg(F.count("*").alias("n_sh"), *aggs)
            .localCheckpoint(eager=False))
-    band_cols = [F.struct(F.lit(bi).alias("band"),
-                          F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}")
-                                             for r in range(rows)])
-                          .alias("sig"))
+    # hashed band key, same rationale + collision argument as
+    # minhash_lsh_pairs (r8): 8-byte band identity in the candidate
+    # shuffle; a band-key collision only adds a candidate that exact
+    # verification rejects
+    band_keys = [F.xxhash64(F.lit(bi),
+                            *[F.col(f"mh_{bi * rows + r}")
+                              for r in range(rows)])
                  for bi in range(bands)]
-    exploded = (sig.select("id", "grp",
-                           F.explode(F.array(*band_cols)).alias("bs"))
-                .select("id", "grp", F.col("bs.band").alias("band"),
-                        F.col("bs.sig").alias("sig")))
+    exploded = sig.select(
+        "id", "grp", F.explode(F.array(*band_keys)).alias("bk"))
     a = exploded.where(F.col("grp") == 0).alias("a")
     b = exploded.where(F.col("grp") == 1).alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig") == F.col("b.sig")))
+    cand = (a.join(b, F.col("a.bk") == F.col("b.bk"))
             .select(F.col("a.id").alias("test_id"),
                     F.col("b.id").alias("train_id"))
             .dropDuplicates(["test_id", "train_id"]))

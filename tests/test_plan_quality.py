@@ -300,8 +300,8 @@ def test_pack_sequences_single_python_stage(spark):
 
 def test_cross_corpus_lsh_no_cartesian(spark):
     """The banded cross-corpus candidate join must stay a key-equi
-    join on (band, sig) — never a cartesian/nested-loop — and carry
-    no Python stage at all."""
+    join on the hashed band key (r8) — never a cartesian/nested-loop
+    — and carry no Python stage at all."""
     from metacat_spark.llm.dedup import cross_corpus_lsh
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     test = docs.where("doc_id % 2 = 0")
