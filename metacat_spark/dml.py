@@ -11,7 +11,7 @@ Mutations produce NEW DataFrames swapped into the Catalog (session
 state). With a ``durable.DurableStore`` (r8), every mutation ALSO
 appends its row-level delta to a parquet commit log, so writes
 survive a restart like the reference's PostgreSQL rows do — see
-durable.py for the log model and docs/DIVERGENCES.md §10 for the
+durable.py for the log model and docs/DIVERGENCES.md §9 for the
 contract. Bulk declare is a single DataFrame union (the
 COPY-equivalent, dbobjects2.py:525-557), never a row-at-a-time loop.
 """
@@ -127,28 +127,42 @@ def _locked(fn):
     Durable mode (r8): the wrapper is also the commit boundary —
     journal ops buffered by the mutator (and any nested mutators)
     flush as ONE DurableStore commit when the OUTERMOST mutation
-    returns, so a composite mutation is one durable commit. A raising
-    mutation discards its pending journal: the mutators check-then-
-    mutate (review r6 made them atomic), so a discarded journal
-    matches the unmutated session state."""
+    returns. A raising mutation ALSO flushes whatever it buffered:
+    the journaling invariant is "op buffered ⇒ its session mutation
+    is already applied" (every _journal call sits directly after its
+    assignment), so flushing keeps the commit log equal to session
+    state even when a composite mutator fails partway (review r8 —
+    the original discard-on-raise policy silently diverged: the
+    session kept the partial mutation while the log lost it, and a
+    restart rolled it back). Mutators still check-then-mutate, so a
+    mutation that fails validation journals nothing at all."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(self, *a, **k):
+        def flush():
+            if self._depth == 1 and self._pending:
+                ops, self._pending = self._pending, []
+                if self._store is not None:
+                    self._store.commit(ops, dml_meta=self._dml_meta())
+
         with self._lock:
             self._depth += 1
             try:
                 out = fn(self, *a, **k)
-                if self._depth == 1 and self._pending:
-                    ops, self._pending = self._pending, []
-                    if self._store is not None:
-                        self._store.commit(ops,
-                                           dml_meta=self._dml_meta())
+                flush()              # commit failures surface here
                 return out
-            except BaseException:
-                if self._depth == 1:
-                    self._pending.clear()
-                raise
+            except BaseException as orig:
+                try:
+                    flush()          # keep log == session state
+                except Exception:
+                    # an additional commit failure must not mask the
+                    # mutation's own exception; the log is now behind
+                    # the session by this one partial mutation (the
+                    # same window as any commit-write failure —
+                    # docs/DIVERGENCES.md §9's write-behind contract)
+                    pass
+                raise orig
             finally:
                 self._depth -= 1
     return wrapper
@@ -274,6 +288,14 @@ class DML:
                     (F.col("namespace") == dns)
                     & (F.col("name") == dname)).first() is None:
                 raise DMLError(f"dataset {dns}:{dname} not found")
+        # parent-id FK check BEFORE any mutation (review r8): the
+        # old post-append check left the appended file rows in
+        # session state when a parent was missing. Intra-batch
+        # references resolve against the batch ids themselves.
+        out_of_batch = sorted({p for r in rows
+                               for p in (r.get("parents") or [])}
+                              - set(ids))
+        self._check_fids_exist(out_of_batch, "parent")
         reqs = (self.dataset_requirements.get(dataset)
                 if dataset else None)
         prepared = []
@@ -341,8 +363,6 @@ class DML:
         edges = [(p, r["id"]) for r in rows
                  for p in (r.get("parents") or [])]
         if edges:
-            self._check_fids_exist(sorted({p for p, _ in edges}),
-                                   "parent")
             add = (self.cat.spark.createDataFrame(
                        edges, ["parent_id", "child_id"])
                    .join(self.cat.parent_child,
@@ -421,18 +441,28 @@ class DML:
         if (ns, name) in self.monotonic:
             raise DMLError(f"dataset {ns}:{name} is monotonic; "
                            f"files cannot be removed")
+        if not file_ids:
+            # empty request: a no-op (like isin([]) was), AFTER the
+            # frozen/monotonic policy checks — createDataFrame([])
+            # can't infer a schema and would 500 the server's
+            # remove_files with an empty body (review r8)
+            return
         fd = self.cat.files_datasets
         self.cat.files_datasets = _truncate(fd.where(~(
             (F.col("dataset_namespace") == ns)
             & (F.col("dataset_name") == name)
             & F.col("file_id").isin(file_ids))))
-        # delete keys enumerate from the request itself (never a table
-        # scan); keys that were not members journal harmless no-ops
-        self._journal("delete", "files_datasets",
-                      self.cat.spark.createDataFrame(
-                          [(fid, ns, name) for fid in set(file_ids)],
-                          ["file_id", "dataset_namespace",
-                           "dataset_name"]))
+        if self._store is not None:
+            # delete keys enumerate from the request itself (never a
+            # table scan); non-member keys journal harmless no-ops.
+            # Built only in durable mode — _journal's args evaluate
+            # eagerly (review r8)
+            self._journal("delete", "files_datasets",
+                          self.cat.spark.createDataFrame(
+                              [(fid, ns, name)
+                               for fid in set(file_ids)],
+                              ["file_id", "dataset_namespace",
+                               "dataset_name"]))
 
     # ------------------------------------------------------------ update
     @_locked
@@ -492,12 +522,9 @@ class DML:
         pc = self.cat.parent_child
         me, other = (("child_id", "parent_id") if as_parents
                      else ("parent_id", "child_id"))
+        add = None
+        pc0 = pc
         if replace:
-            # enumerate the replaced edges' keys distributed (a point
-            # lookup on the checkpointed edge table, no driver rows)
-            self._journal("delete", "parent_child",
-                          pc.where(F.col(me) == file_id)
-                          .select("parent_id", "child_id"))
             pc = pc.where(F.col(me) != file_id)
         if other_ids:
             rows = [(file_id, o) for o in other_ids]
@@ -505,8 +532,18 @@ class DML:
                    .select("parent_id", "child_id")
                    .join(pc, ["parent_id", "child_id"], "left_anti"))
             pc = pc.unionByName(add)
-            self._journal("upsert", "parent_child", add)
         self.cat.parent_child = _truncate(pc)
+        # journal AFTER the assignment — the flush-on-exception
+        # contract requires "op buffered ⇒ mutation applied" (r8).
+        # The delete keys enumerate distributed from the pre-filter
+        # edge table (a point lookup, no driver rows); delete seq <
+        # upsert seq, so a replaced-and-re-added edge lands present.
+        if replace:
+            self._journal("delete", "parent_child",
+                          pc0.where(F.col(me) == file_id)
+                          .select("parent_id", "child_id"))
+        if add is not None:
+            self._journal("upsert", "parent_child", add)
 
     @_locked
     def update_file(self, file_id: str,
@@ -529,6 +566,15 @@ class DML:
                    .select("id", "checksums").first()
         if row is None:
             raise DMLError(f"file {file_id!r} not found")
+        # ALL validations before ANY patch (review r8): a metadata
+        # validation error or missing edge id after the size/checksum
+        # patch had already applied would leave a partial mutation
+        if metadata is not None:
+            self.validate(metadata)
+        if parents is not None:
+            self._check_fids_exist(parents, "parent")
+        if children is not None:
+            self._check_fids_exist(children, "child")
         hit = F.col("id") == file_id
         changed = False
         if size is not None:
@@ -626,18 +672,21 @@ class DML:
             pc_before.where(
                 (F.col("parent_id") != fid)
                 & (F.col("child_id") != fid)))
-        # cascade deletes journal the affected KEYS, enumerated
-        # distributed from the pre-delete tables (point lookups)
-        self._journal("delete", "files",
-                      self.cat.spark.createDataFrame([(fid,)], ["id"]))
-        self._journal("delete", "files_datasets",
-                      fd_before.where(F.col("file_id") == fid)
-                      .select("file_id", "dataset_namespace",
-                              "dataset_name"))
-        self._journal("delete", "parent_child",
-                      pc_before.where((F.col("parent_id") == fid)
-                                      | (F.col("child_id") == fid))
-                      .select("parent_id", "child_id"))
+        if self._store is not None:
+            # cascade deletes journal the affected KEYS, enumerated
+            # distributed from the pre-delete tables (point lookups);
+            # guarded so memory mode never pays the createDataFrame
+            self._journal("delete", "files",
+                          self.cat.spark.createDataFrame([(fid,)],
+                                                         ["id"]))
+            self._journal("delete", "files_datasets",
+                          fd_before.where(F.col("file_id") == fid)
+                          .select("file_id", "dataset_namespace",
+                                  "dataset_name"))
+            self._journal("delete", "parent_child",
+                          pc_before.where((F.col("parent_id") == fid)
+                                          | (F.col("child_id") == fid))
+                          .select("parent_id", "child_id"))
         return fid
 
     @_locked

@@ -124,6 +124,11 @@ class DurableStore:
         """Highest PARSEABLE commit wins — a torn manifest write (crash
         mid-rename on an FS without atomic rename) falls back to the
         previous commit instead of wedging the catalog."""
+        # Java-side read failures surface as Py4JJavaError (an object
+        # listed but deleted/incomplete between list and open on an
+        # eventually-consistent store) — the URI twin of the local
+        # branch's OSError, same fallback (review r8)
+        from py4j.protocol import Py4JJavaError
         for cid in reversed(self._list_commit_ids()):
             path = f"{self._commits_dir()}/{cid:012d}.json"
             try:
@@ -139,7 +144,7 @@ class DurableStore:
                     with open(path) as f:
                         raw = f.read()
                 return json.loads(raw)
-            except (ValueError, OSError):
+            except (ValueError, OSError, Py4JJavaError):
                 continue
         return None
 

@@ -396,36 +396,16 @@ def _curate_v2_stages(documents, min_quality, min_tokens, substr_n,
                       jaccard_n, jaccard_threshold, text_col,
                       id_col) -> dict:
     """The curate_v2 stage DataFrames, exposed for the lineage
-    ledger: gated → exact → kept (post-scrub, non-empty) → final."""
-    c = F.col(text_col)
-    toks = F.col("__toks")
-    analyzed = (documents.withColumn("__toks", TX.tokens(c))
-                .withColumns({
-                    "n_tokens": F.size(toks),
-                    "quality": TX.quality_score_from(
-                        c, toks, n_the=TX.the_count(c)),
-                }).drop("__toks"))
-    gated = analyzed.where((F.col("quality") >= min_quality)
-                           & (F.col("n_tokens") >= min_tokens))
-    red = gated.withColumn(text_col, TX.redact_pii(c))
-    exact = DD.dedup_exact(red, text_col, id_col)
-    # the exact-dedup subtree feeds the span index, the token
-    # explode, the scrub join, and (via kept) the near-dup shingles —
-    # without a checkpoint Spark recomputes the whole gate+md5 chain
-    # once per consumer inside the single lazy plan
-    exact = exact.localCheckpoint(eager=False)
-    scrub = DD.scrub_duplicate_spans(
-        exact.select(id_col, text_col), n=substr_n,
-        text_col=text_col, id_col=id_col)
-    kept = scrub.where(F.col("n_tok_after") > 0) \
-                .localCheckpoint(eager=False)
-    pairs = DD.ngram_jaccard_pairs(kept, n=jaccard_n,
-                                   threshold=jaccard_threshold,
-                                   text_col=text_col, id_col=id_col)
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    final = kept.join(drop, id_col, "left_anti")
-    return {"gated": gated, "exact": exact, "kept": kept,
-            "final": final}
+    ledger: gated → exact → kept (post-scrub, non-empty) → final.
+    Composed from the SAME stage builders as v3 (review r8: a fix to
+    the shared gate/scrub logic must move both pipelines and both
+    oracles in lockstep)."""
+    head = _gate_exact_stages(documents, min_quality, min_tokens,
+                              text_col, id_col)
+    tail = _scrub_neardup_stages(
+        head["exact"].select(id_col, text_col), substr_n, jaccard_n,
+        jaccard_threshold, text_col, id_col)
+    return {**head, **tail}
 
 
 def curate_v3(documents: DataFrame, min_quality: float = 0.3,
@@ -459,6 +439,63 @@ def curate_v3(documents: DataFrame, min_quality: float = 0.3,
                              line_min_df, text_col, id_col)["final"]
 
 
+def _gate_exact_stages(src, min_quality, min_tokens, text_col,
+                       id_col) -> dict:
+    """Shared v2/v3 head: quality+token gate → PII scrub → exact
+    dedup (checkpointed — the exact subtree feeds the span index,
+    the token explode, the scrub join, and the near-dup shingles;
+    without a checkpoint Spark recomputes the gate+md5 chain once
+    per consumer)."""
+    c = F.col(text_col)
+    toks = F.col("__toks")
+    analyzed = (src.withColumn("__toks", TX.tokens(c))
+                .withColumns({
+                    "n_tokens": F.size(toks),
+                    "quality": TX.quality_score_from(
+                        c, toks, n_the=TX.the_count(c)),
+                }).drop("__toks"))
+    gated = analyzed.where((F.col("quality") >= min_quality)
+                           & (F.col("n_tokens") >= min_tokens))
+    red = gated.withColumn(text_col, TX.redact_pii(c))
+    exact = DD.dedup_exact(red, text_col, id_col) \
+        .localCheckpoint(eager=False)
+    return {"gated": gated, "exact": exact}
+
+
+def _scrub_neardup_stages(src, substr_n, jaccard_n,
+                          jaccard_threshold, text_col,
+                          id_col) -> dict:
+    """Shared v2/v3 tail: ExactSubstr scrub (docs scrubbed to empty
+    drop) → exact n-gram near-dup removal over the SCRUBBED text."""
+    scrub = DD.scrub_duplicate_spans(
+        src, n=substr_n, text_col=text_col, id_col=id_col)
+    kept = scrub.where(F.col("n_tok_after") > 0) \
+                .localCheckpoint(eager=False)
+    pairs = DD.ngram_jaccard_pairs(kept, n=jaccard_n,
+                                   threshold=jaccard_threshold,
+                                   text_col=text_col, id_col=id_col)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    final = kept.join(drop, id_col, "left_anti")
+    return {"kept": kept, "final": final}
+
+
+def _fate_ledger(documents, id_col, stages) -> DataFrame:
+    """Per-document fate from ordered stage memberships: the first
+    stage a doc is MISSING from names its fate; survivors are
+    'kept'. Narrow id-only left joins over the stage outputs."""
+    out = documents.select(id_col)
+    expr = None
+    for i, (df, label) in enumerate(stages):
+        flag = f"_s{i}"
+        out = out.join(df.select(F.col(id_col),
+                                 F.lit(True).alias(flag)),
+                       id_col, "left")
+        w = F.col(flag).isNull()
+        expr = (F.when(w, label) if expr is None
+                else expr.when(w, label))
+    return out.select(id_col, expr.otherwise("kept").alias("fate"))
+
+
 def _curate_v3_stages(documents, min_quality, min_tokens, substr_n,
                       jaccard_n, jaccard_threshold, line_min_df,
                       text_col, id_col) -> dict:
@@ -469,37 +506,18 @@ def _curate_v3_stages(documents, min_quality, min_tokens, substr_n,
                                 id_col=id_col)
               .select(F.col("doc_id").alias(id_col),
                       F.col("text_norm").alias(text_col)))
-    c = F.col(text_col)
-    toks = F.col("__toks")
-    analyzed = (normed.withColumn("__toks", TX.tokens(c))
-                .withColumns({
-                    "n_tokens": F.size(toks),
-                    "quality": TX.quality_score_from(
-                        c, toks, n_the=TX.the_count(c)),
-                }).drop("__toks"))
-    gated = analyzed.where((F.col("quality") >= min_quality)
-                           & (F.col("n_tokens") >= min_tokens))
-    red = gated.withColumn(text_col, TX.redact_pii(c))
-    exact = DD.dedup_exact(red, text_col, id_col)
-    exact = exact.localCheckpoint(eager=False)
-    lines = DD.drop_common_lines(exact.select(id_col, text_col),
-                                 min_df=line_min_df,
-                                 text_col=text_col, id_col=id_col)
+    head = _gate_exact_stages(normed, min_quality, min_tokens,
+                              text_col, id_col)
+    lines = DD.drop_common_lines(
+        head["exact"].select(id_col, text_col),
+        min_df=line_min_df, text_col=text_col, id_col=id_col)
     lined = (lines.where(F.length(F.col("text")) > 0)
              .select(F.col("doc_id").alias(id_col),
                      F.col("text").alias(text_col))
              .localCheckpoint(eager=False))
-    scrub = DD.scrub_duplicate_spans(
-        lined, n=substr_n, text_col=text_col, id_col=id_col)
-    kept = scrub.where(F.col("n_tok_after") > 0) \
-                .localCheckpoint(eager=False)
-    pairs = DD.ngram_jaccard_pairs(kept, n=jaccard_n,
-                                   threshold=jaccard_threshold,
-                                   text_col=text_col, id_col=id_col)
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    final = kept.join(drop, id_col, "left_anti")
-    return {"gated": gated, "exact": exact, "lined": lined,
-            "kept": kept, "final": final}
+    tail = _scrub_neardup_stages(lined, substr_n, jaccard_n,
+                                 jaccard_threshold, text_col, id_col)
+    return {**head, "lined": lined, **tail}
 
 
 def curate_v3_ledger(documents: DataFrame, min_quality: float = 0.3,
@@ -516,23 +534,12 @@ def curate_v3_ledger(documents: DataFrame, min_quality: float = 0.3,
     st = _curate_v3_stages(documents, min_quality, min_tokens,
                            substr_n, jaccard_n, jaccard_threshold,
                            line_min_df, text_col, id_col)
-
-    def ids(df, flag):
-        return df.select(F.col(id_col), F.lit(True).alias(flag))
-
-    out = (documents.select(id_col)
-           .join(ids(st["gated"], "_g"), id_col, "left")
-           .join(ids(st["exact"], "_e"), id_col, "left")
-           .join(ids(st["lined"], "_l"), id_col, "left")
-           .join(ids(st["kept"], "_k"), id_col, "left")
-           .join(ids(st["final"], "_f"), id_col, "left"))
-    fate = (F.when(F.col("_g").isNull(), "dropped_gate")
-            .when(F.col("_e").isNull(), "dropped_exact_dup")
-            .when(F.col("_l").isNull(), "boilerplate_empty")
-            .when(F.col("_k").isNull(), "scrubbed_empty")
-            .when(F.col("_f").isNull(), "dropped_near_dup")
-            .otherwise("kept"))
-    return out.select(id_col, fate.alias("fate"))
+    return _fate_ledger(documents, id_col, [
+        (st["gated"], "dropped_gate"),
+        (st["exact"], "dropped_exact_dup"),
+        (st["lined"], "boilerplate_empty"),
+        (st["kept"], "scrubbed_empty"),
+        (st["final"], "dropped_near_dup")])
 
 
 def curate_v2_ledger(documents: DataFrame, min_quality: float = 0.3,
@@ -551,22 +558,11 @@ def curate_v2_ledger(documents: DataFrame, min_quality: float = 0.3,
     st = _curate_v2_stages(documents, min_quality, min_tokens,
                            substr_n, jaccard_n, jaccard_threshold,
                            text_col, id_col)
-
-    def ids(df, flag):
-        return df.select(F.col(id_col),
-                         F.lit(True).alias(flag))
-
-    out = (documents.select(id_col)
-           .join(ids(st["gated"], "_g"), id_col, "left")
-           .join(ids(st["exact"], "_e"), id_col, "left")
-           .join(ids(st["kept"], "_k"), id_col, "left")
-           .join(ids(st["final"], "_f"), id_col, "left"))
-    fate = (F.when(F.col("_g").isNull(), "dropped_gate")
-            .when(F.col("_e").isNull(), "dropped_exact_dup")
-            .when(F.col("_k").isNull(), "scrubbed_empty")
-            .when(F.col("_f").isNull(), "dropped_near_dup")
-            .otherwise("kept"))
-    return out.select(id_col, fate.alias("fate"))
+    return _fate_ledger(documents, id_col, [
+        (st["gated"], "dropped_gate"),
+        (st["exact"], "dropped_exact_dup"),
+        (st["kept"], "scrubbed_empty"),
+        (st["final"], "dropped_near_dup")])
 
 
 def quality_quantile_gate(df: DataFrame, keep_frac: float = 0.75,

@@ -415,7 +415,7 @@ def test_events_group(capsys):
 def test_admin_init_and_tables(capsys):
     """`admin init` builds the bucketed warehouse; `admin tables`
     lists the mcw_* tables with row counts (reference parity:
-    metacat_admin.py schema init — docs/DIVERGENCES.md §9 maps the
+    metacat_admin.py schema init — docs/DIVERGENCES.md §10 maps the
     schema half onto materialize_tables)."""
     rc, out = run(capsys, "admin", "init")
     assert rc == 0

@@ -246,6 +246,77 @@ def test_failed_mutation_journals_nothing(spark, tmp_path):
     assert store1.manifest["commit"] == before + 1
 
 
+def test_partial_mutation_flushes_applied_ops(spark, tmp_path):
+    """Review r8: when a composite mutation fails PARTWAY (here:
+    save_as journals its dataset row, then add_to's execution raises
+    under ANSI), the applied ops still flush — the commit log must
+    equal session state, not silently roll back what the session
+    kept. And check-before-mutate means update_file with invalid
+    metadata after a size arg applies NOTHING."""
+    from pyspark.sql import functions as F
+
+    from metacat_spark.dml import ValidationFailed
+    root = str(tmp_path / "cat")
+    cat1 = from_tpch(spark, SF_DIR)
+    store1 = DurableStore(spark, root)
+    dml1 = DML(cat1, store=store1)
+    # a result whose execution raises (ANSI cast) AFTER save_as
+    # already created + journaled the dataset row; the throwing
+    # expression rides the id column so projection pruning can't
+    # skip it
+    bad = cat1.files.limit(3).select(
+        F.concat(F.col("id"),
+                 F.expr("cast('zz' as int)").cast("string"))
+        .alias("id"))
+    with pytest.raises(Exception):
+        dml1.save_as(bad, "dune", "half_ds")
+    assert cat1.datasets.where(
+        (F.col("namespace") == "dune")
+        & (F.col("name") == "half_ds")).count() == 1
+    want = _state(cat1)
+    cat2, _, _ = _restart(spark, root)
+    assert _state(cat2) == want          # log == session, exactly
+    # update_file: validations run BEFORE any patch
+    fid = cat1.files.select("id").first()["id"]
+    size0 = cat1.files.where(F.col("id") == fid).first()["size"]
+    with pytest.raises(ValidationFailed):
+        dml1.update_file(fid, size=size0 + 999,
+                         metadata={"core.run": "not-an-int"})
+    assert cat1.files.where(F.col("id") == fid).first()["size"] \
+        == size0
+    with pytest.raises(DMLError):
+        dml1.update_file(fid, size=size0 + 999,
+                         parents=["no-such-fid"])
+    assert cat1.files.where(F.col("id") == fid).first()["size"] \
+        == size0
+    # declare with a missing out-of-batch parent appends NOTHING
+    with pytest.raises(DMLError):
+        dml1.declare_files([{"id": "pm-1", "namespace": "dune",
+                             "name": "p1", "parents": ["ghost"],
+                             "metadata": {"core.run": 1,
+                                          "core.runs": [1]}}])
+    assert cat1.files.where(F.col("id") == "pm-1").count() == 0
+    cat3, _, _ = _restart(spark, root)
+    assert _state(cat3) == _state(cat1)
+
+
+def test_remove_files_empty_list_is_noop(spark, tmp_path):
+    """Review r8: an empty removal batch is a no-op in both modes
+    (createDataFrame([]) cannot infer a schema and used to crash),
+    but the frozen-policy check still fires first."""
+    cat = from_tpch(spark, SF_DIR)
+    for dml in (DML(cat),
+                DML(cat, store=DurableStore(spark,
+                                            str(tmp_path / "d")))):
+        before = dml.cat.files_datasets.count()
+        dml.remove_files_from_dataset([], "dune", "urgent_2")
+        assert dml.cat.files_datasets.count() == before
+        dml.update_dataset("dune", "urgent_2", frozen=True)
+        with pytest.raises(DMLError):
+            dml.remove_files_from_dataset([], "dune", "urgent_2")
+        dml.update_dataset("dune", "urgent_2", frozen=False)
+
+
 def test_durable_composite_is_one_commit(spark, tmp_path):
     """declare_files(dataset=…) nests add_files_to_dataset; the
     outermost lock boundary flushes ONE durable commit (atomicity of

@@ -1,7 +1,16 @@
 """Interleaved A/B: q8 minhash-LSH band identity as concat_ws STRING
-(current) vs xxhash64 LONG (candidate, r8 VERDICT #4). Run:
+(the pre-r8 representation, inlined below as lsh_bandstring) vs
+xxhash64 LONG (adopted into minhash_lsh_pairs in r8). Run:
 
     python tools/ab_q8_bandkey.py [reps]
+
+Measured at adoption time (sf0.1, local[32], 6 interleaved reps):
+medians 2.27 s (string) vs 2.29 s (long) — flat locally (the banded
+shuffle is tiny at this SF); adopted for the scale shape. The tool
+keeps the OLD variant inlined so the measurement stays re-runnable
+against the library's current implementation (review r8: after
+adoption, comparing the library to a copy of itself would be
+vacuous).
 
 Protocol per the repo's measurement discipline: interleave the two
 variants rep by rep, report medians (host noise is ±1.5 s on single
@@ -26,8 +35,10 @@ from metacat_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def lsh_bandkey(df, n=2, k=32, bands=8, threshold=0.5):
-    """minhash_lsh_pairs with the band identity hashed to ONE long."""
+def lsh_bandstring(df, n=2, k=32, bands=8, threshold=0.5):
+    """The PRE-r8 minhash_lsh_pairs: band identity as a '_'-joined
+    STRING of the row hashes, joined on (band, sig) — the comparison
+    arm for the adopted hashed-band-key library implementation."""
     rows = k // bands
     shr = hashed_shingle_rows(df, n, "text", "doc_id") \
         .localCheckpoint(eager=False)
@@ -37,14 +48,18 @@ def lsh_bandkey(df, n=2, k=32, bands=8, threshold=0.5):
             for i, (a, b) in enumerate(_lcg_params(k))]
     sig = (ex0.groupBy("id").agg(F.count("*").alias("n_sh"), *aggs)
            .localCheckpoint(eager=False))
-    band_keys = [F.xxhash64(F.lit(bi),
-                            *[F.col(f"mh_{bi * rows + r}")
-                              for r in range(rows)])
+    band_cols = [F.struct(F.lit(bi).alias("band"),
+                          F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}")
+                                             for r in range(rows)])
+                          .alias("sig"))
                  for bi in range(bands)]
-    exploded = sig.select(
-        "id", F.explode(F.array(*band_keys)).alias("bk"))
+    exploded = (sig.select("id",
+                           F.explode(F.array(*band_cols)).alias("bs"))
+                .select("id", F.col("bs.band").alias("band"),
+                        F.col("bs.sig").alias("sig")))
     a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
@@ -83,22 +98,22 @@ def main():
     spark = get_spark("ab_q8_bandkey")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     # warm both paths once
+    consume(lsh_bandstring(docs))
     consume(minhash_lsh_pairs(docs, n=2, k=32, bands=8, threshold=0.5))
-    consume(lsh_bandkey(docs))
-    cur, new = [], []
+    old, new = [], []
     for i in range(reps):
         t = time.time()
-        ref = consume(minhash_lsh_pairs(docs, n=2, k=32, bands=8,
-                                        threshold=0.5))
-        cur.append(time.time() - t)
+        ref = consume(lsh_bandstring(docs))
+        old.append(time.time() - t)
         t = time.time()
-        got = consume(lsh_bandkey(docs))
+        got = consume(minhash_lsh_pairs(docs, n=2, k=32, bands=8,
+                                        threshold=0.5))
         new.append(time.time() - t)
         assert got == ref, f"parity broke: {got} != {ref}"
-        print(f"rep {i}: current {cur[-1]:.3f}s  bandkey "
+        print(f"rep {i}: bandstring {old[-1]:.3f}s  bandkey(lib) "
               f"{new[-1]:.3f}s  (pairs={ref[0]})", flush=True)
-    print(f"median current {statistics.median(cur):.3f}s  "
-          f"bandkey {statistics.median(new):.3f}s")
+    print(f"median bandstring {statistics.median(old):.3f}s  "
+          f"bandkey(lib) {statistics.median(new):.3f}s")
 
 
 if __name__ == "__main__":

@@ -82,33 +82,43 @@ def run_sweep(spark, sf_dir: str) -> dict:
     qs = E.queries()
 
     results, t0 = {}, time.time()
-    for name, fn in qs.items():
-        try:
-            src = inspect.getsource(fn)
-        except OSError:
-            src = "engine"          # be conservative: run it
-        if "engine" not in src.lower():
-            results[name] = "n/a"
-            continue
-        pin = PINNED.get(name)
-        t = time.time()
-        try:
-            E._CACHE[sf_dir] = base_eng
-            out = fn(spark, sf_dir)
-            nb, hb = value_hash(pin(out) if pin else out)
-            E._CACHE[sf_dir] = var_eng
-            out = fn(spark, sf_dir)
-            nv, hv = value_hash(pin(out) if pin else out)
-        except Exception as e:  # noqa: BLE001 — sweep must finish
-            results[name] = f"ERR {type(e).__name__}: {e}"[:200]
-            print(f"{name}: {results[name]}", flush=True)
-            continue
-        ok = (nb, hb) == (nv, hv)
-        results[name] = (("pinned-ok" if pin else "ok") if ok
-                         else f"DIFF shredded=({nb},{hb}) "
-                              f"variant=({nv},{hv})")
-        print(f"{name}: {results[name]} "
-              f"[{nb} rows, {time.time()-t:.1f}s]", flush=True)
+    # restore whatever engine was cached before: leaking var_eng into
+    # the shared entry cache would silently run every LATER caller in
+    # the same process against the variant warehouse (review r8)
+    prev = E._CACHE.get(sf_dir)
+    try:
+        for name, fn in qs.items():
+            try:
+                src = inspect.getsource(fn)
+            except OSError:
+                src = "engine"          # be conservative: run it
+            if "engine" not in src.lower():
+                results[name] = "n/a"
+                continue
+            pin = PINNED.get(name)
+            t = time.time()
+            try:
+                E._CACHE[sf_dir] = base_eng
+                out = fn(spark, sf_dir)
+                nb, hb = value_hash(pin(out) if pin else out)
+                E._CACHE[sf_dir] = var_eng
+                out = fn(spark, sf_dir)
+                nv, hv = value_hash(pin(out) if pin else out)
+            except Exception as e:  # noqa: BLE001 — sweep must finish
+                results[name] = f"ERR {type(e).__name__}: {e}"[:200]
+                print(f"{name}: {results[name]}", flush=True)
+                continue
+            ok = (nb, hb) == (nv, hv)
+            results[name] = (("pinned-ok" if pin else "ok") if ok
+                             else f"DIFF shredded=({nb},{hb}) "
+                                  f"variant=({nv},{hv})")
+            print(f"{name}: {results[name]} "
+                  f"[{nb} rows, {time.time()-t:.1f}s]", flush=True)
+    finally:
+        if prev is None:
+            E._CACHE.pop(sf_dir, None)
+        else:
+            E._CACHE[sf_dir] = prev
 
     ran = [n for n, r in results.items() if r != "n/a"]
     diffs = {n: r for n, r in results.items()
