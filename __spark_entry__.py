@@ -819,6 +819,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           .alias("n_bigrams"))
     q["doc_bigram_logprob"] = doc_bigram
 
+    def doc_moore_lewis(spark, sf_dir):
+        """Moore-Lewis cross-entropy-difference selection
+        (llm/text.py moore_lewis_scores): every raw-pool doc (source
+        != src0) scored by mean ln P_target − ln P_raw under each
+        corpus's own add-one unigram model, target = src0. The
+        oracle replays both LMs and the per-occurrence difference
+        verbatim — exact counts, ln arithmetic, round(6)."""
+        from metacat_spark.llm import text as TX
+        docs = _docs(spark, sf_dir)
+        raw = docs.where(F.col("source") != "src0")
+        target = docs.where(F.col("source") == "src0")
+        out = TX.moore_lewis_scores(raw, target)
+        return out.select("doc_id",
+                          F.col("n_terms").cast("long")
+                          .alias("n_terms"), "ml_score")
+    q["doc_moore_lewis"] = doc_moore_lewis
+
+    def doc_domain_cap(spark, sf_dir):
+        """Per-domain document cap (llm/pipeline.py cap_per_domain):
+        top-30 docs per source by quality (ties by id) — the
+        diversity control that keeps mega-domains from dominating
+        the token budget. The oracle replays the quality score and
+        the within-domain ranking exactly."""
+        from metacat_spark.llm.pipeline import cap_per_domain
+        out = cap_per_domain(_docs(spark, sf_dir), n=30)
+        return out.select("doc_id", "source", "quality",
+                          F.col("rank").cast("long").alias("rank"))
+    q["doc_domain_cap"] = doc_domain_cap
+
     def doc_source_rep(spark, sf_dir):
         """Per-source corpus health report (llm/pipeline.py
         source_report): doc/token volume, mean quality, exact-dup
@@ -2720,6 +2749,39 @@ def oracle_sql() -> dict[str, str]:
                count(*) as n_terms
         from tok join tf using (term) cross join totals
         group by id"""
+
+    # Moore-Lewis: raw = source != src0, target = src0; both add-one
+    # unigram LMs replayed over exact counts, per-occurrence ln diff
+    _tok_where = _tok.replace(
+        "from documents)", "from documents where source {w})")
+    o["doc_moore_lewis"] = f"""
+        with tr as ({_tok_where.format(w="<> 'src0'")}),
+        tt as ({_tok_where.format(w="= 'src0'")}),
+        tfr as (select term, count(*) as c_r from tr group by term),
+        totr as (select sum(c_r) as n_r, count(*) as v_r from tfr),
+        tft as (select term, count(*) as c_t from tt group by term),
+        tott as (select sum(c_t) as n_t, count(*) as v_t from tft)
+        select id as doc_id, count(*) as n_terms,
+               round(avg(ln((coalesce(c_t, 0) + 1) / (n_t + v_t))
+                         - ln((c_r + 1) / (n_r + v_r))), 6)
+                 as ml_score
+        from tr join tfr using (term)
+          left join tft using (term)
+          cross join totr cross join tott
+        group by id"""
+
+    o["doc_domain_cap"] = f"""
+        with scored as (
+          select doc_id, source, round({_qual}, 6) as quality
+          from documents),
+        ranked as (
+          select doc_id, source, quality,
+                 row_number() over (partition by source
+                                    order by quality desc, doc_id)
+                   as rank
+          from scored)
+        select doc_id, source, quality, rank
+        from ranked where rank <= 30"""
 
     o["doc_bigram_logprob"] = """
         with base as (select doc_id,

@@ -588,6 +588,20 @@ def build_parser() -> argparse.ArgumentParser:
     _corpus_common(clm)
     clm.add_argument("--method", choices=["unigram", "bigram"],
                      default="bigram")
+    cml = cs.add_parser("moorelewis",
+                        help="Moore-Lewis cross-entropy-difference "
+                             "selection scores: rank the served raw "
+                             "pool by how in-domain it looks")
+    _corpus_common(cml)
+    cml.add_argument("--target", required=True,
+                     help="parquet path of the in-domain corpus")
+    cdc = cs.add_parser("domaincap",
+                        help="keep the top-n docs of each domain by "
+                             "quality (diversity control)")
+    _corpus_common(cdc)
+    cdc.add_argument("-n", type=int, default=100)
+    cdc.add_argument("--domain", default="source",
+                     help="domain column (default: source)")
     cp_ = cs.add_parser("pack", help="pack documents into fixed-token "
                         "training sequences")
     _corpus_common(cp_)

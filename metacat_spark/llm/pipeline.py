@@ -565,6 +565,34 @@ def curate_v2_ledger(documents: DataFrame, min_quality: float = 0.3,
         (st["final"], "dropped_near_dup")])
 
 
+def cap_per_domain(df: DataFrame, n: int = 100,
+                   domain_col: str = "source",
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap — the standard web-corpus diversity
+    control (a handful of mega-domains otherwise dominate the token
+    budget): keep the top ``n`` documents of EACH domain by quality
+    score (ties broken by id, so the survivor set is deterministic
+    and replayable). Returns survivors with their quality and
+    within-domain rank.
+
+    Plan: ONE window partitioned by the domain column — work
+    distributes across domains (never the single-partition global
+    window); the quality score is pure JVM projection. A pathological
+    single mega-domain concentrates its own rows in one task, which
+    is the inherent shape of a per-domain top-N; AQE skew handling
+    splits the sort spill, and ``n`` bounds what survives."""
+    from pyspark.sql import Window
+
+    q = TX.quality_score(F.col(text_col))
+    w = (Window.partitionBy(domain_col)
+         .orderBy(F.desc("quality"), F.col(id_col)))
+    return (df.withColumn("quality", F.round(q, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n)
+            .select(id_col, domain_col, "quality", "rank"))
+
+
 def quality_quantile_gate(df: DataFrame, keep_frac: float = 0.75,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:

@@ -311,6 +311,25 @@ def _op_lm(ctx: OpContext) -> DataFrame:
             else unigram_logprob)(ctx.docs())
 
 
+@_corpus_op("moorelewis")
+def _op_moorelewis(ctx: OpContext) -> DataFrame:
+    # Moore-Lewis cross-entropy-difference selection: served docs are
+    # the RAW pool, target= is the in-domain corpus to select toward
+    from .text import moore_lewis_scores
+    path = ctx.require(
+        "target", "moorelewis needs target=<parquet path of the "
+                  "in-domain corpus> (served docs are the raw pool)")
+    return moore_lewis_scores(ctx.docs(), ctx.corpus(path))
+
+
+@_corpus_op("domaincap")
+def _op_domaincap(ctx: OpContext) -> DataFrame:
+    from .pipeline import cap_per_domain
+    return cap_per_domain(ctx.docs(), n=ctx.int_param("n", 100),
+                          domain_col=str(ctx.param("domain")
+                                         or "source"))
+
+
 @_corpus_op("pack")
 def _op_pack(ctx: OpContext) -> DataFrame:
     from .packing import pack_sequences

@@ -417,6 +417,54 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                  F.count("*").alias("n_terms")))
 
 
+def moore_lewis_scores(raw: DataFrame, target: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-entropy-difference data selection (Moore & Lewis 2010 —
+    the classic recipe for mining general crawl for DOMAIN-relevant
+    training data): score every raw document by
+
+        ml_score = mean over tokens of
+                   [ln P_target(w) − ln P_raw(w)]
+
+    under each corpus's own add-one-smoothed unigram model (terms
+    unseen in the target back off to its smoothing mass). High scores
+    = looks like the target domain and UNLIKE generic raw text — rank
+    and keep the top slice (compose with quality_quantile_gate-style
+    cutoffs or a threshold).
+
+    Plan shape: two vocabulary-bounded term-frequency aggregates (one
+    per corpus), a LEFT join of raw's occurrence rows against the
+    target tf (unseen ⇒ count 0), broadcast 1-row totals, one per-doc
+    aggregate. Nothing corpus-sized crosses a shuffle twice; the tf
+    tables are vocabulary-bounded. All arithmetic is ln over exact
+    counts — replayed verbatim by the SQL oracle."""
+    terms = term_rows(raw, text_col, id_col)
+    tf_r = terms.groupBy("term").agg(F.count("*").alias("c_r"))
+    tot_r = tf_r.agg(F.sum("c_r").alias("n_r"),
+                     F.count("*").alias("v_r"))
+    tf_t = (term_rows(target, text_col, id_col)
+            .groupBy("term").agg(F.count("*").alias("c_t")))
+    tot_t = tf_t.agg(F.sum("c_t").alias("n_t"),
+                     F.count("*").alias("v_t"))
+    scored = (terms
+              .join(tf_r, "term")
+              .join(tf_t, "term", "left")
+              .crossJoin(F.broadcast(tot_r))
+              .crossJoin(F.broadcast(tot_t))
+              .withColumn(
+                  "diff",
+                  F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                        / (F.col("n_t") + F.col("v_t")))
+                  - F.log((F.col("c_r") + 1)
+                          / (F.col("n_r") + F.col("v_r")))))
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_terms"),
+                 F.round(F.avg("diff"), 6).alias("ml_score"))
+            .select(F.col("id").alias("doc_id"), "n_terms",
+                    "ml_score"))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full text-analysis projection over a documents table.
 

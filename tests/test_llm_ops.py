@@ -2035,6 +2035,49 @@ def test_curate_v2_ledger_consistency(docs):
         "scrubbed_empty", "dropped_near_dup"}
 
 
+def test_moore_lewis_ranks_target_like_docs_higher(spark):
+    """Cross-entropy difference: a raw doc written in the target
+    domain's vocabulary must outscore one written in the raw pool's
+    own generic vocabulary; scores are finite for terms the target
+    never saw (add-one backoff)."""
+    from metacat_spark.llm.text import moore_lewis_scores
+    target = spark.createDataFrame(
+        [(100 + i, "quark lepton boson detector calorimeter")
+         for i in range(5)], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "quark boson detector readings today"),
+         (2, "cheap shoes sale discount coupon"),
+         (3, "cheap shoes sale discount coupon"),
+         (4, "unseenword1 unseenword2 unseenword3")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           moore_lewis_scores(raw, target).collect()}
+    assert got[1]["ml_score"] > got[2]["ml_score"]
+    assert got[1]["n_terms"] == 5
+    # all-unseen doc gets a finite (smoothed) score
+    assert got[4]["ml_score"] is not None
+
+
+def test_cap_per_domain_keeps_top_n_by_quality(docs, spark):
+    """Every domain keeps at most n survivors, ranks are contiguous
+    from 1, survivors are that domain's top-quality docs, and ties
+    break by id (deterministic replay)."""
+    from metacat_spark.llm.pipeline import cap_per_domain
+    out = cap_per_domain(docs, n=5).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    n_domains = docs.select("source").distinct().count()
+    assert len(by_dom) == n_domains
+    for dom, rows in by_dom.items():
+        assert len(rows) <= 5
+        assert sorted(r["rank"] for r in rows) \
+            == list(range(1, len(rows) + 1))
+        qs = [r["quality"] for r in
+              sorted(rows, key=lambda r: r["rank"])]
+        assert qs == sorted(qs, reverse=True)
+
+
 def test_curate_v3_stage_semantics(spark, docs):
     """The r8 seven-stage pipeline: normalization fires FIRST (a
     decomposed-accent doc exact-dedups against its composed twin),
