@@ -579,9 +579,12 @@ def cap_per_domain(df: DataFrame, n: int = 100,
     Plan: ONE window partitioned by the domain column — work
     distributes across domains (never the single-partition global
     window); the quality score is pure JVM projection. A pathological
-    single mega-domain concentrates its own rows in one task, which
-    is the inherent shape of a per-domain top-N; AQE skew handling
-    splits the sort spill, and ``n`` bounds what survives."""
+    single mega-domain concentrates its own rows in ONE task — the
+    inherent shape of a per-domain top-N window (AQE skew splitting
+    applies to shuffle joins, NOT window partitions); the external
+    sort spills to disk rather than OOMing, and at that scale the
+    right pre-step is a cheap per-domain quality-threshold filter to
+    shrink the domain before ranking. ``n`` bounds what survives."""
     from pyspark.sql import Window
 
     q = TX.quality_score(F.col(text_col))

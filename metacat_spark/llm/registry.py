@@ -325,9 +325,11 @@ def _op_moorelewis(ctx: OpContext) -> DataFrame:
 @_corpus_op("domaincap")
 def _op_domaincap(ctx: OpContext) -> DataFrame:
     from .pipeline import cap_per_domain
+    # two-arg param getter so the CLI/registry default-parity
+    # introspection test sees the default (review r8)
     return cap_per_domain(ctx.docs(), n=ctx.int_param("n", 100),
-                          domain_col=str(ctx.param("domain")
-                                         or "source"))
+                          domain_col=str(ctx.param("domain",
+                                                    "source")))
 
 
 @_corpus_op("pack")

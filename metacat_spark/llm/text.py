@@ -461,7 +461,7 @@ def moore_lewis_scores(raw: DataFrame, target: DataFrame,
     return (scored.groupBy("id")
             .agg(F.count("*").alias("n_terms"),
                  F.round(F.avg("diff"), 6).alias("ml_score"))
-            .select(F.col("id").alias("doc_id"), "n_terms",
+            .select(F.col("id").alias(id_col), "n_terms",
                     "ml_score"))
 
 

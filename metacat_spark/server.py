@@ -329,7 +329,8 @@ def make_handler(client: MetaCatSparkClient,
             embeddings tables: /data/corpus?op=<registry op>
             [&budget=N][&max_tokens=N][&threshold=T]
             [&target=en=0.6,de=0.4][&limit=N] — streamed as json-seq
-            frames. Secondary-corpus params (test=, corpus=) are
+            frames. Secondary-corpus params (test=, corpus=,
+            target=) are
             jailed to --data-root (403 otherwise); the reader is the
             format-sniffing load_corpus, same contract as the CLI's
             --test (review r6)."""
@@ -342,11 +343,12 @@ def make_handler(client: MetaCatSparkClient,
 
             def _load(path):
                 # message covers every secondary-corpus param routed
-                # here (test=, corpus=), not just test= (review r7)
+                # here (test=, corpus=, target= — review r7/r8)
                 if root is None:
                     raise OpError(
                         "PermissionError: secondary corpus paths "
-                        "(test=, corpus=) are disabled; start the "
+                        "(test=, corpus=, target=) are disabled; "
+                        "start the "
                         "server with --data-root to allow reading "
                         "corpora under one subtree", status=403)
                 safe = _safe_path(path)
