@@ -317,6 +317,44 @@ def test_remove_files_empty_list_is_noop(spark, tmp_path):
         dml.update_dataset("dune", "urgent_2", frozen=False)
 
 
+def test_concurrent_declares_all_reach_the_log(spark, tmp_path):
+    """The threaded HTTP server mutates through one DML instance from
+    many threads; the RLock serializes and the commit boundary must
+    give every mutation its own durable commit — nothing lost,
+    restart state == session state."""
+    import threading
+
+    root = str(tmp_path / "cat")
+    cat1 = from_tpch(spark, SF_DIR)
+    store1 = DurableStore(spark, root)
+    dml1 = DML(cat1, store=store1)
+    base_commit = store1.manifest["commit"]
+    errs = []
+
+    def declare(i):
+        try:
+            dml1.declare_files(
+                [{"id": f"cc-{i}", "namespace": "dune",
+                  "name": f"cc{i}.dat",
+                  "metadata": {"core.run": i, "core.runs": [i]}}])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=declare, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert store1.manifest["commit"] == base_commit + 6
+    cat2, _, _ = _restart(spark, root)
+    got = sorted(r["id"] for r in cat2.files.where(
+        F.col("id").startswith("cc-")).collect())
+    assert got == [f"cc-{i}" for i in range(6)]
+    assert _state(cat2) == _state(cat1)
+
+
 def test_durable_composite_is_one_commit(spark, tmp_path):
     """declare_files(dataset=…) nests add_files_to_dataset; the
     outermost lock boundary flushes ONE durable commit (atomicity of
