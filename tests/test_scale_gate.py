@@ -56,6 +56,16 @@ def _cases(spark, mult):
                 F.coalesce(F.col("text"), F.lit("")),
                 F.col("n_lines_removed"))).alias("s"))
             .collect()),
+        # r8: Moore-Lewis is two vocab-bounded tf aggregates + one
+        # occurrence join — growth must stay linear in occurrences.
+        # Consumed via score hash (scores are deterministic work).
+        "moore_lewis": lambda: len(
+            __import__("metacat_spark.llm.text",
+                       fromlist=["moore_lewis_scores"])
+            .moore_lewis_scores(docs.where("source <> 'src0'"),
+                                docs.where("source = 'src0'"))
+            .agg(F.bit_xor(F.xxhash64("doc_id", "ml_score"))
+                 .alias("s")).collect()),
     }
 
 
