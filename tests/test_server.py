@@ -680,3 +680,52 @@ def test_summary_on_dataset_query_is_400(served):
         _get(base, "/data/query", query="datasets dune:*",
              summary="count")
     assert e.value.code == 400
+
+
+def test_durable_server_restart_keeps_declares(spark, tmp_path):
+    """End-to-end durability through the HTTP surface (r8): declare
+    over POST against a --durable-root server, SHUT THE SERVER DOWN,
+    start a brand-new server (fresh catalog + fresh client, same
+    root) — the new server answers queries with the declared file,
+    exactly what the reference's PostgreSQL-backed webserver does
+    across restarts."""
+    from tests.conftest import SF_DIR
+
+    from metacat_spark.catalog import from_tpch
+
+    root = str(tmp_path / "cat")
+
+    def boot():
+        client = MetaCatSparkClient(spark,
+                                    catalog=from_tpch(spark, SF_DIR),
+                                    durable_root=root)
+        srv, port = start_server(client)
+        return srv, f"http://127.0.0.1:{port}"
+
+    srv1, base1 = boot()
+    try:
+        _post(base1, "/data/create_dataset", {},
+              dataset="dune:http_durable")
+        out = _post(base1, "/data/declare_files",
+                    [{"id": "httpd_1", "namespace": "dune",
+                      "name": "httpd1.dat", "size": 7,
+                      "metadata": {"core.run": 5,
+                                   "core.runs": [5]}}],
+                    dataset="dune:http_durable")
+        assert out == {"declared": 1}
+        _post(base1, "/data/retire_file", {}, fid="httpd_1")
+    finally:
+        srv1.shutdown()
+
+    srv2, base2 = boot()          # the restart
+    try:
+        rec = json.loads(_get(base2, "/data/file",
+                              fid="httpd_1").read())
+        assert rec["name"] == "httpd1.dat" and rec["retired"]
+        rows = _json_seq(_get(
+            base2, "/data/query",
+            query="files from dune:http_durable",
+            include_retired_files="yes"))
+        assert [r["id"] for r in rows] == ["httpd_1"]
+    finally:
+        srv2.shutdown()

@@ -70,6 +70,11 @@ def main():
         "image_dhash": lambda: _consume(MM.image_dhash(
             MM.synthesize_assets(docs))),
         "curate_v2": lambda: _consume(PL.curate_v2(docs)),
+        "curate_v3": lambda: _consume(PL.curate_v3(docs)),
+        "moore_lewis": lambda: _consume(TX.moore_lewis_scores(
+            docs.where("source <> 'src0'"),
+            docs.where("source = 'src0'"))),
+        "domain_cap": lambda: _consume(PL.cap_per_domain(docs, n=30)),
         "hashed_vectors": lambda: _consume(SIM.hashed_doc_vectors(
             docs)),
         "curation_ledger": lambda: _consume(PL.curate_v2_ledger(
