@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from functools import reduce
 from typing import Optional
 
@@ -82,6 +83,22 @@ def _null_as(dtype) -> F.Column:
     if isinstance(dtype, T.VariantType):
         return F.parse_json(F.lit(None).cast("string"))
     return F.lit(None).cast(dtype)
+
+
+class CommitConflict(Exception):
+    """Another writer published this commit number first (two
+    processes sharing one durable root). The loser's session state is
+    now AHEAD of what it believes the log holds — reload the catalog
+    (fresh attach) before retrying; the conflicting segments are
+    unreferenced garbage, never corruption."""
+
+    def __init__(self, commit: int, root: str):
+        super().__init__(
+            f"commit {commit} already published at {root} by another "
+            f"writer — reload the catalog before retrying (one writer "
+            f"process per root is the supported mode; see "
+            f"docs/DIVERGENCES.md §9)")
+        self.commit = commit
 
 
 class DurableStore:
@@ -149,25 +166,41 @@ class DurableStore:
         return None
 
     def _write_manifest(self, manifest: dict) -> None:
+        """Publish commit N by CREATING its numbered manifest — never
+        overwriting. Creation is the optimistic-concurrency point
+        (the Delta/Iceberg log protocol): if another writer already
+        published N, this writer LOSES and raises CommitConflict with
+        its segments unreferenced (garbage, never corruption). Local
+        FS uses os.link (atomic fail-if-exists); Hadoop rename does
+        not overwrite an existing destination and returns false."""
         cid = manifest["commit"]
         dest = f"{self._commits_dir()}/{cid:012d}.json"
         data = json.dumps(manifest, sort_keys=True)
         if self._uri:
             fs, p = self._hadoop(dest)
+            if fs.exists(p):
+                raise CommitConflict(cid, self.root)
             tmp_p = self.spark._jvm.org.apache.hadoop.fs.Path(
-                dest + ".tmp")
+                dest + f".tmp-{os.getpid()}")
             out = fs.create(tmp_p, True)
             try:
                 out.write(bytearray(data.encode("utf-8")))
             finally:
                 out.close()
-            fs.rename(tmp_p, p)
+            if not fs.rename(tmp_p, p):
+                fs.delete(tmp_p, False)
+                raise CommitConflict(cid, self.root)
         else:
             os.makedirs(self._commits_dir(), exist_ok=True)
-            tmp = dest + ".tmp"
+            tmp = dest + f".tmp-{os.getpid()}"
             with open(tmp, "w") as f:
                 f.write(data)
-            os.replace(tmp, dest)
+            try:
+                os.link(tmp, dest)   # atomic create-if-absent
+            except FileExistsError:
+                raise CommitConflict(cid, self.root) from None
+            finally:
+                os.unlink(tmp)
         self.manifest = manifest
 
     # ----------------------------------------------------------- commit
@@ -183,20 +216,24 @@ class DurableStore:
         m = json.loads(json.dumps(self.manifest))     # deep copy
         m["commit"] += 1
         cid = m["commit"]
+        # segment names carry a per-attempt token: two writers racing
+        # the SAME commit number must never write the same segment
+        # path, or the loser's mode("overwrite") replaces the
+        # winner's data before the manifest race even resolves
+        # (review r8 — caught by the single-winner test). The loser's
+        # uniquely-named segments end up unreferenced garbage.
+        attempt = uuid.uuid4().hex[:8]
         tables = m.setdefault("tables", {})
         for i, (kind, table, df) in enumerate(ops):
             m["seq"] += 1
+            rel = f"{table}/c{cid:08d}-{i}-{attempt}-{kind}"
             if kind == "snapshot":
+                df.write.mode("overwrite") \
+                    .parquet(f"{self.root}/{rel}")
                 if table in TABLE_KEYS:
                     # a journaled table's snapshot resets its log
-                    rel = f"{table}/c{cid:08d}-{i}-snapshot"
-                    df.write.mode("overwrite") \
-                        .parquet(f"{self.root}/{rel}")
                     tables[table] = {"snapshot": rel, "segments": []}
                 else:
-                    rel = f"{table}/c{cid:08d}-{i}-snapshot"
-                    df.write.mode("overwrite") \
-                        .parquet(f"{self.root}/{rel}")
                     tables[table] = {"snapshot": rel}
                 continue
             if table not in TABLE_KEYS:
@@ -204,7 +241,6 @@ class DurableStore:
                     f"{kind} journaling is only for {set(TABLE_KEYS)}; "
                     f"snapshot {table!r} instead")
             keys = TABLE_KEYS[table]
-            rel = f"{table}/c{cid:08d}-{i}-{kind}"
             out = df.select(*keys) if kind == "delete" else df
             out.write.mode("overwrite").parquet(f"{self.root}/{rel}")
             entry = tables.setdefault(

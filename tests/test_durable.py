@@ -317,6 +317,28 @@ def test_remove_files_empty_list_is_noop(spark, tmp_path):
         dml.update_dataset("dune", "urgent_2", frozen=False)
 
 
+def test_commit_conflict_single_winner(spark, tmp_path):
+    """Two stores on ONE root racing the same commit number: exactly
+    one publishes; the loser raises CommitConflict and the log holds
+    only the winner's mutation (optimistic concurrency on manifest
+    creation — the Delta/Iceberg log protocol's conflict point)."""
+    from metacat_spark.durable import CommitConflict
+    root = str(tmp_path / "cat")
+    cat_a = from_tpch(spark, SF_DIR)
+    cat_b = from_tpch(spark, SF_DIR)
+    dml_a = DML(cat_a, store=DurableStore(spark, root))
+    dml_b = DML(cat_b, store=DurableStore(spark, root))
+    row = {"namespace": "dune", "name": "x",
+           "metadata": {"core.run": 1, "core.runs": [1]}}
+    dml_a.declare_files([dict(row, id="win-1")])
+    # B's store still believes commit 0 → its next commit collides
+    with pytest.raises(CommitConflict):
+        dml_b.declare_files([dict(row, id="lose-1")])
+    cat2, _, _ = _restart(spark, root)
+    assert cat2.files.where(F.col("id") == "win-1").count() == 1
+    assert cat2.files.where(F.col("id") == "lose-1").count() == 0
+
+
 def test_concurrent_declares_all_reach_the_log(spark, tmp_path):
     """The threaded HTTP server mutates through one DML instance from
     many threads; the RLock serializes and the commit boundary must
