@@ -49,12 +49,14 @@ from pyspark.sql import functions as F
 _SESSIONS: dict = {}
 
 
-def _session(sf_dir: str, durable_root=None):
-    """(engine, dml) per (sf-dir, durable-root). With a durable root,
-    committed DML state is overlaid onto the fixture catalog at build
-    and every mutation appends to the store's commit log — the CLI
-    equivalent of the reference's persistent PostgreSQL writes."""
-    key = (sf_dir, durable_root)
+def _session(sf_dir: str, durable_root=None, durable_at=None):
+    """(engine, dml) per (sf-dir, durable-root[, as-of commit]). With
+    a durable root, committed DML state is overlaid onto the fixture
+    catalog at build and every mutation appends to the store's commit
+    log — the CLI equivalent of the reference's persistent PostgreSQL
+    writes. ``durable_at`` attaches a historical commit instead
+    (time travel; mutations from it raise CommitConflict)."""
+    key = (sf_dir, durable_root, durable_at)
     if key not in _SESSIONS:
         from .catalog import from_tpch
         from .dml import DML
@@ -65,8 +67,10 @@ def _session(sf_dir: str, durable_root=None):
         store = None
         if durable_root:
             from .durable import DurableStore
-            store = DurableStore(spark, durable_root)
+            store = DurableStore(spark, durable_root, at=durable_at)
             store.attach(cat)
+        elif durable_at is not None:
+            raise SystemExit("--durable-at needs --durable-root")
         _SESSIONS[key] = (Engine(cat), DML(cat, store=store))
     return _SESSIONS[key]
 
@@ -111,6 +115,12 @@ def _add_sf_dir(p):
         help="directory of the durable catalog commit log; DML "
              "mutations persist there and are replayed on startup "
              "(default: session-only state)")
+    p.add_argument("--durable-at", type=int, default=None,
+                   metavar="N",
+                   help="time travel: attach the catalog AS OF "
+                        "commit N of the durable log (read-only — "
+                        "mutations from a historical view raise "
+                        "CommitConflict)")
 
 
 def _meta_arg(s: str) -> dict:
@@ -773,6 +783,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "into fresh snapshots (bounds restore cost; "
                          "the OPTIMIZE analogue)")
     _add_sf_dir(ac)
+    al = asub.add_parser("log", help="list the durable commit log: "
+                         "one line per commit with per-table segment/"
+                         "snapshot state (manifest reads only)")
+    _add_sf_dir(al)
     return p
 
 
@@ -818,6 +832,15 @@ def main(argv=None):
                   f"(commit {dml._store.manifest['commit']})",
                   file=sys.stderr)
             return 0
+        if args.acmd == "log":
+            if not args.durable_root:
+                raise SystemExit("admin log needs --durable-root "
+                                 "(or SPARK_GRAFT_DURABLE_ROOT)")
+            from .durable import DurableStore
+            for row in DurableStore(spark,
+                                    args.durable_root).history():
+                print(json.dumps(row))
+            return 0
         # BOTH subcommands ensure the warehouse first: Spark's default
         # in-memory catalog forgets table registrations between
         # sessions (the parquet dirs persist), so a fresh-process
@@ -838,7 +861,8 @@ def main(argv=None):
         return 0
 
     engine, dml = _session(args.sf_dir,
-                           getattr(args, "durable_root", None))
+                           getattr(args, "durable_root", None),
+                           getattr(args, "durable_at", None))
     cat = engine.cat
 
     if args.cmd == "query":

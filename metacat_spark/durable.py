@@ -106,13 +106,27 @@ class DurableStore:
     data I/O is Spark jobs (parquet read/write of segments), only the
     tiny JSON manifests go through plain-file / Hadoop-FS I/O."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 at: Optional[int] = None):
+        """``at``: time travel — attach the catalog AS OF commit
+        ``at`` instead of the latest (every numbered manifest is a
+        complete self-describing snapshot-plus-journal pointer, so
+        any historical commit replays the same way the current one
+        does — the Delta `VERSION AS OF` analogue). A store opened
+        with ``at`` is read-only by convention: committing from it
+        raises CommitConflict at publish time because its commit
+        number collides with history."""
         self.spark = spark
         self.root = root.rstrip("/")
         self._uri = "://" in self.root
+        self.at = at
         self.manifest = self._read_current() or {
             "commit": 0, "seq": 0,
             "tables": {}, "dml_meta": {}}
+        if at is not None and self.manifest["commit"] != at:
+            raise ValueError(
+                f"no commit {at} at {self.root} (latest parseable "
+                f"history: {self._list_commit_ids()[-5:]})")
 
     # ------------------------------------------------------ manifest I/O
     def _commits_dir(self) -> str:
@@ -138,15 +152,19 @@ class DurableStore:
                       if n.endswith(".json") and n[:-5].isdigit())
 
     def _read_current(self) -> Optional[dict]:
-        """Highest PARSEABLE commit wins — a torn manifest write (crash
-        mid-rename on an FS without atomic rename) falls back to the
-        previous commit instead of wedging the catalog."""
+        """Highest PARSEABLE commit wins (or exactly ``self.at`` in
+        time-travel mode) — a torn manifest write (crash mid-rename
+        on an FS without atomic rename) falls back to the previous
+        commit instead of wedging the catalog."""
         # Java-side read failures surface as Py4JJavaError (an object
         # listed but deleted/incomplete between list and open on an
         # eventually-consistent store) — the URI twin of the local
         # branch's OSError, same fallback (review r8)
         from py4j.protocol import Py4JJavaError
-        for cid in reversed(self._list_commit_ids()):
+        ids = self._list_commit_ids()
+        if self.at is not None:
+            ids = [c for c in ids if c == self.at]
+        for cid in reversed(ids):
             path = f"{self._commits_dir()}/{cid:012d}.json"
             try:
                 if self._uri:
@@ -279,11 +297,36 @@ class DurableStore:
                 .unionByName(latest.where(F.col("_op") == "upsert")
                              .select(*cols)))
 
+    def _exists(self, rel: str) -> bool:
+        if self._uri:
+            fs, p = self._hadoop(f"{self.root}/{rel}")
+            return fs.exists(p)
+        return os.path.exists(f"{self.root}/{rel}")
+
     def attach(self, catalog) -> None:
         """Overlay the committed state onto a freshly built catalog
         (fixtures/warehouse base): journaled tables get base+journal
         reconstruction, snapshot tables are replaced outright. Temp
-        views are re-registered so SQL surfaces see the same state."""
+        views are re-registered so SQL surfaces see the same state.
+
+        Time-travel attaches preflight-check that every referenced
+        data directory still exists: ``compact()`` deletes superseded
+        segments (like Delta VACUUM), so history reaches back only to
+        the last compaction — a clear error beats a mid-query
+        PATH_NOT_FOUND (review r8)."""
+        if self.at is not None:
+            missing = [
+                rel for e in (self.manifest.get("tables")
+                              or {}).values()
+                for rel in ([e["snapshot"]] if e.get("snapshot")
+                            else [])
+                + [s["path"] for s in (e.get("segments") or [])]
+                if not self._exists(rel)]
+            if missing:
+                raise ValueError(
+                    f"commit {self.at}'s data was removed by a later "
+                    f"compact (missing: {missing[:3]}); time travel "
+                    f"reaches back only to the last compaction")
         for table, entry in (self.manifest.get("tables") or {}).items():
             base = getattr(catalog, table)
             if table in TABLE_KEYS:
@@ -296,6 +339,30 @@ class DurableStore:
         # journal upserts can't be proven duplicate-free here; let the
         # engine's set-algebra fast path re-probe on first use
         catalog.ids_unique = None
+
+    def history(self) -> list[dict]:
+        """One row per parseable commit (oldest first): the commit
+        id, per-table segment counts, and whether each table is
+        snapshot-backed at that commit — the `admin log` view.
+        Manifest-file reads only; no Spark jobs."""
+        out = []
+        saved = self.at
+        try:
+            for cid in self._list_commit_ids():
+                self.at = cid
+                m = self._read_current()
+                if m is None:
+                    continue
+                out.append({
+                    "commit": cid,
+                    "tables": {
+                        t: {"segments": len(e.get("segments") or []),
+                            "snapshot": bool(e.get("snapshot"))}
+                        for t, e in (m.get("tables") or {}).items()},
+                })
+        finally:
+            self.at = saved
+        return out
 
     def dataset_requirements(self) -> dict:
         """The DML instance's dataset-level file_meta_requirements —

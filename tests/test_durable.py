@@ -317,6 +317,54 @@ def test_remove_files_empty_list_is_noop(spark, tmp_path):
         dml.update_dataset("dune", "urgent_2", frozen=False)
 
 
+def test_time_travel_reads_historical_commits(spark, tmp_path):
+    """Every numbered manifest is a complete catalog description, so
+    `at=N` attaches the catalog AS OF commit N (the Delta VERSION AS
+    OF analogue): commit 1 shows the file unretired, commit 2 shows
+    it retired, a missing commit raises, and history() lists the
+    log."""
+    root = str(tmp_path / "cat")
+    cat1 = from_tpch(spark, SF_DIR)
+    dml1 = DML(cat1, store=DurableStore(spark, root))
+    dml1.declare_files([{"id": "tt-1", "namespace": "dune",
+                         "name": "tt1.dat",
+                         "metadata": {"core.run": 1,
+                                      "core.runs": [1]}}])
+    dml1.retire_file("tt-1")
+
+    def as_of(n):
+        cat = from_tpch(spark, SF_DIR)
+        DurableStore(spark, root, at=n).attach(cat)
+        return cat.files.where(F.col("id") == "tt-1") \
+            .select("retired").collect()
+
+    assert [r["retired"] for r in as_of(1)] == [False]
+    assert [r["retired"] for r in as_of(2)] == [True]
+    with pytest.raises(ValueError, match="no commit 99"):
+        DurableStore(spark, root, at=99)
+    hist = DurableStore(spark, root).history()
+    assert [h["commit"] for h in hist] == [1, 2]
+    assert hist[0]["tables"]["files"]["segments"] == 1
+    assert hist[1]["tables"]["files"]["segments"] == 2
+    # a historical view is read-only: committing from it conflicts
+    from metacat_spark.durable import CommitConflict
+    cat_old = from_tpch(spark, SF_DIR)
+    store_old = DurableStore(spark, root, at=1)
+    store_old.attach(cat_old)
+    with pytest.raises(CommitConflict):
+        DML(cat_old, store=store_old).retire_file("tt-1", unretire=True)
+    # compact() truncates history (like Delta VACUUM): attaching a
+    # pre-compaction commit fails with a CLEAR error, not a mid-query
+    # PATH_NOT_FOUND
+    live = DurableStore(spark, root)
+    cat_live = from_tpch(spark, SF_DIR)
+    live.attach(cat_live)
+    live.compact(cat_live)
+    old = DurableStore(spark, root, at=1)
+    with pytest.raises(ValueError, match="removed by a later compact"):
+        old.attach(from_tpch(spark, SF_DIR))
+
+
 def test_commit_conflict_single_winner(spark, tmp_path):
     """Two stores on ONE root racing the same commit number: exactly
     one publishes; the loser raises CommitConflict and the log holds
