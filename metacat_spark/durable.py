@@ -10,10 +10,14 @@ log; readers take the highest complete commit).
 
 Layout under ``root``::
 
-    _commits/000000000001.json    ordered manifests; highest wins
-    files/c00000001-0-upsert/     parquet segment (full rows)
-    files/c00000005-0-delete/     parquet segment (key columns only)
-    datasets/c00000002-0-snapshot/  full-table snapshot (small tables)
+    _commits/000000000001.json          ordered manifests; highest wins
+    files/c00000001-0-<attempt>-upsert/   parquet segment (full rows)
+    files/c00000005-0-<attempt>-delete/   parquet segment (keys only)
+    datasets/c00000002-0-<attempt>-snapshot/  full small-table snapshot
+
+(<attempt> is a per-commit-attempt token so racing writers can never
+write the same data path; paths are only ever referenced through
+manifests, never parsed.)
 
 Two persistence strategies, chosen per table by its size class:
 
@@ -156,50 +160,70 @@ class DurableStore:
         time-travel mode) — a torn manifest write (crash mid-rename
         on an FS without atomic rename) falls back to the previous
         commit instead of wedging the catalog."""
-        # Java-side read failures surface as Py4JJavaError (an object
-        # listed but deleted/incomplete between list and open on an
-        # eventually-consistent store) — the URI twin of the local
-        # branch's OSError, same fallback (review r8)
-        from py4j.protocol import Py4JJavaError
         ids = self._list_commit_ids()
         if self.at is not None:
             ids = [c for c in ids if c == self.at]
         for cid in reversed(ids):
-            path = f"{self._commits_dir()}/{cid:012d}.json"
-            try:
-                if self._uri:
-                    fs, p = self._hadoop(path)
-                    stream = fs.open(p)
-                    try:
-                        raw = self.spark._jvm.org.apache.commons.io \
-                            .IOUtils.toString(stream, "UTF-8")
-                    finally:
-                        stream.close()
-                else:
-                    with open(path) as f:
-                        raw = f.read()
-                return json.loads(raw)
-            except (ValueError, OSError, Py4JJavaError):
-                continue
+            m = self._read_manifest(cid)
+            if m is not None:
+                return m
         return None
+
+    def _read_manifest(self, cid: int) -> Optional[dict]:
+        """One manifest by commit id; None if torn/unreadable.
+        Java-side read failures surface as Py4JJavaError (an object
+        listed but deleted/incomplete between list and open on an
+        eventually-consistent store) — the URI twin of the local
+        branch's OSError, same fallback (review r8)."""
+        from py4j.protocol import Py4JJavaError
+        path = f"{self._commits_dir()}/{cid:012d}.json"
+        try:
+            if self._uri:
+                fs, p = self._hadoop(path)
+                stream = fs.open(p)
+                try:
+                    raw = self.spark._jvm.org.apache.commons.io \
+                        .IOUtils.toString(stream, "UTF-8")
+                finally:
+                    stream.close()
+            else:
+                with open(path) as f:
+                    raw = f.read()
+            return json.loads(raw)
+        except (ValueError, OSError, Py4JJavaError):
+            return None
 
     def _write_manifest(self, manifest: dict) -> None:
         """Publish commit N by CREATING its numbered manifest — never
         overwriting. Creation is the optimistic-concurrency point
         (the Delta/Iceberg log protocol): if another writer already
         published N, this writer LOSES and raises CommitConflict with
-        its segments unreferenced (garbage, never corruption). Local
-        FS uses os.link (atomic fail-if-exists); Hadoop rename does
-        not overwrite an existing destination and returns false."""
+        its segments unreferenced (garbage, never corruption).
+
+        Guarantee scope (review r8): the create-if-absent is atomic
+        on local filesystems (os.link) and HDFS-like stores (rename
+        refuses an existing destination). Object-store connectors
+        (s3a://, gs://) implement rename as non-atomic
+        check+copy+delete — two racing writers there can both
+        "succeed", the same known gap Delta-on-S3 closes with a
+        coordinating LogStore; single-writer-per-root (the supported
+        mode, DIVERGENCES §9) is unaffected. Filesystems without
+        hard links (CIFS/exFAT) fall back to exists-check +
+        os.replace: durability keeps working, conflict detection
+        narrows to the check window."""
         cid = manifest["commit"]
         dest = f"{self._commits_dir()}/{cid:012d}.json"
         data = json.dumps(manifest, sort_keys=True)
+        # per-ATTEMPT tmp name: a per-PID name would be shared by two
+        # stores in one process racing the same commit — writer A
+        # could publish writer B's bytes (review r8)
+        token = uuid.uuid4().hex
         if self._uri:
             fs, p = self._hadoop(dest)
             if fs.exists(p):
                 raise CommitConflict(cid, self.root)
             tmp_p = self.spark._jvm.org.apache.hadoop.fs.Path(
-                dest + f".tmp-{os.getpid()}")
+                dest + f".tmp-{token}")
             out = fs.create(tmp_p, True)
             try:
                 out.write(bytearray(data.encode("utf-8")))
@@ -210,15 +234,26 @@ class DurableStore:
                 raise CommitConflict(cid, self.root)
         else:
             os.makedirs(self._commits_dir(), exist_ok=True)
-            tmp = dest + f".tmp-{os.getpid()}"
+            tmp = dest + f".tmp-{token}"
             with open(tmp, "w") as f:
                 f.write(data)
             try:
                 os.link(tmp, dest)   # atomic create-if-absent
             except FileExistsError:
                 raise CommitConflict(cid, self.root) from None
+            except OSError:
+                # no hard-link support on this FS: degrade to a
+                # check+replace (conflict window shrinks to the gap
+                # between the two calls; durability itself keeps
+                # working — review r8)
+                if os.path.exists(dest):
+                    raise CommitConflict(cid, self.root) from None
+                os.replace(tmp, dest)
+                self.manifest = manifest
+                return
             finally:
-                os.unlink(tmp)
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         self.manifest = manifest
 
     # ----------------------------------------------------------- commit
@@ -231,6 +266,12 @@ class DurableStore:
         (see module docstring for the crash contract)."""
         if not ops:
             return
+        if self.at is not None:
+            # a time-travel view is read-only BY CONSTRUCTION — even
+            # when at == latest, where the commit-number collision
+            # that protects older views would not fire (review r8)
+            raise CommitConflict(self.manifest["commit"] + 1,
+                                 self.root)
         m = json.loads(json.dumps(self.manifest))     # deep copy
         m["commit"] += 1
         cid = m["commit"]
@@ -343,25 +384,22 @@ class DurableStore:
     def history(self) -> list[dict]:
         """One row per parseable commit (oldest first): the commit
         id, per-table segment counts, and whether each table is
-        snapshot-backed at that commit — the `admin log` view.
-        Manifest-file reads only; no Spark jobs."""
+        snapshot-backed at that commit — the `admin log` view. ONE
+        directory listing + one manifest read per commit (no
+        per-commit re-listing, no shared-state mutation — review r8);
+        no Spark jobs."""
         out = []
-        saved = self.at
-        try:
-            for cid in self._list_commit_ids():
-                self.at = cid
-                m = self._read_current()
-                if m is None:
-                    continue
-                out.append({
-                    "commit": cid,
-                    "tables": {
-                        t: {"segments": len(e.get("segments") or []),
-                            "snapshot": bool(e.get("snapshot"))}
-                        for t, e in (m.get("tables") or {}).items()},
-                })
-        finally:
-            self.at = saved
+        for cid in self._list_commit_ids():
+            m = self._read_manifest(cid)
+            if m is None:
+                continue
+            out.append({
+                "commit": cid,
+                "tables": {
+                    t: {"segments": len(e.get("segments") or []),
+                        "snapshot": bool(e.get("snapshot"))}
+                    for t, e in (m.get("tables") or {}).items()},
+            })
         return out
 
     def dataset_requirements(self) -> dict:

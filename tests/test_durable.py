@@ -346,13 +346,18 @@ def test_time_travel_reads_historical_commits(spark, tmp_path):
     assert [h["commit"] for h in hist] == [1, 2]
     assert hist[0]["tables"]["files"]["segments"] == 1
     assert hist[1]["tables"]["files"]["segments"] == 2
-    # a historical view is read-only: committing from it conflicts
+    # a historical view is read-only: committing from it conflicts —
+    # including at == LATEST, where no commit-number collision would
+    # fire naturally (review r8)
     from metacat_spark.durable import CommitConflict
-    cat_old = from_tpch(spark, SF_DIR)
-    store_old = DurableStore(spark, root, at=1)
-    store_old.attach(cat_old)
-    with pytest.raises(CommitConflict):
-        DML(cat_old, store=store_old).retire_file("tt-1", unretire=True)
+    for n in (1, 2):
+        cat_old = from_tpch(spark, SF_DIR)
+        store_old = DurableStore(spark, root, at=n)
+        store_old.attach(cat_old)
+        with pytest.raises(CommitConflict):
+            DML(cat_old, store=store_old).retire_file(
+                "tt-1", unretire=True)
+    assert DurableStore(spark, root).manifest["commit"] == 2
     # compact() truncates history (like Delta VACUUM): attaching a
     # pre-compaction commit fails with a CLEAR error, not a mid-query
     # PATH_NOT_FOUND

@@ -34,6 +34,7 @@ def _docs(spark, mult):
 
 def _cases(spark, mult):
     from metacat_spark.llm import dedup as DD
+    from metacat_spark.llm import text as TX
     from metacat_spark.streaming import events as EV
     docs = _docs(spark, mult)
     return {
@@ -60,10 +61,8 @@ def _cases(spark, mult):
         # occurrence join — growth must stay linear in occurrences.
         # Consumed via score hash (scores are deterministic work).
         "moore_lewis": lambda: len(
-            __import__("metacat_spark.llm.text",
-                       fromlist=["moore_lewis_scores"])
-            .moore_lewis_scores(docs.where("source <> 'src0'"),
-                                docs.where("source = 'src0'"))
+            TX.moore_lewis_scores(docs.where("source <> 'src0'"),
+                                  docs.where("source = 'src0'"))
             .agg(F.bit_xor(F.xxhash64("doc_id", "ml_score"))
                  .alias("s")).collect()),
     }
