@@ -202,6 +202,40 @@ def test_compact_folds_log_and_preserves_state(spark, tmp_path):
     assert cat3.files.where(F.col("id") == "cp-1").first()["retired"]
 
 
+def test_variant_mode_durable_roundtrip(spark, tmp_path):
+    """Cross-feature: the VARIANT warehouse mode journals its native
+    VariantType column through the parquet commit log — declare,
+    metadata update, and delete (whose delete segments must align a
+    NULL variant column) all replay into a fresh variant catalog,
+    and variant-path predicates see the restored values."""
+    from metacat_spark.catalog import from_materialized
+
+    root = str(tmp_path / "cat")
+    cat1 = from_materialized(spark, SF_DIR, variant=True)
+    dml1 = DML(cat1, store=DurableStore(spark, root))
+    dml1.declare_files(
+        [{"id": "var-1", "namespace": "dune", "name": "v1.dat",
+          "metadata": {"core.run": 41, "core.runs": [41]}},
+         {"id": "var-2", "namespace": "dune", "name": "v2.dat",
+          "metadata": {"core.run": 42, "core.runs": [42]}}])
+    dml1.update_file_metadata("var-1", {"core.run": 987654,
+                                        "core.runs": [987654]})
+    dml1.delete_file("var-2")
+
+    cat2 = from_materialized(spark, SF_DIR, variant=True)
+    DurableStore(spark, root).attach(cat2)
+    eng = Engine(cat2)
+    assert [r["id"] for r in
+            eng.query("files where core.run = 987654").collect()] \
+        == ["var-1"]
+    assert cat2.files.where(F.col("id") == "var-2").count() == 0
+    # the restored variant column itself serves the value
+    got = cat2.files.where(F.col("id") == "var-1").select(
+        F.try_variant_get("metadata_v", "$['core.run']", "int")
+        .alias("run")).first()
+    assert got["run"] == 987654
+
+
 def test_torn_manifest_falls_back_to_previous_commit(spark, tmp_path):
     """Crash contract: the highest PARSEABLE manifest wins — a torn
     write degrades to the previous commit; segment dirs without a
