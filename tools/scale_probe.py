@@ -94,7 +94,7 @@ def probe(spark, mult: int) -> dict:
         "pack_sequences": lambda: __import__(
             "metacat_spark.llm.packing",
             fromlist=["pack_sequences"]).pack_sequences(
-            docs, max_tokens=512, group_docs=4096).count(),
+            docs, max_tokens=512, group_chunks=4096).count(),
         # replicas multiply every gram's corpus count, so dup volume
         # grows with the data while the shape stays one groupBy +
         # semi-join + per-doc windows: the probe checks wall stays
