@@ -392,6 +392,16 @@ def build_parser() -> argparse.ArgumentParser:
     fid.add_argument("did")
     _add_sf_dir(fid)
 
+    fst = fsub.add_parser("declare-stream",
+                          help="drain a directory of JSON-lines "
+                               "declare batches through the DML path "
+                               "(continuous catalog ingest; "
+                               "redelivered batches skip whole via "
+                               "the file-id PK)")
+    fst.add_argument("src", help="directory of .jsonl declare batches")
+    fst.add_argument("dataset", nargs="?", default=None,
+                     help="<ns>:<name> to add declared files to")
+    _add_sf_dir(fst)
     fnm = fsub.add_parser("name", help="print DID for a file id")
     fnm.add_argument("fid")
     _add_sf_dir(fnm)
@@ -982,6 +992,13 @@ def main(argv=None):
             if row is None:
                 raise SystemExit(f"file {args.did!r} not found")
             print(row["id"])
+            return 0
+        if args.fcmd == "declare-stream":
+            from .streaming.ingest import declare_stream
+            stats = declare_stream(
+                cat.spark, dml, args.src,
+                dataset=_did(args.dataset) if args.dataset else None)
+            print(json.dumps(stats))
             return 0
         if args.fcmd == "name":
             row = files.where(F.col("id") == args.fid) \

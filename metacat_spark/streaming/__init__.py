@@ -1,1 +1,1 @@
-from . import events  # noqa: F401
+from . import events, ingest  # noqa: F401

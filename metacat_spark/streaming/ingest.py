@@ -1,0 +1,97 @@
+"""Continuous catalog ingest — the streaming twin of bulk declare.
+
+The reference's webserver receives declare requests continuously for
+as long as it runs (data_handler.py:631-760 handles each POST as it
+arrives). This module gives the Spark catalog the same shape:
+``declare_stream`` watches a directory for JSON-lines declare batches
+(one file = one producer batch, one JSON object per line, the exact
+dict schema ``DML.declare_files`` takes) and applies each micro-batch
+through the SAME DML path — validation rules, PK enforcement,
+shredding, provenance edges, frozen/monotonic checks, and (with a
+DurableStore) one durable commit per applied batch.
+
+Delivery semantics: Structured Streaming's file source is
+at-least-once into ``foreachBatch``; the catalog's PK on file id
+turns redelivery into idempotence — a batch whose ids were already
+declared is SKIPPED whole (AlreadyExists), counted in the returned
+stats, and never partially re-applied, because ``declare_files``
+validates its whole batch before mutating. Malformed or
+validation-failing batches FAIL the query loudly (a silent drop would
+un-declare data someone believes is catalogued).
+
+Scale shape: declare batches are control-plane rows (the reference's
+JSON POST bodies); each micro-batch is collected to the driver for
+the same reason the reference parses the request body there —
+validation is a per-row Python rule engine over dicts. The DATA plane
+(the files' contents) never flows here, only metadata records.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..dml import DML, AlreadyExists
+
+# one JSON document per line; read as text so ONE schema covers every
+# metadata shape (declare dicts are schema-free by design)
+_META_KEYS = ("metadata", "checksums", "parents")
+
+
+def _rows_of(batch_df) -> list[dict]:
+    rows = []
+    for r in batch_df.select("value").collect():
+        line = (r["value"] or "").strip()
+        if not line:
+            continue
+        rows.append(json.loads(line))
+    return rows
+
+
+def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
+                   dataset: Optional[tuple] = None,
+                   timeout_s: int = 120) -> dict:
+    """Consume every pending declare-batch file under ``src_dir``
+    (availableNow trigger — the batch-bounded run used by tests and
+    cron-style ingest; a resident service would use the default
+    continuous trigger) and apply each micro-batch through
+    ``dml.declare_files``. Returns {"declared": n, "skipped_dup": m,
+    "batches": k}.
+
+    Redelivered batches (at-least-once file source, or a producer
+    retrying an upload) hit the file-id PK and are skipped WHOLE —
+    declare_files checks the batch before mutating, so idempotence
+    falls out of the same invariant the reference gets from its
+    PostgreSQL primary key."""
+    stats = {"declared": 0, "skipped_dup": 0, "batches": 0}
+
+    def apply_batch(batch_df, _batch_id):
+        rows = _rows_of(batch_df)
+        if not rows:
+            return
+        stats["batches"] += 1
+        try:
+            stats["declared"] += dml.declare_files(rows,
+                                                   dataset=dataset)
+        except AlreadyExists:
+            stats["skipped_dup"] += len(rows)
+
+    stream = (spark.readStream.format("text")
+              # one batch FILE per trigger: a declare batch is the
+              # atomicity unit (PK skip is whole-batch), so two
+              # producers' files must not merge into one micro-batch
+              .option("maxFilesPerTrigger", 1)
+              .load(src_dir))
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", src_dir.rstrip("/")
+                 + "/_ingest_checkpoint")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"declare_stream did not drain {src_dir} within "
+            f"{timeout_s}s")
+    return stats

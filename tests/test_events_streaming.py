@@ -620,3 +620,70 @@ def test_streaming_funnel_repeated_steps(spark, tmp_path):
     got = {r["user_id"] for r in
            spark.table("ev_funnel_rep").collect()}
     assert got == want
+
+
+def test_declare_stream_ingests_batches_durably(spark, tmp_path):
+    """Continuous catalog ingest (streaming/ingest.py): JSON-lines
+    declare batches drain through the DML path — validation, PK,
+    membership — with one durable commit per applied batch; a
+    REDELIVERED batch (same ids again) skips whole via the file-id
+    PK instead of corrupting or double-declaring; a batch with a
+    validation error fails the query loudly."""
+    import json as J
+
+    from metacat_spark.catalog import from_tpch
+    from metacat_spark.dml import DML
+    from metacat_spark.durable import DurableStore
+    from metacat_spark.streaming.ingest import declare_stream
+
+    src = tmp_path / "declares"
+    src.mkdir()
+    root = str(tmp_path / "cat")
+
+    def batch_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(J.dumps({
+                    "id": f"ing-{i}", "namespace": "dune",
+                    "name": f"ing{i}.dat", "size": i,
+                    "metadata": {"core.run": i,
+                                 "core.runs": [i]}}) + "\n")
+
+    batch_file("b1.jsonl", [1, 2])
+    batch_file("b2.jsonl", [3])
+    cat1 = from_tpch(spark, SF_DIR)
+    store1 = DurableStore(spark, root)
+    dml1 = DML(cat1, store=store1)
+    dml1.create_dataset("dune", "ingested")
+    at_start = store1.manifest["commit"]
+    stats = declare_stream(spark, dml1, str(src),
+                           dataset=("dune", "ingested"))
+    assert stats == {"declared": 3, "skipped_dup": 0, "batches": 2}
+    # one durable commit per applied batch
+    assert store1.manifest["commit"] == at_start + 2
+
+    # redelivery: the same ids in a NEW file (fresh checkpoint dir
+    # simulates a producer retry / a rebuilt source) skip whole
+    import shutil
+    shutil.rmtree(src / "_ingest_checkpoint")
+    stats2 = declare_stream(spark, dml1, str(src),
+                            dataset=("dune", "ingested"))
+    assert stats2["declared"] == 0
+    assert stats2["skipped_dup"] == 3 and stats2["batches"] == 2
+    assert store1.manifest["commit"] == at_start + 2  # nothing new
+
+    # restart: ingested files + membership replay from the log
+    cat2 = from_tpch(spark, SF_DIR)
+    DurableStore(spark, root).attach(cat2)
+    member = sorted(r["file_id"] for r in cat2.files_datasets.where(
+        F.col("dataset_name") == "ingested").collect())
+    assert member == ["ing-1", "ing-2", "ing-3"]
+
+    # a validation-failing batch fails LOUDLY, not silently
+    shutil.rmtree(src / "_ingest_checkpoint")
+    with open(src / "b3.jsonl", "w") as f:
+        f.write(J.dumps({"id": "ing-9", "namespace": "dune",
+                         "name": "x",
+                         "metadata": {"core.run": "not-int"}}) + "\n")
+    with pytest.raises(Exception, match="alidation"):
+        declare_stream(spark, dml1, str(src))
