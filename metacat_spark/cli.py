@@ -398,9 +398,14 @@ def build_parser() -> argparse.ArgumentParser:
                                "(continuous catalog ingest; "
                                "redelivered batches skip whole via "
                                "the file-id PK)")
-    fst.add_argument("src", help="directory of .jsonl declare batches")
+    fst.add_argument("src", help="directory of .jsonl declare batches "
+                                 "(move files in complete — "
+                                 "write-then-rename)")
     fst.add_argument("dataset", nargs="?", default=None,
                      help="<ns>:<name> to add declared files to")
+    fst.add_argument("--timeout", type=int, default=None,
+                     help="drain deadline in seconds (default: "
+                          "5s per pending batch file, min 120)")
     _add_sf_dir(fst)
     fnm = fsub.add_parser("name", help="print DID for a file id")
     fnm.add_argument("fid")
@@ -997,7 +1002,8 @@ def main(argv=None):
             from .streaming.ingest import declare_stream
             stats = declare_stream(
                 cat.spark, dml, args.src,
-                dataset=_did(args.dataset) if args.dataset else None)
+                dataset=_did(args.dataset) if args.dataset else None,
+                timeout_s=args.timeout)
             print(json.dumps(stats))
             return 0
         if args.fcmd == "name":

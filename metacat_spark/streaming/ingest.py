@@ -12,12 +12,19 @@ DurableStore) one durable commit per applied batch.
 
 Delivery semantics: Structured Streaming's file source is
 at-least-once into ``foreachBatch``; the catalog's PK on file id
-turns redelivery into idempotence — a batch whose ids were already
-declared is SKIPPED whole (AlreadyExists), counted in the returned
-stats, and never partially re-applied, because ``declare_files``
-validates its whole batch before mutating. Malformed or
-validation-failing batches FAIL the query loudly (a silent drop would
-un-declare data someone believes is catalogued).
+turns redelivery into idempotence — a batch ALL of whose ids are
+already declared is skipped whole, counted in the returned stats. A
+batch where only SOME ids pre-exist is a producer error and FAILS
+the query (skipping it would silently lose its new rows — verified
+by re-checking the id set before treating AlreadyExists as a
+redelivery). Malformed or validation-failing batches fail loudly too
+(a silent drop would un-declare data someone believes is catalogued).
+
+Producer contract: batch files must be MOVED into ``src_dir``
+complete (write to a temp name elsewhere, rename in — the standard
+file-source handoff). The source lists a path once; a file read
+while still being appended would be permanently half-ingested, and
+no error can detect a valid-prefix read.
 
 Scale shape: declare batches are control-plane rows (the reference's
 JSON POST bodies); each micro-batch is collected to the driver for
@@ -36,12 +43,10 @@ from pyspark.sql import functions as F
 
 from ..dml import DML, AlreadyExists
 
-# one JSON document per line; read as text so ONE schema covers every
-# metadata shape (declare dicts are schema-free by design)
-_META_KEYS = ("metadata", "checksums", "parents")
-
 
 def _rows_of(batch_df) -> list[dict]:
+    # one JSON document per line; read as text so ONE schema covers
+    # every metadata shape (declare dicts are schema-free by design)
     rows = []
     for r in batch_df.select("value").collect():
         line = (r["value"] or "").strip()
@@ -53,7 +58,7 @@ def _rows_of(batch_df) -> list[dict]:
 
 def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
                    dataset: Optional[tuple] = None,
-                   timeout_s: int = 120) -> dict:
+                   timeout_s: Optional[int] = None) -> dict:
     """Consume every pending declare-batch file under ``src_dir``
     (availableNow trigger — the batch-bounded run used by tests and
     cron-style ingest; a resident service would use the default
@@ -61,11 +66,13 @@ def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
     ``dml.declare_files``. Returns {"declared": n, "skipped_dup": m,
     "batches": k}.
 
-    Redelivered batches (at-least-once file source, or a producer
-    retrying an upload) hit the file-id PK and are skipped WHOLE —
-    declare_files checks the batch before mutating, so idempotence
-    falls out of the same invariant the reference gets from its
-    PostgreSQL primary key."""
+    A redelivered batch (at-least-once file source, or a producer
+    retrying an upload) skips whole ONLY when every id in it already
+    exists — verified explicitly, because declare_files raises the
+    same AlreadyExists for a partial overlap, and skipping a mixed
+    batch would silently lose its new rows (review r8). ``timeout_s``
+    defaults to 5 s per pending batch file (min 120 s) so a large
+    backlog making steady progress is never killed mid-drain."""
     stats = {"declared": 0, "skipped_dup": 0, "batches": 0}
 
     def apply_batch(batch_df, _batch_id):
@@ -77,8 +84,25 @@ def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
             stats["declared"] += dml.declare_files(rows,
                                                    dataset=dataset)
         except AlreadyExists:
+            ids = [r["id"] for r in rows]
+            if len(set(ids)) != len(ids):
+                raise          # intra-batch dup: producer error
+            found = dml.cat.files.where(
+                F.col("id").isin(ids)).select("id").count()
+            if found != len(ids):
+                # partial overlap: NOT a redelivery — some rows are
+                # new and skipping would lose them permanently
+                raise
             stats["skipped_dup"] += len(rows)
 
+    if timeout_s is None:
+        import os
+        try:
+            pending = sum(1 for n in os.listdir(src_dir)
+                          if not n.startswith(("_", ".")))
+        except OSError:
+            pending = 0
+        timeout_s = max(120, 5 * pending)
     stream = (spark.readStream.format("text")
               # one batch FILE per trigger: a declare batch is the
               # atomicity unit (PK skip is whole-batch), so two
@@ -93,5 +117,6 @@ def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"declare_stream did not drain {src_dir} within "
-            f"{timeout_s}s")
+            f"{timeout_s}s (applied so far, durably committed: "
+            f"{stats})")
     return stats

@@ -679,6 +679,21 @@ def test_declare_stream_ingests_batches_durably(spark, tmp_path):
         F.col("dataset_name") == "ingested").collect())
     assert member == ["ing-1", "ing-2", "ing-3"]
 
+    # a PARTIALLY-duplicate batch fails loudly — skipping it would
+    # silently lose its new rows (review r8); the already-declared
+    # catalog state is untouched
+    shutil.rmtree(src / "_ingest_checkpoint")
+    with open(src / "b3.jsonl", "w") as f:
+        for i in (2, 7):                       # ing-2 exists, ing-7 new
+            f.write(J.dumps({"id": f"ing-{i}", "namespace": "dune",
+                             "name": f"ing{i}.dat",
+                             "metadata": {"core.run": i,
+                                          "core.runs": [i]}}) + "\n")
+    with pytest.raises(Exception, match="lreadyExists|already"):
+        declare_stream(spark, dml1, str(src))
+    assert cat1.files.where(F.col("id") == "ing-7").count() == 0
+    (src / "b3.jsonl").unlink()
+
     # a validation-failing batch fails LOUDLY, not silently
     shutil.rmtree(src / "_ingest_checkpoint")
     with open(src / "b3.jsonl", "w") as f:
