@@ -13,8 +13,9 @@ CERTIFICATE entries instead of raw rows: the entry recomputes the
 operator's contract properties in-plan against exact SQL-expressible
 twins (precision/recall vs exact pairs or exact top-k, set
 membership, content-set equality) and the oracle pins the expected
-values — so every one of the 86 entries is hash-checked; none rely
-on the driver's weaker rows-only fallback.
+values — so every entry (TOTAL_ENTRIES of them — the count is pinned
+by tests/test_entry_contract.py) is hash-checked; none rely on the
+driver's weaker rows-only fallback.
 """
 
 from __future__ import annotations
@@ -33,6 +34,12 @@ from metacat_spark.catalog import from_tpch  # noqa: E402
 from metacat_spark.engine import Engine  # noqa: E402
 
 _CACHE: dict[str, Engine] = {}
+
+# Total queries()/oracle_sql() entries. Pinned by
+# tests/test_entry_contract.py::test_entry_count_matches_declared —
+# adding or removing an entry is a deliberate act that updates this
+# constant in the same commit (ADVICE r8: the docstrings drifted).
+TOTAL_ENTRIES = 130
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -98,8 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry per distinct operator (MQL + LLM-pipeline), including the
     certificate entries for the engine-hashed operators.  Redundant
     MQL variants (and the in-cap siblings they were demoted for) sit
-    past the cap; all 86 stay under the repo's own replica gate
-    (tests/test_entry_contract.py) regardless of position."""
+    past the cap; all TOTAL_ENTRIES stay under the repo's own replica
+    gate (tests/test_entry_contract.py) regardless of position."""
     q: dict[str, Callable] = {}
 
     # --- §2.1 sources/scans

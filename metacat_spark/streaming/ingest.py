@@ -96,11 +96,25 @@ def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
             stats["skipped_dup"] += len(rows)
 
     if timeout_s is None:
-        import os
+        # count pending batch files so the default scales with the
+        # backlog; URI dirs (hdfs://, s3a://) go through the Hadoop
+        # FS — os.listdir raises there, which used to pin every
+        # remote backlog at the flat 120 s floor (ADVICE r8)
         try:
-            pending = sum(1 for n in os.listdir(src_dir)
+            if "://" in src_dir:
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(src_dir)
+                fs = p.getFileSystem(
+                    spark._jsc.hadoopConfiguration())
+                names = ([s.getPath().getName()
+                          for s in fs.listStatus(p)]
+                         if fs.exists(p) else [])
+            else:
+                import os
+                names = os.listdir(src_dir)
+            pending = sum(1 for n in names
                           if not n.startswith(("_", ".")))
-        except OSError:
+        except Exception:
             pending = 0
         timeout_s = max(120, 5 * pending)
     stream = (spark.readStream.format("text")

@@ -65,6 +65,15 @@ def test_in_cap_set_is_the_declared_one():
     assert list(QUERIES)[:50] == INTENDED_IN_CAP
 
 
+def test_entry_count_matches_declared():
+    """len(queries()) must equal the declared TOTAL_ENTRIES constant
+    (and every entry must have an oracle twin) — a drift here means
+    an entry was added/removed without the deliberate-count update
+    (ADVICE r8: stale '86 entries' docstrings)."""
+    assert len(QUERIES) == entrymod.TOTAL_ENTRIES
+    assert len(entrymod.oracle_sql()) == entrymod.TOTAL_ENTRIES
+
+
 def _norm(v):
     if v is None:
         return "\x00NULL"
