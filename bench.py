@@ -161,8 +161,29 @@ def _await_quiet_host(max_wait_s: int = 300,
     return stray
 
 
+def _host_snapshot() -> dict:
+    """1/5/15-min load average + live pyspark.daemon count — recorded
+    at start AND end so a contended run is self-identifying in the
+    official artifact instead of needing out-of-band uptime notes
+    (VERDICT r8 #2: the documented contention signature is load avg
+    > ~2 at start with uniformly slow queries; a clean run on this
+    32-cpu host shows < ~1.5)."""
+    import subprocess
+    try:
+        daemons = int(subprocess.run(
+            ["pgrep", "-cf", "pyspark.daemon"],
+            capture_output=True, text=True).stdout.strip() or 0)
+    except Exception:
+        daemons = -1
+    la1, la5, la15 = os.getloadavg()
+    return {"load_avg": [round(la1, 2), round(la5, 2),
+                         round(la15, 2)],
+            "pyspark_daemons": daemons}
+
+
 def main():
     stray = _await_quiet_host()
+    host_start = _host_snapshot()
     # t0 AFTER the stray-JVM wait: up to 300s of polling sleep must
     # not be reported as ingest/warmup cost (review r6)
     t0 = time.time()
@@ -242,6 +263,8 @@ def main():
         "queries_warm": warm,
         "warm_total_sec": round(sum(warm.values()), 4),
         "stray_jvms_at_start": stray,
+        "host_start": host_start,
+        "host_end": _host_snapshot(),
     }
     if errors:
         out["errors"] = errors

@@ -309,6 +309,18 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
     # materialization (1 narrow row per doc) instead of re-aggregating
     sig = (ex0.groupBy("id").agg(F.count("*").alias("n_sh"), *aggs)
            .localCheckpoint(eager=False))
+    return _lsh_candidate_verify(shr, sig, k, bands, threshold)
+
+
+def _lsh_candidate_verify(shr: DataFrame, sig: DataFrame, k: int,
+                          bands: int, threshold: float) -> DataFrame:
+    """Banded candidate generation + exact-Jaccard verification over
+    a signature frame ``sig`` (id, n_sh, mh_0..mh_{k-1}) and the
+    hashed-shingle rows ``shr`` (id, h64) it was built from — the
+    shared tail of every signature-construction variant
+    (tools/ab_q8_sigagg.py measures the variants against this SAME
+    tail so only the signature stage differs)."""
+    rows = k // bands
     # band identity = ONE xxhash64 long over (band_index, its row
     # hashes) instead of a "_"-joined string (r8): the banded shuffle
     # carries 8 bytes per (doc, band) instead of ~40, and the
