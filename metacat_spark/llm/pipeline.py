@@ -568,7 +568,8 @@ def curate_v2_ledger(documents: DataFrame, min_quality: float = 0.3,
 def cap_per_domain(df: DataFrame, n: int = 100,
                    domain_col: str = "source",
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   pre_reduce_salts: int = 32) -> DataFrame:
     """Per-domain document cap — the standard web-corpus diversity
     control (a handful of mega-domains otherwise dominate the token
     budget): keep the top ``n`` documents of EACH domain by quality
@@ -576,22 +577,40 @@ def cap_per_domain(df: DataFrame, n: int = 100,
     and replayable). Returns survivors with their quality and
     within-domain rank.
 
-    Plan: ONE window partitioned by the domain column — work
-    distributes across domains (never the single-partition global
-    window); the quality score is pure JVM projection. A pathological
-    single mega-domain concentrates its own rows in ONE task — the
-    inherent shape of a per-domain top-N window (AQE skew splitting
-    applies to shuffle joins, NOT window partitions); the external
-    sort spills to disk rather than OOMing, and at that scale the
-    right pre-step is a cheap per-domain quality-threshold filter to
-    shrink the domain before ranking. ``n`` bounds what survives."""
+    Plan (two-phase, VERDICT r8 #3): a per-domain top-N window alone
+    concentrates a mega-domain's rows in ONE task (AQE skew splitting
+    applies to shuffle joins, NOT window partitions) — a
+    30%-of-corpus domain is a 30%-of-corpus task. Phase 1 therefore
+    pre-reduces under a SALTED window partitioned by (domain,
+    xxhash64(id) % pre_reduce_salts): at most ``n`` rows per salt
+    bucket survive, bounding the worst task at |domain|/salts and the
+    phase-2 input at n × salts rows per domain. Phase 2 runs the
+    exact window on that reduced set. Output is IDENTICAL to the
+    one-window plan: every row of the true per-domain top-n is also
+    in the top-n of its own salt bucket (its bucket holds a subset of
+    its superiors), so pre-reduction drops no survivor; and each
+    survivor's superiors all survive phase 1, so phase-2 ranks equal
+    global ranks. The quality score is computed ONCE (phase 1, pure
+    JVM projection) and carried, never recomputed.
+    ``pre_reduce_salts=1`` degenerates to the single-window plan."""
     from pyspark.sql import Window
 
     q = TX.quality_score(F.col(text_col))
+    scored = (df.withColumn("quality", F.round(q, 6))
+              .select(id_col, domain_col, "quality"))
+    if pre_reduce_salts > 1:
+        ws = (Window.partitionBy(domain_col, "_salt")
+              .orderBy(F.desc("quality"), F.col(id_col)))
+        scored = (scored
+                  .withColumn("_salt",
+                              F.pmod(F.xxhash64(F.col(id_col)),
+                                     F.lit(pre_reduce_salts)))
+                  .withColumn("_pr", F.row_number().over(ws))
+                  .where(F.col("_pr") <= n)
+                  .drop("_salt", "_pr"))
     w = (Window.partitionBy(domain_col)
          .orderBy(F.desc("quality"), F.col(id_col)))
-    return (df.withColumn("quality", F.round(q, 6))
-            .withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= n)
             .select(id_col, domain_col, "quality", "rank"))
 

@@ -2078,6 +2078,21 @@ def test_cap_per_domain_keeps_top_n_by_quality(docs, spark):
         assert qs == sorted(qs, reverse=True)
 
 
+def test_cap_per_domain_pre_reduce_parity(docs, spark):
+    """The salted two-phase plan must return EXACTLY the one-window
+    plan's rows — pre-reduction is a pure physical rewrite (top-n is
+    closed under per-salt-bucket top-n with the same ordering key)."""
+    from metacat_spark.llm.pipeline import cap_per_domain
+    key = lambda r: (r["source"], r["rank"])
+    two = sorted((r.asDict() for r in
+                  cap_per_domain(docs, n=3).collect()), key=key)
+    one = sorted((r.asDict() for r in
+                  cap_per_domain(docs, n=3,
+                                 pre_reduce_salts=1).collect()),
+                 key=key)
+    assert two == one
+
+
 def test_curate_v3_stage_semantics(spark, docs):
     """The r8 seven-stage pipeline: normalization fires FIRST (a
     decomposed-accent doc exact-dedups against its composed twin),
