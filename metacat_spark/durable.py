@@ -156,6 +156,55 @@ class DurableStore:
         return sorted(int(n[:-5]) for n in names
                       if n.endswith(".json") and n[:-5].isdigit())
 
+    def _checkpoint_path(self) -> str:
+        # lives inside _commits but has no .json suffix, so
+        # _list_commit_ids never mistakes it for a manifest
+        return f"{self._commits_dir()}/_last_checkpoint"
+
+    def _read_checkpoint(self) -> int:
+        """Commit id of the last compaction (0 if never compacted).
+        Manifests below it are retired; history and time travel
+        already reach back only this far (compact deletes superseded
+        segment data), so the pointer makes the log window explicit
+        and lets _write_manifest reject a writer stale by more than
+        one compaction (VERDICT r8 #4)."""
+        try:
+            if self._uri:
+                fs, p = self._hadoop(self._checkpoint_path())
+                if not fs.exists(p):
+                    return 0
+                stream = fs.open(p)
+                try:
+                    raw = self.spark._jvm.org.apache.commons.io \
+                        .IOUtils.toString(stream, "UTF-8")
+                finally:
+                    stream.close()
+            else:
+                with open(self._checkpoint_path()) as f:
+                    raw = f.read()
+            return int(json.loads(raw)["commit"])
+        except (FileNotFoundError, ValueError, KeyError, OSError):
+            return 0
+
+    def _write_checkpoint(self, cid: int) -> None:
+        """Overwrite-in-place is fine here: the content is monotonic
+        (compactions only move forward) and a torn/lost write only
+        widens the retained window — never loses data."""
+        data = json.dumps({"commit": cid})
+        if self._uri:
+            fs, p = self._hadoop(self._checkpoint_path())
+            out = fs.create(p, True)
+            try:
+                out.write(bytearray(data.encode("utf-8")))
+            finally:
+                out.close()
+        else:
+            os.makedirs(self._commits_dir(), exist_ok=True)
+            tmp = self._checkpoint_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(data)
+            os.replace(tmp, self._checkpoint_path())
+
     def _read_current(self) -> Optional[dict]:
         """Highest PARSEABLE commit wins (or exactly ``self.at`` in
         time-travel mode) — a torn manifest write (crash mid-rename
@@ -226,6 +275,17 @@ class DurableStore:
         os.replace: durability keeps working, conflict detection
         narrows to the check window."""
         cid = manifest["commit"]
+        ckpt = self._read_checkpoint()
+        if cid <= ckpt:
+            # a writer attached BEFORE the last compaction computing
+            # a commit number whose manifest slot was retired: the
+            # create-if-absent below would SUCCEED on the vacated
+            # name and silently fork history. Same best-effort
+            # window as the no-hardlink fallback (a compaction
+            # landing between this read and the create is not
+            # caught); single-writer-per-root remains the supported
+            # mode (DIVERGENCES §9).
+            raise CommitConflict(cid, self.root)
         dest = f"{self._commits_dir()}/{cid:012d}.json"
         data = json.dumps(manifest, sort_keys=True)
         # per-ATTEMPT tmp name: a per-PID name would be shared by two
@@ -430,9 +490,14 @@ class DurableStore:
         log: restore cost returns to a plain parquet scan and the
         merge-on-read overlay disappears until the next mutation. Runs
         as ordinary Spark writes (O(catalog), on-demand — the Delta
-        OPTIMIZE equivalent). Superseded segment directories are
-        removed best-effort afterwards; a failure there leaves garbage
-        that is never read, not corruption."""
+        OPTIMIZE equivalent). Afterwards (VERDICT r8 #4): writes the
+        ``_last_checkpoint`` pointer, RETIRES manifests older than
+        the compaction (history/time travel already reach back only
+        this far — those manifests were dead weight, and retiring
+        them keeps the _commits listing O(commits-since-compact)),
+        then removes superseded segment directories. All three are
+        best-effort: a failure leaves garbage that is never read (or
+        a slightly wider retained window), not corruption."""
         old = [s["path"]
                for e in (self.manifest.get("tables") or {}).values()
                for s in (e.get("segments") or [])] + \
@@ -441,12 +506,28 @@ class DurableStore:
                if e.get("snapshot")]
         ops = [("snapshot", t, getattr(catalog, t))
                for t in self.manifest.get("tables") or {}]
+        if not ops:
+            return
         self.commit(ops, dml_meta=self.manifest.get("dml_meta"))
         # re-point the live catalog at the new snapshots BEFORE
         # deleting the old segment dirs — the pre-compact DataFrames
         # may still plan over them (localCheckpoint blocks are not
         # recomputable if evicted)
         self.attach(catalog)
+        ckpt = self.manifest["commit"]
+        self._write_checkpoint(ckpt)
+        for cid in self._list_commit_ids():
+            if cid >= ckpt:
+                continue
+            try:
+                path = f"{self._commits_dir()}/{cid:012d}.json"
+                if self._uri:
+                    fs, p = self._hadoop(path)
+                    fs.delete(p, False)
+                else:
+                    os.unlink(path)
+            except Exception:
+                pass
         for rel in old:
             try:
                 if self._uri:

@@ -398,10 +398,17 @@ def test_time_travel_reads_historical_commits(spark, tmp_path):
     live = DurableStore(spark, root)
     cat_live = from_tpch(spark, SF_DIR)
     live.attach(cat_live)
-    live.compact(cat_live)
+    # a view OPENED before the compaction still holds commit 1's
+    # manifest in memory — its attach must preflight-fail on the
+    # deleted segment data, not die mid-query
     old = DurableStore(spark, root, at=1)
+    live.compact(cat_live)
     with pytest.raises(ValueError, match="removed by a later compact"):
         old.attach(from_tpch(spark, SF_DIR))
+    # opening AFTER the compaction fails even earlier: the manifest
+    # itself was retired with the checkpoint (r9)
+    with pytest.raises(ValueError, match="no commit 1"):
+        DurableStore(spark, root, at=1)
 
 
 def test_commit_conflict_single_winner(spark, tmp_path):
@@ -479,3 +486,54 @@ def test_durable_composite_is_one_commit(spark, tmp_path):
           "metadata": {"core.run": 1, "core.runs": [1]}}],
         dataset=("dune", "one_ds"))
     assert store1.manifest["commit"] == at_create + 1
+
+
+def test_compact_checkpoints_and_retires_manifests(spark, tmp_path):
+    """compact() writes _last_checkpoint and retires the manifests
+    below it (VERDICT r8 #4): the _commits listing — what attach
+    walks — is O(commits-since-compact), history() lists only the
+    live window, and a writer stale by more than one compaction
+    cannot fork history into a vacated manifest slot."""
+    from metacat_spark.durable import CommitConflict
+    root = str(tmp_path / "cat")
+    cat = from_tpch(spark, SF_DIR)
+    store = DurableStore(spark, root)
+    dml = DML(cat, store=store)
+    dml.create_dataset("dune", "ckd")
+    dml.declare_files(
+        [{"id": f"ck-{i}", "namespace": "dune", "name": f"k{i}",
+          "metadata": {"core.run": i, "core.runs": [i]}}
+         for i in range(4)], dataset=("dune", "ckd"))
+    dml.retire_file("ck-2")
+    pre_ids = store._list_commit_ids()
+    assert len(pre_ids) >= 3
+    # a second, stale store attached BEFORE the compactions
+    stale = DurableStore(spark, root)
+
+    store.compact(cat)
+    c1 = store.manifest["commit"]
+    assert store._read_checkpoint() == c1
+    assert store._list_commit_ids() == [c1]   # older manifests retired
+    assert [h["commit"] for h in store.history()] == [c1]
+
+    # keep mutating + compact AGAIN so the stale writer's next commit
+    # number lands on a retired (vacated) manifest slot
+    dml.retire_file("ck-0")
+    store.compact(cat)
+    c2 = store.manifest["commit"]
+    assert c2 > c1 and store._read_checkpoint() == c2
+    assert os.path.exists(
+        os.path.join(root, "_commits", "_last_checkpoint"))
+    # stale writer would publish commit <= c2 into a vacated slot —
+    # the checkpoint guard must refuse instead of forking history
+    with pytest.raises(CommitConflict):
+        DML(cat, store=stale).retire_file("ck-1")
+
+    # the surviving log keeps working: fresh mutation + restart
+    DML(cat, store=store).retire_file("ck-3")
+    cat2, _, _ = _restart(spark, root)
+    got = {r["id"]: r["retired"]
+           for r in cat2.files.where(
+               F.col("id").startswith("ck-")).collect()}
+    assert got == {"ck-0": True, "ck-1": False,
+                   "ck-2": True, "ck-3": True}
