@@ -58,13 +58,14 @@ def _rows_of(batch_df) -> list[dict]:
 
 def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
                    dataset: Optional[tuple] = None,
-                   timeout_s: Optional[int] = None) -> dict:
+                   timeout_s: Optional[int] = None,
+                   dead_letter_dir: Optional[str] = None) -> dict:
     """Consume every pending declare-batch file under ``src_dir``
     (availableNow trigger — the batch-bounded run used by tests and
     cron-style ingest; a resident service would use the default
     continuous trigger) and apply each micro-batch through
     ``dml.declare_files``. Returns {"declared": n, "skipped_dup": m,
-    "batches": k}.
+    "batches": k} (plus dead-letter counters when enabled).
 
     A redelivered batch (at-least-once file source, or a producer
     retrying an upload) skips whole ONLY when every id in it already
@@ -72,11 +73,28 @@ def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
     same AlreadyExists for a partial overlap, and skipping a mixed
     batch would silently lose its new rows (review r8). ``timeout_s``
     defaults to 5 s per pending batch file (min 120 s) so a large
-    backlog making steady progress is never killed mid-drain."""
-    stats = {"declared": 0, "skipped_dup": 0, "batches": 0}
+    backlog making steady progress is never killed mid-drain.
 
-    def apply_batch(batch_df, _batch_id):
-        rows = _rows_of(batch_df)
+    Failure policy: by DEFAULT a malformed or validation-failing
+    batch fails the whole query — correct for catalog integrity (a
+    silent drop would un-declare data someone believes is
+    catalogued). A long-running service can instead pass
+    ``dead_letter_dir``: the failing batch's source file is MOVED
+    there (one file per micro-batch by construction), recorded in
+    the returned stats (``dead_lettered`` batches,
+    ``dead_letter_files`` names, ``dead_letter_errors`` first lines),
+    and the drain continues. Nothing from a quarantined batch is
+    applied — declare_files runs all validations before its first
+    mutation, and the partial-overlap re-raise fires before any skip.
+    To re-submit after fixing, move the file back under a NEW name
+    (the file source remembers processed paths, so the original name
+    would be ignored)."""
+    stats = {"declared": 0, "skipped_dup": 0, "batches": 0}
+    if dead_letter_dir is not None:
+        stats.update({"dead_lettered": 0, "dead_letter_files": [],
+                      "dead_letter_errors": []})
+
+    def _apply(rows):
         if not rows:
             return
         stats["batches"] += 1
@@ -94,6 +112,50 @@ def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
                 # new and skipping would lose them permanently
                 raise
             stats["skipped_dup"] += len(rows)
+
+    def _quarantine(srcs: list[str]) -> list[str]:
+        """Move the batch's source file(s) into dead_letter_dir via
+        the Hadoop FS (uniform for file:// and remote URIs)."""
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        moved = []
+        for src in srcs:
+            sp = jvm.org.apache.hadoop.fs.Path(src)
+            fs = sp.getFileSystem(conf)
+            name = sp.getName()
+            dl = jvm.org.apache.hadoop.fs.Path(dead_letter_dir)
+            fs.mkdirs(dl)
+            dest = jvm.org.apache.hadoop.fs.Path(dead_letter_dir,
+                                                 name)
+            if not fs.rename(sp, dest):
+                # name collision in the dead-letter dir: disambiguate
+                import uuid as _uuid
+                dest = jvm.org.apache.hadoop.fs.Path(
+                    dead_letter_dir,
+                    f"{name}.{_uuid.uuid4().hex[:8]}")
+                fs.rename(sp, dest)
+            moved.append(name)
+        return moved
+
+    def apply_batch(batch_df, _batch_id):
+        if dead_letter_dir is None:
+            _apply(_rows_of(batch_df))
+            return
+        recs = batch_df.select(
+            "value", F.input_file_name().alias("src")).collect()
+        srcs = sorted({r["src"] for r in recs})
+        try:
+            rows = []
+            for r in recs:
+                line = (r["value"] or "").strip()
+                if line:
+                    rows.append(json.loads(line))
+            _apply(rows)
+        except Exception as e:  # noqa: BLE001 — quarantine, continue
+            stats["dead_lettered"] += 1
+            stats["dead_letter_files"].extend(_quarantine(srcs))
+            stats["dead_letter_errors"].append(
+                f"{type(e).__name__}: {e}"[:200])
 
     if timeout_s is None:
         # count pending batch files so the default scales with the

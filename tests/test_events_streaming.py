@@ -702,3 +702,64 @@ def test_declare_stream_ingests_batches_durably(spark, tmp_path):
                          "metadata": {"core.run": "not-int"}}) + "\n")
     with pytest.raises(Exception, match="alidation"):
         declare_stream(spark, dml1, str(src))
+
+
+def test_declare_stream_dead_letter_quarantines_and_drains(
+        spark, tmp_path):
+    """Opt-in dead-letter mode (VERDICT r8 #7): with
+    ``dead_letter_dir`` set, a malformed batch and a
+    validation-failing batch are MOVED there and recorded in the
+    stats while the drain continues and every good batch lands;
+    nothing from a quarantined batch reaches the catalog. The
+    default (fail-loud) path is pinned by
+    test_declare_stream_ingests_batches_durably."""
+    import json as J
+
+    from metacat_spark.catalog import from_tpch
+    from metacat_spark.dml import DML
+    from metacat_spark.durable import DurableStore
+    from metacat_spark.streaming.ingest import declare_stream
+
+    src = tmp_path / "declares"
+    src.mkdir()
+    dl = tmp_path / "dead"
+
+    def write(name, lines):
+        with open(src / name, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def good(i):
+        return J.dumps({"id": f"dl-{i}", "namespace": "dune",
+                        "name": f"dl{i}.dat", "size": i,
+                        "metadata": {"core.run": i,
+                                     "core.runs": [i]}})
+
+    write("g1.jsonl", [good(1), good(2)])
+    write("m1.jsonl", ["{this is not json"])
+    write("v1.jsonl", [J.dumps({
+        "id": "dl-bad", "namespace": "dune", "name": "b",
+        "metadata": {"core.run": "not-an-int"}})])
+    write("g2.jsonl", [good(3)])
+
+    cat = from_tpch(spark, SF_DIR)
+    store = DurableStore(spark, str(tmp_path / "cat"))
+    dml = DML(cat, store=store)
+    dml.create_dataset("dune", "dl_ds")
+    stats = declare_stream(spark, dml, str(src),
+                           dataset=("dune", "dl_ds"),
+                           dead_letter_dir=str(dl))
+
+    assert stats["declared"] == 3
+    assert stats["dead_lettered"] == 2
+    assert sorted(stats["dead_letter_files"]) \
+        == ["m1.jsonl", "v1.jsonl"]
+    assert len(stats["dead_letter_errors"]) == 2
+    # quarantined files moved OUT of src and INTO the dead-letter dir
+    assert sorted(p.name for p in dl.iterdir()) \
+        == ["m1.jsonl", "v1.jsonl"]
+    assert not (src / "m1.jsonl").exists()
+    assert not (src / "v1.jsonl").exists()
+    # good rows landed; nothing from quarantined batches did
+    ids = sorted(r["id"] for r in cat.files.where(
+        F.col("id").startswith("dl-")).collect())
+    assert ids == ["dl-1", "dl-2", "dl-3"]
