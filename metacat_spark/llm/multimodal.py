@@ -2,15 +2,16 @@
 
 Pattern: an asset table with a `binary` content column and typed
 metadata columns; decode / feature-extraction runs as Arrow-batched
-mapInPandas stages. Three REAL pure-Python decode kernels are wired —
-uncompressed BMP (24/32-bit), PCM WAV (8/16-bit), and COMPRESSED PNG
-(zlib inflate + per-row unfilter, stdlib-only; 8/16-bit gray/RGB/
-palette/alpha) — parsed with struct/zlib/numpy, no codec libraries.
-Payloads in other containers fall back to a deterministic
-byte-histogram pseudo-feature and are marked ``decode_ok=false``
-(JPEG/MP3 need PIL/ffmpeg, absent in this container; plug them into
-``_decode_image``).
-"""
+mapInPandas stages. Four REAL pure-Python decode kernels are wired —
+uncompressed BMP (24/32-bit), PCM WAV (8/16-bit), COMPRESSED PNG
+(zlib inflate + per-row unfilter; 8/16-bit gray/RGB/palette/alpha),
+and baseline JPEG (ITU-T T.81 SOF0/SOF1: stream-defined Huffman +
+quantization tables, restart intervals, any subsampling, 2-D IDCT,
+YCbCr->RGB) — parsed with struct/zlib/numpy, no codec libraries.
+Payloads in other containers (progressive JPEG, MP3, video) fall
+back to a deterministic byte-histogram pseudo-feature and are marked
+``decode_ok=false``; plug PIL/ffmpeg into ``_decode_image`` for
+those."""
 
 from __future__ import annotations
 
@@ -367,24 +368,304 @@ def decode_png(payload: bytes) -> list[float]:
             round(float(means.mean()), 6), float(w * h)]
 
 
+# ---------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (ITU-T T.81 SOF0/SOF1), stdlib+numpy only:
+# marker parse, DQT/DHT tables from the stream, Huffman entropy
+# decode with byte unstuffing, restart intervals, dequantize, 2-D
+# IDCT (orthonormal matrix form), chroma upsampling, YCbCr->RGB.
+# Progressive (SOF2) and arithmetic coding raise ValueError and fall
+# back to the histogram pseudo-feature like any undecodable payload.
+
+_ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+       12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+_IDCT_M = None
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix M (M[u, x]); 2-D IDCT of a
+    coefficient block B is M.T @ B @ M."""
+    global _IDCT_M
+    if _IDCT_M is None:
+        import numpy as np
+        x = np.arange(8)
+        m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+        a = np.full(8, np.sqrt(2.0 / 8.0))
+        a[0] = np.sqrt(1.0 / 8.0)
+        _IDCT_M = a[:, None] * m
+    return _IDCT_M
+
+
+def _huff_canonical(counts: list[int], values: list[int]) -> dict:
+    """(length, code) -> value map from the DHT wire form (16 length
+    counts + values in canonical order)."""
+    table, code, vi = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = values[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment with FF00
+    unstuffing; `restart()` byte-aligns and consumes the expected
+    RSTn marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.p, self.b, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            byte = self.d[self.p]
+            self.p += 1
+            if byte == 0xFF:
+                nxt = self.d[self.p]
+                if nxt != 0x00:
+                    raise ValueError("marker inside entropy data")
+                self.p += 1
+            self.b, self.n = byte, 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def huff(self, table: dict) -> int:
+        ln, code = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            got = table.get((ln, code))
+            if got is not None:
+                return got
+        raise ValueError("bad Huffman code")
+
+    def restart(self, idx: int) -> None:
+        self.n = 0                           # discard partial byte
+        if self.d[self.p] != 0xFF or \
+                self.d[self.p + 1] != 0xD0 + (idx & 7):
+            raise ValueError("missing restart marker")
+        self.p += 2
+
+
+def _jpeg_pixels(payload: bytes):
+    """Decode a baseline JPEG to a top-down (h, w, 3) uint8 RGB array
+    (grayscale replicated across channels). Raises ValueError on
+    anything that isn't baseline sequential Huffman (SOF0/SOF1)."""
+    import numpy as np
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    p, qt, hts, ri, frame = 2, {}, {}, 0, None
+    scan = None
+    while p < len(d) - 1:
+        if d[p] != 0xFF:
+            raise ValueError("bad marker alignment")
+        m = d[p + 1]
+        p += 2
+        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        if p + 2 > len(d):
+            raise ValueError("truncated segment")
+        seg_len = (d[p] << 8) | d[p + 1]
+        seg = d[p + 2:p + seg_len]
+        if m == 0xDB:                                   # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    vals = [(seg[i + 2 * j] << 8) | seg[i + 2 * j + 1]
+                            for j in range(64)]
+                    i += 128
+                else:
+                    vals = list(seg[i:i + 64])
+                    i += 64
+                tab = np.zeros(64)
+                for j, z in enumerate(_ZZ):
+                    tab[z] = vals[j]
+                qt[tq] = tab.reshape(8, 8)
+        elif m == 0xC4:                                 # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                nv = sum(counts)
+                values = list(seg[i + 17:i + 17 + nv])
+                hts[(tc, th)] = _huff_canonical(counts, values)
+                i += 17 + nv
+        elif m in (0xC0, 0xC1):                         # SOF0/SOF1
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = (seg[1] << 8) | seg[2]
+            w = (seg[3] << 8) | seg[4]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                o = 6 + 3 * c
+                comps.append({"id": seg[o], "h": seg[o + 1] >> 4,
+                              "v": seg[o + 1] & 15, "q": seg[o + 2]})
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif m == 0xDD:                                 # DRI
+            ri = (seg[0] << 8) | seg[1]
+        elif m == 0xDA:                                 # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                sel[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4,
+                                       seg[2 + 2 * c] & 15)
+            scan = (sel, p + seg_len)
+            break
+        p += seg_len
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("empty frame")
+    sel, pos = scan
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    M = _dct_matrix()
+    planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+              for c in comps]
+    for c in comps:
+        if c["q"] not in qt or c["id"] not in sel:
+            raise ValueError("missing table for component")
+        dc_id, ac_id = sel[c["id"]]
+        if (0, dc_id) not in hts or (1, ac_id) not in hts:
+            raise ValueError("missing Huffman table")
+    br = _JpegBits(d, pos)
+    pred = [0] * len(comps)
+    n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if ri and mcu_i and mcu_i % ri == 0:
+                br.restart(n_rst)
+                n_rst = (n_rst + 1) & 7
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                hdc = hts[(0, sel[c["id"]][0])]
+                hac = hts[(1, sel[c["id"]][1])]
+                q = qt[c["q"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        s = br.huff(hdc)
+                        pred[ci] += br.receive_extend(s)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(hac)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break              # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            coef[_ZZ[k]] = br.receive_extend(s)
+                            k += 1
+                        blk = coef.reshape(8, 8) * q
+                        px = M.T @ blk @ M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    full = []
+    for ci, c in enumerate(comps):
+        pl = np.repeat(np.repeat(planes[ci], vmax // c["v"], axis=0),
+                       hmax // c["h"], axis=1)
+        full.append(pl[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8)
+    if len(comps) != 3:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.dstack([y + 1.402 * cr,
+                     y - 0.344136 * cb - 0.714136 * cr,
+                     y + 1.772 * cb])
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> list[float]:
+    """REAL compressed-photo decode: baseline JPEG (the last common
+    container; PNG/BMP/WAV kernels were already real) parsed with
+    stdlib + numpy — same 8-dim contract as decode_bmp/decode_png:
+    [width, height, channels, mean_R, mean_G, mean_B (0..1),
+    brightness (0..1), n_pixels]."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    nch = 3
+    # component count comes from SOF0; cheap pre-scan for the header
+    p = 2
+    while p < len(payload) - 3:
+        if payload[p] != 0xFF:
+            break
+        m = payload[p + 1]
+        if m in (0xC0, 0xC1):
+            nch = payload[p + 9]
+            break
+        if m == 0xDA:
+            break
+        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+            p += 2
+        else:
+            p += 2 + ((payload[p + 2] << 8) | payload[p + 3])
+    px = _jpeg_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
+    means = px.astype("float64").mean(axis=(0, 1)) / 255.0
+    return [float(w), float(h), float(nch),
+            round(float(means[0]), 6), round(float(means[1]), 6),
+            round(float(means[2]), 6),
+            round(float(means.mean()), 6), float(w * h)]
+
+
 def _image_pixels(payload: bytes):
     """Container-sniffing pixel getter for the perceptual-hash path:
-    top-down (h, w, 3) uint8 from BMP (BGR) or PNG (RGB). Channel
-    order is irrelevant to dHash (it pools to grayscale), so the two
-    containers produce IDENTICAL fingerprints for identical pixel
-    content — a PNG re-encode of a BMP dedups against it."""
+    top-down (h, w, 3) uint8 from BMP (BGR), PNG (RGB), or baseline
+    JPEG (RGB). Channel order is irrelevant to dHash (it pools to
+    grayscale), so the containers produce IDENTICAL fingerprints for
+    identical pixel content — a PNG re-encode of a BMP dedups against
+    it (JPEG's dHash survives its quantization loss on smooth
+    content; sharp-edge content can flip border bits, which the
+    hamming threshold absorbs)."""
     if payload[:2] == b"BM":
         return _bmp_pixels(payload)
     if payload[:8] == _PNG_SIG:
         return _png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_pixels(payload)
     raise ValueError("no decodable image container")
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Compressed-format kernel slot for formats beyond the wired
-    BMP/PNG kernels. Real deployments plug PIL/opencv here; this
-    container has no codec libraries, so reaching this is a decode
-    MISS (the caller falls back and marks decode_ok=false)."""
+    """Codec-library slot for formats beyond the wired BMP/PNG/JPEG
+    kernels (progressive JPEG, WebP, AVIF, ...). Real deployments
+    plug PIL/opencv here; this container has no codec libraries, so
+    reaching this is a decode MISS (the caller falls back and marks
+    decode_ok=false)."""
     import PIL.Image  # noqa: F401  (not present in this container)
     raise NotImplementedError("real compressed-image decode not wired")
 
@@ -419,6 +700,12 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
         try:
             return decode_png(raw), True
         except ValueError:
+            pass
+    if raw[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg(raw), True
+        except (ValueError, IndexError):
+            # progressive/arithmetic/corrupt JPEG: histogram fallback
             pass
     try:
         return _decode_image(raw), True

@@ -2634,3 +2634,288 @@ def test_signatures_shuffle_is_narrow_by_default(docs):
     cols = DD.minhash_signatures(docs, n=2, k=8,
                                  include_shingles=True).columns
     assert "sh" in cols
+
+
+# ----------------------------------------------------------------- JPEG
+
+def _jpeg_bytes(px_rows, sub="444", qscale=0.2, restart=None):
+    """Minimal baseline JPEG ENCODER for fixtures (the decode twin
+    lives in the library): standard Annex-K quantization tables
+    scaled by ``qscale``, fixed-length canonical Huffman tables
+    written into the stream via DHT (4-bit DC codes / 8-bit AC codes
+    — trivially canonical, still a fully standard baseline file),
+    FF-stuffed entropy data, optional restart intervals. ``sub`` is
+    "444", "420" (2x2-averaged chroma), or "gray" (rows of ints
+    instead of (r,g,b))."""
+    import struct
+
+    import numpy as np
+
+    from metacat_spark.llm.multimodal import _ZZ, _dct_matrix
+
+    QY = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99], dtype=float).reshape(8, 8)
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99], dtype=float).reshape(8, 8)
+    qy = np.clip(np.round(QY * qscale), 1, 255)
+    qc = np.clip(np.round(QC * qscale), 1, 255)
+    M = _dct_matrix()
+    gray = sub == "gray"
+    h, w = len(px_rows), len(px_rows[0])
+    if gray:
+        y_plane = np.array(px_rows, dtype=float)
+        hmax = vmax = 1
+    else:
+        rgb = np.array(px_rows, dtype=float)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y_plane = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        hmax = vmax = 2 if sub == "420" else 1
+    H = -(-h // (8 * vmax)) * 8 * vmax
+    W = -(-w // (8 * hmax)) * 8 * hmax
+
+    def pad(a):
+        return np.pad(a, ((0, H - h), (0, W - w)), mode="edge")
+
+    if gray:
+        comps = [(pad(y_plane), 1, 1, qy)]
+    elif sub == "420":
+        def half(a):
+            p = pad(a)
+            return (p[0::2, 0::2] + p[0::2, 1::2]
+                    + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        comps = [(pad(y_plane), 2, 2, qy),
+                 (half(cb), 1, 1, qc), (half(cr), 1, 1, qc)]
+    else:
+        comps = [(pad(y_plane), 1, 1, qy),
+                 (pad(cb), 1, 1, qc), (pad(cr), 1, 1, qc)]
+    ncomp = len(comps)
+
+    dc_vals = list(range(12))
+    ac_vals = [0x00, 0xF0] + [(rr << 4) | s
+                              for rr in range(16) for s in range(1, 11)]
+    dc_code = {v: i for i, v in enumerate(dc_vals)}
+    ac_code = {v: i for i, v in enumerate(ac_vals)}
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_counts = [0] * 16
+    ac_counts[7] = 162
+
+    class BW:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def bits(self, v, ln):
+            for i in range(ln - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0)
+                    self.acc, self.n = 0, 0
+
+        def align(self):
+            while self.n:
+                self.bits(1, 1)
+
+    def cat(v):
+        s, a = 0, abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    bw = BW()
+
+    def encode_block(block, q, pred):
+        coef = np.round((M @ (block - 128.0) @ M.T) / q)
+        zz = [int(np.clip(coef.flat[_ZZ[k]], -1023, 1023))
+              for k in range(64)]
+        diff = zz[0] - pred
+        s = cat(diff)
+        bw.bits(dc_code[s], 4)
+        if s:
+            bw.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        last = max((k for k in range(1, 64) if zz[k]), default=0)
+        run = 0
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.bits(ac_code[0xF0], 8)
+                run -= 16
+            s = cat(zz[k])
+            bw.bits(ac_code[(run << 4) | s], 8)
+            bw.bits(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            bw.bits(ac_code[0x00], 8)
+        return zz[0]
+
+    preds = [0] * ncomp
+    nmcux, nmcuy = W // (8 * hmax), H // (8 * vmax)
+    mcu_i, rst = 0, 0
+    for my in range(nmcuy):
+        for mx in range(nmcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                bw.align()
+                bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * ncomp
+            for ci, (plane, hf, vf, q) in enumerate(comps):
+                for by in range(vf):
+                    for bx in range(hf):
+                        y0, x0 = (my * vf + by) * 8, (mx * hf + bx) * 8
+                        preds[ci] = encode_block(
+                            plane[y0:y0 + 8, x0:x0 + 8], q, preds[ci])
+            mcu_i += 1
+    bw.align()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker])
+                   + struct.pack(">H", len(body) + 2) + body)
+
+    def qt_body(tq, q):
+        return bytes([tq]) + bytes(int(q.flat[_ZZ[k]])
+                                   for k in range(64))
+
+    seg(0xDB, qt_body(0, qy) + (b"" if gray else qt_body(1, qc)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for i, (_, hf, vf, _q) in enumerate(comps):
+        sof += bytes([i + 1, (hf << 4) | vf, 0 if i == 0 else 1])
+    seg(0xC0, sof)
+
+    def dht(tc, th):
+        vals = dc_vals if tc == 0 else ac_vals
+        counts = dc_counts if tc == 0 else ac_counts
+        return bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals)
+
+    body = dht(0, 0) + dht(1, 0)
+    if not gray:
+        body += dht(0, 1) + dht(1, 1)
+    seg(0xC4, body)
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        t = 0 if i == 0 else 1
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out += bw.buf + b"\xff\xd9"
+    return bytes(out)
+
+
+def _smooth_rows(w, h):
+    """Low-frequency RGB content — JPEG quantization error stays in
+    single digits here, so round-trip tolerances can be tight."""
+    return [[(min(255, 10 + 4 * x), min(255, 20 + 4 * y), 128)
+             for x in range(w)] for y in range(h)]
+
+
+def test_jpeg_decode_roundtrip_444_and_gray():
+    import numpy as np
+    from metacat_spark.llm import multimodal as MM
+    w, h = 24, 17                        # non-multiples exercise crop
+    orig = np.array(_smooth_rows(w, h), dtype=float)
+    px = MM._jpeg_pixels(_jpeg_bytes(_smooth_rows(w, h)))
+    assert px.shape == (h, w, 3) and px.dtype == np.uint8
+    err = np.abs(px.astype(float) - orig)
+    assert err.mean() < 3 and err.max() < 16
+    gray_rows = [[min(255, 8 * x + 2 * y) for x in range(w)]
+                 for y in range(h)]
+    gx = MM._jpeg_pixels(_jpeg_bytes(gray_rows, sub="gray"))
+    assert gx.shape == (h, w, 3)
+    assert (gx[:, :, 0] == gx[:, :, 1]).all()
+    gerr = np.abs(gx[:, :, 0].astype(float) - np.array(gray_rows))
+    assert gerr.mean() < 3 and gerr.max() < 16
+
+
+def test_jpeg_flat_color_near_exact():
+    import numpy as np
+    from metacat_spark.llm import multimodal as MM
+    rows = [[(57, 200, 33)] * 16 for _ in range(8)]
+    px = MM._jpeg_pixels(_jpeg_bytes(rows))
+    err = np.abs(px.astype(float) - np.array(rows, dtype=float))
+    assert err.max() <= 4                # DC quantization + rounding
+
+
+def test_jpeg_420_subsampling():
+    import numpy as np
+    from metacat_spark.llm import multimodal as MM
+    w, h = 32, 24
+    orig = np.array(_smooth_rows(w, h), dtype=float)
+    px = MM._jpeg_pixels(_jpeg_bytes(_smooth_rows(w, h), sub="420"))
+    assert px.shape == (h, w, 3)
+    # luma must stay tight; chroma pays the 2x2 averaging
+    luma = lambda a: (0.299 * a[..., 0] + 0.587 * a[..., 1]
+                      + 0.114 * a[..., 2])
+    assert np.abs(luma(px.astype(float)) - luma(orig)).mean() < 3
+    assert np.abs(px.astype(float) - orig).mean() < 6
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    import numpy as np
+    from metacat_spark.llm import multimodal as MM
+    rows = _smooth_rows(32, 32)
+    plain = MM._jpeg_pixels(_jpeg_bytes(rows))
+    restarted = MM._jpeg_pixels(_jpeg_bytes(rows, restart=2))
+    # restart markers only reset predictors — identical pixels
+    assert np.array_equal(plain, restarted)
+
+
+def test_jpeg_rejects_nonbaseline_and_feature_contract():
+    import pytest as _pytest
+    from metacat_spark.llm import multimodal as MM
+    data = _jpeg_bytes(_smooth_rows(16, 16))
+    # flip SOF0 -> SOF2: progressive must be a clean decode MISS
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="baseline"):
+        MM._jpeg_pixels(prog)
+    feats, ok = MM._decode_any(prog)
+    assert not ok and len(feats) == 8          # histogram fallback
+    with _pytest.raises(ValueError):
+        MM._jpeg_pixels(b"\xff\xd8\xff\xd9")   # no frame
+    f = MM.decode_jpeg(data)
+    assert f[0] == 16.0 and f[1] == 16.0 and f[2] == 3.0
+    assert f[7] == 256.0 and 0.0 < f[6] < 1.0
+    feats2, ok2 = MM._decode_any(data)
+    assert ok2 and feats2 == f
+
+
+def test_jpeg_dhash_cross_container(spark):
+    """A JPEG re-encode of a BMP's pixels must land within the
+    near-dup Hamming threshold — the cross-container dedup the
+    perceptual hash exists for (quantization loss absorbed)."""
+    from metacat_spark.llm import multimodal as MM
+    w, h = 16, 12
+    rows = _gradient_rows(w, h)
+    bmp = _bmp_bytes(w, h, rows)
+    jpg = _jpeg_bytes(rows)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bmp)), (2, "image", bytearray(jpg))],
+        "asset_id long, modality string, content binary")
+    sig = {r["asset_id"]: r for r in MM.image_dhash(df).collect()}
+    assert sig[1]["decode_ok"] and sig[2]["decode_ok"]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in MM.image_near_dup_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
