@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 130
+TOTAL_ENTRIES = 131
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1492,6 +1492,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enter mid-list beside the events family, displacing the
     # embed_topk_ivf/ivfpq 1-row certificates past the cap — a
     # deliberate trade: the cap favors value-hashed rows, the embed
+    def multimodal_jpeg_roundtrip(spark, sf_dir):
+        """Baseline-JPEG decode certificate (llm/multimodal.py r9:
+        _jpeg_pixels/decode_jpeg): one deterministic smooth 32x24
+        image per doc_id 0..23, encoded driver-side with the
+        library's baseline encoder (encode_jpeg_baseline), decoded
+        through the SAME Arrow mapInPandas feature stage as any
+        asset table. Pixel formula r=10+4x, g=20+2y+(id%50), b=128
+        has closed-form channel means, so the certificate checks the
+        decoded means against them within the quantization tolerance
+        (<3/255) — the oracle pins the booleans and the SOF dims."""
+        from metacat_spark.llm import multimodal as MM
+        W, H = 32, 24
+        ids = sorted(r["doc_id"] for r in _docs(spark, sf_dir)
+                     .where(F.col("doc_id") <= 23)
+                     .select("doc_id").collect())
+        rows = []
+        for i in ids:
+            k = i % 50
+            px = [[(10 + 4 * x, 20 + 2 * y + k, 128)
+                   for x in range(W)] for y in range(H)]
+            rows.append((i, "image",
+                         bytearray(MM.encode_jpeg_baseline(px))))
+        assets = spark.createDataFrame(
+            rows, "asset_id long, modality string, content binary")
+        feats = MM.extract_features(assets)
+        exp_r = 10.0 + 4.0 * (W - 1) / 2.0
+        exp_g = 20.0 + (H - 1.0) + F.col("asset_id") % 50
+        return feats.select(
+            "asset_id", "decode_ok",
+            (F.abs(F.get("feature", 3) * 255 - F.lit(exp_r)) < 3)
+            .alias("r_ok"),
+            (F.abs(F.get("feature", 4) * 255 - exp_g) < 3)
+            .alias("g_ok"),
+            (F.abs(F.get("feature", 5) * 255 - F.lit(128.0)) < 3)
+            .alias("b_ok"),
+            F.get("feature", 0).alias("w"),
+            F.get("feature", 1).alias("h"))
+    q["multimodal_jpeg_roundtrip"] = multimodal_jpeg_roundtrip
+
     # family keeps cosine_pairs + topk_bruteforce (full hashes)
     # in-cap, and every certificate remains replica-gate checked.
     promote = ["dedup_cross_jaccard", "doc_pack_sequences",
@@ -1504,7 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "doc_curation_pipeline",
               # keep the minhash-LSH certificate driver-visible over
               # the (simpler) props-extraction row
-              "events_props_stats"]
+              "events_props_stats", "multimodal_jpeg_roundtrip"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -3155,5 +3194,14 @@ def oracle_sql() -> dict[str, str]:
           left join lkept l on l.doc_id = d.doc_id
           left join kept2 k on k.doc_id = d.doc_id
           left join final f on f.doc_id = d.doc_id"""
+
+    # JPEG round-trip certificate: the engine side recomputes decoded
+    # channel means against the pixel formula's closed forms in-plan;
+    # the oracle pins the booleans and the SOF-decoded dimensions
+    o["multimodal_jpeg_roundtrip"] = """
+        select doc_id as asset_id, true as decode_ok,
+               true as r_ok, true as g_ok, true as b_ok,
+               cast(32.0 as double) as w, cast(24.0 as double) as h
+        from documents where doc_id <= 23"""
 
     return o

@@ -2638,191 +2638,8 @@ def test_signatures_shuffle_is_narrow_by_default(docs):
 
 # ----------------------------------------------------------------- JPEG
 
-def _jpeg_bytes(px_rows, sub="444", qscale=0.2, restart=None):
-    """Minimal baseline JPEG ENCODER for fixtures (the decode twin
-    lives in the library): standard Annex-K quantization tables
-    scaled by ``qscale``, fixed-length canonical Huffman tables
-    written into the stream via DHT (4-bit DC codes / 8-bit AC codes
-    — trivially canonical, still a fully standard baseline file),
-    FF-stuffed entropy data, optional restart intervals. ``sub`` is
-    "444", "420" (2x2-averaged chroma), or "gray" (rows of ints
-    instead of (r,g,b))."""
-    import struct
-
-    import numpy as np
-
-    from metacat_spark.llm.multimodal import _ZZ, _dct_matrix
-
-    QY = np.array([
-        16, 11, 10, 16, 24, 40, 51, 61,
-        12, 12, 14, 19, 26, 58, 60, 55,
-        14, 13, 16, 24, 40, 57, 69, 56,
-        14, 17, 22, 29, 51, 87, 80, 62,
-        18, 22, 37, 56, 68, 109, 103, 77,
-        24, 35, 55, 64, 81, 104, 113, 92,
-        49, 64, 78, 87, 103, 121, 120, 101,
-        72, 92, 95, 98, 112, 100, 103, 99], dtype=float).reshape(8, 8)
-    QC = np.array([
-        17, 18, 24, 47, 99, 99, 99, 99,
-        18, 21, 26, 66, 99, 99, 99, 99,
-        24, 26, 56, 99, 99, 99, 99, 99,
-        47, 66, 99, 99, 99, 99, 99, 99,
-        99, 99, 99, 99, 99, 99, 99, 99,
-        99, 99, 99, 99, 99, 99, 99, 99,
-        99, 99, 99, 99, 99, 99, 99, 99,
-        99, 99, 99, 99, 99, 99, 99, 99], dtype=float).reshape(8, 8)
-    qy = np.clip(np.round(QY * qscale), 1, 255)
-    qc = np.clip(np.round(QC * qscale), 1, 255)
-    M = _dct_matrix()
-    gray = sub == "gray"
-    h, w = len(px_rows), len(px_rows[0])
-    if gray:
-        y_plane = np.array(px_rows, dtype=float)
-        hmax = vmax = 1
-    else:
-        rgb = np.array(px_rows, dtype=float)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y_plane = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        hmax = vmax = 2 if sub == "420" else 1
-    H = -(-h // (8 * vmax)) * 8 * vmax
-    W = -(-w // (8 * hmax)) * 8 * hmax
-
-    def pad(a):
-        return np.pad(a, ((0, H - h), (0, W - w)), mode="edge")
-
-    if gray:
-        comps = [(pad(y_plane), 1, 1, qy)]
-    elif sub == "420":
-        def half(a):
-            p = pad(a)
-            return (p[0::2, 0::2] + p[0::2, 1::2]
-                    + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
-        comps = [(pad(y_plane), 2, 2, qy),
-                 (half(cb), 1, 1, qc), (half(cr), 1, 1, qc)]
-    else:
-        comps = [(pad(y_plane), 1, 1, qy),
-                 (pad(cb), 1, 1, qc), (pad(cr), 1, 1, qc)]
-    ncomp = len(comps)
-
-    dc_vals = list(range(12))
-    ac_vals = [0x00, 0xF0] + [(rr << 4) | s
-                              for rr in range(16) for s in range(1, 11)]
-    dc_code = {v: i for i, v in enumerate(dc_vals)}
-    ac_code = {v: i for i, v in enumerate(ac_vals)}
-    dc_counts = [0] * 16
-    dc_counts[3] = 12
-    ac_counts = [0] * 16
-    ac_counts[7] = 162
-
-    class BW:
-        def __init__(self):
-            self.buf, self.acc, self.n = bytearray(), 0, 0
-
-        def bits(self, v, ln):
-            for i in range(ln - 1, -1, -1):
-                self.acc = (self.acc << 1) | ((v >> i) & 1)
-                self.n += 1
-                if self.n == 8:
-                    self.buf.append(self.acc)
-                    if self.acc == 0xFF:
-                        self.buf.append(0)
-                    self.acc, self.n = 0, 0
-
-        def align(self):
-            while self.n:
-                self.bits(1, 1)
-
-    def cat(v):
-        s, a = 0, abs(v)
-        while a:
-            s += 1
-            a >>= 1
-        return s
-
-    bw = BW()
-
-    def encode_block(block, q, pred):
-        coef = np.round((M @ (block - 128.0) @ M.T) / q)
-        zz = [int(np.clip(coef.flat[_ZZ[k]], -1023, 1023))
-              for k in range(64)]
-        diff = zz[0] - pred
-        s = cat(diff)
-        bw.bits(dc_code[s], 4)
-        if s:
-            bw.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        last = max((k for k in range(1, 64) if zz[k]), default=0)
-        run = 0
-        for k in range(1, last + 1):
-            if zz[k] == 0:
-                run += 1
-                continue
-            while run > 15:
-                bw.bits(ac_code[0xF0], 8)
-                run -= 16
-            s = cat(zz[k])
-            bw.bits(ac_code[(run << 4) | s], 8)
-            bw.bits(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
-            run = 0
-        if last < 63:
-            bw.bits(ac_code[0x00], 8)
-        return zz[0]
-
-    preds = [0] * ncomp
-    nmcux, nmcuy = W // (8 * hmax), H // (8 * vmax)
-    mcu_i, rst = 0, 0
-    for my in range(nmcuy):
-        for mx in range(nmcux):
-            if restart and mcu_i and mcu_i % restart == 0:
-                bw.align()
-                bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
-                rst += 1
-                preds = [0] * ncomp
-            for ci, (plane, hf, vf, q) in enumerate(comps):
-                for by in range(vf):
-                    for bx in range(hf):
-                        y0, x0 = (my * vf + by) * 8, (mx * hf + bx) * 8
-                        preds[ci] = encode_block(
-                            plane[y0:y0 + 8, x0:x0 + 8], q, preds[ci])
-            mcu_i += 1
-    bw.align()
-
-    out = bytearray(b"\xff\xd8")
-
-    def seg(marker, body):
-        out.extend(bytes([0xFF, marker])
-                   + struct.pack(">H", len(body) + 2) + body)
-
-    def qt_body(tq, q):
-        return bytes([tq]) + bytes(int(q.flat[_ZZ[k]])
-                                   for k in range(64))
-
-    seg(0xDB, qt_body(0, qy) + (b"" if gray else qt_body(1, qc)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for i, (_, hf, vf, _q) in enumerate(comps):
-        sof += bytes([i + 1, (hf << 4) | vf, 0 if i == 0 else 1])
-    seg(0xC0, sof)
-
-    def dht(tc, th):
-        vals = dc_vals if tc == 0 else ac_vals
-        counts = dc_counts if tc == 0 else ac_counts
-        return bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals)
-
-    body = dht(0, 0) + dht(1, 0)
-    if not gray:
-        body += dht(0, 1) + dht(1, 1)
-    seg(0xC4, body)
-    if restart:
-        seg(0xDD, struct.pack(">H", restart))
-    sos = bytes([ncomp])
-    for i in range(ncomp):
-        t = 0 if i == 0 else 1
-        sos += bytes([i + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    seg(0xDA, sos)
-    out += bw.buf + b"\xff\xd9"
-    return bytes(out)
+from metacat_spark.llm.multimodal import \
+    encode_jpeg_baseline as _jpeg_bytes  # noqa: E402
 
 
 def _smooth_rows(w, h):
