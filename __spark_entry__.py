@@ -1466,32 +1466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "quality", "cutoff")
     q["doc_quality_quantile_gate"] = doc_qgate
 
-    # The driver hash-checks the FIRST 50 entries: promote the two
-    # strongest round-4 additions (both fully oracle-value-hashed)
-    # into the cap, demoting two text-row siblings whose §2a row keeps
-    # an in-cap representative (doc_text_analysis) — the demoted pair
-    # stays replica-gate checked past the cap like every other entry.
-    # r5: containment decontamination + token-budget selection are the
-    # round's headline ops — in-cap, displacing two entries whose
-    # families keep in-cap representatives (filter_sample for
-    # filter_sample_hash; cosine_pairs/topk/ann/ivf for the centroid)
-    # r5b: the ExactSubstr scrub (full reconstructed-text hash), the
-    # train/val/test split, and the classifier score (full arithmetic
-    # hash) go in-cap alongside embed_topk_ivfpq (already mid-list);
-    # displaced: three 1-row certificate entries whose families keep
-    # multiple in-cap value-hashed rows (dedup_minhash_lsh stays for
-    # banded LSH; ivf/ivfpq stay for ANN; filter_sample +
-    # filter_hash_adler32 stay for filters) — all remain replica-gate
-    # hash-checked past the cap, like dedup_exact_streaming which the
-    # ivfpq insertion already displaced (events_windowed_streaming
-    # keeps a streaming path in-cap).
-    # r5c: doc_curation_v2 (five stages, final-text fingerprints —
-    # the strongest end-to-end row) replaces the LSH curation
-    # CERTIFICATE in-cap; the certificate stays replica-gate checked.
-    # r5d: events_funnel + events_retention (both full value-hash)
-    # enter mid-list beside the events family, displacing the
-    # embed_topk_ivf/ivfpq 1-row certificates past the cap — a
-    # deliberate trade: the cap favors value-hashed rows, the embed
     def multimodal_jpeg_roundtrip(spark, sf_dir):
         """Baseline-JPEG decode certificate (llm/multimodal.py r9:
         _jpeg_pixels/decode_jpeg): one deterministic smooth 32x24
@@ -1531,6 +1505,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get("feature", 1).alias("h"))
     q["multimodal_jpeg_roundtrip"] = multimodal_jpeg_roundtrip
 
+    # The driver hash-checks the FIRST 50 entries: promote the two
+    # strongest round-4 additions (both fully oracle-value-hashed)
+    # into the cap, demoting two text-row siblings whose §2a row keeps
+    # an in-cap representative (doc_text_analysis) — the demoted pair
+    # stays replica-gate checked past the cap like every other entry.
+    # r5: containment decontamination + token-budget selection are the
+    # round's headline ops — in-cap, displacing two entries whose
+    # families keep in-cap representatives (filter_sample for
+    # filter_sample_hash; cosine_pairs/topk/ann/ivf for the centroid)
+    # r5b: the ExactSubstr scrub (full reconstructed-text hash), the
+    # train/val/test split, and the classifier score (full arithmetic
+
+    # hash) go in-cap alongside embed_topk_ivfpq (already mid-list);
+    # displaced: three 1-row certificate entries whose families keep
+    # multiple in-cap value-hashed rows (dedup_minhash_lsh stays for
+    # banded LSH; ivf/ivfpq stay for ANN; filter_sample +
+    # filter_hash_adler32 stay for filters) — all remain replica-gate
+    # hash-checked past the cap, like dedup_exact_streaming which the
+    # ivfpq insertion already displaced (events_windowed_streaming
+    # keeps a streaming path in-cap).
+    # r5c: doc_curation_v2 (five stages, final-text fingerprints —
+    # the strongest end-to-end row) replaces the LSH curation
+    # CERTIFICATE in-cap; the certificate stays replica-gate checked.
+    # r5d: events_funnel + events_retention (both full value-hash)
+    # enter mid-list beside the events family, displacing the
+    # embed_topk_ivf/ivfpq 1-row certificates past the cap — a
+    # deliberate trade: the cap favors value-hashed rows, the embed
     # family keeps cosine_pairs + topk_bruteforce (full hashes)
     # in-cap, and every certificate remains replica-gate checked.
     promote = ["dedup_cross_jaccard", "doc_pack_sequences",

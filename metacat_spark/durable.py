@@ -167,12 +167,20 @@ class DurableStore:
         already reach back only this far (compact deletes superseded
         segment data), so the pointer makes the log window explicit
         and lets _write_manifest reject a writer stale by more than
-        one compaction (VERDICT r8 #4)."""
+        one compaction (VERDICT r8 #4).
+
+        Read once per commit — the freshness is what detects a
+        FOREIGN writer's compaction, so it cannot be cached on the
+        instance. Cost is ONE small read (open-and-catch, no exists
+        precheck — review r9) on the control-plane commit path. Any
+        read failure returns 0, i.e. the guard degrades to
+        best-effort rather than blocking commits (the same contract
+        as the no-hardlink fallback; Py4JJavaError is the URI twin
+        of the local branch's OSError — review r9)."""
+        from py4j.protocol import Py4JJavaError
         try:
             if self._uri:
                 fs, p = self._hadoop(self._checkpoint_path())
-                if not fs.exists(p):
-                    return 0
                 stream = fs.open(p)
                 try:
                     raw = self.spark._jvm.org.apache.commons.io \
@@ -183,7 +191,8 @@ class DurableStore:
                 with open(self._checkpoint_path()) as f:
                     raw = f.read()
             return int(json.loads(raw)["commit"])
-        except (FileNotFoundError, ValueError, KeyError, OSError):
+        except (FileNotFoundError, ValueError, KeyError, OSError,
+                Py4JJavaError):
             return 0
 
     def _write_checkpoint(self, cid: int) -> None:

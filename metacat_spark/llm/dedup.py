@@ -293,7 +293,6 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, k: int = 32,
         # the LSH exists to avoid; k % bands != 0 silently discards
         # trailing hashes (review r6)
         raise ValueError(f"bands must divide k: k={k}, bands={bands}")
-    rows = k // bands
     # materialize the distinct hashed-shingle rows once — referenced
     # by the signature build AND twice by the verification joins;
     # distinct runs on (id, h64) longs, not (id, shingle) strings

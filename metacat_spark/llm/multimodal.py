@@ -460,8 +460,21 @@ class _JpegBits:
 
 def _jpeg_pixels(payload: bytes):
     """Decode a baseline JPEG to a top-down (h, w, 3) uint8 RGB array
-    (grayscale replicated across channels). Raises ValueError on
-    anything that isn't baseline sequential Huffman (SOF0/SOF1)."""
+    (grayscale replicated across channels). Raises ValueError — and
+    ONLY ValueError — on anything that isn't decodable baseline
+    sequential Huffman (SOF0/SOF1); truncated streams surface as
+    IndexError internally and are converted here so every caller's
+    fallback path stays a single exception type (review r9)."""
+    try:
+        return _jpeg_decode(payload)[0]
+    except IndexError:
+        raise ValueError("truncated JPEG") from None
+
+
+def _jpeg_decode(payload: bytes):
+    """(pixels, n_components) — the full parse behind _jpeg_pixels
+    and decode_jpeg (which needs the SOF component count without a
+    second marker walk; review r9)."""
     import numpy as np
     d = payload
     if d[:2] != b"\xff\xd8":
@@ -540,8 +553,14 @@ def _jpeg_pixels(payload: bytes):
     sel, pos = scan
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1:
-        raise ValueError("bad sampling factors")
+    for c in comps:
+        # T.81 allows 1..4; integer-ratio upsampling additionally
+        # needs each factor to divide the max (true of every common
+        # subsampling: 4:4:4, 4:2:2, 4:2:0, 4:1:1). Factor 0 would
+        # divide-by-zero in the upsample repeat (review r9).
+        if not 1 <= c["h"] <= 4 or not 1 <= c["v"] <= 4 \
+                or hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("unsupported sampling factors")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     M = _dct_matrix()
@@ -599,14 +618,14 @@ def _jpeg_pixels(payload: bytes):
         full.append(pl[:h, :w])
     if len(comps) == 1:
         y = np.clip(full[0], 0, 255)
-        return np.dstack([y, y, y]).astype(np.uint8)
+        return np.dstack([y, y, y]).astype(np.uint8), 1
     if len(comps) != 3:
         raise ValueError(f"unsupported component count {len(comps)}")
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.dstack([y + 1.402 * cr,
                      y - 0.344136 * cb - 0.714136 * cr,
                      y + 1.772 * cb])
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), 3
 
 
 def encode_jpeg_baseline(px_rows, sub="444", qscale=0.2,
@@ -800,25 +819,10 @@ def decode_jpeg(payload: bytes) -> list[float]:
     stdlib + numpy — same 8-dim contract as decode_bmp/decode_png:
     [width, height, channels, mean_R, mean_G, mean_B (0..1),
     brightness (0..1), n_pixels]."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    nch = 3
-    # component count comes from SOF0; cheap pre-scan for the header
-    p = 2
-    while p < len(payload) - 3:
-        if payload[p] != 0xFF:
-            break
-        m = payload[p + 1]
-        if m in (0xC0, 0xC1):
-            nch = payload[p + 9]
-            break
-        if m == 0xDA:
-            break
-        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
-            p += 2
-        else:
-            p += 2 + ((payload[p + 2] << 8) | payload[p + 3])
-    px = _jpeg_pixels(payload)
+    try:
+        px, nch = _jpeg_decode(payload)
+    except IndexError:
+        raise ValueError("truncated JPEG") from None
     h, w = px.shape[0], px.shape[1]
     means = px.astype("float64").mean(axis=(0, 1)) / 255.0
     return [float(w), float(h), float(nch),
@@ -889,8 +893,10 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
     if raw[:2] == b"\xff\xd8":
         try:
             return decode_jpeg(raw), True
-        except (ValueError, IndexError):
-            # progressive/arithmetic/corrupt JPEG: histogram fallback
+        except ValueError:
+            # progressive/arithmetic/corrupt/truncated JPEG (the
+            # kernel converts its internal IndexErrors): histogram
+            # fallback
             pass
     try:
         return _decode_image(raw), True
@@ -942,11 +948,12 @@ def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
     bit per horizontal neighbor comparison = a 64-bit fingerprint
     (grid=8) that survives resizing, small edits, and brightness
     shifts — the standard image near-dup signature.  One Arrow
-    mapInPandas pass over BMP OR PNG payloads (container-sniffed;
-    identical pixels hash identically across containers, so a PNG
-    re-encode dedups against its BMP source); other containers come
-    back decode_ok=false with a null hash (plug real codecs into
-    _image_pixels).  Returns (asset_id, dhash long, decode_ok)."""
+    mapInPandas pass over BMP, PNG, or baseline-JPEG payloads
+    (container-sniffed; identical pixels hash identically across
+    containers, so a PNG or JPEG re-encode dedups against its BMP
+    source); other containers come back decode_ok=false with a null
+    hash (plug real codecs into _image_pixels).  Returns
+    (asset_id, dhash long, decode_ok)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -97,7 +97,6 @@ def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
     def _apply(rows):
         if not rows:
             return
-        stats["batches"] += 1
         try:
             stats["declared"] += dml.declare_files(rows,
                                                    dataset=dataset)
@@ -113,47 +112,87 @@ def declare_stream(spark: SparkSession, dml: DML, src_dir: str,
                 raise
             stats["skipped_dup"] += len(rows)
 
-    def _quarantine(srcs: list[str]) -> list[str]:
+    def _quarantine(srcs: list[str]) -> tuple[list[str], list[str]]:
         """Move the batch's source file(s) into dead_letter_dir via
-        the Hadoop FS (uniform for file:// and remote URIs)."""
+        the Hadoop FS (uniform for file:// and remote URIs). Rename
+        can legally FAIL — cross-filesystem/cross-device targets,
+        permissions — so it falls back to copy+delete, and a file
+        that still couldn't be moved is reported in the second list
+        instead of being claimed quarantined (review r9: the
+        streaming checkpoint marks it processed either way, so a
+        silent move failure would drop it from BOTH ledgers)."""
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        moved = []
+        moved, failed = [], []
         for src in srcs:
-            sp = jvm.org.apache.hadoop.fs.Path(src)
-            fs = sp.getFileSystem(conf)
-            name = sp.getName()
-            dl = jvm.org.apache.hadoop.fs.Path(dead_letter_dir)
-            fs.mkdirs(dl)
-            dest = jvm.org.apache.hadoop.fs.Path(dead_letter_dir,
-                                                 name)
-            if not fs.rename(sp, dest):
-                # name collision in the dead-letter dir: disambiguate
-                import uuid as _uuid
+            name = src.rsplit("/", 1)[-1]
+            try:
+                sp = jvm.org.apache.hadoop.fs.Path(src)
+                sfs = sp.getFileSystem(conf)
+                dl = jvm.org.apache.hadoop.fs.Path(dead_letter_dir)
+                dfs = dl.getFileSystem(conf)
+                dfs.mkdirs(dl)
                 dest = jvm.org.apache.hadoop.fs.Path(
-                    dead_letter_dir,
-                    f"{name}.{_uuid.uuid4().hex[:8]}")
-                fs.rename(sp, dest)
-            moved.append(name)
-        return moved
+                    dead_letter_dir, name)
+                if dfs.exists(dest):
+                    import uuid as _uuid
+                    dest = jvm.org.apache.hadoop.fs.Path(
+                        dead_letter_dir,
+                        f"{name}.{_uuid.uuid4().hex[:8]}")
+                if sfs.rename(sp, dest):
+                    moved.append(name)
+                    continue
+                # cross-FS / cross-device: copy bytes, then delete
+                util = jvm.org.apache.hadoop.fs.FileUtil
+                if util.copy(sfs, sp, dfs, dest, True, conf):
+                    moved.append(name)
+                else:
+                    failed.append(name)
+            except Exception:  # noqa: BLE001 — report, keep draining
+                failed.append(name)
+        return moved, failed
 
     def apply_batch(batch_df, _batch_id):
         if dead_letter_dir is None:
-            _apply(_rows_of(batch_df))
+            rows = _rows_of(batch_df)
+            if rows:
+                stats["batches"] += 1
+                _apply(rows)
             return
         recs = batch_df.select(
             "value", F.input_file_name().alias("src")).collect()
         srcs = sorted({r["src"] for r in recs})
+        lines = [ln for r in recs
+                 if (ln := (r["value"] or "").strip())]
+        if lines:
+            # count the batch whether it applies or quarantines, so
+            # batches == applied + skipped-whole + dead_lettered
+            # (review r9: malformed batches were uncounted)
+            stats["batches"] += 1
+        rows = None
         try:
-            rows = []
-            for r in recs:
-                line = (r["value"] or "").strip()
-                if line:
-                    rows.append(json.loads(line))
+            rows = [json.loads(ln) for ln in lines]
             _apply(rows)
         except Exception as e:  # noqa: BLE001 — quarantine, continue
+            if rows:
+                ids = [r.get("id") for r in rows]
+                n_in = dml.cat.files.where(
+                    F.col("id").isin(ids)).select("id").count()
+                if n_in == len(ids):
+                    # every row IS in the catalog: the batch applied
+                    # and something AFTER it failed (e.g. the durable
+                    # commit — dml re-buffers those ops for the next
+                    # flush). Quarantining would falsely ledger an
+                    # applied batch as rejected; this is an
+                    # operational failure, not a bad batch — fail
+                    # loud (review r9).
+                    raise
             stats["dead_lettered"] += 1
-            stats["dead_letter_files"].extend(_quarantine(srcs))
+            moved, failed = _quarantine(srcs)
+            stats["dead_letter_files"].extend(moved)
+            if failed:
+                stats.setdefault(
+                    "dead_letter_move_failed", []).extend(failed)
             stats["dead_letter_errors"].append(
                 f"{type(e).__name__}: {e}"[:200])
 

@@ -751,6 +751,10 @@ def test_declare_stream_dead_letter_quarantines_and_drains(
 
     assert stats["declared"] == 3
     assert stats["dead_lettered"] == 2
+    # counter reconciliation: batches == applied + dead-lettered,
+    # INCLUDING the malformed batch (review r9)
+    assert stats["batches"] == 4
+    assert "dead_letter_move_failed" not in stats
     assert sorted(stats["dead_letter_files"]) \
         == ["m1.jsonl", "v1.jsonl"]
     assert len(stats["dead_letter_errors"]) == 2
@@ -763,3 +767,42 @@ def test_declare_stream_dead_letter_quarantines_and_drains(
     ids = sorted(r["id"] for r in cat.files.where(
         F.col("id").startswith("dl-")).collect())
     assert ids == ["dl-1", "dl-2", "dl-3"]
+
+
+def test_declare_stream_commit_failure_not_quarantined(
+        spark, tmp_path):
+    """An APPLIED batch whose durable commit fails must NOT be
+    dead-lettered (its rows are in the session and the re-buffered
+    ops flush with the next successful mutation) — that is an
+    operational failure, so the drain fails loud even in
+    dead-letter mode (review r9)."""
+    import json as J
+
+    from metacat_spark.catalog import from_tpch
+    from metacat_spark.dml import DML
+    from metacat_spark.durable import DurableStore
+    from metacat_spark.streaming.ingest import declare_stream
+
+    src = tmp_path / "declares"
+    src.mkdir()
+    dl = tmp_path / "dead"
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(J.dumps({"id": "cf-1", "namespace": "dune",
+                         "name": "cf1.dat",
+                         "metadata": {"core.run": 1,
+                                      "core.runs": [1]}}) + "\n")
+    cat = from_tpch(spark, SF_DIR)
+    store = DurableStore(spark, str(tmp_path / "cat"))
+
+    def broken_commit(*a, **k):
+        raise OSError("durable store down")
+
+    store.commit = broken_commit
+    dml = DML(cat, store=store)
+    with pytest.raises(Exception, match="durable store down"):
+        declare_stream(spark, dml, str(src),
+                       dead_letter_dir=str(dl))
+    # the batch file was NOT quarantined and the rows ARE applied
+    assert (src / "b1.jsonl").exists()
+    assert not dl.exists() or not any(dl.iterdir())
+    assert cat.files.where(F.col("id") == "cf-1").count() == 1

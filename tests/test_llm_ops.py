@@ -2736,3 +2736,37 @@ def test_jpeg_dhash_cross_container(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in MM.image_near_dup_pairs(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+
+
+def test_jpeg_truncated_payload_is_decode_miss(spark):
+    """A truncated JPEG must surface as decode_ok=false in BOTH
+    mapInPandas paths (features and dHash), never as a task-killing
+    IndexError — the kernel converts its internal IndexErrors to
+    ValueError (review r9)."""
+    from metacat_spark.llm import multimodal as MM
+    data = _jpeg_bytes(_smooth_rows(16, 16))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(data[:len(data) // 2])),
+         (2, "image", bytearray(data))],
+        "asset_id long, modality string, content binary")
+    sig = {r["asset_id"]: r["decode_ok"]
+           for r in MM.image_dhash(df).collect()}
+    assert sig == {1: False, 2: True}
+    feats = {r["asset_id"]: r["decode_ok"]
+             for r in MM.extract_features(df).collect()}
+    assert feats == {1: False, 2: True}
+
+
+def test_jpeg_zero_sampling_factor_rejected():
+    """A crafted SOF with a zero sampling factor must be a clean
+    ValueError (histogram fallback), not a ZeroDivisionError in the
+    upsample (review r9)."""
+    import pytest as _pytest
+    from metacat_spark.llm import multimodal as MM
+    data = bytearray(_jpeg_bytes(_smooth_rows(16, 16)))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 11] = 0x01                       # comp 1: h=0, v=1
+    with _pytest.raises(ValueError, match="sampling"):
+        MM._jpeg_pixels(bytes(data))
+    feats, ok = MM._decode_any(bytes(data))
+    assert not ok and len(feats) == 8
