@@ -93,9 +93,23 @@ def _block_pairs(df: DataFrame, vec_col: str, id_col: str,
     nb² independent ~constant-size tasks instead of a driver
     broadcast (which OOMs the driver at 100 TB) or a row-level cross
     join (N² shuffled rows). Shuffle volume is N·nb packed rows.
+
+    nb is also FLOORED so the pair count covers ~2 waves of the
+    cluster's parallelism (r9): with the cap alone, a corpus smaller
+    than block_rows collapses to nb=1 — the whole GEMM in ONE task
+    on however many cores the cluster has (measured at sf0.1: a
+    single 2000x2000 task, and the bench's q10b warm time swung 2-5s
+    on that one task's scheduling). Smaller blocks cost only a few
+    extra packed rows through the shuffle; at large N the cap term
+    dominates and the floor is inert.
     """
+    import math
     n = df.count()
-    nb = max(1, -(-n // block_rows))
+    want = 2 * df.sparkSession.sparkContext.defaultParallelism
+    floor = math.isqrt(2 * want if symmetric else want)
+    floor += 1 if floor * floor < (2 * want if symmetric else want) \
+        else 0
+    nb = max(1, -(-n // block_rows), min(n, floor))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), v.alias("vec")) \
              .withColumn("blk", F.pmod(F.xxhash64(F.col("id")
