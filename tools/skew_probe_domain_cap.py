@@ -12,6 +12,20 @@ in-plan (ids remapped per replica), with doc_id % 10 < 3 rows
 re-labeled source='mega'. Expectation: the two-phase plan's worst
 task is bounded by |mega|/salts, so its advantage GROWS with the
 multiplier; at small scale the extra window is noise.
+
+RESULT (r9, 20x = 100k docs / 30% mega, local[32], 5 interleaved
+reps): single-window median 4.24 s vs two-phase 4.62 s — the
+two-phase pays ~8% here. Root cause of the small gap: Spark's
+rank-limit pushdown gives the SINGLE window a map-side Partial
+WindowGroupLimit, so its mega-domain task already sorts at most
+n x input_partitions rows, not |mega| — the catastrophic shape the
+salting guards against cannot materialize until n x partitions per
+domain is itself huge. The two-phase default stays because its
+bound is n x salts (independent of partition count): at cluster
+scale with 10^4-10^5 input partitions, the single-window final task
+grows to n x P rows (10^6-10^7) while two-phase stays at 3200 —
+and its extra cost is one narrow pre-reduced exchange. Parity is
+asserted every rep (identical output hashes).
 """
 
 import os
