@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 131
+TOTAL_ENTRIES = 135
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1504,6 +1504,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get("feature", 0).alias("w"),
             F.get("feature", 1).alias("h"))
     q["multimodal_jpeg_roundtrip"] = multimodal_jpeg_roundtrip
+
+    # --- beyond-reference r9: retrieval (BM25 / hybrid RRF) + DSIR
+    _BM25_QUERY = ["spark", "window", "merge"]
+
+    def search_bm25_entry(spark, sf_dir):
+        """BM25 keyword search (llm/search.py search_bm25): top-10
+        documents for a 3-term query, Lucene-variant idf, k1=1.2
+        b=0.75. ONE corpus scan computes the per-term tfs as array
+        filters (no explode); corpus stats (N, avgdl, dfs) are one
+        broadcast 1-row aggregate; the top-k is TakeOrdered, never a
+        global sort. The oracle replays tokenization, both BM25
+        constants, and the rank tie-break verbatim."""
+        from metacat_spark.llm import search as SR
+        out = SR.search_bm25(_docs(spark, sf_dir), _BM25_QUERY, k=10)
+        return out.select("doc_id", "n_tokens", "score",
+                          F.col("rank").cast("long").alias("rank"))
+    q["search_bm25"] = search_bm25_entry
+
+    def search_hybrid(spark, sf_dir):
+        """Hybrid retrieval (llm/search.py hybrid_rrf): Reciprocal
+        Rank Fusion of the BM25 top-20 and the cosine top-20 against
+        a stored query vector (vec_id 0) — rrf = Σ 1/(60+rank). Both
+        candidate lists are ≤ n rows, so fusion never shuffles the
+        corpus; scores are round-6 quantized BEFORE ranking so float
+        fold order can't decide a rank on either engine."""
+        from metacat_spark.llm import search as SR
+        out = SR.hybrid_rrf(_docs(spark, sf_dir), _embs(spark, sf_dir),
+                            _BM25_QUERY, query_vec_id=0, n=20, k=10)
+        return out.select(
+            "doc_id",
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf", F.col("rank").cast("long").alias("rank"))
+    q["search_hybrid_rrf"] = search_hybrid
+
+    def dsir_weights(spark, sf_dir):
+        """DSIR importance weights (llm/text.py dsir_logweights, Xie
+        et al. 2023): every raw-pool doc (source != src0) scored by
+        Σ ln p_target − ln p_raw over hashed-bigram features (256
+        buckets, add-one smoothing), target = src0. The bucket-count
+        model tables are bounded by the bucket count — they broadcast
+        at ANY corpus size (the scale contrast to Moore-Lewis's
+        open-vocabulary tf tables). Oracle replays the rolling hash,
+        the bucketing, and the ln arithmetic verbatim."""
+        from metacat_spark.llm import text as TX
+        docs = _docs(spark, sf_dir)
+        out = TX.dsir_logweights(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"), buckets=256)
+        return out.select("doc_id", "n_feats", "dsir_logw")
+    q["doc_dsir_weights"] = dsir_weights
+
+    def dsir_resample_entry(spark, sf_dir):
+        """DSIR selection (llm/text.py dsir_resample): Gumbel-top-m
+        sampling ∝ exp(log w) with DETERMINISTIC noise — u from the
+        shared rolling hash of id#seed, key = logw − ln(−ln u),
+        round-6 quantized before the TakeOrdered top-m. The oracle
+        replays weight, hash, noise, and tie-break end-to-end."""
+        from metacat_spark.llm import text as TX
+        docs = _docs(spark, sf_dir)
+        out = TX.dsir_resample(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            m=25, buckets=256, seed=7)
+        return out.select("doc_id", "n_feats", "dsir_logw",
+                          "gumbel_key",
+                          F.col("rank").cast("long").alias("rank"))
+    q["doc_dsir_resample"] = dsir_resample_entry
 
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
@@ -3204,5 +3272,122 @@ def oracle_sql() -> dict[str, str]:
                true as r_ok, true as g_ok, true as b_ok,
                cast(32.0 as double) as w, cast(24.0 as double) as h
         from documents where doc_id <= 23"""
+
+    # r9 retrieval + DSIR: shared BM25 replay (k1=1.2, b=0.75,
+    # Lucene-variant idf, lowercased whitespace tokens — empty-token
+    # positions counted in dl exactly as the engine's F.split)
+    _bm25 = r"""
+        with base as (
+          select doc_id, string_split_regex(lower(text), '\s+') as t
+          from documents),
+        tf as (
+          select doc_id, len(t)::double as dl,
+                 len(list_filter(t, x -> x = 'spark'))::double as tf0,
+                 len(list_filter(t, x -> x = 'window'))::double as tf1,
+                 len(list_filter(t, x -> x = 'merge'))::double as tf2
+          from base),
+        stats as (
+          select count(*)::double as n, avg(dl) as avgdl,
+                 sum((tf0 > 0)::int)::double as df0,
+                 sum((tf1 > 0)::int)::double as df1,
+                 sum((tf2 > 0)::int)::double as df2 from tf)
+        select doc_id, dl::bigint as n_tokens,
+          round(
+            ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+              * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+              * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+              * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+            6) as score
+        from tf cross join stats"""
+
+    o["search_bm25"] = f"""
+        with scored as ({_bm25})
+        select doc_id, n_tokens, score,
+               row_number() over (order by score desc, doc_id) as rank
+        from scored where score > 0
+        qualify rank <= 10"""
+
+    o["search_hybrid_rrf"] = f"""
+        with scored as ({_bm25}),
+        kw as (
+          select doc_id as id,
+                 row_number() over (order by score desc, doc_id)
+                   as kw_rank
+          from scored where score > 0
+          qualify kw_rank <= 20),
+        q as (select embedding as qvec from embeddings
+              where vec_id = 0),
+        cos as (
+          select vec_id as id,
+                 round(list_cosine_similarity(embedding::double[],
+                         qvec::double[]), 6) as cosine,
+                 row_number() over (order by cosine desc, vec_id)
+                   as vec_rank
+          from embeddings cross join q where vec_id <> 0
+          qualify vec_rank <= 20),
+        fused as (
+          select coalesce(kw.id, cos.id) as doc_id, kw_rank, vec_rank,
+                 round(coalesce(1.0 / (60 + kw_rank), 0)
+                       + coalesce(1.0 / (60 + vec_rank), 0), 6) as rrf
+          from kw full outer join cos on kw.id = cos.id)
+        select doc_id, kw_rank, vec_rank, rrf,
+               row_number() over (order by rrf desc, doc_id) as rank
+        from fused qualify rank <= 10"""
+
+    # DSIR: hashed-bigram importance weights — the rolling hash over
+    # 'w1 w2' is the shared poly_hash (acc*31 + code mod 2^31−1)
+    # folded into 256 buckets; add-one smoothing over the bucket space
+    _dsir_hash = ("list_reduce(list_prepend(0::bigint, "
+                  "list_transform(string_split(w1 || ' ' || w2, ''), "
+                  "x -> unicode(x)::bigint)), "
+                  "(acc, x) -> (acc * 31 + x) % 2147483647) % 256")
+    _dsir_w = f"""
+        with dbase as (
+          select doc_id, source, string_split_regex(text, '\\s+') as t
+          from documents
+          where len(string_split_regex(text, '\\s+')) >= 2),
+        b0 as (select doc_id as id, source,
+                      unnest([{{'w1': lower(t[i]), 'w2': lower(t[i+1])}}
+                              for i in range(1, len(t))]) as p
+               from dbase),
+        b as (select id, source, p.w1 as w1, p.w2 as w2 from b0),
+        fr as (select id, {_dsir_hash} as f from b
+               where source <> 'src0'),
+        ft as (select {_dsir_hash} as f from b where source = 'src0'),
+        cr as (select f, count(*) as c_r from fr group by f),
+        tr as (select sum(c_r) as n_r from cr),
+        ct as (select f, count(*) as c_t from ft group by f),
+        tt as (select sum(c_t) as n_t from ct)
+        select id as doc_id, count(*) as n_feats,
+               round(sum(ln((coalesce(c_t, 0) + 1) / (n_t + 256))
+                         - ln((c_r + 1) / (n_r + 256))), 6)
+                 as dsir_logw
+        from fr join cr using (f) left join ct using (f)
+          cross join tr cross join tt
+        group by id"""
+
+    o["doc_dsir_weights"] = _dsir_w
+
+    # Gumbel-top-m selection: u from the rolling hash of 'id#7',
+    # key = logw − ln(−ln u) round-6 BEFORE ranking (both engines
+    # rank the quantized key; ties by doc_id)
+    o["doc_dsir_resample"] = f"""
+        with w as ({_dsir_w}),
+        keyed as (
+          select doc_id, n_feats, dsir_logw,
+                 round(dsir_logw - ln(-ln(
+                   (list_reduce(list_prepend(0::bigint,
+                      list_transform(
+                        string_split(doc_id::varchar || '#7', ''),
+                        x -> unicode(x)::bigint)),
+                      (acc, x) -> (acc * 31 + x) % 2147483647)
+                    + 1) / 2147483648.0)), 6) as gumbel_key
+          from w)
+        select doc_id, n_feats, dsir_logw, gumbel_key,
+               row_number() over (order by gumbel_key desc, doc_id)
+                 as rank
+        from keyed qualify rank <= 25"""
 
     return o

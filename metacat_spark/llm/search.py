@@ -1,0 +1,174 @@
+"""Keyword and hybrid retrieval over the document corpus.
+
+The retrieval side of a training-data pipeline: BM25 keyword scoring
+(the classic probabilistic ranking function — Robertson & Walker 1994,
+the Lucene-default variant with the non-negative idf), top-k keyword
+search, and hybrid fusion with embedding cosine ranks via Reciprocal
+Rank Fusion (Cormack, Clarke & Buettcher 2009).
+
+Plan shapes (all JVM codegen, no Python workers):
+
+- ``bm25_scores``: ONE scan of the corpus computes per-document term
+  frequencies for the (few) query terms as array-filter expressions —
+  no explode, no per-term shuffle. Corpus statistics (N, avgdl, per-term
+  document frequencies) are ONE 1-row aggregate broadcast back over the
+  scan. Cost: O(|docs| · |query|) array traversals, one reduce-to-1-row
+  exchange, zero wide shuffles of corpus-sized data.
+- ``search_bm25``: scores → `orderBy().limit(k)` — Spark plans
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+  NOT a global sort; ranks are assigned on the k-row result.
+- ``hybrid_rrf``: the two candidate lists (BM25 top-n, cosine top-n
+  against a broadcast query vector) are each ≤ n rows; the fusion join
+  is trivially broadcastable.
+
+Scores are rounded to 6 decimals BEFORE ranking so the ordering is
+quantized identically in Spark and the DuckDB oracle (same device as
+`embed_cosine_pairs` — float-fold order must not decide a rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+from .text import occurrences_in, tokens
+
+
+def _dedupe_terms(query_terms) -> list[str]:
+    terms: list[str] = []
+    for t in query_terms:
+        t = t.lower()
+        if t and t not in terms:
+            terms.append(t)
+    if not terms:
+        raise ValueError("bm25: query_terms must contain at least "
+                         "one non-empty term")
+    return terms
+
+
+def bm25_scores(df: DataFrame, query_terms, k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document BM25 score for a bag of query terms.
+
+        idf(t)   = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+        score(d) = Σ_t idf(t) · tf_td·(k1+1) /
+                        (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    Tokenization is the corpus-standard lowercased whitespace split
+    (matches the DuckDB oracle's ``string_split_regex(lower(text))``
+    verbatim, empty-token positions included in dl).
+
+    Returns (id_col, n_tokens, score) for every document, score
+    rounded to 6 decimals (0.0 for documents matching no term).
+    """
+    terms = _dedupe_terms(query_terms)
+    toks = tokens(F.lower(F.col(text_col)))
+    tf_cols = [occurrences_in(toks, t).cast("double").alias(f"__tf{i}")
+               for i, t in enumerate(terms)]
+    base = df.select(F.col(id_col), F.size(toks).cast("double")
+                     .alias("__dl"), *tf_cols)
+    stats = base.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("double"))
+          .alias(f"__df{i}") for i in range(len(terms))])
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(F.lit(1.0)
+                    + (F.col("__n") - F.col(f"__df{i}") + 0.5)
+                    / (F.col(f"__df{i}") + 0.5))
+        tf = F.col(f"__tf{i}")
+        denom = tf + k1 * (1.0 - b
+                           + b * F.try_divide(F.col("__dl"),
+                                              F.col("__avgdl")))
+        score = score + idf * F.try_divide(tf * (k1 + 1.0), denom)
+    return scored.select(
+        F.col(id_col), F.col("__dl").cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"))
+
+
+def search_bm25(df: DataFrame, query_terms, k: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents by BM25 (ties broken by id ascending).
+
+    `orderBy().limit(k)` plans TakeOrderedAndProject — scale-safe; the
+    rank window then runs over the k collected rows only (one tiny
+    task), never over the corpus.
+    """
+    scored = bm25_scores(df, query_terms, k1=k1, b=b,
+                         text_col=text_col, id_col=id_col)
+    top = (scored.where(F.col("score") > 0)
+           .orderBy(F.col("score").desc(), F.col(id_col))
+           .limit(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def cosine_topn(embeddings: DataFrame, query_vec_id: int, n: int,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Top-n neighbours of one stored vector by cosine (query vector
+    excluded, round-6 quantized ordering, ties by id). The 1-row query
+    vector is broadcast over a single scan — no shuffle of the table.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col).alias("id"),
+                             v.alias("__vec"))
+    qv = (base.where(F.col("id") == query_vec_id)
+          .select(F.col("__vec").alias("__qvec")))
+    sim = (base.where(F.col("id") != query_vec_id)
+           .crossJoin(F.broadcast(qv))
+           .select("id", F.round(cosine(F.col("__vec"),
+                                        F.col("__qvec")), 6)
+                   .alias("cosine")))
+    top = (sim.where(F.col("cosine").isNotNull())
+           .orderBy(F.col("cosine").desc(), F.col("id"))
+           .limit(n))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_rrf(documents: DataFrame, embeddings: DataFrame,
+               query_terms, query_vec_id: int, n: int = 50,
+               k: int = 10, kappa: int = 60,
+               text_col: str = "text", id_col: str = "doc_id",
+               vec_col: str = "embedding",
+               vec_id_col: str = "vec_id") -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 top-n and the cosine top-n with
+    Reciprocal Rank Fusion:
+
+        rrf(d) = Σ_lists 1 / (kappa + rank_list(d))
+
+    (document absent from a list contributes 0). Returns the top-k by
+    fused score with both source ranks, rrf rounded to 6 decimals,
+    ties by id. The fusion join is between two ≤ n-row lists — a
+    trivial exchange, never a corpus shuffle.
+    """
+    kw = (search_bm25(documents, query_terms, k=n, text_col=text_col,
+                      id_col=id_col)
+          .select(F.col(id_col).alias("id"),
+                  F.col("rank").alias("kw_rank")))
+    vec = (cosine_topn(embeddings, query_vec_id, n, vec_col=vec_col,
+                       id_col=vec_id_col)
+           .select("id", F.col("rank").alias("vec_rank")))
+    # no broadcast hint: Spark cannot build-side a FULL OUTER join;
+    # both inputs are ≤ n rows, so the sort-merge it picks is trivial
+    fused = (kw.join(vec, "id", "full_outer")
+             .select(
+                 "id", "kw_rank", "vec_rank",
+                 F.round(
+                     F.coalesce(1.0 / (F.lit(kappa)
+                                       + F.col("kw_rank")), F.lit(0.0))
+                     + F.coalesce(1.0 / (F.lit(kappa)
+                                         + F.col("vec_rank")),
+                                  F.lit(0.0)), 6).alias("rrf")))
+    top = fused.orderBy(F.col("rrf").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(F.col("id").alias(id_col), "kw_rank", "vec_rank",
+                    "rrf", "rank"))

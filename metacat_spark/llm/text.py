@@ -465,6 +465,99 @@ def moore_lewis_scores(raw: DataFrame, target: DataFrame,
                     "ml_score"))
 
 
+def hashed_bigram_feature(w1: Column, w2: Column,
+                          buckets: int) -> Column:
+    """DSIR's hashed n-gram feature: the shared polynomial rolling
+    hash of the space-joined bigram, folded into `buckets` bins.
+    Plain int64 arithmetic — mirrored verbatim by the DuckDB oracle
+    (list_reduce over unicode codes, same constants as poly_hash)."""
+    return poly_hash(F.concat_ws(" ", w1, w2)) % buckets
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    buckets: int = 1024, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    score every raw-pool document by the log importance weight of a
+    hashed-bigram bag-of-ngrams model,
+
+        log w(d) = Σ over d's bigram occurrences of
+                   [ln p_target(bucket) − ln p_raw(bucket)]
+
+    with add-one smoothing over the fixed `buckets`-bin feature space.
+    Where Moore-Lewis fits open-vocabulary unigram LMs, DSIR hashes
+    bigrams into a BOUNDED feature space — the bucket-count tables are
+    at most `buckets` rows regardless of corpus size, so both model
+    joins broadcast at any scale.
+
+    Plan shape: two bucket-bounded aggregates (one per corpus), raw's
+    occurrence rows joined against the BROADCAST bucket tables,
+    broadcast 1-row totals, one per-doc aggregate. Documents with
+    fewer than two tokens have no bigram features and are absent from
+    the output (log w undefined), as in the reference recipe.
+
+    Returns (id_col, n_feats, dsir_logw) — the weight is the SUM of
+    per-occurrence log-ratios (the paper's importance weight), not a
+    length-normalized mean; pair with `dsir_resample` for selection.
+    """
+    feat = hashed_bigram_feature(F.col("w1"), F.col("w2"), buckets)
+    fr = (bigram_rows(raw, text_col, id_col)
+          .select("id", feat.alias("f")))
+    ft = (bigram_rows(target, text_col, id_col)
+          .select(feat.alias("f")))
+    cr = fr.groupBy("f").agg(F.count("*").alias("c_r"))
+    tot_r = cr.agg(F.sum("c_r").alias("n_r"))
+    ct = ft.groupBy("f").agg(F.count("*").alias("c_t"))
+    tot_t = ct.agg(F.sum("c_t").alias("n_t"))
+    scored = (fr
+              .join(F.broadcast(cr), "f")
+              .join(F.broadcast(ct), "f", "left")
+              .crossJoin(F.broadcast(tot_r))
+              .crossJoin(F.broadcast(tot_t))
+              .withColumn(
+                  "lr",
+                  F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                        / (F.col("n_t") + buckets))
+                  - F.log((F.col("c_r") + 1)
+                          / (F.col("n_r") + buckets))))
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_feats"),
+                 F.round(F.sum("lr"), 6).alias("dsir_logw"))
+            .select(F.col("id").alias(id_col),
+                    F.col("n_feats").cast("long").alias("n_feats"),
+                    "dsir_logw"))
+
+
+def dsir_resample(raw: DataFrame, target: DataFrame, m: int = 100,
+                  buckets: int = 1024, seed: int = 42,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """DSIR's selection step: sample m documents WITHOUT replacement
+    with probability ∝ exp(log w) via the Gumbel-top-k trick — key =
+    log w + Gumbel noise, take the m largest keys. The noise is
+    DETERMINISTIC: u = (poly_hash(id || '#seed') + 1) / (2^31), G =
+    −ln(−ln u) — pure column arithmetic, identical in the DuckDB
+    oracle, and u ∈ (0, 1) exactly (hash range [0, 2^31−2]), so G is
+    always finite. Keys are rounded to 6 decimals BEFORE ranking so
+    float fold order never decides a selection; ties break by id.
+
+    `orderBy().limit(m)` plans TakeOrderedAndProject (per-partition
+    heaps, no global sort); the rank window runs over the m-row
+    result only."""
+    from pyspark.sql import Window
+    w = dsir_logweights(raw, target, buckets=buckets,
+                        text_col=text_col, id_col=id_col)
+    u = ((poly_hash(F.concat(F.col(id_col).cast("string"),
+                             F.lit(f"#{seed}"))) + 1)
+         / F.lit(float(POLY_MOD + 1)))
+    keyed = w.withColumn(
+        "gumbel_key", F.round(F.col("dsir_logw") - F.log(-F.log(u)), 6))
+    top = (keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+           .limit(m))
+    rank_w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(rank_w))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Full text-analysis projection over a documents table.
 

@@ -1,0 +1,292 @@
+"""BM25 / hybrid-RRF retrieval and DSIR importance-resampling tests.
+
+Exact parity against DuckDB replays of the same math, plus closed-form
+law checks (RRF recomputation, Gumbel-key determinism) and plan-shape
+assertions (TakeOrdered not global sort, broadcast bucket tables)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacat_spark.llm.search import (bm25_scores, cosine_topn,
+                                      hybrid_rrf, search_bm25)
+from metacat_spark.llm.text import (POLY_MOD, dsir_logweights,
+                                    dsir_resample)
+
+QUERY = ["spark", "window", "merge"]
+
+# DuckDB replay of the exact BM25 pipeline (k1=1.2, b=0.75)
+BM25_SQL = """
+with base as (
+  select doc_id, string_split_regex(lower(text), '\\s+') as t
+  from documents),
+tf as (
+  select doc_id, len(t)::double as dl,
+         len(list_filter(t, x -> x = 'spark'))::double as tf0,
+         len(list_filter(t, x -> x = 'window'))::double as tf1,
+         len(list_filter(t, x -> x = 'merge'))::double as tf2
+  from base),
+stats as (
+  select count(*)::double as n, avg(dl) as avgdl,
+         sum((tf0 > 0)::int)::double as df0,
+         sum((tf1 > 0)::int)::double as df1,
+         sum((tf2 > 0)::int)::double as df2 from tf)
+select doc_id, dl::bigint as n_tokens,
+  round(
+    ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+      * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+      * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+      * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+    as score
+from tf cross join stats"""
+
+DSIR_HASH = ("list_reduce(list_prepend(0::bigint, list_transform("
+             "string_split(w1 || ' ' || w2, ''), "
+             "x -> unicode(x)::bigint)), "
+             "(acc, x) -> (acc * 31 + x) % 2147483647) % 256")
+
+DSIR_SQL = f"""
+with base as (
+  select doc_id, source, string_split_regex(text, '\\s+') as t
+  from documents
+  where len(string_split_regex(text, '\\s+')) >= 2),
+b0 as (select doc_id as id, source,
+              unnest([{{'w1': lower(t[i]), 'w2': lower(t[i+1])}}
+                      for i in range(1, len(t))]) as p
+       from base),
+b as (select id, source, p.w1 as w1, p.w2 as w2 from b0),
+fr as (select id, {DSIR_HASH} as f from b where source <> 'src0'),
+ft as (select {DSIR_HASH} as f from b where source = 'src0'),
+cr as (select f, count(*) as c_r from fr group by f),
+tr as (select sum(c_r) as n_r from cr),
+ct as (select f, count(*) as c_t from ft group by f),
+tt as (select sum(c_t) as n_t from ct)
+select id as doc_id, count(*) as n_feats,
+       round(sum(ln((coalesce(c_t, 0) + 1) / (n_t + 256))
+                 - ln((c_r + 1) / (n_r + 256))), 6) as dsir_logw
+from fr join cr using (f) left join ct using (f)
+  cross join tr cross join tt
+group by id"""
+
+
+@pytest.fixture(scope="module")
+def docs(catalog):
+    return catalog.raw["documents"]
+
+
+@pytest.fixture(scope="module")
+def embs(catalog):
+    return catalog.raw["embeddings"]
+
+
+def _py_poly_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % POLY_MOD
+    return acc
+
+
+# -------------------------------------------------------------- BM25
+
+def test_bm25_scores_vs_duck(docs, duck):
+    got = {r["doc_id"]: (r["n_tokens"], r["score"])
+           for r in bm25_scores(docs, QUERY).collect()}
+    want = {r[0]: (r[1], r[2])
+            for r in duck.execute(BM25_SQL).fetchall()}
+    assert got == want
+
+
+def test_bm25_formula_tiny(spark):
+    """Hand-computed BM25 on a 3-doc corpus: every constant in the
+    formula exercised with exact expected values."""
+    rows = [(1, "apple banana apple"), (2, "banana"), (3, "cherry")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, ["apple"]).collect()}
+    n, df_t, avgdl = 3.0, 1.0, (3 + 1 + 1) / 3.0
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    tf, dl = 2.0, 3.0
+    expect = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert got[1] == round(expect, 6)
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_bm25_dedupes_and_rejects_empty_query(docs):
+    a = {r["doc_id"]: r["score"]
+         for r in bm25_scores(docs, ["spark", "SPARK", "spark"])
+         .collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in bm25_scores(docs, ["spark"]).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        bm25_scores(docs, ["", ""])
+
+
+def test_search_bm25_topk_vs_duck(docs, duck):
+    got = [(r["doc_id"], r["n_tokens"], r["score"], r["rank"])
+           for r in search_bm25(docs, QUERY, k=10)
+           .orderBy("rank").collect()]
+    want = duck.execute(f"""
+        with scored as ({BM25_SQL})
+        select doc_id, n_tokens, score,
+               row_number() over (order by score desc, doc_id) as rank
+        from scored where score > 0
+        qualify rank <= 10 order by rank""").fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+# ------------------------------------------------------- hybrid RRF
+
+def test_cosine_topn_vs_duck(embs, duck):
+    got = [(r["id"], r["cosine"], r["rank"])
+           for r in cosine_topn(embs, query_vec_id=0, n=15)
+           .orderBy("rank").collect()]
+    want = duck.execute("""
+        with q as (select embedding as qvec from embeddings
+                   where vec_id = 0)
+        select vec_id as id,
+               round(list_cosine_similarity(embedding::double[],
+                                             qvec::double[]), 6)
+                 as cosine,
+               row_number() over (order by cosine desc, vec_id) as rank
+        from embeddings cross join q
+        where vec_id <> 0
+        qualify rank <= 15 order by rank""").fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_hybrid_rrf_laws(docs, embs):
+    """RRF recomputed from the source ranks; every fused doc appears
+    in at least one candidate list; full-outer semantics keep
+    vector-only candidates."""
+    out = hybrid_rrf(docs, embs, QUERY, query_vec_id=0,
+                     n=20, k=10).orderBy("rank").collect()
+    assert len(out) == 10
+    prev = None
+    for r in out:
+        assert r["kw_rank"] is not None or r["vec_rank"] is not None
+        expect = 0.0
+        if r["kw_rank"] is not None:
+            expect += 1.0 / (60 + r["kw_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (60 + r["vec_rank"])
+        assert r["rrf"] == round(expect, 6)
+        key = (-r["rrf"], r["doc_id"])
+        assert prev is None or prev < key  # strict rank order
+        prev = key
+    # both single-list kinds must be representable: with n=20 and
+    # k=10, docs fused from both lists outrank single-list docs of
+    # equal rank — verify at least one doc came from each ranker
+    assert any(r["kw_rank"] is not None for r in out)
+    assert any(r["vec_rank"] is not None for r in out)
+
+
+def test_hybrid_rrf_vs_duck(docs, embs, duck):
+    got = [(r["doc_id"], r["kw_rank"], r["vec_rank"], r["rrf"],
+            r["rank"])
+           for r in hybrid_rrf(docs, embs, QUERY, query_vec_id=0,
+                               n=20, k=10).orderBy("rank").collect()]
+    want = duck.execute(f"""
+        with scored as ({BM25_SQL}),
+        kw as (
+          select doc_id as id,
+                 row_number() over (order by score desc, doc_id)
+                   as kw_rank
+          from scored where score > 0
+          qualify kw_rank <= 20),
+        q as (select embedding as qvec from embeddings
+              where vec_id = 0),
+        cos as (
+          select vec_id as id,
+                 round(list_cosine_similarity(embedding::double[],
+                         qvec::double[]), 6) as cosine,
+                 row_number() over (order by cosine desc, vec_id)
+                   as vec_rank
+          from embeddings cross join q where vec_id <> 0
+          qualify vec_rank <= 20),
+        fused as (
+          select coalesce(kw.id, cos.id) as doc_id, kw_rank, vec_rank,
+                 round(coalesce(1.0 / (60 + kw_rank), 0)
+                       + coalesce(1.0 / (60 + vec_rank), 0), 6) as rrf
+          from kw full outer join cos on kw.id = cos.id)
+        select doc_id, kw_rank, vec_rank, rrf,
+               row_number() over (order by rrf desc, doc_id) as rank
+        from fused qualify rank <= 10 order by rank""").fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+# -------------------------------------------------------------- DSIR
+
+def test_dsir_logweights_vs_duck(docs, duck):
+    raw = docs.where(F.col("source") != "src0")
+    tgt = docs.where(F.col("source") == "src0")
+    got = {r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+           for r in dsir_logweights(raw, tgt, buckets=256).collect()}
+    want = {r[0]: (r[1], r[2])
+            for r in duck.execute(DSIR_SQL).fetchall()}
+    assert got == want
+
+
+def test_dsir_resample_laws(docs):
+    raw = docs.where(F.col("source") != "src0")
+    tgt = docs.where(F.col("source") == "src0")
+    sel = dsir_resample(raw, tgt, m=12, buckets=256,
+                        seed=7).orderBy("rank").collect()
+    assert len(sel) == 12
+    weights = {r["doc_id"]: r["dsir_logw"]
+               for r in dsir_logweights(raw, tgt, buckets=256)
+               .collect()}
+    prev_key = None
+    for r in sel:
+        # selected ids are scored docs with their exact weight
+        assert weights[r["doc_id"]] == r["dsir_logw"]
+        # Gumbel key recomputed in pure Python: u from the shared
+        # rolling hash of "id#seed", key = logw − ln(−ln u)
+        u = (_py_poly_hash(f"{r['doc_id']}#7") + 1) / float(POLY_MOD + 1)
+        expect = r["dsir_logw"] - math.log(-math.log(u))
+        assert abs(r["gumbel_key"] - expect) < 1e-4
+        key = (-r["gumbel_key"], r["doc_id"])
+        assert prev_key is None or prev_key < key
+        prev_key = key
+    # determinism: the same seed reproduces the selection exactly
+    again = dsir_resample(raw, tgt, m=12, buckets=256,
+                          seed=7).orderBy("rank").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in sel]
+    # a different seed reshuffles the noise (selection may overlap,
+    # but the keys must differ)
+    other = dsir_resample(raw, tgt, m=12, buckets=256,
+                          seed=8).orderBy("rank").collect()
+    assert {r["gumbel_key"] for r in other} != \
+        {r["gumbel_key"] for r in sel}
+
+
+# -------------------------------------------------------- plan shape
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_bm25_plan_is_takeordered_not_global_sort(docs):
+    """Top-k keyword search must plan TakeOrderedAndProject (heap +
+    merge of k rows), never a corpus-wide Sort, and the 1-row stats
+    join must be a broadcast."""
+    plan = _plan(search_bm25(docs, QUERY, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats × corpus
+
+
+def test_dsir_plan_broadcasts_bucket_tables(docs):
+    """DSIR's bucket-count model tables are bounded by `buckets` —
+    they must broadcast; nothing may plan a cartesian product."""
+    raw = docs.where(F.col("source") != "src0")
+    tgt = docs.where(F.col("source") == "src0")
+    plan = _plan(dsir_logweights(raw, tgt, buckets=256))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan2 = _plan(dsir_resample(raw, tgt, m=10, buckets=256))
+    assert "TakeOrderedAndProject" in plan2
