@@ -3370,21 +3370,27 @@ def oracle_sql() -> dict[str, str]:
 
     o["doc_dsir_weights"] = _dsir_w
 
-    # Gumbel-top-m selection: u from the rolling hash of 'id#7',
-    # key = logw − ln(−ln u) round-6 BEFORE ranking (both engines
-    # rank the quantized key; ties by doc_id)
+    # Gumbel-top-m selection: u from the SQUARED rolling hash of
+    # 'id#7' (squaring decorrelates adjacent ids — the raw rolling
+    # hash moves only ~31^k for a one-digit id change), key =
+    # logw − ln(−ln u) round-6 BEFORE ranking (both engines rank the
+    # quantized key; ties by doc_id)
     o["doc_dsir_resample"] = f"""
         with w as ({_dsir_w}),
+        hashed as (
+          select doc_id, n_feats, dsir_logw,
+                 list_reduce(list_prepend(0::bigint,
+                   list_transform(
+                     string_split(doc_id::varchar || '#7', ''),
+                     x -> unicode(x)::bigint)),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) as h
+          from w),
         keyed as (
           select doc_id, n_feats, dsir_logw,
                  round(dsir_logw - ln(-ln(
-                   (list_reduce(list_prepend(0::bigint,
-                      list_transform(
-                        string_split(doc_id::varchar || '#7', ''),
-                        x -> unicode(x)::bigint)),
-                      (acc, x) -> (acc * 31 + x) % 2147483647)
-                    + 1) / 2147483648.0)), 6) as gumbel_key
-          from w)
+                   ((h * h) % 2147483647 + 1) / 2147483648.0)), 6)
+                   as gumbel_key
+          from hashed)
         select doc_id, n_feats, dsir_logw, gumbel_key,
                row_number() over (order by gumbel_key desc, doc_id)
                  as rank

@@ -620,6 +620,41 @@ def build_parser() -> argparse.ArgumentParser:
     _corpus_common(cml)
     cml.add_argument("--target", required=True,
                      help="parquet path of the in-domain corpus")
+    csr = cs.add_parser("search", help="BM25 keyword search "
+                        "(top-k docs for a term query)")
+    _corpus_common(csr)
+    csr.add_argument("--query", required=True,
+                     help="space-separated query terms")
+    # no argparse default: the registry default (k=10) is the single
+    # source shared with the HTTP surface
+    csr.add_argument("-k", type=int, help="results to return "
+                     "(default 10)")
+    chy = cs.add_parser("hybrid", help="hybrid retrieval: BM25 + "
+                        "embedding-cosine ranks fused by RRF")
+    _corpus_common(chy)
+    chy.add_argument("--query", required=True,
+                     help="space-separated query terms")
+    chy.add_argument("--vec", type=int, required=True,
+                     help="query vec_id from the embeddings table")
+    # no argparse defaults: registry (n=50, k=10) is the single source
+    chy.add_argument("-n", type=int,
+                     help="candidate-list depth per ranker "
+                          "(default 50)")
+    chy.add_argument("-k", type=int, help="fused results to return "
+                     "(default 10)")
+    cds = cs.add_parser("dsir", help="DSIR hashed-ngram importance "
+                        "weights (Gumbel-top-m resample with --m)")
+    _corpus_common(cds)
+    cds.add_argument("--target", required=True,
+                     help="parquet path of the in-domain corpus")
+    # no argparse defaults: registry (buckets=1024, seed=42) is the
+    # single source shared with the HTTP surface
+    cds.add_argument("--buckets", type=int,
+                     help="hashed feature buckets (default 1024)")
+    cds.add_argument("--m", type=int,
+                     help="resample size (omit for weights only)")
+    cds.add_argument("--seed", type=int,
+                     help="Gumbel noise seed (default 42)")
     cdc = cs.add_parser("domaincap",
                         help="keep the top-n docs of each domain by "
                              "quality (diversity control)")

@@ -322,6 +322,47 @@ def _op_moorelewis(ctx: OpContext) -> DataFrame:
     return moore_lewis_scores(ctx.docs(), ctx.corpus(path))
 
 
+@_corpus_op("search")
+def _op_search(ctx: OpContext) -> DataFrame:
+    # BM25 keyword search over the served documents
+    from .search import search_bm25
+    terms = ctx.require(
+        "query", "search needs query=<space-separated terms>").split()
+    return search_bm25(ctx.docs(), terms, k=ctx.int_param("k", 10))
+
+
+@_corpus_op("hybrid")
+def _op_hybrid(ctx: OpContext) -> DataFrame:
+    # hybrid retrieval: BM25 + cosine-vs-a-stored-vector, RRF-fused
+    from .search import hybrid_rrf
+    terms = ctx.require(
+        "query", "hybrid needs query=<space-separated terms>").split()
+    ctx.require("vec", "hybrid needs vec=<query vec_id from the "
+                       "embeddings table>")
+    return hybrid_rrf(ctx.docs(), ctx.embs(), terms,
+                      query_vec_id=ctx.int_param("vec"),
+                      n=ctx.int_param("n", 50),
+                      k=ctx.int_param("k", 10))
+
+
+@_corpus_op("dsir")
+def _op_dsir(ctx: OpContext) -> DataFrame:
+    # DSIR hashed-ngram importance weights; m= switches to the
+    # Gumbel-top-m resample (selection) output
+    from .text import dsir_logweights, dsir_resample
+    path = ctx.require(
+        "target", "dsir needs target=<parquet path of the in-domain "
+                  "corpus> (served docs are the raw pool)")
+    buckets = ctx.int_param("buckets", 1024)
+    m = ctx.int_param("m")
+    if m is None:
+        return dsir_logweights(ctx.docs(), ctx.corpus(path),
+                               buckets=buckets)
+    return dsir_resample(ctx.docs(), ctx.corpus(path), m=m,
+                         buckets=buckets,
+                         seed=ctx.int_param("seed", 42))
+
+
 @_corpus_op("domaincap")
 def _op_domaincap(ctx: OpContext) -> DataFrame:
     from .pipeline import cap_per_domain

@@ -535,11 +535,15 @@ def dsir_resample(raw: DataFrame, target: DataFrame, m: int = 100,
     """DSIR's selection step: sample m documents WITHOUT replacement
     with probability ∝ exp(log w) via the Gumbel-top-k trick — key =
     log w + Gumbel noise, take the m largest keys. The noise is
-    DETERMINISTIC: u = (poly_hash(id || '#seed') + 1) / (2^31), G =
-    −ln(−ln u) — pure column arithmetic, identical in the DuckDB
-    oracle, and u ∈ (0, 1) exactly (hash range [0, 2^31−2]), so G is
-    always finite. Keys are rounded to 6 decimals BEFORE ranking so
-    float fold order never decides a selection; ties break by id.
+    DETERMINISTIC: h = poly_hash(id || '#seed') SQUARED mod 2^31−1
+    (the rolling hash alone changes only ~31^k for a one-digit id
+    change, so adjacent ids would get near-identical noise — the
+    squaring makes the step depend on h itself and decorrelates
+    neighbours; h² < 2^62 stays inside int64), then u = (h' + 1) /
+    (2^31), G = −ln(−ln u) — pure column arithmetic, identical in
+    the DuckDB oracle, and u ∈ (0, 1) exactly, so G is always
+    finite. Keys are rounded to 6 decimals BEFORE ranking so float
+    fold order never decides a selection; ties break by id.
 
     `orderBy().limit(m)` plans TakeOrderedAndProject (per-partition
     heaps, no global sort); the rank window runs over the m-row
@@ -547,9 +551,9 @@ def dsir_resample(raw: DataFrame, target: DataFrame, m: int = 100,
     from pyspark.sql import Window
     w = dsir_logweights(raw, target, buckets=buckets,
                         text_col=text_col, id_col=id_col)
-    u = ((poly_hash(F.concat(F.col(id_col).cast("string"),
-                             F.lit(f"#{seed}"))) + 1)
-         / F.lit(float(POLY_MOD + 1)))
+    h = poly_hash(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f"#{seed}")))
+    u = ((h * h) % POLY_MOD + 1) / F.lit(float(POLY_MOD + 1))
     keyed = w.withColumn(
         "gumbel_key", F.round(F.col("dsir_logw") - F.log(-F.log(u)), 6))
     top = (keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col))

@@ -283,6 +283,31 @@ def test_corpus_quality_and_pack(capsys):
     assert rc == 0 and rows and all(r["n_tok"] <= 64 for r in rows)
 
 
+def test_corpus_search_hybrid_dsir(capsys):
+    rc, out = run(capsys, "corpus", "search",
+                  "--query", "spark window merge", "-k", "5", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0]["score"] >= rows[-1]["score"] > 0
+    rc, out = run(capsys, "corpus", "hybrid",
+                  "--query", "spark window merge", "--vec", "0",
+                  "-k", "5", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert {"doc_id", "kw_rank", "vec_rank", "rrf"} <= set(rows[0])
+    # dsir vs itself: all weights exactly 0, selection pure noise
+    rc, out = run(capsys, "corpus", "dsir",
+                  "--target", f"{SF_DIR}/documents.parquet",
+                  "--m", "5", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert all(r["dsir_logw"] == 0.0 for r in rows)
+    # missing --query / --vec / --target are argparse exits (rc 2)
+    with pytest.raises(SystemExit):
+        run(capsys, "corpus", "search")
+
+
 def test_corpus_mixture_and_contamination(capsys):
     rc, out = run(capsys, "corpus", "mixture",
                   "--target", "en=0.6,de=0.2,fr=0.2", "-j", "-l", "3")

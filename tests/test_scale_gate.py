@@ -65,7 +65,28 @@ def _cases(spark, mult):
                                   docs.where("source = 'src0'"))
             .agg(F.bit_xor(F.xxhash64("doc_id", "ml_score"))
                  .alias("s")).collect()),
+        # r9: BM25 is one scan + one 1-row stats aggregate — growth
+        # must stay linear in documents. Consumed via score hash
+        # (cardinality == input, count() would prune the math).
+        "bm25": lambda: len(
+            _search_mod().bm25_scores(
+                docs, ["spark", "window", "merge"])
+            .agg(F.bit_xor(F.xxhash64("doc_id", "score"))
+                 .alias("s")).collect()),
+        # r9: DSIR's model tables are bucket-bounded (broadcast at any
+        # size); per-doc work is linear in bigram occurrences.
+        "dsir": lambda: len(
+            TX.dsir_logweights(docs.where("source <> 'src0'"),
+                               docs.where("source = 'src0'"),
+                               buckets=256)
+            .agg(F.bit_xor(F.xxhash64("doc_id", "dsir_logw"))
+                 .alias("s")).collect()),
     }
+
+
+def _search_mod():
+    from metacat_spark.llm import search as SR
+    return SR
 
 
 def test_scale_probe_gate(spark):

@@ -243,9 +243,11 @@ def test_dsir_resample_laws(docs):
     for r in sel:
         # selected ids are scored docs with their exact weight
         assert weights[r["doc_id"]] == r["dsir_logw"]
-        # Gumbel key recomputed in pure Python: u from the shared
-        # rolling hash of "id#seed", key = logw − ln(−ln u)
-        u = (_py_poly_hash(f"{r['doc_id']}#7") + 1) / float(POLY_MOD + 1)
+        # Gumbel key recomputed in pure Python: u from the SQUARED
+        # rolling hash of "id#seed" (squaring decorrelates adjacent
+        # ids), key = logw − ln(−ln u)
+        h = _py_poly_hash(f"{r['doc_id']}#7")
+        u = ((h * h) % POLY_MOD + 1) / float(POLY_MOD + 1)
         expect = r["dsir_logw"] - math.log(-math.log(u))
         assert abs(r["gumbel_key"] - expect) < 1e-4
         key = (-r["gumbel_key"], r["doc_id"])
@@ -261,6 +263,22 @@ def test_dsir_resample_laws(docs):
                           seed=8).orderBy("rank").collect()
     assert {r["gumbel_key"] for r in other} != \
         {r["gumbel_key"] for r in sel}
+
+
+def test_dsir_gumbel_noise_decorrelates_adjacent_ids(docs):
+    """With raw == target every weight is exactly 0, so selection is
+    pure noise — it must look like a random sample, not a consecutive
+    id run (regression: the UNSQUARED rolling hash moved only ~31^k
+    for a one-digit id change, so 'random' selection returned
+    499, 498, 497, ...)."""
+    sel = dsir_resample(docs, docs, m=12, buckets=256,
+                        seed=42).orderBy("rank").collect()
+    assert all(r["dsir_logw"] == 0.0 for r in sel)
+    ids = [r["doc_id"] for r in sel]
+    gaps = [abs(a - b) for a, b in zip(ids, ids[1:])]
+    # a consecutive run has every gap == 1; a uniform sample of 12
+    # from 500 ids virtually never has even one adjacent pair
+    assert sum(g == 1 for g in gaps) <= 2, ids
 
 
 # -------------------------------------------------------- plan shape

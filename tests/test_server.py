@@ -487,6 +487,36 @@ def test_corpus_pack_and_mixture_endpoints(served):
     assert rows and all(r["lang"] in ("en", "de", "fr") for r in rows)
 
 
+def test_corpus_search_hybrid_dsir_endpoints(served):
+    """r9 retrieval + DSIR reach the HTTP surface through the shared
+    registry with the registry defaults (k=10 etc.)."""
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/corpus", op="search",
+                          query="spark window"))
+    assert len(rows) == 10
+    assert {"doc_id", "n_tokens", "score", "rank"} <= set(rows[0])
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    rows = _json_seq(_get(base, "/data/corpus", op="hybrid",
+                          query="spark window", vec=0, k=5))
+    assert len(rows) == 5
+    assert {"doc_id", "kw_rank", "vec_rank", "rrf",
+            "rank"} <= set(rows[0])
+    from tests.conftest import SF_DIR
+    rows = _json_seq(_get(base, "/data/corpus", op="dsir",
+                          target=f"{SF_DIR}/documents.parquet",
+                          m=5))
+    assert len(rows) == 5
+    # raw == target: every importance weight is exactly 0
+    assert all(r["dsir_logw"] == 0.0 for r in rows)
+    # missing required params are clean 400s, not server errors
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="search")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="hybrid", query="spark")
+    assert e.value.code == 400
+
+
 def test_corpus_bad_op_is_400(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:
