@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 135
+TOTAL_ENTRIES = 137
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1572,6 +1572,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "gumbel_key",
                           F.col("rank").cast("long").alias("rank"))
     q["doc_dsir_resample"] = dsir_resample_entry
+
+    def train_classifier(spark, sf_dir):
+        """IN-ENGINE classifier training (llm/train.py
+        train_logreg_hashed): logistic regression over hashed
+        unigram tf features (64 buckets + bias), 4 full-batch GD
+        steps from zero weights, label = (source == src0). Returns
+        the trained weight table (round-6) — the oracle replays all
+        four steps as an UNROLLED CTE chain: exact sigmoid/gradient
+        arithmetic, bucket-bounded gradients, same update order."""
+        from metacat_spark.llm.train import train_logreg_hashed
+        docs = _docs(spark, sf_dir).withColumn(
+            "y", (F.col("source") == "src0").cast("double"))
+        return train_logreg_hashed(docs, "y", steps=4, lr=25.0,
+                                   buckets=64)
+    q["doc_train_classifier"] = train_classifier
+
+    def train_classifier_score(spark, sf_dir):
+        """Train → score composition: the 4-step model above scores
+        every document (margin = Σ w·tf + bias, prob = sigmoid) using
+        the ROUNDED weight table — the portable model artifact. The
+        oracle replays training AND scoring in one statement, so the
+        per-document probabilities are value-hashed end-to-end."""
+        from metacat_spark.llm.train import (score_logreg_hashed,
+                                             train_logreg_hashed)
+        docs = _docs(spark, sf_dir).withColumn(
+            "y", (F.col("source") == "src0").cast("double"))
+        w = train_logreg_hashed(docs, "y", steps=4, lr=25.0,
+                                buckets=64)
+        return score_logreg_hashed(docs, w, buckets=64)
+    q["doc_train_classifier_score"] = train_classifier_score
+
+    # BPE vocabulary learning (llm/train.py train_bpe_merges) has NO
+    # driver entry by design: the merge loop is iterative (not
+    # SQL-expressible), and this file keeps the every-entry-has-a-
+    # DuckDB-twin invariant. Exactness is pinned by
+    # tests/test_train.py's pure-Python replay over the same counts;
+    # the op is user-reachable via `corpus bpe` on CLI + HTTP.
 
     # The driver hash-checks the FIRST 50 entries: promote the two
     # strongest round-4 additions (both fully oracle-value-hashed)
@@ -3369,6 +3406,58 @@ def oracle_sql() -> dict[str, str]:
         group by id"""
 
     o["doc_dsir_weights"] = _dsir_w
+
+    # r9 in-engine classifier training: the 4 full-batch GD steps are
+    # UNROLLED as a CTE chain (e_t → bucket-bounded g_t → w_{t+1});
+    # every f in x gets a gradient every step, so the inner join
+    # w_t ⋈ g_t carries the full weight set forward exactly like the
+    # engine's dict update. Shared base: hashed unigram tf features
+    # (rolling hash % 64) + a constant bias bucket (f = 64).
+    _lr_hash = ("list_reduce(list_prepend(0::bigint, list_transform("
+                "string_split(term, ''), x -> unicode(x)::bigint)), "
+                "(acc, x) -> (acc * 31 + x) % 2147483647) % 64")
+
+    def _logreg_ctes(steps: int, lr: float) -> str:
+        ctes = [f"""tokr as ({_tok}),
+        occ as (select id, {_lr_hash} as f from tokr),
+        cntf as (select id, f, count(*)::double as c
+                 from occ group by 1, 2),
+        tot as (select id, count(*)::double as t from occ group by 1),
+        x as (select id, f, c / t as cnt from cntf join tot using (id)
+              union all
+              select doc_id as id, 64::bigint as f, 1.0 as cnt
+              from documents),
+        yv as (select doc_id as id,
+                      (source = 'src0')::int::double as y
+               from documents),
+        nn as (select count(*)::double as n from documents),
+        e0 as (select id, 0.5 - y as e from yv),
+        g0 as (select f, sum(cnt * e) / any_value(n) as g
+               from x join e0 using (id) cross join nn group by f),
+        w1 as (select f, 0.0 - {lr} * g as w from g0)"""]
+        for t in range(1, steps):
+            ctes.append(f"""
+        m{t} as (select id, sum(cnt * coalesce(w, 0.0)) as m
+                 from x left join w{t} using (f) group by id),
+        e{t} as (select id, 1.0 / (1.0 + exp(-m)) - y as e
+                 from m{t} join yv using (id)),
+        g{t} as (select f, sum(cnt * e) / any_value(n) as g
+                 from x join e{t} using (id) cross join nn
+                 group by f),
+        w{t + 1} as (select f, w - {lr} * g as w
+                     from w{t} join g{t} using (f))""")
+        return "with " + ",".join(ctes)
+
+    o["doc_train_classifier"] = _logreg_ctes(4, 25.0) + """
+        select f, round(w, 6) as weight from w4"""
+
+    o["doc_train_classifier_score"] = _logreg_ctes(4, 25.0) + """,
+        wfinal as (select f, round(w, 6) as weight from w4),
+        sc as (select id, sum(cnt * coalesce(weight, 0.0)) as margin
+               from x left join wfinal using (f) group by id)
+        select id as doc_id, round(margin, 6) as margin,
+               round(1.0 / (1.0 + exp(-margin)), 6) as prob
+        from sc"""
 
     # Gumbel-top-m selection: u from the SQUARED rolling hash of
     # 'id#7' (squaring decorrelates adjacent ids — the raw rolling

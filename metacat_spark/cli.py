@@ -655,6 +655,38 @@ def build_parser() -> argparse.ArgumentParser:
                      help="resample size (omit for weights only)")
     cds.add_argument("--seed", type=int,
                      help="Gumbel noise seed (default 42)")
+    ctr = cs.add_parser("train", help="train a hashed-feature "
+                        "logistic classifier in-engine (full-batch "
+                        "GD; --score emits per-doc probabilities)")
+    _corpus_common(ctr)
+    ctr.add_argument("--label", required=True,
+                     help="label column (e.g. source)")
+    ctr.add_argument("--pos", required=True,
+                     help="positive value of the label column")
+    # no argparse defaults: registry (steps=10, lr=10, buckets=256)
+    # is the single source shared with the HTTP surface
+    ctr.add_argument("--steps", type=int,
+                     help="GD steps (default 10)")
+    ctr.add_argument("--lr", type=float,
+                     help="learning rate (default 10)")
+    ctr.add_argument("--buckets", type=int,
+                     help="hashed feature buckets (default 256)")
+    ctr.add_argument("--score", action="store_true",
+                     help="emit per-doc probabilities instead of "
+                          "the weight table")
+    cbp = cs.add_parser("bpe", help="learn a BPE merge vocabulary "
+                        "(--encode tokenizes the corpus with it)")
+    _corpus_common(cbp)
+    # no argparse defaults: registry (merges=100, vocab_cap=50000)
+    # is the single source shared with the HTTP surface
+    cbp.add_argument("--merges", type=int,
+                     help="number of merges to learn (default 100)")
+    cbp.add_argument("--vocab-cap", type=int, dest="vocab_cap",
+                     help="train on the top-N word forms "
+                          "(default 50000)")
+    cbp.add_argument("--encode", action="store_true",
+                     help="emit the BPE-tokenized corpus instead of "
+                          "the merge table")
     cdc = cs.add_parser("domaincap",
                         help="keep the top-n docs of each domain by "
                              "quality (diversity control)")

@@ -363,6 +363,39 @@ def _op_dsir(ctx: OpContext) -> DataFrame:
                          seed=ctx.int_param("seed", 42))
 
 
+@_corpus_op("train")
+def _op_train(ctx: OpContext) -> DataFrame:
+    # in-engine classifier training: label = (label_col == pos);
+    # score=true returns per-doc probabilities instead of weights
+    from .train import score_logreg_hashed, train_logreg_hashed
+    col = ctx.require("label", "train needs label=<column>")
+    pos = ctx.require("pos", "train needs pos=<positive value of "
+                             "the label column>")
+    docs = ctx.docs().withColumn(
+        "__y", (F.col(col).cast("string") == pos).cast("double"))
+    w = train_logreg_hashed(docs, "__y",
+                            steps=ctx.int_param("steps", 10),
+                            lr=ctx.float_param("lr", 10.0),
+                            buckets=ctx.int_param("buckets", 256))
+    if not ctx.flag("score"):
+        return w
+    return score_logreg_hashed(docs, w,
+                               buckets=ctx.int_param("buckets", 256))
+
+
+@_corpus_op("bpe")
+def _op_bpe(ctx: OpContext) -> DataFrame:
+    # BPE vocabulary learning; encode=true tokenizes the corpus with
+    # the learned merges instead of returning the merge table
+    from .train import bpe_encode, train_bpe_merges
+    merges = train_bpe_merges(
+        ctx.docs(), num_merges=ctx.int_param("merges", 100),
+        vocab_cap=ctx.int_param("vocab_cap", 50000))
+    if not ctx.flag("encode"):
+        return merges
+    return bpe_encode(ctx.docs(), merges)
+
+
 @_corpus_op("domaincap")
 def _op_domaincap(ctx: OpContext) -> DataFrame:
     from .pipeline import cap_per_domain

@@ -762,8 +762,9 @@ def classifier_score(df: DataFrame, weights: DataFrame,
     the mean — the same precondition a model file format enforces). Scale shape: the weight table is
     vocabulary-sized (≪ corpus) and explicitly broadcast, so the
     token-row join is shuffle-free on the corpus side; everything
-    else is one groupBy(doc). Training is out of scope (a trained
-    model arrives as data); scoring is the cluster-scale half.
+    else is one groupBy(doc). A model can arrive as data OR be
+    trained in-engine (llm/train.py train_logreg_hashed — r9);
+    scoring is the cluster-scale half either way.
 
     Returns (id_col, n_terms, raw, score)."""
     tok = df.select(F.col(id_col).alias("id"),

@@ -1,0 +1,269 @@
+"""In-engine model training for curation models.
+
+Two trainers a training-data pipeline needs in-warehouse (so the
+corpus never leaves the cluster):
+
+- ``train_logreg_hashed``: a fastText-shaped quality/domain classifier
+  — logistic regression over HASHED unigram counts, full-batch
+  gradient descent. The feature space is a fixed `buckets`-bin hash
+  space, so the weight vector and every gradient are bucket-bounded:
+  weights broadcast to the scan, gradients reduce to ≤ buckets+1 rows
+  per step, and the only corpus-sized shuffles are one occurrence
+  aggregation (built once, cached across steps) and one join per step
+  of occurrence rows against per-doc errors. Deterministic: weights
+  start at zero, data order never enters the math (sums are
+  order-free up to float association), so the DuckDB oracle replays
+  every unrolled step exactly.
+- ``train_bpe_merges`` / ``bpe_encode``: byte-pair-encoding vocabulary
+  learning (Sennrich et al. 2016). The distributed half is the word-
+  frequency aggregation (one shuffle, vocabulary-bounded output); the
+  merge loop runs driver-side over the BOUNDED word-count table — the
+  standard architecture (count once, merge over counts), not a
+  per-merge corpus rescan. Encoding applies the learned merge ranks
+  corpus-side in one Arrow-batched stage.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import POLY_MOD, poly_hash, term_rows, tokens
+
+
+# ------------------------------------------------------------ logreg
+
+def hashed_count_rows(df: DataFrame, buckets: int = 256,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, f, cnt) sparse feature rows: lowercased whitespace terms
+    hashed into `buckets` bins via the shared rolling hash, counted
+    per document and NORMALIZED by document length (cnt = term
+    occurrences / doc terms — the fastText mean-of-buckets shape, so
+    margins stay O(‖w‖) regardless of document length and unit
+    learning rates don't saturate the sigmoid), plus a constant bias
+    feature (f = buckets, cnt = 1) for every document — including
+    zero-token ones."""
+    occ = term_rows(df, text_col, id_col).select(
+        "id", (poly_hash(F.col("term")) % buckets).alias("f"))
+    cnt = occ.groupBy("id", "f").agg(
+        F.count("*").cast("double").alias("c"))
+    tot = occ.groupBy("id").agg(
+        F.count("*").cast("double").alias("t"))
+    feats = (cnt.join(tot, "id")
+             .select("id", "f", (F.col("c") / F.col("t"))
+                     .alias("cnt")))
+    bias = df.select(F.col(id_col).alias("id"),
+                     F.lit(buckets).cast("long").alias("f"),
+                     F.lit(1.0).alias("cnt"))
+    return feats.unionByName(bias)
+
+
+def train_logreg_hashed(df: DataFrame, label_col: str,
+                        steps: int = 10, lr: float = 10.0,
+                        buckets: int = 256, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Train a logistic-regression classifier over hashed unigram
+    counts by full-batch gradient descent from zero weights:
+
+        p_d    = sigmoid(Σ_f w[f] · cnt_df)
+        grad_f = Σ_d (p_d − y_d) · cnt_df / N
+        w      ← w − lr · grad
+
+    `label_col` is a numeric/boolean column (cast to double ∈ {0,1}).
+    Returns the trained (f, weight) table — buckets+1 rows, the last
+    bucket is the bias — with weights rounded to 6 decimals. Feed the
+    UNROUNDED pipeline into scoring by re-running; the rounded table
+    is the portable model artifact.
+
+    Scale shape: per step, ONE corpus-sized equi-join (occurrence
+    rows × per-doc errors, both partitioned by id) and ONE reduce to
+    ≤ buckets+1 gradient rows, which are collected driver-side
+    (bounded — the same contract as IVF centroid training) and
+    re-broadcast as the next step's literal weight table. The feature
+    rows are built once and cached across steps.
+    """
+    if steps < 1:
+        raise ValueError("train_logreg_hashed: steps must be >= 1")
+    x = hashed_count_rows(df, buckets, text_col, id_col)
+    y = df.select(F.col(id_col).alias("id"),
+                  F.col(label_col).cast("double").alias("y"))
+    x = x.persist()
+    try:
+        n_docs = float(y.count())
+        w = {}  # bucket -> weight; zero-init, missing = 0.0
+        spark = df.sparkSession
+        for _ in range(steps):
+            if w:
+                wdf = spark.createDataFrame(
+                    [(int(f), float(v)) for f, v in sorted(w.items())],
+                    "f long, w double")
+                margins = (x.join(F.broadcast(wdf), "f", "left")
+                           .groupBy("id")
+                           .agg(F.sum(F.col("cnt")
+                                      * F.coalesce(F.col("w"),
+                                                   F.lit(0.0)))
+                                .alias("m")))
+            else:
+                # zero weights: margin is exactly 0 for every doc
+                margins = y.select("id", F.lit(0.0).alias("m"))
+            err = (margins.join(y, "id")
+                   .select("id", (F.lit(1.0)
+                                  / (F.lit(1.0) + F.exp(-F.col("m")))
+                                  - F.col("y")).alias("e")))
+            grad = (x.join(err, "id")
+                    .groupBy("f")
+                    .agg((F.sum(F.col("cnt") * F.col("e")) / n_docs)
+                         .alias("g"))
+                    .collect())  # bounded: <= buckets + 1 rows
+            for r in grad:
+                w[r["f"]] = w.get(r["f"], 0.0) - lr * r["g"]
+    finally:
+        x.unpersist()
+    return df.sparkSession.createDataFrame(
+        [(int(f), round(v, 6)) for f, v in sorted(w.items())],
+        "f long, weight double")
+
+
+def score_logreg_hashed(df: DataFrame, weights: DataFrame,
+                        buckets: int = 256, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Score documents with a trained hashed-feature model: margin =
+    Σ w[f]·cnt, prob = sigmoid(margin). The weight table is bucket-
+    bounded and broadcast — the corpus side never shuffles beyond the
+    one per-doc aggregate. Returns (id_col, margin, prob), round-6."""
+    x = hashed_count_rows(df, buckets, text_col, id_col)
+    w = weights.select("f", F.col("weight").cast("double").alias("w"))
+    agg = (x.join(F.broadcast(w), "f", "left")
+           .groupBy("id")
+           .agg(F.sum(F.col("cnt") * F.coalesce(F.col("w"),
+                                                F.lit(0.0)))
+                .alias("margin")))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+    return agg.select(F.col("id").alias(id_col),
+                      F.round("margin", 6).alias("margin"),
+                      F.round(prob, 6).alias("prob"))
+
+
+# --------------------------------------------------------------- BPE
+
+def word_counts(df: DataFrame, vocab_cap: int = 50000,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(word, n) corpus word frequencies, capped to the top
+    `vocab_cap` forms by count (ties by word) — TakeOrdered, never a
+    global sort. The cap bounds the driver-side merge loop; rare
+    forms past it contribute negligible pair mass (standard BPE
+    practice trains on a frequency-truncated word table)."""
+    return (term_rows(df, text_col, id_col)
+            .groupBy("term").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "term")
+            .limit(vocab_cap)
+            .select(F.col("term").alias("word"), "n"))
+
+
+def _merge_word(sym: tuple, pair: tuple) -> tuple:
+    out, i = [], 0
+    while i < len(sym):
+        if (i + 1 < len(sym) and sym[i] == pair[0]
+                and sym[i + 1] == pair[1]):
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_merges_from_counts(counts: list, num_merges: int) -> list:
+    """Pure-Python BPE merge learner over (word, n) counts — Sennrich
+    et al. 2016 with an end-of-word marker and DETERMINISTIC ties
+    (max count, then lexicographic pair). Returns
+    [(step, left, right, freq)]. Stops early when no pair repeats."""
+    segs = {w: tuple(list(w[:-1]) + [w[-1] + "</w>"]) if len(w) else ()
+            for w, _ in counts}
+    freq = dict(counts)
+    merges = []
+    for step in range(1, num_merges + 1):
+        pairs: dict = {}
+        for w, n in freq.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        # max count; ties go to the lexicographically smallest pair
+        (left, right), best_n = min(pairs.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))
+        if best_n < 2:
+            break
+        merges.append((step, left, right, best_n))
+        for w in freq:
+            if left in segs[w] or right in segs[w]:
+                segs[w] = _merge_word(segs[w], (left, right))
+    return merges
+
+
+def train_bpe_merges(df: DataFrame, num_merges: int = 100,
+                     vocab_cap: int = 50000, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Learn a BPE merge table from the corpus: ONE distributed word-
+    frequency aggregation (the corpus-sized work), then the classic
+    merge loop driver-side over the bounded count table. Returns
+    (step, left, right, freq) — the ordered merge list that defines
+    the tokenizer."""
+    counts = [(r["word"], r["n"])
+              for r in word_counts(df, vocab_cap, text_col,
+                                   id_col).collect()]
+    counts.sort(key=lambda kv: (-kv[1], kv[0]))  # order-independence
+    merges = bpe_merges_from_counts(counts, num_merges)
+    spark = df.sparkSession
+    if not merges:
+        return spark.createDataFrame(
+            [], "step int, left string, right string, freq long")
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, freq long")
+
+
+def _encode_word(word: str, ranks: dict) -> list:
+    if not word:
+        return []
+    sym = tuple(list(word[:-1]) + [word[-1] + "</w>"])
+    while len(sym) > 1:
+        cand = [(ranks[p], p) for p in zip(sym, sym[1:])
+                if p in ranks]
+        if not cand:
+            break
+        sym = _merge_word(sym, min(cand)[1])
+    return list(sym)
+
+
+def bpe_encode(df: DataFrame, merges: DataFrame,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize every document with a learned merge table: lowercased
+    whitespace words re-segmented by merge rank (lowest step wins,
+    the canonical greedy BPE apply). One Arrow-batched mapInPandas
+    stage; the merge ranks ride the closure (bounded — num_merges
+    entries). Returns (id_col, bpe_tokens array<string>,
+    n_bpe_tokens)."""
+    ranks = {(r["left"], r["right"]): r["step"]
+             for r in merges.collect()}  # bounded: num_merges rows
+    base = df.select(F.col(id_col).alias("id"),
+                     F.array_compact(tokens(F.lower(F.col(text_col))))
+                     .alias("toks"))
+
+    def run(batches):
+        for pdf in batches:
+            toks = pdf["toks"].map(
+                lambda ws: [t for w in ws if w
+                            for t in _encode_word(w, ranks)])
+            yield pd.DataFrame({"id": pdf["id"], "bpe_tokens": toks,
+                                "n_bpe_tokens": toks.map(len)})
+
+    return (base.mapInPandas(
+        run, "id long, bpe_tokens array<string>, n_bpe_tokens long")
+        .withColumnRenamed("id", id_col))

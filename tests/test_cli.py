@@ -308,6 +308,31 @@ def test_corpus_search_hybrid_dsir(capsys):
         run(capsys, "corpus", "search")
 
 
+def test_corpus_train_and_bpe(capsys):
+    rc, out = run(capsys, "corpus", "train", "--label", "source",
+                  "--pos", "src0", "--steps", "2", "--buckets", "32",
+                  "-j", "-l", "40")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert {"f", "weight"} <= set(rows[0])
+    assert any(r["f"] == 32 for r in rows)  # bias bucket present
+    rc, out = run(capsys, "corpus", "train", "--label", "source",
+                  "--pos", "src0", "--steps", "2", "--buckets", "32",
+                  "--score", "-j", "-l", "5")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows and all(0 <= r["prob"] <= 1 for r in rows)
+    rc, out = run(capsys, "corpus", "bpe", "--merges", "8", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 8
+    assert [r["step"] for r in rows] == list(range(1, 9))
+    rc, out = run(capsys, "corpus", "bpe", "--merges", "8",
+                  "--encode", "-j", "-l", "3")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all(r["n_bpe_tokens"] == len(r["bpe_tokens"])
+               for r in rows)
+
+
 def test_corpus_mixture_and_contamination(capsys):
     rc, out = run(capsys, "corpus", "mixture",
                   "--target", "en=0.6,de=0.2,fr=0.2", "-j", "-l", "3")

@@ -517,6 +517,19 @@ def test_corpus_search_hybrid_dsir_endpoints(served):
     assert e.value.code == 400
 
 
+def test_corpus_train_bpe_endpoints(served):
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/corpus", op="train",
+                          label="source", pos="src0", steps=2,
+                          buckets=32))
+    assert rows and {"f", "weight"} <= set(rows[0])
+    rows = _json_seq(_get(base, "/data/corpus", op="bpe", merges=5))
+    assert len(rows) == 5 and rows[0]["step"] == 1
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="train", label="source")
+    assert e.value.code == 400  # missing pos=
+
+
 def test_corpus_bad_op_is_400(served):
     base, _ = served
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -1,0 +1,191 @@
+"""In-engine training tests: hashed-feature logistic regression
+(numpy replication, learnability, plan shape) and BPE vocabulary
+learning (classic example, pure-Python replay, encode round-trip)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacat_spark.llm.text import POLY_MOD
+from metacat_spark.llm.train import (bpe_encode, bpe_merges_from_counts,
+                                     hashed_count_rows,
+                                     score_logreg_hashed,
+                                     train_bpe_merges,
+                                     train_logreg_hashed, word_counts)
+
+
+@pytest.fixture(scope="module")
+def docs(catalog):
+    return catalog.raw["documents"]
+
+
+@pytest.fixture(scope="module")
+def labeled(docs):
+    return docs.withColumn("y", (F.col("source") == "src0")
+                           .cast("double"))
+
+
+def _py_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % POLY_MOD
+    return acc
+
+
+# ------------------------------------------------------------ logreg
+
+def test_logreg_matches_numpy_exactly(labeled):
+    """Full replication of 3 GD steps in numpy over the same hashed
+    tf features — the trained weights must agree to round-6."""
+    import numpy as np
+    rows = labeled.select("doc_id", F.lower("text").alias("t"),
+                          "y").collect()
+    B = 64
+    X = np.zeros((len(rows), B + 1))
+    y = np.zeros(len(rows))
+    for i, r in enumerate(rows):
+        ws = [w for w in r["t"].split() if w]
+        for w in ws:
+            X[i, _py_hash(w) % B] += 1
+        if ws:
+            X[i, :B] /= len(ws)
+        X[i, B] = 1.0
+        y[i] = r["y"]
+    w = np.zeros(B + 1)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w -= 2.5 * (X.T @ (p - y)) / len(y)
+    got = {r["f"]: r["weight"]
+           for r in train_logreg_hashed(labeled, "y", steps=3,
+                                        lr=2.5, buckets=B).collect()}
+    want = {f: round(float(v), 6) for f, v in enumerate(w)
+            if f in got}
+    # every bucket the engine trained must match numpy; buckets numpy
+    # saw but the engine didn't would mean dropped features
+    assert got == want
+    assert set(got) == {f for f in range(B + 1)
+                        if X[:, f].any()}
+
+
+def test_logreg_learns_the_source_label(labeled):
+    """The trained model must actually separate src0 from the rest —
+    pairwise ranking accuracy (AUC) > 0.7 at 10 steps."""
+    w = train_logreg_hashed(labeled, "y", steps=10, lr=50.0,
+                            buckets=256)
+    sc = (score_logreg_hashed(labeled, w, buckets=256)
+          .join(labeled.select("doc_id", "y"), "doc_id")
+          .select("prob", "y").collect())
+    pos = sorted(r["prob"] for r in sc if r["y"] == 1.0)
+    neg = sorted(r["prob"] for r in sc if r["y"] == 0.0)
+    import bisect
+    auc = sum(bisect.bisect_left(neg, p) for p in pos) \
+        / (len(pos) * len(neg))
+    assert auc > 0.7, f"AUC {auc:.3f}"
+
+
+def test_logreg_bias_only_on_empty_features(spark):
+    """A corpus where one doc has no tokens: the bias feature keeps
+    it in every margin/gradient; training must not drop or NaN it."""
+    df = spark.createDataFrame(
+        [(1, "apple apple", 1.0), (2, "", 0.0), (3, "pear", 0.0)],
+        ["doc_id", "text", "y"])
+    w = {r["f"]: r["weight"]
+         for r in train_logreg_hashed(df, "y", steps=2, lr=1.0,
+                                      buckets=8).collect()}
+    assert 8 in w and all(math.isfinite(v) for v in w.values())
+    sc = {r["doc_id"]: r["prob"]
+          for r in score_logreg_hashed(
+              df, _wdf(spark, w), buckets=8).collect()}
+    assert set(sc) == {1, 2, 3}
+    assert all(0.0 <= p <= 1.0 for p in sc.values())
+
+
+def _wdf(spark, w):
+    return spark.createDataFrame(
+        [(int(f), float(v)) for f, v in sorted(w.items())],
+        "f long, weight double")
+
+
+def test_logreg_rejects_zero_steps(labeled):
+    with pytest.raises(ValueError):
+        train_logreg_hashed(labeled, "y", steps=0)
+
+
+def test_logreg_score_plan_broadcasts_weights(labeled, spark):
+    df = score_logreg_hashed(labeled, _wdf(spark, {0: 0.5, 64: -0.1}),
+                             buckets=64)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------- BPE
+
+def test_bpe_classic_merge_order():
+    """The Sennrich toy corpus, merges derived by hand: ('e','s')
+    wins round 1 on the lexicographic tie with ('s','t</w>') at
+    freq 9, 'est</w>' completes in round 2, then 'lo' (7) and the
+    ('e','w') tie-break at 6."""
+    counts = [("newest", 6), ("widest", 3), ("low", 5), ("lower", 2)]
+    merges = bpe_merges_from_counts(counts, 4)
+    assert merges == [(1, "e", "s", 9), (2, "es", "t</w>", 9),
+                      (3, "l", "o", 7), (4, "e", "w", 6)]
+
+
+def test_bpe_spark_matches_pure_python(docs):
+    got = [(r["step"], r["left"], r["right"], r["freq"])
+           for r in train_bpe_merges(docs, num_merges=25,
+                                     vocab_cap=2000)
+           .orderBy("step").collect()]
+    counts = sorted(
+        [(r["word"], r["n"])
+         for r in word_counts(docs, 2000).collect()],
+        key=lambda kv: (-kv[1], kv[0]))
+    assert got == bpe_merges_from_counts(counts, 25)
+    assert len(got) == 25  # corpus has plenty of repeated pairs
+
+
+def test_bpe_encode_roundtrip(docs, spark):
+    """Concatenating a word's BPE tokens (minus the end marker) must
+    reconstruct the word, for every word of every document."""
+    merges = train_bpe_merges(docs, num_merges=30, vocab_cap=2000)
+    enc = bpe_encode(docs.limit(50), merges)
+    joined = (enc.join(docs.select("doc_id", "text"), "doc_id")
+              .select("doc_id", "bpe_tokens",
+                      F.array_compact(
+                          F.split(F.lower("text"), r"\s+"))
+                      .alias("words"))
+              .collect())
+    for r in joined:
+        rebuilt = "".join(t for t in r["bpe_tokens"])
+        rebuilt = rebuilt.replace("</w>", "")
+        assert rebuilt == "".join(w for w in r["words"] if w)
+        assert r["bpe_tokens"], r["doc_id"]
+
+
+def test_bpe_encode_unseen_word_stays_chars(spark):
+    """Words sharing no learned merge stay character-split (with the
+    end marker on the last char)."""
+    corpus = spark.createDataFrame(
+        [(1, "aa aa aa bb")], ["doc_id", "text"])
+    merges = train_bpe_merges(corpus, num_merges=5)
+    out = bpe_encode(
+        spark.createDataFrame([(9, "aa xyz")], ["doc_id", "text"]),
+        merges).collect()[0]
+    toks = list(out["bpe_tokens"])
+    assert toks[0] == "aa</w>"            # learned merge applies
+    assert toks[1:] == ["x", "y", "z</w>"]  # unseen word: chars
+
+
+def test_word_counts_cap_is_takeordered(docs):
+    top = word_counts(docs, vocab_cap=5).collect()
+    assert len(top) == 5
+    ns = [r["n"] for r in top]
+    assert ns == sorted(ns, reverse=True)
+    plan = word_counts(docs, vocab_cap=5) \
+        ._sc._jvm.PythonSQLUtils.explainString(
+            word_counts(docs, vocab_cap=5)._jdf.queryExecution(),
+            "formatted")
+    assert "TakeOrderedAndProject" in plan
