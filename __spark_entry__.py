@@ -3356,13 +3356,16 @@ def oracle_sql() -> dict[str, str]:
           qualify kw_rank <= 20),
         q as (select embedding as qvec from embeddings
               where vec_id = 0),
-        cos as (
+        cos0 as (
           select vec_id as id,
                  round(list_cosine_similarity(embedding::double[],
-                         qvec::double[]), 6) as cosine,
-                 row_number() over (order by cosine desc, vec_id)
+                         qvec::double[]), 6) as cosine
+          from embeddings cross join q where vec_id <> 0),
+        cos as (
+          select id, cosine,
+                 row_number() over (order by cosine desc, id)
                    as vec_rank
-          from embeddings cross join q where vec_id <> 0
+          from cos0 where isfinite(cosine)
           qualify vec_rank <= 20),
         fused as (
           select coalesce(kw.id, cos.id) as doc_id, kw_rank, vec_rank,

@@ -324,25 +324,36 @@ def _op_moorelewis(ctx: OpContext) -> DataFrame:
 
 @_corpus_op("search")
 def _op_search(ctx: OpContext) -> DataFrame:
-    # BM25 keyword search over the served documents
+    # BM25 keyword search; library ValueError (e.g. whitespace-only
+    # query) surfaces as OpError so both surfaces keep the clean
+    # bad-parameter contract (review r9)
     from .search import search_bm25
     terms = ctx.require(
         "query", "search needs query=<space-separated terms>").split()
-    return search_bm25(ctx.docs(), terms, k=ctx.int_param("k", 10))
+    try:
+        return search_bm25(ctx.docs(), terms,
+                           k=ctx.int_param("k", 10))
+    except ValueError as e:
+        raise OpError(str(e))
 
 
 @_corpus_op("hybrid")
 def _op_hybrid(ctx: OpContext) -> DataFrame:
-    # hybrid retrieval: BM25 + cosine-vs-a-stored-vector, RRF-fused
+    # hybrid retrieval: BM25 + cosine-vs-a-stored-vector, RRF-fused;
+    # a vec_id absent from the embeddings table is a ValueError from
+    # the library (not a silent BM25-only result) → OpError here
     from .search import hybrid_rrf
     terms = ctx.require(
         "query", "hybrid needs query=<space-separated terms>").split()
     ctx.require("vec", "hybrid needs vec=<query vec_id from the "
                        "embeddings table>")
-    return hybrid_rrf(ctx.docs(), ctx.embs(), terms,
-                      query_vec_id=ctx.int_param("vec"),
-                      n=ctx.int_param("n", 50),
-                      k=ctx.int_param("k", 10))
+    try:
+        return hybrid_rrf(ctx.docs(), ctx.embs(), terms,
+                          query_vec_id=ctx.int_param("vec"),
+                          n=ctx.int_param("n", 50),
+                          k=ctx.int_param("k", 10))
+    except ValueError as e:
+        raise OpError(str(e))
 
 
 @_corpus_op("dsir")
@@ -358,6 +369,8 @@ def _op_dsir(ctx: OpContext) -> DataFrame:
     if m is None:
         return dsir_logweights(ctx.docs(), ctx.corpus(path),
                                buckets=buckets)
+    if m < 1:
+        raise OpError(f"dsir: m must be >= 1, got {m}")
     return dsir_resample(ctx.docs(), ctx.corpus(path), m=m,
                          buckets=buckets,
                          seed=ctx.int_param("seed", 42))
@@ -373,10 +386,13 @@ def _op_train(ctx: OpContext) -> DataFrame:
                              "the label column>")
     docs = ctx.docs().withColumn(
         "__y", (F.col(col).cast("string") == pos).cast("double"))
-    w = train_logreg_hashed(docs, "__y",
-                            steps=ctx.int_param("steps", 10),
-                            lr=ctx.float_param("lr", 10.0),
-                            buckets=ctx.int_param("buckets", 256))
+    try:
+        w = train_logreg_hashed(docs, "__y",
+                                steps=ctx.int_param("steps", 10),
+                                lr=ctx.float_param("lr", 10.0),
+                                buckets=ctx.int_param("buckets", 256))
+    except ValueError as e:  # e.g. steps < 1
+        raise OpError(str(e))
     if not ctx.flag("score"):
         return w
     return score_logreg_hashed(docs, w,
@@ -388,9 +404,12 @@ def _op_bpe(ctx: OpContext) -> DataFrame:
     # BPE vocabulary learning; encode=true tokenizes the corpus with
     # the learned merges instead of returning the merge table
     from .train import bpe_encode, train_bpe_merges
+    cap = ctx.int_param("vocab_cap", 50000)
+    if cap < 1:
+        raise OpError(f"bpe: vocab_cap must be >= 1, got {cap}")
     merges = train_bpe_merges(
         ctx.docs(), num_merges=ctx.int_param("merges", 100),
-        vocab_cap=ctx.int_param("vocab_cap", 50000))
+        vocab_cap=cap)
     if not ctx.flag("encode"):
         return merges
     return bpe_encode(ctx.docs(), merges)

@@ -115,18 +115,30 @@ def cosine_topn(embeddings: DataFrame, query_vec_id: int, n: int,
     """Top-n neighbours of one stored vector by cosine (query vector
     excluded, round-6 quantized ordering, ties by id). The 1-row query
     vector is broadcast over a single scan — no shuffle of the table.
+
+    Raises ValueError when `query_vec_id` is absent from the table:
+    a typo'd vec_id must be a clean error, not a silently empty (or,
+    through hybrid_rrf, silently BM25-only) result. The existence
+    probe is one pushed-filter point lookup.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(F.col(id_col).alias("id"),
                              v.alias("__vec"))
     qv = (base.where(F.col("id") == query_vec_id)
           .select(F.col("__vec").alias("__qvec")))
+    if not qv.take(1):
+        raise ValueError(f"cosine_topn: query_vec_id {query_vec_id} "
+                         f"not found in the embeddings table")
     sim = (base.where(F.col("id") != query_vec_id)
            .crossJoin(F.broadcast(qv))
            .select("id", F.round(cosine(F.col("__vec"),
                                         F.col("__qvec")), 6)
                    .alias("cosine")))
-    top = (sim.where(F.col("cosine").isNotNull())
+    # NULL = zero-norm input (try_divide); NaN would be a NaN payload
+    # in the embedding itself — drop both, mirroring the oracle's
+    # isfinite() filter
+    top = (sim.where(F.col("cosine").isNotNull()
+                     & ~F.isnan(F.col("cosine")))
            .orderBy(F.col("cosine").desc(), F.col("id"))
            .limit(n))
     w = Window.orderBy(F.col("cosine").desc(), F.col("id"))

@@ -154,14 +154,13 @@ def word_counts(df: DataFrame, vocab_cap: int = 50000,
                 text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(word, n) corpus word frequencies, capped to the top
-    `vocab_cap` forms by count (ties by word) — TakeOrdered, never a
-    global sort. The cap bounds the driver-side merge loop; rare
-    forms past it contribute negligible pair mass (standard BPE
+    `vocab_cap` forms by count (ties by word). Thin rename over
+    text.top_terms (ONE tokenization/tie-break/TakeOrdered contract
+    — review r9); the cap bounds the driver-side merge loop, and
+    rare forms past it contribute negligible pair mass (standard BPE
     practice trains on a frequency-truncated word table)."""
-    return (term_rows(df, text_col, id_col)
-            .groupBy("term").agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc(), "term")
-            .limit(vocab_cap)
+    from .text import top_terms
+    return (top_terms(df, vocab_cap, text_col, id_col)
             .select(F.col("term").alias("word"), "n"))
 
 
@@ -255,6 +254,9 @@ def bpe_encode(df: DataFrame, merges: DataFrame,
     base = df.select(F.col(id_col).alias("id"),
                      F.array_compact(tokens(F.lower(F.col(text_col))))
                      .alias("toks"))
+    # output id keeps the INPUT id type (string/int/... corpora are
+    # all legal through load_corpus — review r9)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches):
         for pdf in batches:
@@ -265,5 +267,6 @@ def bpe_encode(df: DataFrame, merges: DataFrame,
                                 "n_bpe_tokens": toks.map(len)})
 
     return (base.mapInPandas(
-        run, "id long, bpe_tokens array<string>, n_bpe_tokens long")
+        run, f"id {id_type}, bpe_tokens array<string>, "
+             f"n_bpe_tokens long")
         .withColumnRenamed("id", id_col))

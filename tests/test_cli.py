@@ -306,6 +306,13 @@ def test_corpus_search_hybrid_dsir(capsys):
     # missing --query / --vec / --target are argparse exits (rc 2)
     with pytest.raises(SystemExit):
         run(capsys, "corpus", "search")
+    # whitespace-only query / absent vec_id: library ValueError →
+    # OpError → clean rc 2, not a traceback (review r9)
+    rc, _ = run(capsys, "corpus", "search", "--query", "   ")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "hybrid", "--query", "spark",
+                "--vec", "99999")
+    assert rc == 2
 
 
 def test_corpus_train_and_bpe(capsys):

@@ -146,16 +146,25 @@ def test_cosine_topn_vs_duck(embs, duck):
            .orderBy("rank").collect()]
     want = duck.execute("""
         with q as (select embedding as qvec from embeddings
-                   where vec_id = 0)
-        select vec_id as id,
-               round(list_cosine_similarity(embedding::double[],
-                                             qvec::double[]), 6)
-                 as cosine,
-               row_number() over (order by cosine desc, vec_id) as rank
-        from embeddings cross join q
-        where vec_id <> 0
+                   where vec_id = 0),
+        cos0 as (
+          select vec_id as id,
+                 round(list_cosine_similarity(embedding::double[],
+                                               qvec::double[]), 6)
+                   as cosine
+          from embeddings cross join q where vec_id <> 0)
+        select id, cosine,
+               row_number() over (order by cosine desc, id) as rank
+        from cos0 where isfinite(cosine)
         qualify rank <= 15 order by rank""").fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_cosine_topn_missing_vec_raises(embs):
+    """A typo'd vec_id must be a clean error, not a silently empty
+    (or BM25-only, through hybrid_rrf) result (review r9)."""
+    with pytest.raises(ValueError, match="99999"):
+        cosine_topn(embs, query_vec_id=99999, n=5)
 
 
 def test_hybrid_rrf_laws(docs, embs):
@@ -199,13 +208,16 @@ def test_hybrid_rrf_vs_duck(docs, embs, duck):
           qualify kw_rank <= 20),
         q as (select embedding as qvec from embeddings
               where vec_id = 0),
-        cos as (
+        cos0 as (
           select vec_id as id,
                  round(list_cosine_similarity(embedding::double[],
-                         qvec::double[]), 6) as cosine,
-                 row_number() over (order by cosine desc, vec_id)
+                         qvec::double[]), 6) as cosine
+          from embeddings cross join q where vec_id <> 0),
+        cos as (
+          select id, cosine,
+                 row_number() over (order by cosine desc, id)
                    as vec_rank
-          from embeddings cross join q where vec_id <> 0
+          from cos0 where isfinite(cosine)
           qualify vec_rank <= 20),
         fused as (
           select coalesce(kw.id, cos.id) as doc_id, kw_rank, vec_rank,

@@ -179,6 +179,18 @@ def test_bpe_encode_unseen_word_stays_chars(spark):
     assert toks[1:] == ["x", "y", "z</w>"]  # unseen word: chars
 
 
+def test_bpe_encode_keeps_input_id_type(spark):
+    """String-id corpora are legal through load_corpus — the encode
+    schema must carry the INPUT id type, not hardcode long
+    (review r9)."""
+    corpus = spark.createDataFrame(
+        [("a-1", "aa aa aa"), ("a-2", "aa bb")], ["doc_id", "text"])
+    merges = train_bpe_merges(corpus, num_merges=3)
+    out = bpe_encode(corpus, merges).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == ["a-1", "a-2"]
+    assert out[0]["bpe_tokens"][0] == "aa</w>"
+
+
 def test_word_counts_cap_is_takeordered(docs):
     top = word_counts(docs, vocab_cap=5).collect()
     assert len(top) == 5
