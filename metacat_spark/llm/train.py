@@ -148,6 +148,65 @@ def score_logreg_hashed(df: DataFrame, weights: DataFrame,
                       F.round(prob, 6).alias("prob"))
 
 
+def _rowlocal_score_cols(weights_map: dict, buckets: int,
+                         text_col: str):
+    """(margin, prob) column pair computed ROW-LOCALLY from a bounded
+    weight map literal: margin = (Σ_tokens w[hash(tok) % B]) / dl +
+    w_bias — algebraically identical to the relational scorer's
+    Σ_f (c_f/dl)·w_f, but with zero shuffles, so it runs on a
+    STREAM (no aggregation state) as well as in batch."""
+    wmap = F.create_map(*[F.lit(x) for kv in
+                          sorted(weights_map.items()) for x in kv]) \
+        if weights_map else F.create_map()
+    toks = F.filter(tokens(F.lower(F.col(text_col))),
+                    lambda t: t != "")
+    contrib = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(
+            wmap[(poly_hash(t) % buckets)], F.lit(0.0)))
+    bias = float(weights_map.get(buckets, 0.0))
+    margin = (F.coalesce(F.try_divide(contrib, F.size(toks)),
+                         F.lit(0.0)) + F.lit(bias))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return margin, prob
+
+
+def score_stream(spark, src_dir: str, weights: DataFrame,
+                 buckets: int = 256, table: str = "score_stream",
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``score_logreg_hashed``: score a document
+    STREAM with a trained weight table — the train-in-batch /
+    deploy-on-the-stream loop. Scoring is rewritten row-locally
+    (weight map literal + one array fold per document, no
+    aggregation state, plain append mode), which is algebraically
+    the same margin as the batch scorer's relational plan;
+    equivalence is pinned by test. availableNow → memory sink."""
+    import os
+
+    wmap = {int(r["f"]): float(r["weight"])
+            for r in weights.collect()}  # bounded: <= buckets+1
+    batch_schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isfile(src_dir):
+        reader = reader.option("pathGlobFilter",
+                               os.path.basename(src_dir))
+        src_dir = os.path.dirname(src_dir)
+    stream = reader.parquet(src_dir)
+    margin, prob = _rowlocal_score_cols(wmap, buckets, text_col)
+    out = stream.select(F.col(id_col),
+                        F.round(margin, 6).alias("margin"),
+                        F.round(prob, 6).alias("prob"))
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "score_stream did not finish within 120s — refusing to "
+            "return a partially populated memory table")
+    return spark.table(table)
+
+
 # --------------------------------------------------------------- BPE
 
 def word_counts(df: DataFrame, vocab_cap: int = 50000,

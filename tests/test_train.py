@@ -121,6 +121,29 @@ def test_logreg_score_plan_broadcasts_weights(labeled, spark):
     assert "CartesianProduct" not in plan
 
 
+def test_score_stream_equals_batch_scorer(labeled, spark):
+    """Train in batch, deploy on the stream: the row-local streaming
+    scorer must produce the SAME round-6 margins/probs as the
+    relational batch scorer for every document."""
+    from conftest import SF_DIR
+
+    from metacat_spark.llm.train import score_stream
+    w = train_logreg_hashed(labeled, "y", steps=3, lr=10.0,
+                            buckets=64)
+    batch = {r["doc_id"]: (r["margin"], r["prob"])
+             for r in score_logreg_hashed(labeled, w, buckets=64)
+             .collect()}
+    streamed = {r["doc_id"]: (r["margin"], r["prob"])
+                for r in score_stream(
+                    spark, f"{SF_DIR}/documents.parquet", w,
+                    buckets=64, table="score_stream_t1").collect()}
+    assert set(streamed) == set(batch)
+    for d, (m, p) in batch.items():
+        sm, sp = streamed[d]
+        assert abs(sm - m) <= 1e-6 and abs(sp - p) <= 1e-6, \
+            (d, (m, p), (sm, sp))
+
+
 # --------------------------------------------------------------- BPE
 
 def test_bpe_classic_merge_order():
