@@ -1584,8 +1584,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from metacat_spark.llm.train import train_logreg_hashed
         docs = _docs(spark, sf_dir).withColumn(
             "y", (F.col("source") == "src0").cast("double"))
-        return train_logreg_hashed(docs, "y", steps=4, lr=25.0,
-                                   buckets=64)
+        w = train_logreg_hashed(docs, "y", steps=4, lr=25.0,
+                                buckets=64)
+        # entry-level round-4 (double-rounded identically in the
+        # oracle): 4 GD steps of corpus-sized float sums carry
+        # ~1e-13 association noise, and a 1e-6 grid leaves a real
+        # knife-edge probability across 50k docs at sf0.1 (hit once:
+        # one margin at exactly ...5); the 1e-4 grid does not
+        return w.select("f", F.round("weight", 4).alias("weight"))
     q["doc_train_classifier"] = train_classifier
 
     def train_classifier_score(spark, sf_dir):
@@ -1600,7 +1606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "y", (F.col("source") == "src0").cast("double"))
         w = train_logreg_hashed(docs, "y", steps=4, lr=25.0,
                                 buckets=64)
-        return score_logreg_hashed(docs, w, buckets=64)
+        out = score_logreg_hashed(docs, w, buckets=64)
+        # same entry-level round-4 rationale as doc_train_classifier
+        return out.select("doc_id",
+                          F.round("margin", 4).alias("margin"),
+                          F.round("prob", 4).alias("prob"))
     q["doc_train_classifier_score"] = train_classifier_score
 
     # BPE vocabulary learning (llm/train.py train_bpe_merges) has NO
@@ -3451,15 +3461,19 @@ def oracle_sql() -> dict[str, str]:
                      from w{t} join g{t} using (f))""")
         return "with " + ",".join(ctes)
 
+    # final projections double-round 6→4 exactly like the engine
+    # (library emits round-6; the entry wraps round-4 — see the
+    # knife-edge rationale in the entry docstrings)
     o["doc_train_classifier"] = _logreg_ctes(4, 25.0) + """
-        select f, round(w, 6) as weight from w4"""
+        select f, round(round(w, 6), 4) as weight from w4"""
 
     o["doc_train_classifier_score"] = _logreg_ctes(4, 25.0) + """,
         wfinal as (select f, round(w, 6) as weight from w4),
         sc as (select id, sum(cnt * coalesce(weight, 0.0)) as margin
                from x left join wfinal using (f) group by id)
-        select id as doc_id, round(margin, 6) as margin,
-               round(1.0 / (1.0 + exp(-margin)), 6) as prob
+        select id as doc_id,
+               round(round(margin, 6), 4) as margin,
+               round(round(1.0 / (1.0 + exp(-margin)), 6), 4) as prob
         from sc"""
 
     # Gumbel-top-m selection: u from the SQUARED rolling hash of
