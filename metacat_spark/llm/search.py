@@ -60,6 +60,14 @@ def bm25_scores(df: DataFrame, query_terms, k1: float = 1.2,
     (matches the DuckDB oracle's ``string_split_regex(lower(text))``
     verbatim, empty-token positions included in dl).
 
+    Measured negative (r9, sf0.1 medians, 7 interleaved reps): the
+    r7 marker-tokens trick — ONE ``regexp_extract_all`` alternation
+    pass instead of per-term array filters — does NOT pay here:
+    0.457 s vs 0.453 s at 3 terms and 1.087 s vs 0.930 s at 10 terms
+    (the alternation regex scan costs more than the HOF traversals
+    at query-sized term counts; the marker case had ~21 terms over
+    ~6 marker hits/doc). Array filters stay.
+
     Returns (id_col, n_tokens, score) for every document, score
     rounded to 6 decimals (0.0 for documents matching no term).
     """

@@ -35,6 +35,16 @@ def _consume(df):
     return row["n"]
 
 
+def _search():
+    from metacat_spark.llm import search as SR
+    return SR
+
+
+def _train():
+    from metacat_spark.llm import train as TR
+    return TR
+
+
 def main():
     spark = get_spark("bench_corpus")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -93,6 +103,22 @@ def main():
             __import__("metacat_spark.streaming.events",
                        fromlist=["load_events"]).load_events(
                 spark, SF_DIR))),
+        "bm25_scores": lambda: _consume(_search().bm25_scores(
+            docs, ["spark", "window", "merge"])),
+        "hybrid_rrf": lambda: _consume(_search().hybrid_rrf(
+            docs, embs, ["spark", "window", "merge"],
+            query_vec_id=0)),
+        "dsir_weights": lambda: _consume(TX.dsir_logweights(
+            docs.where("source <> 'src0'"),
+            docs.where("source = 'src0'"), buckets=1024)),
+        "train_logreg": lambda: _consume(_train().train_logreg_hashed(
+            docs.withColumn(
+                "y", (F.col("source") == "src0").cast("double")),
+            "y", steps=4, lr=25.0)),
+        "bpe_train": lambda: _consume(_train().train_bpe_merges(
+            docs, num_merges=100)),
+        "bpe_encode": lambda: _consume(_train().bpe_encode(
+            docs, _train().train_bpe_merges(docs, num_merges=100))),
     }
     only = set(sys.argv[1:])
     out = {}
