@@ -465,10 +465,48 @@ def _refine_centroids(base: DataFrame, Cn, iters: int):
     return Cn
 
 
+def build_ivf_centroids(df: DataFrame, n_lists: int = 16,
+                        seed: int = 42, train_iters: int = 0,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Train an IVF index ONCE and return its persistable artifact:
+    a (list_id, centroid array<double>) table of n_lists unit-norm
+    centroids (hash-sampled seeds + optional distributed Lloyd
+    refinement — the same training ivf_topk runs inline). Write it
+    to parquet and feed it back via ``ivf_topk(..., centroids=)``:
+    at 100 TB you train the index once per corpus version and serve
+    every query from the stored centroids instead of re-running
+    k-means per call."""
+    import numpy as np
+
+    base = _prep(df, vec_col, id_col).drop("nrm")
+    Cn = _sample_centroids(base, n_lists, seed)
+    if train_iters:
+        base = base.localCheckpoint(eager=True)
+        Cn = _refine_centroids(base, Cn, train_iters)
+    rows = [(i, [float(x) for x in Cn[i]]) for i in range(len(Cn))]
+    return df.sparkSession.createDataFrame(
+        rows, "list_id int, centroid array<double>")
+
+
+def _sample_centroids(base: DataFrame, n_lists: int, seed: int):
+    """Deterministic centroid seeds: the n_lists rows with the
+    smallest xxhash64(id, seed), unit-normalized."""
+    import numpy as np
+
+    cent_rows = (base.withColumn(
+        "hk", F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
+        .orderBy("hk").limit(n_lists)
+        .select("vec").collect())
+    C = np.array([list(r["vec"]) for r in cent_rows])
+    return C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+
+
 def ivf_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
              n_probe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", seed: int = 42,
-             train_iters: int = 0) -> DataFrame:
+             train_iters: int = 0,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k:
 
     1. pick n_lists centroids deterministically (hash-sampled rows),
@@ -493,26 +531,32 @@ def ivf_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     Lloyd iterations (_refine_centroids) over the hash-sampled seeds
     — what a real IVF index build does — tightening the lists so the
     same n_probe buys more recall. Cost per iteration: one Arrow pass
-    over the vectors + an O(batches × n_lists) shuffle."""
+    over the vectors + an O(batches × n_lists) shuffle.
+
+    ``centroids`` (r9): a prebuilt (list_id, centroid) table from
+    ``build_ivf_centroids`` — possibly parquet-round-tripped. When
+    given, sampling/training are SKIPPED entirely (n_lists/seed/
+    train_iters are ignored): the train-once / serve-many split a
+    production index needs."""
     import numpy as np
     import pandas as pd
 
     id_t = _id_ddl(df, id_col)
     base = _prep(df, vec_col, id_col).drop("nrm")
-    # deterministic centroid sample: smallest n_lists xxhash64(id, seed)
-    cent_rows = (base.withColumn("hk", F.xxhash64(F.col("id").cast("string"),
-                                                  F.lit(seed)))
-                 .orderBy("hk").limit(n_lists)
-                 .select("vec").collect())
-    C = np.array([list(r["vec"]) for r in cent_rows])
-    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
-    if train_iters:
-        # the training passes re-read `base` — materialize it once so
-        # each Lloyd iteration (and the final assignment) reads the
-        # narrow (id, vec) projection instead of re-running the scan
-        base = base.localCheckpoint(eager=True)
-        Cn = _refine_centroids(base, Cn, train_iters)
-    npb = min(n_probe, len(C))
+    if centroids is not None:
+        # bounded collect: n_lists rows of dim doubles
+        crows = centroids.orderBy("list_id").collect()
+        Cn = np.array([list(r["centroid"]) for r in crows])
+    else:
+        Cn = _sample_centroids(base, n_lists, seed)
+        if train_iters:
+            # the training passes re-read `base` — materialize it
+            # once so each Lloyd iteration (and the final assignment)
+            # reads the narrow (id, vec) projection instead of
+            # re-running the scan
+            base = base.localCheckpoint(eager=True)
+            Cn = _refine_centroids(base, Cn, train_iters)
+    npb = min(n_probe, len(Cn))
 
     def assign(batches):
         for pdf in batches:

@@ -293,6 +293,33 @@ def test_dsir_gumbel_noise_decorrelates_adjacent_ids(docs):
     assert sum(g == 1 for g in gaps) <= 2, ids
 
 
+def test_ivf_prebuilt_index_matches_inline_training(embs, tmp_path,
+                                                    spark):
+    """Train-once/serve-many: ivf_topk fed a parquet-round-tripped
+    centroid table from build_ivf_centroids must return EXACTLY the
+    inline-trained results (r9)."""
+    from metacat_spark.llm.similarity import (build_ivf_centroids,
+                                              ivf_topk)
+    inline = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_topk(embs, k=3, n_lists=8, n_probe=2,
+                                train_iters=2).collect()}
+    idx = build_ivf_centroids(embs, n_lists=8, train_iters=2)
+    path = str(tmp_path / "ivf_index")
+    idx.write.parquet(path)
+    served = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_topk(embs, k=3, n_probe=2,
+                                centroids=spark.read.parquet(path))
+              .collect()}
+    assert served == inline
+    # the artifact itself: n_lists unit-norm centroid rows
+    rows = idx.collect()
+    assert len(rows) == 8
+    import math
+    for r in rows:
+        nrm = math.sqrt(sum(x * x for x in r["centroid"]))
+        assert abs(nrm - 1.0) < 1e-9
+
+
 # -------------------------------------------------------- plan shape
 
 def _plan(df) -> str:
