@@ -797,6 +797,13 @@ def build_parser() -> argparse.ArgumentParser:
     cn.add_argument("--hashed", action="store_true",
                     help="search hashed document vectors (no "
                          "embeddings table needed)")
+    cn.add_argument("--build-index", action="store_true",
+                    dest="build_index",
+                    help="ivf only: emit the persistable centroid "
+                         "table instead of searching (write with -o)")
+    cn.add_argument("--index",
+                    help="ivf only: serve from a stored centroid "
+                         "table (parquet path) — skips training")
 
     eg = sub.add_parser(
         "events",

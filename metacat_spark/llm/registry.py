@@ -570,6 +570,16 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         return SIM.lsh_bucketed_topk(df, k=k, **kw)
     if method == "ivfpq":
         return SIM.ivf_pq_topk(df, k=k, train_iters=2, **kw)
+    # IVF train-once/serve-many (r9): build_index=true emits the
+    # persistable centroid table (write it with -o / consume the
+    # json-seq); index=<path> serves from a stored table and skips
+    # training. Plain ivf trains inline as before.
+    if ctx.flag("build_index"):
+        return SIM.build_ivf_centroids(df, train_iters=2, **kw)
+    idx = ctx.param("index")
+    if idx is not None:
+        return SIM.ivf_topk(df, k=k, centroids=ctx.corpus(str(idx)),
+                            **kw)
     return SIM.ivf_topk(df, k=k, train_iters=2, **kw)
 
 

@@ -355,6 +355,25 @@ def test_corpus_mixture_and_contamination(capsys):
     assert all(r["test_id"] == r["train_id"] for r in rows)
 
 
+def test_corpus_ann_index_roundtrip(capsys, tmp_path, spark):
+    """Build the IVF index via the CLI, write it, serve from it —
+    results must equal inline training exactly (r9)."""
+    idx = str(tmp_path / "ivf_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivf",
+                "--build-index", "-o", idx)
+    assert rc == 0
+    stored = spark.read.parquet(idx)
+    assert stored.count() == 16 and set(stored.columns) == \
+        {"list_id", "centroid"}
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivf",
+                  "--index", idx, "-k", "3", "-j", "-l", "5000")
+    served = sorted(out.splitlines())
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivf",
+                  "-k", "3", "-j", "-l", "5000")
+    inline = sorted(out.splitlines())
+    assert served == inline and served
+
+
 def test_corpus_output_parquet(capsys, tmp_path, spark):
     dest = str(tmp_path / "packed")
     rc, _ = run(capsys, "corpus", "pack", "-o", dest)

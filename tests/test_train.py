@@ -214,6 +214,42 @@ def test_bpe_encode_keeps_input_id_type(spark):
     assert out[0]["bpe_tokens"][0] == "aa</w>"
 
 
+def test_bpe_properties_on_random_corpora():
+    """Property-based pinning of the (no-DuckDB-oracle) BPE learner
+    and encoder, pure-Python level: for ANY word-count table —
+    1. every learned merge pair occurred >= 2 times when chosen,
+    2. encoding rebuilds each word exactly (lossless),
+    3. encoding with the learned ranks never yields MORE symbols
+       than the char-split baseline, and
+    4. re-learning from the same counts is deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from metacat_spark.llm.train import (_encode_word,
+                                         bpe_merges_from_counts)
+
+    word_st = st.text(alphabet="abcde", min_size=1, max_size=8)
+    counts_st = st.dictionaries(word_st, st.integers(1, 50),
+                                min_size=1, max_size=20)
+
+    @settings(max_examples=120, deadline=None)
+    @given(counts=counts_st, n_merges=st.integers(0, 12))
+    def run(counts, n_merges):
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges = bpe_merges_from_counts(items, n_merges)
+        assert merges == bpe_merges_from_counts(items, n_merges)
+        assert all(m[3] >= 2 for m in merges)
+        assert [m[0] for m in merges] == list(range(1, len(merges) + 1))
+        ranks = {(left, right): step for step, left, right, _ in merges}
+        for w in counts:
+            toks = _encode_word(w, ranks)
+            assert "".join(toks).replace("</w>", "") == w
+            assert toks[-1].endswith("</w>")
+            assert len(toks) <= len(w)
+
+    run()
+
+
 def test_word_counts_cap_is_takeordered(docs):
     top = word_counts(docs, vocab_cap=5).collect()
     assert len(top) == 5
