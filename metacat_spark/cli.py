@@ -799,10 +799,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "embeddings table needed)")
     cn.add_argument("--build-index", action="store_true",
                     dest="build_index",
-                    help="ivf only: emit the persistable centroid "
+                    help="ivf/ivfpq: emit the persistable index "
                          "table instead of searching (write with -o)")
     cn.add_argument("--index",
-                    help="ivf only: serve from a stored centroid "
+                    help="ivf/ivfpq: serve from a stored index "
                          "table (parquet path) — skips training")
 
     eg = sub.add_parser(

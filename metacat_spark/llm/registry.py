@@ -568,19 +568,29 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         return SIM.topk_gemm(df, k=k, **kw)
     if method == "lsh":
         return SIM.lsh_bucketed_topk(df, k=k, **kw)
-    if method == "ivfpq":
-        return SIM.ivf_pq_topk(df, k=k, train_iters=2, **kw)
-    # IVF train-once/serve-many (r9): build_index=true emits the
-    # persistable centroid table (write it with -o / consume the
+    # IVF / IVF-PQ train-once/serve-many (r9): build_index=true emits
+    # the persistable index table (write it with -o / consume the
     # json-seq); index=<path> serves from a stored table and skips
-    # training. Plain ivf trains inline as before.
-    if ctx.flag("build_index"):
-        return SIM.build_ivf_centroids(df, train_iters=2, **kw)
+    # training. Without either, training runs inline as before.
+    # Library ValueErrors (bad dim/m split, malformed index table)
+    # surface as OpError.
     idx = ctx.param("index")
-    if idx is not None:
-        return SIM.ivf_topk(df, k=k, centroids=ctx.corpus(str(idx)),
-                            **kw)
-    return SIM.ivf_topk(df, k=k, train_iters=2, **kw)
+    try:
+        if method == "ivfpq":
+            if ctx.flag("build_index"):
+                return SIM.build_ivfpq_index(df, train_iters=2, **kw)
+            if idx is not None:
+                return SIM.ivf_pq_topk(
+                    df, k=k, index=ctx.corpus(str(idx)), **kw)
+            return SIM.ivf_pq_topk(df, k=k, train_iters=2, **kw)
+        if ctx.flag("build_index"):
+            return SIM.build_ivf_centroids(df, train_iters=2, **kw)
+        if idx is not None:
+            return SIM.ivf_topk(df, k=k,
+                                centroids=ctx.corpus(str(idx)), **kw)
+        return SIM.ivf_topk(df, k=k, train_iters=2, **kw)
+    except ValueError as e:
+        raise OpError(str(e))
 
 
 # ---------------------------------------------------------------------

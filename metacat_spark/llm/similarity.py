@@ -653,12 +653,106 @@ def _train_pq(R, m: int, n_codes: int, iters: int = 8):
     return np.stack(books)  # (m, n_codes, d)
 
 
+def _train_ivfpq(base: DataFrame, n_lists: int, m: int, n_codes: int,
+                 seed: int, train_iters: int, sample_size: int):
+    """Coarse centroids + PQ codebooks — the training half of
+    ivf_pq_topk, factored out so build_ivfpq_index can persist the
+    result. Returns (Cn, CB, base) — base comes back because
+    train_iters materializes it."""
+    import numpy as np
+
+    Cn0 = (base.withColumn(
+        "hk", F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
+        .orderBy("hk").limit(n_lists).select("vec").collect())
+    C = np.array([list(r["vec"]) for r in Cn0])
+    if C.shape[1] % m:
+        # a silent dim//m split would DROP the trailing dim % m
+        # dimensions from the codebooks — with rerank=False the ADC
+        # score would ignore them entirely (ADVICE r5). Checked
+        # BEFORE the optional k-means refinement so a
+        # mis-parameterization can't burn train_iters of cluster
+        # work first (review r6).
+        raise ValueError(
+            f"ivf_pq_topk: vector dim {C.shape[1]} is not divisible "
+            f"by m={m} subspaces — pick m dividing the dimension")
+    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    if train_iters:
+        base = base.localCheckpoint(eager=True)
+        Cn = _refine_centroids(base, Cn, train_iters)
+    # PQ training sample: smallest sample_size hashes (TakeOrdered —
+    # a bounded top-n, not a global sort), residuals vs the FINAL
+    # coarse centroids
+    samp = (base.withColumn(
+        "hk", F.xxhash64(F.col("id").cast("string"), F.lit(seed + 1)))
+        .orderBy("hk").limit(sample_size).select("vec").collect())
+    S = np.array([list(r["vec"]) for r in samp])
+    Sn = S / (np.linalg.norm(S, axis=1, keepdims=True) + 1e-12)
+    res = Sn - Cn[np.argmax(Sn @ Cn.T, axis=1)]
+    CB = _train_pq(res, m, n_codes)             # (m, n_codes, d)
+    return Cn, CB, base
+
+
+def build_ivfpq_index(df: DataFrame, n_lists: int = 16, m: int = 8,
+                      n_codes: int = 256, seed: int = 42,
+                      train_iters: int = 0, sample_size: int = 2048,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Train an IVF-PQ index ONCE and return its persistable
+    artifact: one (kind, i, j, vector) table carrying both halves —
+    kind='centroid' rows (i = list_id, j = 0, vector = unit coarse
+    centroid) and kind='codebook' rows (i = subspace, j = code,
+    vector = the d/m-dim codeword). Write to parquet and serve with
+    ``ivf_pq_topk(..., index=)``: m and n_codes are derived FROM the
+    stored table, and neither k-means nor the PQ sample reruns."""
+    base = _prep(df, vec_col, id_col).drop("nrm")
+    Cn, CB, _ = _train_ivfpq(base, n_lists, m, n_codes, seed,
+                             train_iters, sample_size)
+    rows = [("centroid", i, 0, [float(x) for x in Cn[i]])
+            for i in range(len(Cn))]
+    rows += [("codebook", s, c, [float(x) for x in CB[s][c]])
+             for s in range(CB.shape[0]) for c in range(CB.shape[1])]
+    return df.sparkSession.createDataFrame(
+        rows, "kind string, i int, j int, vector array<double>")
+
+
+def _decode_ivfpq_index(index: DataFrame):
+    """(Cn, CB) from a build_ivfpq_index table — bounded collect of
+    n_lists + m·n_codes rows. Raises ValueError on a table that is
+    not a well-formed artifact (wrong columns / missing halves)."""
+    import numpy as np
+
+    want = {"kind", "i", "j", "vector"}
+    if not want <= set(index.columns):
+        raise ValueError(
+            f"ivf_pq_topk: index table must have columns {sorted(want)}")
+    rows = index.collect()
+    cent = sorted(((r["i"], r["vector"]) for r in rows
+                   if r["kind"] == "centroid"))
+    code = sorted(((r["i"], r["j"], r["vector"]) for r in rows
+                   if r["kind"] == "codebook"))
+    if not cent or not code:
+        raise ValueError("ivf_pq_topk: index table is missing its "
+                         "centroid or codebook rows")
+    Cn = np.array([list(v) for _, v in cent])
+    m = max(i for i, _, _ in code) + 1
+    n_codes = max(j for _, j, _ in code) + 1
+    if len(code) != m * n_codes:
+        raise ValueError("ivf_pq_topk: codebook rows are not a full "
+                         f"{m}x{n_codes} grid")
+    d = len(code[0][2])
+    CB = np.zeros((m, n_codes, d))
+    for i, j, v in code:
+        CB[i][j] = list(v)
+    return Cn, CB
+
+
 def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
                 n_probe: int = 4, m: int = 8, n_codes: int = 256,
                 shortlist: int | None = None, rerank: bool = True,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 seed: int = 42, train_iters: int = 0,
-                sample_size: int = 2048) -> DataFrame:
+                sample_size: int = 2048,
+                index: DataFrame | None = None) -> DataFrame:
     """IVF-PQ approximate top-k: the coarse inverted file of ivf_topk
     plus a product quantizer over the per-list RESIDUALS, scored by
     asymmetric distance computation (ADC) — the standard
@@ -697,43 +791,26 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     mults to m lookups. Pure-ADC (rerank=False) recall 0.53-0.68:
     honest but lossy on structureless vectors; real embedding
     distributions (cluster structure, decaying spectrum) quantize
-    far better. Certificate entry uses rerank=True."""
+    far better. Certificate entry uses rerank=True.
+
+    ``index`` (r9): a prebuilt artifact from ``build_ivfpq_index``
+    (possibly parquet-round-tripped). When given, BOTH trainings are
+    skipped and m/n_codes are derived from the table (the n_lists/
+    seed/train_iters/sample_size params are ignored) — train once
+    per corpus version, serve every query from storage."""
     import numpy as np
     import pandas as pd
 
     id_t = _id_ddl(df, id_col)
     base = _prep(df, vec_col, id_col).drop("nrm")
-    cent_rows = (base.withColumn(
-        "hk", F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
-        .orderBy("hk").limit(n_lists).select("vec").collect())
-    C = np.array([list(r["vec"]) for r in cent_rows])
-    if C.shape[1] % m:
-        # a silent dim//m split would DROP the trailing dim % m
-        # dimensions from the codebooks — with rerank=False the ADC
-        # score would ignore them entirely (ADVICE r5). Checked
-        # BEFORE the optional k-means refinement so a
-        # mis-parameterization can't burn train_iters of cluster
-        # work first (review r6).
-        raise ValueError(
-            f"ivf_pq_topk: vector dim {C.shape[1]} is not divisible "
-            f"by m={m} subspaces — pick m dividing the dimension")
-    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
-    if train_iters:
-        base = base.localCheckpoint(eager=True)
-        Cn = _refine_centroids(base, Cn, train_iters)
-    npb = min(n_probe, len(C))
+    if index is not None:
+        Cn, CB = _decode_ivfpq_index(index)
+        m, n_codes = CB.shape[0], CB.shape[1]
+    else:
+        Cn, CB, base = _train_ivfpq(base, n_lists, m, n_codes, seed,
+                                    train_iters, sample_size)
+    npb = min(n_probe, len(Cn))
     R_short = max(k, shortlist if shortlist is not None else 4 * k)
-
-    # PQ training sample: smallest sample_size hashes (TakeOrdered —
-    # a bounded top-n, not a global sort), residuals vs the FINAL
-    # coarse centroids
-    samp = (base.withColumn(
-        "hk", F.xxhash64(F.col("id").cast("string"), F.lit(seed + 1)))
-        .orderBy("hk").limit(sample_size).select("vec").collect())
-    S = np.array([list(r["vec"]) for r in samp])
-    Sn = S / (np.linalg.norm(S, axis=1, keepdims=True) + 1e-12)
-    res = Sn - Cn[np.argmax(Sn @ Cn.T, axis=1)]
-    CB = _train_pq(res, m, n_codes)             # (m, n_codes, d)
     d = Cn.shape[1] // m
     cb_norm2 = 0.5 * (CB ** 2).sum(-1)          # (m, n_codes)
 

@@ -372,6 +372,22 @@ def test_corpus_ann_index_roundtrip(capsys, tmp_path, spark):
                   "-k", "3", "-j", "-l", "5000")
     inline = sorted(out.splitlines())
     assert served == inline and served
+    # same round-trip through the ivfpq artifact (m/n_codes derived
+    # from the stored table)
+    pq_idx = str(tmp_path / "ivfpq_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", pq_idx)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--index", pq_idx, "-k", "3", "-j", "-l", "5000")
+    pq_served = sorted(out.splitlines())
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "-k", "3", "-j", "-l", "5000")
+    assert pq_served == sorted(out.splitlines()) and pq_served
+    # a malformed index table is a clean rc-2 OpError, not a traceback
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--index", f"{SF_DIR}/embeddings.parquet")
+    assert rc == 2
 
 
 def test_corpus_output_parquet(capsys, tmp_path, spark):

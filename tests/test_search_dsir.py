@@ -320,6 +320,34 @@ def test_ivf_prebuilt_index_matches_inline_training(embs, tmp_path,
         assert abs(nrm - 1.0) < 1e-9
 
 
+def test_ivfpq_prebuilt_index_matches_inline_training(embs, tmp_path,
+                                                      spark):
+    """Same train-once/serve-many pin for the billion-scale path:
+    ivf_pq_topk fed a parquet-round-tripped build_ivfpq_index table
+    must return EXACTLY the inline-trained results, with m/n_codes
+    derived from the artifact (r9)."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              ivf_pq_topk)
+    inline = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_pq_topk(embs, k=3, n_lists=8, n_probe=2,
+                                   m=8, n_codes=16,
+                                   train_iters=1).collect()}
+    idx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                            train_iters=1)
+    path = str(tmp_path / "ivfpq_index")
+    idx.write.parquet(path)
+    served = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_pq_topk(embs, k=3, n_probe=2,
+                                   index=spark.read.parquet(path))
+              .collect()}
+    assert served == inline
+    # malformed artifacts are clean errors, not wrong answers
+    with pytest.raises(ValueError, match="centroid or codebook"):
+        ivf_pq_topk(embs, index=idx.where("kind = 'centroid'"))
+    with pytest.raises(ValueError, match="columns"):
+        ivf_pq_topk(embs, index=embs)
+
+
 # -------------------------------------------------------- plan shape
 
 def _plan(df) -> str:
