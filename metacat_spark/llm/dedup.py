@@ -66,12 +66,22 @@ def dedup_exact_stream(spark, src_dir: str, text_col: str = "text",
     availableNow → memory sink; returns the deduplicated table."""
     import os
 
-    batch_schema = spark.read.parquet(src_dir).schema
+    from .util import hadoop_glob_escape
+
+    # the BATCH schema read also treats the path as a Hadoop glob —
+    # escape a metachar FILE name there too, or schema inference
+    # fails with PATH_NOT_FOUND before the stream ever starts
+    schema_src = src_dir
+    if os.path.isfile(src_dir):
+        schema_src = os.path.join(
+            os.path.dirname(src_dir),
+            hadoop_glob_escape(os.path.basename(src_dir)))
+    batch_schema = spark.read.parquet(schema_src).schema
     reader = spark.readStream.schema(batch_schema)
     if os.path.isfile(src_dir):
         # file streams need a directory source; glob to the one file
         reader = reader.option("pathGlobFilter",
-                               os.path.basename(src_dir))
+                               hadoop_glob_escape(os.path.basename(src_dir)))
         src_dir = os.path.dirname(src_dir)
     stream = reader.parquet(src_dir)
     out = (stream

@@ -340,13 +340,23 @@ def curate_stream(spark, src_dir: str, min_quality: float = 0.3,
     table. Equivalence with the batch stages is pinned by test."""
     import os
 
+    from .util import hadoop_glob_escape
+
     from .text import (quality_score, redact_pii, token_count)
 
-    batch_schema = spark.read.parquet(src_dir).schema
+    # the BATCH schema read also treats the path as a Hadoop glob —
+    # escape a metachar FILE name there too, or schema inference
+    # fails with PATH_NOT_FOUND before the stream ever starts
+    schema_src = src_dir
+    if os.path.isfile(src_dir):
+        schema_src = os.path.join(
+            os.path.dirname(src_dir),
+            hadoop_glob_escape(os.path.basename(src_dir)))
+    batch_schema = spark.read.parquet(schema_src).schema
     reader = spark.readStream.schema(batch_schema)
     if os.path.isfile(src_dir):
         reader = reader.option("pathGlobFilter",
-                               os.path.basename(src_dir))
+                               hadoop_glob_escape(os.path.basename(src_dir)))
         src_dir = os.path.dirname(src_dir)
     stream = reader.parquet(src_dir)
     out = (stream

@@ -564,9 +564,14 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         kw = {"vec_col": "vector", "id_col": "doc_id"}
     else:
         df = ctx.embs()
-    if method == "gemm":
-        return SIM.topk_gemm(df, k=k, **kw)
-    if method == "lsh":
+    if method in ("gemm", "lsh"):
+        # loud, not silent: an index flag on a non-index method must
+        # not quietly run (or write) a normal search (review r9)
+        if ctx.flag("build_index") or ctx.param("index") is not None:
+            raise OpError(f"ann: --build-index/--index apply to "
+                          f"method ivf or ivfpq, not {method}")
+        if method == "gemm":
+            return SIM.topk_gemm(df, k=k, **kw)
         return SIM.lsh_bucketed_topk(df, k=k, **kw)
     # IVF / IVF-PQ train-once/serve-many (r9): build_index=true emits
     # the persistable index table (write it with -o / consume the

@@ -477,8 +477,6 @@ def build_ivf_centroids(df: DataFrame, n_lists: int = 16,
     at 100 TB you train the index once per corpus version and serve
     every query from the stored centroids instead of re-running
     k-means per call."""
-    import numpy as np
-
     base = _prep(df, vec_col, id_col).drop("nrm")
     Cn = _sample_centroids(base, n_lists, seed)
     if train_iters:
@@ -487,6 +485,28 @@ def build_ivf_centroids(df: DataFrame, n_lists: int = 16,
     rows = [(i, [float(x) for x in Cn[i]]) for i in range(len(Cn))]
     return df.sparkSession.createDataFrame(
         rows, "list_id int, centroid array<double>")
+
+
+def _decode_ivf_centroids(centroids: DataFrame):
+    """Cn from a build_ivf_centroids table — bounded collect of
+    n_lists rows. Raises ValueError (the surfaces' clean-OpError
+    path) on anything that is not a well-formed artifact, instead of
+    an AnalysisException / executor-side shape error."""
+    import numpy as np
+
+    want = {"list_id", "centroid"}
+    if not want <= set(centroids.columns):
+        raise ValueError("ivf_topk: centroids table must have "
+                         f"columns {sorted(want)}")
+    crows = centroids.orderBy("list_id").collect()
+    if not crows:
+        raise ValueError("ivf_topk: centroids table is empty")
+    dims = {len(r["centroid"]) for r in crows
+            if r["centroid"] is not None}
+    if None in [r["centroid"] for r in crows] or len(dims) != 1:
+        raise ValueError("ivf_topk: centroids table has null or "
+                         "mixed-dimension centroid vectors")
+    return np.array([list(r["centroid"]) for r in crows])
 
 
 def _sample_centroids(base: DataFrame, n_lists: int, seed: int):
@@ -544,9 +564,7 @@ def ivf_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     id_t = _id_ddl(df, id_col)
     base = _prep(df, vec_col, id_col).drop("nrm")
     if centroids is not None:
-        # bounded collect: n_lists rows of dim doubles
-        crows = centroids.orderBy("list_id").collect()
-        Cn = np.array([list(r["centroid"]) for r in crows])
+        Cn = _decode_ivf_centroids(centroids)
     else:
         Cn = _sample_centroids(base, n_lists, seed)
         if train_iters:
@@ -661,11 +679,10 @@ def _train_ivfpq(base: DataFrame, n_lists: int, m: int, n_codes: int,
     train_iters materializes it."""
     import numpy as np
 
-    Cn0 = (base.withColumn(
-        "hk", F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
-        .orderBy("hk").limit(n_lists).select("vec").collect())
-    C = np.array([list(r["vec"]) for r in Cn0])
-    if C.shape[1] % m:
+    # shared seeding with build_ivf_centroids/ivf_topk (normalization
+    # preserves the dimension, so the dim % m check runs on Cn)
+    Cn = _sample_centroids(base, n_lists, seed)
+    if Cn.shape[1] % m:
         # a silent dim//m split would DROP the trailing dim % m
         # dimensions from the codebooks — with rerank=False the ADC
         # score would ignore them entirely (ADVICE r5). Checked
@@ -673,9 +690,8 @@ def _train_ivfpq(base: DataFrame, n_lists: int, m: int, n_codes: int,
         # mis-parameterization can't burn train_iters of cluster
         # work first (review r6).
         raise ValueError(
-            f"ivf_pq_topk: vector dim {C.shape[1]} is not divisible "
+            f"ivf_pq_topk: vector dim {Cn.shape[1]} is not divisible "
             f"by m={m} subspaces — pick m dividing the dimension")
-    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
     if train_iters:
         base = base.localCheckpoint(eager=True)
         Cn = _refine_centroids(base, Cn, train_iters)
@@ -736,12 +752,25 @@ def _decode_ivfpq_index(index: DataFrame):
     Cn = np.array([list(v) for _, v in cent])
     m = max(i for i, _, _ in code) + 1
     n_codes = max(j for _, j, _ in code) + 1
-    if len(code) != m * n_codes:
+    cells = {(i, j) for i, j, _ in code}
+    if len(code) != m * n_codes or len(cells) != m * n_codes:
         raise ValueError("ivf_pq_topk: codebook rows are not a full "
-                         f"{m}x{n_codes} grid")
+                         f"{m}x{n_codes} grid (duplicates or gaps)")
     d = len(code[0][2])
+    # cross-check the two halves: the ADC decomposition needs the
+    # centroid dim to split into exactly m codeword-sized subspaces —
+    # a mismatch (concatenated artifacts, hand edits) would otherwise
+    # silently floor-truncate dims, the very bug the training-path
+    # dim % m check prevents
+    if Cn.shape[1] != m * d:
+        raise ValueError(
+            f"ivf_pq_topk: centroid dim {Cn.shape[1]} != m·d = "
+            f"{m}×{d} — the index table mixes incompatible halves")
     CB = np.zeros((m, n_codes, d))
     for i, j, v in code:
+        if len(v) != d:
+            raise ValueError("ivf_pq_topk: codebook rows have mixed "
+                             "codeword dimensions")
         CB[i][j] = list(v)
     return Cn, CB
 

@@ -898,14 +898,24 @@ def divergence_stream(spark, src_dir: str, reference: DataFrame,
     (``max_files_per_batch`` controls batch granularity)."""
     import os
 
+    from .util import hadoop_glob_escape
+
     ref = reference.select(id_col, text_col).cache()
     ref.count()
-    batch_schema = spark.read.parquet(src_dir).schema
+    # the BATCH schema read also treats the path as a Hadoop glob —
+    # escape a metachar FILE name there too, or schema inference
+    # fails with PATH_NOT_FOUND before the stream ever starts
+    schema_src = src_dir
+    if os.path.isfile(src_dir):
+        schema_src = os.path.join(
+            os.path.dirname(src_dir),
+            hadoop_glob_escape(os.path.basename(src_dir)))
+    batch_schema = spark.read.parquet(schema_src).schema
     reader = (spark.readStream.schema(batch_schema)
               .option("maxFilesPerTrigger", max_files_per_batch))
     if os.path.isfile(src_dir):
         reader = reader.option("pathGlobFilter",
-                               os.path.basename(src_dir))
+                               hadoop_glob_escape(os.path.basename(src_dir)))
         src_dir = os.path.dirname(src_dir)
     stream = reader.parquet(src_dir)
     rows = []

@@ -18,3 +18,14 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)
+
+
+def hadoop_glob_escape(name: str) -> str:
+    """Escape a literal file name for Hadoop glob contexts (path
+    globs and pathGlobFilter). Hadoop's GlobPattern only supports
+    BACKSLASH escaping — Python's glob.escape emits `[x]` character
+    classes, which GlobPattern rejects as an unclosed class
+    (review r9). Specials: * ? [ ] { } , and backslash itself."""
+    import re
+
+    return re.sub(r"([\\\[\]{}*?,])", r"\\\1", name)

@@ -320,6 +320,25 @@ def test_ivf_prebuilt_index_matches_inline_training(embs, tmp_path,
         assert abs(nrm - 1.0) < 1e-9
 
 
+def test_ivf_malformed_centroids_clean_errors(embs):
+    """ivf_topk(centroids=) must reject malformed artifacts with
+    ValueError (→ clean OpError on the surfaces), matching the
+    ivfpq decoder's contract (review r9b)."""
+    from metacat_spark.llm.similarity import ivf_topk
+    spark = embs.sparkSession
+    with pytest.raises(ValueError, match="columns"):
+        ivf_topk(embs, centroids=embs)
+    empty = spark.createDataFrame(
+        [], "list_id int, centroid array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_topk(embs, centroids=empty)
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "list_id int, centroid array<double>")
+    with pytest.raises(ValueError, match="dimension"):
+        ivf_topk(embs, centroids=mixed)
+
+
 def test_ivfpq_prebuilt_index_matches_inline_training(embs, tmp_path,
                                                       spark):
     """Same train-once/serve-many pin for the billion-scale path:

@@ -144,6 +144,26 @@ def test_score_stream_equals_batch_scorer(labeled, spark):
             (d, (m, p), (sm, sp))
 
 
+def test_score_stream_glob_metachar_filename(labeled, spark,
+                                             tmp_path):
+    """A source FILE whose name contains glob metacharacters must
+    still stream (pathGlobFilter is escaped) — previously '[0]' was
+    read as a character class, zero files matched, and the result
+    was silently empty (review r9; same fix applied to every
+    file-stream reader)."""
+    import shutil
+
+    from conftest import SF_DIR
+
+    from metacat_spark.llm.train import score_stream
+    src = tmp_path / "part-[0].parquet"
+    shutil.copy(f"{SF_DIR}/documents.parquet", src)
+    w = train_logreg_hashed(labeled, "y", steps=1, lr=1.0, buckets=16)
+    out = score_stream(spark, str(src), w, buckets=16,
+                       table="score_stream_glob")
+    assert out.count() == labeled.count()
+
+
 # --------------------------------------------------------------- BPE
 
 def test_bpe_classic_merge_order():

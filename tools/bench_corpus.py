@@ -45,6 +45,16 @@ def _train():
     return TR
 
 
+_BPE_CACHE = {}
+
+
+def _bpe_merges_once(docs):
+    if "m" not in _BPE_CACHE:
+        _BPE_CACHE["m"] = _train().train_bpe_merges(docs,
+                                                    num_merges=100)
+    return _BPE_CACHE["m"]
+
+
 def main():
     spark = get_spark("bench_corpus")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -117,10 +127,15 @@ def main():
             "y", steps=4, lr=25.0)),
         "bpe_train": lambda: _consume(_train().train_bpe_merges(
             docs, num_merges=100)),
+        # merge table trained ONCE outside the timed closure — the
+        # encode number must not carry the training cost (bpe_train
+        # measures that separately; review r9)
         "bpe_encode": lambda: _consume(_train().bpe_encode(
-            docs, _train().train_bpe_merges(docs, num_merges=100))),
+            docs, _bpe_merges_once(docs))),
     }
     only = set(sys.argv[1:])
+    if not only or "bpe_encode" in only:
+        _bpe_merges_once(docs)  # train OUTSIDE bpe_encode's timing
     out = {}
     for name, fn in cases.items():
         if only and name not in only:
