@@ -7,4 +7,4 @@ reproduce them bit-for-bit.
 """
 
 from . import (dedup, multimodal, packing, pipeline,  # noqa: F401
-               similarity, text)
+               search, similarity, text, train)
