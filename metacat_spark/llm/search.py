@@ -83,19 +83,28 @@ def bm25_scores(df: DataFrame, query_terms, k1: float = 1.2,
         *[F.sum((F.col(f"__tf{i}") > 0).cast("double"))
           .alias(f"__df{i}") for i in range(len(terms))])
     scored = base.crossJoin(F.broadcast(stats))
-    score = F.lit(0.0)
-    for i in range(len(terms)):
-        idf = F.log(F.lit(1.0)
-                    + (F.col("__n") - F.col(f"__df{i}") + 0.5)
-                    / (F.col(f"__df{i}") + 0.5))
-        tf = F.col(f"__tf{i}")
-        denom = tf + k1 * (1.0 - b
-                           + b * F.try_divide(F.col("__dl"),
-                                              F.col("__avgdl")))
-        score = score + idf * F.try_divide(tf * (k1 + 1.0), denom)
+    score = _score_expr(len(terms), F.col("__n"), F.col("__avgdl"),
+                        [F.col(f"__df{i}") for i in range(len(terms))],
+                        k1, b)
     return scored.select(
         F.col(id_col), F.col("__dl").cast("long").alias("n_tokens"),
         F.round(score, 6).alias("score"))
+
+
+def _score_expr(n_terms: int, n, avgdl, dfs, k1: float, b: float):
+    """The BM25 sum over __tf{i}/__dl columns, with the corpus stats
+    supplied as Columns (batch: broadcast-aggregate columns) or
+    literals (stream: reference-corpus floats) — ONE arithmetic
+    shape for both paths, so batch≡stream pins compare identical
+    operation sequences."""
+    score = F.lit(0.0)
+    for i in range(n_terms):
+        idf = F.log(F.lit(1.0) + (n - dfs[i] + 0.5) / (dfs[i] + 0.5))
+        tf = F.col(f"__tf{i}")
+        denom = tf + k1 * (1.0 - b
+                           + b * F.try_divide(F.col("__dl"), avgdl))
+        score = score + idf * F.try_divide(tf * (k1 + 1.0), denom)
+    return score
 
 
 def search_bm25(df: DataFrame, query_terms, k: int = 10,
@@ -115,6 +124,72 @@ def search_bm25(df: DataFrame, query_terms, k: int = 10,
            .limit(k))
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_stream(spark, src_dir: str, query_terms,
+                stats_from: DataFrame, k1: float = 1.2,
+                b: float = 0.75, table: str = "bm25_stream",
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``bm25_scores``: score a document STREAM
+    against a fixed query, with the corpus statistics (N, avgdl,
+    per-term document frequencies) computed ONCE from a static
+    REFERENCE corpus — the divergence_stream pattern (model from the
+    reference, row-local work on the stream). Scoring is a pure
+    per-row expression (tfs as array filters, stats as literals), so
+    the stream needs no aggregation state and runs in plain append
+    mode. availableNow → memory sink; batch≡stream equality (stats
+    from the same corpus) is pinned by test."""
+    import os
+
+    from .util import hadoop_glob_escape
+
+    terms = _dedupe_terms(query_terms)
+    toks_ref = tokens(F.lower(F.col(text_col)))
+    ref_stats = stats_from.select(
+        F.size(toks_ref).cast("double").alias("__dl"),
+        *[occurrences_in(toks_ref, t).cast("double").alias(f"__tf{i}")
+          for i, t in enumerate(terms)]).agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("__dl").alias("avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("double"))
+          .alias(f"df{i}") for i in range(len(terms))]).collect()[0]
+
+    schema_src = src_dir
+    if os.path.isfile(src_dir):
+        schema_src = os.path.join(
+            os.path.dirname(src_dir),
+            hadoop_glob_escape(os.path.basename(src_dir)))
+    batch_schema = spark.read.parquet(schema_src).schema
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isfile(src_dir):
+        reader = reader.option(
+            "pathGlobFilter",
+            hadoop_glob_escape(os.path.basename(src_dir)))
+        src_dir = os.path.dirname(src_dir)
+    stream = reader.parquet(src_dir)
+
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = stream.select(
+        F.col(id_col), F.size(toks).cast("double").alias("__dl"),
+        *[occurrences_in(toks, t).cast("double").alias(f"__tf{i}")
+          for i, t in enumerate(terms)])
+    score = _score_expr(
+        len(terms), F.lit(float(ref_stats["n"])),
+        F.lit(float(ref_stats["avgdl"])),
+        [F.lit(float(ref_stats[f"df{i}"]))
+         for i in range(len(terms))], k1, b)
+    out = staged.select(
+        F.col(id_col), F.col("__dl").cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"))
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "bm25_stream did not finish within 120s — refusing to "
+            "return a partially populated memory table")
+    return spark.table(table)
 
 
 def cosine_topn(embeddings: DataFrame, query_vec_id: int, n: int,

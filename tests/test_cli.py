@@ -388,6 +388,19 @@ def test_corpus_ann_index_roundtrip(capsys, tmp_path, spark):
     rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
                 "--index", f"{SF_DIR}/embeddings.parquet")
     assert rc == 2
+    # text-only corpora get the billion-scale path end-to-end:
+    # hashed doc vectors + ivfpq + stored index (r9)
+    hidx = str(tmp_path / "hashed_pq_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--hashed", "--build-index", "-o", hidx)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--hashed", "--index", hidx, "-k", "3", "-j",
+                  "-l", "5000")
+    h_served = sorted(out.splitlines())
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--hashed", "-k", "3", "-j", "-l", "5000")
+    assert h_served == sorted(out.splitlines()) and h_served
 
 
 def test_corpus_output_parquet(capsys, tmp_path, spark):

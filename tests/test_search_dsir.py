@@ -160,6 +160,26 @@ def test_cosine_topn_vs_duck(embs, duck):
     assert got == [tuple(r) for r in want]
 
 
+def test_bm25_stream_equals_batch(docs, spark):
+    """Streaming BM25 with reference stats from the SAME corpus must
+    reproduce the batch scorer's round-6 scores for every doc."""
+    from conftest import SF_DIR
+
+    from metacat_spark.llm.search import bm25_stream
+    batch = {r["doc_id"]: (r["n_tokens"], r["score"])
+             for r in bm25_scores(docs, QUERY).collect()}
+    streamed = {r["doc_id"]: (r["n_tokens"], r["score"])
+                for r in bm25_stream(
+                    spark, f"{SF_DIR}/documents.parquet", QUERY,
+                    stats_from=docs, table="bm25_stream_t1")
+                .collect()}
+    assert set(streamed) == set(batch)
+    for d, (nt, s) in batch.items():
+        snt, ss = streamed[d]
+        assert snt == nt and abs(ss - s) <= 1e-6, (d, (nt, s),
+                                                   (snt, ss))
+
+
 def test_cosine_topn_missing_vec_raises(embs):
     """A typo'd vec_id must be a clean error, not a silently empty
     (or BM25-only, through hybrid_rrf) result (review r9)."""
