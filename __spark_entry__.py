@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 137
+TOTAL_ENTRIES = 138
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1612,6 +1612,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("margin", 4).alias("margin"),
                           F.round("prob", 4).alias("prob"))
     q["doc_train_classifier_score"] = train_classifier_score
+
+    def corpus_diff_entry(spark, sf_dir):
+        """Snapshot diff between two corpus versions (llm/pipeline.py
+        corpus_diff): old = the corpus without every 7th doc, new =
+        the corpus with every 5th doc's text suffixed — so all four
+        statuses (added/removed/changed/unchanged) occur. Each side
+        reduces to narrow (id, fingerprint) rows before ONE
+        full-outer join; the oracle replays the rolling hash and the
+        status decision verbatim."""
+        from metacat_spark.llm.pipeline import corpus_diff
+        docs = _docs(spark, sf_dir)
+        old = docs.where(F.col("doc_id") % 7 != 0)
+        new = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")))
+        return corpus_diff(old, new)
+    q["doc_corpus_diff"] = corpus_diff_entry
 
     # BPE vocabulary learning (llm/train.py train_bpe_merges) has NO
     # driver entry by design: the merge loop is iterative (not
@@ -3419,6 +3438,32 @@ def oracle_sql() -> dict[str, str]:
         group by id"""
 
     o["doc_dsir_weights"] = _dsir_w
+
+    # shared rolling-hash fingerprint of a text expression (the
+    # doc_text_analysis mirror, parameterized)
+    def _fp_sql(expr: str) -> str:
+        return ("list_reduce(list_prepend(0::bigint, "
+                f"list_transform(string_split({expr}, ''), "
+                "x -> unicode(x)::bigint)), "
+                "(acc, x) -> (acc * 31 + x) % 2147483647)")
+
+    o["doc_corpus_diff"] = f"""
+        with o as (
+          select doc_id as id, {_fp_sql('text')} as old_fp
+          from documents where doc_id % 7 <> 0),
+        n as (
+          select doc_id as id,
+                 {_fp_sql("case when doc_id % 5 = 0 "
+                          "then text || ' v2' else text end")}
+                   as new_fp
+          from documents)
+        select coalesce(o.id, n.id) as doc_id,
+               case when old_fp is null then 'added'
+                    when new_fp is null then 'removed'
+                    when old_fp = new_fp then 'unchanged'
+                    else 'changed' end as status,
+               old_fp, new_fp
+        from o full outer join n on o.id = n.id"""
 
     # r9 in-engine classifier training: the 4 full-batch GD steps are
     # UNROLLED as a CTE chain (e_t → bucket-bounded g_t → w_{t+1});

@@ -625,6 +625,37 @@ def cap_per_domain(df: DataFrame, n: int = 100,
             .select(id_col, domain_col, "quality", "rank"))
 
 
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit a
+    rolling continuous-ingest corpus needs before retraining: which
+    documents were added, removed, or changed (content fingerprint
+    moved), and which are unchanged.
+
+    Returns (id_col, status ∈ {added, removed, changed, unchanged},
+    old_fp, new_fp) with the shared rolling-hash fingerprints (NULL
+    on the missing side). Plan shape: each side reduces to narrow
+    (id, fp) rows — the TEXT never crosses the join — then ONE
+    full-outer hash join on id. At 100 TB both sides are
+    id-partitioned scans; the join is the only shuffle and carries
+    16 bytes per row."""
+    from .text import poly_hash
+
+    o = old.select(F.col(id_col).alias("id"),
+                   poly_hash(F.col(text_col)).alias("old_fp"))
+    n = new.select(F.col(id_col).alias("id"),
+                   poly_hash(F.col(text_col)).alias("new_fp"))
+    j = o.join(n, "id", "full_outer")
+    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") == F.col("new_fp"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(F.col("id").alias(id_col),
+                    status.alias("status"), "old_fp", "new_fp")
+
+
 def quality_quantile_gate(df: DataFrame, keep_frac: float = 0.75,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:

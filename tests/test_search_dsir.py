@@ -387,6 +387,26 @@ def test_ivfpq_prebuilt_index_matches_inline_training(embs, tmp_path,
         ivf_pq_topk(embs, index=embs)
 
 
+def test_corpus_diff_statuses(spark):
+    """All four statuses on a hand-built pair of snapshots; text
+    never needs to match — only the fingerprint decides."""
+    from metacat_spark.llm.pipeline import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "goes away")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
+    out = corpus_diff(old, new).collect()
+    for r in out:
+        assert (r["old_fp"] is None) == (r["status"] == "added")
+        assert (r["new_fp"] is None) == (r["status"] == "removed")
+
+
 # -------------------------------------------------------- plan shape
 
 def _plan(df) -> str:
