@@ -642,6 +642,13 @@ def build_parser() -> argparse.ArgumentParser:
                           "(default 50)")
     chy.add_argument("-k", type=int, help="fused results to return "
                      "(default 10)")
+    cdiff = cs.add_parser("diff", help="snapshot diff vs a newer "
+                          "corpus version (added/removed/changed/"
+                          "unchanged by content fingerprint)")
+    _corpus_common(cdiff)
+    cdiff.add_argument("--new", required=True, dest="new",
+                       help="parquet path of the NEW snapshot "
+                            "(--input is the old version)")
     cds = cs.add_parser("dsir", help="DSIR hashed-ngram importance "
                         "weights (Gumbel-top-m resample with --m)")
     _corpus_common(cds)

@@ -415,6 +415,18 @@ def _op_bpe(ctx: OpContext) -> DataFrame:
     return bpe_encode(ctx.docs(), merges)
 
 
+@_corpus_op("diff")
+def _op_diff(ctx: OpContext) -> DataFrame:
+    # snapshot diff: served docs are the OLD version, new= is the
+    # newer snapshot ("new" rather than "against": _registry_params
+    # renames against→test for the divergence/contamination family)
+    from .pipeline import corpus_diff
+    path = ctx.require(
+        "new", "diff needs new=<parquet path of the NEW corpus "
+               "snapshot> (served docs are the old version)")
+    return corpus_diff(ctx.docs(), ctx.corpus(path))
+
+
 @_corpus_op("domaincap")
 def _op_domaincap(ctx: OpContext) -> DataFrame:
     from .pipeline import cap_per_domain

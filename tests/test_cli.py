@@ -315,6 +315,16 @@ def test_corpus_search_hybrid_dsir(capsys):
     assert rc == 2
 
 
+def test_corpus_diff_self(capsys):
+    # a corpus diffed against itself is all 'unchanged'
+    rc, out = run(capsys, "corpus", "diff",
+                  "--new", f"{SF_DIR}/documents.parquet",
+                  "-j", "-l", "10")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 10
+    assert all(r["status"] == "unchanged" for r in rows)
+
+
 def test_corpus_train_and_bpe(capsys):
     rc, out = run(capsys, "corpus", "train", "--label", "source",
                   "--pos", "src0", "--steps", "2", "--buckets", "32",
