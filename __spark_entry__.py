@@ -3447,20 +3447,26 @@ def oracle_sql() -> dict[str, str]:
                 "x -> unicode(x)::bigint)), "
                 "(acc, x) -> (acc * 31 + x) % 2147483647)")
 
+    # presence from explicit markers (NOT fp nullability — NULL-text
+    # docs are present with a NULL fingerprint); IS NOT DISTINCT FROM
+    # mirrors the engine's eqNullSafe
     o["doc_corpus_diff"] = f"""
         with o as (
-          select doc_id as id, {_fp_sql('text')} as old_fp
+          select doc_id as id, {_fp_sql('text')} as old_fp,
+                 true as in_old
           from documents where doc_id % 7 <> 0),
         n as (
           select doc_id as id,
                  {_fp_sql("case when doc_id % 5 = 0 "
                           "then text || ' v2' else text end")}
-                   as new_fp
+                   as new_fp,
+                 true as in_new
           from documents)
         select coalesce(o.id, n.id) as doc_id,
-               case when old_fp is null then 'added'
-                    when new_fp is null then 'removed'
-                    when old_fp = new_fp then 'unchanged'
+               case when in_old is null then 'added'
+                    when in_new is null then 'removed'
+                    when old_fp is not distinct from new_fp
+                      then 'unchanged'
                     else 'changed' end as status,
                old_fp, new_fp
         from o full outer join n on o.id = n.id"""

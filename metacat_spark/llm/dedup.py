@@ -64,26 +64,10 @@ def dedup_exact_stream(spark, src_dir: str, text_col: str = "text",
     curation pipeline (state = one md5 per distinct content; bound it
     with a watermark on an arrival-time column in a real deployment).
     availableNow → memory sink; returns the deduplicated table."""
-    import os
 
-    from .util import hadoop_glob_escape
+    from .util import stream_parquet
 
-    # the BATCH schema read also treats the path as a Hadoop glob —
-    # escape a metachar FILE name there too, or schema inference
-    # fails with PATH_NOT_FOUND before the stream ever starts
-    schema_src = src_dir
-    if os.path.isfile(src_dir):
-        schema_src = os.path.join(
-            os.path.dirname(src_dir),
-            hadoop_glob_escape(os.path.basename(src_dir)))
-    batch_schema = spark.read.parquet(schema_src).schema
-    reader = spark.readStream.schema(batch_schema)
-    if os.path.isfile(src_dir):
-        # file streams need a directory source; glob to the one file
-        reader = reader.option("pathGlobFilter",
-                               hadoop_glob_escape(os.path.basename(src_dir)))
-        src_dir = os.path.dirname(src_dir)
-    stream = reader.parquet(src_dir)
+    stream = stream_parquet(spark, src_dir)
     out = (stream
            .withColumn("__h", F.md5(F.col(text_col)))
            .dropDuplicates(["__h"])

@@ -338,27 +338,12 @@ def curate_stream(spark, src_dir: str, min_quality: float = 0.3,
     periodic batch compaction downstream (LSH state is not
     stream-shaped). availableNow → memory sink; returns the curated
     table. Equivalence with the batch stages is pinned by test."""
-    import os
 
-    from .util import hadoop_glob_escape
+    from .util import stream_parquet
 
     from .text import (quality_score, redact_pii, token_count)
 
-    # the BATCH schema read also treats the path as a Hadoop glob —
-    # escape a metachar FILE name there too, or schema inference
-    # fails with PATH_NOT_FOUND before the stream ever starts
-    schema_src = src_dir
-    if os.path.isfile(src_dir):
-        schema_src = os.path.join(
-            os.path.dirname(src_dir),
-            hadoop_glob_escape(os.path.basename(src_dir)))
-    batch_schema = spark.read.parquet(schema_src).schema
-    reader = spark.readStream.schema(batch_schema)
-    if os.path.isfile(src_dir):
-        reader = reader.option("pathGlobFilter",
-                               hadoop_glob_escape(os.path.basename(src_dir)))
-        src_dir = os.path.dirname(src_dir)
-    stream = reader.parquet(src_dir)
+    stream = stream_parquet(spark, src_dir)
     out = (stream
            .withColumn("n_tok", token_count(F.col("text")))
            .withColumn("quality", quality_score(F.col("text")))
@@ -642,14 +627,21 @@ def corpus_diff(old: DataFrame, new: DataFrame,
     16 bytes per row."""
     from .text import poly_hash
 
+    # presence comes from EXPLICIT marker columns, not fingerprint
+    # nullability — a NULL-text document (legal in any user parquet)
+    # has a NULL fingerprint while being perfectly present, and must
+    # not masquerade as added/removed (review r9c). eqNullSafe keeps
+    # NULL-text-on-both-sides as 'unchanged'.
     o = old.select(F.col(id_col).alias("id"),
-                   poly_hash(F.col(text_col)).alias("old_fp"))
+                   poly_hash(F.col(text_col)).alias("old_fp"),
+                   F.lit(True).alias("__in_old"))
     n = new.select(F.col(id_col).alias("id"),
-                   poly_hash(F.col(text_col)).alias("new_fp"))
+                   poly_hash(F.col(text_col)).alias("new_fp"),
+                   F.lit(True).alias("__in_new"))
     j = o.join(n, "id", "full_outer")
-    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
-              .when(F.col("new_fp").isNull(), F.lit("removed"))
-              .when(F.col("old_fp") == F.col("new_fp"),
+    status = (F.when(F.col("__in_old").isNull(), F.lit("added"))
+              .when(F.col("__in_new").isNull(), F.lit("removed"))
+              .when(F.col("old_fp").eqNullSafe(F.col("new_fp")),
                     F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return j.select(F.col("id").alias(id_col),

@@ -140,9 +140,7 @@ def bm25_stream(spark, src_dir: str, query_terms,
     the stream needs no aggregation state and runs in plain append
     mode. availableNow → memory sink; batch≡stream equality (stats
     from the same corpus) is pinned by test."""
-    import os
-
-    from .util import hadoop_glob_escape
+    from .util import stream_parquet
 
     terms = _dedupe_terms(query_terms)
     toks_ref = tokens(F.lower(F.col(text_col)))
@@ -154,20 +152,12 @@ def bm25_stream(spark, src_dir: str, query_terms,
         F.avg("__dl").alias("avgdl"),
         *[F.sum((F.col(f"__tf{i}") > 0).cast("double"))
           .alias(f"df{i}") for i in range(len(terms))]).collect()[0]
+    if not ref_stats["n"] or ref_stats["avgdl"] is None:
+        raise ValueError(
+            "bm25_stream: stats_from reference corpus is empty (or "
+            "all-NULL text) — no corpus statistics to score against")
 
-    schema_src = src_dir
-    if os.path.isfile(src_dir):
-        schema_src = os.path.join(
-            os.path.dirname(src_dir),
-            hadoop_glob_escape(os.path.basename(src_dir)))
-    batch_schema = spark.read.parquet(schema_src).schema
-    reader = spark.readStream.schema(batch_schema)
-    if os.path.isfile(src_dir):
-        reader = reader.option(
-            "pathGlobFilter",
-            hadoop_glob_escape(os.path.basename(src_dir)))
-        src_dir = os.path.dirname(src_dir)
-    stream = reader.parquet(src_dir)
+    stream = stream_parquet(spark, src_dir)
 
     toks = tokens(F.lower(F.col(text_col)))
     staged = stream.select(

@@ -896,28 +896,13 @@ def divergence_stream(spark, src_dir: str, reference: DataFrame,
     (batch_id, n_docs, n_terms_union, kl_batch_m, kl_ref_m,
     js_divergence), one row per micro-batch
     (``max_files_per_batch`` controls batch granularity)."""
-    import os
 
-    from .util import hadoop_glob_escape
+    from .util import stream_parquet
 
     ref = reference.select(id_col, text_col).cache()
     ref.count()
-    # the BATCH schema read also treats the path as a Hadoop glob —
-    # escape a metachar FILE name there too, or schema inference
-    # fails with PATH_NOT_FOUND before the stream ever starts
-    schema_src = src_dir
-    if os.path.isfile(src_dir):
-        schema_src = os.path.join(
-            os.path.dirname(src_dir),
-            hadoop_glob_escape(os.path.basename(src_dir)))
-    batch_schema = spark.read.parquet(schema_src).schema
-    reader = (spark.readStream.schema(batch_schema)
-              .option("maxFilesPerTrigger", max_files_per_batch))
-    if os.path.isfile(src_dir):
-        reader = reader.option("pathGlobFilter",
-                               hadoop_glob_escape(os.path.basename(src_dir)))
-        src_dir = os.path.dirname(src_dir)
-    stream = reader.parquet(src_dir)
+    stream = stream_parquet(
+        spark, src_dir, max_files_per_trigger=max_files_per_batch)
     rows = []
 
     def on_batch(bdf, bid):

@@ -182,27 +182,12 @@ def score_stream(spark, src_dir: str, weights: DataFrame,
     aggregation state, plain append mode), which is algebraically
     the same margin as the batch scorer's relational plan;
     equivalence is pinned by test. availableNow → memory sink."""
-    import os
 
-    from .util import hadoop_glob_escape
+    from .util import stream_parquet
 
     wmap = {int(r["f"]): float(r["weight"])
             for r in weights.collect()}  # bounded: <= buckets+1
-    # the BATCH schema read also treats the path as a Hadoop glob —
-    # escape a metachar FILE name there too, or schema inference
-    # fails with PATH_NOT_FOUND before the stream ever starts
-    schema_src = src_dir
-    if os.path.isfile(src_dir):
-        schema_src = os.path.join(
-            os.path.dirname(src_dir),
-            hadoop_glob_escape(os.path.basename(src_dir)))
-    batch_schema = spark.read.parquet(schema_src).schema
-    reader = spark.readStream.schema(batch_schema)
-    if os.path.isfile(src_dir):
-        reader = reader.option("pathGlobFilter",
-                               hadoop_glob_escape(os.path.basename(src_dir)))
-        src_dir = os.path.dirname(src_dir)
-    stream = reader.parquet(src_dir)
+    stream = stream_parquet(spark, src_dir)
     margin, prob = _rowlocal_score_cols(wmap, buckets, text_col)
     out = stream.select(F.col(id_col),
                         F.round(margin, 6).alias("margin"),

@@ -29,3 +29,32 @@ def hadoop_glob_escape(name: str) -> str:
     import re
 
     return re.sub(r"([\\\[\]{}*?,])", r"\\\1", name)
+
+
+def stream_parquet(spark, src_dir: str,
+                   max_files_per_trigger: int | None = None):
+    """The shared file-stream source for every *_stream twin: batch
+    schema inference + readStream over a directory, with single-FILE
+    sources handled by glob-escaping the basename (Hadoop GlobPattern
+    backslash escaping — review r9) in BOTH the schema read and the
+    pathGlobFilter. One implementation so reader-level fixes land
+    once, not five times (review r9c)."""
+    import os
+
+    is_file = os.path.isfile(src_dir)
+    schema_src = src_dir
+    if is_file:
+        schema_src = os.path.join(
+            os.path.dirname(src_dir),
+            hadoop_glob_escape(os.path.basename(src_dir)))
+    batch_schema = spark.read.parquet(schema_src).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    if is_file:
+        reader = reader.option(
+            "pathGlobFilter",
+            hadoop_glob_escape(os.path.basename(src_dir)))
+        src_dir = os.path.dirname(src_dir)
+    return reader.parquet(src_dir)

@@ -343,12 +343,13 @@ def make_handler(client: MetaCatSparkClient,
 
             def _load(path):
                 # message covers every secondary-corpus param routed
-                # here (test=, corpus=, target= — review r7/r8)
+                # here (test=, corpus=, target=, index=, new= —
+                # review r7/r8/r9)
                 if root is None:
                     raise OpError(
                         "PermissionError: secondary corpus paths "
-                        "(test=, corpus=, target=) are disabled; "
-                        "start the "
+                        "(test=, corpus=, target=, index=, new=) "
+                        "are disabled; start the "
                         "server with --data-root to allow reading "
                         "corpora under one subtree", status=403)
                 safe = _safe_path(path)
