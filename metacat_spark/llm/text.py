@@ -528,6 +528,69 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
                     "dsir_logw"))
 
 
+def dsir_stream(spark, src_dir: str, raw_reference: DataFrame,
+                target: DataFrame, buckets: int = 256,
+                table: str = "dsir_stream", text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``dsir_logweights``: the bucket models are
+    trained ONCE from static reference corpora (raw pool + target),
+    folded into a COMPLETE per-bucket log-ratio map (every bucket
+    0..B−1 carries its add-one-smoothed value, so novel buckets in
+    the stream hit the principled c=0 smoothing, never a missing
+    key), and each streamed document's weight is one row-local array
+    fold — bigram buckets via the shared rolling hash, zero
+    aggregation state, plain append mode. Documents with fewer than
+    two tokens are dropped, as in the batch scorer. availableNow →
+    memory sink; batch≡stream (reference == streamed corpus) pinned
+    by test."""
+    import math as _math
+
+    from .util import stream_parquet
+
+    def _counts(df):
+        feat = hashed_bigram_feature(F.col("w1"), F.col("w2"),
+                                     buckets)
+        rows = (bigram_rows(df, text_col, id_col)
+                .select(feat.alias("f"))
+                .groupBy("f").agg(F.count("*").alias("c"))
+                .collect())  # bounded: <= buckets rows
+        return {r["f"]: r["c"] for r in rows}
+    cr = _counts(raw_reference)
+    ct = _counts(target)
+    if not cr or not ct:
+        raise ValueError(
+            "dsir_stream: a reference corpus has no bigrams (need "
+            ">= 2 tokens in at least one document on each side)")
+    n_r, n_t = sum(cr.values()), sum(ct.values())
+    lr = {b: _math.log((ct.get(b, 0) + 1) / (n_t + buckets))
+          - _math.log((cr.get(b, 0) + 1) / (n_r + buckets))
+          for b in range(buckets)}
+    lrmap = F.create_map(*[F.lit(x) for kv in sorted(lr.items())
+                           for x in kv])
+
+    stream = stream_parquet(spark, src_dir)
+    toks = tokens(F.col(text_col))
+    feats = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: poly_hash(
+            F.concat_ws(" ", F.lower(F.get(toks, i)),
+                        F.lower(F.get(toks, i + 1)))) % buckets)
+    weight = F.aggregate(feats, F.lit(0.0),
+                         lambda acc, f: acc + lrmap[f])
+    out = (stream.where(F.size(toks) >= 2)
+           .select(F.col(id_col),
+                   (F.size(toks) - 1).cast("long").alias("n_feats"),
+                   F.round(weight, 6).alias("dsir_logw")))
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "dsir_stream did not finish within 120s — refusing to "
+            "return a partially populated memory table")
+    return spark.table(table)
+
+
 def dsir_resample(raw: DataFrame, target: DataFrame, m: int = 100,
                   buckets: int = 1024, seed: int = 42,
                   text_col: str = "text",

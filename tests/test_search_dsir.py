@@ -297,6 +297,35 @@ def test_dsir_resample_laws(docs):
         {r["gumbel_key"] for r in sel}
 
 
+def test_dsir_stream_equals_batch(docs, spark):
+    """Streaming DSIR with models from the same raw/target split must
+    reproduce the batch weights for every streamed raw doc (target
+    docs stream too but score under the same map — restrict the
+    compare to the raw pool, which is what batch scores)."""
+    from conftest import SF_DIR
+
+    from metacat_spark.llm.text import dsir_stream
+    raw = docs.where(F.col("source") != "src0")
+    tgt = docs.where(F.col("source") == "src0")
+    batch = {r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+             for r in dsir_logweights(raw, tgt, buckets=256)
+             .collect()}
+    streamed = {r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+                for r in dsir_stream(
+                    spark, f"{SF_DIR}/documents.parquet", raw, tgt,
+                    buckets=256, table="dsir_stream_t1").collect()}
+    assert set(batch) <= set(streamed)
+    for d, (nf, w) in batch.items():
+        snf, sw = streamed[d]
+        assert snf == nf and abs(sw - w) <= 1e-6, (d, (nf, w),
+                                                   (snf, sw))
+    # empty reference is a clean error
+    with pytest.raises(ValueError, match="no bigrams"):
+        dsir_stream(spark, f"{SF_DIR}/documents.parquet",
+                    raw.where("doc_id < 0"), tgt, buckets=64,
+                    table="dsir_stream_t2")
+
+
 def test_dsir_gumbel_noise_decorrelates_adjacent_ids(docs):
     """With raw == target every weight is exactly 0, so selection is
     pure noise — it must look like a random sample, not a consecutive
