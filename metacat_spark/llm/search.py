@@ -126,6 +126,45 @@ def search_bm25(df: DataFrame, query_terms, k: int = 10,
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def _bm25_ref_stats(stats_from: DataFrame, terms: list):
+    """(n, avgdl, [df_i]) floats from a static reference corpus — the
+    one bounded collect behind every streaming BM25 variant."""
+    toks_ref = tokens(F.lower(F.col("text")))
+    row = stats_from.select(
+        F.size(toks_ref).cast("double").alias("__dl"),
+        *[occurrences_in(toks_ref, t).cast("double").alias(f"__tf{i}")
+          for i, t in enumerate(terms)]).agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("__dl").alias("avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("double"))
+          .alias(f"df{i}") for i in range(len(terms))]).collect()[0]
+    if not row["n"] or row["avgdl"] is None:
+        raise ValueError(
+            "bm25 stream: stats_from reference corpus is empty (or "
+            "all-NULL text) — no corpus statistics to score against")
+    return row
+
+
+def _rowlocal_bm25(stream: DataFrame, terms: list, ref_stats,
+                   k1: float, b: float, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(id, n_tokens, score) over a streaming DataFrame: pure per-row
+    expressions (array-filter tfs, reference stats as literals)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = stream.select(
+        F.col(id_col), F.size(toks).cast("double").alias("__dl"),
+        *[occurrences_in(toks, t).cast("double").alias(f"__tf{i}")
+          for i, t in enumerate(terms)])
+    score = _score_expr(
+        len(terms), F.lit(float(ref_stats["n"])),
+        F.lit(float(ref_stats["avgdl"])),
+        [F.lit(float(ref_stats[f"df{i}"]))
+         for i in range(len(terms))], k1, b)
+    return staged.select(
+        F.col(id_col), F.col("__dl").cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"))
+
+
 def bm25_stream(spark, src_dir: str, query_terms,
                 stats_from: DataFrame, k1: float = 1.2,
                 b: float = 0.75, table: str = "bm25_stream",
@@ -143,35 +182,11 @@ def bm25_stream(spark, src_dir: str, query_terms,
     from .util import stream_parquet
 
     terms = _dedupe_terms(query_terms)
-    toks_ref = tokens(F.lower(F.col(text_col)))
-    ref_stats = stats_from.select(
-        F.size(toks_ref).cast("double").alias("__dl"),
-        *[occurrences_in(toks_ref, t).cast("double").alias(f"__tf{i}")
-          for i, t in enumerate(terms)]).agg(
-        F.count("*").cast("double").alias("n"),
-        F.avg("__dl").alias("avgdl"),
-        *[F.sum((F.col(f"__tf{i}") > 0).cast("double"))
-          .alias(f"df{i}") for i in range(len(terms))]).collect()[0]
-    if not ref_stats["n"] or ref_stats["avgdl"] is None:
-        raise ValueError(
-            "bm25_stream: stats_from reference corpus is empty (or "
-            "all-NULL text) — no corpus statistics to score against")
-
+    ref_stats = _bm25_ref_stats(
+        stats_from.select(F.col(text_col).alias("text")), terms)
     stream = stream_parquet(spark, src_dir)
-
-    toks = tokens(F.lower(F.col(text_col)))
-    staged = stream.select(
-        F.col(id_col), F.size(toks).cast("double").alias("__dl"),
-        *[occurrences_in(toks, t).cast("double").alias(f"__tf{i}")
-          for i, t in enumerate(terms)])
-    score = _score_expr(
-        len(terms), F.lit(float(ref_stats["n"])),
-        F.lit(float(ref_stats["avgdl"])),
-        [F.lit(float(ref_stats[f"df{i}"]))
-         for i in range(len(terms))], k1, b)
-    out = staged.select(
-        F.col(id_col), F.col("__dl").cast("long").alias("n_tokens"),
-        F.round(score, 6).alias("score"))
+    out = _rowlocal_bm25(stream, terms, ref_stats, k1, b,
+                         text_col, id_col)
     q = (out.writeStream.format("memory").queryName(table)
          .outputMode("append").trigger(availableNow=True).start())
     if not q.awaitTermination(120):
@@ -180,6 +195,89 @@ def bm25_stream(spark, src_dir: str, query_terms,
             "bm25_stream did not finish within 120s — refusing to "
             "return a partially populated memory table")
     return spark.table(table)
+
+
+def search_stream_topk(spark, src_dir: str, query_terms,
+                       stats_from: DataFrame, k: int = 10,
+                       k1: float = 1.2, b: float = 0.75,
+                       max_files_per_trigger: int | None = None,
+                       table: str = "search_stream_topk",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Streaming keyword search with a RUNNING global top-k: each
+    streamed document is BM25-scored row-locally (reference-corpus
+    stats, as bm25_stream), non-matches are filtered out, and a
+    stateful operator (applyInPandasWithState, the custom-operator
+    extension point) keeps the k best (score desc, id asc) seen so
+    far across micro-batches — emitting the current leaderboard
+    after every batch with a batch sequence number.
+
+    Returns the FINAL leaderboard (the rows of the last emitted
+    sequence). Bounded state: k (score, id, n_tokens) triples under
+    one constant key. The rows reaching that single state task are
+    only the batch's MATCHES (score > 0 — sparse for selective
+    queries); a per-batch pre-reduce is not expressible on a stream
+    (no sort), so a query matching most of a 100 TB corpus should
+    batch-rank instead. availableNow → memory sink, update mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .util import stream_parquet
+
+    terms = _dedupe_terms(query_terms)
+    ref_stats = _bm25_ref_stats(
+        stats_from.select(F.col(text_col).alias("text")), terms)
+    stream = stream_parquet(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger)
+    id_type = stream.schema[id_col].dataType.simpleString()
+    scored = (_rowlocal_bm25(stream, terms, ref_stats, k1, b,
+                             text_col, id_col)
+              .where(F.col("score") > 0)
+              .withColumn("__g", F.lit(0)))
+
+    state_schema = (f"seq long, ids array<{id_type}>, "
+                    f"scores array<double>, ntoks array<long>")
+    out_schema = (f"seq long, {id_col} {id_type}, n_tokens long, "
+                  f"score double, rank long")
+
+    def update(key, pdfs, state):
+        if state.exists:
+            seq, ids, scores, ntoks = state.get
+            best = list(zip(scores, ids, ntoks))
+        else:
+            seq, best = 0, []
+        for pdf in pdfs:
+            best.extend(zip(pdf["score"], pdf[id_col],
+                            pdf["n_tokens"]))
+        # k best by (score desc, id asc) — ties deterministic
+        best.sort(key=lambda t: (-t[0], t[1]))
+        best = best[:k]
+        seq += 1
+        state.update((seq, [t[1] for t in best],
+                      [float(t[0]) for t in best],
+                      [int(t[2]) for t in best]))
+        yield pd.DataFrame({
+            "seq": [seq] * len(best),
+            id_col: [t[1] for t in best],
+            "n_tokens": [int(t[2]) for t in best],
+            "score": [float(t[0]) for t in best],
+            "rank": list(range(1, len(best) + 1))})
+
+    running = (scored.groupBy("__g")
+               .applyInPandasWithState(update, out_schema,
+                                       state_schema, "update",
+                                       GroupStateTimeout.NoTimeout))
+    q = (running.writeStream.format("memory").queryName(table)
+         .outputMode("update").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "search_stream_topk did not finish within 120s — "
+            "refusing to return a partially populated memory table")
+    emitted = spark.table(table)
+    last = emitted.agg(F.max("seq")).collect()[0][0]
+    return (emitted.where(F.col("seq") == last)
+            .drop("seq").orderBy("rank"))
 
 
 def cosine_topn(embeddings: DataFrame, query_vec_id: int, n: int,

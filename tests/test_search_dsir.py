@@ -180,6 +180,31 @@ def test_bm25_stream_equals_batch(docs, spark):
                                                    (snt, ss))
 
 
+def test_search_stream_topk_across_batches(docs, spark, tmp_path):
+    """The running-top-k stateful operator must converge to the batch
+    top-k after draining the corpus — exercised across MULTIPLE
+    micro-batches (4 input files, one per trigger), so the state
+    genuinely merges leaderboards between batches."""
+    from metacat_spark.llm.search import search_stream_topk
+    src = str(tmp_path / "docs4")
+    docs.repartition(4).write.parquet(src)
+    got = [(r["doc_id"], r["n_tokens"], r["score"], r["rank"])
+           for r in search_stream_topk(
+               spark, src, QUERY, stats_from=docs, k=10,
+               max_files_per_trigger=1,
+               table="search_stream_topk_t1").collect()]
+    want = [(r["doc_id"], r["n_tokens"], r["score"], r["rank"])
+            for r in search_bm25(docs, QUERY, k=10)
+            .orderBy("rank").collect()]
+    assert got == want
+    # the state really crossed batches: more than one leaderboard
+    # sequence was emitted
+    seqs = {r["seq"] for r in
+            spark.table("search_stream_topk_t1").select("seq")
+            .collect()}
+    assert len(seqs) >= 2, seqs
+
+
 def test_cosine_topn_missing_vec_raises(embs):
     """A typo'd vec_id must be a clean error, not a silently empty
     (or BM25-only, through hybrid_rrf) result (review r9)."""
