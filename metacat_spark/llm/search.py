@@ -230,9 +230,14 @@ def search_stream_topk(spark, src_dir: str, query_terms,
     stream = stream_parquet(
         spark, src_dir, max_files_per_trigger=max_files_per_trigger)
     id_type = stream.schema[id_col].dataType.simpleString()
+    # NULL-id matches are dropped: a leaderboard entry you cannot
+    # fetch is useless, and None/NaN ids would poison the state
+    # merge's sort (batch search_bm25 ranks them — documented
+    # divergence for the streaming surface)
     scored = (_rowlocal_bm25(stream, terms, ref_stats, k1, b,
                              text_col, id_col)
-              .where(F.col("score") > 0)
+              .where((F.col("score") > 0)
+                     & F.col(id_col).isNotNull())
               .withColumn("__g", F.lit(0)))
 
     state_schema = (f"seq long, ids array<{id_type}>, "
@@ -246,21 +251,26 @@ def search_stream_topk(spark, src_dir: str, query_terms,
             best = list(zip(scores, ids, ntoks))
         else:
             seq, best = 0, []
+        # truncate per Arrow chunk: peak memory O(k + chunk), never
+        # O(batch matches) — a broad query in a single availableNow
+        # batch must not materialize every match at once (review r9d)
         for pdf in pdfs:
             best.extend(zip(pdf["score"], pdf[id_col],
                             pdf["n_tokens"]))
-        # k best by (score desc, id asc) — ties deterministic
-        best.sort(key=lambda t: (-t[0], t[1]))
-        best = best[:k]
+            best.sort(key=lambda t: (-t[0], t[1]))
+            del best[k:]
         seq += 1
-        state.update((seq, [t[1] for t in best],
-                      [float(t[0]) for t in best],
-                      [int(t[2]) for t in best]))
+        # ONE coerced projection shared by state and output, so the
+        # two copies cannot desynchronize
+        scores_o = [float(t[0]) for t in best]
+        ids_o = [t[1] for t in best]
+        ntoks_o = [int(t[2]) for t in best]
+        state.update((seq, ids_o, scores_o, ntoks_o))
         yield pd.DataFrame({
             "seq": [seq] * len(best),
-            id_col: [t[1] for t in best],
-            "n_tokens": [int(t[2]) for t in best],
-            "score": [float(t[0]) for t in best],
+            id_col: ids_o,
+            "n_tokens": ntoks_o,
+            "score": scores_o,
             "rank": list(range(1, len(best) + 1))})
 
     running = (scored.groupBy("__g")
