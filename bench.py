@@ -161,6 +161,48 @@ def _await_quiet_host(max_wait_s: int = 300,
     return stray
 
 
+def _await_low_load(threshold: float = 2.0, max_wait_s: int = 600,
+                    poll_s: int = 15) -> bool:
+    """Wait (bounded) for the host 1-min load average to drop below
+    ``threshold`` before starting, so the official artifact is a
+    quiet-host number by construction (VERDICT r9 #1: the number of
+    record was a contended reading two rounds straight — r8 load 3+,
+    r9 load 3.95 — while quiet-host protocol runs sat 20-25% faster).
+    The repo's documented contention rule is "load > 2 at start ⇒
+    disregard the run"; enforcing it here instead of in post-hoc notes
+    means a contended artifact can only exist with an explicit
+    ``"contended": true`` flag in the JSON.
+
+    Returns True if the run is proceeding CONTENDED (load still >=
+    threshold after the bounded wait, or the user forced an immediate
+    start with SPARK_GRAFT_SKIP_LOAD_WAIT=1 under load). Unlike the
+    stray-JVM guard this does not abort: stray JVMs are always our own
+    leftovers (killable), but background load may be outside the
+    operator's control and a loudly-flagged number still has value."""
+    if os.environ.get("SPARK_GRAFT_SKIP_LOAD_WAIT") == "1":
+        la1 = os.getloadavg()[0]
+        if la1 >= threshold:
+            print(f"# WARNING: starting under load {la1:.2f} because "
+                  f"SPARK_GRAFT_SKIP_LOAD_WAIT=1 — run will be flagged "
+                  f"contended", file=sys.stderr)
+            return True
+        return False
+    deadline = time.time() + max_wait_s
+    la1 = os.getloadavg()[0]
+    while la1 >= threshold and time.time() < deadline:
+        print(f"# load_avg {la1:.2f} >= {threshold} — waiting for a "
+              f"quiet host ({int(deadline - time.time())}s left)...",
+              file=sys.stderr)
+        time.sleep(poll_s)
+        la1 = os.getloadavg()[0]
+    if la1 >= threshold:
+        print(f"# WARNING: load_avg still {la1:.2f} after "
+              f"{max_wait_s}s — proceeding, flagging the artifact "
+              f"contended", file=sys.stderr)
+        return True
+    return False
+
+
 def _host_snapshot() -> dict:
     """1/5/15-min load average + live pyspark.daemon count — recorded
     at start AND end so a contended run is self-identifying in the
@@ -183,6 +225,7 @@ def _host_snapshot() -> dict:
 
 def main():
     stray = _await_quiet_host()
+    contended = _await_low_load()
     host_start = _host_snapshot()
     # t0 AFTER the stray-JVM wait: up to 300s of polling sleep must
     # not be reported as ingest/warmup cost (review r6)
@@ -266,6 +309,8 @@ def main():
         "host_start": host_start,
         "host_end": _host_snapshot(),
     }
+    if contended:
+        out["contended"] = True
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
