@@ -244,7 +244,10 @@ def _cmd_corpus(args) -> int:
         docs=lambda: load_corpus(spark, docs_src),
         embs=lambda: load_corpus(spark, embs_src),
         params=_registry_params(args),
-        load_corpus=lambda p: load_corpus(spark, p))
+        load_corpus=lambda p: load_corpus(spark, p),
+        # identity: the CLI reads any local path (same trust model as
+        # load_corpus above); the HTTP server installs its jail here
+        corpus_path=lambda p: p)
     try:
         out = CORPUS_OPS[args.ccmd](ctx)
     except OpError as e:
@@ -641,6 +644,25 @@ def build_parser() -> argparse.ArgumentParser:
                      help="candidate-list depth per ranker "
                           "(default 50)")
     chy.add_argument("-k", type=int, help="fused results to return "
+                     "(default 10)")
+    chs = cs.add_parser("hybrid-stream",
+                        help="streaming hybrid retrieval: drain a "
+                             "documents stream and an embeddings "
+                             "stream into bounded running "
+                             "leaderboards, RRF-fuse the finals")
+    _corpus_common(chs)
+    chs.add_argument("--query", required=True,
+                     help="space-separated query terms")
+    chs.add_argument("--vec", type=int, required=True,
+                     help="query vec_id from the embeddings table")
+    chs.add_argument("--src", required=True,
+                     help="documents parquet path to STREAM")
+    chs.add_argument("--vecsrc", required=True,
+                     help="embeddings parquet path to STREAM")
+    # no argparse defaults: registry (n=50, k=10) is the single source
+    chs.add_argument("-n", type=int,
+                     help="leaderboard depth per ranker (default 50)")
+    chs.add_argument("-k", type=int, help="fused results to return "
                      "(default 10)")
     cdiff = cs.add_parser("diff", help="snapshot diff vs a newer "
                           "corpus version (added/removed/changed/"

@@ -53,10 +53,12 @@ class OpContext:
                  embs: Callable[[], DataFrame] | None = None,
                  events: Callable[[], DataFrame] | None = None,
                  params: dict | None = None,
-                 load_corpus: Callable[[str], DataFrame] | None = None):
+                 load_corpus: Callable[[str], DataFrame] | None = None,
+                 corpus_path: Callable[[str], str] | None = None):
         self._docs, self._embs, self._events = docs, embs, events
         self.params = params or {}
         self._load_corpus = load_corpus
+        self._corpus_path = corpus_path
 
     def docs(self) -> DataFrame:
         if self._docs is None:
@@ -78,6 +80,19 @@ class OpContext:
             raise OpError("secondary corpus loading unavailable on "
                           "this surface")
         return self._load_corpus(path)
+
+    def corpus_path(self, path: str) -> str:
+        """Validate a client-supplied filesystem path that will be
+        read DIRECTLY (streaming sources) instead of loaded through
+        ``load_corpus``. FAIL-CLOSED: a surface must explicitly
+        install a validator (the HTTP server installs its --data-root
+        jail, the CLI installs identity — local-user trust model);
+        with none installed the op errors rather than silently
+        bypassing the jail."""
+        if self._corpus_path is None:
+            raise OpError("streaming source paths unavailable on "
+                          "this surface")
+        return self._corpus_path(path)
 
     # --- typed parameter getters ------------------------------------
     def param(self, name: str, default=None):
@@ -352,6 +367,37 @@ def _op_hybrid(ctx: OpContext) -> DataFrame:
                           query_vec_id=ctx.int_param("vec"),
                           n=ctx.int_param("n", 50),
                           k=ctx.int_param("k", 10))
+    except ValueError as e:
+        raise OpError(str(e))
+
+
+@_corpus_op("hybrid-stream")
+def _op_hybrid_stream(ctx: OpContext) -> DataFrame:
+    # streaming hybrid retrieval: drain a documents stream and an
+    # embeddings stream into bounded running leaderboards
+    # (search_stream_topk / cosine_stream_topk), RRF-fuse the finals.
+    # The SERVED static tables supply the BM25 reference statistics
+    # and the query vector; the stream paths go through the same
+    # filesystem jail as secondary corpora (corpus_path — fail-closed)
+    from .search import hybrid_stream_topk
+    terms = ctx.require(
+        "query",
+        "hybrid-stream needs query=<space-separated terms>").split()
+    ctx.require("vec", "hybrid-stream needs vec=<query vec_id from "
+                       "the embeddings table>")
+    docs_src = ctx.corpus_path(ctx.require(
+        "src", "hybrid-stream needs src=<documents parquet path to "
+               "stream>"))
+    vec_src = ctx.corpus_path(ctx.require(
+        "vecsrc", "hybrid-stream needs vecsrc=<embeddings parquet "
+                  "path to stream>"))
+    docs = ctx.docs()
+    try:
+        return hybrid_stream_topk(
+            docs.sparkSession, docs_src, vec_src, terms,
+            query_vec_id=ctx.int_param("vec"), stats_from=docs,
+            query_from=ctx.embs(), n=ctx.int_param("n", 50),
+            k=ctx.int_param("k", 10))
     except ValueError as e:
         raise OpError(str(e))
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .similarity import cosine
 from .text import occurrences_in, tokens
+from .util import stream_parquet
 
 
 def _dedupe_terms(query_terms) -> list[str]:
@@ -179,7 +180,6 @@ def bm25_stream(spark, src_dir: str, query_terms,
     the stream needs no aggregation state and runs in plain append
     mode. availableNow → memory sink; batch≡stream equality (stats
     from the same corpus) is pinned by test."""
-    from .util import stream_parquet
 
     terms = _dedupe_terms(query_terms)
     ref_stats = _bm25_ref_stats(
@@ -197,6 +197,117 @@ def bm25_stream(spark, src_dir: str, query_terms,
     return spark.table(table)
 
 
+def _topk_prereduce(scored: DataFrame, k: int, value_col: str,
+                    id_col: str) -> DataFrame:
+    """Per-partition top-k BEFORE the single-key state operator: one
+    STATELESS Arrow pass (mapInPandas — legal on streams) keeps only
+    each partition's k best rows, cutting the state task's per-batch
+    input from O(batch matches) to O(k × partitions) (VERDICT r9 #3/
+    #6: under a broad query every match flowed to the one state
+    task). A row cut here is dominated by ≥ k better rows in its OWN
+    partition, so the merged global leaderboard is unchanged.
+    Incremental concat→sort→head per Arrow chunk keeps peak memory
+    O(k + chunk), mirroring the state-side truncation."""
+    import pandas as pd
+
+    def per_partition_topk(pdfs):
+        best = None
+        for pdf in pdfs:
+            cand = (pdf if best is None
+                    else pd.concat([best, pdf], ignore_index=True))
+            # mergesort = stable; (value desc, id asc) is the exact
+            # leaderboard order, so the cut is order-consistent
+            best = (cand.sort_values([value_col, id_col],
+                                     ascending=[False, True],
+                                     kind="mergesort")
+                    .head(k))
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(per_partition_topk, scored.schema)
+
+
+def _running_topk_stream(spark, scored: DataFrame, k: int,
+                         id_col: str, id_type: str, value_col: str,
+                         extras: list, table: str,
+                         what: str) -> DataFrame:
+    """The shared running-leaderboard operator behind every streaming
+    top-k: per-partition pre-reduce (``_topk_prereduce``) → ONE
+    constant-key applyInPandasWithState group holding the k best
+    (value desc, id asc) rows seen so far, emitting the current
+    leaderboard after every micro-batch with a sequence number.
+
+    ``scored`` must already be filtered (non-matches, NULL ids,
+    NaN values dropped) and project exactly
+    ``[id_col, *extra names, value_col]``. ``extras`` is a list of
+    ``(name, sql_type, py_cast)`` for extra carried columns (e.g.
+    BM25's n_tokens). Bounded state: k tuples under one key.
+
+    Returns the FINAL leaderboard (rows of the last emitted
+    sequence); all intermediate leaderboards stay queryable in the
+    ``table`` memory sink. availableNow → memory sink, update mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    extra_names = [n for n, _, _ in extras]
+    scored = (_topk_prereduce(scored, k, value_col, id_col)
+              .withColumn("__g", F.lit(0)))
+
+    state_schema = (f"seq long, ids array<{id_type}>, "
+                    f"vals array<double>"
+                    + "".join(f", x{i} array<{t}>"
+                              for i, (_, t, _) in enumerate(extras)))
+    out_schema = (f"seq long, {id_col} {id_type}"
+                  + "".join(f", {n} {t}" for n, t, _ in extras)
+                  + f", {value_col} double, rank long")
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st = state.get
+            seq = st[0]
+            best = list(zip(st[2], st[1], *st[3:]))
+        else:
+            seq, best = 0, []
+        # truncate per Arrow chunk: peak memory O(k + chunk), never
+        # O(batch matches) — a broad query in a single availableNow
+        # batch must not materialize every match at once (review r9d)
+        for pdf in pdfs:
+            best.extend(zip(pdf[value_col], pdf[id_col],
+                            *[pdf[n] for n in extra_names]))
+            best.sort(key=lambda t: (-t[0], t[1]))
+            del best[k:]
+        seq += 1
+        # ONE coerced projection shared by state and output, so the
+        # two copies cannot desynchronize
+        vals_o = [float(t[0]) for t in best]
+        ids_o = [t[1] for t in best]
+        extras_o = [[cast(t[2 + j]) for t in best]
+                    for j, (_, _, cast) in enumerate(extras)]
+        state.update(tuple([seq, ids_o, vals_o] + extras_o))
+        out = {"seq": [seq] * len(best), id_col: ids_o}
+        for j, name in enumerate(extra_names):
+            out[name] = extras_o[j]
+        out[value_col] = vals_o
+        out["rank"] = list(range(1, len(best) + 1))
+        yield pd.DataFrame(out)
+
+    running = (scored.groupBy("__g")
+               .applyInPandasWithState(update, out_schema,
+                                       state_schema, "update",
+                                       GroupStateTimeout.NoTimeout))
+    q = (running.writeStream.format("memory").queryName(table)
+         .outputMode("update").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            f"{what} did not finish within 120s — refusing to "
+            f"return a partially populated memory table")
+    emitted = spark.table(table)
+    last = emitted.agg(F.max("seq")).collect()[0][0]
+    return (emitted.where(F.col("seq") == last)
+            .drop("seq").orderBy("rank"))
+
+
 def search_stream_topk(spark, src_dir: str, query_terms,
                        stats_from: DataFrame, k: int = 10,
                        k1: float = 1.2, b: float = 0.75,
@@ -206,24 +317,16 @@ def search_stream_topk(spark, src_dir: str, query_terms,
                        id_col: str = "doc_id") -> DataFrame:
     """Streaming keyword search with a RUNNING global top-k: each
     streamed document is BM25-scored row-locally (reference-corpus
-    stats, as bm25_stream), non-matches are filtered out, and a
-    stateful operator (applyInPandasWithState, the custom-operator
-    extension point) keeps the k best (score desc, id asc) seen so
-    far across micro-batches — emitting the current leaderboard
-    after every batch with a batch sequence number.
+    stats, as bm25_stream), non-matches are filtered out, and the
+    shared leaderboard operator (``_running_topk_stream``: per-
+    partition pre-reduce + bounded applyInPandasWithState) keeps the
+    k best (score desc, id asc) seen so far across micro-batches.
 
-    Returns the FINAL leaderboard (the rows of the last emitted
-    sequence). Bounded state: k (score, id, n_tokens) triples under
-    one constant key. The rows reaching that single state task are
-    only the batch's MATCHES (score > 0 — sparse for selective
-    queries); a per-batch pre-reduce is not expressible on a stream
-    (no sort), so a query matching most of a 100 TB corpus should
-    batch-rank instead. availableNow → memory sink, update mode."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from .util import stream_parquet
-
+    Returns the FINAL leaderboard. Bounded state: k
+    (score, id, n_tokens) triples under one constant key; the rows
+    reaching that single state task are capped at k × partitions per
+    batch by the pre-reduce, even for a query matching most of the
+    corpus."""
     terms = _dedupe_terms(query_terms)
     ref_stats = _bm25_ref_stats(
         stats_from.select(F.col(text_col).alias("text")), terms)
@@ -238,56 +341,53 @@ def search_stream_topk(spark, src_dir: str, query_terms,
                              text_col, id_col)
               .where((F.col("score") > 0)
                      & F.col(id_col).isNotNull())
-              .withColumn("__g", F.lit(0)))
+              .select(id_col, "n_tokens", "score"))
+    return _running_topk_stream(
+        spark, scored, k, id_col, id_type, "score",
+        [("n_tokens", "long", int)], table, "search_stream_topk")
 
-    state_schema = (f"seq long, ids array<{id_type}>, "
-                    f"scores array<double>, ntoks array<long>")
-    out_schema = (f"seq long, {id_col} {id_type}, n_tokens long, "
-                  f"score double, rank long")
 
-    def update(key, pdfs, state):
-        if state.exists:
-            seq, ids, scores, ntoks = state.get
-            best = list(zip(scores, ids, ntoks))
-        else:
-            seq, best = 0, []
-        # truncate per Arrow chunk: peak memory O(k + chunk), never
-        # O(batch matches) — a broad query in a single availableNow
-        # batch must not materialize every match at once (review r9d)
-        for pdf in pdfs:
-            best.extend(zip(pdf["score"], pdf[id_col],
-                            pdf["n_tokens"]))
-            best.sort(key=lambda t: (-t[0], t[1]))
-            del best[k:]
-        seq += 1
-        # ONE coerced projection shared by state and output, so the
-        # two copies cannot desynchronize
-        scores_o = [float(t[0]) for t in best]
-        ids_o = [t[1] for t in best]
-        ntoks_o = [int(t[2]) for t in best]
-        state.update((seq, ids_o, scores_o, ntoks_o))
-        yield pd.DataFrame({
-            "seq": [seq] * len(best),
-            id_col: ids_o,
-            "n_tokens": ntoks_o,
-            "score": scores_o,
-            "rank": list(range(1, len(best) + 1))})
-
-    running = (scored.groupBy("__g")
-               .applyInPandasWithState(update, out_schema,
-                                       state_schema, "update",
-                                       GroupStateTimeout.NoTimeout))
-    q = (running.writeStream.format("memory").queryName(table)
-         .outputMode("update").trigger(availableNow=True).start())
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(
-            "search_stream_topk did not finish within 120s — "
-            "refusing to return a partially populated memory table")
-    emitted = spark.table(table)
-    last = emitted.agg(F.max("seq")).collect()[0][0]
-    return (emitted.where(F.col("seq") == last)
-            .drop("seq").orderBy("rank"))
+def cosine_stream_topk(spark, src_dir: str, query_vec_id: int,
+                       query_from: DataFrame, k: int = 10,
+                       max_files_per_trigger: int | None = None,
+                       table: str = "cosine_stream_topk",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Streaming twin of ``cosine_topn``: a RUNNING cosine
+    leaderboard over an embedding STREAM against one stored query
+    vector. The query vector is fetched ONCE from the static
+    ``query_from`` table (one pushed-filter point lookup — a typo'd
+    vec_id is the same loud ValueError as the batch path) and enters
+    the plan as a literal array, so scoring is a pure per-row
+    expression — no broadcast join, no aggregation state beyond the
+    shared k-row leaderboard. Round-6 quantization and the
+    (cosine desc, id asc) tie order match the batch ranker exactly;
+    batch≡stream convergence is pinned by test."""
+    qrow = (query_from.where(F.col(id_col) == query_vec_id)
+            .select(F.transform(F.col(vec_col),
+                                lambda x: x.cast("double"))
+                    .alias("__qv")).take(1))
+    if not qrow:
+        raise ValueError(f"cosine_stream_topk: query_vec_id "
+                         f"{query_vec_id} not found in query_from")
+    qvec = F.array(*[F.lit(float(x)) for x in qrow[0]["__qv"]])
+    stream = stream_parquet(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger)
+    id_type = stream.schema[id_col].dataType.simpleString()
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # same exclusions as batch cosine_topn: the query vector itself,
+    # NULL cosine (zero-norm via try_divide), NaN payloads — plus
+    # NULL ids (state-sort poison, as in search_stream_topk)
+    scored = (stream.select(F.col(id_col).alias("id"),
+                            F.round(cosine(v, qvec), 6)
+                            .alias("cosine"))
+              .where(F.col("id").isNotNull()
+                     & (F.col("id") != query_vec_id)
+                     & F.col("cosine").isNotNull()
+                     & ~F.isnan(F.col("cosine"))))
+    return _running_topk_stream(
+        spark, scored, k, "id", id_type, "cosine", [], table,
+        "cosine_stream_topk")
 
 
 def cosine_topn(embeddings: DataFrame, query_vec_id: int, n: int,
@@ -349,6 +449,14 @@ def hybrid_rrf(documents: DataFrame, embeddings: DataFrame,
     vec = (cosine_topn(embeddings, query_vec_id, n, vec_col=vec_col,
                        id_col=vec_id_col)
            .select("id", F.col("rank").alias("vec_rank")))
+    return _rrf_fuse(kw, vec, kappa, k, id_col)
+
+
+def _rrf_fuse(kw: DataFrame, vec: DataFrame, kappa: int, k: int,
+              id_col: str) -> DataFrame:
+    """The RRF fusion shape shared by the batch and streaming hybrid
+    paths: inputs are two ranked candidate lists
+    (id, kw_rank)/(id, vec_rank), each ≤ n rows."""
     # no broadcast hint: Spark cannot build-side a FULL OUTER join;
     # both inputs are ≤ n rows, so the sort-merge it picks is trivial
     fused = (kw.join(vec, "id", "full_outer")
@@ -365,3 +473,43 @@ def hybrid_rrf(documents: DataFrame, embeddings: DataFrame,
     return (top.withColumn("rank", F.row_number().over(w))
             .select(F.col("id").alias(id_col), "kw_rank", "vec_rank",
                     "rrf", "rank"))
+
+
+def hybrid_stream_topk(spark, docs_dir: str, embs_dir: str,
+                       query_terms, query_vec_id: int,
+                       stats_from: DataFrame, query_from: DataFrame,
+                       n: int = 50, k: int = 10, kappa: int = 60,
+                       max_files_per_trigger: int | None = None,
+                       table: str = "hybrid_stream",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       vec_col: str = "embedding",
+                       vec_id_col: str = "vec_id") -> DataFrame:
+    """Streaming twin of ``hybrid_rrf``: drain a document stream into
+    the running BM25 leaderboard and an embedding stream into the
+    running cosine leaderboard (both via the shared bounded-state
+    operator), then fuse the two FINAL n-row leaderboards with the
+    SAME ``_rrf_fuse`` shape the batch path uses — so once both
+    streams have drained the corpus, the result is pinned equal to
+    batch ``hybrid_rrf`` (same n, same rank quantization, same tie
+    order). Per-emit fusion is available too: every intermediate
+    leaderboard stays queryable in the ``{table}_kw`` /
+    ``{table}_vec`` memory sinks, and ``_rrf_fuse`` applies to any
+    (seq_kw, seq_vec) pair of them.
+
+    ``stats_from`` supplies the static BM25 reference statistics;
+    ``query_from`` is the static embeddings table holding the query
+    vector. The two drains run sequentially (availableNow) — each is
+    one bounded streaming query; nothing corpus-sized is ever fused.
+    """
+    kw = (search_stream_topk(
+        spark, docs_dir, query_terms, stats_from=stats_from, k=n,
+        max_files_per_trigger=max_files_per_trigger,
+        table=f"{table}_kw", text_col=text_col, id_col=id_col)
+        .select(F.col(id_col).alias("id"),
+                F.col("rank").alias("kw_rank")))
+    vec = (cosine_stream_topk(
+        spark, embs_dir, query_vec_id, query_from, k=n,
+        max_files_per_trigger=max_files_per_trigger,
+        table=f"{table}_vec", vec_col=vec_col, id_col=vec_id_col)
+        .select("id", F.col("rank").alias("vec_rank")))
+    return _rrf_fuse(kw, vec, kappa, k, id_col)

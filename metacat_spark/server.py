@@ -341,14 +341,15 @@ def make_handler(client: MetaCatSparkClient,
                                   f"unknown corpus op: {op}")
             docs = client.catalog.raw["documents"]
 
-            def _load(path):
+            def _jail(path):
                 # message covers every secondary-corpus param routed
-                # here (test=, corpus=, target=, index=, new= —
-                # review r7/r8/r9)
+                # here (test=, corpus=, target=, index=, new=, and
+                # the streaming src=/vecsrc= — review r7/r8/r9/r10)
                 if root is None:
                     raise OpError(
                         "PermissionError: secondary corpus paths "
-                        "(test=, corpus=, target=, index=, new=) "
+                        "(test=, corpus=, target=, index=, new=, "
+                        "src=, vecsrc=) "
                         "are disabled; start the "
                         "server with --data-root to allow reading "
                         "corpora under one subtree", status=403)
@@ -358,14 +359,20 @@ def make_handler(client: MetaCatSparkClient,
                         "PermissionError: secondary corpus path is "
                         "outside the configured --data-root",
                         status=403)
+                return safe
+
+            def _load(path):
                 from .llm.export import load_corpus
-                return load_corpus(docs.sparkSession, safe)
+                return load_corpus(docs.sparkSession, _jail(path))
 
             ctx = OpContext(
                 docs=lambda: docs,
                 embs=lambda: client.catalog.raw["embeddings"],
                 params={k: _one(params, k) for k in params},
-                load_corpus=_load)
+                load_corpus=_load,
+                # streaming source paths (hybrid-stream src=/vecsrc=)
+                # go through the SAME jail as loaded corpora
+                corpus_path=_jail)
             try:
                 out = CORPUS_OPS[op](ctx)
             except OpError as e:

@@ -315,6 +315,25 @@ def test_corpus_search_hybrid_dsir(capsys):
     assert rc == 2
 
 
+def test_corpus_hybrid_stream(capsys):
+    rc, out = run(capsys, "corpus", "hybrid-stream",
+                  "--query", "spark window merge", "--vec", "0",
+                  "--src", f"{SF_DIR}/documents.parquet",
+                  "--vecsrc", f"{SF_DIR}/embeddings.parquet",
+                  "-n", "20", "-k", "5", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert {"doc_id", "kw_rank", "vec_rank", "rrf",
+            "rank"} <= set(rows[0])
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # absent query vector: library ValueError → OpError → clean rc 2
+    rc, _ = run(capsys, "corpus", "hybrid-stream", "--query", "spark",
+                "--vec", "99999",
+                "--src", f"{SF_DIR}/documents.parquet",
+                "--vecsrc", f"{SF_DIR}/embeddings.parquet")
+    assert rc == 2
+
+
 def test_corpus_diff_self(capsys):
     # a corpus diffed against itself is all 'unchanged'
     rc, out = run(capsys, "corpus", "diff",

@@ -275,6 +275,108 @@ def test_hybrid_rrf_vs_duck(docs, embs, duck):
     assert got == [tuple(r) for r in want]
 
 
+def test_topk_prereduce_volume_and_order(docs):
+    """The per-partition pre-reduce is volume-bounded (≤ k rows per
+    partition survive) and order-preserving (the global top-k over
+    the pre-reduced rows equals the batch ranker exactly)."""
+    from metacat_spark.llm.search import _topk_prereduce
+    scored = (bm25_scores(docs, QUERY).where(F.col("score") > 0)
+              .select("doc_id", "n_tokens", "score").repartition(4))
+    rows = _topk_prereduce(scored, 5, "score", "doc_id").collect()
+    assert len(rows) <= 4 * 5
+    got = sorted(((r["doc_id"], r["n_tokens"], r["score"])
+                  for r in rows),
+                 key=lambda t: (-t[2], t[0]))[:5]
+    want = [(r["doc_id"], r["n_tokens"], r["score"])
+            for r in search_bm25(docs, QUERY, k=5)
+            .orderBy("rank").collect()]
+    assert got == want
+
+
+def test_stream_topk_prereduce_wired(docs, spark, tmp_path,
+                                     monkeypatch):
+    """search_stream_topk routes matches through the pre-reduce
+    (VERDICT r9 #6): the spy sees the leaderboard's k and the
+    pre-reduced STREAMING plan carries the MapInPandas node ahead of
+    the state operator."""
+    import metacat_spark.llm.search as S
+    seen = {}
+    orig = S._topk_prereduce
+
+    def spy(df, k, value_col, id_col):
+        out = orig(df, k, value_col, id_col)
+        seen["k"] = k
+        seen["streaming"] = out.isStreaming
+        seen["plan"] = out._jdf.queryExecution().analyzed().toString()
+        return out
+
+    monkeypatch.setattr(S, "_topk_prereduce", spy)
+    src = str(tmp_path / "docs_spy")
+    docs.write.parquet(src)
+    got = S.search_stream_topk(spark, src, QUERY, stats_from=docs,
+                               k=7, table="sst_spy_t1").collect()
+    assert seen["k"] == 7 and seen["streaming"]
+    assert "MapInPandas" in seen["plan"] or "mapInPandas" in seen["plan"]
+    assert 0 < len(got) <= 7
+
+
+def test_cosine_stream_topk_equals_batch(embs, spark, tmp_path):
+    """The running cosine leaderboard converges to the batch
+    cosine_topn top-k across MULTIPLE micro-batches."""
+    from metacat_spark.llm.search import cosine_stream_topk
+    src = str(tmp_path / "embs4")
+    embs.repartition(4).write.parquet(src)
+    got = [(r["id"], r["cosine"], r["rank"])
+           for r in cosine_stream_topk(
+               spark, src, 0, query_from=embs, k=10,
+               max_files_per_trigger=1,
+               table="cos_stream_t1").collect()]
+    want = [(r["id"], r["cosine"], r["rank"])
+            for r in cosine_topn(embs, query_vec_id=0, n=10)
+            .orderBy("rank").collect()]
+    assert got == want
+    seqs = {r["seq"] for r in
+            spark.table("cos_stream_t1").select("seq").collect()}
+    assert len(seqs) >= 2, seqs
+
+
+def test_cosine_stream_topk_missing_vec_raises(embs, spark, tmp_path):
+    """Same loud-typo contract as batch cosine_topn — and it fires
+    BEFORE any stream is started."""
+    from metacat_spark.llm.search import cosine_stream_topk
+    with pytest.raises(ValueError, match="99999"):
+        cosine_stream_topk(spark, str(tmp_path), 99999,
+                           query_from=embs)
+
+
+def test_hybrid_stream_topk_equals_batch(docs, embs, spark, tmp_path):
+    """Streaming hybrid retrieval: after both drains (4 micro-batches
+    each), the RRF fusion of the two final leaderboards equals batch
+    hybrid_rrf row-for-row."""
+    from metacat_spark.llm.search import hybrid_stream_topk
+    dsrc = str(tmp_path / "hdocs4")
+    esrc = str(tmp_path / "hembs4")
+    docs.repartition(4).write.parquet(dsrc)
+    embs.repartition(4).write.parquet(esrc)
+    got = [(r["doc_id"], r["kw_rank"], r["vec_rank"], r["rrf"],
+            r["rank"])
+           for r in hybrid_stream_topk(
+               spark, dsrc, esrc, QUERY, query_vec_id=0,
+               stats_from=docs, query_from=embs, n=20, k=10,
+               max_files_per_trigger=1,
+               table="hyb_stream_t1").orderBy("rank").collect()]
+    want = [(r["doc_id"], r["kw_rank"], r["vec_rank"], r["rrf"],
+             r["rank"])
+            for r in hybrid_rrf(docs, embs, QUERY, query_vec_id=0,
+                                n=20, k=10).orderBy("rank").collect()]
+    assert got == want
+    # both drains really crossed micro-batches
+    for t in ("hyb_stream_t1_kw", "hyb_stream_t1_vec"):
+        seqs = {r["seq"] for r in
+                spark.table(t).select("seq").collect()}
+        assert len(seqs) >= 2, (t, seqs)
+
+
 # -------------------------------------------------------------- DSIR
 
 def test_dsir_logweights_vs_duck(docs, duck):

@@ -517,6 +517,26 @@ def test_corpus_search_hybrid_dsir_endpoints(served):
     assert e.value.code == 400
 
 
+def test_corpus_hybrid_stream_endpoint_and_jail(served):
+    """Streaming hybrid retrieval over HTTP through the shared
+    registry; stream source paths (src=, vecsrc=) go through the
+    SAME --data-root jail as secondary corpora."""
+    base, _ = served
+    from tests.conftest import SF_DIR
+    rows = _json_seq(_get(base, "/data/corpus", op="hybrid-stream",
+                          query="spark window", vec=0, n=20, k=5,
+                          src=f"{SF_DIR}/documents.parquet",
+                          vecsrc=f"{SF_DIR}/embeddings.parquet"))
+    assert len(rows) == 5
+    assert {"doc_id", "kw_rank", "vec_rank", "rrf",
+            "rank"} <= set(rows[0])
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="hybrid-stream",
+             query="spark", vec=0, src="/etc/passwd",
+             vecsrc=f"{SF_DIR}/embeddings.parquet")
+    assert e.value.code == 403
+
+
 def test_corpus_train_bpe_endpoints(served):
     base, _ = served
     rows = _json_seq(_get(base, "/data/corpus", op="train",
