@@ -231,11 +231,12 @@ def _merge_word(sym: tuple, pair: tuple) -> tuple:
     return tuple(out)
 
 
-def bpe_merges_from_counts(counts: list, num_merges: int) -> list:
-    """Pure-Python BPE merge learner over (word, n) counts — Sennrich
-    et al. 2016 with an end-of-word marker and DETERMINISTIC ties
-    (max count, then lexicographic pair). Returns
-    [(step, left, right, freq)]. Stops early when no pair repeats."""
+def _bpe_merges_naive(counts: list, num_merges: int) -> list:
+    """The SPEC implementation of the merge learner: rebuild every
+    pair count from every word each step (Sennrich et al. 2016,
+    Algorithm 1 verbatim). O(merges × corpus-vocab) — kept as the
+    executable specification the incremental learner is property-
+    tested against (and for forensics), not for production use."""
     segs = {w: tuple(list(w[:-1]) + [w[-1] + "</w>"]) if len(w) else ()
             for w, _ in counts}
     freq = dict(counts)
@@ -257,6 +258,79 @@ def bpe_merges_from_counts(counts: list, num_merges: int) -> list:
         for w in freq:
             if left in segs[w] or right in segs[w]:
                 segs[w] = _merge_word(segs[w], (left, right))
+    return merges
+
+
+def bpe_merges_from_counts(counts: list, num_merges: int) -> list:
+    """Pure-Python BPE merge learner over (word, n) counts — Sennrich
+    et al. 2016 with an end-of-word marker and DETERMINISTIC ties
+    (max count, then lexicographic pair). Returns
+    [(step, left, right, freq)]. Stops early when no pair repeats.
+
+    INCREMENTAL pair-count maintenance (VERDICT r9 #4 / the
+    subword-nmt update trick): pair totals, a pair→words inverted
+    index, and a lazy-invalidation heap are maintained across steps,
+    so each merge touches only the words actually CONTAINING the
+    merged pair instead of rescanning the whole word table —
+    production vocab sizes (32k–50k merges) become minutes, not
+    hours. Property-tested equal to ``_bpe_merges_naive`` (the spec
+    rescan loop) on random corpora; measured wall-clock in
+    docs/SCALING.md."""
+    import heapq
+
+    segs = {w: tuple(list(w[:-1]) + [w[-1] + "</w>"]) if len(w) else ()
+            for w, _ in counts}
+    freq = dict(counts)
+    pairs: dict = {}    # pair -> total corpus count
+    where: dict = {}    # pair -> {word: #distinct add-sites} index
+
+    def index_word(w: str, n: int, sign: int, touched: set):
+        s = segs[w]
+        for a, b in zip(s, s[1:]):
+            p = (a, b)
+            pairs[p] = pairs.get(p, 0) + sign * n
+            touched.add(p)
+            d = where.setdefault(p, {})
+            d[w] = d.get(w, 0) + sign
+            if not d[w]:
+                del d[w]
+            if not pairs[p]:
+                del pairs[p]
+                if not d:
+                    where.pop(p, None)
+
+    seed: set = set()
+    for w, n in freq.items():
+        index_word(w, n, +1, seed)
+    # heap of (-count, pair); stale entries (count changed since
+    # push) are skipped at pop time — the standard lazy heap. Tuple
+    # order (-n, pair) reproduces the spec's (max count, lexicographic
+    # pair) tie-break exactly.
+    heap = [(-n, p) for p, n in pairs.items()]
+    heapq.heapify(heap)
+    merges = []
+    for step in range(1, num_merges + 1):
+        while heap and pairs.get(heap[0][1], 0) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap:
+            break
+        best_n, (left, right) = -heap[0][0], heap[0][1]
+        if best_n < 2:
+            break
+        merges.append((step, left, right, best_n))
+        touched: set = set()
+        # ONLY words containing the adjacent (left, right) pair — the
+        # spec's `left in segs[w] or right in segs[w]` sweep is a
+        # no-op on every other word (_merge_word only rewrites the
+        # adjacent pair), so this restriction is exact
+        for w in list(where.get((left, right), {})):
+            n = freq[w]
+            index_word(w, n, -1, touched)
+            segs[w] = _merge_word(segs[w], (left, right))
+            index_word(w, n, +1, touched)
+        for p in touched:
+            if p in pairs:
+                heapq.heappush(heap, (-pairs[p], p))
     return merges
 
 

@@ -245,7 +245,8 @@ def test_bpe_properties_on_random_corpora():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from metacat_spark.llm.train import (_encode_word,
+    from metacat_spark.llm.train import (_bpe_merges_naive,
+                                         _encode_word,
                                          bpe_merges_from_counts)
 
     word_st = st.text(alphabet="abcde", min_size=1, max_size=8)
@@ -258,6 +259,9 @@ def test_bpe_properties_on_random_corpora():
         items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges = bpe_merges_from_counts(items, n_merges)
         assert merges == bpe_merges_from_counts(items, n_merges)
+        # the incremental learner IS the spec rescan loop, merge for
+        # merge (r10: incremental pair-count maintenance)
+        assert merges == _bpe_merges_naive(items, n_merges)
         assert all(m[3] >= 2 for m in merges)
         assert [m[0] for m in merges] == list(range(1, len(merges) + 1))
         ranks = {(left, right): step for step, left, right, _ in merges}
