@@ -833,6 +833,19 @@ def build_parser() -> argparse.ArgumentParser:
     cn.add_argument("--index",
                     help="ivf/ivfpq: serve from a stored index "
                          "table (parquet path) — skips training")
+    cn.add_argument("--encode", action="store_true",
+                    help="ivfpq + --index: emit postings rows "
+                         "(lst, id, codes, vec) for the input "
+                         "vectors — the incremental ADD; append to "
+                         "the stored postings table (write with -o)")
+    cn.add_argument("--postings",
+                    help="ivfpq + --index: serve queries from a "
+                         "stored postings table (parquet path) "
+                         "instead of re-encoding members")
+    cn.add_argument("--distortion", action="store_true",
+                    help="ivfpq + --index: report the staleness "
+                         "gauge (mean PQ distortion of the input vs "
+                         "the build-time baseline)")
 
     eg = sub.add_parser(
         "events",

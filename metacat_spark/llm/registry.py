@@ -622,6 +622,12 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         kw = {"vec_col": "vector", "id_col": "doc_id"}
     else:
         df = ctx.embs()
+    if method != "ivfpq" and (ctx.flag("encode")
+                              or ctx.flag("distortion")
+                              or ctx.param("postings") is not None):
+        # same loud-flag contract as --build-index below (review r9)
+        raise OpError(f"ann: --encode/--distortion/--postings apply "
+                      f"to method ivfpq, not {method}")
     if method in ("gemm", "lsh"):
         # loud, not silent: an index flag on a non-index method must
         # not quietly run (or write) a normal search (review r9)
@@ -642,6 +648,31 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         if method == "ivfpq":
             if ctx.flag("build_index"):
                 return SIM.build_ivfpq_index(df, train_iters=2, **kw)
+            # r10 production verbs over a STORED index: encode=true
+            # emits postings rows (the incremental ADD — append them
+            # to the stored postings table), postings=<path> serves
+            # queries from stored postings, distortion=true reports
+            # the staleness gauge vs the build-time baseline
+            if ctx.flag("encode"):
+                if idx is None:
+                    raise OpError("ann: --encode needs --index "
+                                  "<stored index table>")
+                return SIM.encode_ivfpq(df, ctx.corpus(str(idx)),
+                                        **kw)
+            if ctx.flag("distortion"):
+                if idx is None:
+                    raise OpError("ann: --distortion needs --index "
+                                  "<stored index table>")
+                return SIM.ivfpq_distortion(df, ctx.corpus(str(idx)),
+                                            **kw)
+            post = ctx.param("postings")
+            if post is not None:
+                if idx is None:
+                    raise OpError("ann: --postings needs --index "
+                                  "<stored index table>")
+                return SIM.ivf_pq_search(
+                    df, ctx.corpus(str(post)), ctx.corpus(str(idx)),
+                    k=k, **kw)
             if idx is not None:
                 return SIM.ivf_pq_topk(
                     df, k=k, index=ctx.corpus(str(idx)), **kw)

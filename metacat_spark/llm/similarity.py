@@ -705,7 +705,50 @@ def _train_ivfpq(base: DataFrame, n_lists: int, m: int, n_codes: int,
     Sn = S / (np.linalg.norm(S, axis=1, keepdims=True) + 1e-12)
     res = Sn - Cn[np.argmax(Sn @ Cn.T, axis=1)]
     CB = _train_pq(res, m, n_codes)             # (m, n_codes, d)
-    return Cn, CB, base
+    # build-time distortion: mean squared PQ reconstruction error of
+    # the TRAINING sample under the final codebooks — the baseline
+    # the staleness signal (ivfpq_distortion) compares against; free
+    # (driver-side, the sample is already in hand)
+    build_dist = float(_pq_sq_err(res, CB).mean()) if len(res) else 0.0
+    return Cn, CB, base, build_dist
+
+
+def _pq_sq_err(R, CB):
+    """Per-row squared PQ reconstruction error ‖r − r̂‖² of residual
+    rows R under codebooks CB — the distortion kernel shared by the
+    build-time baseline and the ivfpq_distortion staleness pass."""
+    import numpy as np
+
+    m, _, d = CB.shape
+    errs = np.zeros(len(R))
+    for s in range(m):
+        Xs = R[:, s * d:(s + 1) * d]
+        codes = (Xs @ CB[s].T - 0.5 * (CB[s] ** 2).sum(1)).argmax(1)
+        errs += ((Xs - CB[s][codes]) ** 2).sum(1)
+    return errs
+
+
+def _pq_assign(matn, Cn, CB, cb_norm2, npb: int, with_codes: bool):
+    """(order, codes) for a unit-normalized batch: nearest-list order
+    (n, npb) — stable argsort, so ties resolve identically everywhere
+    — and, when ``with_codes``, the PQ codes (n, m) of each row's
+    nearest-list residual. The ONE assignment kernel shared by
+    ivf_pq_topk, encode_ivfpq, ivf_pq_search and ivfpq_distortion: a
+    vector must encode to the same (list, codes) no matter which verb
+    touches it."""
+    import numpy as np
+
+    sims = matn @ Cn.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+    if not with_codes:
+        return order, None
+    m, _, d = CB.shape
+    r = matn - Cn[order[:, 0]]
+    codes = np.empty((len(matn), m), dtype=np.int16)
+    for s in range(m):
+        Xs = r[:, s * d:(s + 1) * d]
+        codes[:, s] = (Xs @ CB[s].T - cb_norm2[s]).argmax(1)
+    return order, codes
 
 
 def build_ivfpq_index(df: DataFrame, n_lists: int = 16, m: int = 8,
@@ -719,14 +762,24 @@ def build_ivfpq_index(df: DataFrame, n_lists: int = 16, m: int = 8,
     centroid) and kind='codebook' rows (i = subspace, j = code,
     vector = the d/m-dim codeword). Write to parquet and serve with
     ``ivf_pq_topk(..., index=)``: m and n_codes are derived FROM the
-    stored table, and neither k-means nor the PQ sample reruns."""
+    stored table, and neither k-means nor the PQ sample reruns.
+
+    r10: one kind='stat' row (i = 0, j = 0, vector =
+    [build_distortion]) records the mean squared PQ reconstruction
+    error of the training sample — the baseline ``ivfpq_distortion``
+    compares fresh data against to signal when the index has gone
+    stale and should be retrained. Decoders ignore unknown kinds, so
+    pre-r10 artifacts stay servable (they just report a null
+    baseline)."""
     base = _prep(df, vec_col, id_col).drop("nrm")
-    Cn, CB, _ = _train_ivfpq(base, n_lists, m, n_codes, seed,
-                             train_iters, sample_size)
+    Cn, CB, _, build_dist = _train_ivfpq(base, n_lists, m, n_codes,
+                                         seed, train_iters,
+                                         sample_size)
     rows = [("centroid", i, 0, [float(x) for x in Cn[i]])
             for i in range(len(Cn))]
     rows += [("codebook", s, c, [float(x) for x in CB[s][c]])
              for s in range(CB.shape[0]) for c in range(CB.shape[1])]
+    rows += [("stat", 0, 0, [build_dist])]
     return df.sparkSession.createDataFrame(
         rows, "kind string, i int, j int, vector array<double>")
 
@@ -836,11 +889,10 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
         Cn, CB = _decode_ivfpq_index(index)
         m, n_codes = CB.shape[0], CB.shape[1]
     else:
-        Cn, CB, base = _train_ivfpq(base, n_lists, m, n_codes, seed,
-                                    train_iters, sample_size)
+        Cn, CB, base, _ = _train_ivfpq(base, n_lists, m, n_codes,
+                                       seed, train_iters, sample_size)
     npb = min(n_probe, len(Cn))
     R_short = max(k, shortlist if shortlist is not None else 4 * k)
-    d = Cn.shape[1] // m
     cb_norm2 = 0.5 * (CB ** 2).sum(-1)          # (m, n_codes)
 
     def assign(batches):
@@ -851,13 +903,8 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
             mat = np.array(list(pdf["vec"]))
             matn = mat / (np.linalg.norm(mat, axis=1,
                                          keepdims=True) + 1e-12)
-            sims = matn @ Cn.T
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            r = matn - Cn[order[:, 0]]
-            codes = np.empty((n, m), dtype=np.int16)
-            for s in range(m):
-                Xs = r[:, s * d:(s + 1) * d]
-                codes[:, s] = (Xs @ CB[s].T - cb_norm2[s]).argmax(1)
+            order, codes = _pq_assign(matn, Cn, CB, cb_norm2, npb,
+                                      with_codes=True)
             member = pd.DataFrame({
                 "lst": order[:, 0].astype(np.int32),
                 "id": pdf["id"].to_numpy(),
@@ -876,7 +923,20 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     both = base.mapInPandas(
         assign, f"lst int, id {id_t}, vec array<double>, "
                 f"codes array<smallint>, role string")
+    return _ivfpq_score(both, Cn, CB, k, R_short, rerank, id_t)
 
+
+def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
+                 rerank: bool, id_t: str) -> DataFrame:
+    """The per-list ADC scoring + global merge half of IVF-PQ,
+    shared by ivf_pq_topk (members encoded inline) and
+    ivf_pq_search (members from a stored postings table). ``both``
+    carries (lst, id, vec, codes, role) rows — role 'm' members,
+    role 'q' probes."""
+    import numpy as np
+    import pandas as pd
+
+    m, n_codes, d = CB.shape
     code_off = (np.arange(m) * n_codes)[None, :]
 
     def score_list(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -924,6 +984,172 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     return (partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("id", "neighbor_id", "cosine", "rank"))
+
+
+def encode_ivfpq(df: DataFrame, index: DataFrame,
+                 keep_vectors: bool = True,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """The incremental-ADD verb for a stored IVF-PQ index: encode
+    vectors against the PREBUILT index (``build_ivfpq_index``
+    artifact — no retraining) in ONE Arrow pass —
+    assign-to-nearest-centroid + PQ-encode — and return the postings
+    rows (lst, id, codes, vec). Append them to the stored postings
+    table (parquet append) to add NEW vectors to a served corpus;
+    ``ivf_pq_search`` then serves queries from the postings without
+    ever re-encoding members. ``keep_vectors=False`` stores
+    codes-only postings (the storage-optimal classic IVFPQ posture —
+    m smallint codes instead of dim doubles; search must then run
+    ``rerank=False``).
+
+    Encoding is row-local (the index rides the closure), so
+    encode(A) ∪ encode(B) ≡ encode(A ∪ B) — the append IS the add,
+    no global recompute. Same assignment kernel as ivf_pq_topk
+    (``_pq_assign``), pinned by test."""
+    import numpy as np
+    import pandas as pd
+
+    Cn, CB = _decode_ivfpq_index(index)
+    cb_norm2 = 0.5 * (CB ** 2).sum(-1)
+    id_t = _id_ddl(df, id_col)
+    base = _prep(df, vec_col, id_col).drop("nrm")
+
+    def enc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            mat = np.array(list(pdf["vec"]))
+            matn = mat / (np.linalg.norm(mat, axis=1,
+                                         keepdims=True) + 1e-12)
+            order, codes = _pq_assign(matn, Cn, CB, cb_norm2, 1,
+                                      with_codes=True)
+            yield pd.DataFrame({
+                "lst": order[:, 0].astype(np.int32),
+                "id": pdf["id"].to_numpy(),
+                "codes": list(codes),
+                "vec": (pdf["vec"] if keep_vectors else [None] * n)})
+
+    return base.mapInPandas(
+        enc, f"lst int, id {id_t}, codes array<smallint>, "
+             f"vec array<double>")
+
+
+def ivf_pq_search(queries: DataFrame, postings: DataFrame,
+                  index: DataFrame, k: int = 5, n_probe: int = 4,
+                  shortlist: int | None = None, rerank: bool = True,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Serve ANN queries from a STORED postings table: queries are
+    assigned to their n_probe nearest lists in one Arrow pass, the
+    postings rows (members, already encoded at add time by
+    ``encode_ivfpq``) join them per list, and the shared
+    ``_ivfpq_score`` ADC + merge runs exactly as in ivf_pq_topk —
+    pinned: search over encode_ivfpq(corpus) equals
+    ivf_pq_topk(corpus, index=) row-for-row.
+
+    This is the full production triad: build once
+    (build_ivfpq_index), add incrementally (encode_ivfpq + parquet
+    append), serve many (this). Per query batch the corpus-sized
+    work is the postings scan; nothing is re-encoded."""
+    import numpy as np
+    import pandas as pd
+
+    Cn, CB = _decode_ivfpq_index(index)
+    want = {"lst", "id", "codes", "vec"}
+    if not want <= set(postings.columns):
+        raise ValueError("ivf_pq_search: postings table must have "
+                         f"columns {sorted(want)} (from encode_ivfpq)")
+    if rerank and postings.where(F.col("vec").isNull()).take(1):
+        raise ValueError(
+            "ivf_pq_search: rerank=True needs stored member vectors "
+            "— re-encode with keep_vectors=True or pass rerank=False")
+    npb = min(n_probe, len(Cn))
+    R_short = max(k, shortlist if shortlist is not None else 4 * k)
+    cb_norm2 = 0.5 * (CB ** 2).sum(-1)
+    id_t = _id_ddl(queries, id_col)
+    qbase = _prep(queries, vec_col, id_col).drop("nrm")
+
+    def qassign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            mat = np.array(list(pdf["vec"]))
+            matn = mat / (np.linalg.norm(mat, axis=1,
+                                         keepdims=True) + 1e-12)
+            order, _ = _pq_assign(matn, Cn, CB, cb_norm2, npb,
+                                  with_codes=False)
+            qi = np.repeat(np.arange(n), npb)
+            yield pd.DataFrame({
+                "lst": order.ravel().astype(np.int32),
+                "id": pdf["id"].to_numpy()[qi],
+                "vec": pdf["vec"].to_numpy()[qi],
+                "codes": [None] * (n * npb),
+                "role": "q"})
+
+    qrows = qbase.mapInPandas(
+        qassign, f"lst int, id {id_t}, vec array<double>, "
+                 f"codes array<smallint>, role string")
+    members = postings.select("lst", "id", "vec", "codes",
+                              F.lit("m").alias("role"))
+    return _ivfpq_score(qrows.unionByName(members), Cn, CB, k,
+                        R_short, rerank, id_t)
+
+
+def _ivfpq_build_distortion(index: DataFrame):
+    """The build-time distortion baseline from an index artifact's
+    kind='stat' row, or None on a pre-r10 artifact (bounded read —
+    stat rows are O(1))."""
+    for r in index.where(F.col("kind") == "stat").collect():
+        if r["i"] == 0 and r["j"] == 0 and r["vector"]:
+            return float(r["vector"][0])
+    return None
+
+
+def ivfpq_distortion(df: DataFrame, index: DataFrame,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Staleness signal for a stored IVF-PQ index: mean squared PQ
+    reconstruction error of ``df``'s vectors under the index, next
+    to the build-time baseline recorded in the artifact. Returns ONE
+    row (n, mean_distortion, build_distortion, distortion_ratio) —
+    a ratio drifting well above 1 means the data has moved away from
+    the distribution the codebooks were trained on and the operator
+    should rebuild (the add path itself never degrades silently:
+    this is the gauge).
+
+    One Arrow pass (same assignment kernel as encode) + a 1-row
+    aggregate; ``distortion_ratio`` is NULL for pre-r10 artifacts
+    with no recorded baseline."""
+    import numpy as np
+    import pandas as pd
+
+    Cn, CB = _decode_ivfpq_index(index)
+    build = _ivfpq_build_distortion(index)
+    cb_norm2 = 0.5 * (CB ** 2).sum(-1)
+    base = _prep(df, vec_col, id_col).drop("nrm")
+
+    def dist(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["vec"]))
+            matn = mat / (np.linalg.norm(mat, axis=1,
+                                         keepdims=True) + 1e-12)
+            order, _ = _pq_assign(matn, Cn, CB, cb_norm2, 1,
+                                  with_codes=False)
+            r = matn - Cn[order[:, 0]]
+            yield pd.DataFrame({"err": _pq_sq_err(r, CB)})
+
+    agg = (base.mapInPandas(dist, "err double")
+           .agg(F.count("*").alias("n"),
+                F.avg("err").alias("__md")))
+    return agg.select(
+        "n", F.round("__md", 6).alias("mean_distortion"),
+        F.lit(build).cast("double").alias("build_distortion"),
+        F.round(F.try_divide(F.col("__md"), F.lit(build)), 6)
+        .alias("distortion_ratio"))
 
 
 def hashed_doc_vectors(df: DataFrame, dim: int = 64,

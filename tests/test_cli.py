@@ -432,6 +432,50 @@ def test_corpus_ann_index_roundtrip(capsys, tmp_path, spark):
     assert h_served == sorted(out.splitlines()) and h_served
 
 
+def test_corpus_ann_encode_postings_distortion(capsys, tmp_path,
+                                               spark):
+    """The r10 index production verbs over the CLI: --encode emits
+    postings (the incremental add), --postings serves from them
+    (equal to --index serving), --distortion reports the staleness
+    gauge; flag misuse is a clean rc 2."""
+    idx = str(tmp_path / "pq_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", idx)
+    assert rc == 0
+    post = str(tmp_path / "postings")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--index", idx, "-o", post)
+    assert rc == 0
+    stored = spark.read.parquet(post)
+    assert set(stored.columns) == {"lst", "id", "codes", "vec"}
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--index", idx, "--postings", post, "-k", "3",
+                  "-j", "-l", "5000")
+    assert rc == 0
+    from_postings = sorted(out.splitlines())
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--index", idx, "-k", "3", "-j", "-l", "5000")
+    assert from_postings == sorted(out.splitlines()) and from_postings
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--distortion", "--index", idx, "-j")
+    row = json.loads(out.splitlines()[0])
+    assert rc == 0 and row["build_distortion"] is not None
+    assert row["distortion_ratio"] is not None
+    # verb misuse: wrong method, or missing --index
+    rc, _ = run(capsys, "corpus", "ann", "--method", "gemm",
+                "--encode")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--distortion")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--postings", post)
+    assert rc == 2
+
+
 def test_corpus_output_parquet(capsys, tmp_path, spark):
     dest = str(tmp_path / "packed")
     rc, _ = run(capsys, "corpus", "pack", "-o", dest)

@@ -543,6 +543,73 @@ def test_ivfpq_prebuilt_index_matches_inline_training(embs, tmp_path,
         ivf_pq_topk(embs, index=embs)
 
 
+def test_ivfpq_encode_search_add_roundtrip(embs, tmp_path, spark):
+    """The r10 production triad: build once (build_ivfpq_index), add
+    incrementally (encode_ivfpq + parquet append), serve many
+    (ivf_pq_search) — plus the distortion staleness gauge.
+
+    1. postings assembled by TWO separate encode+append calls (the
+       add path) serve EXACTLY what ivf_pq_topk(index=) returns;
+    2. appended vectors really are queryable (returned as neighbors);
+    3. the gauge reads ~1 on in-distribution data and degrades to a
+       NULL baseline on a pre-r10 artifact without the stat row."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq,
+                                              ivf_pq_search,
+                                              ivf_pq_topk,
+                                              ivfpq_distortion)
+    idx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                            train_iters=1)
+    ipath = str(tmp_path / "ivfpq_idx")
+    idx.write.parquet(ipath)
+    index = spark.read.parquet(ipath)
+    ppath = str(tmp_path / "postings")
+    encode_ivfpq(embs.where("vec_id % 2 = 0"),
+                 index).write.parquet(ppath)
+    encode_ivfpq(embs.where("vec_id % 2 = 1"),
+                 index).write.mode("append").parquet(ppath)
+    postings = spark.read.parquet(ppath)
+    assert postings.count() == embs.count()
+    served = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_pq_search(embs, postings, index, k=3,
+                                     n_probe=2).collect()}
+    inline = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_pq_topk(embs, k=3, n_probe=2,
+                                   index=index).collect()}
+    assert served == inline and served
+    # the appended (odd-id) half is genuinely queryable: some
+    # neighbors come from it
+    odd = {r["vec_id"]
+           for r in embs.where("vec_id % 2 = 1")
+           .select("vec_id").collect()}
+    assert any(nb in odd for nb, _ in served.values())
+    # staleness gauge: same distribution as training ⇒ ratio ≈ 1
+    row = ivfpq_distortion(embs, index).collect()[0]
+    assert row["n"] == embs.count()
+    assert row["build_distortion"] is not None
+    assert row["mean_distortion"] >= 0
+    assert row["distortion_ratio"] is not None
+    assert 0.5 < row["distortion_ratio"] < 2.0, row
+    # pre-r10 artifact (no stat row): serving works, baseline NULL
+    old = index.where("kind <> 'stat'")
+    row2 = ivfpq_distortion(embs, old).collect()[0]
+    assert row2["build_distortion"] is None
+    assert row2["distortion_ratio"] is None
+    # rerank without stored vectors is a clean error, not a crash
+    from pyspark.sql import functions as SF
+    novec = postings.withColumn(
+        "vec", SF.lit(None).cast("array<double>"))
+    with pytest.raises(ValueError, match="rerank"):
+        ivf_pq_search(embs, novec, index, k=3)
+    # ... and codes-only postings DO serve with rerank=False
+    adc = ivf_pq_search(embs, novec, index, k=3, n_probe=2,
+                        rerank=False)
+    assert adc.count() > 0
+    # malformed postings (wrong columns) are clean errors
+    with pytest.raises(ValueError, match="columns"):
+        ivf_pq_search(embs, embs, index, k=3)
+
+
 def test_corpus_diff_statuses(spark):
     """All four statuses on a hand-built pair of snapshots; text
     never needs to match — only the fingerprint decides."""
