@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 138
+TOTAL_ENTRIES = 139
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1218,6 +1218,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("span_end").cast("long").alias("span_end"),
             F.col("span_tokens").cast("long").alias("span_tokens"))
     q["dedup_substring_spans"] = substr_spans
+
+    def substr_chars(spark, sf_dir):
+        """Char-granularity ExactSubstr spans (llm/dedup.py
+        duplicate_char_spans): char k-gram positional index + span
+        stitching — duplicated substrings of >= k CHARS at char
+        precision, no tokenizer in the loop (the published recipe's
+        resolution; Lee et al. 2022 flag >= 50-char repeats — k=30
+        here so the small-sf fixtures produce spans). Same linear
+        scale shape as the token variant: stride-1 gram rows,
+        map-side-combinable groupBy(gram), left-semi, islands
+        window. The oracle replays the identical substring grams and
+        islands merge."""
+        from metacat_spark.llm import dedup as DD
+        s = DD.duplicate_char_spans(_docs(spark, sf_dir), k=30,
+                                    min_count=2)
+        return s.select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_chars").cast("long").alias("span_chars"))
+    q["dedup_substring_chars"] = substr_chars
 
     def substr_scrub(spark, sf_dir):
         """ExactSubstr scrub (llm/dedup.py scrub_duplicate_spans):
@@ -2739,6 +2760,41 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, min(pos) as span_start, max(fin) as span_end,
                max(fin) - min(pos) as span_tokens
         from grp group by doc_id, gid""")
+
+    # char-granularity twin: substring k-grams (k=30) instead of
+    # token 8-grams; the islands merge is the same shape
+    o["dedup_substring_chars"] = r"""
+        with occ as (
+          select doc_id, u.pos as pos, u.fin as fin, u.g as g
+          from (select doc_id,
+                  case when length(text) >= 30 then
+                    [{'pos': i - 1, 'fin': i + 29,
+                      'g': substring(text, i, 30)}
+                     for i in range(1, length(text) - 28)]
+                  else [{'pos': 0, 'fin': length(text), 'g': text}]
+                  end as gs
+                from documents
+                where text is not null and length(text) > 0),
+               unnest(gs) as t(u)),
+        dup as (
+          select doc_id, pos, fin from occ
+          where g in (select g from occ
+                      group by g having count(*) >= 2)),
+        marked as (
+          select doc_id, pos, fin,
+                 max(fin) over (partition by doc_id order by pos
+                                rows between unbounded preceding
+                                and 1 preceding) as prev_end
+          from dup),
+        grp as (
+          select doc_id, pos, fin,
+                 sum(case when prev_end is null or pos > prev_end
+                     then 1 else 0 end)
+                   over (partition by doc_id order by pos) as gid
+          from marked)
+        select doc_id, min(pos) as span_start, max(fin) as span_end,
+               max(fin) - min(pos) as span_chars
+        from grp group by doc_id, gid"""
 
     _SCRUB_TAIL = r"""
         spans as (

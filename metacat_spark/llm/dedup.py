@@ -862,6 +862,89 @@ def _gram_occurrences(df: DataFrame, n: int, text_col: str,
                      F.concat_ws(" ", *parts).alias("gram"))
 
 
+def _merge_islands(dup: DataFrame):
+    """Gaps-and-islands merge of (id, pos, fin) half-open ranges into
+    maximal per-id spans — the span-stitching tail shared by the
+    token-gram and char-gram ExactSubstr variants. Returns
+    (id, span_start, span_end)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("fin").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end),
+               F.lit(1)).otherwise(F.lit(0)))
+    return (marked.withColumn("gid", F.sum("new_span").over(w))
+            .groupBy("id", "gid")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("fin").alias("span_end")))
+
+
+def _char_gram_occurrences(df: DataFrame, k: int, text_col: str,
+                           id_col: str) -> DataFrame:
+    """One row per CHARACTER k-gram occurrence: (id, pos, fin, gram)
+    with [pos, fin) a 0-based half-open char range — the char-
+    granularity twin of _gram_occurrences. substring over a sequence
+    explode, all whole-stage codegen; one row per character is the
+    honest cost of finding duplicates at char resolution. Documents
+    shorter than k chars contribute their whole text as one gram
+    covering [0, len)."""
+    base = (_spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("__t"))
+            .where(F.col(text_col).isNotNull()
+                   & (F.length(text_col) > 0))
+            .withColumn("__len", F.length("__t")))
+    ex = base.select(
+        "id", "__t", "__len",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.col("__len") - k, F.lit(0))))
+        .alias("pos"))
+    return ex.select(
+        "id", "pos",
+        F.least(F.col("pos") + k, F.col("__len")).alias("fin"),
+        F.substring(F.col("__t"), F.col("pos") + 1, F.lit(k))
+        .alias("gram"))
+
+
+def duplicate_char_spans(df: DataFrame, k: int = 50,
+                         min_count: int = 2, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplicate spans at CHARACTER granularity —
+    the resolution the published ExactSubstr recipe works at (Lee et
+    al. 2022 flag duplicated substrings of >= 50 chars; their suffix
+    array is a single-machine structure). The distributed relaxation
+    is a char k-gram positional index with span stitching: every
+    k-char substring occurring >= min_count times corpus-wide marks
+    its char range, overlapping/adjacent ranges merge per document —
+    finding EXACTLY the duplicated substrings of length >= k, at
+    char precision, with no tokenizer in the loop (VERDICT r9 #3:
+    the token-n-gram variant rounds span edges to token boundaries
+    and misses intra-token duplication).
+
+    Scale shape: identical to duplicate_spans — stride-1 k-gram rows
+    (one per char — linear), groupBy(gram) count with map-side
+    combine, left-semi back onto occurrences, islands window keyed
+    by doc. The shuffled gram key is k chars (~the same bytes as an
+    8-token gram at k=50); at extreme scale swap the count key to
+    xxhash64(gram) for a narrower exchange (documented trade: a
+    2^-64 collision could mark a unique span duplicated).
+
+    Returns (id_col, span_start, span_end, span_chars), half-open
+    char offsets into text_col."""
+    occ = _char_gram_occurrences(df, k, text_col, id_col)
+    dup_grams = (occ.groupBy("gram").count()
+                 .where(F.col("count") >= min_count).select("gram"))
+    dup = (occ.join(dup_grams, "gram", "left_semi")
+           .select("id", "pos", "fin"))
+    return (_merge_islands(dup)
+            .select(F.col("id").alias(id_col), "span_start",
+                    "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_chars")))
+
+
 def duplicate_spans(df: DataFrame, n: int = 8, min_count: int = 2,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
@@ -886,28 +969,16 @@ def duplicate_spans(df: DataFrame, n: int = 8, min_count: int = 2,
 
     Returns (id_col, span_start, span_end, span_tokens), spans
     half-open [span_start, span_end) in token positions."""
-    from pyspark.sql import Window
     occ = _gram_occurrences(df, n, text_col, id_col)
     dup_grams = (occ.groupBy("gram").count()
                  .where(F.col("count") >= min_count).select("gram"))
     dup = (occ.join(dup_grams, "gram", "left_semi")
            .select("id", "pos", "fin"))
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max("fin").over(
-        w.rowsBetween(Window.unboundedPreceding, -1))
-    marked = dup.withColumn(
-        "new_span",
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end),
-               F.lit(1)).otherwise(F.lit(0)))
-    spans = (marked.withColumn("gid", F.sum("new_span").over(w))
-             .groupBy("id", "gid")
-             .agg(F.min("pos").alias("span_start"),
-                  F.max("fin").alias("span_end"))
-             .select(F.col("id").alias(id_col), "span_start",
-                     "span_end",
-                     (F.col("span_end")
-                      - F.col("span_start")).alias("span_tokens")))
-    return spans
+    return (_merge_islands(dup)
+            .select(F.col("id").alias(id_col), "span_start",
+                    "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_tokens")))
 
 
 def scrub_duplicate_spans(df: DataFrame, n: int = 8,

@@ -1547,6 +1547,55 @@ def test_duplicate_spans_vs_duck(docs, duck):
     assert got == want
 
 
+def test_duplicate_char_spans_planted(spark):
+    """Char-granularity spans land on CHARACTER offsets, not token
+    boundaries: a repeated 12-char substring embedded mid-token is
+    found with exact char edges (k=10 grams, islands merged); docs
+    shorter than k with an exact twin are flagged whole."""
+    from metacat_spark.llm.dedup import duplicate_char_spans
+    dup = "XYZQWERTY123"                      # 12 chars, mid-word
+    # filler chars are all-distinct runs: a repeated-char run of
+    # >= k chars would legitimately self-duplicate its own grams
+    rows = [
+        (1, f"abcd{dup}efghijklmnop"),        # dup at chars 4..15
+        (2, f"qrstuvwx{dup}yzabcdef"),        # dup at chars 8..19
+        (3, "totally different content here with nothing shared x"),
+        (4, "tiny twin"), (5, "tiny twin"),   # len 9 < k: whole-text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.span_start, r.span_end, r.span_chars)
+           for r in duplicate_char_spans(df, k=10,
+                                         min_count=2).collect()}
+    assert got == {1: (4, 16, 12), 2: (8, 20, 12),
+                   4: (0, 9, 9), 5: (0, 9, 9)}
+
+
+def test_duplicate_char_spans_within_doc_repeat(spark):
+    """min_count counts occurrences corpus-wide INCLUDING within-doc
+    repeats, as the token variant does."""
+    from metacat_spark.llm.dedup import duplicate_char_spans
+    rep = "0123456789"
+    df = spark.createDataFrame(
+        [(1, f"{rep}---filler-text---{rep}")], ["doc_id", "text"])
+    cover = {(r.span_start, r.span_end)
+             for r in duplicate_char_spans(df, k=10,
+                                           min_count=2).collect()}
+    assert cover == {(0, 10), (27, 37)}
+
+
+def test_duplicate_char_spans_vs_duck(docs, duck):
+    """Corpus-level char spans at k=30 match the DuckDB substring
+    islands replay (the dedup_substring_chars oracle)."""
+    from metacat_spark.llm.dedup import duplicate_char_spans
+    import __spark_entry__ as E
+    got = sorted(tuple(r) for r in
+                 duplicate_char_spans(docs, k=30,
+                                      min_count=2).collect())
+    want = sorted(tuple(r) for r in duck.execute(
+        E.oracle_sql()["dedup_substring_chars"]).fetchall())
+    assert got == want and got
+
+
 # ------------------------------------------------------------- IVF-PQ
 
 def test_ivf_pq_rerank_matches_ivf_recall(embs):

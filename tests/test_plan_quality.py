@@ -395,6 +395,20 @@ def test_duplicate_spans_all_jvm_no_pairwise(spark):
     assert "partial_count" in plan
 
 
+def test_duplicate_char_spans_all_jvm_no_pairwise(spark):
+    """The char-granularity ExactSubstr variant keeps the token
+    variant's plan contract: fully relational, map-side-combinable
+    gram count, no Python stages, no pairwise joins."""
+    from metacat_spark.llm.dedup import duplicate_char_spans
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(duplicate_char_spans(docs, k=30, min_count=2))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
 def test_ivf_pq_no_interpreted_hof(spark):
     """IVF-PQ encode/assign and ADC scoring are Arrow stages; no
     interpreted per-row HOF dots, no row-level Python."""
