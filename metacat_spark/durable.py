@@ -112,7 +112,8 @@ class DurableStore:
     tiny JSON manifests go through plain-file / Hadoop-FS I/O."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 at: Optional[int] = None):
+                 at: Optional[int] = None,
+                 create_if_absent=None):
         """``at``: time travel — attach the catalog AS OF commit
         ``at`` instead of the latest (every numbered manifest is a
         complete self-describing snapshot-plus-journal pointer, so
@@ -120,11 +121,27 @@ class DurableStore:
         does — the Delta `VERSION AS OF` analogue). A store opened
         with ``at`` is read-only by convention: committing from it
         raises CommitConflict at publish time because its commit
-        number collides with history."""
+        number collides with history.
+
+        ``create_if_absent``: the OBJECT-STORE portability hook
+        (r10). A callable ``(dest_path: str, data: bytes) -> bool``
+        that must atomically create ``dest_path`` with ``data`` iff
+        it does not exist, returning False (or raising
+        FileExistsError) when it does — the one primitive the
+        single-winner commit protocol needs. When None, the built-in
+        publish runs (os.link create-if-absent locally, rename-
+        refuses-existing on HDFS-class URIs). Install a hook to run
+        the log on stores whose rename is non-atomic: map it to a
+        conditional PUT — S3 `If-None-Match: *`, GCS
+        `x-goog-if-generation-match: 0`, ABFS ETag preconditions —
+        and the Delta-on-S3 coordinating-LogStore gap closes without
+        touching the protocol (the loser's segments stay
+        unreferenced garbage exactly as on local FS)."""
         self.spark = spark
         self.root = root.rstrip("/")
         self._uri = "://" in self.root
         self.at = at
+        self._create_if_absent = create_if_absent
         self.manifest = self._read_current() or {
             "commit": 0, "seq": 0,
             "tables": {}, "dml_meta": {}}
@@ -279,7 +296,9 @@ class DurableStore:
         check+copy+delete — two racing writers there can both
         "succeed", the same known gap Delta-on-S3 closes with a
         coordinating LogStore; single-writer-per-root (the supported
-        mode, DIVERGENCES §9) is unaffected. Filesystems without
+        mode, DIVERGENCES §9) is unaffected — OR close it by
+        installing the ``create_if_absent`` hook (see __init__)
+        backed by the store's conditional PUT. Filesystems without
         hard links (CIFS/exFAT) fall back to exists-check +
         os.replace: durability keeps working, conflict detection
         narrows to the check window."""
@@ -297,6 +316,23 @@ class DurableStore:
             raise CommitConflict(cid, self.root)
         dest = f"{self._commits_dir()}/{cid:012d}.json"
         data = json.dumps(manifest, sort_keys=True)
+        if self._create_if_absent is not None:
+            # pluggable conditional-create backend (see __init__):
+            # the hook owns atomicity; False/FileExistsError = lost
+            # the race. Directory creation stays here — object
+            # stores have no directories and a local hook impl may
+            # assume the layout exists.
+            if not self._uri:
+                os.makedirs(self._commits_dir(), exist_ok=True)
+            try:
+                created = self._create_if_absent(
+                    dest, data.encode("utf-8"))
+            except FileExistsError:
+                raise CommitConflict(cid, self.root) from None
+            if not created:
+                raise CommitConflict(cid, self.root)
+            self.manifest = manifest
+            return
         # per-ATTEMPT tmp name: a per-PID name would be shared by two
         # stores in one process racing the same commit — writer A
         # could publish writer B's bytes (review r8)

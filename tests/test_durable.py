@@ -433,6 +433,58 @@ def test_commit_conflict_single_winner(spark, tmp_path):
     assert cat2.files.where(F.col("id") == "lose-1").count() == 0
 
 
+def test_commit_conflict_single_winner_through_hook(spark, tmp_path):
+    """The r10 create-if-absent backend hook: a local conditional-
+    create implementation (O_CREAT|O_EXCL — the same promise a
+    conditional PUT gives on S3-class stores) carries the whole
+    single-winner protocol. Publishes flow through the hook, the
+    racer loses with CommitConflict, a restart holds only the
+    winner, and a hook answering False (the HTTP-412 path) is the
+    same loss."""
+    from metacat_spark.durable import CommitConflict, DurableStore
+    calls = []
+
+    def cond_create(dest, data):
+        calls.append(dest)
+        try:
+            fd = os.open(dest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+
+    root = str(tmp_path / "cat")
+    cat_a = from_tpch(spark, SF_DIR)
+    cat_b = from_tpch(spark, SF_DIR)
+    dml_a = DML(cat_a, store=DurableStore(
+        spark, root, create_if_absent=cond_create))
+    dml_b = DML(cat_b, store=DurableStore(
+        spark, root, create_if_absent=cond_create))
+    row = {"namespace": "dune", "name": "x",
+           "metadata": {"core.run": 1, "core.runs": [1]}}
+    dml_a.declare_files([dict(row, id="win-1")])
+    assert calls and calls[0].endswith("000000000001.json")
+    with pytest.raises(CommitConflict):
+        dml_b.declare_files([dict(row, id="lose-1")])
+    # the loser really raced THROUGH the hook (>= 2: DML's flush
+    # deliberately re-attempts once on a raising mutation), and
+    # every losing attempt targeted the contested slot
+    assert len(calls) >= 2
+    assert all(c.endswith("000000000001.json") for c in calls)
+    # the published log is byte-compatible: a plain (hook-less)
+    # restart replays it
+    cat2, _, _ = _restart(spark, root)
+    assert cat2.files.where(F.col("id") == "win-1").count() == 1
+    assert cat2.files.where(F.col("id") == "lose-1").count() == 0
+    # a hook that reports "exists" by returning False (conditional
+    # PUT precondition failure) is the same CommitConflict
+    dml_c = DML(from_tpch(spark, SF_DIR), store=DurableStore(
+        spark, root, create_if_absent=lambda d, b: False))
+    with pytest.raises(CommitConflict):
+        dml_c.declare_files([dict(row, id="lose-2")])
+
+
 def test_concurrent_declares_all_reach_the_log(spark, tmp_path):
     """The threaded HTTP server mutates through one DML instance from
     many threads; the RLock serializes and the commit boundary must
