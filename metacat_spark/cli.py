@@ -255,7 +255,12 @@ def _cmd_corpus(args) -> int:
         return 2
 
     if args.output:
-        out.write.mode("overwrite").parquet(args.output)
+        # --append grows an existing table (the ann --encode postings
+        # add path) instead of replacing it — overwrite would
+        # silently destroy previously added rows (review r10)
+        mode = ("append" if getattr(args, "append", False)
+                else "overwrite")
+        out.write.mode(mode).parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"# wrote {n} rows to {args.output}", file=sys.stderr)
         return 0
@@ -836,8 +841,13 @@ def build_parser() -> argparse.ArgumentParser:
     cn.add_argument("--encode", action="store_true",
                     help="ivfpq + --index: emit postings rows "
                          "(lst, id, codes, vec) for the input "
-                         "vectors — the incremental ADD; append to "
-                         "the stored postings table (write with -o)")
+                         "vectors — the incremental ADD (first "
+                         "batch: -o <postings>; later batches: "
+                         "-o <postings> --append)")
+    cn.add_argument("--append", action="store_true",
+                    help="with -o: append to the existing parquet "
+                         "table instead of overwriting it (the "
+                         "--encode add path)")
     cn.add_argument("--postings",
                     help="ivfpq + --index: serve queries from a "
                          "stored postings table (parquet path) "

@@ -392,12 +392,18 @@ def _op_hybrid_stream(ctx: OpContext) -> DataFrame:
         "vecsrc", "hybrid-stream needs vecsrc=<embeddings parquet "
                   "path to stream>"))
     docs = ctx.docs()
+    # per-invocation sink names: the HTTP server handles requests
+    # concurrently, and two drains sharing a memory queryName either
+    # collide at start() or cross-contaminate the lazily-read
+    # leaderboards (review r10)
+    import uuid
+    table = f"hybrid_stream_{uuid.uuid4().hex[:12]}"
     try:
         return hybrid_stream_topk(
             docs.sparkSession, docs_src, vec_src, terms,
             query_vec_id=ctx.int_param("vec"), stats_from=docs,
             query_from=ctx.embs(), n=ctx.int_param("n", 50),
-            k=ctx.int_param("k", 10))
+            k=ctx.int_param("k", 10), table=table)
     except ValueError as e:
         raise OpError(str(e))
 
@@ -628,6 +634,22 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         # same loud-flag contract as --build-index below (review r9)
         raise OpError(f"ann: --encode/--distortion/--postings apply "
                       f"to method ivfpq, not {method}")
+    # the four index verbs are mutually exclusive, and build never
+    # takes a served index — silent precedence would run a different
+    # verb than the user asked for (review r10, same loud-flag
+    # contract)
+    verbs = [v for v, on in (
+        ("--build-index", ctx.flag("build_index")),
+        ("--encode", ctx.flag("encode")),
+        ("--distortion", ctx.flag("distortion")),
+        ("--postings", ctx.param("postings") is not None)) if on]
+    if len(verbs) > 1:
+        raise OpError(f"ann: conflicting verbs {', '.join(verbs)} — "
+                      f"pick one")
+    if ctx.flag("build_index") and ctx.param("index") is not None:
+        raise OpError("ann: --build-index trains a NEW index; it "
+                      "cannot take --index (did you mean --encode, "
+                      "--postings or --distortion?)")
     if method in ("gemm", "lsh"):
         # loud, not silent: an index flag on a non-index method must
         # not quietly run (or write) a normal search (review r9)

@@ -347,12 +347,30 @@ def search_stream_topk(spark, src_dir: str, query_terms,
         [("n_tokens", "long", int)], table, "search_stream_topk")
 
 
+def _fetch_query_vec(query_from: DataFrame, query_vec_id: int,
+                     vec_col: str, id_col: str, what: str) -> list:
+    """The stored query vector as floats — ONE pushed-filter point
+    lookup; a typo'd vec_id is a loud ValueError BEFORE any stream
+    starts (hybrid_stream_topk validates both rankers' inputs up
+    front so a bad id cannot waste a full corpus drain — review
+    r10)."""
+    qrow = (query_from.where(F.col(id_col) == query_vec_id)
+            .select(F.transform(F.col(vec_col),
+                                lambda x: x.cast("double"))
+                    .alias("__qv")).take(1))
+    if not qrow:
+        raise ValueError(f"{what}: query_vec_id {query_vec_id} "
+                         f"not found in query_from")
+    return [float(x) for x in qrow[0]["__qv"]]
+
+
 def cosine_stream_topk(spark, src_dir: str, query_vec_id: int,
                        query_from: DataFrame, k: int = 10,
                        max_files_per_trigger: int | None = None,
                        table: str = "cosine_stream_topk",
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
+                       id_col: str = "vec_id",
+                       _qvec: list | None = None) -> DataFrame:
     """Streaming twin of ``cosine_topn``: a RUNNING cosine
     leaderboard over an embedding STREAM against one stored query
     vector. The query vector is fetched ONCE from the static
@@ -363,14 +381,10 @@ def cosine_stream_topk(spark, src_dir: str, query_vec_id: int,
     shared k-row leaderboard. Round-6 quantization and the
     (cosine desc, id asc) tie order match the batch ranker exactly;
     batch≡stream convergence is pinned by test."""
-    qrow = (query_from.where(F.col(id_col) == query_vec_id)
-            .select(F.transform(F.col(vec_col),
-                                lambda x: x.cast("double"))
-                    .alias("__qv")).take(1))
-    if not qrow:
-        raise ValueError(f"cosine_stream_topk: query_vec_id "
-                         f"{query_vec_id} not found in query_from")
-    qvec = F.array(*[F.lit(float(x)) for x in qrow[0]["__qv"]])
+    if _qvec is None:
+        _qvec = _fetch_query_vec(query_from, query_vec_id, vec_col,
+                                 id_col, "cosine_stream_topk")
+    qvec = F.array(*[F.lit(x) for x in _qvec])
     stream = stream_parquet(
         spark, src_dir, max_files_per_trigger=max_files_per_trigger)
     id_type = stream.schema[id_col].dataType.simpleString()
@@ -501,6 +515,12 @@ def hybrid_stream_topk(spark, docs_dir: str, embs_dir: str,
     vector. The two drains run sequentially (availableNow) — each is
     one bounded streaming query; nothing corpus-sized is ever fused.
     """
+    # validate BOTH rankers' inputs before either corpus drain
+    # starts: a typo'd vec_id must not cost a full docs-stream drain
+    # before it fires (review r10); _dedupe_terms validates the
+    # query inside search_stream_topk before its own drain
+    qvec = _fetch_query_vec(query_from, query_vec_id, vec_col,
+                            vec_id_col, "hybrid_stream_topk")
     kw = (search_stream_topk(
         spark, docs_dir, query_terms, stats_from=stats_from, k=n,
         max_files_per_trigger=max_files_per_trigger,
@@ -510,6 +530,7 @@ def hybrid_stream_topk(spark, docs_dir: str, embs_dir: str,
     vec = (cosine_stream_topk(
         spark, embs_dir, query_vec_id, query_from, k=n,
         max_files_per_trigger=max_files_per_trigger,
-        table=f"{table}_vec", vec_col=vec_col, id_col=vec_id_col)
+        table=f"{table}_vec", vec_col=vec_col, id_col=vec_id_col,
+        _qvec=qvec)
         .select("id", F.col("rank").alias("vec_rank")))
     return _rrf_fuse(kw, vec, kappa, k, id_col)

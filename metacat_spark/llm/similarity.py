@@ -967,6 +967,15 @@ def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
         nc = adc.shape[1]
         rr = min(R_short, nc)
         part = np.argpartition(-adc, rr - 1, axis=1)[:, :rr]
+        if any(v is None for v in cdf["vec"]):
+            # checked HERE (O(list members), rides the scoring task)
+            # rather than as a driver-side pre-scan of the whole
+            # postings table, which added a full extra Spark job to
+            # every healthy rerank serve (review r10)
+            raise ValueError(
+                "rerank=True but a postings row has no stored "
+                "member vector — re-encode with keep_vectors=True "
+                "or pass rerank=False")
         cvec = np.array(list(cdf["vec"]))
         cvn = cvec / (np.linalg.norm(cvec, axis=1,
                                      keepdims=True) + 1e-12)
@@ -1060,10 +1069,9 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     if not want <= set(postings.columns):
         raise ValueError("ivf_pq_search: postings table must have "
                          f"columns {sorted(want)} (from encode_ivfpq)")
-    if rerank and postings.where(F.col("vec").isNull()).take(1):
-        raise ValueError(
-            "ivf_pq_search: rerank=True needs stored member vectors "
-            "— re-encode with keep_vectors=True or pass rerank=False")
+    # rerank-without-vectors is caught inside the scoring task (one
+    # O(members) pass that rides the job), NOT by a driver pre-scan
+    # of the whole postings table (review r10)
     npb = min(n_probe, len(Cn))
     R_short = max(k, shortlist if shortlist is not None else 4 * k)
     cb_norm2 = 0.5 * (CB ** 2).sum(-1)

@@ -461,7 +461,15 @@ def test_corpus_ann_encode_postings_distortion(capsys, tmp_path,
     row = json.loads(out.splitlines()[0])
     assert rc == 0 and row["build_distortion"] is not None
     assert row["distortion_ratio"] is not None
-    # verb misuse: wrong method, or missing --index
+    # the incremental ADD: a second --encode batch appended with
+    # -o --append GROWS the postings table (plain -o would silently
+    # replace it — review r10)
+    n_before = stored.count()
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--index", idx, "-o", post, "--append")
+    assert rc == 0
+    assert spark.read.parquet(post).count() == 2 * n_before
+    # verb misuse: wrong method, missing --index, conflicting verbs
     rc, _ = run(capsys, "corpus", "ann", "--method", "gemm",
                 "--encode")
     assert rc == 2
@@ -473,6 +481,15 @@ def test_corpus_ann_encode_postings_distortion(capsys, tmp_path,
     assert rc == 2
     rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
                 "--postings", post)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "--encode", "--index", idx)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--distortion", "--index", idx)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "--index", idx)
     assert rc == 2
 
 

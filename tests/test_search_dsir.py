@@ -595,12 +595,14 @@ def test_ivfpq_encode_search_add_roundtrip(embs, tmp_path, spark):
     row2 = ivfpq_distortion(embs, old).collect()[0]
     assert row2["build_distortion"] is None
     assert row2["distortion_ratio"] is None
-    # rerank without stored vectors is a clean error, not a crash
+    # rerank without stored vectors errors inside the scoring task
+    # (no driver pre-scan of the postings on the healthy path —
+    # review r10); the library message survives the Py4J wrap
     from pyspark.sql import functions as SF
     novec = postings.withColumn(
         "vec", SF.lit(None).cast("array<double>"))
-    with pytest.raises(ValueError, match="rerank"):
-        ivf_pq_search(embs, novec, index, k=3)
+    with pytest.raises(Exception, match="keep_vectors"):
+        ivf_pq_search(embs, novec, index, k=3).count()
     # ... and codes-only postings DO serve with rerank=False
     adc = ivf_pq_search(embs, novec, index, k=3, n_probe=2,
                         rerank=False)
