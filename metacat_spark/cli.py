@@ -254,17 +254,31 @@ def _cmd_corpus(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
-    if args.output:
-        # --append grows an existing table (the ann --encode postings
-        # add path) instead of replacing it — overwrite would
-        # silently destroy previously added rows (review r10)
-        mode = ("append" if getattr(args, "append", False)
-                else "overwrite")
-        out.write.mode(mode).parquet(args.output)
-        n = spark.read.parquet(args.output).count()
-        print(f"# wrote {n} rows to {args.output}", file=sys.stderr)
-        return 0
-    _print_rows(out, args.json, args.limit)
+    try:
+        if args.output:
+            # --append grows an existing table (the ann --encode
+            # postings add path) instead of replacing it — overwrite
+            # would silently destroy previously added rows (review
+            # r10)
+            mode = ("append" if getattr(args, "append", False)
+                    else "overwrite")
+            out.write.mode(mode).parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(f"# wrote {n} rows to {args.output}",
+                  file=sys.stderr)
+            return 0
+        _print_rows(out, args.json, args.limit)
+    except Exception as e:  # noqa: BLE001 — in-task misuse checks
+        # known in-task ValueErrors fire at EXECUTION time (the op
+        # builder returned a lazy DataFrame); keep the clean
+        # error-message contract instead of a remote traceback
+        # (ADVICE r10)
+        from .llm.registry import op_error_from_task
+        op_err = op_error_from_task(e)
+        if op_err is None:
+            raise
+        print(f"error: {op_err}", file=sys.stderr)
+        return 2
     return 0
 
 
@@ -856,6 +870,34 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ivfpq + --index: report the staleness "
                          "gauge (mean PQ distortion of the input vs "
                          "the build-time baseline)")
+    cn.add_argument("--retire",
+                    help="ivfpq: emit tombstone rows for these "
+                         "comma-separated member ids from the "
+                         "--postings table (append with -o "
+                         "--append); search excludes them "
+                         "immediately, --compact removes them "
+                         "physically")
+    cn.add_argument("--compact", action="store_true",
+                    help="ivfpq: rewrite --postings lists whose "
+                         "tombstone ratio >= --min-ratio without "
+                         "dead rows (write with -o)")
+    cn.add_argument("--min-ratio", type=float, default=0.0,
+                    dest="min_ratio",
+                    help="with --compact: only rewrite lists at or "
+                         "above this tombstone ratio (default 0 = "
+                         "every dirty list)")
+    cn.add_argument("--codes-only", action="store_true",
+                    dest="codes_only",
+                    help="with --encode: store codes-only postings "
+                         "(no member vectors — the storage-optimal "
+                         "classic IVFPQ posture; serve them with "
+                         "--rerank 0)")
+    cn.add_argument("--rerank", type=int, choices=[0, 1], default=1,
+                    help="ivfpq search: 1 (default) reranks the ADC "
+                         "shortlist with exact cosine (needs stored "
+                         "member vectors); 0 serves pure-ADC scores "
+                         "— required for codes-only postings tables "
+                         "(--encode without vectors)")
 
     eg = sub.add_parser(
         "events",

@@ -910,7 +910,8 @@ def _char_gram_occurrences(df: DataFrame, k: int, text_col: str,
 
 def duplicate_char_spans(df: DataFrame, k: int = 50,
                          min_count: int = 2, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         hash_grams: bool = False) -> DataFrame:
     """Exact-substring duplicate spans at CHARACTER granularity —
     the resolution the published ExactSubstr recipe works at (Lee et
     al. 2022 flag duplicated substrings of >= 50 chars; their suffix
@@ -918,22 +919,31 @@ def duplicate_char_spans(df: DataFrame, k: int = 50,
     is a char k-gram positional index with span stitching: every
     k-char substring occurring >= min_count times corpus-wide marks
     its char range, overlapping/adjacent ranges merge per document —
-    finding EXACTLY the duplicated substrings of length >= k, at
-    char precision, with no tokenizer in the loop (VERDICT r9 #3:
-    the token-n-gram variant rounds span edges to token boundaries
-    and misses intra-token duplication).
+    finding the duplicated substrings of length >= k, at char
+    precision, with no tokenizer in the loop (VERDICT r9 #3: the
+    token-n-gram variant rounds span edges to token boundaries and
+    misses intra-token duplication). One documented special case
+    (test-pinned): a document SHORTER than k chars is indexed as one
+    whole-text gram covering [0, len), so identical short documents
+    are still flagged — with spans shorter than k. Pass a pre-filter
+    (``df.where(length(text) >= k)``) for a strict >= k contract.
 
     Scale shape: identical to duplicate_spans — stride-1 k-gram rows
     (one per char — linear), groupBy(gram) count with map-side
     combine, left-semi back onto occurrences, islands window keyed
-    by doc. The shuffled gram key is k chars (~the same bytes as an
-    8-token gram at k=50); at extreme scale swap the count key to
-    xxhash64(gram) for a narrower exchange (documented trade: a
-    2^-64 collision could mark a unique span duplicated).
+    by doc. The shuffled count key is k chars (~the same bytes as an
+    8-token gram at k=50); ``hash_grams=True`` swaps it for
+    xxhash64(gram) — an 8-byte key computed in the scan stage, so
+    both the count exchange and the semi-join exchange narrow by
+    ~6x at k=50 (documented trade: a 2^-64 hash collision could
+    mark a unique span duplicated; span-for-span parity on real
+    corpora is test-pinned, A/B numbers in SCALING.md).
 
     Returns (id_col, span_start, span_end, span_chars), half-open
     char offsets into text_col."""
     occ = _char_gram_occurrences(df, k, text_col, id_col)
+    if hash_grams:
+        occ = (occ.withColumn("gram", F.xxhash64("gram")))
     dup_grams = (occ.groupBy("gram").count()
                  .where(F.col("count") >= min_count).select("gram"))
     dup = (occ.join(dup_grams, "gram", "left_semi")

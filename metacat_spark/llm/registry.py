@@ -34,6 +34,31 @@ class OpError(Exception):
         self.status = status
 
 
+# ValueErrors raised INSIDE executor tasks (cheap in-task checks that
+# would cost an extra Spark job per healthy serve if run driver-side —
+# review r10 moved them into the task). Spark wraps them in an opaque
+# PythonException at EXECUTION time, after the op builder has already
+# returned its lazy DataFrame, so the OpError mapping happens at the
+# surfaces' execution boundary via op_error_from_task (ADVICE r10).
+_TASK_ERROR_MARKERS = (
+    "rerank=True but a postings row has no stored member vector",
+)
+
+
+def op_error_from_task(e: BaseException):
+    """Translate a known in-task ValueError (wrapped by Spark in a
+    PythonException/Py4JJavaError whose str() is a full remote
+    traceback) back into the clean OpError→400 contract every
+    driver-side misuse check uses. Returns None for unrecognized
+    exceptions so callers re-raise or fall through to their generic
+    handler."""
+    text = str(e)
+    for marker in _TASK_ERROR_MARKERS:
+        if marker in text:
+            return OpError(marker)
+    return None
+
+
 class OpContext:
     """Surface-independent inputs for op builders.
 
@@ -398,14 +423,28 @@ def _op_hybrid_stream(ctx: OpContext) -> DataFrame:
     # leaderboards (review r10)
     import uuid
     table = f"hybrid_stream_{uuid.uuid4().hex[:12]}"
+    spark = docs.sparkSession
     try:
-        return hybrid_stream_topk(
-            docs.sparkSession, docs_src, vec_src, terms,
+        out = hybrid_stream_topk(
+            spark, docs_src, vec_src, terms,
             query_vec_id=ctx.int_param("vec"), stats_from=docs,
             query_from=ctx.embs(), n=ctx.int_param("n", 50),
             k=ctx.int_param("k", 10), table=table)
+        # the fused result is <= k rows but reads the two memory-sink
+        # temp views lazily; materialize it eagerly so the sinks
+        # (which hold EVERY intermediate leaderboard emit) can be
+        # dropped below — otherwise each request on a long-running
+        # server leaks two uuid-named in-memory tables and driver
+        # memory grows without bound (ADVICE r10)
+        return spark.createDataFrame(out.collect(), out.schema)
     except ValueError as e:
         raise OpError(str(e))
+    finally:
+        for suffix in ("_kw", "_vec"):
+            try:
+                spark.catalog.dropTempView(table + suffix)
+            except Exception:  # noqa: BLE001 — sink may not exist yet
+                pass
 
 
 @_corpus_op("dsir")
@@ -628,21 +667,30 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         kw = {"vec_col": "vector", "id_col": "doc_id"}
     else:
         df = ctx.embs()
+    retire = ctx.param("retire")
+    compact = ctx.flag("compact")
+    post = ctx.param("postings")
     if method != "ivfpq" and (ctx.flag("encode")
                               or ctx.flag("distortion")
-                              or ctx.param("postings") is not None):
+                              or post is not None
+                              or retire is not None or compact):
         # same loud-flag contract as --build-index below (review r9)
-        raise OpError(f"ann: --encode/--distortion/--postings apply "
-                      f"to method ivfpq, not {method}")
-    # the four index verbs are mutually exclusive, and build never
-    # takes a served index — silent precedence would run a different
-    # verb than the user asked for (review r10, same loud-flag
-    # contract)
+        raise OpError(f"ann: --encode/--distortion/--postings/"
+                      f"--retire/--compact apply to method ivfpq, "
+                      f"not {method}")
+    # the index verbs are mutually exclusive, and build never takes
+    # a served index — silent precedence would run a different verb
+    # than the user asked for (review r10, same loud-flag contract).
+    # --postings is the SERVE verb only when --retire/--compact are
+    # absent; with them it names the table those verbs operate on.
     verbs = [v for v, on in (
         ("--build-index", ctx.flag("build_index")),
         ("--encode", ctx.flag("encode")),
         ("--distortion", ctx.flag("distortion")),
-        ("--postings", ctx.param("postings") is not None)) if on]
+        ("--retire", retire is not None),
+        ("--compact", compact),
+        ("--postings", post is not None and retire is None
+         and not compact)) if on]
     if len(verbs) > 1:
         raise OpError(f"ann: conflicting verbs {', '.join(verbs)} — "
                       f"pick one")
@@ -666,6 +714,10 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     # Library ValueErrors (bad dim/m split, malformed index table)
     # surface as OpError.
     idx = ctx.param("index")
+    # rerank=0 serves pure-ADC scores — the only way to search a
+    # codes-only postings table (encode with keep_vectors=False);
+    # rerank=1 (default) is the high-recall exact-rerank posture
+    rerank = bool(ctx.int_param("rerank", 1))
     try:
         if method == "ivfpq":
             if ctx.flag("build_index"):
@@ -679,26 +731,59 @@ def _op_ann(ctx: OpContext) -> DataFrame:
                 if idx is None:
                     raise OpError("ann: --encode needs --index "
                                   "<stored index table>")
-                return SIM.encode_ivfpq(df, ctx.corpus(str(idx)),
-                                        **kw)
+                return SIM.encode_ivfpq(
+                    df, ctx.corpus(str(idx)),
+                    keep_vectors=not ctx.flag("codes_only"), **kw)
             if ctx.flag("distortion"):
                 if idx is None:
                     raise OpError("ann: --distortion needs --index "
                                   "<stored index table>")
                 return SIM.ivfpq_distortion(df, ctx.corpus(str(idx)),
                                             **kw)
-            post = ctx.param("postings")
+            # index-lifecycle CRUD over a stored postings table:
+            # --retire emits tombstone rows (append with -o
+            # --append); --compact emits the rewritten table
+            # (replace with -o). Neither needs --index — they
+            # operate on the postings alone.
+            if retire is not None:
+                if post is None:
+                    raise OpError("ann: --retire needs --postings "
+                                  "<stored postings table> (append "
+                                  "the tombstones with -o --append)")
+                ids = []
+                for part in str(retire).split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    try:
+                        ids.append(int(part))
+                    except ValueError:
+                        ids.append(part)
+                if not ids:
+                    raise OpError("ann: --retire needs a non-empty "
+                                  "comma-separated id list")
+                return SIM.retire_vectors(ctx.corpus(str(post)), ids)
+            if compact:
+                if post is None:
+                    raise OpError("ann: --compact needs --postings "
+                                  "<stored postings table> (write "
+                                  "the rewritten table with -o)")
+                return SIM.compact_postings(
+                    ctx.corpus(str(post)),
+                    min_ratio=ctx.float_param("min_ratio", 0.0))
             if post is not None:
                 if idx is None:
                     raise OpError("ann: --postings needs --index "
                                   "<stored index table>")
                 return SIM.ivf_pq_search(
                     df, ctx.corpus(str(post)), ctx.corpus(str(idx)),
-                    k=k, **kw)
+                    k=k, rerank=rerank, **kw)
             if idx is not None:
                 return SIM.ivf_pq_topk(
-                    df, k=k, index=ctx.corpus(str(idx)), **kw)
-            return SIM.ivf_pq_topk(df, k=k, train_iters=2, **kw)
+                    df, k=k, index=ctx.corpus(str(idx)),
+                    rerank=rerank, **kw)
+            return SIM.ivf_pq_topk(df, k=k, train_iters=2,
+                                   rerank=rerank, **kw)
         if ctx.flag("build_index"):
             return SIM.build_ivf_centroids(df, train_iters=2, **kw)
         if idx is not None:

@@ -361,7 +361,15 @@ def _fetch_query_vec(query_from: DataFrame, query_vec_id: int,
     if not qrow:
         raise ValueError(f"{what}: query_vec_id {query_vec_id} "
                          f"not found in query_from")
-    return [float(x) for x in qrow[0]["__qv"]]
+    vals = list(qrow[0]["__qv"])
+    # a NULL element would be float(None) → TypeError, bypassing the
+    # registry's ValueError→OpError mapping and producing a 500
+    # instead of a clean client error (ADVICE r10)
+    if any(x is None for x in vals):
+        raise ValueError(f"{what}: query vector {query_vec_id} "
+                         f"contains NULL elements — cannot rank "
+                         f"against it")
+    return [float(x) for x in vals]
 
 
 def cosine_stream_topk(spark, src_dir: str, query_vec_id: int,
@@ -508,7 +516,13 @@ def hybrid_stream_topk(spark, docs_dir: str, embs_dir: str,
     order). Per-emit fusion is available too: every intermediate
     leaderboard stays queryable in the ``{table}_kw`` /
     ``{table}_vec`` memory sinks, and ``_rrf_fuse`` applies to any
-    (seq_kw, seq_vec) pair of them.
+    (seq_kw, seq_vec) pair of them — pinned by
+    ``test_hybrid_per_emit_fusion_equals_prefix``, which fuses an
+    intermediate pair and matches leaderboards batch-computed over
+    exactly the drained file prefixes. The memory sinks live until
+    dropped: long-running callers should ``dropTempView`` both once
+    done (the op registry does — one leaked pair per HTTP request
+    otherwise).
 
     ``stats_from`` supplies the static BM25 reference statistics;
     ``query_from`` is the static embeddings table holding the query

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import stream_parquet
+
 
 def dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -1069,6 +1071,11 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     if not want <= set(postings.columns):
         raise ValueError("ivf_pq_search: postings table must have "
                          f"columns {sorted(want)} (from encode_ivfpq)")
+    # retired members (codes=NULL tombstones appended by
+    # retire_vectors) are excluded here, so delete-then-search works
+    # without waiting for a compaction; on a tombstone-free table the
+    # broadcast side is empty and the anti-join is a no-op
+    postings = live_postings(postings)
     # rerank-without-vectors is caught inside the scoring task (one
     # O(members) pass that rides the job), NOT by a driver pre-scan
     # of the whole postings table (review r10)
@@ -1158,6 +1165,157 @@ def ivfpq_distortion(df: DataFrame, index: DataFrame,
         F.lit(build).cast("double").alias("build_distortion"),
         F.round(F.try_divide(F.col("__md"), F.lit(build)), 6)
         .alias("distortion_ratio"))
+
+
+def retire_vectors(postings: DataFrame, ids) -> DataFrame:
+    """The DELETE verb of the index lifecycle (the catalog has
+    retire; now the index does too — VERDICT r10 #5): tombstone rows
+    for the given member ids, to APPEND to the stored postings table
+    (parquet append — the delete is O(delta), symmetric with
+    encode_ivfpq's add). A tombstone is (lst, id, codes=NULL,
+    vec=NULL); ``ivf_pq_search`` excludes tombstoned (lst, id) pairs
+    via a broadcast anti-join, and ``compact_postings`` physically
+    removes dead rows once a list's tombstone ratio warrants a
+    rewrite.
+
+    ``ids`` is a list of member ids or a 1-column DataFrame. The lst
+    of each id is looked up from the live postings in ONE scan with
+    the (small) id set broadcast — no corpus shuffle. Ids absent
+    from the table produce no tombstone (idempotent). Note the
+    semantics are retire-until-compact: re-ADDING a retired id
+    requires compacting first (the anti-join would kill the re-added
+    row while its tombstone is still in the table)."""
+    spark = postings.sparkSession
+    if not isinstance(ids, DataFrame):
+        id_t = postings.schema["id"].dataType.simpleString()
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], f"id {id_t}")
+    idf = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+    hit = (postings.where(F.col("codes").isNotNull())
+           .join(F.broadcast(idf), "id", "left_semi")
+           .select("lst", "id").distinct())
+    return hit.select(
+        "lst", "id",
+        F.lit(None).cast("array<smallint>").alias("codes"),
+        F.lit(None).cast("array<double>").alias("vec"))
+
+
+def live_postings(postings: DataFrame) -> DataFrame:
+    """Postings with tombstoned members removed: rows whose (lst, id)
+    has a codes=NULL tombstone anywhere in the table are dead. The
+    tombstone side is a narrow (lst, id) projection under an IsNull
+    filter (row-group null counts skip clean files) and is broadcast
+    — deletes are assumed << corpus, so the exclusion never shuffles
+    the postings."""
+    t = (postings.where(F.col("codes").isNull())
+         .select("lst", "id"))
+    return (postings.where(F.col("codes").isNotNull())
+            .join(F.broadcast(t), ["lst", "id"], "left_anti"))
+
+
+def postings_tombstone_stats(postings: DataFrame) -> DataFrame:
+    """Per-list health of a stored postings table: live/dead row
+    counts and the tombstone ratio — the operator's signal for WHICH
+    lists ``compact_postings`` should rewrite. One scan, one
+    groupBy(lst) with map-side combine."""
+    return (postings.groupBy("lst")
+            .agg(F.sum(F.col("codes").isNotNull().cast("long"))
+                 .alias("n_live"),
+                 F.sum(F.col("codes").isNull().cast("long"))
+                 .alias("n_dead"))
+            .select("lst", "n_live", "n_dead",
+                    F.round(F.try_divide(
+                        F.col("n_dead"),
+                        F.col("n_dead") + F.col("n_live")), 6)
+                    .alias("tombstone_ratio")))
+
+
+def compact_postings(postings: DataFrame,
+                     min_ratio: float = 0.0) -> DataFrame:
+    """Rewrite lists whose tombstone ratio is >= ``min_ratio``
+    (and > 0) without their dead rows and tombstones; lists below
+    the threshold pass through UNCHANGED — on a postings table
+    partitioned by lst, only the dirty lists' files are rewritten
+    (dynamic partition overwrite), which is the object-store-honest
+    compaction shape. With the default min_ratio=0.0 every dirty
+    list is compacted. Search results are preserved exactly:
+    ``ivf_pq_search`` already excludes tombstoned rows, compaction
+    just makes the exclusion physical (pinned by test).
+
+    The dirty-list set is a per-list aggregate (bounded: n_lists
+    rows) broadcast back over one postings scan — no corpus
+    shuffle."""
+    stats = postings_tombstone_stats(postings)
+    dirty = (stats.where((F.col("n_dead") > 0)
+                         & (F.col("tombstone_ratio")
+                            >= float(min_ratio)))
+             .select("lst"))
+    keep = postings.join(F.broadcast(dirty), "lst", "left_anti")
+    rewritten = live_postings(
+        postings.join(F.broadcast(dirty), "lst", "left_semi"))
+    return keep.unionByName(rewritten)
+
+
+def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
+                        postings_dir: str,
+                        checkpoint_dir: str | None = None,
+                        keep_vectors: bool = True,
+                        max_files_per_trigger: int | None = None,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Streaming postings ingest — the add verb of the index
+    lifecycle over an embedding STREAM (VERDICT r10 #4): each
+    micro-batch is encoded with the SAME row-local kernel as batch
+    ``encode_ivfpq`` (the index rides the closure) and parquet-
+    APPENDED to ``postings_dir``, then gauged with
+    ``ivfpq_distortion`` so staleness is queryable per batch.
+    Because encoding is row-local, stream-ingested postings are
+    row-for-row the batch encode of the same corpus (pinned by
+    test); ``ivf_pq_search`` serves from them identically.
+
+    Returns the per-batch gauge table: (batch_id, n,
+    mean_distortion, build_distortion, distortion_ratio) — bounded
+    driver state, ONE row per micro-batch. The gauge costs one extra
+    Arrow pass over each batch; skip-worthy only if distortion is
+    monitored elsewhere.
+
+    ``checkpoint_dir`` (default ``postings_dir + "__checkpoint"``)
+    makes restarts resume after the last committed batch.
+    foreachBatch is at-least-once: a crash BETWEEN the parquet
+    append and the checkpoint commit re-appends that batch on
+    restart — dedupe on (lst, id) downstream or compact if exact
+    once matters."""
+    stream = stream_parquet(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger)
+    gauge_rows = []
+
+    def per_batch(batch_df, batch_id):
+        enc = encode_ivfpq(batch_df, index,
+                           keep_vectors=keep_vectors,
+                           vec_col=vec_col, id_col=id_col)
+        enc.write.mode("append").parquet(postings_dir)
+        g = ivfpq_distortion(batch_df, index, vec_col=vec_col,
+                             id_col=id_col).collect()[0]
+        if g["n"]:
+            gauge_rows.append((int(batch_id), int(g["n"]),
+                               g["mean_distortion"],
+                               g["build_distortion"],
+                               g["distortion_ratio"]))
+
+    q = (stream.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir or postings_dir + "__checkpoint")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "encode_ivfpq_stream did not finish within 300s — "
+            "postings may be partially ingested; restart resumes "
+            "from the checkpoint")
+    return spark.createDataFrame(
+        gauge_rows,
+        "batch_id long, n long, mean_distortion double, "
+        "build_distortion double, distortion_ratio double")
 
 
 def hashed_doc_vectors(df: DataFrame, dim: int = 64,

@@ -202,6 +202,17 @@ def make_handler(client: MetaCatSparkClient,
                     # the client sees truncation, not garbage
                     self.close_connection = True
                     return
+                # known in-task ValueErrors (raised inside executor
+                # tasks, wrapped by Spark in a PythonException whose
+                # str() is a full remote traceback) surface here at
+                # iterator-priming time — map them back to the clean
+                # OpError contract instead of an opaque wall of
+                # traceback (ADVICE r10)
+                from .llm.registry import op_error_from_task
+                op_err = op_error_from_task(e)
+                if op_err is not None:
+                    return self._send(op_err.status, "text/plain",
+                                      str(op_err))
                 self._send(400, "text/plain",
                            f"{type(e).__name__}: {e}")
 

@@ -326,6 +326,14 @@ def test_corpus_hybrid_stream(capsys):
     assert {"doc_id", "kw_rank", "vec_rank", "rrf",
             "rank"} <= set(rows[0])
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # the two uuid-named memory sinks are dropped after the fused
+    # result is materialized — a long-running server must not leak
+    # one pair of intermediate-leaderboard tables per request
+    # (ADVICE r10)
+    engine, _ = cli._session(SF_DIR)
+    leaked = [t.name for t in engine.spark.catalog.listTables()
+              if t.name.startswith("hybrid_stream_")]
+    assert leaked == []
     # absent query vector: library ValueError → OpError → clean rc 2
     rc, _ = run(capsys, "corpus", "hybrid-stream", "--query", "spark",
                 "--vec", "99999",
@@ -491,6 +499,113 @@ def test_corpus_ann_encode_postings_distortion(capsys, tmp_path,
     rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
                 "--build-index", "--index", idx)
     assert rc == 2
+
+
+def test_corpus_ann_codes_only_and_rerank(capsys, tmp_path, spark):
+    """--encode --codes-only stores postings without member vectors
+    (the storage-optimal posture); serving them needs --rerank 0 —
+    with the default rerank the in-task ValueError is translated to
+    a CLEAN rc-2 error at the execution boundary, not a Py4J
+    traceback (ADVICE r10)."""
+    idx = str(tmp_path / "co_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", idx)
+    assert rc == 0
+    post = str(tmp_path / "co_postings")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--codes-only", "--index", idx,
+                "-o", post)
+    assert rc == 0
+    stored = spark.read.parquet(post)
+    assert stored.where("vec is not null").count() == 0
+    assert stored.count() > 0
+    # default rerank=1 over codes-only postings: clean rc 2, with
+    # the library's message (not a remote traceback) on stderr
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--index", idx, "--postings", post, "-k", "3", "-j")
+    assert rc == 2
+    # --rerank 0 serves pure-ADC scores from the same table
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--index", idx, "--postings", post, "-k", "3",
+                  "--rerank", "0", "-j", "-l", "50")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert {"id", "neighbor_id", "cosine", "rank"} <= set(rows[0])
+
+
+def test_corpus_ann_retire_compact(capsys, tmp_path, spark):
+    """Index-lifecycle CRUD over the CLI (VERDICT r10 #5): --retire
+    appends tombstones, served results exclude them, --compact
+    rewrites the table physically; verb misuse is a clean rc 2."""
+    idx = str(tmp_path / "rc_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", idx)
+    assert rc == 0
+    post = str(tmp_path / "rc_postings")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--index", idx, "-o", post)
+    assert rc == 0
+    n0 = spark.read.parquet(post).count()
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", "0,1,2", "--postings", post,
+                "-o", post, "--append")
+    assert rc == 0
+    assert spark.read.parquet(post).where("codes is null").count() == 3
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--index", idx, "--postings", post, "-k", "3",
+                  "-j", "-l", "5000")
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rows and not ({r["neighbor_id"] for r in rows} & {0, 1, 2})
+    compacted = str(tmp_path / "rc_compacted")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--compact", "--postings", post, "-o", compacted)
+    assert rc == 0
+    got = spark.read.parquet(compacted)
+    assert got.count() == n0 - 3
+    assert got.where("codes is null").count() == 0
+    rc, out2 = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                   "--index", idx, "--postings", compacted, "-k",
+                   "3", "-j", "-l", "5000")
+    assert rc == 0 and sorted(out2.splitlines()) == \
+        sorted(out.splitlines())
+    # misuse: retire/compact need --postings; conflicts and wrong
+    # methods are loud
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", "1")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--compact")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", "1", "--encode", "--postings", post)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", "1", "--compact", "--postings", post)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "gemm",
+                "--retire", "1", "--postings", post)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", " , ", "--postings", post)
+    assert rc == 2
+
+
+def test_op_error_from_task_translation():
+    """Known in-task ValueErrors (wrapped by Spark in an opaque
+    PythonException at execution time) map back to OpError; unknown
+    exceptions pass through as None."""
+    from metacat_spark.llm.registry import OpError, op_error_from_task
+    wrapped = RuntimeError(
+        "An exception was thrown from the Python worker...\n"
+        "Traceback (most recent call last):\n  ...\n"
+        "ValueError: rerank=True but a postings row has no stored "
+        "member vector — re-encode with keep_vectors=True or pass "
+        "rerank=False\n\tat org.apache.spark...")
+    err = op_error_from_task(wrapped)
+    assert isinstance(err, OpError) and err.status == 400
+    assert "rerank=True" in str(err) and "Traceback" not in str(err)
+    assert op_error_from_task(RuntimeError("boom")) is None
 
 
 def test_corpus_output_parquet(capsys, tmp_path, spark):

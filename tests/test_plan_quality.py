@@ -409,6 +409,31 @@ def test_duplicate_char_spans_all_jvm_no_pairwise(spark):
     assert "partial_count" in plan
 
 
+def test_postings_lifecycle_broadcast_only(spark, tmp_path):
+    """retire/live/compact never shuffle the postings: the
+    tombstone/dirty-list sides are broadcast (anti/semi joins), so a
+    100 TB postings table pays one scan per verb, no exchange of
+    corpus-sized data."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              compact_postings,
+                                              encode_ivfpq,
+                                              live_postings,
+                                              retire_vectors)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                            train_iters=1)
+    post = encode_ivfpq(embs, idx)
+    for name, df in (
+            ("retire", retire_vectors(post, [0, 1])),
+            ("live", live_postings(post)),
+            ("compact", compact_postings(post))):
+        plan = plan_of(df)
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_ivf_pq_no_interpreted_hof(spark):
     """IVF-PQ encode/assign and ADC scoring are Arrow stages; no
     interpreted per-row HOF dots, no row-level Python."""

@@ -7,6 +7,7 @@ assertions (TakeOrdered not global sort, broadcast bucket tables)."""
 import math
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metacat_spark.llm.search import (bm25_scores, cosine_topn,
@@ -377,6 +378,118 @@ def test_hybrid_stream_topk_equals_batch(docs, embs, spark, tmp_path):
         assert len(seqs) >= 2, (t, seqs)
 
 
+def _one_file(df, stage_dir, dest_dir, name, mtime):
+    """Write df as ONE parquet file named ``name`` under dest_dir
+    with a controlled mtime — FileStreamSource processes oldest
+    first, so ascending mtimes pin the micro-batch ORDER and make
+    'the first s micro-batches' a known file prefix."""
+    import glob
+    import os
+    import shutil
+    stage = os.path.join(
+        stage_dir, f"__stage_{os.path.basename(dest_dir)}_{name}")
+    df.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.makedirs(dest_dir, exist_ok=True)
+    dst = os.path.join(dest_dir, name)
+    shutil.copyfile(part, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+def test_hybrid_per_emit_fusion_equals_prefix(docs, embs, spark,
+                                              tmp_path):
+    """Pins the per-emit fusion claim in hybrid_stream_topk's
+    docstring (VERDICT r10 #4): an INTERMEDIATE (seq_kw, seq_vec)
+    pair read back from the two memory sinks, fused with the same
+    ``_rrf_fuse``, equals the fusion of leaderboards batch-computed
+    over exactly the file prefixes those micro-batches drained —
+    i.e. every intermediate emit is the true hybrid result as of
+    its prefix, not just the final one."""
+    from metacat_spark.llm.search import (_bm25_ref_stats,
+                                          _dedupe_terms,
+                                          _fetch_query_vec,
+                                          _rowlocal_bm25, _rrf_fuse,
+                                          cosine,
+                                          hybrid_stream_topk)
+    import time as _time
+    base = _time.time() - 600
+    dsrc, esrc = str(tmp_path / "pfx_docs"), str(tmp_path / "pfx_embs")
+    # 3 files each, doc_id % 3 split, mtime-ordered → prefix-known
+    dparts = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    eparts = [embs.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i in range(3):
+        _one_file(dparts[i], str(tmp_path), dsrc,
+                  f"f{i}.parquet", base + 10 * i)
+        _one_file(eparts[i], str(tmp_path), esrc,
+                  f"f{i}.parquet", base + 10 * i)
+    n, k = 20, 10
+    hybrid_stream_topk(
+        spark, dsrc, esrc, QUERY, query_vec_id=0, stats_from=docs,
+        query_from=embs, n=n, k=k, max_files_per_trigger=1,
+        table="hyb_emit_t1").collect()
+    kw_sink = spark.table("hyb_emit_t1_kw")
+    vec_sink = spark.table("hyb_emit_t1_vec")
+    assert ({r["seq"] for r in kw_sink.select("seq").collect()}
+            == {1, 2, 3})
+    # intermediate pair: kw after 2 micro-batches, vec after 1
+    got = [tuple(r) for r in _rrf_fuse(
+        kw_sink.where(F.col("seq") == 2)
+        .select(F.col("doc_id").alias("id"),
+                F.col("rank").alias("kw_rank")),
+        vec_sink.where(F.col("seq") == 1)
+        .select("id", F.col("rank").alias("vec_rank")),
+        60, k, "doc_id").orderBy("rank").collect()]
+    # expected: batch leaderboards over the drained prefixes, using
+    # the streaming rankers' own scoring (full-corpus ref stats for
+    # BM25; the stored query vector as a literal for cosine)
+    terms = _dedupe_terms(QUERY)
+    ref = _bm25_ref_stats(docs.select(F.col("text").alias("text")),
+                          terms)
+    kw_prefix = dparts[0].unionAll(dparts[1])
+    kw_top = (_rowlocal_bm25(kw_prefix, terms, ref, 1.2, 0.75,
+                             "text", "doc_id")
+              .where((F.col("score") > 0)
+                     & F.col("doc_id").isNotNull())
+              .orderBy(F.col("score").desc(), "doc_id").limit(n))
+    kw_exp = kw_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(),
+                           "doc_id")).alias("kw_rank"))
+    qv = _fetch_query_vec(embs, 0, "embedding", "vec_id", "t")
+    qvec = F.array(*[F.lit(x) for x in qv])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec_top = (eparts[0]
+               .select(F.col("vec_id").alias("id"),
+                       F.round(cosine(v, qvec), 6).alias("cosine"))
+               .where(F.col("id").isNotNull() & (F.col("id") != 0)
+                      & F.col("cosine").isNotNull()
+                      & ~F.isnan(F.col("cosine")))
+               .orderBy(F.col("cosine").desc(), "id").limit(n))
+    vec_exp = vec_top.select(
+        "id", F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(),
+                           "id")).alias("vec_rank"))
+    want = [tuple(r) for r in _rrf_fuse(kw_exp, vec_exp, 60, k,
+                                        "doc_id")
+            .orderBy("rank").collect()]
+    assert got == want and got
+
+
+def test_fetch_query_vec_null_elements_raise(spark):
+    """A stored query vector with NULL elements is a loud ValueError
+    (→ OpError 400 on the surfaces), not float(None) → TypeError →
+    opaque 500 (ADVICE r10)."""
+    from metacat_spark.llm.search import _fetch_query_vec
+    df = spark.createDataFrame(
+        [(0, [1.0, None, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="NULL elements"):
+        _fetch_query_vec(df, 0, "embedding", "vec_id", "t")
+    assert _fetch_query_vec(df, 1, "embedding", "vec_id", "t") == \
+        [1.0, 2.0, 3.0]
+
+
 # -------------------------------------------------------------- DSIR
 
 def test_dsir_logweights_vs_duck(docs, duck):
@@ -610,6 +723,96 @@ def test_ivfpq_encode_search_add_roundtrip(embs, tmp_path, spark):
     # malformed postings (wrong columns) are clean errors
     with pytest.raises(ValueError, match="columns"):
         ivf_pq_search(embs, embs, index, k=3)
+
+
+def test_ivfpq_retire_compact_lifecycle(embs, tmp_path, spark):
+    """Index CRUD (VERDICT r10 #5): retire appends tombstones,
+    search immediately excludes the retired members, compaction
+    physically removes dead rows + tombstones while preserving
+    search results EXACTLY, and the per-list stats expose which
+    lists are dirty."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              compact_postings,
+                                              encode_ivfpq,
+                                              ivf_pq_search,
+                                              postings_tombstone_stats,
+                                              retire_vectors)
+    idx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                            train_iters=1)
+    ppath = str(tmp_path / "lc_postings")
+    encode_ivfpq(embs, idx).write.parquet(ppath)
+    postings = spark.read.parquet(ppath)
+    victims = [r["vec_id"] for r in
+               embs.select("vec_id").orderBy("vec_id")
+               .limit(5).collect()]
+    # the delete is O(delta): tombstones APPEND to the stored table
+    retire_vectors(postings, victims).write.mode("append") \
+        .parquet(ppath)
+    tombstoned = spark.read.parquet(ppath)
+    assert tombstoned.where("codes is null").count() == 5
+    # delete-then-search: retired members never appear as neighbors
+    res = ivf_pq_search(embs, tombstoned, idx, k=3,
+                        n_probe=2).collect()
+    assert res and not ({r["neighbor_id"] for r in res}
+                        & set(victims))
+    # retiring an unknown id is an idempotent no-op
+    assert retire_vectors(tombstoned, [999999123]).count() == 0
+    stats = postings_tombstone_stats(tombstoned)
+    assert stats.agg(F.sum("n_dead")).collect()[0][0] == 5
+    assert stats.where("tombstone_ratio > 0").count() >= 1
+    # compaction: dead rows and tombstones gone, results identical
+    compacted = compact_postings(tombstoned)
+    assert compacted.count() == embs.count() - 5
+    assert compacted.where("codes is null").count() == 0
+    res2 = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in ivf_pq_search(embs, compacted, idx, k=3,
+                                   n_probe=2).collect()}
+    res1 = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in res}
+    assert res1 == res2
+    # a threshold above every list's ratio rewrites nothing
+    untouched = compact_postings(tombstoned, min_ratio=0.99)
+    assert untouched.count() == tombstoned.count()
+
+
+def test_encode_ivfpq_stream_equals_batch(embs, tmp_path, spark):
+    """Streaming postings ingest (VERDICT r10 #4): stream-ingested
+    postings are row-for-row the batch encode of the same corpus
+    (same row-local kernel), the staleness gauge is queryable PER
+    micro-batch, and ivf_pq_search over the streamed postings equals
+    the inline index serve."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq,
+                                              encode_ivfpq_stream,
+                                              ivf_pq_search,
+                                              ivf_pq_topk)
+    idx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                            train_iters=1)
+    src = str(tmp_path / "ing_src")
+    embs.repartition(3).write.parquet(src)
+    pdir = str(tmp_path / "ing_postings")
+    gauge = encode_ivfpq_stream(spark, src, idx, pdir,
+                                max_files_per_trigger=1)
+    grows = gauge.orderBy("batch_id").collect()
+    assert len(grows) >= 2                # crossed micro-batches
+    assert sum(r["n"] for r in grows) == embs.count()
+    # in-distribution data: every batch's ratio reads ~1
+    assert all(r["distortion_ratio"] is not None
+               and 0.3 < r["distortion_ratio"] < 3.0 for r in grows)
+    streamed = spark.read.parquet(pdir)
+
+    def key(r):
+        return (r["lst"], r["id"], tuple(r["codes"]),
+                tuple(r["vec"]))
+    assert (sorted(map(key, streamed.collect()))
+            == sorted(map(key, encode_ivfpq(embs, idx).collect())))
+    served = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_pq_search(embs, streamed, idx, k=3,
+                                     n_probe=2).collect()}
+    inline = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_pq_topk(embs, k=3, n_probe=2,
+                                   index=idx).collect()}
+    assert served == inline and served
 
 
 def test_corpus_diff_statuses(spark):

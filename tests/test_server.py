@@ -614,6 +614,62 @@ def test_corpus_contamination_and_ann_endpoints(served):
     assert e.value.code == 400
 
 
+def test_server_ann_retire_compact_and_task_errors(spark, catalog,
+                                                   tmp_path):
+    """Index-lifecycle verbs over HTTP (VERDICT r10 #5) — retire
+    returns tombstone rows, compact returns the rewritten table
+    (the operator persists them; HTTP corpus ops never write) — and
+    the in-task rerank-without-vectors ValueError maps to a clean
+    400 instead of an opaque PythonException (ADVICE r10)."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq)
+    idx_df = build_ivfpq_index(
+        catalog.raw["embeddings"], n_lists=8, m=8, n_codes=16,
+        train_iters=1)
+    ipath = str(tmp_path / "srv_idx")
+    idx_df.write.parquet(ipath)
+    ppath = str(tmp_path / "srv_postings")
+    encode_ivfpq(catalog.raw["embeddings"],
+                 spark.read.parquet(ipath),
+                 keep_vectors=False).write.parquet(ppath)
+    client = MetaCatSparkClient(spark, catalog=catalog)
+    srv, port = start_server(client, data_root=str(tmp_path))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rows = _json_seq(_get(base, "/data/corpus", op="ann",
+                              method="ivfpq", retire="0,1",
+                              postings=ppath, limit=10))
+        assert len(rows) == 2
+        assert all(r["codes"] is None and r["vec"] is None
+                   for r in rows)
+        rows = _json_seq(_get(base, "/data/corpus", op="ann",
+                              method="ivfpq", compact=1,
+                              postings=ppath, limit=10))
+        assert rows and all(r["codes"] is not None for r in rows)
+        # codes-only postings + default rerank: the in-task check is
+        # translated to the 400 contract with the library's message
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/data/corpus", op="ann", method="ivfpq",
+                 index=ipath, postings=ppath, k=3, limit=5)
+        assert e.value.code == 400
+        body = e.value.read().decode()
+        assert "rerank=True" in body and "Traceback" not in body
+        # ... and rerank=0 serves them
+        rows = _json_seq(_get(base, "/data/corpus", op="ann",
+                              method="ivfpq", index=ipath,
+                              postings=ppath, k=3, rerank=0,
+                              limit=5))
+        assert rows and {"id", "neighbor_id", "cosine",
+                         "rank"} <= set(rows[0])
+        # verb misuse over HTTP is the same clean 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/data/corpus", op="ann", method="ivfpq",
+                 retire="1", compact=1, postings=ppath)
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+
+
 def test_corpus_contamination_path_jail(served, spark, catalog):
     """The test= parameter is a filesystem path from an untrusted HTTP
     client (ADVICE r4): anything outside the configured --data-root is
