@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 139
+TOTAL_ENTRIES = 140
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1526,6 +1526,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get("feature", 1).alias("h"))
     q["multimodal_jpeg_roundtrip"] = multimodal_jpeg_roundtrip
 
+    def multimodal_jpeg_progressive(spark, sf_dir):
+        """Progressive-JPEG decode certificate (llm/multimodal.py
+        r11: SOF2 scan scripts — spectral selection, successive
+        approximation, EOB-run coding): the same 24 deterministic
+        images as multimodal_jpeg_roundtrip, encoded BOTH baseline
+        and progressive (libjpeg default script), decoded through
+        the SAME Arrow feature stage. The two encoders write
+        IDENTICAL quantized coefficients, so all 8 decoded features
+        must be equal pairwise (feats_equal), both decodes real
+        (decode_ok), dims from the SOF — exactly what the oracle
+        pins. Progressive rows carry asset_id + 100 so one
+        extract_features pass covers both codecs."""
+        from metacat_spark.llm import multimodal as MM
+        W, H = 32, 24
+        ids = sorted(r["doc_id"] for r in _docs(spark, sf_dir)
+                     .where(F.col("doc_id") <= 23)
+                     .select("doc_id").collect())
+        rows = []
+        for i in ids:
+            k = i % 50
+            px = [[(10 + 4 * x, 20 + 2 * y + k, 128)
+                   for x in range(W)] for y in range(H)]
+            rows.append((i, "image",
+                         bytearray(MM.encode_jpeg_baseline(px))))
+            rows.append((i + 100, "image",
+                         bytearray(MM.encode_jpeg_progressive(px))))
+        assets = spark.createDataFrame(
+            rows, "asset_id long, modality string, content binary")
+        feats = MM.extract_features(assets)
+        b = (feats.where(F.col("asset_id") < 100)
+             .select(F.col("asset_id").alias("aid"),
+                     F.col("feature").alias("fb"),
+                     F.col("decode_ok").alias("ok_b")))
+        p = (feats.where(F.col("asset_id") >= 100)
+             .select((F.col("asset_id") - 100).alias("aid"),
+                     F.col("feature").alias("fp"),
+                     F.col("decode_ok").alias("ok_p")))
+        return (b.join(p, "aid")
+                .select(F.col("aid").alias("asset_id"),
+                        (F.col("ok_b") & F.col("ok_p"))
+                        .alias("decode_ok"),
+                        (F.col("fb") == F.col("fp"))
+                        .alias("feats_equal"),
+                        F.get("fb", 0).alias("w"),
+                        F.get("fb", 1).alias("h")))
+    q["multimodal_jpeg_progressive"] = multimodal_jpeg_progressive
+
     # --- beyond-reference r9: retrieval (BM25 / hybrid RRF) + DSIR
     _BM25_QUERY = ["spark", "window", "merge"]
 
@@ -1699,7 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "doc_curation_pipeline",
               # keep the minhash-LSH certificate driver-visible over
               # the (simpler) props-extraction row
-              "events_props_stats", "multimodal_jpeg_roundtrip"]
+              "events_props_stats", "multimodal_jpeg_roundtrip",
+              "multimodal_jpeg_progressive"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -3392,6 +3440,12 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_jpeg_roundtrip"] = """
         select doc_id as asset_id, true as decode_ok,
                true as r_ok, true as g_ok, true as b_ok,
+               cast(32.0 as double) as w, cast(24.0 as double) as h
+        from documents where doc_id <= 23"""
+
+    o["multimodal_jpeg_progressive"] = """
+        select doc_id as asset_id, true as decode_ok,
+               true as feats_equal,
                cast(32.0 as double) as w, cast(24.0 as double) as h
         from documents where doc_id <= 23"""
 

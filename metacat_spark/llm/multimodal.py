@@ -5,13 +5,15 @@ metadata columns; decode / feature-extraction runs as Arrow-batched
 mapInPandas stages. Four REAL pure-Python decode kernels are wired —
 uncompressed BMP (24/32-bit), PCM WAV (8/16-bit), COMPRESSED PNG
 (zlib inflate + per-row unfilter; 8/16-bit gray/RGB/palette/alpha),
-and baseline JPEG (ITU-T T.81 SOF0/SOF1: stream-defined Huffman +
-quantization tables, restart intervals, any subsampling, 2-D IDCT,
+and JPEG — baseline sequential AND progressive (ITU-T T.81
+SOF0/SOF1/SOF2: stream-defined Huffman + quantization tables,
+restart intervals, any subsampling, spectral selection + successive
+approximation scan scripts with EOB-run coding, 2-D IDCT,
 YCbCr->RGB) — parsed with struct/zlib/numpy, no codec libraries.
-Payloads in other containers (progressive JPEG, MP3, video) fall
-back to a deterministic byte-histogram pseudo-feature and are marked
-``decode_ok=false``; plug PIL/ffmpeg into ``_decode_image`` for
-those."""
+Payloads in other containers (arithmetic-coded JPEG, WebP, MP3,
+video) fall back to a deterministic byte-histogram pseudo-feature
+and are marked ``decode_ok=false``; plug PIL/ffmpeg into
+``_decode_image`` for those."""
 
 from __future__ import annotations
 
@@ -373,8 +375,9 @@ def decode_png(payload: bytes) -> list[float]:
 # marker parse, DQT/DHT tables from the stream, Huffman entropy
 # decode with byte unstuffing, restart intervals, dequantize, 2-D
 # IDCT (orthonormal matrix form), chroma upsampling, YCbCr->RGB.
-# Progressive (SOF2) and arithmetic coding raise ValueError and fall
-# back to the histogram pseudo-feature like any undecodable payload.
+# Arithmetic coding and the lossless/hierarchical SOFs raise
+# ValueError and fall back to the histogram pseudo-feature like any
+# undecodable payload; baseline AND progressive Huffman decode.
 
 _ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -450,6 +453,12 @@ class _JpegBits:
                 return got
         raise ValueError("bad Huffman code")
 
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
     def restart(self, idx: int) -> None:
         self.n = 0                           # discard partial byte
         if self.d[self.p] != 0xFF or \
@@ -459,28 +468,240 @@ class _JpegBits:
 
 
 def _jpeg_pixels(payload: bytes):
-    """Decode a baseline JPEG to a top-down (h, w, 3) uint8 RGB array
-    (grayscale replicated across channels). Raises ValueError — and
-    ONLY ValueError — on anything that isn't decodable baseline
-    sequential Huffman (SOF0/SOF1); truncated streams surface as
-    IndexError internally and are converted here so every caller's
-    fallback path stays a single exception type (review r9)."""
+    """Decode a JPEG (baseline sequential SOF0/SOF1 or progressive
+    SOF2 Huffman) to a top-down (h, w, 3) uint8 RGB array (grayscale
+    replicated across channels). Raises ValueError — and ONLY
+    ValueError — on anything else (arithmetic coding, lossless/
+    hierarchical frames, corrupt streams); truncated streams surface
+    as IndexError internally and are converted here so every
+    caller's fallback path stays a single exception type (review
+    r9)."""
     try:
         return _jpeg_decode(payload)[0]
     except IndexError:
         raise ValueError("truncated JPEG") from None
 
 
+def _entropy_end(d: bytes, pos: int) -> int:
+    """Position of the first real marker (not FF00 stuffing, not
+    RSTn) at or after ``pos`` — where a progressive scan's entropy
+    data ends and the marker walk resumes."""
+    q = pos
+    while q < len(d) - 1:
+        if d[q] == 0xFF and d[q + 1] != 0x00 \
+                and not 0xD0 <= d[q + 1] <= 0xD7:
+            return q
+        q += 1
+    return len(d)
+
+
+def _jpeg_prog_geometry(h: int, w: int, comps):
+    """Padded coefficient arrays + real block dims for a progressive
+    frame (validated up front — scans arrive before the shared tail
+    would have run the checks)."""
+    import numpy as np
+    if h == 0 or w == 0:
+        raise ValueError("empty frame")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if not 1 <= c["h"] <= 4 or not 1 <= c["v"] <= 4 \
+                or hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("unsupported sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nbdims, coefs = [], []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        nbdims.append((-(-cw // 8), -(-ch // 8)))
+        coefs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int64))
+    return (hmax, vmax, mcux, mcuy), nbdims, coefs
+
+
+def _jpeg_prog_scan(d: bytes, pos: int, comps, coefs, scomps, hts,
+                    Ss: int, Se: int, Ah: int, Al: int, ri: int,
+                    geom, nbdims) -> None:
+    """Decode ONE progressive scan's entropy-coded data (T.81 G.2)
+    into the per-component coefficient arrays: DC first/refinement
+    (interleaved or single-component), AC first/refinement with
+    EOB-run coding (single-component by definition). ``scomps`` is
+    [(ci, comp, td, ta)] in scan order; ``coefs[ci]`` is the padded
+    (blocks_y, blocks_x, 64) natural-order int array; ``nbdims[ci]``
+    the component's REAL block dims for non-interleaved scans."""
+    hmax, vmax, mcux, mcuy = geom
+    br = _JpegBits(d, pos)
+    eobrun, n_rst, units = 0, 0, 0
+    preds = {ci: 0 for ci, _, _, _ in scomps}
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("bad progressive scan "
+                             "(DC scan with Se != 0)")
+        if Ah == 0:
+            for ci, c, td, _ in scomps:
+                if (0, td) not in hts:
+                    raise ValueError("missing Huffman table")
+    else:
+        if len(scomps) != 1:
+            raise ValueError("bad progressive scan "
+                             "(interleaved AC scan)")
+        if Se > 63 or Se < Ss:
+            raise ValueError("bad progressive scan (band)")
+        if (1, scomps[0][3]) not in hts:
+            raise ValueError("missing Huffman table")
+
+    def dc_unit(cf, ci, td):
+        if Ah == 0:
+            s = br.huff(hts[(0, td)])
+            preds[ci] += br.receive_extend(s)
+            cf[0] = preds[ci] << Al
+        elif br.bit():
+            cf[0] = int(cf[0]) | (1 << Al)
+
+    def ac_first(cf, hac):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = Ss
+        while k <= Se:
+            rs = br.huff(hac)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    return
+                k += 16
+                continue
+            k += r
+            if k > Se:
+                raise ValueError("AC run overflow")
+            cf[_ZZ[k]] = br.receive_extend(s) << Al
+            k += 1
+
+    def ac_refine(cf, hac):
+        # G.2 / the jdphuff shape: new ±1<<Al insertions run-length
+        # coded over ZERO-HISTORY positions only; already-significant
+        # coefficients read one correction bit in passing; EOB runs
+        # still carry the current block's remaining correction bits
+        nonlocal eobrun
+        p1, m1 = 1 << Al, -(1 << Al)
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = br.huff(hac)
+                r, s = rs >> 4, rs & 15
+                if s:
+                    if s != 1:
+                        raise ValueError("bad AC refinement code")
+                    s = p1 if br.bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                while k <= Se:
+                    z = _ZZ[k]
+                    v = int(cf[z])
+                    if v != 0:
+                        if br.bit() and (v & p1) == 0:
+                            cf[z] = v + (p1 if v >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if s and k <= Se:
+                    cf[_ZZ[k]] = s
+                k += 1
+        if eobrun > 0:
+            while k <= Se:
+                z = _ZZ[k]
+                v = int(cf[z])
+                if v != 0 and br.bit() and (v & p1) == 0:
+                    cf[z] = v + (p1 if v >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def maybe_restart():
+        nonlocal eobrun, n_rst, preds
+        if ri and units and units % ri == 0:
+            br.restart(n_rst)
+            n_rst = (n_rst + 1) & 7
+            eobrun = 0
+            preds = {ci: 0 for ci, _, _, _ in preds_keys}
+
+    preds_keys = list(scomps)
+    if Ss == 0 and len(scomps) > 1:
+        # interleaved DC scan: MCU order, v×h blocks per component
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci, c, td, _ in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_unit(coefs[ci][my * c["v"] + by,
+                                              mx * c["h"] + bx],
+                                    ci, td)
+                units += 1
+    else:
+        # non-interleaved: raster order over the REAL block grid
+        ci, c, td, ta = scomps[0]
+        bw, bh = nbdims[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                cf = coefs[ci][by, bx]
+                if Ss == 0:
+                    dc_unit(cf, ci, td)
+                elif Ah == 0:
+                    ac_first(cf, hts[(1, ta)])
+                else:
+                    ac_refine(cf, hts[(1, ta)])
+                units += 1
+
+
+def _jpeg_finish(planes, comps, h, w, hmax, vmax):
+    """Shared baseline/progressive tail: upsample each component
+    plane to full resolution, crop, and convert to RGB (grayscale
+    replicated)."""
+    import numpy as np
+    full = []
+    for ci, c in enumerate(comps):
+        pl = np.repeat(np.repeat(planes[ci], vmax // c["v"], axis=0),
+                       hmax // c["h"], axis=1)
+        full.append(pl[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8), 1
+    if len(comps) != 3:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.dstack([y + 1.402 * cr,
+                     y - 0.344136 * cb - 0.714136 * cr,
+                     y + 1.772 * cb])
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), 3
+
+
 def _jpeg_decode(payload: bytes):
     """(pixels, n_components) — the full parse behind _jpeg_pixels
     and decode_jpeg (which needs the SOF component count without a
-    second marker walk; review r9)."""
+    second marker walk; review r9). Baseline sequential (SOF0/SOF1)
+    and progressive (SOF2) Huffman streams both decode; progressive
+    accumulates coefficients across the scan script (spectral
+    selection + successive approximation, EOB runs, restarts) and
+    runs one vectorized IDCT at the end."""
     import numpy as np
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     p, qt, hts, ri, frame = 2, {}, {}, 0, None
     scan = None
+    progressive = False
+    coefs = geom = nbdims = None
     while p < len(d) - 1:
         if d[p] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -519,9 +740,10 @@ def _jpeg_decode(payload: bytes):
                 values = list(seg[i + 17:i + 17 + nv])
                 hts[(tc, th)] = _huff_canonical(counts, values)
                 i += 17 + nv
-        elif m in (0xC0, 0xC1):                         # SOF0/SOF1
+        elif m in (0xC0, 0xC1, 0xC2):               # SOF0/SOF1/SOF2
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = m == 0xC2
             h = (seg[1] << 8) | seg[2]
             w = (seg[3] << 8) | seg[4]
             ncomp = seg[5]
@@ -531,9 +753,10 @@ def _jpeg_decode(payload: bytes):
                 comps.append({"id": seg[o], "h": seg[o + 1] >> 4,
                               "v": seg[o + 1] & 15, "q": seg[o + 2]})
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError(
+                "only baseline/progressive Huffman JPEG supported")
         elif m == 0xDD:                                 # DRI
             ri = (seg[0] << 8) | seg[1]
         elif m == 0xDA:                                 # SOS
@@ -542,15 +765,39 @@ def _jpeg_decode(payload: bytes):
             for c in range(ns):
                 sel[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4,
                                        seg[2 + 2 * c] & 15)
-            scan = (sel, p + seg_len)
-            break
+            if not progressive:
+                scan = (sel, p + seg_len)
+                break
+            # progressive: decode THIS scan now, keep walking — DHT
+            # and DRI segments may redefine tables between scans
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            h, w, comps = frame
+            if coefs is None:
+                geom, nbdims, coefs = _jpeg_prog_geometry(
+                    h, w, comps)
+            Ss = seg[1 + 2 * ns]
+            Se = seg[2 + 2 * ns]
+            Ah = seg[3 + 2 * ns] >> 4
+            Al = seg[3 + 2 * ns] & 15
+            scomps = []
+            for ci, c in enumerate(comps):
+                if c["id"] in sel:
+                    td, ta = sel[c["id"]]
+                    scomps.append((ci, c, td, ta))
+            if len(scomps) != ns:
+                raise ValueError("scan selects unknown component")
+            data_start = p + seg_len
+            _jpeg_prog_scan(d, data_start, comps, coefs, scomps,
+                            hts, Ss, Se, Ah, Al, ri, geom, nbdims)
+            p = _entropy_end(d, data_start)
+            continue
         p += seg_len
-    if frame is None or scan is None:
+    if frame is None:
         raise ValueError("missing SOF/SOS")
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ValueError("empty frame")
-    sel, pos = scan
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -561,9 +808,28 @@ def _jpeg_decode(payload: bytes):
         if not 1 <= c["h"] <= 4 or not 1 <= c["v"] <= 4 \
                 or hmax % c["h"] or vmax % c["v"]:
             raise ValueError("unsupported sampling factors")
+    M = _dct_matrix()
+    if progressive:
+        if coefs is None:
+            raise ValueError("missing SOF/SOS")
+        planes = []
+        for ci, c in enumerate(comps):
+            if c["q"] not in qt:
+                raise ValueError("missing table for component")
+            q64 = qt[c["q"]].reshape(64)
+            arr = coefs[ci].astype(float) * q64
+            by, bx = arr.shape[0], arr.shape[1]
+            blocks = arr.reshape(by, bx, 8, 8)
+            px = np.einsum("ij,yxjk,kl->yxil", M.T, blocks,
+                           M) + 128.0
+            planes.append(px.transpose(0, 2, 1, 3)
+                          .reshape(by * 8, bx * 8))
+        return _jpeg_finish(planes, comps, h, w, hmax, vmax)
+    if scan is None:
+        raise ValueError("missing SOF/SOS")
+    sel, pos = scan
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    M = _dct_matrix()
     planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
               for c in comps]
     for c in comps:
@@ -611,34 +877,36 @@ def _jpeg_decode(payload: bytes):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-    full = []
-    for ci, c in enumerate(comps):
-        pl = np.repeat(np.repeat(planes[ci], vmax // c["v"], axis=0),
-                       hmax // c["h"], axis=1)
-        full.append(pl[:h, :w])
-    if len(comps) == 1:
-        y = np.clip(full[0], 0, 255)
-        return np.dstack([y, y, y]).astype(np.uint8), 1
-    if len(comps) != 3:
-        raise ValueError(f"unsupported component count {len(comps)}")
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.dstack([y + 1.402 * cr,
-                     y - 0.344136 * cb - 0.714136 * cr,
-                     y + 1.772 * cb])
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), 3
+    return _jpeg_finish(planes, comps, h, w, hmax, vmax)
 
 
-def encode_jpeg_baseline(px_rows, sub="444", qscale=0.2,
-                         restart=None) -> bytes:
-    """Minimal baseline JPEG ENCODER — the deterministic synthetic-
-    corpus twin of the decode kernel (and the fixture generator for
-    its tests): standard Annex-K quantization tables
-    scaled by ``qscale``, fixed-length canonical Huffman tables
-    written into the stream via DHT (4-bit DC codes / 8-bit AC codes
-    — trivially canonical, still a fully standard baseline file),
-    FF-stuffed entropy data, optional restart intervals. ``sub`` is
-    "444", "420" (2x2-averaged chroma), or "gray" (rows of ints
-    instead of (r,g,b))."""
+class _JpegBitWriter:
+    """MSB-first bit writer with FF00 stuffing — shared by the
+    baseline and progressive encoders."""
+
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def bits(self, v, ln):
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0)
+                self.acc, self.n = 0, 0
+
+    def align(self):
+        while self.n:
+            self.bits(1, 1)
+
+
+def _jpeg_plan(px_rows, sub, qscale):
+    """Shared encoder prep for the baseline and progressive twins:
+    color transform, subsampling, edge padding, quant tables.
+    Returns (h, w, comps=[(padded_plane, hf, vf, qtable)], qy, qc,
+    gray, hmax, vmax)."""
     import numpy as np
 
     QY = np.array([
@@ -692,6 +960,53 @@ def encode_jpeg_baseline(px_rows, sub="444", qscale=0.2,
     else:
         comps = [(pad(y_plane), 1, 1, qy),
                  (pad(cb), 1, 1, qc), (pad(cr), 1, 1, qc)]
+    return h, w, comps, qy, qc, gray, hmax, vmax
+
+
+def _jpeg_headers(out, h, w, comps, qy, qc, gray, sof_marker,
+                  dht_specs, restart):
+    """Emit DQT + SOF + DHT (+ DRI) segments. ``dht_specs`` is
+    [(tc, th, counts, values)]."""
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker])
+                   + struct.pack(">H", len(body) + 2) + body)
+
+    def qt_body(tq, q):
+        return bytes([tq]) + bytes(int(q.flat[_ZZ[k]])
+                                   for k in range(64))
+
+    seg(0xDB, qt_body(0, qy) + (b"" if gray else qt_body(1, qc)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for i, (_, hf, vf, _q) in enumerate(comps):
+        sof += bytes([i + 1, (hf << 4) | vf, 0 if i == 0 else 1])
+    seg(sof_marker, sof)
+    body = b"".join(bytes([(tc << 4) | th]) + bytes(counts)
+                    + bytes(values)
+                    for tc, th, counts, values in dht_specs)
+    seg(0xC4, body)
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    return seg
+
+
+def encode_jpeg_baseline(px_rows, sub="444", qscale=0.2,
+                         restart=None) -> bytes:
+    """Minimal baseline JPEG ENCODER — the deterministic synthetic-
+    corpus twin of the decode kernel (and the fixture generator for
+    its tests): standard Annex-K quantization tables
+    scaled by ``qscale``, fixed-length canonical Huffman tables
+    written into the stream via DHT (4-bit DC codes / 8-bit AC codes
+    — trivially canonical, still a fully standard baseline file),
+    FF-stuffed entropy data, optional restart intervals. ``sub`` is
+    "444", "420" (2x2-averaged chroma), or "gray" (rows of ints
+    instead of (r,g,b))."""
+    import numpy as np
+
+    h, w, comps, qy, qc, gray, hmax, vmax = _jpeg_plan(
+        px_rows, sub, qscale)
+    M = _dct_matrix()
+    H, W = comps[0][0].shape
     ncomp = len(comps)
 
     dc_vals = list(range(12))
@@ -704,24 +1019,6 @@ def encode_jpeg_baseline(px_rows, sub="444", qscale=0.2,
     ac_counts = [0] * 16
     ac_counts[7] = 162
 
-    class BW:
-        def __init__(self):
-            self.buf, self.acc, self.n = bytearray(), 0, 0
-
-        def bits(self, v, ln):
-            for i in range(ln - 1, -1, -1):
-                self.acc = (self.acc << 1) | ((v >> i) & 1)
-                self.n += 1
-                if self.n == 8:
-                    self.buf.append(self.acc)
-                    if self.acc == 0xFF:
-                        self.buf.append(0)
-                    self.acc, self.n = 0, 0
-
-        def align(self):
-            while self.n:
-                self.bits(1, 1)
-
     def cat(v):
         s, a = 0, abs(v)
         while a:
@@ -729,7 +1026,7 @@ def encode_jpeg_baseline(px_rows, sub="444", qscale=0.2,
             a >>= 1
         return s
 
-    bw = BW()
+    bw = _JpegBitWriter()
 
     def encode_block(block, q, pred):
         coef = np.round((M @ (block - 128.0) @ M.T) / q)
@@ -777,32 +1074,13 @@ def encode_jpeg_baseline(px_rows, sub="444", qscale=0.2,
     bw.align()
 
     out = bytearray(b"\xff\xd8")
-
-    def seg(marker, body):
-        out.extend(bytes([0xFF, marker])
-                   + struct.pack(">H", len(body) + 2) + body)
-
-    def qt_body(tq, q):
-        return bytes([tq]) + bytes(int(q.flat[_ZZ[k]])
-                                   for k in range(64))
-
-    seg(0xDB, qt_body(0, qy) + (b"" if gray else qt_body(1, qc)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for i, (_, hf, vf, _q) in enumerate(comps):
-        sof += bytes([i + 1, (hf << 4) | vf, 0 if i == 0 else 1])
-    seg(0xC0, sof)
-
-    def dht(tc, th):
-        vals = dc_vals if tc == 0 else ac_vals
-        counts = dc_counts if tc == 0 else ac_counts
-        return bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals)
-
-    body = dht(0, 0) + dht(1, 0)
+    dht_specs = [(0, 0, dc_counts, dc_vals),
+                 (1, 0, ac_counts, ac_vals)]
     if not gray:
-        body += dht(0, 1) + dht(1, 1)
-    seg(0xC4, body)
-    if restart:
-        seg(0xDD, struct.pack(">H", restart))
+        dht_specs += [(0, 1, dc_counts, dc_vals),
+                      (1, 1, ac_counts, ac_vals)]
+    seg = _jpeg_headers(out, h, w, comps, qy, qc, gray, 0xC0,
+                        dht_specs, restart)
     sos = bytes([ncomp])
     for i in range(ncomp):
         t = 0 if i == 0 else 1
@@ -813,10 +1091,244 @@ def encode_jpeg_baseline(px_rows, sub="444", qscale=0.2,
     return bytes(out)
 
 
+def encode_jpeg_progressive(px_rows, sub="444", qscale=0.2,
+                            restart=None, script=None) -> bytes:
+    """Progressive (SOF2) JPEG ENCODER — the fixture generator for
+    the progressive decode path, exercising the full scan-script
+    feature space: interleaved DC first scan with point transform,
+    DC refinement bits, per-component AC first scans with spectral
+    selection + EOB-run coding, and AC successive-approximation
+    refinement scans (the correction-bit protocol of T.81 G.1.2.3,
+    the jcphuff shape). The default ``script`` is the libjpeg
+    default progression. The quantized coefficients are IDENTICAL
+    to ``encode_jpeg_baseline``'s at the same sub/qscale, so
+    decode(progressive) must equal decode(baseline)
+    pixel-for-pixel — the round-trip certificate pinned by test.
+
+    ``script`` entries are (comp_indices, Ss, Se, Ah, Al)."""
+    import numpy as np
+
+    h, w, comps, qy, qc, gray, hmax, vmax = _jpeg_plan(
+        px_rows, sub, qscale)
+    M = _dct_matrix()
+    # quantized coefficient blocks per component, natural order
+    blocks, nbdims = [], []
+    for plane, hf, vf, q in comps:
+        by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+        b8 = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.round(
+            np.einsum("ij,yxjk,kl->yxil", M, b8 - 128.0, M.T) / q)
+        blocks.append(np.clip(coef, -1023, 1023)
+                      .astype(np.int64).reshape(by, bx, 64))
+        cw = -(-(w * hf) // hmax)
+        ch = -(-(h * vf) // vmax)
+        nbdims.append((-(-cw // 8), -(-ch // 8)))
+    mcux = comps[0][0].shape[1] // (8 * hmax)
+    mcuy = comps[0][0].shape[0] // (8 * vmax)
+    if script is None:
+        # the libjpeg default progression (DC Al=1 → luma AC split
+        # bands at Al=2 → chroma AC at Al=1 → SA refinements to 0)
+        if gray:
+            script = [((0,), 0, 0, 0, 1), ((0,), 1, 5, 0, 2),
+                      ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+                      ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)]
+        else:
+            script = [((0, 1, 2), 0, 0, 0, 1), ((0,), 1, 5, 0, 2),
+                      ((1,), 1, 63, 0, 1), ((2,), 1, 63, 0, 1),
+                      ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+                      ((0, 1, 2), 0, 0, 1, 0), ((1,), 1, 63, 1, 0),
+                      ((2,), 1, 63, 1, 0), ((0,), 1, 63, 1, 0)]
+
+    dc_vals = list(range(12))
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    # progressive needs the EOBn symbols (r<<4, r=1..14) the
+    # baseline table omits; 176 fixed 8-bit codes stay canonical
+    ac_vals = ([0x00] + [r << 4 for r in range(1, 15)] + [0xF0]
+               + [(r << 4) | s for r in range(16)
+                  for s in range(1, 11)])
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_vals)
+    dc_code = {v: i for i, v in enumerate(dc_vals)}
+    ac_code = {v: i for i, v in enumerate(ac_vals)}
+
+    def cat(v):
+        s, a = 0, abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    out = bytearray(b"\xff\xd8")
+    dht_specs = [(0, 0, dc_counts, dc_vals),
+                 (1, 0, ac_counts, ac_vals)]
+    if not gray:
+        dht_specs += [(0, 1, dc_counts, dc_vals),
+                      (1, 1, ac_counts, ac_vals)]
+    seg = _jpeg_headers(out, h, w, comps, qy, qc, gray, 0xC2,
+                        dht_specs, restart)
+
+    for comp_ids, Ss, Se, Ah, Al in script:
+        bw = _JpegBitWriter()
+        eobrun, bebits = 0, []
+        preds = {i: 0 for i in comp_ids}
+        units, n_rst = 0, 0
+
+        def flush_eob():
+            # EOB-run symbol + its extra bits, then the correction
+            # bits buffered across the run's blocks (decoder reads
+            # them in each skipped block's eobrun section)
+            nonlocal eobrun, bebits
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                bw.bits(ac_code[nbits << 4], 8)
+                if nbits:
+                    bw.bits(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+            for b in bebits:
+                bw.bits(b, 1)
+            bebits = []
+
+        def maybe_restart():
+            nonlocal units, n_rst, preds
+            if restart and units and units % restart == 0:
+                flush_eob()
+                bw.align()
+                bw.buf += bytes([0xFF, 0xD0 + (n_rst & 7)])
+                n_rst = (n_rst + 1) & 7
+                preds = {i: 0 for i in preds}
+
+        def dc_unit(ci, cf):
+            if Ah == 0:
+                t = int(cf[0]) >> Al          # arithmetic shift
+                diff = t - preds[ci]
+                preds[ci] = t
+                s = cat(diff)
+                bw.bits(dc_code[s], 4)
+                if s:
+                    bw.bits(diff if diff >= 0
+                            else diff + (1 << s) - 1, s)
+            else:
+                bw.bits((int(cf[0]) >> Al) & 1, 1)
+
+        def ac_first_block(cf):
+            # magnitude point transform (G.1.2.2): |c| >> Al, sign
+            # kept; run-length + EOB-run coding over the band
+            nonlocal eobrun
+            vals = []
+            for k in range(Ss, Se + 1):
+                c0 = int(cf[_ZZ[k]])
+                a = abs(c0) >> Al
+                vals.append(a if c0 >= 0 else -a)
+            last = max((i for i, v in enumerate(vals) if v),
+                       default=-1)
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                return
+            flush_eob()
+            r = 0
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    bw.bits(ac_code[0xF0], 8)
+                    r -= 16
+                s = cat(v)
+                bw.bits(ac_code[(r << 4) | s], 8)
+                bw.bits(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < Se - Ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+
+        def ac_refine_block(cf):
+            # the jcphuff encode_mcu_AC_refine shape: runs count
+            # zero-HISTORY positions; already-significant coefs
+            # buffer one correction bit each, emitted after the next
+            # symbol (or appended to the EOB run)
+            nonlocal eobrun, bebits
+            absv, eob_idx = [], -1
+            for k in range(Ss, Se + 1):
+                a = abs(int(cf[_ZZ[k]])) >> Al
+                absv.append(a)
+                if a == 1:
+                    eob_idx = len(absv) - 1
+            r, br_bits = 0, []
+            for idx, temp in enumerate(absv):
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx <= eob_idx:
+                    flush_eob()
+                    bw.bits(ac_code[0xF0], 8)
+                    r -= 16
+                    for b in br_bits:
+                        bw.bits(b, 1)
+                    br_bits = []
+                if temp > 1:
+                    br_bits.append(temp & 1)
+                    continue
+                flush_eob()
+                bw.bits(ac_code[(r << 4) | 1], 8)
+                bw.bits(1 if int(cf[_ZZ[Ss + idx]]) >= 0 else 0, 1)
+                for b in br_bits:
+                    bw.bits(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                bebits.extend(br_bits)
+                if eobrun == 0x7FFF or len(bebits) > 900:
+                    flush_eob()
+
+        if Ss == 0 and len(comp_ids) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for ci in comp_ids:
+                        _, hf, vf, _q = comps[ci]
+                        for iy in range(vf):
+                            for ix in range(hf):
+                                dc_unit(ci, blocks[ci][
+                                    my * vf + iy, mx * hf + ix])
+                    units += 1
+        else:
+            ci = comp_ids[0]
+            bwid, bhei = nbdims[ci]
+            for iy in range(bhei):
+                for ix in range(bwid):
+                    maybe_restart()
+                    cf = blocks[ci][iy, ix]
+                    if Ss == 0:
+                        dc_unit(ci, cf)
+                    elif Ah == 0:
+                        ac_first_block(cf)
+                    else:
+                        ac_refine_block(cf)
+                    units += 1
+        flush_eob()
+        bw.align()
+        sos = bytes([len(comp_ids)])
+        for i in comp_ids:
+            t = 0 if i == 0 else 1
+            sos += bytes([i + 1, (t << 4) | t])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        seg(0xDA, sos)
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg(payload: bytes) -> list[float]:
-    """REAL compressed-photo decode: baseline JPEG (the last common
-    container; PNG/BMP/WAV kernels were already real) parsed with
-    stdlib + numpy — same 8-dim contract as decode_bmp/decode_png:
+    """REAL compressed-photo decode: baseline AND progressive JPEG
+    (the last common container; PNG/BMP/WAV kernels were already
+    real) parsed with stdlib + numpy — same 8-dim contract as
+    decode_bmp/decode_png:
     [width, height, channels, mean_R, mean_G, mean_B (0..1),
     brightness (0..1), n_pixels]."""
     try:
@@ -851,7 +1363,7 @@ def _image_pixels(payload: bytes):
 
 def _decode_image(payload: bytes) -> list[float]:
     """Codec-library slot for formats beyond the wired BMP/PNG/JPEG
-    kernels (progressive JPEG, WebP, AVIF, ...). Real deployments
+    kernels (WebP, AVIF, arithmetic-coded JPEG, ...). Real deployments
     plug PIL/opencv here; this container has no codec libraries, so
     reaching this is a decode MISS (the caller falls back and marks
     decode_ok=false)."""
@@ -894,7 +1406,7 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
         try:
             return decode_jpeg(raw), True
         except ValueError:
-            # progressive/arithmetic/corrupt/truncated JPEG (the
+            # arithmetic-coded/lossless/corrupt/truncated JPEG (the
             # kernel converts its internal IndexErrors): histogram
             # fallback
             pass

@@ -2772,16 +2772,22 @@ def test_jpeg_restart_intervals_decode_identically():
     assert np.array_equal(plain, restarted)
 
 
-def test_jpeg_rejects_nonbaseline_and_feature_contract():
+def test_jpeg_rejects_nonhuffman_and_feature_contract():
     import pytest as _pytest
     from metacat_spark.llm import multimodal as MM
     data = _jpeg_bytes(_smooth_rows(16, 16))
-    # flip SOF0 -> SOF2: progressive must be a clean decode MISS
-    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(ValueError, match="baseline"):
-        MM._jpeg_pixels(prog)
-    feats, ok = MM._decode_any(prog)
+    # flip SOF0 -> SOF2 on a BASELINE stream: the scan script is
+    # illegal progressive (Ss=0 with Se=63) — a clean decode MISS,
+    # not a garbage decode
+    fake_prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="progressive scan"):
+        MM._jpeg_pixels(fake_prog)
+    feats, ok = MM._decode_any(fake_prog)
     assert not ok and len(feats) == 8          # histogram fallback
+    # arithmetic-coded SOF markers stay rejected
+    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with _pytest.raises(ValueError, match="Huffman JPEG"):
+        MM._jpeg_pixels(arith)
     with _pytest.raises(ValueError):
         MM._jpeg_pixels(b"\xff\xd8\xff\xd9")   # no frame
     f = MM.decode_jpeg(data)
@@ -2789,6 +2795,74 @@ def test_jpeg_rejects_nonbaseline_and_feature_contract():
     assert f[7] == 256.0 and 0.0 < f[6] < 1.0
     feats2, ok2 = MM._decode_any(data)
     assert ok2 and feats2 == f
+
+
+def _noisy_rows(w, h, seed=42):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return [[tuple(int(v) for v in rng.randint(0, 256, 3))
+             for _ in range(w)] for _ in range(h)]
+
+
+def test_jpeg_progressive_equals_baseline():
+    """The round-trip certificate for the progressive kernel: the
+    progressive encoder writes the IDENTICAL quantized coefficients
+    as the baseline encoder, so decoding its SOF2 stream (spectral
+    selection + successive approximation + EOB runs, the libjpeg
+    default script) must reproduce the baseline decode
+    pixel-for-pixel — on smooth, noisy, subsampled, grayscale,
+    sparse/dense-coefficient, and restart-interval content."""
+    import numpy as np
+    from metacat_spark.llm import multimodal as MM
+    noisy = _noisy_rows(40, 33)
+    cases = [
+        (_smooth_rows(24, 17), {}),
+        (noisy, {}),
+        (noisy, {"sub": "420"}),
+        (noisy, {"qscale": 1.0}),     # sparse coefs → long EOB runs
+        (noisy, {"qscale": 0.05}),    # dense coefs → ZRL/refine heavy
+        (noisy, {"restart": 2}),
+        ([[(57, 200, 33)] * 32 for _ in range(24)], {}),  # flat
+    ]
+    for rows, kw in cases:
+        base = MM._jpeg_pixels(MM.encode_jpeg_baseline(
+            rows, **{k: v for k, v in kw.items() if k != "restart"}))
+        prog = MM._jpeg_pixels(MM.encode_jpeg_progressive(rows, **kw))
+        assert np.array_equal(base, prog), kw
+    gray = [[(7 * x * y + 13 * x) % 256 for x in range(24)]
+            for y in range(17)]
+    gb = MM._jpeg_pixels(MM.encode_jpeg_baseline(gray, sub="gray"))
+    gp = MM._jpeg_pixels(MM.encode_jpeg_progressive(gray, sub="gray"))
+    assert np.array_equal(gb, gp)
+
+
+def test_jpeg_progressive_custom_script_and_features():
+    """A deeper successive-approximation script (Al down from 3,
+    chroma bands split differently) still reconstructs exactly, and
+    the feature/dispatch surfaces treat progressive as a real decode
+    (decode_ok=True, identical features to the baseline encode of
+    the same pixels)."""
+    import numpy as np
+    from metacat_spark.llm import multimodal as MM
+    rows = _noisy_rows(32, 18, seed=7)
+    script = [((0, 1, 2), 0, 0, 0, 2), ((0, 1, 2), 0, 0, 1, 1),
+              ((0, 1, 2), 0, 0, 1, 0),
+              ((0,), 1, 2, 0, 3), ((0,), 3, 63, 0, 3),
+              ((0,), 1, 63, 2, 2), ((0,), 1, 63, 1, 1),
+              ((0,), 1, 63, 1, 0),
+              ((1,), 1, 63, 0, 0),
+              ((2,), 1, 63, 0, 2), ((2,), 1, 63, 1, 1),
+              ((2,), 1, 63, 1, 0)]
+    base = MM._jpeg_pixels(MM.encode_jpeg_baseline(rows))
+    prog_bytes = MM.encode_jpeg_progressive(rows, script=script)
+    assert b"\xff\xc2" in prog_bytes           # really SOF2
+    assert np.array_equal(base, MM._jpeg_pixels(prog_bytes))
+    feats, ok = MM._decode_any(prog_bytes)
+    assert ok and feats == MM.decode_jpeg(
+        MM.encode_jpeg_baseline(rows))
+    # truncating mid-scan is still a clean miss, not a crash
+    feats3, ok3 = MM._decode_any(prog_bytes[:len(prog_bytes) // 2])
+    assert not ok3 and len(feats3) == 8
 
 
 def test_jpeg_dhash_cross_container(spark):
