@@ -8,7 +8,11 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "metacat_spark", cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              ui: bool = False) -> SparkSession:
+    """``ui=True`` enables the local Spark UI — off by default (it
+    costs a listener + an HTTP server per session); measurement
+    probes that read stage metrics from the REST API turn it on."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -29,7 +33,7 @@ def get_spark(app: str = "metacat_spark", cpus: int | None = None,
          # concurrent catalog queries (client pool of 5) share the
          # cluster fairly instead of FIFO-blocking each other
          .config("spark.scheduler.mode", "FAIR")
-         .config("spark.ui.enabled", "false"))
+         .config("spark.ui.enabled", "true" if ui else "false"))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
