@@ -881,7 +881,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ivfpq: rewrite --postings lists whose "
                          "tombstone ratio >= --min-ratio without "
                          "dead rows (write with -o)")
-    cn.add_argument("--min-ratio", type=float, default=0.0,
+    cn.add_argument("--min-ratio", type=float, default=None,
                     dest="min_ratio",
                     help="with --compact: only rewrite lists at or "
                          "above this tombstone ratio (default 0 = "

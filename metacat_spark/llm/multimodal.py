@@ -520,7 +520,7 @@ def _jpeg_prog_geometry(h: int, w: int, comps):
     return (hmax, vmax, mcux, mcuy), nbdims, coefs
 
 
-def _jpeg_prog_scan(d: bytes, pos: int, comps, coefs, scomps, hts,
+def _jpeg_prog_scan(d: bytes, pos: int, coefs, scomps, hts,
                     Ss: int, Se: int, Ah: int, Al: int, ri: int,
                     geom, nbdims) -> None:
     """Decode ONE progressive scan's entropy-coded data (T.81 G.2)
@@ -554,6 +554,13 @@ def _jpeg_prog_scan(d: bytes, pos: int, comps, coefs, scomps, hts,
     def dc_unit(cf, ci, td):
         if Ah == 0:
             s = br.huff(hts[(0, td)])
+            if s > 11:
+                # T.81 limits 8-bit DC diff categories to 0..11; a
+                # corrupt DHT value here would build an arbitrarily
+                # wide Python int and overflow the int64 coefficient
+                # store as OverflowError, escaping the ValueError-only
+                # fallback contract (review r11 fuzz finding)
+                raise ValueError("bad DC category")
             preds[ci] += br.receive_extend(s)
             cf[0] = preds[ci] << Al
         elif br.bit():
@@ -788,7 +795,7 @@ def _jpeg_decode(payload: bytes):
             if len(scomps) != ns:
                 raise ValueError("scan selects unknown component")
             data_start = p + seg_len
-            _jpeg_prog_scan(d, data_start, comps, coefs, scomps,
+            _jpeg_prog_scan(d, data_start, coefs, scomps,
                             hts, Ss, Se, Ah, Al, ri, geom, nbdims)
             p = _entropy_end(d, data_start)
             continue

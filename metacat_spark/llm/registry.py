@@ -694,6 +694,14 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     if len(verbs) > 1:
         raise OpError(f"ann: conflicting verbs {', '.join(verbs)} — "
                       f"pick one")
+    # verb-scoped options are loud when their verb is absent — a
+    # silently dropped --codes-only/--min-ratio would make the user
+    # believe a storage mode / compaction threshold applied when it
+    # did not (review r11, same loud-flag contract)
+    if ctx.flag("codes_only") and not ctx.flag("encode"):
+        raise OpError("ann: --codes-only applies to --encode")
+    if ctx.param("min_ratio") is not None and not compact:
+        raise OpError("ann: --min-ratio applies to --compact")
     if ctx.flag("build_index") and ctx.param("index") is not None:
         raise OpError("ann: --build-index trains a NEW index; it "
                       "cannot take --index (did you mean --encode, "
@@ -750,19 +758,31 @@ def _op_ann(ctx: OpContext) -> DataFrame:
                     raise OpError("ann: --retire needs --postings "
                                   "<stored postings table> (append "
                                   "the tombstones with -o --append)")
+                postings_df = ctx.corpus(str(post))
+                # parse the id list against the POSTINGS id type —
+                # per-token type guessing let a non-numeric id reach
+                # createDataFrame on a numeric table as a raw
+                # PySparkTypeError traceback (review r11)
+                numeric = dict(postings_df.dtypes).get(
+                    "id", "bigint") not in ("string",)
                 ids = []
                 for part in str(retire).split(","):
                     part = part.strip()
                     if not part:
                         continue
-                    try:
-                        ids.append(int(part))
-                    except ValueError:
+                    if numeric:
+                        try:
+                            ids.append(int(part))
+                        except ValueError:
+                            raise OpError(
+                                f"ann: --retire id {part!r} is not "
+                                f"valid for the postings id type")
+                    else:
                         ids.append(part)
                 if not ids:
                     raise OpError("ann: --retire needs a non-empty "
                                   "comma-separated id list")
-                return SIM.retire_vectors(ctx.corpus(str(post)), ids)
+                return SIM.retire_vectors(postings_df, ids)
             if compact:
                 if post is None:
                     raise OpError("ann: --compact needs --postings "

@@ -1179,19 +1179,22 @@ def retire_vectors(postings: DataFrame, ids) -> DataFrame:
     rewrite.
 
     ``ids`` is a list of member ids or a 1-column DataFrame. The lst
-    of each id is looked up from the live postings in ONE scan with
-    the (small) id set broadcast — no corpus shuffle. Ids absent
-    from the table produce no tombstone (idempotent). Note the
-    semantics are retire-until-compact: re-ADDING a retired id
-    requires compacting first (the anti-join would kill the re-added
-    row while its tombstone is still in the table)."""
+    of each id is looked up from the LIVE postings (already-retired
+    members excluded, so re-running a retire batch after a partial
+    failure appends nothing — truly idempotent, and n_dead never
+    double-counts; review r11) in ONE scan with the (small) id set
+    broadcast — no corpus shuffle. Ids absent from the table produce
+    no tombstone. Note the semantics are retire-until-compact:
+    re-ADDING a retired id requires compacting first (the anti-join
+    would kill the re-added row while its tombstone is still in the
+    table)."""
     spark = postings.sparkSession
     if not isinstance(ids, DataFrame):
         id_t = postings.schema["id"].dataType.simpleString()
         ids = spark.createDataFrame(
             [(i,) for i in ids], f"id {id_t}")
     idf = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
-    hit = (postings.where(F.col("codes").isNotNull())
+    hit = (live_postings(postings)
            .join(F.broadcast(idf), "id", "left_semi")
            .select("lst", "id").distinct())
     return hit.select(
@@ -1261,6 +1264,7 @@ def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
                         checkpoint_dir: str | None = None,
                         keep_vectors: bool = True,
                         max_files_per_trigger: int | None = None,
+                        timeout_s: int | None = 300,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
     """Streaming postings ingest — the add verb of the index
@@ -1284,7 +1288,10 @@ def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
     foreachBatch is at-least-once: a crash BETWEEN the parquet
     append and the checkpoint commit re-appends that batch on
     restart — dedupe on (lst, id) downstream or compact if exact
-    once matters."""
+    once matters. ``timeout_s`` bounds the drain (None = wait
+    indefinitely — the production posture for a corpus-sized
+    ingest); on expiry the query is stopped and a restart resumes
+    from the checkpoint."""
     stream = stream_parquet(
         spark, src_dir, max_files_per_trigger=max_files_per_trigger)
     gauge_rows = []
@@ -1306,12 +1313,14 @@ def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
          .option("checkpointLocation",
                  checkpoint_dir or postings_dir + "__checkpoint")
          .trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
+    if timeout_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(
-            "encode_ivfpq_stream did not finish within 300s — "
-            "postings may be partially ingested; restart resumes "
-            "from the checkpoint")
+            f"encode_ivfpq_stream did not finish within "
+            f"{timeout_s}s — postings may be partially ingested; "
+            f"restart resumes from the checkpoint")
     return spark.createDataFrame(
         gauge_rows,
         "batch_id long, n long, mean_distortion double, "

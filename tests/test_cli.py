@@ -589,6 +589,19 @@ def test_corpus_ann_retire_compact(capsys, tmp_path, spark):
     rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
                 "--retire", " , ", "--postings", post)
     assert rc == 2
+    # a non-numeric id against a numeric-id postings table is a
+    # clean OpError, not a PySparkTypeError traceback (review r11)
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", "abc", "--postings", post)
+    assert rc == 2
+    # verb-scoped options are loud without their verb (review r11)
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "--codes-only")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", "1", "--min-ratio", "0.5",
+                "--postings", post)
+    assert rc == 2
 
 
 def test_op_error_from_task_translation():

@@ -2836,6 +2836,29 @@ def test_jpeg_progressive_equals_baseline():
     assert np.array_equal(gb, gp)
 
 
+def test_jpeg_progressive_corruption_never_escapes_valueerror():
+    """Single-byte corruption of a progressive stream's Huffman
+    tables or entropy data must stay inside the ValueError-only
+    fallback contract — a corrupt DHT once built an arbitrarily wide
+    DC category that overflowed the int64 coefficient store as
+    OverflowError, crashing the whole Arrow task instead of marking
+    one asset decode_ok=false (review r11 fuzz finding)."""
+    from metacat_spark.llm import multimodal as MM
+    data = bytearray(MM.encode_jpeg_progressive(_smooth_rows(16, 16)))
+    # locate the DHT segment and the first scan's entropy region
+    dht = data.find(b"\xff\xc4")
+    dht_len = (data[dht + 2] << 8) | data[dht + 3]
+    sos = data.find(b"\xff\xda")
+    targets = list(range(dht + 4, dht + 2 + dht_len)) \
+        + list(range(sos + 14, min(sos + 74, len(data) - 2)))
+    for off in targets:
+        for mask in (0xFF, 0x81, 0x10):
+            mutated = bytearray(data)
+            mutated[off] ^= mask
+            feats, ok = MM._decode_any(bytes(mutated))
+            assert len(feats) == 8  # decoded or fell back — no raise
+
+
 def test_jpeg_progressive_custom_script_and_features():
     """A deeper successive-approximation script (Al down from 3,
     chroma bands split differently) still reconstructs exactly, and

@@ -757,6 +757,10 @@ def test_ivfpq_retire_compact_lifecycle(embs, tmp_path, spark):
                         & set(victims))
     # retiring an unknown id is an idempotent no-op
     assert retire_vectors(tombstoned, [999999123]).count() == 0
+    # re-running the SAME retire batch appends nothing (the lookup
+    # goes through live_postings, so already-dead members don't
+    # double-tombstone and n_dead never inflates — review r11)
+    assert retire_vectors(tombstoned, victims).count() == 0
     stats = postings_tombstone_stats(tombstoned)
     assert stats.agg(F.sum("n_dead")).collect()[0][0] == 5
     assert stats.where("tombstone_ratio > 0").count() >= 1
