@@ -247,7 +247,9 @@ def _cmd_corpus(args) -> int:
         load_corpus=lambda p: load_corpus(spark, p),
         # identity: the CLI reads any local path (same trust model as
         # load_corpus above); the HTTP server installs its jail here
-        corpus_path=lambda p: p)
+        corpus_path=lambda p: p,
+        # path-writing verbs (ann --ingest) are CLI-only
+        local_fs=True)
     try:
         out = CORPUS_OPS[args.ccmd](ctx)
     except OpError as e:
@@ -870,6 +872,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ivfpq + --index: report the staleness "
                          "gauge (mean PQ distortion of the input vs "
                          "the build-time baseline)")
+    cn.add_argument("--ingest",
+                    help="ivfpq + --index: STREAM-encode embeddings "
+                         "from this parquet dir/file, appending "
+                         "postings to --postings (the destination "
+                         "dir, checkpointed — restarts resume); "
+                         "prints the per-micro-batch distortion "
+                         "gauge. CLI only (writes a local path)")
+    cn.add_argument("--timeout", type=int, default=None,
+                    help="with --ingest: drain timeout in seconds "
+                         "(default 300)")
     cn.add_argument("--retire",
                     help="ivfpq: emit tombstone rows for these "
                          "comma-separated member ids from the "

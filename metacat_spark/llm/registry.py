@@ -72,6 +72,10 @@ class OpContext:
       corpora (test sets, admission baselines). The server wraps
       this with its --data-root path jail (raising OpError 403);
       the CLI reads any local path.
+    - ``local_fs``: True only on the CLI — ops that WRITE to
+      caller-supplied filesystem paths (ann --ingest appending a
+      postings table) must refuse on the HTTP surface, where a
+      remote client would otherwise direct server-side writes.
     """
 
     def __init__(self, *, docs: Callable[[], DataFrame] | None = None,
@@ -79,11 +83,13 @@ class OpContext:
                  events: Callable[[], DataFrame] | None = None,
                  params: dict | None = None,
                  load_corpus: Callable[[str], DataFrame] | None = None,
-                 corpus_path: Callable[[str], str] | None = None):
+                 corpus_path: Callable[[str], str] | None = None,
+                 local_fs: bool = False):
         self._docs, self._embs, self._events = docs, embs, events
         self.params = params or {}
         self._load_corpus = load_corpus
         self._corpus_path = corpus_path
+        self.local_fs = local_fs
 
     def docs(self) -> DataFrame:
         if self._docs is None:
@@ -670,14 +676,16 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     retire = ctx.param("retire")
     compact = ctx.flag("compact")
     post = ctx.param("postings")
+    ingest = ctx.param("ingest")
     if method != "ivfpq" and (ctx.flag("encode")
                               or ctx.flag("distortion")
                               or post is not None
-                              or retire is not None or compact):
+                              or retire is not None or compact
+                              or ingest is not None):
         # same loud-flag contract as --build-index below (review r9)
         raise OpError(f"ann: --encode/--distortion/--postings/"
-                      f"--retire/--compact apply to method ivfpq, "
-                      f"not {method}")
+                      f"--retire/--compact/--ingest apply to method "
+                      f"ivfpq, not {method}")
     # the index verbs are mutually exclusive, and build never takes
     # a served index — silent precedence would run a different verb
     # than the user asked for (review r10, same loud-flag contract).
@@ -689,8 +697,9 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         ("--distortion", ctx.flag("distortion")),
         ("--retire", retire is not None),
         ("--compact", compact),
+        ("--ingest", ingest is not None),
         ("--postings", post is not None and retire is None
-         and not compact)) if on]
+         and not compact and ingest is None)) if on]
     if len(verbs) > 1:
         raise OpError(f"ann: conflicting verbs {', '.join(verbs)} — "
                       f"pick one")
@@ -698,10 +707,14 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     # silently dropped --codes-only/--min-ratio would make the user
     # believe a storage mode / compaction threshold applied when it
     # did not (review r11, same loud-flag contract)
-    if ctx.flag("codes_only") and not ctx.flag("encode"):
-        raise OpError("ann: --codes-only applies to --encode")
+    if ctx.flag("codes_only") and not (ctx.flag("encode")
+                                       or ingest is not None):
+        raise OpError("ann: --codes-only applies to --encode or "
+                      "--ingest")
     if ctx.param("min_ratio") is not None and not compact:
         raise OpError("ann: --min-ratio applies to --compact")
+    if ctx.param("timeout") is not None and ingest is None:
+        raise OpError("ann: --timeout applies to --ingest")
     if ctx.flag("build_index") and ctx.param("index") is not None:
         raise OpError("ann: --build-index trains a NEW index; it "
                       "cannot take --index (did you mean --encode, "
@@ -791,6 +804,29 @@ def _op_ann(ctx: OpContext) -> DataFrame:
                 return SIM.compact_postings(
                     ctx.corpus(str(post)),
                     min_ratio=ctx.float_param("min_ratio", 0.0))
+            if ingest is not None:
+                # streaming ADD: encode an embedding STREAM against
+                # the stored index, parquet-appending postings to
+                # --postings; returns the per-micro-batch distortion
+                # gauge. Writes to a caller-supplied path — CLI only
+                if idx is None or post is None:
+                    raise OpError(
+                        "ann: --ingest needs --index <stored index "
+                        "table> and --postings <destination dir for "
+                        "the streamed postings>")
+                if ctx.flag("hashed"):
+                    raise OpError("ann: --ingest streams embedding "
+                                  "rows; --hashed does not apply")
+                if not ctx.local_fs:
+                    raise OpError(
+                        "ann: --ingest writes a postings table to a "
+                        "caller-supplied path — CLI only", status=403)
+                src = ctx.corpus_path(str(ingest))
+                return SIM.encode_ivfpq_stream(
+                    df.sparkSession, src, ctx.corpus(str(idx)),
+                    str(post),
+                    keep_vectors=not ctx.flag("codes_only"),
+                    timeout_s=ctx.int_param("timeout", 300))
             if post is not None:
                 if idx is None:
                     raise OpError("ann: --postings needs --index "

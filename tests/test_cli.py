@@ -604,6 +604,56 @@ def test_corpus_ann_retire_compact(capsys, tmp_path, spark):
     assert rc == 2
 
 
+def test_corpus_ann_ingest_stream(capsys, tmp_path, spark):
+    """Streaming postings ingest over the CLI: --ingest stream-
+    encodes an embeddings dir against the stored index, appends
+    postings to --postings, and prints the per-micro-batch
+    distortion gauge; serving from the streamed postings equals the
+    inline index serve. Misuse is loud."""
+    from tests.conftest import SF_DIR
+    idx = str(tmp_path / "ing_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", idx)
+    assert rc == 0
+    src = str(tmp_path / "ing_src")
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .repartition(3).write.parquet(src)
+    dest = str(tmp_path / "ing_postings")
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--ingest", src, "--index", idx,
+                  "--postings", dest, "-j")
+    assert rc == 0
+    gauge = [json.loads(ln) for ln in out.splitlines()]
+    assert gauge and all(r["distortion_ratio"] is not None
+                         for r in gauge)
+    n_embs = spark.read.parquet(
+        f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n"] for r in gauge) == n_embs
+    assert spark.read.parquet(dest).count() == n_embs
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--index", idx, "--postings", dest, "-k", "3",
+                  "-j", "-l", "5000")
+    assert rc == 0
+    rc, out2 = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                   "--index", idx, "-k", "3", "-j", "-l", "5000")
+    assert sorted(out.splitlines()) == sorted(out2.splitlines())
+    # misuse: missing operands, wrong companions, orphan --timeout
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--ingest", src)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--ingest", src, "--index", idx, "--postings", dest,
+                "--hashed")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--timeout", "60", "-k", "3")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--ingest", src, "--encode", "--index", idx,
+                "--postings", dest)
+    assert rc == 2
+
+
 def test_op_error_from_task_translation():
     """Known in-task ValueErrors (wrapped by Spark in an opaque
     PythonException at execution time) map back to OpError; unknown

@@ -666,6 +666,13 @@ def test_server_ann_retire_compact_and_task_errors(spark, catalog,
             _get(base, "/data/corpus", op="ann", method="ivfpq",
                  retire="1", compact=1, postings=ppath)
         assert e.value.code == 400
+        # --ingest writes a caller-supplied path: CLI only — the
+        # HTTP surface refuses with 403 even inside the data root
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/data/corpus", op="ann", method="ivfpq",
+                 ingest=str(tmp_path / "whatever"), index=ipath,
+                 postings=str(tmp_path / "dest"))
+        assert e.value.code == 403
     finally:
         srv.shutdown()
 
