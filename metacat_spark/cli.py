@@ -737,6 +737,22 @@ def build_parser() -> argparse.ArgumentParser:
     cbp.add_argument("--encode", action="store_true",
                      help="emit the BPE-tokenized corpus instead of "
                           "the merge table")
+    cug = cs.add_parser("unigram",
+                        help="learn a unigram-LM tokenizer "
+                             "(SentencePiece-style; --encode "
+                             "Viterbi-tokenizes the corpus)")
+    _corpus_common(cug)
+    # no argparse defaults: registry (vocab_size=8000,
+    # vocab_cap=50000) is the single source shared with HTTP
+    cug.add_argument("--vocab-size", type=int, dest="vocab_size",
+                     help="target piece-vocabulary size "
+                          "(default 8000)")
+    cug.add_argument("--vocab-cap", type=int, dest="vocab_cap",
+                     help="train on the top-N word forms "
+                          "(default 50000)")
+    cug.add_argument("--encode", action="store_true",
+                     help="emit the piece-tokenized corpus instead "
+                          "of the (piece, logp) vocabulary")
     cdc = cs.add_parser("domaincap",
                         help="keep the top-n docs of each domain by "
                              "quality (diversity control)")

@@ -512,6 +512,23 @@ def _op_bpe(ctx: OpContext) -> DataFrame:
     return bpe_encode(ctx.docs(), merges)
 
 
+@_corpus_op("unigram")
+def _op_unigram(ctx: OpContext) -> DataFrame:
+    # unigram-LM tokenizer (SentencePiece-style): EM-trained piece
+    # vocabulary; encode=true Viterbi-tokenizes the corpus with it
+    # instead of returning the (piece, logp) table
+    from .train import train_unigram, unigram_encode
+    cap = ctx.int_param("vocab_cap", 50000)
+    size = ctx.int_param("vocab_size", 8000)
+    if cap < 1 or size < 1:
+        raise OpError(f"unigram: vocab_cap/vocab_size must be >= 1, "
+                      f"got {cap}/{size}")
+    vocab = train_unigram(ctx.docs(), vocab_size=size, vocab_cap=cap)
+    if not ctx.flag("encode"):
+        return vocab
+    return unigram_encode(ctx.docs(), vocab)
+
+
 @_corpus_op("diff")
 def _op_diff(ctx: OpContext) -> DataFrame:
     # snapshot diff: served docs are the OLD version, new= is the

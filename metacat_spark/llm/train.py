@@ -398,3 +398,250 @@ def bpe_encode(df: DataFrame, merges: DataFrame,
         run, f"id {id_type}, bpe_tokens array<string>, "
              f"n_bpe_tokens long")
         .withColumnRenamed("id", id_col))
+
+
+# ----------------------------------------- unigram LM (SentencePiece)
+
+def _unigram_seed(counts: list, vocab_size: int,
+                  seed_factor: int = 4,
+                  max_piece_len: int = 8) -> dict:
+    """Seed vocabulary for the unigram trainer: EVERY single
+    character (the alphabet must stay segmentable through pruning),
+    plus the top ``seed_factor × vocab_size`` multi-char substrings
+    ranked by count × length — the SentencePiece suffix-array seed
+    (Kudo 2018 §3.2), computed directly over the BOUNDED word-count
+    table instead of a suffix array (the table is vocab_cap rows, so
+    the O(Σ len × max_piece_len) substring sweep is driver-cheap).
+    Returns {piece: occurrence_count}."""
+    sub: dict = {}
+    chars: dict = {}
+    for w, n in counts:
+        for i in range(len(w)):
+            chars[w[i]] = chars.get(w[i], 0) + n
+            for j in range(i + 2,
+                           min(i + max_piece_len, len(w)) + 1):
+                p = w[i:j]
+                sub[p] = sub.get(p, 0) + n
+    top = sorted(sub.items(),
+                 key=lambda kv: (-kv[1] * len(kv[0]), kv[0]))
+    seed = dict(chars)
+    for p, c in top[:max(0, seed_factor * vocab_size)]:
+        seed[p] = c
+    return seed
+
+
+def _unigram_estep(counts: list, logp: dict,
+                   max_piece_len: int) -> tuple:
+    """One E-step over every word's segmentation lattice:
+    forward-backward in log space accumulates each piece's EXPECTED
+    count under the current model (posterior edge mass × word
+    frequency). Returns (expected: dict, loglik: float). A word
+    containing a character absent from the model contributes nothing
+    (cannot happen while the alphabet is kept alive)."""
+    NEG = float("-inf")
+    expected: dict = {}
+    loglik = 0.0
+    for w, n in counts:
+        L = len(w)
+        if L == 0:
+            continue
+        alpha = [NEG] * (L + 1)
+        alpha[0] = 0.0
+        edges = []
+        for i in range(1, L + 1):
+            acc = NEG
+            for j in range(max(0, i - max_piece_len), i):
+                lp = logp.get(w[j:i])
+                if lp is None or alpha[j] == NEG:
+                    continue
+                v = alpha[j] + lp
+                edges.append((j, i, w[j:i], lp))
+                acc = v if acc == NEG else (
+                    max(acc, v) + math.log1p(
+                        math.exp(-abs(acc - v))))
+            alpha[i] = acc
+        if alpha[L] == NEG:
+            continue
+        beta = [NEG] * (L + 1)
+        beta[L] = 0.0
+        for i in range(L - 1, -1, -1):
+            acc = NEG
+            for k in range(i + 1, min(i + max_piece_len, L) + 1):
+                lp = logp.get(w[i:k])
+                if lp is None or beta[k] == NEG:
+                    continue
+                v = lp + beta[k]
+                acc = v if acc == NEG else (
+                    max(acc, v) + math.log1p(
+                        math.exp(-abs(acc - v))))
+            beta[i] = acc
+        total = alpha[L]
+        loglik += n * total
+        for j, i, p, lp in edges:
+            if beta[i] == NEG:
+                continue
+            post = math.exp(alpha[j] + lp + beta[i] - total)
+            if post > 0.0:
+                expected[p] = expected.get(p, 0.0) + n * post
+    return expected, loglik
+
+
+def unigram_from_counts(counts: list, vocab_size: int = 8000,
+                        seed_factor: int = 4,
+                        max_piece_len: int = 8,
+                        em_iters: int = 2,
+                        shrink: float = 0.75) -> list:
+    """Pure-Python unigram-LM tokenizer trainer over (word, n)
+    counts — the SentencePiece unigram algorithm (Kudo 2018):
+    substring seed → alternate (EM over the segmentation lattices,
+    prune) until the vocabulary reaches ``vocab_size``, then one
+    final EM renormalization. Single characters are never pruned
+    (every word stays segmentable). Pruning keeps the multi-char
+    pieces with the highest EXPECTED counts from the last E-step —
+    the standard reimplementation simplification of SentencePiece's
+    exact leave-one-out likelihood loss (documented divergence: the
+    exact criterion re-solves each lattice without the candidate
+    piece; expected-count ranking agrees with it except near ties).
+
+    Deterministic: seed ranking, pruning, and the returned list are
+    tie-broken lexicographically. Returns [(piece, logp)] sorted by
+    piece."""
+    seed = _unigram_seed(counts, vocab_size, seed_factor,
+                         max_piece_len)
+    if not seed:
+        return []
+    tot = sum(seed.values())
+    logp = {p: math.log(c / tot) for p, c in seed.items()}
+    floor = math.log(1e-10)
+    while True:
+        expected: dict = {}
+        for _ in range(max(1, em_iters)):
+            expected, _ll = _unigram_estep(counts, logp,
+                                           max_piece_len)
+            etot = sum(expected.values())
+            if etot <= 0:
+                break
+            new = {}
+            for p in logp:
+                e = expected.get(p, 0.0)
+                if len(p) == 1:
+                    new[p] = (math.log(e / etot) if e > 0
+                              else floor)   # alphabet stays alive
+                elif e / etot > 1e-30:
+                    # numerically dead pieces (posterior mass below
+                    # any Viterbi relevance) are dropped HERE, not
+                    # carried into the vocab at logp ≈ -300 — the
+                    # final vocabulary may come in under vocab_size
+                    # when the corpus can't support that many real
+                    # pieces
+                    new[p] = math.log(e / etot)
+            logp = new
+        n_chars = sum(1 for p in logp if len(p) == 1)
+        multi = sorted(
+            ((p, expected.get(p, 0.0)) for p in logp if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]))
+        if n_chars + len(multi) <= vocab_size or not multi:
+            # at target — or the un-prunable alphabet alone already
+            # meets/exceeds vocab_size (a further loop could never
+            # shrink anything: hang guard)
+            break
+        # shrink < 1 guarantees keep < len(multi): strict progress
+        keep = max(vocab_size - n_chars, 0,
+                   int(len(multi) * shrink))
+        if keep >= len(multi):
+            keep = len(multi) - 1
+        kept = {p for p, _ in multi[:keep]}
+        logp = {p: lp for p, lp in logp.items()
+                if len(p) == 1 or p in kept}
+    return sorted(logp.items())
+
+
+def _viterbi_segment(word: str, logp: dict, max_piece_len: int,
+                     floor: float) -> list:
+    """Most-probable segmentation of one word under the unigram
+    model (classic DP). Characters absent from the vocabulary fall
+    back to single-char pieces at ``floor`` log-prob, so encoding is
+    total. Deterministic tie-break: the LONGEST final piece wins
+    (strictly-greater comparison over j descending)."""
+    L = len(word)
+    if L == 0:
+        return []
+    NEG = float("-inf")
+    best = [NEG] * (L + 1)
+    best[0] = 0.0
+    back = [0] * (L + 1)
+    for i in range(1, L + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = floor
+            if best[j] == NEG:
+                continue
+            v = best[j] + lp
+            if v > best[i]:
+                best[i], back[i] = v, j
+    out, i = [], L
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def train_unigram(df: DataFrame, vocab_size: int = 8000,
+                  vocab_cap: int = 50000, seed_factor: int = 4,
+                  max_piece_len: int = 8, em_iters: int = 2,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Learn a unigram-LM tokenizer vocabulary from the corpus: the
+    SAME architecture as train_bpe_merges — ONE distributed
+    word-frequency aggregation (the corpus-sized work, map-side
+    combinable, TakeOrdered cap), then EM + pruning driver-side over
+    the BOUNDED count table (``unigram_from_counts``). Returns
+    (piece, logp) — the model ``unigram_encode`` segments with."""
+    counts = [(r["word"], r["n"])
+              for r in word_counts(df, vocab_cap, text_col,
+                                   id_col).collect()]
+    counts.sort(key=lambda kv: (-kv[1], kv[0]))
+    vocab = unigram_from_counts(counts, vocab_size,
+                                seed_factor=seed_factor,
+                                max_piece_len=max_piece_len,
+                                em_iters=em_iters)
+    spark = df.sparkSession
+    if not vocab:
+        return spark.createDataFrame([], "piece string, logp double")
+    return spark.createDataFrame(vocab, "piece string, logp double")
+
+
+def unigram_encode(df: DataFrame, vocab: DataFrame,
+                   max_piece_len: int = 8, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Tokenize every document with a learned unigram vocabulary:
+    lowercased whitespace words segmented by Viterbi under the piece
+    log-probs (most-probable segmentation — Kudo 2018 decoding). One
+    Arrow-batched mapInPandas stage; the vocabulary rides the
+    closure (bounded — vocab_size rows). Unseen characters fall back
+    to single-char floor pieces, so encoding never drops text.
+    Returns (id_col, pieces array<string>, n_pieces)."""
+    logp = {r["piece"]: r["logp"] for r in vocab.collect()}
+    floor = math.log(1e-10)
+    base = df.select(F.col(id_col).alias("id"),
+                     F.array_compact(tokens(F.lower(F.col(text_col))))
+                     .alias("toks"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            pieces = pdf["toks"].map(
+                lambda ws: [t for w in ws if w
+                            for t in _viterbi_segment(
+                                w, logp, max_piece_len, floor)])
+            yield pd.DataFrame({"id": pdf["id"], "pieces": pieces,
+                                "n_pieces": pieces.map(len)})
+
+    return (base.mapInPandas(
+        run, f"id {id_type}, pieces array<string>, n_pieces long")
+        .withColumnRenamed("id", id_col))

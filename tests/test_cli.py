@@ -352,6 +352,26 @@ def test_corpus_diff_self(capsys):
     assert all(r["status"] == "unchanged" for r in rows)
 
 
+def test_corpus_unigram(capsys):
+    """Unigram-LM tokenizer over the CLI: vocabulary table, encode
+    mode, and loud parameter misuse."""
+    rc, out = run(capsys, "corpus", "unigram", "--vocab-size", "300",
+                  "--vocab-cap", "1000", "-j", "-l", "500")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert {"piece", "logp"} <= set(rows[0])
+    assert all(r["logp"] < 0 for r in rows)
+    assert any(len(r["piece"]) > 1 for r in rows)  # learned pieces
+    rc, out = run(capsys, "corpus", "unigram", "--vocab-size", "300",
+                  "--vocab-cap", "1000", "--encode", "-j", "-l", "5")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert {"doc_id", "pieces", "n_pieces"} <= set(rows[0])
+    assert all(r["n_pieces"] == len(r["pieces"]) for r in rows)
+    rc, _ = run(capsys, "corpus", "unigram", "--vocab-size", "0")
+    assert rc == 2
+
+
 def test_corpus_train_and_bpe(capsys):
     rc, out = run(capsys, "corpus", "train", "--label", "source",
                   "--pos", "src0", "--steps", "2", "--buckets", "32",

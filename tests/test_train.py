@@ -320,3 +320,109 @@ def test_word_counts_cap_is_takeordered(docs):
             word_counts(docs, vocab_cap=5)._jdf.queryExecution(),
             "formatted")
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------- unigram LM tokenizer
+
+def test_unigram_train_is_deterministic_and_keeps_alphabet():
+    from metacat_spark.llm.train import unigram_from_counts
+    counts = [("hello", 50), ("help", 30), ("world", 40),
+              ("word", 25), ("hell", 10), ("low", 8), ("follow", 12)]
+    v1 = unigram_from_counts(counts, vocab_size=12)
+    v2 = unigram_from_counts(counts, vocab_size=12)
+    assert v1 == v2                      # bit-identical reruns
+    pieces = {p for p, _ in v1}
+    alphabet = {c for w, _ in counts for c in w}
+    assert alphabet <= pieces            # chars never pruned
+    assert len(v1) <= max(12, len(alphabet))
+    # frequent whole words survive as single pieces
+    assert "hello" in pieces and "world" in pieces
+    # vocab_size below the alphabet: every char still present
+    tiny = unigram_from_counts(counts, vocab_size=3)
+    assert alphabet <= {p for p, _ in tiny}
+
+
+def test_unigram_viterbi_matches_bruteforce():
+    """Viterbi segmentation must achieve the max total log-prob over
+    ALL enumerable segmentations (same single-char floor fallback),
+    for every word of a small corpus plus unseen-char words."""
+    import math
+    from metacat_spark.llm.train import (_viterbi_segment,
+                                         unigram_from_counts)
+    counts = [("spark", 30), ("sparkle", 10), ("park", 20),
+              ("spar", 5), ("lark", 7), ("spa", 9)]
+    logp = dict(unigram_from_counts(counts, vocab_size=20))
+    floor = math.log(1e-10)
+
+    def score(seg):
+        s = 0.0
+        for p in seg:
+            lp = logp.get(p)
+            if lp is None:
+                if len(p) > 1:
+                    return float("-inf")
+                lp = floor
+            s += lp
+        return s
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for i in range(1, len(w) + 1):
+            for rest in all_segs(w[i:]):
+                yield [w[:i]] + rest
+
+    for w in ["spark", "sparkle", "park", "larks", "spaq", "qq"]:
+        got = _viterbi_segment(w, logp, 8, floor)
+        assert "".join(got) == w
+        best = max(score(s) for s in all_segs(w))
+        assert abs(score(got) - best) < 1e-9, (w, got, best)
+
+
+def test_unigram_em_loglik_monotone():
+    import math
+    from metacat_spark.llm.train import (_unigram_estep,
+                                         _unigram_seed)
+    counts = [("abab", 20), ("abc", 15), ("bcbc", 10), ("cab", 5)]
+    seed = _unigram_seed(counts, vocab_size=30)
+    tot = sum(seed.values())
+    logp = {p: math.log(c / tot) for p, c in seed.items()}
+    lls = []
+    for _ in range(4):
+        e, ll = _unigram_estep(counts, logp, 8)
+        lls.append(ll)
+        etot = sum(e.values())
+        logp = {p: (math.log(e[p] / etot) if e.get(p, 0) > 0
+                    else math.log(1e-10))
+                for p in logp
+                if e.get(p, 0) > 0 or len(p) == 1}
+    assert all(b >= a - 1e-9 for a, b in zip(lls, lls[1:])), lls
+
+
+def test_unigram_train_encode_roundtrip(docs, spark):
+    """End-to-end over the fixture corpus: train a unigram vocab,
+    Viterbi-encode every document through the Arrow stage, and
+    verify exact detokenization plus real compression (frequent
+    words segment into single pieces, so pieces << chars)."""
+    from metacat_spark.llm.train import train_unigram, unigram_encode
+    vocab = train_unigram(docs, vocab_size=400, vocab_cap=2000)
+    rows = vocab.collect()
+    assert rows and all(r["logp"] < 0 for r in rows)
+    enc = unigram_encode(docs.limit(50), vocab)
+    joined = (enc.join(docs.select("doc_id", "text"), "doc_id")
+              .select("doc_id", "pieces", "n_pieces",
+                      F.array_compact(
+                          F.split(F.lower("text"), r"\s+"))
+                      .alias("words"))
+              .collect())
+    assert joined
+    multi_used = False
+    for r in joined:
+        assert "".join(r["pieces"]) == "".join(
+            w for w in r["words"] if w)
+        assert r["n_pieces"] == len(r["pieces"])
+        multi_used |= any(len(p) > 1 for p in r["pieces"])
+        n_chars = sum(len(w) for w in r["words"] if w)
+        assert r["n_pieces"] <= n_chars
+    assert multi_used                    # the model actually learned
