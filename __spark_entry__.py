@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 140
+TOTAL_ENTRIES = 141
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -812,6 +812,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("n_terms").cast("long")
                           .alias("n_terms"))
     q["doc_unigram_logprob"] = doc_logprob
+
+    def doc_ppl_buckets(spark, sf_dir):
+        """CCNet-style head/middle/tail partitioning (llm/text.py
+        perplexity_buckets — Wenzek et al. 2020): every doc scored by
+        mean unigram log-prob under the src0-trained add-one model
+        (cross-corpus, OOV terms smoothed to count 0+1), corpus split
+        at the exact 1/3 and 2/3 score quantiles. Thresholds are a
+        1-row broadcast aggregate, no global sort; DuckDB's
+        quantile_cont replays Spark's exact percentile."""
+        from metacat_spark.llm import text as TX
+        docs = _docs(spark, sf_dir)
+        return TX.perplexity_buckets(
+            docs, docs.filter(F.col("source") == "src0"))
+    q["doc_perplexity_buckets"] = doc_ppl_buckets
 
     def doc_bigram(spark, sf_dir):
         """Interpolated-bigram perplexity signal (llm/text.py
@@ -3034,6 +3048,29 @@ def oracle_sql() -> dict[str, str]:
                count(*) as n_terms
         from tok join tf using (term) cross join totals
         group by id"""
+
+    _tok_src0 = _tok.replace(
+        "from documents)", "from documents where source = 'src0')")
+    o["doc_perplexity_buckets"] = f"""
+        with tokref as ({_tok_src0}),
+        tf as (select term, count(*) as cnt from tokref
+               group by term),
+        totals as (select sum(cnt) as n_total, count(*) as n_vocab
+                   from tf),
+        scored as (
+          select id as doc_id,
+                 round(avg(ln((coalesce(cnt, 0) + 1)
+                              / (n_total + n_vocab))), 6) as score
+          from ({_tok}) tokall
+            left join tf using (term) cross join totals
+          group by id),
+        th as (select quantile_cont(score, 1.0/3) as t1,
+                      quantile_cont(score, 2.0/3) as t2 from scored)
+        select doc_id, score,
+               case when score >= t2 then 'head'
+                    when score >= t1 then 'middle'
+                    else 'tail' end as bucket
+        from scored cross join th"""
 
     # Moore-Lewis: raw = source != src0, target = src0; both add-one
     # unigram LMs replayed over exact counts, per-occurrence ln diff

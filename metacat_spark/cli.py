@@ -753,6 +753,22 @@ def build_parser() -> argparse.ArgumentParser:
     cug.add_argument("--encode", action="store_true",
                      help="emit the piece-tokenized corpus instead "
                           "of the (piece, logp) vocabulary")
+    cwp = cs.add_parser("wordpiece",
+                        help="learn a WordPiece vocabulary "
+                             "(BERT-style likelihood-gain merges; "
+                             "--encode greedy-tokenizes the corpus)")
+    _corpus_common(cwp)
+    # no argparse defaults: registry (vocab_size=8000,
+    # vocab_cap=50000) is the single source shared with HTTP
+    cwp.add_argument("--vocab-size", type=int, dest="vocab_size",
+                     help="target piece-vocabulary size "
+                          "(default 8000)")
+    cwp.add_argument("--vocab-cap", type=int, dest="vocab_cap",
+                     help="train on the top-N word forms "
+                          "(default 50000)")
+    cwp.add_argument("--encode", action="store_true",
+                     help="emit the piece-tokenized corpus instead "
+                          "of the (step, piece, score) vocabulary")
     cdc = cs.add_parser("domaincap",
                         help="keep the top-n docs of each domain by "
                              "quality (diversity control)")

@@ -529,6 +529,24 @@ def _op_unigram(ctx: OpContext) -> DataFrame:
     return unigram_encode(ctx.docs(), vocab)
 
 
+@_corpus_op("wordpiece")
+def _op_wordpiece(ctx: OpContext) -> DataFrame:
+    # WordPiece vocabulary learning (BERT-style likelihood-gain
+    # merges); encode=true greedy-longest-match tokenizes the corpus
+    # with it instead of returning the (step, piece, score) table
+    from .train import train_wordpiece, wordpiece_encode
+    cap = ctx.int_param("vocab_cap", 50000)
+    size = ctx.int_param("vocab_size", 8000)
+    if cap < 1 or size < 1:
+        raise OpError(f"wordpiece: vocab_cap/vocab_size must be "
+                      f">= 1, got {cap}/{size}")
+    vocab = train_wordpiece(ctx.docs(), vocab_size=size,
+                            vocab_cap=cap)
+    if not ctx.flag("encode"):
+        return vocab
+    return wordpiece_encode(ctx.docs(), vocab)
+
+
 @_corpus_op("diff")
 def _op_diff(ctx: OpContext) -> DataFrame:
     # snapshot diff: served docs are the OLD version, new= is the

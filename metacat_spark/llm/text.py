@@ -465,6 +465,59 @@ def moore_lewis_scores(raw: DataFrame, target: DataFrame,
                     "ml_score"))
 
 
+def perplexity_buckets(df: DataFrame, reference: DataFrame = None,
+                       cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning (Wenzek et
+    al. 2020 §4.4): score every document by its mean unigram
+    log-probability under a REFERENCE-corpus language model
+    (``reference``, defaulting to the corpus itself), then split the
+    corpus at the score's 1/3 and 2/3 quantiles — ``head`` is the
+    most reference-like third (lowest perplexity), ``tail`` the
+    least. CCNet uses a Wikipedia-trained KenLM; this is the same
+    decision rule over the repo's add-one-smoothed unigram model
+    (the documented stand-in — ``unigram_logprob``), with
+    out-of-vocabulary terms smoothed to count 0 + 1 so cross-corpus
+    scoring is total.
+
+    Plan: reference term counts (vocabulary-bounded) + a broadcast
+    1-row totals aggregate; ONE left join back on term; a per-doc
+    aggregate; thresholds as ONE exact-percentile aggregate (1 row,
+    broadcast back — same contract as pipeline.quality_gate: swap
+    ``percentile`` for ``percentile_approx`` in application code at
+    100 TB, where the exact form's single value buffer is the
+    bottleneck; exact here because the DuckDB oracle's
+    quantile_cont matches it bit-for-bit). No global sort.
+
+    Returns (id_col, score, bucket) — score rounded to 6 (the
+    oracle-hash convention), bucket in {'head','middle','tail'}."""
+    ref = reference if reference is not None else df
+    tf = (term_rows(ref, text_col, id_col)
+          .groupBy("term").agg(F.count("*").alias("cnt")))
+    totals = tf.agg(F.sum("cnt").alias("n_total"),
+                    F.count("*").alias("n_vocab"))
+    scored = (term_rows(df, text_col, id_col)
+              .join(tf, "term", "left")
+              .crossJoin(F.broadcast(totals))
+              .withColumn(
+                  "lp",
+                  F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                        / (F.col("n_total") + F.col("n_vocab"))))
+              .groupBy("id")
+              .agg(F.round(F.avg("lp"), 6).alias("score")))
+    th = scored.agg(
+        F.percentile("score", F.lit(float(cuts[0]))).alias("t1"),
+        F.percentile("score", F.lit(float(cuts[1]))).alias("t2"))
+    return (scored.crossJoin(F.broadcast(th))
+            .withColumn("bucket",
+                        F.when(F.col("score") >= F.col("t2"), "head")
+                        .when(F.col("score") >= F.col("t1"),
+                              "middle")
+                        .otherwise("tail"))
+            .select(F.col("id").alias(id_col), "score", "bucket"))
+
+
 def hashed_bigram_feature(w1: Column, w2: Column,
                           buckets: int) -> Column:
     """DSIR's hashed n-gram feature: the shared polynomial rolling

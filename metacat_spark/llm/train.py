@@ -645,3 +645,255 @@ def unigram_encode(df: DataFrame, vocab: DataFrame,
     return (base.mapInPandas(
         run, f"id {id_type}, pieces array<string>, n_pieces long")
         .withColumnRenamed("id", id_col))
+
+
+# ----------------------------------------- WordPiece (BERT-style)
+
+def _wp_units(word: str) -> tuple:
+    """Initial WordPiece segmentation of one word: first char raw,
+    every continuation char prefixed ``##`` (Schuster & Nakajima
+    2012 / the BERT tokenizer convention — the prefix marks
+    word-internal position, the mirror image of BPE's ``</w>`` end
+    marker)."""
+    if not word:
+        return ()
+    return tuple([word[0]] + ["##" + c for c in word[1:]])
+
+
+def _wp_join(a: str, b: str) -> str:
+    """Concatenate two adjacent WordPiece units: the right unit's
+    ``##`` continuation marker is interior after the join and is
+    dropped (``##l + ##o -> ##lo``, ``h + ##e -> he``)."""
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def _wordpiece_naive(counts: list, num_merges: int) -> list:
+    """The SPEC implementation of the WordPiece merge learner:
+    rebuild every pair AND unit count from every word each step,
+    then merge the pair maximizing the likelihood-gain score
+    count(ab) / (count(a) * count(b)) — the published WordPiece
+    selection rule (Schuster & Nakajima 2012; HuggingFace tokenizers
+    implements the same ratio). Scores compare EXACTLY (integer
+    cross-multiplication via Fraction), ties go to the
+    lexicographically smallest pair; pairs seen once never merge.
+    O(merges x corpus-vocab) — kept as the executable specification
+    the incremental learner is property-tested against, not for
+    production use."""
+    from fractions import Fraction
+
+    segs = {w: _wp_units(w) for w, _ in counts}
+    freq = dict(counts)
+    merges = []
+    for step in range(1, num_merges + 1):
+        pairs: dict = {}
+        units: dict = {}
+        for w, n in freq.items():
+            s = segs[w]
+            for u in s:
+                units[u] = units.get(u, 0) + n
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        cand = [(-Fraction(c, units[a] * units[b]), (a, b), c)
+                for (a, b), c in pairs.items() if c >= 2]
+        if not cand:
+            break
+        score, (left, right), c = min(cand,
+                                      key=lambda kv: (kv[0], kv[1]))
+        merges.append((step, left, right, _wp_join(left, right),
+                       float(-score)))
+        for w in freq:
+            if left in segs[w] or right in segs[w]:
+                segs[w] = _merge_word(segs[w], (left, right))
+    return merges
+
+
+def wordpiece_from_counts(counts: list, num_merges: int) -> list:
+    """Pure-Python WordPiece merge learner over (word, n) counts.
+    Same selection rule as ``_wordpiece_naive`` (max
+    count(ab)/(count(a)*count(b)), exact Fraction comparison,
+    lexicographic ties) with INCREMENTAL maintenance — the BPE
+    inverted-index trick (``bpe_merges_from_counts``) extended for
+    the score's moving denominator:
+
+    - pair totals + pair->words index update only at words touched
+      by a merge (the numerator side, identical to BPE);
+    - unit totals change ONLY for the two merged units and their
+      join, so the set of pairs whose SCORE moved is (touched pairs)
+      UNION (pairs containing ``left`` or ``right`` as an element) —
+      tracked by a unit->pairs index and re-pushed;
+    - the lazy heap stores (score, pair, c_ab, c_a, c_b) and a
+      popped entry is stale unless all three counts still match —
+      scores can move in BOTH directions here (a shrinking
+      denominator RAISES scores), which count-stamping handles and
+      plain value-compare would not.
+
+    Property-tested merge-for-merge equal to the spec rescan loop on
+    random corpora. Returns [(step, left, right, piece, score)]."""
+    import heapq
+    from fractions import Fraction
+
+    segs = {w: _wp_units(w) for w, _ in counts}
+    freq = dict(counts)
+    pairs: dict = {}      # pair -> corpus count
+    units: dict = {}      # unit -> corpus count
+    where: dict = {}      # pair -> {word: #add-sites}
+    upairs: dict = {}     # unit -> set of pairs containing it
+
+    def index_word(w: str, n: int, sign: int, touched: set):
+        s = segs[w]
+        for u in s:
+            units[u] = units.get(u, 0) + sign * n
+            if not units[u]:
+                del units[u]
+        for a, b in zip(s, s[1:]):
+            p = (a, b)
+            pairs[p] = pairs.get(p, 0) + sign * n
+            touched.add(p)
+            d = where.setdefault(p, {})
+            d[w] = d.get(w, 0) + sign
+            if not d[w]:
+                del d[w]
+            upairs.setdefault(a, set()).add(p)
+            upairs.setdefault(b, set()).add(p)
+            if not pairs[p]:
+                del pairs[p]
+                if not d:
+                    where.pop(p, None)
+                upairs[a].discard(p)
+                upairs[b].discard(p)
+
+    seed: set = set()
+    for w, n in freq.items():
+        index_word(w, n, +1, seed)
+
+    def entry(p):
+        c = pairs[p]
+        ca, cb = units[p[0]], units[p[1]]
+        return (-Fraction(c, ca * cb), p, c, ca, cb)
+
+    heap = [entry(p) for p, c in pairs.items() if c >= 2]
+    heapq.heapify(heap)
+    merges = []
+    for step in range(1, num_merges + 1):
+        while heap:
+            _s, p, c, ca, cb = heap[0]
+            if (pairs.get(p, 0) == c and units.get(p[0], 0) == ca
+                    and units.get(p[1], 0) == cb):
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break
+        score, (left, right), c, _ca, _cb = heap[0]
+        merges.append((step, left, right, _wp_join(left, right),
+                       float(-score)))
+        touched: set = set()
+        for w in list(where.get((left, right), {})):
+            n = freq[w]
+            index_word(w, n, -1, touched)
+            segs[w] = _merge_word(segs[w], (left, right))
+            index_word(w, n, +1, touched)
+        # scores moved at: pairs with changed counts (touched) and
+        # pairs whose ENDPOINT unit count changed (left/right lost
+        # occurrences, the joined unit is new and enters via touched)
+        moved = set(touched)
+        moved |= upairs.get(left, set())
+        moved |= upairs.get(right, set())
+        for p in moved:
+            if pairs.get(p, 0) >= 2:
+                heapq.heappush(heap, entry(p))
+    return merges
+
+
+def train_wordpiece(df: DataFrame, vocab_size: int = 8000,
+                    vocab_cap: int = 50000, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Learn a WordPiece vocabulary from the corpus: ONE distributed
+    word-frequency aggregation (the corpus-sized work — shared with
+    BPE/unigram via ``word_counts``), then the likelihood-gain merge
+    loop driver-side over the BOUNDED count table. The vocabulary is
+    the alphabet (every first-position char + every ``##``
+    continuation char, which must stay matchable) plus merged pieces
+    until ``vocab_size`` total. Returns (step, piece, score):
+    step=0 alphabet rows (score NULL), then one row per merge —
+    ordered, so the table doubles as the merge log."""
+    counts = [(r["word"], r["n"])
+              for r in word_counts(df, vocab_cap, text_col,
+                                   id_col).collect()]
+    counts.sort(key=lambda kv: (-kv[1], kv[0]))
+    alphabet: set = set()
+    for w, _ in counts:
+        alphabet.update(_wp_units(w))
+    n_merges = max(0, vocab_size - len(alphabet))
+    merges = wordpiece_from_counts(counts, n_merges)
+    rows = [(0, u, None) for u in sorted(alphabet)]
+    rows += [(step, piece, score)
+             for step, _l, _r, piece, score in merges]
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], "step int, piece string, score double")
+    return spark.createDataFrame(
+        rows, "step int, piece string, score double")
+
+
+def _wp_encode_word(word: str, vocab: set, unk: str = "[UNK]",
+                    max_chars: int = 200) -> list:
+    """Greedy longest-match-first WordPiece tokenization of one word
+    (the BERT ``WordpieceTokenizer`` algorithm): repeatedly take the
+    LONGEST vocabulary piece matching at the cursor (continuation
+    positions match with the ``##`` prefix); if no piece matches at
+    some position the WHOLE word becomes ``unk`` — WordPiece never
+    emits a partial word (unlike BPE/unigram, which always segment).
+    Words longer than ``max_chars`` are ``unk`` outright (the BERT
+    guard against pathological tokens)."""
+    if not word:
+        return []
+    if len(word) > max_chars:
+        return [unk]
+    out, start, L = [], 0, len(word)
+    while start < L:
+        end = L
+        cur = None
+        while start < end:
+            piece = word[start:end]
+            if start > 0:
+                piece = "##" + piece
+            if piece in vocab:
+                cur = piece
+                break
+            end -= 1
+        if cur is None:
+            return [unk]
+        out.append(cur)
+        start = end
+    return out
+
+
+def wordpiece_encode(df: DataFrame, vocab: DataFrame,
+                     unk: str = "[UNK]", text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Tokenize every document with a learned WordPiece vocabulary:
+    lowercased whitespace words segmented greedy-longest-match-first
+    (BERT's WordpieceTokenizer). One Arrow-batched mapInPandas
+    stage; the vocabulary rides the closure (bounded — vocab_size
+    rows). Unmatchable words become ``unk`` whole (the WordPiece
+    contract), so n_pieces counts every word exactly once or more.
+    Returns (id_col, pieces array<string>, n_pieces)."""
+    pieces_set = {r["piece"] for r in vocab.collect()}
+    base = df.select(F.col(id_col).alias("id"),
+                     F.array_compact(tokens(F.lower(F.col(text_col))))
+                     .alias("toks"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            pieces = pdf["toks"].map(
+                lambda ws: [t for w in ws if w
+                            for t in _wp_encode_word(
+                                w, pieces_set, unk)])
+            yield pd.DataFrame({"id": pdf["id"], "pieces": pieces,
+                                "n_pieces": pieces.map(len)})
+
+    return (base.mapInPandas(
+        run, f"id {id_type}, pieces array<string>, n_pieces long")
+        .withColumnRenamed("id", id_col))

@@ -983,3 +983,25 @@ def test_registry_param_defaults_match_across_surfaces():
     # (a registry refactor that breaks the introspection should fail
     # loudly, not silently check nothing)
     assert checked >= 15, f"only {checked} defaults introspected"
+
+
+def test_corpus_wordpiece(capsys):
+    """WordPiece over the CLI: vocabulary table (alphabet + merge
+    rows), encode mode, and loud parameter misuse."""
+    rc, out = run(capsys, "corpus", "wordpiece", "--vocab-size",
+                  "300", "--vocab-cap", "1000", "-j", "-l", "500")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert {"step", "piece", "score"} <= set(rows[0])
+    assert any(r["step"] == 0 for r in rows)       # alphabet rows
+    assert any(r["step"] > 0 for r in rows)        # learned merges
+    assert any(r["piece"].startswith("##") for r in rows)
+    rc, out = run(capsys, "corpus", "wordpiece", "--vocab-size",
+                  "300", "--vocab-cap", "1000", "--encode", "-j",
+                  "-l", "5")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert {"doc_id", "pieces", "n_pieces"} <= set(rows[0])
+    assert all(r["n_pieces"] == len(r["pieces"]) for r in rows)
+    rc, _ = run(capsys, "corpus", "wordpiece", "--vocab-size", "0")
+    assert rc == 2

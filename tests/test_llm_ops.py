@@ -2939,3 +2939,64 @@ def test_jpeg_zero_sampling_factor_rejected():
         MM._jpeg_pixels(bytes(data))
     feats, ok = MM._decode_any(bytes(data))
     assert not ok and len(feats) == 8
+
+
+def test_perplexity_buckets_ccnet_partition(spark):
+    """CCNet head/middle/tail: reference-like docs land in head,
+    alien-vocabulary docs in tail; every doc is bucketed exactly
+    once; a numpy replay of the add-one model + 1/3-2/3 quantile
+    thresholds reproduces the assignment exactly."""
+    import math
+
+    from metacat_spark.llm.text import perplexity_buckets
+    ref = spark.createDataFrame(
+        [(100 + i, "quark lepton boson detector calorimeter")
+         for i in range(5)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "quark boson detector"),
+         (2, "quark lepton calorimeter boson"),
+         (3, "cheap shoes sale discount"),
+         (4, "boson detector shoes"),
+         (5, "zzz yyy xxx www"),
+         (6, "lepton lepton quark")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           perplexity_buckets(docs, ref).collect()}
+    assert len(got) == 6
+    assert set(r["bucket"] for r in got.values()) == {
+        "head", "middle", "tail"}
+    # replay: model = add-one over ref counts (each term 5x, 5 terms)
+    cnt = {t: 5 for t in ("quark", "lepton", "boson", "detector",
+                          "calorimeter")}
+    n_total, n_vocab = 25, 5
+
+    def score(text):
+        ws = text.split()
+        return round(sum(math.log((cnt.get(w, 0) + 1)
+                                  / (n_total + n_vocab))
+                         for w in ws) / len(ws), 6)
+
+    scores = {i: score(t) for i, t in
+              [(1, "quark boson detector"),
+               (2, "quark lepton calorimeter boson"),
+               (3, "cheap shoes sale discount"),
+               (4, "boson detector shoes"),
+               (5, "zzz yyy xxx www"),
+               (6, "lepton lepton quark")]}
+    xs = sorted(scores.values())
+
+    def q(p):
+        h = (len(xs) - 1) * p
+        lo = math.floor(h)
+        return xs[lo] + (h - lo) * (xs[min(lo + 1, len(xs) - 1)]
+                                    - xs[lo])
+
+    t1, t2 = q(1.0 / 3.0), q(2.0 / 3.0)
+    for i, s in scores.items():
+        want = ("head" if s >= t2
+                else "middle" if s >= t1 else "tail")
+        assert got[i]["bucket"] == want, (i, s, t1, t2)
+        assert got[i]["score"] == pytest.approx(s, abs=1e-9)
+    # pure-reference vocab docs beat the all-alien doc
+    assert got[2]["bucket"] == "head"
+    assert got[5]["bucket"] == "tail"

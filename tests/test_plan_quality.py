@@ -540,3 +540,24 @@ def test_cap_per_domain_two_phase_pre_reduce(spark):
     assert "row_number(), 10, Partial" in plan, plan
     single = plan_of(cap_per_domain(docs, n=10, pre_reduce_salts=1))
     assert n_window_ops(single) == 1, single
+
+
+def test_perplexity_buckets_no_global_sort(spark):
+    """CCNet bucketing never sorts the corpus: scores are one
+    aggregate, thresholds ONE exact-percentile 1-row aggregate
+    broadcast back. Exactly three 1-row BroadcastNestedLoopJoins:
+    the scoring subtree (carrying the model-totals broadcast) is
+    evaluated once under the threshold aggregate and once for the
+    final assignment — two scoring passes (CCNet's own shape:
+    score, then split) — plus the threshold broadcast itself. No
+    Python stage, no range partitioning, no cartesian."""
+    import re
+
+    from metacat_spark.llm.text import perplexity_buckets
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(perplexity_buckets(docs))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin",
+                          plan)) == 3

@@ -426,3 +426,115 @@ def test_unigram_train_encode_roundtrip(docs, spark):
         n_chars = sum(len(w) for w in r["words"] if w)
         assert r["n_pieces"] <= n_chars
     assert multi_used                    # the model actually learned
+
+
+# ------------------------------------------------- WordPiece (BERT)
+
+def test_wordpiece_classic_selection_rule():
+    """Hand-worked example of the likelihood-gain rule: the chosen
+    pair maximizes count(ab)/(count(a)*count(b)) — NOT raw pair
+    count. Corpus: hug x10, pug x5, pun x12, bun x4, hugs x5 (the
+    canonical WordPiece walkthrough). Unit counts: h=15, ##u=36,
+    p=17, ##g=20, ##n=16, b=4, ##s=5, u=... — pair (h,##u)=15 has
+    score 15/(15*36); pair (##g,##s)=5 scores 5/(20*5)=1/20, the
+    max. First merge is ##gs, not the most frequent pair."""
+    from fractions import Fraction
+
+    from metacat_spark.llm.train import (_wordpiece_naive,
+                                         wordpiece_from_counts)
+    counts = [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4),
+              ("hugs", 5)]
+    merges = wordpiece_from_counts(counts, 3)
+    assert merges == _wordpiece_naive(counts, 3)
+    step1 = merges[0]
+    assert (step1[1], step1[2], step1[3]) == ("##g", "##s", "##gs")
+    assert step1[4] == pytest.approx(float(Fraction(5, 20 * 5)))
+
+
+def test_wordpiece_properties_on_random_corpora():
+    """Property pinning of the WordPiece learner + greedy encoder:
+    1. incremental learner == spec rescan loop, merge for merge
+       (the moving-denominator heap is exact);
+    2. deterministic re-learning;
+    3. every merged pair occurred >= 2 times when chosen;
+    4. greedy encode over the TRAINED vocab rebuilds each training
+       word exactly (alphabet is complete, so no [UNK] on training
+       data) and never yields more pieces than characters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from metacat_spark.llm.train import (_wordpiece_naive,
+                                         _wp_encode_word, _wp_units,
+                                         wordpiece_from_counts)
+
+    word_st = st.text(alphabet="abcde", min_size=1, max_size=8)
+    counts_st = st.dictionaries(word_st, st.integers(1, 50),
+                                min_size=1, max_size=20)
+
+    @settings(max_examples=100, deadline=None)
+    @given(counts=counts_st, n_merges=st.integers(0, 12))
+    def run(counts, n_merges):
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges = wordpiece_from_counts(items, n_merges)
+        assert merges == wordpiece_from_counts(items, n_merges)
+        assert merges == _wordpiece_naive(items, n_merges)
+        assert [m[0] for m in merges] == list(range(1, len(merges) + 1))
+        vocab = set()
+        for w in counts:
+            vocab.update(_wp_units(w))
+        vocab.update(m[3] for m in merges)
+        for w in counts:
+            toks = _wp_encode_word(w, vocab)
+            assert toks[0] + "".join(t[2:] for t in toks[1:]) == w
+            assert len(toks) <= len(w)
+            assert all(t.startswith("##") for t in toks[1:])
+            assert not toks[0].startswith("##")
+
+    run()
+
+
+def test_wordpiece_encode_greedy_longest_match_and_unk():
+    """The BERT WordpieceTokenizer contract: longest vocabulary
+    piece at each cursor; ANY unmatchable position turns the WHOLE
+    word into [UNK] (never a partial segmentation)."""
+    from metacat_spark.llm.train import _wp_encode_word
+    vocab = {"un", "##aff", "##able", "##ffable", "u", "##n"}
+    # longest-first: "un" beats "u", "##ffable" beats "##ff..."
+    assert _wp_encode_word("unffable", vocab) == ["un", "##ffable"]
+    assert _wp_encode_word("unaffable", vocab) == ["un", "##aff",
+                                                   "##able"]
+    # 'x' unreachable -> whole word is UNK, not ["un", UNK]
+    assert _wp_encode_word("unx", vocab) == ["[UNK]"]
+    assert _wp_encode_word("", vocab) == []
+    assert _wp_encode_word("a" * 201, {"a", "##a"}) == ["[UNK]"]
+
+
+def test_wordpiece_train_encode_spark_roundtrip(docs, spark):
+    """End-to-end through the Arrow stage on the documents table:
+    train at a small vocab, encode, and re-segment a sample of rows
+    with the pure-Python greedy matcher over the same vocab —
+    row-for-row equal pieces; vocabulary table is alphabet rows
+    (step 0, NULL score) + ordered merge rows."""
+    from metacat_spark.llm.train import (_wp_encode_word,
+                                         train_wordpiece,
+                                         wordpiece_encode)
+    vocab = train_wordpiece(docs, vocab_size=300, vocab_cap=500)
+    rows = vocab.collect()
+    steps = sorted(r["step"] for r in rows)
+    assert steps[0] == 0
+    assert all(r["score"] is None for r in rows if r["step"] == 0)
+    assert all(r["score"] is not None for r in rows if r["step"] > 0)
+    assert len({r["piece"] for r in rows}) == len(rows) <= 300
+    pieces_set = {r["piece"] for r in rows}
+
+    enc = wordpiece_encode(docs, vocab)
+    assert enc.columns == ["doc_id", "pieces", "n_pieces"]
+    sample = (enc.join(docs.select("doc_id", "text"), "doc_id")
+              .orderBy("doc_id").limit(20).collect())
+    assert sample
+    for r in sample:
+        want = [t for w in r["text"].lower().split() if w
+                for t in _wp_encode_word(w, pieces_set)]
+        # tokens() splits on whitespace exactly like str.split here
+        assert r["pieces"] == want
+        assert r["n_pieces"] == len(want)
