@@ -883,6 +883,13 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="build_index",
                     help="ivf/ivfpq: emit the persistable index "
                          "table instead of searching (write with -o)")
+    cn.add_argument("--opq", type=int, default=None,
+                    help="with --build-index (ivfpq): train an OPQ "
+                         "rotation with this many alternating "
+                         "PQ/Procrustes iterations (Ge et al. 2013; "
+                         "stored in the artifact, applied "
+                         "transparently by every served verb; "
+                         "default 0 = plain PQ)")
     cn.add_argument("--index",
                     help="ivf/ivfpq: serve from a stored index "
                          "table (parquet path) — skips training")

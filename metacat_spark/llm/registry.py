@@ -750,6 +750,16 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         raise OpError("ann: --min-ratio applies to --compact")
     if ctx.param("timeout") is not None and ingest is None:
         raise OpError("ann: --timeout applies to --ingest")
+    opq = ctx.int_param("opq", 0)
+    if opq and not ctx.flag("build_index"):
+        # the rotation is a TRAINING choice baked into the artifact;
+        # every later verb reads it from the stored index — an --opq
+        # on encode/serve would silently do nothing (loud-flag
+        # contract)
+        raise OpError("ann: --opq applies to --build-index (served "
+                      "verbs read the rotation from the artifact)")
+    if opq < 0:
+        raise OpError(f"ann: --opq must be >= 0, got {opq}")
     if ctx.flag("build_index") and ctx.param("index") is not None:
         raise OpError("ann: --build-index trains a NEW index; it "
                       "cannot take --index (did you mean --encode, "
@@ -777,7 +787,8 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     try:
         if method == "ivfpq":
             if ctx.flag("build_index"):
-                return SIM.build_ivfpq_index(df, train_iters=2, **kw)
+                return SIM.build_ivfpq_index(df, train_iters=2,
+                                             opq_iters=opq, **kw)
             # r10 production verbs over a STORED index: encode=true
             # emits postings rows (the incremental ADD — append them
             # to the stored postings table), postings=<path> serves

@@ -674,11 +674,14 @@ def _train_pq(R, m: int, n_codes: int, iters: int = 8):
 
 
 def _train_ivfpq(base: DataFrame, n_lists: int, m: int, n_codes: int,
-                 seed: int, train_iters: int, sample_size: int):
-    """Coarse centroids + PQ codebooks — the training half of
-    ivf_pq_topk, factored out so build_ivfpq_index can persist the
-    result. Returns (Cn, CB, base) — base comes back because
-    train_iters materializes it."""
+                 seed: int, train_iters: int, sample_size: int,
+                 opq_iters: int = 0):
+    """Coarse centroids + PQ codebooks (+ optional OPQ rotation) —
+    the training half of ivf_pq_topk, factored out so
+    build_ivfpq_index can persist the result. Returns
+    (Cn, CB, Rt, base, build_dist) — base comes back because
+    train_iters materializes it; Rt is None when opq_iters=0 (the
+    plain-PQ path, artifact stays pre-r11-shaped)."""
     import numpy as np
 
     # shared seeding with build_ivf_centroids/ivf_topk (normalization
@@ -706,13 +709,61 @@ def _train_ivfpq(base: DataFrame, n_lists: int, m: int, n_codes: int,
     S = np.array([list(r["vec"]) for r in samp])
     Sn = S / (np.linalg.norm(S, axis=1, keepdims=True) + 1e-12)
     res = Sn - Cn[np.argmax(Sn @ Cn.T, axis=1)]
-    CB = _train_pq(res, m, n_codes)             # (m, n_codes, d)
+    if opq_iters > 0:
+        Rt, CB = _train_opq(res, m, n_codes, opq_iters)
+    else:
+        Rt, CB = None, _train_pq(res, m, n_codes)  # (m, n_codes, d)
     # build-time distortion: mean squared PQ reconstruction error of
     # the TRAINING sample under the final codebooks — the baseline
     # the staleness signal (ivfpq_distortion) compares against; free
-    # (driver-side, the sample is already in hand)
-    build_dist = float(_pq_sq_err(res, CB).mean()) if len(res) else 0.0
-    return Cn, CB, base, build_dist
+    # (driver-side, the sample is already in hand). With OPQ the
+    # error lives in the rotated space (‖r·R − PQ(r·R)‖² — equal to
+    # the unrotated reconstruction error since R is orthogonal)
+    rr = res @ Rt if Rt is not None else res
+    build_dist = float(_pq_sq_err(rr, CB).mean()) if len(res) else 0.0
+    return Cn, CB, Rt, base, build_dist
+
+
+def _pq_reconstruct(R, CB):
+    """PQ reconstruction r̂ of residual rows R under codebooks CB —
+    encode each subspace to its nearest codeword and read the
+    codeword back. The inner loop of the OPQ rotation update."""
+    import numpy as np
+
+    m, _, d = CB.shape
+    out = np.empty_like(R)
+    for s in range(m):
+        Xs = R[:, s * d:(s + 1) * d]
+        codes = (Xs @ CB[s].T - 0.5 * (CB[s] ** 2).sum(1)).argmax(1)
+        out[:, s * d:(s + 1) * d] = CB[s][codes]
+    return out
+
+
+def _train_opq(res, m: int, n_codes: int, opq_iters: int,
+               pq_iters: int = 8):
+    """Optimized Product Quantization, non-parametric form (Ge et
+    al. 2013 §4): alternate (a) PQ training on the ROTATED residuals
+    and (b) the orthogonal-Procrustes rotation update
+    R = U·Vᵀ from SVD(resᵀ·reŝ) — each step weakly decreases the
+    quantization error ‖res·R − PQ(res·R)‖², so subspaces end up
+    decorrelated instead of inheriting whatever correlated axes the
+    raw dimensions had. Deterministic: identity init, plain Lloyd
+    inside, no RNG. Returns (Rt, CB) with Rt orthogonal (dim, dim),
+    applied to ROW vectors as r_rot = r @ Rt."""
+    import numpy as np
+
+    dim = res.shape[1]
+    Rt = np.eye(dim)
+    for _ in range(max(0, opq_iters)):
+        rot = res @ Rt
+        CB = _train_pq(rot, m, n_codes, pq_iters)
+        rhat = _pq_reconstruct(rot, CB)
+        U, _s, Vt = np.linalg.svd(res.T @ rhat)
+        Rt = U @ Vt
+    # final codebooks on the final rotation; with opq_iters=0 this
+    # is exactly the plain-PQ path (Rt = I)
+    CB = _train_pq(res @ Rt, m, n_codes, pq_iters)
+    return Rt, CB
 
 
 def _pq_sq_err(R, CB):
@@ -730,14 +781,17 @@ def _pq_sq_err(R, CB):
     return errs
 
 
-def _pq_assign(matn, Cn, CB, cb_norm2, npb: int, with_codes: bool):
+def _pq_assign(matn, Cn, CB, cb_norm2, npb: int, with_codes: bool,
+               Rt=None):
     """(order, codes) for a unit-normalized batch: nearest-list order
     (n, npb) — stable argsort, so ties resolve identically everywhere
     — and, when ``with_codes``, the PQ codes (n, m) of each row's
     nearest-list residual. The ONE assignment kernel shared by
     ivf_pq_topk, encode_ivfpq, ivf_pq_search and ivfpq_distortion: a
     vector must encode to the same (list, codes) no matter which verb
-    touches it."""
+    touches it. ``Rt`` (OPQ, r11): residuals are rotated r·R before
+    encoding — coarse assignment is UNROTATED (the rotation lives in
+    residual space only)."""
     import numpy as np
 
     sims = matn @ Cn.T
@@ -746,6 +800,8 @@ def _pq_assign(matn, Cn, CB, cb_norm2, npb: int, with_codes: bool):
         return order, None
     m, _, d = CB.shape
     r = matn - Cn[order[:, 0]]
+    if Rt is not None:
+        r = r @ Rt
     codes = np.empty((len(matn), m), dtype=np.int16)
     for s in range(m):
         Xs = r[:, s * d:(s + 1) * d]
@@ -756,6 +812,7 @@ def _pq_assign(matn, Cn, CB, cb_norm2, npb: int, with_codes: bool):
 def build_ivfpq_index(df: DataFrame, n_lists: int = 16, m: int = 8,
                       n_codes: int = 256, seed: int = 42,
                       train_iters: int = 0, sample_size: int = 2048,
+                      opq_iters: int = 0,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id") -> DataFrame:
     """Train an IVF-PQ index ONCE and return its persistable
@@ -772,24 +829,39 @@ def build_ivfpq_index(df: DataFrame, n_lists: int = 16, m: int = 8,
     compares fresh data against to signal when the index has gone
     stale and should be retrained. Decoders ignore unknown kinds, so
     pre-r10 artifacts stay servable (they just report a null
-    baseline)."""
+    baseline).
+
+    r11: ``opq_iters > 0`` trains an OPQ rotation (Ge et al. 2013 —
+    alternating PQ / orthogonal-Procrustes updates over the SAME
+    bounded sample) and persists it as kind='rotation' rows
+    (i = row, j = 0, vector = row i of R). Every consumer
+    (encode / serve / topk / distortion) applies the stored rotation
+    transparently; plain-PQ artifacts carry no rotation rows and
+    decode to the identity path, so the two artifact generations
+    interoperate."""
     base = _prep(df, vec_col, id_col).drop("nrm")
-    Cn, CB, _, build_dist = _train_ivfpq(base, n_lists, m, n_codes,
-                                         seed, train_iters,
-                                         sample_size)
+    Cn, CB, Rt, _, build_dist = _train_ivfpq(base, n_lists, m,
+                                             n_codes, seed,
+                                             train_iters,
+                                             sample_size, opq_iters)
     rows = [("centroid", i, 0, [float(x) for x in Cn[i]])
             for i in range(len(Cn))]
     rows += [("codebook", s, c, [float(x) for x in CB[s][c]])
              for s in range(CB.shape[0]) for c in range(CB.shape[1])]
     rows += [("stat", 0, 0, [build_dist])]
+    if Rt is not None:
+        rows += [("rotation", i, 0, [float(x) for x in Rt[i]])
+                 for i in range(Rt.shape[0])]
     return df.sparkSession.createDataFrame(
         rows, "kind string, i int, j int, vector array<double>")
 
 
 def _decode_ivfpq_index(index: DataFrame):
-    """(Cn, CB) from a build_ivfpq_index table — bounded collect of
-    n_lists + m·n_codes rows. Raises ValueError on a table that is
-    not a well-formed artifact (wrong columns / missing halves)."""
+    """(Cn, CB, Rt) from a build_ivfpq_index table — bounded collect
+    of n_lists + m·n_codes (+ dim rotation) rows. Rt is None for
+    plain-PQ artifacts (no kind='rotation' rows — the pre-r11 shape).
+    Raises ValueError on a table that is not a well-formed artifact
+    (wrong columns / missing halves / ragged rotation)."""
     import numpy as np
 
     want = {"kind", "i", "j", "vector"}
@@ -827,7 +899,19 @@ def _decode_ivfpq_index(index: DataFrame):
             raise ValueError("ivf_pq_topk: codebook rows have mixed "
                              "codeword dimensions")
         CB[i][j] = list(v)
-    return Cn, CB
+    rot = sorted(((r["i"], r["vector"]) for r in rows
+                  if r["kind"] == "rotation"))
+    Rt = None
+    if rot:
+        dim = Cn.shape[1]
+        if (len(rot) != dim or [i for i, _ in rot] != list(range(dim))
+                or any(len(v) != dim for _, v in rot)):
+            raise ValueError(
+                f"ivf_pq_topk: rotation rows are not a full "
+                f"{dim}x{dim} orthogonal matrix (gaps, duplicates, "
+                f"or ragged rows)")
+        Rt = np.array([list(v) for _, v in rot])
+    return Cn, CB, Rt
 
 
 def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
@@ -835,7 +919,7 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
                 shortlist: int | None = None, rerank: bool = True,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 seed: int = 42, train_iters: int = 0,
-                sample_size: int = 2048,
+                sample_size: int = 2048, opq_iters: int = 0,
                 index: DataFrame | None = None) -> DataFrame:
     """IVF-PQ approximate top-k: the coarse inverted file of ivf_topk
     plus a product quantizer over the per-list RESIDUALS, scored by
@@ -888,11 +972,12 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     id_t = _id_ddl(df, id_col)
     base = _prep(df, vec_col, id_col).drop("nrm")
     if index is not None:
-        Cn, CB = _decode_ivfpq_index(index)
+        Cn, CB, Rt = _decode_ivfpq_index(index)
         m, n_codes = CB.shape[0], CB.shape[1]
     else:
-        Cn, CB, base, _ = _train_ivfpq(base, n_lists, m, n_codes,
-                                       seed, train_iters, sample_size)
+        Cn, CB, Rt, base, _ = _train_ivfpq(base, n_lists, m, n_codes,
+                                           seed, train_iters,
+                                           sample_size, opq_iters)
     npb = min(n_probe, len(Cn))
     R_short = max(k, shortlist if shortlist is not None else 4 * k)
     cb_norm2 = 0.5 * (CB ** 2).sum(-1)          # (m, n_codes)
@@ -906,7 +991,7 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
             matn = mat / (np.linalg.norm(mat, axis=1,
                                          keepdims=True) + 1e-12)
             order, codes = _pq_assign(matn, Cn, CB, cb_norm2, npb,
-                                      with_codes=True)
+                                      with_codes=True, Rt=Rt)
             member = pd.DataFrame({
                 "lst": order[:, 0].astype(np.int32),
                 "id": pdf["id"].to_numpy(),
@@ -925,16 +1010,19 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     both = base.mapInPandas(
         assign, f"lst int, id {id_t}, vec array<double>, "
                 f"codes array<smallint>, role string")
-    return _ivfpq_score(both, Cn, CB, k, R_short, rerank, id_t)
+    return _ivfpq_score(both, Cn, CB, k, R_short, rerank, id_t, Rt)
 
 
 def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
-                 rerank: bool, id_t: str) -> DataFrame:
+                 rerank: bool, id_t: str, Rt=None) -> DataFrame:
     """The per-list ADC scoring + global merge half of IVF-PQ,
     shared by ivf_pq_topk (members encoded inline) and
     ivf_pq_search (members from a stored postings table). ``both``
     carries (lst, id, vec, codes, role) rows — role 'm' members,
-    role 'q' probes."""
+    role 'q' probes. With an OPQ rotation the LUTs are built from
+    the ROTATED query (q·r = (q·R)·(r·R) for orthogonal R, so
+    q·x̂ = q·C[lst] + Σ_s (qR)_s·r̂_s); the q·C coarse term stays
+    unrotated."""
     import numpy as np
     import pandas as pd
 
@@ -955,8 +1043,9 @@ def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
         # Member reconstruction is x̂ = C[lst] + r̂, so the inner
         # product decomposes as q·x̂ = q·C[lst] + Σ_s q_s·r̂_s: the
         # tables hold q_s·codebook, NOT residualized-query products.
+        qr = qn @ Rt if Rt is not None else qn
         lut = np.concatenate(
-            [qn[:, s * d:(s + 1) * d] @ CB[s].T for s in range(m)],
+            [qr[:, s * d:(s + 1) * d] @ CB[s].T for s in range(m)],
             axis=1)
         codes = np.array(list(cdf["codes"]), dtype=np.int64)
         idx = codes + code_off                   # (nc, m)
@@ -968,7 +1057,16 @@ def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
             return _local_topk(qids, cids, np.round(adc, 6), k)
         nc = adc.shape[1]
         rr = min(R_short, nc)
-        part = np.argpartition(-adc, rr - 1, axis=1)[:, :rr]
+        # deterministic shortlist: ADC ties at the boundary are
+        # broken by neighbor-id rank, NOT input row order (small
+        # codebooks make exact ADC ties common — members sharing a
+        # code tuple score identically — and an argpartition
+        # shortlist would then differ between the inline-encode and
+        # stored-postings serve paths, which are pinned row-equal)
+        crank = np.unique(cids, return_inverse=True)[1]
+        part = np.lexsort(
+            (crank[None, :].repeat(len(qids), 0), -adc),
+            axis=1)[:, :rr]
         if any(v is None for v in cdf["vec"]):
             # checked HERE (O(list members), rides the scoring task)
             # rather than as a driver-side pre-scan of the whole
@@ -1020,7 +1118,7 @@ def encode_ivfpq(df: DataFrame, index: DataFrame,
     import numpy as np
     import pandas as pd
 
-    Cn, CB = _decode_ivfpq_index(index)
+    Cn, CB, Rt = _decode_ivfpq_index(index)
     cb_norm2 = 0.5 * (CB ** 2).sum(-1)
     id_t = _id_ddl(df, id_col)
     base = _prep(df, vec_col, id_col).drop("nrm")
@@ -1034,7 +1132,7 @@ def encode_ivfpq(df: DataFrame, index: DataFrame,
             matn = mat / (np.linalg.norm(mat, axis=1,
                                          keepdims=True) + 1e-12)
             order, codes = _pq_assign(matn, Cn, CB, cb_norm2, 1,
-                                      with_codes=True)
+                                      with_codes=True, Rt=Rt)
             yield pd.DataFrame({
                 "lst": order[:, 0].astype(np.int32),
                 "id": pdf["id"].to_numpy(),
@@ -1066,7 +1164,7 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     import numpy as np
     import pandas as pd
 
-    Cn, CB = _decode_ivfpq_index(index)
+    Cn, CB, Rt = _decode_ivfpq_index(index)
     want = {"lst", "id", "codes", "vec"}
     if not want <= set(postings.columns):
         raise ValueError("ivf_pq_search: postings table must have "
@@ -1109,7 +1207,7 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     members = postings.select("lst", "id", "vec", "codes",
                               F.lit("m").alias("role"))
     return _ivfpq_score(qrows.unionByName(members), Cn, CB, k,
-                        R_short, rerank, id_t)
+                        R_short, rerank, id_t, Rt)
 
 
 def _ivfpq_build_distortion(index: DataFrame):
@@ -1140,7 +1238,7 @@ def ivfpq_distortion(df: DataFrame, index: DataFrame,
     import numpy as np
     import pandas as pd
 
-    Cn, CB = _decode_ivfpq_index(index)
+    Cn, CB, Rt = _decode_ivfpq_index(index)
     build = _ivfpq_build_distortion(index)
     cb_norm2 = 0.5 * (CB ** 2).sum(-1)
     base = _prep(df, vec_col, id_col).drop("nrm")
@@ -1155,6 +1253,11 @@ def ivfpq_distortion(df: DataFrame, index: DataFrame,
             order, _ = _pq_assign(matn, Cn, CB, cb_norm2, 1,
                                   with_codes=False)
             r = matn - Cn[order[:, 0]]
+            if Rt is not None:
+                # the baseline was recorded in rotated space; the
+                # gauge must measure in the same space (orthogonal,
+                # so the error magnitude is the honest one either way)
+                r = r @ Rt
             yield pd.DataFrame({"err": _pq_sq_err(r, CB)})
 
     agg = (base.mapInPandas(dist, "err double")

@@ -1005,3 +1005,33 @@ def test_corpus_wordpiece(capsys):
     assert all(r["n_pieces"] == len(r["pieces"]) for r in rows)
     rc, _ = run(capsys, "corpus", "wordpiece", "--vocab-size", "0")
     assert rc == 2
+
+
+def test_corpus_ann_opq(capsys, tmp_path, spark):
+    """--opq N trains the OPQ rotation into the artifact (kind=
+    'rotation' rows, one per dim) and every served verb reads it
+    back transparently; --opq outside --build-index is a loud rc-2
+    misuse, not a silent no-op (r11)."""
+    idx = str(tmp_path / "opq_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "--opq", "3", "-o", idx)
+    assert rc == 0
+    stored = spark.read.parquet(idx)
+    dim = len(stored.where("kind = 'centroid'")
+              .first()["vector"])
+    assert stored.where("kind = 'rotation'").count() == dim
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--index", idx, "-k", "3", "-j", "-l", "5000")
+    assert rc == 0 and out.splitlines()
+    # staleness gauge over the rotated artifact
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--distortion", "--index", idx, "-j")
+    row = json.loads(out.splitlines()[0])
+    assert rc == 0 and row["distortion_ratio"] is not None
+    # loud misuse: --opq without --build-index
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--opq", "3", "--index", idx)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "--opq", "-1")
+    assert rc == 2

@@ -866,3 +866,82 @@ def test_dsir_plan_broadcasts_bucket_tables(docs):
     assert "CartesianProduct" not in plan
     plan2 = _plan(dsir_resample(raw, tgt, m=10, buckets=256))
     assert "TakeOrderedAndProject" in plan2
+
+
+def test_opq_rotation_improves_distortion_and_roundtrips(tmp_path,
+                                                         spark):
+    """OPQ (r11, Ge et al. 2013): on vectors whose variance is
+    CORRELATED across subspace boundaries —
+
+    1. the learned rotation is orthogonal (R·Rᵀ = I);
+    2. the build-time distortion recorded in the artifact is
+       strictly below plain PQ's on the same data/params (the whole
+       point of rotating);
+    3. the artifact parquet-round-trips and the full triad shares
+       one kernel: ivf_pq_topk(index=) == ivf_pq_search over
+       encode_ivfpq postings, row-for-row, rotation applied
+       transparently by every verb;
+    4. the staleness gauge measures in rotated space (ratio ≈ 1 on
+       in-distribution data);
+    5. plain artifacts carry no rotation rows and decode to the
+       identity path (generations interoperate)."""
+    import numpy as np
+
+    from metacat_spark.llm.similarity import (_decode_ivfpq_index,
+                                              build_ivfpq_index,
+                                              encode_ivfpq,
+                                              ivf_pq_search,
+                                              ivf_pq_topk,
+                                              ivfpq_distortion)
+    rng = np.random.default_rng(7)
+    # 8-dim, m=4 (2-dim subspaces): dims 2i+1 echo dims 2i across
+    # subspace boundaries -> a correlated covariance PQ handles
+    # badly and an orthogonal rotation fixes
+    U = rng.normal(size=(400, 4))
+    X = np.empty((400, 8))
+    X[:, 0::2] = U
+    X[:, 1::2] = np.roll(U, 1, axis=1) + 0.05 * rng.normal(
+        size=(400, 4))
+    corr = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+
+    def build_dist(idx):
+        r = idx.where("kind = 'stat'").collect()[0]
+        return r["vector"][0]
+
+    plain = build_ivfpq_index(corr, n_lists=4, m=4, n_codes=8,
+                              sample_size=400)
+    opq = build_ivfpq_index(corr, n_lists=4, m=4, n_codes=8,
+                            sample_size=400, opq_iters=6)
+    _cn, _cb, rt_none = _decode_ivfpq_index(plain)
+    assert rt_none is None
+    assert plain.where("kind = 'rotation'").count() == 0
+    _cn, _cb, Rt = _decode_ivfpq_index(opq)
+    assert Rt is not None and Rt.shape == (8, 8)
+    assert np.allclose(Rt @ Rt.T, np.eye(8), atol=1e-9)
+    assert build_dist(opq) < build_dist(plain), (
+        build_dist(opq), build_dist(plain))
+
+    ipath = str(tmp_path / "opq_idx")
+    opq.write.parquet(ipath)
+    index = spark.read.parquet(ipath)
+    _cn, _cb, Rt2 = _decode_ivfpq_index(index)
+    assert np.allclose(Rt2, Rt)
+    ppath = str(tmp_path / "opq_postings")
+    encode_ivfpq(corr, index).write.parquet(ppath)
+    postings = spark.read.parquet(ppath)
+    served = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_pq_search(corr, postings, index, k=3,
+                                     n_probe=2).collect()}
+    inline = {(r["id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+              for r in ivf_pq_topk(corr, k=3, n_probe=2,
+                                   index=index).collect()}
+    assert served == inline and served
+    row = ivfpq_distortion(corr, index).collect()[0]
+    assert row["n"] == 400
+    assert 0.5 < row["distortion_ratio"] < 2.0, row
+    # a truncated rotation is a clean error, not silent identity
+    broken = index.where("not (kind = 'rotation' and i = 3)")
+    with pytest.raises(ValueError, match="rotation"):
+        ivf_pq_topk(corr, k=3, index=broken)
