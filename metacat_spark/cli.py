@@ -883,6 +883,11 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="build_index",
                     help="ivf/ivfpq: emit the persistable index "
                          "table instead of searching (write with -o)")
+    cn.add_argument("--recall", action="store_true",
+                    help="report the recall gauge of this search vs "
+                         "the exact GEMM ground truth at the same k "
+                         "(one row: micro recall + per-query "
+                         "mean/min) instead of the neighbor rows")
     cn.add_argument("--opq", type=int, default=None,
                     help="with --build-index (ivfpq): train an OPQ "
                          "rotation with this many alternating "

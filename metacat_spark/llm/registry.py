@@ -750,6 +750,25 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         raise OpError("ann: --min-ratio applies to --compact")
     if ctx.param("timeout") is not None and ingest is None:
         raise OpError("ann: --timeout applies to --ingest")
+    recall = ctx.flag("recall")
+    if recall and (ctx.flag("build_index") or ctx.flag("encode")
+                   or ctx.flag("distortion") or retire is not None
+                   or compact or ingest is not None):
+        # recall measures a SEARCH against the exact ground truth —
+        # on a non-search verb it would silently do nothing
+        # (loud-flag contract)
+        raise OpError("ann: --recall applies to a search "
+                      "(plain, --index, or --postings serve)")
+
+    def searched(res):
+        # wrap any search result with the recall gauge when asked:
+        # ground truth is the exact block-GEMM top-k at the same k
+        # over the same vectors
+        if not recall:
+            return res
+        from .similarity import ann_recall, topk_gemm
+        return ann_recall(res, topk_gemm(df, k=k, **kw))
+
     opq = ctx.int_param("opq", 0)
     if opq and not ctx.flag("build_index"):
         # the rotation is a TRAINING choice baked into the artifact;
@@ -771,8 +790,8 @@ def _op_ann(ctx: OpContext) -> DataFrame:
             raise OpError(f"ann: --build-index/--index apply to "
                           f"method ivf or ivfpq, not {method}")
         if method == "gemm":
-            return SIM.topk_gemm(df, k=k, **kw)
-        return SIM.lsh_bucketed_topk(df, k=k, **kw)
+            return searched(SIM.topk_gemm(df, k=k, **kw))
+        return searched(SIM.lsh_bucketed_topk(df, k=k, **kw))
     # IVF / IVF-PQ train-once/serve-many (r9): build_index=true emits
     # the persistable index table (write it with -o / consume the
     # json-seq); index=<path> serves from a stored table and skips
@@ -877,21 +896,22 @@ def _op_ann(ctx: OpContext) -> DataFrame:
                 if idx is None:
                     raise OpError("ann: --postings needs --index "
                                   "<stored index table>")
-                return SIM.ivf_pq_search(
+                return searched(SIM.ivf_pq_search(
                     df, ctx.corpus(str(post)), ctx.corpus(str(idx)),
-                    k=k, rerank=rerank, **kw)
+                    k=k, rerank=rerank, **kw))
             if idx is not None:
-                return SIM.ivf_pq_topk(
+                return searched(SIM.ivf_pq_topk(
                     df, k=k, index=ctx.corpus(str(idx)),
-                    rerank=rerank, **kw)
-            return SIM.ivf_pq_topk(df, k=k, train_iters=2,
-                                   rerank=rerank, **kw)
+                    rerank=rerank, **kw))
+            return searched(SIM.ivf_pq_topk(
+                df, k=k, train_iters=2, rerank=rerank, **kw))
         if ctx.flag("build_index"):
             return SIM.build_ivf_centroids(df, train_iters=2, **kw)
         if idx is not None:
-            return SIM.ivf_topk(df, k=k,
-                                centroids=ctx.corpus(str(idx)), **kw)
-        return SIM.ivf_topk(df, k=k, train_iters=2, **kw)
+            return searched(SIM.ivf_topk(
+                df, k=k, centroids=ctx.corpus(str(idx)), **kw))
+        return searched(SIM.ivf_topk(df, k=k, train_iters=2,
+                                     **kw))
     except ValueError as e:
         raise OpError(str(e))
 

@@ -255,6 +255,45 @@ def _local_topk(qarr, carr, sims, k: int):
                          "cosine": sims[qi, ci]})
 
 
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall gauge for ANY approximate ANN result against an exact
+    ground truth — both in the (id, neighbor_id, …) result shape
+    every top-k op here emits (``topk_gemm`` is the canonical
+    truth). ONE row:
+
+    - recall            — micro: |approx ∩ exact| / |exact| over
+      (query, neighbor) pairs — the number quoted in ANN papers;
+    - mean/min_query_recall — per-query macro stats, so one query
+      receiving nothing is visible next to a healthy micro average
+      (a failure mode the micro number hides at large n);
+    - n_queries / n_pairs / n_hits — the raw counts behind them.
+
+    Plan: one left-semi join on the narrow (id, neighbor_id) keys +
+    two bounded aggregates — works at any corpus size the inputs
+    themselves support. This is the factored-out form of the recall
+    certificates the IVF/LSH driver entries compute inline
+    (ivf_topk ≥ 0.85 etc.), exposed as a first-class evaluation verb
+    (ann --recall) so an operator can measure a served index's
+    recall before trusting it."""
+    hits = (exact.select("id", "neighbor_id")
+            .join(approx.select("id", "neighbor_id"),
+                  ["id", "neighbor_id"], "left_semi"))
+    per_q = (exact.groupBy("id").agg(F.count("*").alias("n_true"))
+             .join(hits.groupBy("id").agg(F.count("*")
+                                          .alias("n_hit")),
+                   "id", "left")
+             .withColumn("n_hit", F.coalesce("n_hit", F.lit(0))))
+    return (per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_true").alias("n_pairs"),
+        F.sum("n_hit").alias("n_hits"),
+        F.round(F.sum("n_hit") / F.sum("n_true"), 6).alias("recall"),
+        F.round(F.avg(F.col("n_hit") / F.col("n_true")), 6)
+        .alias("mean_query_recall"),
+        F.round(F.min(F.col("n_hit") / F.col("n_true")), 6)
+        .alias("min_query_recall")))
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42):
     """Deterministic pseudo-random hyperplanes from an LCG (no numpy
     RNG state — reproducible literals)."""

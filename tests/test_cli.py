@@ -1035,3 +1035,20 @@ def test_corpus_ann_opq(capsys, tmp_path, spark):
     rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
                 "--build-index", "--opq", "-1")
     assert rc == 2
+
+
+def test_corpus_ann_recall(capsys, tmp_path):
+    """--recall wraps any search with the recall gauge (one row);
+    gemm-vs-itself is exactly 1.0; loud misuse on non-search verbs."""
+    rc, out = run(capsys, "corpus", "ann", "--method", "gemm",
+                  "--recall", "-k", "3", "-j")
+    row = json.loads(out.splitlines()[0])
+    assert rc == 0 and row["recall"] == 1.0
+    assert row["n_queries"] > 0 and row["n_hits"] == row["n_pairs"]
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--recall", "-k", "3", "-j")
+    row = json.loads(out.splitlines()[0])
+    assert rc == 0 and 0.0 < row["recall"] <= 1.0
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--recall", "--build-index")
+    assert rc == 2

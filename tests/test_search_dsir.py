@@ -945,3 +945,36 @@ def test_opq_rotation_improves_distortion_and_roundtrips(tmp_path,
     broken = index.where("not (kind = 'rotation' and i = 3)")
     with pytest.raises(ValueError, match="rotation"):
         ivf_pq_topk(corr, k=3, index=broken)
+
+
+def test_ann_recall_gauge(embs):
+    """ann_recall: exact-vs-exact is perfect recall; an approximate
+    method lands in (0, 1]; the macro stats expose a query that got
+    nothing (recall accounting replayed by hand on a crippled
+    result)."""
+    from pyspark.sql import functions as SF
+
+    from metacat_spark.llm.similarity import (ann_recall,
+                                              lsh_bucketed_topk,
+                                              topk_gemm)
+    exact = topk_gemm(embs, k=3)
+    row = ann_recall(exact, exact).collect()[0]
+    n_q = exact.select("id").distinct().count()
+    assert row["n_queries"] == n_q
+    assert row["n_pairs"] == row["n_hits"] == exact.count()
+    assert row["recall"] == 1.0
+    assert row["mean_query_recall"] == 1.0
+    assert row["min_query_recall"] == 1.0
+    approx = lsh_bucketed_topk(embs, k=3)
+    arow = ann_recall(approx, exact).collect()[0]
+    assert 0.0 < arow["recall"] <= 1.0
+    assert arow["n_hits"] <= arow["n_pairs"]
+    # cripple one query: drop every result row for the first id —
+    # min_query_recall must hit 0 while micro recall stays high
+    first = exact.select("id").orderBy("id").first()["id"]
+    crippled = exact.where(SF.col("id") != first)
+    crow = ann_recall(crippled, exact).collect()[0]
+    assert crow["min_query_recall"] == 0.0
+    assert crow["n_queries"] == n_q            # truth defines the set
+    assert crow["recall"] == pytest.approx(
+        (row["n_pairs"] - 3) / row["n_pairs"], abs=1e-6)
