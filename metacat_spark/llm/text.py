@@ -493,19 +493,8 @@ def perplexity_buckets(df: DataFrame, reference: DataFrame = None,
     Returns (id_col, score, bucket) — score rounded to 6 (the
     oracle-hash convention), bucket in {'head','middle','tail'}."""
     ref = reference if reference is not None else df
-    tf = (term_rows(ref, text_col, id_col)
-          .groupBy("term").agg(F.count("*").alias("cnt")))
-    totals = tf.agg(F.sum("cnt").alias("n_total"),
-                    F.count("*").alias("n_vocab"))
-    scored = (term_rows(df, text_col, id_col)
-              .join(tf, "term", "left")
-              .crossJoin(F.broadcast(totals))
-              .withColumn(
-                  "lp",
-                  F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1)
-                        / (F.col("n_total") + F.col("n_vocab"))))
-              .groupBy("id")
-              .agg(F.round(F.avg("lp"), 6).alias("score")))
+    tf, totals = _ppl_model(ref, text_col, id_col)
+    scored = _ppl_scores(df, tf, totals, text_col, id_col)
     th = scored.agg(
         F.percentile("score", F.lit(float(cuts[0]))).alias("t1"),
         F.percentile("score", F.lit(float(cuts[1]))).alias("t2"))
@@ -516,6 +505,104 @@ def perplexity_buckets(df: DataFrame, reference: DataFrame = None,
                               "middle")
                         .otherwise("tail"))
             .select(F.col("id").alias(id_col), "score", "bucket"))
+
+
+def _ppl_model(reference: DataFrame, text_col: str, id_col: str):
+    """(tf, totals) — the add-one unigram model tables shared by the
+    batch and streaming CCNet scorers (one vocabulary-bounded count
+    table + a 1-row totals aggregate)."""
+    tf = (term_rows(reference, text_col, id_col)
+          .groupBy("term").agg(F.count("*").alias("cnt")))
+    totals = tf.agg(F.sum("cnt").alias("n_total"),
+                    F.count("*").alias("n_vocab"))
+    return tf, totals
+
+
+def _ppl_scores(df: DataFrame, tf: DataFrame, totals: DataFrame,
+                text_col: str, id_col: str) -> DataFrame:
+    """(id, score): per-doc mean add-one log-prob under the model —
+    ONE shared Spark expression, so the batch op and the streaming
+    twin produce BIT-identical scores (the foreachBatch stream path
+    runs this very plan per micro-batch; a reimplementation in
+    driver Python would differ in last-ulp log/fold behavior and
+    break the batch≡stream pin)."""
+    return (term_rows(df, text_col, id_col)
+            .join(tf, "term", "left")
+            .crossJoin(F.broadcast(totals))
+            .withColumn(
+                "lp",
+                F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                      / (F.col("n_total") + F.col("n_vocab"))))
+            .groupBy("id")
+            .agg(F.round(F.avg("lp"), 6).alias("score")))
+
+
+def perplexity_stream(spark, src_dir: str, reference: DataFrame,
+                      threshold_corpus: DataFrame = None,
+                      cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_files_per_batch: int = 1,
+                      timeout_s: int = 120) -> DataFrame:
+    """Streaming twin of ``perplexity_buckets`` — CCNet bucketing as
+    a DEPLOY stage: the add-one unigram model is trained ONCE from
+    the static reference corpus, the head/tail thresholds are FIXED
+    once batch-side (exact percentiles of ``threshold_corpus`` —
+    default the reference itself — scored under that model), and
+    each streamed micro-batch is scored with the IDENTICAL Spark
+    expression as the batch op (foreachBatch; stream-static
+    broadcast joins) and bucketed against the fixed thresholds.
+
+    Bit-identical scores by construction (shared ``_ppl_scores``
+    plan); zero aggregation state — a doc's bucket never depends on
+    other streamed docs. That last point is the semantic difference
+    from the batch op, whose thresholds move with the scored corpus:
+    fixed thresholds are the CCNet deployment posture (calibrate
+    once on a reference, bucket every incoming batch forever).
+    availableNow trigger; per-doc rows accumulate driver-side like
+    the other return-a-table twins — the production deploy form
+    writes each batch to parquet instead."""
+    from .util import stream_parquet
+
+    tf, totals = _ppl_model(reference, text_col, id_col)
+    tf = tf.cache()
+    tf.count()
+    tc = (threshold_corpus if threshold_corpus is not None
+          else reference)
+    th = (_ppl_scores(tc, tf, totals, text_col, id_col)
+          .agg(F.percentile("score", F.lit(float(cuts[0])))
+               .alias("t1"),
+               F.percentile("score", F.lit(float(cuts[1])))
+               .alias("t2")).collect()[0])
+    t1, t2 = th["t1"], th["t2"]
+    if t1 is None or t2 is None:
+        tf.unpersist()
+        raise ValueError("perplexity_stream: the threshold corpus "
+                         "produced no scores (no tokens)")
+    id_t = reference.schema[id_col].dataType.simpleString()
+    stream = stream_parquet(
+        spark, src_dir, max_files_per_trigger=max_files_per_batch)
+    rows: list = []
+
+    def on_batch(bdf, bid):
+        out = (_ppl_scores(bdf, tf, totals, text_col, id_col)
+               .withColumn("bucket",
+                           F.when(F.col("score") >= t2, "head")
+                           .when(F.col("score") >= t1, "middle")
+                           .otherwise("tail"))
+               .select(F.col("id").alias(id_col), "score", "bucket"))
+        rows.extend(out.collect())
+
+    q = (stream.writeStream.foreachBatch(on_batch)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"perplexity_stream did not finish within {timeout_s}s "
+            f"— refusing to return a partially populated table")
+    tf.unpersist()
+    return spark.createDataFrame(
+        rows, f"{id_col} {id_t}, score double, bucket string")
 
 
 def hashed_bigram_feature(w1: Column, w2: Column,

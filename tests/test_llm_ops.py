@@ -3000,3 +3000,28 @@ def test_perplexity_buckets_ccnet_partition(spark):
     # pure-reference vocab docs beat the all-alien doc
     assert got[2]["bucket"] == "head"
     assert got[5]["bucket"] == "tail"
+
+
+def test_perplexity_stream_equals_batch(docs, spark):
+    """Streaming CCNet bucketing: with the model from src0 and
+    thresholds calibrated on the full corpus (the same quantiles the
+    batch op computes), streaming that corpus must reproduce the
+    batch (score, bucket) row-for-row — the scoring plan is shared,
+    so scores are bit-identical, and fixed thresholds equal the
+    batch's moving ones exactly when the threshold corpus IS the
+    scored corpus. Empty threshold corpus is a clean error."""
+    from conftest import SF_DIR
+
+    from metacat_spark.llm.text import (perplexity_buckets,
+                                        perplexity_stream)
+    ref = docs.where(F.col("source") == "src0")
+    batch = {r["doc_id"]: (r["score"], r["bucket"])
+             for r in perplexity_buckets(docs, ref).collect()}
+    streamed = {r["doc_id"]: (r["score"], r["bucket"])
+                for r in perplexity_stream(
+                    spark, f"{SF_DIR}/documents.parquet", ref,
+                    threshold_corpus=docs).collect()}
+    assert streamed == batch and batch
+    with pytest.raises(ValueError, match="no scores"):
+        perplexity_stream(spark, f"{SF_DIR}/documents.parquet", ref,
+                          threshold_corpus=docs.where("doc_id < 0"))
