@@ -1004,7 +1004,12 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     (possibly parquet-round-tripped). When given, BOTH trainings are
     skipped and m/n_codes are derived from the table (the n_lists/
     seed/train_iters/sample_size params are ignored) — train once
-    per corpus version, serve every query from storage."""
+    per corpus version, serve every query from storage.
+
+    ``opq_iters`` (r11): inline-training counterpart of
+    ``build_ivfpq_index(opq_iters=)`` — train an OPQ rotation over
+    the same bounded sample; a stored index's rotation is read from
+    the artifact instead."""
     import numpy as np
     import pandas as pd
 

@@ -595,12 +595,15 @@ def perplexity_stream(spark, src_dir: str, reference: DataFrame,
 
     q = (stream.writeStream.foreachBatch(on_batch)
          .trigger(availableNow=True).start())
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"perplexity_stream did not finish within {timeout_s}s "
-            f"— refusing to return a partially populated table")
-    tf.unpersist()
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"perplexity_stream did not finish within "
+                f"{timeout_s}s — refusing to return a partially "
+                f"populated table")
+    finally:
+        tf.unpersist()
     return spark.createDataFrame(
         rows, f"{id_col} {id_t}, score double, bucket string")
 
