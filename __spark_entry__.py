@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 141
+TOTAL_ENTRIES = 142
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -400,6 +400,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "week_offset",
             F.col("n_users").cast("long").alias("n_users"))
     q["events_retention"] = events_retention
+
+    def events_attribution(spark, sf_dir):
+        """Last-touch marketing attribution (streaming/events.py
+        attribution): each purchase looks back 1 h over the same
+        user's preceding non-purchase events and credits the most
+        recent one (ties by timestamp then event id); credit mass
+        and distinct conversions per touch type. ONE user-keyed
+        equi-join with the lookback bounding each conversion's
+        candidate set; rank window partitions by conversion id."""
+        from metacat_spark.streaming import events as EV
+        out = EV.attribution(EV.load_events(spark, sf_dir))
+        return out.select("touch_type",
+                          F.col("n_conversions").cast("long")
+                          .alias("n_conversions"), "credit")
+    q["events_attribution"] = events_attribution
 
     def events_props(spark, sf_dir):
         """Typed extraction over the events JSON props column
@@ -2545,6 +2560,30 @@ def oracle_sql() -> dict[str, str]:
                count(distinct a.user_id) as n_users
         from acts a join firsts f using (user_id)
         group by 1, 2"""
+
+    o["events_attribution"] = """
+        with ev as (
+          select event_id, user_id, event_type,
+                 make_timestamp(epoch_ns(ts) // 1000) as ts_us
+          from events),
+        conv as (select user_id as cu, event_id as conv_id,
+                        ts_us as conv_ts
+                 from ev where event_type = 'purchase'),
+        touch as (select user_id as tu, event_type as touch_type,
+                         event_id as touch_id, ts_us as touch_ts
+                  from ev where event_type <> 'purchase'),
+        j as (select conv_id, touch_type, touch_ts, touch_id
+              from conv join touch on cu = tu
+               and touch_ts < conv_ts
+               and touch_ts >= conv_ts - interval 3600 seconds),
+        r as (select conv_id, touch_type,
+                     row_number() over (partition by conv_id
+                       order by touch_ts desc, touch_id desc) as rk
+              from j)
+        select touch_type,
+               count(distinct conv_id) as n_conversions,
+               round(cast(count(*) as double), 6) as credit
+        from r where rk = 1 group by touch_type"""
 
     o["events_funnel"] = """
         with ev as (

@@ -992,6 +992,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="emit the per-step conversion report")
     er = es.add_parser("retention", help="weekly cohort retention")
     _events_common(er)
+    eat = es.add_parser("attribution",
+                        help="per-touch-type conversion credit "
+                             "(last/first/linear-touch)")
+    _events_common(eat)
+    eat.add_argument("--conversion", default="purchase",
+                     help="the conversion event type "
+                          "(default purchase)")
+    eat.add_argument("--model",
+                     choices=["last", "first", "linear"],
+                     default="last")
+    eat.add_argument("--lookback", type=int, default=3600,
+                     help="attribution window in seconds before "
+                          "each conversion (default 3600)")
 
     vv = sub.add_parser("version", help="print engine versions")
 

@@ -950,6 +950,20 @@ def _ev_retention(ctx: OpContext) -> DataFrame:
     return EV.retention_cohorts(ctx.events())
 
 
+@_event_op("attribution")
+def _ev_attribution(ctx: OpContext) -> DataFrame:
+    from ..streaming import events as EV
+    model = ctx.choice("model", ("last", "first", "linear"), "last")
+    try:
+        return EV.attribution(
+            ctx.events(),
+            conversion=str(ctx.param("conversion", "purchase")),
+            model=model,
+            lookback_s=ctx.int_param("lookback", 3600))
+    except ValueError as e:
+        raise OpError(str(e))
+
+
 @_event_op("paths")
 def _ev_paths(ctx: OpContext) -> DataFrame:
     from ..streaming import events as EV

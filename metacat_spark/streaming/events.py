@@ -586,3 +586,71 @@ def common_paths(events: DataFrame, n: int = 3, k: int = 20,
             .where(F.col("_last").isNotNull())
             .groupBy("path").agg(F.count("*").alias("n_paths"))
             .orderBy(F.col("n_paths").desc(), "path").limit(k))
+
+
+def attribution(events: DataFrame, conversion: str = "purchase",
+                model: str = "last", lookback_s: int = 3600,
+                ts_col: str = "ts_ts", user_col: str = "user_id",
+                type_col: str = "event_type",
+                id_col: str = "event_id") -> DataFrame:
+    """Marketing-attribution credit (the product-analytics
+    companion to ``funnel``): every ``conversion`` event looks back
+    ``lookback_s`` seconds over the SAME user's preceding
+    non-conversion events (its touchpoints) and distributes one
+    unit of credit per conversion across touch event types —
+
+    - ``last``   — the most recent touch gets the whole unit (the
+      default model everywhere);
+    - ``first``  — the earliest touch in the window gets it;
+    - ``linear`` — 1/n to each of the conversion's n touches.
+
+    Conversions with no touch inside the window earn no row (the
+    "(direct)" bucket of commercial tools — derivable as total
+    conversions minus ``sum(n_conversions)`` of the ``last`` model,
+    where each attributed conversion appears exactly once).
+
+    Returns (touch_type, n_conversions, credit): distinct
+    conversions any of whose credit landed on the type, and the
+    credit mass (round-6). Deterministic: first/last pick ties by
+    (timestamp, event id); linear is order-free.
+
+    Scale shape: ONE equi-join on user_id with the time-range
+    predicate applied at the join (the lookback bounds each
+    conversion's candidate set, so a heavy user contributes
+    window-bounded work, not their whole history); the rank/count
+    windows partition by conversion id — group size = touches per
+    conversion, never the stream. No global sort."""
+    if model not in ("last", "first", "linear"):
+        raise ValueError(f"attribution: unknown model {model!r} — "
+                         f"pick last, first or linear")
+    ts = F.col(ts_col)
+    conv = (events.where(F.col(type_col) == conversion)
+            .select(F.col(user_col).alias("_cu"),
+                    F.col(id_col).alias("_conv_id"),
+                    ts.alias("_conv_ts")))
+    touch = (events.where(F.col(type_col) != conversion)
+             .select(F.col(user_col).alias("_tu"),
+                     F.col(type_col).alias("touch_type"),
+                     F.col(id_col).alias("_touch_id"),
+                     ts.alias("_touch_ts")))
+    cond = ((F.col("_cu") == F.col("_tu"))
+            & (F.col("_touch_ts") < F.col("_conv_ts"))
+            & (F.col("_touch_ts") >= F.col("_conv_ts") - F.expr(
+                f"INTERVAL {int(lookback_s)} SECOND")))
+    j = conv.join(touch, cond)
+    if model == "linear":
+        cnt = Window.partitionBy("_conv_id")
+        j = j.withColumn("credit", F.lit(1.0)
+                         / F.count("*").over(cnt))
+    else:
+        order = ((F.col("_touch_ts").desc(), F.col("_touch_id")
+                  .desc()) if model == "last"
+                 else (F.col("_touch_ts").asc(), F.col("_touch_id")
+                       .asc()))
+        w = Window.partitionBy("_conv_id").orderBy(*order)
+        j = (j.withColumn("_rk", F.row_number().over(w))
+             .where(F.col("_rk") == 1)
+             .withColumn("credit", F.lit(1.0)))
+    return (j.groupBy("touch_type")
+            .agg(F.countDistinct("_conv_id").alias("n_conversions"),
+                 F.round(F.sum("credit"), 6).alias("credit")))

@@ -803,6 +803,12 @@ def test_events_group(capsys):
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and rows
     assert all(r["path"].count(">") == 2 for r in rows)
+    rc, out = run(capsys, "events", "attribution", "--model",
+                  "linear", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and rows
+    assert all({"touch_type", "n_conversions", "credit"}
+               <= set(r) for r in rows)
 
 
 def test_admin_init_and_tables(capsys):

@@ -806,3 +806,79 @@ def test_declare_stream_commit_failure_not_quarantined(
     assert (src / "b1.jsonl").exists()
     assert not dl.exists() or not any(dl.iterdir())
     assert cat.files.where(F.col("id") == "cf-1").count() == 1
+
+
+def test_attribution_models_tiny(spark):
+    """Hand-built attribution scenario pinning all three models:
+    user 1 converts at t=100 with touches view@40, click@70,
+    view@95 (in-window) and click@1 (outside the 60s lookback);
+    user 2 converts at t=200 with ONE touch; user 3 converts with
+    no touch at all (earns no credit anywhere)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, uid, typ, sec):
+        return (eid, uid, typ, t0 + timedelta(seconds=sec))
+
+    events = spark.createDataFrame(
+        [ev(1, 1, "click", 1),          # outside 60s lookback
+         ev(2, 1, "view", 40),
+         ev(3, 1, "click", 70),
+         ev(4, 1, "view", 95),
+         ev(5, 1, "purchase", 100),
+         ev(6, 2, "click", 190),
+         ev(7, 2, "purchase", 200),
+         ev(8, 3, "purchase", 50)],     # no touches
+        "event_id long, user_id long, event_type string, "
+        "ts_ts timestamp")
+    last = {r["touch_type"]: (r["n_conversions"], r["credit"])
+            for r in EV.attribution(events, lookback_s=60)
+            .collect()}
+    # user1's last touch is view@95; user2's is click@190
+    assert last == {"view": (1, 1.0), "click": (1, 1.0)}
+    first = {r["touch_type"]: (r["n_conversions"], r["credit"])
+             for r in EV.attribution(events, model="first",
+                                     lookback_s=60).collect()}
+    # user1's first in-window touch is view@40
+    assert first == {"view": (1, 1.0), "click": (1, 1.0)}
+    linear = {r["touch_type"]: (r["n_conversions"], r["credit"])
+              for r in EV.attribution(events, model="linear",
+                                      lookback_s=60).collect()}
+    # user1: 3 touches -> view 2/3, click 1/3; user2: click 1.0
+    assert linear["view"] == (1, pytest.approx(0.666667))
+    assert linear["click"] == (2, pytest.approx(1.333333))
+    # total credit mass == attributed conversions (2 of 3)
+    assert sum(c for _n, c in linear.values()) == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="unknown model"):
+        EV.attribution(events, model="u-shaped")
+
+
+def test_attribution_vs_duck_full_corpus(events, duck):
+    """Linear-touch attribution replayed in DuckDB over the full
+    fixture (last-touch is the driver entry; this pins the other
+    interesting model independently)."""
+    got = sorted((r["touch_type"], r["n_conversions"],
+                  round(r["credit"], 4))
+                 for r in EV.attribution(events, model="linear")
+                 .collect())
+    want = sorted((t, n, round(c, 4)) for t, n, c in duck.execute("""
+        with ev as (
+          select event_id, user_id, event_type,
+                 make_timestamp(epoch_ns(ts) // 1000) as ts_us
+          from events),
+        conv as (select user_id cu, event_id conv_id, ts_us conv_ts
+                 from ev where event_type = 'purchase'),
+        touch as (select user_id tu, event_type touch_type,
+                         ts_us touch_ts
+                  from ev where event_type <> 'purchase'),
+        j as (select conv_id, touch_type,
+                     1.0 / count(*) over (partition by conv_id)
+                       as credit
+              from conv join touch on cu = tu
+               and touch_ts < conv_ts
+               and touch_ts >= conv_ts - interval 3600 seconds)
+        select touch_type, count(distinct conv_id) as n,
+               round(sum(credit), 4) as credit
+        from j group by 1""").fetchall())
+    assert got == want and got
