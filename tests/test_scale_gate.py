@@ -73,6 +73,28 @@ def _cases(spark, mult):
                 docs, ["spark", "window", "merge"])
             .agg(F.bit_xor(F.xxhash64("doc_id", "score"))
                  .alias("s")).collect()),
+        # r11: CCNet bucketing is two scoring passes + a 1-row
+        # percentile aggregate — growth must stay linear in term
+        # occurrences (the model side is vocabulary-bounded).
+        # Consumed via (score, bucket) hash.
+        "perplexity_buckets": lambda: len(
+            TX.perplexity_buckets(docs,
+                                  docs.where("source = 'src0'"))
+            .agg(F.bit_xor(F.xxhash64("doc_id", "score", "bucket"))
+                 .alias("s")).collect()),
+        # r11: attribution is ONE user-keyed join with a bounded
+        # lookback + conversion-id windows; replicas get distinct
+        # users AND distinct event ids (the window partitions on
+        # conversion id, so colliding replica ids would merge
+        # windows and distort the work shape).
+        "attribution": lambda: len(
+            EV.attribution(
+                _probe._replicate_events(spark, mult)
+                .withColumn("event_id",
+                            F.xxhash64("event_id", "user_id")),
+                lookback_s=86400)
+            .agg(F.bit_xor(F.xxhash64("touch_type", "credit"))
+                 .alias("s")).collect()),
         # r9: DSIR's model tables are bucket-bounded (broadcast at any
         # size); per-doc work is linear in bigram occurrences.
         "dsir": lambda: len(
