@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 142
+TOTAL_ENTRIES = 143
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -841,6 +841,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.perplexity_buckets(
             docs, docs.filter(F.col("source") == "src0"))
     q["doc_perplexity_buckets"] = doc_ppl_buckets
+
+    def doc_strip_markup(spark, sf_dir):
+        """HTML/markup stripping (llm/text.py strip_markup): the
+        web-scrape stage before quality gating — script/style
+        payload dropped, block tags to newlines, other tags to
+        spaces, entities unescaped, whitespace collapsed. All JVM
+        regexp codegen; the oracle SQL is GENERATED from the same
+        MARKUP_STEPS chain, so the twin is exact by construction."""
+        from metacat_spark.llm import text as TX
+        return TX.strip_markup(_docs(spark, sf_dir))
+    q["doc_strip_markup"] = doc_strip_markup
 
     def doc_bigram(spark, sf_dir):
         """Interpolated-bigram perplexity signal (llm/text.py
@@ -3087,6 +3098,20 @@ def oracle_sql() -> dict[str, str]:
                count(*) as n_terms
         from tok join tf using (term) cross join totals
         group by id"""
+
+    # markup stripping: the SQL twin is GENERATED from the same
+    # MARKUP_STEPS chain strip_markup applies, so the two sides
+    # cannot drift (patterns stick to the Java∩RE2 common dialect)
+    from metacat_spark.llm.text import MARKUP_STEPS
+    _clean = "text"
+    for _pat, _rep in MARKUP_STEPS:
+        _p, _r = _pat.replace("'", "''"), _rep.replace("'", "''")
+        _clean = f"regexp_replace({_clean}, '{_p}', '{_r}', 'g')"
+    o["doc_strip_markup"] = f"""
+        select doc_id, {_clean} as text_clean,
+               length(text) - length({_clean}) as n_chars_removed,
+               {_clean} <> text as changed
+        from documents"""
 
     _tok_src0 = _tok.replace(
         "from documents)", "from documents where source = 'src0')")

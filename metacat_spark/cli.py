@@ -780,6 +780,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "training sequences")
     _corpus_common(cp_)
     cp_.add_argument("--max-tokens", type=int, default=512)
+    cmk = cs.add_parser("markup", help="strip HTML/markup "
+                        "(script/style payload dropped, block tags "
+                        "to newlines, entities unescaped)")
+    _corpus_common(cmk)
     cn = cs.add_parser("normalize", help="Unicode normalization "
                        "(NFC default) + control-char cleanup")
     _corpus_common(cn)

@@ -576,6 +576,14 @@ def _op_pack(ctx: OpContext) -> DataFrame:
                           max_tokens=ctx.int_param("max_tokens", 512))
 
 
+@_corpus_op("markup")
+def _op_markup(ctx: OpContext) -> DataFrame:
+    # HTML/markup stripping — the web-scrape stage before quality
+    # gating; plain text passes through unchanged
+    from .text import strip_markup
+    return strip_markup(ctx.docs())
+
+
 @_corpus_op("normalize")
 def _op_normalize(ctx: OpContext) -> DataFrame:
     # defaults and validation live in the library signature (the

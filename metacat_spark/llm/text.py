@@ -125,6 +125,55 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         (cleaned != F.col("__raw")).alias("changed"))
 
 
+# the shared markup-stripping chain: (pattern, replacement), applied
+# IN ORDER by strip_markup and mirrored verbatim in the SQL oracle.
+# Patterns stick to the Java∩RE2 common dialect ((?is) inline flags,
+# non-greedy .*?, no backrefs) so Spark and DuckDB compile them
+# identically.
+MARKUP_STEPS = [
+    (r"(?is)<script\b.*?</script>", " "),   # script WITH content
+    (r"(?is)<style\b.*?</style>", " "),     # style WITH content
+    (r"(?s)<!--.*?-->", " "),               # comments
+    (r"(?is)</?(?:br|p|div|li|tr|h[1-6])\b[^>]*>", "\n"),
+    (r"(?s)<[^>]+>", " "),                  # every remaining tag
+    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"),
+    (r"&gt;", ">"), (r"&quot;", "\""), (r"&#0*39;", "'"),
+    (r"&#0*34;", "\""), (r"&apos;", "'"),
+    (r"[ \t\x0b\f\r]+", " "),               # collapse blanks
+    (r" ?\n ?", "\n"), (r"\n{2,}", "\n"),   # tidy line structure
+    (r"(?s)^\s+", ""), (r"(?s)\s+$", ""),     # trim (incl. newlines)
+]
+
+
+def strip_markup(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """HTML/markup stripping — the web-scrape curation stage between
+    raw capture and quality gating (the boilerplate REMOVAL
+    complement of ``c4_line_filter``/``drop_common_lines``, which
+    assume tag-free text): drop script/style elements WITH their
+    payload, drop comments, turn block-level tags into newlines and
+    every other tag into a space, unescape the standard entities,
+    and collapse the resulting whitespace. Plain text passes through
+    unchanged (modulo blank collapsing), so the stage is safe to run
+    unconditionally.
+
+    The chain is ``MARKUP_STEPS`` applied in order — ALL JVM
+    regexp_replace codegen, no Python stage — and the DuckDB oracle
+    replays the identical patterns, so the entry is value-hash
+    exact. Returns (doc_id, text_clean, n_chars_removed, changed);
+    n_chars_removed is a length difference (UTF-16 vs code points
+    cancels — removed markup is ASCII)."""
+    cleaned = F.col(text_col)
+    for pat, rep in MARKUP_STEPS:
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("text_clean"),
+        (F.length(text_col) - F.length(cleaned)).cast("long")
+        .alias("n_chars_removed"),
+        (cleaned != F.col(text_col)).alias("changed"))
+
+
 def chunk_tokens(df: DataFrame, size: int = 128,
                  stride: int | None = None,
                  text_col: str = "text",

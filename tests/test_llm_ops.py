@@ -3025,3 +3025,44 @@ def test_perplexity_stream_equals_batch(docs, spark):
     with pytest.raises(ValueError, match="no scores"):
         perplexity_stream(spark, f"{SF_DIR}/documents.parquet", ref,
                           threshold_corpus=docs.where("doc_id < 0"))
+
+
+def test_strip_markup_planted_html(spark):
+    """Markup stripping on planted HTML: script/style payload
+    vanishes, block tags become line breaks, inline tags become
+    spaces, entities unescape, plain text passes through unchanged;
+    DuckDB replaying the generated chain agrees on the planted rows
+    too (the entry pins it on the fixture corpus)."""
+    import duckdb
+
+    from metacat_spark.llm.text import strip_markup
+    rows = [
+        (1, "<html><head><script>var x = 1;</script>"
+            "<style>p{color:red}</style></head><body>"
+            "<h1>Title</h1><p>Hello &amp; welcome</p>"
+            "<!-- hidden --><div>A &lt;tag&gt; &quot;q&quot; "
+            "&#39;a&#39;</div><br>end</body></html>"),
+        (2, "plain text stays"),
+        (3, "spaced   out\ttext"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_markup(docs).collect()}
+    assert got[1]["text_clean"] == (
+        "Title\nHello & welcome\nA <tag> \"q\" 'a'\nend")
+    assert "var x" not in got[1]["text_clean"]
+    assert "color" not in got[1]["text_clean"]
+    assert got[1]["changed"] and got[1]["n_chars_removed"] > 0
+    assert got[2]["text_clean"] == "plain text stays"
+    assert not got[2]["changed"] and got[2]["n_chars_removed"] == 0
+    assert got[3]["text_clean"] == "spaced out text"
+    # DuckDB replay of the generated chain on the same rows
+    import __spark_entry__ as entrymod
+    sql = entrymod.oracle_sql()["doc_strip_markup"]
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id bigint, text text)")
+    con.executemany("insert into documents values (?, ?)", rows)
+    want = {r[0]: r for r in con.execute(sql).fetchall()}
+    for i in (1, 2, 3):
+        assert want[i][1] == got[i]["text_clean"]
+        assert want[i][2] == got[i]["n_chars_removed"]
+        assert want[i][3] == got[i]["changed"]
