@@ -1004,7 +1004,7 @@ def build_parser() -> argparse.ArgumentParser:
                      help="the conversion event type "
                           "(default purchase)")
     eat.add_argument("--model",
-                     choices=["last", "first", "linear"],
+                     choices=["last", "first", "linear", "position"],
                      default="last")
     eat.add_argument("--lookback", type=int, default=3600,
                      help="attribution window in seconds before "

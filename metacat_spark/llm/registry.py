@@ -961,7 +961,8 @@ def _ev_retention(ctx: OpContext) -> DataFrame:
 @_event_op("attribution")
 def _ev_attribution(ctx: OpContext) -> DataFrame:
     from ..streaming import events as EV
-    model = ctx.choice("model", ("last", "first", "linear"), "last")
+    model = ctx.choice("model", ("last", "first", "linear",
+                             "position"), "last")
     try:
         return EV.attribution(
             ctx.events(),

@@ -599,10 +599,13 @@ def attribution(events: DataFrame, conversion: str = "purchase",
     non-conversion events (its touchpoints) and distributes one
     unit of credit per conversion across touch event types —
 
-    - ``last``   — the most recent touch gets the whole unit (the
+    - ``last``     — the most recent touch gets the whole unit (the
       default model everywhere);
-    - ``first``  — the earliest touch in the window gets it;
-    - ``linear`` — 1/n to each of the conversion's n touches.
+    - ``first``    — the earliest touch in the window gets it;
+    - ``linear``   — 1/n to each of the conversion's n touches;
+    - ``position`` — U-shaped: 40% first, 40% last, the remaining
+      20% split evenly over the middle touches (one touch takes
+      100%, two split 50/50 — the standard degenerate cases).
 
     Conversions with no touch inside the window earn no row (the
     "(direct)" bucket of commercial tools — derivable as total
@@ -620,9 +623,9 @@ def attribution(events: DataFrame, conversion: str = "purchase",
     window-bounded work, not their whole history); the rank/count
     windows partition by conversion id — group size = touches per
     conversion, never the stream. No global sort."""
-    if model not in ("last", "first", "linear"):
+    if model not in ("last", "first", "linear", "position"):
         raise ValueError(f"attribution: unknown model {model!r} — "
-                         f"pick last, first or linear")
+                         f"pick last, first, linear or position")
     ts = F.col(ts_col)
     conv = (events.where(F.col(type_col) == conversion)
             .select(F.col(user_col).alias("_cu"),
@@ -642,6 +645,18 @@ def attribution(events: DataFrame, conversion: str = "purchase",
         cnt = Window.partitionBy("_conv_id")
         j = j.withColumn("credit", F.lit(1.0)
                          / F.count("*").over(cnt))
+    elif model == "position":
+        cnt = Window.partitionBy("_conv_id")
+        asc = Window.partitionBy("_conv_id").orderBy(
+            F.col("_touch_ts").asc(), F.col("_touch_id").asc())
+        n = F.count("*").over(cnt)
+        rk = F.row_number().over(asc)
+        j = j.withColumn(
+            "credit",
+            F.when(n == 1, 1.0)
+            .when((n == 2) & rk.isin(1, 2), 0.5)
+            .when(rk == 1, 0.4).when(rk == n, 0.4)
+            .otherwise(F.lit(0.2) / (n - 2)))
     else:
         order = ((F.col("_touch_ts").desc(), F.col("_touch_id")
                   .desc()) if model == "last"

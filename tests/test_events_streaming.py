@@ -850,6 +850,15 @@ def test_attribution_models_tiny(spark):
     assert linear["click"] == (2, pytest.approx(1.333333))
     # total credit mass == attributed conversions (2 of 3)
     assert sum(c for _n, c in linear.values()) == pytest.approx(2.0)
+    pos = {r["touch_type"]: (r["n_conversions"], r["credit"])
+           for r in EV.attribution(events, model="position",
+                                   lookback_s=60).collect()}
+    # user1 (3 touches): first view@40 0.4 + middle click@70 0.2 +
+    # last view@95 0.4 -> view 0.8, click 0.2; user2 single touch:
+    # click 1.0
+    assert pos["view"] == (1, pytest.approx(0.8))
+    assert pos["click"] == (2, pytest.approx(1.2))
+    assert sum(c for _n, c in pos.values()) == pytest.approx(2.0)
     with pytest.raises(ValueError, match="unknown model"):
         EV.attribution(events, model="u-shaped")
 
