@@ -769,6 +769,17 @@ def build_parser() -> argparse.ArgumentParser:
     cwp.add_argument("--encode", action="store_true",
                      help="emit the piece-tokenized corpus instead "
                           "of the (step, piece, score) vocabulary")
+    cts = cs.add_parser("tokstats",
+                        help="train BPE/unigram/WordPiece at "
+                             "comparable size and report fertility "
+                             "+ compression side by side")
+    _corpus_common(cts)
+    cts.add_argument("--vocab-size", type=int, dest="vocab_size",
+                     help="comparable size per tokenizer "
+                          "(default 8000)")
+    cts.add_argument("--vocab-cap", type=int, dest="vocab_cap",
+                     help="train on the top-N word forms "
+                          "(default 50000)")
     cdc = cs.add_parser("domaincap",
                         help="keep the top-n docs of each domain by "
                              "quality (diversity control)")

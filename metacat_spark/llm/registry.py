@@ -529,6 +529,20 @@ def _op_unigram(ctx: OpContext) -> DataFrame:
     return unigram_encode(ctx.docs(), vocab)
 
 
+@_corpus_op("tokstats")
+def _op_tokstats(ctx: OpContext) -> DataFrame:
+    # side-by-side BPE/unigram/WordPiece fertility + compression on
+    # this corpus — the tokenizer-selection evaluation verb
+    from .train import tokenizer_stats
+    cap = ctx.int_param("vocab_cap", 50000)
+    size = ctx.int_param("vocab_size", 8000)
+    if cap < 1 or size < 1:
+        raise OpError(f"tokstats: vocab_cap/vocab_size must be "
+                      f">= 1, got {cap}/{size}")
+    return tokenizer_stats(ctx.docs(), vocab_size=size,
+                           vocab_cap=cap)
+
+
 @_corpus_op("wordpiece")
 def _op_wordpiece(ctx: OpContext) -> DataFrame:
     # WordPiece vocabulary learning (BERT-style likelihood-gain

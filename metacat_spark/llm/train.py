@@ -667,6 +667,28 @@ def _wp_join(a: str, b: str) -> str:
     return a + (b[2:] if b.startswith("##") else b)
 
 
+def _wp_merge_word(sym: tuple, pair: tuple) -> tuple:
+    """WordPiece within-word merge: like BPE's ``_merge_word`` but
+    the joined unit drops the right side's ``##`` marker
+    (``_wp_join``), so unit names stay CLEAN pieces at every depth.
+    Using plain concatenation here left embedded ``##`` in
+    deeply-merged unit names (``##a + ##b -> ##a##b``) while the
+    recorded vocab piece was the clean ``##ab`` — trained units and
+    vocabulary diverged, whole words never reached the vocab, and
+    greedy encode re-fragmented fully-merged corpora (caught by the
+    tokenizer_stats fertility cross-check, r11)."""
+    out, i = [], 0
+    while i < len(sym):
+        if (i + 1 < len(sym) and sym[i] == pair[0]
+                and sym[i + 1] == pair[1]):
+            out.append(_wp_join(sym[i], sym[i + 1]))
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
 def _wordpiece_naive(counts: list, num_merges: int) -> list:
     """The SPEC implementation of the WordPiece merge learner:
     rebuild every pair AND unit count from every word each step,
@@ -703,7 +725,7 @@ def _wordpiece_naive(counts: list, num_merges: int) -> list:
                        float(-score)))
         for w in freq:
             if left in segs[w] or right in segs[w]:
-                segs[w] = _merge_word(segs[w], (left, right))
+                segs[w] = _wp_merge_word(segs[w], (left, right))
     return merges
 
 
@@ -790,7 +812,7 @@ def wordpiece_from_counts(counts: list, num_merges: int) -> list:
         for w in list(where.get((left, right), {})):
             n = freq[w]
             index_word(w, n, -1, touched)
-            segs[w] = _merge_word(segs[w], (left, right))
+            segs[w] = _wp_merge_word(segs[w], (left, right))
             index_word(w, n, +1, touched)
         # scores moved at: pairs with changed counts (touched) and
         # pairs whose ENDPOINT unit count changed (left/right lost
@@ -897,3 +919,77 @@ def wordpiece_encode(df: DataFrame, vocab: DataFrame,
     return (base.mapInPandas(
         run, f"id {id_type}, pieces array<string>, n_pieces long")
         .withColumnRenamed("id", id_col))
+
+
+# ----------------------------------------- tokenizer comparison
+
+def tokenizer_stats(df: DataFrame, vocab_size: int = 8000,
+                    vocab_cap: int = 50000, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Side-by-side evaluation of the three trainable tokenizers
+    (BPE / unigram-LM / WordPiece) on THIS corpus — the numbers that
+    actually pick a tokenizer for a training run:
+
+    - ``fertility``        — pieces per whitespace word (lower =
+      cheaper sequences; 1.0 means every word stayed whole);
+    - ``chars_per_piece``  — compression (higher = denser pieces);
+    - ``vocab_rows``       — the learned artifact's size (merge
+      table / piece vocab);
+    - ``n_unk_pieces``     — WordPiece only: words abandoned to
+      [UNK] (BPE/unigram always segment, so theirs is 0).
+
+    Each tokenizer is trained at comparable size (``vocab_size``
+    merges for BPE, ``vocab_size`` pieces for the others) over the
+    shared bounded word-count table, then the corpus is encoded once
+    per tokenizer (three Arrow passes — this is an EVALUATION verb,
+    priced accordingly). Word/char totals come from one JVM
+    aggregate; every tokenizer sees the same lowercased whitespace
+    words. Returns one row per tokenizer."""
+    from .text import tokens as _toks
+    base = df.agg(
+        F.sum(F.size(F.array_compact(
+            _toks(F.lower(F.col(text_col)))))).alias("words"),
+        F.sum(F.length(F.regexp_replace(
+            F.lower(F.col(text_col)), r"\s+", ""))).alias("chars")
+    ).collect()[0]
+    words, chars = int(base["words"] or 0), int(base["chars"] or 0)
+
+    def stat(name, vocab_rows, pieces, unk):
+        return (name, vocab_rows, pieces,
+                round(pieces / words, 4) if words else None,
+                round(chars / pieces, 4) if pieces else None,
+                unk)
+
+    rows = []
+    merges = train_bpe_merges(df, num_merges=vocab_size,
+                              vocab_cap=vocab_cap,
+                              text_col=text_col, id_col=id_col)
+    n_bpe = int(bpe_encode(df, merges, text_col, id_col)
+                .agg(F.sum("n_bpe_tokens")).collect()[0][0] or 0)
+    rows.append(stat("bpe", merges.count(), n_bpe, 0))
+
+    uvocab = train_unigram(df, vocab_size=vocab_size,
+                           vocab_cap=vocab_cap, text_col=text_col,
+                           id_col=id_col)
+    n_uni = int(unigram_encode(df, uvocab, text_col=text_col,
+                               id_col=id_col)
+                .agg(F.sum("n_pieces")).collect()[0][0] or 0)
+    rows.append(stat("unigram", uvocab.count(), n_uni, 0))
+
+    wvocab = train_wordpiece(df, vocab_size=vocab_size,
+                             vocab_cap=vocab_cap, text_col=text_col,
+                             id_col=id_col)
+    wenc = wordpiece_encode(df, wvocab, text_col=text_col,
+                            id_col=id_col)
+    wrow = wenc.agg(
+        F.sum("n_pieces").alias("p"),
+        F.sum(F.size(F.filter(
+            "pieces", lambda p: p == "[UNK]"))).alias("u")
+    ).collect()[0]
+    rows.append(stat("wordpiece", wvocab.count(),
+                     int(wrow["p"] or 0), int(wrow["u"] or 0)))
+
+    return df.sparkSession.createDataFrame(
+        rows, "tokenizer string, vocab_rows long, "
+              "total_pieces long, fertility double, "
+              "chars_per_piece double, n_unk_pieces long")

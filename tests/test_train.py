@@ -538,3 +538,42 @@ def test_wordpiece_train_encode_spark_roundtrip(docs, spark):
         # tokens() splits on whitespace exactly like str.split here
         assert r["pieces"] == want
         assert r["n_pieces"] == len(want)
+
+
+def test_tokenizer_stats_side_by_side(docs):
+    """tokstats invariants on the fixture corpus: one row per
+    tokenizer; every fertility >= 1 (each word yields at least one
+    piece — [UNK] counts as one); chars_per_piece positive and
+    bounded by the longest word; corpus-trained WordPiece never
+    falls back to [UNK]; total_pieces consistent with fertility."""
+    from metacat_spark.llm.train import tokenizer_stats
+    rows = {r["tokenizer"]: r
+            for r in tokenizer_stats(docs, vocab_size=300,
+                                     vocab_cap=1000).collect()}
+    assert set(rows) == {"bpe", "unigram", "wordpiece"}
+    for name, r in rows.items():
+        assert r["total_pieces"] > 0
+        assert r["fertility"] >= 1.0, (name, r)
+        assert 0 < r["chars_per_piece"] <= 50, (name, r)
+        assert r["vocab_rows"] > 0
+    assert rows["wordpiece"]["n_unk_pieces"] == 0
+    assert rows["bpe"]["n_unk_pieces"] == 0
+
+
+def test_wordpiece_deep_merge_units_stay_clean():
+    """Regression (r11): when a ##-continuation unit is itself the
+    LEFT side of a later merge, the joined unit name must stay a
+    CLEAN piece (##bc + ##d -> ##bcd), not a concatenation with
+    embedded markers (##b##c##d) — the old within-word merge reused
+    BPE's plain concat, so trained units diverged from the recorded
+    vocab and greedy encode re-fragmented fully-merged corpora.
+    Single word 'abcd': lexicographic tie-breaks force the chain
+    ##b+##c -> ##bc, ##bc+##d -> ##bcd, a+##bcd -> abcd."""
+    from metacat_spark.llm.train import (_wp_encode_word,
+                                         _wp_units,
+                                         wordpiece_from_counts)
+    counts = [("abcd", 10)]
+    merges = wordpiece_from_counts(counts, 3)
+    assert [m[3] for m in merges] == ["##bc", "##bcd", "abcd"]
+    vocab = set(_wp_units("abcd")) | {m[3] for m in merges}
+    assert _wp_encode_word("abcd", vocab) == ["abcd"]
