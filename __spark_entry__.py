@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 143
+TOTAL_ENTRIES = 144
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -732,6 +732,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               {"n": ("count", None)})
                 .select(F.col("core_data_type").alias("value"), "n"))
     q["meta_value_histogram"] = meta_histogram
+
+    def meta_numeric_profile(spark, sf_dir):
+        """Numeric distribution profile (engine.profile — the
+        DuckDB-SUMMARIZE / pandas-describe shape): one row per
+        attribute/metadata key with count, nulls, min/max, mean,
+        sample stddev and exact quartiles, all from ONE scan + ONE
+        aggregate unpivoted by stack. Exact percentiles replay as
+        DuckDB quantile_cont; NaN-below-two-values stddev is
+        normalized to NULL on both engines."""
+        eng = _engine(spark, sf_dir)
+        return eng.profile("files from test:all",
+                           ["size", "core.run", "core.x"])
+    q["meta_numeric_profile"] = meta_numeric_profile
 
     def multimodal_frame_plan(spark, sf_dir):
         from metacat_spark.llm import multimodal as MM
@@ -2005,6 +2018,24 @@ def oracle_sql() -> dict[str, str]:
     o["meta_value_histogram"] = _o(
         f"select m_core_data_type as value, count(*) as n from files "
         f"where {active} and {_member('test', 'all')} group by 1")
+
+    def _prof(key, col):
+        return f"""
+        select '{key}' as key, count(x) as n,
+               count(*) - count(x) as n_null,
+               round(min(x), 6) as min, round(max(x), 6) as max,
+               round(avg(x), 6) as avg,
+               case when count(x) > 1
+                    then round(stddev_samp(x), 6) end as stddev,
+               round(quantile_cont(x, 0.25), 6) as p25,
+               round(quantile_cont(x, 0.5), 6) as p50,
+               round(quantile_cont(x, 0.75), 6) as p75
+        from (select cast({col} as double) as x from files
+              where {active} and {_member('test', 'all')})"""
+    o["meta_numeric_profile"] = _o(
+        " union all ".join([_prof("size", "size"),
+                            _prof("core.run", "m_core_run"),
+                            _prof("core.x", "m_core_x")]))
 
     # summary=key-values: generated from the SAME MetaSchema the engine
     # reads, so the canonical (key, vtype, value) contract cannot drift

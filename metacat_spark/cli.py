@@ -303,6 +303,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-p", "-P", "--with-provenance", action="store_true")
     q.add_argument("-s", "--summary", choices=["count", "keys",
                                                "key-values"])
+    q.add_argument("--profile", default=None, metavar="KEYS",
+                   help="comma list of numeric attributes / dotted "
+                        "metadata keys: print a distribution "
+                        "profile (count/nulls/min/max/avg/stddev/"
+                        "quartiles) of the file set instead of rows")
     q.add_argument("-N", "--namespace", default=None)
     q.add_argument("-r", "--include-retired", action="store_true")
     q.add_argument("-i", "--ids", action="store_true",
@@ -1428,6 +1433,14 @@ def _cmd_query(engine, dml, args):
             mql = f.read()
     if args.explain:
         print(engine.explain(mql, default_namespace=args.namespace))
+        return 0
+    if args.profile:
+        prof = engine.profile(
+            mql, [k.strip() for k in args.profile.split(",")
+                  if k.strip()],
+            include_retired=args.include_retired,
+            default_namespace=args.namespace)
+        _print_rows(prof, args.json)
         return 0
 
     keys = args.meta_keys

@@ -601,6 +601,82 @@ class Engine:
                 # the full-sort cost of exactness isn't warranted
                 "median": lambda c: F.percentile(c, F.lit(0.5))}
 
+    def _resolve_value(self, key: str, numeric: bool = False):
+        """(column, schema_free) for an attribute or dotted metadata
+        key: schema_free marks values that arrive as STRINGS with no
+        type information (JSON fallback / variant mode) — shared by
+        the aggregation API and profile()."""
+        if key in FILE_ATTRIBUTES:
+            return F.col(key), False
+        col, mtype = self.file_pred._scalar_column(key)
+        if mtype.startswith("variant:"):
+            # variant mode: _scalar_column returns a lit(None)
+            # placeholder (only _typed() materializes the getter)
+            # — extract as string here, like the JSON fallback
+            vkey = mtype[len("variant:"):]
+            col = F.try_variant_get(
+                F.col(self.file_pred.variant_column),
+                f"$['{vkey}']", "string")
+            mtype = "json"
+        if numeric and mtype == "json":
+            # schema-on-read string -> numeric for sum/avg/median
+            # (ANSI mode rejects implicit string arithmetic;
+            # try_cast nulls non-numeric values instead)
+            return col.try_cast("double"), False
+        return col, mtype == "json"
+
+    def profile(self, text: str, keys: list,
+                include_retired: bool = False,
+                default_namespace: Optional[str] = None) -> DataFrame:
+        """Numeric distribution profile of attributes / dotted
+        metadata keys over a file set — the DuckDB-SUMMARIZE /
+        pandas-describe companion to the GUI's value histogram
+        (``_meta_stats`` buckets VALUES; this profiles
+        DISTRIBUTIONS). One row per key:
+
+            (key, n, n_null, min, max, avg, stddev, p25, p50, p75)
+
+        computed in ONE scan + ONE aggregate (k×9 aggregate
+        expressions, map-side combinable except the exact
+        percentiles), then unpivoted with ``stack`` — no per-key
+        jobs. Percentiles are exact linear interpolation (DuckDB
+        quantile_cont parity — swap percentile_approx at 100 TB per
+        the quality-gate contract); stddev is the sample form and
+        NULL below two values (Spark's NaN is normalized so both
+        engines agree). Every numeric resolves through the same
+        shredded/JSON/variant machinery as predicates — schema-free
+        string values try_cast to double, non-numerics profile as
+        NULL."""
+        df = self.file_set(text, include_retired, default_namespace)
+        sel, aggs = [], [F.count("*").alias("_total")]
+        for i, k in enumerate(keys):
+            col, _ = self._resolve_value(k, numeric=True)
+            c = F.col(f"_k{i}")
+            sel.append(col.try_cast("double").alias(f"_k{i}"))
+            aggs += [
+                F.count(c).alias(f"n_{i}"),
+                F.round(F.min(c), 6).alias(f"min_{i}"),
+                F.round(F.max(c), 6).alias(f"max_{i}"),
+                F.round(F.avg(c), 6).alias(f"avg_{i}"),
+                F.when(F.count(c) > 1,
+                       F.round(F.stddev_samp(c), 6))
+                .alias(f"std_{i}"),
+                F.round(F.percentile(c, F.lit(0.25)), 6)
+                .alias(f"p25_{i}"),
+                F.round(F.percentile(c, F.lit(0.5)), 6)
+                .alias(f"p50_{i}"),
+                F.round(F.percentile(c, F.lit(0.75)), 6)
+                .alias(f"p75_{i}"),
+            ]
+        agged = df.select(*sel).agg(*aggs)
+        parts = [
+            (f"'{k}', n_{i}, _total - n_{i}, min_{i}, max_{i}, "
+             f"avg_{i}, std_{i}, p25_{i}, p50_{i}, p75_{i}")
+            for i, k in enumerate(keys)]
+        return agged.selectExpr(
+            f"stack({len(keys)}, {', '.join(parts)}) as "
+            f"(key, n, n_null, min, max, avg, stddev, p25, p50, p75)")
+
     def aggregate(self, text: str, group_by: list,
                   aggs: dict, cube: bool = False,
                   include_retired: bool = False,
@@ -616,30 +692,7 @@ class Engine:
         attribute, a dotted metadata key, or None for count.
         """
         df = self.file_set(text, include_retired, default_namespace)
-
-        def resolve(key: str, numeric: bool = False):
-            """(column, schema_free): schema_free marks values that
-            arrive as STRINGS with no type information (JSON fallback
-            / variant mode)."""
-            if key in FILE_ATTRIBUTES:
-                return F.col(key), False
-            col, mtype = self.file_pred._scalar_column(key)
-            if mtype.startswith("variant:"):
-                # variant mode: _scalar_column returns a lit(None)
-                # placeholder (only _typed() materializes the getter)
-                # — extract as string here, like the JSON fallback
-                vkey = mtype[len("variant:"):]
-                col = F.try_variant_get(
-                    F.col(self.file_pred.variant_column),
-                    f"$['{vkey}']", "string")
-                mtype = "json"
-            if numeric and mtype == "json":
-                # schema-on-read string -> numeric for sum/avg/median
-                # (ANSI mode rejects implicit string arithmetic;
-                # try_cast nulls non-numeric values instead)
-                return col.try_cast("double"), False
-            return col, mtype == "json"
-
+        resolve = self._resolve_value
         numeric_fns = {"sum", "avg", "median"}
         gnames = [k.replace(".", "_") for k in group_by]
         sel = [resolve(k)[0].alias(n) for k, n in zip(group_by, gnames)]

@@ -306,3 +306,26 @@ def test_glob_underscore_is_literal(engine, spark):
         "datasets matching dune:urgent_*").select("name").collect()}
     assert "urgentX0" not in names
     assert any(n.startswith("urgent_") for n in names)
+
+
+def test_profile_edges(engine):
+    """engine.profile edge cases (the happy path is the
+    oracle-twinned meta_numeric_profile entry): an empty file set
+    still yields one row per key with n=0 and NULL stats; a string
+    key profiles as all-NULL numerics (try_cast) rather than
+    erroring; NULL-below-two-values stddev."""
+    rows = {r["key"]: r for r in engine.profile(
+        "files from test:all where core.run > 99999",
+        ["size", "core.run"]).collect()}
+    assert set(rows) == {"size", "core.run"}
+    for r in rows.values():
+        assert r["n"] == 0 and r["n_null"] == 0
+        assert r["min"] is None and r["stddev"] is None
+        assert r["p50"] is None
+    one = {r["key"]: r for r in engine.profile(
+        "files from test:all", ["core.data_type"]).collect()}
+    # non-numeric string values try_cast to NULL: n counts NUMERIC
+    # values only, the rest land in n_null
+    r = one["core.data_type"]
+    assert r["n"] == 0 and r["n_null"] > 0
+    assert r["stddev"] is None and r["avg"] is None
