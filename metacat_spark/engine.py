@@ -22,6 +22,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 from typing import Optional
 
@@ -648,6 +649,15 @@ class Engine:
         string values try_cast to double, non-numerics profile as
         NULL."""
         df = self.file_set(text, include_retired, default_namespace)
+        if not keys:
+            raise QueryError("profile() needs at least one key")
+        for k in keys:
+            # key names are interpolated into the stack() SQL below —
+            # restrict to the dotted-identifier alphabet so a quoted
+            # or malformed key is a clean error, not a SQL parse
+            # traceback
+            if not re.fullmatch(r"[A-Za-z0-9_.\-]+", k):
+                raise QueryError(f"profile(): bad key {k!r}")
         sel, aggs = [], [F.count("*").alias("_total")]
         for i, k in enumerate(keys):
             col, _ = self._resolve_value(k, numeric=True)

@@ -329,3 +329,12 @@ def test_profile_edges(engine):
     r = one["core.data_type"]
     assert r["n"] == 0 and r["n_null"] > 0
     assert r["stddev"] is None and r["avg"] is None
+
+
+def test_profile_bad_key_is_clean_error(engine):
+    from metacat_spark.engine import QueryError
+    import pytest as _pt
+    with _pt.raises(QueryError, match="bad key"):
+        engine.profile("files from test:all", ["si'ze"])
+    with _pt.raises(QueryError, match="at least one"):
+        engine.profile("files from test:all", [])
