@@ -136,9 +136,11 @@ MARKUP_STEPS = [
     (r"(?s)<!--.*?-->", " "),               # comments
     (r"(?is)</?(?:br|p|div|li|tr|h[1-6])\b[^>]*>", "\n"),
     (r"(?s)<[^>]+>", " "),                  # every remaining tag
-    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"),
-    (r"&gt;", ">"), (r"&quot;", "\""), (r"&#0*39;", "'"),
-    (r"&#0*34;", "\""), (r"&apos;", "'"),
+    # entities: &amp; must unescape LAST, or "&amp;lt;" (the literal
+    # text "&lt;") would double-unescape into "<"
+    (r"&nbsp;", " "), (r"&lt;", "<"), (r"&gt;", ">"),
+    (r"&quot;", "\""), (r"&#0*39;", "'"), (r"&#0*34;", "\""),
+    (r"&apos;", "'"), (r"&amp;", "&"),
     (r"[ \t\x0b\f\r]+", " "),               # collapse blanks
     (r" ?\n ?", "\n"), (r"\n{2,}", "\n"),   # tidy line structure
     (r"(?s)^\s+", ""), (r"(?s)\s+$", ""),     # trim (incl. newlines)

@@ -3055,6 +3055,13 @@ def test_strip_markup_planted_html(spark):
     assert got[2]["text_clean"] == "plain text stays"
     assert not got[2]["changed"] and got[2]["n_chars_removed"] == 0
     assert got[3]["text_clean"] == "spaced out text"
+    # double-escaped entities unescape exactly ONE level: the
+    # literal text "&lt;" stays "&lt;", it does not become "<"
+    esc = spark.createDataFrame(
+        [(9, "a &amp;lt; b &amp;amp; c")],
+        "doc_id long, text string")
+    assert strip_markup(esc).collect()[0]["text_clean"] == \
+        "a &lt; b &amp; c"
     # DuckDB replay of the generated chain on the same rows
     import __spark_entry__ as entrymod
     sql = entrymod.oracle_sql()["doc_strip_markup"]
