@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 144
+TOTAL_ENTRIES = 145
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1642,6 +1642,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "n_tokens", "score",
                           F.col("rank").cast("long").alias("rank"))
     q["search_bm25"] = search_bm25_entry
+
+    def search_bm25_index_entry(spark, sf_dir):
+        """BM25 served from the persistable inverted index
+        (llm/search.py build_text_index → search_text_index — the
+        keyword-search train-once/serve-many split, r11): the scan
+        touches only the query terms' postings/df rows; per-term
+        contributions pivot into columns and sum in the batch
+        scorer's term order, idf/avgdl computed in-plan from the
+        stored counts — pinned row-for-row equal to search_bm25,
+        and hash-checked here against the SAME DuckDB oracle."""
+        from metacat_spark.llm import search as SR
+        docs = _docs(spark, sf_dir)
+        out = SR.search_text_index(SR.build_text_index(docs),
+                                   _BM25_QUERY, k=10)
+        return out.select("doc_id", "n_tokens", "score",
+                          F.col("rank").cast("long").alias("rank"))
+    q["search_bm25_index"] = search_bm25_index_entry
 
     def search_hybrid(spark, sf_dir):
         """Hybrid retrieval (llm/search.py hybrid_rrf): Reciprocal
@@ -3616,6 +3633,7 @@ def oracle_sql() -> dict[str, str]:
                row_number() over (order by score desc, doc_id) as rank
         from scored where score > 0
         qualify rank <= 10"""
+    o["search_bm25_index"] = o["search_bm25"]
 
     o["search_hybrid_rrf"] = f"""
         with scored as ({_bm25}),

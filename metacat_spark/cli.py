@@ -650,14 +650,30 @@ def build_parser() -> argparse.ArgumentParser:
     cml.add_argument("--target", required=True,
                      help="parquet path of the in-domain corpus")
     csr = cs.add_parser("search", help="BM25 keyword search "
-                        "(top-k docs for a term query)")
+                        "(top-k docs for a term query; "
+                        "--build-index/--index for the "
+                        "train-once/serve-many split)")
     _corpus_common(csr)
-    csr.add_argument("--query", required=True,
-                     help="space-separated query terms")
+    csr.add_argument("--query", default=None,
+                     help="space-separated query terms (required "
+                          "unless --build-index/--extend)")
     # no argparse default: the registry default (k=10) is the single
     # source shared with the HTTP surface
     csr.add_argument("-k", type=int, help="results to return "
                      "(default 10)")
+    csr.add_argument("--build-index", action="store_true",
+                     dest="build_index",
+                     help="emit the persistable inverted index "
+                          "(postings + df + corpus stats) instead "
+                          "of searching — write with -o")
+    csr.add_argument("--index",
+                     help="serve the query from a stored inverted "
+                          "index (parquet path) instead of "
+                          "scanning the corpus")
+    csr.add_argument("--extend", action="store_true",
+                     help="with --index: add this corpus to the "
+                          "stored index and emit the merged "
+                          "artifact (write with -o)")
     chy = cs.add_parser("hybrid", help="hybrid retrieval: BM25 + "
                         "embedding-cosine ranks fused by RRF")
     _corpus_common(chy)

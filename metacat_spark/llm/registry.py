@@ -372,11 +372,38 @@ def _op_moorelewis(ctx: OpContext) -> DataFrame:
 def _op_search(ctx: OpContext) -> DataFrame:
     # BM25 keyword search; library ValueError (e.g. whitespace-only
     # query) surfaces as OpError so both surfaces keep the clean
-    # bad-parameter contract (review r9)
-    from .search import search_bm25
-    terms = ctx.require(
-        "query", "search needs query=<space-separated terms>").split()
+    # bad-parameter contract (review r9). r11 index verbs (the
+    # train-once/serve-many split): --build-index emits the
+    # persistable inverted index (write with -o), --index serves
+    # queries from a stored one, --extend adds the served corpus to
+    # a stored index (write the merged artifact with -o).
+    from .search import (build_text_index, extend_text_index,
+                         search_bm25, search_text_index)
+    build = ctx.flag("build_index")
+    extend = ctx.flag("extend")
+    idx = ctx.param("index")
+    if build and (idx is not None or extend):
+        raise OpError("search: --build-index creates a NEW index — "
+                      "it cannot take --index/--extend")
+    if (build or extend) and ctx.param("query") is not None:
+        raise OpError("search: --build-index/--extend index the "
+                      "corpus; they take no --query (serve with "
+                      "--index --query)")
     try:
+        if build:
+            return build_text_index(ctx.docs())
+        if extend:
+            if idx is None:
+                raise OpError("search: --extend needs --index "
+                              "<stored index table>")
+            return extend_text_index(ctx.corpus(str(idx)),
+                                     ctx.docs())
+        terms = ctx.require(
+            "query",
+            "search needs query=<space-separated terms>").split()
+        if idx is not None:
+            return search_text_index(ctx.corpus(str(idx)), terms,
+                                     k=ctx.int_param("k", 10))
         return search_bm25(ctx.docs(), terms,
                            k=ctx.int_param("k", 10))
     except ValueError as e:

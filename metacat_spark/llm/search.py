@@ -548,3 +548,182 @@ def hybrid_stream_topk(spark, docs_dir: str, embs_dir: str,
         _qvec=qvec)
         .select("id", F.col("rank").alias("vec_rank")))
     return _rrf_fuse(kw, vec, kappa, k, id_col)
+
+
+# ------------------------------------------- inverted index (BM25)
+
+def build_text_index(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Build a persistable BM25 inverted index — the keyword-search
+    counterpart of ``build_ivfpq_index``'s train-once/serve-many
+    split: write the result to parquet once, then serve every query
+    from storage with ``search_text_index`` without rescanning the
+    corpus. One (kind, term, id, tf, dl) table carries all three
+    parts:
+
+    - kind='post'  — one row per (document, distinct term): term
+      frequency and the document's token length (denormalized so
+      scoring never joins back to the corpus);
+    - kind='df'    — per-term document frequency;
+    - kind='stat'  — three corpus scalars keyed by ``term``:
+      ``n`` (document count), ``sum_dl`` / ``n_dl`` (token-length
+      sum and non-null count, so serve derives avgdl by the SAME
+      division F.avg performs — storing sums instead of the average
+      is also what makes ``extend_text_index`` exact: integer-valued
+      doubles add associatively below 2^53).
+
+    Tokenization is the corpus-standard lowercased whitespace split;
+    dl counts empty-token positions (matching ``bm25_scores``), the
+    postings drop them (an empty string is never a query term).
+
+    Scale: one corpus scan + one (id, term) aggregate; partition the
+    written table by ``kind`` (and bucket postings by term) and a
+    query's scan prunes to its own terms' postings."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"),
+                     toks.alias("__t"),
+                     F.size(toks).cast("double").alias("__dl"))
+    posts = (base.select("id", "__dl",
+                         F.explode("__t").alias("term"))
+             .where(F.col("term") != "")
+             .groupBy("id", "__dl", "term")
+             .agg(F.count("*").cast("double").alias("tf"))
+             .select(F.lit("post").alias("kind"), "term", "id",
+                     "tf", F.col("__dl").alias("dl")))
+    dfs = (posts.groupBy("term")
+           .agg(F.count("*").cast("double").alias("tf"))
+           .select(F.lit("df").alias("kind"), "term",
+                   F.lit(None).cast(posts.schema["id"].dataType)
+                   .alias("id"), "tf",
+                   F.lit(None).cast("double").alias("dl")))
+    stats = base.agg(
+        F.count("*").cast("double").alias("__sn"),
+        F.sum("__dl").alias("__ssum"),
+        F.count("__dl").cast("double").alias("__sndl"))
+    id_null = F.lit(None).cast(posts.schema["id"].dataType)
+    stat_rows = stats.select(F.explode(F.array(
+        F.struct(F.lit("n").alias("term"), F.col("__sn").alias("tf")),
+        F.struct(F.lit("sum_dl").alias("term"),
+                 F.col("__ssum").alias("tf")),
+        F.struct(F.lit("n_dl").alias("term"),
+                 F.col("__sndl").alias("tf")))).alias("s")).select(
+        F.lit("stat").alias("kind"), F.col("s.term").alias("term"),
+        id_null.alias("id"), F.col("s.tf").alias("tf"),
+        F.lit(None).cast("double").alias("dl"))
+    return posts.unionByName(dfs).unionByName(stat_rows)
+
+
+def _decode_text_index_stats(index: DataFrame):
+    """The broadcastable 1-row (n, avgdl) stats from a
+    build_text_index table; raises ValueError on a table that is not
+    a well-formed artifact."""
+    want = {"kind", "term", "id", "tf", "dl"}
+    if not want <= set(index.columns):
+        raise ValueError("search_text_index: index table must have "
+                         f"columns {sorted(want)} (from "
+                         f"build_text_index)")
+    stats = (index.where(F.col("kind") == "stat")
+             .groupBy().pivot("term", ["n", "sum_dl", "n_dl"])
+             .agg(F.first("tf")))
+    return stats.select(
+        F.col("n").alias("__n"),
+        F.try_divide(F.col("sum_dl"), F.col("n_dl"))
+        .alias("__avgdl"))
+
+
+def search_text_index(index: DataFrame, query_terms, k: int = 10,
+                      k1: float = 1.2, b: float = 0.75,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Serve a BM25 query from a STORED inverted index (the artifact
+    of ``build_text_index``, possibly parquet-round-tripped): the
+    scan touches only the query terms' postings and df rows — at
+    scale (kind-partitioned, term-bucketed storage) that is
+    pruning-friendly instead of a full-corpus scan per query.
+
+    Pinned row-for-row equal to ``search_bm25`` over the indexed
+    corpus: per-term contributions are pivoted into COLUMNS and
+    summed in term order with try_divide guards — the identical
+    float operation sequence as the batch scorer (a groupBy-sum
+    over contribution rows would fold in partition order and could
+    differ in the last ulp), and idf/avgdl are computed IN-PLAN from
+    the stored counts with the same expressions, not driver-side
+    floats."""
+    terms = _dedupe_terms(query_terms)
+    stats = _decode_text_index_stats(index)
+    post = (index.where((F.col("kind") == "post")
+                        & F.col("term").isin(terms))
+            .select("term", F.col("id").alias("__qid"), "tf",
+                    F.col("dl").alias("__dl")))
+    dfrows = (index.where((F.col("kind") == "df")
+                          & F.col("term").isin(terms))
+              .select("term", F.col("tf").alias("__df")))
+    j = (post.join(F.broadcast(dfrows), "term")
+         .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.try_divide(
+        F.col("__dl"), F.col("__avgdl")))
+    contrib = idf * F.try_divide(F.col("tf") * (k1 + 1.0), denom)
+    pivoted = (j.select("__qid", "__dl", "term",
+                        contrib.alias("__c"))
+               .groupBy("__qid")
+               .pivot("term", terms)
+               .agg(F.first("__c").alias("c"),
+                    F.first("__dl").alias("dl")))
+    # pivot with two aggs names columns "<term>_c" / "<term>_dl";
+    # sum contributions in the term order the batch scorer uses
+    score = F.lit(0.0)
+    for t in terms:
+        score = score + F.coalesce(F.col(f"`{t}_c`"), F.lit(0.0))
+    n_tok = F.coalesce(
+        *[F.col(f"`{t}_dl`") for t in terms]).cast("long")
+    scored = pivoted.select(
+        F.col("__qid").alias(id_col), n_tok.alias("n_tokens"),
+        F.round(score, 6).alias("score"))
+    top = (scored.where(F.col("score") > 0)
+           .orderBy(F.col("score").desc(), F.col(id_col))
+           .limit(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def extend_text_index(index: DataFrame,
+                      new_docs: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The incremental-ADD verb for a stored inverted index: index
+    the NEW documents alone (row-local postings) and merge the
+    bounded df/stat parts — extend(build(A), B) is EXACTLY
+    build(A ∪ B) (postings are per-doc; df and the stat sums are
+    integer-valued doubles, so the merge adds the same numbers the
+    full rebuild would count — pinned by test). At scale the
+    postings union is a parquet append; only the tiny df/stat
+    partitions rewrite. Re-adding an id that is already indexed
+    duplicates its postings (delete is not part of this index's
+    contract — rebuild for removals)."""
+    _decode_text_index_stats(index)        # validate the artifact
+    new = build_text_index(new_docs, text_col, id_col)
+    posts = (index.where(F.col("kind") == "post")
+             .unionByName(new.where(F.col("kind") == "post")))
+    old_df = (index.where(F.col("kind") == "df")
+              .select("term", F.col("tf").alias("__a")))
+    new_df = (new.where(F.col("kind") == "df")
+              .select("term", F.col("tf").alias("__b")))
+    id_t = index.schema["id"].dataType
+    dfs = (old_df.join(new_df, "term", "full_outer")
+           .select(F.lit("df").alias("kind"), "term",
+                   F.lit(None).cast(id_t).alias("id"),
+                   (F.coalesce("__a", F.lit(0.0))
+                    + F.coalesce("__b", F.lit(0.0))).alias("tf"),
+                   F.lit(None).cast("double").alias("dl")))
+    stats = (index.where(F.col("kind") == "stat")
+             .select("term", F.col("tf").alias("__a"))
+             .join(new.where(F.col("kind") == "stat")
+                   .select("term", F.col("tf").alias("__b")),
+                   "term", "full_outer")
+             .select(F.lit("stat").alias("kind"), "term",
+                     F.lit(None).cast(id_t).alias("id"),
+                     (F.coalesce("__a", F.lit(0.0))
+                      + F.coalesce("__b", F.lit(0.0))).alias("tf"),
+                     F.lit(None).cast("double").alias("dl")))
+    return posts.unionByName(dfs).unionByName(stats)

@@ -1058,3 +1058,33 @@ def test_corpus_ann_recall(capsys, tmp_path):
     rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
                 "--recall", "--build-index")
     assert rc == 2
+
+
+def test_corpus_search_index_verbs(capsys, tmp_path):
+    """Keyword-search index lifecycle over the CLI: build, serve
+    (== corpus-scan search), extend; loud verb conflicts."""
+    idx = str(tmp_path / "kw_idx")
+    rc, _ = run(capsys, "corpus", "search", "--build-index",
+                "-o", idx)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "search", "--index", idx,
+                  "--query", "spark window merge", "-k", "5", "-j")
+    served = out.splitlines()
+    rc, out = run(capsys, "corpus", "search", "--query",
+                  "spark window merge", "-k", "5", "-j")
+    assert rc == 0 and served == out.splitlines() and served
+    ext = str(tmp_path / "kw_idx2")
+    rc, _ = run(capsys, "corpus", "search", "--extend", "--index",
+                idx, "-o", ext)
+    assert rc == 0
+    # verb misuse is loud
+    rc, _ = run(capsys, "corpus", "search", "--build-index",
+                "--index", idx)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search", "--build-index",
+                "--query", "spark")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search", "--extend")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search")
+    assert rc == 2

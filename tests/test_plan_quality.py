@@ -561,3 +561,23 @@ def test_perplexity_buckets_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower()
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin",
                           plan)) == 3
+
+
+def test_text_index_serve_prunes_and_stays_jvm(spark, tmp_path):
+    """Serving a query from the stored inverted index must read only
+    the query terms' rows (PushedFilters on kind/term reach the
+    parquet scan), keep everything JVM-side, and end in a top-k —
+    never a global sort of the postings."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          search_text_index)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "text_idx_plan")
+    build_text_index(docs).write.parquet(path)
+    plan = plan_of(search_text_index(spark.read.parquet(path),
+                                     ["spark", "merge"], k=5))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(ln for ln in plan.splitlines()
+                      if "PushedFilters" in ln)
+    assert "kind" in pushed and "term" in pushed

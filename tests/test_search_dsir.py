@@ -978,3 +978,68 @@ def test_ann_recall_gauge(embs):
     assert crow["n_queries"] == n_q            # truth defines the set
     assert crow["recall"] == pytest.approx(
         (row["n_pairs"] - 3) / row["n_pairs"], abs=1e-6)
+
+
+def test_text_index_build_serve_extend(docs, spark, tmp_path):
+    """The keyword-search train-once/serve-many triad (r11):
+
+    1. serve-from-index == search_bm25 row-for-row (scores pivoted
+       into columns and summed in the batch scorer's term order —
+       identical float sequence), through a parquet round-trip;
+    2. extend(build(A), B) serves EXACTLY like build(A ∪ B) (df and
+       stat sums are integer-valued doubles — associative), and its
+       postings equal the full rebuild's as a set;
+    3. unknown terms / malformed artifacts / empty queries are clean
+       errors or empty results, never wrong answers."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          extend_text_index,
+                                          search_bm25,
+                                          search_text_index)
+    terms = ["spark", "window", "merge"]
+    idx = build_text_index(docs)
+    path = str(tmp_path / "text_idx")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    for q in (terms, ["spark"], ["the", "data"]):
+        served = [(r["doc_id"], r["n_tokens"], r["score"], r["rank"])
+                  for r in search_text_index(stored, q, k=10)
+                  .collect()]
+        batch = [(r["doc_id"], r["n_tokens"], r["score"], r["rank"])
+                 for r in search_bm25(docs, q, k=10).collect()]
+        assert served == batch and served, q
+    # unknown term contributes nothing; all-unknown query matches
+    # nothing (score 0 everywhere)
+    assert search_text_index(stored, ["zzznotaword"], k=5) \
+        .count() == 0
+    both = [(r["doc_id"], r["score"]) for r in search_text_index(
+        stored, ["spark", "zzznotaword"], k=10).collect()]
+    only = [(r["doc_id"], r["score"]) for r in search_text_index(
+        stored, ["spark"], k=10).collect()]
+    assert both == only
+    # incremental add: halves == full rebuild
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    ext = extend_text_index(build_text_index(a), b)
+    full = build_text_index(docs)
+    srv_ext = [(r["doc_id"], r["score"], r["rank"])
+               for r in search_text_index(ext, terms, k=10)
+               .collect()]
+    srv_full = [(r["doc_id"], r["score"], r["rank"])
+                for r in search_text_index(full, terms, k=10)
+                .collect()]
+    assert srv_ext == srv_full and srv_ext
+    post_ext = {(r["term"], r["id"], r["tf"], r["dl"])
+                for r in ext.where("kind = 'post'").collect()}
+    post_full = {(r["term"], r["id"], r["tf"], r["dl"])
+                 for r in full.where("kind = 'post'").collect()}
+    assert post_ext == post_full
+    dfs_ext = {(r["term"], r["tf"])
+               for r in ext.where("kind = 'df'").collect()}
+    dfs_full = {(r["term"], r["tf"])
+                for r in full.where("kind = 'df'").collect()}
+    assert dfs_ext == dfs_full
+    # malformed artifact / empty query are clean errors
+    with pytest.raises(ValueError, match="columns"):
+        search_text_index(docs, terms)
+    with pytest.raises(ValueError, match="at least one"):
+        search_text_index(stored, [""])
