@@ -687,6 +687,17 @@ def build_parser() -> argparse.ArgumentParser:
                           "(default 50)")
     chy.add_argument("-k", type=int, help="fused results to return "
                      "(default 10)")
+    chy.add_argument("--kwindex", help="served mode: stored "
+                     "inverted-index parquet path (needs --postings "
+                     "and --vec-index too)")
+    chy.add_argument("--postings", help="served mode: stored IVF-PQ "
+                     "postings parquet path")
+    chy.add_argument("--vec-index", dest="vecindex",
+                     help="served mode: stored IVF-PQ index "
+                          "parquet path")
+    chy.add_argument("--n-probe", type=int, dest="n_probe",
+                     help="served mode: IVF lists probed "
+                          "(default 4)")
     chs = cs.add_parser("hybrid-stream",
                         help="streaming hybrid retrieval: drain a "
                              "documents stream and an embeddings "

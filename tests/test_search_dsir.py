@@ -1043,3 +1043,41 @@ def test_text_index_build_serve_extend(docs, spark, tmp_path):
         search_text_index(docs, terms)
     with pytest.raises(ValueError, match="at least one"):
         search_text_index(stored, [""])
+
+
+def test_hybrid_from_indexes_equals_batch(docs, embs, spark,
+                                          tmp_path):
+    """Served hybrid == batch hybrid_rrf when the vector side is
+    exhaustive: text index from the corpus, IVF-PQ postings encoding
+    every embedding EXCEPT the query's own row (cosine_topn excludes
+    it), n_probe = n_lists, rerank=True. Both artifacts
+    parquet-round-tripped."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          hybrid_from_indexes,
+                                          hybrid_rrf)
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq)
+    terms = ["spark", "window", "merge"]
+    tpath = str(tmp_path / "h_tidx")
+    build_text_index(docs).write.parquet(tpath)
+    vidx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                             train_iters=1)
+    vpath = str(tmp_path / "h_vidx")
+    vidx.write.parquet(vpath)
+    ppath = str(tmp_path / "h_posts")
+    encode_ivfpq(embs.where("vec_id <> 0"),
+                 spark.read.parquet(vpath)).write.parquet(ppath)
+    qvec = [float(x) for x in embs.where("vec_id = 0")
+            .first()["embedding"]]
+    served = [(r["doc_id"], r["kw_rank"], r["vec_rank"], r["rrf"],
+               r["rank"])
+              for r in hybrid_from_indexes(
+                  spark, spark.read.parquet(tpath),
+                  spark.read.parquet(ppath),
+                  spark.read.parquet(vpath), terms, qvec,
+                  n=20, k=10, n_probe=8).collect()]
+    batch = [(r["doc_id"], r["kw_rank"], r["vec_rank"], r["rrf"],
+              r["rank"])
+             for r in hybrid_rrf(docs, embs, terms, 0,
+                                 n=20, k=10).collect()]
+    assert served == batch and served
