@@ -303,9 +303,11 @@ def test_corpus_search_hybrid_dsir(capsys):
     rows = [json.loads(ln) for ln in out.splitlines()]
     assert rc == 0 and len(rows) == 5
     assert all(r["dsir_logw"] == 0.0 for r in rows)
-    # missing --query / --vec / --target are argparse exits (rc 2)
-    with pytest.raises(SystemExit):
-        run(capsys, "corpus", "search")
+    # missing --query is a loud rc-2 (r11: the registry's require()
+    # took over from argparse's required=True when --build-index
+    # made the flag optional — the same message now serves HTTP too)
+    rc, _ = run(capsys, "corpus", "search")
+    assert rc == 2
     # whitespace-only query / absent vec_id: library ValueError →
     # OpError → clean rc 2, not a traceback (review r9)
     rc, _ = run(capsys, "corpus", "search", "--query", "   ")
