@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 145
+TOTAL_ENTRIES = 146
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1676,6 +1676,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_rank").cast("long").alias("vec_rank"),
             "rrf", F.col("rank").cast("long").alias("rank"))
     q["search_hybrid_rrf"] = search_hybrid
+
+    def search_hybrid_served(spark, sf_dir):
+        """The SERVED hybrid stack (llm/search.py
+        hybrid_from_indexes, r11): keyword list from the stored
+        inverted index (build_text_index), vector list from stored
+        IVF-PQ postings (encode_ivfpq of every embedding except the
+        query's own row — cosine_topn excludes it), exhaustive
+        probes + exact rerank, fused by the shared _rrf_fuse.
+        Nothing rescans a corpus at query time, yet the result is
+        hash-checked against the SAME DuckDB oracle as the batch
+        hybrid — the serving path proves itself equal to the scan
+        path on every value."""
+        from metacat_spark.llm import search as SR
+        from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                                  encode_ivfpq)
+        docs, embs = _docs(spark, sf_dir), _embs(spark, sf_dir)
+        tidx = SR.build_text_index(docs)
+        vidx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                                 train_iters=1)
+        posts = encode_ivfpq(embs.where("vec_id <> 0"), vidx)
+        qvec = [float(x) for x in embs.where("vec_id = 0")
+                .first()["embedding"]]
+        out = SR.hybrid_from_indexes(spark, tidx, posts, vidx,
+                                     _BM25_QUERY, qvec, n=20, k=10,
+                                     n_probe=8)
+        return out.select(
+            "doc_id",
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf", F.col("rank").cast("long").alias("rank"))
+    q["search_hybrid_served"] = search_hybrid_served
 
     def dsir_weights(spark, sf_dir):
         """DSIR importance weights (llm/text.py dsir_logweights, Xie
@@ -3664,6 +3695,7 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, kw_rank, vec_rank, rrf,
                row_number() over (order by rrf desc, doc_id) as rank
         from fused qualify rank <= 10"""
+    o["search_hybrid_served"] = o["search_hybrid_rrf"]
 
     # DSIR: hashed-bigram importance weights — the rolling hash over
     # 'w1 w2' is the shared poly_hash (acc*31 + code mod 2^31−1)
