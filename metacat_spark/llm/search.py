@@ -614,21 +614,28 @@ def build_text_index(df: DataFrame, text_col: str = "text",
 
 
 def _decode_text_index_stats(index: DataFrame):
-    """The broadcastable 1-row (n, avgdl) stats from a
-    build_text_index table; raises ValueError on a table that is not
-    a well-formed artifact."""
+    """The corpus stats (n, sum_dl, n_dl) from a build_text_index
+    table — a BOUNDED collect of the three kind='stat' rows. Raises
+    ValueError on a table that is not a well-formed artifact: wrong
+    columns, or stat rows missing/null (e.g. a postings-only
+    partition of a kind-partitioned table) — without this check a
+    truncated artifact would serve silently EMPTY results (null
+    stats null every score) instead of erroring (review r11)."""
     want = {"kind", "term", "id", "tf", "dl"}
     if not want <= set(index.columns):
         raise ValueError("search_text_index: index table must have "
                          f"columns {sorted(want)} (from "
                          f"build_text_index)")
-    stats = (index.where(F.col("kind") == "stat")
-             .groupBy().pivot("term", ["n", "sum_dl", "n_dl"])
-             .agg(F.first("tf")))
-    return stats.select(
-        F.col("n").alias("__n"),
-        F.try_divide(F.col("sum_dl"), F.col("n_dl"))
-        .alias("__avgdl"))
+    rows = {r["term"]: r["tf"]
+            for r in index.where(F.col("kind") == "stat").collect()}
+    missing = [k for k in ("n", "sum_dl", "n_dl")
+               if rows.get(k) is None]
+    if missing:
+        raise ValueError(
+            f"search_text_index: index table is missing its "
+            f"kind='stat' rows ({', '.join(missing)}) — not a "
+            f"complete build_text_index artifact")
+    return rows
 
 
 def search_text_index(index: DataFrame, query_terms, k: int = 10,
@@ -649,36 +656,47 @@ def search_text_index(index: DataFrame, query_terms, k: int = 10,
     the stored counts with the same expressions, not driver-side
     floats."""
     terms = _dedupe_terms(query_terms)
-    stats = _decode_text_index_stats(index)
+    st = _decode_text_index_stats(index)
+
+    def esc(name):
+        # pivot columns are NAMED by the term value; a backtick in a
+        # term must be doubled per Spark's quoting rules or the
+        # column reference is unparseable (review r11)
+        return "`" + name.replace("`", "``") + "`"
+
     post = (index.where((F.col("kind") == "post")
                         & F.col("term").isin(terms))
             .select("term", F.col("id").alias("__qid"), "tf",
-                    F.col("dl").alias("__dl")))
-    dfrows = (index.where((F.col("kind") == "df")
-                          & F.col("term").isin(terms))
-              .select("term", F.col("tf").alias("__df")))
-    j = (post.join(F.broadcast(dfrows), "term")
-         .crossJoin(F.broadcast(stats)))
-    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
-                / (F.col("__df") + 0.5))
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.try_divide(
-        F.col("__dl"), F.col("__avgdl")))
-    contrib = idf * F.try_divide(F.col("tf") * (k1 + 1.0), denom)
-    pivoted = (j.select("__qid", "__dl", "term",
-                        contrib.alias("__c"))
-               .groupBy("__qid")
-               .pivot("term", terms)
-               .agg(F.first("__c").alias("c"),
-                    F.first("__dl").alias("dl")))
-    # pivot with two aggs names columns "<term>_c" / "<term>_dl";
-    # sum contributions in the term order the batch scorer uses
-    score = F.lit(0.0)
-    for t in terms:
-        score = score + F.coalesce(F.col(f"`{t}_c`"), F.lit(0.0))
-    n_tok = F.coalesce(
-        *[F.col(f"`{t}_dl`") for t in terms]).cast("long")
-    scored = pivoted.select(
-        F.col("__qid").alias(id_col), n_tok.alias("n_tokens"),
+                    F.col("dl").alias("dl")))
+    # per-doc (term -> tf, dl) pivoted into the SAME __tf{i}/__dl
+    # column shape the batch scorer stages, then scored by the SHARED
+    # _score_expr — the 'identical float operation sequence' claim is
+    # structural, not hand-maintained (review r11)
+    pivoted = (post.groupBy("__qid").pivot("term", terms)
+               .agg(F.first("tf").alias("tf"),
+                    F.first("dl").alias("dl")))
+    dfp = (index.where((F.col("kind") == "df")
+                       & F.col("term").isin(terms))
+           .groupBy().pivot("term", terms).agg(F.first("tf")))
+    # a term absent from the corpus has no df row: batch counts its
+    # df as 0.0 (and every tf is 0) — coalesce, don't null the score
+    dfcols = [F.coalesce(F.col(esc(t)), F.lit(0.0))
+              .alias(f"__df{i}") for i, t in enumerate(terms)]
+    staged = (pivoted.select(
+        "__qid",
+        F.coalesce(*[F.col(esc(f"{t}_dl")) for t in terms])
+        .alias("__dl"),
+        *[F.coalesce(F.col(esc(f"{t}_tf")), F.lit(0.0))
+          .alias(f"__tf{i}") for i, t in enumerate(terms)])
+        .crossJoin(F.broadcast(dfp.select(*dfcols))))
+    score = _score_expr(
+        len(terms), F.lit(float(st["n"])),
+        F.try_divide(F.lit(float(st["sum_dl"])),
+                     F.lit(float(st["n_dl"]))),
+        [F.col(f"__df{i}") for i in range(len(terms))], k1, b)
+    scored = staged.select(
+        F.col("__qid").alias(id_col),
+        F.col("__dl").cast("long").alias("n_tokens"),
         F.round(score, 6).alias("score"))
     top = (scored.where(F.col("score") > 0)
            .orderBy(F.col("score").desc(), F.col(id_col))
@@ -757,9 +775,17 @@ def hybrid_from_indexes(spark, text_index: DataFrame,
                             id_col=id_col)
           .select(F.col(id_col).alias("id"),
                   F.col("rank").alias("kw_rank")))
+    # the synthetic query row must carry the POSTINGS id type (string
+    # and numeric id corpora are both legal through encode_ivfpq —
+    # a hardcoded long would fail Arrow conversion on string-id
+    # postings; review r11). The sentinel only has to avoid the
+    # self-pair mask — a member with this exact id would be excluded
+    # as the query's own row (documented improbable).
+    id_dt = dict(postings.dtypes).get("id", "bigint")
+    sentinel = "\x00__hybrid_query__" if id_dt == "string" else -1
     qdf = spark.createDataFrame(
-        [(-1, [float(x) for x in query_vec])],
-        "vec_id long, embedding array<double>")
+        [(sentinel, [float(x) for x in query_vec])],
+        f"vec_id {id_dt}, embedding array<double>")
     vec = (ivf_pq_search(qdf, postings, vec_index, k=n,
                          n_probe=n_probe, rerank=rerank)
            .select(F.col("neighbor_id").alias("id"),

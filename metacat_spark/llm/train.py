@@ -946,9 +946,14 @@ def tokenizer_stats(df: DataFrame, vocab_size: int = 8000,
     aggregate; every tokenizer sees the same lowercased whitespace
     words. Returns one row per tokenizer."""
     from .text import tokens as _toks
+    # filter, not array_compact: split(\s+) yields EMPTY STRINGS at
+    # padding whitespace (array_compact removes only nulls), and
+    # every encoder drops empty words — counting them here would
+    # understate fertility on padded corpora (review r11)
     base = df.agg(
-        F.sum(F.size(F.array_compact(
-            _toks(F.lower(F.col(text_col)))))).alias("words"),
+        F.sum(F.size(F.filter(
+            _toks(F.lower(F.col(text_col))),
+            lambda t: t != ""))).alias("words"),
         F.sum(F.length(F.regexp_replace(
             F.lower(F.col(text_col)), r"\s+", ""))).alias("chars")
     ).collect()[0]

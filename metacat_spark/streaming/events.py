@@ -654,7 +654,7 @@ def attribution(events: DataFrame, conversion: str = "purchase",
         j = j.withColumn(
             "credit",
             F.when(n == 1, 1.0)
-            .when((n == 2) & rk.isin(1, 2), 0.5)
+            .when(n == 2, 0.5)
             .when(rk == 1, 0.4).when(rk == n, 0.4)
             .otherwise(F.lit(0.2) / (n - 2)))
     else:

@@ -1081,3 +1081,16 @@ def test_hybrid_from_indexes_equals_batch(docs, embs, spark,
              for r in hybrid_rrf(docs, embs, terms, 0,
                                  n=20, k=10).collect()]
     assert served == batch and served
+
+
+def test_text_index_truncated_artifact_is_loud(docs, spark):
+    """A postings-only slice of a (kind-partitioned) index must be a
+    clean ValueError at serve time, not silently empty results
+    (review r11 — null stats previously nulled every score)."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          search_text_index)
+    idx = build_text_index(docs)
+    with pytest.raises(ValueError, match="stat"):
+        search_text_index(idx.where("kind = 'post'"), ["spark"])
+    with pytest.raises(ValueError, match="stat"):
+        search_text_index(idx.where("kind <> 'stat'"), ["spark"])

@@ -577,3 +577,20 @@ def test_wordpiece_deep_merge_units_stay_clean():
     assert [m[3] for m in merges] == ["##bc", "##bcd", "abcd"]
     vocab = set(_wp_units("abcd")) | {m[3] for m in merges}
     assert _wp_encode_word("abcd", vocab) == ["abcd"]
+
+
+def test_tokenizer_stats_ignores_padding_whitespace(spark):
+    """Fertility's word denominator must not count the empty tokens
+    split(\\s+) yields at padding whitespace (review r11 — the
+    encoders drop them, so counting them understated fertility)."""
+    from metacat_spark.llm.train import tokenizer_stats
+    docs = spark.createDataFrame(
+        [(1, "  hello world  "), (2, "\thello\n")],
+        "doc_id long, text string")
+    rows = {r["tokenizer"]: r
+            for r in tokenizer_stats(docs, vocab_size=40,
+                                     vocab_cap=50).collect()}
+    # 3 real words; every tokenizer fully merges this tiny corpus
+    for r in rows.values():
+        assert r["fertility"] >= 1.0
+        assert r["total_pieces"] >= 3
