@@ -1683,7 +1683,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         inverted index (build_text_index), vector list from stored
         IVF-PQ postings (encode_ivfpq of every embedding except the
         query's own row — cosine_topn excludes it), exhaustive
-        probes + exact rerank, fused by the shared _rrf_fuse.
+        probes + an exact rerank whose shortlist covers every list
+        (at a bounded production shortlist the ADC approximation
+        prunes before the rerank — caught at sf0.1, where 250-member
+        lists overflowed the default 4k-shortlist... 4·k=80 cap),
+        fused by the shared _rrf_fuse.
         Nothing rescans a corpus at query time, yet the result is
         hash-checked against the SAME DuckDB oracle as the batch
         hybrid — the serving path proves itself equal to the scan
@@ -1700,7 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .first()["embedding"]]
         out = SR.hybrid_from_indexes(spark, tidx, posts, vidx,
                                      _BM25_QUERY, qvec, n=20, k=10,
-                                     n_probe=8)
+                                     n_probe=8, shortlist=100000)
         return out.select(
             "doc_id",
             F.col("kw_rank").cast("long").alias("kw_rank"),

@@ -752,6 +752,7 @@ def hybrid_from_indexes(spark, text_index: DataFrame,
                         query_terms, query_vec, n: int = 20,
                         k: int = 10, kappa: int = 60,
                         n_probe: int = 4, rerank: bool = True,
+                        shortlist: int | None = None,
                         id_col: str = "doc_id") -> DataFrame:
     """Served hybrid retrieval — the storage-only counterpart of
     ``hybrid_rrf``, completing the serving story: the keyword list
@@ -764,7 +765,10 @@ def hybrid_from_indexes(spark, text_index: DataFrame,
     pruned index partitions.
 
     Pinned equal to batch ``hybrid_rrf`` when the vector side is
-    exhaustive (n_probe = n_lists, rerank=True — exact cosines) and
+    exhaustive (n_probe = n_lists, rerank=True AND a ``shortlist``
+    covering the per-list membership — with the default bounded
+    shortlist the ADC approximation PRUNES candidates before the
+    exact rerank, the honest production trade) and
     the postings exclude the query's own vector (``hybrid_rrf``'s
     ``cosine_topn`` excludes the query row; stored postings don't
     know which row that is, so exclude it at encode time or accept
@@ -787,7 +791,8 @@ def hybrid_from_indexes(spark, text_index: DataFrame,
         [(sentinel, [float(x) for x in query_vec])],
         f"vec_id {id_dt}, embedding array<double>")
     vec = (ivf_pq_search(qdf, postings, vec_index, k=n,
-                         n_probe=n_probe, rerank=rerank)
+                         n_probe=n_probe, rerank=rerank,
+                         shortlist=shortlist)
            .select(F.col("neighbor_id").alias("id"),
                    F.col("rank").alias("vec_rank")))
     return _rrf_fuse(kw, vec, kappa, k, id_col)
