@@ -586,6 +586,11 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--max-hamming", type=int, default=3,
                     help="Hamming radius for --method simhash "
                          "(band count derives from it)")
+    cd.add_argument("--recall", action="store_true",
+                    help="minhash/simhash/containment: report the "
+                         "pair precision/recall gauge vs the exact "
+                         "n-gram Jaccard pairs at --threshold "
+                         "instead of the pairs themselves")
     cad = cs.add_parser("admit", help="admission-filter a new batch "
                         "against an existing corpus (incremental "
                         "exact dedup)")

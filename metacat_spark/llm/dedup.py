@@ -1189,3 +1189,40 @@ def cluster_stats(documents: DataFrame, pairs: DataFrame,
              .agg(F.count("*").alias("cluster_size")))
     return (sizes.groupBy("cluster_size")
             .agg(F.count("*").alias("n_clusters")))
+
+
+def dedup_pair_metrics(approx: DataFrame,
+                       exact: DataFrame) -> DataFrame:
+    """Precision/recall gauge for near-duplicate CANDIDATE PAIRS
+    against a ground truth — the dedup-family counterpart of
+    ``similarity.ann_recall`` (measure before trusting a banding /
+    hashing configuration). Both inputs are pair tables in the
+    canonical (id_a, id_b, …) shape every pair op here emits
+    (``ngram_jaccard_pairs`` is the usual exact truth). ONE row:
+
+        (n_exact, n_approx, n_hits, recall, precision)
+
+    - recall    — exact pairs the approximate method found. For
+      verified methods (``minhash_lsh_pairs`` exact-verifies every
+      candidate) this is THE number banding trades away;
+    - precision — approximate pairs that are genuinely similar.
+      1.0 by construction for verified methods; for proxy metrics
+      (``simhash_pairs`` bounds Hamming distance, not Jaccard) it
+      reports how well the proxy tracks the target.
+
+    Plan: two distinct-pair projections, one left-semi join on the
+    narrow (id_a, id_b) keys, three bounded aggregates."""
+    a = approx.select("id_a", "id_b").distinct()
+    e = exact.select("id_a", "id_b").distinct()
+    hits = e.join(a, ["id_a", "id_b"], "left_semi")
+    return (e.agg(F.count("*").alias("n_exact"))
+            .crossJoin(a.agg(F.count("*").alias("n_approx")))
+            .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+            .select(
+                "n_exact", "n_approx", "n_hits",
+                F.round(F.try_divide(F.col("n_hits"),
+                                     F.col("n_exact")), 6)
+                .alias("recall"),
+                F.round(F.try_divide(F.col("n_hits"),
+                                     F.col("n_approx")), 6)
+                .alias("precision")))

@@ -234,19 +234,38 @@ def _op_dedup(ctx: OpContext) -> DataFrame:
                          "semantic", "semantic-text", "containment",
                          "substring"), "exact")
     thr = ctx.float_param("threshold", 0.5)
+    recall = ctx.flag("recall")
+    if recall and method not in ("minhash", "simhash",
+                                 "containment"):
+        # the gauge compares an APPROXIMATE pair method to the exact
+        # n-gram Jaccard truth — on exact/row-level methods it would
+        # silently gauge nothing (loud-flag contract)
+        raise OpError("dedup: --recall applies to the approximate "
+                      "pair methods (minhash, simhash, containment)")
+
+    def gauged(pairs):
+        # precision/recall vs the exact Jaccard pairs at the same
+        # threshold — the measure-before-trust verb for a banding/
+        # hashing configuration (r11; same pattern as ann --recall)
+        if not recall:
+            return pairs
+        return DD.dedup_pair_metrics(
+            pairs, DD.ngram_jaccard_pairs(docs, threshold=thr))
+
     if method == "exact":
         return DD.dedup_exact(docs)
     if method == "minhash":
-        return DD.minhash_lsh_pairs(docs, threshold=thr)
+        return gauged(DD.minhash_lsh_pairs(docs, threshold=thr))
     if method == "semantic":
         return DD.semantic_dedup(docs, ctx.embs(), threshold=thr)
     if method == "semantic-text":
         return DD.semantic_dedup_text(docs)
     if method == "containment":
-        return DD.ngram_containment_pairs(docs, threshold=thr)
+        return gauged(DD.ngram_containment_pairs(docs,
+                                                 threshold=thr))
     if method == "simhash":
-        return DD.simhash_pairs(
-            docs, max_hamming=ctx.int_param("max_hamming", 3))
+        return gauged(DD.simhash_pairs(
+            docs, max_hamming=ctx.int_param("max_hamming", 3)))
     if method == "substring":
         return DD.duplicate_spans(docs, n=ctx.int_param("ngram", 8))
     return DD.ngram_jaccard_pairs(docs, threshold=thr)

@@ -3073,3 +3073,29 @@ def test_strip_markup_planted_html(spark):
         assert want[i][1] == got[i]["text_clean"]
         assert want[i][2] == got[i]["n_chars_removed"]
         assert want[i][3] == got[i]["changed"]
+
+
+def test_dedup_pair_metrics_gauge(docs):
+    """Pair precision/recall gauge: exact-vs-itself is perfect;
+    verified MinHash-LSH has precision exactly 1.0 (candidates are
+    exactly verified) and recall in (0, 1]; counts replayed by hand
+    on a crippled approximate set."""
+    from metacat_spark.llm.dedup import (dedup_pair_metrics,
+                                         minhash_lsh_pairs,
+                                         ngram_jaccard_pairs)
+    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    row = dedup_pair_metrics(exact, exact).collect()[0]
+    n = exact.count()
+    assert (row["n_exact"], row["n_approx"], row["n_hits"]) \
+        == (n, n, n) and n > 0
+    assert row["recall"] == 1.0 and row["precision"] == 1.0
+    lsh = minhash_lsh_pairs(docs, threshold=0.5)
+    lrow = dedup_pair_metrics(lsh, exact).collect()[0]
+    assert lrow["precision"] == 1.0          # exact-verified
+    assert 0.0 < lrow["recall"] <= 1.0
+    # cripple: drop one exact pair from the approximate side
+    one = exact.limit(1)
+    crow = dedup_pair_metrics(exact.subtract(one), exact) \
+        .collect()[0]
+    assert crow["n_hits"] == n - 1
+    assert crow["recall"] == round((n - 1) / n, 6)
