@@ -95,6 +95,13 @@ def _cases(spark, mult):
                 lookback_s=86400)
             .agg(F.bit_xor(F.xxhash64("touch_type", "credit"))
                  .alias("s")).collect()),
+        # r11: inverted-index build is one scan + one (id, term)
+        # aggregate; serve touches the query terms' postings only.
+        # Build+serve together must stay linear in corpus size.
+        "text_index": lambda: len(
+            _search_mod().search_text_index(
+                _search_mod().build_text_index(docs),
+                ["spark", "window", "merge"], k=10).collect()),
         # r9: DSIR's model tables are bucket-bounded (broadcast at any
         # size); per-doc work is linear in bigram occurrences.
         "dsir": lambda: len(
