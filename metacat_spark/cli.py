@@ -679,6 +679,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="with --index: add this corpus to the "
                           "stored index and emit the merged "
                           "artifact (write with -o)")
+    csr.add_argument("--shrink", action="store_true",
+                     help="with --index: exact-DELETE this corpus "
+                          "from the stored index (postings dropped, "
+                          "df/stat contributions subtracted) and "
+                          "emit the shrunk artifact (write with -o)")
     chy = cs.add_parser("hybrid", help="hybrid retrieval: BM25 + "
                         "embedding-cosine ranks fused by RRF")
     _corpus_common(chy)

@@ -397,26 +397,31 @@ def _op_search(ctx: OpContext) -> DataFrame:
     # queries from a stored one, --extend adds the served corpus to
     # a stored index (write the merged artifact with -o).
     from .search import (build_text_index, extend_text_index,
-                         search_bm25, search_text_index)
+                         search_bm25, search_text_index,
+                         shrink_text_index)
     build = ctx.flag("build_index")
     extend = ctx.flag("extend")
+    shrink = ctx.flag("shrink")
     idx = ctx.param("index")
-    if build and (idx is not None or extend):
+    if build and (idx is not None or extend or shrink):
         raise OpError("search: --build-index creates a NEW index — "
-                      "it cannot take --index/--extend")
-    if (build or extend) and ctx.param("query") is not None:
-        raise OpError("search: --build-index/--extend index the "
-                      "corpus; they take no --query (serve with "
-                      "--index --query)")
+                      "it cannot take --index/--extend/--shrink")
+    if extend and shrink:
+        raise OpError("search: --extend and --shrink are opposite "
+                      "verbs — pick one")
+    if (build or extend or shrink) and ctx.param("query") is not None:
+        raise OpError("search: --build-index/--extend/--shrink "
+                      "index the corpus; they take no --query "
+                      "(serve with --index --query)")
     try:
         if build:
             return build_text_index(ctx.docs())
-        if extend:
+        if extend or shrink:
             if idx is None:
-                raise OpError("search: --extend needs --index "
-                              "<stored index table>")
-            return extend_text_index(ctx.corpus(str(idx)),
-                                     ctx.docs())
+                raise OpError(f"search: --{'extend' if extend else 'shrink'} "
+                              f"needs --index <stored index table>")
+            fn = extend_text_index if extend else shrink_text_index
+            return fn(ctx.corpus(str(idx)), ctx.docs())
         terms = ctx.require(
             "query",
             "search needs query=<space-separated terms>").split()

@@ -796,3 +796,53 @@ def hybrid_from_indexes(spark, text_index: DataFrame,
            .select(F.col("neighbor_id").alias("id"),
                    F.col("rank").alias("vec_rank")))
     return _rrf_fuse(kw, vec, kappa, k, id_col)
+
+
+def shrink_text_index(index: DataFrame, removed_docs: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The exact DELETE verb for a stored inverted index — extend's
+    mirror image, completing the CRUD symmetry (the catalog retires
+    files, the vector index retires postings, the text index shrinks):
+    index the REMOVED documents alone, drop their postings (one
+    anti-join on id) and SUBTRACT their exact df/stat contributions.
+    Because the sums are integer-valued doubles,
+    shrink(extend(build(A), B), B) ≡ build(A) exactly — pinned by
+    test, serve-after-shrink equals a fresh rebuild row-for-row.
+
+    Contract (same as extend's no-re-add): ``removed_docs`` must be
+    exactly rows that were indexed — subtracting documents that were
+    never added (or were since changed) corrupts the counts, the
+    usual ledger discipline. Terms whose df reaches zero drop out of
+    the artifact entirely."""
+    _decode_text_index_stats(index)        # validate the artifact
+    rem = build_text_index(removed_docs, text_col, id_col)
+    rem_ids = rem.where(F.col("kind") == "post").select("id") \
+        .distinct()
+    posts = (index.where(F.col("kind") == "post")
+             .join(rem_ids, "id", "left_anti")
+             .select("kind", "term", "id", "tf", "dl"))
+    id_t = index.schema["id"].dataType
+    dfs = (index.where(F.col("kind") == "df")
+           .select("term", F.col("tf").alias("__a"))
+           .join(rem.where(F.col("kind") == "df")
+                 .select("term", F.col("tf").alias("__b")),
+                 "term", "left")
+           .select("term", (F.col("__a")
+                            - F.coalesce("__b", F.lit(0.0)))
+                   .alias("tf"))
+           .where(F.col("tf") > 0)
+           .select(F.lit("df").alias("kind"), "term",
+                   F.lit(None).cast(id_t).alias("id"), "tf",
+                   F.lit(None).cast("double").alias("dl")))
+    stats = (index.where(F.col("kind") == "stat")
+             .select("term", F.col("tf").alias("__a"))
+             .join(rem.where(F.col("kind") == "stat")
+                   .select("term", F.col("tf").alias("__b")),
+                   "term", "left")
+             .select(F.lit("stat").alias("kind"), "term",
+                     F.lit(None).cast(id_t).alias("id"),
+                     (F.col("__a") - F.coalesce("__b", F.lit(0.0)))
+                     .alias("tf"),
+                     F.lit(None).cast("double").alias("dl")))
+    return posts.unionByName(dfs).unionByName(stats)

@@ -1126,3 +1126,26 @@ def test_corpus_hybrid_served(capsys, tmp_path):
     rc, _ = run(capsys, "corpus", "hybrid", "--query", "spark",
                 "--vec", "0", "--kwindex", kw)
     assert rc == 2
+
+
+def test_corpus_search_shrink_verb(capsys, tmp_path, spark):
+    """--shrink exact-deletes the served corpus from a stored index:
+    shrinking everything leaves zero postings and n=0 stats; verb
+    conflicts are loud."""
+    idx = str(tmp_path / "sh_idx")
+    out = str(tmp_path / "sh_out")
+    rc, _ = run(capsys, "corpus", "search", "--build-index",
+                "-o", idx)
+    assert rc == 0
+    rc, _ = run(capsys, "corpus", "search", "--shrink", "--index",
+                idx, "-o", out)
+    assert rc == 0
+    shrunk = spark.read.parquet(out)
+    assert shrunk.where("kind = 'post'").count() == 0
+    assert shrunk.where("kind = 'stat' and term = 'n'") \
+        .first()["tf"] == 0.0
+    rc, _ = run(capsys, "corpus", "search", "--extend", "--shrink",
+                "--index", idx)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search", "--shrink")
+    assert rc == 2

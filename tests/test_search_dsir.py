@@ -1094,3 +1094,31 @@ def test_text_index_truncated_artifact_is_loud(docs, spark):
         search_text_index(idx.where("kind = 'post'"), ["spark"])
     with pytest.raises(ValueError, match="stat"):
         search_text_index(idx.where("kind <> 'stat'"), ["spark"])
+
+
+def test_text_index_shrink_is_exact_delete(docs, spark):
+    """shrink(extend(build(A), B), B) == build(A) — postings, df and
+    stats all exactly equal, and serve-after-shrink equals a fresh
+    rebuild row-for-row (the CRUD symmetry verb)."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          extend_text_index,
+                                          search_bm25,
+                                          search_text_index,
+                                          shrink_text_index)
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    grown = extend_text_index(build_text_index(a), b)
+    back = shrink_text_index(grown, b)
+    fresh = build_text_index(a)
+    for kind in ("post", "df", "stat"):
+        got = {tuple(r) for r in
+               back.where(f"kind = '{kind}'").collect()}
+        want = {tuple(r) for r in
+                fresh.where(f"kind = '{kind}'").collect()}
+        assert got == want, kind
+    terms = ["spark", "window", "merge"]
+    srv = [(r["doc_id"], r["score"], r["rank"])
+           for r in search_text_index(back, terms, k=10).collect()]
+    scan = [(r["doc_id"], r["score"], r["rank"])
+            for r in search_bm25(a, terms, k=10).collect()]
+    assert srv == scan and srv
