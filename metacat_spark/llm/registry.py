@@ -857,14 +857,31 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         raise OpError("ann: --recall applies to a search "
                       "(plain, --index, or --postings serve)")
 
-    def searched(res):
+    def searched(res, corpus=None):
         # wrap any search result with the recall gauge when asked:
-        # ground truth is the exact block-GEMM top-k at the same k
-        # over the same vectors
+        # ground truth is the exact block-GEMM top-k at the same k.
+        # Self-search verbs grade against the input frame; the
+        # SERVED verb (--postings) grades against the members
+        # actually served — the stored postings' vectors — because
+        # after --ingest/--retire the postings corpus has diverged
+        # from the input frame and a self-join truth would grade
+        # against the wrong corpus (ADVICE r11)
         if not recall:
             return res
-        from .similarity import ann_recall, topk_gemm
-        return ann_recall(res, topk_gemm(df, k=k, **kw))
+        from .similarity import (ann_recall, live_postings,
+                                 topk_gemm, topk_gemm_vs)
+        if corpus is None:
+            return ann_recall(res, topk_gemm(df, k=k, **kw))
+        live = live_postings(corpus)
+        if live.where(F.col("vec").isNull()).take(1):
+            raise OpError(
+                "ann: --recall on codes-only postings has no exact "
+                "ground truth — re-encode without --codes-only")
+        vc = kw.get("vec_col", "embedding")
+        ic = kw.get("id_col", "vec_id")
+        members = live.select(F.col("id").alias(ic),
+                              F.col("vec").alias(vc))
+        return ann_recall(res, topk_gemm_vs(df, members, k=k, **kw))
 
     opq = ctx.int_param("opq", 0)
     if opq and not ctx.flag("build_index"):
@@ -993,9 +1010,10 @@ def _op_ann(ctx: OpContext) -> DataFrame:
                 if idx is None:
                     raise OpError("ann: --postings needs --index "
                                   "<stored index table>")
+                postings_df = ctx.corpus(str(post))
                 return searched(SIM.ivf_pq_search(
-                    df, ctx.corpus(str(post)), ctx.corpus(str(idx)),
-                    k=k, rerank=rerank, **kw))
+                    df, postings_df, ctx.corpus(str(idx)),
+                    k=k, rerank=rerank, **kw), corpus=postings_df)
             if idx is not None:
                 return searched(SIM.ivf_pq_topk(
                     df, k=k, index=ctx.corpus(str(idx)),

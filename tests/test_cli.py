@@ -1062,6 +1062,34 @@ def test_corpus_ann_recall(capsys, tmp_path):
     assert rc == 2
 
 
+def test_corpus_ann_recall_served_mode(capsys, tmp_path, spark):
+    """--recall on a --postings serve grades against the STORED
+    postings corpus, not the input frame (ADVICE r11), and is a
+    loud rc-2 on codes-only postings (no exact ground truth)."""
+    idx = str(tmp_path / "srv_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", idx)
+    assert rc == 0
+    posts = str(tmp_path / "srv_posts")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--index", idx, "-o", posts)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--postings", posts, "--index", idx,
+                  "--recall", "-k", "3", "-j")
+    row = json.loads(out.splitlines()[0])
+    assert rc == 0 and 0.0 < row["recall"] <= 1.0
+    cposts = str(tmp_path / "srv_posts_codes")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--codes-only", "--index", idx,
+                "-o", cposts)
+    assert rc == 0
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--postings", cposts, "--index", idx, "--rerank",
+                "0", "--recall", "-k", "3", "-j")
+    assert rc == 2
+
+
 def test_corpus_search_index_verbs(capsys, tmp_path):
     """Keyword-search index lifecycle over the CLI: build, serve
     (== corpus-scan search), extend; loud verb conflicts."""

@@ -980,6 +980,58 @@ def test_ann_recall_gauge(embs):
         (row["n_pairs"] - 3) / row["n_pairs"], abs=1e-6)
 
 
+def test_topk_gemm_vs_separate_corpus(embs, spark):
+    """topk_gemm_vs: queries ranked against a SEPARATE corpus.
+    Against the full corpus it equals topk_gemm (self-join) exactly;
+    against a half corpus every neighbor comes from that half — the
+    served-ANN ground truth shape (ADVICE r11)."""
+    from metacat_spark.llm.similarity import topk_gemm, topk_gemm_vs
+    self_join = sorted(tuple(r) for r in topk_gemm(embs, k=3)
+                       .collect())
+    vs_full = sorted(tuple(r) for r in topk_gemm_vs(embs, embs, k=3)
+                     .collect())
+    assert vs_full == self_join and vs_full
+    half = embs.where("vec_id % 2 = 0")
+    vs_half = topk_gemm_vs(embs, half, k=3).collect()
+    assert vs_half
+    assert all(r["neighbor_id"] % 2 == 0 for r in vs_half)
+    # mask_self=True: a query never retrieves its own stored row
+    assert all(r["id"] != r["neighbor_id"] for r in vs_half)
+    # mask_self=False: an even query's best neighbor IS itself
+    vs_ext = {(r["id"], r["rank"]): r["neighbor_id"]
+              for r in topk_gemm_vs(embs, half, k=1,
+                                    mask_self=False).collect()}
+    even = [r["vec_id"] for r in half.select("vec_id").collect()]
+    assert all(vs_ext[(i, 1)] == i for i in even)
+
+
+def test_served_recall_truth_is_the_postings_corpus(embs, tmp_path,
+                                                    spark):
+    """The served-ANN recall gauge must grade against the members
+    actually served — the stored postings — not the query frame
+    (ADVICE r11): with postings = half the corpus and an exhaustive
+    serve, recall vs the postings truth is 1.0, while a self-join
+    truth would penalize every neighbor missing from the postings."""
+    from metacat_spark.llm.similarity import (ann_recall,
+                                              build_ivfpq_index,
+                                              encode_ivfpq,
+                                              ivf_pq_search,
+                                              topk_gemm, topk_gemm_vs)
+    idx = build_ivfpq_index(embs, n_lists=4, m=8, n_codes=16,
+                            train_iters=1)
+    half = embs.where("vec_id % 2 = 0")
+    postings = encode_ivfpq(half, idx)
+    served = ivf_pq_search(embs, postings, idx, k=3, n_probe=4,
+                           shortlist=10 ** 6)
+    truth = topk_gemm_vs(
+        embs, half.select(F.col("vec_id"), F.col("embedding")), k=3)
+    row = ann_recall(served, truth).collect()[0]
+    assert row["recall"] == 1.0, row
+    # the self-join truth really is the wrong corpus here
+    wrong = ann_recall(served, topk_gemm(embs, k=3)).collect()[0]
+    assert wrong["recall"] < 1.0
+
+
 def test_text_index_build_serve_extend(docs, spark, tmp_path):
     """The keyword-search train-once/serve-many triad (r11):
 
@@ -1081,6 +1133,66 @@ def test_hybrid_from_indexes_equals_batch(docs, embs, spark,
              for r in hybrid_rrf(docs, embs, terms, 0,
                                  n=20, k=10).collect()]
     assert served == batch and served
+
+
+def test_hybrid_from_indexes_member_id_minus_one(spark, tmp_path):
+    """A corpus legitimately containing member ids -1 and 0 must rank
+    those members: the served query is EXTERNAL to the postings, so
+    the self-pair mask is off (exclude_self=False) and no in-band
+    sentinel id exists to collide with (VERDICT r11 #3 / ADVICE
+    r11 — the old -1 sentinel silently dropped a real member -1)."""
+    import numpy as np
+    from metacat_spark.llm.search import (build_text_index,
+                                          hybrid_from_indexes)
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq)
+    rng = np.random.RandomState(7)
+    ids = [-1, 0, 1, 2, 3, 4, 5, 6]
+    vecs = rng.randn(len(ids), 8).round(3)
+    ddf = spark.createDataFrame(
+        [(i, f"doc {i} spark merge window token{i}") for i in ids],
+        "doc_id long, text string")
+    edf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>")
+    tpath = str(tmp_path / "m1_tidx")
+    build_text_index(ddf).write.parquet(tpath)
+    vidx = build_ivfpq_index(edf, n_lists=2, m=4, n_codes=4,
+                             train_iters=1)
+    vpath = str(tmp_path / "m1_vidx")
+    vidx.write.parquet(vpath)
+    ppath = str(tmp_path / "m1_posts")
+    encode_ivfpq(edf, spark.read.parquet(vpath)).write.parquet(ppath)
+    qvec = [float(x) for x in vecs[0]]     # exactly member -1's vector
+    res = hybrid_from_indexes(
+        spark, spark.read.parquet(tpath), spark.read.parquet(ppath),
+        spark.read.parquet(vpath), ["spark"], qvec,
+        n=8, k=8, n_probe=2).collect()
+    got = {r["doc_id"]: r["vec_rank"] for r in res}
+    assert -1 in got and got[-1] == 1      # its own vector ranks first
+    assert 0 in got                        # qid 0 never masks member 0
+
+
+def test_det_shortlist_matches_lexsort_spec():
+    """The argpartition + boundary-tie-repair shortlist returns the
+    SAME SET as the lexsort spec (score desc, neighbor-rank asc,
+    truncate to rr) — an optimization, not a semantics change
+    (ADVICE r11). Coarse integer scores force many exact ties, the
+    shared-PQ-code-tuple case that motivated determinism."""
+    import numpy as np
+    from metacat_spark.llm.similarity import _det_shortlist
+    rng = np.random.RandomState(11)
+    for trial in range(25):
+        nq, nc = int(rng.randint(1, 6)), int(rng.randint(1, 40))
+        adc = rng.randint(0, 4, size=(nq, nc)).astype(float)
+        crank = rng.permutation(nc)
+        rr = int(rng.randint(1, nc + 1))
+        spec = np.lexsort((crank[None, :].repeat(nq, 0), -adc),
+                          axis=1)[:, :rr]
+        got = _det_shortlist(adc, crank, rr)
+        assert got.shape == (nq, rr)
+        for i in range(nq):
+            assert set(got[i]) == set(spec[i]), (trial, i)
 
 
 def test_text_index_truncated_artifact_is_loud(docs, spark):
