@@ -169,8 +169,10 @@ def _rowlocal_bm25(stream: DataFrame, terms: list, ref_stats,
 def bm25_stream(spark, src_dir: str, query_terms,
                 stats_from: DataFrame, k1: float = 1.2,
                 b: float = 0.75, table: str = "bm25_stream",
-                text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                text_col: str = "text", id_col: str = "doc_id",
+                sink_dir: str | None = None,
+                checkpoint_dir: str | None = None,
+                timeout_s: int | None = 120) -> DataFrame:
     """Streaming twin of ``bm25_scores``: score a document STREAM
     against a fixed query, with the corpus statistics (N, avgdl,
     per-term document frequencies) computed ONCE from a static
@@ -178,8 +180,17 @@ def bm25_stream(spark, src_dir: str, query_terms,
     reference, row-local work on the stream). Scoring is a pure
     per-row expression (tfs as array filters, stats as literals), so
     the stream needs no aggregation state and runs in plain append
-    mode. availableNow → memory sink; batch≡stream equality (stats
-    from the same corpus) is pinned by test."""
+    mode.
+
+    Deploy posture: pass ``sink_dir`` — each micro-batch parquet-
+    appends the per-doc scores there and the return value is the
+    BOUNDED per-batch gauge (batch_id, n, n_matched, max_score), so
+    driver state never grows with the stream (VERDICT r11 #1;
+    checkpointed, at-least-once — see ``drain_to_parquet``).
+    Without it: availableNow → memory sink, the test rig. File-sink
+    ≡ memory-sink ≡ batch (stats from the same corpus) pinned by
+    test."""
+    from .util import drain_to_parquet
 
     terms = _dedupe_terms(query_terms)
     ref_stats = _bm25_ref_stats(
@@ -187,6 +198,16 @@ def bm25_stream(spark, src_dir: str, query_terms,
     stream = stream_parquet(spark, src_dir)
     out = _rowlocal_bm25(stream, terms, ref_stats, k1, b,
                          text_col, id_col)
+    if sink_dir is not None:
+        return drain_to_parquet(
+            spark, out, sink_dir,
+            [F.count("*").alias("n"),
+             F.sum((F.col("score") > 0).cast("long"))
+             .alias("n_matched"),
+             F.max("score").alias("max_score")],
+            "n long, n_matched long, max_score double",
+            checkpoint_dir=checkpoint_dir, timeout_s=timeout_s,
+            what="bm25_stream")
     q = (out.writeStream.format("memory").queryName(table)
          .outputMode("append").trigger(availableNow=True).start())
     if not q.awaitTermination(120):
@@ -229,8 +250,9 @@ def _topk_prereduce(scored: DataFrame, k: int, value_col: str,
 
 def _running_topk_stream(spark, scored: DataFrame, k: int,
                          id_col: str, id_type: str, value_col: str,
-                         extras: list, table: str,
-                         what: str) -> DataFrame:
+                         extras: list, table: str, what: str,
+                         sink_dir: str | None = None,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """The shared running-leaderboard operator behind every streaming
     top-k: per-partition pre-reduce (``_topk_prereduce``) → ONE
     constant-key applyInPandasWithState group holding the k best
@@ -244,8 +266,13 @@ def _running_topk_stream(spark, scored: DataFrame, k: int,
     BM25's n_tokens). Bounded state: k tuples under one key.
 
     Returns the FINAL leaderboard (rows of the last emitted
-    sequence); all intermediate leaderboards stay queryable in the
-    ``table`` memory sink. availableNow → memory sink, update mode."""
+    sequence). Intermediate leaderboards: with ``sink_dir`` (the
+    deploy posture, VERDICT r11 #1) every emitted leaderboard is
+    parquet-appended there with its seq — driver memory never holds
+    the emission history, and the checkpoint makes restarts resume;
+    without it they stay queryable in the ``table`` memory sink (the
+    test rig — history is k × batches rows of driver memory).
+    availableNow, update mode either way."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -295,14 +322,35 @@ def _running_topk_stream(spark, scored: DataFrame, k: int,
                .applyInPandasWithState(update, out_schema,
                                        state_schema, "update",
                                        GroupStateTimeout.NoTimeout))
-    q = (running.writeStream.format("memory").queryName(table)
-         .outputMode("update").trigger(availableNow=True).start())
+    if sink_dir is not None:
+        def per_batch(bdf, bid):
+            bdf.write.mode("append").parquet(sink_dir)
+
+        q = (running.writeStream.foreachBatch(per_batch)
+             .outputMode("update")
+             .option("checkpointLocation",
+                     checkpoint_dir or sink_dir + "__checkpoint")
+             .trigger(availableNow=True).start())
+    else:
+        q = (running.writeStream.format("memory").queryName(table)
+             .outputMode("update").trigger(availableNow=True)
+             .start())
     if not q.awaitTermination(120):
         q.stop()
         raise TimeoutError(
             f"{what} did not finish within 120s — refusing to "
-            f"return a partially populated memory table")
-    emitted = spark.table(table)
+            f"return a partially populated "
+            + ("sink" if sink_dir is not None else "memory table"))
+    if sink_dir is not None:
+        try:
+            emitted = spark.read.parquet(sink_dir)
+        except Exception:
+            # a zero-batch stream never fired foreachBatch — no
+            # sink directory to read; the leaderboard is empty
+            return (spark.createDataFrame([], out_schema)
+                    .drop("seq"))
+    else:
+        emitted = spark.table(table)
     last = emitted.agg(F.max("seq")).collect()[0][0]
     return (emitted.where(F.col("seq") == last)
             .drop("seq").orderBy("rank"))
@@ -314,7 +362,9 @@ def search_stream_topk(spark, src_dir: str, query_terms,
                        max_files_per_trigger: int | None = None,
                        table: str = "search_stream_topk",
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       sink_dir: str | None = None,
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """Streaming keyword search with a RUNNING global top-k: each
     streamed document is BM25-scored row-locally (reference-corpus
     stats, as bm25_stream), non-matches are filtered out, and the
@@ -344,7 +394,8 @@ def search_stream_topk(spark, src_dir: str, query_terms,
               .select(id_col, "n_tokens", "score"))
     return _running_topk_stream(
         spark, scored, k, id_col, id_type, "score",
-        [("n_tokens", "long", int)], table, "search_stream_topk")
+        [("n_tokens", "long", int)], table, "search_stream_topk",
+        sink_dir=sink_dir, checkpoint_dir=checkpoint_dir)
 
 
 def _fetch_query_vec(query_from: DataFrame, query_vec_id: int,
@@ -378,6 +429,8 @@ def cosine_stream_topk(spark, src_dir: str, query_vec_id: int,
                        table: str = "cosine_stream_topk",
                        vec_col: str = "embedding",
                        id_col: str = "vec_id",
+                       sink_dir: str | None = None,
+                       checkpoint_dir: str | None = None,
                        _qvec: list | None = None) -> DataFrame:
     """Streaming twin of ``cosine_topn``: a RUNNING cosine
     leaderboard over an embedding STREAM against one stored query
@@ -409,7 +462,8 @@ def cosine_stream_topk(spark, src_dir: str, query_vec_id: int,
                      & ~F.isnan(F.col("cosine"))))
     return _running_topk_stream(
         spark, scored, k, "id", id_type, "cosine", [], table,
-        "cosine_stream_topk")
+        "cosine_stream_topk", sink_dir=sink_dir,
+        checkpoint_dir=checkpoint_dir)
 
 
 def cosine_topn(embeddings: DataFrame, query_vec_id: int, n: int,
@@ -505,7 +559,8 @@ def hybrid_stream_topk(spark, docs_dir: str, embs_dir: str,
                        table: str = "hybrid_stream",
                        text_col: str = "text", id_col: str = "doc_id",
                        vec_col: str = "embedding",
-                       vec_id_col: str = "vec_id") -> DataFrame:
+                       vec_id_col: str = "vec_id",
+                       sink_dir: str | None = None) -> DataFrame:
     """Streaming twin of ``hybrid_rrf``: drain a document stream into
     the running BM25 leaderboard and an embedding stream into the
     running cosine leaderboard (both via the shared bounded-state
@@ -522,7 +577,10 @@ def hybrid_stream_topk(spark, docs_dir: str, embs_dir: str,
     exactly the drained file prefixes. The memory sinks live until
     dropped: long-running callers should ``dropTempView`` both once
     done (the op registry does — one leaked pair per HTTP request
-    otherwise).
+    otherwise). Deploy posture: pass ``sink_dir`` and both emission
+    histories parquet-append under ``{sink_dir}/kw`` and
+    ``{sink_dir}/vec`` instead (checkpointed, no driver-resident
+    history — VERDICT r11 #1).
 
     ``stats_from`` supplies the static BM25 reference statistics;
     ``query_from`` is the static embeddings table holding the query
@@ -538,13 +596,15 @@ def hybrid_stream_topk(spark, docs_dir: str, embs_dir: str,
     kw = (search_stream_topk(
         spark, docs_dir, query_terms, stats_from=stats_from, k=n,
         max_files_per_trigger=max_files_per_trigger,
-        table=f"{table}_kw", text_col=text_col, id_col=id_col)
+        table=f"{table}_kw", text_col=text_col, id_col=id_col,
+        sink_dir=None if sink_dir is None else f"{sink_dir}/kw")
         .select(F.col(id_col).alias("id"),
                 F.col("rank").alias("kw_rank")))
     vec = (cosine_stream_topk(
         spark, embs_dir, query_vec_id, query_from, k=n,
         max_files_per_trigger=max_files_per_trigger,
         table=f"{table}_vec", vec_col=vec_col, id_col=vec_id_col,
+        sink_dir=None if sink_dir is None else f"{sink_dir}/vec",
         _qvec=qvec)
         .select("id", F.col("rank").alias("vec_rank")))
     return _rrf_fuse(kw, vec, kappa, k, id_col)

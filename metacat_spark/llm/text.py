@@ -594,7 +594,9 @@ def perplexity_stream(spark, src_dir: str, reference: DataFrame,
                       text_col: str = "text",
                       id_col: str = "doc_id",
                       max_files_per_batch: int = 1,
-                      timeout_s: int = 120) -> DataFrame:
+                      timeout_s: int | None = 120,
+                      sink_dir: str | None = None,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Streaming twin of ``perplexity_buckets`` — CCNet bucketing as
     a DEPLOY stage: the add-one unigram model is trained ONCE from
     the static reference corpus, the head/tail thresholds are FIXED
@@ -610,9 +612,14 @@ def perplexity_stream(spark, src_dir: str, reference: DataFrame,
     from the batch op, whose thresholds move with the scored corpus:
     fixed thresholds are the CCNet deployment posture (calibrate
     once on a reference, bucket every incoming batch forever).
-    availableNow trigger; per-doc rows accumulate driver-side like
-    the other return-a-table twins — the production deploy form
-    writes each batch to parquet instead."""
+
+    Deploy posture: pass ``sink_dir`` — each micro-batch parquet-
+    appends its (id, score, bucket) rows there and the return value
+    is the BOUNDED per-batch gauge (batch_id, n, n_head, n_middle,
+    n_tail), so driver state never grows with the stream
+    (VERDICT r11 #1; checkpointed, at-least-once). Without it:
+    per-doc rows return driver-side — the test rig. File-sink ≡
+    memory-sink ≡ batch pinned by test."""
     from .util import stream_parquet
 
     tf, totals = _ppl_model(reference, text_col, id_col)
@@ -634,6 +641,7 @@ def perplexity_stream(spark, src_dir: str, reference: DataFrame,
     stream = stream_parquet(
         spark, src_dir, max_files_per_trigger=max_files_per_batch)
     rows: list = []
+    gauge_rows: list = []
 
     def on_batch(bdf, bid):
         out = (_ppl_scores(bdf, tf, totals, text_col, id_col)
@@ -642,19 +650,42 @@ def perplexity_stream(spark, src_dir: str, reference: DataFrame,
                            .when(F.col("score") >= t1, "middle")
                            .otherwise("tail"))
                .select(F.col("id").alias(id_col), "score", "bucket"))
-        rows.extend(out.collect())
+        if sink_dir is None:
+            rows.extend(out.collect())
+            return
+        out.write.mode("append").parquet(sink_dir)
+        g = out.agg(
+            F.count("*").alias("n"),
+            *[F.sum((F.col("bucket") == b).cast("long"))
+              .alias(f"n_{b}") for b in ("head", "middle", "tail")]
+        ).collect()[0]
+        gauge_rows.append((int(bid), g["n"], g["n_head"] or 0,
+                           g["n_middle"] or 0, g["n_tail"] or 0))
 
-    q = (stream.writeStream.foreachBatch(on_batch)
-         .trigger(availableNow=True).start())
+    writer = stream.writeStream.foreachBatch(on_batch)
+    if sink_dir is not None:
+        writer = writer.option(
+            "checkpointLocation",
+            checkpoint_dir or sink_dir + "__checkpoint")
+    q = writer.trigger(availableNow=True).start()
     try:
-        if not q.awaitTermination(timeout_s):
+        if timeout_s is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError(
                 f"perplexity_stream did not finish within "
                 f"{timeout_s}s — refusing to return a partially "
-                f"populated table")
+                f"populated table" if sink_dir is None else
+                f"perplexity_stream did not finish within "
+                f"{timeout_s}s — the sink may be partially written; "
+                f"restart resumes from the checkpoint")
     finally:
         tf.unpersist()
+    if sink_dir is not None:
+        return spark.createDataFrame(
+            gauge_rows, "batch_id long, n long, n_head long, "
+                        "n_middle long, n_tail long")
     return spark.createDataFrame(
         rows, f"{id_col} {id_t}, score double, bucket string")
 
@@ -725,7 +756,9 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
 def dsir_stream(spark, src_dir: str, raw_reference: DataFrame,
                 target: DataFrame, buckets: int = 256,
                 table: str = "dsir_stream", text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", sink_dir: str | None = None,
+                checkpoint_dir: str | None = None,
+                timeout_s: int | None = 120) -> DataFrame:
     """Streaming twin of ``dsir_logweights``: the bucket models are
     trained ONCE from static reference corpora (raw pool + target),
     folded into a COMPLETE per-bucket log-ratio map (every bucket
@@ -734,12 +767,18 @@ def dsir_stream(spark, src_dir: str, raw_reference: DataFrame,
     key), and each streamed document's weight is one row-local array
     fold — bigram buckets via the shared rolling hash, zero
     aggregation state, plain append mode. Documents with fewer than
-    two tokens are dropped, as in the batch scorer. availableNow →
-    memory sink; batch≡stream (reference == streamed corpus) pinned
-    by test."""
+    two tokens are dropped, as in the batch scorer.
+
+    Deploy posture: pass ``sink_dir`` — each micro-batch parquet-
+    appends the per-doc weights there and the return value is the
+    BOUNDED per-batch gauge (batch_id, n, avg/max log-weight), so
+    driver state never grows with the stream (VERDICT r11 #1;
+    checkpointed, at-least-once — see ``drain_to_parquet``).
+    Without it: availableNow → memory sink, the test rig. File-sink
+    ≡ memory-sink ≡ batch pinned by test."""
     import math as _math
 
-    from .util import stream_parquet
+    from .util import drain_to_parquet, stream_parquet
 
     def _counts(df):
         feat = hashed_bigram_feature(F.col("w1"), F.col("w2"),
@@ -775,6 +814,15 @@ def dsir_stream(spark, src_dir: str, raw_reference: DataFrame,
            .select(F.col(id_col),
                    (F.size(toks) - 1).cast("long").alias("n_feats"),
                    F.round(weight, 6).alias("dsir_logw")))
+    if sink_dir is not None:
+        return drain_to_parquet(
+            spark, out, sink_dir,
+            [F.count("*").alias("n"),
+             F.round(F.avg("dsir_logw"), 6).alias("avg_logw"),
+             F.round(F.max("dsir_logw"), 6).alias("max_logw")],
+            "n long, avg_logw double, max_logw double",
+            checkpoint_dir=checkpoint_dir, timeout_s=timeout_s,
+            what="dsir_stream")
     q = (out.writeStream.format("memory").queryName(table)
          .outputMode("append").trigger(availableNow=True).start())
     if not q.awaitTermination(120):

@@ -173,17 +173,27 @@ def _rowlocal_score_cols(weights_map: dict, buckets: int,
 
 def score_stream(spark, src_dir: str, weights: DataFrame,
                  buckets: int = 256, table: str = "score_stream",
-                 text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 sink_dir: str | None = None,
+                 checkpoint_dir: str | None = None,
+                 timeout_s: int | None = 120) -> DataFrame:
     """Streaming twin of ``score_logreg_hashed``: score a document
     STREAM with a trained weight table — the train-in-batch /
     deploy-on-the-stream loop. Scoring is rewritten row-locally
     (weight map literal + one array fold per document, no
     aggregation state, plain append mode), which is algebraically
     the same margin as the batch scorer's relational plan;
-    equivalence is pinned by test. availableNow → memory sink."""
+    equivalence is pinned by test.
 
-    from .util import stream_parquet
+    Deploy posture: pass ``sink_dir`` — each micro-batch parquet-
+    appends the per-doc scores there and the return value is the
+    BOUNDED per-batch gauge (batch_id, n, n_positive, avg_prob), so
+    driver state never grows with the stream (VERDICT r11 #1;
+    checkpointed, at-least-once — see ``drain_to_parquet``).
+    Without it: availableNow → memory sink, the test rig. File-sink
+    ≡ memory-sink ≡ batch pinned by test."""
+
+    from .util import drain_to_parquet, stream_parquet
 
     wmap = {int(r["f"]): float(r["weight"])
             for r in weights.collect()}  # bounded: <= buckets+1
@@ -192,6 +202,16 @@ def score_stream(spark, src_dir: str, weights: DataFrame,
     out = stream.select(F.col(id_col),
                         F.round(margin, 6).alias("margin"),
                         F.round(prob, 6).alias("prob"))
+    if sink_dir is not None:
+        return drain_to_parquet(
+            spark, out, sink_dir,
+            [F.count("*").alias("n"),
+             F.sum((F.col("margin") > 0).cast("long"))
+             .alias("n_positive"),
+             F.round(F.avg("prob"), 6).alias("avg_prob")],
+            "n long, n_positive long, avg_prob double",
+            checkpoint_dir=checkpoint_dir, timeout_s=timeout_s,
+            what="score_stream")
     q = (out.writeStream.format("memory").queryName(table)
          .outputMode("append").trigger(availableNow=True).start())
     if not q.awaitTermination(120):
