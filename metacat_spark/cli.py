@@ -684,6 +684,17 @@ def build_parser() -> argparse.ArgumentParser:
                           "from the stored index (postings dropped, "
                           "df/stat contributions subtracted) and "
                           "emit the shrunk artifact (write with -o)")
+    csr.add_argument("--upsert", action="store_true",
+                     help="with --index: REPLACE-or-ADD this corpus "
+                          "in the stored index (re-added ids' old "
+                          "contributions subtracted exactly from "
+                          "the stored postings) and emit the "
+                          "merged artifact (write with -o)")
+    csr.add_argument("--verify-index", action="store_true",
+                     dest="verify_index",
+                     help="with --index: one-row integrity gauge — "
+                          "df/stat parts recomputed from the stored "
+                          "postings vs the stored rows")
     chy = cs.add_parser("hybrid", help="hybrid retrieval: BM25 + "
                         "embedding-cosine ranks fused by RRF")
     _corpus_common(chy)

@@ -398,29 +398,42 @@ def _op_search(ctx: OpContext) -> DataFrame:
     # a stored index (write the merged artifact with -o).
     from .search import (build_text_index, extend_text_index,
                          search_bm25, search_text_index,
-                         shrink_text_index)
+                         shrink_text_index, text_index_stats,
+                         upsert_text_index)
     build = ctx.flag("build_index")
     extend = ctx.flag("extend")
     shrink = ctx.flag("shrink")
+    upsert = ctx.flag("upsert")
+    verify = ctx.flag("verify_index")
     idx = ctx.param("index")
-    if build and (idx is not None or extend or shrink):
+    if build and (idx is not None or extend or shrink or upsert
+                  or verify):
         raise OpError("search: --build-index creates a NEW index — "
-                      "it cannot take --index/--extend/--shrink")
-    if extend and shrink:
-        raise OpError("search: --extend and --shrink are opposite "
-                      "verbs — pick one")
-    if (build or extend or shrink) and ctx.param("query") is not None:
-        raise OpError("search: --build-index/--extend/--shrink "
-                      "index the corpus; they take no --query "
+                      "it cannot take --index/--extend/--shrink/"
+                      "--upsert/--verify-index")
+    edits = [v for v, on in (("--extend", extend),
+                             ("--shrink", shrink),
+                             ("--upsert", upsert),
+                             ("--verify-index", verify)) if on]
+    if len(edits) > 1:
+        raise OpError(f"search: conflicting verbs "
+                      f"{', '.join(edits)} — pick one")
+    if ((build or edits)
+            and ctx.param("query") is not None):
+        raise OpError("search: index verbs take no --query "
                       "(serve with --index --query)")
     try:
         if build:
             return build_text_index(ctx.docs())
-        if extend or shrink:
+        if edits:
             if idx is None:
-                raise OpError(f"search: --{'extend' if extend else 'shrink'} "
-                              f"needs --index <stored index table>")
-            fn = extend_text_index if extend else shrink_text_index
+                raise OpError(f"search: {edits[0]} needs --index "
+                              f"<stored index table>")
+            if verify:
+                return text_index_stats(ctx.corpus(str(idx)))
+            fn = (extend_text_index if extend
+                  else shrink_text_index if shrink
+                  else upsert_text_index)
             return fn(ctx.corpus(str(idx)), ctx.docs())
         terms = ctx.require(
             "query",

@@ -777,8 +777,8 @@ def extend_text_index(index: DataFrame,
     full rebuild would count — pinned by test). At scale the
     postings union is a parquet append; only the tiny df/stat
     partitions rewrite. Re-adding an id that is already indexed
-    duplicates its postings (delete is not part of this index's
-    contract — rebuild for removals)."""
+    duplicates its postings — use ``upsert_text_index`` to replace
+    changed documents, ``shrink_text_index`` for removals."""
     _decode_text_index_stats(index)        # validate the artifact
     new = build_text_index(new_docs, text_col, id_col)
     posts = (index.where(F.col("kind") == "post")
@@ -805,6 +805,143 @@ def extend_text_index(index: DataFrame,
                       + F.coalesce("__b", F.lit(0.0))).alias("tf"),
                      F.lit(None).cast("double").alias("dl")))
     return posts.unionByName(dfs).unionByName(stats)
+
+
+def upsert_text_index(index: DataFrame, docs: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The REPLACE-or-ADD verb for a stored inverted index
+    (VERDICT r11 #2 — extend duplicates re-added ids; the vector
+    index got tombstones for the analogous problem): index the
+    incoming documents alone, drop the stored postings of any id
+    being re-added, subtract those ids' exact df/stat contributions
+    — all recovered FROM the stored postings themselves (df: one per
+    (id, distinct term) row; dl: denormalized on every posting) —
+    then add the fresh parts. upsert(build(A ∪ B_old), B_new) ≡
+    build(A ∪ B_new) exactly, and upsert is idempotent (pinned by
+    test); ids new to the index degrade to a plain extend.
+
+    Plan shape: the incoming id set is the upsert batch — bounded,
+    BROADCAST into one semi- and one anti-join against the stored
+    postings; the subtracted df delta is a term-bounded aggregate of
+    the (small) hit set; stats are a 1-row aggregate. Nothing
+    corpus-sized shuffles; at scale the postings union is a parquet
+    append plus a partition-selective delete of the re-added ids'
+    rows.
+
+    Caveat (documented, same class as extend's no-re-add contract):
+    a previously indexed document whose text had NO non-empty tokens
+    left no postings, so its stat contribution cannot be recovered —
+    re-adding such a document double-counts it in n/sum_dl.
+    ``text_index_stats`` is the gauge that surfaces any such
+    drift."""
+    old_stats = _decode_text_index_stats(index)
+    new = build_text_index(docs, text_col, id_col)
+    new_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    old_posts = index.where(F.col("kind") == "post")
+    hit = old_posts.join(F.broadcast(new_ids), "id", "left_semi")
+    # exact removed contributions, recovered from the stored rows
+    rem_df = (hit.groupBy("term")
+              .agg(F.count("*").cast("double").alias("__r")))
+    rem = (hit.groupBy("id").agg(F.max("dl").alias("__dl"))
+           .agg(F.count("*").cast("double").alias("n"),
+                F.coalesce(F.sum("__dl"), F.lit(0.0))
+                .alias("sum_dl"),
+                F.count("__dl").cast("double").alias("n_dl"))
+           .collect()[0])
+    new_stats = {r["term"]: r["tf"]
+                 for r in new.where(F.col("kind") == "stat")
+                 .collect()}
+    posts = (old_posts.join(F.broadcast(new_ids), "id", "left_anti")
+             .select("kind", "term", "id", "tf", "dl")
+             .unionByName(new.where(F.col("kind") == "post")))
+    id_t = index.schema["id"].dataType
+    dfs = (index.where(F.col("kind") == "df")
+           .select("term", F.col("tf").alias("__a"))
+           .join(rem_df, "term", "full_outer")
+           .join(new.where(F.col("kind") == "df")
+                 .select("term", F.col("tf").alias("__b")),
+                 "term", "full_outer")
+           .select("term", (F.coalesce("__a", F.lit(0.0))
+                            - F.coalesce("__r", F.lit(0.0))
+                            + F.coalesce("__b", F.lit(0.0)))
+                   .alias("tf"))
+           .where(F.col("tf") > 0)
+           .select(F.lit("df").alias("kind"), "term",
+                   F.lit(None).cast(id_t).alias("id"), "tf",
+                   F.lit(None).cast("double").alias("dl")))
+    spark = index.sparkSession
+    stat_vals = {k: old_stats[k] - float(rem[k]) + new_stats[k]
+                 for k in ("n", "sum_dl", "n_dl")}
+    stats = spark.createDataFrame(
+        [("stat", k, None, v, None) for k, v in stat_vals.items()],
+        f"kind string, term string, id {id_t.simpleString()}, "
+        f"tf double, dl double")
+    return posts.unionByName(dfs).unionByName(stats)
+
+
+def text_index_stats(index: DataFrame) -> DataFrame:
+    """Integrity gauge for a stored inverted index (VERDICT r11 #2 —
+    the ``postings_tombstone_stats`` analogue): recompute the df and
+    corpus-stat parts FROM the stored postings and compare them with
+    the stored kind='df'/'stat' rows. Returns ONE bounded row:
+
+    - ``n_docs_stat`` / ``n_docs_postings``, ``sum_dl_stat`` /
+      ``sum_dl_postings`` — stored vs postings-derived corpus stats;
+    - ``n_terms_df`` / ``n_terms_postings`` — stored df rows vs
+      distinct posting terms;
+    - ``n_df_mismatch`` — terms whose stored df ≠ the postings count
+      (including terms present on one side only);
+    - ``n_ids_inconsistent_dl`` — ids whose postings disagree on dl
+      (a corrupted or hand-edited artifact);
+    - ``consistent`` — true iff everything above matches exactly.
+
+    A healthy build/extend/shrink/upsert artifact is consistent; a
+    truncated, double-extended or hand-damaged one is not. Legitimate
+    exception (documented on ``upsert_text_index``): documents with
+    no non-empty tokens contribute to stats but leave no postings,
+    so corpora containing them report n_docs_postings <
+    n_docs_stat. Two postings-bounded aggregates + one broadcast-
+    joined df compare — no corpus rescan, the artifact IS the
+    input."""
+    stored = _decode_text_index_stats(index)
+    posts = index.where(F.col("kind") == "post")
+    per_id = posts.groupBy("id").agg(
+        F.min("dl").alias("__lo"), F.max("dl").alias("__hi"))
+    id_row = per_id.agg(
+        F.count("*").cast("double").alias("n"),
+        F.coalesce(F.sum("__hi"), F.lit(0.0)).alias("sum_dl"),
+        F.sum((~(F.col("__lo") == F.col("__hi"))
+               | F.col("__lo").isNull()).cast("long"))
+        .alias("bad_dl")).collect()[0]
+    df_cmp = (posts.groupBy("term")
+              .agg(F.count("*").cast("double").alias("__p"))
+              .join(index.where(F.col("kind") == "df")
+                    .select("term", F.col("tf").alias("__s")),
+                    "term", "full_outer")
+              .agg(F.count("*").alias("n_union"),
+                   F.count("__s").alias("n_stored"),
+                   F.count("__p").alias("n_posts"),
+                   F.sum((~(F.col("__p") == F.col("__s"))
+                          | F.col("__p").isNull()
+                          | F.col("__s").isNull()).cast("long"))
+                   .alias("n_mismatch")).collect()[0])
+    bad_dl = int(id_row["bad_dl"] or 0)
+    n_mismatch = int(df_cmp["n_mismatch"] or 0)
+    consistent = (n_mismatch == 0 and bad_dl == 0
+                  and float(id_row["n"]) == stored["n"]
+                  and float(id_row["sum_dl"]) == stored["sum_dl"]
+                  and float(id_row["n"]) == stored["n_dl"])
+    spark = index.sparkSession
+    return spark.createDataFrame(
+        [(stored["n"], float(id_row["n"]), stored["sum_dl"],
+          float(id_row["sum_dl"]), int(df_cmp["n_stored"]),
+          int(df_cmp["n_posts"]), n_mismatch, bad_dl, consistent)],
+        "n_docs_stat double, n_docs_postings double, "
+        "sum_dl_stat double, sum_dl_postings double, "
+        "n_terms_df long, n_terms_postings long, "
+        "n_df_mismatch long, n_ids_inconsistent_dl long, "
+        "consistent boolean")
 
 
 def hybrid_from_indexes(spark, text_index: DataFrame,

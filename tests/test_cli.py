@@ -1107,6 +1107,28 @@ def test_corpus_search_index_verbs(capsys, tmp_path):
     rc, _ = run(capsys, "corpus", "search", "--extend", "--index",
                 idx, "-o", ext)
     assert rc == 0
+    # upsert of the full corpus over itself == fresh build; the
+    # integrity gauge reads consistent on it (r12)
+    ups = str(tmp_path / "kw_idx3")
+    rc, _ = run(capsys, "corpus", "search", "--upsert", "--index",
+                idx, "-o", ups)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "search", "--index", ups,
+                  "--query", "spark window merge", "-k", "5", "-j")
+    assert rc == 0 and out.splitlines() == served
+    rc, out = run(capsys, "corpus", "search", "--verify-index",
+                  "--index", ups, "-j")
+    row = json.loads(out.splitlines()[0])
+    assert rc == 0 and row["consistent"] is True
+    # ... and flags the double-extended artifact as inconsistent
+    dbl = str(tmp_path / "kw_idx_dbl")
+    rc, _ = run(capsys, "corpus", "search", "--extend", "--index",
+                ups, "-o", dbl)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "search", "--verify-index",
+                  "--index", dbl, "-j")
+    row = json.loads(out.splitlines()[0])
+    assert rc == 0 and row["consistent"] is False
     # verb misuse is loud
     rc, _ = run(capsys, "corpus", "search", "--build-index",
                 "--index", idx)
@@ -1115,6 +1137,12 @@ def test_corpus_search_index_verbs(capsys, tmp_path):
                 "--query", "spark")
     assert rc == 2
     rc, _ = run(capsys, "corpus", "search", "--extend")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search", "--extend", "--upsert",
+                "--index", idx)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search", "--verify-index",
+                "--index", idx, "--query", "spark")
     assert rc == 2
     rc, _ = run(capsys, "corpus", "search")
     assert rc == 2
