@@ -1010,6 +1010,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --compact: only rewrite lists at or "
                          "above this tombstone ratio (default 0 = "
                          "every dirty list)")
+    cn.add_argument("--health", action="store_true",
+                    help="ivfpq: one-row rebuild-decision gauge "
+                         "over --index + --postings — distortion "
+                         "vs the build baseline, tombstone load, "
+                         "list balance, and a recommendation "
+                         "(ok/compact/rebalance/rebuild)")
     cn.add_argument("--codes-only", action="store_true",
                     dest="codes_only",
                     help="with --encode: store codes-only postings "

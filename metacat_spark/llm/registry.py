@@ -822,20 +822,22 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     compact = ctx.flag("compact")
     post = ctx.param("postings")
     ingest = ctx.param("ingest")
+    health = ctx.flag("health")
     if method != "ivfpq" and (ctx.flag("encode")
                               or ctx.flag("distortion")
                               or post is not None
                               or retire is not None or compact
-                              or ingest is not None):
+                              or ingest is not None or health):
         # same loud-flag contract as --build-index below (review r9)
         raise OpError(f"ann: --encode/--distortion/--postings/"
-                      f"--retire/--compact/--ingest apply to method "
-                      f"ivfpq, not {method}")
+                      f"--retire/--compact/--ingest/--health apply "
+                      f"to method ivfpq, not {method}")
     # the index verbs are mutually exclusive, and build never takes
     # a served index — silent precedence would run a different verb
     # than the user asked for (review r10, same loud-flag contract).
-    # --postings is the SERVE verb only when --retire/--compact are
-    # absent; with them it names the table those verbs operate on.
+    # --postings is the SERVE verb only when --retire/--compact/
+    # --health are absent; with them it names the table those verbs
+    # operate on.
     verbs = [v for v, on in (
         ("--build-index", ctx.flag("build_index")),
         ("--encode", ctx.flag("encode")),
@@ -843,8 +845,9 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         ("--retire", retire is not None),
         ("--compact", compact),
         ("--ingest", ingest is not None),
+        ("--health", health),
         ("--postings", post is not None and retire is None
-         and not compact and ingest is None)) if on]
+         and not compact and ingest is None and not health)) if on]
     if len(verbs) > 1:
         raise OpError(f"ann: conflicting verbs {', '.join(verbs)} — "
                       f"pick one")
@@ -863,7 +866,7 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     recall = ctx.flag("recall")
     if recall and (ctx.flag("build_index") or ctx.flag("encode")
                    or ctx.flag("distortion") or retire is not None
-                   or compact or ingest is not None):
+                   or compact or ingest is not None or health):
         # recall measures a SEARCH against the exact ground truth —
         # on a non-search verb it would silently do nothing
         # (loud-flag contract)
@@ -1019,6 +1022,18 @@ def _op_ann(ctx: OpContext) -> DataFrame:
                     str(post),
                     keep_vectors=not ctx.flag("codes_only"),
                     timeout_s=ctx.int_param("timeout", 300))
+            if health:
+                # the rebuild-decision gauge: distortion of the
+                # input frame vs the build baseline + tombstone load
+                # + list balance, one row with a recommendation
+                if idx is None or post is None:
+                    raise OpError("ann: --health needs --index "
+                                  "<stored index table> and "
+                                  "--postings <stored postings "
+                                  "table>")
+                return SIM.index_health(
+                    df, ctx.corpus(str(post)), ctx.corpus(str(idx)),
+                    **kw)
             if post is not None:
                 if idx is None:
                     raise OpError("ann: --postings needs --index "

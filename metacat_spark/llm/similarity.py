@@ -1495,6 +1495,91 @@ def compact_postings(postings: DataFrame,
     return keep.unionByName(rewritten)
 
 
+def index_health(df: DataFrame, postings: DataFrame,
+                 index: DataFrame,
+                 distortion_threshold: float = 1.5,
+                 tombstone_threshold: float = 0.2,
+                 balance_threshold: float = 4.0,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """The rebuild-decision verb for a served IVF-PQ index
+    (VERDICT r11 #4): fold the three existing gauges — codebook
+    staleness (``ivfpq_distortion`` of ``df``, typically a recent
+    data sample, vs the build-time baseline), tombstone load
+    (``postings_tombstone_stats`` rolled up), and live-list balance
+    (max/mean list size — a hot list serves a disproportionate share
+    of probes) — into ONE bounded row with a recommendation:
+
+    - ``rebuild``  — distortion_ratio > ``distortion_threshold``:
+      the data has drifted from the codebooks' training
+      distribution. Recipe: retrain with ``build_ivfpq_index`` on a
+      current sample (reusing the old artifact's n_lists/m/n_codes,
+      plus ``opq_iters`` if it carried a rotation), re-encode the
+      live corpus with ``encode_ivfpq`` against the NEW index, and
+      cut serving over once the new postings are complete — the old
+      artifact keeps serving during the rebuild.
+    - ``compact``  — overall tombstone_ratio > ``tombstone_threshold``
+      (or any list past it): run ``compact_postings`` to drop dead
+      rows; results are unchanged, scans shrink.
+    - ``rebalance`` — balance_ratio > ``balance_threshold`` with no
+      worse finding: recall/latency skews toward hot lists; retrain
+      (as rebuild) or raise n_probe.
+    - ``ok``       — none of the above.
+
+    Severity order rebuild > compact > rebalance: a drifted codebook
+    makes compaction moot. Cost: one Arrow distortion pass over
+    ``df`` + one postings aggregate (n_lists rows) — cheap enough to
+    run on a schedule."""
+    d = ivfpq_distortion(df, index, vec_col=vec_col,
+                         id_col=id_col).collect()[0]
+    ts = postings_tombstone_stats(postings)
+    t = (ts.agg(F.sum("n_live").alias("n_live"),
+                F.sum("n_dead").alias("n_dead"),
+                F.sum((F.col("tombstone_ratio")
+                       > float(tombstone_threshold)).cast("long"))
+                .alias("n_lists_dirty"),
+                F.count("*").alias("n_lists_used"),
+                F.max("n_live").alias("max_list"),
+                F.avg("n_live").alias("mean_list"))
+         .collect()[0])
+    n_lists_total = index.where(F.col("kind") == "centroid").count()
+    n_live = int(t["n_live"] or 0)
+    n_dead = int(t["n_dead"] or 0)
+    tomb = (n_dead / (n_dead + n_live)) if (n_dead + n_live) else 0.0
+    bal = (float(t["max_list"]) / float(t["mean_list"])
+           if t["mean_list"] else None)
+    ratio = d["distortion_ratio"]
+    if ratio is not None and ratio > distortion_threshold:
+        rec = "rebuild"
+    elif (tomb > tombstone_threshold
+          or int(t["n_lists_dirty"] or 0) > 0):
+        rec = "compact"
+    elif bal is not None and bal > balance_threshold:
+        rec = "rebalance"
+    else:
+        rec = "ok"
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(d["n"]), d["mean_distortion"], d["build_distortion"],
+          ratio, n_live, n_dead, round(tomb, 6),
+          int(t["n_lists_dirty"] or 0), int(t["n_lists_used"]),
+          int(n_lists_total),
+          None if bal is None else round(bal, 6), rec)],
+        "n_sampled long, mean_distortion double, "
+        "build_distortion double, distortion_ratio double, "
+        "n_live long, n_dead long, tombstone_ratio double, "
+        "n_lists_dirty long, n_lists_used long, n_lists_total long, "
+        "balance_ratio double, recommendation string")
+
+
+def should_rebuild(df: DataFrame, postings: DataFrame,
+                   index: DataFrame, **kwargs) -> bool:
+    """True iff ``index_health`` recommends a codebook rebuild —
+    the one-boolean form for schedulers; thresholds pass through."""
+    return (index_health(df, postings, index, **kwargs)
+            .collect()[0]["recommendation"] == "rebuild")
+
+
 def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
                         postings_dir: str,
                         checkpoint_dir: str | None = None,

@@ -1062,6 +1062,37 @@ def test_corpus_ann_recall(capsys, tmp_path):
     assert rc == 2
 
 
+def test_corpus_ann_health(capsys, tmp_path, spark):
+    """--health: one-row rebuild-decision gauge over a stored index
+    + postings; loud misuse without the artifacts / on non-ivfpq /
+    with --recall."""
+    idx = str(tmp_path / "h_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", idx)
+    assert rc == 0
+    posts = str(tmp_path / "h_posts")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--index", idx, "-o", posts)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--health", "--index", idx, "--postings", posts,
+                  "-j")
+    row = json.loads(out.splitlines()[0])
+    assert rc == 0
+    assert row["recommendation"] in ("ok", "rebalance")
+    assert row["n_dead"] == 0 and row["distortion_ratio"] is not None
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--health", "--index", idx)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "gemm",
+                "--health")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--health", "--index", idx, "--postings", posts,
+                "--recall")
+    assert rc == 2
+
+
 def test_corpus_ann_recall_served_mode(capsys, tmp_path, spark):
     """--recall on a --postings serve grades against the STORED
     postings corpus, not the input frame (ADVICE r11), and is a

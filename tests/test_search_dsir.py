@@ -779,6 +779,56 @@ def test_ivfpq_retire_compact_lifecycle(embs, tmp_path, spark):
     assert untouched.count() == tombstoned.count()
 
 
+def test_index_health_recommendations_flip(docs, embs, spark):
+    """The rebuild-decision verb (VERDICT r11 #4): a fresh index on
+    in-distribution data reads ok; heavy tombstoning flips the
+    recommendation to compact; out-of-distribution data flips it to
+    rebuild (which outranks compact); should_rebuild mirrors it."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq,
+                                              hashed_doc_vectors,
+                                              index_health,
+                                              retire_vectors,
+                                              should_rebuild)
+    idx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                            train_iters=1)
+    postings = encode_ivfpq(embs, idx)
+    row = index_health(embs, postings, idx,
+                       balance_threshold=10.0).collect()[0]
+    assert row["recommendation"] == "ok", row
+    assert row["n_dead"] == 0 and row["tombstone_ratio"] == 0.0
+    assert 0.5 < row["distortion_ratio"] < 1.5
+    assert row["n_lists_total"] == 8
+    assert row["n_sampled"] == embs.count()
+    assert not should_rebuild(embs, postings, idx,
+                              balance_threshold=10.0)
+    # retire 30% of the corpus → tombstone load says compact
+    victims = [r["vec_id"] for r in
+               embs.select("vec_id").orderBy("vec_id")
+               .limit(embs.count() * 3 // 10).collect()]
+    tomb = postings.unionByName(retire_vectors(postings, victims))
+    crow = index_health(embs, tomb, idx,
+                        balance_threshold=10.0).collect()[0]
+    assert crow["recommendation"] == "compact", crow
+    assert crow["tombstone_ratio"] > 0.2
+    assert crow["n_lists_dirty"] >= 1
+    # out-of-distribution gauge frame (hashed doc vectors measure
+    # 1.13× the build distortion — deterministic) → rebuild once the
+    # ratio crosses the operator's threshold, even on the tombstoned
+    # table (severity order: rebuild outranks compact)
+    ood = hashed_doc_vectors(docs, dim=len(
+        embs.first()["embedding"]))
+    rrow = index_health(ood, tomb, idx, vec_col="vector",
+                        id_col="doc_id",
+                        distortion_threshold=1.1,
+                        balance_threshold=10.0).collect()[0]
+    assert rrow["recommendation"] == "rebuild", rrow
+    assert rrow["distortion_ratio"] > 1.1
+    assert should_rebuild(ood, tomb, idx, vec_col="vector",
+                          id_col="doc_id", distortion_threshold=1.1,
+                          balance_threshold=10.0)
+
+
 def test_encode_ivfpq_stream_equals_batch(embs, tmp_path, spark):
     """Streaming postings ingest (VERDICT r10 #4): stream-ingested
     postings are row-for-row the batch encode of the same corpus
