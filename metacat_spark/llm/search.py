@@ -765,6 +765,86 @@ def search_text_index(index: DataFrame, query_terms, k: int = 10,
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def search_text_index_many(index: DataFrame, queries,
+                           k: int = 10, k1: float = 1.2,
+                           b: float = 0.75,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Serve a BATCH of BM25 queries from one stored inverted index
+    in ONE plan (VERDICT r11 #6 — a retrieval service serves
+    batches, not one pivot-plan per query): ``queries`` maps a
+    query id to its term list (dict or (qid, terms) pairs). The
+    postings scan prunes ONCE to the union of all queries' terms
+    (pushed IN-filter), the bounded (query, term-index, term, df)
+    table broadcasts onto it, and per-(query, doc) scores fold the
+    per-term BM25 contributions IN TERM ORDER — ``F.aggregate`` over
+    the index-sorted contribution array reproduces ``_score_expr``'s
+    left-to-right float sequence exactly (absent terms contribute an
+    exact 0.0 there, and x + 0.0 is an IEEE identity for the
+    positive contributions BM25 produces), so every query's rows are
+    pinned row-for-row equal to its ``search_text_index`` serve.
+
+    Per-query top-k is one window partitioned by query id over the
+    matched candidates only. Scale: candidate rows are the union of
+    the queries' postings — the single corpus-sized input — touched
+    once for the whole batch instead of once per query."""
+    if hasattr(queries, "items"):
+        queries = list(queries.items())
+    queries = [(qid, _dedupe_terms(t)) for qid, t in queries]
+    if not queries:
+        raise ValueError("search_text_index_many: need at least "
+                         "one query")
+    qids = [qid for qid, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("search_text_index_many: duplicate query "
+                         "ids")
+    st = _decode_text_index_stats(index)
+    spark = index.sparkSession
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    qt = spark.createDataFrame(
+        [(str(qid), i, t) for qid, terms in queries
+         for i, t in enumerate(terms)],
+        "query_id string, __ti int, term string")
+    dfr = (index.where((F.col("kind") == "df")
+                       & F.col("term").isin(all_terms))
+           .select("term", F.col("tf").alias("__df")))
+    # bounded: Σ query lengths rows — broadcast side of everything
+    qfull = (qt.join(dfr, "term", "left")
+             .select("query_id", "__ti", "term",
+                     F.coalesce("__df", F.lit(0.0)).alias("__df")))
+    post = (index.where((F.col("kind") == "post")
+                        & F.col("term").isin(all_terms))
+            .select("term", F.col("id").alias("__doc"), "tf", "dl"))
+    n_lit = F.lit(float(st["n"]))
+    avgdl = F.try_divide(F.lit(float(st["sum_dl"])),
+                         F.lit(float(st["n_dl"])))
+    idf = F.log(F.lit(1.0) + (n_lit - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    denom = (F.col("tf") + k1 * (1.0 - b
+                                 + b * F.try_divide(F.col("dl"),
+                                                    avgdl)))
+    contrib = idf * F.try_divide(F.col("tf") * (k1 + 1.0), denom)
+    hits = (post.join(F.broadcast(qfull), "term")
+            .select("query_id", F.col("__doc"), "dl",
+                    F.struct(F.col("__ti"),
+                             contrib.alias("__c")).alias("__tc")))
+    folded = (hits.groupBy("query_id", "__doc")
+              .agg(F.max("dl").alias("__dl"),
+                   F.array_sort(F.collect_list("__tc"))
+                   .alias("__tcs"))
+              .select(
+                  "query_id", F.col("__doc").alias(id_col),
+                  F.col("__dl").cast("long").alias("n_tokens"),
+                  F.round(F.aggregate(
+                      "__tcs", F.lit(0.0),
+                      lambda acc, x: acc + x["__c"]), 6)
+                  .alias("score")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col(id_col)))
+    return (folded.where(F.col("score") > 0)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def extend_text_index(index: DataFrame,
                       new_docs: DataFrame,
                       text_col: str = "text",

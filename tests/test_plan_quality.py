@@ -581,3 +581,25 @@ def test_text_index_serve_prunes_and_stays_jvm(spark, tmp_path):
     pushed = " ".join(ln for ln in plan.splitlines()
                       if "PushedFilters" in ln)
     assert "kind" in pushed and "term" in pushed
+
+
+def test_text_index_many_one_scan_broadcast_query_table(spark,
+                                                        tmp_path):
+    """Batched serving (r12): the union of the batch's terms prunes
+    the postings scan ONCE (pushed kind/term filters), the bounded
+    query/df table broadcasts onto it, and everything stays JVM-side
+    with no cartesian — one corpus-sized input for the whole batch."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          search_text_index_many)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "text_idx_many_plan")
+    build_text_index(docs).write.parquet(path)
+    plan = plan_of(search_text_index_many(
+        spark.read.parquet(path),
+        {"a": ["spark", "merge"], "b": ["window"]}, k=5))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = " ".join(ln for ln in plan.splitlines()
+                      if "PushedFilters" in ln)
+    assert "kind" in pushed and "term" in pushed

@@ -1245,6 +1245,48 @@ def test_det_shortlist_matches_lexsort_spec():
             assert set(got[i]) == set(spec[i]), (trial, i)
 
 
+def test_search_text_index_many_equals_per_query(docs, spark,
+                                                 tmp_path):
+    """Batched serving (VERDICT r11 #6): one plan over the union of
+    the queries' terms, pinned ROW-FOR-ROW equal to each query's own
+    search_text_index serve — overlapping terms, partly-unknown and
+    all-unknown queries included; loud on empty/duplicate input."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          search_text_index,
+                                          search_text_index_many)
+    path = str(tmp_path / "many_idx")
+    build_text_index(docs).write.parquet(path)
+    stored = spark.read.parquet(path)
+    batch = {
+        "q1": ["spark", "window", "merge"],
+        "q2": ["spark"],
+        "q3": ["the", "data", "zzznotaword"],
+        "q4": ["zzznotaword"],
+    }
+    many = search_text_index_many(stored, batch, k=10)
+    got = {}
+    for r in many.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["n_tokens"], r["score"]))
+    for qid in got:
+        got[qid].sort()
+    for qid, terms in batch.items():
+        want = [(r["rank"], r["doc_id"], r["n_tokens"], r["score"])
+                for r in search_text_index(stored, terms, k=10)
+                .orderBy("rank").collect()]
+        assert got.get(qid, []) == want, qid
+    assert got["q1"] and got["q2"] and got["q3"]
+    assert "q4" not in got          # all-unknown matches nothing
+    # pairs input form works; empty/duplicate input is loud
+    pairs = search_text_index_many(stored,
+                                   [("a", ["spark"])], k=3)
+    assert pairs.count() == 3
+    with pytest.raises(ValueError, match="at least one"):
+        search_text_index_many(stored, {})
+    with pytest.raises(ValueError, match="duplicate"):
+        search_text_index_many(stored, [("a", ["x"]), ("a", ["y"])])
+
+
 def test_text_index_truncated_artifact_is_loud(docs, spark):
     """A postings-only slice of a (kind-partitioned) index must be a
     clean ValueError at serve time, not silently empty results
