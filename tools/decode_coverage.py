@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Measured decode coverage of the multimodal codec set
+(VERDICT r11 #7): run ``extract_features`` over a mixed-container
+fixture set — every container the repo decodes for real (BMP, WAV,
+PNG variants, baseline/progressive JPEG) plus the documented
+plug-in-slot formats (WebP, AVIF, GIF, arithmetic-coded JPEG,
+truncated JPEG, random bytes) — and report the real-decode vs
+histogram-fallback rate per container and overall. The numbers land
+in docs/DIVERGENCES.md.
+
+Run: python tools/decode_coverage.py
+"""
+
+import os
+import struct
+import sys
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from metacat_spark.session import get_spark
+
+
+def _bmp(w, h, rgb_rows):
+    stride = (w * 3 + 3) // 4 * 4
+    pix = b""
+    for row in reversed(rgb_rows):
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        pix += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+    return header + dib + pix
+
+
+def _wav(rate, samples):
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _png_gray(rows):
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+    h, w = len(rows), len(rows[0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _px(h, w):
+    return [[((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5) % 256)
+             for x in range(w)] for y in range(h)]
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from metacat_spark.llm import multimodal as MM
+
+    rows_888 = _px(8, 8)
+    base = MM.encode_jpeg_baseline(rows_888)
+    prog = MM.encode_jpeg_progressive(rows_888)
+    # arithmetic-coded JPEG: baseline with SOF0 (0xC0) -> SOF9 (0xC9)
+    arith = bytearray(base)
+    i = arith.find(b"\xff\xc0")
+    arith[i + 1] = 0xC9
+    fixtures = [
+        # (container, payload) — several payloads per real codec
+        ("bmp", _bmp(2, 2, _px(2, 2))),
+        ("bmp", _bmp(5, 3, _px(3, 5))),
+        ("wav", _wav(8000, [0, 16384, -16384, 0])),
+        ("wav", _wav(44100, list(range(-50, 50)))),
+        ("png", _png_gray([[0, 128, 255], [10, 20, 30]])),
+        ("png", _png_gray([[x % 256 for x in range(16)]
+                           for _ in range(16)])),
+        ("jpeg_baseline", base),
+        ("jpeg_baseline", MM.encode_jpeg_baseline(rows_888,
+                                                  sub="420")),
+        ("jpeg_baseline", MM.encode_jpeg_baseline(
+            [[(x * 17 + y * 29) % 256 for x in range(8)]
+             for y in range(8)], sub="gray")),
+        ("jpeg_progressive", prog),
+        ("jpeg_progressive", MM.encode_jpeg_progressive(
+            [[(x * 17 + y * 29) % 256 for x in range(8)]
+             for y in range(8)], sub="gray")),
+        # plug-in-slot / degraded containers — MUST fall back, not
+        # crash
+        ("webp", b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 "
+         + b"\x00" * 12),
+        ("avif", struct.pack(">I", 24) + b"ftypavif"
+         + b"\x00" * 16),
+        ("gif", b"GIF89a" + b"\x00" * 30),
+        ("jpeg_arithmetic", bytes(arith)),
+        ("jpeg_truncated", base[: len(base) // 2]),
+        ("random", bytes((i * 37 + 11) % 256 for i in range(64))),
+        ("empty", b""),
+    ]
+    spark = get_spark("decode_coverage")
+    assets = spark.createDataFrame(
+        [(i, c, bytearray(p)) for i, (c, p) in enumerate(fixtures)],
+        "asset_id long, modality string, content binary")
+    feats = {r["asset_id"]: r["decode_ok"]
+             for r in MM.extract_features(assets).collect()}
+    by_container = {}
+    for i, (c, _) in enumerate(fixtures):
+        by_container.setdefault(c, []).append(feats[i])
+    real_set = {"bmp", "wav", "png", "jpeg_baseline",
+                "jpeg_progressive"}
+    print(f"{'container':18} {'n':>3} {'real-decoded':>13}")
+    n_real = n_all = 0
+    for c, oks in by_container.items():
+        print(f"{c:18} {len(oks):>3} {sum(oks):>6}/{len(oks)}")
+        n_all += len(oks)
+        n_real += sum(oks)
+        want_real = c in real_set
+        assert all(o == want_real for o in oks), (c, oks)
+    print(f"overall: {n_real}/{n_all} payloads real-decoded "
+          f"({n_real / n_all:.0%}); every real-codec container "
+          f"decodes, every plug-in-slot container degrades to the "
+          f"histogram fallback, nothing crashes")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
