@@ -39,10 +39,18 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 146
+TOTAL_ENTRIES = 148
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
+
+# the batched-serve entry's query set — shared verbatim by the Spark
+# entry and its per-query DuckDB oracle union (r12)
+MANY_QUERIES = {
+    "q1": ["spark", "window", "merge"],
+    "q2": ["the", "data"],
+    "q3": ["spark"],
+}
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> Engine:
@@ -327,6 +335,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from metacat_spark.llm import similarity as SIM
         return SIM.topk_gemm(_embs(spark, sf_dir), k=3)
     q["embed_topk_bruteforce"] = embed_topk
+
+    def embed_topk_vs(spark, sf_dir):
+        """Queries-vs-separate-corpus exact top-k (llm/similarity.py
+        topk_gemm_vs, r12 — the served-ANN ground-truth shape,
+        ADVICE r11): every embedding ranked against the EVEN-id half
+        only, self-pairs masked. Same block-GEMM + local-top-k
+        kernel as topk_gemm, two independently blocked sides."""
+        from metacat_spark.llm import similarity as SIM
+        embs = _embs(spark, sf_dir)
+        return SIM.topk_gemm_vs(embs, embs.where("vec_id % 2 = 0"),
+                                k=3)
+    q["embed_topk_vs"] = embed_topk_vs
 
     def embed_centroids(spark, sf_dir):
         from metacat_spark.llm import similarity as SIM
@@ -1660,6 +1680,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("rank").cast("long").alias("rank"))
     q["search_bm25_index"] = search_bm25_index_entry
 
+    def search_bm25_index_many_entry(spark, sf_dir):
+        """Batched index serving (llm/search.py
+        search_text_index_many, r12): THREE queries served from one
+        stored inverted index in ONE plan — the postings scan prunes
+        once to the union of the batch's terms, the bounded
+        (query, term, df) table broadcasts onto it, and per-(query,
+        doc) scores fold contributions in term order (row-for-row
+        equal to each per-query serve). Hash-checked against the
+        per-query DuckDB BM25 replays unioned with their query
+        ids."""
+        from metacat_spark.llm import search as SR
+        docs = _docs(spark, sf_dir)
+        out = SR.search_text_index_many(SR.build_text_index(docs),
+                                        MANY_QUERIES, k=10)
+        return out.select("query_id", "doc_id", "n_tokens", "score",
+                          F.col("rank").cast("long").alias("rank"))
+    q["search_bm25_index_many"] = search_bm25_index_many_entry
+
     def search_hybrid(spark, sf_dir):
         """Hybrid retrieval (llm/search.py hybrid_rrf): Reciprocal
         Rank Fusion of the BM25 top-20 and the cosine top-20 against
@@ -2561,6 +2599,19 @@ def oracle_sql() -> dict[str, str]:
                                               b.embedding::double[]), 6)
                    as cosine
           from embeddings a join embeddings b on a.vec_id <> b.vec_id) t
+        qualify rank <= 3"""
+
+    o["embed_topk_vs"] = """
+        select id, neighbor_id, cosine,
+               row_number() over (partition by id
+                 order by cosine desc, neighbor_id) as rank
+        from (
+          select a.vec_id as id, b.vec_id as neighbor_id,
+                 round(list_cosine_similarity(a.embedding::double[],
+                                              b.embedding::double[]), 6)
+                   as cosine
+          from embeddings a join embeddings b
+            on a.vec_id <> b.vec_id and b.vec_id % 2 = 0) t
         qualify rank <= 3"""
 
     o["embed_centroid_by_label"] = """
@@ -3669,6 +3720,40 @@ def oracle_sql() -> dict[str, str]:
         from scored where score > 0
         qualify rank <= 10"""
     o["search_bm25_index"] = o["search_bm25"]
+
+    def _bm25_scored_sql(terms):
+        # the _bm25 replay generalized to any term list — same
+        # tokenization, constants and round-6 quantization
+        tf_cols = ", ".join(
+            f"len(list_filter(t, x -> x = '{t}'))::double as tf{i}"
+            for i, t in enumerate(terms))
+        df_cols = ", ".join(
+            f"sum((tf{i} > 0)::int)::double as df{i}"
+            for i in range(len(terms)))
+        score = " + ".join(
+            f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} "
+            f"* 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+            for i in range(len(terms)))
+        return rf"""
+        with base as (
+          select doc_id, string_split_regex(lower(text), '\s+') as t
+          from documents),
+        tf as (select doc_id, len(t)::double as dl, {tf_cols}
+               from base),
+        stats as (select count(*)::double as n, avg(dl) as avgdl,
+                         {df_cols} from tf)
+        select doc_id, dl::bigint as n_tokens,
+               round({score}, 6) as score
+        from tf cross join stats"""
+
+    o["search_bm25_index_many"] = " union all ".join(
+        f"""select '{qid}' as query_id, * from (
+          select doc_id, n_tokens, score,
+                 row_number() over (order by score desc, doc_id)
+                   as rank
+          from ({_bm25_scored_sql(terms)}) scored
+          where score > 0 qualify rank <= 10)"""
+        for qid, terms in MANY_QUERIES.items())
 
     o["search_hybrid_rrf"] = f"""
         with scored as ({_bm25}),
