@@ -929,7 +929,10 @@ def upsert_text_index(index: DataFrame, docs: DataFrame,
                 .alias("sum_dl"),
                 F.count("__dl").cast("double").alias("n_dl"))
            .collect()[0])
-    new_stats = {r["term"]: r["tf"]
+    # an empty upsert batch yields a NULL sum_dl stat row (sum over
+    # zero docs) — coalesce so the arithmetic stays exact, not a
+    # TypeError (review r12)
+    new_stats = {r["term"]: (r["tf"] if r["tf"] is not None else 0.0)
                  for r in new.where(F.col("kind") == "stat")
                  .collect()}
     posts = (old_posts.join(F.broadcast(new_ids), "id", "left_anti")

@@ -1359,6 +1359,11 @@ def test_text_index_upsert_is_exact_replace(docs, spark, tmp_path):
     assert _index_parts(upsert_text_index(build_text_index(a),
                                           b_new)) \
         == _index_parts(fresh)
+    # an EMPTY upsert batch is an exact no-op (the empty build's
+    # NULL sum_dl stat must coalesce, not TypeError — review r12)
+    assert _index_parts(upsert_text_index(fresh,
+                                          docs.where("doc_id < 0"))) \
+        == _index_parts(fresh)
     # serve-after-upsert == fresh rebuild, through parquet
     path = str(tmp_path / "upsert_idx")
     up.write.parquet(path)
