@@ -738,6 +738,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="leaderboard depth per ranker (default 50)")
     chs.add_argument("-k", type=int, help="fused results to return "
                      "(default 10)")
+    chs.add_argument("--sink",
+                     help="deploy posture: parquet-append both "
+                          "leaderboard emission histories under "
+                          "<sink>/kw and <sink>/vec (checkpointed) "
+                          "instead of driver-resident memory sinks")
     cdiff = cs.add_parser("diff", help="snapshot diff vs a newer "
                           "corpus version (added/removed/changed/"
                           "unchanged by content fingerprint)")

@@ -518,12 +518,22 @@ def _op_hybrid_stream(ctx: OpContext) -> DataFrame:
     import uuid
     table = f"hybrid_stream_{uuid.uuid4().hex[:12]}"
     spark = docs.sparkSession
+    # deploy posture (r12): sink=<dir> writes both emission
+    # histories to parquet under <dir>/kw and <dir>/vec instead of
+    # driver-resident memory sinks. Caller-supplied write path —
+    # CLI only, like ann --ingest.
+    sink = ctx.param("sink")
+    if sink is not None and not ctx.local_fs:
+        raise OpError("hybrid-stream: sink= writes leaderboard "
+                      "history to a caller-supplied path — CLI "
+                      "only", status=403)
     try:
         out = hybrid_stream_topk(
             spark, docs_src, vec_src, terms,
             query_vec_id=ctx.int_param("vec"), stats_from=docs,
             query_from=ctx.embs(), n=ctx.int_param("n", 50),
-            k=ctx.int_param("k", 10), table=table)
+            k=ctx.int_param("k", 10), table=table,
+            sink_dir=None if sink is None else str(sink))
         # the fused result is <= k rows but reads the two memory-sink
         # temp views lazily; materialize it eagerly so the sinks
         # (which hold EVERY intermediate leaderboard emit) can be

@@ -344,6 +344,34 @@ def test_corpus_hybrid_stream(capsys):
     assert rc == 2
 
 
+def test_corpus_hybrid_stream_sink(capsys, tmp_path, spark):
+    """--sink (r12 deploy posture): identical fused result, both
+    leaderboard emission histories parquet-appended under
+    <sink>/kw and <sink>/vec, no memory sinks created."""
+    sink = str(tmp_path / "hs_sink")
+    rc, out = run(capsys, "corpus", "hybrid-stream",
+                  "--query", "spark window merge", "--vec", "0",
+                  "--src", f"{SF_DIR}/documents.parquet",
+                  "--vecsrc", f"{SF_DIR}/embeddings.parquet",
+                  "-n", "20", "-k", "5", "--sink", sink, "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and len(rows) == 5
+    rc, out = run(capsys, "corpus", "hybrid-stream",
+                  "--query", "spark window merge", "--vec", "0",
+                  "--src", f"{SF_DIR}/documents.parquet",
+                  "--vecsrc", f"{SF_DIR}/embeddings.parquet",
+                  "-n", "20", "-k", "5", "-j")
+    assert rc == 0 and [json.loads(ln)
+                        for ln in out.splitlines()] == rows
+    kw = spark.read.parquet(f"{sink}/kw")
+    vec = spark.read.parquet(f"{sink}/vec")
+    assert kw.count() > 0 and vec.count() > 0
+    assert "seq" in kw.columns and "rank" in kw.columns
+    engine, _ = cli._session(SF_DIR)
+    assert not [t.name for t in engine.spark.catalog.listTables()
+                if t.name.startswith("hybrid_stream_")]
+
+
 def test_corpus_diff_self(capsys):
     # a corpus diffed against itself is all 'unchanged'
     rc, out = run(capsys, "corpus", "diff",

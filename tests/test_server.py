@@ -535,6 +535,15 @@ def test_corpus_hybrid_stream_endpoint_and_jail(served):
              query="spark", vec=0, src="/etc/passwd",
              vecsrc=f"{SF_DIR}/embeddings.parquet")
     assert e.value.code == 403
+    # sink= writes a caller-supplied path: CLI only (r12) — the
+    # HTTP surface refuses with 403 even inside the data root
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="hybrid-stream",
+             query="spark", vec=0,
+             src=f"{SF_DIR}/documents.parquet",
+             vecsrc=f"{SF_DIR}/embeddings.parquet",
+             sink=f"{SF_DIR}/whatever")
+    assert e.value.code == 403
 
 
 def test_corpus_train_bpe_endpoints(served):
