@@ -695,6 +695,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="with --index: one-row integrity gauge — "
                           "df/stat parts recomputed from the stored "
                           "postings vs the stored rows")
+    csr.add_argument("--queries",
+                     help="with --index: batched serving — "
+                          "'<id>:<terms>[;<id>:<terms>...]' runs "
+                          "the whole batch in ONE plan (postings "
+                          "scanned once), row-for-row equal to the "
+                          "per-query serves")
     chy = cs.add_parser("hybrid", help="hybrid retrieval: BM25 + "
                         "embedding-cosine ranks fused by RRF")
     _corpus_common(chy)

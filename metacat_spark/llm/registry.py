@@ -398,19 +398,20 @@ def _op_search(ctx: OpContext) -> DataFrame:
     # a stored index (write the merged artifact with -o).
     from .search import (build_text_index, extend_text_index,
                          search_bm25, search_text_index,
-                         shrink_text_index, text_index_stats,
-                         upsert_text_index)
+                         search_text_index_many, shrink_text_index,
+                         text_index_stats, upsert_text_index)
     build = ctx.flag("build_index")
     extend = ctx.flag("extend")
     shrink = ctx.flag("shrink")
     upsert = ctx.flag("upsert")
     verify = ctx.flag("verify_index")
     idx = ctx.param("index")
+    many = ctx.param("queries")
     if build and (idx is not None or extend or shrink or upsert
-                  or verify):
+                  or verify or many is not None):
         raise OpError("search: --build-index creates a NEW index — "
                       "it cannot take --index/--extend/--shrink/"
-                      "--upsert/--verify-index")
+                      "--upsert/--verify-index/--queries")
     edits = [v for v, on in (("--extend", extend),
                              ("--shrink", shrink),
                              ("--upsert", upsert),
@@ -422,6 +423,41 @@ def _op_search(ctx: OpContext) -> DataFrame:
             and ctx.param("query") is not None):
         raise OpError("search: index verbs take no --query "
                       "(serve with --index --query)")
+    if many is not None:
+        # batched serving (r12): ONE plan over the union of the
+        # batch's terms — index-only (a corpus-scan per batch would
+        # defeat the point) and exclusive with --query / edit verbs
+        if ctx.param("query") is not None or edits:
+            raise OpError("search: --queries is the batched serve — "
+                          "it conflicts with --query and the index "
+                          "edit verbs")
+        if idx is None:
+            raise OpError("search: --queries needs --index <stored "
+                          "index table> (batched serving reads the "
+                          "index, never rescans the corpus)")
+        batch = {}
+        for part in str(many).split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            qid, _, terms = part.partition(":")
+            if not _ or not qid.strip() or not terms.split():
+                raise OpError(
+                    f"search: --queries item {part!r} is not "
+                    f"'<id>:<space-separated terms>'")
+            if qid.strip() in batch:
+                raise OpError(f"search: duplicate query id "
+                              f"{qid.strip()!r} in --queries")
+            batch[qid.strip()] = terms.split()
+        if not batch:
+            raise OpError("search: --queries is empty — need "
+                          "'<id>:<terms>[;<id>:<terms>...]'")
+        try:
+            return search_text_index_many(ctx.corpus(str(idx)),
+                                          batch,
+                                          k=ctx.int_param("k", 10))
+        except ValueError as e:
+            raise OpError(str(e))
     try:
         if build:
             return build_text_index(ctx.docs())

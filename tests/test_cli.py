@@ -1188,6 +1188,31 @@ def test_corpus_search_index_verbs(capsys, tmp_path):
                   "--index", dbl, "-j")
     row = json.loads(out.splitlines()[0])
     assert rc == 0 and row["consistent"] is False
+    # batched serving (r12): one plan, rows equal the per-query
+    # serve for the matching query id
+    rc, out = run(capsys, "corpus", "search", "--index", ups,
+                  "--queries", "a:spark window merge;b:the data",
+                  "-k", "5", "-j")
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and {r["query_id"] for r in rows} == {"a", "b"}
+    a_rows = [json.dumps({k: v for k, v in r.items()
+                          if k != "query_id"}, sort_keys=True)
+              for r in sorted(rows, key=lambda r: r["rank"])
+              if r["query_id"] == "a"]
+    single = [json.dumps(json.loads(ln), sort_keys=True)
+              for ln in run(capsys, "corpus", "search", "--index",
+                            ups, "--query", "spark window merge",
+                            "-k", "5", "-j")[1].splitlines()]
+    assert a_rows == single
+    # --queries misuse is loud: no index / with --query / bad item
+    rc, _ = run(capsys, "corpus", "search", "--queries", "a:spark")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search", "--index", ups,
+                "--queries", "a:spark", "--query", "spark")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search", "--index", ups,
+                "--queries", "nocolon")
+    assert rc == 2
     # verb misuse is loud
     rc, _ = run(capsys, "corpus", "search", "--build-index",
                 "--index", idx)
