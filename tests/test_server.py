@@ -515,6 +515,45 @@ def test_corpus_search_hybrid_dsir_endpoints(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/data/corpus", op="hybrid", query="spark")
     assert e.value.code == 400
+    # batched serving without an index is the same clean 400 (r12)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="search", queries="a:spark")
+    assert e.value.code == 400
+
+
+def test_corpus_search_queries_batch_endpoint(spark, catalog,
+                                              tmp_path):
+    """Batched index serving over HTTP (r12): queries= serves the
+    whole batch from a stored index in one plan; rows equal the
+    per-query serve from the same index."""
+    from metacat_spark.client import MetaCatSparkClient
+    from metacat_spark.llm.search import build_text_index
+    from metacat_spark.server import start_server
+    ipath = str(tmp_path / "kw_idx")
+    build_text_index(catalog.raw["documents"]).write.parquet(ipath)
+    client = MetaCatSparkClient(spark, catalog=catalog)
+    srv, port = start_server(client, data_root=str(tmp_path))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rows = _json_seq(_get(base, "/data/corpus", op="search",
+                              index=ipath,
+                              queries="a:spark window;b:merge", k=5))
+        assert {r["query_id"] for r in rows} == {"a", "b"}
+        single = _json_seq(_get(base, "/data/corpus", op="search",
+                                index=ipath, query="spark window",
+                                k=5))
+        a_rows = [{k: v for k, v in r.items() if k != "query_id"}
+                  for r in sorted((r for r in rows
+                                   if r["query_id"] == "a"),
+                                  key=lambda r: r["rank"])]
+        assert a_rows == single
+        # malformed batch items are clean 400s
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/data/corpus", op="search", index=ipath,
+                 queries="nocolon")
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
 
 
 def test_corpus_hybrid_stream_endpoint_and_jail(served):
