@@ -1890,7 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # keep the minhash-LSH certificate driver-visible over
               # the (simpler) props-extraction row
               "events_props_stats", "multimodal_jpeg_roundtrip",
-              "multimodal_jpeg_progressive"]
+              "multimodal_jpeg_progressive",
+              # r12 additions live past the cap so the driver's
+              # graded first-50 set stays pinned (INTENDED_IN_CAP)
+              "embed_topk_vs", "search_bm25_index_many"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote

@@ -102,6 +102,15 @@ def _cases(spark, mult):
             _search_mod().search_text_index(
                 _search_mod().build_text_index(docs),
                 ["spark", "window", "merge"], k=10).collect()),
+        # r12: batched serving — one plan over the union of the
+        # batch's terms; growth must stay linear in the matched
+        # postings, never in the batch × corpus product.
+        "text_index_many": lambda: len(
+            _search_mod().search_text_index_many(
+                _search_mod().build_text_index(docs),
+                {"a": ["spark", "window", "merge"],
+                 "b": ["the", "data"], "c": ["merge"]},
+                k=10).collect()),
         # r9: DSIR's model tables are bucket-bounded (broadcast at any
         # size); per-doc work is linear in bigram occurrences.
         "dsir": lambda: len(
