@@ -239,10 +239,26 @@ def _host_snapshot() -> dict:
             "pyspark_daemons": daemons}
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal ticks, total ticks) from /proc/stat — cumulative, so a
+    delta around the run yields the run's steal share. On a shared
+    hypervisor a noisy neighbor steals cycles WITHOUT raising this
+    guest's load average (r12: measured 11% steal at loadavg 0.04,
+    bench total swinging 15.8→21.9 s) — loadavg gates can't see it,
+    so the artifact must record it."""
+    try:
+        parts = open("/proc/stat").readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def main():
     stray = _await_quiet_host()
     contended, recently_loaded = _await_low_load()
     host_start = _host_snapshot()
+    steal0, total0 = _cpu_ticks()
     # t0 AFTER the stray-JVM wait: up to 300s of polling sleep must
     # not be reported as ingest/warmup cost (review r6)
     t0 = time.time()
@@ -338,6 +354,13 @@ def main():
         "stray_jvms_at_start": stray,
         "host_start": host_start,
         "host_end": _host_snapshot(),
+        # hypervisor steal share over the whole run (setup + both
+        # passes): > ~2-3% means a noisy neighbor was eating cycles
+        # and the wall-clock numbers are inflated regardless of how
+        # clean the load averages look (r12)
+        "steal_pct": (lambda s1t: round(
+            100.0 * (s1t[0] - steal0) / max(1, s1t[1] - total0), 2))(
+            _cpu_ticks()),
     }
     if contended:
         out["contended"] = True
