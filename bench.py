@@ -239,6 +239,60 @@ def _host_snapshot() -> dict:
             "pyspark_daemons": daemons}
 
 
+def _steal_probe(burn_s: float = 1.0) -> float:
+    """Measured steal share while THIS guest is actually demanding
+    CPU: burn one core for ``burn_s`` and return steal / non-idle
+    ticks over the window. Idle steal reads ~0 even when a neighbor
+    is active (nothing runnable to steal from), so the probe must
+    generate demand. One core for one second — cheap enough to not
+    disturb the load averages the other gate watches."""
+    s0, t0 = _cpu_ticks()
+    i0 = _idle_ticks()
+    end = time.time() + burn_s
+    while time.time() < end:
+        pass
+    s1, t1 = _cpu_ticks()
+    i1 = _idle_ticks()
+    busy = max(1, (t1 - t0) - (i1 - i0))
+    return (s1 - s0) / busy
+
+
+def _idle_ticks() -> int:
+    try:
+        parts = open("/proc/stat").readline().split()[1:]
+        return int(parts[3]) + int(parts[4])     # idle + iowait
+    except Exception:
+        return 0
+
+
+def _await_low_steal(threshold: float = 0.04, max_wait_s: int = 600,
+                     poll_s: int = 20) -> float:
+    """Wait (bounded) for a low-hypervisor-steal window. Loadavg
+    gates can't see a noisy NEIGHBOR (r12: 11% of ticks stolen under
+    load at loadavg 0.04, bench totals swinging 15.8 → 29.6 s in
+    direct proportion to steal_pct). Returns the last probed steal
+    share; like the load gate it proceeds loudly rather than
+    aborting — the artifact records ``steal_pct`` over the real run
+    either way."""
+    if os.environ.get("SPARK_GRAFT_SKIP_LOAD_WAIT") == "1":
+        return -1.0
+    deadline = time.time() + max_wait_s
+    while True:
+        share = _steal_probe()
+        if share < threshold:
+            return share
+        if time.time() >= deadline:
+            print(f"# WARNING: steal probe still {share:.1%} after "
+                  f"{max_wait_s}s — proceeding; read steal_pct in "
+                  f"the artifact", file=sys.stderr)
+            return share
+        print(f"# steal probe {share:.1%} >= {threshold:.0%} — a "
+              f"neighbor VM is eating cycles; waiting "
+              f"({int(deadline - time.time())}s left)...",
+              file=sys.stderr)
+        time.sleep(poll_s)
+
+
 def _cpu_ticks() -> tuple[int, int]:
     """(steal ticks, total ticks) from /proc/stat — cumulative, so a
     delta around the run yields the run's steal share. On a shared
@@ -257,7 +311,9 @@ def _cpu_ticks() -> tuple[int, int]:
 def main():
     stray = _await_quiet_host()
     contended, recently_loaded = _await_low_load()
+    steal_at_start = _await_low_steal()
     host_start = _host_snapshot()
+    host_start["steal_probe"] = round(steal_at_start, 4)
     steal0, total0 = _cpu_ticks()
     # t0 AFTER the stray-JVM wait: up to 300s of polling sleep must
     # not be reported as ingest/warmup cost (review r6)
