@@ -701,6 +701,22 @@ def build_parser() -> argparse.ArgumentParser:
                           "the whole batch in ONE plan (postings "
                           "scanned once), row-for-row equal to the "
                           "per-query serves")
+    csr.add_argument("--compact-index", action="store_true",
+                     dest="compact_index",
+                     help="with --index: fold a multi-part appended "
+                          "artifact back to one df/stat row per "
+                          "term (serve results unchanged; write "
+                          "with -o)")
+    csr.add_argument("--ingest",
+                     help="streaming index build: index a documents "
+                          "parquet STREAM from this path and "
+                          "parquet-append the fragments to --index "
+                          "(append-is-extend — serve sums the "
+                          "parts); emits the per-batch gauge. "
+                          "CLI only")
+    csr.add_argument("--timeout", type=int,
+                     help="with --ingest: drain timeout in seconds "
+                          "(default 300)")
     chy = cs.add_parser("hybrid", help="hybrid retrieval: BM25 + "
                         "embedding-cosine ranks fused by RRF")
     _corpus_common(chy)

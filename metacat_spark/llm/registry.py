@@ -396,7 +396,8 @@ def _op_search(ctx: OpContext) -> DataFrame:
     # persistable inverted index (write with -o), --index serves
     # queries from a stored one, --extend adds the served corpus to
     # a stored index (write the merged artifact with -o).
-    from .search import (build_text_index, extend_text_index,
+    from .search import (build_text_index, build_text_index_stream,
+                         compact_text_index, extend_text_index,
                          search_bm25, search_text_index,
                          search_text_index_many, shrink_text_index,
                          text_index_stats, upsert_text_index)
@@ -405,17 +406,46 @@ def _op_search(ctx: OpContext) -> DataFrame:
     shrink = ctx.flag("shrink")
     upsert = ctx.flag("upsert")
     verify = ctx.flag("verify_index")
+    compact = ctx.flag("compact_index")
+    ingest = ctx.param("ingest")
     idx = ctx.param("index")
     many = ctx.param("queries")
     if build and (idx is not None or extend or shrink or upsert
-                  or verify or many is not None):
+                  or verify or compact or ingest is not None
+                  or many is not None):
         raise OpError("search: --build-index creates a NEW index — "
                       "it cannot take --index/--extend/--shrink/"
-                      "--upsert/--verify-index/--queries")
+                      "--upsert/--verify-index/--compact-index/"
+                      "--ingest/--queries")
+    if ingest is not None:
+        # streaming build: parquet-appends index fragments to the
+        # --index dir (append-is-extend, r12). Caller-supplied write
+        # path — CLI only, like ann --ingest.
+        if extend or shrink or upsert or verify or compact \
+                or many is not None \
+                or ctx.param("query") is not None:
+            raise OpError("search: --ingest conflicts with the "
+                          "other index verbs and --query/--queries")
+        if idx is None:
+            raise OpError("search: --ingest needs --index "
+                          "<destination index dir for the streamed "
+                          "fragments>")
+        if not ctx.local_fs:
+            raise OpError(
+                "search: --ingest writes an index to a "
+                "caller-supplied path — CLI only", status=403)
+        src = ctx.corpus_path(str(ingest))
+        try:
+            return build_text_index_stream(
+                ctx.docs().sparkSession, src, str(idx),
+                timeout_s=ctx.int_param("timeout", 300))
+        except ValueError as e:
+            raise OpError(str(e))
     edits = [v for v, on in (("--extend", extend),
                              ("--shrink", shrink),
                              ("--upsert", upsert),
-                             ("--verify-index", verify)) if on]
+                             ("--verify-index", verify),
+                             ("--compact-index", compact)) if on]
     if len(edits) > 1:
         raise OpError(f"search: conflicting verbs "
                       f"{', '.join(edits)} — pick one")
@@ -467,6 +497,8 @@ def _op_search(ctx: OpContext) -> DataFrame:
                               f"<stored index table>")
             if verify:
                 return text_index_stats(ctx.corpus(str(idx)))
+            if compact:
+                return compact_text_index(ctx.corpus(str(idx)))
             fn = (extend_text_index if extend
                   else shrink_text_index if shrink
                   else upsert_text_index)

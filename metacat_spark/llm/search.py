@@ -675,19 +675,25 @@ def build_text_index(df: DataFrame, text_col: str = "text",
 
 def _decode_text_index_stats(index: DataFrame):
     """The corpus stats (n, sum_dl, n_dl) from a build_text_index
-    table — a BOUNDED collect of the three kind='stat' rows. Raises
-    ValueError on a table that is not a well-formed artifact: wrong
-    columns, or stat rows missing/null (e.g. a postings-only
-    partition of a kind-partitioned table) — without this check a
-    truncated artifact would serve silently EMPTY results (null
-    stats null every score) instead of erroring (review r11)."""
+    table — a BOUNDED collect of the kind='stat' rows. A MULTI-PART
+    artifact (several appended build/extend fragments, r12) carries
+    one stat row per part per key; the sums are integer-valued
+    doubles, so summing them here IS the exact merged value — plain
+    parquet append is a valid extend. Raises ValueError on a table
+    that is not a well-formed artifact: wrong columns, or stat rows
+    missing/null (e.g. a postings-only partition of a
+    kind-partitioned table) — without this check a truncated
+    artifact would serve silently EMPTY results (null stats null
+    every score) instead of erroring (review r11)."""
     want = {"kind", "term", "id", "tf", "dl"}
     if not want <= set(index.columns):
         raise ValueError("search_text_index: index table must have "
                          f"columns {sorted(want)} (from "
                          f"build_text_index)")
-    rows = {r["term"]: r["tf"]
-            for r in index.where(F.col("kind") == "stat").collect()}
+    rows: dict = {}
+    for r in index.where(F.col("kind") == "stat").collect():
+        if r["tf"] is not None:
+            rows[r["term"]] = rows.get(r["term"], 0.0) + r["tf"]
     missing = [k for k in ("n", "sum_dl", "n_dl")
                if rows.get(k) is None]
     if missing:
@@ -696,6 +702,17 @@ def _decode_text_index_stats(index: DataFrame):
             f"kind='stat' rows ({', '.join(missing)}) — not a "
             f"complete build_text_index artifact")
     return rows
+
+
+def _df_rows(index: DataFrame):
+    """The per-term document frequencies of a (possibly MULTI-PART)
+    index: one summed row per term. On a single-part artifact the
+    groupBy folds one row per term (a no-op value-wise); on appended
+    parts it merges them exactly (integer-valued doubles add
+    associatively) — the relational face of the same append-is-
+    extend algebra as ``_decode_text_index_stats``."""
+    return (index.where(F.col("kind") == "df")
+            .groupBy("term").agg(F.sum("tf").alias("tf")))
 
 
 def search_text_index(index: DataFrame, query_terms, k: int = 10,
@@ -735,9 +752,12 @@ def search_text_index(index: DataFrame, query_terms, k: int = 10,
     pivoted = (post.groupBy("__qid").pivot("term", terms)
                .agg(F.first("tf").alias("tf"),
                     F.first("dl").alias("dl")))
+    # SUM (not first): a multi-part appended artifact carries one df
+    # row per part per term; the sums merge exactly (r12 — plain
+    # parquet append is a valid extend)
     dfp = (index.where((F.col("kind") == "df")
                        & F.col("term").isin(terms))
-           .groupBy().pivot("term", terms).agg(F.first("tf")))
+           .groupBy().pivot("term", terms).agg(F.sum("tf")))
     # a term absent from the corpus has no df row: batch counts its
     # df as 0.0 (and every tf is 0) — coalesce, don't null the score
     dfcols = [F.coalesce(F.col(esc(t)), F.lit(0.0))
@@ -804,9 +824,12 @@ def search_text_index_many(index: DataFrame, queries,
         [(str(qid), i, t) for qid, terms in queries
          for i, t in enumerate(terms)],
         "query_id string, __ti int, term string")
+    # sum per term: multi-part artifacts carry one df row per part
+    # (r12 append-is-extend); the filter stays ahead of the fold so
+    # the scan still prunes to the batch's terms
     dfr = (index.where((F.col("kind") == "df")
                        & F.col("term").isin(all_terms))
-           .select("term", F.col("tf").alias("__df")))
+           .groupBy("term").agg(F.sum("tf").alias("__df")))
     # bounded: Σ query lengths rows — broadcast side of everything
     qfull = (qt.join(dfr, "term", "left")
              .select("query_id", "__ti", "term",
@@ -863,8 +886,10 @@ def extend_text_index(index: DataFrame,
     new = build_text_index(new_docs, text_col, id_col)
     posts = (index.where(F.col("kind") == "post")
              .unionByName(new.where(F.col("kind") == "post")))
-    old_df = (index.where(F.col("kind") == "df")
-              .select("term", F.col("tf").alias("__a")))
+    # _df_rows / the stat groupBy fold multi-part appended
+    # artifacts into one exact row per key before merging (r12)
+    old_df = _df_rows(index).select("term",
+                                    F.col("tf").alias("__a"))
     new_df = (new.where(F.col("kind") == "df")
               .select("term", F.col("tf").alias("__b")))
     id_t = index.schema["id"].dataType
@@ -875,7 +900,7 @@ def extend_text_index(index: DataFrame,
                     + F.coalesce("__b", F.lit(0.0))).alias("tf"),
                    F.lit(None).cast("double").alias("dl")))
     stats = (index.where(F.col("kind") == "stat")
-             .select("term", F.col("tf").alias("__a"))
+             .groupBy("term").agg(F.sum("tf").alias("__a"))
              .join(new.where(F.col("kind") == "stat")
                    .select("term", F.col("tf").alias("__b")),
                    "term", "full_outer")
@@ -939,7 +964,7 @@ def upsert_text_index(index: DataFrame, docs: DataFrame,
              .select("kind", "term", "id", "tf", "dl")
              .unionByName(new.where(F.col("kind") == "post")))
     id_t = index.schema["id"].dataType
-    dfs = (index.where(F.col("kind") == "df")
+    dfs = (_df_rows(index)
            .select("term", F.col("tf").alias("__a"))
            .join(rem_df, "term", "full_outer")
            .join(new.where(F.col("kind") == "df")
@@ -999,7 +1024,7 @@ def text_index_stats(index: DataFrame) -> DataFrame:
         .alias("bad_dl")).collect()[0]
     df_cmp = (posts.groupBy("term")
               .agg(F.count("*").cast("double").alias("__p"))
-              .join(index.where(F.col("kind") == "df")
+              .join(_df_rows(index)
                     .select("term", F.col("tf").alias("__s")),
                     "term", "full_outer")
               .agg(F.count("*").alias("n_union"),
@@ -1105,7 +1130,7 @@ def shrink_text_index(index: DataFrame, removed_docs: DataFrame,
              .join(rem_ids, "id", "left_anti")
              .select("kind", "term", "id", "tf", "dl"))
     id_t = index.schema["id"].dataType
-    dfs = (index.where(F.col("kind") == "df")
+    dfs = (_df_rows(index)
            .select("term", F.col("tf").alias("__a"))
            .join(rem.where(F.col("kind") == "df")
                  .select("term", F.col("tf").alias("__b")),
@@ -1118,7 +1143,7 @@ def shrink_text_index(index: DataFrame, removed_docs: DataFrame,
                    F.lit(None).cast(id_t).alias("id"), "tf",
                    F.lit(None).cast("double").alias("dl")))
     stats = (index.where(F.col("kind") == "stat")
-             .select("term", F.col("tf").alias("__a"))
+             .groupBy("term").agg(F.sum("tf").alias("__a"))
              .join(rem.where(F.col("kind") == "stat")
                    .select("term", F.col("tf").alias("__b")),
                    "term", "left")
@@ -1128,3 +1153,90 @@ def shrink_text_index(index: DataFrame, removed_docs: DataFrame,
                      .alias("tf"),
                      F.lit(None).cast("double").alias("dl")))
     return posts.unionByName(dfs).unionByName(stats)
+
+
+def compact_text_index(index: DataFrame) -> DataFrame:
+    """Fold a MULTI-PART appended index (r12: plain parquet append
+    of build/extend fragments is a valid extend — serve sums the
+    parts) back into the canonical one-row-per-term form: postings
+    pass through untouched, df and stat rows merge by exact sums.
+    Serving is unchanged before vs after (pinned); compaction only
+    shrinks the bounded df/stat partitions — storage hygiene after
+    many appends, exactly ``compact_postings``' role for the vector
+    index."""
+    _decode_text_index_stats(index)        # validate the artifact
+    id_t = index.schema["id"].dataType
+    posts = (index.where(F.col("kind") == "post")
+             .select("kind", "term", "id", "tf", "dl"))
+    dfs = (_df_rows(index)
+           .select(F.lit("df").alias("kind"), "term",
+                   F.lit(None).cast(id_t).alias("id"), "tf",
+                   F.lit(None).cast("double").alias("dl")))
+    stats = (index.where(F.col("kind") == "stat")
+             .groupBy("term").agg(F.sum("tf").alias("tf"))
+             .select(F.lit("stat").alias("kind"), "term",
+                     F.lit(None).cast(id_t).alias("id"), "tf",
+                     F.lit(None).cast("double").alias("dl")))
+    return posts.unionByName(dfs).unionByName(stats)
+
+
+def build_text_index_stream(spark, src_dir: str, index_dir: str,
+                            checkpoint_dir: str | None = None,
+                            max_files_per_trigger: int | None = None,
+                            timeout_s: int | None = 300,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Streaming index build — the text-index counterpart of
+    ``encode_ivfpq_stream``, completing streaming ingest parity
+    across both retrieval families (r12): each micro-batch of a
+    document STREAM is indexed alone (``build_text_index`` — the
+    fragment is itself a valid index part) and parquet-APPENDED to
+    ``index_dir``; because serve SUMS the df/stat parts exactly, the
+    appended artifact serves identically to a batch build of the
+    same corpus (pinned by test), with no read-modify-write of the
+    stored parts — the object-store-honest append-only shape.
+
+    Returns the bounded per-batch gauge: (batch_id, n_docs,
+    n_postings, n_terms) — ONE row per micro-batch. Checkpointed;
+    foreachBatch is at-least-once, so a crash between the append and
+    the checkpoint commit re-appends that batch on restart — run
+    ``compact_text_index`` + dedupe postings on (term, id), or
+    rebuild, if exactly-once matters (same remedy as
+    encode_ivfpq_stream). Periodically fold the accumulated df/stat
+    parts with ``compact_text_index``; ``text_index_stats`` verifies
+    the artifact either way."""
+    stream = stream_parquet(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger)
+    gauge_rows: list = []
+
+    def per_batch(bdf, bid):
+        part = build_text_index(bdf, text_col, id_col)
+        part.write.mode("append").parquet(index_dir)
+        row = (part.agg(
+            F.sum((F.col("kind") == "post").cast("long"))
+            .alias("n_postings"),
+            F.count_distinct(
+                F.when(F.col("kind") == "post", F.col("term")))
+            .alias("n_terms"),
+            F.max(F.when((F.col("kind") == "stat")
+                         & (F.col("term") == "n"), F.col("tf")))
+            .alias("n_docs")).collect()[0])
+        gauge_rows.append((int(bid), int(row["n_docs"] or 0),
+                           int(row["n_postings"] or 0),
+                           int(row["n_terms"] or 0)))
+
+    q = (stream.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir or index_dir + "__checkpoint")
+         .trigger(availableNow=True).start())
+    if timeout_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"build_text_index_stream did not finish within "
+            f"{timeout_s}s — the index may be partially ingested; "
+            f"restart resumes from the checkpoint")
+    return spark.createDataFrame(
+        gauge_rows,
+        "batch_id long, n_docs long, n_postings long, n_terms long")

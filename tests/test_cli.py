@@ -1213,6 +1213,31 @@ def test_corpus_search_index_verbs(capsys, tmp_path):
     rc, _ = run(capsys, "corpus", "search", "--index", ups,
                 "--queries", "nocolon")
     assert rc == 2
+    # r12 append-only lifecycle: --ingest streams fragments into the
+    # index dir (append-is-extend), --compact-index folds them;
+    # serving is identical at every step
+    sidx = str(tmp_path / "kw_idx_stream")
+    rc, out = run(capsys, "corpus", "search", "--ingest",
+                  f"{SF_DIR}/documents.parquet", "--index", sidx,
+                  "-j")
+    grows = [json.loads(ln) for ln in out.splitlines()]
+    assert rc == 0 and grows and all("n_docs" in g for g in grows)
+    rc, out = run(capsys, "corpus", "search", "--index", sidx,
+                  "--query", "spark window merge", "-k", "5", "-j")
+    assert rc == 0 and out.splitlines() == served
+    cidx = str(tmp_path / "kw_idx_compacted")
+    rc, _ = run(capsys, "corpus", "search", "--compact-index",
+                "--index", sidx, "-o", cidx)
+    assert rc == 0
+    rc, out = run(capsys, "corpus", "search", "--index", cidx,
+                  "--query", "spark window merge", "-k", "5", "-j")
+    assert rc == 0 and out.splitlines() == served
+    rc, _ = run(capsys, "corpus", "search", "--ingest",
+                f"{SF_DIR}/documents.parquet")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "search", "--compact-index",
+                "--verify-index", "--index", cidx)
+    assert rc == 2
     # verb misuse is loud
     rc, _ = run(capsys, "corpus", "search", "--build-index",
                 "--index", idx)

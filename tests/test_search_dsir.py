@@ -1411,3 +1411,70 @@ def test_text_index_stats_gauge(docs, spark):
     dropped = idx.where(f"not (kind = 'post' and id = {first})")
     drow = text_index_stats(dropped).collect()[0]
     assert not drow["consistent"] and drow["n_df_mismatch"] > 0
+
+
+def test_text_index_append_is_extend_and_stream_build(docs, spark,
+                                                      tmp_path):
+    """r12 append-only algebra: parquet-appending build(B) onto a
+    stored build(A) serves EXACTLY like build(A ∪ B) — serve SUMS
+    the df/stat parts (exact: integer-valued doubles). The streaming
+    build produces the same artifact semantics batch-by-batch;
+    compact folds the parts with serve unchanged; the integrity
+    gauge and the edit verbs handle multi-part artifacts."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          build_text_index_stream,
+                                          compact_text_index,
+                                          search_bm25,
+                                          search_text_index,
+                                          search_text_index_many,
+                                          text_index_stats,
+                                          upsert_text_index)
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "app_idx")
+    build_text_index(a).write.parquet(path)
+    build_text_index(b).write.mode("append").parquet(path)
+    stored = spark.read.parquet(path)
+    terms = ["spark", "window", "merge"]
+
+    def serve(ix):
+        return [(r["doc_id"], r["n_tokens"], r["score"], r["rank"])
+                for r in search_text_index(ix, terms, k=10)
+                .collect()]
+
+    scan = [(r["doc_id"], r["n_tokens"], r["score"], r["rank"])
+            for r in search_bm25(docs, terms, k=10).collect()]
+    assert serve(stored) == scan and scan
+    # batched serve sums the parts too
+    got_many = [(r["doc_id"], r["n_tokens"], r["score"], r["rank"])
+                for r in search_text_index_many(
+                    stored, {"q": terms}, k=10)
+                .orderBy("rank").collect()]
+    assert got_many == scan
+    # gauge reads the folded artifact as consistent
+    assert text_index_stats(stored).collect()[0]["consistent"]
+    # compact: canonical one-row-per-term parts, serve unchanged
+    comp = compact_text_index(stored)
+    assert (comp.where("kind = 'df'").groupBy("term").count()
+            .where("count > 1").count() == 0)
+    assert comp.where("kind = 'stat'").count() == 3
+    assert serve(comp) == scan
+    # the edit verbs fold multi-part inputs: upsert on the appended
+    # artifact equals a fresh rebuild
+    b_new = b.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" appended marker")))
+    up = upsert_text_index(stored, b_new)
+    fresh = build_text_index(a.unionByName(b_new))
+    assert _index_parts(up) == _index_parts(fresh)
+    # streaming build over 3 one-file batches == batch build
+    src = str(tmp_path / "app_docs3")
+    docs.repartition(3).write.parquet(src)
+    sidx = str(tmp_path / "stream_idx")
+    gauge = build_text_index_stream(spark, src, sidx,
+                                    max_files_per_trigger=1)
+    grows = gauge.collect()
+    assert len(grows) >= 3
+    assert sum(r["n_docs"] for r in grows) == docs.count()
+    streamed = spark.read.parquet(sidx)
+    assert serve(streamed) == scan
+    assert text_index_stats(streamed).collect()[0]["consistent"]

@@ -519,6 +519,12 @@ def test_corpus_search_hybrid_dsir_endpoints(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/data/corpus", op="search", queries="a:spark")
     assert e.value.code == 400
+    # --ingest writes an index to a caller-supplied path: CLI only
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/data/corpus", op="search",
+             ingest=f"{SF_DIR}/documents.parquet",
+             index=f"{SF_DIR}/whatever")
+    assert e.value.code == 403
 
 
 def test_corpus_search_queries_batch_endpoint(spark, catalog,
