@@ -265,7 +265,7 @@ def _idle_ticks() -> int:
         return 0
 
 
-def _await_low_steal(threshold: float = 0.04, max_wait_s: int = 600,
+def _await_low_steal(threshold: float = 0.04, max_wait_s: int = 240,
                      poll_s: int = 20) -> float:
     """Wait (bounded) for a low-hypervisor-steal window. Loadavg
     gates can't see a noisy NEIGHBOR (r12: 11% of ticks stolen under
@@ -273,7 +273,8 @@ def _await_low_steal(threshold: float = 0.04, max_wait_s: int = 600,
     direct proportion to steal_pct). Returns the last probed steal
     share; like the load gate it proceeds loudly rather than
     aborting — the artifact records ``steal_pct`` over the real run
-    either way."""
+    either way. The wait is capped well below the load gate's (the
+    driver's overall bench budget must absorb both waits)."""
     if os.environ.get("SPARK_GRAFT_SKIP_LOAD_WAIT") == "1":
         return -1.0
     deadline = time.time() + max_wait_s
