@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 148
+TOTAL_ENTRIES = 149
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -1698,6 +1698,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("rank").cast("long").alias("rank"))
     q["search_bm25_index_many"] = search_bm25_index_many_entry
 
+    def search_bm25_index_parts_entry(spark, sf_dir):
+        """Multi-part (append-is-extend) serving (r12): the corpus is
+        indexed as TWO separate fragments (the even- and odd-id
+        halves) whose union is the artifact shape a plain parquet
+        append produces — duplicate df/stat rows per part. Serve
+        SUMS the parts (exact: integer-valued doubles), so the
+        result is hash-checked against the SAME full-corpus DuckDB
+        BM25 oracle as the single-part index serve."""
+        from metacat_spark.llm import search as SR
+        docs = _docs(spark, sf_dir)
+        parts = SR.build_text_index(docs.where("doc_id % 2 = 0")) \
+            .unionByName(
+                SR.build_text_index(docs.where("doc_id % 2 = 1")))
+        out = SR.search_text_index(parts, _BM25_QUERY, k=10)
+        return out.select("doc_id", "n_tokens", "score",
+                          F.col("rank").cast("long").alias("rank"))
+    q["search_bm25_index_parts"] = search_bm25_index_parts_entry
+
     def search_hybrid(spark, sf_dir):
         """Hybrid retrieval (llm/search.py hybrid_rrf): Reciprocal
         Rank Fusion of the BM25 top-20 and the cosine top-20 against
@@ -1893,7 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "multimodal_jpeg_progressive",
               # r12 additions live past the cap so the driver's
               # graded first-50 set stays pinned (INTENDED_IN_CAP)
-              "embed_topk_vs", "search_bm25_index_many"]
+              "embed_topk_vs", "search_bm25_index_many",
+              "search_bm25_index_parts"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -3723,6 +3742,7 @@ def oracle_sql() -> dict[str, str]:
         from scored where score > 0
         qualify rank <= 10"""
     o["search_bm25_index"] = o["search_bm25"]
+    o["search_bm25_index_parts"] = o["search_bm25"]
 
     def _bm25_scored_sql(terms):
         # the _bm25 replay generalized to any term list — same
