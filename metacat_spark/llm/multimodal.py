@@ -1350,10 +1350,152 @@ def decode_jpeg(payload: bytes) -> list[float]:
             round(float(means.mean()), 6), float(w * h)]
 
 
+def _gif_lzw(data: bytes, min_code: int, n_out: int) -> list:
+    """GIF-variant LZW decompression (LSB-first bit packing, CLEAR /
+    END codes, 12-bit code cap): returns exactly ``n_out`` color
+    indices or raises ValueError. Pure stdlib — the dictionary is a
+    dict of int → tuple, grown one entry per decoded code."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list = []
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < n_out:
+        if bitpos + code_size > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        byte = bitpos >> 3
+        val = (int.from_bytes(data[byte:byte + 3], "little")
+               >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if val == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+            prev = None
+            continue
+        if val == end:
+            break
+        if prev is None:
+            entry = table.get(val)
+            if entry is None:
+                raise ValueError("bad GIF LZW start code")
+        else:
+            if val in table:
+                entry = table[val]
+            elif val == next_code:
+                entry = prev + (prev[0],)      # the KwKwK case
+            else:
+                raise ValueError("bad GIF LZW code")
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < n_out:
+        raise ValueError("truncated GIF image data")
+    return out[:n_out]
+
+
+def _gif_pixels(payload: bytes):
+    """Parse the FIRST frame of a GIF87a/89a to a top-down (h, w, 3)
+    RGB uint8 array: logical screen descriptor, global/local color
+    table, LZW decompression, 4-pass interlace reorder. Extensions
+    (GCE/comment/application) are skipped; for animations this is
+    frame 1 — the right content for a feature vector / perceptual
+    hash. Raises ValueError on anything malformed."""
+    import numpy as np
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 7))
+        gct = payload[pos:pos + n]
+        if len(gct) < n:
+            raise ValueError("truncated GIF color table")
+        pos += n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                      # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:                    # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            iw, ih = struct.unpack_from("<HH", payload, pos + 5)
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 7))
+                ct = payload[pos:pos + n]
+                if len(ct) < n:
+                    raise ValueError("truncated GIF color table")
+                pos += n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            if not (0 < iw and 0 < ih):
+                raise ValueError("empty GIF image")
+            if pos >= len(payload):
+                raise ValueError("truncated GIF")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("bad GIF LZW minimum code size")
+            chunks = []
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += ln + 1
+            data = b"".join(chunks)
+            idx = np.array(_gif_lzw(data, min_code, iw * ih),
+                           dtype=np.int64).reshape(ih, iw)
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            if idx.max() >= len(pal):
+                raise ValueError("GIF index outside color table")
+            px = pal[idx]
+            if ipacked & 0x40:             # 4-pass interlace
+                order = [y for step, start in
+                         ((8, 0), (8, 4), (4, 2), (2, 1))
+                         for y in range(start, ih, step)]
+                disp = np.empty_like(px)
+                disp[order] = px
+                px = disp
+            return px
+        elif b == 0x3B:                    # trailer before any image
+            raise ValueError("GIF contains no image")
+        else:
+            raise ValueError("bad GIF block")
+    raise ValueError("truncated GIF")
+
+
+def decode_gif(payload: bytes) -> list[float]:
+    """REAL GIF decode (87a/89a first frame, LZW + interlace, pure
+    stdlib + numpy — r12, flipping a plug-in-slot container to the
+    real set): same 8-dim contract as decode_bmp/decode_png/
+    decode_jpeg: [width, height, channels, mean_R, mean_G, mean_B
+    (0..1), brightness (0..1), n_pixels]."""
+    px = _gif_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
+    means = px.astype("float64").mean(axis=(0, 1)) / 255.0
+    return [float(w), float(h), 3.0,
+            round(float(means[0]), 6), round(float(means[1]), 6),
+            round(float(means[2]), 6),
+            round(float(means.mean()), 6), float(w * h)]
+
+
 def _image_pixels(payload: bytes):
     """Container-sniffing pixel getter for the perceptual-hash path:
-    top-down (h, w, 3) uint8 from BMP (BGR), PNG (RGB), or baseline
-    JPEG (RGB). Channel order is irrelevant to dHash (it pools to
+    top-down (h, w, 3) uint8 from BMP (BGR), PNG (RGB), baseline
+    JPEG (RGB), or GIF (RGB, r12). Channel order is irrelevant to dHash (it pools to
     grayscale), so the containers produce IDENTICAL fingerprints for
     identical pixel content — a PNG re-encode of a BMP dedups against
     it (JPEG's dHash survives its quantization loss on smooth
@@ -1365,12 +1507,15 @@ def _image_pixels(payload: bytes):
         return _png_pixels(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(payload)
     raise ValueError("no decodable image container")
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Codec-library slot for formats beyond the wired BMP/PNG/JPEG
-    kernels (WebP, AVIF, arithmetic-coded JPEG, ...). Real deployments
+    """Codec-library slot for formats beyond the wired
+    BMP/PNG/JPEG/GIF kernels (WebP, AVIF, arithmetic-coded JPEG,
+    ...). Real deployments
     plug PIL/opencv here; this container has no codec libraries, so
     reaching this is a decode MISS (the caller falls back and marks
     decode_ok=false)."""
@@ -1416,6 +1561,11 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
             # arithmetic-coded/lossless/corrupt/truncated JPEG (the
             # kernel converts its internal IndexErrors): histogram
             # fallback
+            pass
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return decode_gif(raw), True
+        except ValueError:
             pass
     try:
         return _decode_image(raw), True

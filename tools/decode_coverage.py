@@ -54,6 +54,60 @@ def _png_gray(rows):
             + chunk(b"IEND", b""))
 
 
+def _gif(rows, interlace=False):
+    """Minimal GIF89a fixture encoder (literal-code LZW mirroring the
+    decoder's code-size growth) — same builder as the unit tests."""
+    colors = sorted({c for row in rows for c in row})
+    cmap = {c: i for i, c in enumerate(colors)}
+    bits = max(1, (len(colors) - 1).bit_length())
+    n_field = max(0, bits - 1)
+    entries = 2 << n_field
+    min_code = max(2, bits)
+    h, w = len(rows), len(rows[0])
+    if interlace:
+        order = [y for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
+                 for y in range(start, h, step)]
+    else:
+        order = range(h)
+    flat = [cmap[c] for y in order for c in rows[y]]
+    clear, end_code = 1 << min_code, (1 << min_code) + 1
+    cs, nxt, first = min_code + 1, end_code + 1, True
+    codes = [(clear, min_code + 1)]
+    for idx in flat:
+        codes.append((idx, cs))
+        if first:
+            first = False
+        else:
+            nxt += 1
+            if nxt == (1 << cs) and cs < 12:
+                cs += 1
+            if nxt >= 3500:
+                codes.append((clear, cs))
+                cs, nxt, first = min_code + 1, end_code + 1, True
+    codes.append((end_code, cs))
+    acc = nacc = 0
+    data = bytearray()
+    for code, size in codes:
+        acc |= code << nacc
+        nacc += size
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    gct = b"".join(bytes(c) for c in colors)
+    gct += b"\x00" * (entries * 3 - len(gct))
+    out = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | n_field,
+                                   0, 0) + gct
+           + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+           + bytes([0x40 if interlace else 0, min_code]))
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    return out + b"\x00\x3B"
+
+
 def _px(h, w):
     return [[((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5) % 256)
              for x in range(w)] for y in range(h)]
@@ -92,11 +146,16 @@ def main():
              for y in range(8)], sub="gray")),
         # plug-in-slot / degraded containers — MUST fall back, not
         # crash
+        ("gif", _gif([[(r % 256 // 32 * 32, 0, c % 256 // 32 * 32)
+                       for c in range(6)] for r in range(5)])),
+        ("gif", _gif([[(r % 256 // 32 * 32, 0, c % 256 // 32 * 32)
+                       for c in range(6)] for r in range(9)],
+                     interlace=True)),
         ("webp", b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 "
          + b"\x00" * 12),
         ("avif", struct.pack(">I", 24) + b"ftypavif"
          + b"\x00" * 16),
-        ("gif", b"GIF89a" + b"\x00" * 30),
+        ("gif_corrupt", b"GIF89a" + b"\x00" * 30),
         ("jpeg_arithmetic", bytes(arith)),
         ("jpeg_truncated", base[: len(base) // 2]),
         ("random", bytes((i * 37 + 11) % 256 for i in range(64))),
@@ -112,7 +171,7 @@ def main():
     for i, (c, _) in enumerate(fixtures):
         by_container.setdefault(c, []).append(feats[i])
     real_set = {"bmp", "wav", "png", "jpeg_baseline",
-                "jpeg_progressive"}
+                "jpeg_progressive", "gif"}
     print(f"{'container':18} {'n':>3} {'real-decoded':>13}")
     n_real = n_all = 0
     for c, oks in by_container.items():
