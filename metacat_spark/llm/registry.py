@@ -441,6 +441,11 @@ def _op_search(ctx: OpContext) -> DataFrame:
                 timeout_s=ctx.int_param("timeout", 300))
         except ValueError as e:
             raise OpError(str(e))
+    if ctx.param("timeout") is not None:
+        # mirror of ann's check (ADVICE r12): --timeout only bounds
+        # the --ingest drain — silently ignoring it on other verbs
+        # violates the loud-flag contract
+        raise OpError("search: --timeout applies to --ingest")
     edits = [v for v, on in (("--extend", extend),
                              ("--shrink", shrink),
                              ("--upsert", upsert),

@@ -272,7 +272,14 @@ def _running_topk_stream(spark, scored: DataFrame, k: int,
     the emission history, and the checkpoint makes restarts resume;
     without it they stay queryable in the ``table`` memory sink (the
     test rig — history is k × batches rows of driver memory).
-    availableNow, update mode either way."""
+    availableNow, update mode either way.
+
+    Sink ownership (ADVICE r12): a sink_dir holding data without its
+    checkpoint is refused before the stream starts (another run's
+    rows would mix seqs), and a run whose checkpoint already marks
+    all input processed (zero new emissions over a non-empty sink)
+    raises instead of returning the PREVIOUS run's leaderboard
+    labeled as this query's result."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -323,13 +330,34 @@ def _running_topk_stream(spark, scored: DataFrame, k: int,
                                        state_schema, "update",
                                        GroupStateTimeout.NoTimeout))
     if sink_dir is not None:
+        import os
+
+        ckpt = checkpoint_dir or sink_dir + "__checkpoint"
+        # a sink holding data NOT owned by this checkpoint lineage is
+        # a stale-result hazard: a second run with a fresh checkpoint
+        # would mix rows sharing the same seq (duplicate ranks), so
+        # refuse BEFORE starting (ADVICE r12). With the pre-check
+        # holding, any data in the sink is this checkpoint's own
+        # emission history and the state-store seq (checkpointed)
+        # keeps max(seq) pointing at the true latest leaderboard
+        # across restarts.
+        if os.path.isdir(sink_dir) and os.listdir(sink_dir) \
+                and not os.path.isdir(ckpt):
+            raise ValueError(
+                f"{what}: sink_dir {sink_dir!r} already contains "
+                f"data but its checkpoint {ckpt!r} does not exist — "
+                f"the existing rows belong to another run and would "
+                f"corrupt the leaderboard readback; pass a fresh "
+                f"sink_dir (or the checkpoint that owns this one)")
+        fired: list = []
+
         def per_batch(bdf, bid):
+            fired.append(int(bid))
             bdf.write.mode("append").parquet(sink_dir)
 
         q = (running.writeStream.foreachBatch(per_batch)
              .outputMode("update")
-             .option("checkpointLocation",
-                     checkpoint_dir or sink_dir + "__checkpoint")
+             .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
     else:
         q = (running.writeStream.format("memory").queryName(table)
@@ -342,13 +370,30 @@ def _running_topk_stream(spark, scored: DataFrame, k: int,
             f"return a partially populated "
             + ("sink" if sink_dir is not None else "memory table"))
     if sink_dir is not None:
-        try:
-            emitted = spark.read.parquet(sink_dir)
-        except Exception:
-            # a zero-batch stream never fired foreachBatch — no
-            # sink directory to read; the leaderboard is empty
+        if not os.path.isdir(sink_dir):
+            # a zero-batch stream never fired foreachBatch — no sink
+            # directory was created; the leaderboard is empty.
+            # Existence-checked, NOT except-guarded: a genuine read
+            # failure (corruption, permissions) must propagate, not
+            # silently read as an empty leaderboard (ADVICE r12)
             return (spark.createDataFrame([], out_schema)
                     .drop("seq"))
+        if not fired:
+            # checkpoint marks all input processed, so this run
+            # emitted NOTHING — the sink rows are a PREVIOUS run's
+            # leaderboards (possibly for different query terms) and
+            # returning them labeled as this run's result would be a
+            # silent lie (ADVICE r12). A caller resuming the same
+            # query can read the sink directly.
+            raise ValueError(
+                f"{what}: the checkpoint {ckpt!r} already marks all "
+                f"input processed — this run emitted no new "
+                f"leaderboards; reusing a drained sink with a "
+                f"different query returns the OLD query's rows, so "
+                f"refuse: use a fresh sink_dir/checkpoint_dir, or "
+                f"read {sink_dir!r} directly to recover the prior "
+                f"run's final leaderboard")
+        emitted = spark.read.parquet(sink_dir)
     else:
         emitted = spark.table(table)
     last = emitted.agg(F.max("seq")).collect()[0][0]
@@ -691,9 +736,17 @@ def _decode_text_index_stats(index: DataFrame):
                          f"columns {sorted(want)} (from "
                          f"build_text_index)")
     rows: dict = {}
+    nulls: dict = {}
+    n_parts: dict = {}
+    n_empty_parts = 0
     for r in index.where(F.col("kind") == "stat").collect():
+        n_parts[r["term"]] = n_parts.get(r["term"], 0) + 1
         if r["tf"] is not None:
             rows[r["term"]] = rows.get(r["term"], 0.0) + r["tf"]
+            if r["term"] == "n" and r["tf"] == 0.0:
+                n_empty_parts += 1
+        else:
+            nulls[r["term"]] = nulls.get(r["term"], 0) + 1
     missing = [k for k in ("n", "sum_dl", "n_dl")
                if rows.get(k) is None]
     if missing:
@@ -701,6 +754,30 @@ def _decode_text_index_stats(index: DataFrame):
             f"search_text_index: index table is missing its "
             f"kind='stat' rows ({', '.join(missing)}) — not a "
             f"complete build_text_index artifact")
+    # a NULL tf is only legitimate for the sum_dl row of an ALL-EMPTY
+    # streaming fragment (sum over zero docs, n = 0) — so the null
+    # sum_dl rows are bounded by the zero-doc parts, and n/n_dl are
+    # never legitimately null. Anything beyond that is a truncated or
+    # hand-nulled part, and summing the survivors would serve
+    # undercounted stats silently (ADVICE r12 — regression of the
+    # r11 loud-truncation guard when empty-fragment tolerance landed)
+    if nulls.get("n") or nulls.get("n_dl"):
+        raise ValueError(
+            "search_text_index: a kind='stat' part carries NULL "
+            "n/n_dl rows — a truncated or corrupted artifact part; "
+            "rebuild (or re-append) the damaged fragment")
+    if nulls.get("sum_dl", 0) > n_empty_parts:
+        raise ValueError(
+            "search_text_index: a NULL sum_dl stat row without a "
+            "matching zero-doc part (null is only legitimate for an "
+            "all-empty streaming fragment) — a truncated or "
+            "corrupted artifact part; rebuild the damaged fragment")
+    if len({n_parts.get(k, 0) for k in ("n", "sum_dl", "n_dl")}) > 1:
+        raise ValueError(
+            "search_text_index: the kind='stat' parts are ragged "
+            "(unequal n/sum_dl/n_dl row counts) — an appended "
+            "fragment lost stat rows; rebuild the damaged fragment")
+    rows["__n_parts"] = n_parts.get("n", 1)
     return rows
 
 
@@ -1199,12 +1276,15 @@ def build_text_index_stream(spark, src_dir: str, index_dir: str,
     Returns the bounded per-batch gauge: (batch_id, n_docs,
     n_postings, n_terms) — ONE row per micro-batch. Checkpointed;
     foreachBatch is at-least-once, so a crash between the append and
-    the checkpoint commit re-appends that batch on restart — run
-    ``compact_text_index`` + dedupe postings on (term, id), or
-    rebuild, if exactly-once matters (same remedy as
-    encode_ivfpq_stream). Periodically fold the accumulated df/stat
-    parts with ``compact_text_index``; ``text_index_stats`` verifies
-    the artifact either way."""
+    the checkpoint commit re-appends that batch on restart. Deduping
+    postings on (term, id) alone does NOT repair that: the replayed
+    fragment's df and stat rows are also double-counted and
+    ``compact_text_index`` folds those sums as-is — the exact remedy
+    is a rebuild (or ``shrink_text_index`` + ``extend_text_index``
+    of the affected batch's ids); ``text_index_stats`` is the gauge
+    that flags the inconsistency either way (ADVICE r12).
+    Periodically fold the accumulated df/stat parts with
+    ``compact_text_index``."""
     stream = stream_parquet(
         spark, src_dir, max_files_per_trigger=max_files_per_trigger)
     gauge_rows: list = []

@@ -1127,7 +1127,21 @@ def _det_shortlist(adc, crank, rr: int):
         need = rr - len(strict)
         ties = ties[np.argsort(crank[ties], kind="stable")][:need]
         part[i, :len(strict)] = strict
-        part[i, len(strict):] = ties
+        part[i, len(strict):len(strict) + len(ties)] = ties
+        filled = len(strict) + len(ties)
+        if filled < rr:
+            # NaN ADC scores (a NaN-containing query vector NaNs the
+            # whole row) fall out of both > and == against the
+            # boundary, leaving the shortlist short; pad from the
+            # remaining candidates by the SPEC order (score desc
+            # with NaN last, neighbor rank asc) — the lexsort this
+            # replaced ranked NaN scores last and never crashed
+            # (ADVICE r12). O(rest log rest) only on NaN rows.
+            taken = np.zeros(nc, dtype=bool)
+            taken[part[i, :filled]] = True
+            rest = np.nonzero(~taken)[0]
+            rest = rest[np.lexsort((crank[rest], -row[rest]))]
+            part[i, filled:] = rest[:rr - filled]
     return part
 
 

@@ -115,21 +115,70 @@ def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     "n_events", "total_value"))
 
 
-def streaming_sessions_to_memory(spark: SparkSession, sf_dir: str,
-                                 gap_minutes: int = 30,
-                                 table: str = "ev_sessions") -> DataFrame:
-    """Run native sessionization as a Structured Streaming job
-    (availableNow → memory sink); returns the result table."""
-    stream = load_events_stream(spark, sf_dir)
-    agg = sessionize_native(stream, gap_minutes)
-    q = (agg.writeStream.format("memory").queryName(table)
-         .outputMode("complete").trigger(availableNow=True).start())
+def _drain_events(out: DataFrame, table: str, output_mode: str,
+                  what: str, sink_dir: str | None = None,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Shared drain for the events streaming twins (VERDICT r12 —
+    the last memory-only family graduates to production sinks).
+    With ``sink_dir`` each micro-batch lands in parquet:
+    complete-mode snapshots OVERWRITE the directory (idempotent
+    under foreachBatch's at-least-once replays — the sink always
+    holds exactly the latest full snapshot), update-mode emissions
+    APPEND (the emission history; a replayed batch can re-append —
+    dedupe per key downstream if exactly-once matters, the same
+    contract as ``drain_to_parquet``). Checkpointed
+    (default ``sink_dir + "__checkpoint"``) so restarts resume.
+    Without ``sink_dir``: availableNow → memory sink, the test
+    rig. Returns the sink read back (or the memory table)."""
+    import os
+
+    spark = out.sparkSession
+    if sink_dir is not None:
+        mode = ("overwrite" if output_mode == "complete"
+                else "append")
+
+        def per_batch(bdf, bid):
+            bdf.write.mode(mode).parquet(sink_dir)
+
+        q = (out.writeStream.foreachBatch(per_batch)
+             .outputMode(output_mode)
+             .option("checkpointLocation",
+                     checkpoint_dir or sink_dir + "__checkpoint")
+             .trigger(availableNow=True).start())
+    else:
+        q = (out.writeStream.format("memory").queryName(table)
+             .outputMode(output_mode).trigger(availableNow=True)
+             .start())
     if not q.awaitTermination(120):
         q.stop()
         raise TimeoutError(
-            "streaming job did not finish within 120s — refusing to "
-            "return a partially populated memory table")
+            f"{what} did not finish within 120s — refusing to "
+            "return a partially populated "
+            + ("sink" if sink_dir is not None else "memory table"))
+    if sink_dir is not None:
+        if not os.path.isdir(sink_dir):
+            # a zero-batch stream never fired foreachBatch
+            return spark.createDataFrame([], out.schema)
+        return spark.read.parquet(sink_dir)
     return spark.table(table)
+
+
+def streaming_sessions_to_memory(spark: SparkSession, sf_dir: str,
+                                 gap_minutes: int = 30,
+                                 table: str = "ev_sessions",
+                                 sink_dir: str | None = None,
+                                 checkpoint_dir: str | None = None
+                                 ) -> DataFrame:
+    """Run native sessionization as a Structured Streaming job:
+    with ``sink_dir`` the complete-mode snapshot parquet-OVERWRITES
+    there per micro-batch (the deploy posture — name kept for
+    compatibility); without it, availableNow → memory sink, the
+    test rig. Returns the result table either way."""
+    stream = load_events_stream(spark, sf_dir)
+    agg = sessionize_native(stream, gap_minutes)
+    return _drain_events(agg, table, "complete",
+                         "streaming sessions", sink_dir,
+                         checkpoint_dir)
 
 
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -169,35 +218,35 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
 
 
 def streaming_running_totals_to_memory(spark: SparkSession, sf_dir: str,
-                                       table: str = "ev_running"):
+                                       table: str = "ev_running",
+                                       sink_dir: str | None = None,
+                                       checkpoint_dir: str | None = None):
+    """Stateful running totals as a streaming job: with ``sink_dir``
+    every update-mode emission parquet-APPENDS there (per-type
+    running totals over time — the emission history; the LAST row
+    per event_type is the final state); without it, memory sink."""
     stream = load_events_stream(spark, sf_dir)
     out = running_totals_stateful(stream)
-    q = (out.writeStream.format("memory").queryName(table)
-         .outputMode("update").trigger(availableNow=True).start())
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(
-            "streaming job did not finish within 120s — refusing to "
-            "return a partially populated memory table")
-    return spark.table(table)
+    return _drain_events(out, table, "update",
+                         "streaming running totals", sink_dir,
+                         checkpoint_dir)
 
 
 def streaming_windowed_counts_to_memory(spark: SparkSession, sf_dir: str,
-                                        table: str = "ev_window") -> DataFrame:
-    """Run the windowed aggregation as a Structured Streaming job with
-    an availableNow trigger into a memory sink; returns the result
-    table. Proves the plan is streaming-executable (stateful agg +
-    watermark)."""
+                                        table: str = "ev_window",
+                                        sink_dir: str | None = None,
+                                        checkpoint_dir: str | None = None
+                                        ) -> DataFrame:
+    """Run the windowed aggregation as a Structured Streaming job
+    (proves the plan is streaming-executable: stateful agg +
+    watermark): with ``sink_dir`` the complete-mode snapshot
+    parquet-OVERWRITES there per micro-batch; without it,
+    availableNow → memory sink. Returns the result table."""
     stream = load_events_stream(spark, sf_dir)
     agg = windowed_counts(stream)
-    q = (agg.writeStream.format("memory").queryName(table)
-         .outputMode("complete").trigger(availableNow=True).start())
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(
-            "streaming job did not finish within 120s — refusing to "
-            "return a partially populated memory table")
-    return spark.table(table)
+    return _drain_events(agg, table, "complete",
+                         "streaming windowed counts", sink_dir,
+                         checkpoint_dir)
 
 
 def funnel(events: DataFrame, steps: list[str],
@@ -521,17 +570,18 @@ def funnel_stateful_ooo(stream: DataFrame, steps: list[str],
 def streaming_funnel_to_memory(spark: SparkSession, sf_dir: str,
                                steps: list[str],
                                horizon_s: int = 3600,
-                               table: str = "ev_funnel") -> DataFrame:
+                               table: str = "ev_funnel",
+                               sink_dir: str | None = None,
+                               checkpoint_dir: str | None = None
+                               ) -> DataFrame:
+    """Streaming funnel completions: with ``sink_dir`` every
+    completion row parquet-APPENDS there the micro-batch it lands
+    (each user completes at most once, so the append history IS the
+    completion set); without it, memory sink."""
     stream = load_events_stream(spark, sf_dir)
     out = funnel_stateful(stream, steps, horizon_s)
-    q = (out.writeStream.format("memory").queryName(table)
-         .outputMode("update").trigger(availableNow=True).start())
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(
-            "streaming funnel did not finish within 120s — refusing "
-            "to return a partially populated memory table")
-    return spark.table(table)
+    return _drain_events(out, table, "update", "streaming funnel",
+                         sink_dir, checkpoint_dir)
 
 
 def window_anomalies(events: DataFrame, window: str = "1 hour",

@@ -1255,6 +1255,11 @@ def test_corpus_search_index_verbs(capsys, tmp_path):
     assert rc == 2
     rc, _ = run(capsys, "corpus", "search")
     assert rc == 2
+    # --timeout only bounds the --ingest drain — silently ignoring
+    # it elsewhere violates the loud-flag contract (ADVICE r12)
+    rc, _ = run(capsys, "corpus", "search", "--index", cidx,
+                "--query", "spark", "--timeout", "60")
+    assert rc == 2
 
 
 def test_corpus_hybrid_served(capsys, tmp_path):

@@ -1478,3 +1478,105 @@ def test_text_index_append_is_extend_and_stream_build(docs, spark,
     streamed = spark.read.parquet(sidx)
     assert serve(streamed) == scan
     assert text_index_stats(streamed).collect()[0]["consistent"]
+
+
+def test_det_shortlist_nan_rows_never_crash():
+    """A NaN-containing query vector NaNs its whole ADC row; the
+    shortlist must degrade like the lexsort it replaced (NaN scores
+    rank last, crank tie-break) instead of crashing on a broadcast
+    mismatch (ADVICE r12)."""
+    import numpy as np
+    from metacat_spark.llm.similarity import _det_shortlist
+    rng = np.random.RandomState(13)
+    for trial in range(25):
+        nq, nc = int(rng.randint(1, 5)), int(rng.randint(2, 30))
+        adc = rng.randint(0, 4, size=(nq, nc)).astype(float)
+        # poison: one all-NaN row (when nq > 1) plus random NaNs
+        adc[0, rng.randint(0, nc)] = np.nan
+        if nq > 1:
+            adc[1] = np.nan
+        mask = rng.rand(nq, nc) < 0.4
+        adc[mask] = np.nan
+        crank = rng.permutation(nc)
+        rr = int(rng.randint(1, nc + 1))
+        got = _det_shortlist(adc, crank, rr)
+        assert got.shape == (nq, rr)
+        for i in range(nq):
+            row = adc[i]
+            assert len(set(got[i])) == rr, (trial, i)
+            # spec: every non-NaN candidate strictly better than a
+            # chosen one is itself chosen (NaNs only pad the tail)
+            chosen = set(got[i])
+            finite = [c for c in range(nc) if not np.isnan(row[c])]
+            if any(c in chosen for c in finite):
+                worst = min(row[c] for c in finite if c in chosen)
+                better = [c for c in finite if row[c] > worst]
+                assert all(c in chosen for c in better), (trial, i)
+
+
+def test_stream_topk_sink_ownership_is_loud(docs, spark, tmp_path):
+    """Sink-dir hygiene for the leaderboard twins (ADVICE r12): a
+    sink holding rows WITHOUT its checkpoint is refused before the
+    stream starts, and a re-run whose checkpoint already marks all
+    input processed raises instead of returning the PREVIOUS run's
+    leaderboard labeled as the new query's result."""
+    from metacat_spark.llm.search import search_stream_topk
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(1).write.parquet(src)
+    sink = str(tmp_path / "lb_sink")
+    first = search_stream_topk(spark, src, ["spark"],
+                               stats_from=docs, k=5,
+                               sink_dir=sink).collect()
+    assert first
+    # same sink, fresh checkpoint: the existing rows belong to
+    # another lineage -> refuse before starting
+    with pytest.raises(ValueError, match="checkpoint"):
+        search_stream_topk(spark, src, ["spark"], stats_from=docs,
+                           k=5, sink_dir=sink,
+                           checkpoint_dir=str(tmp_path / "fresh_ck"))
+    # same sink + same (drained) checkpoint, different query: zero
+    # new emissions -> loud, never the old query's rows
+    with pytest.raises(ValueError, match="already marks"):
+        search_stream_topk(spark, src, ["window"], stats_from=docs,
+                           k=5, sink_dir=sink)
+    # a genuinely fresh sink still works
+    sink2 = str(tmp_path / "lb_sink2")
+    again = search_stream_topk(spark, src, ["spark"],
+                               stats_from=docs, k=5,
+                               sink_dir=sink2).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+
+
+def test_text_index_null_stat_rows_are_loud(docs, spark):
+    """A part whose stat rows were NULLED (not just dropped) must be
+    a loud serve-time error — summing the surviving parts would
+    silently serve undercounted n/sum_dl (ADVICE r12). A legitimate
+    all-empty streaming fragment (n=0, NULL sum_dl) still serves."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          search_text_index)
+    idx = build_text_index(docs)
+    # legitimate: append an all-empty fragment (zero docs)
+    empty_frag = build_text_index(docs.where("doc_id < 0"))
+    ok = idx.unionByName(empty_frag)
+    assert search_text_index(ok, ["spark"], k=3).count() == 3
+    # corruption: null the sum_dl of a NON-empty part
+    nulled = idx.withColumn(
+        "tf", F.when((F.col("kind") == "stat")
+                     & (F.col("term") == "sum_dl"),
+                     F.lit(None).cast("double"))
+        .otherwise(F.col("tf")))
+    with pytest.raises(ValueError, match="sum_dl|zero-doc"):
+        search_text_index(nulled, ["spark"])
+    # corruption: null an n row anywhere
+    nulled_n = ok.withColumn(
+        "tf", F.when((F.col("kind") == "stat")
+                     & (F.col("term") == "n")
+                     & (F.col("tf") > 0), F.lit(None).cast("double"))
+        .otherwise(F.col("tf")))
+    with pytest.raises(ValueError, match="NULL n"):
+        search_text_index(nulled_n, ["spark"])
+    # corruption: a part lost SOME stat rows (ragged parts)
+    ragged = idx.unionByName(
+        empty_frag.where("kind <> 'stat' or term <> 'n_dl'"))
+    with pytest.raises(ValueError, match="ragged"):
+        search_text_index(ragged, ["spark"])
