@@ -1032,6 +1032,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ivfpq: rewrite --postings lists whose "
                          "tombstone ratio >= --min-ratio without "
                          "dead rows (write with -o)")
+    cn.add_argument("--upsert", action="store_true",
+                    help="ivfpq + --index + --postings: REPLACE-or-"
+                         "ADD the input vectors — drops every "
+                         "stored row of their ids (stale tombstones "
+                         "included) and appends the freshly encoded "
+                         "batch (write the rewritten table with "
+                         "-o)")
     cn.add_argument("--min-ratio", type=float, default=None,
                     dest="min_ratio",
                     help="with --compact: only rewrite lists at or "

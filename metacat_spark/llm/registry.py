@@ -906,15 +906,18 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     post = ctx.param("postings")
     ingest = ctx.param("ingest")
     health = ctx.flag("health")
+    upsert = ctx.flag("upsert")
     if method != "ivfpq" and (ctx.flag("encode")
                               or ctx.flag("distortion")
                               or post is not None
                               or retire is not None or compact
-                              or ingest is not None or health):
+                              or ingest is not None or health
+                              or upsert):
         # same loud-flag contract as --build-index below (review r9)
         raise OpError(f"ann: --encode/--distortion/--postings/"
-                      f"--retire/--compact/--ingest/--health apply "
-                      f"to method ivfpq, not {method}")
+                      f"--retire/--compact/--ingest/--health/"
+                      f"--upsert apply to method ivfpq, not "
+                      f"{method}")
     # the index verbs are mutually exclusive, and build never takes
     # a served index — silent precedence would run a different verb
     # than the user asked for (review r10, same loud-flag contract).
@@ -929,8 +932,10 @@ def _op_ann(ctx: OpContext) -> DataFrame:
         ("--compact", compact),
         ("--ingest", ingest is not None),
         ("--health", health),
+        ("--upsert", upsert),
         ("--postings", post is not None and retire is None
-         and not compact and ingest is None and not health)) if on]
+         and not compact and ingest is None and not health
+         and not upsert)) if on]
     if len(verbs) > 1:
         raise OpError(f"ann: conflicting verbs {', '.join(verbs)} — "
                       f"pick one")
@@ -939,9 +944,10 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     # believe a storage mode / compaction threshold applied when it
     # did not (review r11, same loud-flag contract)
     if ctx.flag("codes_only") and not (ctx.flag("encode")
-                                       or ingest is not None):
-        raise OpError("ann: --codes-only applies to --encode or "
-                      "--ingest")
+                                       or ingest is not None
+                                       or upsert):
+        raise OpError("ann: --codes-only applies to --encode, "
+                      "--ingest or --upsert")
     if ctx.param("min_ratio") is not None and not compact:
         raise OpError("ann: --min-ratio applies to --compact")
     if ctx.param("timeout") is not None and ingest is None:
@@ -949,7 +955,8 @@ def _op_ann(ctx: OpContext) -> DataFrame:
     recall = ctx.flag("recall")
     if recall and (ctx.flag("build_index") or ctx.flag("encode")
                    or ctx.flag("distortion") or retire is not None
-                   or compact or ingest is not None or health):
+                   or compact or ingest is not None or health
+                   or upsert):
         # recall measures a SEARCH against the exact ground truth —
         # on a non-search verb it would silently do nothing
         # (loud-flag contract)
@@ -1105,6 +1112,21 @@ def _op_ann(ctx: OpContext) -> DataFrame:
                     str(post),
                     keep_vectors=not ctx.flag("codes_only"),
                     timeout_s=ctx.int_param("timeout", 300))
+            if upsert:
+                # REPLACE-or-ADD (r13 — the text index's upsert
+                # analogue): drop every stored row of the input
+                # frame's ids (stale tombstones included) and append
+                # the freshly encoded batch; write the rewritten
+                # table with -o
+                if idx is None or post is None:
+                    raise OpError("ann: --upsert needs --index "
+                                  "<stored index table> and "
+                                  "--postings <stored postings "
+                                  "table> (write the rewritten "
+                                  "table with -o)")
+                return SIM.upsert_vectors(
+                    ctx.corpus(str(post)), df, ctx.corpus(str(idx)),
+                    keep_vectors=not ctx.flag("codes_only"), **kw)
             if health:
                 # the rebuild-decision gauge: distortion of the
                 # input frame vs the build baseline + tombstone load

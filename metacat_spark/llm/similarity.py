@@ -1453,6 +1453,41 @@ def retire_vectors(postings: DataFrame, ids) -> DataFrame:
         F.lit(None).cast("array<double>").alias("vec"))
 
 
+def upsert_vectors(postings: DataFrame, df: DataFrame,
+                   index: DataFrame, keep_vectors: bool = True,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """The REPLACE-or-ADD verb for a served IVF-PQ postings table
+    (VERDICT r12 #5 — the ``upsert_text_index`` analogue, completing
+    lifecycle symmetry between the retrieval families): drop EVERY
+    stored row of the incoming ids — live postings, and any stale
+    tombstones ``retire_vectors`` left for them — then append the
+    incoming vectors freshly encoded against the stored index
+    (``encode_ivfpq``, row-local, no retraining).
+
+    Because encoding is row-local (encode(A) ∪ encode(B) ≡
+    encode(A ∪ B)) and the drop removes exactly the incoming ids'
+    rows, upsert(encode(A ∪ B_old), B_new) ≡ encode(A ∪ B_new)
+    ROW-for-row, and upsert is idempotent (pinned by test). Ids new
+    to the table degrade to a plain encode-append. Tombstone-correct
+    where a retire + append is NOT: ``live_postings`` kills a
+    re-added row while its old tombstone is still in the table —
+    upsert removes the tombstone with the row, so
+    retire-then-upsert re-adds cleanly without a compaction.
+
+    Plan shape: the incoming id set is the upsert batch — bounded,
+    BROADCAST into one anti-join against the postings (at scale, a
+    partition-selective rewrite of the lists holding those ids);
+    the encode side is one Arrow pass over the batch. Nothing
+    corpus-sized shuffles. ``keep_vectors`` must match the stored
+    table's posture (codes-only tables take codes-only upserts)."""
+    new_ids = df.select(F.col(id_col).alias("id")).distinct()
+    kept = postings.join(F.broadcast(new_ids), "id", "left_anti")
+    fresh = encode_ivfpq(df, index, keep_vectors=keep_vectors,
+                         vec_col=vec_col, id_col=id_col)
+    return kept.unionByName(fresh)
+
+
 def live_postings(postings: DataFrame) -> DataFrame:
     """Postings with tombstoned members removed: rows whose (lst, id)
     has a codes=NULL tombstone anywhere in the table are dead. The

@@ -1319,3 +1319,57 @@ def test_corpus_search_shrink_verb(capsys, tmp_path, spark):
     assert rc == 2
     rc, _ = run(capsys, "corpus", "search", "--shrink")
     assert rc == 2
+
+
+def test_corpus_ann_upsert(capsys, tmp_path, spark):
+    """Vector-side REPLACE-or-ADD over the CLI (r13): --upsert drops
+    every stored row of the input ids — stale tombstones included —
+    and appends the freshly encoded batch, so retire-then-upsert
+    re-adds cleanly; misuse is a clean rc 2."""
+    idx = str(tmp_path / "up_idx")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--build-index", "-o", idx)
+    assert rc == 0
+    post = str(tmp_path / "up_postings")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--encode", "--index", idx, "-o", post)
+    assert rc == 0
+    n0 = spark.read.parquet(post).count()
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", "0,1,2", "--postings", post,
+                "-o", post, "--append")
+    assert rc == 0
+    # upsert the whole embeddings table back: tombstones leave with
+    # the replaced rows, every id serves again
+    upped = str(tmp_path / "up_rewritten")
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--upsert", "--index", idx, "--postings", post,
+                "-o", upped)
+    assert rc == 0
+    got = spark.read.parquet(upped)
+    assert got.count() == n0
+    assert got.where("codes is null").count() == 0
+    rc, out = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                  "--index", idx, "--postings", upped, "-k", "3",
+                  "-j", "-l", "5000")
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert {0, 1, 2} <= {r["neighbor_id"] for r in rows}
+    # misuse: needs both artifacts; conflicts and wrong methods loud
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--upsert", "--postings", post)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--upsert", "--index", idx)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--upsert", "--retire", "1", "--index", idx,
+                "--postings", post)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "gemm",
+                "--upsert")
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--upsert", "--index", idx, "--postings", post,
+                "--recall")
+    assert rc == 2

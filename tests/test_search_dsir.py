@@ -1331,7 +1331,7 @@ def test_text_index_shrink_is_exact_delete(docs, spark):
 def _index_parts(idx):
     return {kind: {tuple(r) for r in
                    idx.where(f"kind = '{kind}'").collect()}
-            for kind in ("post", "df", "stat")}
+            for kind in ("post", "df", "stat", "doc")}
 
 
 def test_text_index_upsert_is_exact_replace(docs, spark, tmp_path):
@@ -1580,3 +1580,189 @@ def test_text_index_null_stat_rows_are_loud(docs, spark):
         empty_frag.where("kind <> 'stat' or term <> 'n_dl'"))
     with pytest.raises(ValueError, match="ragged"):
         search_text_index(ragged, ["spark"])
+
+
+def test_text_index_zero_token_docs_are_exact(docs, spark):
+    """VERDICT r12 #3: token-less documents carry kind='doc' marker
+    rows, so their stat contribution is storage-recoverable — upsert
+    of a re-added zero-token doc equals a fresh rebuild exactly (the
+    r12 caveat is gone), shrink drops the marker, the gauge counts
+    markers and stays consistent, and serving ignores the kind."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          compact_text_index,
+                                          extend_text_index,
+                                          search_bm25,
+                                          search_text_index,
+                                          shrink_text_index,
+                                          text_index_stats,
+                                          upsert_text_index)
+    # weird corpus: a normal slice + an empty-text doc + a NULL-text
+    # doc + a doc of only whitespace-separated nothing (spaces)
+    a = docs.where("doc_id % 3 = 0").select("doc_id", "text")
+    weird = spark.createDataFrame(
+        [(900001, ""), (900002, None), (900003, "   ")],
+        "doc_id long, text string")
+    corpus = a.unionByName(weird)
+    idx = build_text_index(corpus)
+    marks = {r["id"]: r["dl"] for r in
+             idx.where("kind = 'doc'").collect()}
+    assert set(marks) == {900001, 900002, 900003}
+    assert marks[900002] is None          # NULL text -> NULL dl
+    # gauge: markers counted, artifact exactly consistent
+    row = text_index_stats(idx).collect()[0]
+    assert row["consistent"] and row["n_doc_markers"] == 3
+    assert row["n_marker_conflicts"] == 0
+    assert row["n_docs_stat"] == row["n_docs_postings"]
+    assert row["sum_dl_stat"] == row["sum_dl_postings"]
+    # upsert re-adding the zero-token docs == fresh rebuild (the r12
+    # double-count hole)
+    up = upsert_text_index(idx, weird)
+    assert _index_parts(up) == _index_parts(idx)
+    assert text_index_stats(up).collect()[0]["consistent"]
+    # upsert that REPLACES a zero-token doc with real text
+    weird_new = spark.createDataFrame(
+        [(900001, "spark marker text"), (900002, None),
+         (900003, "")],
+        "doc_id long, text string")
+    up2 = upsert_text_index(idx, weird_new)
+    fresh2 = build_text_index(a.unionByName(weird_new))
+    assert _index_parts(up2) == _index_parts(fresh2)
+    # ...and one that replaces a REAL doc with a zero-token one
+    first = a.select(F.min("doc_id")).collect()[0][0]
+    gone = spark.createDataFrame([(first, "")],
+                                 "doc_id long, text string")
+    up3 = upsert_text_index(idx, gone)
+    fresh3 = build_text_index(
+        a.where(f"doc_id <> {first}").unionByName(weird)
+        .unionByName(gone))
+    assert _index_parts(up3) == _index_parts(fresh3)
+    # shrink removes markers too
+    back = shrink_text_index(idx, weird)
+    assert _index_parts(back) == _index_parts(build_text_index(a))
+    # extend and compact carry markers; serve ignores them
+    grown = extend_text_index(build_text_index(a), weird)
+    assert _index_parts(grown) == _index_parts(idx)
+    comp = compact_text_index(idx)
+    assert _index_parts(comp)["doc"] == _index_parts(idx)["doc"]
+    terms = ["spark", "window", "merge"]
+    srv = [(r["doc_id"], r["score"], r["rank"])
+           for r in search_text_index(idx, terms, k=10).collect()]
+    scan = [(r["doc_id"], r["score"], r["rank"])
+            for r in search_bm25(corpus, terms, k=10).collect()]
+    assert srv == scan and srv
+    # backward compat: a PRE-r13 artifact (markers stripped) still
+    # loads, serves, and upserts with the documented pre-r13 drift
+    old = idx.where("kind <> 'doc'")
+    assert search_text_index(old, terms, k=5).count() == 5
+    orow = text_index_stats(old).collect()[0]
+    assert orow["n_doc_markers"] == 0 and not orow["consistent"]
+    assert orow["n_docs_postings"] < orow["n_docs_stat"]
+
+
+def test_search_text_index_long_query_guard(docs, spark):
+    """Past MAX_PIVOT_TERMS the single-query serve must route
+    through the array-fold scorer (no thousand-column pivot plans —
+    VERDICT r12 #6), row-for-row equal at the boundary +-1."""
+    from metacat_spark.llm import search as S
+    idx = S.build_text_index(docs)
+    # real + synthetic terms straddling the bound
+    real = ["spark", "window", "merge", "the", "data"]
+    pad = [f"zzpad{i}" for i in range(S.MAX_PIVOT_TERMS + 1)]
+    key = lambda df: [(r["doc_id"], r["n_tokens"], r["score"],
+                       r["rank"])
+                      for r in df.orderBy("rank").collect()]
+    for n in (S.MAX_PIVOT_TERMS - 1, S.MAX_PIVOT_TERMS,
+              S.MAX_PIVOT_TERMS + 1):
+        terms = (real + pad)[:n]
+        got = key(S.search_text_index(idx, terms, k=10))
+        want = key(S.search_text_index_many(idx, [("q", terms)],
+                                            k=10)
+                   .select("doc_id", "n_tokens", "score", "rank"))
+        assert got == want and got, n
+    # above the bound the plan must NOT stage per-term pivot columns
+    long_q = real + pad
+    plan = (S.search_text_index(idx, long_q, k=10)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "zzpad7_tf" not in plan
+
+
+def test_text_index_stats_part_count_recommends_compact(docs,
+                                                        spark,
+                                                        tmp_path):
+    """The append-only lifecycle's rebuild-decision gauge (VERDICT
+    r12 #4): n_parts counts appended fragments and
+    compact_recommended flips past max_parts; compaction resets
+    it."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          compact_text_index,
+                                          text_index_stats)
+    path = str(tmp_path / "parts_idx")
+    for i in range(4):
+        (build_text_index(docs.where(f"doc_id % 4 = {i}"))
+         .write.mode("append").parquet(path))
+    stored = spark.read.parquet(path)
+    row = text_index_stats(stored, max_parts=2).collect()[0]
+    assert row["n_parts"] == 4 and row["compact_recommended"]
+    assert row["consistent"]
+    ok = text_index_stats(stored, max_parts=32).collect()[0]
+    assert ok["n_parts"] == 4 and not ok["compact_recommended"]
+    comp = compact_text_index(stored)
+    crow = text_index_stats(comp, max_parts=2).collect()[0]
+    assert crow["n_parts"] == 1 and not crow["compact_recommended"]
+    assert crow["consistent"]
+
+
+def test_upsert_vectors_is_exact_replace(embs, spark, tmp_path):
+    """Vector-side REPLACE-or-ADD (VERDICT r12 #5 — the
+    upsert_text_index analogue): upsert(encode(A ∪ B_old), B_new) ≡
+    encode(A ∪ B_new) row-for-row, idempotent, new ids degrade to a
+    plain encode-append, and — unlike retire + append —
+    retire-then-upsert re-adds cleanly without compaction (the stale
+    tombstone leaves with the row)."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq,
+                                              ivf_pq_search,
+                                              retire_vectors,
+                                              upsert_vectors)
+    idx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                            train_iters=1)
+    a = embs.where("vec_id % 3 <> 0")
+    b_old = embs.where("vec_id % 3 = 0")
+    b_new = b_old.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(0.25)))
+
+    def rows(p):
+        return {(r["lst"], r["id"], tuple(r["codes"] or ()),
+                 tuple(r["vec"] or ())) for r in p.collect()}
+
+    stored = encode_ivfpq(a.unionByName(b_old), idx)
+    up = upsert_vectors(stored, b_new, idx)
+    fresh = encode_ivfpq(a.unionByName(b_new), idx)
+    assert rows(up) == rows(fresh)
+    # idempotent
+    assert rows(upsert_vectors(up, b_new, idx)) == rows(fresh)
+    # new ids degrade to encode-append
+    assert rows(upsert_vectors(encode_ivfpq(a, idx), b_new, idx)) \
+        == rows(fresh)
+    # retire-then-upsert: the re-add survives (plain append would be
+    # killed by the stale tombstone through live_postings)
+    victims = [r["vec_id"] for r in
+               b_old.select("vec_id").limit(3).collect()]
+    tomb = stored.unionByName(retire_vectors(stored, victims))
+    naive = tomb.unionByName(encode_ivfpq(
+        b_old.where(F.col("vec_id").isin(victims)), idx))
+    served_naive = {r["neighbor_id"] for r in ivf_pq_search(
+        embs, naive, idx, k=3, n_probe=8).collect()}
+    assert not (served_naive & set(victims))   # the documented trap
+    upped = upsert_vectors(tomb, b_old.where(
+        F.col("vec_id").isin(victims)), idx)
+    assert rows(upped) == rows(stored)          # tombstones gone too
+    served = {r["neighbor_id"] for r in ivf_pq_search(
+        embs, upped, idx, k=3, n_probe=8).collect()}
+    assert set(victims) <= served
+    # through a parquet round trip
+    path = str(tmp_path / "ups_postings")
+    stored.write.parquet(path)
+    assert rows(upsert_vectors(spark.read.parquet(path), b_new,
+                               idx)) == rows(fresh)
