@@ -772,6 +772,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.synthesize_assets(_docs(spark, sf_dir)), every_ms=1000)
     q["multimodal_frame_plan"] = multimodal_frame_plan
 
+    def multimodal_gif_frames(spark, sf_dir):
+        """Animated-GIF frame sampling (llm/multimodal.py r13:
+        encode_gif → gif_n_frames → sample_gif_frames): solid-color
+        animations synthesized per document (1–3 full-canvas frames,
+        colors arithmetic in doc_id and frame index), REAL LZW
+        encode + decode + compositing per frame through one Arrow
+        stage; the oracle replays the color arithmetic in closed
+        form — a value-hash over the whole round trip."""
+        from metacat_spark.llm import multimodal as MM
+        ids = (_docs(spark, sf_dir).where("doc_id % 5 = 0")
+               .select("doc_id"))
+
+        def synth(batches):
+            import pandas as pd
+            for pdf in batches:
+                payloads = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    nf = 1 + d % 3
+                    w, h = 4 + d % 4, 3 + d % 3
+                    pal = [((d * 37 + i * 11) % 256,
+                            (d * 53 + i * 29) % 256,
+                            (d * 71 + i * 7) % 256)
+                           for i in range(nf)]
+                    frames = [(0, 0, [[i] * w for _ in range(h)],
+                               None, 0) for i in range(nf)]
+                    payloads.append(
+                        bytearray(MM.encode_gif(w, h, pal, frames)))
+                yield pd.DataFrame({
+                    "asset_id": pdf["doc_id"],
+                    "modality": ["image"] * len(pdf),
+                    "content": payloads})
+
+        assets = ids.mapInPandas(
+            synth, "asset_id long, modality string, content binary")
+        cols = [F.round(F.element_at("feature", i + 1), 6)
+                .alias(f"f{i}") for i in range(8)]
+        return (MM.sample_gif_frames(assets)
+                .select("asset_id",
+                        F.col("frame_idx").cast("long")
+                        .alias("frame_idx"),
+                        F.col("n_frames").cast("long")
+                        .alias("n_frames"), *cols))
+    q["multimodal_gif_frames"] = multimodal_gif_frames
+
     q["bfq_no_dataset"] = _fq("files where core.run = 7")
     q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
     q["bfq_multi_dataset"] = _fq("files from dune:urgent_0, dune:urgent_1")
@@ -1909,10 +1954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # the (simpler) props-extraction row
               "events_props_stats", "multimodal_jpeg_roundtrip",
               "multimodal_jpeg_progressive",
-              # r12 additions live past the cap so the driver's
+              # r12+ additions live past the cap so the driver's
               # graded first-50 set stays pinned (INTENDED_IN_CAP)
               "embed_topk_vs", "search_bm25_index_many",
-              "search_bm25_index_parts"]
+              "search_bm25_index_parts", "multimodal_gif_frames"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -2600,6 +2645,25 @@ def oracle_sql() -> dict[str, str]:
                    greatest((n_chars * 10) // 1000 - 1, 0)))
                    as frame_idx
           from documents where doc_id % 3 = 2) t"""
+
+    o["multimodal_gif_frames"] = """
+        select doc_id as asset_id, i as frame_idx,
+               1 + doc_id % 3 as n_frames,
+               cast(4 + doc_id % 4 as double) as f0,
+               cast(3 + doc_id % 3 as double) as f1,
+               cast(3 as double) as f2,
+               round(((doc_id*37 + i*11) % 256) / 255.0, 6) as f3,
+               round(((doc_id*53 + i*29) % 256) / 255.0, 6) as f4,
+               round(((doc_id*71 + i*7) % 256) / 255.0, 6) as f5,
+               round(((((doc_id*37 + i*11) % 256) / 255.0
+                      + ((doc_id*53 + i*29) % 256) / 255.0)
+                      + ((doc_id*71 + i*7) % 256) / 255.0) / 3, 6)
+                 as f6,
+               cast((4 + doc_id % 4) * (3 + doc_id % 3) as double)
+                 as f7
+        from (select doc_id,
+                     unnest(generate_series(0, doc_id % 3)) as i
+              from documents where doc_id % 5 = 0) t"""
 
     o["embed_cosine_pairs"] = """
         select a.vec_id as id_a, b.vec_id as id_b,

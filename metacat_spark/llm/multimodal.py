@@ -1401,17 +1401,94 @@ def _gif_lzw(data: bytes, min_code: int, n_out: int) -> list:
     return out[:n_out]
 
 
-def _gif_pixels(payload: bytes):
-    """Parse the FIRST frame of a GIF87a/89a to a top-down (h, w, 3)
-    RGB uint8 array: logical screen descriptor, global/local color
-    table, LZW decompression, 4-pass interlace reorder. Extensions
-    (GCE/comment/application) are skipped; for animations this is
-    frame 1 — the right content for a feature vector / perceptual
-    hash. Raises ValueError on anything malformed."""
+def encode_gif(sw: int, sh: int, palette, frames) -> bytes:
+    """GIF89a encoder (r13 — the fixture/round-trip counterpart of
+    ``encode_jpeg_baseline``, and the decoder's test oracle): one
+    shared global color table (``palette`` = RGB tuples) and one
+    image per ``frames`` entry ``(left, top, idx_rows, transp,
+    disposal)`` — idx_rows are palette indices, ``transp`` an
+    optional transparent index, ``disposal`` the GCE disposal
+    method. Literal-code LZW whose code-size growth mirrors the
+    decoder's dictionary growth (the encoder never emits dictionary
+    codes — the simplest valid stream). decode(encode(x)) recovers
+    pixels exactly (pinned by test)."""
+    if not palette or len(palette) > 256:
+        raise ValueError("encode_gif: palette must hold 1..256 "
+                         "colors")
+    bits = max(1, (len(palette) - 1).bit_length())
+    n_field = max(0, bits - 1)
+    entries = 2 << n_field
+    min_code = max(2, bits)
+    gct = b"".join(bytes(c) for c in palette)
+    gct += b"\x00" * (entries * 3 - len(gct))
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", sw, sh, 0x80 | n_field, 0, 0) + gct)
+    for left, top, rows, transp, disposal in frames:
+        h, w = len(rows), len(rows[0])
+        if left + w > sw or top + h > sh:
+            raise ValueError("encode_gif: frame outside the canvas")
+        if transp is not None or disposal:
+            packed = (disposal & 7) << 2 | (1 if transp is not None
+                                            else 0)
+            out += (b"\x21\xf9\x04"
+                    + bytes([packed, 0, 0, transp or 0]) + b"\x00")
+        out += (b"\x2C" + struct.pack("<HHHH", left, top, w, h)
+                + bytes([0, min_code]))
+        clear, end_code = 1 << min_code, (1 << min_code) + 1
+        cs, nxt, first = min_code + 1, end_code + 1, True
+        codes = [(clear, min_code + 1)]
+        for idx in (i for r in rows for i in r):
+            if not 0 <= idx < len(palette):
+                raise ValueError("encode_gif: index outside palette")
+            codes.append((idx, cs))
+            if first:
+                first = False
+            else:
+                nxt += 1
+                if nxt == (1 << cs) and cs < 12:
+                    cs += 1
+                if nxt >= 3500:
+                    codes.append((clear, cs))
+                    cs, nxt, first = min_code + 1, end_code + 1, True
+        codes.append((end_code, cs))
+        acc = nacc = 0
+        data = bytearray()
+        for code, size in codes:
+            acc |= code << nacc
+            nacc += size
+            while nacc >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            data.append(acc & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        out += b"\x00"
+    return bytes(out + b"\x3B")
+
+
+def _gif_pixels(payload: bytes, frame: int = 0):
+    """Parse frame ``frame`` (0-based) of a GIF87a/89a to a top-down
+    (h, w, 3) RGB uint8 array at the LOGICAL SCREEN size: logical
+    screen descriptor, global/local color tables, LZW decompression,
+    4-pass interlace reorder — and, for animations (r13), full frame
+    COMPOSITING: each frame's rect renders at its (left, top) offset
+    over the running canvas, the Graphic Control Extension's
+    transparent index leaves covered pixels showing through, and
+    disposal methods 2 (restore background) / 3 (restore previous)
+    apply between frames — so frame N is what a viewer displays at
+    step N, not the raw partial delta most animation frames store.
+    Raises ValueError on anything malformed or a frame index past
+    the animation's end."""
     import numpy as np
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
+    bg_idx = payload[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -1420,17 +1497,39 @@ def _gif_pixels(payload: bytes):
         if len(gct) < n:
             raise ValueError("truncated GIF color table")
         pos += n
+    if not (0 < sw and 0 < sh):
+        raise ValueError("empty GIF canvas")
+    if gct is not None and 3 * bg_idx + 3 <= len(gct):
+        bg = np.frombuffer(gct[3 * bg_idx:3 * bg_idx + 3],
+                           dtype=np.uint8)
+    else:
+        bg = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    k = 0
+    transp, disposal = None, 0
     while pos < len(payload):
         b = payload[pos]
-        if b == 0x21:                      # extension: skip sub-blocks
+        if b == 0x21:                      # extension sub-blocks
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
             pos += 2
+            first_block = None
             while pos < len(payload) and payload[pos]:
-                pos += payload[pos] + 1
+                ln = payload[pos]
+                if first_block is None:
+                    first_block = payload[pos + 1:pos + 1 + ln]
+                pos += ln + 1
             pos += 1
+            if label == 0xF9 and first_block \
+                    and len(first_block) >= 4:
+                # Graphic Control Extension: governs the NEXT image
+                gp = first_block[0]
+                disposal = (gp >> 2) & 7
+                transp = first_block[3] if gp & 1 else None
         elif b == 0x2C:                    # image descriptor
             if pos + 10 > len(payload):
                 raise ValueError("truncated GIF image descriptor")
-            iw, ih = struct.unpack_from("<HH", payload, pos + 5)
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload,
+                                                   pos + 1)
             ipacked = payload[pos + 9]
             pos += 10
             ct = gct
@@ -1444,6 +1543,8 @@ def _gif_pixels(payload: bytes):
                 raise ValueError("GIF image has no color table")
             if not (0 < iw and 0 < ih):
                 raise ValueError("empty GIF image")
+            if left + iw > sw or top + ih > sh:
+                raise ValueError("GIF frame outside the canvas")
             if pos >= len(payload):
                 raise ValueError("truncated GIF")
             min_code = payload[pos]
@@ -1455,6 +1556,7 @@ def _gif_pixels(payload: bytes):
                 ln = payload[pos]
                 chunks.append(payload[pos + 1:pos + 1 + ln])
                 pos += ln + 1
+            pos += 1                       # block terminator
             data = b"".join(chunks)
             idx = np.array(_gif_lzw(data, min_code, iw * ih),
                            dtype=np.int64).reshape(ih, iw)
@@ -1469,12 +1571,71 @@ def _gif_pixels(payload: bytes):
                 disp = np.empty_like(px)
                 disp[order] = px
                 px = disp
-            return px
-        elif b == 0x3B:                    # trailer before any image
-            raise ValueError("GIF contains no image")
+                ilv = np.empty((ih, iw), dtype=np.int64)
+                ilv[order] = idx
+                idx = ilv
+            region = canvas[top:top + ih, left:left + iw]
+            prev = region.copy() if disposal == 3 else None
+            if transp is not None:
+                mask = idx != transp
+                region[mask] = px[mask]
+            else:
+                region[:] = px
+            if k == frame:
+                return canvas
+            # dispose AFTER the displayed step, before the next frame
+            if disposal == 2:
+                region[:] = bg
+            elif disposal == 3:
+                region[:] = prev
+            transp, disposal = None, 0
+            k += 1
+        elif b == 0x3B:                    # trailer
+            if k == 0:
+                raise ValueError("GIF contains no image")
+            raise ValueError(
+                f"GIF has only {k} frame(s); frame {frame} requested")
         else:
             raise ValueError("bad GIF block")
     raise ValueError("truncated GIF")
+
+
+def gif_n_frames(payload: bytes) -> int:
+    """Count an animation's frames WITHOUT LZW-decoding them — one
+    linear block scan (image descriptors + sub-block skips), the
+    cheap bound ``sample_gif_frames`` sizes its per-asset fan-out
+    with. Raises ValueError on a malformed container."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF")
+    pos, k = 13, 0
+    if payload[10] & 0x80:
+        pos += 3 * (2 << (payload[10] & 7))
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 7))
+            pos += 1                       # LZW minimum code size
+            while pos < len(payload) and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+            k += 1
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError("bad GIF block")
+    if k == 0:
+        raise ValueError("GIF contains no image")
+    return k
 
 
 def decode_gif(payload: bytes) -> list[float]:
@@ -1602,13 +1763,77 @@ def extract_features(assets: DataFrame, batch_size: int = 1024) -> DataFrame:
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame to decode —
     pure relational expansion (sequence+explode), ready to feed a
-    decode stage. Demonstrates bounded fan-out at scale."""
+    decode stage. Demonstrates bounded fan-out at scale.
+    ``sample_gif_frames`` is the REAL end-to-end realization for the
+    one multi-frame container this repo decodes natively."""
     frames = F.sequence(F.lit(0), F.greatest(
         (F.col("duration_ms") / every_ms).cast("long") - 1, F.lit(0)))
     return (assets.where(F.col("modality") == "video")
             .select("asset_id",
                     F.explode(frames).alias("frame_idx"))
             .withColumn("t_ms", F.col("frame_idx") * every_ms))
+
+
+def sample_gif_frames(assets: DataFrame, every_n: int = 1,
+                      max_frames: int = 64) -> DataFrame:
+    """REAL multi-frame sampling (r13): decode every ``every_n``-th
+    COMPOSITED frame of each animated GIF payload to the standard
+    8-dim image feature — the end-to-end realization of
+    ``frame_sample_plan``'s decode stage for the one multi-frame
+    container decodable in pure stdlib+numpy. One Arrow mapInPandas
+    stage, same posture as ``extract_features``: a payload that is
+    not a decodable GIF degrades to ONE row (frame_idx 0, histogram
+    fallback, decode_ok=false), never a crash; per-asset fan-out is
+    bounded by ``max_frames`` sampled frames (the cheap
+    ``gif_n_frames`` block scan sizes it without LZW-decoding
+    anything). Returns (asset_id, frame_idx, n_frames, feature,
+    decode_ok)."""
+    if every_n < 1:
+        raise ValueError("sample_gif_frames: every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "n_frames": [],
+                   "feature": [], "decode_ok": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    nf = gif_n_frames(raw)
+                    idxs = list(range(0, nf, every_n))[:max_frames]
+                    feats = []
+                    for fi in idxs:
+                        px = _gif_pixels(raw, frame=fi)
+                        h, w = px.shape[0], px.shape[1]
+                        means = (px.astype("float64")
+                                 .mean(axis=(0, 1)) / 255.0)
+                        feats.append((fi, [
+                            float(w), float(h), 3.0,
+                            round(float(means[0]), 6),
+                            round(float(means[1]), 6),
+                            round(float(means[2]), 6),
+                            round(float(means.mean()), 6),
+                            float(w * h)]))
+                except ValueError:
+                    nf, feats = 0, None
+                if feats is None:
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(0)
+                    out["n_frames"].append(0)
+                    out["feature"].append(_byte_histogram(raw))
+                    out["decode_ok"].append(False)
+                else:
+                    for fi, f in feats:
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(fi)
+                        out["n_frames"].append(nf)
+                        out["feature"].append(f)
+                        out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run, "asset_id long, frame_idx int, n_frames int, "
+             "feature array<double>, decode_ok boolean")
 
 
 def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:

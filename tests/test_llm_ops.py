@@ -3208,3 +3208,151 @@ def test_multimodal_real_gif_decode(spark):
     hashes = {r["asset_id"]: r["dhash"]
               for r in MM.image_dhash(assets).collect()}
     assert hashes[1] == hashes[2]
+
+
+def _gif_lzw_encode(flat, min_code):
+    """Literal-code LZW byte stream (same scheme as _gif_bytes)."""
+    clear, end_code = 1 << min_code, (1 << min_code) + 1
+    cs, nxt, first = min_code + 1, end_code + 1, True
+    codes = [(clear, min_code + 1)]
+    for idx in flat:
+        codes.append((idx, cs))
+        if first:
+            first = False
+        else:
+            nxt += 1
+            if nxt == (1 << cs) and cs < 12:
+                cs += 1
+            if nxt >= 3500:
+                codes.append((clear, cs))
+                cs, nxt, first = min_code + 1, end_code + 1, True
+    codes.append((end_code, cs))
+    acc = nacc = 0
+    data = bytearray()
+    for code, size in codes:
+        acc |= code << nacc
+        nacc += size
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_anim_bytes(sw, sh, pal, frames, bg_idx=0):
+    """Animated GIF89a fixture encoder: one shared global color
+    table (``pal`` = list of RGB tuples), one image per entry of
+    ``frames`` = (left, top, idx_rows, transp_idx_or_None,
+    disposal). Each frame gets its own GCE when transparency or a
+    disposal method applies."""
+    import struct
+    bits = max(1, (len(pal) - 1).bit_length())
+    n_field = max(0, bits - 1)
+    entries = 2 << n_field
+    min_code = max(2, bits)
+    gct = b"".join(bytes(c) for c in pal)
+    gct += b"\x00" * (entries * 3 - len(gct))
+    out = (b"GIF89a"
+           + struct.pack("<HHBBB", sw, sh, 0x80 | n_field, bg_idx, 0)
+           + gct)
+    for left, top, rows, transp, disposal in frames:
+        h, w = len(rows), len(rows[0])
+        if transp is not None or disposal:
+            packed = (disposal & 7) << 2 | (1 if transp is not None
+                                            else 0)
+            out += (b"\x21\xf9\x04"
+                    + bytes([packed, 0, 0, transp or 0]) + b"\x00")
+        out += (b"\x2C" + struct.pack("<HHHH", left, top, w, h)
+                + bytes([0, min_code]))
+        data = _gif_lzw_encode([i for r in rows for i in r],
+                               min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        out += b"\x00"
+    return out + b"\x3B"
+
+
+def test_multimodal_animated_gif_compositing(spark):
+    """Animated-GIF frame sampling (r13 — VERDICT r12 #7): frame N
+    is the COMPOSITED viewer state (offsets, GCE transparency,
+    disposal 2/3), gif_n_frames counts without decoding, and
+    sample_gif_frames fans each payload out to bounded per-frame
+    feature rows through one Arrow stage, degrading (never
+    crashing) on junk."""
+    import numpy as np
+
+    from metacat_spark.llm import multimodal as MM
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    # frame 0: full 4x4 red field; frame 1: 2x2 green patch at
+    # (1,1) with transparent holes; frame 2: blue row at top,
+    # after frame 1 disposed to background
+    f0 = [[1] * 4 for _ in range(4)]
+    f1 = [[2, 0], [0, 2]]                 # 0 = transparent index
+    f2 = [[3, 3, 3, 3]]
+    gif = _gif_anim_bytes(4, 4, pal, [
+        (0, 0, f0, None, 0),
+        (1, 1, f1, 0, 2),                 # transp idx 0, disposal 2
+        (0, 0, f2, None, 0)])
+    assert MM.gif_n_frames(gif) == 3
+    # frame 0: all red
+    p0 = MM._gif_pixels(gif, 0)
+    assert p0.shape == (4, 4, 3)
+    assert (p0 == np.array([255, 0, 0])).all()
+    # frame 1: red canvas, green at (1,1) and (2,2); transparent
+    # holes show the red underneath
+    p1 = MM._gif_pixels(gif, 1)
+    want = np.tile(np.array([255, 0, 0], np.uint8), (4, 4, 1))
+    want[1, 1] = want[2, 2] = (0, 255, 0)
+    assert (p1 == want).all()
+    # frame 2: frame 1's rect restored to BACKGROUND (pal[0] =
+    # black), then a blue top row
+    p2 = MM._gif_pixels(gif, 2)
+    want2 = np.tile(np.array([255, 0, 0], np.uint8), (4, 4, 1))
+    want2[1:3, 1:3] = (0, 0, 0)
+    want2[0] = (0, 0, 255)
+    assert (p2 == want2).all()
+    with pytest.raises(ValueError, match="only 3 frame"):
+        MM._gif_pixels(gif, 3)
+    # disposal 3 (restore previous): the patch vanishes entirely
+    gif3 = _gif_anim_bytes(4, 4, pal, [
+        (0, 0, f0, None, 0),
+        (1, 1, f1, 0, 3),
+        (0, 0, f2, None, 0)])
+    p2b = MM._gif_pixels(gif3, 2)
+    want3 = np.tile(np.array([255, 0, 0], np.uint8), (4, 4, 1))
+    want3[0] = (0, 0, 255)
+    assert (p2b == want3).all()
+    # the Arrow stage: per-frame rows, junk degrades to one fallback
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(gif)),
+         (2, "image", bytearray(b"GIF89a" + b"\x00" * 10)),
+         (3, "image", bytearray(b"not a gif at all"))],
+        "asset_id long, modality string, content binary")
+    rows = {(r["asset_id"], r["frame_idx"]): r
+            for r in MM.sample_gif_frames(assets).collect()}
+    assert {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)} == set(rows)
+    assert all(rows[(1, i)]["decode_ok"]
+               and rows[(1, i)]["n_frames"] == 3 for i in range(3))
+    # frame-1 feature: mean_G = 2 green px / 16
+    assert abs(rows[(1, 1)]["feature"][4] - 2 / 16) < 1e-6
+    assert rows[(1, 1)]["feature"][0] == 4.0    # canvas-sized
+    assert not rows[(2, 0)]["decode_ok"]
+    assert not rows[(3, 0)]["decode_ok"]
+    # every_n sampling + the fan-out bound
+    half = {r["frame_idx"] for r in
+            MM.sample_gif_frames(assets, every_n=2).collect()
+            if r["asset_id"] == 1}
+    assert half == {0, 2}
+    one = [r for r in
+           MM.sample_gif_frames(assets, max_frames=1).collect()
+           if r["asset_id"] == 1]
+    assert len(one) == 1 and one[0]["frame_idx"] == 0
+    with pytest.raises(ValueError, match="every_n"):
+        MM.sample_gif_frames(assets, every_n=0)
+    # single-frame decode path unchanged: decode_gif == frame 0
+    single = _gif_bytes([[(0, 0, 0), (255, 255, 255)],
+                         [(255, 255, 255), (0, 0, 0)]])
+    assert MM.decode_gif(single)[:3] == [2.0, 2.0, 3.0]

@@ -108,6 +108,60 @@ def _gif(rows, interlace=False):
     return out + b"\x00\x3B"
 
 
+def _gif_anim(sw, sh, pal, frames):
+    """Animated GIF89a fixture (r13): shared global color table,
+    one image per (left, top, idx_rows, transp, disposal) entry,
+    GCE per frame when transparency/disposal applies — same
+    builder as the unit tests."""
+    bits = max(1, (len(pal) - 1).bit_length())
+    n_field = max(0, bits - 1)
+    entries = 2 << n_field
+    min_code = max(2, bits)
+    gct = b"".join(bytes(c) for c in pal)
+    gct += b"\x00" * (entries * 3 - len(gct))
+    out = (b"GIF89a"
+           + struct.pack("<HHBBB", sw, sh, 0x80 | n_field, 0, 0)
+           + gct)
+    for left, top, rows, transp, disposal in frames:
+        h, w = len(rows), len(rows[0])
+        if transp is not None or disposal:
+            p = (disposal & 7) << 2 | (1 if transp is not None
+                                       else 0)
+            out += (b"\x21\xf9\x04"
+                    + bytes([p, 0, 0, transp or 0]) + b"\x00")
+        out += (b"\x2C" + struct.pack("<HHHH", left, top, w, h)
+                + bytes([0, min_code]))
+        flat = [i for r in rows for i in r]
+        clear, end_code = 1 << min_code, (1 << min_code) + 1
+        cs, nxt, first = min_code + 1, end_code + 1, True
+        codes = [(clear, min_code + 1)]
+        for idx in flat:
+            codes.append((idx, cs))
+            if first:
+                first = False
+            else:
+                nxt += 1
+                if nxt == (1 << cs) and cs < 12:
+                    cs += 1
+        codes.append((end_code, cs))
+        acc = nacc = 0
+        data = bytearray()
+        for code, size in codes:
+            acc |= code << nacc
+            nacc += size
+            while nacc >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            data.append(acc & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        out += b"\x00"
+    return out + b"\x3B"
+
+
 def _px(h, w):
     return [[((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5) % 256)
              for x in range(w)] for y in range(h)]
@@ -151,6 +205,18 @@ def main():
         ("gif", _gif([[(r % 256 // 32 * 32, 0, c % 256 // 32 * 32)
                        for c in range(6)] for r in range(9)],
                      interlace=True)),
+        # animated: offsets + GCE transparency + disposal (r13 —
+        # frame 1 real-decodes via extract_features; the full
+        # per-frame path is sample_gif_frames, unit-tested)
+        ("gif_animated", _gif_anim(
+            6, 6, [(0, 0, 0), (255, 0, 0), (0, 255, 0)],
+            [(0, 0, [[1] * 6 for _ in range(6)], None, 0),
+             (2, 2, [[2, 0], [0, 2]], 0, 2),
+             (0, 0, [[2] * 6], None, 0)])),
+        ("gif_animated", _gif_anim(
+            4, 4, [(0, 0, 0), (64, 64, 64)],
+            [(0, 0, [[1] * 4 for _ in range(4)], None, 0),
+             (1, 1, [[0, 1], [1, 0]], None, 3)])),
         ("webp", b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 "
          + b"\x00" * 12),
         ("avif", struct.pack(">I", 24) + b"ftypavif"
@@ -171,7 +237,7 @@ def main():
     for i, (c, _) in enumerate(fixtures):
         by_container.setdefault(c, []).append(feats[i])
     real_set = {"bmp", "wav", "png", "jpeg_baseline",
-                "jpeg_progressive", "gif"}
+                "jpeg_progressive", "gif", "gif_animated"}
     print(f"{'container':18} {'n':>3} {'real-decoded':>13}")
     n_real = n_all = 0
     for c, oks in by_container.items():
