@@ -265,27 +265,38 @@ def _idle_ticks() -> int:
         return 0
 
 
-def _await_low_steal(threshold: float = 0.04, max_wait_s: int = 240,
-                     poll_s: int = 20) -> float:
-    """Wait (bounded) for a low-hypervisor-steal window. Loadavg
+def _await_low_steal(threshold: float = 0.01, sustained: int = 2,
+                     max_wait_s: int = 300,
+                     poll_s: int = 15) -> float:
+    """Wait (bounded) for a SUSTAINED low-hypervisor-steal window:
+    ``sustained`` consecutive probes below ``threshold``. Loadavg
     gates can't see a noisy NEIGHBOR (r12: 11% of ticks stolen under
     load at loadavg 0.04, bench totals swinging 15.8 → 29.6 s in
-    direct proportion to steal_pct). Returns the last probed steal
-    share; like the load gate it proceeds loudly rather than
-    aborting — the artifact records ``steal_pct`` over the real run
-    either way. The wait is capped well below the load gate's (the
-    driver's overall bench budget must absorb both waits)."""
+    direct proportion to steal_pct), and r12's artifact of record
+    passed a single 4% probe yet ran at 1.99% steal with warm≈cold —
+    hence the tightened ≤1% SUSTAINED gate (VERDICT r12 #1). Returns
+    the last probed steal share; like the load gate it proceeds
+    loudly rather than aborting — the artifact records per-pass
+    ``steal_pct`` either way. The wait is capped well below the load
+    gate's (the driver's overall bench budget must absorb both
+    waits)."""
     if os.environ.get("SPARK_GRAFT_SKIP_LOAD_WAIT") == "1":
         return -1.0
     deadline = time.time() + max_wait_s
+    ok_streak = 0
+    share = 1.0
     while True:
         share = _steal_probe()
         if share < threshold:
-            return share
+            ok_streak += 1
+            if ok_streak >= sustained:
+                return share
+            continue                      # probe again back-to-back
+        ok_streak = 0
         if time.time() >= deadline:
             print(f"# WARNING: steal probe still {share:.1%} after "
-                  f"{max_wait_s}s — proceeding; read steal_pct in "
-                  f"the artifact", file=sys.stderr)
+                  f"{max_wait_s}s — proceeding; read the per-pass "
+                  f"steal_pct in the artifact", file=sys.stderr)
             return share
         print(f"# steal probe {share:.1%} >= {threshold:.0%} — a "
               f"neighbor VM is eating cycles; waiting "
@@ -373,32 +384,80 @@ def main():
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
               file=sys.stderr)
 
-    # second pass: steady-state (codegen/scan caches warm) — what a
-    # resident catalog service delivers per request. Nudge a JVM GC
-    # first: Spark's ContextCleaner releases the cold pass's shuffle
+    # warm passes: steady-state (codegen/scan caches warm) — what a
+    # resident catalog service delivers per request. Run ≥3 gated
+    # passes and record the per-query MEDIAN (VERDICT r12 #1: a
+    # single warm pass under transient neighbor pressure became the
+    # artifact of record; medians over interleaved passes with
+    # per-pass steal make one contended window identifiable and
+    # non-fatal). Nudge a JVM GC before each pass: Spark's
+    # ContextCleaner releases the prior pass's shuffle
     # files/broadcasts only on GC, and carrying ~13 queries of dead
-    # shuffle state into the warm pass measurably skews the heaviest
-    # queries (q8 drifted 2.5s → 5.3s across runs without this)
-    spark.sparkContext._jvm.System.gc()
-    warm = {}
-    for name, fn in queries.items():
-        if name in errors:
-            continue
-        # marker BEFORE the run: any Spark ERROR trace in the log can
-        # be attributed to the query that was executing (the r7
-        # official record carried an unattributable trace because the
-        # warm pass ran silent — forensics, not timing)
-        print(f"# warm {name}...", file=sys.stderr)
-        t = time.time()
-        try:
-            fn()
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"warm: {type(e).__name__}: {e}"[:500]
-            continue
-        warm[name] = round(time.time() - t, 4)
-        print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
+    # shuffle state measurably skews the heaviest queries (q8
+    # drifted 2.5s → 5.3s across runs without this).
+    def warm_pass(label):
+        spark.sparkContext._jvm.System.gc()
+        s0, t0ticks = _cpu_ticks()
+        i0 = _idle_ticks()
+        w = {}
+        for name, fn in queries.items():
+            if name in errors:
+                continue
+            # marker BEFORE the run: any Spark ERROR trace in the
+            # log can be attributed to the query that was executing
+            print(f"# {label} {name}...", file=sys.stderr)
+            t = time.time()
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{label}: {type(e).__name__}: {e}"[:500]
+                continue
+            w[name] = round(time.time() - t, 4)
+            print(f"# {label} {name}: {w[name]:.3f}s",
+                  file=sys.stderr)
+        s1, t1ticks = _cpu_ticks()
+        i1 = _idle_ticks()
+        busy = max(1, (t1ticks - t0ticks) - (i1 - i0))
+        return w, round(100.0 * (s1 - s0) / busy, 2)
+
+    n_warm = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
+    passes = []
+    for k in range(n_warm):
+        w, st = warm_pass(f"warm{k + 1}")
+        passes.append((w, st))
+        print(f"# warm{k + 1} total: "
+              f"{round(sum(w.values()), 3)}s (steal {st}%)",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+
+    def median_of(runs):
+        med = {}
+        for name in queries:
+            vals = sorted(w[name] for w, _ in runs if name in w)
+            if vals:
+                med[name] = vals[len(vals) // 2] if len(vals) % 2 \
+                    else round((vals[len(vals) // 2 - 1]
+                                + vals[len(vals) // 2]) / 2, 4)
+        return med
+
+    warm = median_of(passes)
+    # warm<cold sanity (VERDICT r12 #1): warm ≈/> cold is the
+    # contention signature (caches can only help). If the median
+    # warm total fails it, re-gate on steal and run one more pass,
+    # then take medians over all passes — a transient window gets
+    # outvoted instead of recorded.
+    warm_retried = False
+    if warm and timings and sum(warm.values()) >= sum(
+            timings[n] for n in warm if n in timings):
+        print("# warm total >= cold total — contention signature; "
+              "re-gating on steal and adding a warm pass",
+              file=sys.stderr)
+        warm_retried = True
+        _await_low_steal()
+        w, st = warm_pass(f"warm{n_warm + 1}")
+        passes.append((w, st))
+        warm = median_of(passes)
     out = {
         "metric": "mql_suite_total",
         "value": total,
@@ -408,10 +467,15 @@ def main():
         "setup_sec": round(setup_sec, 3),
         "queries_warm": warm,
         "warm_total_sec": round(sum(warm.values()), 4),
+        # per-pass totals + steal: the distribution behind the
+        # medians, so the driver sees a contended pass explicitly
+        "warm_runs": [{"total_sec": round(sum(w.values()), 4),
+                       "steal_pct": st} for w, st in passes],
+        "warm_retried": warm_retried,
         "stray_jvms_at_start": stray,
         "host_start": host_start,
         "host_end": _host_snapshot(),
-        # hypervisor steal share over the whole run (setup + both
+        # hypervisor steal share over the whole run (setup + all
         # passes): > ~2-3% means a noisy neighbor was eating cycles
         # and the wall-clock numbers are inflated regardless of how
         # clean the load averages look (r12)
