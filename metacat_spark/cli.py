@@ -707,6 +707,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "artifact back to one df/stat row per "
                           "term (serve results unchanged; write "
                           "with -o)")
+    csr.add_argument("--max-parts", type=int, default=None,
+                     dest="max_parts",
+                     help="with --verify-index: appended-fragment "
+                          "count past which the gauge recommends "
+                          "compaction (default 32; measured "
+                          "crossover in docs/SCALING.md)")
     csr.add_argument("--ingest",
                      help="streaming index build: index a documents "
                           "parquet STREAM from this path and "

@@ -1861,32 +1861,128 @@ def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
                     hashes.append(None)
                     oks.append(False)
                     continue
-                gray = px.astype(np.float64).mean(axis=2)
-                h, w = gray.shape
-                # average-pool to grid rows x grid+1 cols via
-                # boundary index arrays (any input size)
-                ri = np.linspace(0, h, grid + 1, dtype=int)
-                ci = np.linspace(0, w, grid + 2, dtype=int)
-                cells = np.empty((grid, grid + 1))
-                for i in range(grid):
-                    r0, r1 = ri[i], max(ri[i + 1], ri[i] + 1)
-                    band = gray[r0:r1]
-                    for j in range(grid + 1):
-                        c0, c1 = ci[j], max(ci[j + 1], ci[j] + 1)
-                        cells[i, j] = band[:, c0:c1].mean()
-                bits = (cells[:, :-1] > cells[:, 1:]).ravel()
-                v = 0
-                for b in bits:
-                    v = (v << 1) | int(b)
-                if v >= 1 << 63:        # to signed int64
-                    v -= 1 << 64
-                hashes.append(v)
+                hashes.append(_dhash_of(px, grid))
                 oks.append(True)
             yield pd.DataFrame({"asset_id": ids, "dhash": hashes,
                                 "decode_ok": oks})
 
     return assets.select("asset_id", "content").mapInPandas(
         run, "asset_id long, dhash long, decode_ok boolean")
+
+
+def _dhash_of(px, grid: int = 8) -> int:
+    """64-bit difference hash of a top-down (h, w, 3) uint8 array
+    (grid=8): grayscale → average-pool to (grid × grid+1) cells via
+    boundary index arrays (any input size) → one bit per horizontal
+    neighbor comparison, packed to a signed int64. Shared by the
+    whole-image and per-frame (r13) fingerprints so identical pixel
+    content hashes identically whichever path produced it."""
+    import numpy as np
+
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ri = np.linspace(0, h, grid + 1, dtype=int)
+    ci = np.linspace(0, w, grid + 2, dtype=int)
+    cells = np.empty((grid, grid + 1))
+    for i in range(grid):
+        r0, r1 = ri[i], max(ri[i + 1], ri[i] + 1)
+        band = gray[r0:r1]
+        for j in range(grid + 1):
+            c0, c1 = ci[j], max(ci[j + 1], ci[j] + 1)
+            cells[i, j] = band[:, c0:c1].mean()
+    bits = (cells[:, :-1] > cells[:, 1:]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:                    # to signed int64
+        v -= 1 << 64
+    return v
+
+
+def gif_frame_dhash(assets: DataFrame, every_n: int = 1,
+                    grid: int = 8,
+                    max_frames: int = 64) -> DataFrame:
+    """Per-FRAME perceptual fingerprints over animated GIFs (r13):
+    every ``every_n``-th composited frame → the shared ``_dhash_of``
+    kernel — the video-dedup signature table (one 64-bit hash per
+    sampled frame). Same bounded fan-out and degrade-never-crash
+    posture as ``sample_gif_frames``; undecodable payloads yield no
+    rows (no fingerprint, no pair — matching image_near_dup_pairs'
+    exclusion). Returns (asset_id, frame_idx, n_sampled, dhash)."""
+    if every_n < 1:
+        raise ValueError("gif_frame_dhash: every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [],
+                   "n_sampled": [], "dhash": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    nf = gif_n_frames(raw)
+                    idxs = list(range(0, nf, every_n))[:max_frames]
+                    hs = [(fi, _dhash_of(_gif_pixels(raw, frame=fi),
+                                         grid)) for fi in idxs]
+                except ValueError:
+                    continue
+                for fi, hv in hs:
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(fi)
+                    out["n_sampled"].append(len(hs))
+                    out["dhash"].append(hv)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, "asset_id long, frame_idx int, n_sampled int, "
+             "dhash long")
+
+
+def animation_near_dup_pairs(assets: DataFrame, every_n: int = 1,
+                             min_match_frac: float = 0.8,
+                             max_hash_df: int = 100) -> DataFrame:
+    """Animation-level near-duplicate pairs (r13 — the video
+    analogue of image/audio near-dup): two animations are near-dups
+    when at least ``min_match_frac`` of the shorter one's sampled
+    frames find an exact dHash match in the other (a GIF re-encode
+    of the same animation matches every frame — identical pixels
+    hash identically through the shared kernel).
+
+    Scale shape: ONE equi-join of the per-(asset, dhash) DISTINCT
+    signature table with itself on the 64-bit hash — never all-pairs
+    of animations, never pixel data across a shuffle. ``max_hash_df``
+    drops hashes appearing in more than that many assets before the
+    join (stop-frames: black/intro/credit frames shared corpus-wide
+    would otherwise hot-spot the join key — the same max-df cap the
+    text shingle path applies). Returns (asset_a, asset_b,
+    n_matched, match_frac)."""
+    if not 0 < min_match_frac <= 1:
+        raise ValueError("animation_near_dup_pairs: min_match_frac "
+                         "must be in (0, 1]")
+    sig = (gif_frame_dhash(assets, every_n=every_n)
+           .select("asset_id", "dhash").distinct())
+    per_asset = sig.groupBy("asset_id").agg(
+        F.count("*").alias("__n"))
+    hot = (sig.groupBy("dhash")
+           .agg(F.count("*").alias("__df"))
+           .where(F.col("__df") > max_hash_df)
+           .select("dhash"))
+    pruned = sig.join(F.broadcast(hot), "dhash", "left_anti")
+    a = pruned.select(F.col("asset_id").alias("asset_a"), "dhash")
+    b = pruned.select(F.col("asset_id").alias("asset_b"), "dhash")
+    matched = (a.join(b, "dhash")
+               .where(F.col("asset_a") < F.col("asset_b"))
+               .groupBy("asset_a", "asset_b")
+               .agg(F.count("*").alias("n_matched")))
+    na = per_asset.select(F.col("asset_id").alias("asset_a"),
+                          F.col("__n").alias("__na"))
+    nb = per_asset.select(F.col("asset_id").alias("asset_b"),
+                          F.col("__n").alias("__nb"))
+    frac = F.round(F.col("n_matched")
+                   / F.least("__na", "__nb"), 6)
+    return (matched.join(na, "asset_a").join(nb, "asset_b")
+            .select("asset_a", "asset_b", "n_matched",
+                    frac.alias("match_frac"))
+            .where(F.col("match_frac") >= min_match_frac))
 
 
 def image_near_dup_pairs(assets: DataFrame,

@@ -446,6 +446,10 @@ def _op_search(ctx: OpContext) -> DataFrame:
         # the --ingest drain — silently ignoring it on other verbs
         # violates the loud-flag contract
         raise OpError("search: --timeout applies to --ingest")
+    if ctx.param("max_parts") is not None and not verify:
+        raise OpError("search: --max-parts applies to "
+                      "--verify-index (the compact_recommended "
+                      "threshold)")
     edits = [v for v, on in (("--extend", extend),
                              ("--shrink", shrink),
                              ("--upsert", upsert),
@@ -501,7 +505,9 @@ def _op_search(ctx: OpContext) -> DataFrame:
                 raise OpError(f"search: {edits[0]} needs --index "
                               f"<stored index table>")
             if verify:
-                return text_index_stats(ctx.corpus(str(idx)))
+                return text_index_stats(
+                    ctx.corpus(str(idx)),
+                    max_parts=ctx.int_param("max_parts", 32))
             if compact:
                 return compact_text_index(ctx.corpus(str(idx)))
             fn = (extend_text_index if extend

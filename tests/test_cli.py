@@ -370,6 +370,14 @@ def test_corpus_hybrid_stream_sink(capsys, tmp_path, spark):
     engine, _ = cli._session(SF_DIR)
     assert not [t.name for t in engine.spark.catalog.listTables()
                 if t.name.startswith("hybrid_stream_")]
+    # reusing the drained --sink with a DIFFERENT query is a clean
+    # rc 2, not the previous run's leaderboard relabeled (ADVICE r12)
+    rc, _ = run(capsys, "corpus", "hybrid-stream",
+                "--query", "window", "--vec", "0",
+                "--src", f"{SF_DIR}/documents.parquet",
+                "--vecsrc", f"{SF_DIR}/embeddings.parquet",
+                "-n", "20", "-k", "5", "--sink", sink)
+    assert rc == 2
 
 
 def test_corpus_diff_self(capsys):
@@ -1179,6 +1187,17 @@ def test_corpus_search_index_verbs(capsys, tmp_path):
                   "--index", ups, "-j")
     row = json.loads(out.splitlines()[0])
     assert rc == 0 and row["consistent"] is True
+    assert row["n_parts"] == 1 and row["compact_recommended"] is False
+    # --max-parts tunes the compact recommendation (r13) and is loud
+    # without its verb
+    rc, out = run(capsys, "corpus", "search", "--verify-index",
+                  "--index", ups, "--max-parts", "0", "-j")
+    assert rc == 0
+    assert json.loads(out.splitlines()[0])["compact_recommended"] \
+        is True
+    rc, _ = run(capsys, "corpus", "search", "--index", ups,
+                "--query", "spark", "--max-parts", "4")
+    assert rc == 2
     # ... and flags the double-extended artifact as inconsistent
     dbl = str(tmp_path / "kw_idx_dbl")
     rc, _ = run(capsys, "corpus", "search", "--extend", "--index",

@@ -3356,3 +3356,56 @@ def test_multimodal_animated_gif_compositing(spark):
     single = _gif_bytes([[(0, 0, 0), (255, 255, 255)],
                          [(255, 255, 255), (0, 0, 0)]])
     assert MM.decode_gif(single)[:3] == [2.0, 2.0, 3.0]
+
+
+def test_animation_near_dup_pairs(spark):
+    """Video-level perceptual dedup (r13): a re-encode of the same
+    animation (different palette ORDER, identical pixels) matches
+    frame-for-frame through the shared dHash kernel; different
+    content does not pair; corpus-wide stop-frames are pruned by the
+    max-df cap before the join."""
+    from metacat_spark.llm import multimodal as MM
+    grays = [(v, v, v) for v in (0, 64, 128, 255)]
+
+    def anim(patterns, pal):
+        frames = [(0, 0, [[p(x, y) for x in range(16)]
+                          for y in range(16)], None, 0)
+                  for p in patterns]
+        return _gif_anim_bytes(16, 16, pal, frames)
+
+    pats_a = [lambda x, y, k=k: (x * (k + 1) + y) % 4
+              for k in range(3)]
+    pats_c = [lambda x, y, k=k: (x * 7 + y * (k + 2) + 5) % 4
+              for k in range(3)]
+    gif_a = anim(pats_a, grays)
+    # same pixels, palette stored in reverse order -> different
+    # payload bytes, identical decoded frames
+    rev = list(reversed(grays))
+    frames_b = [(0, 0, [[3 - p(x, y) for x in range(16)]
+                        for y in range(16)], None, 0)
+                for p in pats_a]
+    gif_b = _gif_anim_bytes(16, 16, rev, frames_b)
+    gif_c = anim(pats_c, grays)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(gif_a)),
+         (2, "image", bytearray(gif_b)),
+         (3, "image", bytearray(gif_c)),
+         (4, "image", bytearray(b"junk not a gif"))],
+        "asset_id long, modality string, content binary")
+    sig = MM.gif_frame_dhash(assets)
+    rows = sig.collect()
+    assert {r["asset_id"] for r in rows} == {1, 2, 3}
+    h1 = {r["frame_idx"]: r["dhash"] for r in rows
+          if r["asset_id"] == 1}
+    h2 = {r["frame_idx"]: r["dhash"] for r in rows
+          if r["asset_id"] == 2}
+    assert h1 == h2 and len(h1) == 3       # re-encode == original
+    pairs = {(r["asset_a"], r["asset_b"]): r["match_frac"]
+             for r in MM.animation_near_dup_pairs(assets).collect()}
+    assert pairs == {(1, 2): 1.0}
+    # stop-frame cap: with max_hash_df=1 every shared hash is
+    # pruned, so nothing can pair
+    assert not MM.animation_near_dup_pairs(
+        assets, max_hash_df=1).collect()
+    with pytest.raises(ValueError, match="min_match_frac"):
+        MM.animation_near_dup_pairs(assets, min_match_frac=0.0)

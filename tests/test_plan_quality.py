@@ -603,3 +603,57 @@ def test_text_index_many_one_scan_broadcast_query_table(spark,
     pushed = " ".join(ln for ln in plan.splitlines()
                       if "PushedFilters" in ln)
     assert "kind" in pushed and "term" in pushed
+
+
+def test_upsert_vectors_broadcast_only(spark):
+    """upsert_vectors (r13) never shuffles the postings: the
+    incoming id set is the broadcast side of the one anti-join; the
+    encode side is a single Arrow stage over the batch."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq,
+                                              upsert_vectors)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = build_ivfpq_index(embs, n_lists=8, m=8, n_codes=16,
+                            train_iters=1)
+    post = encode_ivfpq(embs, idx)
+    plan = plan_of(upsert_vectors(post, embs.limit(5), idx))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_text_index_upsert_broadcast_only(spark):
+    """upsert_text_index's joins against the stored postings keep
+    the bounded incoming id set on the broadcast side — nothing
+    corpus-sized shuffles on the per-id half of the plan (the
+    df-delta merge is a term-keyed aggregate of the bounded hit
+    set). The kind='doc' marker handling (r13) must not introduce a
+    corpus shuffle either."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          upsert_text_index)
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    idx = build_text_index(docs)
+    up = upsert_text_index(idx, docs.limit(5))
+    plan = plan_of(up.where(F.col("kind").isin("post", "doc")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the per-id half (postings + markers vs the id set) is
+    # broadcast-joined; no sort-merge of the postings against the
+    # batch
+    assert "SortMergeJoin" not in plan
+
+
+def test_search_long_query_no_pivot_columns(spark):
+    """The MAX_PIVOT_TERMS guard (r13): a 100-term query's plan
+    stages NO per-term pivot columns and exactly one postings scan
+    with a pushed-down term filter."""
+    from metacat_spark.llm import search as S
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    idx = S.build_text_index(docs)
+    terms = ["spark", "window"] + [f"zz{i}" for i in range(98)]
+    plan = plan_of(S.search_text_index(idx, terms, k=5))
+    assert "zz7_tf" not in plan and "zz7_dl" not in plan
+    assert "CartesianProduct" not in plan
