@@ -2064,22 +2064,30 @@ def audio_near_dup_pairs(assets: DataFrame,
 def asset_dedup(assets: DataFrame, modality: str = "image",
                 max_hamming: int = 3) -> DataFrame:
     """Perceptual asset dedup end-to-end: fingerprint pairs (image
-    dHash or audio envelope) → connected components (large-star/
-    small-star) → one canonical survivor per cluster (min asset_id).
-    Returns the surviving asset rows — the media analogue of the
-    text near-dup collapse, on the same clustering machinery."""
+    dHash, audio envelope, or — r13 — animation frame-hash matching
+    for 'video') → connected components (large-star/small-star) →
+    one canonical survivor per cluster (min asset_id). Returns the
+    surviving asset rows — the media analogue of the text near-dup
+    collapse, on the same clustering machinery."""
     from .dedup import near_dup_clusters
 
-    if modality not in ("image", "audio"):
-        # 'video' (no fingerprint kernel yet) or a typo would
-        # otherwise ride the audio path, fail every decode, and
-        # silently report zero duplicates (review r6)
-        raise ValueError(f"asset_dedup supports modality 'image' or "
-                         f"'audio', got {modality!r}")
+    if modality not in ("image", "audio", "video"):
+        # a typo would otherwise ride the audio path, fail every
+        # decode, and silently report zero duplicates (review r6)
+        raise ValueError(f"asset_dedup supports modality 'image', "
+                         f"'audio' or 'video', got {modality!r}")
     sel = assets.where(F.col("modality") == modality)
-    pairs = (image_near_dup_pairs(sel, max_hamming)
-             if modality == "image"
-             else audio_near_dup_pairs(sel, max_hamming))
+    if modality == "image":
+        pairs = image_near_dup_pairs(sel, max_hamming)
+    elif modality == "audio":
+        pairs = audio_near_dup_pairs(sel, max_hamming)
+    else:
+        # the multi-frame container decodable here is animated GIF;
+        # other video containers have no fingerprint kernel (the
+        # documented plug-in slot) and produce no pairs → singletons
+        pairs = (animation_near_dup_pairs(sel)
+                 .select(F.col("asset_a").alias("id_a"),
+                         F.col("asset_b").alias("id_b")))
     clusters = near_dup_clusters(
         sel.select(F.col("asset_id")), pairs, id_col="asset_id")
     keep = (clusters.where(F.col("is_canonical"))

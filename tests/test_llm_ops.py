@@ -2686,15 +2686,20 @@ def test_lsh_bands_must_divide_k(docs):
 
 
 def test_asset_dedup_rejects_unknown_modality(docs, spark):
-    """'video' has no fingerprint kernel; routing it silently down
-    the audio path reported zero duplicates (review r6)."""
+    """A typo'd modality must not silently ride the audio path and
+    report zero duplicates (review r6). 'video' is SUPPORTED since
+    r13 (animation frame-hash pairs): synthetic video payloads are
+    not decodable GIFs, so every asset survives as a singleton."""
     import pytest as _pt
     from metacat_spark.llm import multimodal as MM
     assets = MM.synthesize_assets(docs)
     with _pt.raises(ValueError, match="modality"):
-        MM.asset_dedup(assets, modality="video")
-    with _pt.raises(ValueError, match="modality"):
         MM.asset_dedup(assets, modality="Image")
+    with _pt.raises(ValueError, match="modality"):
+        MM.asset_dedup(assets, modality="gif")
+    vid = assets.where("modality = 'video'")
+    assert MM.asset_dedup(assets, modality="video").count() \
+        == vid.count()
 
 
 def test_signatures_shuffle_is_narrow_by_default(docs):
@@ -3409,3 +3414,91 @@ def test_animation_near_dup_pairs(spark):
         assets, max_hash_df=1).collect()
     with pytest.raises(ValueError, match="min_match_frac"):
         MM.animation_near_dup_pairs(assets, min_match_frac=0.0)
+
+
+from hypothesis import given as _hyp_given, settings as _hyp_settings
+from hypothesis import strategies as _hyp_st
+
+
+def _anim_strategy():
+    def build(draw):
+        sw = draw(_hyp_st.integers(1, 9))
+        sh = draw(_hyp_st.integers(1, 9))
+        npal = draw(_hyp_st.integers(2, 8))
+        pal = [tuple(draw(_hyp_st.integers(0, 255))
+                     for _ in range(3)) for _ in range(npal)]
+        frames = []
+        for _ in range(draw(_hyp_st.integers(1, 4))):
+            w = draw(_hyp_st.integers(1, sw))
+            h = draw(_hyp_st.integers(1, sh))
+            left = draw(_hyp_st.integers(0, sw - w))
+            top = draw(_hyp_st.integers(0, sh - h))
+            rows = [[draw(_hyp_st.integers(0, npal - 1))
+                     for _ in range(w)] for _ in range(h)]
+            transp = draw(_hyp_st.none()
+                          | _hyp_st.integers(0, npal - 1))
+            disposal = draw(_hyp_st.integers(0, 3))
+            frames.append((left, top, rows, transp, disposal))
+        return sw, sh, pal, frames
+    return _hyp_st.composite(build)()
+
+
+@_hyp_settings(max_examples=40, deadline=None)
+@_hyp_given(anim=_anim_strategy())
+def test_gif_codec_roundtrip_property(anim):
+    """encode_gif → _gif_pixels(frame=k) equals an INDEPENDENT numpy
+    compositor for every frame of a random animation (random canvas,
+    palette, offsets, transparency, disposal) — the codec pair's
+    differential oracle, same posture as the predicate-compiler
+    hypothesis suite."""
+    import numpy as np
+
+    from metacat_spark.llm import multimodal as MM
+    sw, sh, pal, frames = anim
+    payload = MM.encode_gif(sw, sh, pal, frames)
+    assert MM.gif_n_frames(payload) == len(frames)
+    pal_arr = np.array(pal, dtype=np.uint8)
+    canvas = np.tile(pal_arr[0], (sh, sw, 1))
+    for k, (left, top, rows, transp, disposal) in enumerate(frames):
+        h, w = len(rows), len(rows[0])
+        prev = canvas[top:top + h, left:left + w].copy()
+        for y in range(h):
+            for x in range(w):
+                if transp is None or rows[y][x] != transp:
+                    canvas[top + y, left + x] = pal_arr[rows[y][x]]
+        got = MM._gif_pixels(payload, frame=k)
+        assert got.shape == (sh, sw, 3)
+        assert (got == canvas).all(), k
+        if disposal == 2:
+            canvas[top:top + h, left:left + w] = pal_arr[0]
+        elif disposal == 3:
+            canvas[top:top + h, left:left + w] = prev
+
+
+def test_asset_dedup_video_collapses_reencodes(spark):
+    """asset_dedup('video', r13): an animation and its re-encode
+    collapse to one survivor (min asset_id) through the frame-hash
+    pair path; distinct animations survive."""
+    from metacat_spark.llm import multimodal as MM
+    grays = [(v, v, v) for v in (0, 64, 128, 255)]
+    pats = [lambda x, y, k=k: (x * (k + 1) + y) % 4 for k in range(3)]
+    frames = [(0, 0, [[p(x, y) for x in range(16)]
+                      for y in range(16)], None, 0) for p in pats]
+    gif_a = _gif_anim_bytes(16, 16, grays, frames)
+    rev = list(reversed(grays))
+    frames_b = [(0, 0, [[3 - p(x, y) for x in range(16)]
+                        for y in range(16)], None, 0) for p in pats]
+    gif_b = _gif_anim_bytes(16, 16, rev, frames_b)
+    pats_c = [lambda x, y, k=k: (x * 7 + y * (k + 2) + 5) % 4
+              for k in range(3)]
+    frames_c = [(0, 0, [[p(x, y) for x in range(16)]
+                        for y in range(16)], None, 0) for p in pats_c]
+    gif_c = _gif_anim_bytes(16, 16, grays, frames_c)
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(gif_a)),
+         (2, "video", bytearray(gif_b)),
+         (3, "video", bytearray(gif_c))],
+        "asset_id long, modality string, content binary")
+    kept = {r["asset_id"] for r in
+            MM.asset_dedup(assets, modality="video").collect()}
+    assert kept == {1, 3}
