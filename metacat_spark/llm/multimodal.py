@@ -106,6 +106,230 @@ def decode_bmp(payload: bytes) -> list[float]:
             round(float(means.mean()), 6), float(w * nrows)]
 
 
+def _tiff_pixels(payload: bytes):
+    """Parse a baseline TIFF 6.0 to a top-down (h, w, 3) RGB uint8
+    array (r13): both byte orders (II/MM), first IFD, 8-bit
+    grayscale (photometric 0/1, WhiteIsZero inverted) and RGB
+    (photometric 2, chunky planar config), strip layout honored
+    (RowsPerStrip + StripOffsets/ByteCounts arrays), Compression 1
+    (none) and 32773 (PackBits RLE). Everything else — LZW/JPEG-in-
+    TIFF, tiles, planar=2, 16-bit — raises ValueError and falls to
+    the documented plug-in slot. Covers what scanners and archival
+    pipelines actually emit uncompressed."""
+    import numpy as np
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    e = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF")
+    n_entries = struct.unpack_from(e + "H", payload, ifd_off)[0]
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    tags = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, off)
+        if typ not in type_size:
+            continue                       # RATIONAL etc. — unused
+        total = type_size[typ] * cnt
+        src = off + 8 if total <= 4 else struct.unpack_from(
+            e + "I", payload, off + 8)[0]
+        if src + total > len(payload):
+            raise ValueError("truncated TIFF tag data")
+        tags[tag] = list(struct.unpack_from(
+            e + str(cnt) + type_fmt[typ], payload, src))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if not (0 < w and 0 < h):
+        raise ValueError("empty TIFF image")
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise ValueError("TIFF bit depth beyond the baseline kernel")
+    if one(284, 1) != 1:
+        raise ValueError("planar TIFF beyond the baseline kernel")
+    if comp not in (1, 32773):
+        raise ValueError("compressed TIFF beyond the baseline "
+                         "kernel (plug a codec into _decode_image)")
+    if (photo in (0, 1) and spp != 1) or (photo == 2 and spp != 3) \
+            or photo not in (0, 1, 2):
+        raise ValueError("TIFF photometric/samples combination "
+                         "beyond the baseline kernel")
+    offs = tags.get(273)
+    counts = tags.get(279)
+    if not offs or not counts or len(offs) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    rows_per = one(278, h)
+    data = bytearray()
+    for so, sc in zip(offs, counts):
+        if so + sc > len(payload):
+            raise ValueError("truncated TIFF strip")
+        strip = payload[so:so + sc]
+        if comp == 32773:                  # PackBits
+            out, p = bytearray(), 0
+            while p < len(strip):
+                nv = strip[p]
+                n = nv - 256 if nv >= 128 else nv
+                p += 1
+                if n == -128:
+                    continue
+                if n >= 0:
+                    if p + n + 1 > len(strip):
+                        raise ValueError("truncated TIFF PackBits")
+                    out += strip[p:p + n + 1]
+                    p += n + 1
+                else:
+                    if p >= len(strip):
+                        raise ValueError("truncated TIFF PackBits")
+                    out += bytes([strip[p]]) * (1 - n)
+                    p += 1
+            strip = bytes(out)
+        data += strip
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError("TIFF pixel data shorter than w*h")
+    arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+    if photo == 2:
+        px = arr.reshape(h, w, 3)
+    else:
+        g = arr.reshape(h, w)
+        if photo == 0:                     # WhiteIsZero
+            g = 255 - g
+        px = np.repeat(g[:, :, None], 3, axis=2)
+    # rows_per participates in validation only: strips concatenate
+    # back to exactly the row-major pixel stream
+    del rows_per
+    return px
+
+
+def decode_tiff(payload: bytes) -> list[float]:
+    """REAL baseline-TIFF decode (r13): same 8-dim contract as
+    decode_bmp/decode_png/decode_jpeg/decode_gif — [width, height,
+    channels, mean_R, mean_G, mean_B (0..1), brightness (0..1),
+    n_pixels]."""
+    px = _tiff_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
+    means = px.astype("float64").mean(axis=(0, 1)) / 255.0
+    return [float(w), float(h), 3.0,
+            round(float(means[0]), 6), round(float(means[1]), 6),
+            round(float(means[2]), 6),
+            round(float(means.mean()), 6), float(w * h)]
+
+
+def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
+                packbits: bool = False,
+                rows_per_strip: int | None = None) -> bytes:
+    """Baseline TIFF 6.0 encoder (r13 — decode_tiff's round-trip
+    oracle, same fixture-encoder role as encode_jpeg_baseline /
+    encode_gif): 8-bit RGB (chunky) or grayscale, either byte
+    order, multi-strip layout, optional PackBits compression.
+    ``px_rows`` is rows of (r, g, b) tuples, or ints when
+    ``gray``."""
+    if endian not in ("<", ">"):
+        raise ValueError("encode_tiff: endian must be '<' or '>'")
+    h, w = len(px_rows), len(px_rows[0])
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    raw_rows = []
+    for row in px_rows:
+        if gray:
+            raw_rows.append(bytes(row))
+        else:
+            raw_rows.append(b"".join(bytes(c) for c in row))
+
+    def pack(seg: bytes) -> bytes:
+        # literal-only PackBits (runs of <=128 literals) — simplest
+        # valid stream, mirroring the literal-code LZW posture
+        out = bytearray()
+        for i in range(0, len(seg), 128):
+            chunk = seg[i:i + 128]
+            out += bytes([len(chunk) - 1]) + chunk
+        return bytes(out)
+
+    strips = []
+    for r0 in range(0, h, rps):
+        seg = b"".join(raw_rows[r0:r0 + rps])
+        strips.append(pack(seg) if packbits else seg)
+    n_strips = len(strips)
+    entries = []                           # (tag, typ, cnt, values)
+    entries.append((256, 4, 1, [w]))
+    entries.append((257, 4, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [32773 if packbits else 1]))
+    entries.append((262, 3, 1, [1 if gray else 2]))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 4, 1, [rps]))
+    # offsets/counts filled after layout
+    type_size = {3: 2, 4: 4}
+    type_fmt = {3: "H", 4: "I"}
+    # layout: header(8) + IFD + overflow area + strip data
+    n_entries = len(entries) + 2           # + StripOffsets/ByteCounts
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    over_off = ifd_off + ifd_size
+    over = bytearray()
+
+    def field(typ, cnt, values):
+        nonlocal over
+        total = type_size[typ] * cnt
+        raw = struct.pack(endian + str(cnt) + type_fmt[typ], *values)
+        if total <= 4:
+            return raw + b"\x00" * (4 - total)
+        off = over_off + len(over)
+        over += raw
+        return struct.pack(endian + "I", off)
+
+    # strip data goes after the (not yet known) overflow area — do a
+    # two-pass layout: first compute overflow size with placeholder
+    # offsets, then fill real ones (overflow size is offset-
+    # independent)
+    counts = [len(s) for s in strips]
+    probe = bytearray(over)
+    for _, typ, cnt, values in entries:
+        if type_size[typ] * cnt > 4:
+            probe += struct.pack(endian + str(cnt) + type_fmt[typ],
+                                 *values)
+    for typ, cnt in ((4, n_strips), (4, n_strips)):
+        if type_size[typ] * cnt > 4:
+            probe += b"\x00" * (type_size[typ] * cnt)
+    data_off = over_off + len(probe)
+    offs, pos = [], data_off
+    for c in counts:
+        offs.append(pos)
+        pos += c
+    all_entries = sorted(
+        entries + [(273, 4, n_strips, offs),
+                   (279, 4, n_strips, counts)])
+    out = bytearray(struct.pack(
+        endian + "2sHI", b"II" if endian == "<" else b"MM", 42,
+        ifd_off))
+    out += struct.pack(endian + "H", n_entries)
+    for tag, typ, cnt, values in all_entries:
+        out += struct.pack(endian + "HHI", tag, typ, cnt)
+        out += field(typ, cnt, values)
+    out += struct.pack(endian + "I", 0)    # next-IFD pointer
+    out += over
+    assert len(out) == data_off, "encode_tiff layout drift"
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def _wav_samples(payload: bytes):
     """Parse PCM WAV to (mono float64 samples in [-1, 1], rate, ch,
     bits). Raises ValueError on non-PCM or malformed RIFF — shared
@@ -1670,13 +1894,15 @@ def _image_pixels(payload: bytes):
         return _jpeg_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_pixels(payload)
+    if payload[:2] in (b"II", b"MM"):
+        return _tiff_pixels(payload)
     raise ValueError("no decodable image container")
 
 
 def _decode_image(payload: bytes) -> list[float]:
     """Codec-library slot for formats beyond the wired
-    BMP/PNG/JPEG/GIF kernels (WebP, AVIF, arithmetic-coded JPEG,
-    ...). Real deployments
+    BMP/PNG/JPEG/GIF/TIFF kernels (WebP, AVIF, arithmetic-coded
+    JPEG, LZW TIFF, ...). Real deployments
     plug PIL/opencv here; this container has no codec libraries, so
     reaching this is a decode MISS (the caller falls back and marks
     decode_ok=false)."""
@@ -1727,6 +1953,13 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
         try:
             return decode_gif(raw), True
         except ValueError:
+            pass
+    if raw[:2] in (b"II", b"MM"):
+        try:
+            return decode_tiff(raw), True
+        except ValueError:
+            # LZW/tiled/16-bit TIFF beyond the baseline kernel:
+            # histogram fallback like every other plug-in-slot format
             pass
     try:
         return _decode_image(raw), True

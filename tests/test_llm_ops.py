@@ -3502,3 +3502,86 @@ def test_asset_dedup_video_collapses_reencodes(spark):
     kept = {r["asset_id"] for r in
             MM.asset_dedup(assets, modality="video").collect()}
     assert kept == {1, 3}
+
+
+def test_multimodal_real_tiff_decode(spark):
+    """Baseline-TIFF kernel (r13): both byte orders, RGB + grayscale
+    (WhiteIsZero inverted), multi-strip, PackBits — exact pixel
+    recovery through the Arrow stage; beyond-baseline variants (LZW)
+    and truncation degrade to the histogram fallback; a TIFF
+    re-encode dedups against its BMP twin through the shared dHash
+    kernel."""
+    import numpy as np
+
+    from metacat_spark.llm import multimodal as MM
+    rows = [[((x * 37) % 256, (y * 53) % 256, ((x + y) * 11) % 256)
+             for x in range(7)] for y in range(9)]
+    tif = MM.encode_tiff(rows, endian=">", packbits=True,
+                         rows_per_strip=4)
+    px = MM._tiff_pixels(tif)
+    assert px.shape == (9, 7, 3)
+    assert [tuple(p) for r in px for p in r] \
+        == [c for r in rows for c in r]
+    # LZW compression tag (5) is beyond the baseline kernel -> loud
+    # at the kernel, fallback at the feature stage
+    lzw = bytearray(MM.encode_tiff(rows))
+    n = int.from_bytes(lzw[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        if int.from_bytes(lzw[off:off + 2], "little") == 259:
+            lzw[off + 8] = 5
+    with pytest.raises(ValueError, match="compressed TIFF"):
+        MM._tiff_pixels(bytes(lzw))
+    feats = {r["asset_id"]: r for r in MM.extract_features(
+        spark.createDataFrame(
+            [(1, "image", bytearray(tif)),
+             (2, "image", bytearray(tif[:30])),
+             (3, "image", bytearray(bytes(lzw)))],
+            "asset_id long, modality string, content binary"))
+        .collect()}
+    assert feats[1]["decode_ok"]
+    f = feats[1]["feature"]
+    arr = np.array([c for r in rows for c in r], dtype=float) / 255.0
+    assert (f[0], f[1], f[2]) == (7.0, 9.0, 3.0)
+    assert abs(f[3] - arr[:, 0].mean()) < 1e-5
+    assert not feats[2]["decode_ok"]       # truncated -> fallback
+    assert not feats[3]["decode_ok"]       # LZW -> fallback
+    # dHash parity: identical pixels through BMP and TIFF containers
+    bmp = _bmp_bytes(7, 9, [[c for c in r] for r in rows])
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(bmp)), (2, "image", bytearray(tif))],
+        "asset_id long, modality string, content binary")
+    hashes = {r["asset_id"]: r["dhash"]
+              for r in MM.image_dhash(assets).collect()}
+    assert hashes[1] == hashes[2]
+
+
+@_hyp_settings(max_examples=40, deadline=None)
+@_hyp_given(
+    w=_hyp_st.integers(1, 12), h=_hyp_st.integers(1, 12),
+    endian=_hyp_st.sampled_from(["<", ">"]),
+    packbits=_hyp_st.booleans(),
+    rps=_hyp_st.one_of(_hyp_st.none(), _hyp_st.integers(1, 13)),
+    gray=_hyp_st.booleans(),
+    seed=_hyp_st.integers(0, 2**31 - 1))
+def test_tiff_codec_roundtrip_property(w, h, endian, packbits, rps,
+                                       gray, seed):
+    """encode_tiff -> _tiff_pixels is pixel-exact over random sizes,
+    content, byte order, strip layout, PackBits, and grayscale — the
+    TIFF pair's differential oracle."""
+    import numpy as np
+
+    from metacat_spark.llm import multimodal as MM
+    rng = np.random.RandomState(seed)
+    if gray:
+        rows = [[int(v) for v in rng.randint(0, 256, w)]
+                for _ in range(h)]
+        want = np.repeat(np.array(rows, np.uint8)[:, :, None], 3,
+                         axis=2)
+    else:
+        rows = [[tuple(int(v) for v in rng.randint(0, 256, 3))
+                 for _ in range(w)] for _ in range(h)]
+        want = np.array(rows, np.uint8)
+    t = MM.encode_tiff(rows, endian=endian, gray=gray,
+                       packbits=packbits, rows_per_strip=rps)
+    assert (MM._tiff_pixels(t) == want).all()

@@ -167,6 +167,18 @@ def _px(h, w):
              for x in range(w)] for y in range(h)]
 
 
+def _tiff_comp(payload, comp):
+    """Rewrite a little-endian encode_tiff fixture's Compression tag
+    (259) — builds the beyond-baseline (e.g. LZW=5) probe."""
+    b = bytearray(payload)
+    n = int.from_bytes(b[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        if int.from_bytes(b[off:off + 2], "little") == 259:
+            b[off + 8] = comp
+    return bytes(b)
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -217,6 +229,14 @@ def main():
             4, 4, [(0, 0, 0), (64, 64, 64)],
             [(0, 0, [[1] * 4 for _ in range(4)], None, 0),
              (1, 1, [[0, 1], [1, 0]], None, 3)])),
+        # baseline TIFF (r13): both byte orders, PackBits,
+        # grayscale; LZW stays a plug-in-slot fallback
+        ("tiff", MM.encode_tiff(_px(4, 6))),
+        ("tiff", MM.encode_tiff(_px(5, 3), endian=">",
+                                packbits=True, rows_per_strip=2)),
+        ("tiff", MM.encode_tiff([[x * 16 % 256 for x in range(8)]
+                                 for _ in range(8)], gray=True)),
+        ("tiff_lzw", _tiff_comp(MM.encode_tiff(_px(4, 4)), 5)),
         ("webp", b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 "
          + b"\x00" * 12),
         ("avif", struct.pack(">I", 24) + b"ftypavif"
@@ -237,7 +257,7 @@ def main():
     for i, (c, _) in enumerate(fixtures):
         by_container.setdefault(c, []).append(feats[i])
     real_set = {"bmp", "wav", "png", "jpeg_baseline",
-                "jpeg_progressive", "gif", "gif_animated"}
+                "jpeg_progressive", "gif", "gif_animated", "tiff"}
     print(f"{'container':18} {'n':>3} {'real-decoded':>13}")
     n_real = n_all = 0
     for c, oks in by_container.items():
