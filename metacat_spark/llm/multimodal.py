@@ -106,16 +106,102 @@ def decode_bmp(payload: bytes) -> list[float]:
             round(float(means.mean()), 6), float(w * nrows)]
 
 
+def _tiff_lzw(data: bytes) -> bytes:
+    """TIFF 6.0 LZW decompression (r13): MSB-first bit packing,
+    Clear=256 / EOI=257, EARLY code-width change (9→10→11→12 when
+    the next free code reaches 2^width − 1 — TIFF's one divergence
+    from GIF's LZW), KwKwK handled. Raises ValueError on a
+    malformed or truncated stream."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: dict = {}
+    width, next_code = 9, 258
+    prev = None
+    acc = nacc = pos = 0
+    started = False
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW (no EOI)")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nacc += 8
+        code = (acc >> (nacc - width)) & ((1 << width) - 1)
+        nacc -= width
+        acc &= (1 << nacc) - 1
+        if code == CLEAR:
+            table = {i: bytes([i]) for i in range(256)}
+            width, next_code, prev = 9, 258, None
+            started = True
+            continue
+        if code == EOI:
+            return bytes(out)
+        if not started:
+            raise ValueError("TIFF LZW stream must begin with Clear")
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("bad first TIFF LZW code")
+        else:
+            entry = table.get(code)
+            if entry is None:
+                if code != next_code:
+                    raise ValueError("TIFF LZW code outside table")
+                entry = prev + prev[:1]       # KwKwK
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1                     # early change
+        out += entry
+        prev = entry
+
+
+def _tiff_lzw_encode(seg: bytes) -> bytes:
+    """Literal-code TIFF LZW (the decoder's round-trip twin): emits
+    only single-byte codes but tracks the DECODER's dictionary
+    growth exactly — early width change, Clear before the table
+    fills — the same simplest-valid-stream posture as the GIF
+    builder."""
+    CLEAR, EOI = 256, 257
+    codes = [(CLEAR, 9)]
+    width, next_code, first = 9, 258, True
+    for b in seg:
+        codes.append((b, width))
+        if first:
+            first = False
+        else:
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            if next_code >= 4093:
+                codes.append((CLEAR, width))
+                width, next_code, first = 9, 258, True
+    codes.append((EOI, width))
+    out = bytearray()
+    acc = nacc = 0
+    for code, w in codes:
+        acc = (acc << w) | code
+        nacc += w
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+            acc &= (1 << nacc) - 1
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_pixels(payload: bytes):
     """Parse a baseline TIFF 6.0 to a top-down (h, w, 3) RGB uint8
     array (r13): both byte orders (II/MM), first IFD, 8-bit
     grayscale (photometric 0/1, WhiteIsZero inverted) and RGB
     (photometric 2, chunky planar config), strip layout honored
     (RowsPerStrip + StripOffsets/ByteCounts arrays), Compression 1
-    (none) and 32773 (PackBits RLE). Everything else — LZW/JPEG-in-
-    TIFF, tiles, planar=2, 16-bit — raises ValueError and falls to
-    the documented plug-in slot. Covers what scanners and archival
-    pipelines actually emit uncompressed."""
+    (none), 32773 (PackBits RLE) and 5 (LZW, MSB-first with early
+    change) with the horizontal-differencing predictor (tag 317=2).
+    Everything else — JPEG-in-TIFF, tiles, planar=2, 16-bit —
+    raises ValueError and falls to the documented plug-in slot.
+    Covers what scanners and archival pipelines actually emit."""
     import numpy as np
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF")
@@ -163,9 +249,12 @@ def _tiff_pixels(payload: bytes):
         raise ValueError("TIFF bit depth beyond the baseline kernel")
     if one(284, 1) != 1:
         raise ValueError("planar TIFF beyond the baseline kernel")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError("compressed TIFF beyond the baseline "
                          "kernel (plug a codec into _decode_image)")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError("TIFF predictor beyond the baseline kernel")
     if (photo in (0, 1) and spp != 1) or (photo == 2 and spp != 3) \
             or photo not in (0, 1, 2):
         raise ValueError("TIFF photometric/samples combination "
@@ -199,6 +288,19 @@ def _tiff_pixels(payload: bytes):
                     out += bytes([strip[p]]) * (1 - n)
                     p += 1
             strip = bytes(out)
+        elif comp == 5:
+            strip = _tiff_lzw(strip)
+        if predictor == 2:
+            # horizontal differencing: each sample stores the delta
+            # to its left neighbor — undo with a row-wise cumsum per
+            # channel (strips are row-aligned, so per-strip is exact)
+            row_bytes = w * spp
+            if len(strip) % row_bytes:
+                raise ValueError("TIFF strip not row-aligned")
+            arr = (np.frombuffer(strip, dtype=np.uint8)
+                   .reshape(-1, w, spp).astype(np.uint32))
+            arr = np.cumsum(arr, axis=1, dtype=np.uint32) % 256
+            strip = arr.astype(np.uint8).tobytes()
         data += strip
     need = w * h * spp
     if len(data) < need:
@@ -232,16 +334,19 @@ def decode_tiff(payload: bytes) -> list[float]:
 
 
 def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
-                packbits: bool = False,
+                packbits: bool = False, lzw: bool = False,
+                predictor: bool = False,
                 rows_per_strip: int | None = None) -> bytes:
     """Baseline TIFF 6.0 encoder (r13 — decode_tiff's round-trip
     oracle, same fixture-encoder role as encode_jpeg_baseline /
     encode_gif): 8-bit RGB (chunky) or grayscale, either byte
-    order, multi-strip layout, optional PackBits compression.
-    ``px_rows`` is rows of (r, g, b) tuples, or ints when
-    ``gray``."""
+    order, multi-strip layout, optional PackBits or LZW compression
+    and the horizontal-differencing predictor. ``px_rows`` is rows
+    of (r, g, b) tuples, or ints when ``gray``."""
     if endian not in ("<", ">"):
         raise ValueError("encode_tiff: endian must be '<' or '>'")
+    if packbits and lzw:
+        raise ValueError("encode_tiff: pick one of packbits/lzw")
     h, w = len(px_rows), len(px_rows[0])
     spp = 1 if gray else 3
     rps = rows_per_strip or h
@@ -261,19 +366,38 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
             out += bytes([len(chunk) - 1]) + chunk
         return bytes(out)
 
+    def diff(seg: bytes) -> bytes:
+        # horizontal differencing per row per channel (predictor 2)
+        out = bytearray(seg)
+        row_bytes = w * spp
+        for r0 in range(0, len(out), row_bytes):
+            for x in range(row_bytes - 1, spp - 1, -1):
+                out[r0 + x] = (out[r0 + x]
+                               - seg[r0 + x - spp]) & 0xFF
+        return bytes(out)
+
     strips = []
     for r0 in range(0, h, rps):
         seg = b"".join(raw_rows[r0:r0 + rps])
-        strips.append(pack(seg) if packbits else seg)
+        if predictor:
+            seg = diff(seg)
+        if packbits:
+            seg = pack(seg)
+        elif lzw:
+            seg = _tiff_lzw_encode(seg)
+        strips.append(seg)
     n_strips = len(strips)
     entries = []                           # (tag, typ, cnt, values)
     entries.append((256, 4, 1, [w]))
     entries.append((257, 4, 1, [h]))
     entries.append((258, 3, spp, [8] * spp))
-    entries.append((259, 3, 1, [32773 if packbits else 1]))
+    entries.append((259, 3, 1, [32773 if packbits
+                                else 5 if lzw else 1]))
     entries.append((262, 3, 1, [1 if gray else 2]))
     entries.append((277, 3, 1, [spp]))
     entries.append((278, 4, 1, [rps]))
+    if predictor:
+        entries.append((317, 3, 1, [2]))
     # offsets/counts filled after layout
     type_size = {3: 2, 4: 4}
     type_fmt = {3: "H", 4: "I"}

@@ -3522,16 +3522,23 @@ def test_multimodal_real_tiff_decode(spark):
     assert px.shape == (9, 7, 3)
     assert [tuple(p) for r in px for p in r] \
         == [c for r in rows for c in r]
-    # LZW compression tag (5) is beyond the baseline kernel -> loud
-    # at the kernel, fallback at the feature stage
+    # real LZW (+ predictor) round-trips exactly; JPEG-in-TIFF
+    # (compression 7) is beyond the baseline kernel -> loud at the
+    # kernel, fallback at the feature stage
+    import numpy as np
+    tl = MM.encode_tiff(rows, lzw=True, predictor=True,
+                        rows_per_strip=4)
+    assert (MM._tiff_pixels(tl) == np.array(rows, np.uint8)).all()
     lzw = bytearray(MM.encode_tiff(rows))
     n = int.from_bytes(lzw[8:10], "little")
     for i in range(n):
         off = 10 + 12 * i
         if int.from_bytes(lzw[off:off + 2], "little") == 259:
-            lzw[off + 8] = 5
+            lzw[off + 8] = 7
     with pytest.raises(ValueError, match="compressed TIFF"):
         MM._tiff_pixels(bytes(lzw))
+    with pytest.raises(ValueError, match="pick one"):
+        MM.encode_tiff(rows, packbits=True, lzw=True)
     feats = {r["asset_id"]: r for r in MM.extract_features(
         spark.createDataFrame(
             [(1, "image", bytearray(tif)),
@@ -3560,15 +3567,17 @@ def test_multimodal_real_tiff_decode(spark):
 @_hyp_given(
     w=_hyp_st.integers(1, 12), h=_hyp_st.integers(1, 12),
     endian=_hyp_st.sampled_from(["<", ">"]),
-    packbits=_hyp_st.booleans(),
+    comp=_hyp_st.sampled_from(["none", "packbits", "lzw"]),
+    predictor=_hyp_st.booleans(),
     rps=_hyp_st.one_of(_hyp_st.none(), _hyp_st.integers(1, 13)),
     gray=_hyp_st.booleans(),
     seed=_hyp_st.integers(0, 2**31 - 1))
-def test_tiff_codec_roundtrip_property(w, h, endian, packbits, rps,
-                                       gray, seed):
+def test_tiff_codec_roundtrip_property(w, h, endian, comp,
+                                       predictor, rps, gray, seed):
     """encode_tiff -> _tiff_pixels is pixel-exact over random sizes,
-    content, byte order, strip layout, PackBits, and grayscale — the
-    TIFF pair's differential oracle."""
+    content, byte order, strip layout, PackBits/LZW, the
+    differencing predictor, and grayscale — the TIFF pair's
+    differential oracle."""
     import numpy as np
 
     from metacat_spark.llm import multimodal as MM
@@ -3583,5 +3592,7 @@ def test_tiff_codec_roundtrip_property(w, h, endian, packbits, rps,
                  for _ in range(w)] for _ in range(h)]
         want = np.array(rows, np.uint8)
     t = MM.encode_tiff(rows, endian=endian, gray=gray,
-                       packbits=packbits, rows_per_strip=rps)
+                       packbits=comp == "packbits",
+                       lzw=comp == "lzw", predictor=predictor,
+                       rows_per_strip=rps)
     assert (MM._tiff_pixels(t) == want).all()

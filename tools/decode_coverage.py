@@ -229,14 +229,17 @@ def main():
             4, 4, [(0, 0, 0), (64, 64, 64)],
             [(0, 0, [[1] * 4 for _ in range(4)], None, 0),
              (1, 1, [[0, 1], [1, 0]], None, 3)])),
-        # baseline TIFF (r13): both byte orders, PackBits,
-        # grayscale; LZW stays a plug-in-slot fallback
+        # baseline TIFF (r13): both byte orders, PackBits, LZW (+
+        # horizontal-differencing predictor), grayscale; JPEG-in-
+        # TIFF (compression 7) stays a plug-in-slot fallback
         ("tiff", MM.encode_tiff(_px(4, 6))),
         ("tiff", MM.encode_tiff(_px(5, 3), endian=">",
                                 packbits=True, rows_per_strip=2)),
         ("tiff", MM.encode_tiff([[x * 16 % 256 for x in range(8)]
                                  for _ in range(8)], gray=True)),
-        ("tiff_lzw", _tiff_comp(MM.encode_tiff(_px(4, 4)), 5)),
+        ("tiff", MM.encode_tiff(_px(6, 5), lzw=True,
+                                predictor=True, rows_per_strip=3)),
+        ("tiff_jpeg", _tiff_comp(MM.encode_tiff(_px(4, 4)), 7)),
         ("webp", b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 "
          + b"\x00" * 12),
         ("avif", struct.pack(">I", 24) + b"ftypavif"
