@@ -220,8 +220,12 @@ def _tiff_pixels(payload: bytes):
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         tag, typ, cnt = struct.unpack_from(e + "HHI", payload, off)
-        if typ not in type_size:
-            continue                       # RATIONAL etc. — unused
+        if typ not in type_size or cnt == 0:
+            # RATIONAL etc. unused; a zero-count tag is treated as
+            # absent — indexing its empty value list was an
+            # IndexError escaping the ValueError fallback guards
+            # (review r13)
+            continue
         total = type_size[typ] * cnt
         src = off + 8 if total <= 4 else struct.unpack_from(
             e + "I", payload, off + 8)[0]
@@ -1818,19 +1822,21 @@ def encode_gif(sw: int, sh: int, palette, frames) -> bytes:
     return bytes(out + b"\x3B")
 
 
-def _gif_pixels(payload: bytes, frame: int = 0):
-    """Parse frame ``frame`` (0-based) of a GIF87a/89a to a top-down
-    (h, w, 3) RGB uint8 array at the LOGICAL SCREEN size: logical
-    screen descriptor, global/local color tables, LZW decompression,
-    4-pass interlace reorder — and, for animations (r13), full frame
-    COMPOSITING: each frame's rect renders at its (left, top) offset
-    over the running canvas, the Graphic Control Extension's
-    transparent index leaves covered pixels showing through, and
-    disposal methods 2 (restore background) / 3 (restore previous)
-    apply between frames — so frame N is what a viewer displays at
-    step N, not the raw partial delta most animation frames store.
-    Raises ValueError on anything malformed or a frame index past
-    the animation's end."""
+def _gif_frame_iter(payload: bytes):
+    """Single-pass composited-frame generator over a GIF87a/89a
+    (r13 review: the per-frame samplers previously called
+    ``_gif_pixels(frame=k)`` per sample, re-decoding every earlier
+    frame each time — O(frames²) LZW work; this yields each
+    composited frame ONCE). Yields ``(k, canvas)`` where ``canvas``
+    is REUSED storage — consume or ``.copy()`` before advancing.
+
+    Robustness (r13 review): the canvas allocates only after
+    validation and is size-capped (a 14-byte payload declaring a
+    65535×65535 screen must be a ValueError, not a 12 GiB
+    MemoryError that escapes the degrade-never-crash guards);
+    broken-encoder geometry is tolerated like viewers do — a zero
+    logical screen takes the first frame's extent, and a frame rect
+    overhanging the canvas is CLIPPED, not rejected."""
     import numpy as np
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         raise ValueError("not a GIF")
@@ -1845,14 +1851,12 @@ def _gif_pixels(payload: bytes, frame: int = 0):
         if len(gct) < n:
             raise ValueError("truncated GIF color table")
         pos += n
-    if not (0 < sw and 0 < sh):
-        raise ValueError("empty GIF canvas")
     if gct is not None and 3 * bg_idx + 3 <= len(gct):
         bg = np.frombuffer(gct[3 * bg_idx:3 * bg_idx + 3],
                            dtype=np.uint8)
     else:
         bg = np.zeros(3, dtype=np.uint8)
-    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    canvas = None
     k = 0
     transp, disposal = None, 0
     while pos < len(payload):
@@ -1891,8 +1895,16 @@ def _gif_pixels(payload: bytes, frame: int = 0):
                 raise ValueError("GIF image has no color table")
             if not (0 < iw and 0 < ih):
                 raise ValueError("empty GIF image")
-            if left + iw > sw or top + ih > sh:
-                raise ValueError("GIF frame outside the canvas")
+            if canvas is None:
+                # zero-screen payloads from broken encoders: take
+                # the first frame's extent, like viewers do
+                if sw == 0 or sh == 0:
+                    sw, sh = left + iw, top + ih
+                if sw * sh > 1 << 24:
+                    raise ValueError(
+                        "GIF canvas larger than the in-memory "
+                        "decoder's 16M-pixel bound")
+                canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
             if pos >= len(payload):
                 raise ValueError("truncated GIF")
             min_code = payload[pos]
@@ -1922,15 +1934,25 @@ def _gif_pixels(payload: bytes, frame: int = 0):
                 ilv = np.empty((ih, iw), dtype=np.int64)
                 ilv[order] = idx
                 idx = ilv
-            region = canvas[top:top + ih, left:left + iw]
+            # clip a rect overhanging the logical screen (broken
+            # encoders; viewers clip rather than reject)
+            vh = min(ih, sh - top)
+            vw = min(iw, sw - left)
+            if vh <= 0 or vw <= 0:
+                # entirely off-canvas: displays nothing, still a frame
+                yield k, canvas
+                transp, disposal = None, 0
+                k += 1
+                continue
+            px, idx = px[:vh, :vw], idx[:vh, :vw]
+            region = canvas[top:top + vh, left:left + vw]
             prev = region.copy() if disposal == 3 else None
             if transp is not None:
                 mask = idx != transp
                 region[mask] = px[mask]
             else:
                 region[:] = px
-            if k == frame:
-                return canvas
+            yield k, canvas
             # dispose AFTER the displayed step, before the next frame
             if disposal == 2:
                 region[:] = bg
@@ -1941,11 +1963,28 @@ def _gif_pixels(payload: bytes, frame: int = 0):
         elif b == 0x3B:                    # trailer
             if k == 0:
                 raise ValueError("GIF contains no image")
-            raise ValueError(
-                f"GIF has only {k} frame(s); frame {frame} requested")
+            return
         else:
             raise ValueError("bad GIF block")
     raise ValueError("truncated GIF")
+
+
+def _gif_pixels(payload: bytes, frame: int = 0):
+    """Composited frame ``frame`` (0-based) of a GIF87a/89a as a
+    top-down (h, w, 3) RGB uint8 array at the logical-screen size:
+    logical screen descriptor, global/local color tables, LZW
+    decompression, 4-pass interlace reorder — and, for animations,
+    full frame COMPOSITING via ``_gif_frame_iter`` (offsets, GCE
+    transparency, disposal methods 2/3) — so frame N is what a
+    viewer displays at step N, not the raw partial delta most
+    animation frames store. Raises ValueError on anything malformed
+    or a frame index past the animation's end."""
+    k = -1
+    for k, canvas in _gif_frame_iter(payload):
+        if k == frame:
+            return canvas
+    raise ValueError(
+        f"GIF has only {k + 1} frame(s); frame {frame} requested")
 
 
 def gif_n_frames(payload: bytes) -> int:
@@ -2026,7 +2065,7 @@ def _image_pixels(payload: bytes):
 def _decode_image(payload: bytes) -> list[float]:
     """Codec-library slot for formats beyond the wired
     BMP/PNG/JPEG/GIF/TIFF kernels (WebP, AVIF, arithmetic-coded
-    JPEG, LZW TIFF, ...). Real deployments
+    JPEG, JPEG-in-TIFF, ...). Real deployments
     plug PIL/opencv here; this container has no codec libraries, so
     reaching this is a decode MISS (the caller falls back and marks
     decode_ok=false)."""
@@ -2082,7 +2121,7 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
         try:
             return decode_tiff(raw), True
         except ValueError:
-            # LZW/tiled/16-bit TIFF beyond the baseline kernel:
+            # JPEG-in-TIFF/tiled/16-bit beyond the baseline kernel:
             # histogram fallback like every other plug-in-slot format
             pass
     try:
@@ -2147,9 +2186,11 @@ def sample_gif_frames(assets: DataFrame, every_n: int = 1,
     decode_ok)."""
     if every_n < 1:
         raise ValueError("sample_gif_frames: every_n must be >= 1")
+    if max_frames < 1:
+        raise ValueError("sample_gif_frames: max_frames must be "
+                         ">= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
         for pdf in batches:
             out = {"asset_id": [], "frame_idx": [], "n_frames": [],
                    "feature": [], "decode_ok": []}
@@ -2157,10 +2198,18 @@ def sample_gif_frames(assets: DataFrame, every_n: int = 1,
                 raw = bytes(payload) if payload is not None else b""
                 try:
                     nf = gif_n_frames(raw)
-                    idxs = list(range(0, nf, every_n))[:max_frames]
+                    wanted = set(
+                        list(range(0, nf, every_n))[:max_frames])
+                    last = max(wanted)
                     feats = []
-                    for fi in idxs:
-                        px = _gif_pixels(raw, frame=fi)
+                    # ONE decode pass for the whole animation
+                    # (review r13: per-frame _gif_pixels calls were
+                    # O(frames²) LZW work)
+                    for fi, px in _gif_frame_iter(raw):
+                        if fi > last:
+                            break
+                        if fi not in wanted:
+                            continue
                         h, w = px.shape[0], px.shape[1]
                         means = (px.astype("float64")
                                  .mean(axis=(0, 1)) / 255.0)
@@ -2268,6 +2317,8 @@ def gif_frame_dhash(assets: DataFrame, every_n: int = 1,
     exclusion). Returns (asset_id, frame_idx, n_sampled, dhash)."""
     if every_n < 1:
         raise ValueError("gif_frame_dhash: every_n must be >= 1")
+    if max_frames < 1:
+        raise ValueError("gif_frame_dhash: max_frames must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2277,9 +2328,16 @@ def gif_frame_dhash(assets: DataFrame, every_n: int = 1,
                 raw = bytes(payload) if payload is not None else b""
                 try:
                     nf = gif_n_frames(raw)
-                    idxs = list(range(0, nf, every_n))[:max_frames]
-                    hs = [(fi, _dhash_of(_gif_pixels(raw, frame=fi),
-                                         grid)) for fi in idxs]
+                    wanted = set(
+                        list(range(0, nf, every_n))[:max_frames])
+                    last = max(wanted)
+                    hs = []
+                    # ONE decode pass per animation (review r13)
+                    for fi, px in _gif_frame_iter(raw):
+                        if fi > last:
+                            break
+                        if fi in wanted:
+                            hs.append((fi, _dhash_of(px, grid)))
                 except ValueError:
                     continue
                 for fi, hv in hs:
@@ -2317,13 +2375,16 @@ def animation_near_dup_pairs(assets: DataFrame, every_n: int = 1,
                          "must be in (0, 1]")
     sig = (gif_frame_dhash(assets, every_n=every_n)
            .select("asset_id", "dhash").distinct())
-    per_asset = sig.groupBy("asset_id").agg(
-        F.count("*").alias("__n"))
     hot = (sig.groupBy("dhash")
            .agg(F.count("*").alias("__df"))
            .where(F.col("__df") > max_hash_df)
            .select("dhash"))
     pruned = sig.join(F.broadcast(hot), "dhash", "left_anti")
+    # denominators from the PRUNED table (review r13): counting
+    # pre-pruning hashes made two identical animations sharing
+    # corpus-hot stop-frames read match_frac < 1 and miss the pair
+    per_asset = pruned.groupBy("asset_id").agg(
+        F.count("*").alias("__n"))
     a = pruned.select(F.col("asset_id").alias("asset_a"), "dhash")
     b = pruned.select(F.col("asset_id").alias("asset_b"), "dhash")
     matched = (a.join(b, "dhash")
@@ -2419,13 +2480,18 @@ def audio_near_dup_pairs(assets: DataFrame,
 
 
 def asset_dedup(assets: DataFrame, modality: str = "image",
-                max_hamming: int = 3) -> DataFrame:
+                max_hamming: int | None = None) -> DataFrame:
     """Perceptual asset dedup end-to-end: fingerprint pairs (image
     dHash, audio envelope, or — r13 — animation frame-hash matching
     for 'video') → connected components (large-star/small-star) →
     one canonical survivor per cluster (min asset_id). Returns the
     surviving asset rows — the media analogue of the text near-dup
-    collapse, on the same clustering machinery."""
+    collapse, on the same clustering machinery.
+
+    ``max_hamming`` (default 3) tunes the image/audio Hamming join;
+    animation matching is exact per frame, so passing it with
+    'video' is a loud error (review r13 — the loud-flag contract),
+    not a silently dropped knob."""
     from .dedup import near_dup_clusters
 
     if modality not in ("image", "audio", "video"):
@@ -2433,11 +2499,18 @@ def asset_dedup(assets: DataFrame, modality: str = "image",
         # decode, and silently report zero duplicates (review r6)
         raise ValueError(f"asset_dedup supports modality 'image', "
                          f"'audio' or 'video', got {modality!r}")
+    if modality == "video" and max_hamming is not None:
+        raise ValueError(
+            "asset_dedup: max_hamming applies to the image/audio "
+            "fingerprint joins; animation matching is exact per "
+            "frame — tune animation_near_dup_pairs' every_n/"
+            "min_match_frac instead")
+    mh = 3 if max_hamming is None else max_hamming
     sel = assets.where(F.col("modality") == modality)
     if modality == "image":
-        pairs = image_near_dup_pairs(sel, max_hamming)
+        pairs = image_near_dup_pairs(sel, mh)
     elif modality == "audio":
-        pairs = audio_near_dup_pairs(sel, max_hamming)
+        pairs = audio_near_dup_pairs(sel, mh)
     else:
         # the multi-frame container decodable here is animated GIF;
         # other video containers have no fingerprint kernel (the

@@ -417,6 +417,12 @@ def _op_search(ctx: OpContext) -> DataFrame:
                       "it cannot take --index/--extend/--shrink/"
                       "--upsert/--verify-index/--compact-index/"
                       "--ingest/--queries")
+    if ctx.param("max_parts") is not None and not verify:
+        # BEFORE the ingest branch (review r13: placed after it,
+        # `--ingest --max-parts` silently dropped the flag)
+        raise OpError("search: --max-parts applies to "
+                      "--verify-index (the compact_recommended "
+                      "threshold)")
     if ingest is not None:
         # streaming build: parquet-appends index fragments to the
         # --index dir (append-is-extend, r12). Caller-supplied write
@@ -446,10 +452,6 @@ def _op_search(ctx: OpContext) -> DataFrame:
         # the --ingest drain — silently ignoring it on other verbs
         # violates the loud-flag contract
         raise OpError("search: --timeout applies to --ingest")
-    if ctx.param("max_parts") is not None and not verify:
-        raise OpError("search: --max-parts applies to "
-                      "--verify-index (the compact_recommended "
-                      "threshold)")
     edits = [v for v, on in (("--extend", extend),
                              ("--shrink", shrink),
                              ("--upsert", upsert),

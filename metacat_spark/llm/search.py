@@ -370,9 +370,11 @@ def _running_topk_stream(spark, scored: DataFrame, k: int,
             f"return a partially populated "
             + ("sink" if sink_dir is not None else "memory table"))
     if sink_dir is not None:
-        if not os.path.isdir(sink_dir):
+        if not os.path.isdir(sink_dir) \
+                or not os.listdir(sink_dir):
             # a zero-batch stream never fired foreachBatch — no sink
-            # directory was created; the leaderboard is empty.
+            # directory was created (or the caller pre-created an
+            # EMPTY one — review r13); the leaderboard is empty.
             # Existence-checked, NOT except-guarded: a genuine read
             # failure (corruption, permissions) must propagate, not
             # silently read as an empty leaderboard (ADVICE r12)

@@ -136,14 +136,29 @@ def _drain_events(out: DataFrame, table: str, output_mode: str,
     if sink_dir is not None:
         mode = ("overwrite" if output_mode == "complete"
                 else "append")
+        ckpt = checkpoint_dir or sink_dir + "__checkpoint"
+        # sink-ownership guard (review r13 — the same stale-mix
+        # hazard ADVICE r12 closed in _running_topk_stream): a sink
+        # holding data without its checkpoint belongs to another
+        # lineage — an append-mode rerun would duplicate every row,
+        # an overwrite-mode zero-batch run would return it relabeled
+        if os.path.isdir(sink_dir) and os.listdir(sink_dir) \
+                and not os.path.isdir(ckpt):
+            raise ValueError(
+                f"{what}: sink_dir {sink_dir!r} already contains "
+                f"data but its checkpoint {ckpt!r} does not exist — "
+                f"the existing rows belong to another run; pass a "
+                f"fresh sink_dir (or the checkpoint that owns this "
+                f"one)")
+        fired: list = []
 
         def per_batch(bdf, bid):
+            fired.append(int(bid))
             bdf.write.mode(mode).parquet(sink_dir)
 
         q = (out.writeStream.foreachBatch(per_batch)
              .outputMode(output_mode)
-             .option("checkpointLocation",
-                     checkpoint_dir or sink_dir + "__checkpoint")
+             .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
     else:
         q = (out.writeStream.format("memory").queryName(table)
@@ -156,9 +171,15 @@ def _drain_events(out: DataFrame, table: str, output_mode: str,
             "return a partially populated "
             + ("sink" if sink_dir is not None else "memory table"))
     if sink_dir is not None:
-        if not os.path.isdir(sink_dir):
+        if not os.path.isdir(sink_dir) or not os.listdir(sink_dir):
             # a zero-batch stream never fired foreachBatch
             return spark.createDataFrame([], out.schema)
+        if not fired:
+            raise ValueError(
+                f"{what}: the checkpoint {ckpt!r} already marks all "
+                f"input processed — this run emitted nothing; the "
+                f"sink holds a PREVIOUS run's rows (read them "
+                f"directly, or use a fresh sink_dir/checkpoint_dir)")
         return spark.read.parquet(sink_dir)
     return spark.table(table)
 

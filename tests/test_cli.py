@@ -1198,6 +1198,12 @@ def test_corpus_search_index_verbs(capsys, tmp_path):
     rc, _ = run(capsys, "corpus", "search", "--index", ups,
                 "--query", "spark", "--max-parts", "4")
     assert rc == 2
+    # ...including under --ingest (review r13: the guard originally
+    # sat after the ingest branch and the flag silently dropped)
+    rc, _ = run(capsys, "corpus", "search", "--ingest",
+                f"{SF_DIR}/documents.parquet", "--index",
+                str(tmp_path / "mp_idx"), "--max-parts", "4")
+    assert rc == 2
     # ... and flags the double-extended artifact as inconsistent
     dbl = str(tmp_path / "kw_idx_dbl")
     rc, _ = run(capsys, "corpus", "search", "--extend", "--index",

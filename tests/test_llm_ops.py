@@ -3596,3 +3596,110 @@ def test_tiff_codec_roundtrip_property(w, h, endian, comp,
                        lzw=comp == "lzw", predictor=predictor,
                        rows_per_strip=rps)
     assert (MM._tiff_pixels(t) == want).all()
+
+
+def test_codec_hostile_payloads_degrade(spark):
+    """Review-r13 regressions: payload-controlled geometry must be a
+    ValueError (histogram fallback), never an IndexError/MemoryError
+    escaping the Arrow task — a 14-byte GIF declaring a 65535x65535
+    screen, a TIFF with a zero-count IFD tag; broken-encoder GIF
+    geometry (zero screen, overhanging rect) decodes like viewers
+    do: first-frame extent, clipped rects."""
+    import struct as _st
+
+    import numpy as np
+
+    from metacat_spark.llm import multimodal as MM
+    # canvas bomb: tiny payload, huge declared screen (global color
+    # table present so the size bound is what fires)
+    bomb = (b"GIF89a" + _st.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+            + b"\x00" * 6
+            + b"\x2C" + _st.pack("<HHHH", 0, 0, 65535, 65535)
+            + bytes([0, 2]) + b"\x00\x3B")
+    with pytest.raises(ValueError, match="16M-pixel"):
+        MM._gif_pixels(bomb)
+    # zero-count IFD tag: treated as absent -> missing-tag ValueError
+    t = bytearray(MM.encode_tiff([[(1, 2, 3)]]))
+    n = int.from_bytes(t[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        if int.from_bytes(t[off:off + 2], "little") == 256:
+            t[off + 4:off + 8] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="missing required tag"):
+        MM._tiff_pixels(bytes(t))
+    # both degrade (not crash) through the Arrow stage
+    feats = {r["asset_id"]: r["decode_ok"] for r in
+             MM.extract_features(spark.createDataFrame(
+                 [(1, "image", bytearray(bomb)),
+                  (2, "image", bytearray(bytes(t)))],
+                 "asset_id long, modality string, content binary"))
+             .collect()}
+    assert feats == {1: False, 2: False}
+    rows = MM.sample_gif_frames(spark.createDataFrame(
+        [(1, "image", bytearray(bomb))],
+        "asset_id long, modality string, content binary")).collect()
+    assert len(rows) == 1 and not rows[0]["decode_ok"]
+    # zero logical screen: first frame's extent wins (viewer rule)
+    z = bytearray(_gif_bytes([[(10, 20, 30), (40, 50, 60)],
+                              [(1, 2, 3), (4, 5, 6)]]))
+    z[6:10] = _st.pack("<HH", 0, 0)
+    px = MM._gif_pixels(bytes(z))
+    assert px.shape == (2, 2, 3) and tuple(px[0, 0]) == (10, 20, 30)
+    # overhanging rect: clipped, not rejected
+    o = bytearray(_gif_bytes([[(10, 20, 30), (40, 50, 60)],
+                              [(1, 2, 3), (4, 5, 6)]]))
+    o[6:10] = _st.pack("<HH", 1, 1)        # screen 1x1, image 2x2
+    px = MM._gif_pixels(bytes(o))
+    assert px.shape == (1, 1, 3) and tuple(px[0, 0]) == (10, 20, 30)
+    # single-pass samplers still agree with per-frame decodes
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0)]
+    anim = _gif_anim_bytes(4, 4, pal, [
+        (0, 0, [[1] * 4 for _ in range(4)], None, 0),
+        (1, 1, [[2, 0], [0, 2]], 0, 2),
+        (0, 0, [[2] * 4], None, 0)])
+    per_frame = [MM._gif_pixels(anim, frame=k) for k in range(3)]
+    for k, px in MM._gif_frame_iter(anim):
+        assert (px == per_frame[k]).all(), k
+    with pytest.raises(ValueError, match="max_frames"):
+        MM.sample_gif_frames(spark.createDataFrame(
+            [(1, "image", bytearray(anim))],
+            "asset_id long, modality string, content binary"),
+            max_frames=0)
+
+
+def test_animation_near_dup_hot_frames_and_loud_flags(spark):
+    """Review-r13 regressions: identical animations sharing
+    corpus-hot stop-frames still pair at match_frac 1.0 (the
+    denominators count PRUNED hashes), and asset_dedup('video')
+    rejects max_hamming loudly instead of dropping it."""
+    from metacat_spark.llm import multimodal as MM
+    grays = [(v, v, v) for v in (0, 64, 128, 255)]
+
+    def anim(patterns):
+        frames = [(0, 0, [[p(x, y) for x in range(16)]
+                          for y in range(16)], None, 0)
+                  for p in patterns]
+        return _gif_anim_bytes(16, 16, grays, frames)
+
+    stop = lambda x, y: (x + y) % 4           # the shared stop-frame
+    pats = [lambda x, y, k=k: (x * (k + 1) + y * 3) % 4
+            for k in range(3)]
+    dup_a = anim([stop] + pats)
+    dup_b = anim([stop] + pats)               # identical animation
+    # 5 other assets carry the stop-frame too -> its hash df = 7
+    others = [anim([stop, lambda x, y, j=j: (x * 5 + y * (j + 7)) % 4])
+              for j in range(5)]
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(dup_a)),
+         (2, "video", bytearray(dup_b))]
+        + [(10 + j, "video", bytearray(g))
+           for j, g in enumerate(others)],
+        "asset_id long, modality string, content binary")
+    pairs = {(r["asset_a"], r["asset_b"]): r["match_frac"]
+             for r in MM.animation_near_dup_pairs(
+                 assets, max_hash_df=3).collect()}
+    # the stop-frame hash (df=7 > 3) is pruned; the two identical
+    # animations still read 1.0 over their remaining frames
+    assert pairs[(1, 2)] == 1.0
+    with pytest.raises(ValueError, match="max_hamming"):
+        MM.asset_dedup(assets, modality="video", max_hamming=3)

@@ -1766,3 +1766,41 @@ def test_upsert_vectors_is_exact_replace(embs, spark, tmp_path):
     stored.write.parquet(path)
     assert rows(upsert_vectors(spark.read.parquet(path), b_new,
                                idx)) == rows(fresh)
+
+
+def test_stream_topk_precreated_empty_sink_is_empty(docs, spark,
+                                                    tmp_path):
+    """Review-r13: zero-emission runs over an EMPTY (or caller-pre-
+    created) sink return an empty leaderboard — not a spurious
+    'checkpoint already marks all input processed' error about rows
+    the sink does not hold. Covers both shapes: an empty-batch
+    source, and a drained checkpoint pointed at a fresh empty
+    sink."""
+    import os
+
+    from metacat_spark.llm.search import search_stream_topk
+    # shape 1: a source holding one EMPTY parquet file — the batch
+    # fires with zero rows, the state operator emits nothing
+    src0 = str(tmp_path / "empty_src")
+    docs.limit(0).coalesce(1).write.parquet(src0)
+    sink0 = str(tmp_path / "pre_sink0")
+    os.makedirs(sink0)
+    out = search_stream_topk(spark, src0, ["spark"],
+                             stats_from=docs, k=5, sink_dir=sink0)
+    assert out.count() == 0
+    # shape 2: drain a real source, then re-run with the SAME
+    # checkpoint but a NEW pre-created empty sink — zero new
+    # batches, nothing mislabeled, empty result
+    src = str(tmp_path / "docs_src1")
+    docs.coalesce(1).write.parquet(src)
+    sink1 = str(tmp_path / "pre_sink1")
+    ck = str(tmp_path / "pre_ck")
+    assert search_stream_topk(spark, src, ["spark"],
+                              stats_from=docs, k=5, sink_dir=sink1,
+                              checkpoint_dir=ck).count() == 5
+    sink2 = str(tmp_path / "pre_sink2")
+    os.makedirs(sink2)
+    out2 = search_stream_topk(spark, src, ["spark"],
+                              stats_from=docs, k=5, sink_dir=sink2,
+                              checkpoint_dir=ck)
+    assert out2.count() == 0

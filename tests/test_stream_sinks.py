@@ -230,3 +230,30 @@ def test_events_funnel_sink_equals_memory_equals_batch(spark,
                      F.unix_micros(F.col("t3").cast("timestamp"))
                      .alias("u3")).collect()}
     assert filed == mem == batch and filed
+
+
+def test_events_sink_ownership_is_loud(spark, tmp_path):
+    """Review-r13: the events drains carry the same sink-ownership
+    guards as the leaderboard twins — foreign data without its
+    checkpoint refuses to start (an append-mode rerun would
+    duplicate every funnel completion), and a drained checkpoint
+    with zero new batches raises instead of relabeling the previous
+    run's rows."""
+    from metacat_spark.streaming import events as EV
+    steps = ["view", "click", "purchase"]
+    sink = str(tmp_path / "own_sink")
+    first = EV.streaming_funnel_to_memory(
+        spark, SF_DIR, steps, horizon_s=86400, sink_dir=sink)
+    n = first.count()
+    assert n > 0
+    # same sink, fresh checkpoint -> refused before starting
+    with pytest.raises(ValueError, match="checkpoint"):
+        EV.streaming_funnel_to_memory(
+            spark, SF_DIR, steps, horizon_s=86400, sink_dir=sink,
+            checkpoint_dir=str(tmp_path / "fresh_ck"))
+    # same sink + drained checkpoint -> zero new batches, loud
+    with pytest.raises(ValueError, match="already marks"):
+        EV.streaming_funnel_to_memory(
+            spark, SF_DIR, steps, horizon_s=86400, sink_dir=sink)
+    # no silent duplication happened along the way
+    assert spark.read.parquet(sink).count() == n
