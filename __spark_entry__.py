@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 150
+TOTAL_ENTRIES = 151
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -816,6 +816,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_frames").cast("long")
                         .alias("n_frames"), *cols))
     q["multimodal_gif_frames"] = multimodal_gif_frames
+
+    def embed_cluster_sample(spark, sf_dir):
+        """Cluster-balanced sampling (llm/similarity.py r13
+        cluster_balanced_sample — the semantic-diversity selection
+        step): assignment = argmax of round-6 dot products against
+        FIXED closed-form centroids (c_j[k] = (((29j+13k) mod 17) −
+        8)/8, j<4 — so the oracle replays the constants and the
+        argmax exactly), selection = top-50 per cluster by the
+        adler32 keyed hash of vec_id (the replayable uniform
+        sample). Full value-hash of (vec_id, cluster_id, rank)."""
+        from metacat_spark.llm.similarity import \
+            cluster_balanced_sample
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = [[(((29 * j + 13 * k) % 17) - 8) / 8.0
+                  for k in range(64)] for j in range(4)]
+        cdf = spark.createDataFrame(
+            [(j, c) for j, c in enumerate(cents)],
+            "list_id int, centroid array<double>")
+        out = cluster_balanced_sample(embs, per_cluster=50,
+                                      centroids=cdf)
+        return out.select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("rank").cast("long").alias("rank"))
+    q["embed_cluster_sample"] = embed_cluster_sample
 
     q["bfq_no_dataset"] = _fq("files where core.run = 7")
     q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
@@ -1957,7 +1982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # r12+ additions live past the cap so the driver's
               # graded first-50 set stays pinned (INTENDED_IN_CAP)
               "embed_topk_vs", "search_bm25_index_many",
-              "search_bm25_index_parts", "multimodal_gif_frames"]
+              "search_bm25_index_parts", "multimodal_gif_frames",
+              "embed_cluster_sample"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -2664,6 +2690,32 @@ def oracle_sql() -> dict[str, str]:
         from (select doc_id,
                      unnest(generate_series(0, doc_id % 3)) as i
               from documents where doc_id % 5 = 0) t"""
+
+    _ad_vec = ADLER32.format(c="cast(vec_id as varchar)")
+    o["embed_cluster_sample"] = f"""
+        with c as (
+          select j, list_transform(generate_series(0, 63),
+                 k -> ((((29 * j + 13 * k) % 17) - 8) / 8.0))
+                 as cent
+          from (select unnest([0, 1, 2, 3]) as j)
+        ), assigned as (
+          select vec_id, j as cluster_id from (
+            select e.vec_id, c.j,
+                   row_number() over (
+                     partition by e.vec_id
+                     order by round(list_dot_product(
+                       e.embedding::double[], c.cent), 6) desc,
+                       c.j) as rn
+            from embeddings e cross join c) t
+          where rn = 1)
+        select vec_id, cast(cluster_id as bigint) as cluster_id,
+               cast(rank as bigint) as rank from (
+          select vec_id, cluster_id,
+                 row_number() over (
+                   partition by cluster_id
+                   order by ({_ad_vec}) asc, vec_id asc) as rank
+          from assigned) t
+        where rank <= 50"""
 
     o["embed_cosine_pairs"] = """
         select a.vec_id as id_a, b.vec_id as id_b,

@@ -1804,3 +1804,64 @@ def test_stream_topk_precreated_empty_sink_is_empty(docs, spark,
                               stats_from=docs, k=5, sink_dir=sink2,
                               checkpoint_dir=ck)
     assert out2.count() == 0
+
+
+def test_cluster_balanced_sample(embs, spark, tmp_path):
+    """Semantic-diversity sampling (r13): per-cluster caps hold,
+    ranks are contiguous, the salted two-phase pre-reduce equals the
+    exact single window, selection is deterministic and replayable,
+    order_col flips the ordering, and a stored centroid artifact
+    round-trips."""
+    from pyspark.sql import Window as W
+
+    from metacat_spark.filters import adler32_column
+    from metacat_spark.llm.similarity import (build_ivf_centroids,
+                                              cluster_balanced_sample)
+    cents = build_ivf_centroids(embs, n_lists=8, train_iters=1)
+    path = str(tmp_path / "cbs_cents")
+    cents.write.parquet(path)
+    stored = spark.read.parquet(path)
+    out = cluster_balanced_sample(embs, per_cluster=20,
+                                  centroids=stored)
+    rows = out.collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster_id"], []).append(r["rank"])
+    for cid, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), cid
+        assert len(ranks) <= 20
+    # at least one cluster actually hit the cap on this corpus
+    assert max(len(v) for v in per.values()) == 20
+    # deterministic
+    again = cluster_balanced_sample(embs, per_cluster=20,
+                                    centroids=stored)
+    key = lambda r: (r["vec_id"], r["cluster_id"], r["rank"])
+    assert sorted(map(key, rows)) == sorted(map(key,
+                                                again.collect()))
+    # two-phase pre-reduce == exact single window over the same
+    # assignment (drop rank, compare survivor sets per cluster)
+    assigned = cluster_balanced_sample(
+        embs, per_cluster=10 ** 9, centroids=stored).drop("rank")
+    w = (W.partitionBy("cluster_id")
+         .orderBy(adler32_column(F.col("vec_id").cast("string")),
+                  "vec_id"))
+    exact = (assigned.withColumn("rank", F.row_number().over(w))
+             .where("rank <= 20"))
+    got20 = {key(r) for r in cluster_balanced_sample(
+        embs, per_cluster=20, centroids=stored).collect()}
+    want20 = {key(r) for r in exact.collect()}
+    assert got20 == want20
+    # order_col: highest score wins rank 1 within each cluster
+    scored = embs.withColumn("quality",
+                             (F.col("vec_id") % 7).cast("double"))
+    byq = cluster_balanced_sample(scored, per_cluster=3,
+                                  centroids=stored,
+                                  order_col="quality")
+    for r in byq.where("rank = 1").collect():
+        assert r["quality"] == max(
+            x["quality"] for x in byq.collect()
+            if x["cluster_id"] == r["cluster_id"])
+    with pytest.raises(ValueError, match="per_cluster"):
+        cluster_balanced_sample(embs, per_cluster=0,
+                                centroids=stored)
