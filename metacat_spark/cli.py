@@ -236,7 +236,8 @@ def _cmd_corpus(args) -> int:
     # ann, documents for everything else (ann --hashed works with NO
     # embeddings table — lazy callables keep that promise, review r6)
     docs_src = args.input or f"{args.sf_dir}/documents.parquet"
-    if args.ccmd == "ann" and not getattr(args, "hashed", False):
+    if args.ccmd in ("ann", "cluster-sample") \
+            and not getattr(args, "hashed", False):
         embs_src = args.input or f"{args.sf_dir}/embeddings.parquet"
     else:
         embs_src = f"{args.sf_dir}/embeddings.parquet"
@@ -642,6 +643,30 @@ def build_parser() -> argparse.ArgumentParser:
     _corpus_common(csel)
     csel.add_argument("--budget", type=int, required=True,
                       help="total token budget")
+    ccs = cs.add_parser("cluster-sample",
+                        help="semantic-diversity selection: nearest-"
+                             "centroid clustering over the "
+                             "embeddings (or --hashed doc vectors), "
+                             "bounded rows kept per cluster")
+    _corpus_common(ccs, embeddings=True)
+    ccs.add_argument("--hashed", action="store_true",
+                     help="vectorize the documents table with the "
+                          "hashing trick instead of reading "
+                          "embeddings")
+    ccs.add_argument("--per-cluster", type=int, default=None,
+                     dest="per_cluster",
+                     help="rows kept per cluster (default 50)")
+    ccs.add_argument("--clusters", type=int, default=None,
+                     help="clusters to train when no --index is "
+                          "given (default 16)")
+    ccs.add_argument("--index",
+                     help="serve assignment from a stored "
+                          "build_ivf_centroids artifact (parquet "
+                          "path) — skips training")
+    ccs.add_argument("--by",
+                     help="order survivors by this column "
+                          "descending (default: deterministic "
+                          "keyed-hash uniform sample)")
     clm = cs.add_parser("lm", help="corpus-LM log-probability per doc "
                         "(perplexity-style quality signal)")
     _corpus_common(clm)

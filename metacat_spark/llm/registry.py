@@ -368,6 +368,36 @@ def _op_select(ctx: OpContext) -> DataFrame:
     return select_token_budget(ctx.docs(), ctx.int_param("budget"))
 
 
+@_corpus_op("cluster-sample")
+def _op_cluster_sample(ctx: OpContext) -> DataFrame:
+    # semantic-diversity selection (r13): bounded per-cluster sample
+    # over the embeddings (or hashed doc vectors with --hashed);
+    # --index serves a stored build_ivf_centroids artifact, else
+    # training runs inline — the ann train-once/serve-many shape
+    from .similarity import (cluster_balanced_sample,
+                             hashed_doc_vectors)
+    if ctx.flag("hashed"):
+        df = hashed_doc_vectors(ctx.docs())
+        kw = {"vec_col": "vector", "id_col": "doc_id"}
+    else:
+        df = ctx.embs()
+        kw = {}
+    idx = ctx.param("index")
+    if ctx.param("clusters") is not None and idx is not None:
+        # a stored artifact fixes the cluster count — silently
+        # dropping --clusters would misstate what ran (loud-flag)
+        raise OpError("cluster-sample: --clusters applies to inline "
+                      "training; --index serves a stored artifact")
+    try:
+        return cluster_balanced_sample(
+            df, per_cluster=ctx.int_param("per_cluster", 50),
+            n_clusters=ctx.int_param("clusters", 16),
+            centroids=None if idx is None else ctx.corpus(str(idx)),
+            order_col=ctx.param("by"), **kw)
+    except ValueError as e:
+        raise OpError(str(e))
+
+
 @_corpus_op("lm")
 def _op_lm(ctx: OpContext) -> DataFrame:
     from .text import bigram_logprob, unigram_logprob

@@ -909,3 +909,24 @@ def test_durable_server_restart_keeps_declares(spark, tmp_path):
         assert [r["id"] for r in rows] == ["httpd_1"]
     finally:
         srv2.shutdown()
+
+
+def test_corpus_cluster_sample_endpoint(served):
+    """r13 semantic-diversity selection over HTTP through the shared
+    registry: per-cluster caps hold; --clusters-with-index misuse is
+    a clean 400."""
+    base, _ = served
+    rows = _json_seq(_get(base, "/data/corpus", op="cluster-sample",
+                          per_cluster=4, clusters=4, limit=5000))
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster_id"], []).append(r["rank"])
+    assert per and all(
+        sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 4
+        for v in per.values())
+    import pytest as _pt
+    import urllib.error as _ue
+    with _pt.raises(_ue.HTTPError) as e:
+        _get(base, "/data/corpus", op="cluster-sample",
+             index="whatever", clusters=8)
+    assert e.value.code == 400
