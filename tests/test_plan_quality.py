@@ -657,3 +657,19 @@ def test_search_long_query_no_pivot_columns(spark):
     plan = plan_of(S.search_text_index(idx, terms, k=5))
     assert "zz7_tf" not in plan and "zz7_dl" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_all_jvm(spark):
+    """cluster_balanced_sample (r13) with a stored centroid artifact
+    is pure JVM — assignment is an argmax over dot-product folds, no
+    Python worker, no cartesian; the pre-reduce keeps both windows
+    row_number-bounded."""
+    from metacat_spark.llm.similarity import (build_ivf_centroids,
+                                              cluster_balanced_sample)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = build_ivf_centroids(embs, n_lists=4, train_iters=0)
+    plan = plan_of(cluster_balanced_sample(embs, per_cluster=5,
+                                           centroids=cents))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
