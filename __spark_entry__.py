@@ -2691,7 +2691,13 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(0, doc_id % 3)) as i
               from documents where doc_id % 5 = 0) t"""
 
-    _ad_vec = ADLER32.format(c="cast(vec_id as varchar)")
+    # the well-mixed sampling key (text.sample_order_key): a big-
+    # multiplier poly fold over "id#seed" — raw adler32 order is
+    # length/digit-dominated for sequential ids (review r13b)
+    _skey = ("list_reduce(list_prepend(0::bigint, list_transform("
+             "string_split(cast(vec_id as varchar) || '#42', ''), "
+             "x -> unicode(x)::bigint)), "
+             "(acc, x) -> (acc * 33554393 + x) % 2147483647)")
     o["embed_cluster_sample"] = f"""
         with c as (
           select j, list_transform(generate_series(0, 63),
@@ -2706,14 +2712,16 @@ def oracle_sql() -> dict[str, str]:
                      order by round(list_dot_product(
                        e.embedding::double[], c.cent), 6) desc,
                        c.j) as rn
-            from embeddings e cross join c) t
+            from embeddings e cross join c
+            where e.embedding is not null
+              and len(e.embedding) = 64) t
           where rn = 1)
         select vec_id, cast(cluster_id as bigint) as cluster_id,
                cast(rank as bigint) as rank from (
           select vec_id, cluster_id,
                  row_number() over (
                    partition by cluster_id
-                   order by ({_ad_vec}) asc, vec_id asc) as rank
+                   order by ({_skey}) asc, vec_id asc) as rank
           from assigned) t
         where rank <= 50"""
 

@@ -581,16 +581,23 @@ def _decode_ivf_centroids(centroids: DataFrame):
 
     want = {"list_id", "centroid"}
     if not want <= set(centroids.columns):
-        raise ValueError("ivf_topk: centroids table must have "
-                         f"columns {sorted(want)}")
+        raise ValueError("centroids artifact must have "
+                         f"columns {sorted(want)} (from "
+                         f"build_ivf_centroids)")
     crows = centroids.orderBy("list_id").collect()
     if not crows:
-        raise ValueError("ivf_topk: centroids table is empty")
+        raise ValueError("centroids artifact is empty")
     dims = {len(r["centroid"]) for r in crows
             if r["centroid"] is not None}
     if None in [r["centroid"] for r in crows] or len(dims) != 1:
-        raise ValueError("ivf_topk: centroids table has null or "
+        raise ValueError("centroids artifact has null or "
                          "mixed-dimension centroid vectors")
+    if [r["list_id"] for r in crows] != list(range(len(crows))):
+        # positions in the decoded matrix ARE the served list ids —
+        # a gappy/duplicated artifact would silently relabel every
+        # assignment (review r13b)
+        raise ValueError("centroids artifact list_id must be "
+                         "contiguous 0..n-1 without duplicates")
     return np.array([list(r["centroid"]) for r in crows])
 
 
@@ -1453,7 +1460,7 @@ def retire_vectors(postings: DataFrame, ids) -> DataFrame:
         F.lit(None).cast("array<double>").alias("vec"))
 
 
-def cluster_balanced_sample(df: DataFrame, per_cluster: int = 100,
+def cluster_balanced_sample(df: DataFrame, per_cluster: int = 50,
                             n_clusters: int = 16,
                             centroids: DataFrame | None = None,
                             order_col: str | None = None,
@@ -1475,19 +1482,26 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 100,
       constant across centroids, so raw-dot order equals cosine
       order); scores round-6 quantized BEFORE the argmax so float
       fold order cannot decide an assignment on either engine; ties
-      take the lowest list id. Rows with NULL vectors are dropped.
+      take the lowest list id. Rows with NULL vectors are dropped;
+      a corpus whose vector DIMENSION mismatches the artifact is a
+      loud ValueError up front (every row would otherwise drop
+      silently — review r13b).
     - Selection: ``per_cluster`` rows per cluster — by ``order_col``
-      DESC (ties by id) when given, else by the deterministic
-      adler32 keyed hash of the id (an unbiased, replayable uniform
-      sample — the same SQL-replayable hash the split/stratified
-      samplers use).
+      DESC (ties by id) when given, else ascending by
+      ``text.sample_order_key`` of the id (a well-MIXED replayable
+      hash — raw adler32/poly orders are length/digit-dominated for
+      sequential ids and would select the oldest documents, review
+      r13b). The key and the scores array are each materialized
+      ONCE (the interpreted higher-order folds are the dominant
+      cost; referencing them from two consumers re-evaluates them —
+      review r13b).
     - Skew: the salted two-phase pre-reduce of ``cap_per_domain``
       (VERDICT r8 #3) — a mega-cluster is otherwise ONE giant window
       task; phase 1 caps each (cluster, salt) bucket, phase 2 runs
       the exact window on ≤ per_cluster × salts rows per cluster.
 
     Returns df's columns + ``cluster_id`` + ``rank``."""
-    from ..filters import adler32_column
+    from .text import sample_order_key
 
     if per_cluster < 1:
         raise ValueError("cluster_balanced_sample: per_cluster must "
@@ -1497,6 +1511,14 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 100,
             df, n_lists=n_clusters, seed=seed,
             train_iters=train_iters, vec_col=vec_col, id_col=id_col)
     Cn = _decode_ivf_centroids(centroids)
+    probe = (df.where(F.col(vec_col).isNotNull())
+             .select(F.size(vec_col).alias("__d")).first())
+    if probe is not None and probe["__d"] != Cn.shape[1]:
+        raise ValueError(
+            f"cluster_balanced_sample: corpus vectors are "
+            f"{probe['__d']}-dimensional but the centroids artifact "
+            f"is {Cn.shape[1]}-dimensional — every row would drop "
+            f"silently; pass the matching artifact")
     scores = F.array(*[
         F.round(F.aggregate(
             F.zip_with(F.col(vec_col),
@@ -1505,10 +1527,17 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 100,
             F.lit(0.0), lambda acc, x: acc + x), 6)
         for c in Cn])
     with_c = (df.where(F.col(vec_col).isNotNull())
+              # materialize the score array once: array_max +
+              # array_position over the same inline subtree would
+              # evaluate the n_clusters folds twice per row (HOF
+              # subtrees are skipped by subexpression elimination)
+              .withColumn("__scores", scores)
               .withColumn("cluster_id",
-                          (F.array_position(scores,
-                                            F.array_max(scores))
+                          (F.array_position(
+                              F.col("__scores"),
+                              F.array_max(F.col("__scores")))
                            - 1).cast("int"))
+              .drop("__scores")
               # a vector whose length mismatches the centroids nulls
               # every score (zip_with pads with NULL) — drop it like
               # a NULL vector rather than sampling a NULL cluster
@@ -1516,18 +1545,19 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 100,
     if order_col is not None:
         order = [F.col(order_col).desc(), F.col(id_col).asc()]
     else:
-        order = [adler32_column(F.col(id_col).cast("string")).asc(),
-                 F.col(id_col).asc()]
+        with_c = with_c.withColumn(
+            "__k", sample_order_key(F.col(id_col), seed))
+        order = [F.col("__k").asc(), F.col(id_col).asc()]
     salt = F.pmod(F.xxhash64(F.col(id_col).cast("string"),
                              F.lit(seed)),
                   F.lit(pre_reduce_salts))
-    w1 = (Window.partitionBy("cluster_id", salt.alias("__salt"))
-          .orderBy(*order))
+    w1 = Window.partitionBy("cluster_id", salt).orderBy(*order)
     phase1 = (with_c.withColumn("__r1", F.row_number().over(w1))
               .where(F.col("__r1") <= per_cluster).drop("__r1"))
     w2 = Window.partitionBy("cluster_id").orderBy(*order)
-    return (phase1.withColumn("rank", F.row_number().over(w2))
-            .where(F.col("rank") <= per_cluster))
+    out = (phase1.withColumn("rank", F.row_number().over(w2))
+           .where(F.col("rank") <= per_cluster))
+    return out.drop("__k") if order_col is None else out
 
 
 def upsert_vectors(postings: DataFrame, df: DataFrame,

@@ -299,6 +299,31 @@ def poly_hash(col: Column) -> Column:
         lambda acc, x: (acc * POLY_MUL + F.ascii(x)) % POLY_MOD)
 
 
+# large multiplier for ORDER-quality sampling keys: with *31 (or raw
+# adler32) short sequential ids never wrap the modulus, so the
+# "hash" order is length/digit-dominated — sorting 0..1999 by
+# adler32(str(id)) puts exactly 0..99 first (review r13b: a
+# systematic selection bias where the caller wanted a uniform
+# sample). 33554393 (a prime near 2^25) wraps on every character, so
+# the order is well mixed at any corpus size (measured uniform chunk
+# means at 500/2k/60k ids, zero collisions at 60k), while staying a
+# plain int64 fold DuckDB replays exactly.
+SAMPLE_MUL = 33554393
+
+
+def sample_order_key(col: Column, seed: int = 42) -> Column:
+    """Deterministic well-mixed ordering key for hash-based sampling
+    (``fold(chars(s || '#seed'), acc -> (acc*SAMPLE_MUL + ascii(c))
+    % POLY_MOD)``): sort ascending and take the head for an unbiased,
+    replayable uniform sample. DuckDB mirror: the same list_reduce
+    fold (see __spark_entry__ SAMPLE_KEY)."""
+    s = F.concat(col.cast("string"), F.lit(f"#{seed}"))
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * SAMPLE_MUL + F.ascii(x)) % POLY_MOD)
+
+
 def quality_score_from(col: Column, toks: Column,
                        n_the: Column | None = None) -> Column:
     """quality_score over a pre-split token array (one split total).

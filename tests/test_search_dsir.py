@@ -1814,9 +1814,9 @@ def test_cluster_balanced_sample(embs, spark, tmp_path):
     round-trips."""
     from pyspark.sql import Window as W
 
-    from metacat_spark.filters import adler32_column
     from metacat_spark.llm.similarity import (build_ivf_centroids,
                                               cluster_balanced_sample)
+    from metacat_spark.llm.text import sample_order_key
     cents = build_ivf_centroids(embs, n_lists=8, train_iters=1)
     path = str(tmp_path / "cbs_cents")
     cents.write.parquet(path)
@@ -1844,8 +1844,7 @@ def test_cluster_balanced_sample(embs, spark, tmp_path):
     assigned = cluster_balanced_sample(
         embs, per_cluster=10 ** 9, centroids=stored).drop("rank")
     w = (W.partitionBy("cluster_id")
-         .orderBy(adler32_column(F.col("vec_id").cast("string")),
-                  "vec_id"))
+         .orderBy(sample_order_key(F.col("vec_id")), "vec_id"))
     exact = (assigned.withColumn("rank", F.row_number().over(w))
              .where("rank <= 20"))
     got20 = {key(r) for r in cluster_balanced_sample(
@@ -1865,3 +1864,18 @@ def test_cluster_balanced_sample(embs, spark, tmp_path):
     with pytest.raises(ValueError, match="per_cluster"):
         cluster_balanced_sample(embs, per_cluster=0,
                                 centroids=stored)
+    # the default key is well MIXED, not id-ordered (review r13b:
+    # ordering by raw adler32 selected exactly the lowest ids)
+    ids = [r["vec_id"] for r in rows]
+    assert max(ids) > embs.count() * 0.8
+    assert min(sorted(ids)[:20]) < embs.count() * 0.5
+    # a corpus/artifact dimension mismatch is loud, not silently
+    # empty (review r13b)
+    short = embs.withColumn("embedding", F.slice("embedding", 1, 8))
+    with pytest.raises(ValueError, match="dimension"):
+        cluster_balanced_sample(short, per_cluster=5,
+                                centroids=stored)
+    # a gappy centroid artifact would relabel assignments — loud
+    with pytest.raises(ValueError, match="contiguous"):
+        cluster_balanced_sample(embs, per_cluster=5,
+                                centroids=stored.where("list_id <> 3"))
