@@ -119,12 +119,29 @@ def _cases(spark, mult):
                                buckets=256)
             .agg(F.bit_xor(F.xxhash64("doc_id", "dsir_logw"))
                  .alias("s")).collect()),
+        # r13: cluster-balanced sampling over hashed doc vectors —
+        # assignment is a row-local JVM fold, selection a salted
+        # two-phase window; growth must stay linear in rows. Output
+        # is capped (per_cluster x clusters), so consume the ranks.
+        "cluster_sample": lambda: len(
+            _sim_mod().cluster_balanced_sample(
+                _sim_mod().hashed_doc_vectors(docs),
+                per_cluster=20, n_clusters=8, train_iters=0,
+                vec_col="vector", id_col="doc_id")
+            .agg(F.bit_xor(F.xxhash64("doc_id", "cluster_id",
+                                      "rank")).alias("s"))
+            .collect()),
     }
 
 
 def _search_mod():
     from metacat_spark.llm import search as SR
     return SR
+
+
+def _sim_mod():
+    from metacat_spark.llm import similarity as SIM
+    return SIM
 
 
 def test_scale_probe_gate(spark):
