@@ -659,17 +659,21 @@ def test_search_long_query_no_pivot_columns(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_cluster_balanced_sample_all_jvm(spark):
-    """cluster_balanced_sample (r13) with a stored centroid artifact
-    is pure JVM — assignment is an argmax over dot-product folds, no
-    Python worker, no cartesian; the pre-reduce keeps both windows
-    row_number-bounded."""
+def test_cluster_balanced_sample_one_arrow_stage(spark):
+    """cluster_balanced_sample (r13) assigns in exactly ONE Arrow
+    stage (the encode_ivfpq posture — a JVM zip_with/aggregate
+    formulation measured ~16 ms/row interpreted, review r13b); no
+    row-at-a-time Python, no cartesian, and the centroid side never
+    joins (it rides the closure)."""
     from metacat_spark.llm.similarity import (build_ivf_centroids,
                                               cluster_balanced_sample)
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cents = build_ivf_centroids(embs, n_lists=4, train_iters=0)
     plan = plan_of(cluster_balanced_sample(embs, per_cluster=5,
                                            centroids=cents))
-    assert "ArrowEvalPython" not in plan
+    # formatted plans print each node in the tree AND the detail
+    # section — count detail headers "(N) MapInPandas"
+    assert plan.count(") MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan
