@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 151
+TOTAL_ENTRIES = 152
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -823,9 +823,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         step): assignment = argmax of round-6 dot products against
         FIXED closed-form centroids (c_j[k] = (((29j+13k) mod 17) −
         8)/8, j<4 — so the oracle replays the constants and the
-        argmax exactly), selection = top-50 per cluster by the
-        adler32 keyed hash of vec_id (the replayable uniform
-        sample). Full value-hash of (vec_id, cluster_id, rank)."""
+        argmax exactly), selection = top-50 per cluster ascending by
+        text.sample_order_key of vec_id (the well-mixed replayable
+        poly fold — raw adler32 order is length/digit-dominated for
+        sequential ids, review r13b). Full value-hash of (vec_id,
+        cluster_id, rank)."""
         from metacat_spark.llm.similarity import \
             cluster_balanced_sample
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -841,6 +843,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("cluster_id").cast("long").alias("cluster_id"),
             F.col("rank").cast("long").alias("rank"))
     q["embed_cluster_sample"] = embed_cluster_sample
+
+    def embed_cluster_sample_stats(spark, sf_dir):
+        """Occupancy gauge of the cluster-sample family (r14
+        llm/similarity.py cluster_sample_stats): the SAME fixed
+        closed-form centroids as embed_cluster_sample, so the oracle
+        replays the assignment argmax, per-cluster occupancy, the
+        derived round-6 mean/balance columns, and the recommendation
+        case exactly. One bounded row."""
+        from metacat_spark.llm.similarity import cluster_sample_stats
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = [[(((29 * j + 13 * k) % 17) - 8) / 8.0
+                  for k in range(64)] for j in range(4)]
+        cdf = spark.createDataFrame(
+            [(j, c) for j, c in enumerate(cents)],
+            "list_id int, centroid array<double>")
+        return cluster_sample_stats(embs, cdf)
+    q["embed_cluster_sample_stats"] = embed_cluster_sample_stats
 
     q["bfq_no_dataset"] = _fq("files where core.run = 7")
     q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
@@ -1983,7 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # graded first-50 set stays pinned (INTENDED_IN_CAP)
               "embed_topk_vs", "search_bm25_index_many",
               "search_bm25_index_parts", "multimodal_gif_frames",
-              "embed_cluster_sample"]
+              "embed_cluster_sample", "embed_cluster_sample_stats"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -2724,6 +2743,50 @@ def oracle_sql() -> dict[str, str]:
                    order by ({_skey}) asc, vec_id asc) as rank
           from assigned) t
         where rank <= 50"""
+
+    o["embed_cluster_sample_stats"] = """
+        with c as (
+          select j, list_transform(generate_series(0, 63),
+                 k -> ((((29 * j + 13 * k) % 17) - 8) / 8.0))
+                 as cent
+          from (select unnest([0, 1, 2, 3]) as j)
+        ), assigned as (
+          select vec_id, j as cluster_id from (
+            select e.vec_id, c.j,
+                   row_number() over (
+                     partition by e.vec_id
+                     order by round(list_dot_product(
+                       e.embedding::double[], c.cent), 6) desc,
+                       c.j) as rn
+            from embeddings e cross join c
+            where e.embedding is not null
+              and len(e.embedding) = 64) t
+          where rn = 1
+        ), occ as (
+          select cluster_id, count(*) as n
+          from assigned group by cluster_id
+        ), s as (
+          select (select count(*) from assigned) as n_assigned,
+                 (select count(*) from embeddings)
+                   - (select count(*) from assigned) as n_dropped,
+                 (select count(*) from occ) as n_nonempty,
+                 (select coalesce(max(n), 0) from occ)
+                   as max_occupancy)
+        select cast(4 as int) as n_clusters,
+               cast(n_assigned as bigint) as n_assigned,
+               cast(n_dropped as bigint) as n_dropped,
+               cast(4 - n_nonempty as bigint) as n_empty,
+               cast(max_occupancy as bigint) as max_occupancy,
+               round(n_assigned / 4.0, 6) as mean_occupancy,
+               round(max_occupancy / (n_assigned / 4.0), 6)
+                 as balance_ratio,
+               case when n_dropped > 0 and n_assigned = 0
+                      then 'mismatched'
+                    when 4 - n_nonempty > 0 then 'retrain'
+                    when round(max_occupancy / (n_assigned / 4.0), 6)
+                      > 4.0 then 'rebalance'
+                    else 'ok' end as recommendation
+        from s"""
 
     o["embed_cosine_pairs"] = """
         select a.vec_id as id_a, b.vec_id as id_b,

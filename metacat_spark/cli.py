@@ -667,6 +667,26 @@ def build_parser() -> argparse.ArgumentParser:
                      help="order survivors by this column "
                           "descending (default: deterministic "
                           "keyed-hash uniform sample)")
+    ccs.add_argument("--stats", action="store_true",
+                     help="occupancy/skew gauge of a stored "
+                          "centroid artifact over the served "
+                          "corpus (needs --index) — one row with "
+                          "a retrain/rebalance recommendation")
+    ccs.add_argument("--balance-threshold", type=float, default=None,
+                     dest="balance_threshold",
+                     help="max/mean occupancy past which --stats "
+                          "recommends rebalance (default 4.0)")
+    ccs.add_argument("--ingest",
+                     help="stream embedding rows from this parquet "
+                          "dir, assigning each to its nearest "
+                          "stored centroid (needs --index and "
+                          "--sink); prints the per-batch gauge")
+    ccs.add_argument("--sink",
+                     help="destination dir for --ingest's assigned "
+                          "rows (parquet append, checkpointed)")
+    ccs.add_argument("--timeout", type=int, default=None,
+                     help="seconds to wait for the --ingest drain "
+                          "(default 120)")
     clm = cs.add_parser("lm", help="corpus-LM log-probability per doc "
                         "(perplexity-style quality signal)")
     _corpus_common(clm)

@@ -373,21 +373,77 @@ def _op_cluster_sample(ctx: OpContext) -> DataFrame:
     # semantic-diversity selection (r13): bounded per-cluster sample
     # over the embeddings (or hashed doc vectors with --hashed);
     # --index serves a stored build_ivf_centroids artifact, else
-    # training runs inline — the ann train-once/serve-many shape
-    from .similarity import (cluster_balanced_sample,
+    # training runs inline — the ann train-once/serve-many shape.
+    # r14 lifecycle verbs over a stored artifact: --stats (the
+    # occupancy/skew gauge) and --ingest <src> --sink <dir> (the
+    # streaming assignment twin, CLI only like ann --ingest)
+    from .similarity import (cluster_assign_stream,
+                             cluster_balanced_sample,
+                             cluster_sample_stats,
                              hashed_doc_vectors)
+    stats = ctx.flag("stats")
+    ingest = ctx.param("ingest")
+    idx = ctx.param("index")
+    if stats and ingest is not None:
+        raise OpError("cluster-sample: conflicting verbs --stats, "
+                      "--ingest — pick one")
+    # verb-scoped options are loud when their verb is absent (the
+    # standing loud-flag contract): a silently dropped option would
+    # misstate what ran
+    if (stats or ingest is not None) and (
+            ctx.param("per_cluster") is not None
+            or ctx.param("by") is not None):
+        raise OpError("cluster-sample: --per-cluster/--by apply to "
+                      "the sampling verb, not --stats/--ingest")
+    if ctx.param("balance_threshold") is not None and not stats:
+        raise OpError("cluster-sample: --balance-threshold applies "
+                      "to --stats")
+    if ctx.param("timeout") is not None and ingest is None:
+        raise OpError("cluster-sample: --timeout applies to "
+                      "--ingest")
+    if ctx.param("sink") is not None and ingest is None:
+        raise OpError("cluster-sample: --sink applies to --ingest")
     if ctx.flag("hashed"):
+        if ingest is not None:
+            raise OpError("cluster-sample: --ingest streams "
+                          "embedding rows; --hashed does not apply")
         df = hashed_doc_vectors(ctx.docs())
         kw = {"vec_col": "vector", "id_col": "doc_id"}
     else:
         df = ctx.embs()
         kw = {}
-    idx = ctx.param("index")
     if ctx.param("clusters") is not None and idx is not None:
         # a stored artifact fixes the cluster count — silently
         # dropping --clusters would misstate what ran (loud-flag)
         raise OpError("cluster-sample: --clusters applies to inline "
                       "training; --index serves a stored artifact")
+    if stats:
+        if idx is None:
+            raise OpError("cluster-sample: --stats gauges a STORED "
+                          "centroid artifact — pass --index")
+        try:
+            return cluster_sample_stats(
+                df, ctx.corpus(str(idx)),
+                balance_threshold=ctx.float_param(
+                    "balance_threshold", 4.0),
+                vec_col=kw.get("vec_col", "embedding"))
+        except ValueError as e:
+            raise OpError(str(e))
+    if ingest is not None:
+        sink = ctx.param("sink")
+        if idx is None or sink is None:
+            raise OpError("cluster-sample: --ingest needs --index "
+                          "<stored centroid artifact> and --sink "
+                          "<destination dir for the assigned rows>")
+        if not ctx.local_fs:
+            raise OpError("cluster-sample: --ingest writes assigned "
+                          "rows to a caller-supplied path — CLI "
+                          "only", status=403)
+        src = ctx.corpus_path(str(ingest))
+        return cluster_assign_stream(
+            ctx.embs().sparkSession, src, ctx.corpus(str(idx)),
+            sink_dir=str(sink),
+            timeout_s=ctx.int_param("timeout", 120))
     try:
         return cluster_balanced_sample(
             df, per_cluster=ctx.int_param("per_cluster", 50),

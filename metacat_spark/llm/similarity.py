@@ -1460,6 +1460,77 @@ def retire_vectors(postings: DataFrame, ids) -> DataFrame:
         F.lit(None).cast("array<double>").alias("vec"))
 
 
+def assign_clusters(df: DataFrame, centroids: DataFrame,
+                    vec_col: str = "embedding",
+                    check_dim: bool = True,
+                    keep_invalid: bool = False) -> DataFrame:
+    """Nearest-centroid assignment against a stored
+    ``build_ivf_centroids`` artifact — the shared row-local kernel of
+    the cluster-sample family (r14: factored out of
+    ``cluster_balanced_sample`` so the occupancy gauge and the
+    streaming twin assign with the SAME code, batch ≡ stream by
+    construction). ONE Arrow mapInPandas GEMM stage: dot products
+    round-6 quantized BEFORE the argmax (float rounding cannot
+    decide an assignment differently across engines), ties take the
+    LOWEST list id. Returns df's columns + ``cluster_id``.
+
+    Rows with NULL or dimension-mismatched vectors are DROPPED by
+    default; ``keep_invalid=True`` keeps them with ``cluster_id=-1``
+    instead — the gauge/stream posture, where unassignable rows must
+    be REPORTED, not silently vanish. ``check_dim`` probes one row
+    up front and raises loudly on a wholesale dimension mismatch
+    (every row would otherwise drop); the probe is an action, so it
+    auto-skips on a streaming frame — there the -1 sentinel and the
+    per-batch ``n_dropped`` gauge carry the signal instead."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    Cn = _decode_ivf_centroids(centroids)
+    if check_dim and not df.isStreaming:
+        probe = (df.where(F.col(vec_col).isNotNull())
+                 .select(F.size(vec_col).alias("__d")).first())
+        if probe is not None and probe["__d"] != Cn.shape[1]:
+            raise ValueError(
+                f"assign_clusters: corpus vectors are "
+                f"{probe['__d']}-dimensional but the centroids "
+                f"artifact is {Cn.shape[1]}-dimensional — every row "
+                f"would drop silently; pass the matching artifact")
+    CnT = np.ascontiguousarray(Cn.T)
+    d = Cn.shape[1]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("cluster_id", T.IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == d) \
+                .to_numpy(dtype=bool)
+            if keep_invalid:
+                cid = np.full(len(pdf), -1, dtype="int32")
+                if ok.any():
+                    mat = np.array(list(pdf[vec_col][ok]),
+                                   dtype=np.float64)
+                    cid[ok] = np.round(mat @ CnT, 6) \
+                        .argmax(axis=1).astype("int32")
+                out = pdf.copy()
+                out["cluster_id"] = cid
+                yield out
+                continue
+            sub = pdf[ok]
+            if not len(sub):
+                continue
+            mat = np.array(list(sub[vec_col]), dtype=np.float64)
+            scores = np.round(mat @ CnT, 6)
+            sub = sub.copy()
+            sub["cluster_id"] = scores.argmax(axis=1).astype("int32")
+            yield sub
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def cluster_balanced_sample(df: DataFrame, per_cluster: int = 50,
                             n_clusters: int = 16,
                             centroids: DataFrame | None = None,
@@ -1477,21 +1548,18 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 50,
 
     - Assignment: nearest unit-norm IVF centroid — a stored
       ``build_ivf_centroids`` artifact, or trained here once when
-      ``centroids`` is None. Computed entirely JVM-side: argmax over
-      per-centroid dot-product folds (the row vector's norm is
-      constant across centroids, so raw-dot order equals cosine
-      order); scores round-6 quantized BEFORE the argmax so float
-      rounding cannot decide an assignment differently across
-      engines; ties take the LOWEST list id (np.argmax's first-max).
-      One Arrow mapInPandas stage — the same kernel posture as
-      ``encode_ivfpq``; a first JVM formulation (per-centroid
-      zip_with/aggregate folds) measured ~16 ms/row because nested
-      lambda expressions run interpreted outside codegen (review
-      r13b: 8 s for 500 rows; the batched GEMM is ~100× cheaper).
-      Rows with NULL or dimension-mismatched vectors are dropped;
-      a corpus whose vector DIMENSION wholesale mismatches the
-      artifact is a loud ValueError up front (every row would
-      otherwise drop silently — review r13b).
+      ``centroids`` is None. ``assign_clusters`` (the family's
+      shared kernel — one Arrow mapInPandas GEMM, round-6 quantized
+      argmax, lowest-list ties; the row vector's norm is constant
+      across centroids, so raw-dot order equals cosine order). A
+      first JVM formulation (per-centroid zip_with/aggregate folds)
+      measured ~16 ms/row because nested lambda expressions run
+      interpreted outside codegen (review r13b: 8 s for 500 rows;
+      the batched GEMM is ~100× cheaper). Rows with NULL or
+      dimension-mismatched vectors are dropped; a corpus whose
+      vector DIMENSION wholesale mismatches the artifact is a loud
+      ValueError up front (every row would otherwise drop silently —
+      review r13b).
     - Selection: ``per_cluster`` rows per cluster — by ``order_col``
       DESC (ties by id) when given, else ascending by
       ``text.sample_order_key`` of the id (a well-MIXED replayable
@@ -1504,9 +1572,6 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 50,
       the exact window on ≤ per_cluster × salts rows per cluster.
 
     Returns df's columns + ``cluster_id`` + ``rank``."""
-    import numpy as np
-    from pyspark.sql import types as T
-
     from .text import sample_order_key
 
     if per_cluster < 1:
@@ -1516,37 +1581,7 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 50,
         centroids = build_ivf_centroids(
             df, n_lists=n_clusters, seed=seed,
             train_iters=train_iters, vec_col=vec_col, id_col=id_col)
-    Cn = _decode_ivf_centroids(centroids)
-    probe = (df.where(F.col(vec_col).isNotNull())
-             .select(F.size(vec_col).alias("__d")).first())
-    if probe is not None and probe["__d"] != Cn.shape[1]:
-        raise ValueError(
-            f"cluster_balanced_sample: corpus vectors are "
-            f"{probe['__d']}-dimensional but the centroids artifact "
-            f"is {Cn.shape[1]}-dimensional — every row would drop "
-            f"silently; pass the matching artifact")
-    CnT = np.ascontiguousarray(Cn.T)
-    d = Cn.shape[1]
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("cluster_id", T.IntegerType())])
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ok = pdf[vec_col].map(
-                lambda v: v is not None and len(v) == d)
-            sub = pdf[ok.to_numpy(dtype=bool)]
-            if not len(sub):
-                continue
-            mat = np.array(list(sub[vec_col]), dtype=np.float64)
-            scores = np.round(mat @ CnT, 6)
-            sub = sub.copy()
-            sub["cluster_id"] = scores.argmax(axis=1).astype("int32")
-            yield sub
-
-    with_c = df.mapInPandas(assign, out_schema)
+    with_c = assign_clusters(df, centroids, vec_col=vec_col)
     if order_col is not None:
         order = [F.col(order_col).desc(), F.col(id_col).asc()]
     else:
@@ -1563,6 +1598,132 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 50,
     out = (phase1.withColumn("rank", F.row_number().over(w2))
            .where(F.col("rank") <= per_cluster))
     return out.drop("__k") if order_col is None else out
+
+
+def cluster_sample_stats(df: DataFrame, centroids: DataFrame,
+                         balance_threshold: float = 4.0,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Occupancy/health gauge for a stored cluster-sample centroid
+    artifact (VERDICT r13 #1 — the ``index_health`` /
+    ``text_index_stats`` analogue for the newest operator family):
+    assign the corpus with the SAME kernel the sampler uses
+    (``assign_clusters``, keep_invalid — unassignable rows are
+    reported, not raised, because a gauge must describe the corpus
+    it was given) and fold per-cluster occupancy into ONE bounded
+    row with a recommendation:
+
+    - ``mismatched`` — rows present but NONE assignable: the corpus'
+      vector dimension wholesale mismatches the artifact (the gauge
+      twin of ``cluster_balanced_sample``'s loud ValueError);
+    - ``retrain``   — empty clusters: dead centroids waste sampling
+      capacity (a per-cluster cap over k clusters only draws from
+      k - n_empty of them);
+    - ``rebalance`` — max/mean occupancy > ``balance_threshold``: a
+      mega-cluster dominates; retrain on a current sample or raise
+      ``per_cluster`` salts;
+    - ``ok``        — none of the above.
+
+    Cost: one Arrow assignment pass over ``df`` (typically a recent
+    sample, not the full corpus) + one n_clusters-row aggregate —
+    the schedulable-health posture of ``index_health``. Derived
+    columns are computed relationally (F.round/try_divide) so the
+    DuckDB oracle replays them digit-for-digit."""
+    n_clusters = int(_decode_ivf_centroids(centroids).shape[0])
+    per = (assign_clusters(df, centroids, vec_col=vec_col,
+                           check_dim=False, keep_invalid=True)
+           .groupBy("cluster_id").agg(F.count("*").alias("n")))
+    r = per.agg(
+        F.coalesce(F.sum(F.when(F.col("cluster_id") >= 0,
+                                F.col("n"))), F.lit(0))
+        .alias("n_assigned"),
+        F.coalesce(F.sum(F.when(F.col("cluster_id") < 0,
+                                F.col("n"))), F.lit(0))
+        .alias("n_dropped"),
+        F.count(F.when(F.col("cluster_id") >= 0, True))
+        .alias("n_nonempty"),
+        F.coalesce(F.max(F.when(F.col("cluster_id") >= 0,
+                                F.col("n"))), F.lit(0))
+        .alias("max_occupancy")).collect()[0]
+    spark = df.sparkSession
+    row = spark.createDataFrame(
+        [(n_clusters, int(r["n_assigned"]), int(r["n_dropped"]),
+          n_clusters - int(r["n_nonempty"]),
+          int(r["max_occupancy"]))],
+        "n_clusters int, n_assigned long, n_dropped long, "
+        "n_empty long, max_occupancy long")
+    row = row.select(
+        "*",
+        F.round(F.col("n_assigned") / F.col("n_clusters"), 6)
+        .alias("mean_occupancy"),
+        F.round(F.try_divide(
+            F.col("max_occupancy"),
+            F.col("n_assigned") / F.col("n_clusters")), 6)
+        .alias("balance_ratio"))
+    return row.select(
+        "*",
+        F.when((F.col("n_dropped") > 0) & (F.col("n_assigned") == 0),
+               "mismatched")
+        .when(F.col("n_empty") > 0, "retrain")
+        .when(F.col("balance_ratio") > F.lit(float(balance_threshold)),
+              "rebalance")
+        .otherwise("ok").alias("recommendation"))
+
+
+def cluster_assign_stream(spark, src_dir: str, centroids: DataFrame,
+                          table: str = "cluster_assign_stream",
+                          sink_dir: str | None = None,
+                          checkpoint_dir: str | None = None,
+                          timeout_s: int | None = 120,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Streaming assignment twin of the cluster-sample family
+    (VERDICT r13 #1 — the ``dsir_stream``/``score_stream`` posture):
+    assign an embedding STREAM to its nearest stored centroid with
+    the SAME row-local kernel as the batch sampler
+    (``assign_clusters`` — the artifact rides the closure, no
+    aggregation state, plain append mode), so stream-assigned rows
+    are row-for-row the batch assignment of the same corpus (pinned
+    by test). Selection (the per-cluster cap) stays a batch verb —
+    it is a global windowed choice; the stream's job is routing rows
+    to clusters as they arrive (e.g. sharding an ingest by semantic
+    cluster, or feeding per-cluster budget counters downstream).
+
+    Unassignable rows (NULL / dimension-mismatched vectors) carry
+    ``cluster_id = -1`` — a stream cannot run the batch path's
+    up-front dimension probe, so the sentinel plus the per-batch
+    ``n_dropped`` gauge column IS the loud path (a wholesale
+    mismatch reads n_dropped == n every batch).
+
+    Deploy posture: pass ``sink_dir`` — each micro-batch parquet-
+    appends the assigned rows there and the return value is the
+    BOUNDED per-batch gauge (batch_id, n, n_dropped,
+    n_clusters_hit); driver state never grows with the stream
+    (checkpointed, at-least-once — see ``drain_to_parquet``).
+    Without it: availableNow → memory sink, the test rig."""
+    from .util import drain_to_parquet, stream_parquet
+
+    out = assign_clusters(stream_parquet(spark, src_dir), centroids,
+                          vec_col=vec_col, check_dim=False,
+                          keep_invalid=True)
+    if sink_dir is not None:
+        return drain_to_parquet(
+            spark, out, sink_dir,
+            [F.count("*").alias("n"),
+             F.sum((F.col("cluster_id") < 0).cast("long"))
+             .alias("n_dropped"),
+             F.count_distinct(F.when(F.col("cluster_id") >= 0,
+                                     F.col("cluster_id")))
+             .alias("n_clusters_hit")],
+            "n long, n_dropped long, n_clusters_hit long",
+            checkpoint_dir=checkpoint_dir, timeout_s=timeout_s,
+            what="cluster_assign_stream")
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "cluster_assign_stream did not finish within 120s — "
+            "refusing to return a partially populated memory table")
+    return spark.table(table)
 
 
 def upsert_vectors(postings: DataFrame, df: DataFrame,

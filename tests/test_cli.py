@@ -1450,3 +1450,66 @@ def test_corpus_cluster_sample(capsys, tmp_path, spark):
     rc, _ = run(capsys, "corpus", "cluster-sample",
                 "--per-cluster", "0")
     assert rc == 2
+
+
+def test_corpus_cluster_sample_lifecycle(capsys, tmp_path, spark):
+    """r14 lifecycle verbs: --stats gauges a stored artifact,
+    --ingest streams assignment to a sink, and every loud-flag
+    contract is a clean rc 2."""
+    from metacat_spark.llm.similarity import build_ivf_centroids
+    idx = str(tmp_path / "csl_idx")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    build_ivf_centroids(embs, n_lists=4,
+                        train_iters=1).write.parquet(idx)
+    rc, out = run(capsys, "corpus", "cluster-sample", "--stats",
+                  "--index", idx, "-j")
+    assert rc == 0
+    row = json.loads(out.splitlines()[0])
+    assert row["n_clusters"] == 4
+    assert row["n_assigned"] == embs.count()
+    assert row["recommendation"] in ("ok", "retrain", "rebalance")
+    # sub-1 threshold forces the rebalance branch when nothing empty
+    if row["n_empty"] == 0:
+        rc, out2 = run(capsys, "corpus", "cluster-sample", "--stats",
+                       "--index", idx, "--balance-threshold",
+                       "0.999", "-j")
+        assert rc == 0
+        assert json.loads(
+            out2.splitlines()[0])["recommendation"] == "rebalance"
+    # --ingest: streamed assignment lands in the sink, gauge prints
+    src = str(tmp_path / "csl_src")
+    embs.write.parquet(src)
+    sink = str(tmp_path / "csl_sink")
+    rc, out3 = run(capsys, "corpus", "cluster-sample", "--ingest",
+                   src, "--index", idx, "--sink", sink, "-j")
+    assert rc == 0
+    gauge = [json.loads(ln) for ln in out3.splitlines()]
+    assert sum(g["n"] for g in gauge) == embs.count()
+    assert all(g["n_dropped"] == 0 for g in gauge)
+    filed = spark.read.parquet(sink)
+    assert filed.count() == embs.count()
+    assert "cluster_id" in filed.columns
+    # loud-flag contracts
+    rc, _ = run(capsys, "corpus", "cluster-sample", "--stats")
+    assert rc == 2                     # gauge needs --index
+    rc, _ = run(capsys, "corpus", "cluster-sample", "--stats",
+                "--index", idx, "--ingest", src, "--sink", sink)
+    assert rc == 2                     # conflicting verbs
+    rc, _ = run(capsys, "corpus", "cluster-sample", "--stats",
+                "--index", idx, "--per-cluster", "5")
+    assert rc == 2                     # sampling option on a gauge
+    rc, _ = run(capsys, "corpus", "cluster-sample",
+                "--balance-threshold", "2.0")
+    assert rc == 2                     # --balance-threshold needs --stats
+    rc, _ = run(capsys, "corpus", "cluster-sample", "--ingest", src,
+                "--index", idx)
+    assert rc == 2                     # ingest needs --sink
+    rc, _ = run(capsys, "corpus", "cluster-sample", "--sink", sink)
+    assert rc == 2                     # --sink needs --ingest
+    rc, _ = run(capsys, "corpus", "cluster-sample", "--timeout",
+                "60")
+    assert rc == 2                     # --timeout needs --ingest
+    rc, _ = run(capsys, "corpus", "cluster-sample", "--ingest", src,
+                "--index", idx, "--sink", str(tmp_path / "s2"),
+                "--hashed")
+    assert rc == 2                     # --hashed streams nothing

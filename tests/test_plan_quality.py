@@ -677,3 +677,21 @@ def test_cluster_balanced_sample_one_arrow_stage(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_cluster_lifecycle_shares_one_arrow_stage(spark):
+    """The r14 lifecycle verbs assign through the SAME single-Arrow
+    kernel as the sampler (assign_clusters): the gauge's corpus pass
+    is one MapInPandas + one bounded aggregate, no join (the
+    artifact rides the closure), no cartesian, no row-at-a-time
+    Python."""
+    from metacat_spark.llm.similarity import (assign_clusters,
+                                              build_ivf_centroids)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = build_ivf_centroids(embs, n_lists=4, train_iters=0)
+    plan = plan_of(assign_clusters(embs, cents, keep_invalid=True)
+                   .groupBy("cluster_id").count())
+    assert plan.count(") MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

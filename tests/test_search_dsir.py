@@ -1879,3 +1879,104 @@ def test_cluster_balanced_sample(embs, spark, tmp_path):
     with pytest.raises(ValueError, match="contiguous"):
         cluster_balanced_sample(embs, per_cluster=5,
                                 centroids=stored.where("list_id <> 3"))
+
+
+def test_cluster_sample_stats(embs, spark, tmp_path):
+    """Occupancy gauge for a stored centroid artifact (r14): counts
+    cross-check the shared assignment kernel, derived columns are
+    exact, and every recommendation branch fires on a corpus that
+    actually exhibits it."""
+    from metacat_spark.llm.similarity import (assign_clusters,
+                                              build_ivf_centroids,
+                                              cluster_sample_stats)
+    cents = build_ivf_centroids(embs, n_lists=8, train_iters=1)
+    path = str(tmp_path / "css_cents")
+    cents.write.parquet(path)
+    stored = spark.read.parquet(path)
+    row = cluster_sample_stats(embs, stored).collect()[0]
+    n = embs.count()
+    assigned = assign_clusters(embs, stored)
+    per = {r["cluster_id"]: r["n"] for r in
+           assigned.groupBy("cluster_id").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert row["n_clusters"] == 8
+    assert row["n_assigned"] == n == sum(per.values())
+    assert row["n_dropped"] == 0
+    assert row["n_empty"] == 8 - len(per)
+    assert row["max_occupancy"] == max(per.values())
+    assert row["mean_occupancy"] == round(n / 8, 6)
+    assert row["balance_ratio"] == round(
+        max(per.values()) / (n / 8), 6)
+    if row["n_empty"] > 0:
+        assert row["recommendation"] == "retrain"
+    else:
+        assert row["recommendation"] in ("ok", "rebalance")
+    # skew branch: with every cluster non-empty, max/mean >= 1, so a
+    # sub-1 threshold must flip the recommendation to rebalance
+    if row["n_empty"] == 0:
+        skew = cluster_sample_stats(
+            embs, stored, balance_threshold=0.999).collect()[0]
+        assert skew["recommendation"] == "rebalance"
+    # retrain branch: a corpus drawn from ONE cluster leaves the
+    # others empty — dead centroids are the retrain signal
+    one = assigned.where(
+        F.col("cluster_id") == max(per, key=per.get)) \
+        .drop("cluster_id")
+    r1 = cluster_sample_stats(one, stored).collect()[0]
+    assert r1["n_empty"] > 0 and r1["recommendation"] == "retrain"
+    # mismatched branch: the gauge REPORTS a wholesale dimension
+    # mismatch (the operator raises; a gauge must describe)
+    short = embs.withColumn("embedding", F.slice("embedding", 1, 8))
+    rm = cluster_sample_stats(short, stored).collect()[0]
+    assert rm["n_assigned"] == 0 and rm["n_dropped"] == n
+    assert rm["recommendation"] == "mismatched"
+    assert rm["balance_ratio"] is None
+    # NULL vectors count as dropped, not assigned
+    nulled = embs.withColumn(
+        "embedding", F.when(F.col("vec_id") % 10 == 0,
+                            F.lit(None)).otherwise(F.col("embedding")))
+    rn = cluster_sample_stats(nulled, stored).collect()[0]
+    assert rn["n_dropped"] == embs.where("vec_id % 10 = 0").count()
+    assert rn["n_assigned"] == n - rn["n_dropped"]
+
+
+def test_cluster_assign_stream(embs, spark, tmp_path):
+    """Streaming assignment twin (r14): stream-assigned rows are
+    row-for-row the batch assignment (shared kernel), unassignable
+    rows carry the -1 sentinel, and the production sink path yields
+    file rows == memory rows plus a bounded per-batch gauge."""
+    import os
+
+    from metacat_spark.llm.similarity import (assign_clusters,
+                                              build_ivf_centroids,
+                                              cluster_assign_stream)
+    cents = build_ivf_centroids(embs, n_lists=8, train_iters=1)
+    src = str(tmp_path / "cas_src")
+    # include unassignable rows: every 7th id gets a NULL vector
+    feed = embs.withColumn(
+        "embedding", F.when(F.col("vec_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("embedding")))
+    feed.write.parquet(src)
+    got = cluster_assign_stream(spark, src, cents,
+                                table="cas_mem").select(
+        "vec_id", "cluster_id").collect()
+    want = assign_clusters(feed, cents, check_dim=False,
+                           keep_invalid=True).select(
+        "vec_id", "cluster_id").collect()
+    key = lambda r: (r["vec_id"], r["cluster_id"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert any(r["cluster_id"] == -1 for r in got)
+    # production sink: per-doc rows land in parquet, return value is
+    # the bounded gauge
+    sink = str(tmp_path / "cas_sink")
+    os.makedirs(sink)
+    gauge = cluster_assign_stream(spark, src, cents, sink_dir=sink)
+    g = gauge.collect()
+    assert g and all(r["n"] >= 0 for r in g)
+    assert sum(r["n"] for r in g) == feed.count()
+    assert sum(r["n_dropped"] for r in g) == feed.where(
+        "vec_id % 7 = 0").count()
+    assert all(r["n_clusters_hit"] <= 8 for r in g)
+    filed = spark.read.parquet(sink).select(
+        "vec_id", "cluster_id").collect()
+    assert sorted(map(key, filed)) == sorted(map(key, want))

@@ -930,3 +930,46 @@ def test_corpus_cluster_sample_endpoint(served):
         _get(base, "/data/corpus", op="cluster-sample",
              index="whatever", clusters=8)
     assert e.value.code == 400
+    # r14 lifecycle: --stats serves over HTTP (a read-only gauge
+    # needs a stored artifact under the data root — misuse without
+    # one is a clean 400); --ingest writes a caller path: 403
+    with _pt.raises(_ue.HTTPError) as e:
+        _get(base, "/data/corpus", op="cluster-sample", stats=1)
+    assert e.value.code == 400
+    with _pt.raises(_ue.HTTPError) as e:
+        _get(base, "/data/corpus", op="cluster-sample", stats=1,
+             per_cluster=5, index="whatever")
+    assert e.value.code == 400
+    with _pt.raises(_ue.HTTPError) as e:
+        _get(base, "/data/corpus", op="cluster-sample",
+             ingest="whatever", index="x", sink="y")
+    assert e.value.code == 403
+
+
+def test_corpus_cluster_sample_stats_endpoint(spark, catalog,
+                                              tmp_path):
+    """r14: the occupancy gauge serves over HTTP from a stored
+    centroid artifact under the data root (read-only verb — the
+    streaming twin stays CLI-only, asserted in the shared endpoint
+    test)."""
+    from metacat_spark.client import MetaCatSparkClient
+    from metacat_spark.llm.similarity import build_ivf_centroids
+    from metacat_spark.server import start_server
+    embs = catalog.raw["embeddings"]
+    ipath = str(tmp_path / "css_idx")
+    build_ivf_centroids(embs, n_lists=4,
+                        train_iters=1).write.parquet(ipath)
+    client = MetaCatSparkClient(spark, catalog=catalog)
+    srv, port = start_server(client, data_root=str(tmp_path))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rows = _json_seq(_get(base, "/data/corpus",
+                              op="cluster-sample", stats=1,
+                              index=ipath))
+        assert len(rows) == 1
+        assert rows[0]["n_clusters"] == 4
+        assert rows[0]["n_assigned"] == embs.count()
+        assert rows[0]["recommendation"] in (
+            "ok", "retrain", "rebalance")
+    finally:
+        srv.shutdown()
