@@ -1056,11 +1056,14 @@ def upsert_text_index(index: DataFrame, docs: DataFrame,
     carry a kind='doc' marker row since r13, so their exact stat
     contribution is recovered from storage too — re-adding a
     zero-token document subtracts exactly, same as every other id.
-    Backward compatibility: an OLD artifact (no marker rows) keeps
-    the pre-r13 behavior for exactly those ids — their contribution
-    is unrecoverable, so a token-less re-add double-counts in
-    n/sum_dl; ``text_index_stats`` is the gauge that surfaces the
-    drift (one rebuild migrates the artifact)."""
+    Markerless (pre-r13) artifacts (VERDICT r13 #3): when the stored
+    stats show MORE documents than the per-id rows account for, the
+    artifact holds token-less docs whose contribution is
+    unrecoverable — an incoming id with no stored rows is then
+    ambiguous (new doc, or a token-less re-add that would silently
+    double-count n/sum_dl), so the upsert REFUSES loudly with the
+    rebuild-migrates recipe. Batches that only touch accounted-for
+    ids stay exact on such artifacts and proceed."""
     old_stats = _decode_text_index_stats(index)
     new = build_text_index(docs, text_col, id_col)
     new_ids = docs.select(F.col(id_col).alias("id")).distinct()
@@ -1069,6 +1072,31 @@ def upsert_text_index(index: DataFrame, docs: DataFrame,
     hit = old_posts.join(F.broadcast(new_ids), "id", "left_semi")
     hit_marks = old_marks.join(F.broadcast(new_ids), "id",
                                "left_semi")
+    # markerless-artifact guard: fires only when BOTH (a) the batch
+    # introduces ids with no stored per-id rows and (b) the artifact
+    # demonstrably holds unaccounted token-less docs. (a) reuses the
+    # broadcast hit sets (batch-bounded distinct); (b) — one
+    # artifact-sized distinct-id aggregate, the same cost class as
+    # the df merge below — runs only if (a) tripped
+    n_known = (hit.select("id").unionByName(hit_marks.select("id"))
+               .distinct().count())
+    n_unknown = new_ids.count() - n_known
+    if n_unknown:
+        per_id_n = (old_posts.select("id")
+                    .unionByName(old_marks.select("id"))
+                    .distinct().count())
+        if old_stats["n"] > per_id_n + 0.5:
+            missing = int(round(old_stats["n"] - per_id_n))
+            raise ValueError(
+                f"upsert_text_index: the stored artifact counts "
+                f"{missing} token-less document(s) with no "
+                f"kind='doc' marker rows (built before the r13 "
+                f"marker format), and the batch brings {n_unknown} "
+                f"id(s) with no stored rows — a token-less re-add "
+                f"is indistinguishable from a new document and "
+                f"would double-count corpus stats; rebuild the "
+                f"index once (build_text_index over the corpus) to "
+                f"migrate, then upsert")
     # exact removed contributions, recovered from the stored rows:
     # postings-backed ids via their per-id dl, token-less ids via
     # their marker rows

@@ -1934,12 +1934,48 @@ def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
     once matters. ``timeout_s`` bounds the drain (None = wait
     indefinitely — the production posture for a corpus-sized
     ingest); on expiry the query is stopped and a restart resumes
-    from the checkpoint."""
+    from the checkpoint.
+
+    Tombstone guard (VERDICT r13 #4): when the destination already
+    holds tombstones (``retire_vectors`` output), a batch that
+    re-adds a retired id is REFUSED loudly — ``live_postings``'
+    anti-join would kill the appended row while the old tombstone
+    sits in the table, a silently dead re-add. ``upsert_vectors``
+    (ann --upsert) is the verb that removes the tombstone with the
+    row; ``compact_postings`` first also clears the conflict. The
+    tombstone id set is read once up front (deletes << corpus) and
+    checked per batch with one broadcast semi-join."""
+    from pyspark.errors import AnalysisException
+
     stream = stream_parquet(
         spark, src_dir, max_files_per_trigger=max_files_per_trigger)
     gauge_rows = []
+    try:
+        tomb_ids = (spark.read.parquet(postings_dir)
+                    .where(F.col("codes").isNull())
+                    .select("id").distinct().cache())
+        if not tomb_ids.take(1):
+            tomb_ids = None
+    except AnalysisException:         # first ingest: no table yet
+        tomb_ids = None
+    conflict_msg: list = []
 
     def per_batch(batch_df, batch_id):
+        if tomb_ids is not None:
+            dead = (batch_df.select(F.col(id_col).alias("id"))
+                    .join(F.broadcast(tomb_ids), "id", "left_semi")
+                    .take(3))
+            if dead:
+                conflict_msg.append(
+                    f"encode_ivfpq_stream: batch {batch_id} re-adds "
+                    f"retired id(s) "
+                    f"{sorted(r['id'] for r in dead)}… — an "
+                    f"appended row for a tombstoned id is silently "
+                    f"DEAD (live_postings excludes it while the "
+                    f"tombstone remains); use upsert_vectors "
+                    f"(ann --upsert) to replace retired ids, or "
+                    f"compact_postings first")
+                raise ValueError(conflict_msg[0])
         enc = encode_ivfpq(batch_df, index,
                            keep_vectors=keep_vectors,
                            vec_col=vec_col, id_col=id_col)
@@ -1956,14 +1992,24 @@ def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
          .option("checkpointLocation",
                  checkpoint_dir or postings_dir + "__checkpoint")
          .trigger(availableNow=True).start())
-    if timeout_s is None:
-        q.awaitTermination()
-    elif not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"encode_ivfpq_stream did not finish within "
-            f"{timeout_s}s — postings may be partially ingested; "
-            f"restart resumes from the checkpoint")
+    try:
+        if timeout_s is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"encode_ivfpq_stream did not finish within "
+                f"{timeout_s}s — postings may be partially "
+                f"ingested; restart resumes from the checkpoint")
+    except Exception:
+        # surface the tombstone refusal as the clean ValueError,
+        # not a wrapped StreamingQueryException traceback
+        if conflict_msg:
+            raise ValueError(conflict_msg[0]) from None
+        raise
+    finally:
+        if tomb_ids is not None:
+            tomb_ids.unpersist()
     return spark.createDataFrame(
         gauge_rows,
         "batch_id long, n long, mean_distortion double, "

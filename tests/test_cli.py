@@ -7,6 +7,7 @@ calls against one server."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from metacat_spark import cli
 from tests.conftest import SF_DIR
@@ -710,6 +711,25 @@ def test_corpus_ann_ingest_stream(capsys, tmp_path, spark):
                 "--ingest", src, "--encode", "--index", idx,
                 "--postings", dest)
     assert rc == 2
+    # r14 tombstone guard: retire an ingested id, drop its row back
+    # into the SAME streamed source (the checkpoint binds --ingest
+    # to one source dir; new files there are the incremental feed) —
+    # the resumed ingest refuses with a clean rc 2 (the library
+    # ValueError points at --upsert), destination unchanged
+    some = spark.read.parquet(dest).select("id").first()["id"]
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--retire", str(some), "--postings", dest,
+                "-o", dest, "--append")
+    assert rc == 0
+    n_before = spark.read.parquet(dest).count()
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .where(F.col("vec_id") == some) \
+        .write.mode("append").parquet(src)
+    rc, _ = run(capsys, "corpus", "ann", "--method", "ivfpq",
+                "--ingest", src, "--index", idx,
+                "--postings", dest)
+    assert rc == 2
+    assert spark.read.parquet(dest).count() == n_before
 
 
 def test_op_error_from_task_translation():

@@ -1980,3 +1980,92 @@ def test_cluster_assign_stream(embs, spark, tmp_path):
     filed = spark.read.parquet(sink).select(
         "vec_id", "cluster_id").collect()
     assert sorted(map(key, filed)) == sorted(map(key, want))
+
+
+def test_upsert_text_index_markerless_guard(docs, spark):
+    """VERDICT r13 #3: a pre-r13 artifact (token-less docs, no
+    kind='doc' markers) REFUSES an upsert that brings unaccounted
+    ids — the ambiguous case that silently double-counted stats —
+    while batches touching only accounted ids stay exact, and the
+    marker-ful artifact accepts the same batch."""
+    from metacat_spark.llm.search import (build_text_index,
+                                          upsert_text_index)
+    base = docs.limit(30).select("doc_id", "text")
+    zero = spark.createDataFrame([(990001, "")],
+                                 "doc_id long, text string")
+    idx = build_text_index(base.unionByName(zero))
+    assert idx.where("kind = 'doc'").count() == 1
+    pre = idx.where("kind <> 'doc'")     # the pre-r13 shape
+    newdoc = spark.createDataFrame([(990002, "spark window")],
+                                   "doc_id long, text string")
+    with pytest.raises(ValueError, match="marker"):
+        upsert_text_index(pre, newdoc)
+    # the token-less RE-ADD itself (the original drift case) is the
+    # same unknown-id shape — also refused
+    rezero = spark.createDataFrame([(990001, "spark anew")],
+                                   "doc_id long, text string")
+    with pytest.raises(ValueError, match="marker"):
+        upsert_text_index(pre, rezero)
+    # accounted-ids-only batch proceeds and stays exact: doc count
+    # unchanged, postings replaced
+    some_id = base.first()["doc_id"]
+    re_add = base.where(F.col("doc_id") == some_id) \
+        .withColumn("text", F.lit("zzreplaced token"))
+    up = upsert_text_index(pre, re_add)
+    n_of = lambda df: sum(r["tf"] for r in df.where(
+        "kind = 'stat' and term = 'n'").collect())
+    assert n_of(up) == n_of(pre)
+    assert up.where((F.col("kind") == "post")
+                    & (F.col("term") == "zzreplaced")).count() == 1
+    # the marker-ful artifact accepts the unknown-id batch unchanged
+    ok = upsert_text_index(idx, newdoc)
+    assert n_of(ok) == n_of(idx) + 1
+
+
+def test_encode_stream_refuses_tombstoned_readd(embs, tmp_path,
+                                                spark):
+    """VERDICT r13 #4: appending a retired id via the ingest path
+    yields a row live_postings silently kills — the stream now
+    refuses it loudly, pointing at upsert_vectors; retire-then-
+    UPSERT still re-adds cleanly, and ingest of genuinely new ids
+    over a tombstoned table proceeds."""
+    from metacat_spark.llm.similarity import (build_ivfpq_index,
+                                              encode_ivfpq,
+                                              encode_ivfpq_stream,
+                                              live_postings,
+                                              retire_vectors,
+                                              upsert_vectors)
+    idx = build_ivfpq_index(embs, n_lists=4, m=8, n_codes=16,
+                            train_iters=1)
+    first = embs.where("vec_id < 100")
+    pdir = str(tmp_path / "tg_postings")
+    encode_ivfpq(first, idx).write.parquet(pdir)
+    postings = spark.read.parquet(pdir)
+    retired = [int(r["vec_id"]) for r in
+               first.limit(2).select("vec_id").collect()]
+    retire_vectors(postings, retired).write.mode("append") \
+        .parquet(pdir)
+    # re-add one retired id through the stream: refused, nothing
+    # appended for that batch
+    src_bad = str(tmp_path / "tg_src_bad")
+    embs.where(F.col("vec_id") == retired[0]).write.parquet(src_bad)
+    n_before = spark.read.parquet(pdir).count()
+    with pytest.raises(ValueError, match="upsert"):
+        encode_ivfpq_stream(spark, src_bad, idx, pdir)
+    assert spark.read.parquet(pdir).count() == n_before
+    # genuinely new ids still ingest over the tombstoned table
+    src_ok = str(tmp_path / "tg_src_ok")
+    fresh = embs.where((F.col("vec_id") >= 100)
+                       & (F.col("vec_id") < 120))
+    fresh.write.parquet(src_ok)
+    ck = str(tmp_path / "tg_ck_ok")
+    gauge = encode_ivfpq_stream(spark, src_ok, idx, pdir,
+                                checkpoint_dir=ck)
+    assert sum(r["n"] for r in gauge.collect()) == fresh.count()
+    # retire-then-upsert remains the clean re-add
+    up = upsert_vectors(spark.read.parquet(pdir),
+                        embs.where(F.col("vec_id") == retired[0]),
+                        idx)
+    live_ids = {r["id"] for r in
+                live_postings(up).select("id").collect()}
+    assert retired[0] in live_ids and retired[1] not in live_ids
