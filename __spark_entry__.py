@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 152
+TOTAL_ENTRIES = 153
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -860,6 +860,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "list_id int, centroid array<double>")
         return cluster_sample_stats(embs, cdf)
     q["embed_cluster_sample_stats"] = embed_cluster_sample_stats
+
+    def multimodal_decode_coverage(spark, sf_dir):
+        """Decode-coverage gauge (r14 llm/multimodal.py
+        decode_coverage): per-container real-vs-fallback rates over
+        an asset corpus. The fixture payloads are ASCII text bytes
+        with engineered magic-byte prefixes (doc_id mod 5 →
+        BM / RIFF..WAVE / GIF87a / MM / none) so the oracle replays
+        every sniff branch; none of them parses as a valid
+        container, so real_rate is exactly 0 per row — the unit
+        fixture corpus (test_decode_coverage_gauge) pins the
+        nonzero-real arithmetic."""
+        from metacat_spark.llm import multimodal as MM
+        docs = _docs(spark, sf_dir)
+        assets = docs.select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode(
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.lit("BM"), F.col("text")))
+                .when(F.col("doc_id") % 5 == 1,
+                      F.concat(F.lit("RIFFxxxxWAVE"), F.col("text")))
+                .when(F.col("doc_id") % 5 == 2,
+                      F.concat(F.lit("GIF87a"), F.col("text")))
+                .when(F.col("doc_id") % 5 == 3,
+                      F.concat(F.lit("MM"), F.col("text")))
+                .otherwise(F.col("text")), "utf-8").alias("content"))
+        return MM.decode_coverage(assets)
+    q["multimodal_decode_coverage"] = multimodal_decode_coverage
 
     q["bfq_no_dataset"] = _fq("files where core.run = 7")
     q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
@@ -2002,7 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               # graded first-50 set stays pinned (INTENDED_IN_CAP)
               "embed_topk_vs", "search_bm25_index_many",
               "search_bm25_index_parts", "multimodal_gif_frames",
-              "embed_cluster_sample", "embed_cluster_sample_stats"]
+              "embed_cluster_sample", "embed_cluster_sample_stats",
+              "multimodal_decode_coverage"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -2787,6 +2815,36 @@ def oracle_sql() -> dict[str, str]:
                       > 4.0 then 'rebalance'
                     else 'ok' end as recommendation
         from s"""
+
+    o["multimodal_decode_coverage"] = """
+        with a as (
+          select case when doc_id % 5 = 0 then 'BM' || text
+                      when doc_id % 5 = 1 then 'RIFFxxxxWAVE' || text
+                      when doc_id % 5 = 2 then 'GIF87a' || text
+                      when doc_id % 5 = 3 then 'MM' || text
+                      else text end as c
+          from documents
+        ), s as (
+          select case
+                   when length(c) = 0 then 'empty'
+                   when starts_with(c, 'BM') then 'bmp'
+                   when starts_with(c, 'RIFF') then
+                     case when substring(c, 9, 4) = 'WAVE'
+                            then 'wav'
+                          when substring(c, 9, 4) = 'WEBP'
+                            then 'webp'
+                          else 'riff' end
+                   when starts_with(c, 'GIF87a')
+                     or starts_with(c, 'GIF89a') then 'gif'
+                   when starts_with(c, 'II')
+                     or starts_with(c, 'MM') then 'tiff'
+                   else 'other' end as container
+          from a)
+        select container, count(*) as n_assets,
+               cast(0 as bigint) as n_real,
+               count(*) as n_fallback,
+               round(0, 6)::double as real_rate
+        from s group by container order by container"""
 
     o["embed_cosine_pairs"] = """
         select a.vec_id as id_a, b.vec_id as id_b,

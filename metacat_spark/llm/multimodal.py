@@ -2130,6 +2130,77 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
         return _byte_histogram(raw), False
 
 
+def _sniff_container(raw: bytes) -> str:
+    """Container label from the payload's magic bytes — the SAME
+    prefixes ``_decode_any`` dispatches on (a gauge that sniffed
+    differently from the dispatcher would misattribute real/fallback
+    rates), with RIFF refined by its form type (WAVE vs WEBP vs
+    other — all three hit the WAV kernel attempt, but a webp corpus
+    reading 0% real under 'wav' would point at the wrong missing
+    codec)."""
+    if not raw:
+        return "empty"
+    if raw[:2] == b"BM":
+        return "bmp"
+    if raw[:4] == b"RIFF":
+        form = raw[8:12]
+        if form == b"WAVE":
+            return "wav"
+        if form == b"WEBP":
+            return "webp"
+        return "riff"
+    if raw[:8] == _PNG_SIG:
+        return "png"
+    if raw[:2] == b"\xff\xd8":
+        return "jpeg"
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if raw[:2] in (b"II", b"MM"):
+        return "tiff"
+    return "other"
+
+
+def decode_coverage(assets: DataFrame) -> DataFrame:
+    """Production decode-coverage gauge (VERDICT r13 #5): real-decode
+    vs histogram-fallback rate per sniffed container over an ASSET
+    corpus — the measured answer to "what fraction of this corpus do
+    the wired codecs actually decode", turning the fixture number in
+    ``tools/decode_coverage.py`` into an operator a 100 TB deployment
+    runs on its own data (typically a sample: the gauge must DECODE
+    to learn real-vs-fallback, so it costs one ``extract_features``-
+    class Arrow pass).
+
+    One mapInPandas stage emitting (container, decode_ok) per asset
+    — pixels never shuffle — then one bounded groupBy (≤ 9 container
+    rows). Returns (container, n_assets, n_real, n_fallback,
+    real_rate), ordered by container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            containers, ok = [], []
+            for payload in pdf["content"]:
+                raw = bytes(payload) if payload is not None else b""
+                containers.append(_sniff_container(raw))
+                _, o = _decode_any(raw)
+                ok.append(o)
+            yield pd.DataFrame({"container": containers,
+                                "decode_ok": ok})
+
+    per = assets.mapInPandas(
+        run, "container string, decode_ok boolean")
+    return (per.groupBy("container")
+            .agg(F.count("*").alias("n_assets"),
+                 F.sum(F.col("decode_ok").cast("long"))
+                 .alias("n_real"),
+                 F.sum((~F.col("decode_ok")).cast("long"))
+                 .alias("n_fallback"))
+            .select("container", "n_assets", "n_real", "n_fallback",
+                    F.round(F.try_divide(F.col("n_real"),
+                                         F.col("n_assets")), 6)
+                    .alias("real_rate"))
+            .orderBy("container"))
+
+
 def extract_features(assets: DataFrame, batch_size: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over the binary column: ONE
     mapInPandas stage, container-sniffed per payload. BMP/WAV decode

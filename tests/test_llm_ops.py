@@ -3703,3 +3703,48 @@ def test_animation_near_dup_hot_frames_and_loud_flags(spark):
     assert pairs[(1, 2)] == 1.0
     with pytest.raises(ValueError, match="max_hamming"):
         MM.asset_dedup(assets, modality="video", max_hamming=3)
+
+
+def test_decode_coverage_gauge(spark):
+    """r14 decode-coverage operator: per-container real-vs-fallback
+    rates over a mixed corpus — real BMP/WAV/GIF/TIFF decode, a
+    corrupt BMP falls back under its own container, WebP and random
+    bytes are fallbacks, and the sniff matches _decode_any's
+    dispatch prefixes."""
+    from metacat_spark.llm import multimodal as MM
+    rows = [[(10 * r, 20 * c, 30) for c in range(4)]
+            for r in range(4)]
+    pal = sorted({(10 * r, 20 * c, 30) for c in range(4)
+                  for r in range(4)})
+    gif = MM.encode_gif(4, 4, pal,
+                        [(0, 0, [[pal.index((10 * r, 20 * c, 30))
+                                  for c in range(4)]
+                                 for r in range(4)], None, 0)])
+    payloads = [
+        ("bmp_ok", _bmp_bytes(4, 4, rows)),
+        ("bmp_ok2", _bmp_bytes(2, 2, [r[:2] for r in rows[:2]])),
+        ("bmp_bad", _bmp_bytes(4, 4, rows)[:20]),   # truncated
+        ("wav_ok", _wav_bytes(8000, [0, 100, -100, 50])),
+        ("gif_ok", gif),
+        ("tiff_ok", MM.encode_tiff(rows)),
+        ("webp", b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 "),
+        ("riff_other", b"RIFF" + b"\x04\x00\x00\x00" + b"AVI "),
+        ("rand", b"\x00\x01\x02 random junk"),
+        ("empty", b""),
+    ]
+    assets = spark.createDataFrame(
+        [(i, name, bytearray(b)) for i, (name, b)
+         in enumerate(payloads)],
+        "asset_id long, name string, content binary")
+    got = {r["container"]: (r["n_assets"], r["n_real"],
+                            r["n_fallback"], r["real_rate"])
+           for r in MM.decode_coverage(assets).collect()}
+    assert got["bmp"] == (3, 2, 1, round(2 / 3, 6))
+    assert got["wav"] == (1, 1, 0, 1.0)
+    assert got["gif"] == (1, 1, 0, 1.0)
+    assert got["tiff"] == (1, 1, 0, 1.0)
+    assert got["webp"] == (1, 0, 1, 0.0)
+    assert got["riff"] == (1, 0, 1, 0.0)
+    assert got["other"] == (1, 0, 1, 0.0)
+    assert got["empty"] == (1, 0, 1, 0.0)
+    assert sum(v[0] for v in got.values()) == len(payloads)
