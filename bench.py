@@ -111,6 +111,65 @@ def bench_queries(engine: Engine):
     return q
 
 
+def served_bench(engine, spark) -> dict:
+    """Serve-from-stored-artifact sub-metrics (VERDICT r13 #6): the
+    repo's production posture is train-once/serve-many, but the
+    headline 13 queries all build inline — serving performance was
+    only ever measured in one-off probes (docs/SCALING.md). This
+    times the three served families — text-index BM25 serve, IVF-PQ
+    postings serve, cluster-sample from stored centroids — against
+    artifacts built (untimed) into a temp dir, median of 3 passes
+    each. NEW json keys under "served"; the headline `value` and
+    `queries` are untouched (baseline continuity)."""
+    import shutil
+    import tempfile
+
+    from metacat_spark.llm import search as SR
+    from metacat_spark.llm import similarity as SIM
+
+    docs = engine.cat.raw["documents"]
+    embs = engine.cat.raw["embeddings"]
+    tmp = tempfile.mkdtemp(prefix="bench_served_")
+    try:
+        t0 = time.time()
+        SR.build_text_index(docs).write.parquet(f"{tmp}/text_idx")
+        idx = SIM.build_ivfpq_index(embs, n_lists=16, m=8,
+                                    n_codes=16, train_iters=1)
+        idx.write.parquet(f"{tmp}/ivfpq_idx")
+        SIM.encode_ivfpq(embs, spark.read.parquet(
+            f"{tmp}/ivfpq_idx")).write.parquet(f"{tmp}/postings")
+        SIM.build_ivf_centroids(embs, n_lists=16, train_iters=1) \
+            .write.parquet(f"{tmp}/cents")
+        setup = time.time() - t0
+        text_idx = spark.read.parquet(f"{tmp}/text_idx")
+        ivf_idx = spark.read.parquet(f"{tmp}/ivfpq_idx")
+        postings = spark.read.parquet(f"{tmp}/postings")
+        cents = spark.read.parquet(f"{tmp}/cents")
+        serves = {
+            "text_index_serve": lambda: _consume(
+                SR.search_text_index(
+                    text_idx, ["spark", "window", "merge"], k=10)),
+            "ivfpq_serve": lambda: _consume(SIM.ivf_pq_search(
+                embs, postings, ivf_idx, k=3, n_probe=4)),
+            "cluster_sample_serve": lambda: _consume(
+                SIM.cluster_balanced_sample(embs, per_cluster=20,
+                                            centroids=cents)),
+        }
+        out = {"setup_sec": round(setup, 3)}
+        for name, fn in serves.items():
+            vals = []
+            for _ in range(3):
+                t = time.time()
+                fn()
+                vals.append(time.time() - t)
+            out[name + "_sec"] = round(sorted(vals)[1], 4)
+            print(f"# served {name}: {out[name + '_sec']:.3f}s "
+                  f"(median of 3)", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stray_jvms() -> int:
     """JVMs already running before ours spawns — a lingering Spark
     JVM (pytest, a prior bench) contends for the 32 cores and has
@@ -458,6 +517,15 @@ def main():
         w, st = warm_pass(f"warm{n_warm + 1}")
         passes.append((w, st))
         warm = median_of(passes)
+    # served-artifact sub-metrics run LAST so the headline cold and
+    # warm numbers are already recorded; an error here must not zero
+    # the suite's signal
+    try:
+        served = served_bench(engine, spark)
+    except Exception as e:  # noqa: BLE001 — isolate, report
+        served = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"# served bench ERROR: {served['error']}",
+              file=sys.stderr)
     out = {
         "metric": "mql_suite_total",
         "value": total,
@@ -472,6 +540,7 @@ def main():
         "warm_runs": [{"total_sec": round(sum(w.values()), 4),
                        "steal_pct": st} for w, st in passes],
         "warm_retried": warm_retried,
+        "served": served,
         "stray_jvms_at_start": stray,
         "host_start": host_start,
         "host_end": _host_snapshot(),
