@@ -638,6 +638,13 @@ def build_parser() -> argparse.ArgumentParser:
     cdv.add_argument("--top-terms", type=int, default=0,
                      help="emit the top-K drift-driving terms "
                           "instead of the one-row summary")
+    cdc2 = cs.add_parser("decode-coverage",
+                         help="codec coverage gauge: real-decode vs "
+                              "fallback rate per sniffed container "
+                              "(--input an asset table with a "
+                              "binary content column; default: the "
+                              "synthesized documents fixture)")
+    _corpus_common(cdc2)
     csel = cs.add_parser("select", help="quality-ranked docs under a "
                          "token budget")
     _corpus_common(csel)

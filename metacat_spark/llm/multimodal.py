@@ -198,10 +198,14 @@ def _tiff_pixels(payload: bytes):
     (photometric 2, chunky planar config), strip layout honored
     (RowsPerStrip + StripOffsets/ByteCounts arrays), Compression 1
     (none), 32773 (PackBits RLE) and 5 (LZW, MSB-first with early
-    change) with the horizontal-differencing predictor (tag 317=2).
-    Everything else — JPEG-in-TIFF, tiles, planar=2, 16-bit —
-    raises ValueError and falls to the documented plug-in slot.
-    Covers what scanners and archival pipelines actually emit."""
+    change) with the horizontal-differencing predictor (tag 317=2),
+    and (r14) uniform 16-bit samples in either byte order —
+    downconverted by the high byte (v >> 8, the exact inverse of
+    the v*257 upconvert), differencing undone per 16-bit sample.
+    Everything else — JPEG-in-TIFF, tiles, planar=2, mixed or
+    other depths — raises ValueError and falls to the documented
+    plug-in slot. Covers what scanners and archival pipelines
+    actually emit."""
     import numpy as np
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF")
@@ -249,8 +253,11 @@ def _tiff_pixels(payload: bytes):
     photo = one(262)
     spp = one(277, 1)
     bits = tags.get(258, [8])
-    if any(b != 8 for b in bits):
-        raise ValueError("TIFF bit depth beyond the baseline kernel")
+    bps = bits[0]
+    if any(b != bps for b in bits) or bps not in (8, 16):
+        raise ValueError("TIFF bit depth beyond the kernel "
+                         "(uniform 8- or 16-bit only)")
+    sw = bps // 8                          # sample width in bytes
     if one(284, 1) != 1:
         raise ValueError("planar TIFF beyond the baseline kernel")
     if comp not in (1, 5, 32773):
@@ -297,19 +304,34 @@ def _tiff_pixels(payload: bytes):
         if predictor == 2:
             # horizontal differencing: each sample stores the delta
             # to its left neighbor — undo with a row-wise cumsum per
-            # channel (strips are row-aligned, so per-strip is exact)
-            row_bytes = w * spp
+            # channel (strips are row-aligned, so per-strip is
+            # exact); 16-bit deltas are per SAMPLE in the file's
+            # byte order, mod 65536
+            row_bytes = w * spp * sw
             if len(strip) % row_bytes:
                 raise ValueError("TIFF strip not row-aligned")
-            arr = (np.frombuffer(strip, dtype=np.uint8)
-                   .reshape(-1, w, spp).astype(np.uint32))
-            arr = np.cumsum(arr, axis=1, dtype=np.uint32) % 256
-            strip = arr.astype(np.uint8).tobytes()
+            if sw == 1:
+                arr = (np.frombuffer(strip, dtype=np.uint8)
+                       .reshape(-1, w, spp).astype(np.uint32))
+                arr = np.cumsum(arr, axis=1, dtype=np.uint32) % 256
+                strip = arr.astype(np.uint8).tobytes()
+            else:
+                arr = (np.frombuffer(strip, dtype=np.dtype(e + "u2"))
+                       .reshape(-1, w, spp).astype(np.uint64))
+                arr = np.cumsum(arr, axis=1, dtype=np.uint64) % 65536
+                strip = arr.astype(np.dtype(e + "u2")).tobytes()
         data += strip
-    need = w * h * spp
+    need = w * h * spp * sw
     if len(data) < need:
         raise ValueError("TIFF pixel data shorter than w*h")
-    arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+    if sw == 1:
+        arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+    else:
+        # high-byte downconvert: (65535-v)>>8 == 255-(v>>8) exactly,
+        # so WhiteIsZero inversion below stays correct post-convert
+        arr = (np.frombuffer(bytes(data[:need]),
+                             dtype=np.dtype(e + "u2"))
+               >> 8).astype(np.uint8)
     if photo == 2:
         px = arr.reshape(h, w, 3)
     else:
@@ -340,26 +362,36 @@ def decode_tiff(payload: bytes) -> list[float]:
 def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
                 packbits: bool = False, lzw: bool = False,
                 predictor: bool = False,
-                rows_per_strip: int | None = None) -> bytes:
+                rows_per_strip: int | None = None,
+                depth: int = 8) -> bytes:
     """Baseline TIFF 6.0 encoder (r13 — decode_tiff's round-trip
     oracle, same fixture-encoder role as encode_jpeg_baseline /
-    encode_gif): 8-bit RGB (chunky) or grayscale, either byte
-    order, multi-strip layout, optional PackBits or LZW compression
-    and the horizontal-differencing predictor. ``px_rows`` is rows
-    of (r, g, b) tuples, or ints when ``gray``."""
+    encode_gif): RGB (chunky) or grayscale, either byte order,
+    multi-strip layout, optional PackBits or LZW compression and
+    the horizontal-differencing predictor. ``px_rows`` is rows of
+    (r, g, b) tuples, or ints when ``gray``. ``depth=16`` (r14)
+    emits 16-bit samples as v*257 (v<<8 | v — the exact upconvert,
+    so the decoder's high-byte downconvert round-trips
+    bit-identically), with per-16-bit-sample differencing when
+    ``predictor``."""
     if endian not in ("<", ">"):
         raise ValueError("encode_tiff: endian must be '<' or '>'")
     if packbits and lzw:
         raise ValueError("encode_tiff: pick one of packbits/lzw")
+    if depth not in (8, 16):
+        raise ValueError("encode_tiff: depth must be 8 or 16")
     h, w = len(px_rows), len(px_rows[0])
     spp = 1 if gray else 3
     rps = rows_per_strip or h
     raw_rows = []
     for row in px_rows:
-        if gray:
-            raw_rows.append(bytes(row))
+        vals = list(row) if gray else [c for px in row for c in px]
+        if depth == 8:
+            raw_rows.append(bytes(vals))
         else:
-            raw_rows.append(b"".join(bytes(c) for c in row))
+            raw_rows.append(struct.pack(
+                endian + str(len(vals)) + "H",
+                *[v * 257 for v in vals]))
 
     def pack(seg: bytes) -> bytes:
         # literal-only PackBits (runs of <=128 literals) — simplest
@@ -371,14 +403,24 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
         return bytes(out)
 
     def diff(seg: bytes) -> bytes:
-        # horizontal differencing per row per channel (predictor 2)
-        out = bytearray(seg)
-        row_bytes = w * spp
-        for r0 in range(0, len(out), row_bytes):
-            for x in range(row_bytes - 1, spp - 1, -1):
-                out[r0 + x] = (out[r0 + x]
-                               - seg[r0 + x - spp]) & 0xFF
-        return bytes(out)
+        # horizontal differencing per row per channel (predictor 2);
+        # 16-bit deltas are per SAMPLE in the output byte order
+        row_samples = w * spp
+        if depth == 8:
+            out = bytearray(seg)
+            for r0 in range(0, len(out), row_samples):
+                for x in range(row_samples - 1, spp - 1, -1):
+                    out[r0 + x] = (out[r0 + x]
+                                   - seg[r0 + x - spp]) & 0xFF
+            return bytes(out)
+        vals = list(struct.unpack(
+            endian + str(len(seg) // 2) + "H", seg))
+        out16 = vals[:]
+        for r0 in range(0, len(vals), row_samples):
+            for x in range(row_samples - 1, spp - 1, -1):
+                out16[r0 + x] = (vals[r0 + x]
+                                 - vals[r0 + x - spp]) & 0xFFFF
+        return struct.pack(endian + str(len(out16)) + "H", *out16)
 
     strips = []
     for r0 in range(0, h, rps):
@@ -394,7 +436,7 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
     entries = []                           # (tag, typ, cnt, values)
     entries.append((256, 4, 1, [w]))
     entries.append((257, 4, 1, [h]))
-    entries.append((258, 3, spp, [8] * spp))
+    entries.append((258, 3, spp, [depth] * spp))
     entries.append((259, 3, 1, [32773 if packbits
                                 else 5 if lzw else 1]))
     entries.append((262, 3, 1, [1 if gray else 2]))

@@ -361,6 +361,20 @@ def _op_stats(ctx: OpContext) -> DataFrame:
     return corpus_stats(ctx.docs())
 
 
+@_corpus_op("decode-coverage")
+def _op_decode_coverage(ctx: OpContext) -> DataFrame:
+    # r14 codec-coverage gauge: real-decode vs fallback rate per
+    # sniffed container. --input pointing at a real asset table
+    # (binary `content` column) measures that corpus; without one,
+    # the documents table is synthesized into the deterministic
+    # asset fixture (text bytes as payloads) — the plumbing check
+    from .multimodal import decode_coverage, synthesize_assets
+    docs = ctx.docs()
+    if "content" in docs.columns:
+        return decode_coverage(docs)
+    return decode_coverage(synthesize_assets(docs))
+
+
 @_corpus_op("select")
 def _op_select(ctx: OpContext) -> DataFrame:
     from .pipeline import select_token_budget

@@ -1533,3 +1533,29 @@ def test_corpus_cluster_sample_lifecycle(capsys, tmp_path, spark):
                 "--index", idx, "--sink", str(tmp_path / "s2"),
                 "--hashed")
     assert rc == 2                     # --hashed streams nothing
+
+
+def test_corpus_decode_coverage(capsys, tmp_path, spark):
+    """r14 codec-coverage gauge over the CLI: the synthesized
+    fixture reads all-fallback 'other'; a real asset table via
+    --input reads per-container real rates."""
+    rc, out = run(capsys, "corpus", "decode-coverage", "-j")
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert [r["container"] for r in rows] == ["other"]
+    assert rows[0]["n_real"] == 0 and rows[0]["real_rate"] == 0.0
+    # a real mixed asset table: one decodable BMP + junk
+    from tests.test_llm_ops import _bmp_bytes
+    assets = spark.createDataFrame(
+        [(1, bytearray(_bmp_bytes(2, 2, [[(1, 2, 3)] * 2] * 2))),
+         (2, bytearray(b"junk"))],
+        "asset_id long, content binary")
+    src = str(tmp_path / "dc_assets")
+    assets.write.parquet(src)
+    rc, out2 = run(capsys, "corpus", "decode-coverage", "--input",
+                   src, "-j")
+    assert rc == 0
+    got = {r["container"]: r for r in
+           (json.loads(ln) for ln in out2.splitlines())}
+    assert got["bmp"]["real_rate"] == 1.0
+    assert got["other"]["real_rate"] == 0.0

@@ -3571,12 +3571,15 @@ def test_multimodal_real_tiff_decode(spark):
     predictor=_hyp_st.booleans(),
     rps=_hyp_st.one_of(_hyp_st.none(), _hyp_st.integers(1, 13)),
     gray=_hyp_st.booleans(),
+    depth=_hyp_st.sampled_from([8, 16]),
     seed=_hyp_st.integers(0, 2**31 - 1))
 def test_tiff_codec_roundtrip_property(w, h, endian, comp,
-                                       predictor, rps, gray, seed):
+                                       predictor, rps, gray, depth,
+                                       seed):
     """encode_tiff -> _tiff_pixels is pixel-exact over random sizes,
     content, byte order, strip layout, PackBits/LZW, the
-    differencing predictor, and grayscale — the TIFF pair's
+    differencing predictor, grayscale, and (r14) 16-bit depth (the
+    v*257 upconvert / high-byte downconvert pair) — the TIFF pair's
     differential oracle."""
     import numpy as np
 
@@ -3594,7 +3597,7 @@ def test_tiff_codec_roundtrip_property(w, h, endian, comp,
     t = MM.encode_tiff(rows, endian=endian, gray=gray,
                        packbits=comp == "packbits",
                        lzw=comp == "lzw", predictor=predictor,
-                       rows_per_strip=rps)
+                       rows_per_strip=rps, depth=depth)
     assert (MM._tiff_pixels(t) == want).all()
 
 
@@ -3748,3 +3751,43 @@ def test_decode_coverage_gauge(spark):
     assert got["other"] == (1, 0, 1, 0.0)
     assert got["empty"] == (1, 0, 1, 0.0)
     assert sum(v[0] for v in got.values()) == len(payloads)
+
+
+def test_tiff_16bit_edges():
+    """r14 16-bit TIFF edges the property test can't reach: mixed
+    per-channel depths refuse, a hand-built raw 16-bit payload that
+    did NOT come from our encoder downconverts by the high byte,
+    and WhiteIsZero inversion composes with the downconvert."""
+    import struct as _st
+
+    import numpy as np
+
+    from metacat_spark.llm import multimodal as MM
+    # mixed depths: rewrite the BitsPerSample values in the overflow
+    t = bytearray(MM.encode_tiff([[(1, 2, 3)]], depth=16))
+    n = int.from_bytes(t[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        if int.from_bytes(t[off:off + 2], "little") == 258:
+            voff = int.from_bytes(t[off + 8:off + 12], "little")
+            t[voff:voff + 2] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="uniform"):
+        MM._tiff_pixels(bytes(t))
+    # non-257-multiple samples: 0x1234 -> high byte 0x12
+    good = bytearray(MM.encode_tiff([[5]], gray=True, depth=16))
+    # pixel data is the last 2 bytes (single sample)
+    good[-2:] = _st.pack("<H", 0x1234)
+    px = MM._tiff_pixels(bytes(good))
+    assert (px == 0x12).all()
+    # WhiteIsZero on 16-bit: flip photometric 1 -> 0 in the IFD
+    wz = bytearray(MM.encode_tiff([[5, 200]], gray=True, depth=16))
+    n = int.from_bytes(wz[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        if int.from_bytes(wz[off:off + 2], "little") == 262:
+            wz[off + 8:off + 10] = (0).to_bytes(2, "little")
+    px = MM._tiff_pixels(bytes(wz))
+    assert (px[0, 0] == 255 - 5).all() and (px[0, 1] == 255 - 200).all()
+    # encoder refuses depths it cannot write
+    with pytest.raises(ValueError, match="depth"):
+        MM.encode_tiff([[1]], gray=True, depth=12)

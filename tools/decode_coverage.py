@@ -239,6 +239,12 @@ def main():
                                  for _ in range(8)], gray=True)),
         ("tiff", MM.encode_tiff(_px(6, 5), lzw=True,
                                 predictor=True, rows_per_strip=3)),
+        # 16-bit (r14): big-endian RGB, and gray + LZW + predictor
+        ("tiff", MM.encode_tiff(_px(4, 4), endian=">", depth=16)),
+        ("tiff", MM.encode_tiff([[x * 16 % 256 for x in range(6)]
+                                 for _ in range(5)], gray=True,
+                                lzw=True, predictor=True,
+                                depth=16)),
         ("tiff_jpeg", _tiff_comp(MM.encode_tiff(_px(4, 4)), 7)),
         ("webp", b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 "
          + b"\x00" * 12),
