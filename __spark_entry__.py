@@ -39,7 +39,7 @@ _CACHE: dict[str, Engine] = {}
 # tests/test_entry_contract.py::test_entry_count_matches_declared —
 # adding or removing an entry is a deliberate act that updates this
 # constant in the same commit (ADVICE r8: the docstrings drifted).
-TOTAL_ENTRIES = 153
+TOTAL_ENTRIES = 154
 
 FQ_COLS = ["id", "namespace", "name", "size"]
 FQ_SEL = "id, namespace, name, size"
@@ -887,6 +887,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .otherwise(F.col("text")), "utf-8").alias("content"))
         return MM.decode_coverage(assets)
     q["multimodal_decode_coverage"] = multimodal_decode_coverage
+
+    def doc_ngram_novelty(spark, sf_dir):
+        """Per-doc n-gram novelty gauge (r14 llm/dedup.py
+        ngram_novelty — the Lee-et-al. memorization-risk statistic):
+        every document's distinct 5-grams semi-joined against the
+        ONE distinct shingle set of the reference (every 3rd doc),
+        no pair explosion. Oracle replays the same window
+        construction with string shingles (hash-collision-free at
+        this scale, same argument as the containment entries).
+        Reference members read overlap 1.0 by construction; the
+        rest scatter."""
+        from metacat_spark.llm.dedup import ngram_novelty
+        docs = _docs(spark, sf_dir)
+        ref = docs.where(F.col("doc_id") % 3 == 0)
+        return ngram_novelty(docs, ref, n=5)
+    q["doc_ngram_novelty"] = doc_ngram_novelty
 
     q["bfq_no_dataset"] = _fq("files where core.run = 7")
     q["bfq_dataset_pattern"] = _fq("files from datasets dune:urgent_*")
@@ -2030,7 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "embed_topk_vs", "search_bm25_index_many",
               "search_bm25_index_parts", "multimodal_gif_frames",
               "embed_cluster_sample", "embed_cluster_sample_stats",
-              "multimodal_decode_coverage"]
+              "multimodal_decode_coverage", "doc_ngram_novelty"]
     mid = [n for n in q if n not in promote and n not in demote]
     idx = mid.index("dedup_ngram_jaccard") + 1
     order = mid[:idx] + promote + mid[idx:] + demote
@@ -2845,6 +2861,39 @@ def oracle_sql() -> dict[str, str]:
                count(*) as n_fallback,
                round(0, 6)::double as real_rate
         from s group by container order by container"""
+
+    o["doc_ngram_novelty"] = """
+        with rt as (
+          select string_split_regex(text, '\\s+') as toks
+          from documents where doc_id % 3 = 0),
+        r as (
+          select list_distinct(case when len(toks) >= 5 then
+                   [array_to_string(toks[i:i+4], ' ')
+                    for i in range(1, len(toks) - 3)]
+                 else [array_to_string(toks, ' ')] end) as s
+          from rt),
+        rsh as (select distinct unnest(s) as shingle from r),
+        dt as (
+          select doc_id, string_split_regex(text, '\\s+') as toks
+          from documents),
+        d as (
+          select doc_id,
+                 list_distinct(case when len(toks) >= 5 then
+                   [array_to_string(toks[i:i+4], ' ')
+                    for i in range(1, len(toks) - 3)]
+                 else [array_to_string(toks, ' ')] end) as s
+          from dt),
+        ex as (select doc_id, unnest(s) as shingle from d),
+        agg as (
+          select doc_id, count(*) as n_grams,
+                 cast(sum(case when shingle in
+                        (select shingle from rsh)
+                      then 1 else 0 end) as bigint) as n_seen
+          from ex group by doc_id)
+        select doc_id, n_grams, n_seen,
+               round(n_seen / n_grams, 6) as overlap_rate,
+               round(1 - n_seen / n_grams, 6) as novelty_rate
+        from agg"""
 
     o["embed_cosine_pairs"] = """
         select a.vec_id as id_a, b.vec_id as id_b,

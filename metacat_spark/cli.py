@@ -638,6 +638,18 @@ def build_parser() -> argparse.ArgumentParser:
     cdv.add_argument("--top-terms", type=int, default=0,
                      help="emit the top-K drift-driving terms "
                           "instead of the one-row summary")
+    cnv = cs.add_parser("novelty",
+                        help="per-doc n-gram novelty vs a reference "
+                             "corpus: fraction of each doc's "
+                             "distinct n-grams seen anywhere in the "
+                             "reference (memorization/overlap "
+                             "gauge)")
+    _corpus_common(cnv)
+    cnv.add_argument("--reference", required=True,
+                     help="parquet path of the reference corpus "
+                          "(--input is the measured corpus)")
+    cnv.add_argument("-n", type=int, default=None,
+                     help="n-gram order (default 13)")
     cdc2 = cs.add_parser("decode-coverage",
                          help="codec coverage gauge: real-decode vs "
                               "fallback rate per sniffed container "

@@ -725,6 +725,54 @@ def cross_corpus_containment(test_df: DataFrame, train_df: DataFrame,
             .select("test_id", "train_id", "n_inter", "containment"))
 
 
+def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ref_text_col: str | None = None,
+                  ref_id_col: str | None = None) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus — the
+    memorization-risk / train-overlap gauge of published dedup
+    recipes (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", measures verbatim-memorization risk by
+    exactly this statistic at n≈13; eval decontamination reads its
+    complement): for each document, the fraction of its DISTINCT
+    word n-grams that appear ANYWHERE in the reference.
+
+    Differs from ``cross_corpus_containment`` structurally, not just
+    in units: containment explodes (test, train) PAIRS — the right
+    shape for "which train doc contaminated this eval item" — while
+    novelty collapses the reference to ONE distinct hashed-shingle
+    set and semi-joins each doc's shingles against it. No pair
+    space, no max_df cap (novelty wants hot n-grams counted — a doc
+    made of boilerplate IS low-novelty): one linear equi-join on
+    8-byte xxhash64 longs (collision bound documented on
+    ``hashed_shingle_rows``), two per-doc bounded aggregates.
+    Measuring a corpus against itself reads overlap 1.0 everywhere
+    by construction — the reference should be the OTHER corpus
+    (train set for eval novelty, an earlier crawl for dated
+    novelty).
+
+    Docs shorter than n tokens contribute their whole text as one
+    shingle (the shingle_rows contract), so the rate stays defined.
+    Returns (id_col, n_grams, n_seen, overlap_rate, novelty_rate),
+    one row per input document."""
+    doc_sh = hashed_shingle_rows(df, n, text_col, id_col)
+    ref_sh = (hashed_shingle_rows(reference, n,
+                                  ref_text_col or text_col,
+                                  ref_id_col or id_col)
+              .select("h64").distinct())
+    seen = (doc_sh.join(ref_sh, "h64", "left_semi")
+            .groupBy("id").agg(F.count("*").alias("n_seen")))
+    totals = doc_sh.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return (totals.join(seen, "id", "left")
+            .select(F.col("id").alias(id_col), "n_grams",
+                    F.coalesce("n_seen", F.lit(0)).alias("n_seen"))
+            .select(id_col, "n_grams", "n_seen",
+                    F.round(F.col("n_seen") / F.col("n_grams"), 6)
+                    .alias("overlap_rate"),
+                    F.round(1 - F.col("n_seen") / F.col("n_grams"),
+                            6).alias("novelty_rate")))
+
+
 def decontaminate(train_df: DataFrame, test_df: DataFrame,
                   method: str = "containment", text_col: str = "text",
                   id_col: str = "doc_id", **kw) -> DataFrame:

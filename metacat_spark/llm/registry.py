@@ -361,6 +361,23 @@ def _op_stats(ctx: OpContext) -> DataFrame:
     return corpus_stats(ctx.docs())
 
 
+@_corpus_op("novelty")
+def _op_novelty(ctx: OpContext) -> DataFrame:
+    # r14 per-doc n-gram novelty vs a reference corpus — the
+    # memorization/train-overlap gauge (served docs are measured;
+    # the reference collapses to one distinct shingle set, no pair
+    # explosion like contamination's test x train space)
+    from .dedup import ngram_novelty
+    path = ctx.require(
+        "reference",
+        "novelty needs reference=<parquet path of the reference "
+        "corpus> (served docs are measured against it)")
+    n = ctx.int_param("n", 13)
+    if n < 1:
+        raise OpError(f"novelty: n must be >= 1, got {n}")
+    return ngram_novelty(ctx.docs(), ctx.corpus(path), n=n)
+
+
 @_corpus_op("decode-coverage")
 def _op_decode_coverage(ctx: OpContext) -> DataFrame:
     # r14 codec-coverage gauge: real-decode vs fallback rate per

@@ -1559,3 +1559,26 @@ def test_corpus_decode_coverage(capsys, tmp_path, spark):
            (json.loads(ln) for ln in out2.splitlines())}
     assert got["bmp"]["real_rate"] == 1.0
     assert got["other"]["real_rate"] == 0.0
+
+
+def test_corpus_novelty(capsys, tmp_path, spark):
+    """r14 memorization gauge over the CLI: per-doc overlap vs a
+    reference parquet; missing reference and bad n are clean rc 2."""
+    ref = str(tmp_path / "nov_ref")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where("doc_id % 3 = 0").write.parquet(ref)
+    rc, out = run(capsys, "corpus", "novelty", "--reference", ref,
+                  "-n", "5", "-j", "-l", "10000")
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    by_id = {r["doc_id"]: r for r in rows}
+    # reference members read overlap 1.0 by construction
+    assert all(by_id[i]["overlap_rate"] == 1.0
+               for i in by_id if i % 3 == 0)
+    assert all(abs(r["overlap_rate"] + r["novelty_rate"] - 1.0)
+               < 2e-6 for r in rows)
+    rc, _ = run(capsys, "corpus", "novelty", "--reference", ref,
+                "-n", "0")
+    assert rc == 2

@@ -3791,3 +3791,37 @@ def test_tiff_16bit_edges():
     # encoder refuses depths it cannot write
     with pytest.raises(ValueError, match="depth"):
         MM.encode_tiff([[1]], gray=True, depth=12)
+
+
+def test_ngram_novelty(spark):
+    """r14 memorization gauge: known overlap fractions on a
+    hand-built corpus, short-doc singleton shingles, zero- and
+    full-overlap extremes, self-reference reads 1.0 everywhere."""
+    from metacat_spark.llm.dedup import ngram_novelty
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),  # all
+         (2, "a wholly novel sentence nothing shares at all"),  # none
+         # 4 trigrams, 2 of them ("quick brown fox", "brown fox
+         # jumps") in the reference
+         (3, "quick brown fox jumps strangely"),
+         (4, "tiny doc")],                       # < n: one shingle
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           ngram_novelty(docs, ref, n=3).collect()}
+    assert got[1]["overlap_rate"] == 1.0
+    assert got[1]["novelty_rate"] == 0.0
+    assert got[1]["n_grams"] == 7 and got[1]["n_seen"] == 7
+    assert got[2]["overlap_rate"] == 0.0
+    assert got[2]["novelty_rate"] == 1.0
+    assert got[3]["n_grams"] == 3 and got[3]["n_seen"] == 2
+    assert got[3]["overlap_rate"] == round(2 / 3, 6)
+    assert got[4]["n_grams"] == 1 and got[4]["n_seen"] == 0
+    # one row per input doc, always
+    assert set(got) == {1, 2, 3, 4}
+    # self-reference: overlap 1.0 by construction (documented)
+    self_got = ngram_novelty(docs, docs, n=3).collect()
+    assert all(r["overlap_rate"] == 1.0 for r in self_got)

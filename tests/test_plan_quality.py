@@ -695,3 +695,18 @@ def test_cluster_lifecycle_shares_one_arrow_stage(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_ngram_novelty_no_pair_explosion(spark):
+    """ngram_novelty (r14) is a linear semi-join on hashed-shingle
+    longs — no cartesian, no (doc, ref-doc) pair space, no
+    row-at-a-time Python; the reference collapses to one distinct
+    set before the join."""
+    from metacat_spark.llm.dedup import ngram_novelty
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    ref = docs.where("doc_id % 3 = 0")
+    plan = plan_of(ngram_novelty(docs, ref, n=5))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
