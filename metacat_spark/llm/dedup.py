@@ -755,11 +755,20 @@ def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 13,
     shingle (the shingle_rows contract), so the rate stays defined.
     Returns (id_col, n_grams, n_seen, overlap_rate, novelty_rate),
     one row per input document."""
-    doc_sh = hashed_shingle_rows(df, n, text_col, id_col)
     ref_sh = (hashed_shingle_rows(reference, n,
                                   ref_text_col or text_col,
                                   ref_id_col or id_col)
               .select("h64").distinct())
+    return _novelty_against(df, ref_sh, n, text_col, id_col)
+
+
+def _novelty_against(df: DataFrame, ref_sh: DataFrame, n: int,
+                     text_col: str, id_col: str) -> DataFrame:
+    """ngram_novelty's scoring half against a PREBUILT distinct
+    reference shingle set — shared with ``novelty_stream``, where
+    the reference is materialized once and every micro-batch scores
+    against it."""
+    doc_sh = hashed_shingle_rows(df, n, text_col, id_col)
     seen = (doc_sh.join(ref_sh, "h64", "left_semi")
             .groupBy("id").agg(F.count("*").alias("n_seen")))
     totals = doc_sh.groupBy("id").agg(F.count("*").alias("n_grams"))
@@ -771,6 +780,80 @@ def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 13,
                     .alias("overlap_rate"),
                     F.round(1 - F.col("n_seen") / F.col("n_grams"),
                             6).alias("novelty_rate")))
+
+
+def novelty_stream(spark, src_dir: str, reference: DataFrame,
+                   n: int = 13, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   sink_dir: str | None = None,
+                   checkpoint_dir: str | None = None,
+                   timeout_s: int | None = 120) -> DataFrame:
+    """Streaming twin of ``ngram_novelty`` — the static-reference
+    posture of ``bm25_stream``/``dsir_stream``: the reference's
+    distinct shingle set is materialized ONCE (cached; at corpus
+    scale, persist it and pass the stored table as ``reference``),
+    then each micro-batch of documents scores against it with the
+    SAME ``_novelty_against`` plan — per-doc novelty depends only on
+    the doc and the static reference, so stream ≡ batch row-for-row
+    (pinned by test).
+
+    Deploy posture mirrors ``score_stream``: ``sink_dir`` parquet-
+    appends per-doc rows (checkpointed, at-least-once) and returns
+    the BOUNDED per-batch gauge (batch_id, n, avg_overlap,
+    n_contaminated — docs with overlap > 0.5, the triage count);
+    without it, availableNow with the per-doc rows accumulated
+    driver-side — driver-resident exactly like the other twins'
+    memory sinks, the TEST rig (foreachBatch owns the write here, a
+    memory sink cannot take the per-batch join/agg plan)."""
+    from .util import stream_parquet
+
+    ref_sh = (hashed_shingle_rows(reference, n, text_col, id_col)
+              .select("h64").distinct().cache())
+    ref_sh.count()                         # materialize once
+    stream = stream_parquet(spark, src_dir)
+    gauge_rows: list = []
+    mem_rows: list = []
+
+    def per_batch(bdf, bid):
+        res = _novelty_against(bdf, ref_sh, n, text_col, id_col)
+        if sink_dir is None:
+            mem_rows.extend(res.collect())
+            return
+        res.write.mode("append").parquet(sink_dir)
+        g = res.agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("overlap_rate"), 6).alias("avg"),
+            F.sum((F.col("overlap_rate") > 0.5).cast("long"))
+            .alias("c")).collect()[0]
+        gauge_rows.append((int(bid), int(g["n"]), g["avg"],
+                           int(g["c"] or 0)))
+
+    w = stream.writeStream.foreachBatch(per_batch)
+    if sink_dir is not None:
+        w = w.option("checkpointLocation",
+                     checkpoint_dir or sink_dir + "__checkpoint")
+    q = w.trigger(availableNow=True).start()
+    try:
+        if timeout_s is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"novelty_stream did not finish within {timeout_s}s "
+                f"— the sink may be partially written; restart "
+                f"resumes from the checkpoint")
+    finally:
+        ref_sh.unpersist()
+    if sink_dir is not None:
+        return spark.createDataFrame(
+            gauge_rows,
+            "batch_id long, n long, avg_overlap double, "
+            "n_contaminated long")
+    if mem_rows:
+        return spark.createDataFrame(mem_rows)
+    return spark.createDataFrame(
+        [], f"{id_col} string, n_grams long, n_seen long, "
+            f"overlap_rate double, novelty_rate double")
 
 
 def decontaminate(train_df: DataFrame, test_df: DataFrame,

@@ -111,6 +111,17 @@ def _cases(spark, mult):
                 {"a": ["spark", "window", "merge"],
                  "b": ["the", "data"], "c": ["merge"]},
                 k=10).collect()),
+        # r14: novelty is one linear hashed-shingle semi-join + two
+        # per-doc aggregates — no (doc, ref-doc) pair space, so
+        # growth must stay linear in shingle occurrences even though
+        # replicas share text (every doc fully matched at 4x: the
+        # all-hot worst case). Consumed via rate hash (cardinality
+        # == input, count() would prune the join).
+        "ngram_novelty": lambda: len(
+            DD.ngram_novelty(docs.where("source <> 'src0'"),
+                             docs.where("source = 'src0'"), n=5)
+            .agg(F.bit_xor(F.xxhash64("doc_id", "overlap_rate"))
+                 .alias("s")).collect()),
         # r9: DSIR's model tables are bucket-bounded (broadcast at any
         # size); per-doc work is linear in bigram occurrences.
         "dsir": lambda: len(

@@ -257,3 +257,29 @@ def test_events_sink_ownership_is_loud(spark, tmp_path):
             spark, SF_DIR, steps, horizon_s=86400, sink_dir=sink)
     # no silent duplication happened along the way
     assert spark.read.parquet(sink).count() == n
+
+
+def test_novelty_stream_sink_equals_batch(docs, spark, tmp_path):
+    """r14 novelty twin: stream-scored rows (memory rig AND file
+    sink) equal the batch ngram_novelty row-for-row, and the
+    per-batch gauge accounts for every sunk row."""
+    from metacat_spark.llm.dedup import ngram_novelty, novelty_stream
+    ref = docs.where("doc_id % 3 = 0")
+    want = sorted(
+        (r["doc_id"], r["n_grams"], r["n_seen"], r["overlap_rate"])
+        for r in ngram_novelty(docs, ref, n=5).collect())
+    mem = novelty_stream(spark, f"{SF_DIR}/documents.parquet", ref,
+                         n=5)
+    key = lambda r: (r["doc_id"], r["n_grams"], r["n_seen"],
+                     r["overlap_rate"])
+    assert sorted(map(key, mem.collect())) == want
+    sink = str(tmp_path / "nov_sink")
+    os.makedirs(sink)
+    gauge = novelty_stream(spark, f"{SF_DIR}/documents.parquet",
+                           ref, n=5, sink_dir=sink)
+    g = gauge.collect()
+    assert g and sum(r["n"] for r in g) == docs.count()
+    # reference members alone put the contaminated count >= |ref|
+    assert sum(r["n_contaminated"] for r in g) >= ref.count()
+    filed = spark.read.parquet(sink)
+    assert sorted(map(key, filed.collect())) == want
