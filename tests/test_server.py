@@ -973,3 +973,44 @@ def test_corpus_cluster_sample_stats_endpoint(spark, catalog,
             "ok", "retrain", "rebalance")
     finally:
         srv.shutdown()
+
+
+def test_corpus_novelty_and_decode_coverage_endpoints(spark, catalog,
+                                                      tmp_path):
+    """r14 ops over HTTP through the shared registry: novelty's
+    reference path resolves through the data-root jail; decode
+    coverage serves the synthesized fixture; misuse is a clean
+    400."""
+    from metacat_spark.client import MetaCatSparkClient
+    from metacat_spark.server import start_server
+    ref = str(tmp_path / "nov_ref")
+    catalog.raw["documents"].where("doc_id % 3 = 0") \
+        .write.parquet(ref)
+    client = MetaCatSparkClient(spark, catalog=catalog)
+    srv, port = start_server(client, data_root=str(tmp_path))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rows = _json_seq(_get(base, "/data/corpus", op="novelty",
+                              reference=ref, n=5, limit=10000))
+        docs_n = catalog.raw["documents"].count()
+        assert len(rows) == docs_n
+        assert all(r["overlap_rate"] == 1.0 for r in rows
+                   if r["doc_id"] % 3 == 0)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/data/corpus", op="novelty")
+        assert e.value.code == 400                # needs reference=
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/data/corpus", op="novelty", reference=ref,
+                 n=0)
+        assert e.value.code == 400
+        # the jail: a reference OUTSIDE the data root is refused
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/data/corpus", op="novelty",
+                 reference="/etc/passwd")
+        assert e.value.code in (400, 403)
+        cov = _json_seq(_get(base, "/data/corpus",
+                             op="decode-coverage"))
+        assert [r["container"] for r in cov] == ["other"]
+        assert cov[0]["n_assets"] == docs_n
+    finally:
+        srv.shutdown()
