@@ -201,11 +201,15 @@ def _tiff_pixels(payload: bytes):
     change) with the horizontal-differencing predictor (tag 317=2),
     and (r14) uniform 16-bit samples in either byte order —
     downconverted by the high byte (v >> 8, the exact inverse of
-    the v*257 upconvert), differencing undone per 16-bit sample.
-    Everything else — JPEG-in-TIFF, tiles, planar=2, mixed or
-    other depths — raises ValueError and falls to the documented
-    plug-in slot. Covers what scanners and archival pipelines
-    actually emit."""
+    the v*257 upconvert), differencing undone per 16-bit sample —
+    plus (r14) the TILED layout (tags 322-325: tw×th grid, edge
+    tiles padded, each tile decompressed/un-differenced over its
+    own row width and pasted unpadded). Payload-controlled geometry
+    is bounded at 16M pixels (canvas AND tile — the GIF kernel's
+    allocation-bomb rule). Everything else — JPEG-in-TIFF,
+    planar=2, mixed or other depths — raises ValueError and falls
+    to the documented plug-in slot. Covers what scanners and
+    archival pipelines actually emit."""
     import numpy as np
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF")
@@ -249,6 +253,12 @@ def _tiff_pixels(payload: bytes):
     w, h = one(256), one(257)
     if not (0 < w and 0 < h):
         raise ValueError("empty TIFF image")
+    if w * h > 16_000_000:
+        # payload-controlled geometry must never drive allocation
+        # (the GIF kernel's 16M-pixel bound, review r13) — the tiled
+        # path allocates a canvas up front, and LZW strips can
+        # expand far beyond the payload size
+        raise ValueError("TIFF canvas beyond the 16M-pixel bound")
     comp = one(259, 1)
     photo = one(262)
     spp = one(277, 1)
@@ -270,68 +280,108 @@ def _tiff_pixels(payload: bytes):
             or photo not in (0, 1, 2):
         raise ValueError("TIFF photometric/samples combination "
                          "beyond the baseline kernel")
-    offs = tags.get(273)
-    counts = tags.get(279)
-    if not offs or not counts or len(offs) != len(counts):
-        raise ValueError("TIFF missing strip layout")
-    rows_per = one(278, h)
-    data = bytearray()
-    for so, sc in zip(offs, counts):
+    def segment(so, sc, seg_w):
+        """One strip/tile: bounds-check, decompress (PackBits/LZW),
+        undo differencing over rows of ``seg_w`` pixels — the only
+        layout difference between a strip (seg_w = w) and a tile
+        (seg_w = tile width)."""
         if so + sc > len(payload):
             raise ValueError("truncated TIFF strip")
-        strip = payload[so:so + sc]
+        seg = payload[so:so + sc]
         if comp == 32773:                  # PackBits
             out, p = bytearray(), 0
-            while p < len(strip):
-                nv = strip[p]
-                n = nv - 256 if nv >= 128 else nv
+            while p < len(seg):
+                nv = seg[p]
+                nn = nv - 256 if nv >= 128 else nv
                 p += 1
-                if n == -128:
+                if nn == -128:
                     continue
-                if n >= 0:
-                    if p + n + 1 > len(strip):
+                if nn >= 0:
+                    if p + nn + 1 > len(seg):
                         raise ValueError("truncated TIFF PackBits")
-                    out += strip[p:p + n + 1]
-                    p += n + 1
+                    out += seg[p:p + nn + 1]
+                    p += nn + 1
                 else:
-                    if p >= len(strip):
+                    if p >= len(seg):
                         raise ValueError("truncated TIFF PackBits")
-                    out += bytes([strip[p]]) * (1 - n)
+                    out += bytes([seg[p]]) * (1 - nn)
                     p += 1
-            strip = bytes(out)
+            seg = bytes(out)
         elif comp == 5:
-            strip = _tiff_lzw(strip)
+            seg = _tiff_lzw(seg)
         if predictor == 2:
             # horizontal differencing: each sample stores the delta
             # to its left neighbor — undo with a row-wise cumsum per
-            # channel (strips are row-aligned, so per-strip is
-            # exact); 16-bit deltas are per SAMPLE in the file's
-            # byte order, mod 65536
-            row_bytes = w * spp * sw
-            if len(strip) % row_bytes:
+            # channel (strips and tiles are row-aligned, so
+            # per-segment is exact); 16-bit deltas are per SAMPLE in
+            # the file's byte order, mod 65536
+            row_bytes = seg_w * spp * sw
+            if len(seg) % row_bytes:
                 raise ValueError("TIFF strip not row-aligned")
             if sw == 1:
-                arr = (np.frombuffer(strip, dtype=np.uint8)
-                       .reshape(-1, w, spp).astype(np.uint32))
+                arr = (np.frombuffer(seg, dtype=np.uint8)
+                       .reshape(-1, seg_w, spp).astype(np.uint32))
                 arr = np.cumsum(arr, axis=1, dtype=np.uint32) % 256
-                strip = arr.astype(np.uint8).tobytes()
+                seg = arr.astype(np.uint8).tobytes()
             else:
-                arr = (np.frombuffer(strip, dtype=np.dtype(e + "u2"))
-                       .reshape(-1, w, spp).astype(np.uint64))
+                arr = (np.frombuffer(seg, dtype=np.dtype(e + "u2"))
+                       .reshape(-1, seg_w, spp).astype(np.uint64))
                 arr = np.cumsum(arr, axis=1, dtype=np.uint64) % 65536
-                strip = arr.astype(np.dtype(e + "u2")).tobytes()
-        data += strip
-    need = w * h * spp * sw
-    if len(data) < need:
-        raise ValueError("TIFF pixel data shorter than w*h")
-    if sw == 1:
-        arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
-    else:
+                seg = arr.astype(np.dtype(e + "u2")).tobytes()
+        return seg
+
+    def to_samples(raw: bytes, n_samples: int):
+        if len(raw) < n_samples * sw:
+            raise ValueError("TIFF pixel data shorter than w*h")
+        if sw == 1:
+            return np.frombuffer(raw[:n_samples], dtype=np.uint8)
         # high-byte downconvert: (65535-v)>>8 == 255-(v>>8) exactly,
         # so WhiteIsZero inversion below stays correct post-convert
-        arr = (np.frombuffer(bytes(data[:need]),
-                             dtype=np.dtype(e + "u2"))
-               >> 8).astype(np.uint8)
+        return (np.frombuffer(raw[:n_samples * 2],
+                              dtype=np.dtype(e + "u2"))
+                >> 8).astype(np.uint8)
+
+    tiled = 322 in tags or 324 in tags
+    if tiled and 273 in tags:
+        raise ValueError("TIFF with both strip and tile layout")
+    if tiled:
+        # tiled layout (r14): the image is a grid of tw×th tiles,
+        # left-to-right top-to-bottom, edge tiles PADDED to full
+        # size — decode each tile and paste its unpadded region
+        tw, th = one(322), one(323)
+        toffs = tags.get(324)
+        tcounts = tags.get(325)
+        if not (0 < tw and 0 < th) or tw * th > 16_000_000:
+            raise ValueError("TIFF tile geometry beyond the "
+                             "16M-pixel bound")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if not toffs or not tcounts or len(toffs) != len(tcounts) \
+                or len(toffs) != across * down:
+            raise ValueError("TIFF tile layout inconsistent with "
+                             "the tile grid")
+        canvas = np.zeros((h, w, spp), dtype=np.uint8)
+        for ti, (so, sc) in enumerate(zip(toffs, tcounts)):
+            raw = segment(so, sc, tw)
+            tile = to_samples(raw, tw * th * spp) \
+                .reshape(th, tw, spp)
+            y0 = (ti // across) * th
+            x0 = (ti % across) * tw
+            ch = min(th, h - y0)
+            cw = min(tw, w - x0)
+            canvas[y0:y0 + ch, x0:x0 + cw] = tile[:ch, :cw]
+        arr = canvas.reshape(-1)
+    else:
+        offs = tags.get(273)
+        counts = tags.get(279)
+        if not offs or not counts or len(offs) != len(counts):
+            raise ValueError("TIFF missing strip layout")
+        one(278, h)      # RowsPerStrip: validation-only — strips
+        #                  concatenate back to the row-major stream
+        data = bytearray()
+        for so, sc in zip(offs, counts):
+            data += segment(so, sc, w)
+        arr = to_samples(bytes(data), w * h * spp)
     if photo == 2:
         px = arr.reshape(h, w, 3)
     else:
@@ -339,9 +389,6 @@ def _tiff_pixels(payload: bytes):
         if photo == 0:                     # WhiteIsZero
             g = 255 - g
         px = np.repeat(g[:, :, None], 3, axis=2)
-    # rows_per participates in validation only: strips concatenate
-    # back to exactly the row-major pixel stream
-    del rows_per
     return px
 
 
@@ -363,7 +410,8 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
                 packbits: bool = False, lzw: bool = False,
                 predictor: bool = False,
                 rows_per_strip: int | None = None,
-                depth: int = 8) -> bytes:
+                depth: int = 8,
+                tiles: tuple | None = None) -> bytes:
     """Baseline TIFF 6.0 encoder (r13 — decode_tiff's round-trip
     oracle, same fixture-encoder role as encode_jpeg_baseline /
     encode_gif): RGB (chunky) or grayscale, either byte order,
@@ -373,25 +421,33 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
     emits 16-bit samples as v*257 (v<<8 | v — the exact upconvert,
     so the decoder's high-byte downconvert round-trips
     bit-identically), with per-16-bit-sample differencing when
-    ``predictor``."""
+    ``predictor``. ``tiles=(tw, th)`` (r14) emits the TILED layout
+    instead of strips: zero-padded edge tiles, tags 322-325,
+    compression/predictor applied per tile over its own row
+    width."""
     if endian not in ("<", ">"):
         raise ValueError("encode_tiff: endian must be '<' or '>'")
     if packbits and lzw:
         raise ValueError("encode_tiff: pick one of packbits/lzw")
     if depth not in (8, 16):
         raise ValueError("encode_tiff: depth must be 8 or 16")
+    if tiles is not None and rows_per_strip is not None:
+        raise ValueError("encode_tiff: pick one of tiles/"
+                         "rows_per_strip")
     h, w = len(px_rows), len(px_rows[0])
     spp = 1 if gray else 3
     rps = rows_per_strip or h
-    raw_rows = []
-    for row in px_rows:
-        vals = list(row) if gray else [c for px in row for c in px]
+    sample_rows = [list(row) if gray
+                   else [c for px in row for c in px]
+                   for row in px_rows]
+
+    def pack_samples(vals) -> bytes:
         if depth == 8:
-            raw_rows.append(bytes(vals))
-        else:
-            raw_rows.append(struct.pack(
-                endian + str(len(vals)) + "H",
-                *[v * 257 for v in vals]))
+            return bytes(vals)
+        return struct.pack(endian + str(len(vals)) + "H",
+                           *[v * 257 for v in vals])
+
+    raw_rows = [pack_samples(vals) for vals in sample_rows]
 
     def pack(seg: bytes) -> bytes:
         # literal-only PackBits (runs of <=128 literals) — simplest
@@ -402,10 +458,11 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
             out += bytes([len(chunk) - 1]) + chunk
         return bytes(out)
 
-    def diff(seg: bytes) -> bytes:
+    def diff(seg: bytes, seg_w: int = None) -> bytes:
         # horizontal differencing per row per channel (predictor 2);
-        # 16-bit deltas are per SAMPLE in the output byte order
-        row_samples = w * spp
+        # 16-bit deltas are per SAMPLE in the output byte order;
+        # tiles difference over their OWN row width
+        row_samples = (seg_w or w) * spp
         if depth == 8:
             out = bytearray(seg)
             for r0 in range(0, len(out), row_samples):
@@ -422,16 +479,36 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
                                  - vals[r0 + x - spp]) & 0xFFFF
         return struct.pack(endian + str(len(out16)) + "H", *out16)
 
-    strips = []
-    for r0 in range(0, h, rps):
-        seg = b"".join(raw_rows[r0:r0 + rps])
+    def finish(seg: bytes, seg_w: int) -> bytes:
         if predictor:
-            seg = diff(seg)
+            seg = diff(seg, seg_w)
         if packbits:
             seg = pack(seg)
         elif lzw:
             seg = _tiff_lzw_encode(seg)
-        strips.append(seg)
+        return seg
+
+    strips = []
+    if tiles is not None:
+        tw, th = tiles
+        if tw < 1 or th < 1:
+            raise ValueError("encode_tiff: tile dims must be >= 1")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        pad_row = [0] * (across * tw * spp)
+        grid = [vals + [0] * (across * tw * spp - len(vals))
+                for vals in sample_rows]
+        grid += [pad_row] * (down * th - h)
+        for ty in range(down):
+            for tx in range(across):
+                vals = []
+                for y in range(ty * th, (ty + 1) * th):
+                    vals.extend(grid[y][tx * tw * spp:
+                                        (tx + 1) * tw * spp])
+                strips.append(finish(pack_samples(vals), tw))
+    else:
+        for r0 in range(0, h, rps):
+            strips.append(finish(b"".join(raw_rows[r0:r0 + rps]), w))
     n_strips = len(strips)
     entries = []                           # (tag, typ, cnt, values)
     entries.append((256, 4, 1, [w]))
@@ -441,7 +518,11 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
                                 else 5 if lzw else 1]))
     entries.append((262, 3, 1, [1 if gray else 2]))
     entries.append((277, 3, 1, [spp]))
-    entries.append((278, 4, 1, [rps]))
+    if tiles is not None:
+        entries.append((322, 4, 1, [tw]))
+        entries.append((323, 4, 1, [th]))
+    else:
+        entries.append((278, 4, 1, [rps]))
     if predictor:
         entries.append((317, 3, 1, [2]))
     # offsets/counts filled after layout
@@ -482,9 +563,10 @@ def encode_tiff(px_rows, endian: str = "<", gray: bool = False,
     for c in counts:
         offs.append(pos)
         pos += c
+    otag, ctag = (324, 325) if tiles is not None else (273, 279)
     all_entries = sorted(
-        entries + [(273, 4, n_strips, offs),
-                   (279, 4, n_strips, counts)])
+        entries + [(otag, 4, n_strips, offs),
+                   (ctag, 4, n_strips, counts)])
     out = bytearray(struct.pack(
         endian + "2sHI", b"II" if endian == "<" else b"MM", 42,
         ifd_off))

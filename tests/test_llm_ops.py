@@ -3572,15 +3572,20 @@ def test_multimodal_real_tiff_decode(spark):
     rps=_hyp_st.one_of(_hyp_st.none(), _hyp_st.integers(1, 13)),
     gray=_hyp_st.booleans(),
     depth=_hyp_st.sampled_from([8, 16]),
+    tiles=_hyp_st.one_of(
+        _hyp_st.none(),
+        _hyp_st.tuples(_hyp_st.integers(1, 8),
+                       _hyp_st.integers(1, 8))),
     seed=_hyp_st.integers(0, 2**31 - 1))
 def test_tiff_codec_roundtrip_property(w, h, endian, comp,
                                        predictor, rps, gray, depth,
-                                       seed):
+                                       tiles, seed):
     """encode_tiff -> _tiff_pixels is pixel-exact over random sizes,
     content, byte order, strip layout, PackBits/LZW, the
-    differencing predictor, grayscale, and (r14) 16-bit depth (the
-    v*257 upconvert / high-byte downconvert pair) — the TIFF pair's
-    differential oracle."""
+    differencing predictor, grayscale, (r14) 16-bit depth (the
+    v*257 upconvert / high-byte downconvert pair), and (r14) the
+    tiled layout (padded edge tiles, per-tile compression and
+    differencing) — the TIFF pair's differential oracle."""
     import numpy as np
 
     from metacat_spark.llm import multimodal as MM
@@ -3597,7 +3602,8 @@ def test_tiff_codec_roundtrip_property(w, h, endian, comp,
     t = MM.encode_tiff(rows, endian=endian, gray=gray,
                        packbits=comp == "packbits",
                        lzw=comp == "lzw", predictor=predictor,
-                       rows_per_strip=rps, depth=depth)
+                       rows_per_strip=None if tiles else rps,
+                       depth=depth, tiles=tiles)
     assert (MM._tiff_pixels(t) == want).all()
 
 
@@ -3825,3 +3831,46 @@ def test_ngram_novelty(spark):
     # self-reference: overlap 1.0 by construction (documented)
     self_got = ngram_novelty(docs, docs, n=3).collect()
     assert all(r["overlap_rate"] == 1.0 for r in self_got)
+
+
+def test_tiff_tiled_edges():
+    """r14 tiled-TIFF edges: canvas and tile allocation bombs are
+    loud ValueErrors (the GIF 16M-pixel rule), a tile grid whose
+    offset count disagrees refuses, and both-layouts-present
+    refuses."""
+    import struct as _st
+
+    from metacat_spark.llm import multimodal as MM
+
+    def retag(payload, tag, value, size=4):
+        t = bytearray(payload)
+        n = int.from_bytes(t[8:10], "little")
+        for i in range(n):
+            off = 10 + 12 * i
+            if int.from_bytes(t[off:off + 2], "little") == tag:
+                t[off + 8:off + 8 + size] = value.to_bytes(
+                    size, "little")
+        return bytes(t)
+
+    base = MM.encode_tiff([[(1, 2, 3)] * 4] * 4, tiles=(2, 2))
+    # canvas bomb: huge declared w*h
+    with pytest.raises(ValueError, match="16M-pixel"):
+        MM._tiff_pixels(retag(base, 256, 65535 * 400))
+    # tile bomb: huge declared tile dims
+    with pytest.raises(ValueError, match="16M-pixel"):
+        MM._tiff_pixels(retag(base, 322, 65535 * 400))
+    # grid mismatch: shrink TileWidth so across doubles but the
+    # offset array stays the same length
+    with pytest.raises(ValueError, match="tile layout"):
+        MM._tiff_pixels(retag(base, 322, 1))
+    # both layouts present: add a StripOffsets tag by rewriting
+    # RowsPerStrip's tag id on a strip fixture is contrived — build
+    # directly: tile fixture + a 273 entry grafted over tag 277
+    graft = bytearray(base)
+    n = int.from_bytes(graft[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        if int.from_bytes(graft[off:off + 2], "little") == 259:
+            graft[off:off + 2] = (273).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="both strip and tile"):
+        MM._tiff_pixels(bytes(graft))

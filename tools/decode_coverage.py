@@ -245,6 +245,10 @@ def main():
                                  for _ in range(5)], gray=True,
                                 lzw=True, predictor=True,
                                 depth=16)),
+        # tiled (r14): padded edge tiles, per-tile compression
+        ("tiff", MM.encode_tiff(_px(7, 5), tiles=(3, 2))),
+        ("tiff", MM.encode_tiff(_px(6, 6), tiles=(4, 4), lzw=True,
+                                predictor=True, depth=16)),
         ("tiff_jpeg", _tiff_comp(MM.encode_tiff(_px(4, 4)), 7)),
         ("webp", b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 "
          + b"\x00" * 12),
