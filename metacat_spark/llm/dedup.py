@@ -819,12 +819,18 @@ def novelty_stream(spark, src_dir: str, reference: DataFrame,
         if sink_dir is None:
             mem_rows.extend(res.collect())
             return
-        res.write.mode("append").parquet(sink_dir)
-        g = res.agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("overlap_rate"), 6).alias("avg"),
-            F.sum((F.col("overlap_rate") > 0.5).cast("long"))
-            .alias("c")).collect()[0]
+        # persist: the scoring join would otherwise run twice per
+        # batch (once for the sink write, once for the gauge)
+        res.persist()
+        try:
+            res.write.mode("append").parquet(sink_dir)
+            g = res.agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("overlap_rate"), 6).alias("avg"),
+                F.sum((F.col("overlap_rate") > 0.5).cast("long"))
+                .alias("c")).collect()[0]
+        finally:
+            res.unpersist()
         gauge_rows.append((int(bid), int(g["n"]), g["avg"],
                            int(g["c"] or 0)))
 
