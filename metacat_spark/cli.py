@@ -621,7 +621,8 @@ def build_parser() -> argparse.ArgumentParser:
     # _registry_params and silently diverge from the HTTP surface
     # (review r7: CLI said containment@0.8, HTTP said exact@0.5)
     cx.add_argument("--method",
-                    choices=["exact", "jaccard", "containment", "lsh"])
+                    choices=["exact", "jaccard", "containment",
+                             "lsh", "novelty"])
     cx.add_argument("--threshold", type=float)
     crp = cs.add_parser("report", help="per-source corpus health "
                         "report (volume, quality, dup rate)")

@@ -870,9 +870,24 @@ def decontaminate(train_df: DataFrame, test_df: DataFrame,
     pair list's train side).  ``method`` picks the pair generator —
     ``exact`` (byte-identical), ``jaccard`` (exact n-gram Jaccard),
     ``containment`` (n-gram overlap — the eval-decontamination
-    default), or ``lsh`` (banded MinHash, the 100-TB path); ``kw``
-    passes through (n=, threshold=, max_df=...).  One anti-join on id
+    default), ``lsh`` (banded MinHash), or ``novelty`` (r14, the
+    PAIR-FREE 100-TB path: drop every training document whose own
+    distinct n-grams overlap the test corpus AS A WHOLE past
+    ``threshold`` — ``ngram_novelty`` with the test set as the
+    reference, one linear semi-join instead of a test×train
+    candidate space; directionally this removes train docs largely
+    COMPOSED of eval material, where containment removes train docs
+    that CONTAIN an eval doc — both published recipes, pick by
+    which side's verbatim leakage you police); ``kw`` passes
+    through (n=, threshold=, max_df=...).  One anti-join on id
     beyond the pair generation itself."""
+    if method == "novelty":
+        thr = kw.pop("threshold", 0.8)
+        rates = ngram_novelty(train_df, test_df, text_col=text_col,
+                              id_col=id_col, **kw)
+        bad = (rates.where(F.col("overlap_rate") > thr)
+               .select(id_col))
+        return train_df.join(bad, id_col, "left_anti")
     fn = {"exact": cross_corpus_exact,
           "jaccard": cross_corpus_jaccard,
           "containment": cross_corpus_containment,

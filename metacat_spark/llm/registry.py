@@ -322,7 +322,8 @@ def _op_decontaminate(ctx: OpContext) -> DataFrame:
     from . import dedup as DD
     test = _test_corpus(ctx, "decontaminate")
     method = ctx.choice("method",
-                        ("exact", "jaccard", "containment", "lsh"),
+                        ("exact", "jaccard", "containment", "lsh",
+                         "novelty"),
                         "containment")
     kw = {}
     if method != "exact":

@@ -3874,3 +3874,27 @@ def test_tiff_tiled_edges():
             graft[off:off + 2] = (273).to_bytes(2, "little")
     with pytest.raises(ValueError, match="both strip and tile"):
         MM._tiff_pixels(bytes(graft))
+
+
+def test_decontaminate_novelty_method(spark):
+    """r14 pair-free decontamination: train docs largely composed of
+    test n-grams drop; unrelated docs survive; the threshold is a
+    strict greater-than."""
+    from metacat_spark.llm.dedup import decontaminate
+    test = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated training material right here"),
+         # 4 trigrams, 2 shared -> overlap 2/3 with n=3
+         (3, "quick brown fox jumps strangely")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in decontaminate(
+        train, test, method="novelty", n=3,
+        threshold=0.5).collect()}
+    assert kept == {2}                     # doc 3: 2/3 > 0.5 drops
+    kept2 = {r["doc_id"] for r in decontaminate(
+        train, test, method="novelty", n=3,
+        threshold=round(2 / 3, 6)).collect()}
+    assert kept2 == {2, 3}                 # strict >: 2/3 survives
