@@ -658,6 +658,17 @@ def build_parser() -> argparse.ArgumentParser:
                               "binary content column; default: the "
                               "synthesized documents fixture)")
     _corpus_common(cdc2)
+    cdc2.add_argument("--ingest",
+                      help="stream an asset parquet dir and emit "
+                           "the per-batch per-container drift "
+                           "gauge instead of the one-shot rates")
+    cdc2.add_argument("--sink",
+                      help="persist --ingest's gauge history to "
+                           "this dir (parquet append, "
+                           "checkpointed)")
+    cdc2.add_argument("--timeout", type=int, default=None,
+                      help="seconds to wait for the --ingest drain "
+                           "(default 120)")
     csel = cs.add_parser("select", help="quality-ranked docs under a "
                          "token budget")
     _corpus_common(csel)

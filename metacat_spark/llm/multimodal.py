@@ -2325,6 +2325,62 @@ def decode_coverage(assets: DataFrame) -> DataFrame:
             .orderBy("container"))
 
 
+def decode_coverage_stream(spark, src_dir: str,
+                           sink_dir: str | None = None,
+                           checkpoint_dir: str | None = None,
+                           timeout_s: int | None = 120) -> DataFrame:
+    """Streaming decode-coverage monitor (r14 — the
+    ``divergence_stream`` drift posture for the codec gauge): each
+    micro-batch of an ASSET stream runs the row-local
+    ``decode_coverage`` pass and emits its per-container gauge rows
+    tagged with batch_id — so a production ingest watches its
+    real-decode rate move batch over batch (a new container
+    appearing, a codec regression, a corrupt shard). The emission
+    is BOUNDED by construction (batches × ≤9 container rows):
+    driver state never grows with the assets.
+
+    Summing n_assets/n_real/n_fallback across batches replays the
+    batch gauge of the union exactly (decode is row-local; pinned
+    by test) — real_rate is per (batch, container), recompute it
+    from the sums for a corpus-wide rate. ``sink_dir`` parquet-
+    appends the gauge history (checkpointed, at-least-once);
+    without it the rows accumulate driver-side and return directly
+    (the test rig — same bounded size either way)."""
+    from .util import stream_parquet
+
+    stream = stream_parquet(spark, src_dir)
+    rows: list = []
+
+    def per_batch(bdf, bid):
+        g = decode_coverage(bdf).withColumn(
+            "batch_id", F.lit(int(bid)).cast("long")).select(
+            "batch_id", "container", "n_assets", "n_real",
+            "n_fallback", "real_rate")
+        if sink_dir is not None:
+            g.write.mode("append").parquet(sink_dir)
+        else:
+            rows.extend(g.collect())
+
+    w = stream.writeStream.foreachBatch(per_batch)
+    if sink_dir is not None:
+        w = w.option("checkpointLocation",
+                     checkpoint_dir or sink_dir + "__checkpoint")
+    q = w.trigger(availableNow=True).start()
+    if timeout_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"decode_coverage_stream did not finish within "
+            f"{timeout_s}s — the gauge history may be partial; "
+            f"restart resumes from the checkpoint")
+    schema = ("batch_id long, container string, n_assets long, "
+              "n_real long, n_fallback long, real_rate double")
+    if sink_dir is not None:
+        return spark.read.schema(schema).parquet(sink_dir)
+    return spark.createDataFrame(rows, schema)
+
+
 def extract_features(assets: DataFrame, batch_size: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over the binary column: ONE
     mapInPandas stage, container-sniffed per payload. BMP/WAV decode

@@ -385,8 +385,29 @@ def _op_decode_coverage(ctx: OpContext) -> DataFrame:
     # sniffed container. --input pointing at a real asset table
     # (binary `content` column) measures that corpus; without one,
     # the documents table is synthesized into the deterministic
-    # asset fixture (text bytes as payloads) — the plumbing check
-    from .multimodal import decode_coverage, synthesize_assets
+    # asset fixture (text bytes as payloads) — the plumbing check.
+    # --ingest <src> streams an asset dir and emits the per-batch
+    # drift gauge instead (bounded rows, so it serves on BOTH
+    # surfaces; --sink persists the history, CLI only)
+    from .multimodal import (decode_coverage, decode_coverage_stream,
+                             synthesize_assets)
+    ingest = ctx.param("ingest")
+    sink = ctx.param("sink")
+    if ctx.param("timeout") is not None and ingest is None:
+        raise OpError("decode-coverage: --timeout applies to "
+                      "--ingest")
+    if sink is not None and ingest is None:
+        raise OpError("decode-coverage: --sink applies to --ingest")
+    if ingest is not None:
+        if sink is not None and not ctx.local_fs:
+            raise OpError("decode-coverage: --sink writes the gauge "
+                          "history to a caller-supplied path — CLI "
+                          "only", status=403)
+        src = ctx.corpus_path(str(ingest))
+        return decode_coverage_stream(
+            ctx.docs().sparkSession, src,
+            sink_dir=None if sink is None else str(sink),
+            timeout_s=ctx.int_param("timeout", 120))
     docs = ctx.docs()
     if "content" in docs.columns:
         return decode_coverage(docs)

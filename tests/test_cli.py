@@ -1582,3 +1582,27 @@ def test_corpus_novelty(capsys, tmp_path, spark):
     rc, _ = run(capsys, "corpus", "novelty", "--reference", ref,
                 "-n", "0")
     assert rc == 2
+
+
+def test_corpus_decode_coverage_ingest(capsys, tmp_path, spark):
+    """r14 drift monitor over the CLI: --ingest emits the per-batch
+    gauge; --sink persists it; orphan flags are rc 2."""
+    from metacat_spark.llm.multimodal import synthesize_assets
+    src = str(tmp_path / "dcs_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    synthesize_assets(docs).write.parquet(src)
+    rc, out = run(capsys, "corpus", "decode-coverage", "--ingest",
+                  src, "-j", "-l", "1000")
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.splitlines()]
+    assert sum(r["n_assets"] for r in rows) == docs.count()
+    sink = str(tmp_path / "dcs_sink")
+    rc, _ = run(capsys, "corpus", "decode-coverage", "--ingest",
+                src, "--sink", sink, "-j")
+    assert rc == 0
+    assert spark.read.parquet(sink).count() >= 1
+    rc, _ = run(capsys, "corpus", "decode-coverage", "--sink", sink)
+    assert rc == 2
+    rc, _ = run(capsys, "corpus", "decode-coverage", "--timeout",
+                "60")
+    assert rc == 2

@@ -283,3 +283,38 @@ def test_novelty_stream_sink_equals_batch(docs, spark, tmp_path):
     assert sum(r["n_contaminated"] for r in g) >= ref.count()
     filed = spark.read.parquet(sink)
     assert sorted(map(key, filed.collect())) == want
+
+
+def test_decode_coverage_stream_equals_batch(docs, spark, tmp_path):
+    """r14 codec-drift monitor: per-batch per-container gauge rows;
+    summing counts across batches replays the batch gauge of the
+    union exactly (decode is row-local); file sink == memory rig."""
+    from metacat_spark.llm.multimodal import (decode_coverage,
+                                              decode_coverage_stream,
+                                              synthesize_assets)
+    src = str(tmp_path / "cov_src")
+    assets = synthesize_assets(docs)
+    assets.repartition(3).write.parquet(src)
+
+    def fold(rows):
+        agg = {}
+        for r in rows:
+            a = agg.setdefault(r["container"], [0, 0, 0])
+            a[0] += r["n_assets"]
+            a[1] += r["n_real"]
+            a[2] += r["n_fallback"]
+        return agg
+
+    want = fold(decode_coverage(assets).collect())
+    mem = decode_coverage_stream(spark, src)
+    assert fold(mem.collect()) == want
+    assert mem.count() <= mem.select("batch_id").distinct() \
+        .count() * 9                       # bounded emission
+    sink = str(tmp_path / "cov_sink")
+    os.makedirs(sink)
+    filed = decode_coverage_stream(spark, src, sink_dir=sink)
+    assert fold(filed.collect()) == want
+    key = lambda r: (r["batch_id"], r["container"], r["n_assets"],
+                     r["n_real"], r["n_fallback"], r["real_rate"])
+    assert sorted(map(key, filed.collect())) == sorted(
+        map(key, mem.collect()))
