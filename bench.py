@@ -427,6 +427,12 @@ def main():
      .agg(F.sum("v")).collect())
     setup_sec = time.time() - t0
 
+    # re-probe steal BEFORE the cold pass (VERDICT r14 #1): ~1 min of
+    # ingest/warmup separates the start-of-run gates from the first
+    # timed query; a neighbor that woke up mid-setup would otherwise
+    # contaminate the cold numbers with no gate in between
+    _await_low_steal(max_wait_s=120)
+
     # per-query error isolation: one failing query must never zero the
     # whole suite's signal — record the error and keep going
     queries = bench_queries(engine)
@@ -479,18 +485,51 @@ def main():
         busy = max(1, (t1ticks - t0ticks) - (i1 - i0))
         return w, round(100.0 * (s1 - s0) / busy, 2)
 
+    # Per-pass steal ceiling (VERDICT r14 #1): the r14 artifact of
+    # record carried a 25.33%-steal warm pass because the only retry
+    # gate was warm>=cold — a contended pass that still beat the cold
+    # total sat in the medians. Now any warm pass whose measured
+    # steal exceeds the ceiling is re-gated (steal probe) and re-run,
+    # bounded by SPARK_GRAFT_MAX_STEAL_RETRIES so a persistently
+    # noisy neighbor can't stall the bench; EVERY pass (contended
+    # ones included) stays recorded in warm_runs, but the medians are
+    # computed over the quiet passes when at least two exist — the
+    # artifact is quiet by construction AND self-identifying.
+    steal_ceiling = float(os.environ.get(
+        "SPARK_GRAFT_STEAL_CEILING_PCT", "2.0"))
+    max_retries = int(os.environ.get(
+        "SPARK_GRAFT_MAX_STEAL_RETRIES", "3"))
     n_warm = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
     passes = []
+    retries_used = 0
     for k in range(n_warm):
         w, st = warm_pass(f"warm{k + 1}")
         passes.append((w, st))
         print(f"# warm{k + 1} total: "
               f"{round(sum(w.values()), 3)}s (steal {st}%)",
               file=sys.stderr)
+        while st > steal_ceiling and retries_used < max_retries:
+            retries_used += 1
+            print(f"# warm pass steal {st}% > ceiling "
+                  f"{steal_ceiling}% — re-gating on steal and "
+                  f"re-running (retry {retries_used}/{max_retries})",
+                  file=sys.stderr)
+            _await_low_steal(max_wait_s=120)
+            w, st = warm_pass(f"warm{k + 1}r{retries_used}")
+            passes.append((w, st))
+            print(f"# warm{k + 1}r{retries_used} total: "
+                  f"{round(sum(w.values()), 3)}s (steal {st}%)",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
 
     def median_of(runs):
+        # medians over the quiet passes when >= 2 exist; otherwise
+        # over everything (a fully contended set still yields a
+        # number — loudly, via the recorded per-pass steal)
+        quiet = [(w, s) for w, s in runs if s <= steal_ceiling]
+        if len(quiet) >= 2:
+            runs = quiet
         med = {}
         for name in queries:
             vals = sorted(w[name] for w, _ in runs if name in w)
@@ -540,6 +579,11 @@ def main():
         "warm_runs": [{"total_sec": round(sum(w.values()), 4),
                        "steal_pct": st} for w, st in passes],
         "warm_retried": warm_retried,
+        # r15 protocol: passes above the ceiling are re-run (bounded)
+        # and excluded from the medians when >= 2 quiet passes exist;
+        # all passes stay recorded in warm_runs above
+        "steal_ceiling_pct": steal_ceiling,
+        "steal_retries_used": retries_used,
         "served": served,
         "stray_jvms_at_start": stray,
         "host_start": host_start,

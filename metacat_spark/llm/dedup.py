@@ -857,8 +857,14 @@ def novelty_stream(spark, src_dir: str, reference: DataFrame,
             "n_contaminated long")
     if mem_rows:
         return spark.createDataFrame(mem_rows)
+    # empty-stream fallback: derive the id type from the SOURCE
+    # stream's schema — the non-empty path infers it from collected
+    # rows (e.g. long doc_ids), so a hardcoded string id here would
+    # make the returned schema depend on whether the stream had rows
+    # (ADVICE r14)
+    id_ddl = stream.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        [], f"{id_col} string, n_grams long, n_seen long, "
+        [], f"{id_col} {id_ddl}, n_grams long, n_seen long, "
             f"overlap_rate double, novelty_rate double")
 
 
@@ -879,10 +885,18 @@ def decontaminate(train_df: DataFrame, test_df: DataFrame,
     COMPOSED of eval material, where containment removes train docs
     that CONTAIN an eval doc — both published recipes, pick by
     which side's verbatim leakage you police); ``kw`` passes
-    through (n=, threshold=, max_df=...).  One anti-join on id
-    beyond the pair generation itself."""
+    through (n=, threshold=, and for the pair methods max_df= —
+    novelty has no max_df: it deliberately counts hot n-grams).
+    One anti-join on id beyond the pair generation itself."""
     if method == "novelty":
         thr = kw.pop("threshold", 0.8)
+        if "max_df" in kw:
+            raise ValueError(
+                "decontaminate(method='novelty') does not take "
+                "max_df: novelty deliberately counts hot n-grams (a "
+                "doc made of boilerplate IS low-novelty); drop the "
+                "argument or use a pair method "
+                "(containment/jaccard/lsh)")
         rates = ngram_novelty(train_df, test_df, text_col=text_col,
                               id_col=id_col, **kw)
         bad = (rates.where(F.col("overlap_rate") > thr)

@@ -2245,8 +2245,10 @@ def _decode_any(raw: bytes) -> tuple[list[float], bool]:
         try:
             return decode_tiff(raw), True
         except ValueError:
-            # JPEG-in-TIFF/tiled/16-bit beyond the baseline kernel:
-            # histogram fallback like every other plug-in-slot format
+            # still-unsupported TIFF classes (JPEG-in-TIFF, planar=2,
+            # mixed/other bit depths — tiled and 16-bit decode for
+            # real since r14): histogram fallback like every other
+            # plug-in-slot format
             pass
     try:
         return _decode_image(raw), True

@@ -1602,7 +1602,9 @@ def cluster_balanced_sample(df: DataFrame, per_cluster: int = 50,
 
 def cluster_sample_stats(df: DataFrame, centroids: DataFrame,
                          balance_threshold: float = 4.0,
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         assignments: DataFrame | None = None
+                         ) -> DataFrame:
     """Occupancy/health gauge for a stored cluster-sample centroid
     artifact (VERDICT r13 #1 — the ``index_health`` /
     ``text_index_stats`` analogue for the newest operator family):
@@ -1627,11 +1629,28 @@ def cluster_sample_stats(df: DataFrame, centroids: DataFrame,
     sample, not the full corpus) + one n_clusters-row aggregate —
     the schedulable-health posture of ``index_health``. Derived
     columns are computed relationally (F.round/try_divide) so the
-    DuckDB oracle replays them digit-for-digit."""
+    DuckDB oracle replays them digit-for-digit.
+
+    ``assignments`` (r15, VERDICT r14 #3): a PRECOMPUTED
+    ``assign_clusters(..., keep_invalid=True)`` output over the same
+    corpus — when given, ``df`` is not touched and the gauge skips
+    its own assignment GEMM entirely, so a deployment that samples
+    AND gauges one corpus pays the family's Arrow pass once (share
+    the same frame with ``cluster_balanced_sample`` consumers).
+    Must carry keep_invalid=True rows (cluster_id = -1 sentinels):
+    a dropped-rows assignment would undercount ``n_dropped`` and
+    could misreport ``mismatched`` as an empty corpus."""
     n_clusters = int(_decode_ivf_centroids(centroids).shape[0])
-    per = (assign_clusters(df, centroids, vec_col=vec_col,
-                           check_dim=False, keep_invalid=True)
-           .groupBy("cluster_id").agg(F.count("*").alias("n")))
+    if assignments is not None:
+        if "cluster_id" not in assignments.columns:
+            raise ValueError(
+                "cluster_sample_stats: assignments= must be an "
+                "assign_clusters output (no cluster_id column)")
+        assigned = assignments
+    else:
+        assigned = assign_clusters(df, centroids, vec_col=vec_col,
+                                   check_dim=False, keep_invalid=True)
+    per = assigned.groupBy("cluster_id").agg(F.count("*").alias("n"))
     r = per.agg(
         F.coalesce(F.sum(F.when(F.col("cluster_id") >= 0,
                                 F.col("n"))), F.lit(0))
@@ -1718,11 +1737,16 @@ def cluster_assign_stream(spark, src_dir: str, centroids: DataFrame,
             what="cluster_assign_stream")
     q = (out.writeStream.format("memory").queryName(table)
          .outputMode("append").trigger(availableNow=True).start())
-    if not q.awaitTermination(120):
+    # honor timeout_s exactly like the sink path's drain_to_parquet
+    # (ADVICE r14: a hardcoded 120 ignored timeout_s=None/larger)
+    if timeout_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(
-            "cluster_assign_stream did not finish within 120s — "
-            "refusing to return a partially populated memory table")
+            f"cluster_assign_stream did not finish within "
+            f"{timeout_s}s — refusing to return a partially "
+            f"populated memory table")
     return spark.table(table)
 
 
@@ -1936,46 +1960,38 @@ def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
     ingest); on expiry the query is stopped and a restart resumes
     from the checkpoint.
 
-    Tombstone guard (VERDICT r13 #4): when the destination already
-    holds tombstones (``retire_vectors`` output), a batch that
-    re-adds a retired id is REFUSED loudly — ``live_postings``'
-    anti-join would kill the appended row while the old tombstone
-    sits in the table, a silently dead re-add. ``upsert_vectors``
-    (ann --upsert) is the verb that removes the tombstone with the
-    row; ``compact_postings`` first also clears the conflict. The
-    tombstone id set is read once up front (deletes << corpus) and
-    checked per batch with one broadcast semi-join."""
-    from pyspark.errors import AnalysisException
-
+    Tombstone guard (VERDICT r13 #4; re-read per batch since r15):
+    when the destination holds tombstones (``retire_vectors``
+    output), a batch that re-adds a retired id is REFUSED loudly —
+    ``live_postings``' anti-join would kill the appended row while
+    the old tombstone sits in the table, a silently dead re-add.
+    ``upsert_vectors`` (ann --upsert) is the verb that removes the
+    tombstone with the row; ``compact_postings`` first also clears
+    the conflict. The tombstone id projection is re-read INSIDE
+    each batch (VERDICT r14 #2: a ``retire_vectors`` committed
+    while the stream drains must be visible to later batches — the
+    once-at-start read left exactly the race the guard exists to
+    close); the projection is deletes-sized (null-count row-group
+    skipping on clean files) and broadcast, so the per-batch cost
+    is one narrow scan, not a corpus pass."""
     stream = stream_parquet(
         spark, src_dir, max_files_per_trigger=max_files_per_trigger)
     gauge_rows = []
-    try:
-        tomb_ids = (spark.read.parquet(postings_dir)
-                    .where(F.col("codes").isNull())
-                    .select("id").distinct().cache())
-        if not tomb_ids.take(1):
-            tomb_ids = None
-    except AnalysisException:         # first ingest: no table yet
-        tomb_ids = None
     conflict_msg: list = []
 
     def per_batch(batch_df, batch_id):
-        if tomb_ids is not None:
-            dead = (batch_df.select(F.col(id_col).alias("id"))
-                    .join(F.broadcast(tomb_ids), "id", "left_semi")
-                    .take(3))
-            if dead:
-                conflict_msg.append(
-                    f"encode_ivfpq_stream: batch {batch_id} re-adds "
-                    f"retired id(s) "
-                    f"{sorted(r['id'] for r in dead)}… — an "
-                    f"appended row for a tombstoned id is silently "
-                    f"DEAD (live_postings excludes it while the "
-                    f"tombstone remains); use upsert_vectors "
-                    f"(ann --upsert) to replace retired ids, or "
-                    f"compact_postings first")
-                raise ValueError(conflict_msg[0])
+        dead = _tombstoned_in_batch(spark, postings_dir, batch_df,
+                                    id_col)
+        if dead:
+            conflict_msg.append(
+                f"encode_ivfpq_stream: batch {batch_id} re-adds "
+                f"retired id(s) {dead}… — an "
+                f"appended row for a tombstoned id is silently "
+                f"DEAD (live_postings excludes it while the "
+                f"tombstone remains); use upsert_vectors "
+                f"(ann --upsert) to replace retired ids, or "
+                f"compact_postings first")
+            raise ValueError(conflict_msg[0])
         enc = encode_ivfpq(batch_df, index,
                            keep_vectors=keep_vectors,
                            vec_col=vec_col, id_col=id_col)
@@ -2007,13 +2023,32 @@ def encode_ivfpq_stream(spark, src_dir: str, index: DataFrame,
         if conflict_msg:
             raise ValueError(conflict_msg[0]) from None
         raise
-    finally:
-        if tomb_ids is not None:
-            tomb_ids.unpersist()
     return spark.createDataFrame(
         gauge_rows,
         "batch_id long, n long, mean_distortion double, "
         "build_distortion double, distortion_ratio double")
+
+
+def _tombstoned_in_batch(spark, postings_dir: str, batch_df,
+                         id_col: str) -> list:
+    """The per-batch half of ``encode_ivfpq_stream``'s tombstone
+    guard, factored out so the mid-drain visibility contract is
+    directly testable: read the CURRENT tombstone id projection from
+    ``postings_dir`` (fresh each call — a retire committed between
+    batches is seen by the next batch) and return up to 3 of the
+    batch's ids that collide with it (empty list = clean batch)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        tomb = (spark.read.parquet(postings_dir)
+                .where(F.col("codes").isNull())
+                .select("id").distinct())
+    except AnalysisException:         # first ingest: no table yet
+        return []
+    hits = (batch_df.select(F.col(id_col).alias("id"))
+            .join(F.broadcast(tomb), "id", "left_semi")
+            .take(3))
+    return sorted(r["id"] for r in hits)
 
 
 def hashed_doc_vectors(df: DataFrame, dim: int = 64,

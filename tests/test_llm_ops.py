@@ -3898,3 +3898,14 @@ def test_decontaminate_novelty_method(spark):
         train, test, method="novelty", n=3,
         threshold=round(2 / 3, 6)).collect()}
     assert kept2 == {2, 3}                 # strict >: 2/3 survives
+
+
+def test_decontaminate_novelty_rejects_max_df(docs):
+    """ADVICE r14: max_df is valid for the pair methods but not for
+    novelty (which deliberately counts hot n-grams) — passing it must
+    be a clean ValueError, not a TypeError from ngram_novelty."""
+    import pytest as _pytest
+    from metacat_spark.llm import dedup as DD
+    test = docs.where("doc_id % 7 = 0")
+    with _pytest.raises(ValueError, match="max_df"):
+        DD.decontaminate(docs, test, method="novelty", max_df=500)

