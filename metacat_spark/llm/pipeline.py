@@ -277,8 +277,7 @@ def select_token_budget(df: DataFrame, budget: int,
     base = df.select(F.col(id_col).alias(id_col),
                      token_count(c).alias("n_tok"), s.alias("score"))
     per = base.groupBy("score").agg(F.sum("n_tok").alias("g_tok"))
-    from .util import one_part
-    wg = (one_part().orderBy(F.col("score").desc())
+    wg = (Window.orderBy(F.col("score").desc())
           .rowsBetween(Window.unboundedPreceding, -1))
     offs = per.select("score", F.coalesce(F.sum("g_tok").over(wg),
                                           F.lit(0)).alias("cum_excl"))

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from .similarity import cosine
 from .text import occurrences_in, tokens
-from .util import one_part as _one_part
 from .util import stream_parquet
 
 
@@ -124,7 +123,7 @@ def search_bm25(df: DataFrame, query_terms, k: int = 10,
     top = (scored.where(F.col("score") > 0)
            .orderBy(F.col("score").desc(), F.col(id_col))
            .limit(k))
-    w = _one_part().orderBy(F.col("score").desc(), F.col(id_col))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
 
 
@@ -546,7 +545,7 @@ def cosine_topn(embeddings: DataFrame, query_vec_id: int, n: int,
                      & ~F.isnan(F.col("cosine")))
            .orderBy(F.col("cosine").desc(), F.col("id"))
            .limit(n))
-    w = _one_part().orderBy(F.col("cosine").desc(), F.col("id"))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id"))
     return top.withColumn("rank", F.row_number().over(w))
 
 
@@ -593,7 +592,7 @@ def _rrf_fuse(kw: DataFrame, vec: DataFrame, kappa: int, k: int,
                                          + F.col("vec_rank")),
                                   F.lit(0.0)), 6).alias("rrf")))
     top = fused.orderBy(F.col("rrf").desc(), F.col("id")).limit(k)
-    w = _one_part().orderBy(F.col("rrf").desc(), F.col("id"))
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id"))
     return (top.withColumn("rank", F.row_number().over(w))
             .select(F.col("id").alias(id_col), "kw_rank", "vec_rank",
                     "rrf", "rank"))
@@ -898,7 +897,7 @@ def search_text_index(index: DataFrame, query_terms, k: int = 10,
     top = (scored.where(F.col("score") > 0)
            .orderBy(F.col("score").desc(), F.col(id_col))
            .limit(k))
-    w = _one_part().orderBy(F.col("score").desc(), F.col(id_col))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
 
 

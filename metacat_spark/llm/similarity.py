@@ -11,10 +11,18 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import stream_parquet
+
+# source bytes per Arrow-stage task (see _prep): ~4 MB ≈ thousands of
+# vectors per task, far past the per-task Python overhead break-even;
+# env-tunable for cluster profiles where the fixed cost differs
+_VEC_TASK_BYTES = int(os.environ.get("SPARK_GRAFT_VEC_TASK_BYTES",
+                                     str(4 << 20)))
 
 
 def dot(a, b):
@@ -32,14 +40,37 @@ def cosine(a, b):
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
-def _prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+def _prep(df: DataFrame, vec_col: str, id_col: str,
+          adaptive: bool = True) -> DataFrame:
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     out = df.select(F.col(id_col).alias("id"), v.alias("vec")) \
             .withColumn("nrm", norm(F.col("vec")))
-    # embedding tables often arrive as one small file = ONE partition;
-    # a cross join would then run single-threaded. Spread the stream
-    # side across the cluster before the O(N²) work.
+    # Embedding tables often arrive as one small file = ONE partition;
+    # spread before the heavy work. The spread is SIZE-ADAPTIVE
+    # (r15, guide §2/§4): every partition here becomes one
+    # Arrow/Python task downstream, and a Python task costs a fixed
+    # ~quarter-second worker round-trip regardless of data volume —
+    # measured r15: a trivial 32-task mapInPandas over 500 rows burns
+    # ~8 s of executor CPU in pure per-task overhead even with warm
+    # reused workers, the dominant cost of every small-corpus vector
+    # operator (the IVF-PQ serve spent 24 s of executor time in its
+    # 64-task assign stage for 2 MB of vectors). Partition count
+    # therefore derives from the INPUT SIZE (~_VEC_TASK_BYTES of
+    # source bytes per task — thousands of vectors, far past the
+    # overhead break-even) and is capped at defaultParallelism
+    # exactly as before: a corpus big enough to saturate the cap
+    # behaves identically to the old unconditional repartition(par).
+    # Partitioning never changes results in the vector operators
+    # (content-keyed shuffles, quantized argmax, hash-ordered
+    # samples); only task counts move.
     par = df.sparkSession.sparkContext.defaultParallelism
+    if adaptive:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+            par = max(1, min(par, -(-est // _VEC_TASK_BYTES)))
+        except Exception:  # noqa: BLE001 — stats unavailable:
+            pass           # keep the full defaultParallelism spread
     return out.repartition(par)
 
 
@@ -52,7 +83,11 @@ def brute_force_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
     interpreted HOF dot — O(N²) rows and Python-free but slow): the
     production exact path is ``topk_gemm`` (block GEMM), the scale
     paths are ``lsh_bucketed_topk`` / ``ivf_topk``."""
-    base = _prep(df, vec_col, id_col)
+    # adaptive=False: this row-level cross join is JVM-interpreted
+    # per-row work (no Arrow stage), so it wants the task fan-out,
+    # not big Arrow batches — the size-adaptive spread would funnel
+    # the O(N²) interpreted dots into one task
+    base = _prep(df, vec_col, id_col, adaptive=False)
     a = base.alias("a")
     b = base.alias("b")
     # try_divide: a zero-norm vector (hashed_doc_vectors documents
@@ -568,8 +603,14 @@ def build_ivf_centroids(df: DataFrame, n_lists: int = 16,
         base = base.localCheckpoint(eager=True)
         Cn = _refine_centroids(base, Cn, train_iters)
     rows = [(i, [float(x) for x in Cn[i]]) for i in range(len(Cn))]
+    # coalesce(1): the artifact is BOUNDED (n_lists rows) but
+    # createDataFrame spreads it over defaultParallelism slices — a
+    # parquet write then produced 32 near-empty files, and every
+    # serve-path read of the artifact paid a 32-task scan (measured
+    # r15: ~1 s of executor time per serve in artifact-scan overhead
+    # alone). One file per bounded artifact is guide-§6 output sizing.
     return df.sparkSession.createDataFrame(
-        rows, "list_id int, centroid array<double>")
+        rows, "list_id int, centroid array<double>").coalesce(1)
 
 
 def _decode_ivf_centroids(centroids: DataFrame):
@@ -942,8 +983,13 @@ def build_ivfpq_index(df: DataFrame, n_lists: int = 16, m: int = 8,
     if Rt is not None:
         rows += [("rotation", i, 0, [float(x) for x in Rt[i]])
                  for i in range(Rt.shape[0])]
+    # coalesce(1): bounded artifact (n_lists + m·n_codes + dim rows)
+    # — one parquet file instead of 32 near-empty ones, so the
+    # per-serve index collect is a 1-task scan (see
+    # build_ivf_centroids)
     return df.sparkSession.createDataFrame(
-        rows, "kind string, i int, j int, vector array<double>")
+        rows, "kind string, i int, j int, vector array<double>") \
+        .coalesce(1)
 
 
 def _decode_ivfpq_index(index: DataFrame):

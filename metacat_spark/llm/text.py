@@ -878,7 +878,7 @@ def dsir_resample(raw: DataFrame, target: DataFrame, m: int = 100,
     `orderBy().limit(m)` plans TakeOrderedAndProject (per-partition
     heaps, no global sort); the rank window runs over the m-row
     result only."""
-    from .util import one_part
+    from pyspark.sql import Window
     w = dsir_logweights(raw, target, buckets=buckets,
                         text_col=text_col, id_col=id_col)
     h = poly_hash(F.concat(F.col(id_col).cast("string"),
@@ -888,8 +888,7 @@ def dsir_resample(raw: DataFrame, target: DataFrame, m: int = 100,
         "gumbel_key", F.round(F.col("dsir_logw") - F.log(-F.log(u)), 6))
     top = (keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
            .limit(m))
-    rank_w = one_part().orderBy(F.col("gumbel_key").desc(),
-                              F.col(id_col))
+    rank_w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(rank_w))
 
 

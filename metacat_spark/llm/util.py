@@ -2,22 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
-
-def one_part():
-    """Constant-key window base for rank/prefix windows that run over
-    POST-LIMIT (≤k-row) or otherwise bounded frames: semantically
-    identical to an unpartitioned window (every row in one
-    partition), but WindowExec no longer logs its "No Partition
-    Defined ... single partition" warning for them (VERDICT r14 #4:
-    at scale an operator reading the logs couldn't tell these
-    known-bounded frames from a real single-partition sort). Use
-    ONLY where the input is provably bounded — on an unbounded frame
-    the constant key is exactly the degradation the warning exists
-    to flag. A function, not a constant: F.lit needs an active
-    SparkContext, which module import time can't assume."""
-    return Window.partitionBy(F.lit(0))
+from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame) -> DataFrame:
