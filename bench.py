@@ -437,6 +437,8 @@ def main():
     # whole suite's signal — record the error and keep going
     queries = bench_queries(engine)
     timings, errors = {}, {}
+    cold_s0, cold_t0 = _cpu_ticks()
+    cold_i0 = _idle_ticks()
     for name, fn in queries.items():
         t = time.time()
         try:
@@ -448,6 +450,15 @@ def main():
         timings[name] = round(time.time() - t, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
               file=sys.stderr)
+    # steal measured over the cold pass itself (r15): the cold numbers
+    # cannot be re-run (a second run is no longer cold), so a
+    # contended cold window must at least be self-identifying in the
+    # artifact instead of reading as a code regression
+    cold_s1, cold_t1 = _cpu_ticks()
+    cold_i1 = _idle_ticks()
+    cold_busy = max(1, (cold_t1 - cold_t0) - (cold_i1 - cold_i0))
+    cold_steal = round(100.0 * (cold_s1 - cold_s0) / cold_busy, 2)
+    print(f"# cold pass steal: {cold_steal}%", file=sys.stderr)
 
     # warm passes: steady-state (codegen/scan caches warm) — what a
     # resident catalog service delivers per request. Run ≥3 gated
@@ -584,6 +595,7 @@ def main():
         # all passes stay recorded in warm_runs above
         "steal_ceiling_pct": steal_ceiling,
         "steal_retries_used": retries_used,
+        "cold_steal_pct": cold_steal,
         "served": served,
         "stray_jvms_at_start": stray,
         "host_start": host_start,

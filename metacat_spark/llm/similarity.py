@@ -68,6 +68,9 @@ def _prep(df: DataFrame, vec_col: str, id_col: str,
         try:
             est = int(df._jdf.queryExecution().optimizedPlan()
                       .stats().sizeInBytes())
+            # est is Long.MaxValue when the size is unknown (e.g. a
+            # LocalRelation): the min() below then keeps the full
+            # spread — an unknown corpus must never funnel to 1 task
             par = max(1, min(par, -(-est // _VEC_TASK_BYTES)))
         except Exception:  # noqa: BLE001 — stats unavailable:
             pass           # keep the full defaultParallelism spread

@@ -710,3 +710,53 @@ def test_ngram_novelty_no_pair_explosion(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "LeftSemi" in plan
+
+
+def test_prep_spread_is_size_adaptive(spark):
+    """r15: _prep (shared entry of every vector operator) sizes its
+    spread from the input bytes — a sub-_VEC_TASK_BYTES table makes
+    ONE Arrow task (each partition becomes a Python task with a
+    fixed ~quarter-second round-trip), a table past the cap plans
+    exactly as before (defaultParallelism), and adaptive=False keeps
+    the full spread for the row-level interpreted reference path.
+
+    The input must be storage-backed: a createDataFrame LocalRelation
+    carries the Long.MaxValue unknown-size stats sentinel, and _prep
+    deliberately keeps the FULL spread when the size is unknown (an
+    unknown corpus must never funnel into one task)."""
+    from metacat_spark.llm import similarity as SIM
+    small = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    par = spark.sparkContext.defaultParallelism
+    unknown = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    assert SIM._prep(unknown, "embedding", "vec_id") \
+        .rdd.getNumPartitions() == par
+    assert SIM._prep(small, "embedding", "vec_id") \
+        .rdd.getNumPartitions() == 1
+    assert SIM._prep(small, "embedding", "vec_id", adaptive=False) \
+        .rdd.getNumPartitions() == par
+    old = SIM._VEC_TASK_BYTES
+    try:
+        # force every row past the per-task byte budget: the spread
+        # must saturate at defaultParallelism, never beyond the cap
+        SIM._VEC_TASK_BYTES = 1
+        assert SIM._prep(small, "embedding", "vec_id") \
+            .rdd.getNumPartitions() == par
+    finally:
+        SIM._VEC_TASK_BYTES = old
+
+
+def test_index_artifacts_are_single_partition(spark):
+    """r15: the bounded IVF / IVF-PQ index artifacts (≤ n_lists +
+    m·n_codes + dim rows) coalesce to ONE partition, so a parquet
+    round-trip yields a 1-file, 1-task scan on every serve instead
+    of defaultParallelism near-empty files."""
+    from metacat_spark.llm.similarity import (build_ivf_centroids,
+                                              build_ivfpq_index)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = build_ivf_centroids(embs, n_lists=4, train_iters=0)
+    assert cents.rdd.getNumPartitions() == 1
+    idx = build_ivfpq_index(embs, n_lists=4, m=2, n_codes=8,
+                            train_iters=1)
+    assert idx.rdd.getNumPartitions() == 1
