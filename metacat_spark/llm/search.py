@@ -752,16 +752,56 @@ def _decode_text_index_stats(index: DataFrame):
     kind-partitioned table) — without this check a truncated
     artifact would serve silently EMPTY results (null stats null
     every score) instead of erroring (review r11)."""
+    _check_index_columns(index)
+    return _fold_stat_rows(
+        index.where(F.col("kind") == "stat").collect())
+
+
+def _check_index_columns(index: DataFrame):
     want = {"kind", "term", "id", "tf", "dl"}
     if not want <= set(index.columns):
         raise ValueError("search_text_index: index table must have "
                          f"columns {sorted(want)} (from "
                          f"build_text_index)")
+
+
+def _decode_stats_and_df(index: DataFrame, terms):
+    """ONE bounded driver job for both of a serve's lookups (r15
+    guide-§1 profile: the serve wall was ~2× its executor time
+    because the stats collect, the df-subquery scan and the final
+    job ran as SEQUENTIAL driver jobs): collect the kind='stat'
+    rows AND the query terms' kind='df' rows in a single pruned
+    scan, then fold both driver-side. Returns ``(stats, df_map)``
+    where ``df_map[term]`` is the term's total document frequency
+    across parts (absent term → absent key → caller defaults 0.0,
+    matching the coalesce the in-plan shape used). The fold is
+    EXACT, not approximate: df values are integer-valued doubles
+    (document counts), so summing them in any order here gives
+    bit-identically the value the in-plan F.sum produced — the same
+    append-is-extend algebra the stat fold already relies on."""
+    _check_index_columns(index)
+    rows = index.where(
+        (F.col("kind") == "stat")
+        | ((F.col("kind") == "df")
+           & F.col("term").isin(list(terms)))).collect()
+    stat_rows = [r for r in rows if r["kind"] == "stat"]
+    df_map: dict = {}
+    for r in rows:
+        # ignore NULL tf exactly as the in-plan F.sum did
+        if r["kind"] == "df" and r["tf"] is not None:
+            df_map[r["term"]] = df_map.get(r["term"], 0.0) + r["tf"]
+    return _fold_stat_rows(stat_rows), df_map
+
+
+def _fold_stat_rows(stat_rows):
+    """Validate + fold collected kind='stat' rows (shared by the
+    one-job and stats-only decoders — identical messages, identical
+    semantics)."""
     rows: dict = {}
     nulls: dict = {}
     n_parts: dict = {}
     n_empty_parts = 0
-    for r in index.where(F.col("kind") == "stat").collect():
+    for r in stat_rows:
         n_parts[r["term"]] = n_parts.get(r["term"], 0) + 1
         if r["tf"] is not None:
             rows[r["term"]] = rows.get(r["term"], 0.0) + r["tf"]
@@ -834,9 +874,14 @@ def search_text_index(index: DataFrame, query_terms, k: int = 10,
     summed in term order with try_divide guards — the identical
     float operation sequence as the batch scorer (a groupBy-sum
     over contribution rows would fold in partition order and could
-    differ in the last ulp), and idf/avgdl are computed IN-PLAN from
-    the stored counts with the same expressions, not driver-side
-    floats.
+    differ in the last ulp). The corpus stats AND the query terms'
+    df values come from ONE bounded collect (r15 — the serve wall
+    was dominated by sequential driver jobs, not executor time);
+    both are integer-valued doubles, so the driver fold is
+    bit-identical to the in-plan sums it replaced, and the score
+    expression is the same ``_score_expr`` arithmetic over them —
+    the literal-df shape the streaming scorer has always used,
+    pinned row-equal to the batch scorer.
 
     Long-query guard (VERDICT r12 #6): past ``MAX_PIVOT_TERMS``
     distinct terms the pivot would stage thousands of columns, so
@@ -849,7 +894,7 @@ def search_text_index(index: DataFrame, query_terms, k: int = 10,
                                        k1=k1, b=b, id_col=id_col)
                 .select(id_col, "n_tokens", "score", "rank")
                 .orderBy("rank"))
-    st = _decode_text_index_stats(index)
+    st, df_map = _decode_stats_and_df(index, terms)
 
     def esc(name):
         # pivot columns are NAMED by the term value; a backtick in a
@@ -868,28 +913,23 @@ def search_text_index(index: DataFrame, query_terms, k: int = 10,
     pivoted = (post.groupBy("__qid").pivot("term", terms)
                .agg(F.first("tf").alias("tf"),
                     F.first("dl").alias("dl")))
-    # SUM (not first): a multi-part appended artifact carries one df
-    # row per part per term; the sums merge exactly (r12 — plain
-    # parquet append is a valid extend)
-    dfp = (index.where((F.col("kind") == "df")
-                       & F.col("term").isin(terms))
-           .groupBy().pivot("term", terms).agg(F.sum("tf")))
     # a term absent from the corpus has no df row: batch counts its
-    # df as 0.0 (and every tf is 0) — coalesce, don't null the score
-    dfcols = [F.coalesce(F.col(esc(t)), F.lit(0.0))
-              .alias(f"__df{i}") for i, t in enumerate(terms)]
-    staged = (pivoted.select(
+    # df as 0.0 (and every tf is 0) — default, don't null the score.
+    # The df values ride as LITERALS from the one-collect decode
+    # (r15): bit-equal to the broadcast-pivot columns they replaced
+    # (integer-valued doubles sum exactly in any order), and the
+    # same literal-df _score_expr shape the streaming scorer pins.
+    staged = pivoted.select(
         "__qid",
         F.coalesce(*[F.col(esc(f"{t}_dl")) for t in terms])
         .alias("__dl"),
         *[F.coalesce(F.col(esc(f"{t}_tf")), F.lit(0.0))
           .alias(f"__tf{i}") for i, t in enumerate(terms)])
-        .crossJoin(F.broadcast(dfp.select(*dfcols))))
     score = _score_expr(
         len(terms), F.lit(float(st["n"])),
         F.try_divide(F.lit(float(st["sum_dl"])),
                      F.lit(float(st["n_dl"]))),
-        [F.col(f"__df{i}") for i in range(len(terms))], k1, b)
+        [F.lit(float(df_map.get(t, 0.0))) for t in terms], k1, b)
     scored = staged.select(
         F.col("__qid").alias(id_col),
         F.col("__dl").cast("long").alias("n_tokens"),
@@ -933,23 +973,18 @@ def search_text_index_many(index: DataFrame, queries,
     if len(set(qids)) != len(qids):
         raise ValueError("search_text_index_many: duplicate query "
                          "ids")
-    st = _decode_text_index_stats(index)
     spark = index.sparkSession
     all_terms = sorted({t for _, terms in queries for t in terms})
-    qt = spark.createDataFrame(
-        [(str(qid), i, t) for qid, terms in queries
-         for i, t in enumerate(terms)],
-        "query_id string, __ti int, term string")
-    # sum per term: multi-part artifacts carry one df row per part
-    # (r12 append-is-extend); the filter stays ahead of the fold so
-    # the scan still prunes to the batch's terms
-    dfr = (index.where((F.col("kind") == "df")
-                       & F.col("term").isin(all_terms))
-           .groupBy("term").agg(F.sum("tf").alias("__df")))
+    # stats AND the batch's per-term df in ONE bounded collect (r15:
+    # the separate df-subquery scan + join was a whole sequential
+    # driver job; the driver fold is exact — integer-valued doubles
+    # sum bit-identically in any order, r12 append-is-extend)
+    st, df_map = _decode_stats_and_df(index, all_terms)
     # bounded: Σ query lengths rows — broadcast side of everything
-    qfull = (qt.join(dfr, "term", "left")
-             .select("query_id", "__ti", "term",
-                     F.coalesce("__df", F.lit(0.0)).alias("__df")))
+    qfull = spark.createDataFrame(
+        [(str(qid), i, t, float(df_map.get(t, 0.0)))
+         for qid, terms in queries for i, t in enumerate(terms)],
+        "query_id string, __ti int, term string, __df double")
     post = (index.where((F.col("kind") == "post")
                         & F.col("term").isin(all_terms))
             .select("term", F.col("id").alias("__doc"), "tf", "dl"))
