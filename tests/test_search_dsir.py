@@ -1547,6 +1547,43 @@ def test_stream_topk_sink_ownership_is_loud(docs, spark, tmp_path):
     assert [tuple(r) for r in again] == [tuple(r) for r in first]
 
 
+def test_one_collect_decode_matches_split_jobs(docs, spark,
+                                               tmp_path):
+    """r15 one-collect serve decode: `_decode_stats_and_df` folds the
+    corpus stats AND the query terms' df values from ONE bounded
+    collect. It must return (a) stats identical to the stats-only
+    decoder and (b) a df map identical to a direct groupBy-sum over
+    the artifact's df rows — on a MULTI-PART appended artifact (one
+    df row per part per term, r12 append-is-extend; the driver fold
+    is exact because df values are integer-valued doubles), with
+    absent terms absent from the map (serve defaults them to 0.0)."""
+    from metacat_spark.llm.search import (_decode_stats_and_df,
+                                          _decode_text_index_stats,
+                                          build_text_index)
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "one_collect_idx")
+    build_text_index(a).write.parquet(path)
+    build_text_index(b).write.mode("append").parquet(path)
+    stored = spark.read.parquet(path)
+    terms = ["spark", "window", "merge", "zzznotaword"]
+    st, df_map = _decode_stats_and_df(stored, terms)
+    assert st == _decode_text_index_stats(stored)
+    want = {r["term"]: r["s"] for r in
+            stored.where((F.col("kind") == "df")
+                         & F.col("term").isin(terms))
+            .groupBy("term").agg(F.sum("tf").alias("s")).collect()}
+    assert df_map == want and len(df_map) == 3
+    assert "zzznotaword" not in df_map
+    # genuinely multi-part: each present term's df was folded from
+    # one row per part
+    assert stored.where((F.col("kind") == "df")
+                        & (F.col("term") == "spark")).count() >= 2
+    # malformed artifact is loud through the shared column check
+    with pytest.raises(ValueError, match="columns"):
+        _decode_stats_and_df(docs, terms)
+
+
 def test_text_index_null_stat_rows_are_loud(docs, spark):
     """A part whose stat rows were NULLED (not just dropped) must be
     a loud serve-time error — summing the surviving parts would
