@@ -569,13 +569,24 @@ def main():
         warm = median_of(passes)
     # served-artifact sub-metrics run LAST so the headline cold and
     # warm numbers are already recorded; an error here must not zero
-    # the suite's signal
+    # the suite's signal. Steal is measured over the served phase and
+    # recorded alongside (r15, VERDICT r14 #1 discipline: every
+    # recorded number self-identifies its contention — the served
+    # phase has no retry gate, so the annotation is how a reader
+    # tells a real regression from a noisy-neighbor window).
+    srv_s0, srv_t0 = _cpu_ticks()
+    srv_i0 = _idle_ticks()
     try:
         served = served_bench(engine, spark)
     except Exception as e:  # noqa: BLE001 — isolate, report
         served = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(f"# served bench ERROR: {served['error']}",
               file=sys.stderr)
+    srv_s1, srv_t1 = _cpu_ticks()
+    srv_i1 = _idle_ticks()
+    srv_busy = max(1, (srv_t1 - srv_t0) - (srv_i1 - srv_i0))
+    served["steal_pct"] = round(
+        100.0 * (srv_s1 - srv_s0) / srv_busy, 2)
     out = {
         "metric": "mql_suite_total",
         "value": total,
