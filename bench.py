@@ -92,6 +92,17 @@ def bench_queries(engine: Engine):
         "parents(files from test:all where core.run in 10:50)"))
     q["q5_pagination"] = lambda: len(engine.query(
         "files from test:all skip 1000 limit 500").collect())
+    # r16 (VERDICT r15 #6): the id-cursor pagination posture — the
+    # 100 TB scale path docs/SCALING.md promises (pruned scan +
+    # TakeOrderedAndProject, no global sort) — measured as its own
+    # bench line: the page q5 answers with skip-1000, fetched by
+    # cursor instead (after the 1000th ordered id at sf0.1). ADDED
+    # entry; q5's declared skip/limit semantics and timing are
+    # untouched.
+    q["q5b_pagination_cursor"] = lambda: len(engine.query(
+        "files from test:all",
+        after_id="f0000002514000928400978",
+        page_size=500).collect())
     q["q6_summary_count"] = lambda: len(engine.query(
         "files from test:all", summary="count").collect())
     q["q7_filter_hash"] = lambda: _consume(engine.query(
@@ -156,15 +167,64 @@ def served_bench(engine, spark) -> dict:
                                             centroids=cents)),
         }
         out = {"setup_sec": round(setup, 3)}
-        for name, fn in serves.items():
-            vals = []
-            for _ in range(3):
-                t = time.time()
-                fn()
-                vals.append(time.time() - t)
-            out[name + "_sec"] = round(sorted(vals)[1], 4)
-            print(f"# served {name}: {out[name + '_sec']:.3f}s "
-                  f"(median of 3)", file=sys.stderr)
+        # r16 (VERDICT r15 #2): the served phase gets the SAME
+        # per-pass steal ceiling + re-gate + re-run protocol as the
+        # warm passes — r15's artifact-of-record served numbers ran
+        # at 21.62% steal and were unusable for round-over-round
+        # comparison. Every attempt stays recorded in served.runs;
+        # the published per-serve values are medians over the quiet
+        # passes when any exist. served.steal_pct now reports the
+        # worst steal among the passes the values were computed FROM
+        # (the self-identification the r15 annotation was missing);
+        # the whole-phase measure incl. setup is phase_steal_pct.
+        steal_ceiling = float(os.environ.get(
+            "SPARK_GRAFT_STEAL_CEILING_PCT", "2.0"))
+        max_retries = int(os.environ.get(
+            "SPARK_GRAFT_MAX_STEAL_RETRIES", "3"))
+
+        def serve_pass(label):
+            vals = {}
+            s0, t0 = _cpu_ticks()
+            i0 = _idle_ticks()
+            for name, fn in serves.items():
+                pv = []
+                for _ in range(3):
+                    t = time.time()
+                    fn()
+                    pv.append(time.time() - t)
+                vals[name + "_sec"] = round(sorted(pv)[1], 4)
+                print(f"# served {label} {name}: "
+                      f"{vals[name + '_sec']:.3f}s (median of 3)",
+                      file=sys.stderr)
+            s1, t1 = _cpu_ticks()
+            i1 = _idle_ticks()
+            busy = max(1, (t1 - t0) - (i1 - i0))
+            return vals, round(100.0 * (s1 - s0) / busy, 2)
+
+        runs = []
+        retries = 0
+        vals, st = serve_pass("pass1")
+        runs.append({**vals, "steal_pct": st})
+        while st > steal_ceiling and retries < max_retries:
+            retries += 1
+            print(f"# served pass steal {st}% > ceiling "
+                  f"{steal_ceiling}% — re-gating on steal and "
+                  f"re-running (retry {retries}/{max_retries})",
+                  file=sys.stderr)
+            _await_low_steal(max_wait_s=120)
+            vals, st = serve_pass(f"retry{retries}")
+            runs.append({**vals, "steal_pct": st})
+        quiet = [r for r in runs if r["steal_pct"] <= steal_ceiling]
+        use = quiet or runs
+        for name in serves:
+            key = name + "_sec"
+            v = sorted(r[key] for r in use)
+            out[key] = v[len(v) // 2] if len(v) % 2 else round(
+                (v[len(v) // 2 - 1] + v[len(v) // 2]) / 2, 4)
+        out["steal_pct"] = max(r["steal_pct"] for r in use)
+        out["runs"] = runs
+        out["steal_retries_used"] = retries
+        out["steal_ceiling_pct"] = steal_ceiling
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -569,11 +629,9 @@ def main():
         warm = median_of(passes)
     # served-artifact sub-metrics run LAST so the headline cold and
     # warm numbers are already recorded; an error here must not zero
-    # the suite's signal. Steal is measured over the served phase and
-    # recorded alongside (r15, VERDICT r14 #1 discipline: every
-    # recorded number self-identifies its contention — the served
-    # phase has no retry gate, so the annotation is how a reader
-    # tells a real regression from a noisy-neighbor window).
+    # the suite's signal. Since r16 the served phase has the same
+    # per-pass steal ceiling + retry gate as the warm passes
+    # (VERDICT r15 #2); the whole-phase steal is still recorded here.
     srv_s0, srv_t0 = _cpu_ticks()
     srv_i0 = _idle_ticks()
     try:
@@ -585,8 +643,12 @@ def main():
     srv_s1, srv_t1 = _cpu_ticks()
     srv_i1 = _idle_ticks()
     srv_busy = max(1, (srv_t1 - srv_t0) - (srv_i1 - srv_i0))
-    served["steal_pct"] = round(
+    # whole-phase steal (setup + every pass incl. contended retries);
+    # served.steal_pct itself is set inside served_bench from the
+    # passes the published values came from (r16 retry gate)
+    served["phase_steal_pct"] = round(
         100.0 * (srv_s1 - srv_s0) / srv_busy, 2)
+    served.setdefault("steal_pct", served["phase_steal_pct"])
     out = {
         "metric": "mql_suite_total",
         "value": total,

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import spread as _spread
+
 ASSET_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
     T.StructField("modality", T.StringType(), False),   # image|audio|video
@@ -2312,7 +2314,7 @@ def decode_coverage(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame({"container": containers,
                                 "decode_ok": ok})
 
-    per = assets.mapInPandas(
+    per = _spread(assets).mapInPandas(
         run, "container string, decode_ok boolean")
     return (per.groupBy("container")
             .agg(F.count("*").alias("n_assets"),
@@ -2406,7 +2408,7 @@ def extract_features(assets: DataFrame, batch_size: int = 1024) -> DataFrame:
                 "decode_ok": ok,
             })
 
-    return assets.mapInPandas(run, FEATURE_SCHEMA)
+    return _spread(assets).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -2490,7 +2492,7 @@ def sample_gif_frames(assets: DataFrame, every_n: int = 1,
                         out["decode_ok"].append(True)
             yield pd.DataFrame(out)
 
-    return assets.mapInPandas(
+    return _spread(assets).mapInPandas(
         run, "asset_id long, frame_idx int, n_frames int, "
              "feature array<double>, decode_ok boolean")
 
@@ -2525,7 +2527,7 @@ def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "dhash": hashes,
                                 "decode_ok": oks})
 
-    return assets.select("asset_id", "content").mapInPandas(
+    return _spread(assets.select("asset_id", "content")).mapInPandas(
         run, "asset_id long, dhash long, decode_ok boolean")
 
 
@@ -2600,7 +2602,7 @@ def gif_frame_dhash(assets: DataFrame, every_n: int = 1,
                     out["dhash"].append(hv)
             yield pd.DataFrame(out)
 
-    return assets.select("asset_id", "content").mapInPandas(
+    return _spread(assets.select("asset_id", "content")).mapInPandas(
         run, "asset_id long, frame_idx int, n_sampled int, "
              "dhash long")
 
@@ -2716,7 +2718,7 @@ def audio_fingerprint(assets: DataFrame, windows: int = 65) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "afp": fps,
                                 "decode_ok": oks})
 
-    return assets.select("asset_id", "content").mapInPandas(
+    return _spread(assets.select("asset_id", "content")).mapInPandas(
         run, "asset_id long, afp long, decode_ok boolean")
 
 

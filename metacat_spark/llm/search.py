@@ -1323,9 +1323,14 @@ def hybrid_from_indexes(spark, text_index: DataFrame,
     qdf = spark.createDataFrame(
         [(qid, [float(x) for x in query_vec])],
         f"vec_id {id_dt}, embedding array<double>")
+    # bounded_queries=True: the query frame is provably ONE row (a
+    # local createDataFrame has no Catalyst size estimate, so the
+    # auto gate could not see that) — take the fused single-Python-
+    # stage serve shape (r16)
     vec = (ivf_pq_search(qdf, postings, vec_index, k=n,
                          n_probe=n_probe, rerank=rerank,
-                         shortlist=shortlist, exclude_self=False)
+                         shortlist=shortlist, exclude_self=False,
+                         bounded_queries=True)
            .select(F.col("neighbor_id").alias("id"),
                    F.col("rank").alias("vec_rank")))
     return _rrf_fuse(kw, vec, kappa, k, id_col)

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import plan_size_bytes as _plan_size_bytes
 from .util import stream_parquet
 
 # source bytes per Arrow-stage task (see _prep): ~4 MB ≈ thousands of
@@ -23,6 +24,16 @@ from .util import stream_parquet
 # env-tunable for cluster profiles where the fixed cost differs
 _VEC_TASK_BYTES = int(os.environ.get("SPARK_GRAFT_VEC_TASK_BYTES",
                                      str(4 << 20)))
+
+# ivf_pq_search fused-path budget (r16): total bytes of query rows
+# AFTER replication to every list (est × n_lists) that we are willing
+# to shuffle in exchange for deleting the separate Python assignment
+# stage. A Python stage costs ~0.3-0.5 s of fixed wall per serve
+# (worker round-trip + Arrow setup, measured r15); at ~GB/s of
+# per-node shuffle throughput the replicated bytes win below roughly
+# this budget at ANY corpus size — the members side is untouched
+_IVFPQ_FUSE_BYTES = int(os.environ.get("SPARK_GRAFT_IVFPQ_FUSE_BYTES",
+                                       str(64 << 20)))
 
 
 def dot(a, b):
@@ -65,15 +76,19 @@ def _prep(df: DataFrame, vec_col: str, id_col: str,
     # samples); only task counts move.
     par = df.sparkSession.sparkContext.defaultParallelism
     if adaptive:
-        try:
-            est = int(df._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes())
-            # est is Long.MaxValue when the size is unknown (e.g. a
-            # LocalRelation): the min() below then keeps the full
-            # spread — an unknown corpus must never funnel to 1 task
+        # None = unknown size (LogicalRDD/unknown-stats plans — e.g.
+        # a PySpark createDataFrame frame — report the Long.MaxValue
+        # sentinel; ADVICE r15 comment fix): keep the full spread —
+        # an unknown corpus must never funnel to 1 task. No 2-task
+        # floor on known-size inputs (ADVICE r15 considered one): the
+        # 1-partition case is load-bearing — it is what removes the
+        # hash exchange feeding FlatMapGroupsInPandas in the small-
+        # corpus ANN plans (r15 q10 Exchange 6→4), and an
+        # underestimate at worst costs parallelism over <2 tasks'
+        # worth of source bytes in one Arrow stage.
+        est = _plan_size_bytes(df)
+        if est is not None:
             par = max(1, min(par, -(-est // _VEC_TASK_BYTES)))
-        except Exception:  # noqa: BLE001 — stats unavailable:
-            pass           # keep the full defaultParallelism spread
     return out.repartition(par)
 
 
@@ -1203,7 +1218,8 @@ def _det_shortlist(adc, crank, rr: int):
 
 def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
                  rerank: bool, id_t: str, Rt=None,
-                 exclude_self: bool = True) -> DataFrame:
+                 exclude_self: bool = True,
+                 assign_npb: int | None = None) -> DataFrame:
     """The per-list ADC scoring + global merge half of IVF-PQ,
     shared by ivf_pq_topk (members encoded inline) and
     ivf_pq_search (members from a stored postings table). ``both``
@@ -1211,7 +1227,19 @@ def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
     role 'q' probes. With an OPQ rotation the LUTs are built from
     the ROTATED query (q·r = (q·R)·(r·R) for orthogonal R, so
     q·x̂ = q·C[lst] + Σ_s (qR)_s·r̂_s); the q·C coarse term stays
-    unrotated."""
+    unrotated.
+
+    ``assign_npb`` (r16 fused serve path): when set, the incoming
+    role='q' rows are the FULL query set replicated to every list
+    (JVM explode — no Python assignment stage ran), and each scoring
+    task runs the shared ``_pq_assign`` kernel itself to keep only
+    the queries whose ``assign_npb`` nearest lists include this
+    group's list. The kept (query, list) pairs are exactly the pairs
+    the separate qassign stage would have shuffled here, and the
+    kernel input (the raw vec values, re-normalized with the same
+    +1e-12 guard) is bit-identical — so the scored candidate set,
+    and therefore the result rows, match the two-stage path
+    row-for-row (pinned by test)."""
     import numpy as np
     import pandas as pd
 
@@ -1226,6 +1254,15 @@ def _ivfpq_score(both: DataFrame, Cn, CB, k: int, R_short: int,
         if not (len(qdf) and len(cdf)):
             return empty
         lst = int(pdf["lst"].iloc[0])
+        if assign_npb is not None:
+            qm = np.array(list(qdf["vec"]))
+            qmn = qm / (np.linalg.norm(qm, axis=1,
+                                       keepdims=True) + 1e-12)
+            order, _ = _pq_assign(qmn, Cn, CB, None, assign_npb,
+                                  with_codes=False)
+            qdf = qdf[(order == lst).any(axis=1)]
+            if not len(qdf):
+                return empty
         q = np.array(list(qdf["vec"]))
         qn = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
         # per-query LUTs: (nq, m*n_codes) — ADC is pure table lookup.
@@ -1343,7 +1380,8 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
                   shortlist: int | None = None, rerank: bool = True,
                   exclude_self: bool = True,
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id",
+                  bounded_queries: bool | None = None) -> DataFrame:
     """Serve ANN queries from a STORED postings table: queries are
     assigned to their n_probe nearest lists in one Arrow pass, the
     postings rows (members, already encoded at add time by
@@ -1362,7 +1400,22 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     IS the member corpus. Pass ``exclude_self=False`` when queries
     are external to the postings (e.g. a served hybrid query): then
     an id collision between a query and a legitimately distinct
-    member never drops that member (VERDICT r11 #3)."""
+    member never drops that member (VERDICT r11 #3).
+
+    ``bounded_queries`` (r16): pick the FUSED serve shape — queries
+    replicated to every list by a JVM explode and assigned inside
+    the scoring task — instead of the separate Python assignment
+    stage. True forces it (callers that KNOW the query frame is
+    bounded, e.g. the one-row hybrid serve), False forces the
+    two-stage shape, None (default) decides from Catalyst's size
+    estimate: fuse when est × n_lists ≤ _IVFPQ_FUSE_BYTES. The fused
+    shape deletes one whole Python stage (~0.3-0.5 s fixed wall per
+    serve, guide §4) and the query-side repartition exchange, at the
+    cost of shuffling n_lists/n_probe× more query bytes — a win
+    whenever the query frame is serve-sized, at ANY corpus size (the
+    postings side is identical in both shapes). Results are pinned
+    row-equal between the shapes (same assignment kernel on the same
+    raw vectors — see _ivfpq_score)."""
     import numpy as np
     import pandas as pd
 
@@ -1383,6 +1436,25 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     R_short = max(k, shortlist if shortlist is not None else 4 * k)
     cb_norm2 = 0.5 * (CB ** 2).sum(-1)
     id_t = _id_ddl(queries, id_col)
+    members = postings.select("lst", "id", "vec", "codes",
+                              F.lit("m").alias("role"))
+    if bounded_queries is None:
+        est = _plan_size_bytes(queries)
+        bounded_queries = (est is not None
+                           and est * len(Cn) <= _IVFPQ_FUSE_BYTES)
+    if bounded_queries:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        qrows = queries.select(
+            F.explode(F.array(*[F.lit(i).cast("int")
+                                for i in range(len(Cn))]))
+            .alias("lst"),
+            F.col(id_col).alias("id"), v.alias("vec"),
+            F.lit(None).cast("array<smallint>").alias("codes"),
+            F.lit("q").alias("role"))
+        return _ivfpq_score(qrows.unionByName(members), Cn, CB, k,
+                            R_short, rerank, id_t, Rt,
+                            exclude_self=exclude_self,
+                            assign_npb=npb)
     qbase = _prep(queries, vec_col, id_col).drop("nrm")
 
     def qassign(batches):
@@ -1406,8 +1478,6 @@ def ivf_pq_search(queries: DataFrame, postings: DataFrame,
     qrows = qbase.mapInPandas(
         qassign, f"lst int, id {id_t}, vec array<double>, "
                  f"codes array<smallint>, role string")
-    members = postings.select("lst", "id", "vec", "codes",
-                              F.lit("m").alias("role"))
     return _ivfpq_score(qrows.unionByName(members), Cn, CB, k,
                         R_short, rerank, id_t, Rt,
                         exclude_self=exclude_self)

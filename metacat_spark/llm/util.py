@@ -2,7 +2,32 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+# source bytes per task for the per-row-Python families (text decode,
+# tokenize, shingle): small on purpose — per-row pure-Python work is
+# ms/row, so anything past a few dozen rows per task beats the ~0.26 s
+# fixed task cost and the spread should saturate the cores quickly.
+# 16 KB keeps a sub-MB corpus at the full defaultParallelism fan-out
+# (the r15-audited posture) while a trivially small table (a 10-asset
+# decode probe) stops paying 32 task round-trips (VERDICT r15 #5).
+_TEXT_TASK_BYTES = int(os.environ.get("SPARK_GRAFT_TEXT_TASK_BYTES",
+                                      str(16 << 10)))
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df`` in bytes, or None when
+    unknown (LogicalRDD/unknown-stats plans report the Long.MaxValue
+    sentinel; the private-API read can also fail on a PySpark bump —
+    pinned by test so a silent loss of adaptivity fails loudly)."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — private API; treat as unknown
+        return None
+    return est if 0 <= est < (1 << 62) else None
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -11,13 +36,26 @@ def spread(df: DataFrame) -> DataFrame:
     Spread ONLY when under-partitioned — unconditional repartition
     would full-shuffle the raw text of a well-partitioned 100 TB
     input down to defaultParallelism partitions (review r6). No-op
-    on streaming DataFrames (no static partitioning to inspect)."""
+    on streaming DataFrames (no static partitioning to inspect).
+
+    r16 (VERDICT r15 #5): the target count is BYTES-DERIVED
+    (~_TEXT_TASK_BYTES of source bytes per task, floor 2) instead of
+    a flat defaultParallelism — per-row Python work dominates in
+    these families, so the unit is small and any real corpus still
+    gets the full fan-out; only trivially small tables stop paying
+    defaultParallelism task round-trips. Unknown-size plans (local
+    frames) keep the full spread — an unknown corpus must never
+    funnel into too few tasks."""
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    n = par
+    est = plan_size_bytes(df)
+    if est is not None:
+        n = min(par, max(min(2, par), -(-est // _TEXT_TASK_BYTES)))
+    if df.rdd.getNumPartitions() >= n:
         return df
-    return df.repartition(par)
+    return df.repartition(n)
 
 
 def hadoop_glob_escape(name: str) -> str:

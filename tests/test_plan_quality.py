@@ -760,3 +760,79 @@ def test_index_artifacts_are_single_partition(spark):
     idx = build_ivfpq_index(embs, n_lists=4, m=2, n_codes=8,
                             train_iters=1)
     assert idx.rdd.getNumPartitions() == 1
+
+
+def test_plan_size_probe_returns_finite(spark):
+    """r16 (VERDICT r15 #8): the optimizer-stats size probe behind
+    every adaptive spread (_prep, util.spread, the ivf_pq_search
+    fuse gate) reads a PRIVATE PySpark API. Pin it: a parquet-backed
+    frame must yield a finite positive size, so a PySpark bump that
+    breaks the probe fails HERE loudly instead of silently reverting
+    every operator to the full fan-out; an unknown-stats local frame
+    must yield None (the keep-the-full-spread sentinel)."""
+    from metacat_spark.llm.util import plan_size_bytes
+    small = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    est = plan_size_bytes(small)
+    assert est is not None and 0 < est < (1 << 62)
+    unknown = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    assert plan_size_bytes(unknown) is None
+
+
+def test_spread_is_bytes_adaptive(spark, tmp_path):
+    """r16 (VERDICT r15 #5): util.spread derives its fan-out from
+    input bytes with a floor of 2 — a trivially small storage-backed
+    table stops paying defaultParallelism task round-trips, a real
+    corpus still saturates the cores, an unknown-size local frame
+    keeps the full spread, and an already-well-partitioned input is
+    never reshuffled."""
+    from metacat_spark.llm.util import _TEXT_TASK_BYTES, spread
+    par = spark.sparkContext.defaultParallelism
+    spark.range(10).selectExpr("id", "repeat('x', 10) as text") \
+        .coalesce(1).write.parquet(str(tmp_path / "tiny"))
+    tiny = spark.read.parquet(str(tmp_path / "tiny"))
+    assert spread(tiny).rdd.getNumPartitions() == min(2, par)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import math
+    from metacat_spark.llm.util import plan_size_bytes
+    want = min(par, max(2, math.ceil(
+        plan_size_bytes(docs) / _TEXT_TASK_BYTES)))
+    assert spread(docs).rdd.getNumPartitions() == want
+    local = spark.createDataFrame([(i, "x") for i in range(5)],
+                                  "id long, text string")
+    assert spread(local).rdd.getNumPartitions() == par
+    wide = spark.range(0, 10, 1, par)  # already par partitions
+    assert spread(wide).rdd.getNumPartitions() == par
+
+
+def test_ivfpq_search_fused_single_python_stage(spark, tmp_path):
+    """r16 (VERDICT r15 #1): the fused ivf_pq_search serve shape —
+    queries replicated to every list by a JVM explode, assignment
+    running inside the scoring task — must (a) contain NO separate
+    Python assignment stage (no MapInPandas; exactly one
+    FlatMapGroupsInPandas), (b) auto-engage for a parquet-backed
+    serve-sized query frame, and (c) return rows identical to the
+    two-stage shape, rerank on and off."""
+    from metacat_spark.llm import similarity as SIM
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = SIM.build_ivfpq_index(embs, n_lists=8, m=2, n_codes=8,
+                                train_iters=1).localCheckpoint()
+    posts = SIM.encode_ivfpq(embs, idx).localCheckpoint()
+    # (b) auto gate: parquet-backed bounded frame → fused plan
+    auto = SIM.ivf_pq_search(embs, posts, idx, k=3, n_probe=3)
+    plan = plan_of(auto)
+    assert "MapInPandas" not in plan
+    # formatted explain prints each operator twice (tree + details):
+    # exactly ONE FlatMapGroupsInPandas operator = two mentions
+    import re
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas",
+                          plan)) == 1
+    # (a)+(c) forced fused vs forced two-stage, row-for-row
+    for rerank in (True, False):
+        two = SIM.ivf_pq_search(embs, posts, idx, k=3, n_probe=3,
+                                rerank=rerank, bounded_queries=False)
+        assert "MapInPandas" in plan_of(two)
+        fused = SIM.ivf_pq_search(embs, posts, idx, k=3, n_probe=3,
+                                  rerank=rerank, bounded_queries=True)
+        assert sorted(map(tuple, fused.collect())) == \
+            sorted(map(tuple, two.collect()))
