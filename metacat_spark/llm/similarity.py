@@ -1781,7 +1781,19 @@ def cluster_sample_stats(df: DataFrame, centroids: DataFrame,
         .alias("n_nonempty"),
         F.coalesce(F.max(F.when(F.col("cluster_id") >= 0,
                                 F.col("n"))), F.lit(0))
-        .alias("max_occupancy")).collect()[0]
+        .alias("max_occupancy"),
+        F.max("cluster_id").alias("__max_cid")).collect()[0]
+    # ADVICE r15: an assignments frame built against DIFFERENT (more)
+    # centroids would silently skew every gauge — the out-of-range
+    # cluster id is the ~free tell, caught on the same collect. (A
+    # keep_invalid=False frame stays documented-only: dropped rows
+    # are indistinguishable from a corpus that had none.)
+    if r["__max_cid"] is not None and int(r["__max_cid"]) >= n_clusters:
+        raise ValueError(
+            f"cluster_sample_stats: assignments= carries cluster_id "
+            f"{int(r['__max_cid'])} but the decoded centroids define "
+            f"only {n_clusters} clusters — the frame was built "
+            f"against different/stale centroids")
     spark = df.sparkSession
     row = spark.createDataFrame(
         [(n_clusters, int(r["n_assigned"]), int(r["n_dropped"]),

@@ -836,3 +836,26 @@ def test_ivfpq_search_fused_single_python_stage(spark, tmp_path):
                                   rerank=rerank, bounded_queries=True)
         assert sorted(map(tuple, fused.collect())) == \
             sorted(map(tuple, two.collect()))
+
+
+def test_minhash_signature_shares_distinct_exchange(spark):
+    """r16 (VERDICT r15 #4, guide §2.4): minhash's hashed-shingle
+    distinct and the per-document signature aggregation share ONE
+    id-keyed exchange — partition_by_id hash-partitions by id before
+    the distinct, and HashPartitioning(id) satisfies both the
+    (id,h64) dedup and the groupBy(id) distributions, so Catalyst
+    stacks the aggregates with no exchange between. Exactly one
+    hashpartitioning exchange in the whole signature plan."""
+    import re
+    from metacat_spark.llm import dedup as DD
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    shr = DD.hashed_shingle_rows(docs, 2, "text", "doc_id",
+                                 partition_by_id=True)
+    sig = shr.groupBy("id").agg(F.count("*").alias("n_sh"))
+    plan = plan_of(sig)
+    # formatted explain splits operator and Arguments across lines:
+    # count Exchange operators in the details section, and
+    # hashpartitioning mentions anywhere — exactly one id-keyed
+    # exchange besides the _spread round-robin
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert plan.count("hashpartitioning") == 1

@@ -2165,3 +2165,25 @@ def test_cluster_sample_stats_shared_assignments(embs, spark,
     assert plan.count(") MapInPandas") == 1
     with pytest.raises(ValueError, match="cluster_id"):
         cluster_sample_stats(embs, stored, assignments=embs)
+
+
+def test_cluster_sample_stats_rejects_stale_assignments(embs, spark):
+    """r16 (ADVICE r15): an assignments frame built against MORE
+    centroids than the decoded artifact defines carries out-of-range
+    cluster ids — the ~free tell for the wrong-centroids mistake that
+    would otherwise silently skew every gauge column. Caught on the
+    same collect the gauge already pays."""
+    from metacat_spark.llm.similarity import (assign_clusters,
+                                              build_ivf_centroids,
+                                              cluster_sample_stats)
+    cents4 = build_ivf_centroids(embs, n_lists=4, train_iters=0)
+    cents16 = build_ivf_centroids(embs, n_lists=16, train_iters=0)
+    stale = assign_clusters(embs, cents16, check_dim=False,
+                            keep_invalid=True)
+    with pytest.raises(ValueError, match="different/stale"):
+        cluster_sample_stats(embs, cents4, assignments=stale)
+    # matching frame still passes
+    ok = assign_clusters(embs, cents4, check_dim=False,
+                         keep_invalid=True)
+    assert cluster_sample_stats(
+        embs, cents4, assignments=ok).count() == 1
