@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""Round-16 measurement harness: capture .explain("formatted") for
+every headline bench query (before/after optimization) into
+plans/r16/, plus the served-path and multimodal-decode plans the
+r16 changes touch, and optionally time each with the noop sink
+(guide §1.4 — computation only, no collect/sink cost).
+
+Usage:
+  python tools/plans_r16.py before            # plans only
+  python tools/plans_r16.py after             # plans only
+  python tools/plans_r16.py before --time     # plans + noop timings
+  python tools/plans_r16.py after --time q8_dedup_minhash_lsh
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from metacat_spark.catalog import from_materialized  # noqa: E402
+from metacat_spark.engine import Engine  # noqa: E402
+from metacat_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def bench_dataframes(engine):
+    """name -> lazy DataFrame for every headline bench query —
+    mirrors bench.bench_queries but returns the frames instead of
+    consuming them (the bench's callables collect; plan capture and
+    noop isolation need the DataFrame)."""
+    docs = engine.cat.raw["documents"]
+    embs = engine.cat.raw["embeddings"]
+
+    from metacat_spark.llm import dedup as DD
+    from metacat_spark.llm import multimodal as MM
+    from metacat_spark.llm import similarity as SIM
+    from metacat_spark.llm import text as TX
+    from metacat_spark.streaming import events as EV
+
+    return {
+        "q1_bfq_predicate": lambda: engine.query(
+            "files from dune:urgent_0 where core.run > 250 "
+            "and core.x <= 0.5"),
+        "q2_multi_predicate_scan": lambda: engine.query(
+            "files where core.runs[any] > 490 or "
+            '(beam.status = "on" and '
+            'core.timestamp > datetime("1996-06-01"))'),
+        "q3_set_algebra": lambda: engine.query(
+            "union(files from dune:urgent_0, files from dune:urgent_1) "
+            "- files from mc:flag_r where core.good = true"),
+        "q4_provenance": lambda: engine.query(
+            "parents(files from test:all where core.run in 10:50)"),
+        "q5_pagination": lambda: engine.query(
+            "files from test:all skip 1000 limit 500"),
+        "q5b_pagination_cursor": lambda: engine.query(
+            "files from test:all",
+            after_id="f0000002514000928400978", page_size=500),
+        "q6_summary_count": lambda: engine.query(
+            "files from test:all", summary="count"),
+        "q7_filter_hash": lambda: engine.query(
+            "filter hash(4, 1)(files from dune:high_0)"),
+        "q8_dedup_minhash_lsh": lambda: DD.minhash_lsh_pairs(
+            docs, n=2, k=32, bands=8, threshold=0.5),
+        "q9_text_analysis": lambda: TX.analyze(docs),
+        "q10_embed_topk": lambda: SIM.lsh_bucketed_topk(
+            embs, k=3, n_tables=8, planes_per_table=4),
+        "q10b_embed_topk_exact": lambda: SIM.topk_gemm(embs, k=3),
+        "q11_events_window": lambda: EV.windowed_counts(
+            EV.load_events(engine.spark, SF_DIR)),
+        "q12_events_sessionize": lambda: EV.sessionize(
+            EV.load_events(engine.spark, SF_DIR), 30),
+        "multimodal_features": lambda: MM.extract_features(
+            MM.synthesize_assets(docs)),
+        "multimodal_image_dhash": lambda: MM.image_dhash(
+            MM.synthesize_assets(docs).where("modality = 'image'")),
+    }
+
+
+def served_dataframes(engine, spark, tmp):
+    """Served-path frames against artifacts built (untimed) into
+    ``tmp`` with the same params as bench.served_bench."""
+    from metacat_spark.llm import search as SR
+    from metacat_spark.llm import similarity as SIM
+
+    docs = engine.cat.raw["documents"]
+    embs = engine.cat.raw["embeddings"]
+    if not os.path.exists(f"{tmp}/text_idx"):
+        SR.build_text_index(docs).write.parquet(f"{tmp}/text_idx")
+        idx = SIM.build_ivfpq_index(embs, n_lists=16, m=8,
+                                    n_codes=16, train_iters=1)
+        idx.write.parquet(f"{tmp}/ivfpq_idx")
+        SIM.encode_ivfpq(embs, spark.read.parquet(
+            f"{tmp}/ivfpq_idx")).write.parquet(f"{tmp}/postings")
+        SIM.build_ivf_centroids(embs, n_lists=16, train_iters=1) \
+            .write.parquet(f"{tmp}/cents")
+    text_idx = spark.read.parquet(f"{tmp}/text_idx")
+    ivf_idx = spark.read.parquet(f"{tmp}/ivfpq_idx")
+    postings = spark.read.parquet(f"{tmp}/postings")
+    cents = spark.read.parquet(f"{tmp}/cents")
+    return {
+        "text_index_serve": lambda: SR.search_text_index(
+            text_idx, ["spark", "window", "merge"], k=10),
+        "ivfpq_serve": lambda: SIM.ivf_pq_search(
+            embs, postings, ivf_idx, k=3, n_probe=4),
+        "cluster_sample_serve": lambda: SIM.cluster_balanced_sample(
+            embs, per_cluster=20, centroids=cents),
+    }
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _cpu_ticks():
+    parts = open("/proc/stat").readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return vals[7], sum(vals), vals[3] + vals[4]
+
+
+def _timed_clean_reps(spark, fn, want_clean: int = 3,
+                      max_reps: int = 8,
+                      steal_ceiling: float = 2.0) -> list:
+    """Run ``fn`` until ``want_clean`` reps complete with measured
+    hypervisor steal <= ceiling (this host has recurring neighbor
+    steal windows that poison unguarded medians); returns the clean
+    timings, or whatever completed if the budget runs out."""
+    clean, allv = [], []
+    for _ in range(max_reps):
+        spark.sparkContext._jvm.System.gc()
+        s0, t0, i0 = _cpu_ticks()
+        t = time.time()
+        fn()
+        dt = round(time.time() - t, 4)
+        s1, t1, i1 = _cpu_ticks()
+        busy = max(1, (t1 - t0) - (i1 - i0))
+        steal = 100.0 * (s1 - s0) / busy
+        allv.append((dt, round(steal, 2)))
+        if steal <= steal_ceiling:
+            clean.append(dt)
+            if len(clean) >= want_clean:
+                break
+        else:
+            print(f"#   rep discarded: {dt}s at {steal:.1f}% steal",
+                  file=sys.stderr)
+    return clean or [dt for dt, _ in allv]
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    do_time = "--time" in sys.argv
+    only = [a for a in sys.argv[2:] if not a.startswith("-")]
+    outdir = os.environ.get("SPARK_GRAFT_PLANS_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r16")
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark("plans_r16")
+    engine = Engine(from_materialized(spark, SF_DIR))
+    # same warmup as the bench so noop timings are steady-state
+    engine.query("files from dune:urgent_0 limit 1").collect()
+    engine._file_ids_unique()
+    warm = F.pandas_udf(lambda s: s, "long").asNondeterministic()
+    par = spark.sparkContext.defaultParallelism
+    (engine.cat.files.select("id").repartition(par)
+     .select(warm(F.length("id")).alias("v"))
+     .agg(F.sum("v")).collect())
+
+    import shutil
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="plans_r16_served_")
+    try:
+        qs = bench_dataframes(engine)
+        qs.update(served_dataframes(engine, spark, tmp))
+        timings = {}
+        for name, build in qs.items():
+            if only and name not in only:
+                continue
+            df = build()
+            with open(os.path.join(outdir, f"{name}_{tag}.txt"),
+                      "w") as f:
+                f.write(formatted_plan(df))
+            print(f"# plan written: {name}_{tag}.txt", file=sys.stderr)
+            if do_time:
+                spark.sparkContext.setJobDescription(f"r16 {tag} {name}")
+                vals = _timed_clean_reps(
+                    spark, lambda: build().write.format("noop")
+                    .mode("overwrite").save())
+                timings[name] = sorted(vals)[len(vals) // 2]
+                print(f"# {name}: noop median {timings[name]:.3f}s "
+                      f"(clean runs {vals})", file=sys.stderr)
+                spark.sparkContext.setJobDescription(None)
+        if do_time:
+            import json
+            print(json.dumps({"tag": tag, "noop_median": timings}))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
