@@ -79,7 +79,30 @@ def bench_dataframes(engine):
             MM.synthesize_assets(docs)),
         "multimodal_image_dhash": lambda: MM.image_dhash(
             MM.synthesize_assets(docs).where("modality = 'image'")),
+        # q8's headline plan truncates at the lazy localCheckpoint
+        # (Scan ExistingRDD), hiding where the r16 exchange-share
+        # lives — dump the pre-checkpoint signature sub-plan
+        # explicitly: distinct (id,h64) -> per-doc minhash agg.
+        # Before (r15 code, no partition_by_id kwarg): distinct
+        # exchange on (id,h64) THEN a second exchange by id for the
+        # agg. After: one id-keyed exchange shared by both.
+        "q8_signature_subplan": lambda: _q8_signature_subplan(docs),
     }
+
+
+def _q8_signature_subplan(docs):
+    from metacat_spark.llm import dedup as DD
+    from metacat_spark.llm.text import POLY_MOD
+    try:
+        shr = DD.hashed_shingle_rows(docs, 2, "text", "doc_id",
+                                     partition_by_id=True)
+    except TypeError:       # r15 tree: kwarg does not exist yet
+        shr = DD.hashed_shingle_rows(docs, 2, "text", "doc_id")
+    ex0 = shr.withColumn("h", F.pmod(F.col("h64"), F.lit(POLY_MOD)))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % POLY_MOD)
+            .alias(f"mh_{i}")
+            for i, (a, b) in enumerate(DD._lcg_params(32))]
+    return ex0.groupBy("id").agg(F.count("*").alias("n_sh"), *aggs)
 
 
 def served_dataframes(engine, spark, tmp):
