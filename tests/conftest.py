@@ -38,14 +38,29 @@ def pytest_configure(config):
         " SPARK_GRAFT_RUNSLOW=1")
 
 
+def _slow_tier() -> set:
+    """Node ids of the slow tier — data-driven (tests/slow_tier.txt,
+    generated from the full run's measured durations) so the tier is
+    one regenerable list instead of 120+ scattered decorators."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "slow_tier.txt")
+    try:
+        with open(path) as f:
+            return {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return set()
+
+
 def pytest_collection_modifyitems(config, items):
     if (config.getoption("--runslow")
             or os.environ.get("SPARK_GRAFT_RUNSLOW") == "1"):
         return
     skip = pytest.mark.skip(
         reason="slow tier: run with --runslow / SPARK_GRAFT_RUNSLOW=1")
+    tier = _slow_tier()
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords or item.nodeid in tier:
             item.add_marker(skip)
 
 
